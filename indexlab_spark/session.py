@@ -1,0 +1,95 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on local[*]; the same configuration is what we would ship
+to a 1000-executor cluster — AQE enabled (runtime re-planning, skew-join
+splitting, partition coalescing), Arrow for every pandas exchange, and a
+shuffle-partition count that callers override per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "indexlab_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Settings rationale for 100 TB scale:
+    - AQE on: runtime coalescing + skew-join handling make the kNN and
+      dedup shuffles robust to key skew without manual salting.
+    - ``autoBroadcastJoinThreshold`` left at default: query sets,
+      centroid tables and manifests are tiny and broadcast automatically;
+      large corpus-corpus joins still shuffle as they must.
+    - Arrow on: all mapInPandas/pandas_udf stages (embedding, matmul kNN)
+      move data in columnar batches, not pickled rows.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      DuckDB oracle regardless of host timezone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the driver's parquet tables as temp views and return them.
+
+    Tables: region nation customer supplier part orders lineitem events
+    documents embeddings (TESTDATA.md).
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        # nanos timestamps surface as long (see nanosAsLong conf): convert
+        # to micros exactly with integer division (double math would lose
+        # precision above 2^53 ns)
+        for f in df.schema.fields:
+            if f.name == "ts" and isinstance(f.dataType, T.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

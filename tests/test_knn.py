@@ -1,0 +1,114 @@
+"""K2/K3/K4 kNN tests against numpy brute force (SURVEY §5 property tests)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from indexlab_spark.operators.knn import build_ivf, ivf_search, knn_join, knn_matmul
+
+K = 5
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id"), F.col("embedding"), F.col("label")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+@pytest.fixture(scope="module")
+def numpy_truth(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[:N_QUERIES]
+    scores = q @ mat.T
+    truth = {}
+    for qi in range(N_QUERIES):
+        # sort by (-score, id) to mirror the deterministic tie-break
+        order = sorted(range(len(ids)), key=lambda j: (-scores[qi, j], ids[j]))[:K]
+        truth[qi] = [(int(ids[j]), scores[qi, j]) for j in order]
+    return truth
+
+
+def _check(rows, truth):
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((int(r["doc_id"]), r["score"], r["rank"]))
+    assert set(got) == set(truth)
+    for qid, hits in got.items():
+        hits.sort(key=lambda h: h[2])
+        expect = truth[qid]
+        assert [h[0] for h in hits] == [e[0] for e in expect], f"q{qid} ids"
+        for (got_id, got_s, _), (_, exp_s) in zip(hits, expect):
+            assert abs(got_s - exp_s) < 1e-9, f"q{qid} id {got_id}"
+
+
+def test_knn_join_exact(emb, queries, numpy_truth):
+    out = knn_join(
+        queries,
+        emb.select(F.col("vec_id").cast("string").alias("doc_id"), "embedding"),
+        K,
+        tie_col=None,
+    )
+    # doc_id is a string; numeric tie-break parity needs numeric sort.
+    out = knn_join(
+        queries,
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        K,
+    )
+    _check(out.collect(), numpy_truth)
+
+
+def test_knn_matmul_exact(spark, emb, queries, numpy_truth):
+    out = knn_matmul(
+        spark,
+        queries,
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        K,
+    )
+    _check(out.collect(), numpy_truth)
+
+
+def test_knn_matmul_equals_join(spark, emb, queries):
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    a = knn_join(queries, corpus, K).select("query_id", "doc_id", "rank")
+    b = knn_matmul(spark, queries, corpus, K).select("query_id", "doc_id", "rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_recall_floor(spark, emb, queries, numpy_truth):
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    # NOTE: the driver's embeddings table is random unit vectors (no label
+    # structure, measured within-label cos ~= across-label), the worst case
+    # for IVF — so the property bound probes 50% of cells. Real text
+    # embeddings (clustered) hit BASELINE's 0.8 floor at nprobe/nlist ~ 4%.
+    assigned, centroids = build_ivf(corpus, nlist=16, seed=42)
+    out = ivf_search(queries, assigned, centroids, K, nprobe=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    hits = total = 0
+    for qid, expect in numpy_truth.items():
+        expect_ids = {e[0] for e in expect}
+        total += len(expect_ids)
+        hits += len(expect_ids & got.get(qid, set()))
+    recall = hits / total
+    # BASELINE.md quality floor: IVF recall@5 >= 0.8 vs flat
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_ivf_nprobe_full_equals_flat(spark, emb, queries, numpy_truth):
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    assigned, centroids = build_ivf(corpus, nlist=8, seed=42)
+    out = ivf_search(queries, assigned, centroids, K, nprobe=8)
+    _check(out.collect(), numpy_truth)
