@@ -1,0 +1,155 @@
+"""Analytics & catalog aggregations (SURVEY §2.7, A1-A9).
+
+Reference (/root/reference/app/api/analytics.py:86-213) computes chunk
+length stats in driver Python; here they are single aggregations over the
+chunks table — the histogram and percentile reproduce the reference's
+exact formulas (NOT width_bucket / percentile_approx, whose edge and
+interpolation semantics differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indexlab_spark.config import HIST_BINS
+
+
+def length_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A1+A2+A3 — count/min/max/avg/p95 of text char lengths.
+
+    p95 uses Spark's exact ``percentile`` (linear interpolation:
+    a[f] + (a[c]-a[f])*(k-f), matching analytics.py:106-115 and
+    percentile_cont/quantile_cont).
+    """
+    ln = F.length(F.col(text_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.avg(ln).alias("avg_len"),
+        F.expr(f"percentile(length({text_col}), 0.95)").alias("p95_len"),
+    )
+
+
+def histogram(
+    df: DataFrame, value_col: Column | str, bins: int = HIST_BINS
+) -> DataFrame:
+    """A4 — reference-exact integer-step histogram (analytics.py:118-135).
+
+    step = max(1, ceil((max-min)/bins)); value==max goes to the last
+    bin, else bin = min(bins-1, (x-min) div step). The single-value
+    corpus degenerates to one bin (the reference's {bins:[v,v]} spike).
+    Returns (bin, lo, hi, cnt) ordered by bin; lo/hi are the reference's
+    edge values for that bin.
+
+    Scale: two passes (min/max, then a broadcast of two scalars into the
+    binning scan + groupBy on <= bins keys) — no sort, no skew risk.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = df.select(v.cast("long").alias("val"))
+    stats = vals.agg(F.min("val").alias("vmin"), F.max("val").alias("vmax"))
+    step = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("vmax") - F.col("vmin")) / F.lit(float(bins))).cast("long"),
+    )
+    binned = vals.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("vmin") == F.col("vmax"), F.lit(0))
+        .when(F.col("val") == F.col("vmax"), F.lit(bins - 1))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.expr(f"(val - vmin) div greatest(1, cast(ceil((vmax - vmin)/{bins}.0) as bigint))"),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    out = binned.groupBy("bin", "vmin", "vmax").agg(F.count(F.lit(1)).alias("cnt"))
+    step_expr = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("vmax") - F.col("vmin")) / F.lit(float(bins))).cast("long"),
+    )
+    return out.select(
+        "bin",
+        (F.col("vmin") + F.col("bin") * step_expr).alias("lo"),
+        F.when(F.col("bin") == bins - 1, F.col("vmax"))
+        .otherwise(F.col("vmin") + (F.col("bin") + 1) * step_expr)
+        .alias("hi"),
+        "cnt",
+    ).orderBy("bin")
+
+
+def index_stats(
+    chunks_df: DataFrame, manifests_df: DataFrame, index_name: str, version: str | None = None
+) -> DataFrame:
+    """A5 — count + length stats + flattened manifest fields for one
+    index version (analytics.py:140-213). Partition pruning on
+    (index_name, version) makes this a metadata-cheap scan."""
+    ch = chunks_df.filter(F.col("index_name") == index_name)
+    mf = manifests_df.filter(F.col("index_name") == index_name)
+    if version:
+        ch = ch.filter(F.col("version") == version)
+        mf = mf.filter(F.col("version") == version)
+    else:
+        latest = mf.agg(F.max("version").alias("version"))
+        mf = mf.join(F.broadcast(latest), "version")
+        ch = ch.join(F.broadcast(latest), "version")
+    stats = length_stats(ch)
+    return stats.crossJoin(
+        F.broadcast(
+            mf.select(
+                "index_name", "version", "model", "dim", "backend",
+                "normalize", "chunking", "created_at",
+            )
+        )
+    )
+
+
+def sum_source_rows(manifests_df: DataFrame) -> DataFrame:
+    """A6 — total rows across the manifest sources map
+    (pipeline.py:142-146)."""
+    return manifests_df.select(
+        "index_name",
+        "version",
+        F.aggregate(
+            F.map_values(F.col("sources")),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(s["rows"], F.lit(0)),
+        ).alias("total_rows"),
+    )
+
+
+def catalog(manifests_df: DataFrame) -> DataFrame:
+    """A7 — index catalog listing (sources.py:72-113): latest version per
+    index with count/model/backend/created_at/chunking, sorted by name."""
+    latest = manifests_df.groupBy("index_name").agg(
+        F.max_by(
+            F.struct("version", "count", "model", "backend", "created_at",
+                     "chunking", "sources"),
+            F.struct("created_at", "version"),
+        ).alias("m")
+    )
+    return latest.select(
+        "index_name",
+        F.col("m.version").alias("latest_version"),
+        F.col("m.count").alias("count"),
+        F.col("m.model").alias("model"),
+        F.col("m.backend").alias("backend"),
+        F.col("m.created_at").alias("created_at"),
+        F.col("m.chunking").alias("chunking"),
+        F.col("m.sources").isNotNull().alias("has_sources"),
+    ).orderBy("index_name")
+
+
+def list_versions(manifests_df: DataFrame, index_name: str) -> DataFrame:
+    """A9 — versions of one index, deduped, (created_at, version) desc
+    (versions.py:25-52)."""
+    return (
+        manifests_df.filter(F.col("index_name") == index_name)
+        .dropDuplicates(["version"])
+        .select("index_name", "version", "count", "backend", "created_at")
+        .orderBy(F.desc("created_at"), F.desc("version"))
+    )

@@ -1,0 +1,147 @@
+"""BM25 lexical search (SURVEY §2.6, L1-L2) as DataFrame term statistics.
+
+Reference behavior (/root/reference/app/ingest/hybrid.py:4-12): tokenize
+``text.lower().split()`` and score with the rank_bm25 ``BM25Okapi`` model
+(k1=1.5, b=0.75, epsilon=0.25). That library's published formula:
+
+    idf(t)  = ln(N - df + 0.5) - ln(df + 0.5)
+    avg_idf = mean over the vocabulary of idf (negatives included)
+    idf(t) := epsilon * avg_idf       when idf(t) < 0
+    score(d,q) = sum over query tokens (with multiplicity) of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+The reference rebuilds the whole model per request
+(answerless_search.py:242) — the anti-pattern SURVEY §4 flags. Here term
+stats are *materialized once per index version* (``bm25_build``) and
+scoring is a pure join + aggregation:
+
+- ``term_stats``: one row per (doc, term) with tf — partitioned by term
+  for the query-side join; at 100 TB this is a bucketable layout.
+- scoring shuffles only (query_terms x matching docs), never the corpus;
+  query term lists are tiny and broadcast.
+
+Everything is JVM-side SQL — no Python in the path — and deliberately
+expressible 1:1 in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from indexlab_spark.config import BM25_B, BM25_K1
+
+EPSILON = 0.25  # rank_bm25 BM25Okapi default
+
+
+def tokenize(col):
+    """``str.lower().split()`` parity: split on whitespace runs, drop
+    empties (leading/trailing whitespace would otherwise emit '')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(F.lower(c), r"\s+"), "")
+
+
+def bm25_build(docs_df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"):
+    """L1 — materialize BM25 statistics.
+
+    Returns (term_stats, doc_lens, globals_df):
+      term_stats: (doc_id, term, tf, idf_adj)
+      doc_lens:   (doc_id, dl)
+      globals_df: single row (n_docs, avgdl)
+    """
+    toks = docs_df.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # docs with no tokens still count toward N and avgdl (dl=0)
+    all_docs = docs_df.select(F.col(doc_id_col).alias("doc_id"))
+    doc_lens = all_docs.join(doc_lens, "doc_id", "left").na.fill({"dl": 0})
+    globals_df = doc_lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(globals_df)).select(
+        "term",
+        (F.log(F.col("n_docs") - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)).alias(
+            "idf_raw"
+        ),
+    )
+    avg_idf = idf.agg(F.avg("idf_raw").alias("avg_idf"))
+    idf_adj = idf.crossJoin(F.broadcast(avg_idf)).select(
+        "term",
+        F.when(F.col("idf_raw") < 0, EPSILON * F.col("avg_idf"))
+        .otherwise(F.col("idf_raw"))
+        .alias("idf_adj"),
+    )
+    term_stats = tf.join(idf_adj, "term").select("doc_id", "term", "tf", "idf_adj")
+    return term_stats, doc_lens, globals_df
+
+
+def bm25_score(
+    queries_df: DataFrame,
+    term_stats: DataFrame,
+    doc_lens: DataFrame,
+    globals_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """L2 — score and rank top-k docs per query.
+
+    Query tokens keep multiplicity (rank_bm25 sums per token occurrence).
+    Docs with zero overlap score 0 and are NOT returned — the reference
+    returns all docs sorted (hybrid.py:11), but its callers only consume
+    the top-k, and at scale materializing zero-scored docs is wrong; the
+    contract difference is observable only when a query matches fewer
+    than k docs.
+    """
+    q_terms = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokenize(query_col)).alias("term"),
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+
+    contrib = (
+        F.broadcast(q_terms)
+        .join(term_stats, "term")
+        .join(doc_lens, "doc_id")
+        .crossJoin(F.broadcast(globals_df))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("qtf")
+                * F.col("idf_adj")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("contrib"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    if round_digits is not None:
+        scores = scores.withColumn("score", F.round("score", round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_search(
+    docs_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Convenience: build + score in one plan (small corpora / tests)."""
+    term_stats, doc_lens, globals_df = bm25_build(docs_df, doc_id_col, text_col)
+    return bm25_score(queries_df, term_stats, doc_lens, globals_df, k, **kwargs)

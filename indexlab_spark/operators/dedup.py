@@ -1,0 +1,271 @@
+"""Deduplication operators — the training-data-pipeline extensions
+(SURVEY §7.1 M7; mandated beyond the reference surface).
+
+Five strategies, each returning DataFrames a 100 TB pipeline can act on:
+
+- exact:      hash-groupBy on normalized text; one shuffle on the hash,
+              no pairwise work. The only strategy that needs zero
+              candidate generation — always run it first.
+- minhash+LSH: shingle -> per-seed min-md5 signature -> band keys ->
+              bucket self-join. Pair generation cost is O(sum of
+              bucket^2), controlled by bands x rows; verification joins
+              shingles only for candidates. This is the scale path for
+              near-dup text.
+- simhash:    32-bit sign-aggregated fingerprint; hamming<=r candidate
+              pairs via byte-band self-join (4 bands of 8 bits — two
+              equal bytes guarantee hamming<=16; exact hamming filter
+              after). Cheap fingerprints, fixed-width state.
+- n-gram jaccard: exact pairwise jaccard via shingle equi-join — only
+              pairs sharing >=1 shingle materialize. Quadratic in the
+              worst case; use on candidate sets or small corpora.
+- embedding cosine: near-dup by cosine >= threshold over an embedding
+              column; brute force variant here, IVF/LSH-bucketed variant
+              via operators.knn/build_ivf for scale.
+
+All hashing is md5-based (functions/hashing.py) so every strategy is
+expressible 1:1 in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from indexlab_spark.functions.hashing import (
+    band_keys,
+    minhash_signature,
+    token_shingles,
+)
+from indexlab_spark.functions.vector import cosine
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact duplicate groups: (text_md5, cnt, keep_id, dup_ids).
+
+    ``keep_id`` is the minimum id (deterministic survivor). ``normalize``
+    lowercases and collapses whitespace first (catches trivial variants).
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(t).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), n).alias("shingles"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
+
+    Shingle equi-join: |A ∩ B| by joining exploded distinct shingles,
+    then jaccard = inter / (|A| + |B| - inter). Only pairs sharing at
+    least one shingle are ever materialized.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    shingle -> signature (num_hashes min-md5s) -> ``bands`` band keys ->
+    self-join on (band index, key) -> distinct candidate pairs -> exact
+    jaccard filter. With b bands of r rows the capture probability is
+    1-(1-j^r)^b — b=4, r=4 keeps j>=0.7 pairs with P>~0.93 while pruning
+    the low-similarity mass that makes all-pairs quadratic.
+    """
+    rows = num_hashes // bands
+    sh = with_shingles(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "id",
+        "shingles",
+        band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, rows).alias(
+            "bands"
+        ),
+    )
+    buckets = sig.select("id", F.posexplode("bands").alias("band", "key"))
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    # intersection sizes via one shingle equi-join, restricted to candidates
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["id_a", "id_b"])
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash fingerprints: (id, simhash).
+
+    bit_j(doc) = 1 iff sum over shingles of (2*bit_j(md5_long(shingle))-1)
+    >= 0. Expressed as an explode over bit positions — linear work
+    (shingles x bits), shuffle on (id, j) then (id); no pairwise stage.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    sh = with_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        "id", F.explode("shingles").alias("shingle")
+    ).select("id", md5_long(F.col("shingle")).alias("h"))
+    bits_df = hashed.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"), "h"
+    ).select(
+        "id",
+        "j",
+        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1).alias("v"),
+    )
+    sums = bits_df.groupBy("id", "j").agg(F.sum("v").alias("s"))
+    return sums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), j)"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    simhash_df: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: split the fingerprint into 4 byte-bands; by
+    pigeonhole, hamming <= 3 pairs share at least one band. Exact
+    hamming (bit_count of xor) filters candidates.
+    """
+    nbands = 4
+    width = bits // nbands
+    mask = (1 << width) - 1
+    banded = simhash_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, a < b).
+
+    Scale path: assign cluster_id with operators.knn.build_ivf and join
+    within clusters (plus neighbor cells) instead of the full self-join.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,144 @@
+"""Evaluation metrics (SURVEY §2.8, V1-V8) as one windowed aggregation.
+
+Reference (/root/reference/app/api/eval_api.py:220-271) loops per gold
+row: one embed + one FAISS call each. Here the whole gold set is a
+DataFrame, retrieval is a single batch kNN join, and the three metrics
+come out of one aggregation — the per-question loop disappears
+(SURVEY §3.3 Spark shape).
+
+Metric semantics (binary relevance, one expected id per question):
+  found     = expected_id in top-k ids                     (V2)
+  rank      = 1-based position of expected_id, else null   (V2)
+  recall@k  = mean(found)                                  (V3)
+  MRR       = mean(1/rank, miss -> 0)                      (V4)
+  NDCG      = mean(1/log2(rank+1), miss -> 0)              (V5)
+
+V5 equals sklearn.metrics.ndcg_score for binary single-relevant truth
+with distinct scores: DCG = 1/log2(pos+1) at the score-ordered position,
+IDCG = 1. sklearn averages gains across tied scores; with the
+deterministic embedder scores are distinct, and golden tests freeze the
+values (SURVEY §7.3 tie policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def eval_results(
+    gold_df: DataFrame,
+    hits_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    expected_col: str = "expected_id",
+) -> DataFrame:
+    """V1/V2/V6 — per-question found/rank/top-ids.
+
+    gold_df: (query_id, expected_id [, question...])
+    hits_df: (query_id, doc_id, rank) — ranked retrieval, e.g. knn top
+             max(k,10) (V1 cushion, eval_api.py:226), trimmed to k here.
+    Returns one row per gold row: (query_id, expected_id, found, rank,
+    top_ids).
+    """
+    top = hits_df.filter(F.col("rank") <= k)
+    agg = top.groupBy(query_id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rank"), F.col(doc_id_col).alias("id")))
+        ).alias("_hits")
+    )
+    with_ids = agg.select(
+        query_id_col,
+        F.transform(F.col("_hits"), lambda h: h["id"].cast("string")).alias("top_ids"),
+    )
+    joined = gold_df.join(with_ids, query_id_col, "left")
+    pos = F.array_position(
+        F.col("top_ids"), F.col(expected_col).cast("string")
+    )  # 0 = miss
+    return joined.select(
+        query_id_col,
+        F.col(expected_col).cast("string").alias(expected_col),
+        (pos > 0).alias("found"),
+        F.when(pos > 0, pos.cast("int")).alias("rank"),
+        "top_ids",
+    )
+
+
+def eval_metrics(results_df: DataFrame) -> DataFrame:
+    """V3-V5 — one aggregation over eval_results output."""
+    return results_df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.avg(F.col("found").cast("double")).alias("recall_at_k"),
+        F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))).alias("mrr"),
+        F.avg(
+            F.coalesce(1.0 / F.log2(F.col("rank") + 1.0), F.lit(0.0))
+        ).alias("ndcg"),
+    )
+
+
+def eval_compare(
+    left_results: DataFrame,
+    right_results: DataFrame,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """V7 — pair per-question results and compute rank deltas.
+
+    Reference zips by row order trimming to the shorter side
+    (eval_api.py:331-335); with a shared query_id key the join is exact.
+    Sentinels: -999 = recovered (miss -> hit), 999 = regression
+    (hit -> miss), null when both miss (delta None in the reference).
+    """
+    l = left_results.select(
+        query_id_col,
+        F.col("found").alias("l_found"),
+        F.col("rank").alias("l_rank"),
+    )
+    r = right_results.select(
+        query_id_col,
+        F.col("found").alias("r_found"),
+        F.col("rank").alias("r_rank"),
+    )
+    joined = l.join(r, query_id_col, "inner")
+    delta = (
+        F.when(~F.col("l_found") & F.col("r_found"), F.lit(-999))
+        .when(F.col("l_found") & ~F.col("r_found"), F.lit(999))
+        .when(F.col("l_found") & F.col("r_found"), F.col("r_rank") - F.col("l_rank"))
+    )
+    return joined.select(
+        query_id_col, "l_found", "l_rank", "r_found", "r_rank",
+        delta.cast("int").alias("delta"),
+    )
+
+
+def compare_summary(compare_df: DataFrame) -> DataFrame:
+    """V8 — regression/improvement/changed counts
+    (eval_api.py:365-374): regressions = delta > 0, improvements =
+    delta < 0 (sentinels included: -999 improves, 999 regresses),
+    changed = delta not in (0, null)."""
+    return compare_df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("delta") > 0).cast("int")).alias("regressions"),
+        F.sum((F.col("delta") < 0).cast("int")).alias("improvements"),
+        F.sum(
+            (F.col("delta").isNotNull() & (F.col("delta") != 0)).cast("int")
+        ).alias("changed"),
+    )
+
+
+def overlap_compare(
+    left_hits: DataFrame,
+    right_hits: DataFrame,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """V9 — per-query overlap of two top-k id sets
+    (answerless_search.py:275-315): inner join on doc id."""
+    l = left_hits.select(query_id_col, doc_id_col)
+    r = right_hits.select(query_id_col, doc_id_col)
+    inter = l.join(r, [query_id_col, doc_id_col]).groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    base = l.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("left_k"))
+    return base.join(inter, query_id_col, "left").na.fill({"overlap": 0})

@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data pipelines (SURVEY §7.1 M7).
+
+Language-ID, quality scoring, token counting and document fingerprinting
+over a documents table — all pure Catalyst expressions (no Python UDFs in
+any per-row path), all expressible 1:1 in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indexlab_spark.functions.hashing import md5_long, token_shingles
+
+# Tiny high-frequency stopword sets per language — enough signal for a
+# heuristic n-gram/stopword language id. Deliberately small so the same
+# lists inline into the DuckDB oracle SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "en", "que", "une", "dans"],
+}
+
+_BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(F.lower(c), r"\s+"), "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: letter runs, digit runs, and individual
+    punctuation marks counted separately (a BPE-flavored upper bound)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH_TOKEN), 0))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens (with multiplicity) that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(col), lambda t: t.isin(*[F.lit(w) for w in words]))
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language id: argmax of stopword hits; 'und' when no
+    stopword of any language appears. Ties break by language code order
+    (deterministic)."""
+    scores = lang_scores(col)
+    g = F.greatest(*[scores[lang] for lang in sorted(STOPWORDS)])
+    expr = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((g > 0) & (scores[lang] == g), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1].
+
+    Features mirror what large-corpus quality filters use: length,
+    mean word length, punctuation density, stopword ratio, digit ratio,
+    uppercase ratio.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+    n_upper = F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), 0))
+    sw = stopword_hits(text_col, "en")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    mean_word_len = F.round(n_chars / safe_tokens, 6)
+    punct_ratio = F.round(n_punct / safe_chars, 6)
+    digit_ratio = F.round(n_digits / safe_chars, 6)
+    upper_ratio = F.round(n_upper / safe_chars, 6)
+    stop_ratio = F.round(sw / safe_tokens, 6)
+    # composite: reward stopword presence & sane word lengths, punish
+    # punctuation/digit soup — a simple monotone formula, documented so
+    # the oracle reproduces it exactly
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.3)
+                + F.lit(0.4) * F.least(F.lit(1.0), stop_ratio * 5)
+                - F.lit(0.3) * F.least(F.lit(1.0), punct_ratio * 10)
+                - F.lit(0.2) * F.least(F.lit(1.0), digit_ratio * 10)
+                + F.lit(0.3)
+                * F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.0),
+            ),
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Document fingerprint: minimum md5_long over word n-gram shingles
+    (a 1-hash MinHash — winnowing-lite). Equal fingerprints are strong
+    near-dup candidates; used as a cheap pre-cluster key at scale."""
+    sh = token_shingles(F.col(text_col), n)
+    fp = F.array_min(F.transform(sh, lambda s: md5_long(s)))
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

@@ -1,0 +1,93 @@
+"""L1/L2 BM25 vs an independent pure-Python implementation of the
+published BM25Okapi formula (rank_bm25 semantics: k1=1.5 b=0.75,
+epsilon=0.25 negative-idf correction; see operators/bm25.py docstring)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from indexlab_spark.operators.bm25 import bm25_search
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown cat sleeps"),
+    (2, "spark shuffles data across the cluster"),
+    (3, "bm25 ranks documents by term frequency"),
+    (4, "the the the the common words everywhere"),
+    (5, "fox fox fox den"),
+]
+
+QUERIES = [(0, "quick fox"), (1, "the cluster"), (2, "missing vocabulary entry"), (3, "fox fox")]
+
+
+def python_bm25(corpus, query, k1=1.5, b=0.75, epsilon=0.25):
+    """Independent oracle from the published formula."""
+    tokenized = [t.lower().split() for t in corpus]
+    n = len(tokenized)
+    doc_lens = [len(t) for t in tokenized]
+    avgdl = sum(doc_lens) / n
+    tf = [dict() for _ in tokenized]
+    df = {}
+    for i, toks in enumerate(tokenized):
+        for t in toks:
+            tf[i][t] = tf[i].get(t, 0) + 1
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log(n - d + 0.5) - math.log(d + 0.5) for t, d in df.items()}
+    avg_idf = sum(idf.values()) / len(idf)
+    idf = {t: (epsilon * avg_idf if v < 0 else v) for t, v in idf.items()}
+    scores = []
+    for i in range(n):
+        s = 0.0
+        for q in query.lower().split():
+            if q not in idf or q not in tf[i]:
+                continue
+            f = tf[i][q]
+            s += idf[q] * f * (k1 + 1) / (f + k1 * (1 - b + b * doc_lens[i] / avgdl))
+        scores.append(s)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def spark_hits(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, query string")
+    out = bm25_search(docs, queries, k=10, round_digits=None)
+    hits = {}
+    for r in out.collect():
+        hits.setdefault(r["query_id"], {})[r["doc_id"]] = (r["score"], r["rank"])
+    return hits
+
+
+def test_scores_match_python_oracle(spark_hits):
+    corpus = [t for _, t in DOCS]
+    for qid, qtext in QUERIES:
+        expect = python_bm25(corpus, qtext)
+        got = spark_hits.get(qid, {})
+        for doc_id, s in enumerate(expect):
+            if s > 0:
+                assert doc_id in got, f"q{qid} missing doc {doc_id}"
+                assert abs(got[doc_id][0] - s) < 1e-9, f"q{qid} doc {doc_id}"
+            else:
+                assert doc_id not in got, f"q{qid} zero-score doc {doc_id} returned"
+
+
+def test_ranks_descend_with_id_tiebreak(spark_hits):
+    for qid, hits in spark_hits.items():
+        ranked = sorted(hits.items(), key=lambda kv: kv[1][1])
+        for (d1, (s1, _)), (d2, (s2, _)) in zip(ranked, ranked[1:]):
+            assert s1 > s2 or (s1 == s2 and d1 < d2)
+
+
+def test_no_vocab_overlap_returns_nothing(spark_hits):
+    assert spark_hits.get(2, {}) == {}
+
+
+def test_query_term_multiplicity(spark_hits):
+    # "fox fox" counts the fox contribution twice (rank_bm25 sums per
+    # occurrence) -> exactly 2x the single-term score
+    corpus = [t for _, t in DOCS]
+    single = python_bm25(corpus, "fox")
+    for doc_id, (score, _) in spark_hits.get(3, {}).items():
+        assert abs(score - 2 * single[doc_id]) < 1e-9

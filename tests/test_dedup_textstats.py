@@ -1,0 +1,124 @@
+"""M7 dedup + text analysis operators on small fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from indexlab_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from indexlab_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick  brown fox jumps over the lazy dog near the river bank"),  # ws/case dup of 0
+    (2, "The quick brown fox jumps over the lazy dog near the river edge"),   # near-dup of 0
+    (3, "Spark shuffles partitioned data across the cluster during joins"),
+    (4, "completely different content about databases and storage engines"),
+    (5, "The quick brown fox jumps over the lazy dog near the river bank"),   # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r for r in exact_dedup(docs).collect()}
+    assert groups[0]["cnt"] == 3  # 0, 1 (normalized), 5
+    assert groups[0]["ids"] == [0, 1, 5]
+    assert sum(r["cnt"] for r in groups.values()) == 6
+
+
+def test_exact_dedup_no_normalize(docs):
+    groups = exact_dedup(docs, normalize=False).collect()
+    by_keep = {r["keep_id"]: r["cnt"] for r in groups}
+    assert by_keep[0] == 2  # only 0 and 5 byte-identical
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical after lowering (shingles on lowered tokens)
+    assert pairs[(0, 5)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # high-jaccard pairs must survive LSH banding
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (0, 2) in pairs  # near-dup with jaccard ~0.73
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    sh = simhash(docs)
+    vals = {r["id"]: r["simhash"] for r in sh.collect()}
+    assert vals[0] == vals[1] == vals[5]  # same shingle set -> same fingerprint
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(sh, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # near-dup within hamming 6 of 32 bits
+    assert (0, 4) not in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             embedding_dup_pairs(df, threshold=0.95).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.99
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog went to the house in the rain"),
+        (1, "el perro y el gato en la casa de los vecinos"),
+        (2, "der Hund und die Katze sind mit den Kindern"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_quality_features(docs):
+    q = {r["id"]: r for r in quality_features(docs).collect()}
+    assert q[0]["n_tokens"] == 13
+    assert q[0]["stop_ratio"] > 0.2  # 'the' x3, 'over', 'near'...
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+    # prose with stopwords should outscore keyword soup
+    assert q[0]["quality_score"] > q[4]["quality_score"] - 1e-9
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(0, "  a  b   c "), (1, "")], "id long, text string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", token_count("text").alias("n")).collect()}
+    assert got == {0: 3, 1: 0}
+
+
+def test_fingerprint_equal_for_dups(docs):
+    fp = {r["id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[5]
+    assert fp[0] != fp[3]
