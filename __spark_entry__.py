@@ -302,6 +302,198 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- M7 dedup/text
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 3rd doc (id+100000) — a corpus with
+    known exact duplicates for the dedup queries."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/exact — hash-groupBy duplicate groups (one shuffle on the
+    text hash; no pairwise work)."""
+    from indexlab_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(_docs_with_planted_dups(spark, sf_dir))
+    return groups.select(
+        "text_md5",
+        "cnt",
+        "keep_id",
+        F.array_join("ids", ",").alias("ids_csv"),
+    )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/n-gram-jaccard — exact token-3-gram Jaccard pairs >= 0.3
+    via shingle equi-join (the driver plants ~25 near-dup pairs/500 docs)."""
+    from indexlab_spark.operators.dedup import jaccard_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return jaccard_pairs(docs, threshold=0.3)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/minhash-lsh — 16-hash MinHash signatures (portable
+    min-md5), 8 bands x 2 rows, candidates verified with exact Jaccard
+    >= 0.5. Banding keeps pair generation sub-quadratic at scale."""
+    from indexlab_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.5
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/simhash — 32-bit sign-aggregated fingerprints."""
+    from indexlab_spark.operators.dedup import simhash
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return simhash(docs)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/simhash pairs — hamming <= 6 via byte-band candidate join."""
+    from indexlab_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = simhash_pairs(simhash(docs), max_hamming=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/embedding-cosine — pairs with cosine >= 0.4 (brute force;
+    IVF-bucketed variant is the 100TB path, see operators/dedup.py)."""
+    from indexlab_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return embedding_dup_pairs(emb, threshold=0.4)
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 text-analysis — language id (stopword argmax) + quality
+    features/score per document, all Catalyst expressions."""
+    from indexlab_spark.operators.textstats import lang_id, quality_features
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = quality_features(docs)
+    langs = docs.select(
+        F.col("doc_id").alias("id"), lang_id("text").alias("lang_pred")
+    )
+    return q.join(langs, "id").select(
+        "id", "lang_pred", "n_chars", "n_tokens", "mean_word_len",
+        "punct_ratio", "digit_ratio", "upper_ratio", "stop_ratio",
+        "quality_score",
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 text-analysis — min-hash document fingerprint over 5-gram
+    shingles (cheap near-dup pre-cluster key)."""
+    from indexlab_spark.operators.textstats import fingerprint
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return fingerprint(docs, n=5)
+
+
+# ------------------------------------------------------------ events/TPC-H
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg surface — daily per-type event rollup (the shape a
+    streaming sink compacts into; see streaming/ for the live variant)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface — gap-based sessionization (30 min), exact
+    integer microsecond comparisons for cross-engine determinism."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    sess = with_gap.withColumn(
+        "new_session",
+        (F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1_000_000)).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000")
+        .alias("duration_sec"),
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg surface (TPC-H Q1 shape) — decimal-exact sums cast to
+    double at the end so both engines emit identical values."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).cast("double"), 2)
+            .alias("sum_disc_price"),
+            F.round((F.sum(qty).cast("double") / F.count(F.lit(1))), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + global top-k (TPC-H Q3 shape). customer is the small
+    side — Catalyst broadcasts it; top-k compiles to
+    TakeOrderedAndProject (no full sort)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey", F.to_date("o_orderdate").cast("string").alias("o_orderdate")
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -313,6 +505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "eval_results": _q_eval_results,
         "eval_metrics": _q_eval_metrics,
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dups": _q_embedding_dups,
+        "lang_quality": _q_lang_quality,
+        "fingerprint": _q_fingerprint,
+        "events_daily": _q_events_daily,
+        "events_sessions": _q_events_sessions,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue": _q_top_revenue,
     }
 
 
@@ -333,7 +537,7 @@ _BM25_CTES = """
                         CASE WHEN idf_raw < 0 THEN 0.25 * avg_idf
                              ELSE idf_raw END AS idf_adj
                  FROM idf, aidf),
-        qt AS (SELECT query_id, term, count(*) AS qtf
+        qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term, count(*) AS qtf
                FROM (SELECT query_id,
                             unnest(list_filter(
                                 regexp_split_to_array(lower(query), '\\s+'),
@@ -390,6 +594,34 @@ _EVAL_CTES = """
 """
 
 
+_SHINGLE_CTES = """
+        toks AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> '') AS t
+                 FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN
+                          list_distinct(list_transform(
+                              generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      ELSE CAST([] AS VARCHAR[]) END AS shingles
+               FROM toks),
+        ex AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh),
+        szs AS (SELECT doc_id AS id, len(shingles) AS sz FROM sh),
+        pair_inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                       FROM ex a JOIN ex b
+                         ON a.shingle = b.shingle AND a.id < b.id
+                       GROUP BY 1, 2)
+"""
+
+_QUALITY_SW = {
+    "en": "['the','and','of','to','in','is','that','with','for','it']",
+    "es": "['el','la','de','que','y','en','los','del','se','las']",
+    "de": "['der','die','und','das','ist','von','mit','den','nicht','ein']",
+    "fr": "['le','la','et','les','des','est','en','que','une','dans']",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     bm25_ctes = _BM25_CTES.format(queries_values=_bm25_values_sql())
     chunk_cte = f"""
@@ -407,14 +639,14 @@ def oracle_sql() -> dict[str, str]:
         "chunk_stats": f"""
             SELECT count(*) AS count,
                    round(avg(length(text)), 6) AS avg_len,
-                   min(length(text)) AS min_len,
-                   max(length(text)) AS max_len
+                   CAST(min(length(text)) AS INTEGER) AS min_len,
+                   CAST(max(length(text)) AS INTEGER) AS max_len
             FROM ({chunk_cte})
         """,
         "doc_len_stats": """
             SELECT count(*) AS count,
-                   min(length(text)) AS min_len,
-                   max(length(text)) AS max_len,
+                   CAST(min(length(text)) AS INTEGER) AS min_len,
+                   CAST(max(length(text)) AS INTEGER) AS max_len,
                    round(avg(length(text)), 6) AS avg_len,
                    round(quantile_cont(length(text), 0.95), 6) AS p95_len
             FROM documents
@@ -485,5 +717,217 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(coalesce(1.0 / rank, 0.0)), 6) AS mrr,
                    round(avg(coalesce(1.0 / log2(rank + 1.0), 0.0)), 6) AS ndcg
             FROM eval_rows
+        """,
+        "exact_dedup": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0)
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_md5,
+                   count(*) AS cnt,
+                   min(doc_id) AS keep_id,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv
+            FROM corpus GROUP BY 1
+        """,
+        "jaccard_pairs": f"""
+            WITH {_SHINGLE_CTES}
+            SELECT i.id_a, i.id_b, i.inter,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM pair_inter i
+            JOIN szs sa ON sa.id = i.id_a
+            JOIN szs sb ON sb.id = i.id_b
+            WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3
+        """,
+        "minhash_lsh": f"""
+            WITH {_SHINGLE_CTES},
+            sigs AS (SELECT doc_id AS id, shingles FROM sh WHERE len(shingles) > 0),
+            bands AS (
+                SELECT id, band_no,
+                       md5(list_min(list_transform(shingles,
+                               s -> md5(CAST(2 * band_no AS VARCHAR) || '|' || s)))
+                           || '|' ||
+                           list_min(list_transform(shingles,
+                               s -> md5(CAST(2 * band_no + 1 AS VARCHAR) || '|' || s))))
+                       AS key
+                FROM sigs, unnest(generate_series(0, 7)) AS tt(band_no)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band_no = b.band_no AND a.key = b.key AND a.id < b.id),
+            verified AS (
+                SELECT c.id_a, c.id_b,
+                       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+                FROM cand c
+                JOIN pair_inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+                JOIN szs sa ON sa.id = c.id_a
+                JOIN szs sb ON sb.id = c.id_b)
+            SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+        """,
+        "simhash": f"""
+            WITH {_SHINGLE_CTES},
+            h AS (SELECT id,
+                         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+                  FROM ex),
+            bits AS (SELECT id, j,
+                            sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM h, unnest(generate_series(0, 31)) AS tt(j)
+                     GROUP BY 1, 2)
+            SELECT id, CAST(sum(CASE WHEN s >= 0
+                                     THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                     ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1
+        """,
+        "simhash_pairs": f"""
+            WITH {_SHINGLE_CTES},
+            h AS (SELECT id,
+                         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+                  FROM ex),
+            bits AS (SELECT id, j,
+                            sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM h, unnest(generate_series(0, 31)) AS tt(j)
+                     GROUP BY 1, 2),
+            sim AS (SELECT id, CAST(sum(CASE WHEN s >= 0
+                                        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                        ELSE 0 END) AS BIGINT) AS simhash
+                    FROM bits GROUP BY 1),
+            banded AS (SELECT id, simhash, band_no,
+                              (simhash >> CAST(band_no * 8 AS INTEGER)) & 255 AS key
+                       FROM sim, unnest(generate_series(0, 3)) AS tt(band_no)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.simhash AS sh_a, b.simhash AS sh_b
+                     FROM banded a JOIN banded b
+                       ON a.band_no = b.band_no AND a.key = b.key AND a.id < b.id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        """,
+        "embedding_dups": """
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id)
+            WHERE cos >= 0.4
+        """,
+        "lang_quality": f"""
+            WITH f AS (
+                SELECT doc_id AS id, text,
+                       CAST(length(text) AS INTEGER) AS n_chars,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                       len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+                FROM documents),
+            g AS (
+                SELECT id, n_chars, len(toks) AS n_tokens, n_punct, n_digits, n_upper,
+                       len(list_filter(toks, t -> list_contains({_QUALITY_SW['en']}, t))) AS sw_en,
+                       len(list_filter(toks, t -> list_contains({_QUALITY_SW['es']}, t))) AS sw_es,
+                       len(list_filter(toks, t -> list_contains({_QUALITY_SW['de']}, t))) AS sw_de,
+                       len(list_filter(toks, t -> list_contains({_QUALITY_SW['fr']}, t))) AS sw_fr,
+                       greatest(len(toks), 1) AS st,
+                       greatest(n_chars, 1) AS sc
+                FROM f),
+            r AS (
+                SELECT id,
+                       CASE WHEN greatest(sw_de, sw_en, sw_es, sw_fr) > 0 THEN
+                            CASE WHEN sw_de = greatest(sw_de, sw_en, sw_es, sw_fr) THEN 'de'
+                                 WHEN sw_en = greatest(sw_de, sw_en, sw_es, sw_fr) THEN 'en'
+                                 WHEN sw_es = greatest(sw_de, sw_en, sw_es, sw_fr) THEN 'es'
+                                 ELSE 'fr' END
+                       ELSE 'und' END AS lang_pred,
+                       n_chars,
+                       CAST(n_tokens AS INTEGER) AS n_tokens,
+                       round(n_chars / st, 6) AS mean_word_len,
+                       round(n_punct / sc, 6) AS punct_ratio,
+                       round(n_digits / sc, 6) AS digit_ratio,
+                       round(n_upper / sc, 6) AS upper_ratio,
+                       round(sw_en / st, 6) AS stop_ratio
+                FROM g)
+            SELECT id, lang_pred, n_chars, n_tokens, mean_word_len, punct_ratio,
+                   digit_ratio, upper_ratio, stop_ratio,
+                   round(least(1.0, greatest(0.0,
+                       0.3 + 0.4 * least(1.0, stop_ratio * 5)
+                           - 0.3 * least(1.0, punct_ratio * 10)
+                           - 0.2 * least(1.0, digit_ratio * 10)
+                           + 0.3 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                                         THEN 1.0 ELSE 0.0 END))), 6) AS quality_score
+            FROM r
+        """,
+        "fingerprint": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS t
+                          FROM documents),
+            sh5 AS (SELECT doc_id,
+                           CASE WHEN len(t) >= 5 THEN
+                               list_distinct(list_transform(
+                                   generate_series(1, len(t) - 4),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                        || ' ' || t[i+3] || ' ' || t[i+4]))
+                           ELSE CAST([] AS VARCHAR[]) END AS shingles
+                    FROM toks)
+            SELECT doc_id AS id,
+                   list_min(list_transform(shingles,
+                       s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)))
+                   AS fingerprint
+            FROM sh5
+        """,
+        "events_daily": """
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+                FROM events),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM g),
+            numbered AS (
+                SELECT user_id, event_id, ts,
+                       CAST(sum(new_session) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+                FROM s)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_sec
+            FROM numbered GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+                       AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "top_revenue": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
         """,
     }

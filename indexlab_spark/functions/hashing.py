@@ -45,9 +45,13 @@ def token_shingles(text_col: Column | str, n: int = 3) -> Column:
     spelled out in the oracle with list_transform/generate_series.
     """
     toks = F.array_remove(F.split(F.lower(_c(text_col)), r"\s+"), "")
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1)))
+    # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty —
+    # short texts must return an empty shingle set explicitly
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(grams)
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(shingles_col: Column | str, num_hashes: int) -> Column:

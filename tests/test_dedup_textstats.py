@@ -122,3 +122,16 @@ def test_fingerprint_equal_for_dups(docs):
     fp = {r["id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
     assert fp[0] == fp[1] == fp[5]
     assert fp[0] != fp[3]
+
+
+def test_short_text_shingles_empty(spark):
+    # regression: sequence(1,0) is descending in Spark; short docs must
+    # yield an empty shingle set, not garbage slices
+    from indexlab_spark.functions.hashing import token_shingles
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "one"), (2, ""), (3, "a b c")], "id long, text string"
+    )
+    got = {r["id"]: r["sh"] for r in
+           df.select("id", token_shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert got[3] == ["a b c"]
