@@ -1,0 +1,275 @@
+"""BENCH harness (BASELINE.md §3) — measures the Spark engine against the
+single-node pandas/numpy oracle baselines B1-B6 at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1), on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total spark sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "baseline": {<name>: sec for the pandas/numpy oracle},
+   "rows_per_sec": {<name>: engine throughput}}
+
+Baselines are measured here, on this host, at bench time — not hardcoded
+(BASELINE.md: values must transfer across machines).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+CHUNK_SIZE, CHUNK_OVERLAP = 100, 20
+DIM = 64
+K = 5
+N_QUERIES = 1000
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+# --------------------------------------------------------------- baselines
+def baseline_b1_ingest(pdf: pd.DataFrame) -> int:
+    """pandas loop: normalize -> chunk_fixed -> det-embed (BASELINE B1)."""
+    from indexlab_spark.functions.embed import embed_texts
+    from indexlab_spark.operators.chunk import chunk_fixed
+
+    pdf = pdf.dropna(how="all")
+    chunks = []
+    for _, row in pdf.iterrows():
+        text = str(row["text"])
+        if text.strip():
+            chunks.extend(chunk_fixed(text, CHUNK_SIZE, CHUNK_OVERLAP))
+    embed_texts(chunks, f"hash-ngram-{DIM}", True)
+    return len(chunks)
+
+
+def baseline_b2_knn(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    scores = q @ mat.T
+    kk = min(K, scores.shape[1])
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    # full ordering of the top slice
+    rows = np.arange(scores.shape[0])[:, None]
+    order = np.argsort(-scores[rows, part], axis=1)
+    return part[rows, order]
+
+
+def baseline_b3_eval(mat: np.ndarray, q: np.ndarray, expected: np.ndarray) -> dict:
+    top = baseline_b2_knn(mat, q)
+    recall = rr = ndcg = 0.0
+    for i in range(len(q)):
+        ids = top[i]
+        hit = np.where(ids == expected[i])[0]
+        if len(hit):
+            r = int(hit[0]) + 1
+            recall += 1
+            rr += 1.0 / r
+            ndcg += 1.0 / math.log2(r + 1)
+    n = len(q)
+    return {"recall": recall / n, "mrr": rr / n, "ndcg": ndcg / n}
+
+
+def baseline_b4_bm25(texts: list[str], queries: list[str]) -> None:
+    """Pure-python BM25Okapi semantics (no rank_bm25 in env; same math)."""
+    tokenized = [t.lower().split() for t in texts]
+    n = len(tokenized)
+    doc_lens = [len(t) for t in tokenized]
+    avgdl = sum(doc_lens) / n
+    tf: list[dict] = [{} for _ in tokenized]
+    dfreq: dict = {}
+    for i, toks in enumerate(tokenized):
+        for t in toks:
+            tf[i][t] = tf[i].get(t, 0) + 1
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    idf = {t: math.log(n - d + 0.5) - math.log(d + 0.5) for t, d in dfreq.items()}
+    avg_idf = sum(idf.values()) / len(idf)
+    idf = {t: (0.25 * avg_idf if v < 0 else v) for t, v in idf.items()}
+    k1, b = 1.5, 0.75
+    for qtext in queries:
+        scores = np.zeros(n)
+        for qt in qtext.lower().split():
+            if qt not in idf:
+                continue
+            w = idf[qt]
+            for i in range(n):
+                f = tf[i].get(qt)
+                if f:
+                    scores[i] += w * f * (k1 + 1) / (
+                        f + k1 * (1 - b + b * doc_lens[i] / avgdl)
+                    )
+        np.argpartition(-scores, min(50, n - 1))[:50]
+
+
+def baseline_b5_analytics(lens: list[int]) -> None:
+    """Reference-exact stats + histogram port (analytics.py:106-135)."""
+    a = sorted(lens)
+    n = len(a)
+    _ = (min(a), max(a), sum(a) / n)
+    kk = (n - 1) * 0.95
+    f, c = math.floor(kk), math.ceil(kk)
+    _ = float(a[int(kk)]) if f == c else a[f] + (a[c] - a[f]) * (kk - f)
+    vmin, vmax = a[0], a[-1]
+    if vmin != vmax:
+        step = max(1, math.ceil((vmax - vmin) / 20))
+        counts = [0] * 20
+        for x in a:
+            idx = 19 if x == vmax else min(19, (x - vmin) // step)
+            counts[idx] += 1
+
+
+# ------------------------------------------------------------------- spark
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.functions.embed import with_embedding
+    from indexlab_spark.operators.chunk import explode_chunks
+    from indexlab_spark.operators.knn import build_ivf, knn_matmul
+    from indexlab_spark.operators.bm25 import bm25_build, bm25_score
+    from indexlab_spark.operators.analytics import histogram, length_stats
+    from indexlab_spark.operators.evaluate import eval_metrics, eval_results
+    from indexlab_spark.session import get_spark, load_tables
+
+    spark = get_spark("bench")
+    t = load_tables(spark, SF_DIR, ("documents", "embeddings", "lineitem", "events"))
+    docs = t["documents"]
+    emb = t["embeddings"]
+
+    docs_pdf = docs.select("doc_id", "text").toPandas()
+    emb_pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.array(emb_pdf["embedding"].tolist(), dtype=np.float64)
+    n_vec = len(mat)
+    q_mat = mat[: min(N_QUERIES, n_vec)]
+    expected = (np.arange(len(q_mat)) * 7 + 3) % n_vec
+
+    queries_sec: dict[str, float] = {}
+    baseline_sec: dict[str, float] = {}
+    rows_per_sec: dict[str, float] = {}
+
+    # B1 ingest+chunk+embed ------------------------------------------------
+    def spark_b1():
+        chunks = explode_chunks(
+            docs.select(F.col("doc_id").alias("doc_no"), "text"),
+            size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+        )
+        return with_embedding(chunks).select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.element_at("embedding", 1)).alias("checksum"),
+        ).collect()[0]["n"]
+
+    queries_sec["b1_ingest_chunk_embed"], n_chunks = timed(spark_b1)
+    baseline_sec["b1_ingest_chunk_embed"], _ = timed(
+        lambda: baseline_b1_ingest(docs_pdf)
+    )
+    rows_per_sec["b1_ingest_chunk_embed"] = round(
+        len(docs_pdf) / queries_sec["b1_ingest_chunk_embed"], 1
+    )
+
+    # B2 flat kNN batch ----------------------------------------------------
+    q_df = emb.filter(F.col("vec_id") < len(q_mat)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    def spark_b2():
+        return knn_matmul(spark, q_df, corpus, K).count()
+
+    queries_sec["b2_knn_batch"], _ = timed(spark_b2)
+    baseline_sec["b2_knn_batch"], _ = timed(lambda: baseline_b2_knn(mat, q_mat))
+    rows_per_sec["b2_knn_batch"] = round(len(q_mat) / queries_sec["b2_knn_batch"], 1)
+
+    # B3 eval pipeline -----------------------------------------------------
+    def spark_b3():
+        hits = knn_matmul(spark, q_df, corpus, max(K, 10))
+        gold = spark.range(len(q_mat)).select(
+            F.col("id").alias("query_id"),
+            ((F.col("id") * 7 + 3) % n_vec).cast("string").alias("expected_id"),
+        )
+        res = eval_results(gold, hits, K)
+        return eval_metrics(res).collect()[0]
+
+    queries_sec["b3_eval"], _ = timed(spark_b3)
+    baseline_sec["b3_eval"], _ = timed(
+        lambda: baseline_b3_eval(mat, q_mat, expected)
+    )
+    rows_per_sec["b3_eval"] = round(len(q_mat) / queries_sec["b3_eval"], 1)
+
+    # B4 BM25 build + query ------------------------------------------------
+    bm_queries = [
+        (i, " ".join(str(docs_pdf["text"].iloc[i % len(docs_pdf)]).split()[:4]))
+        for i in range(100)
+    ]
+    bmq_df = spark.createDataFrame(bm_queries, "query_id long, query string")
+
+    def spark_b4():
+        ts_, dl_, g_ = bm25_build(docs)
+        return bm25_score(bmq_df, ts_, dl_, g_, k=50).count()
+
+    queries_sec["b4_bm25"], _ = timed(spark_b4)
+    baseline_sec["b4_bm25"], _ = timed(
+        lambda: baseline_b4_bm25(
+            docs_pdf["text"].astype(str).tolist(), [q for _, q in bm_queries]
+        )
+    )
+    rows_per_sec["b4_bm25"] = round(len(docs_pdf) / queries_sec["b4_bm25"], 1)
+
+    # B5 analytics ---------------------------------------------------------
+    def spark_b5():
+        length_stats(docs).collect()
+        histogram(docs, F.length("text")).collect()
+
+    queries_sec["b5_analytics"], _ = timed(spark_b5)
+    baseline_sec["b5_analytics"], _ = timed(
+        lambda: baseline_b5_analytics(docs_pdf["text"].astype(str).str.len().tolist())
+    )
+    rows_per_sec["b5_analytics"] = round(len(docs_pdf) / queries_sec["b5_analytics"], 1)
+
+    # B6 IVF build ---------------------------------------------------------
+    def spark_b6():
+        assigned, _ = build_ivf(corpus, nlist=min(256, n_vec // 8), seed=42)
+        return assigned.count()
+
+    queries_sec["b6_ivf_build"], _ = timed(spark_b6)
+    rows_per_sec["b6_ivf_build"] = round(n_vec / queries_sec["b6_ivf_build"], 1)
+
+    # headline relational/dedup queries at bench SF ------------------------
+    import __spark_entry__ as entry_mod
+
+    for name in ("pricing_summary", "top_revenue", "events_sessions",
+                 "minhash_lsh", "lang_quality"):
+        fn = entry_mod.queries()[name]
+        queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(queries_sec.values()), 3)
+    queries_sec = {k: round(v, 3) for k, v in queries_sec.items()}
+    baseline_sec = {k: round(v, 3) for k, v in baseline_sec.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": queries_sec,
+                "sf": SF,
+                "baseline": baseline_sec,
+                "rows_per_sec": rows_per_sec,
+                "n_chunks": n_chunks,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,26 +42,41 @@ def tokenize(col):
     return F.array_remove(F.split(F.lower(c), r"\s+"), "")
 
 
-def bm25_build(docs_df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"):
+def bm25_build(
+    docs_df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+):
     """L1 — materialize BM25 statistics.
 
     Returns (term_stats, doc_lens, globals_df):
       term_stats: (doc_id, term, tf, idf_adj)
       doc_lens:   (doc_id, dl)
       globals_df: single row (n_docs, avgdl)
+
+    ``materialize=True`` caches the tf table — everything downstream
+    (doc_lens, df, idf, scoring) derives from it, and without the cache
+    Spark re-runs the tokenize+explode scan once per derived branch. In
+    production these frames are written as the per-index-version BM25
+    tables (EngineConfig.bm25_path) instead of cached.
     """
     toks = docs_df.select(
         F.col(doc_id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
     )
-    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize:
+        tf = tf.persist()
+    # doc length = sum of term frequencies (no second corpus scan)
+    doc_lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # docs with no tokens still count toward N and avgdl (dl=0)
     all_docs = docs_df.select(F.col(doc_id_col).alias("doc_id"))
     doc_lens = all_docs.join(doc_lens, "doc_id", "left").na.fill({"dl": 0})
+    if materialize:
+        doc_lens = doc_lens.persist()
     globals_df = doc_lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.crossJoin(F.broadcast(globals_df)).select(
         "term",
@@ -77,6 +92,8 @@ def bm25_build(docs_df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "
         .alias("idf_adj"),
     )
     term_stats = tf.join(idf_adj, "term").select("doc_id", "term", "tf", "idf_adj")
+    if materialize:
+        term_stats = term_stats.persist()
     return term_stats, doc_lens, globals_df
 
 

@@ -31,11 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from indexlab_spark.functions.hashing import (
-    band_keys,
-    minhash_signature,
-    token_shingles,
-)
+from indexlab_spark.functions.hashing import token_shingles
 from indexlab_spark.functions.vector import cosine
 
 
@@ -127,14 +123,27 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sh = with_shingles(df, id_col, text_col, n).filter(F.size("shingles") > 0)
-    sig = sh.select(
-        "id",
-        "shingles",
-        band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, rows).alias(
-            "bands"
-        ),
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    # signature as ONE groupBy with num_hashes min-aggregates over the
+    # exploded shingles — a single shuffle, no per-row array transforms
+    # (the array formulation built a 16x md5 expression tree per row and
+    # dominated wall-clock)
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    buckets = sig.select("id", F.posexplode("bands").alias("band", "key"))
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"m{b * rows + j}") for j in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id",
+        F.posexplode(F.array(*band_cols)).alias("band", "key"),
+    )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "key"])
@@ -142,16 +151,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # exact-jaccard verification restricted to CANDIDATES only — the full
+    # shingle self-join would be the quadratic blowup LSH exists to avoid
     sizes = sh.select("id", F.size("shingles").alias("sz"))
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-    # intersection sizes via one shingle equi-join, restricted to candidates
     inter = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand.join(exploded.withColumnRenamed("id", "id_a"), "id_a")
+        .join(exploded.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .join(cand, ["id_a", "id_b"])
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
