@@ -1,0 +1,144 @@
+"""Streaming parity (batch == streaming result) + multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    from indexlab_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+    from indexlab_spark.session import load_tables
+
+    # stage the events parquet in a stream-source dir
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, "1 day", "1 hour")
+    run_stream_to_memory(agg, "win_counts", output_mode="complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    expect = {
+        (str(r["ws"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_dedup_stream_drops_duplicates(spark, sf_dir, tmp_path):
+    from indexlab_spark.streaming.events import dedup_stream, run_stream_to_memory
+    from indexlab_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].limit(200)
+    src = str(tmp_path / "dup_src")
+    ev.unionAll(ev).repartition(2).write.parquet(src)  # every event twice
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    deduped = dedup_stream(stream, ["event_id"])
+    run_stream_to_memory(deduped, "dedup_ev", output_mode="append")
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_ev").collect()[0]
+    assert n["c"] == n["n"] == 200
+
+
+def test_multimodal_feature_pipeline(spark, tmp_path):
+    from indexlab_spark.operators.multimodal import (
+        FEATURE_DIM,
+        read_binary_assets,
+        with_image_features,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    payloads = {f"img{i}.bin": bytes([i] * (100 + i)) for i in range(5)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    assets = read_binary_assets(spark, str(d), "image", glob="*.bin")
+    feats = with_image_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["modality"] == "image"
+        assert len(r["embedding"]) == FEATURE_DIM
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+    # determinism: same bytes -> same features on re-run
+    rows2 = with_image_features(assets).collect()
+    m1 = {r["asset_id"]: list(r["embedding"]) for r in rows}
+    m2 = {r["asset_id"]: list(r["embedding"]) for r in rows2}
+    assert m1 == m2
+
+
+def test_multimodal_dedup_composes(spark, tmp_path):
+    from indexlab_spark.operators.dedup import embedding_dup_pairs
+    from indexlab_spark.operators.multimodal import (
+        read_binary_assets,
+        with_image_features,
+    )
+
+    d = tmp_path / "imgs2"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"identical-bytes-payload")
+    (d / "b.bin").write_bytes(b"identical-bytes-payload")
+    (d / "c.bin").write_bytes(b"completely different data here")
+    assets = read_binary_assets(spark, str(d), "image", glob="*.bin")
+    feats = with_image_features(assets).select(
+        F.col("asset_id").alias("vec_id"), "embedding"
+    )
+    pairs = embedding_dup_pairs(feats, id_col="vec_id", threshold=0.999)
+    got = {(os.path.basename(r["id_a"]), os.path.basename(r["id_b"]))
+           for r in pairs.collect()}
+    assert got == {("a.bin", "b.bin")}
+
+
+def test_video_stub_raises(spark):
+    from indexlab_spark.operators.multimodal import sample_video_frames
+
+    with pytest.raises(NotImplementedError):
+        sample_video_frames()
+
+
+def test_reader_formats(spark, tmp_path):
+    from indexlab_spark.sources.reader import read_any, sniff_format
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = read_any(spark, str(csv))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+    js = tmp_path / "t.json"
+    js.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
+    assert read_any(spark, str(js)).count() == 2
+
+    md = tmp_path / "t.md"
+    md.write_text("# Title\nbody text\n")
+    rows = read_any(spark, str(md)).collect()
+    assert len(rows) == 1 and "body text" in rows[0]["text"]
+
+    html = tmp_path / "t.html"
+    html.write_text(
+        "<html><head><script>var x=1;</script><style>.a{}</style></head>"
+        "<body><h1>Head</h1><p>Para one</p></body></html>"
+    )
+    rows = read_any(spark, str(html)).collect()
+    assert "Para one" in rows[0]["text"] and "var x" not in rows[0]["text"]
+
+    assert sniff_format("f.bin", b"PK\x03\x04") == "excel"
+    assert sniff_format("f.bin", b'{"a": 1}') == "json"
+    assert sniff_format("f.bin", b"a,b\n1,2\n") == "csv"
+    assert sniff_format("f.bin", b"hello") == "text"
