@@ -494,6 +494,125 @@ def _q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py — union-sort trick, one shuffle on
+    the key): each event gets the latest signup value at-or-before its
+    timestamp. Oracle: DuckDB native ASOF JOIN."""
+    from indexlab_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("signup_value_asof", 6).alias("signup_value"),
+    )
+
+
+def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
+    from indexlab_spark.functions.text import preview
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id",
+        preview("text", 220).alias("preview"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — query tokenization (re.split \\W+, drop empties) exploded."""
+    from indexlab_spark.functions.text import tokenize_query
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.explode(tokenize_query("text")).alias("token")
+    )
+
+
+def _q_doc_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 — doc_id construction then regex parse back to ints."""
+    from indexlab_spark.functions.text import parse_doc_id
+
+    ch = _q_chunk_fixed(spark, sf_dir)
+    doc, chunk = parse_doc_id("doc_id")
+    return ch.select(
+        "doc_id", doc.alias("parsed_doc"), chunk.alias("parsed_chunk")
+    )
+
+
+def _q_chunk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — pagination: page 3 of 50 over (doc_no, chunk_no) order."""
+    from indexlab_spark.operators.chunk import paginate
+
+    ch = _q_chunk_fixed(spark, sf_dir)
+    return paginate(ch, ["doc_no", "chunk_no"], page=3, page_size=50)
+
+
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface — ROLLUP(returnflag, linestatus) with
+    decimal-exact sums (subtotals + grand total)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+        )
+        # de-null subtotal keys: source columns are never null, so the
+        # marker is unambiguous (and NULL-free outputs hash stably)
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group — top-3 orders by totalprice per customer
+    (WindowGroupLimit: partial top-k before the shuffle on Spark 3.5+)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "rn",
+        )
+    )
+
+
+def _q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface — INTERSECT / EXCEPT of BUILDING-segment
+    customers vs customers with any order over 150k."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    spenders = (
+        t["orders"].filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    both = building.intersect(spenders).select(F.lit("both").alias("tag"), "custkey")
+    only_b = building.subtract(spenders).select(
+        F.lit("only_building").alias("tag"), "custkey"
+    )
+    return both.unionByName(only_b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -517,6 +636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "pricing_summary": _q_pricing_summary,
         "top_revenue": _q_top_revenue,
+        "asof_signup": _q_asof_signup,
+        "doc_preview": _q_doc_preview,
+        "tokens": _q_tokens,
+        "doc_id_roundtrip": _q_doc_id_roundtrip,
+        "chunk_page": _q_chunk_page,
+        "rollup_pricing": _q_rollup_pricing,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "segment_set_ops": _q_segment_set_ops,
     }
 
 
@@ -915,6 +1042,72 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
             GROUP BY 1, 2
+        """,
+        "asof_signup": """
+            WITH signups AS (
+                SELECT user_id, ts, max(value) AS signup_value
+                FROM events WHERE event_type = 'signup'
+                GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id,
+                   round(r.signup_value, 6) AS signup_value
+            FROM events l
+            ASOF LEFT JOIN signups r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "doc_preview": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 220
+                        THEN substr(text, 1, 220) || '…'
+                        ELSE text END AS preview,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents
+        """,
+        "tokens": """
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\W+'),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 50
+        """,
+        "doc_id_roundtrip": f"""
+            SELECT doc_id,
+                   CAST(regexp_extract(doc_id, '^#?(\\d+)#(\\d+)$', 1) AS INTEGER) AS parsed_doc,
+                   CAST(regexp_extract(doc_id, '^#?(\\d+)#(\\d+)$', 2) AS INTEGER) AS parsed_chunk
+            FROM ({chunk_cte})
+        """,
+        "chunk_page": f"""
+            SELECT doc_no, chunk_no, doc_id, text
+            FROM ({chunk_cte})
+            ORDER BY doc_no, chunk_no
+            OFFSET 100 LIMIT 50
+        """,
+        "rollup_pricing": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rn AS INTEGER) AS rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "segment_set_ops": """
+            SELECT 'both' AS tag, custkey FROM (
+                SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+            UNION ALL
+            SELECT 'only_building' AS tag, custkey FROM (
+                SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
         """,
         "top_revenue": """
             SELECT o_orderkey,

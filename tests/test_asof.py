@@ -1,0 +1,70 @@
+"""As-of join operator tests vs hand-computed expectations."""
+
+from indexlab_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_backward_asof_basic(spark):
+    left = _df(
+        spark,
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = _df(
+        spark,
+        [(1, 3, 100.0), (1, 8, 200.0), (2, 9, 300.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert out == {
+        (1, 5): 100.0,   # latest right at t<=5 is t=3
+        (1, 10): 200.0,  # t=8
+        (1, 2): None,    # nothing at t<=2
+        (2, 7): None,    # right for k=2 only at t=9
+    }
+
+
+def test_equal_timestamp_inclusive_vs_strict(spark):
+    left = _df(spark, [(1, 5, "x")], "k long, t long, tag string")
+    right = _df(spark, [(1, 5, 42.0), (1, 4, 41.0)], "k long, t long, v double")
+    inclusive = asof_join(left, right, on="t", by="k").collect()[0]
+    assert inclusive["v_asof"] == 42.0  # <= matches same-t row
+    strict = asof_join(left, right, on="t", by="k", strict=True).collect()[0]
+    assert strict["v_asof"] == 41.0  # < skips same-t row
+
+
+def test_multiple_value_cols_and_left_columns_preserved(spark):
+    left = _df(spark, [(1, 10, "keep")], "k long, t long, payload string")
+    right = _df(spark, [(1, 1, 7.0, "r1")], "k long, t long, v double, s string")
+    row = asof_join(left, right, on="t", by="k").collect()[0]
+    assert row["payload"] == "keep"
+    assert row["v_asof"] == 7.0 and row["s_asof"] == "r1"
+
+
+def test_matches_pandas_merge_asof(spark, tables):
+    import pandas as pd
+
+    ev = tables["events"].select("event_id", "user_id", "ts").limit(500)
+    sign = (
+        tables["events"]
+        .filter("event_type = 'signup'")
+        .groupBy("user_id", "ts")
+        .agg({"value": "max"})
+        .withColumnRenamed("max(value)", "v")
+    )
+    got = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(ev, sign, on="ts", by="user_id").collect()
+    }
+    lp = ev.toPandas().sort_values("ts")
+    rp = sign.toPandas().sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row["v"]) else row["v"]
+        assert got[row["event_id"]] == expect, f"event {row['event_id']}"

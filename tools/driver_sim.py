@@ -37,9 +37,9 @@ def norm_cell(v):
 
 def df_to_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(norm_cell(r[i]) for i in idx) for r in rows
-    ), [cols[i] for i in idx]
+    normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    # repr-keyed sort: total order even with None/mixed-type cells
+    return sorted(normed, key=repr), [cols[i] for i in idx]
 
 
 def main():
