@@ -51,15 +51,50 @@ def _text_ngrams(text: str):
                 yield padded[i : i + 3]
 
 
+# token -> (bucket indices, signs) cache. Natural-language token
+# frequency is Zipfian, so almost all crc32 work is redundant without
+# this; the cache is per-process (executor-global under Spark, mirroring
+# the reference's model cache E2). Bounded to keep executors lean.
+_TOKEN_CACHE: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+
+def _token_contribution(tok: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (tok, dim)
+    hit = _TOKEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    padded = f"^{tok}$"
+    grams = (
+        [padded]
+        if len(padded) <= 3
+        else [padded[i : i + 3] for i in range(len(padded) - 2)]
+    )
+    buckets = np.empty(len(grams), dtype=np.int64)
+    signs = np.empty(len(grams), dtype=np.float64)
+    for i, g in enumerate(grams):
+        b = g.encode("utf-8")
+        buckets[i] = zlib.crc32(b) % dim
+        signs[i] = 1.0 if zlib.crc32(b"s:" + b) & 1 else -1.0
+    if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
+        _TOKEN_CACHE[key] = (buckets, signs)
+    return buckets, signs
+
+
 def _embed_hash_ngram(texts: list[str], dim: int, normalize: bool) -> np.ndarray:
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for r, text in enumerate(texts):
-        row = out[r]
-        for g in _text_ngrams(text or ""):
-            b = g.encode("utf-8")
-            h = zlib.crc32(b)
-            sign = 1.0 if zlib.crc32(b"s:" + b) & 1 else -1.0
-            row[h % dim] += sign
+        bucket_parts, sign_parts = [], []
+        for tok in _TOKEN_RE.split((text or "").lower()):
+            if not tok:
+                continue
+            buckets, signs = _token_contribution(tok, dim)
+            bucket_parts.append(buckets)
+            sign_parts.append(signs)
+        if bucket_parts:
+            np.add.at(
+                out[r], np.concatenate(bucket_parts), np.concatenate(sign_parts)
+            )
     if normalize:
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0

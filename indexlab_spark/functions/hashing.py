@@ -45,6 +45,18 @@ def token_shingles(text_col: Column | str, n: int = 3) -> Column:
     spelled out in the oracle with list_transform/generate_series.
     """
     toks = F.array_remove(F.split(F.lower(_c(text_col)), r"\s+"), "")
+    return shingles_from_tokens(toks, n)
+
+
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Shingles from an ALREADY-MATERIALIZED token array column.
+
+    IMPORTANT: pass a bound column (e.g. via withColumn), not the
+    tokenize expression itself — Catalyst does not eliminate common
+    subexpressions inside ``transform`` lambdas, so an inline tokenize
+    would re-run the regex split once per shingle index (measured 10x
+    slowdown on the corpus shingle explode).
+    """
     # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty —
     # short texts must return an empty shingle set explicitly
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))

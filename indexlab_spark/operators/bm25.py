@@ -91,7 +91,14 @@ def bm25_build(
         .otherwise(F.col("idf_raw"))
         .alias("idf_adj"),
     )
-    term_stats = tf.join(idf_adj, "term").select("doc_id", "term", "tf", "idf_adj")
+    # denormalize dl into term_stats at BUILD time: scoring then needs no
+    # doc_lens join (one fewer query-time shuffle); doc_lens still
+    # returned for avgdl/catalog uses
+    term_stats = (
+        tf.join(idf_adj, "term")
+        .join(doc_lens, "doc_id")
+        .select("doc_id", "term", "tf", "idf_adj", "dl")
+    )
     if materialize:
         term_stats = term_stats.persist()
     return term_stats, doc_lens, globals_df
@@ -126,7 +133,6 @@ def bm25_score(
     contrib = (
         F.broadcast(q_terms)
         .join(term_stats, "term")
-        .join(doc_lens, "doc_id")
         .crossJoin(F.broadcast(globals_df))
         .select(
             "query_id",

@@ -59,12 +59,31 @@ def exact_dedup(
 
 
 def with_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    drop_empty: bool = False,
 ) -> DataFrame:
-    return df.select(
+    from indexlab_spark.functions.hashing import shingles_from_tokens
+
+    # two-step: materialize the token array as a column FIRST — inlining
+    # the tokenize into the shingle transform re-evaluates the regex
+    # split per shingle index (no CSE inside lambdas; measured 10x).
+    # drop_empty filters on TOKEN COUNT, not size(shingles): a filter on
+    # the shingle column gets pushed below the projection and re-inlines
+    # the whole shingle expression into the predicate.
+    # CPU-bound projection: a small corpus often arrives as ONE parquet
+    # file = one task; spread it across cores first. (At real scale
+    # maxPartitionBytes already yields many partitions and this is a
+    # cheap no-op round-robin of existing splits.)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    toks = df.select(
         F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), n).alias("shingles"),
+        F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "").alias("_toks"),
     )
+    if drop_empty:
+        toks = toks.filter(F.size("_toks") >= n)
+    return toks.select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
 
 
 def jaccard_pairs(
@@ -112,6 +131,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -120,10 +140,17 @@ def minhash_lsh_pairs(
     jaccard filter. With b bands of r rows the capture probability is
     1-(1-j^r)^b — b=4, r=4 keeps j>=0.7 pairs with P>~0.93 while pruning
     the low-similarity mass that makes all-pairs quadratic.
+
+    ``materialize`` persists the exploded shingle frame — it feeds the
+    signature, both verify sides and the size table, and without the
+    cache each branch re-runs tokenize+shingle over the corpus. At very
+    large scale write it to a bucketed table instead.
     """
     rows = num_hashes // bands
-    sh = with_shingles(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    sh = with_shingles(df, id_col, text_col, n, drop_empty=True)
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    if materialize:
+        exploded = exploded.persist()
     # signature as ONE groupBy with num_hashes min-aggregates over the
     # exploded shingles — a single shuffle, no per-row array transforms
     # (the array formulation built a 16x md5 expression tree per row and
@@ -153,7 +180,7 @@ def minhash_lsh_pairs(
     )
     # exact-jaccard verification restricted to CANDIDATES only — the full
     # shingle self-join would be the quadratic blowup LSH exists to avoid
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(exploded.withColumnRenamed("id", "id_a"), "id_a")
         .join(exploded.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
