@@ -613,6 +613,111 @@ def _q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_b)
 
 
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 cosine-metric variant — top-5 by cosine similarity."""
+    from indexlab_spark.functions.vector import cosine
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 text-analysis — whitespace vs BPE-ish token counts per doc."""
+    from indexlab_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+# ---- rows-only queries (no SQL-expressible oracle; judge sees which) ----
+def _q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — sentence-packing chunker (iterative greedy algorithm; exact
+    parity with the reference port is unit-tested, not SQL-expressible)."""
+    from indexlab_spark.operators.chunk import explode_chunks
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return explode_chunks(
+        docs.select(F.col("doc_id").alias("doc_no"), "text"),
+        mode="sentences", size=120, overlap=30,
+    )
+
+
+def _q_chunk_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — heading-split chunker (regex-split section semantics)."""
+    from indexlab_spark.operators.chunk import explode_chunks
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return explode_chunks(
+        docs.select(F.col("doc_id").alias("doc_no"), "text"),
+        mode="headings", size=200, overlap=20,
+    )
+
+
+def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 — IVF ANN search (KMeans cells + nprobe pruning). Recall vs
+    flat is property-tested (tests/test_knn.py); KMeans centers are not
+    reproducible in SQL, so this entry is rows-only."""
+    from indexlab_spark.operators.knn import build_ivf, ivf_search
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    assigned, centroids = build_ivf(corpus, nlist=16, seed=42)
+    return ivf_search(q, assigned, centroids, k=5, nprobe=4).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E4+K2 — the full text -> deterministic-embed -> batch kNN
+    pipeline over documents (the flagship shape at the gate SF). The
+    embedder is deterministic but not SQL-expressible -> rows-only."""
+    from indexlab_spark.functions.embed import with_embedding
+    from indexlab_spark.operators.chunk import explode_chunks
+    from indexlab_spark.operators.knn import knn_matmul
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    chunks = explode_chunks(
+        docs.select(F.col("doc_id").alias("doc_no"), "text"),
+        size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+    )
+    corpus = with_embedding(chunks).select("doc_id", "embedding")
+    queries_df = with_embedding(
+        docs.filter(F.col("doc_id") < 8).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 80).alias("text"),
+        ),
+        out_col="qvec",
+    ).select("query_id", "qvec")
+    hits = knn_matmul(spark, queries_df, corpus, k=5)
+    return hits.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -644,6 +749,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup_pricing,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "segment_set_ops": _q_segment_set_ops,
+        "knn_cosine": _q_knn_cosine,
+        "bpe_token_counts": _q_bpe_token_counts,
+        # rows-only (no SQL-expressible oracle):
+        "chunk_sentences": _q_chunk_sentences,
+        "chunk_headings": _q_chunk_headings,
+        "similarity_ivf": _q_similarity_ivf,
+        "text_embed_knn": _q_text_embed_knn,
     }
 
 
@@ -1097,6 +1209,27 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                   FROM orders)
             WHERE rn <= 3
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 16),
+                 s AS (SELECT q.query_id, e.vec_id AS doc_id,
+                              round(list_cosine_similarity(q.qv,
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS score
+                       FROM q, embeddings e),
+                 r AS (SELECT *, CAST(row_number() OVER
+                              (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+                              AS INTEGER) AS rank
+                       FROM s)
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        x -> x <> '')) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                        AS INTEGER) AS bpe_tokens
+            FROM documents
         """,
         "segment_set_ops": """
             SELECT 'both' AS tag, custkey FROM (

@@ -70,6 +70,77 @@ def dedup_stream(
     )
 
 
+def sessionize_with_state(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    applyInPandasWithState (the streaming twin of the events_sessions
+    batch query).
+
+    Per user, state = (session_start_us, last_ts_us, n_events). A new
+    event later than ``gap_seconds`` after the last one CLOSES the
+    running session (emitted) and starts a new one; the final open
+    session stays in state until more data or timeout. State is O(1)
+    per user — bounded regardless of stream length.
+
+    ASSUMES event-time-ordered arrival per key across micro-batches
+    (the log-shipper pattern; events WITHIN a batch are sorted here).
+    Out-of-order sources need the watermark-buffering variant: hold
+    events in state and close sessions only when the watermark passes
+    session_end + gap — same state shape plus an event buffer.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events int"
+    )
+    state_schema = "start_us long, last_us long, n int"
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed: list[tuple] = []
+        for t in ts_us:
+            if last_us is not None and t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, n = None, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+        if last_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] * 1000 for c in closed]
+                    ),
+                    "session_end": pd.to_datetime([c[2] * 1000 for c in closed]),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ):

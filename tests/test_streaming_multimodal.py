@@ -142,3 +142,82 @@ def test_reader_formats(spark, tmp_path):
     assert sniff_format("f.bin", b'{"a": 1}') == "json"
     assert sniff_format("f.bin", b"a,b\n1,2\n") == "csv"
     assert sniff_format("f.bin", b"hello") == "text"
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """Closed sessions from the stateful stream == batch sessions minus
+    each user's final (still-open) session."""
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_with_state,
+    )
+    from pyspark.sql.window import Window
+
+    import time as _time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "sess_src")
+    # multiple files ARRIVING IN EVENT-TIME ORDER (the operator's
+    # documented contract — log-shipper pattern): quartile files written
+    # sequentially so FileStreamSource (mtime order) replays them in
+    # order, with sessions spanning micro-batch boundaries
+    ts_q = [r[0] for r in ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) as q"
+    ).select(F.explode("q")).collect()]
+    lo = [None] + ts_q
+    hi = ts_q + [None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        part = ev
+        if a is not None:
+            part = part.filter(F.unix_micros("ts") > a)
+        if b is not None:
+            part = part.filter(F.unix_micros("ts") <= b)
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(src)
+    )
+    sess = sessionize_with_state(stream, gap_seconds=1800)
+    run_stream_to_memory(sess, "sess_out", output_mode="append")
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+
+    # batch truth: sessionize then drop each user's last session
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.select(
+        "user_id", "event_id", "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    sess_b = (
+        with_gap.withColumn(
+            "new_session",
+            (F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1_000_000)).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+        )
+    )
+    last = sess_b.groupBy("user_id").agg(F.max("session_id").alias("last_id"))
+    closed_b = sess_b.join(last, "user_id").filter(
+        F.col("session_id") != F.col("last_id")
+    )
+    expect = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in closed_b.collect()
+    }
+    assert got == expect
