@@ -190,6 +190,27 @@ def main() -> None:
     baseline_sec["b2_knn_batch"], _ = timed(lambda: baseline_b2_knn(mat, q_mat))
     rows_per_sec["b2_knn_batch"] = round(len(q_mat) / queries_sec["b2_knn_batch"], 1)
 
+    # B2-large: replicated corpus (32x) — fixed Spark overhead amortizes;
+    # this is the number that extrapolates to the 1000-executor case
+    REP = 32
+    big_corpus = corpus.crossJoin(
+        spark.range(REP).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * n_vec).alias("doc_id"), "embedding"
+    )
+    big_mat = np.concatenate([mat] * REP, axis=0)
+
+    def spark_b2_large():
+        return knn_matmul(spark, q_df, big_corpus, K).count()
+
+    queries_sec["b2_knn_batch_large"], _ = timed(spark_b2_large)
+    baseline_sec["b2_knn_batch_large"], _ = timed(
+        lambda: baseline_b2_knn(big_mat, q_mat)
+    )
+    rows_per_sec["b2_knn_batch_large"] = round(
+        len(q_mat) / queries_sec["b2_knn_batch_large"], 1
+    )
+
     # B3 eval pipeline -----------------------------------------------------
     def spark_b3():
         hits = knn_matmul(spark, q_df, corpus, max(K, 10))
@@ -248,7 +269,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     for name in ("pricing_summary", "top_revenue", "events_sessions",
-                 "minhash_lsh", "lang_quality"):
+                 "minhash_lsh", "lang_quality", "exact_dedup", "simhash_pairs",
+                 "asof_signup", "events_daily", "knn_cosine"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -112,3 +112,36 @@ def test_ivf_nprobe_full_equals_flat(spark, emb, queries, numpy_truth):
     assigned, centroids = build_ivf(corpus, nlist=8, seed=42)
     out = ivf_search(queries, assigned, centroids, K, nprobe=8)
     _check(out.collect(), numpy_truth)
+
+
+def test_ivf_partitioned_layout_prunes(spark, emb, queries, numpy_truth, tmp_path):
+    """Partitioned-by-cluster_id layout: the scan reads ONLY probed cell
+    directories (physical partition pruning), results == unpartitioned."""
+    from indexlab_spark.operators.knn import (
+        ivf_search_pruned,
+        write_ivf_partitioned,
+    )
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    assigned, centroids = build_ivf(corpus, nlist=8, seed=42)
+    path = str(tmp_path / "ivf_chunks")
+    write_ivf_partitioned(assigned, path)
+
+    out = ivf_search_pruned(spark, queries, path, centroids, K, nprobe=3)
+    baseline = ivf_search(queries, assigned, centroids, K, nprobe=3)
+    assert sorted(map(tuple, out.select("query_id", "doc_id", "rank").collect())) == \
+        sorted(map(tuple, baseline.select("query_id", "doc_id", "rank").collect()))
+
+    # physical evidence: the cluster_id predicate becomes a partition
+    # filter in the scan (inputFiles() reflects the pre-pruning index,
+    # so inspect the executed plan)
+    probed = spark.read.parquet(path).filter(F.col("cluster_id").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and the filtered scan counts rows of only those cells
+    per_cell = dict(
+        assigned.groupBy("cluster_id").count().rdd.map(tuple).collect()
+    )
+    assert probed.count() == per_cell.get(0, 0) + per_cell.get(3, 0)
