@@ -75,7 +75,8 @@ def histogram(
     return out.select(
         "bin",
         (F.col("vmin") + F.col("bin") * step_expr).alias("lo"),
-        F.when(F.col("bin") == bins - 1, F.col("vmax"))
+        F.when(F.col("vmin") == F.col("vmax"), F.col("vmax"))  # spike case
+        .when(F.col("bin") == bins - 1, F.col("vmax"))
         .otherwise(F.col("vmin") + (F.col("bin") + 1) * step_expr)
         .alias("hi"),
         "cnt",

@@ -194,6 +194,35 @@ def chunk_stats(chunks_df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PREVIEW_CAP = 2_000_000  # chunk_preview.py:13
+
+
+def preview_sample(
+    df: DataFrame,
+    text_col: str,
+    full_file: bool,
+    rows_to_sample: int = 50,
+    order_col: str | None = None,
+) -> str:
+    """C7 — preview text assembly (chunk_preview.py:118-139).
+
+    full_file: join the whole text column with blank lines, truncated at
+    2,000,000 chars; else the first ``rows_to_sample`` non-blank rows
+    under the same cap. Driver-side by contract (it feeds an interactive
+    preview) but assembled with one aggregation, not a row loop.
+    """
+    src = df
+    if order_col:
+        src = src.orderBy(order_col)
+    nonblank = src.filter(F.trim(F.col(text_col)) != "")
+    if not full_file:
+        nonblank = nonblank.limit(rows_to_sample)
+    joined = nonblank.agg(
+        F.concat_ws("\n\n", F.collect_list(F.col(text_col))).alias("t")
+    ).collect()[0]["t"]
+    return joined[:PREVIEW_CAP]
+
+
 def paginate(df: DataFrame, order_cols: list[str], page: int, page_size: int) -> DataFrame:
     """C6 — 1-based page, page_size clamped to [1, 500]
     (/root/reference/app/api/chunk_preview.py:146-151)."""

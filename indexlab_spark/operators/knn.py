@@ -159,6 +159,83 @@ def knn_matmul(
     return ranked.filter(F.col("rank") <= k)
 
 
+def knn_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id_col: str = "query_id",
+    left_vec_col: str = "qvec",
+    right_id_col: str = "doc_id",
+    right_vec_col: str = "embedding",
+    right_blocks: int = 8,
+) -> DataFrame:
+    """Similarity JOIN for two LARGE sides — K2 generalized to the case
+    where neither side fits a broadcast (M7 'similarity join').
+
+    Strategy: hash the right side into ``right_blocks`` blocks and
+    replicate each LEFT row once per block (an equi-join on block id —
+    a plain shuffle join, no broadcast); each joined partition's Arrow
+    batch multiplies its left rows against its right block rows with
+    BLAS and emits local top-k per left row; a final window merges
+    blocks. Shuffle traffic: O(|left| x right_blocks + |right|) rows in,
+    O(|left| x right_blocks x k) candidate rows out — versus the
+    O(|left| x |right|) row materialization of a naive cross join.
+    Orient the smaller side as ``left``.
+
+    At 100 TB both sides stream through executors block by block; no
+    driver collect, no broadcast. For modest query sets prefer
+    knn_matmul (zero replication).
+    """
+    import pandas as pd
+
+    lb = left.select(
+        F.col(left_id_col).alias("_lid"), F.col(left_vec_col).alias("_lv")
+    ).crossJoin(
+        left.sparkSession.range(right_blocks).select(F.col("id").alias("_blk"))
+    )
+    rb = right.select(
+        F.col(right_id_col).alias("_rid"),
+        F.col(right_vec_col).alias("_rv"),
+        F.pmod(F.xxhash64(F.col(right_id_col)), F.lit(right_blocks)).alias("_blk"),
+    )
+    paired = lb.join(rb, "_blk")
+
+    def _block_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_l, out_r, out_s = [], [], []
+            for lid, grp in pdf.groupby("_lid", sort=False):
+                q = np.array(grp["_lv"].iloc[0], dtype=np.float64)
+                emb = np.array(grp["_rv"].tolist(), dtype=np.float64)
+                scores = emb @ q
+                kk = min(k, len(scores))
+                idx = np.argpartition(-scores, kk - 1)[:kk]
+                idx = idx[np.argsort(-scores[idx], kind="stable")]
+                rids = grp["_rid"].to_numpy()
+                out_l.extend([lid] * len(idx))
+                out_r.extend(rids[idx])
+                out_s.extend(scores[idx])
+            yield pd.DataFrame({"_lid": out_l, "_rid": out_r, "score": out_s})
+
+    lid_t = left.schema[left_id_col].dataType.simpleString()
+    rid_t = right.schema[right_id_col].dataType.simpleString()
+    cand = paired.select("_lid", "_lv", "_rid", "_rv").mapInPandas(
+        _block_topk, f"_lid {lid_t}, _rid {rid_t}, score double"
+    )
+    w = Window.partitionBy("_lid").orderBy(F.col("score").desc(), F.col("_rid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_lid").alias(left_id_col),
+            F.col("_rid").alias(right_id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
 # ----------------------------------------------------------------- IVF (K3/K4)
 def build_ivf(
     chunks_df: DataFrame,

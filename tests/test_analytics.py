@@ -1,0 +1,148 @@
+"""A1-A9 analytics parity vs pure-Python ports of the reference formulas
+(/root/reference/app/api/analytics.py:106-135) + catalog functions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from indexlab_spark.operators.analytics import (
+    catalog,
+    histogram,
+    index_stats,
+    length_stats,
+    list_versions,
+    sum_source_rows,
+)
+
+
+def ref_percentile(vals, p):
+    """Port of analytics.py:106-115 (exact linear interpolation)."""
+    if not vals:
+        return None
+    a = sorted(vals)
+    k = (len(a) - 1) * p
+    f, c = math.floor(k), math.ceil(k)
+    if f == c:
+        return float(a[int(k)])
+    return a[f] + (a[c] - a[f]) * (k - f)
+
+
+def ref_histogram(vals, bins=20):
+    """Port of analytics.py:118-135 (integer-step binning)."""
+    if not vals:
+        return {"bins": [], "counts": []}
+    vmin, vmax = min(vals), max(vals)
+    if vmin == vmax:
+        return {"bins": [vmin, vmax], "counts": [len(vals)]}
+    step = max(1, math.ceil((vmax - vmin) / bins))
+    edges = [vmin + i * step for i in range(bins)] + [vmax]
+    counts = [0] * (len(edges) - 1)
+    for x in vals:
+        idx = len(counts) - 1 if x == vmax else min(len(counts) - 1, (x - vmin) // step)
+        counts[idx] += 1
+    return {"bins": edges, "counts": counts}
+
+
+@pytest.fixture(scope="module")
+def doc_lengths(tables):
+    return [r[0] for r in tables["documents"].select(F.length("text")).collect()]
+
+
+def test_p95_matches_reference_port(tables, doc_lengths):
+    got = length_stats(tables["documents"]).collect()[0]
+    assert abs(got["p95_len"] - ref_percentile(doc_lengths, 0.95)) < 1e-9
+    assert got["min_len"] == min(doc_lengths)
+    assert got["max_len"] == max(doc_lengths)
+    assert abs(got["avg_len"] - sum(doc_lengths) / len(doc_lengths)) < 1e-9
+
+
+def test_histogram_matches_reference_port(tables, doc_lengths):
+    expect = ref_histogram(doc_lengths)
+    rows = histogram(tables["documents"], F.length("text")).collect()
+    got_counts = {r["bin"]: r["cnt"] for r in rows}
+    for b, cnt in enumerate(expect["counts"]):
+        assert got_counts.get(b, 0) == cnt, f"bin {b}"
+    # edges: lo of bin b == reference edge b
+    for r in rows:
+        assert r["lo"] == expect["bins"][r["bin"]]
+
+
+def test_histogram_single_value_spike(spark):
+    df = spark.createDataFrame([(7,)] * 5, "v long")
+    rows = histogram(df, "v").collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == 5
+    assert rows[0]["lo"] == 7 and rows[0]["hi"] == 7
+
+
+def test_histogram_small_range_integer_step(spark):
+    # max-min < bins -> step clamps to 1 (reference: step = max(1, ...))
+    vals = [1, 2, 2, 3, 3, 3]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r["bin"]: r["cnt"] for r in histogram(df, "v").collect()}
+    expect = ref_histogram(vals)
+    for b, cnt in enumerate(expect["counts"]):
+        assert rows.get(b, 0) == cnt
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    """Small warehouse with two indexes / three versions for catalog tests."""
+    from indexlab_spark.config import EngineConfig, IngestConfig
+    from indexlab_spark.pipeline import build_index
+
+    eng = EngineConfig(warehouse_dir=str(tmp_path_factory.mktemp("cat_wh")))
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words") for i in range(10)],
+        "doc_no long, text string",
+    )
+    build_index(spark, docs, IngestConfig(index_name="alpha"), eng, version="20260101-000000")
+    build_index(spark, docs, IngestConfig(index_name="alpha"), eng, version="20260102-000000")
+    build_index(spark, docs, IngestConfig(index_name="beta", chunk_mode="sentences"), eng,
+                version="20260103-000000")
+    return eng
+
+
+def test_catalog_listing(spark, warehouse):
+    mf = spark.read.parquet(warehouse.manifests_path())
+    rows = catalog(mf).collect()
+    assert [r["index_name"] for r in rows] == ["alpha", "beta"]
+    alpha = rows[0]
+    assert alpha["latest_version"] == "20260102-000000"  # A8 latest enrichment
+    assert alpha["count"] == 10
+    assert alpha["chunking"]["mode"] == "fixed_chars"
+    assert rows[1]["chunking"]["mode"] == "sentences"
+
+
+def test_version_listing_desc(spark, warehouse):
+    mf = spark.read.parquet(warehouse.manifests_path())
+    rows = list_versions(mf, "alpha").collect()
+    assert [r["version"] for r in rows] == ["20260102-000000", "20260101-000000"]
+
+
+def test_index_stats_join(spark, warehouse):
+    ch = spark.read.parquet(warehouse.chunks_path())
+    mf = spark.read.parquet(warehouse.manifests_path())
+    row = index_stats(ch, mf, "alpha").collect()[0]
+    assert row["count"] == 10
+    assert row["version"] == "20260102-000000"
+    assert row["model"] == "hash-ngram-64"
+    assert row["min_len"] > 0
+
+
+def test_sum_source_rows(spark, warehouse):
+    mf = spark.read.parquet(warehouse.manifests_path())
+    rows = {(r["index_name"], r["version"]): r["total_rows"]
+            for r in sum_source_rows(mf).collect()}
+    assert rows[("alpha", "20260101-000000")] == 10
+
+
+def test_pretty_source_name(spark):
+    from indexlab_spark.functions.text import pretty_source_name
+
+    df = spark.createDataFrame(
+        [("550e8400-e29b-41d4-a716-446655440000_report.csv",), ("plain.csv",)],
+        "name string",
+    )
+    got = [r[0] for r in df.select(pretty_source_name("name")).collect()]
+    assert got == ["report.csv", "plain.csv"]

@@ -45,3 +45,15 @@ def test_explode_chunks_doc_ids(spark):
     assert [r["doc_id"] for r in rows] == ["0#0", "0#1", "0#2", "1#0"]
     assert rows[0]["text"] == "a" * 100
     assert rows[3]["text"] == "b" * 90
+
+
+def test_preview_sample(spark):
+    from indexlab_spark.operators.chunk import preview_sample
+
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "  "), (2, "beta"), (3, "gamma")], "i long, text string"
+    )
+    assert preview_sample(df, "text", full_file=True, order_col="i") == \
+        "alpha\n\nbeta\n\ngamma"
+    assert preview_sample(df, "text", full_file=False, rows_to_sample=2,
+                          order_col="i") == "alpha\n\nbeta"

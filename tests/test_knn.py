@@ -145,3 +145,12 @@ def test_ivf_partitioned_layout_prunes(spark, emb, queries, numpy_truth, tmp_pat
         assigned.groupBy("cluster_id").count().rdd.map(tuple).collect()
     )
     assert probed.count() == per_cell.get(0, 0) + per_cell.get(3, 0)
+
+
+def test_knn_join_blocked_equals_brute(spark, emb, queries, numpy_truth):
+    """Large x large blocked similarity join == brute-force result."""
+    from indexlab_spark.operators.knn import knn_join_blocked
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    out = knn_join_blocked(queries, corpus, K, right_blocks=4)
+    _check(out.collect(), numpy_truth)
