@@ -718,6 +718,53 @@ def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_pairs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — pairs of events by the same user within
+    60 seconds of each other (a < b). Inequality-condition join; at
+    scale this is bucketed by time window to avoid the per-key quadratic
+    (see docstring note in the oracle entry)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    a = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_a"),
+        F.unix_micros("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_b"),
+        F.unix_micros("ts").alias("ts_b"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= 60 * 1_000_000)
+        )
+        .select(
+            "user_id", "event_a", "event_b",
+            F.expr("abs(ts_a - ts_b) div 1000000").alias("gap_sec"),
+        )
+    )
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats — top-10 terms by document frequency per
+    lang label (groupBy + window top-k; the IDF building block)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from indexlab_spark.operators.bm25 import tokenize
+
+    term_doc = docs.select(
+        "lang", "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("term")
+    )
+    df_ = term_doc.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        df_.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "term", "df", "rn")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -751,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_set_ops": _q_segment_set_ops,
         "knn_cosine": _q_knn_cosine,
         "bpe_token_counts": _q_bpe_token_counts,
+        "event_pairs_range": _q_event_pairs_range,
+        "top_terms": _q_top_terms,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1230,6 +1279,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                         AS INTEGER) AS bpe_tokens
             FROM documents
+        """,
+        "event_pairs_range": """
+            SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+                   abs(epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS gap_sec
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+        """,
+        "top_terms": """
+            WITH td AS (SELECT lang, doc_id,
+                               unnest(list_distinct(list_filter(
+                                   regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> ''))) AS term
+                        FROM documents),
+                 dfreq AS (SELECT lang, term, count(*) AS df
+                           FROM td GROUP BY 1, 2),
+                 ranked AS (SELECT lang, term, df,
+                                   CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY df DESC, term ASC) AS INTEGER) AS rn
+                            FROM dfreq)
+            SELECT lang, term, df, rn FROM ranked WHERE rn <= 10
         """,
         "segment_set_ops": """
             SELECT 'both' AS tag, custkey FROM (

@@ -177,6 +177,30 @@ def main() -> None:
         len(docs_pdf) / queries_sec["b1_ingest_chunk_embed"], 1
     )
 
+    # B1-large: corpus replicated 8x — amortized ingest throughput
+    big_docs = docs.crossJoin(
+        spark.range(8).select(F.col("id").alias("_rep"))
+    ).select((F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"), "text")
+    big_docs_pdf = pd.concat([docs_pdf] * 8, ignore_index=True)
+
+    def spark_b1_large():
+        chunks = explode_chunks(
+            big_docs.select(F.col("doc_id").alias("doc_no"), "text"),
+            size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+        )
+        return with_embedding(chunks).select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.element_at("embedding", 1)).alias("checksum"),
+        ).collect()[0]["n"]
+
+    queries_sec["b1_ingest_large"], _ = timed(spark_b1_large)
+    baseline_sec["b1_ingest_large"], _ = timed(
+        lambda: baseline_b1_ingest(big_docs_pdf)
+    )
+    rows_per_sec["b1_ingest_large"] = round(
+        len(big_docs_pdf) / queries_sec["b1_ingest_large"], 1
+    )
+
     # B2 flat kNN batch ----------------------------------------------------
     q_df = emb.filter(F.col("vec_id") < len(q_mat)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -245,6 +269,21 @@ def main() -> None:
         )
     )
     rows_per_sec["b4_bm25"] = round(len(docs_pdf) / queries_sec["b4_bm25"], 1)
+
+    # B4-large: BM25 over the 8x corpus — build+query amortized
+    def spark_b4_large():
+        ts_, dl_, g_ = bm25_build(big_docs)
+        return bm25_score(bmq_df, ts_, dl_, g_, k=50).count()
+
+    queries_sec["b4_bm25_large"], _ = timed(spark_b4_large)
+    baseline_sec["b4_bm25_large"], _ = timed(
+        lambda: baseline_b4_bm25(
+            big_docs_pdf["text"].astype(str).tolist(), [q for _, q in bm_queries]
+        )
+    )
+    rows_per_sec["b4_bm25_large"] = round(
+        len(big_docs_pdf) / queries_sec["b4_bm25_large"], 1
+    )
 
     # B5 analytics ---------------------------------------------------------
     def spark_b5():
