@@ -747,6 +747,30 @@ def _q_event_pairs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup — hour/day/month buckets
+    of the events stream in ONE grouping-sets pass (one shuffle, three
+    resolutions; the continuous-aggregate pattern of timeseries stores).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.createOrReplaceTempView("_ev_ht")
+    return spark.sql(
+        """
+        SELECT coalesce(date_format(date_trunc('hour',  ts), 'yyyy-MM-dd HH:mm'), '') AS bucket_hour,
+               coalesce(date_format(date_trunc('day',   ts), 'yyyy-MM-dd'), '')       AS bucket_day,
+               coalesce(date_format(date_trunc('month', ts), 'yyyy-MM'), '')          AS bucket_month,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM _ev_ht
+        GROUP BY GROUPING SETS (
+            (date_format(date_trunc('hour',  ts), 'yyyy-MM-dd HH:mm'), event_type),
+            (date_format(date_trunc('day',   ts), 'yyyy-MM-dd'),       event_type),
+            (date_format(date_trunc('month', ts), 'yyyy-MM'),          event_type))
+        """
+    )
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats — top-10 terms by document frequency per
     lang label (groupBy + window top-k; the IDF building block)."""
@@ -800,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "event_pairs_range": _q_event_pairs_range,
         "top_terms": _q_top_terms,
+        "hypertable_rollup": _q_hypertable_rollup,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1287,6 +1312,19 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_id < b.event_id
              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+        """,
+        "hypertable_rollup": """
+            SELECT coalesce(strftime(date_trunc('hour',  ts), '%Y-%m-%d %H:%M'), '') AS bucket_hour,
+                   coalesce(strftime(date_trunc('day',   ts), '%Y-%m-%d'), '')       AS bucket_day,
+                   coalesce(strftime(date_trunc('month', ts), '%Y-%m'), '')          AS bucket_month,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS (
+                (strftime(date_trunc('hour',  ts), '%Y-%m-%d %H:%M'), event_type),
+                (strftime(date_trunc('day',   ts), '%Y-%m-%d'),       event_type),
+                (strftime(date_trunc('month', ts), '%Y-%m'),          event_type))
         """,
         "top_terms": """
             WITH td AS (SELECT lang, doc_id,
