@@ -747,6 +747,16 @@ def _q_event_pairs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — deterministic 80/10/10 split counts per lang (md5 bucket mod
+    100; engine-portable, no RNG state)."""
+    from indexlab_spark.operators.textstats import stratified_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = stratified_split(docs, id_col="doc_id")
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup — hour/day/month buckets
     of the events stream in ONE grouping-sets pass (one shuffle, three
@@ -825,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs_range": _q_event_pairs_range,
         "top_terms": _q_top_terms,
         "hypertable_rollup": _q_hypertable_rollup,
+        "stratified_split": _q_stratified_split,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1312,6 +1323,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_id < b.event_id
              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+        """,
+        "stratified_split": """
+            WITH b AS (
+                SELECT lang,
+                       CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                FROM documents)
+            SELECT lang,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM b GROUP BY 1, 2
         """,
         "hypertable_rollup": """
             SELECT coalesce(strftime(date_trunc('hour',  ts), '%Y-%m-%d %H:%M'), '') AS bucket_hour,

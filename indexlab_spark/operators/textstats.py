@@ -121,6 +121,40 @@ def quality_features(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — a training-pipeline
+    staple the reference lacks.
+
+    Buckets each row by md5(salt|id) mod 100 and maps bucket ranges to
+    split names (default 80/10/10). Deterministic across runs, machines
+    and engines (md5-portable — DuckDB-oracle-checkable); per-stratum
+    proportions hold in expectation because the hash is independent of
+    ``strata_col``. No shuffle: the assignment is a pure projection;
+    downstream consumers filter on ``split`` (partition by it when
+    writing for pruned reads).
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = F.pmod(md5_long(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), F.lit(100))
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    cols = [F.col(c) for c in df.columns] + [expr.alias("split")]
+    if strata_col:
+        cols.append(F.col(strata_col).alias("stratum"))
+    return df.select(*cols)
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:

@@ -135,3 +135,25 @@ def test_short_text_shingles_empty(spark):
            df.select("id", token_shingles(F.col("text"), 3).alias("sh")).collect()}
     assert got[0] == [] and got[1] == [] and got[2] == []
     assert got[3] == ["a b c"]
+
+
+def test_stratified_split_deterministic_and_proportional(spark, tables):
+    from indexlab_spark.operators.textstats import stratified_split
+
+    docs = tables["documents"]
+    a = stratified_split(docs).groupBy("split").count().collect()
+    b = stratified_split(docs).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert counts == {r["split"]: r["count"] for r in b}  # deterministic
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.05 < counts["val"] / total < 0.16
+    assert 0.05 < counts["test"] / total < 0.16
+
+
+def test_stratified_split_bad_weights(spark, tables):
+    import pytest as _pytest
+    from indexlab_spark.operators.textstats import stratified_split
+
+    with _pytest.raises(ValueError):
+        stratified_split(tables["documents"], weights={"train": 50, "test": 20})

@@ -1,0 +1,91 @@
+"""Edge-case robustness: empty inputs, missing indexes, null handling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_knn_matmul_empty_queries(spark, tables):
+    from indexlab_spark.operators.knn import knn_matmul
+
+    emb = tables["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    empty_q = corpus.filter("doc_id < 0").select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = knn_matmul(spark, empty_q, corpus, 5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
+
+
+def test_eval_empty_gold(spark):
+    from indexlab_spark.operators.evaluate import eval_metrics, eval_results
+
+    gold = spark.createDataFrame([], "query_id long, expected_id string")
+    hits = spark.createDataFrame([], "query_id long, doc_id string, rank int")
+    m = eval_metrics(eval_results(gold, hits, 5)).collect()[0]
+    assert m["total"] == 0
+    # reference: zero-division guarded -> 0.0 (eval_api.py:263-265)
+    assert m["recall_at_k"] is None or m["recall_at_k"] == 0.0
+
+
+def test_load_missing_index_raises(spark, tmp_path):
+    from indexlab_spark.config import EngineConfig, IngestConfig
+    from indexlab_spark.pipeline import build_index, load_index
+
+    eng = EngineConfig(warehouse_dir=str(tmp_path / "wh"))
+    docs = spark.createDataFrame([(0, "hello world")], "doc_no long, text string")
+    build_index(spark, docs, IngestConfig(index_name="exists"), eng,
+                version="20260101-000000")
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, "missing", eng)
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, "exists", eng, version="20991231-000000")
+
+
+def test_concat_row_null_parity(spark):
+    """P2: pandas str(NaN) == 'nan' is kept (non-blank) — parity."""
+    from indexlab_spark.functions.text import concat_row
+
+    df = spark.createDataFrame(
+        [("a", None, 1.5), (None, "b", None)],
+        "x string, y string, z double",
+    )
+    got = [r[0] for r in df.select(concat_row(["x", "y", "z"])).collect()]
+    assert got == ["a | nan | 1.5", "nan | b | nan"]
+
+
+def test_normalize_df_cleans_names_and_drops_all_null(spark):
+    from indexlab_spark.functions.text import normalize_df
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, None), (2, "b")],
+        ["  col one\n", "col2  "],
+    )
+    out = normalize_df(df)
+    assert out.columns == ["col one", "col2"]
+    assert out.count() == 2  # all-null row dropped (partial nulls kept)
+
+
+def test_bm25_empty_query(spark):
+    from indexlab_spark.operators.bm25 import bm25_search
+
+    docs = spark.createDataFrame([(0, "some text")], "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "   ")], "query_id long, query string")
+    assert bm25_search(docs, queries, k=5).count() == 0
+
+
+def test_search_pool_cushion(spark, tmp_path):
+    """K8: more than k candidates fetched internally, k returned."""
+    from indexlab_spark.config import EngineConfig, IngestConfig
+    from indexlab_spark.pipeline import build_index, search
+
+    eng = EngineConfig(warehouse_dir=str(tmp_path / "wh2"))
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} alpha beta") for i in range(60)],
+        "doc_no long, text string",
+    )
+    build_index(spark, docs, IngestConfig(index_name="pool"), eng,
+                version="20260101-000000")
+    hits = search(spark, "pool", "alpha text", k=3, engine=eng).collect()
+    assert len(hits) == 3
+    assert [h["rank"] for h in hits] == [1, 2, 3]
