@@ -31,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from indexlab_spark.functions.hashing import token_shingles
 from indexlab_spark.functions.vector import cosine
 
 

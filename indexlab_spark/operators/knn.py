@@ -251,7 +251,7 @@ def build_ivf(
     same contract — recall is property-tested, not hash-tested).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = chunks_df.withColumn("_v", array_to_vector(F.col(vec_col)))
     km = KMeans(k=nlist, seed=seed, featuresCol="_v", predictionCol="cluster_id")

@@ -177,6 +177,99 @@ def build_index(
     return manifest
 
 
+def append_to_index(
+    spark: SparkSession,
+    source: str | DataFrame,
+    index_name: str,
+    engine: EngineConfig | None = None,
+    version: str | None = None,
+) -> dict:
+    """Incremental add: new documents become a NEW immutable version
+    containing old + new chunks (doc numbering continues after the
+    existing max doc_no; build config inherited from the latest
+    manifest).
+
+    The reference can only rebuild from scratch (its FAISS artifact is
+    monolithic); here the old version's chunks are reused AS DATA — no
+    re-embedding of existing rows, one write of the delta plus a
+    metadata-only union. Spark-first: versions are partitions, so
+    'append' is copy-on-write at the partition level.
+    """
+    engine = engine or EngineConfig()
+    old_chunks, manifest = load_index(spark, index_name, engine)
+    cfg = IngestConfig(
+        index_name=index_name,
+        chunk_mode=manifest["chunking"]["mode"],
+        chunk_size=manifest["chunking"]["size"],
+        chunk_overlap=manifest["chunking"]["overlap"],
+        model=manifest["model"],
+        normalize=manifest["normalize"],
+        backend="flat",  # IVF re-clustering is a rebuild decision
+        dim=manifest["dim"],
+    )
+    version = version or _version_now()
+    base = old_chunks.agg(
+        F.coalesce(F.max("doc_no") + 1, F.lit(0)).alias("b"),
+        F.coalesce(F.max("chunk_pos") + 1, F.lit(0)).alias("p"),
+    ).collect()[0]
+
+    if isinstance(source, str):
+        from indexlab_spark.sources.reader import read_any
+
+        df = read_any(spark, source)
+        source_name = os.path.basename(source)
+    else:
+        df = source
+        source_name = "<dataframe>"
+    df = normalize_df(df)
+    df = with_row_numbers(df)
+    docs = with_doc_text(df, cfg.text_column).withColumn(
+        "doc_no", F.col("doc_no") + F.lit(int(base["b"]))
+    )
+    chunks = explode_chunks(
+        docs, mode=cfg.chunk_mode, size=cfg.chunk_size, overlap=cfg.chunk_overlap
+    )
+    embedded = with_embedding(chunks, model=cfg.model, normalize=cfg.normalize)
+    w = Window.orderBy("doc_no", "chunk_no")
+    new_rows = embedded.withColumn(
+        "chunk_pos", F.row_number().over(w).cast("long") - 1 + F.lit(int(base["p"]))
+    ).select(
+        F.lit(index_name).alias("index_name"),
+        F.lit(version).alias("version"),
+        "doc_no", "chunk_no", "doc_id", "chunk_pos", "text", "embedding",
+        F.lit(None).cast("int").alias("cluster_id"),
+        F.lit(source_name).alias("source"),
+    )
+    carried = old_chunks.withColumn("version", F.lit(version)).select(
+        *[f.name for f in new_rows.schema.fields]
+    )
+    carried.unionByName(new_rows).write.mode("append").partitionBy(
+        "index_name", "version"
+    ).parquet(engine.chunks_path())
+
+    count = (
+        spark.read.parquet(engine.chunks_path())
+        .filter((F.col("index_name") == index_name) & (F.col("version") == version))
+        .count()
+    )
+    created_at = datetime.now(timezone.utc)
+    from indexlab_spark.schemas import MANIFESTS_SCHEMA
+
+    spark.createDataFrame(
+        [
+            (
+                index_name, version, cfg.dim, count, cfg.model, cfg.normalize,
+                cfg.backend, dict(manifest.get("params") or {}),
+                (cfg.chunk_mode, cfg.chunk_size, cfg.chunk_overlap), "ip",
+                created_at,
+                {source_name: (count, "", created_at, source_name)},
+            )
+        ],
+        MANIFESTS_SCHEMA,
+    ).write.mode("append").parquet(engine.manifests_path())
+    return {"index_name": index_name, "version": version, "count": count}
+
+
 def load_index(
     spark: SparkSession,
     index_name: str,

@@ -121,3 +121,24 @@ def test_ivf_build_and_search(spark, engine):
     hits = search(spark, "specs_ivf", "power requirements", k=3, engine=engine)
     rows = hits.collect()
     assert len(rows) == 3
+
+
+def test_append_to_index(spark, engine, built):
+    """Incremental add: new version = old chunks + new docs, numbering
+    continues, search spans both."""
+    from indexlab_spark.pipeline import append_to_index
+
+    new_docs = spark.createDataFrame(
+        [("Addendum", "The Nimbus One add-on module draws 5W extra.")],
+        "section string, text string",
+    )
+    out = append_to_index(spark, new_docs, "specs_v1", engine,
+                          version="20260813-000009")
+    chunks, manifest = load_index(spark, "specs_v1", engine)
+    assert manifest["version"] == "20260813-000009"
+    assert out["count"] == built["count"] + 1
+    ids = {r["doc_id"] for r in chunks.select("doc_id").collect()}
+    assert "0#0" in ids  # old rows carried
+    assert f"{27}#0" in ids  # numbering continues after 27 source rows
+    hits = search(spark, "specs_v1", "add-on module extra", k=3, engine=engine)
+    assert any(r["doc_id"] == "27#0" for r in hits.collect())
