@@ -85,6 +85,44 @@ def with_shingles(
     return toks.select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — DISTINCT word n-grams per doc, via one Arrow
+    mapInPandas pass.
+
+    Semantically identical to exploding ``with_shingles`` but ~5x
+    faster: the Catalyst sequence/transform/slice/array_distinct lambda
+    chain allocates per shingle, while a Python set over tokens runs at
+    string speed inside one Arrow batch. Same tokenize contract as the
+    oracle (lower, split \\s+, drop empties).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+")
+
+    def _gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in ws.split((t or "").lower()) if x]
+                if len(toks) >= n:
+                    grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                    ids.extend([i] * len(grams))
+                    shs.extend(grams)
+            yield pd.DataFrame({"id": ids, "shingle": shs})
+
+    src = df.select(id_col, text_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    id_t = df.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(_gen, f"id {id_t}, shingle string")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -98,9 +136,8 @@ def jaccard_pairs(
     then jaccard = inter / (|A| + |B| - inter). Only pairs sharing at
     least one shingle are ever materialized.
     """
-    sh = with_shingles(df, id_col, text_col, n)
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    exploded = exploded_shingles(df, id_col, text_col, n).persist()
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"), "shingle")
@@ -146,20 +183,49 @@ def minhash_lsh_pairs(
     large scale write it to a bucketed table instead.
     """
     rows = num_hashes // bands
-    sh = with_shingles(df, id_col, text_col, n, drop_empty=True)
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    exploded = exploded_shingles(df, id_col, text_col, n)
     if materialize:
         exploded = exploded.persist()
-    # signature as ONE groupBy with num_hashes min-aggregates over the
-    # exploded shingles — a single shuffle, no per-row array transforms
-    # (the array formulation built a 16x md5 expression tree per row and
-    # dominated wall-clock)
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
+    # signatures computed INSIDE one Arrow pass: hashlib.md5 across all
+    # cores beats both the per-row array-transform expression tree and a
+    # 16-way md5 min-aggregate over the exploded rows (the md5 hex
+    # strings are byte-identical to SQL md5, so the min-per-seed is the
+    # same permutation proxy the oracle computes)
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    ws = __import__("re").compile(r"\s+")
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def _sigs(batches):
+        md5 = _hashlib.md5
+        for pdf in batches:
+            out = {c: [] for c in ["id", "sz", *[f"m{i}" for i in range(num_hashes)]]}
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in ws.split((t or "").lower()) if x]
+                if len(toks) < n:
+                    continue
+                grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                out["id"].append(i)
+                out["sz"].append(len(grams))
+                for s in range(num_hashes):
+                    pre = f"{s}|".encode()
+                    out[f"m{s}"].append(
+                        min(md5(pre + g.encode()).hexdigest() for g in grams)
+                    )
+            yield pd.DataFrame(out)
+
+    src = df.select(id_col, text_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    sig = src.mapInPandas(
+        _sigs,
+        f"id {id_t}, sz int, " + ", ".join(f"m{i} string" for i in range(num_hashes)),
     )
+    if materialize:
+        sig = sig.persist()
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"m{b * rows + j}") for j in range(rows)])
@@ -179,7 +245,7 @@ def minhash_lsh_pairs(
     )
     # exact-jaccard verification restricted to CANDIDATES only — the full
     # shingle self-join would be the quadratic blowup LSH exists to avoid
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sig.select("id", "sz")
     inter = (
         cand.join(exploded.withColumnRenamed("id", "id_a"), "id_a")
         .join(exploded.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
@@ -214,10 +280,9 @@ def simhash(
     """
     from indexlab_spark.functions.hashing import md5_long
 
-    sh = with_shingles(df, id_col, text_col, n)
-    hashed = sh.select(
-        "id", F.explode("shingles").alias("shingle")
-    ).select("id", md5_long(F.col("shingle")).alias("h"))
+    hashed = exploded_shingles(df, id_col, text_col, n).select(
+        "id", md5_long(F.col("shingle")).alias("h")
+    )
     sums = hashed.groupBy("id").agg(
         *[
             F.sum(
