@@ -61,28 +61,41 @@ def bm25_build(
     production these frames are written as the per-index-version BM25
     tables (EngineConfig.bm25_path) instead of cached.
     """
+    from pyspark.sql.window import Window
+
     toks = docs_df.select(
         F.col(doc_id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df and dl as WINDOWS over the tf frame — two shuffles total instead
+    # of two groupBy+join pairs (four); each window reuses tf's rows
+    # in place
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
+    enriched = tf.withColumn("df", F.count(F.lit(1)).over(w_term)).withColumn(
+        "dl", F.sum("tf").over(w_doc)
+    )
     if materialize:
-        tf = tf.persist()
-    # doc length = sum of term frequencies (no second corpus scan)
-    doc_lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        enriched = enriched.persist()
     # docs with no tokens still count toward N and avgdl (dl=0)
     all_docs = docs_df.select(F.col(doc_id_col).alias("doc_id"))
-    doc_lens = all_docs.join(doc_lens, "doc_id", "left").na.fill({"dl": 0})
-    if materialize:
-        doc_lens = doc_lens.persist()
+    doc_lens = (
+        all_docs.join(
+            enriched.groupBy("doc_id").agg(F.first("dl").alias("dl")), "doc_id", "left"
+        ).na.fill({"dl": 0})
+    )
     globals_df = doc_lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.crossJoin(F.broadcast(globals_df)).select(
-        "term",
-        (F.log(F.col("n_docs") - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)).alias(
-            "idf_raw"
-        ),
+    # vocabulary-level idf with the epsilon correction for negatives
+    idf = (
+        enriched.select("term", "df").distinct()
+        .crossJoin(F.broadcast(globals_df.select("n_docs")))
+        .select(
+            "term",
+            (F.log(F.col("n_docs") - F.col("df") + 0.5) - F.log(F.col("df") + 0.5))
+            .alias("idf_raw"),
+        )
     )
     avg_idf = idf.agg(F.avg("idf_raw").alias("avg_idf"))
     idf_adj = idf.crossJoin(F.broadcast(avg_idf)).select(
@@ -91,13 +104,9 @@ def bm25_build(
         .otherwise(F.col("idf_raw"))
         .alias("idf_adj"),
     )
-    # denormalize dl into term_stats at BUILD time: scoring then needs no
-    # doc_lens join (one fewer query-time shuffle); doc_lens still
-    # returned for avgdl/catalog uses
-    term_stats = (
-        tf.join(idf_adj, "term")
-        .join(doc_lens, "doc_id")
-        .select("doc_id", "term", "tf", "idf_adj", "dl")
+    # denormalized: term_stats carries dl so scoring needs no extra join
+    term_stats = enriched.join(idf_adj, "term").select(
+        "doc_id", "term", "tf", "idf_adj", "dl"
     )
     if materialize:
         term_stats = term_stats.persist()
