@@ -799,6 +799,110 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ curation
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — Gopher-style rule flags + keep decision per document
+    (operators/curation.quality_flags; pure codegen map, no shuffle)."""
+    from indexlab_spark.operators.curation import quality_flags
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return quality_flags(docs)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — repetition signals: duplicate-word fraction + top
+    bigram share (explode + two keyed aggs, map-side partials)."""
+    from indexlab_spark.operators.curation import repetition_signals
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return repetition_signals(docs)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — PII redaction over documents augmented with synthetic
+    deterministic PII (email/phone/IP/SSN built from doc_id, so the
+    regex chain is genuinely exercised; oracle builds the same text)."""
+    from indexlab_spark.operators.curation import redact_pii
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return redact_pii(pii)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — benchmark decontamination: 5-gram overlap of train docs
+    (doc_id % 17 != 0) vs the benchmark subset (doc_id % 17 == 0);
+    benchmark shingle set broadcast, corpus never shuffles."""
+    from indexlab_spark.operators.curation import decontaminate
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, bench, n=5)
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — deterministic md5 Bernoulli sample (~25%), reproducible
+    across engines/partitionings (unlike df.sample)."""
+    from indexlab_spark.operators.curation import hash_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return hash_sample(docs, "40").select("doc_id", "hash_prefix", "lang", "n_chars")
+
+
+def _q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth — anti join (TPC-H Q22 shape): positive-balance
+    customers with NO order since 2001-01-01, counted per nation. The
+    orders side is pre-filtered+projected before the anti join so AQE
+    can broadcast it."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_churned"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+def _q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth — EXISTS semi join (TPC-H Q4 shape): 1995H1
+    orders with at least one lineitem shipped >60 days after the order
+    date, counted per priority. Non-equi semi join on the fact table;
+    the orders side carries only 3 columns into the join."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -836,6 +940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "hypertable_rollup": _q_hypertable_rollup,
         "stratified_split": _q_stratified_split,
+        "quality_filter": _q_quality_filter,
+        "repetition": _q_repetition,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
+        "hash_sample": _q_hash_sample,
+        "churned_customers": _q_churned_customers,
+        "late_orders": _q_late_orders,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1387,5 +1498,158 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "quality_filter": """
+            WITH f AS (
+                SELECT doc_id AS id, text,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT id, text, toks, CAST(len(toks) AS INTEGER) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE list_aggregate(list_transform(toks,
+                                     t -> CAST(length(t) AS DOUBLE)), 'sum')
+                                 / len(toks) END AS mean_wl,
+                       CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                         + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                                AS BIGINT) AS symbols,
+                       len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                           AS alpha_words,
+                       CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','in','is','that','with','for','it'],
+                           t))) AS INTEGER) AS stop_hits
+                FROM f),
+            r AS (
+                SELECT id, n_words, mean_wl, stop_hits,
+                       CASE WHEN n_words = 0 THEN 0.0
+                            ELSE CAST(symbols AS DOUBLE) / n_words END AS symbol_ratio,
+                       CASE WHEN n_words = 0 THEN 0.0
+                            ELSE CAST(alpha_words AS DOUBLE) / n_words END AS alpha_frac
+                FROM g)
+            SELECT id, n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_frac, 6) AS alpha_word_frac,
+                   stop_hits,
+                   (n_words >= 10 AND n_words <= 100000) AS flag_words,
+                   (mean_wl >= 2.0 AND mean_wl <= 12.0) AS flag_mean_word_len,
+                   (symbol_ratio <= 0.1) AS flag_symbol,
+                   (alpha_frac >= 0.8) AS flag_alpha,
+                   (stop_hits >= 2) AS flag_stop,
+                   ((n_words >= 10 AND n_words <= 100000)
+                    AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+                    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM r
+        """,
+        "repetition": """
+            WITH f AS (
+                SELECT doc_id AS id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            d AS (
+                SELECT id, CAST(len(toks) AS INTEGER) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                                 / len(toks) END AS dwf,
+                       CASE WHEN len(toks) >= 2 THEN
+                            list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END AS bgs
+                FROM f),
+            bc AS (
+                SELECT id, bigram, count(*) AS n
+                FROM (SELECT id, unnest(bgs) AS bigram FROM d)
+                GROUP BY 1, 2),
+            bt AS (
+                SELECT id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+                FROM bc GROUP BY 1)
+            SELECT d.id, d.n_words,
+                   round(d.dwf, 6) AS dup_word_frac,
+                   coalesce(bt.n_bigrams, 0) AS n_bigrams,
+                   coalesce(bt.top_bigram_n, 0) AS top_bigram_n,
+                   round(CASE WHEN coalesce(bt.n_bigrams, 0) = 0 THEN 0.0
+                              ELSE CAST(bt.top_bigram_n AS DOUBLE) / bt.n_bigrams
+                         END, 6) AS top_bigram_frac
+            FROM d LEFT JOIN bt ON d.id = bt.id
+        """,
+        "pii_redact": """
+            WITH p AS (
+                SELECT doc_id AS id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 ssn 123-45-6789' AS text
+                FROM documents),
+            r AS (
+                SELECT id, text,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                             '<IP>', 'g'),
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                         '\\b\\+?\\d{1,2}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+                       AS redacted
+                FROM p)
+            SELECT id, redacted, redacted <> text AS changed FROM r
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 5 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(t) - 4),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4]))
+                       ELSE CAST([] AS VARCHAR[]) END AS shingles
+                FROM toks),
+            tsh AS (SELECT doc_id AS id, unnest(shingles) AS shingle
+                    FROM sh WHERE doc_id % 17 <> 0),
+            bsh AS (SELECT DISTINCT shingle FROM
+                    (SELECT unnest(shingles) AS shingle FROM sh
+                     WHERE doc_id % 17 = 0))
+            SELECT t.id, count(DISTINCT t.shingle) AS n_overlap,
+                   count(DISTINCT t.shingle) >= 1 AS contaminated
+            FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+            GROUP BY 1
+        """,
+        "hash_sample": """
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_prefix,
+                   lang, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        """,
+        "churned_customers": """
+            SELECT c_nationkey, count(*) AS n_churned,
+                   round(avg(c_acctbal), 6) AS avg_bal
+            FROM customer c
+            WHERE c_acctbal > 0
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY 1
+        """,
+        "late_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
         """,
     }

@@ -1,0 +1,260 @@
+"""Training-data curation operators (scale-extension family).
+
+The reference (NSKBpro/IndexLab) stops at retrieval-quality evaluation;
+a 100 TB training-data pipeline additionally needs corpus *curation*:
+rule-based quality filtering (Gopher-style), repetition detection,
+PII redaction, benchmark decontamination, and deterministic sampling.
+Everything here is pure Catalyst expressions / built-in SQL functions —
+no Python UDFs anywhere — so each operator is 1:1 expressible in the
+DuckDB oracle and stays inside WholeStageCodegen at scale.
+
+Scale notes per operator are in the docstrings; the common theme:
+per-document signals are shuffle-free maps, cross-document steps
+(repetition n-gram counts, decontamination joins) shuffle once on a
+bounded key and broadcast the small side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indexlab_spark.operators.textstats import STOPWORDS, tokens
+
+# Gopher-ish rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
+# public paper; values adapted to the short synthetic docs).
+MIN_WORDS = 10
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOPWORD_HITS = 2
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring (length/replace trick —
+    identical semantics in Spark and DuckDB, no regex involved)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document quality rules + keep decision.
+
+    Signals (all O(len) per row, shuffle-free, codegen'd):
+      n_words            whitespace token count
+      mean_word_len      avg token length
+      symbol_ratio       ('#' + '...') occurrences / n_words
+      alpha_word_frac    fraction of words containing a letter
+      stop_hits          english stopword hits (multiplicity)
+    ``keep`` is the AND of the rule flags. Ratios rounded to 6 places
+    (cross-engine float convention). At 100 TB this is a pure map over
+    the corpus scan — no shuffle, prunes to (id, text) columns.
+    """
+    text = _c(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    # avg over empty array -> NULL; coalesce to 0 for the flag logic
+    mean_wl = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.nullif(n_words.cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    symbols = _occurrences(text, "#") + _occurrences(text, "...")
+    symbol_ratio = F.coalesce(
+        symbols.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.coalesce(
+        alpha_words.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    en = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in en])))
+
+    flag_words = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+    flag_mwl = (mean_wl >= MIN_MEAN_WORD_LEN) & (mean_wl <= MAX_MEAN_WORD_LEN)
+    flag_symbol = symbol_ratio <= MAX_SYMBOL_RATIO
+    flag_alpha = alpha_frac >= MIN_ALPHA_WORD_FRAC
+    flag_stop = stop_hits >= MIN_STOPWORD_HITS
+
+    return df.select(
+        _c(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        flag_words.alias("flag_words"),
+        flag_mwl.alias("flag_mean_word_len"),
+        flag_symbol.alias("flag_symbol"),
+        flag_alpha.alias("flag_alpha"),
+        flag_stop.alias("flag_stop"),
+        (flag_words & flag_mwl & flag_symbol & flag_alpha & flag_stop).alias(
+            "keep"
+        ),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition signals (Gopher A1.1 style): duplicate-word fraction and
+    the fraction of all word bigrams taken by the single most frequent
+    bigram.
+
+    Plan: dup_word_frac is a shuffle-free expression; the bigram signal
+    explodes bigrams (with multiplicity) and aggregates twice —
+    (id, bigram) then (id) — both shuffles partial-aggregated map-side
+    and keyed by doc id, so it scales linearly and evenly unless one
+    document is itself enormous (bounded by chunking upstream).
+    """
+    toks_col = tokens(text_col)
+    base = df.select(_c(id_col).alias("id"), toks_col.alias("toks")).withColumn(
+        "n_words", F.size("toks")
+    )
+    dup_word = base.select(
+        "id",
+        "n_words",
+        F.coalesce(
+            (F.col("n_words") - F.size(F.array_distinct("toks"))).cast("double")
+            / F.nullif(F.col("n_words").cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("dup_word_frac"),
+    )
+    # bigrams WITH multiplicity (token_shingles is distinct — not usable
+    # here). Guard: sequence(0, -1) DESCENDS in Spark (not empty), so gate
+    # on n_words >= 2 explicitly.
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("n_words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.col("toks")[i], F.col("toks")[i + 1]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bg_counts = bigrams.groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    bg_top = bg_counts.groupBy("id").agg(
+        F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams")
+    )
+    out = (
+        dup_word.join(bg_top, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            F.round("dup_word_frac", 6).alias("dup_word_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_n").cast("double")
+                    / F.nullif(F.col("n_bigrams").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out
+
+
+# PII patterns — deliberately simple, RE2/Java-compatible (no lookarounds),
+# applied in this order (email first so its digits don't half-match later
+# number patterns; SSN before generic phone).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\+?\d{1,2}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact email / IPv4 / SSN-shaped / phone-shaped substrings.
+
+    Pure regexp_replace chain — shuffle-free map, stays in codegen.
+    Patterns avoid lookarounds so Java regex (Spark) and RE2 (DuckDB
+    oracle, with 'g' flag) agree byte-for-byte.
+    """
+    redacted = _c(text_col)
+    for pat, rep in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(
+        _c(id_col).alias("id"),
+        redacted.alias("redacted"),
+        (redacted != _c(text_col)).alias("changed"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    word ``n``-grams it shares with ANY benchmark doc (+ contaminated
+    flag). Standard pre-training hygiene (e.g. GPT-3 paper §C, public).
+
+    Plan: both sides explode DISTINCT shingles; benchmark side is tiny by
+    contract (an eval set), deduplicated then broadcast, so the join is a
+    broadcast hash join against the train shingle stream — corpus never
+    shuffles. Count-distinct re-aggregates on train doc id only.
+    """
+    from indexlab_spark.functions.hashing import token_shingles
+
+    t_sh = train.select(
+        _c(id_col).alias("id"),
+        F.explode(token_shingles(_c(text_col), n)).alias("shingle"),
+    )
+    b_sh = (
+        benchmark.select(F.explode(token_shingles(_c(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    hits = t_sh.join(F.broadcast(b_sh), "shingle")
+    return (
+        hits.groupBy("id")
+        .agg(F.count_distinct("shingle").alias("n_overlap"))
+        .select("id", "n_overlap", (F.col("n_overlap") >= 1).alias("contaminated"))
+    )
+
+
+def hash_sample(
+    df: DataFrame, hex_prefix_lt: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5(id) hex prefix
+    is lexicographically below ``hex_prefix_lt`` (e.g. '40' ~ 25%).
+
+    Unlike ``df.sample``, this is reproducible across engines, runs and
+    partitionings — the property a training pipeline needs for held-out
+    splits. Shuffle-free filter; the md5 predicate is not pushable into
+    the scan but prunes before any downstream shuffle.
+    """
+    prefix = F.substring(F.md5(_c(id_col).cast("string")), 1, len(hex_prefix_lt))
+    return df.withColumn("hash_prefix", prefix).where(
+        F.col("hash_prefix") < F.lit(hex_prefix_lt)
+    )

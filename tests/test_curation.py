@@ -1,0 +1,114 @@
+"""Curation operator tests — quality flags, repetition, PII redaction,
+decontamination, hash sampling. Cross-checked against straightforward
+Python implementations on small in-memory fixtures (the DuckDB oracle
+covers the sf0.01 tables via driver t2)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from indexlab_spark.operators.curation import (
+    PII_PATTERNS,
+    decontaminate,
+    hash_sample,
+    quality_flags,
+    redact_pii,
+    repetition_signals,
+)
+
+DOCS = [
+    # good english doc: >=10 words, stopwords, letters
+    (0, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1, "short doc"),  # too few words
+    (2, "### ### ### the and is with for it that in of to be or not now"),  # symbols
+    (3, "12 34 56 78 90 11 22 33 44 55 66 77 88 99 00 12"),  # no alpha words
+    (4, ""),  # empty
+    (5, "aaaa bb aaaa bb aaaa bb aaaa bb aaaa bb aaaa bb aaaa bb aaaa bb"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_quality_flags(docs_df):
+    rows = {r["id"]: r.asDict() for r in quality_flags(docs_df).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False and rows[1]["flag_words"] is False
+    assert rows[2]["keep"] is False and rows[2]["flag_symbol"] is False
+    assert rows[3]["keep"] is False and rows[3]["flag_alpha"] is False
+    assert rows[4]["n_words"] == 0 and rows[4]["keep"] is False
+    # python cross-check of one ratio
+    toks = DOCS[0][1].split()
+    assert rows[0]["mean_word_len"] == round(
+        sum(len(t) for t in toks) / len(toks), 6
+    )
+
+
+def test_repetition_signals(docs_df):
+    rows = {r["id"]: r.asDict() for r in repetition_signals(docs_df).collect()}
+    # doc 5: 16 tokens of 2 distinct -> dup_word_frac = 14/16
+    assert rows[5]["dup_word_frac"] == round(14 / 16, 6)
+    # doc 5 bigrams: "aaaa bb" x8, "bb aaaa" x7 -> top frac 8/15
+    assert rows[5]["n_bigrams"] == 15
+    assert rows[5]["top_bigram_n"] == 8
+    assert rows[5]["top_bigram_frac"] == round(8 / 15, 6)
+    # empty doc: all zeros, present in output
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["top_bigram_frac"] == 0.0
+    # 1-word-ish doc: no bigrams
+    assert rows[1]["n_bigrams"] == 1  # "short doc" has exactly one bigram
+
+
+def test_redact_pii(spark):
+    pii = [
+        (0, "mail bob.smith+x@ex-ample.org now"),
+        (1, "call +1-555-0142 or 555-0142? ssn 123-45-6789 ip 10.0.0.7"),
+        (2, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(pii, ["doc_id", "text"])
+    rows = {r["id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert rows[0]["redacted"] == "mail <EMAIL> now"
+    assert "<SSN>" in rows[1]["redacted"] and "<IP>" in rows[1]["redacted"]
+    assert "<PHONE>" in rows[1]["redacted"]
+    assert rows[2]["changed"] is False
+    # python re cross-check (same patterns, re module)
+    for _id, text in pii:
+        expect = text
+        for pat, rep in PII_PATTERNS:
+            expect = re.sub(pat, rep, expect)
+        assert rows[_id]["redacted"] == expect
+
+
+def test_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "news: the quick brown fox jumps over a fence"),  # shares 5-grams
+            (1, "completely unrelated text about spark query planning engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r.asDict() for r in decontaminate(train, bench, n=5).collect()}
+    # train 0 shares exactly "the quick brown fox jumps" (and "quick brown
+    # fox jumps over") with the benchmark
+    assert rows[0]["n_overlap"] == 2 and rows[0]["contaminated"] is True
+    assert 1 not in rows  # clean docs don't appear
+
+
+def test_hash_sample_deterministic(docs_df, spark):
+    out = {r["doc_id"] for r in hash_sample(docs_df, "80").collect()}
+    expect = {
+        i
+        for i, _ in DOCS
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] < "80"
+    }
+    assert out == expect
+    # stable under repartition
+    out2 = {r["doc_id"] for r in hash_sample(docs_df.repartition(7), "80").collect()}
+    assert out2 == expect
