@@ -614,20 +614,44 @@ def _q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 cosine-metric variant — top-5 by cosine similarity."""
-    from indexlab_spark.functions.vector import cosine
+    """K2 cosine-metric variant — top-5 by cosine similarity.
+
+    Norms are materialized once per side before the cross join (not
+    recomputed inside each pair — 3 array-aggregates/pair -> 1), and the
+    single-file corpus is repartitioned so the per-pair scoring map uses
+    every core (single parquet file = 1 input partition otherwise).
+    Same double math/order as functions.vector.cosine; scores rounded to
+    6dp BEFORE ranking on both engines."""
+    from indexlab_spark.functions.vector import dot, l2_norm
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("qn"),
+    )
+    corpus = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            l2_norm("embedding").alias("dn"),
+        )
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))
+        .crossJoin(corpus)
         .select(
             "query_id",
             "doc_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("score"),
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("dn") > 0),
+                    dot(F.col("qv"), F.col("embedding"))
+                    / (F.col("qn") * F.col("dn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -903,6 +927,32 @@ def _q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — near-dup CLUSTERS: jaccard>=0.3 pairs -> connected
+    components (iterative min-label propagation; iterations = component
+    diameter, tiny for near-dup cliques). cluster = min doc_id in the
+    component; keep_canonical marks the one row to keep per cluster.
+    Oracle is a DuckDB recursive CTE over the same pair graph."""
+    from indexlab_spark.operators.dedup import connected_components, jaccard_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    return cc.select(
+        "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep_canonical")
+    )
+
+
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries — hourly rollup densified over each type's full hour
+    range with LOCF fill (time_bucket_gapfill/locf pattern; calendar
+    explode is bounded by hours, not rows)."""
+    from indexlab_spark.operators.analytics import time_gapfill_locf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return time_gapfill_locf(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -947,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "churned_customers": _q_churned_customers,
         "late_orders": _q_late_orders,
+        "dedup_clusters": _q_dedup_clusters,
+        "events_gapfill": _q_events_gapfill,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1651,5 +1703,50 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
             GROUP BY 1
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM pair_inter i
+                JOIN szs sa ON sa.id = i.id_a
+                JOIN szs sb ON sb.id = i.id_b
+                WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+            cc AS (
+                SELECT doc_id AS node, doc_id AS lbl FROM documents
+                UNION
+                SELECT e.dst AS node, cc.lbl
+                FROM cc JOIN e ON e.src = cc.node)
+            SELECT node AS id, min(lbl) AS cluster,
+                   (node = min(lbl)) AS keep_canonical
+            FROM cc GROUP BY node
+        """,
+        "events_gapfill": """
+            WITH b AS (
+                SELECT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bk,
+                       count(*) AS n, round(sum(value), 6) AS sum_value
+                FROM events GROUP BY 1, 2),
+            ext AS (SELECT event_type, min(bk) AS mn, max(bk) AS mx
+                    FROM b GROUP BY 1),
+            cal AS (SELECT event_type,
+                           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bk
+                    FROM ext),
+            j AS (SELECT c.event_type, c.bk,
+                         coalesce(b.n, 0) AS n, b.sum_value
+                  FROM cal c LEFT JOIN b
+                    ON b.event_type = c.event_type AND b.bk = c.bk)
+            SELECT event_type,
+                   strftime(bk, '%Y-%m-%d %H:00') AS bucket_hour,
+                   n, sum_value,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS locf_value,
+                   sum_value IS NULL AS is_gap
+            FROM j
         """,
     }

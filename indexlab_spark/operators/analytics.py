@@ -9,7 +9,7 @@ interpolation semantics differ).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from indexlab_spark.config import HIST_BINS
@@ -153,4 +153,48 @@ def list_versions(manifests_df: DataFrame, index_name: str) -> DataFrame:
         .dropDuplicates(["version"])
         .select("index_name", "version", "count", "backend", "created_at")
         .orderBy(F.desc("created_at"), F.desc("version"))
+    )
+
+
+def time_gapfill_locf(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly rollup with gap filling + last-observation-carried-forward
+    (the timeseries-store `time_bucket_gapfill`/`locf` pattern).
+
+    Per type: aggregate to hour buckets, densify to the type's full
+    [min, max] hour range via sequence+explode, then carry the last
+    non-null sum forward with an IGNORE NULLS window. One agg shuffle +
+    one window shuffle, both keyed by type; the calendar explode is
+    bounded by hours-in-range, not event count, so densification cost
+    is independent of data volume.
+    """
+    b = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bk"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )
+    ext = b.groupBy("event_type").agg(F.min("bk").alias("mn"), F.max("bk").alias("mx"))
+    cal = ext.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("bk"),
+    )
+    j = cal.join(b, ["event_type", "bk"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("bk", "yyyy-MM-dd HH:00").alias("bucket_hour"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("sum_value").isNull().alias("is_gap"),
     )

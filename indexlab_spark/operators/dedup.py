@@ -376,3 +376,58 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph —
+    min-label propagation. Returns ``(id, cluster)`` where ``cluster``
+    is the smallest node id in the component (singletons label
+    themselves). This turns pairwise dedup output into actionable
+    clusters: keep ``id == cluster`` rows, drop the rest.
+
+    Scale design: each iteration is one keyed join (labels x edges) and
+    one min-aggregate — both shuffle on node id and combine map-side.
+    Iterations needed = graph diameter, which for near-dup clusters is
+    small (components are near-cliques; typically <= 3-4 hops). Each
+    round is localCheckpoint'ed: the loop would otherwise stack a
+    lineage of 2 shuffles per iteration and re-execute it on every
+    convergence check. The convergence test is a scalar count — the
+    only driver-side value in the loop.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(sym, labels["id"] == sym["src"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster"))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from indexlab_spark.functions.vector import dot, cosine
+from indexlab_spark.functions.vector import dot, l2_norm
 
 
 def _rank_window(query_id_col: str, tie_col: str):
@@ -64,11 +64,20 @@ def knn_join(
     Returns (query_id, doc_id, score double, rank int), rank 1-based.
     """
     tie_col = tie_col or doc_id_col
-    score = (
-        dot(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
-        if metric == "ip"
-        else cosine(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
-    )
+    if metric == "ip":
+        score = dot(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
+    else:
+        # cosine: norms are per-ROW quantities — materialize them once per
+        # side BEFORE the cross join instead of recomputing inside every
+        # pair (3 array-aggregates per pair -> 1). d/(nq*nd) in the same
+        # order as functions.vector.cosine, so results are bit-identical.
+        queries_df = queries_df.withColumn("_qn", l2_norm(query_vec_col))
+        corpus_df = corpus_df.withColumn("_cn", l2_norm(corpus_vec_col))
+        d = dot(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
+        score = F.when(
+            (F.col("_q._qn") > 0) & (F.col("_c._cn") > 0),
+            d / (F.col("_q._qn") * F.col("_c._cn")),
+        ).otherwise(F.lit(0.0))
     joined = (
         F.broadcast(queries_df.alias("_q"))
         .crossJoin(corpus_df.alias("_c"))

@@ -112,3 +112,37 @@ def test_hash_sample_deterministic(docs_df, spark):
     # stable under repartition
     out2 = {r["doc_id"] for r in hash_sample(docs_df.repartition(7), "80").collect()}
     assert out2 == expect
+
+
+def test_connected_components(spark):
+    from indexlab_spark.operators.dedup import connected_components
+
+    # two components {1,2,3,9} (chain 1-2, 2-3, 3-9) and {5,6}; 7 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["id"])
+    got = {r["id"]: r["cluster"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_gapfill_locf(spark):
+    import datetime as dt
+
+    from indexlab_spark.operators.analytics import time_gapfill_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(hours=0, minutes=10), 2.0),
+        # hour 1 missing entirely -> gap, locf carries 3.0
+        ("a", t0 + dt.timedelta(hours=2), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {r["bucket_hour"]: r.asDict() for r in time_gapfill_locf(ev).collect()}
+    assert len(out) == 3
+    assert out["2024-01-01 00:00"]["n"] == 2
+    assert out["2024-01-01 00:00"]["locf_value"] == 3.0
+    gap = out["2024-01-01 01:00"]
+    assert gap["is_gap"] is True and gap["n"] == 0 and gap["locf_value"] == 3.0
+    assert out["2024-01-01 02:00"]["locf_value"] == 5.0
