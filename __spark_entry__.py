@@ -953,6 +953,27 @@ def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_gapfill_locf(ev)
 
 
+def _q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — language-balanced temperature resampling (alpha=0.5,
+    expected keep ~50%): per-lang keep rates from a tiny broadcast rate
+    table, md5-deterministic keep decision; corpus never shuffles."""
+    from indexlab_spark.operators.curation import temperature_resample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = temperature_resample(docs, alpha=0.5, budget_frac=0.5)
+    return out.select("doc_id", "lang", "rate")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — concat-then-split sequence packing into 512-token
+    windows, sharded over 32 md5 buckets (per-bucket cumsum windows —
+    no single-partition global running sum)."""
+    from indexlab_spark.operators.curation import pack_sequences
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return pack_sequences(docs, budget=512, n_buckets=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -999,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders": _q_late_orders,
         "dedup_clusters": _q_dedup_clusters,
         "events_gapfill": _q_events_gapfill,
+        "temperature_resample": _q_temperature_resample,
+        "pack_sequences": _q_pack_sequences,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1748,5 +1771,43 @@ def oracle_sql() -> dict[str, str]:
                        AS locf_value,
                    sum_value IS NULL AS is_gap
             FROM j
+        """,
+        "temperature_resample": """
+            WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+            tot AS (SELECT sum(n_g) AS n_total,
+                           sum(sqrt(CAST(n_g AS DOUBLE))) AS sum_sqrt
+                    FROM counts),
+            rates AS (SELECT lang,
+                             least(1.0, 0.5 * CAST(n_total AS DOUBLE)
+                                   * (sqrt(CAST(n_g AS DOUBLE)) / sum_sqrt)
+                                   / CAST(n_g AS DOUBLE)) AS rate
+                      FROM counts, tot)
+            SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE CAST(concat('0x', substr(
+                      md5('resample|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000
+                  < CAST(floor(r.rate * 1000000) AS BIGINT)
+        """,
+        "pack_sequences": """
+            WITH base AS (
+                SELECT doc_id AS id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens,
+                       CAST(concat('0x', substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+                           AS bucket
+                FROM documents),
+            c AS (SELECT id, bucket, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS cum
+                  FROM base)
+            SELECT id, bucket, n_tokens,
+                   CAST(bucket AS VARCHAR) || '-'
+                       || CAST((cum - n_tokens) // 512 AS VARCHAR) AS seq_id,
+                   (cum - n_tokens) % 512 AS offset_in_seq
+            FROM c
         """,
     }

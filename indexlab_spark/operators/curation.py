@@ -258,3 +258,105 @@ def hash_sample(
     return df.withColumn("hash_prefix", prefix).where(
         F.col("hash_prefix") < F.lit(hex_prefix_lt)
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    seed: str = "resample",
+) -> DataFrame:
+    """Language-balanced (temperature) resampling: keep each document
+    with a per-group rate ∝ p_g^alpha / p_g (the multilingual sampling
+    scheme of XLM/mBERT pre-training, public), scaled so the expected
+    kept total is ``budget_frac`` of the corpus. Upsampling is clamped
+    at rate 1.0 (this operator only filters).
+
+    Determinism: the keep decision is md5(seed|id) % 1e6 < floor(rate*1e6)
+    — reproducible across engines, runs, partitionings. alpha=0.5 keeps
+    the rate math inside IEEE-exact sqrt (bit-identical in any engine);
+    other alphas go through pow() whose last-ulp may differ across libm
+    implementations (documented risk, not used in oracle-checked paths).
+
+    Plan: one tiny groupBy for the rate table (broadcast back), then a
+    shuffle-free filter over the corpus.
+    """
+    if alpha != 0.5:
+        raise ValueError("oracle-portable path requires alpha=0.5 (sqrt)")
+    from indexlab_spark.functions.hashing import md5_long
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    tot = counts.agg(
+        F.sum("n_g").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_g").cast("double"))).alias("sum_sqrt"),
+    )
+    # q_g = sqrt(n_g)/sum_sqrt (the 1/sqrt(N) factors cancel);
+    # rate_g = min(1, budget_frac * n_total * q_g / n_g)
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * F.col("n_total").cast("double")
+            * (F.sqrt(F.col("n_g").cast("double")) / F.col("sum_sqrt"))
+            / F.col("n_g").cast("double"),
+        ).alias("rate"),
+    )
+    hash_mod = (
+        md5_long(F.concat(F.lit(f"{seed}|"), _c(id_col).cast("string"))) % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("rate", F.round("rate", 6))
+        .filter(hash_mod < F.floor(F.col("rate") * 1_000_000).cast("bigint"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-split sequence packing: assign each document a
+    training-sequence id and an offset, as if documents were
+    concatenated in deterministic order and sliced into ``budget``-token
+    windows (standard LM pre-training packing).
+
+    Scale design: a GLOBAL running sum would be a single-partition
+    window — instead documents are sharded into ``n_buckets`` md5
+    buckets and packed independently within each (seq key =
+    ``bucket-local_seq``). Each bucket's cumsum is a window partitioned
+    by bucket — parallel, bounded state, and deterministic regardless of
+    input partitioning. At 100 TB, n_buckets scales with the cluster;
+    packing quality is unaffected since sequences never span buckets by
+    construction.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+    from indexlab_spark.operators.textstats import token_count
+    from pyspark.sql import Window
+
+    base = df.select(
+        _c(id_col).alias("id"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+        (md5_long(_c(id_col).cast("string")) % n_buckets).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "id",
+        "bucket",
+        "n_tokens",
+        F.concat_ws(
+            "-", F.col("bucket"), F.expr(f"(cum - n_tokens) div {budget}")
+        ).alias("seq_id"),
+        (start % budget).alias("offset_in_seq"),
+    )

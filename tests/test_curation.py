@@ -146,3 +146,50 @@ def test_gapfill_locf(spark):
     gap = out["2024-01-01 01:00"]
     assert gap["is_gap"] is True and gap["n"] == 0 and gap["locf_value"] == 3.0
     assert out["2024-01-01 02:00"]["locf_value"] == 5.0
+
+
+def test_temperature_resample(spark):
+    import math
+
+    from indexlab_spark.operators.curation import temperature_resample
+
+    rows = [(i, "x" * 5, "en" if i < 90 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = temperature_resample(df, alpha=0.5, budget_frac=0.5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # rare lang upsampled to rate 1.0 (clamped) -> all 10 kept
+    n_total, sum_sqrt = 100, math.sqrt(90) + math.sqrt(10)
+    rate_de = min(1.0, 0.5 * n_total * (math.sqrt(10) / sum_sqrt) / 10)
+    assert rate_de == 1.0
+    assert len(by_lang["de"]) == 10
+    rate_en = min(1.0, 0.5 * n_total * (math.sqrt(90) / sum_sqrt) / 90)
+    assert all(r["rate"] == round(rate_en, 6) for r in by_lang["en"])
+    # keep decision reproducible across partitionings
+    out2 = temperature_resample(
+        df.repartition(7), alpha=0.5, budget_frac=0.5
+    ).collect()
+    assert {r["doc_id"] for r in out2} == {r["doc_id"] for r in out}
+    # alpha != 0.5 is rejected (pow() is not oracle-portable)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_resample(df, alpha=0.7)
+
+
+def test_pack_sequences(spark):
+    from indexlab_spark.operators.curation import pack_sequences
+
+    # 1 bucket so packing order is just doc_id order: 3 docs x 300 tokens
+    rows = [(i, " ".join(["tok"] * 300)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r.asDict() for r in pack_sequences(df, budget=512, n_buckets=1).collect()}
+    assert out[0]["seq_id"] == "0-0" and out[0]["offset_in_seq"] == 0
+    # doc 1 starts at token 300 -> still window 0, offset 300
+    assert out[1]["seq_id"] == "0-0" and out[1]["offset_in_seq"] == 300
+    # doc 2 starts at 600 -> window 1, offset 88
+    assert out[2]["seq_id"] == "0-1" and out[2]["offset_in_seq"] == 600 - 512
+    # deterministic under repartition
+    outs = pack_sequences(df.repartition(5), budget=512, n_buckets=1).collect()
+    assert {r["id"]: r["seq_id"] for r in outs} == {k: v["seq_id"] for k, v in out.items()}
