@@ -113,6 +113,26 @@ def baseline_b4_bm25(texts: list[str], queries: list[str]) -> None:
         np.argpartition(-scores, min(50, n - 1))[:50]
 
 
+def baseline_b6_kmeans(mat: np.ndarray, k: int, iters: int = 20) -> None:
+    """numpy Lloyd's KMeans (BASELINE B6). faiss/sklearn are not in the
+    container, so the single-node oracle is a seeded vectorized Lloyd loop
+    with the same iteration budget as MLlib KMeans' default maxIter=20."""
+    rng = np.random.default_rng(42)
+    x = mat.astype(np.float64)
+    centers = x[rng.choice(len(x), size=k, replace=False)].copy()
+    x2 = (x * x).sum(1)[:, None]
+    for _ in range(iters):
+        d = x2 - 2.0 * (x @ centers.T) + (centers * centers).sum(1)[None, :]
+        a = d.argmin(1)
+        sums = np.zeros_like(centers)
+        counts = np.zeros(k)
+        np.add.at(sums, a, x)
+        np.add.at(counts, a, 1)
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
+    (x2 - 2.0 * (x @ centers.T) + (centers * centers).sum(1)[None, :]).argmin(1)
+
+
 def baseline_b5_analytics(lens: list[int]) -> None:
     """Reference-exact stats + histogram port (analytics.py:106-135)."""
     a = sorted(lens)
@@ -302,14 +322,33 @@ def main() -> None:
         return assigned.count()
 
     queries_sec["b6_ivf_build"], _ = timed(spark_b6)
+    baseline_sec["b6_ivf_build"], _ = timed(
+        lambda: baseline_b6_kmeans(mat, min(256, n_vec // 8))
+    )
     rows_per_sec["b6_ivf_build"] = round(n_vec / queries_sec["b6_ivf_build"], 1)
+
+    # amortized variant: REP x corpus (fixed per-job overhead dominates the
+    # small build; the large build is the trend that extrapolates)
+    def spark_b6_large():
+        assigned, _ = build_ivf(big_corpus, nlist=256, seed=42)
+        return assigned.count()
+
+    queries_sec["b6_ivf_build_large"], _ = timed(spark_b6_large)
+    baseline_sec["b6_ivf_build_large"], _ = timed(
+        lambda: baseline_b6_kmeans(big_mat, 256)
+    )
+    rows_per_sec["b6_ivf_build_large"] = round(
+        REP * n_vec / queries_sec["b6_ivf_build_large"], 1
+    )
 
     # headline relational/dedup queries at bench SF ------------------------
     import __spark_entry__ as entry_mod
 
     for name in ("pricing_summary", "top_revenue", "events_sessions",
                  "minhash_lsh", "lang_quality", "exact_dedup", "simhash_pairs",
-                 "asof_signup", "events_daily", "knn_cosine"):
+                 "asof_signup", "events_daily", "knn_cosine",
+                 "quality_filter", "dedup_clusters", "pack_sequences",
+                 "events_gapfill"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

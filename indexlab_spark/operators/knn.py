@@ -263,7 +263,13 @@ def build_ivf(
     from pyspark.ml.functions import array_to_vector
 
     with_vec = chunks_df.withColumn("_v", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=nlist, seed=seed, featuresCol="_v", predictionCol="cluster_id")
+    # random init (not k-means||): matches FAISS's random-subset training
+    # contract and skips k-means||'s extra distributed init passes — cell
+    # quality is property-tested (recall floor), not hash-tested.
+    km = KMeans(
+        k=nlist, seed=seed, initMode="random",
+        featuresCol="_v", predictionCol="cluster_id",
+    )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).drop("_v").withColumn(
         "cluster_id", F.col("cluster_id").cast("int")

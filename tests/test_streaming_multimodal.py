@@ -221,3 +221,37 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
         for r in closed_b.collect()
     }
     assert got == expect
+
+
+def test_curation_ops_compose_with_streaming(spark, sf_dir, tmp_path):
+    """The curation maps (quality_flags, redact_pii) are stateless Catalyst
+    expressions, so they run unchanged on a streaming DataFrame — the
+    streaming ingest-filter path of a training pipeline. Stream output
+    must equal the batch result on the same files."""
+    from indexlab_spark.operators.curation import quality_flags, redact_pii
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import run_stream_to_memory
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        quality_flags(stream), "curation_flags_stream", output_mode="append"
+    )
+    run_stream_to_memory(
+        redact_pii(stream), "curation_pii_stream", output_mode="append"
+    )
+    got_flags = {r["id"]: r["keep"]
+                 for r in spark.sql("select * from curation_flags_stream").collect()}
+    expect_flags = {r["id"]: r["keep"] for r in quality_flags(docs).collect()}
+    assert got_flags == expect_flags and len(got_flags) > 0
+    got_pii = {r["id"]: r["redacted"]
+               for r in spark.sql("select * from curation_pii_stream").collect()}
+    expect_pii = {r["id"]: r["redacted"] for r in redact_pii(docs).collect()}
+    assert got_pii == expect_pii
