@@ -974,6 +974,70 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=512, n_buckets=32)
 
 
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured breadth — JSON property extraction from the events
+    props column (get_json_object stays in codegen; no Python), then a
+    per-type aggregate over the extracted value."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "view", "signup", "error", "purchase"]
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — daily event counts as one column per type (explicit value
+    list so the output schema is static; Spark needs no extra pass to
+    discover pivot values, and absent combos coalesce to 0)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    p = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
+    )
+
+
+def _q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT percentiles (p50/p90/p99 in one pass — Spark
+    percentile() and DuckDB quantile_cont share the interpolation rule,
+    proven scalar-wise by doc_len_stats/A3)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "transform(percentile(value, array(0.5D, 0.9D, 0.99D)),"
+            " x -> round(x, 6))"
+        ).alias("quantiles"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def _q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape — orders priced above 1.5x their
+    own customer's average, counted per priority. Decorrelated to a
+    per-customer window (one shuffle on custkey) instead of a rescan per
+    row."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey")
+    o = t["orders"].withColumn("cust_avg", F.avg("o_totalprice").over(w))
+    return (
+        o.filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1022,6 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": _q_events_gapfill,
         "temperature_resample": _q_temperature_resample,
         "pack_sequences": _q_pack_sequences,
+        "events_json": _q_events_json,
+        "events_pivot": _q_events_pivot,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "above_avg_orders": _q_above_avg_orders,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1809,5 +1877,38 @@ def oracle_sql() -> dict[str, str]:
                        || CAST((cum - n_tokens) // 512 AS VARCHAR) AS seq_id,
                    (cum - n_tokens) % 512 AS offset_in_seq
             FROM c
+        """,
+        "events_json": """
+            SELECT event_type,
+                   round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+                   sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                            THEN 1 ELSE 0 END) AS n_high
+            FROM events GROUP BY 1
+        """,
+        "events_pivot": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   count(*) FILTER (WHERE event_type = 'click')    AS click,
+                   count(*) FILTER (WHERE event_type = 'view')     AS view,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                   count(*) FILTER (WHERE event_type = 'error')    AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+            FROM events GROUP BY 1
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
+                                  x -> round(x, 6)) AS quantiles,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "above_avg_orders": """
+            WITH o AS (SELECT o_orderpriority, o_totalprice,
+                              avg(o_totalprice) OVER (PARTITION BY o_custkey)
+                                  AS cust_avg
+                       FROM orders)
+            SELECT o_orderpriority, count(*) AS n_above
+            FROM o WHERE o_totalprice > 1.5 * cust_avg
+            GROUP BY 1
         """,
     }
