@@ -271,6 +271,23 @@ def main() -> None:
     )
     rows_per_sec["b3_eval"] = round(len(q_mat) / queries_sec["b3_eval"], 1)
 
+    # B3-large: same gold set evaluated against the REP x corpus
+    def spark_b3_large():
+        hits = knn_matmul(spark, q_df, big_corpus, max(K, 10))
+        gold = spark.range(len(q_mat)).select(
+            F.col("id").alias("query_id"),
+            ((F.col("id") * 7 + 3) % n_vec).cast("string").alias("expected_id"),
+        )
+        return eval_metrics(eval_results(gold, hits, K)).collect()[0]
+
+    queries_sec["b3_eval_large"], _ = timed(spark_b3_large)
+    baseline_sec["b3_eval_large"], _ = timed(
+        lambda: baseline_b3_eval(big_mat, q_mat, expected)
+    )
+    rows_per_sec["b3_eval_large"] = round(
+        len(q_mat) / queries_sec["b3_eval_large"], 1
+    )
+
     # B4 BM25 build + query ------------------------------------------------
     bm_queries = [
         (i, " ".join(str(docs_pdf["text"].iloc[i % len(docs_pdf)]).split()[:4]))

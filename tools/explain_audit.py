@@ -14,7 +14,9 @@ def main():
     sf = "/root/testdata/sf0.01"
     qs = entry_mod.queries()
     names = sys.argv[1:] or ["knn_ip", "doc_len_stats", "top_revenue",
-                             "asof_signup", "bm25_topk", "minhash_lsh"]
+                             "asof_signup", "bm25_topk", "minhash_lsh",
+                             "decontaminate", "temperature_resample",
+                             "pack_sequences", "late_orders", "events_gapfill"]
     for name in names:
         print(f"\n========== {name} ==========")
         qs[name](spark, sf).explain("formatted")
