@@ -1038,6 +1038,33 @@ def _q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame breadth — daily order revenue with a 7-row trailing
+    moving average (bounded ROWS frame, O(1) state per row). Revenue sums
+    go through DECIMAL so partial-sum order can't wiggle the 6dp hash;
+    the un-partitioned window is bounded by CALENDAR DAYS (not data
+    volume), so the single-partition sort stays trivial at any corpus
+    scale."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").cast("string").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 6).alias("ma7"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1090,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "event_value_quantiles": _q_event_value_quantiles,
         "above_avg_orders": _q_above_avg_orders,
+        "revenue_moving_avg": _q_revenue_moving_avg,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1910,5 +1938,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_above
             FROM o WHERE o_totalprice > 1.5 * cust_avg
             GROUP BY 1
+        """,
+        "revenue_moving_avg": """
+            WITH daily AS (
+                SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                  AS DOUBLE), 6) AS revenue
+                FROM orders GROUP BY 1)
+            SELECT day, revenue,
+                   round(avg(revenue) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+                   CAST(count(*) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INTEGER)
+                       AS n_in_frame
+            FROM daily
         """,
     }
