@@ -255,3 +255,56 @@ def test_curation_ops_compose_with_streaming(spark, sf_dir, tmp_path):
                for r in spark.sql("select * from curation_pii_stream").collect()}
     expect_pii = {r["id"]: r["redacted"] for r in redact_pii(docs).collect()}
     assert got_pii == expect_pii
+
+
+def test_streaming_ingest_appends_index(spark, tmp_path):
+    """Streaming INGEST end-to-end: readStream over a document directory
+    -> foreachBatch(append_to_index) — each micro-batch commits a new
+    copy-on-write version with explicit deterministic version ids; the
+    final version contains seed + all streamed docs and is searchable.
+    This is the streaming face of the X1 pipeline: micro-batch commit ==
+    version, so exactly-once at the version level."""
+    from indexlab_spark.config import EngineConfig, IngestConfig
+    from indexlab_spark.pipeline import append_to_index, build_index, load_index
+
+    engine = EngineConfig(warehouse_dir=str(tmp_path / "wh"))
+    seed = spark.createDataFrame([("seed document about spark engines",)], ["text"])
+    build_index(
+        spark, seed, IngestConfig(index_name="streamidx"), engine, version="v0"
+    )
+
+    src = str(tmp_path / "incoming")
+    batch1 = spark.createDataFrame(
+        [("first streamed doc about vector search",)], ["text"]
+    )
+    batch2 = spark.createDataFrame(
+        [("second streamed doc about bm25 ranking",)], ["text"]
+    )
+    batch1.write.parquet(src)                  # file 1
+    batch2.write.mode("append").parquet(src)   # file 2
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def commit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        append_to_index(
+            spark, batch_df, "streamidx", engine, version=f"v{batch_id + 1:03d}"
+        )
+
+    q = stream.writeStream.foreachBatch(commit).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    chunks, manifest = load_index(spark, "streamidx", engine)
+    texts = [r["text"] for r in chunks.select("text").collect()]
+    assert manifest["count"] == 3
+    assert any("seed document" in t for t in texts)
+    assert any("first streamed" in t for t in texts)
+    assert any("second streamed" in t for t in texts)
+    # doc numbering continued across versions (no collisions)
+    doc_nos = sorted(r["doc_no"] for r in chunks.select("doc_no").collect())
+    assert doc_nos == [0, 1, 2]
