@@ -1,0 +1,93 @@
+"""Join co-location strategies for 100 TB fact-fact joins.
+
+Two patterns Spark offers beyond broadcast (small side) and plain
+shuffled SMJ (both sides move every query):
+
+- **Bucketing** (`write_bucketed` + `bucketed_join`): pay the shuffle
+  ONCE at write time — both tables hash-bucketed and sorted on the join
+  key produce a SortMergeJoin with ZERO Exchange (and no Sort) at read
+  time. The right layout for a fact table joined on the same key query
+  after query (orders ⨝ lineitem on orderkey). Verified by plan
+  inspection in tests (`exchange_count == 0`).
+
+- **Salting** (`salted_join`): when one join key is pathologically hot,
+  a plain shuffle sends the whole hot key to one task. Salting splits
+  the BIG side's rows across ``n_salt`` sub-keys and replicates the
+  small-but-not-broadcastable side once per salt, bounding any task at
+  ~1/n_salt of the hot key. AQE's skew-join splitting (enabled in
+  session.py) handles moderate skew automatically; explicit salting is
+  the deterministic fallback for extreme single-key skew or for
+  aggregations AQE can't split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed AND sorted on ``key`` (parquet,
+    session catalog; external table at ``path`` if given — bucket
+    METADATA lives in the catalog either way). Joins/aggregations on
+    ``key`` between tables bucketed with the SAME bucket count then need
+    no Exchange and no Sort — the write-time shuffle is amortized over
+    every later query."""
+    w = df.write.mode(mode).bucketBy(buckets, key).sortBy(key).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle/broadcast-exchange) nodes in the
+    EXECUTED physical plan — the testable definition of 'co-located'."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a row-spread salt in
+    [0, n_salt); the small side is replicated once per salt value; the
+    join runs on (key, salt). Row multiplicity is exactly that of the
+    plain join — only the shuffle distribution changes (any single key's
+    work is spread over n_salt tasks at the cost of an n_salt-times
+    larger small side).
+
+    The salt uses monotonically_increasing_id so duplicate big-side rows
+    still spread; it is partition-dependent (NOT reproducible run to
+    run) which is fine — the salt never reaches the output.
+    """
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salt - 1))
+    ).alias("_salt")
+    small_s = small.select("*", salts)
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")
