@@ -193,3 +193,95 @@ def test_pack_sequences(spark):
     # deterministic under repartition
     outs = pack_sequences(df.repartition(5), budget=512, n_buckets=1).collect()
     assert {r["id"]: r["seq_id"] for r in outs} == {k: v["seq_id"] for k, v in out.items()}
+
+
+def test_pack_sequences_properties(spark):
+    """Invariants under arbitrary doc sizes: every doc appears exactly
+    once, offsets stay below the budget, and within a bucket the
+    token-weighted order by id reconstructs contiguous packing."""
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.curation import pack_sequences
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+        st.integers(min_value=8, max_value=64),
+    )
+    def check(word_counts, budget):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(word_counts)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = pack_sequences(df, budget=budget, n_buckets=3).collect()
+        assert sorted(r["id"] for r in out) == list(range(len(word_counts)))
+        by_bucket = {}
+        for r in out:
+            assert 0 <= r["offset_in_seq"] < budget
+            assert r["n_tokens"] == word_counts[r["id"]]
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        for rows_b in by_bucket.values():
+            rows_b.sort(key=lambda r: r["id"])
+            cum = 0
+            for r in rows_b:
+                assert r["offset_in_seq"] == cum % budget
+                assert r["seq_id"] == f"{r['bucket']}-{cum // budget}"
+                cum += r["n_tokens"]
+
+    check()
+
+
+def test_quality_flags_matches_python_reference(spark):
+    """Fuzz quality_flags against a straight-line python reimplementation
+    of the documented semantics."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.curation import (
+        MAX_MEAN_WORD_LEN,
+        MAX_SYMBOL_RATIO,
+        MAX_WORDS,
+        MIN_ALPHA_WORD_FRAC,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        quality_flags,
+    )
+    from indexlab_spark.operators.textstats import STOPWORDS
+
+    alphabet = st.sampled_from(list("ab #.12...the and CD"))
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60), min_size=1, max_size=8
+    )
+
+    def py_ref(text):
+        toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+        n = len(toks)
+        mean_wl = (sum(len(t) for t in toks) / n) if n else 0.0
+        symbols = text.count("#") + text.count("...")
+        symbol_ratio = symbols / n if n else 0.0
+        alpha = sum(1 for t in toks if _re.search("[a-z]", t))
+        alpha_frac = alpha / n if n else 0.0
+        stop = sum(1 for t in toks if t in STOPWORDS["en"])
+        keep = (
+            MIN_WORDS <= n <= MAX_WORDS
+            and MIN_MEAN_WORD_LEN <= mean_wl <= MAX_MEAN_WORD_LEN
+            and symbol_ratio <= MAX_SYMBOL_RATIO
+            and alpha_frac >= MIN_ALPHA_WORD_FRAC
+            and stop >= MIN_STOPWORD_HITS
+        )
+        return (n, round(mean_wl, 6), round(symbol_ratio, 6),
+                round(alpha_frac, 6), stop, keep)
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame(list(enumerate(batch)), ["doc_id", "text"])
+        got = {
+            r["id"]: (r["n_words"], r["mean_word_len"], r["symbol_ratio"],
+                      r["alpha_word_frac"], r["stop_hits"], r["keep"])
+            for r in quality_flags(df).collect()
+        }
+        for i, text in enumerate(batch):
+            assert got[i] == py_ref(text), (text, got[i], py_ref(text))
+
+    check()
