@@ -89,3 +89,26 @@ def test_search_pool_cushion(spark, tmp_path):
     hits = search(spark, "pool", "alpha text", k=3, engine=eng).collect()
     assert len(hits) == 3
     assert [h["rank"] for h in hits] == [1, 2, 3]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Corpus partitions written at different pipeline versions (columns
+    added over time) read back as one frame with mergeSchema — old rows
+    surface NULL for later-added columns; no rewrite of old data."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(0, "alpha")], ["doc_id", "text"])
+    v1.write.parquet(base + "/batch=v1")
+    v2 = spark.createDataFrame(
+        [(1, "beta", "en")], ["doc_id", "text", "lang"]
+    )
+    v2.write.parquet(base + "/batch=v2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in merged.collect()}
+    assert rows == {0: ("alpha", None), 1: ("beta", "en")}
+    # later-version operators run over the union (null-tolerant)
+    n = merged.filter(F.col("lang").isNull()).count()
+    assert n == 1
