@@ -1065,6 +1065,52 @@ def _q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, LSH-bucketed scale path — random-hyperplane
+    sign signatures (16 planes, 4 bands), candidates from band-bucket
+    collisions only, exact-cosine verification >= 0.4. The hyperplane
+    constants are seeded driver-side and embedded as literals in BOTH
+    engines, so the candidate set (and hence the output) is
+    deterministic and oracle-checkable."""
+    from indexlab_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return embedding_lsh_pairs(emb, dim=64, n_planes=16, bands=4, threshold=0.4)
+
+
+def _build_lsh_oracle() -> str:
+    from indexlab_spark.operators.dedup import hyperplanes
+
+    planes = hyperplanes(16, 64, 42)
+    r = 4
+    bits = [
+        f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    ]
+    band_exprs = [
+        " || ".join(bits[b * r : (b + 1) * r]) + f" AS band_{b}" for b in range(4)
+    ]
+    kv_union = "\n                UNION ALL ".join(
+        f"SELECT id, v, {b} AS band_no, band_{b} AS key FROM sig" for b in range(4)
+    )
+    return f"""
+            WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sig AS (SELECT id, v, {", ".join(band_exprs)} FROM s),
+            kv AS ({kv_union}),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM kv a JOIN kv b
+                       ON a.band_no = b.band_no AND a.key = b.key
+                      AND a.id < b.id),
+            ver AS (SELECT c.id_a, c.id_b,
+                           round(list_cosine_similarity(sa.v, sb.v), 6) AS cos
+                    FROM cand c
+                    JOIN s sa ON sa.id = c.id_a
+                    JOIN s sb ON sb.id = c.id_b)
+            SELECT id_a, id_b, cos FROM ver WHERE cos >= 0.4
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1118,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "above_avg_orders": _q_above_avg_orders,
         "revenue_moving_avg": _q_revenue_moving_avg,
+        "embedding_lsh": _q_embedding_lsh,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -1953,4 +2000,5 @@ def oracle_sql() -> dict[str, str]:
                        AS n_in_frame
             FROM daily
         """,
+        "embedding_lsh": _build_lsh_oracle(),
     }

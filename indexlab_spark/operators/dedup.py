@@ -431,3 +431,100 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster"))
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42):
+    """Seeded random hyperplanes for sign-LSH, as plain python floats.
+
+    Generated driver-side and embedded as LITERALS into both the Spark
+    expression tree and the DuckDB oracle SQL — repr(float) round-trips,
+    so both engines parse bit-identical doubles and compute identical
+    signatures (modulo a sign flip when a dot product sits within one
+    ulp of zero — measure-zero on real data, pinned by the fixed gate
+    dataset).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (sign) LSH — the
+    LSH-bucketed scale path for cosine similarity search (the other one
+    being IVF cells; brute force is knn_join/embedding_dup_pairs).
+
+    sig bit i = [v . h_i >= 0]; the n_planes bits split into ``bands``
+    band keys; only pairs colliding on SOME band are candidates
+    (collision prob for similarity s: 1-(1-p^r)^b, p = 1 - theta(s)/pi),
+    then candidates are verified with exact cosine >= threshold. Pair
+    generation is sum-of-bucket^2 like MinHash banding — sub-quadratic
+    on real corpora — and verification touches candidates only.
+    """
+    from indexlab_spark.functions.vector import cosine
+
+    planes = hyperplanes(n_planes, dim, seed)
+    r = n_planes // bands
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    band_cols = [
+        F.concat(*bits[b * r : (b + 1) * r]).alias(f"band_{b}") for b in range(bands)
+    ]
+    sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *band_cols)
+
+    band_kv = sigs.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+
+    cand = (
+        band_kv.alias("a")
+        .join(band_kv.alias("b"), ["band_no", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

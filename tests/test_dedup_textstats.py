@@ -157,3 +157,32 @@ def test_stratified_split_bad_weights(spark, tables):
 
     with _pytest.raises(ValueError):
         stratified_split(tables["documents"], weights={"train": 50, "test": 20})
+
+
+def test_embedding_lsh_subset_of_bruteforce(spark, tables):
+    """Sign-LSH candidates are a SUBSET of brute-force pairs at the same
+    threshold, verified cosines agree exactly, and the output is
+    deterministic across runs (seeded hyperplanes)."""
+    from indexlab_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_lsh_pairs,
+    )
+
+    emb = tables["embeddings"]
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    assert lsh  # finds something
+    assert set(lsh) <= set(brute)
+    for k, cos in lsh.items():
+        assert cos == brute[k]
+    lsh2 = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    assert lsh == lsh2
