@@ -365,7 +365,7 @@ def main() -> None:
                  "minhash_lsh", "lang_quality", "exact_dedup", "simhash_pairs",
                  "asof_signup", "events_daily", "knn_cosine",
                  "quality_filter", "dedup_clusters", "pack_sequences",
-                 "events_gapfill"):
+                 "events_gapfill", "embedding_lsh"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -510,6 +510,9 @@ def embedding_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "v", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    # both sides of the bucket self-join read this frame — persist so the
+    # 16-plane signature folds run once per row, not twice
+    band_kv = band_kv.persist()
 
     cand = (
         band_kv.alias("a")
