@@ -1111,6 +1111,48 @@ def _build_lsh_oracle() -> str:
         """
 
 
+def _q_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — doc counts/chars over every (lang, source)
+    margin combination in one pass (margin NULLs coalesced to '(all)';
+    the documents table has no null keys, so no GROUPING() ambiguity)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n",
+            "chars",
+        )
+    )
+
+
+def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join — part-name pairs within edit distance 2,
+    BLOCKED by brand so the pair space is sum-of-block^2, not n^2 (the
+    standard entity-resolution shape; levenshtein is JVM-side)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    p = t["part"].select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+        .filter(F.col("dist") <= 2)
+        .select(
+            "p_brand",
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1165,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": _q_above_avg_orders,
         "revenue_moving_avg": _q_revenue_moving_avg,
         "embedding_lsh": _q_embedding_lsh,
+        "docs_cube": _q_docs_cube,
+        "fuzzy_part_names": _q_fuzzy_part_names,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -2001,4 +2045,20 @@ def oracle_sql() -> dict[str, str]:
             FROM daily
         """,
         "embedding_lsh": _build_lsh_oracle(),
+        "docs_cube": """
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*) AS n, sum(n_chars) AS chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
+        """,
+        "fuzzy_part_names": """
+            SELECT a.p_brand,
+                   a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
     }
