@@ -1826,7 +1826,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT id, unnest(bgs) AS bigram FROM d)
                 GROUP BY 1, 2),
             bt AS (
-                SELECT id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+                SELECT id, max(n) AS top_bigram_n,
+                       CAST(sum(n) AS BIGINT) AS n_bigrams
                 FROM bc GROUP BY 1)
             SELECT d.id, d.n_words,
                    round(d.dwf, 6) AS dup_word_frac,
@@ -1987,9 +1988,9 @@ def oracle_sql() -> dict[str, str]:
                            AS bucket
                 FROM documents),
             c AS (SELECT id, bucket, n_tokens,
-                         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+                         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             AS cum
+                             AS BIGINT) AS cum
                   FROM base)
             SELECT id, bucket, n_tokens,
                    CAST(bucket AS VARCHAR) || '-'

@@ -80,6 +80,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The harness (or any external caller) may hand us a session that was
+    # built without get_spark's builder confs; nanosAsLong is runtime-settable,
+    # so pin it here so correctness never depends on who built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     out = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -1,7 +1,8 @@
 """Simulate the driver's verify loop locally: smoke entry(spark), then run
 every queries() entry at sf0.01 against its oracle_sql() via DuckDB and
 compare row-count, column names, and order-insensitive values (floats
-rounded to 6dp). Usage: python tools/driver_sim.py [sf_dir]"""
+rounded to 6dp). Usage: python tools/driver_sim.py [sf_dir] [query ...]
+(extra args restrict the run to those query names and skip the entry smoke)."""
 
 from __future__ import annotations
 
@@ -44,13 +45,15 @@ def df_to_rows(cols, rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("driver-sim", shuffle_partitions=8)
 
-    t0 = time.time()
-    df = entry_mod.entry(spark)
-    n = df.count()
-    print(f"entry: {n} rows, schema={df.columns}, {time.time()-t0:.1f}s")
-    assert n >= 0
+    if not only:
+        t0 = time.time()
+        df = entry_mod.entry(spark)
+        n = df.count()
+        print(f"entry: {n} rows, schema={df.columns}, {time.time()-t0:.1f}s")
+        assert n >= 0
 
     con = duckdb.connect()
     for t in TABLES:
@@ -62,6 +65,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
