@@ -1065,41 +1065,95 @@ def _q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared constants for the embedding_lsh gate query + oracle. The synthetic
+# embeddings are noise-like (max pairwise cosine ~0.60 at sf0.1), so the
+# query demonstrates LSH in its honest regime by planting deterministic
+# near-dups: every vec_id % 10 == 0 vector gets a copy (id + 1,000,000) with
+# its first 8 coordinates zeroed — cosine 0.83-0.99 vs the original, portable
+# to both engines as pure array arithmetic. Config 128 planes / 8 bands x
+# 16-bit keys + 1-bit multiprobe measured at sf0.1: candidates = 0.36% of all
+# pairs, recall 98.5% at cos >= 0.85 (vs 26% / brute-force in round 1).
+_LSH_PLANES = 128
+_LSH_BANDS = 8
+_LSH_THRESHOLD = 0.85
+_LSH_PLANT_MOD = 10
+_LSH_PLANT_OFFSET = 1_000_000
+_LSH_MASK = 8
+_LSH_DIM = 64
+
+
+def _lsh_planted_corpus(emb: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = emb.filter(F.col("vec_id") % _LSH_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _LSH_PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(*[F.lit(0.0)] * _LSH_MASK),
+            F.slice(v, _LSH_MASK + 1, _LSH_DIM - _LSH_MASK),
+        ).alias("embedding"),
+    )
+    return base.unionAll(planted)
+
+
 def _q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search, LSH-bucketed scale path — random-hyperplane
-    sign signatures (16 planes, 4 bands), candidates from band-bucket
-    collisions only, exact-cosine verification >= 0.4. The hyperplane
-    constants are seeded driver-side and embedded as literals in BOTH
-    engines, so the candidate set (and hence the output) is
+    """Similarity search, LSH-bucketed scale path — random-hyperplane sign
+    signatures (128 planes, 8 bands x 16-bit integer keys, 1-bit
+    multiprobe), candidates from band-bucket collisions only, exact-cosine
+    verification >= 0.85 over a corpus with planted near-duplicates. The
+    hyperplane constants are seeded driver-side and embedded as literals in
+    BOTH engines, so the candidate set (and hence the output) is
     deterministic and oracle-checkable."""
     from indexlab_spark.operators.dedup import embedding_lsh_pairs
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return embedding_lsh_pairs(emb, dim=64, n_planes=16, bands=4, threshold=0.4)
+    return embedding_lsh_pairs(
+        _lsh_planted_corpus(emb),
+        dim=_LSH_DIM,
+        n_planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        threshold=_LSH_THRESHOLD,
+        multiprobe=1,
+    )
 
 
 def _build_lsh_oracle() -> str:
     from indexlab_spark.operators.dedup import hyperplanes
 
-    planes = hyperplanes(16, 64, 42)
-    r = 4
-    bits = [
-        f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN '1' ELSE '0' END)"
-        for plane in planes
-    ]
-    band_exprs = [
-        " || ".join(bits[b * r : (b + 1) * r]) + f" AS band_{b}" for b in range(4)
-    ]
+    planes = hyperplanes(_LSH_PLANES, _LSH_DIM, 42)
+    bands, r = _LSH_BANDS, _LSH_PLANES // _LSH_BANDS
+    band_exprs = []
+    for b in range(bands):
+        terms = [
+            f"(CASE WHEN list_dot_product(v, {planes[b * r + i]!r}) >= 0"
+            f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(r)
+        ]
+        band_exprs.append(" + ".join(terms) + f" AS band_{b}")
     kv_union = "\n                UNION ALL ".join(
-        f"SELECT id, v, {b} AS band_no, band_{b} AS key FROM sig" for b in range(4)
+        f"SELECT id, {b} AS band_no, band_{b} AS key FROM sig" for b in range(bands)
     )
+    zeros = ", ".join(["0"] * _LSH_MASK)
     return f"""
-            WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
+            WITH s0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+            s AS (
+                SELECT id, v FROM s0
+                UNION ALL
+                SELECT id + {_LSH_PLANT_OFFSET},
+                       CAST([{zeros}] AS DOUBLE[]) || v[{_LSH_MASK + 1}:{_LSH_DIM}]
+                FROM s0 WHERE id % {_LSH_PLANT_MOD} = 0
+            ),
             sig AS (SELECT id, v, {", ".join(band_exprs)} FROM s),
             kv AS ({kv_union}),
+            probe AS (
+                SELECT id, band_no, key FROM kv
+                UNION ALL
+                SELECT id, band_no,
+                       xor(key, CAST(1 AS BIGINT) << CAST(j AS INTEGER)) AS key
+                FROM kv, generate_series(0, {r - 1}) t(j)
+            ),
             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM kv a JOIN kv b
+                     FROM probe a JOIN kv b
                        ON a.band_no = b.band_no AND a.key = b.key
                       AND a.id < b.id),
             ver AS (SELECT c.id_a, c.id_b,
@@ -1107,7 +1161,7 @@ def _build_lsh_oracle() -> str:
                     FROM cand c
                     JOIN s sa ON sa.id = c.id_a
                     JOIN s sb ON sb.id = c.id_b)
-            SELECT id_a, id_b, cos FROM ver WHERE cos >= 0.4
+            SELECT id_a, id_b, cos FROM ver WHERE cos >= {_LSH_THRESHOLD}
         """
 
 

@@ -160,29 +160,35 @@ def test_stratified_split_bad_weights(spark, tables):
 
 
 def test_embedding_lsh_subset_of_bruteforce(spark, tables):
-    """Sign-LSH candidates are a SUBSET of brute-force pairs at the same
-    threshold, verified cosines agree exactly, and the output is
-    deterministic across runs (seeded hyperplanes)."""
+    """Sign-LSH pairs are a SUBSET of brute-force pairs at the same
+    threshold with high recall on planted near-dups, verified cosines
+    agree exactly, and the output is deterministic across runs (seeded
+    hyperplanes). Runs the operator in its honest regime (cos >= 0.85
+    near-duplicates): the raw synthetic embeddings are noise-like, so the
+    corpus gets planted dups — a zero-masked-prefix copy of every 10th
+    vector, same construction as the gate query."""
+    import __spark_entry__ as entry_mod
     from indexlab_spark.operators.dedup import (
         embedding_dup_pairs,
         embedding_lsh_pairs,
     )
 
-    emb = tables["embeddings"]
+    corpus = entry_mod._lsh_planted_corpus(tables["embeddings"])
     brute = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in embedding_dup_pairs(emb, threshold=0.4).collect()
+        for r in embedding_dup_pairs(corpus, threshold=0.85).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in embedding_lsh_pairs(emb, threshold=0.4).collect()
+        for r in embedding_lsh_pairs(corpus, threshold=0.85).collect()
     }
     assert lsh  # finds something
     assert set(lsh) <= set(brute)
+    assert len(lsh) >= 0.9 * len(brute)  # multiprobe recall on near-dups
     for k, cos in lsh.items():
         assert cos == brute[k]
     lsh2 = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in embedding_lsh_pairs(emb, threshold=0.4).collect()
+        for r in embedding_lsh_pairs(corpus, threshold=0.85).collect()
     }
     assert lsh == lsh2
