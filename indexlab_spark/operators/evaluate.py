@@ -54,15 +54,17 @@ def eval_results(
         F.transform(F.col("_hits"), lambda h: h["id"].cast("string")).alias("top_ids"),
     )
     joined = gold_df.join(with_ids, query_id_col, "left")
-    pos = F.array_position(
-        F.col("top_ids"), F.col(expected_col).cast("string")
-    )  # 0 = miss
+    # A gold query with zero retrieved hits gets top_ids NULL from the left
+    # join; coalesce to an empty array so found is false (a counted miss),
+    # not NULL (which avg() would silently drop, inflating recall/MRR).
+    top_ids = F.coalesce(F.col("top_ids"), F.array().cast("array<string>"))
+    pos = F.array_position(top_ids, F.col(expected_col).cast("string"))  # 0 = miss
     return joined.select(
         query_id_col,
         F.col(expected_col).cast("string").alias(expected_col),
-        (pos > 0).alias("found"),
+        F.coalesce(pos > 0, F.lit(False)).alias("found"),
         F.when(pos > 0, pos.cast("int")).alias("rank"),
-        "top_ids",
+        top_ids.alias("top_ids"),
     )
 
 
