@@ -57,20 +57,60 @@ def with_doc_text(
     )
 
 
-def with_row_numbers(df: DataFrame, out_col: str = "doc_no") -> DataFrame:
-    """Assign 0-based doc numbers in current row order.
+def zip_index(df: DataFrame, out_col: str) -> DataFrame:
+    """zipWithIndex over the CURRENT partition layout — 0-based global row
+    numbers with NO single-partition Exchange.
 
-    Scale note: a global row_number() is a single-partition window — fine
-    for document ingest batches (the reference's unit of work is one
-    uploaded file); for 100 TB corpora use ``zipWithIndex``-style
-    per-partition offsets via ``monotonically_increasing_id`` + an
-    offset-join, provided source order is well-defined. Here we keep the
-    semantic contract exact (doc_no == pandas row index).
+    ``monotonically_increasing_id()`` is documented as
+    ``(partition_id << 33) | row_in_partition`` with the low 33 bits
+    counting consecutively from 0, so the within-partition position is a
+    bitmask away. Per-partition row counts (a tiny map-side-combined agg)
+    become cumulative offsets broadcast back onto each row. Total cost:
+    one lightweight counting pass + a broadcast hash join — every
+    partition numbers itself in parallel, vs the global
+    ``row_number().over(Window.orderBy(...))`` that funnels the whole
+    frame through one task (the round-1 scale defect on the ingest path).
+
+    Numbering order == (partition order, row order within partition) ==
+    exactly what ``Window.orderBy(monotonically_increasing_id())``
+    produced, so results are bit-identical to the old global window.
     """
-    from pyspark.sql.window import Window
+    part = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = sorted(
+        (r[0], r[1]) for r in part.groupBy("_pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((int(pid), acc))
+        acc += int(cnt)
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    within = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        part.join(off, "_pid", "left")
+        .withColumn(out_col, (F.col("_off") + within).cast("long"))
+        .drop("_pid", "_mid", "_off")
+    )
 
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(out_col, F.row_number().over(w) - 1)
+
+def global_order_index(df: DataFrame, order_cols: list, out_col: str) -> DataFrame:
+    """Global 0-based rank by ``order_cols`` (assumed unique) without a
+    single-partition window: range-repartition on the keys — global order
+    ACROSS partitions — sort within each (parallel), then zip_index. One
+    range shuffle replaces the Exchange SinglePartition that
+    ``row_number().over(Window.orderBy(keys))`` would force.
+    """
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    return zip_index(ranged, out_col)
+
+
+def with_row_numbers(df: DataFrame, out_col: str = "doc_no") -> DataFrame:
+    """Assign 0-based doc numbers in current row order (doc_no == pandas
+    row index parity, SURVEY §7.3) — zipWithIndex-style, scale-safe."""
+    return zip_index(df, out_col)
 
 
 def parse_doc_id(col: Column | str) -> tuple[Column, Column]:

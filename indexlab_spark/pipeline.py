@@ -38,12 +38,14 @@ from indexlab_spark.config import (
 )
 from indexlab_spark.functions.embed import with_embedding
 from indexlab_spark.functions.text import (
+    global_order_index,
     highlight_udf,
     normalize_df,
     preview,
     tokenize_query,
     with_doc_text,
     with_row_numbers,
+    zip_index,
 )
 from indexlab_spark.operators.chunk import explode_chunks
 from indexlab_spark.operators.knn import build_ivf, ivf_search, knn_join
@@ -92,11 +94,12 @@ def build_index(
     embedded = with_embedding(
         chunks, model=cfg.model, normalize=cfg.normalize
     )
-    # chunk_pos: global 0-based insert order (FAISS internal id analog, K5)
-    w = Window.orderBy("doc_no", "chunk_no")
-    embedded = embedded.withColumn(
-        "chunk_pos", F.row_number().over(w).cast("long") - 1
-    )
+    # chunk_pos: global 0-based insert order (FAISS internal id analog, K5).
+    # global_order_index = range-shuffle + parallel per-partition numbering;
+    # the old Window.orderBy funneled every embedded row through ONE task.
+    # Persist first: the numbering's counting pass must not re-embed.
+    embedded = embedded.persist()
+    embedded = global_order_index(embedded, ["doc_no", "chunk_no"], "chunk_pos")
 
     if cfg.backend == "ivf":
         embedded, centroids = build_ivf(embedded, nlist=cfg.nlist, seed=cfg.seed)
@@ -230,9 +233,11 @@ def append_to_index(
         docs, mode=cfg.chunk_mode, size=cfg.chunk_size, overlap=cfg.chunk_overlap
     )
     embedded = with_embedding(chunks, model=cfg.model, normalize=cfg.normalize)
-    w = Window.orderBy("doc_no", "chunk_no")
+    embedded = global_order_index(
+        embedded.persist(), ["doc_no", "chunk_no"], "chunk_pos"
+    )
     new_rows = embedded.withColumn(
-        "chunk_pos", F.row_number().over(w).cast("long") - 1 + F.lit(int(base["p"]))
+        "chunk_pos", F.col("chunk_pos") + F.lit(int(base["p"]))
     ).select(
         F.lit(index_name).alias("index_name"),
         F.lit(version).alias("version"),
@@ -385,8 +390,8 @@ def evaluate(
 
     engine = engine or EngineConfig()
     chunks, manifest = load_index(spark, index_name, engine, version)
-    gold = gold_df.withColumn(
-        "query_id", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())).cast("long")
+    gold = zip_index(gold_df, "query_id").withColumn(
+        "query_id", (F.col("query_id") + 1).cast("long")  # 1-based, row order
     )
     qemb = with_embedding(
         gold.select("query_id", "question"), text_col="question", out_col="qvec",
