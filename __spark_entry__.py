@@ -351,7 +351,7 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 dedup/simhash — 32-bit sign-aggregated fingerprints."""
+    """M7 dedup/simhash — 60-bit sign-aggregated fingerprints."""
     from indexlab_spark.operators.dedup import simhash
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -359,11 +359,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 dedup/simhash pairs — hamming <= 6 via byte-band candidate join."""
+    """M7 dedup/simhash pairs — hamming <= 3 (4-band pigeonhole guarantee) via 15-bit-band candidate join."""
     from indexlab_spark.operators.dedup import simhash, simhash_pairs
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    out = simhash_pairs(simhash(docs), max_hamming=6)
+    out = simhash_pairs(simhash(docs), max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -1520,7 +1520,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM ex),
             bits AS (SELECT id, j,
                             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                     FROM h, unnest(generate_series(0, 31)) AS tt(j)
+                     FROM h, unnest(generate_series(0, 59)) AS tt(j)
                      GROUP BY 1, 2)
             SELECT id, CAST(sum(CASE WHEN s >= 0
                                      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
@@ -1534,14 +1534,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM ex),
             bits AS (SELECT id, j,
                             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                     FROM h, unnest(generate_series(0, 31)) AS tt(j)
+                     FROM h, unnest(generate_series(0, 59)) AS tt(j)
                      GROUP BY 1, 2),
             sim AS (SELECT id, CAST(sum(CASE WHEN s >= 0
                                         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
                                         ELSE 0 END) AS BIGINT) AS simhash
                     FROM bits GROUP BY 1),
             banded AS (SELECT id, simhash, band_no,
-                              (simhash >> CAST(band_no * 8 AS INTEGER)) & 255 AS key
+                              (simhash >> CAST(band_no * 15 AS INTEGER)) & 32767 AS key
                        FROM sim, unnest(generate_series(0, 3)) AS tt(band_no)),
             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                             a.simhash AS sh_a, b.simhash AS sh_b
@@ -1550,7 +1550,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
             FROM cand
-            WHERE bit_count(xor(sh_a, sh_b)) <= 6
+            WHERE bit_count(xor(sh_a, sh_b)) <= 3
         """,
         "embedding_dups": """
             SELECT * FROM (

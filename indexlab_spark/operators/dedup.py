@@ -268,15 +268,17 @@ def minhash_lsh_pairs(
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
-    """32-bit SimHash fingerprints: (id, simhash).
+    """SimHash fingerprints: (id, simhash). Default 60 bits — every bit
+    md5_long yields (15 hex chars, the md5-portable maximum under 2^63
+    in both engines' parsers).
 
     bit_j(doc) = 1 iff sum over shingles of (2*bit_j(md5_long(shingle))-1)
     >= 0. One groupBy with ``bits`` sum-aggregates over the hashed
     shingle rows — a single shuffle of (shingles) rows; the earlier
     explode-over-bit-positions formulation shuffled shingles x bits rows
-    (32x more) for the same math.
+    (60x more) for the same math.
     """
     from indexlab_spark.functions.hashing import md5_long
 
@@ -301,21 +303,26 @@ def simhash(
 
 
 def simhash_pairs(
-    simhash_df: DataFrame, max_hamming: int = 3, bits: int = 32,
-    materialize: bool = True,
+    simhash_df: DataFrame, max_hamming: int = 3, bits: int = 60,
+    nbands: int = 4, materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidate generation: split the fingerprint into 4 byte-bands; by
-    pigeonhole, hamming <= 3 pairs share at least one band. Exact
+    Candidate generation: split the fingerprint into ``nbands`` bands; by
+    pigeonhole, hamming <= nbands-1 pairs share at least one band. Exact
     hamming (bit_count of xor) filters candidates.
+
+    Scale: band-key cardinality is 2^(bits/nbands) — the round-1 config
+    (32 bits / 4 bands = 256 buckets per band) went near-quadratic beyond
+    ~1e5 docs; 60/4 gives 32,768 buckets per band (128x), so expected
+    bucket occupancy — and with it candidate-join fan-out — drops 128x at
+    the same corpus size while keeping the same pigeonhole guarantee.
 
     ``materialize`` persists the fingerprints: the band self-join
     evaluates its input lineage twice otherwise.
     """
     if materialize:
         simhash_df = simhash_df.persist()
-    nbands = 4
     width = bits // nbands
     mask = (1 << width) - 1
     banded = simhash_df.select(

@@ -68,10 +68,15 @@ def test_simhash_near_dups(docs):
     sh = simhash(docs)
     vals = {r["id"]: r["simhash"] for r in sh.collect()}
     assert vals[0] == vals[1] == vals[5]  # same shingle set -> same fingerprint
+    # fingerprint quality: near-dup (0,2) lands much closer than unrelated (0,4)
+    h02 = bin(vals[0] ^ vals[2]).count("1")
+    h04 = bin(vals[0] ^ vals[4]).count("1")
+    assert h02 < 12 < h04  # 60-bit fingerprints: 8 vs 31 on this fixture
+    # pair detection: 4x15-bit bands GUARANTEE recall only for hamming <=
+    # 3 (pigeonhole) — the dup cluster {0,1,5} (hamming 0) must all pair up
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-             simhash_pairs(sh, max_hamming=6).collect()}
-    assert pairs[(0, 1)] == 0
-    assert (0, 2) in pairs  # near-dup within hamming 6 of 32 bits
+             simhash_pairs(sh, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0 and pairs[(1, 5)] == 0
     assert (0, 4) not in pairs
 
 
