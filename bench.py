@@ -164,8 +164,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     t = load_tables(spark, SF_DIR, ("documents", "embeddings", "lineitem", "events"))
-    docs = t["documents"]
-    emb = t["embeddings"]
+    # one session, cached base frames, reused across every case — the
+    # pandas baselines likewise get their arrays up front; neither side
+    # pays repeated I/O inside the timed regions.
+    docs = t["documents"].persist()
+    emb = t["embeddings"].persist()
 
     docs_pdf = docs.select("doc_id", "text").toPandas()
     emb_pdf = emb.orderBy("vec_id").toPandas()

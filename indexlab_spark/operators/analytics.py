@@ -43,42 +43,45 @@ def histogram(
     Returns (bin, lo, hi, cnt) ordered by bin; lo/hi are the reference's
     edge values for that bin.
 
-    Scale: two passes (min/max, then a broadcast of two scalars into the
-    binning scan + groupBy on <= bins keys) — no sort, no skew risk.
+    Scale: two passes — a min/max agg whose TWO scalars come back to the
+    driver and are inlined as literals (the documented small-side
+    pattern; cheaper than the earlier broadcast-crossJoin of the stats
+    row, which added a BroadcastExchange job per call), then one binning
+    scan + groupBy on <= bins keys. No sort, no skew risk.
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     vals = df.select(v.cast("long").alias("val"))
-    stats = vals.agg(F.min("val").alias("vmin"), F.max("val").alias("vmax"))
-    step = F.greatest(
-        F.lit(1),
-        F.ceil((F.col("vmax") - F.col("vmin")) / F.lit(float(bins))).cast("long"),
-    )
-    binned = vals.crossJoin(F.broadcast(stats)).select(
-        F.when(F.col("vmin") == F.col("vmax"), F.lit(0))
-        .when(F.col("val") == F.col("vmax"), F.lit(bins - 1))
-        .otherwise(
-            F.least(
-                F.lit(bins - 1),
-                F.expr(f"(val - vmin) div greatest(1, cast(ceil((vmax - vmin)/{bins}.0) as bigint))"),
-            )
+    srow = vals.agg(F.min("val").alias("vmin"), F.max("val").alias("vmax")).collect()
+    if not srow or srow[0]["vmin"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo long, hi long, cnt long"
         )
-        .cast("int")
-        .alias("bin"),
-        "vmin",
-        "vmax",
+    vmin, vmax = int(srow[0]["vmin"]), int(srow[0]["vmax"])
+    import math as _math
+
+    step = max(1, _math.ceil((vmax - vmin) / float(bins)))
+    if vmin == vmax:
+        bin_expr = F.lit(0)
+    else:
+        bin_expr = F.when(F.col("val") == vmax, F.lit(bins - 1)).otherwise(
+            F.least(F.lit(bins - 1), F.expr(f"(val - {vmin}) div {step}"))
+        )
+    out = (
+        vals.select(bin_expr.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    out = binned.groupBy("bin", "vmin", "vmax").agg(F.count(F.lit(1)).alias("cnt"))
-    step_expr = F.greatest(
-        F.lit(1),
-        F.ceil((F.col("vmax") - F.col("vmin")) / F.lit(float(bins))).cast("long"),
+    hi = (
+        F.lit(vmax)
+        if vmin == vmax
+        else F.when(F.col("bin") == bins - 1, F.lit(vmax)).otherwise(
+            F.lit(vmin) + (F.col("bin") + 1) * F.lit(step)
+        )
     )
     return out.select(
         "bin",
-        (F.col("vmin") + F.col("bin") * step_expr).alias("lo"),
-        F.when(F.col("vmin") == F.col("vmax"), F.col("vmax"))  # spike case
-        .when(F.col("bin") == bins - 1, F.col("vmax"))
-        .otherwise(F.col("vmin") + (F.col("bin") + 1) * step_expr)
-        .alias("hi"),
+        (F.lit(vmin) + F.col("bin") * F.lit(step)).cast("long").alias("lo"),
+        hi.cast("long").alias("hi"),
         "cnt",
     ).orderBy("bin")
 

@@ -284,23 +284,28 @@ def build_ivf(
         # deterministic for a given partition layout, one corpus pass.
         frac = min(1.0, 1.2 * target / n)
         sample_df = chunks_df.select(vec_col).sample(frac, seed=seed).limit(target)
-    train = np.array(
-        [r[0] for r in sample_df.collect()], dtype=np.float64
-    )
+    # Arrow transfer, not collect(): row-object serialization of tens of
+    # thousands of vectors through py4j costs more than the Lloyd loop
+    train = np.array(sample_df.toPandas()[vec_col].tolist(), dtype=np.float64)
 
     rng = np.random.default_rng(seed)
     k = min(nlist, len(train))
     centers = train[rng.choice(len(train), size=k, replace=False)].copy()
-    x2 = (train * train).sum(1)[:, None]
     for _ in range(iters):
-        d = x2 - 2.0 * (train @ centers.T) + (centers * centers).sum(1)[None, :]
+        # argmin ||x-c||^2: the ||x||^2 term is constant per row — skip it
+        d = (centers * centers).sum(1)[None, :] - 2.0 * (train @ centers.T)
         a = d.argmin(1)
-        sums = np.zeros_like(centers)
-        counts = np.zeros(k)
-        np.add.at(sums, a, train)
-        np.add.at(counts, a, 1)
-        nz = counts > 0
-        centers[nz] = sums[nz] / counts[nz, None]
+        # centroid update via sort + reduceat: np.add.at's unbuffered
+        # scatter dominates the whole build at 64k+ training points
+        order = np.argsort(a, kind="stable")
+        xs, asort = train[order], a[order]
+        counts = np.bincount(asort, minlength=k)
+        nz = np.flatnonzero(counts)
+        starts = np.zeros(k, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        centers[nz] = (
+            np.add.reduceat(xs, starts[nz], axis=0) / counts[nz, None]
+        )
 
     c_t = centers.T.copy()
     c2 = (centers * centers).sum(1)[None, :]

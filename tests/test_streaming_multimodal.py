@@ -144,6 +144,37 @@ def test_reader_formats(spark, tmp_path):
     assert sniff_format("f.bin", b"hello") == "text"
 
 
+def test_excel_reader_gate_or_roundtrip(spark, tmp_path):
+    """S2: with openpyxl installed the xlsx round-trip must work; without
+    it the gate must raise a NotImplementedError whose message names the
+    missing dependency (so a real user knows what to install)."""
+    import pandas as pd
+
+    from indexlab_spark.sources.reader import _read_excel_driver
+
+    try:
+        import openpyxl  # noqa: F401
+
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+
+    xlsx = tmp_path / "t.xlsx"
+    if have_openpyxl:
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(xlsx, index=False)
+        df = _read_excel_driver(spark, str(xlsx))
+        assert df.count() == 2 and set(df.columns) == {"a", "b"}
+    else:
+        import zipfile
+
+        # a real zip container: pandas sniffs the PK magic, picks the
+        # openpyxl engine, and THEN hits the ImportError the gate wraps
+        with zipfile.ZipFile(xlsx, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook/>")
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            _read_excel_driver(spark, str(xlsx))
+
+
 def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     """Closed sessions from the stateful stream == batch sessions minus
     each user's final (still-open) session."""
