@@ -715,6 +715,26 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ scale extension — product-quantized ADC search with exact
+    rerank (operators/knn.build_pq/pq_search): the corpus streams as
+    m=8 one-byte codes (32x smaller than the raw float32 vectors) and
+    only rerank*k survivors touch exact vectors. Codebooks come from a
+    seeded Lloyd fit — not SQL-expressible -> rows-only; recall and
+    exact-rerank-score properties are pinned in tests/test_knn.py."""
+    from indexlab_spark.operators.knn import build_pq, pq_search
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    codes_df, books_df = build_pq(corpus, m=8, nbits=6, seed=42)
+    return pq_search(spark, q, codes_df, books_df, k=5, rerank=8).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E4+K2 — the full text -> deterministic-embed -> batch kNN
     pipeline over documents (the flagship shape at the gate SF). The
@@ -1207,6 +1227,151 @@ def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth — TPC-H Q5 shape: 6-way star join
+    (region->nation->customer->orders->lineitem->supplier with the
+    customer-nation == supplier-nation condition). region/nation/
+    customer/supplier are dimension-sized — Catalyst broadcasts them;
+    only orders⋈lineitem shuffles, on the orderkey both sides already
+    aggregate on. The date filter prunes the fact scan."""
+    t = load_tables(
+        spark, sf_dir,
+        ("region", "nation", "customer", "supplier", "orders", "lineitem"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        t["region"].filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral analytics — strictly-ordered 3-stage funnel
+    (view -> click -> purchase): a user advances a stage only with an
+    event strictly after their previous stage's first event. Each stage
+    is a keyed min-agg plus a join back on user_id — stage frames shrink
+    monotonically, so every join after the first is on an already-reduced
+    side; no window functions, no per-user sort."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.select(F.lit("1_view").alias("stage"))
+        .unionAll(c.select(F.lit("2_click").alias("stage")))
+        .unionAll(p.select(F.lit("3_purchase").alias("stage")))
+    )
+    return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral analytics — weekly retention triangle: cohort = Monday
+    week of a user's first event; one row per (cohort, week offset) with
+    distinct active users. Two keyed aggs + a broadcast-sized first-week
+    join; the distinct collapses map-side before the final shuffle."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth — per-nation NTILE(4) bucketing of customer
+    balances, then per-bucket stats. The window partitions by nation, so
+    parallelism = nation count (bounded but real); ties break on
+    c_custkey so both engines bucket identically."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        )
+    )
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM curation — corpus-unigram language-model quality score: each
+    doc's mean ln P(token) under the corpus unigram distribution (the
+    classic cheap perplexity filter). One shuffle builds the vocabulary
+    (map-side combined counts), the token->vocab join broadcasts the
+    dimension-sized vocab, and the per-doc agg is the only other
+    shuffle. The corpus total folds in as a one-row broadcast."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+        ).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1263,10 +1428,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": _q_embedding_lsh,
         "docs_cube": _q_docs_cube,
         "fuzzy_part_names": _q_fuzzy_part_names,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "events_funnel": _q_events_funnel,
+        "retention_cohorts": _q_retention_cohorts,
+        "balance_quartiles": _q_balance_quartiles,
+        "unigram_logprob": _q_unigram_logprob,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
+        "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
     }
 
@@ -2115,5 +2286,78 @@ def oracle_sql() -> dict[str, str]:
             FROM part a JOIN part b
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                         2) AS revenue,
+                   count(*) AS n_items
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
+            GROUP BY n_name
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+            stages AS (SELECT '1_view' AS stage FROM v
+                       UNION ALL SELECT '2_click' FROM c
+                       UNION ALL SELECT '3_purchase' FROM p)
+            SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+        """,
+        "retention_cohorts": """
+            WITH weeks AS (SELECT DISTINCT user_id,
+                                  CAST(date_trunc('week', ts) AS DATE) AS week
+                           FROM events),
+            first AS (SELECT user_id, min(week) AS cohort_week
+                      FROM weeks GROUP BY 1)
+            SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+                   CAST(date_diff('day', f.cohort_week, w.week) / 7 AS INTEGER)
+                       AS week_offset,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM weeks w JOIN first f ON f.user_id = w.user_id
+            GROUP BY 1, 2
+        """,
+        "balance_quartiles": """
+            WITH b AS (SELECT c_nationkey, c_acctbal,
+                              ntile(4) OVER (PARTITION BY c_nationkey
+                                             ORDER BY c_acctbal, c_custkey)
+                                  AS quartile
+                       FROM customer)
+            SELECT c_nationkey, quartile, count(*) AS n,
+                   round(avg(c_acctbal), 6) AS avg_bal,
+                   round(min(c_acctbal), 6) AS min_bal,
+                   round(max(c_acctbal), 6) AS max_bal
+            FROM b GROUP BY 1, 2
+        """,
+        "unigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(list_filter(
+                                     regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '')) AS term
+                          FROM documents),
+            vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            lp AS (SELECT t.doc_id,
+                          ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                              AS lp
+                   FROM toks t JOIN vocab v ON v.term = t.term, tot)
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                   round(avg(lp), 6) AS avg_logprob
+            FROM lp GROUP BY 1
         """,
     }

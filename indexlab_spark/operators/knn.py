@@ -245,6 +245,41 @@ def knn_join_blocked(
     )
 
 
+def _lloyd(train: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Seeded vectorized Lloyd's KMeans on a driver-side sample.
+
+    Centroid updates go through sort + reduceat segment sums —
+    np.add.at's unbuffered scatter dominates the whole build at 64k+
+    training points. The constant ||x||^2 term is dropped from the
+    argmin.
+    """
+    centers = train[rng.choice(len(train), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = (centers * centers).sum(1)[None, :] - 2.0 * (train @ centers.T)
+        a = d.argmin(1)
+        order = np.argsort(a, kind="stable")
+        xs, asort = train[order], a[order]
+        counts = np.bincount(asort, minlength=k)
+        nz = np.flatnonzero(counts)
+        starts = np.zeros(k, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        centers[nz] = np.add.reduceat(xs, starts[nz], axis=0) / counts[nz, None]
+    return centers
+
+
+def _sampled_train_matrix(
+    chunks_df: DataFrame, vec_col: str, target: int, seed: int
+) -> np.ndarray:
+    """Seeded bounded training sample, Arrow-transferred to the driver."""
+    n = chunks_df.count()
+    if n <= target:
+        sample_df = chunks_df.select(vec_col)
+    else:
+        frac = min(1.0, 1.2 * target / n)
+        sample_df = chunks_df.select(vec_col).sample(frac, seed=seed).limit(target)
+    return np.array(sample_df.toPandas()[vec_col].tolist(), dtype=np.float64)
+
+
 # ----------------------------------------------------------------- IVF (K3/K4)
 def build_ivf(
     chunks_df: DataFrame,
@@ -275,37 +310,12 @@ def build_ivf(
     not hash-tested, so the training-sample tradeoff is the same one
     FAISS makes.
     """
-    n = chunks_df.count()
-    target = nlist * max_points_per_centroid
-    if n <= target:
-        sample_df = chunks_df.select(vec_col)
-    else:
-        # seeded Bernoulli sample, padded 20% over target then trimmed —
-        # deterministic for a given partition layout, one corpus pass.
-        frac = min(1.0, 1.2 * target / n)
-        sample_df = chunks_df.select(vec_col).sample(frac, seed=seed).limit(target)
-    # Arrow transfer, not collect(): row-object serialization of tens of
-    # thousands of vectors through py4j costs more than the Lloyd loop
-    train = np.array(sample_df.toPandas()[vec_col].tolist(), dtype=np.float64)
+    train = _sampled_train_matrix(
+        chunks_df, vec_col, nlist * max_points_per_centroid, seed
+    )
 
     rng = np.random.default_rng(seed)
-    k = min(nlist, len(train))
-    centers = train[rng.choice(len(train), size=k, replace=False)].copy()
-    for _ in range(iters):
-        # argmin ||x-c||^2: the ||x||^2 term is constant per row — skip it
-        d = (centers * centers).sum(1)[None, :] - 2.0 * (train @ centers.T)
-        a = d.argmin(1)
-        # centroid update via sort + reduceat: np.add.at's unbuffered
-        # scatter dominates the whole build at 64k+ training points
-        order = np.argsort(a, kind="stable")
-        xs, asort = train[order], a[order]
-        counts = np.bincount(asort, minlength=k)
-        nz = np.flatnonzero(counts)
-        starts = np.zeros(k, dtype=np.int64)
-        starts[1:] = np.cumsum(counts)[:-1]
-        centers[nz] = (
-            np.add.reduceat(xs, starts[nz], axis=0) / counts[nz, None]
-        )
+    centers = _lloyd(train, min(nlist, len(train)), iters, rng)
 
     c_t = centers.T.copy()
     c2 = (centers * centers).sum(1)[None, :]
@@ -418,3 +428,164 @@ def ivf_search(
         "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------ PQ (scale extension)
+def build_pq(
+    chunks_df: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    max_points_per_code: int = 256,
+    iters: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (FAISS IndexPQ analog — the memory-compression
+    scale path the reference exposes via its faiss backend family).
+
+    The dim-D vector splits into ``m`` subspaces of D/m dims; each
+    subspace gets 2^nbits centroids from a seeded driver-side Lloyd fit
+    (same train-on-subset contract as build_ivf), and every corpus
+    vector is encoded to ``m`` small codes in ONE Arrow pass. At 100 TB
+    the point is storage: a 64-dim float32 vector (256 B) becomes m=8
+    bytes — a 32x smaller scan for the first-phase candidate search,
+    shuffled and cached in place of the raw vectors.
+
+    Returns (codes_df = corpus columns + ``pq_code`` array<int>,
+    codebooks_df(subspace, code, centroid array<double>)).
+    """
+    train = _sampled_train_matrix(
+        chunks_df, vec_col, (1 << nbits) * max_points_per_code, seed
+    )
+    dim = train.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    ksub = min(1 << nbits, len(train))
+    books = np.stack(
+        [
+            _lloyd(np.ascontiguousarray(train[:, j * dsub : (j + 1) * dsub]),
+                   ksub, iters, rng)
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub)
+    b2 = (books * books).sum(2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (nb, dim)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xj = x[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (b2[j][None, :] - 2.0 * (xj @ books[j].T)).argmin(1)
+        return pd.Series(list(codes))
+
+    codes_df = chunks_df.withColumn("pq_code", _encode(F.col(vec_col)))
+    spark = chunks_df.sparkSession
+    codebooks_df = spark.createDataFrame(
+        [
+            (int(j), int(c), [float(v) for v in books[j, c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    return codes_df, codebooks_df
+
+
+def pq_search(
+    spark,
+    queries_df: DataFrame,
+    codes_df: DataFrame,
+    codebooks_df: DataFrame,
+    k: int,
+    rerank: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    doc_id_col: str = "doc_id",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over PQ codes: per query, an inner-product lookup table
+    LUT[j][c] = q_j · codebook[j][c] (m x ksub doubles, built driver-side
+    from the collected query batch — the small side by contract), then
+    approximate scores stream over the CODES (never the raw vectors) in
+    one Arrow pass with per-partition partial top-(rerank*k), exactly the
+    knn_matmul shuffle shape. If ``rerank`` > 0 and the codes frame still
+    carries the exact vectors, the rerank*k survivors get exact
+    re-scoring — the standard PQ + refine recall recovery.
+    """
+    cb = codebooks_df.collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    ksub = 1 + max(r["code"] for r in cb)
+    dsub = len(cb[0]["centroid"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["centroid"]
+
+    q_rows = queries_df.select(query_id_col, query_vec_col).collect()
+    qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+    did_type = codes_df.schema[doc_id_col].dataType.simpleString()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # LUT: (n_q, m, ksub) — q_j · book_{j,c}
+    lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_mat), m, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+    pool = max(k * rerank, k) if rerank else k
+
+    def _adc_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, lut_ = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)  # (nb, m)
+            # scores[q, b] = sum_j LUT[q, j, codes[b, j]]
+            scores = np.zeros((nq, len(codes)))
+            for j in range(lut_.shape[1]):
+                scores += lut_[:, j, codes[:, j]]
+            kk = min(pool, scores.shape[1])
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            doc_ids = pdf[doc_id_col].to_numpy()
+            out_q, out_d, out_s = [], [], []
+            for qi in range(nq):
+                idx = part[qi]
+                order = idx[np.argsort(-scores[qi, idx], kind="stable")]
+                out_q.extend([ids[qi]] * len(order))
+                out_d.extend(doc_ids[order])
+                out_s.extend(scores[qi, order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, doc_id_col: out_d, "score": out_s}
+            )
+
+    cand = codes_df.select(doc_id_col, "pq_code").mapInPandas(
+        _adc_topk, f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double"
+    )
+    ranked = cand.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
+    ).filter(F.col("rank") <= pool)
+    if not rerank or corpus_vec_col not in codes_df.columns:
+        return ranked.filter(F.col("rank") <= k)
+    # exact refine on the rerank*k survivors only
+    exact = (
+        ranked.select(query_id_col, doc_id_col)
+        .join(codes_df.select(doc_id_col, corpus_vec_col), doc_id_col)
+        .join(
+            F.broadcast(queries_df.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            doc_id_col,
+            dot(F.col(query_vec_col), F.col(corpus_vec_col)).alias("score"),
+        )
+    )
+    out = exact.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
+    )
+    return out.filter(F.col("rank") <= k)

@@ -154,3 +154,54 @@ def test_knn_join_blocked_equals_brute(spark, emb, queries, numpy_truth):
     corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     out = knn_join_blocked(queries, corpus, K, right_blocks=4)
     _check(out.collect(), numpy_truth)
+
+
+def test_pq_codes_shape(spark, emb):
+    from indexlab_spark.operators.knn import build_pq
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes_df, books_df = build_pq(corpus, m=8, nbits=6, seed=42)
+    row = codes_df.select("pq_code").first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 64 for c in row["pq_code"])
+    assert books_df.count() == 8 * 64
+    # deterministic across rebuilds
+    codes2, _ = build_pq(corpus, m=8, nbits=6, seed=42)
+    a = {r["doc_id"]: r["pq_code"] for r in codes_df.collect()}
+    b = {r["doc_id"]: r["pq_code"] for r in codes2.collect()}
+    assert a == b
+
+
+def test_pq_search_recall_floor(spark, emb, queries, numpy_truth):
+    from indexlab_spark.operators.knn import build_pq, pq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes_df, books_df = build_pq(corpus, m=8, nbits=6, seed=42)
+    out = pq_search(spark, queries, codes_df, books_df, K, rerank=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    hits = total = 0
+    for qid, expect in numpy_truth.items():
+        expect_ids = {e[0] for e in expect}
+        total += len(expect_ids)
+        hits += len(expect_ids & got.get(qid, set()))
+    recall = hits / total
+    # ADC + exact rerank on 8k candidates: BASELINE-style quality floor
+    assert recall >= 0.8, f"PQ recall {recall}"
+
+
+def test_pq_rerank_scores_are_exact(spark, emb, queries, numpy_truth):
+    """Reranked survivor scores must equal the exact inner product."""
+    from indexlab_spark.operators.knn import build_pq, pq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes_df, books_df = build_pq(corpus, m=8, nbits=6, seed=42)
+    out = pq_search(spark, queries, codes_df, books_df, K, rerank=8)
+    truth_scores = {
+        (qid, did): s for qid, hits in numpy_truth.items() for did, s in hits
+    }
+    for r in out.collect():
+        key = (r["query_id"], int(r["doc_id"]))
+        if key in truth_scores:
+            assert abs(r["score"] - truth_scores[key]) < 1e-9
