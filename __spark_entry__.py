@@ -1372,6 +1372,47 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation — per-label embedding centroids (class means in
+    embedding space), exploded to (label, pos, avg_v) rows so the
+    cross-engine hash sees scalars, not array formatting. posexplode is
+    oracle-friendly here; at corpus scale the same reduction runs as an
+    Arrow mapInPandas partial-sum per partition (dim-sized buffers, one
+    tiny final combine) instead of shuffling rows x dim."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    return pos.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("avg_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_winsorize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation breadth — per-language winsorization of document lengths:
+    exact p05/p95 per lang (one small agg, linear-interpolated percentile
+    == DuckDB quantile_cont), broadcast back onto the corpus, values
+    clipped in a codegen map. The corpus itself never shuffles."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")), 6
+            ).alias("clipped"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1433,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "balance_quartiles": _q_balance_quartiles,
         "unigram_logprob": _q_unigram_logprob,
+        "label_centroids": _q_label_centroids,
+        "winsorize_chars": _q_winsorize_chars,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -2359,5 +2402,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
                    round(avg(lp), 6) AS avg_logprob
             FROM lp GROUP BY 1
+        """,
+        "label_centroids": """
+            SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_v,
+                   count(*) AS n
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "winsorize_chars": """
+            WITH bounds AS (SELECT lang,
+                                   quantile_cont(n_chars, 0.05) AS lo,
+                                   quantile_cont(n_chars, 0.95) AS hi
+                            FROM documents GROUP BY 1)
+            SELECT doc_id, d.lang, n_chars,
+                   round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
+                       AS clipped
+            FROM documents d JOIN bounds b ON b.lang = d.lang
         """,
     }

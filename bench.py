@@ -368,7 +368,9 @@ def main() -> None:
                  "minhash_lsh", "lang_quality", "exact_dedup", "simhash_pairs",
                  "asof_signup", "events_daily", "knn_cosine",
                  "quality_filter", "dedup_clusters", "pack_sequences",
-                 "events_gapfill", "embedding_lsh"):
+                 "events_gapfill", "embedding_lsh", "local_supplier_volume",
+                 "events_funnel", "retention_cohorts", "unigram_logprob",
+                 "similarity_pq"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -155,3 +155,47 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def view_click_join_stream(
+    events: DataFrame, within_seconds: int = 600, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    event_pairs_range query: each view pairs with the SAME user's clicks
+    landing strictly after it and within ``within_seconds``.
+
+    Both sides carry a watermark and the join condition bounds click_ts
+    relative to view_ts, so Spark can expire buffered rows once the
+    watermark passes view_ts + within_seconds — state stays bounded on
+    an unbounded stream (the unbuffered alternative is unbounded
+    buffering of the view side forever).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        F.expr(
+            f"""v_user = c_user
+            AND click_ts > view_ts
+            AND click_ts <= view_ts + interval {within_seconds} seconds"""
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id",
+        "view_ts", "click_ts",
+    )

@@ -339,3 +339,49 @@ def test_streaming_ingest_appends_index(spark, tmp_path):
     # doc numbering continued across versions (no collisions)
     doc_nos = sorted(r["doc_no"] for r in chunks.select("doc_no").collect())
     assert doc_nos == [0, 1, 2]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """view⋈click interval join over the stream == the same join in
+    batch (inner stream-stream joins emit exactly the matched pairs once
+    both sides' watermarks allow)."""
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        run_stream_to_memory,
+        view_click_join_stream,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "ssj_src")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = view_click_join_stream(stream, within_seconds=600)
+    run_stream_to_memory(out, "ssj_out", output_mode="append")
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r["view_id"], r["click_id"])
+        for r in v.join(
+            c,
+            F.expr(
+                "v_user = c_user AND click_ts > view_ts "
+                "AND click_ts <= view_ts + interval 600 seconds"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
