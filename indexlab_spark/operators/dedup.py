@@ -275,31 +275,50 @@ def simhash(
     in both engines' parsers).
 
     bit_j(doc) = 1 iff sum over shingles of (2*bit_j(md5_long(shingle))-1)
-    >= 0. One groupBy with ``bits`` sum-aggregates over the hashed
-    shingle rows — a single shuffle of (shingles) rows; the earlier
-    explode-over-bit-positions formulation shuffled shingles x bits rows
-    (60x more) for the same math.
-    """
-    from indexlab_spark.functions.hashing import md5_long
+    >= 0.
 
-    hashed = exploded_shingles(df, id_col, text_col, n).select(
-        "id", md5_long(F.col("shingle")).alias("h")
-    )
-    sums = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
-    )
-    simhash_expr = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        simhash_expr = term if simhash_expr is None else simhash_expr + term
-    return sums.select("id", simhash_expr.alias("simhash"))
+    The fingerprint is a pure function of one document's text, so it
+    computes in a SINGLE shuffle-free Arrow pass: per doc, hashlib.md5
+    over the distinct shingles (byte-identical to SQL md5 — oracle
+    parity holds) and a vectorized popcount-per-bit-position. The
+    earlier formulation exploded shingle rows and ran ``bits``
+    conditional sum-aggregates through a groupBy — a full shuffle of the
+    shingle stream for math that never needed to leave the partition.
+    """
+    import hashlib as _hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = _re.compile(r"\s+")
+    js = np.arange(bits, dtype=np.int64)
+
+    def _fp(batches):
+        md5 = _hashlib.md5
+        for pdf in batches:
+            ids, fps = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in ws.split((t or "").lower()) if x]
+                if len(toks) < n:
+                    continue  # no shingles -> no fingerprint (parity with explode)
+                grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                h = np.array(
+                    [int(md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams],
+                    dtype=np.int64,
+                )
+                ones = ((h[:, None] >> js) & 1).sum(0)
+                bitvec = (2 * ones - len(h)) >= 0  # sum of ±1 per bit >= 0
+                ids.append(i)
+                fps.append(int((bitvec.astype(np.int64) << js).sum()))
+            yield pd.DataFrame({"id": ids, "simhash": pd.Series(fps, dtype="int64")})
+
+    src = df.select(id_col, text_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    id_t = df.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(_fp, f"id {id_t}, simhash bigint")
 
 
 def simhash_pairs(
