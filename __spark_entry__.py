@@ -1413,6 +1413,44 @@ def _q_winsorize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_daily_activity_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join breadth — FULL OUTER join of two daily aggregates (views vs
+    purchases): days where either side is absent survive with zeroed
+    counts. Both inputs pre-aggregate to day grain before the join, so
+    the outer join moves day-count rows, not events."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.to_date("ts").cast("string").alias("day")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(day).groupBy("day").agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(day).groupBy("day").agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        v.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+def _q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation breadth — max_by/arg_max: each user's highest-value
+    event (tie-broken by event_id via struct ordering). One keyed agg;
+    no window, no self-join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ord_ = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_).alias("top_type"),
+        F.max_by("event_id", ord_).alias("top_event_id"),
+        F.round(F.max("value"), 6).alias("top_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1476,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "label_centroids": _q_label_centroids,
         "winsorize_chars": _q_winsorize_chars,
+        "daily_activity_outer": _q_daily_activity_outer,
+        "user_top_event": _q_user_top_event,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -2420,5 +2460,26 @@ def oracle_sql() -> dict[str, str]:
                    round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
                        AS clipped
             FROM documents d JOIN bounds b ON b.lang = d.lang
+        """,
+        "daily_activity_outer": """
+            WITH v AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                              count(*) AS n_views
+                       FROM events WHERE event_type = 'view' GROUP BY 1),
+            p AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                         count(*) AS n_purchases
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT coalesce(v.day, p.day) AS day,
+                   coalesce(n_views, 0) AS n_views,
+                   coalesce(n_purchases, 0) AS n_purchases
+            FROM v FULL OUTER JOIN p ON p.day = v.day
+        """,
+        "user_top_event": """
+            WITH r AS (SELECT user_id, event_type, event_id, value,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id DESC) AS rn
+                       FROM events)
+            SELECT user_id, event_type AS top_type, event_id AS top_event_id,
+                   round(value, 6) AS top_value
+            FROM r WHERE rn = 1
         """,
     }
