@@ -1,0 +1,162 @@
+"""Table-maintenance operators for corpus-scale layouts.
+
+The reference rewrites whole index artifacts per build (app/indexer
+build_index writes one flat file set per version); at 100 TB the
+equivalent concerns are the classic lakehouse maintenance jobs:
+
+- small-file compaction (streaming ingest's foreachBatch appends leave
+  one file set per micro-batch; thousands of tiny files destroy scan
+  throughput and NameNode/listing latency),
+- latest-wins merge/upsert (re-ingesting changed documents must replace
+  prior rows without rewriting unrelated data),
+- range-clustered layout (sorting each output file on a predicate column
+  gives parquet row-group min/max pruning — the scan skips files whose
+  stat range misses the filter).
+
+All three are expressed as plain DataFrame programs: one shuffle each,
+no driver-side row movement, no RDDs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "merge_upsert",
+    "compact_files",
+    "write_range_clustered",
+    "parquet_file_ranges",
+]
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Latest-wins merge of ``updates`` into ``base`` on ``keys``.
+
+    Rows are versioned by ``order_col``; for each key the row with the
+    highest version wins, and on version ties the updates side wins
+    (MERGE semantics: an upsert at the same version replaces).
+
+    Scale shape: union + one keyed aggregation with ``max_by`` over a
+    struct of the payload — a single hash shuffle with map-side partial
+    aggregation. No window (which would sort whole partitions), no join
+    back (which would shuffle twice).
+    """
+    cols = base.columns
+    if updates.columns != cols:
+        updates = updates.select(*cols)
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    payload = [c for c in cols if c not in keys]
+    rank = F.struct(F.col(order_col), F.col("_src"))
+    agg = [F.max_by(F.struct(*payload), rank).alias("_win")]
+    out = tagged.groupBy(*keys).agg(*agg)
+    return out.select(*keys, *[F.col(f"_win.{c}").alias(c) for c in payload])
+
+
+def _hadoop_listing(spark: SparkSession, path: str):
+    """(file_count, total_bytes) via the Hadoop FileSystem API — works on
+    any supported filesystem (local, HDFS, object stores), not just
+    local paths."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``in_path`` into ~``target_file_bytes`` output files.
+
+    Output file count is ceil(input_bytes / target): a directory of
+    10,000 micro-batch files at 1 MB becomes ~80 files at 128 MB. The
+    rewrite is one round-robin repartition (no key skew possible) and a
+    parallel write; data content is untouched.
+    """
+    files_in, bytes_in = _hadoop_listing(spark, in_path)
+    n_out = max(1, math.ceil(bytes_in / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    files_out, bytes_out = _hadoop_listing(spark, out_path)
+    return {
+        "files_in": files_in,
+        "bytes_in": bytes_in,
+        "files_out": files_out,
+        "bytes_out": bytes_out,
+    }
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_ranges: int,
+) -> None:
+    """Write ``df`` range-clustered on ``sort_col``.
+
+    ``repartitionByRange`` samples the column to build disjoint range
+    boundaries (one range shuffle), ``sortWithinPartitions`` orders rows
+    inside each file, so every parquet file/row-group carries a tight,
+    non-overlapping min/max for ``sort_col``. A later
+    ``read.filter(sort_col BETWEEN ...)`` then skips all but the few
+    files whose stat range intersects — the poor man's Z-order for a
+    single predicate column, and the layout the events/hypertable scans
+    want at 100 TB.
+    """
+    (
+        df.repartitionByRange(n_ranges, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def parquet_file_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) statistics for ``column`` straight from the
+    parquet footers (no data read) — the exact metadata a stats-pruning
+    scan consults. Used by tests to assert the clustered layout is
+    actually disjoint."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema != column or col.statistics is None:
+                    continue
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out

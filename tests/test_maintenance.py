@@ -1,0 +1,91 @@
+"""Maintenance operators: merge-upsert, compaction, range clustering."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from indexlab_spark.operators.maintenance import (
+    compact_files,
+    merge_upsert,
+    parquet_file_ranges,
+    write_range_clustered,
+)
+
+
+@pytest.fixture()
+def docs(tables):
+    return tables["documents"]
+
+
+def test_merge_upsert_latest_wins(spark, docs):
+    base = docs.withColumn("rev", F.lit(0))
+    updates = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.upper("text"))
+        .withColumn("rev", F.lit(1))
+    )
+    merged = merge_upsert(base, updates, keys=["doc_id"], order_col="rev")
+
+    assert merged.count() == base.count()  # upsert, not append
+    got = {r["doc_id"]: r for r in merged.collect()}
+    for r in base.collect():
+        if r["doc_id"] % 5 == 0:
+            assert got[r["doc_id"]]["text"] == r["text"].upper()
+            assert got[r["doc_id"]]["rev"] == 1
+        else:
+            assert got[r["doc_id"]]["text"] == r["text"]
+            assert got[r["doc_id"]]["rev"] == 0
+
+
+def test_merge_upsert_tie_prefers_updates(spark):
+    base = spark.createDataFrame([(1, "old", 7)], "k long, v string, rev long")
+    upd = spark.createDataFrame([(1, "new", 7)], "k long, v string, rev long")
+    out = merge_upsert(base, upd, keys=["k"], order_col="rev").collect()
+    assert out[0]["v"] == "new"  # same rev: MERGE semantics, update wins
+
+
+def test_merge_upsert_single_shuffle(spark, docs):
+    base = docs.withColumn("rev", F.lit(0))
+    upd = base.limit(10).withColumn("rev", F.lit(1))
+    plan = merge_upsert(base, upd, keys=["doc_id"], order_col="rev")._jdf.queryExecution().executedPlan().toString()
+    # one hash aggregation shuffle; no SortMergeJoin / Window in the plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compact_files(spark, docs, tmp_path):
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    stats = compact_files(spark, frag, out, target_file_bytes=1 << 40)
+    assert stats["files_in"] == 64
+    assert stats["files_out"] == 1
+    a = sorted(r["doc_id"] for r in spark.read.parquet(frag).collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert a == b
+
+    # honest sizing: tiny target -> more than one output file
+    stats2 = compact_files(
+        spark, frag, str(tmp_path / "c2"),
+        target_file_bytes=max(1, stats["bytes_in"] // 4),
+    )
+    assert 2 <= stats2["files_out"] <= 8
+
+
+def test_range_clustered_layout_is_disjoint_and_prunes(spark, tables, tmp_path):
+    ev = tables["events"]
+    path = str(tmp_path / "clustered")
+    write_range_clustered(ev, path, "event_id", n_ranges=8)
+
+    ranges = parquet_file_ranges(path, "event_id")
+    assert len(ranges) >= 4
+    for (lo, hi) in ranges:
+        assert lo <= hi
+    ordered = sorted(ranges)
+    for (_, hi_prev), (lo_next, _) in zip(ordered, ordered[1:]):
+        assert hi_prev < lo_next  # files cover disjoint event_id ranges
+
+    # the predicate reaches the scan, so footer stats can prune files
+    df = spark.read.parquet(path).filter(F.col("event_id").between(10, 20))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(event_id,10)" in plan or "PushedFilters" in plan
+    assert df.count() == ev.filter(F.col("event_id").between(10, 20)).count()
