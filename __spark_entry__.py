@@ -1451,6 +1451,122 @@ def _q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance — latest-wins MERGE/upsert
+    (`operators/maintenance.merge_upsert`): re-ingested documents
+    (every 5th doc, text upper-cased, rev=1) replace their rev=0 rows in
+    one keyed max_by aggregation — a single shuffle, no window, no
+    join-back. The lakehouse-style upsert the reference performs by
+    rewriting whole index versions (app/indexer build flow)."""
+    from indexlab_spark.operators.maintenance import merge_upsert
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.withColumn("rev", F.lit(0).cast("int"))
+    updates = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.upper("text"))
+        .withColumn("rev", F.lit(1).cast("int"))
+    )
+    return merge_upsert(base, updates, keys=["doc_id"], order_col="rev").select(
+        "doc_id", "text", "lang", "source", "n_chars", "rev"
+    )
+
+
+def _q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries bars — daily OHLC over the event value stream:
+    open/close via min_by/max_by on (ts, event_id) struct order
+    (deterministic under ts ties), high/low/count in the same single
+    keyed aggregation. One shuffle; at 100 TB this is the map-side-
+    partial rollup a hypertable continuous aggregate runs."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.round(F.min_by("value", ord_), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", ord_), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag),(linestatus)) — independent
+    one-dimension margins in a single pass (not a ROLLUP/CUBE subset
+    shape: the two sets are not nested). Spark expands the sets before
+    the exchange, so it's still one shuffle."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+               coalesce(l_linestatus, '(all)') AS l_linestatus,
+               count(*) AS n,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling — top-5 documents per language
+    by md5(doc_id) rank: an engine-portable, partition-stable 'random'
+    sample (same keep-set on any cluster size / any engine), the
+    per-stratum counterpart of `curation.hash_sample`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — each observation holds until the
+    next one (step interpolation), weights are exact integer
+    microsecond gaps (unix_micros on both engines; double math only at
+    the final division). The TWA aggregate of timeseries engines."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    nxt = F.lead(us).over(w)
+    dt = (nxt - us).cast("double")
+    return (
+        ev.select("user_id", "value", dt.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .filter(F.col("twa").isNotNull())
+    )
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search — occurrence counts of a two-word phrase via
+    length arithmetic (length(text)-length(replace(...)))/len: pure
+    codegen string ops, no tokenization, no UDF; the lexical engine's
+    phrase-postings lookup re-expressed as a scan-side expression."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    phrase = "data window"
+    n = (
+        (F.length("text") - F.length(F.expr("replace(text, 'data window', '')")))
+        / F.lit(len(phrase))
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", n.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1516,6 +1632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_chars": _q_winsorize_chars,
         "daily_activity_outer": _q_daily_activity_outer,
         "user_top_event": _q_user_top_event,
+        "merge_latest": _q_merge_latest,
+        "events_ohlc": _q_events_ohlc,
+        "grouping_sets_margins": _q_grouping_sets_margins,
+        "group_sample": _q_group_sample,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "phrase_search": _q_phrase_search,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -2481,5 +2603,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type AS top_type, event_id AS top_event_id,
                    round(value, 6) AS top_value
             FROM r WHERE rn = 1
+        """,
+        "merge_latest": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+                   lang, source, n_chars,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS rev
+            FROM documents
+        """,
+        "events_ohlc": """
+            WITH o AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+                              row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+                              row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+                       FROM events)
+            SELECT day,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+                   round(max(value), 6) AS high,
+                   round(min(value), 6) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+                   count(*) AS n
+            FROM o GROUP BY day
+        """,
+        "grouping_sets_margins": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS sum_price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "group_sample": """
+            WITH r AS (SELECT lang, doc_id,
+                              row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS rk
+                       FROM documents)
+            SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 5
+        """,
+        "time_weighted_avg": """
+            WITH t AS (SELECT user_id, value, epoch_us(ts) AS us,
+                              lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS nxt
+                       FROM events)
+            SELECT user_id,
+                   round(sum(value * CAST(nxt - us AS DOUBLE))
+                         / sum(CAST(nxt - us AS DOUBLE)), 6) AS twa,
+                   count(*) AS n_intervals
+            FROM t WHERE nxt IS NOT NULL
+            GROUP BY user_id
+            HAVING sum(CAST(nxt - us AS DOUBLE)) > 0
+        """,
+        "phrase_search": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'data window', '')))
+                        / 11 AS BIGINT) AS n_occurrences
+            FROM documents
+            WHERE length(text) - length(replace(text, 'data window', '')) > 0
         """,
     }
