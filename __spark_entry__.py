@@ -1567,6 +1567,334 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_dec(price_col: str = "l_extendedprice", disc_col: str = "l_discount"):
+    """Decimal-exact extended revenue term, the convention every passing
+    money oracle follows (partial-sum order can't wiggle the hash)."""
+    return F.col(price_col).cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(12,2)") - F.col(disc_col).cast("decimal(12,2)")
+    )
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — NATION_7 suppliers' share of revenue inside the
+    EUROPE customer market, per order year. Six-table star: the fact
+    (lineitem) shuffles once on orderkey; every dimension (orders is
+    pre-filtered via customer/nation/region, supplier+nation tiny) is
+    broadcast, and the share is a conditional aggregate — no second pass
+    over the fact."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    cust_nat = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    euro_orders = (
+        t["orders"]
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp_nat = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("s_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nation")
+    )
+    rev = F.sum(_revenue_dec())
+    target = F.sum(
+        F.when(F.col("s_nation") == "NATION_7", _revenue_dec()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(euro_orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round((target.cast("double") / rev.cast("double")), 6).alias("mkt_share"),
+            F.round(rev.cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds 0.1% of total
+    corpus revenue. The global total is a one-row aggregate broadcast
+    back via cross join (Catalyst plans it as BroadcastNestedLoopJoin of
+    a single row); the threshold compare happens on exact decimals so
+    both engines keep identical rows."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    per_part = t["lineitem"].groupBy("l_partkey").agg(
+        F.sum(_revenue_dec()).alias("part_rev")
+    )
+    total = per_part.agg(F.sum("part_rev").alias("total_rev"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_rev").cast("decimal(28,6)")
+            > F.lit(0.001).cast("decimal(10,6)") * F.col("total_rev").cast("decimal(28,6)")
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("part_rev").cast("double"), 2).alias("part_rev"),
+        )
+    )
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue percentage per ship year:
+    conditional aggregation over the lineitem-part broadcast join, one
+    fact shuffle on the group key only."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _revenue_dec()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    total = F.sum(_revenue_dec())
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+            ).alias("promo_pct"),
+            F.round(total.cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+def _q_revenue_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas — daily order revenue with lag(): absolute
+    change and percent change. The un-partitioned window is bounded by
+    CALENDAR DAYS (one row per day post-aggregation), so the single
+    sort never grows with corpus volume."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    daily = t["orders"].groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn("prev", F.lag("revenue").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "day",
+            "revenue",
+            F.round(F.col("revenue") - F.col("prev"), 2).alias("dod_change"),
+            F.round(
+                F.lit(100.0) * (F.col("revenue") - F.col("prev")) / F.col("prev"), 6
+            ).alias("dod_pct"),
+        )
+    )
+
+
+def _q_balance_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function breadth — percent_rank + cume_dist of customer
+    account balance within each nation (deterministic peer groups: the
+    ordering includes c_custkey, so ties can't reshuffle ranks between
+    engines); keeps the top decile per nation."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    ranked = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.filter(F.col("pct_rank") >= 0.9)
+
+
+def _q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame breadth — per-user trailing-1-hour sum/count of event
+    value, ordered by exact epoch microseconds (a true RANGE BETWEEN on
+    the time axis, not a row-count frame; peers at the same microsecond
+    aggregate identically in both engines). Restricted to purchase
+    events to keep the driver diff compact."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            us.alias("ts_us"),
+            F.round(F.sum("value").over(w), 6).alias("trail_sum"),
+            F.count(F.lit(1)).over(w).cast("int").alias("trail_n"),
+        )
+    )
+
+
+def _q_segment_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate breadth — per-segment Pearson correlation of
+    customer balance vs order price, plus sample stddev/covariance.
+    Moment aggregates are merge-stable (Welford-style co-moments) in both
+    engines; the scale-carrying moments are rounded to 2dp (abs error
+    ~1e-8 at this magnitude) and the dimensionless corr to 6dp."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    j = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.corr("c_acctbal", "o_totalprice"), 6).alias("corr_bal_price"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+        F.round(F.covar_samp("c_acctbal", "o_totalprice"), 2).alias("covar"),
+    )
+
+
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — top-25 adjacent bigrams by pointwise mutual
+    information (min count 5). Counts stay integer until the final ln;
+    ranking is on the 6dp-rounded score with a lexical tie-break, so both
+    engines cut the same top-k. One explode + two keyed aggs; unigram
+    totals broadcast back — corpus never collected."""
+    from indexlab_spark.operators.bm25 import tokenize
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(tokenize("text").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    nu = uni.agg(F.sum("cw").alias("nu"))
+    nb = bi.agg(F.sum("cxy").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double") / F.col("nb"))
+            / (
+                (F.col("c1").cast("double") / F.col("nu"))
+                * (F.col("c2").cast("double") / F.col("nu"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "cxy", pmi.alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(25)
+    )
+
+
+def _q_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth — per-label L2-norm statistics of the
+    embedding vectors via a higher-order fold (F.aggregate), no UDF.
+    Per-vector sums run left-to-right over 64 doubles in both engines, so
+    norms are bit-identical before the group aggregate."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+def _q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last aggregation — each user's first and last event type by
+    (ts, event_id) struct order plus the exact activity span in seconds
+    (integer microsecond arithmetic until the final division). One keyed
+    agg; the window-free form of first_value/last_value."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", ord_).alias("first_type"),
+        F.max_by("event_type", ord_).alias("last_type"),
+        F.round((F.max(us) - F.min(us)) / F.lit(1_000_000.0), 6).alias("span_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows — Spark's session_window(ts, gap) in batch
+    mode (the same operator Structured Streaming uses for stateful
+    sessionization): 30-minute gap, per-user event counts and value
+    sums. Window end = last event + gap, matching the islands oracle."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate breadth — per event type: distinct users,
+    distinct active days, and distinct high-value users (conditional
+    distinct via when()); Spark expands multi-distinct into a single
+    grouping-sets pass, not one job per distinct."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.countDistinct(
+            F.when(F.col("value") > 0.5, F.col("user_id"))
+        ).alias("n_hi_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1638,6 +1966,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "time_weighted_avg": _q_time_weighted_avg,
         "phrase_search": _q_phrase_search,
+        "market_share": _q_market_share,
+        "important_parts": _q_important_parts,
+        "promo_revenue": _q_promo_revenue,
+        "revenue_dod": _q_revenue_dod,
+        "balance_percent_rank": _q_balance_percent_rank,
+        "events_trailing_hour": _q_events_trailing_hour,
+        "segment_corr_stats": _q_segment_corr_stats,
+        "bigram_pmi": _q_bigram_pmi,
+        "label_norm_stats": _q_label_norm_stats,
+        "user_first_last": _q_user_first_last,
+        "session_native": _q_session_native,
+        "distinct_counts": _q_distinct_counts,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -2663,5 +3003,181 @@ def oracle_sql() -> dict[str, str]:
                         / 11 AS BIGINT) AS n_occurrences
             FROM documents
             WHERE length(text) - length(replace(text, 'data window', '')) > 0
+        """,
+        "market_share": """
+            WITH euro_orders AS (
+                SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+                FROM orders
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE'),
+            supp AS (
+                SELECT s_suppkey, n_name AS s_nation
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey)
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN s_nation = 'NATION_7'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                         6) AS mkt_share,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+                       AS total_rev
+            FROM lineitem
+            JOIN euro_orders ON o_orderkey = l_orderkey
+            JOIN supp ON s_suppkey = l_suppkey
+            GROUP BY o_year
+        """,
+        "important_parts": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS part_rev
+                FROM lineitem GROUP BY 1),
+            tot AS (SELECT sum(part_rev) AS total_rev FROM pr)
+            SELECT p_partkey, p_name,
+                   round(CAST(part_rev AS DOUBLE), 2) AS part_rev
+            FROM pr CROSS JOIN tot
+            JOIN part ON p_partkey = l_partkey
+            WHERE CAST(part_rev AS DECIMAL(28,6))
+                  > CAST(0.001 AS DECIMAL(10,6)) * CAST(total_rev AS DECIMAL(28,6))
+        """,
+        "promo_revenue": """
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                         6) AS promo_pct,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+                       AS total_rev
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1
+        """,
+        "revenue_dod": """
+            WITH daily AS (
+                SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                           AS revenue
+                FROM orders GROUP BY 1),
+            l AS (SELECT day, revenue,
+                         lag(revenue) OVER (ORDER BY day ASC) AS prev
+                  FROM daily)
+            SELECT day, revenue,
+                   round(revenue - prev, 2) AS dod_change,
+                   round(100.0 * (revenue - prev) / prev, 6) AS dod_pct
+            FROM l WHERE prev IS NOT NULL
+        """,
+        "balance_percent_rank": """
+            WITH r AS (
+                SELECT c_custkey, c_nationkey,
+                       round(c_acctbal, 2) AS acctbal,
+                       round(percent_rank() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
+                       round(cume_dist() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+                FROM customer)
+            SELECT * FROM r WHERE pct_rank >= 0.9
+        """,
+        "events_trailing_hour": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   round(sum(value) OVER w, 6) AS trail_sum,
+                   CAST(count(*) OVER w AS INTEGER) AS trail_n
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "segment_corr_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(corr(c_acctbal, o_totalprice), 6) AS corr_bal_price,
+                   round(stddev_samp(o_totalprice), 2) AS std_price,
+                   round(covar_samp(c_acctbal, o_totalprice), 2) AS covar
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1
+        """,
+        "bigram_pmi": """
+            WITH toks AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS t
+                          FROM documents),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+            bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+                   FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+            bcnt AS (SELECT w1, w2, count(*) AS cxy FROM bi
+                     GROUP BY 1, 2 HAVING count(*) >= 5),
+            nu AS (SELECT sum(cw) AS nu FROM ucnt),
+            nb AS (SELECT sum(cxy) AS nb FROM bcnt)
+            SELECT w1, w2, cxy,
+                   round(ln((CAST(cxy AS DOUBLE) / nb)
+                            / ((CAST(u1.cw AS DOUBLE) / nu)
+                               * (CAST(u2.cw AS DOUBLE) / nu))), 6) AS pmi
+            FROM bcnt
+            JOIN ucnt u1 ON u1.w = w1
+            JOIN ucnt u2 ON u2.w = w2
+            CROSS JOIN nu CROSS JOIN nb
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 25
+        """,
+        "label_norm_stats": """
+            WITH n AS (SELECT label,
+                              sqrt(list_sum(list_transform(
+                                  CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+                       FROM embeddings)
+            SELECT label, count(*) AS n,
+                   round(avg(norm), 6) AS avg_norm,
+                   round(min(norm), 6) AS min_norm,
+                   round(max(norm), 6) AS max_norm
+            FROM n GROUP BY 1
+        """,
+        "user_first_last": """
+            WITH r AS (SELECT user_id, event_type, ts, event_id,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+                       FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+                   round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE)
+                         / 1000000.0, 6) AS span_sec,
+                   count(*) AS n_events
+            FROM r GROUP BY user_id
+        """,
+        "session_native": """
+            WITH t AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC) AS prev_us
+                       FROM events),
+            m AS (SELECT *, CASE WHEN prev_us IS NULL
+                                 OR us - prev_us >= 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM t),
+            i AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id,
+                   min(us) AS start_us,
+                   max(us) + 1800000000 AS end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM i GROUP BY user_id, sid
+        """,
+        "distinct_counts": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   count(DISTINCT CASE WHEN value > 0.5 THEN user_id END)
+                       AS n_hi_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
     }
