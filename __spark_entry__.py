@@ -1743,6 +1743,21 @@ def _q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — cluster-then-pairwise semantic dedup over the planted
+    near-dup corpus (operators/dedup.semantic_dedup_pairs): sample-trained
+    Lloyd cells, exact cosine only within each cell. Rows-only: the
+    clustering step is approximate, so the contract is the property suite
+    (tests/test_semdedup.py — perfect precision, planted-recall floor,
+    determinism), not a SQL hash."""
+    from indexlab_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return semantic_dedup_pairs(
+        _lsh_planted_corpus(emb), n_clusters=16, threshold=_LSH_THRESHOLD
+    )
+
+
 def _q_segment_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate breadth — per-segment Pearson correlation of
     customer balance vs order price, plus sample stddev/covariance.
@@ -1984,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 

@@ -199,3 +199,30 @@ def view_click_join_stream(
         F.col("v_user").alias("user_id"), "view_id", "click_id",
         "view_ts", "click_ts",
     )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows on a stream — F.session_window + watermark,
+    Spark's built-in merging-session-state operator (vs the custom
+    applyInPandasWithState twin in sessionize_with_state, which exists
+    for the arbitrary-state pattern). Sessions close — and emit, in
+    append mode — once the watermark passes session end + gap; state per
+    open session is O(1)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -385,3 +385,110 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _session_batch_truth(df):
+    return {
+        tuple(r)
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .selectExpr(
+            "user_id", "unix_micros(sw.start)", "unix_micros(sw.end)",
+            "n_events", "sum_value",
+        )
+        .collect()
+    }
+
+
+def test_session_window_stream_single_batch_exact(spark, sf_dir, tmp_path):
+    """Native session_window on a stream, one micro-batch, complete mode:
+    exactly the batch session_window result."""
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        run_stream_to_memory,
+        session_window_stream,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "swin_one")
+    ev.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_stream_to_memory(
+        session_window_stream(stream, gap="30 minutes"), "swin_one",
+        output_mode="complete",
+    )
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "select user_id, unix_micros(session_start),"
+            " unix_micros(session_end), n_events, sum_value from swin_one"
+        ).collect()
+    }
+    expect = _session_batch_truth(spark.read.parquet(src))
+    assert got == expect and len(got) > 100
+
+
+def test_session_window_stream_append_watermark(spark, sf_dir, tmp_path):
+    """Production shape — append mode + watermark over event-time-ordered
+    micro-batches (complete mode does NOT merge session state across
+    batches in this Spark build, and update mode is rejected outright;
+    append+watermark is the supported contract). Emitted sessions must be
+    a subset of batch truth, and every session provably final before the
+    last batch's watermark MUST have been emitted."""
+    import time as _time
+
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        run_stream_to_memory,
+        session_window_stream,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "swin_app")
+    ts_q = [
+        r[0]
+        for r in ev.selectExpr(
+            "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) as q"
+        ).select(F.explode("q")).collect()
+    ]
+    lo = [None] + ts_q
+    hi = ts_q + [None]
+    for a, b in zip(lo, hi):
+        part = ev
+        if a is not None:
+            part = part.filter(F.unix_micros("ts") > a)
+        if b is not None:
+            part = part.filter(F.unix_micros("ts") <= b)
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        session_window_stream(stream, gap="30 minutes", watermark="1 hour"),
+        "swin_app", output_mode="append",
+    )
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "select user_id, unix_micros(session_start),"
+            " unix_micros(session_end), n_events, sum_value from swin_app"
+        ).collect()
+    }
+    truth = _session_batch_truth(spark.read.parquet(src))
+    assert got <= truth
+    # watermark visible to the final batch: max ts of the first 3 files
+    # minus 1h; sessions whose end (= last event + gap) precedes it got
+    # no further events (any file-4 event is > gap away) and must emit
+    wm_floor = ts_q[2] - 3_600_000_000
+    must_emit = {t for t in truth if t[2] <= wm_floor}
+    assert must_emit and must_emit <= got
