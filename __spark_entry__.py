@@ -1910,6 +1910,71 @@ def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (Deequ-style) — per-column null count,
+    distinct count, and formatted min/max over orders, computed in ONE
+    aggregation pass and unpivoted with stack(): the wide-to-long
+    operator the reference lacks entirely. Formatting is pinned
+    (%.2f / yyyy-MM-dd) so both engines render identical strings."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cols = {
+        "o_orderkey": (F.col("o_orderkey").cast("string"), None),
+        "o_custkey": (F.col("o_custkey").cast("string"), None),
+        "o_orderstatus": (F.col("o_orderstatus"), None),
+        "o_totalprice": (None, "%.2f"),
+        "o_orderdate": (F.date_format("o_orderdate", "yyyy-MM-dd"), None),
+        "o_orderpriority": (F.col("o_orderpriority"), None),
+    }
+    aggs = []
+    for c, (as_str, fmt) in cols.items():
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if fmt is not None:
+            aggs.append(F.format_string(fmt, F.min(c)).alias(f"{c}__mn"))
+            aggs.append(F.format_string(fmt, F.max(c)).alias(f"{c}__mx"))
+        else:
+            aggs.append(F.min(as_str).alias(f"{c}__mn"))
+            aggs.append(F.max(as_str).alias(f"{c}__mx"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (col_name, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer diagnostics — cumulative corpus coverage of the top-100
+    vocabulary terms (the curve that sizes a vocab for a tokenizer).
+    Term counts combine map-side; the top-100 cut is TakeOrdered (never
+    a global sort of the vocabulary); the running sum then windows over
+    exactly 100 rows. Counts stay integer; one division at the end."""
+    from indexlab_spark.operators.bm25 import tokenize
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(F.explode(tokenize("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("term")).limit(100)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cnt",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("total"), 6
+            ).alias("cum_frac"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -1993,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_last": _q_user_first_last,
         "session_native": _q_session_native,
         "distinct_counts": _q_distinct_counts,
+        "orders_profile": _q_orders_profile,
+        "vocab_coverage": _q_vocab_coverage,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3195,5 +3262,62 @@ def oracle_sql() -> dict[str, str]:
                        AS n_hi_users,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "orders_profile": """
+            SELECT 'o_orderkey' AS col_name,
+                   count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(CAST(o_orderkey AS VARCHAR)) AS min_val,
+                   max(CAST(o_orderkey AS VARCHAR)) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   count(CASE WHEN o_custkey IS NULL THEN 1 END),
+                   count(DISTINCT o_custkey),
+                   min(CAST(o_custkey AS VARCHAR)),
+                   max(CAST(o_custkey AS VARCHAR))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice',
+                   count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+                   count(DISTINCT o_totalprice),
+                   printf('%.2f', min(o_totalprice)),
+                   printf('%.2f', max(o_totalprice))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate',
+                   count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+                   count(DISTINCT o_orderdate),
+                   strftime(min(o_orderdate), '%Y-%m-%d'),
+                   strftime(max(o_orderdate), '%Y-%m-%d')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+        """,
+        "vocab_coverage": """
+            WITH tok AS (SELECT unnest(list_filter(
+                                regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+                         FROM documents),
+            cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS total FROM cnt),
+            top AS (SELECT term, cnt FROM cnt
+                    ORDER BY cnt DESC, term ASC LIMIT 100)
+            SELECT term, cnt,
+                   CAST(row_number() OVER o AS INTEGER) AS rank,
+                   round(CAST(sum(cnt) OVER (o ROWS UNBOUNDED PRECEDING)
+                              AS DOUBLE) / total, 6) AS cum_frac
+            FROM top CROSS JOIN tot
+            WINDOW o AS (ORDER BY cnt DESC, term ASC)
         """,
     }

@@ -370,7 +370,8 @@ def main() -> None:
                  "quality_filter", "dedup_clusters", "pack_sequences",
                  "events_gapfill", "embedding_lsh", "local_supplier_volume",
                  "events_funnel", "retention_cohorts", "unigram_logprob",
-                 "similarity_pq"):
+                 "similarity_pq", "market_share", "session_native",
+                 "bigram_pmi", "semantic_dedup"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -146,3 +146,42 @@ def test_pretty_source_name(spark):
     )
     got = [r[0] for r in df.select(pretty_source_name("name")).collect()]
     assert got == ["report.csv", "plain.csv"]
+
+
+def test_approx_sketches_within_error_bounds(tables):
+    """Sketch aggregates are the 100 TB scale path for distinct counts
+    and quantiles (fixed-size state, one pass, mergeable across
+    executors) — exact distinct/percentile shuffle every value. No
+    cross-engine hash oracle exists (sketch internals differ), so the
+    contract is the published error bound against the exact answer."""
+    import pyspark.sql.functions as F
+
+    ev = tables["events"]
+
+    exact_users = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx_users = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.05)
+    ).collect()[0][0]
+    assert abs(approx_users - exact_users) <= max(3 * 0.05 * exact_users, 5)
+
+    exact_ids = ev.select(F.countDistinct("event_id")).collect()[0][0]
+    approx_ids = ev.select(
+        F.approx_count_distinct("event_id", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx_ids - exact_ids) <= max(3 * 0.02 * exact_ids, 5)
+
+    qs = [0.1, 0.5, 0.9]
+    exact_q = ev.select(
+        F.expr("percentile(value, array(0.1, 0.5, 0.9))")
+    ).collect()[0][0]
+    approx_q = ev.approxQuantile("value", qs, 0.01)
+    n = ev.count()
+    # approxQuantile contract: rank error <= relativeError * n; convert
+    # to a value bound via the exact quantiles at rank +/- tolerance
+    ranked = sorted(r[0] for r in ev.select("value").collect())
+    for q, a in zip(qs, approx_q):
+        lo = ranked[max(0, int((q - 0.015) * n))]
+        hi = ranked[min(n - 1, int((q + 0.015) * n))]
+        assert lo <= a <= hi, (q, a, lo, hi)
+    # sanity: approx quantiles are ordered like the exact ones
+    assert approx_q == sorted(approx_q) and list(exact_q) == sorted(exact_q)
