@@ -492,3 +492,62 @@ def test_session_window_stream_append_watermark(spark, sf_dir, tmp_path):
     wm_floor = ts_q[2] - 3_600_000_000
     must_emit = {t for t in truth if t[2] <= wm_floor}
     assert must_emit and must_emit <= got
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the streaming dedup that tolerates
+    REPEATED ids with different timestamps (dropDuplicates would keep
+    both if ts differs): duplicates arriving within the watermark delta
+    of the first sighting are dropped, and state for an id expires once
+    the watermark passes — bounded even with infinitely many distinct
+    ids. Batch-file replay: same id twice, 10 minutes apart, inside a
+    30-minute watermark -> exactly one survivor per id."""
+    import time as _time
+
+    import pandas as pd
+
+    src = str(tmp_path / "ddw_src")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + pd.Timedelta(minutes=1), base + pd.Timedelta(minutes=2)],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    # file 2: ids 1 and 2 again, 10 min later (dup within watermark),
+    # plus a genuinely new id 4
+    rows2 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 4],
+            "ts": [
+                base + pd.Timedelta(minutes=10),
+                base + pd.Timedelta(minutes=11),
+                base + pd.Timedelta(minutes=12),
+            ],
+            "value": [10.0, 20.0, 4.0],
+        }
+    )
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    from indexlab_spark.streaming.events import run_stream_to_memory
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    run_stream_to_memory(deduped, "ddw_out", output_mode="append")
+    got = {
+        (r["event_id"], r["value"])
+        for r in spark.sql("select event_id, value from ddw_out").collect()
+    }
+    # first sighting survives for 1 and 2; 3 and 4 pass through
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)}
