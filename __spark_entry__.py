@@ -1975,6 +1975,50 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring, order-2 — per-document mean log
+    probability under a corpus bigram model with add-one smoothing
+    (the in-container stand-in for CCNet's KenLM perplexity filter;
+    unigram_logprob is the order-1 sibling). ln((c12+1)/(c1+V)) splits
+    into two integer-argument lns, so both engines compute identical
+    per-bigram terms; docs with <2 tokens have no bigrams and drop out.
+    Count frames combine map-side; c1 and V broadcast back — the corpus
+    shuffles once on (w1,w2)."""
+    from indexlab_spark.operators.bm25 import tokenize
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    doc_bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    # feeds both the count branch and the final scoring join — persist so
+    # the tokenize+explode scan runs once
+    doc_bi = doc_bi.persist()
+    c12 = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toks.select(F.explode("toks").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    lp = F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v"))
+    return (
+        doc_bi.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -2060,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": _q_distinct_counts,
         "orders_profile": _q_orders_profile,
         "vocab_coverage": _q_vocab_coverage,
+        "bigram_logprob": _q_bigram_logprob,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3319,5 +3364,27 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / total, 6) AS cum_frac
             FROM top CROSS JOIN tot
             WINDOW o AS (ORDER BY cnt DESC, term ASC)
+        """,
+        "bigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS t
+                          FROM documents),
+            db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                   FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+            voc AS (SELECT count(DISTINCT w) AS v
+                    FROM (SELECT unnest(t) AS w FROM toks))
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln(CAST(c12.c12 + 1 AS DOUBLE))
+                             - ln(CAST(c1.c1 + voc.v AS DOUBLE))), 6)
+                       AS avg_logprob
+            FROM db
+            JOIN c12 USING (w1, w2)
+            JOIN c1 USING (w1)
+            CROSS JOIN voc
+            GROUP BY doc_id
         """,
     }

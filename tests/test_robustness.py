@@ -112,3 +112,33 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # later-version operators run over the union (null-tolerant)
     n = merged.filter(F.col("lang").isNull()).count()
     assert n == 1
+
+
+def test_goldset_python_datasource(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): partitioned executor-side
+    gold-set scan == the driver-side load_gold loader on the same bytes,
+    with one input partition per file."""
+    import json
+
+    d = tmp_path / "gold"
+    d.mkdir()
+    rows1 = [
+        {"Question": "  what is spark? ", "Expected_ID": "doc-1 "},
+        {"question": "", "expected_id": "dropped"},
+    ]
+    rows2 = [
+        {"question": "what is an rdd?", "EXPECTED_ID": "doc-2"},
+        {"question": "kept?", "expected_id": ""},
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        (d / f"part{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    from indexlab_spark.sources.goldset_source import register
+
+    register(spark)
+    df = spark.read.format("goldset").load(str(d))
+    got = {tuple(r) for r in df.collect()}
+    assert got == {("what is spark?", "doc-1"), ("what is an rdd?", "doc-2")}
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
