@@ -137,17 +137,131 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _read_excel_driver(spark: SparkSession, path: str) -> DataFrame:
-    """S2 — driver-side pandas.read_excel -> createDataFrame. Gated:
-    openpyxl/xlrd are not installed in this container."""
+    """S2 — Excel ingestion (reference app/ingest/reader.py:153-154 uses
+    pandas.read_excel: first sheet, first row = header). Prefers
+    pandas+openpyxl when present; otherwise falls back to the stdlib
+    OOXML parser below — xlsx is a zip of ECMA-376 XML, so the container
+    needs no third-party engine for the common case. Legacy .xls (BIFF
+    binary) still requires xlrd and stays gated."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path)
-    except ImportError as e:
+        return spark.createDataFrame(pdf)
+    except (ImportError, ValueError):
+        # no engine installed (ImportError), or pandas can't pick one
+        # without it (ValueError) — try the stdlib OOXML path
+        pass
+    try:
+        header, rows = _parse_xlsx_stdlib(path)
+    except NotImplementedError:
+        raise
+    except Exception as e:  # not a zip => legacy .xls (BIFF) etc.
         raise NotImplementedError(
-            f"Excel reading needs openpyxl/xlrd (not installed): {e}"
+            f"Excel fallback parser handles .xlsx (OOXML) only; "
+            f"install openpyxl/xlrd for this file: {e}"
         ) from e
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=header)
+    # pandas.read_excel parity: numeric-looking columns come back numeric
+    for c in pdf.columns:
+        try:
+            pdf[c] = pd.to_numeric(pdf[c])
+        except (ValueError, TypeError):
+            pass
     return spark.createDataFrame(pdf)
+
+
+def _parse_xlsx_stdlib(path: str) -> tuple[list[str], list[list]]:
+    """Minimal ECMA-376 (OOXML) spreadsheet parser — stdlib only.
+
+    Reads the FIRST sheet in workbook order (pandas.read_excel default),
+    resolving shared strings and inline strings; returns (header, rows)
+    with the first row as header, remaining rows padded/truncated to the
+    header width. Supports cell types s (shared), str (formula string),
+    inlineStr, b (boolean), and numeric default. Cells are placed by
+    their A1-style column reference, so sparse rows keep alignment.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    REL_NS = (
+        "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    )
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+
+        # first sheet in workbook order -> its part via the rels map
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        first_sheet = wb.find(f"{NS}sheets/{NS}sheet")
+        if first_sheet is None:
+            raise NotImplementedError("xlsx has no sheets")
+        rid = first_sheet.get(f"{REL_NS}id")
+        target = None
+        if "xl/_rels/workbook.xml.rels" in names and rid:
+            rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            for rel in rels:
+                if rel.get("Id") == rid:
+                    target = rel.get("Target").lstrip("/")
+                    break
+        sheet_part = (
+            f"xl/{target}" if target and not target.startswith("xl/")
+            else (target or "xl/worksheets/sheet1.xml")
+        )
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.findall(f"{NS}si"):
+                # plain <t> or rich-text runs <r><t>
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+
+        sheet = ET.fromstring(z.read(sheet_part))
+        grid: list[list] = []
+        for row in sheet.find(f"{NS}sheetData") or []:
+            cells: dict[int, object] = {}
+            for c in row.findall(f"{NS}c"):
+                ref = c.get("r") or ""
+                col = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                    else:
+                        break
+                idx = col - 1 if col > 0 else len(cells)
+                t = c.get("t", "n")
+                v = c.find(f"{NS}v")
+                if t == "s":
+                    val = shared[int(v.text)] if v is not None else ""
+                elif t == "inlineStr":
+                    is_ = c.find(f"{NS}is")
+                    val = (
+                        "".join(x.text or "" for x in is_.iter(f"{NS}t"))
+                        if is_ is not None
+                        else ""
+                    )
+                elif t == "b":
+                    val = v is not None and v.text == "1"
+                elif v is None or v.text is None:
+                    val = None
+                elif t == "str":
+                    val = v.text
+                else:
+                    f_ = float(v.text)
+                    val = int(f_) if f_.is_integer() else f_
+                cells[idx] = val
+            width = max(cells) + 1 if cells else 0
+            grid.append([cells.get(i) for i in range(width)])
+
+    if not grid:
+        raise NotImplementedError("xlsx sheet is empty")
+    header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(grid[0])]
+    w = len(header)
+    rows = [(r + [None] * w)[:w] for r in grid[1:]]
+    return header, rows
 
 
 # --------------------------------------------------------- S5 HTML tree walk

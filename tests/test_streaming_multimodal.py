@@ -144,35 +144,87 @@ def test_reader_formats(spark, tmp_path):
     assert sniff_format("f.bin", b"hello") == "text"
 
 
-def test_excel_reader_gate_or_roundtrip(spark, tmp_path):
-    """S2: with openpyxl installed the xlsx round-trip must work; without
-    it the gate must raise a NotImplementedError whose message names the
-    missing dependency (so a real user knows what to install)."""
-    import pandas as pd
+def _write_minimal_xlsx(path, header, rows):
+    """Handcraft a genuine minimal ECMA-376 xlsx (zip of XML) — what
+    Excel/openpyxl would produce, with shared + inline strings and
+    numerics, so the stdlib fallback parser is tested against the real
+    container format without needing openpyxl to author it."""
+    import zipfile
 
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    shared: list[str] = []
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            if v not in shared:
+                shared.append(v)
+            return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    body = []
+    for i, row in enumerate([header] + rows, start=1):
+        cs = "".join(
+            cell(f"{chr(65 + j)}{i}", v) for j, v in enumerate(row) if v is not None
+        )
+        body.append(f'<row r="{i}">{cs}</row>')
+    sheet = f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    sst = f'<sst {ns}>' + "".join(
+        f"<si><t>{s}</t></si>" for s in shared
+    ) + "</sst>"
+    wb = (
+        f'<workbook {ns} xmlns:r="{rel}"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId1" Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_reader_roundtrip_stdlib(spark, tmp_path):
+    """S2: xlsx ingestion works WITHOUT openpyxl — the stdlib OOXML
+    fallback parses a genuine minimal xlsx container (shared strings,
+    numerics, sparse cells) with pandas.read_excel header semantics."""
+    from indexlab_spark.sources.reader import _read_excel_driver
+
+    xlsx = tmp_path / "t.xlsx"
+    _write_minimal_xlsx(
+        xlsx,
+        ["a", "b", "c"],
+        [[1, "x", 2.5], [2, "y", None], [3, "z", 7]],
+    )
+    df = _read_excel_driver(spark, str(xlsx))
+    rows = sorted(df.collect(), key=lambda r: r["a"])
+    assert set(df.columns) == {"a", "b", "c"}
+    assert [r["a"] for r in rows] == [1, 2, 3]
+    assert [r["b"] for r in rows] == ["x", "y", "z"]
+    assert rows[0]["c"] == 2.5 and rows[1]["c"] is None
+
+
+def test_excel_reader_legacy_xls_gated(spark, tmp_path):
+    """Legacy BIFF .xls (not a zip) stays gated with a message naming the
+    dependency to install."""
     from indexlab_spark.sources.reader import _read_excel_driver
 
     try:
         import openpyxl  # noqa: F401
 
-        have_openpyxl = True
+        pytest.skip("openpyxl present; pandas path handles gating")
     except ImportError:
-        have_openpyxl = False
-
-    xlsx = tmp_path / "t.xlsx"
-    if have_openpyxl:
-        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(xlsx, index=False)
-        df = _read_excel_driver(spark, str(xlsx))
-        assert df.count() == 2 and set(df.columns) == {"a", "b"}
-    else:
-        import zipfile
-
-        # a real zip container: pandas sniffs the PK magic, picks the
-        # openpyxl engine, and THEN hits the ImportError the gate wraps
-        with zipfile.ZipFile(xlsx, "w") as z:
-            z.writestr("xl/workbook.xml", "<workbook/>")
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            _read_excel_driver(spark, str(xlsx))
+        pass
+    xls = tmp_path / "t.xls"
+    xls.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic
+    with pytest.raises(NotImplementedError, match="openpyxl|xlrd"):
+        _read_excel_driver(spark, str(xls))
 
 
 def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
