@@ -1,0 +1,120 @@
+"""Empirical scaling probe: run representative operators at 1x and Nx
+replicated corpus size and report the runtime growth factor.
+
+A shuffle- or pair-explosion bottleneck shows up as growth >> N; a
+fixed-overhead-dominated op shows growth << N. Near-linear growth
+(~N, modulo the amortizing job floor) is the behavior that extrapolates
+to a multi-executor cluster — the bench's _large variants prove it for
+the B1-B6 suites, this probe proves it for the dedup/curation/session
+families that have no _large twin.
+
+Usage: python tools/scale_probe.py [N] [sf_dir]   (default 8x, sf0.1)
+Prints one JSON line: {"op": {"t1": s, "tN": s, "growth": tN/t1}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from indexlab_spark.session import get_spark, load_tables
+
+
+def replicate_docs(docs, n: int):
+    return (
+        docs.crossJoin(F.broadcast(
+            docs.sparkSession.range(n).select(F.col("id").alias("_rep"))
+        ))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+            # perturb replica text so dedup ops don't see an n^2 blowup of
+            # planted identical docs: prefix a replica tag token
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.concat_ws("", F.lit("rep"), F.col("_rep")),
+                                F.lit(" "), F.col("text")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
+
+
+def replicate_events(ev, n: int):
+    return (
+        ev.crossJoin(F.broadcast(
+            ev.sparkSession.range(n).select(F.col("id").alias("_rep"))
+        ))
+        .select(
+            (F.col("event_id") + F.col("_rep") * 10_000_000).alias("event_id"),
+            "ts",
+            # distinct user space per replica: state/keys scale with data,
+            # skew stays flat — the multi-tenant growth pattern
+            (F.col("user_id") + F.col("_rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(ev.sparkSession.sparkContext.defaultParallelism)
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    t = load_tables(spark, sf_dir, ("documents", "events"))
+    docs1 = t["documents"].persist()
+    ev1 = t["events"].persist()
+    docsN = replicate_docs(t["documents"], n).persist()
+    evN = replicate_events(t["events"], n).persist()
+    docs1.count(), docsN.count(), ev1.count(), evN.count()  # materialize
+
+    from indexlab_spark.operators.curation import quality_flags, redact_pii
+    from indexlab_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash,
+    )
+
+    def cases(docs, ev):
+        return {
+            "exact_dedup": lambda: exact_dedup(docs).count(),
+            "simhash": lambda: simhash(docs).count(),
+            "minhash_lsh": lambda: minhash_lsh_pairs(docs, threshold=0.5).count(),
+            "quality_pii": lambda: (
+                quality_flags(docs).count() + redact_pii(docs).count()
+            ),
+            "session_native": lambda: (
+                ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+                .count()
+                .count()
+            ),
+        }
+
+    out = {}
+    for name, fn in cases(docs1, ev1).items():
+        t0 = time.time()
+        fn()
+        t1 = time.time() - t0
+        t0 = time.time()
+        cases(docsN, evN)[name]()
+        tn = time.time() - t0
+        out[name] = {
+            "t1": round(t1, 2),
+            f"t{n}": round(tn, 2),
+            "growth": round(tn / t1, 2),
+        }
+        print(f"{name}: 1x {t1:.2f}s, {n}x {tn:.2f}s, growth {tn/t1:.2f}",
+              file=sys.stderr)
+    print(json.dumps({"n": n, "sf_dir": sf_dir, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
