@@ -1,0 +1,77 @@
+"""Plan-contract regression tests for the gate queries.
+
+PLANS.md documents the physical plans the 100 TB design depends on
+(fact shuffles once, dims broadcast, single keyed exchange for
+window/session ops). These tests pin those properties so a refactor
+that silently introduces an extra shuffle — correct results, broken
+scale story — fails CI, the same way plans/colocate's zero-Exchange
+bucketed join is pinned.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from indexlab_spark.plans.colocate import exchange_count
+
+
+def _plan(spark, sf_dir, name):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _counts(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    lines = plan.splitlines()
+    broadcast = sum(1 for l in lines if "BroadcastExchange" in l)
+    total = sum(
+        1 for l in lines if "Exchange" in l and "ReusedExchange" not in l
+    )
+    return total - broadcast, broadcast  # (shuffles, broadcasts)
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8 star: lineitem shuffles exactly once (the o_year agg); every
+    dimension reaches it as a broadcast."""
+    shuffles, broadcasts = _counts(spark, sf_dir, "market_share")
+    assert shuffles == 1, f"expected 1 fact shuffle, got {shuffles}"
+    assert broadcasts >= 5
+
+
+def test_single_shuffle_keyed_ops(spark, sf_dir):
+    """session_window and the trailing-hour RANGE frame are one keyed
+    exchange each — no second sort-exchange, no SinglePartition."""
+    for name in ("session_native", "events_trailing_hour", "user_first_last"):
+        shuffles, _ = _counts(spark, sf_dir, name)
+        assert shuffles == 1, f"{name}: expected 1 shuffle, got {shuffles}"
+        assert "SinglePartition" not in _plan(spark, sf_dir, name), name
+
+
+def test_promo_revenue_broadcast_dim(spark, sf_dir):
+    """Q14: part is a broadcast dimension; one fact shuffle for the
+    ship_year aggregate."""
+    shuffles, broadcasts = _counts(spark, sf_dir, "promo_revenue")
+    assert shuffles == 1 and broadcasts >= 1
+
+
+def test_top_revenue_take_ordered(spark, sf_dir):
+    """Global top-k compiles to TakeOrderedAndProject, never a full
+    global Sort feeding a Limit."""
+    plan = _plan(spark, sf_dir, "top_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_no_global_vocab_sort(spark, sf_dir):
+    """The top-100 cut is TakeOrdered; the window cumsum then runs over
+    100 rows, so the one SinglePartition stage is bounded by the
+    CONSTANT k, not the vocabulary."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pushdown_reaches_scan(spark, sf_dir):
+    """The purchase filter in events_trailing_hour lands in the parquet
+    scan (PushedFilters), not a post-scan Filter-only plan."""
+    plan = _plan(spark, sf_dir, "events_trailing_hour")
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[1][:200]
