@@ -2019,6 +2019,56 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType breadth — per-user event-type histogram built as a real
+    map column (map_from_entries over collect_list), filtered with the
+    higher-order map_filter (keep types seen >= 3 times), then exploded
+    back to rows. Map contents are order-insensitive, so the
+    nondeterministic collect_list order can't leak into the result; the
+    oracle is the equivalent flat group-by."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return (
+        m.select(
+            "user_id",
+            F.size("m").alias("n_types"),
+            F.explode(F.map_filter("m", lambda k, v: v >= 3)).alias(
+                "event_type", "n"
+            ),
+        )
+    )
+
+
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance — the daily rollup built by THREE
+    incremental refreshes (operators/maintenance.refresh_rollup: merge
+    each delta's partial aggregates, never rescan history) must equal the
+    oracle's one-shot GROUP BY. Decomposable (count, sum) state; work per
+    refresh is bounded by the key count."""
+    from indexlab_spark.operators.maintenance import (
+        refresh_rollup,
+        rollup_events_daily,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    state = None
+    for b in range(3):
+        delta = rollup_events_daily(ev.filter(F.col("event_id") % 3 == b))
+        state = refresh_rollup(
+            state, delta, keys=["day", "event_type"], sum_cols=("sum_value",)
+        )
+    return state.select(
+        "day", "event_type", "n", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -2105,6 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": _q_orders_profile,
         "vocab_coverage": _q_vocab_coverage,
         "bigram_logprob": _q_bigram_logprob,
+        "user_type_map": _q_user_type_map,
+        "incremental_rollup": _q_incremental_rollup,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3386,5 +3438,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN c1 USING (w1)
             CROSS JOIN voc
             GROUP BY doc_id
+        """,
+        "user_type_map": """
+            WITH per AS (SELECT user_id, event_type, count(*) AS n
+                         FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, CAST(count(*) AS INTEGER) AS n_types
+                  FROM per GROUP BY 1)
+            SELECT p.user_id, t.n_types, p.event_type, p.n
+            FROM per p JOIN t USING (user_id)
+            WHERE p.n >= 3
+        """,
+        "incremental_rollup": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
     }

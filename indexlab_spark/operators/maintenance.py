@@ -160,3 +160,42 @@ def parquet_file_ranges(path: str, column: str) -> list[tuple]:
         if lo is not None:
             out.append((lo, hi))
     return out
+
+
+def refresh_rollup(
+    existing_rollup: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh — merge a delta batch's
+    partial aggregates into an existing rollup WITHOUT rescanning
+    history (the hypertable continuous-aggregate / materialized-view
+    maintenance job; the reference recomputes its analytics from the
+    full corpus per request, app/analytics flow).
+
+    Works for any decomposable aggregate carried as (count, sums):
+    rollup(base + delta) == combine(rollup(base), rollup(delta)) by
+    re-aggregating the union on the same keys with SUM — one shuffle
+    over |existing keys| + |delta keys| rows, independent of history
+    row count. avg/derived metrics recompute from the carried sums.
+
+    ``existing_rollup`` may be None (first refresh).
+    """
+    aggs = [F.sum(count_col).alias(count_col)] + [
+        F.sum(c).alias(c) for c in sum_cols
+    ]
+    parts = delta if existing_rollup is None else existing_rollup.unionByName(delta)
+    return parts.groupBy(*keys).agg(*aggs)
+
+
+def rollup_events_daily(events: DataFrame) -> DataFrame:
+    """Day x event_type partial aggregate in refresh_rollup's carried
+    shape: (keys..., n, sum_value)."""
+    return events.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )

@@ -89,3 +89,34 @@ def test_range_clustered_layout_is_disjoint_and_prunes(spark, tables, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(event_id,10)" in plan or "PushedFilters" in plan
     assert df.count() == ev.filter(F.col("event_id").between(10, 20)).count()
+
+
+def test_incremental_rollup_refresh_matches_full(spark, tables):
+    """refresh_rollup(rollup(base), delta) == rollup(base + delta) for
+    the decomposable (count, sum) shape — three micro-batches applied
+    incrementally converge to the full-recompute answer, with per-refresh
+    work bounded by key count, not history size."""
+    import pyspark.sql.functions as F
+
+    from indexlab_spark.operators.maintenance import (
+        refresh_rollup,
+        rollup_events_daily,
+    )
+
+    ev = tables["events"].withColumn(
+        "_b", (F.col("event_id") % 3).cast("int")
+    ).persist()
+
+    state = None
+    for b in range(3):
+        delta = rollup_events_daily(ev.filter(F.col("_b") == b))
+        state = refresh_rollup(
+            state, delta, keys=["day", "event_type"], sum_cols=("sum_value",)
+        )
+        state = state.localCheckpoint(eager=True)  # what a real job persists
+
+    full = rollup_events_daily(ev)
+    key = lambda r: (r["day"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n"], round(r["sum_value"], 6)) for r in state.collect()}
+    expect = {key(r): (r["n"], round(r["sum_value"], 6)) for r in full.collect()}
+    assert got == expect and len(got) > 100
