@@ -57,24 +57,53 @@ def bm25_build(
 
     ``materialize=True`` caches the tf table — everything downstream
     (doc_lens, df, idf, scoring) derives from it, and without the cache
-    Spark re-runs the tokenize+explode scan once per derived branch. In
+    Spark re-runs the tokenize scan once per derived branch. In
     production these frames are written as the per-index-version BM25
     tables (EngineConfig.bm25_path) instead of cached.
+
+    Shuffle shape: tf AND dl are per-document local facts, so one Arrow
+    mapInPandas pass (Counter per doc — the exploded_shingles trick)
+    emits (doc_id, term, tf, dl) with ZERO shuffle; only the term-level
+    df needs an exchange (one window on term). The previous
+    explode → groupBy(doc_id, term) → window(doc) formulation shuffled
+    the full posting frame twice more for the same result.
     """
+    import re as _re
+
+    import pandas as pd
     from pyspark.sql.window import Window
 
-    toks = docs_df.select(
-        F.col(doc_id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
+    ws = _re.compile(r"\s+")
+
+    def _tf_rows(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            dls: list = []
+            for i, t in zip(pdf[doc_id_col], pdf[text_col]):
+                toks = [x for x in ws.split((t or "").lower()) if x]
+                c = Counter(toks)
+                ids.extend([i] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                dls.extend([len(toks)] * len(c))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    src = docs_df.select(doc_id_col, text_col)
+    parallelism = docs_df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    id_t = docs_df.schema[doc_id_col].dataType.simpleString()
+    tf = src.mapInPandas(
+        _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df and dl as WINDOWS over the tf frame — two shuffles total instead
-    # of two groupBy+join pairs (four); each window reuses tf's rows
-    # in place
     w_term = Window.partitionBy("term")
-    w_doc = Window.partitionBy("doc_id")
-    enriched = tf.withColumn("df", F.count(F.lit(1)).over(w_term)).withColumn(
-        "dl", F.sum("tf").over(w_doc)
-    )
+    enriched = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
     if materialize:
         enriched = enriched.persist()
     # docs with no tokens still count toward N and avgdl (dl=0)
@@ -84,8 +113,15 @@ def bm25_build(
             enriched.groupBy("doc_id").agg(F.first("dl").alias("dl")), "doc_id", "left"
         ).na.fill({"dl": 0})
     )
-    globals_df = doc_lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # scalar aggregates, no keyed shuffle: N from the corpus frame, total
+    # tokens from the (doc,term) frame's per-doc-constant dl via sum(tf)
+    globals_df = (
+        all_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(enriched.agg(F.sum("tf").alias("_tok_total")))
+        .select(
+            "n_docs",
+            (F.col("_tok_total").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
     )
     # vocabulary-level idf with the epsilon correction for negatives
     idf = (
