@@ -2069,6 +2069,28 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-aggregate breadth beyond sum/avg — exact trailing-7-row
+    median (percentile 0.5 as a WINDOW function) of event value per
+    user, the robust-smoothing twin of revenue_moving_avg. Deterministic
+    frame: ordering includes event_id. One keyed shuffle; frame state is
+    O(7) per row in both engines (DuckDB quantile_cont == Spark exact
+    percentile, linear interpolation)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med7"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": _q_chunk_fixed,
@@ -2157,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "user_type_map": _q_user_type_map,
         "incremental_rollup": _q_incremental_rollup,
+        "rolling_median": _q_rolling_median,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3455,5 +3478,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "rolling_median": """
+            SELECT user_id, event_id,
+                   round(value, 6) AS value,
+                   round(quantile_cont(value, 0.5) OVER w, 6) AS med7,
+                   CAST(count(*) OVER w AS INTEGER) AS n_in_frame
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
     }
