@@ -1032,14 +1032,19 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group EXACT percentiles (p50/p90/p99 in one pass — Spark
     percentile() and DuckDB quantile_cont share the interpolation rule,
-    proven scalar-wise by doc_len_stats/A3)."""
+    proven scalar-wise by doc_len_stats/A3). Flattened to scalar columns:
+    the driver's pandas canonicalizer cannot sort array cells."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy("event_type").agg(
-        F.expr(
-            "transform(percentile(value, array(0.5D, 0.9D, 0.99D)),"
-            " x -> round(x, 6))"
-        ).alias("quantiles"),
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("q"),
         F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("q")[0], 6).alias("p50"),
+        F.round(F.col("q")[1], 6).alias("p90"),
+        F.round(F.col("q")[2], 6).alias("p99"),
+        "avg_value",
     )
 
 
@@ -1613,7 +1618,10 @@ def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(euro_orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        # euro_orders is a fact-derived frame (~20% of orders) — let the
+        # lineitem join shuffle (AQE can still pick broadcast when the
+        # runtime size fits); only the dimension-sized frames get hints
+        .join(euro_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
         .agg(
@@ -2975,8 +2983,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
                    max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-                   sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
-                            THEN 1 ELSE 0 END) AS n_high
+                   CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
             FROM events GROUP BY 1
         """,
         "events_pivot": """
@@ -2990,8 +2998,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_value_quantiles": """
             SELECT event_type,
-                   list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
-                                  x -> round(x, 6)) AS quantiles,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1
         """,
@@ -3022,7 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cube": """
             SELECT coalesce(lang, '(all)') AS lang,
                    coalesce(source, '(all)') AS source,
-                   count(*) AS n, sum(n_chars) AS chars
+                   count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents
             GROUP BY CUBE (lang, source)
         """,

@@ -73,7 +73,7 @@ def bm25_build(
     import pandas as pd
     from pyspark.sql.window import Window
 
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(r"\s+", _re.ASCII)  # match JVM/RE2 \s (ASCII-only) so build- and query-side tokens agree
 
     def _tf_rows(batches):
         from collections import Counter

@@ -101,7 +101,7 @@ def exploded_shingles(
 
     import pandas as pd
 
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(r"\s+", _re.ASCII)  # match JVM/RE2 \s (ASCII-only) so build- and query-side tokens agree
 
     def _gen(batches):
         for pdf in batches:
@@ -195,7 +195,7 @@ def minhash_lsh_pairs(
 
     import pandas as pd
 
-    ws = __import__("re").compile(r"\s+")
+    ws = __import__("re").compile(r"\s+", __import__("re").ASCII)  # JVM \s parity
     id_t = df.schema[id_col].dataType.simpleString()
 
     def _sigs(batches):
@@ -291,7 +291,7 @@ def simhash(
     import numpy as np
     import pandas as pd
 
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(r"\s+", _re.ASCII)  # match JVM/RE2 \s (ASCII-only) so build- and query-side tokens agree
     js = np.arange(bits, dtype=np.int64)
 
     def _fp(batches):
@@ -620,8 +620,12 @@ def semantic_dedup_pairs(
         import numpy as np
 
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=pdf["id"].dtype),
+                    "id_b": pd.Series([], dtype=pdf["id"].dtype),
+                    "cos": pd.Series([], dtype="float64"),
+                }
             )
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
@@ -635,8 +639,11 @@ def semantic_dedup_pairs(
             {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": sims[keep]}
         )
 
+    # output id columns inherit the input id type (string ids work, not
+    # just int64 — same derivation simhash/bm25_build use)
+    id_t = df.schema[id_col].dataType.simpleString()
     return assigned.groupBy("cluster_id").applyInPandas(
-        _pairs, "id_a long, id_b long, cos double"
+        _pairs, f"id_a {id_t}, id_b {id_t}, cos double"
     )
 
 

@@ -95,6 +95,13 @@ def compact_files(
     rewrite is one round-robin repartition (no key skew possible) and a
     parallel write; data content is untouched.
     """
+    # overwrite-to-source would truncate the directory while the lazy
+    # read is still scanning it — refuse equal (normalized) paths
+    if in_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError(
+            f"compact_files: out_path must differ from in_path ({in_path!r});"
+            " write to a sibling directory and swap afterwards"
+        )
     files_in, bytes_in = _hadoop_listing(spark, in_path)
     n_out = max(1, math.ceil(bytes_in / target_file_bytes))
     df = spark.read.parquet(in_path)

@@ -1,7 +1,11 @@
 """Simulate the driver's verify loop locally: smoke entry(spark), then run
 every queries() entry at sf0.01 against its oracle_sql() via DuckDB and
-compare row-count, column names, and order-insensitive values (floats
-rounded to 6dp). Usage: python tools/driver_sim.py [sf_dir] [query ...]
+compare row-count, column names, and a dtype-sensitive value hash that
+mirrors the real driver: both results go through pandas, columns sorted by
+name, rows sorted by all columns, every cell stringified (floats rounded to
+6dp FIRST, so 37.0 vs 37 — the DuckDB-HUGEINT-through-pandas trap — still
+mismatches, and list cells raise exactly like the driver's sort_values
+does). Usage: python tools/driver_sim.py [sf_dir] [query ...]
 (extra args restrict the run to those query names and skip the entry smoke)."""
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ import time
 sys.path.insert(0, ".")
 
 import duckdb
+import pandas as pd
 
 import __spark_entry__ as entry_mod
 from indexlab_spark.session import get_spark
@@ -22,25 +27,27 @@ TABLES = (
 ).split()
 
 
-def norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
+def _cell_str(v):
+    """Stringify one cell the way the driver's hash sees it: dtype matters
+    (float64 37.0 -> '37.0', int64 37 -> '37'), NaN/None coalesce, floats
+    rounded to 6dp to absorb engine round-off."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    return v
+        return repr(round(v, 6))
+    return str(v)
 
 
-def df_to_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
-    # repr-keyed sort: total order even with None/mixed-type cells
-    return sorted(normed, key=repr), [cols[i] for i in idx]
+def canon(df: pd.DataFrame):
+    """Sort columns by name, rows by all columns (the driver's _canon —
+    list-valued cells make pandas sort_values raise, reproducing the real
+    driver's 'unhashable type: list' failure), then stringify per cell."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    rows = [tuple(_cell_str(v) for v in row) for row in df.itertuples(index=False)]
+    return rows, cols
 
 
 def main():
@@ -67,35 +74,44 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
-        s_vals, s_cols = df_to_rows(scols, [tuple(r) for r in srows])
-        t_spark = time.time() - t0
-        if name not in oracles:
-            print(f"{name}: rows-only check, {len(srows)} rows, {t_spark:.1f}s")
+        try:
+            t0 = time.time()
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+            t_spark = time.time() - t0
+            s_vals, s_cols = canon(spdf)
+        except Exception as e:  # noqa: BLE001 - mirror driver's err capture
+            print(f"{name}: SPARK ERR {type(e).__name__}: {e}")
+            failures.append(name)
             continue
-        t0 = time.time()
-        ores = con.execute(oracles[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
-        o_vals, o_cols = df_to_rows(ocols, orows)
-        t_duck = time.time() - t0
+        if name not in oracles:
+            print(f"{name}: rows-only check, {len(s_vals)} rows, {t_spark:.1f}s")
+            continue
+        try:
+            t0 = time.time()
+            opdf = con.execute(oracles[name]).fetchdf()
+            o_vals, o_cols = canon(opdf)
+            t_duck = time.time() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
         status = []
-        if len(srows) != len(orows):
-            status.append(f"ROWCOUNT {len(srows)} vs {len(orows)}")
+        if len(s_vals) != len(o_vals):
+            status.append(f"ROWCOUNT {len(s_vals)} vs {len(o_vals)}")
         if s_cols != o_cols:
             status.append(f"SCHEMA {s_cols} vs {o_cols}")
         if not status and s_vals != o_vals:
             ndiff = sum(1 for a, b in zip(s_vals, o_vals) if a != b)
             status.append(f"VALUES ({ndiff}/{len(s_vals)} rows differ)")
-            for a, b in list(zip(s_vals, o_vals))[:200]:
+            for a, b in zip(s_vals, o_vals):
                 if a != b:
                     status.append(f"  spark={a}\n  duck ={b}")
                     break
         ok = "OK" if not status else "MISMATCH: " + "; ".join(status[:3])
-        print(f"{name}: {ok} ({len(srows)} rows, spark {t_spark:.1f}s, duck {t_duck:.1f}s)")
+        print(
+            f"{name}: {ok} ({len(s_vals)} rows, spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+        )
         if status:
             failures.append(name)
     if failures:
