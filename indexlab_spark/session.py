@@ -81,21 +81,32 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     from pyspark.sql import types as T
 
     # The harness (or any external caller) may hand us a session that was
-    # built without get_spark's builder confs; nanosAsLong is runtime-settable,
-    # so pin it here so correctness never depends on who built the session.
+    # built without get_spark's builder confs; both confs are
+    # runtime-settable, so pin them here so correctness never depends on
+    # who built the session. The timezone pin matters for the NTZ->LTZ
+    # cast below (and matches the DuckDB oracle's naive timestamps).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     out = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        # nanos timestamps surface as long (see nanosAsLong conf): convert
-        # to micros exactly with integer division (double math would lose
-        # precision above 2^53 ns)
+        # The driver testdata writes TIMESTAMP(NANOS) parquet. Depending on
+        # the Spark build this surfaces either as long nanos (legacy
+        # nanosAsLong conf honored) or as TIMESTAMP_NTZ (nanos truncated to
+        # micros natively). Normalize both to TIMESTAMP (LTZ, UTC) so every
+        # downstream query sees one type:
+        #  - long: integer-divide to micros (double math would lose
+        #    precision above 2^53 ns), then timestamp_micros
+        #  - NTZ: cast, which under the UTC session tz is an exact
+        #    reinterpretation of the same micros
         for f in df.schema.fields:
             if f.name == "ts" and isinstance(f.dataType, T.LongType):
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
