@@ -2099,6 +2099,394 @@ def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 batch: the TPC-H join shapes the engine had not covered yet —
+# semi (Q4), anti + scalar subquery (Q22), correlated-exists via window
+# (Q21), outer-join distribution (Q13), disjunctive pushdown (Q19),
+# having-on-group (Q18), min-per-group supplier (Q2), distinct-agg with
+# exclusion (Q16), returned-items top-k (Q10), nation-pair volume (Q7) —
+# plus a cross-document n-gram contamination scan on the documents table.
+# Reference parity note: the reference app has NO relational join surface
+# (SURVEY §2.10); these queries are the engine-extension story, proving
+# the Spark-first design covers the full join/subquery algebra at scale.
+# ---------------------------------------------------------------------------
+
+
+def _q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as a LEFT SEMI join. Orders in 1996H1
+    with at least one lineitem shipped >90 days after the order date,
+    counted per priority. The correlated predicate (l_shipdate vs this
+    order's o_orderdate) rides the equi-join on orderkey, so Catalyst
+    plans one keyed semi join — no per-row subquery execution, and the
+    date filter prunes the orders scan."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — order-count distribution INCLUDING zero-order
+    customers, which forces a LEFT OUTER join (an inner join would drop
+    exactly the rows the histogram's 0-bucket needs). Two shuffles by
+    necessity: custkey for the outer join + per-customer count, then the
+    tiny regroup on n_orders."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+def _q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity clears a HAVING
+    threshold (>250 ≈ top 1%), rejoined to orders+customer for the
+    report. The having-aggregate runs FIRST so the join input is ~1% of
+    the fact; the survivors join orders by key and broadcast-join
+    customer. Top-20 by (totalprice desc, orderkey asc) compiles to
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def _q_brand_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under three OR'd brand/size/quantity
+    brackets. The interesting plan property: part is a broadcast
+    dimension and the disjunction stays a single codegen'd predicate —
+    no union-of-three-scans blowup; the common quantity envelope
+    (1..40) is still pushable to the fact scan."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 21))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def _q_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the ONLY late supplier on a
+    multi-supplier order. The reference formulation is a correlated
+    EXISTS + NOT EXISTS pair; here both collapse into one windowless
+    aggregation per orderkey (count distinct suppliers, count distinct
+    late suppliers, and the single late suppkey via max(when(late))),
+    so the fact shuffles once on orderkey instead of three times."""
+    t = load_tables(spark, sf_dir, ("supplier", "orders", "lineitem"))
+    lines = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("late_supp"),
+        )
+        .select("s_name", "n_waiting_orders")
+        .orderBy(F.desc("n_waiting_orders"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def _q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS. Customers with
+    above-average positive balance and no orders since 2000-01-01,
+    summarized per market segment. The scalar average is a one-row
+    broadcast cross join; the NOT EXISTS is a LEFT ANTI join against
+    the date-pruned orders scan."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def _q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — revenue lost to returns (l_returnflag = 'R')
+    per customer for one quarter, nation attached, top 20. Orders is
+    date-pruned before the fact join; customer+nation broadcast; the
+    top-k is TakeOrderedAndProject with custkey tie-break."""
+    t = load_tables(
+        spark, sf_dir, ("customer", "nation", "orders", "lineitem")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipping volume between a nation PAIR in either
+    direction, per ship year. The pair condition is a disjunction over
+    two broadcast dimension joins (supplier nation x customer nation);
+    the fact shuffles once on orderkey."""
+    t = load_tables(
+        spark, sf_dir,
+        ("supplier", "customer", "nation", "orders", "lineitem"),
+    )
+    supp_nat = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_nat = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape without a partsupp table — the cheapest supplier
+    per SMALL-type part, unit cost observed from lineitem history
+    (avg extendedprice/quantity per part-supplier). The min-per-group
+    is a rank()==1 window over the aggregated (part, supplier) frame —
+    ~|parts|x|suppliers| rows, far smaller than the fact — with suppkey
+    as the deterministic tie-break. Top-50 cheapest for the report."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    unit = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_type") == "SMALL").select(
+                    "p_partkey", "p_name"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum("l_extendedprice") / F.sum("l_quantity"), 6
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("l_suppkey")
+    )
+    return (
+        unit.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+        .orderBy(F.asc("unit_cost"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+def _q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-supplier counts per part attribute
+    group, EXCLUDING an unwanted supplier set (negative balance stands
+    in for the complaints filter) via LEFT ANTI join. The distinct-agg
+    runs on the deduplicated (brand, size, suppkey) projection, never
+    the raw fact."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 8-gram scan — the contamination/plagiarism signal
+    a training pipeline runs before eval-set decontamination (the
+    document-level variant of decontaminate's benchmark shingles). All
+    JVM-side: tokenize, generate positional 8-grams with transform over
+    a sequence (no Python in the path), distinct per doc, count docs
+    per gram. Top 25 by (doc count desc, gram asc). At 100 TB the
+    distinct+count is two map-side-combinable exchanges on the gram
+    hash; no step is quadratic in documents."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.array_remove(
+            F.split(F.lower(F.col("text")), r"\s+"), ""
+        ).alias("toks"),
+    )
+    grams = toks.filter(F.size("toks") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 8),
+                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 8), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -2200,6 +2588,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "events_pivot": _q_events_pivot,
         "above_avg_orders": _q_above_avg_orders,
+        # added round 3 (rotate into the driver window next round)
+        "order_priority_semi": _q_order_priority_semi,
+        "cust_order_dist": _q_cust_order_dist,
+        "big_orders": _q_big_orders,
+        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
+        "lonely_late_supplier": _q_lonely_late_supplier,
+        "rich_idle_customers": _q_rich_idle_customers,
+        "returned_top_customers": _q_returned_top_customers,
+        "volume_shipping": _q_volume_shipping,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "common_ngrams": _q_common_ngrams,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3509,5 +3909,170 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase'
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "order_priority_semi": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY 1
+        """,
+        "cust_order_dist": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer
+                LEFT JOIN orders ON o_custkey = c_custkey
+                                AND o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            SELECT n_orders, count(*) AS n_custs
+            FROM per_cust GROUP BY 1
+        """,
+        "big_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING round(sum(l_quantity), 6) > 250)
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "brand_revenue_disjunctive": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(12,2))
+                              - CAST(l_discount AS DECIMAL(12,2))))
+                         AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "lonely_late_supplier": """
+            WITH lines AS (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                           AS n_late_supp,
+                       max(CASE WHEN late THEN l_suppkey END) AS late_supp
+                FROM lines GROUP BY 1)
+            SELECT s_name, count(*) AS n_waiting_orders
+            FROM per_order JOIN supplier ON s_suppkey = late_supp
+            WHERE n_supp > 1 AND n_late_supp = 1
+            GROUP BY 1
+            ORDER BY n_waiting_orders DESC, s_name ASC
+            LIMIT 20
+        """,
+        "rich_idle_customers": """
+            SELECT c_mktsegment,
+                   count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
+        """,
+        "returned_top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(12,2))
+                              - CAST(l_discount AS DECIMAL(12,2))))
+                         AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate <  TIMESTAMP '1997-10-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "volume_shipping": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(12,2))
+                              - CAST(l_discount AS DECIMAL(12,2))))
+                         AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "min_cost_supplier": """
+            WITH unit AS (
+                SELECT p_partkey, p_name, l_suppkey,
+                       round(sum(l_extendedprice) / sum(l_quantity), 6)
+                           AS unit_cost
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'SMALL'
+                GROUP BY 1, 2, 3),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY p_partkey
+                          ORDER BY unit_cost ASC, l_suppkey ASC) AS rk
+                FROM unit)
+            SELECT p_partkey, p_name, s_name, unit_cost
+            FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rk = 1
+            ORDER BY unit_cost ASC, p_partkey ASC
+            LIMIT 50
+        """,
+        "part_supplier_counts": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "common_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks) - 7, 0))) AS i
+                FROM toks),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i + 1:i + 8], ' ') AS gram
+                FROM pos)
+            SELECT gram, count(*) AS n_docs
+            FROM grams GROUP BY 1
+            HAVING count(*) > 1
+            ORDER BY n_docs DESC, gram ASC
+            LIMIT 25
         """,
     }

@@ -75,3 +75,47 @@ def test_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan and "event_type" in plan.split(
         "PushedFilters"
     )[1][:200]
+
+
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    """Q4 shape: the EXISTS predicate is one keyed LeftSemi join — no
+    per-row subquery, no extra exchange beyond the join's own, and the
+    date window reaches the orders scan."""
+    plan = _plan(spark, sf_dir, "order_priority_semi")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan
+
+
+def test_not_exists_compiles_to_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS is a LeftAnti join; the scalar avg-balance
+    subquery arrives as a broadcast, never a shuffle."""
+    plan = _plan(spark, sf_dir, "rich_idle_customers")
+    assert "LeftAnti" in plan
+    _, broadcasts = _counts(spark, sf_dir, "rich_idle_customers")
+    assert broadcasts >= 1
+
+
+def test_q16_anti_join_before_distinct_agg(spark, sf_dir):
+    """Q16 shape: the supplier exclusion is a broadcast anti join and
+    the distinct-supplier count keeps partial aggregation (no raw-fact
+    global shuffle of undeduplicated rows)."""
+    plan = _plan(spark, sf_dir, "part_supplier_counts")
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+
+
+def test_top_k_reports_use_take_ordered(spark, sf_dir):
+    """Q18/Q10/Q2 shapes: every top-k report compiles to
+    TakeOrderedAndProject — a global Sort+Limit would serialize the
+    full result at 100 TB."""
+    for name in ("big_orders", "returned_top_customers", "min_cost_supplier"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
+
+
+def test_common_ngrams_stays_jvm_side(spark, sf_dir):
+    """The 8-gram generation is transform/slice inside codegen — no
+    Python worker in the plan (BatchEvalPython/ArrowEvalPython absent),
+    and the gram count is a partial-aggregated exchange, not a
+    SinglePartition collect."""
+    plan = _plan(spark, sf_dir, "common_ngrams")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
