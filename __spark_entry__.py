@@ -2298,8 +2298,11 @@ def _q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape — revenue lost to returns (l_returnflag = 'R')
     per customer for one quarter, nation attached, top 20. Orders is
-    date-pruned before the fact join; customer+nation broadcast; the
-    top-k is TakeOrderedAndProject with custkey tie-break."""
+    date-pruned before the fact join; customer is projected to its three
+    needed columns with NO forced broadcast (at 100 TB customer is
+    multi-GB — AQE broadcasts it when small, shuffles when not); nation
+    (25 rows by spec) stays hinted; the top-k is TakeOrderedAndProject
+    with custkey tie-break."""
     t = load_tables(
         spark, sf_dir, ("customer", "nation", "orders", "lineitem")
     )
@@ -2311,11 +2314,11 @@ def _q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].filter(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["customer"]),
+            t["customer"].select("c_custkey", "c_name", "c_nationkey"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(
-            F.broadcast(t["nation"]),
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
             F.col("n_nationkey") == F.col("c_nationkey"),
         )
         .groupBy("c_custkey", "c_name", "n_name")
@@ -2328,8 +2331,11 @@ def _q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — shipping volume between a nation PAIR in either
     direction, per ship year. The pair condition is a disjunction over
-    two broadcast dimension joins (supplier nation x customer nation);
-    the fact shuffles once on orderkey."""
+    two dimension joins (supplier nation x customer nation); nation
+    itself (25 rows) is broadcast into each, but the supplier/customer
+    maps carry NO forced broadcast — at 100 TB those are multi-GB and
+    must be allowed to shuffle (AQE still broadcasts them when they fit
+    under the threshold). The fact shuffles once on orderkey."""
     t = load_tables(
         spark, sf_dir,
         ("supplier", "customer", "nation", "orders", "lineitem"),
@@ -2375,8 +2381,8 @@ def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["orders"].select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -2393,7 +2399,11 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg extendedprice/quantity per part-supplier). The min-per-group
     is a rank()==1 window over the aggregated (part, supplier) frame —
     ~|parts|x|suppliers| rows, far smaller than the fact — with suppkey
-    as the deterministic tie-break. Top-50 cheapest for the report."""
+    as the deterministic tie-break. Top-50 cheapest for the report.
+    Supplier is projected to (key, name) with no forced broadcast: the
+    rank-filtered left side is at most |parts| rows, so AQE broadcasts
+    whichever side is small at runtime instead of being forced to ship
+    a multi-GB supplier table to every executor at scale."""
     t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
     unit = (
         t["lineitem"]
@@ -2419,7 +2429,7 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"].select("s_suppkey", "s_name"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .select("p_partkey", "p_name", "s_name", "unit_cost")
@@ -2493,11 +2503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cut at exactly 50 rows in dict order), so the window below rotates
     each round: a fixed block of core anchors (one per SURVEY §2 family,
     re-verified every round) followed by the queries that have not yet
-    received a driver row. Everything past slot 50 has been verified by
-    an earlier round's driver run (see CORRECTNESS_r01/r02) and stays
-    covered locally by tools/driver_sim.py, which runs ALL entries."""
+    received a driver row, then a backfill of the entries whose last
+    driver-green row is oldest. Everything past slot 50 has been
+    verified by an earlier round's driver run (see CORRECTNESS_r01-r03)
+    and stays covered locally by tools/driver_sim.py, which runs ALL
+    entries."""
     return {
-        # -- core anchors (driver-green in r01+r02; re-verified each round)
+        # -- core anchors (driver-green every round; re-verified each round)
         "chunk_fixed": _q_chunk_fixed,
         "chunk_stats": _q_chunk_stats,
         "doc_len_stats": _q_doc_len_stats,
@@ -2510,7 +2522,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window: not yet driver-verified (added round 2)
+        # -- rotation window slots 13-24: never driver-green before r4.
+        # events_json FAILED in r1 (parquet nanos err) and r2 (hash
+        # mismatch on TIMESTAMP_NTZ); the fix (commit cbc7537) is only
+        # locally verified — it needs a real driver row. The other 11
+        # were added in round 3 and have never been in the window.
+        "events_json": _q_events_json,
+        "order_priority_semi": _q_order_priority_semi,
+        "cust_order_dist": _q_cust_order_dist,
+        "big_orders": _q_big_orders,
+        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
+        "lonely_late_supplier": _q_lonely_late_supplier,
+        "rich_idle_customers": _q_rich_idle_customers,
+        "returned_top_customers": _q_returned_top_customers,
+        "volume_shipping": _q_volume_shipping,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "common_ngrams": _q_common_ngrams,
+        # -- slots 25-50: re-attestation backfill — the 26 entries whose
+        # most recent driver-green row is oldest (all last green in r02).
+        "above_avg_orders": _q_above_avg_orders,
+        "asof_signup": _q_asof_signup,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "chunk_page": _q_chunk_page,
+        "churned_customers": _q_churned_customers,
+        "decontaminate": _q_decontaminate,
+        "dedup_clusters": _q_dedup_clusters,
+        "doc_id_roundtrip": _q_doc_id_roundtrip,
+        "doc_preview": _q_doc_preview,
+        "embedding_dups": _q_embedding_dups,
+        "event_pairs_range": _q_event_pairs_range,
+        "events_daily": _q_events_daily,
+        "events_gapfill": _q_events_gapfill,
+        "events_pivot": _q_events_pivot,
+        "events_sessions": _q_events_sessions,
+        "fingerprint": _q_fingerprint,
+        "hash_sample": _q_hash_sample,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "lang_quality": _q_lang_quality,
+        "late_orders": _q_late_orders,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "pricing_summary": _q_pricing_summary,
+        "quality_filter": _q_quality_filter,
+        "repetition": _q_repetition,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r0*.json: these 10 last green in
+        # r02, the rest green in r03) and is still run by
+        # tools/driver_sim.py every session.
+        "rollup_pricing": _q_rollup_pricing,
+        "segment_set_ops": _q_segment_set_ops,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "stratified_split": _q_stratified_split,
+        "temperature_resample": _q_temperature_resample,
+        "tokens": _q_tokens,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "top_revenue": _q_top_revenue,
+        "top_terms": _q_top_terms,
+        # green in r03:
         "event_value_quantiles": _q_event_value_quantiles,
         "revenue_moving_avg": _q_revenue_moving_avg,
         "embedding_lsh": _q_embedding_lsh,
@@ -2549,57 +2621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_map": _q_user_type_map,
         "incremental_rollup": _q_incremental_rollup,
         "rolling_median": _q_rolling_median,
-        # -- end of driver window (50) -----------------------------------
-        # driver-green in r01+r02; still run by driver_sim every session
-        "jaccard_pairs": _q_jaccard_pairs,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_dups": _q_embedding_dups,
-        "lang_quality": _q_lang_quality,
-        "fingerprint": _q_fingerprint,
-        "events_daily": _q_events_daily,
-        "events_sessions": _q_events_sessions,
-        "pricing_summary": _q_pricing_summary,
-        "top_revenue": _q_top_revenue,
-        "asof_signup": _q_asof_signup,
-        "doc_preview": _q_doc_preview,
-        "tokens": _q_tokens,
-        "doc_id_roundtrip": _q_doc_id_roundtrip,
-        "chunk_page": _q_chunk_page,
-        "rollup_pricing": _q_rollup_pricing,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "segment_set_ops": _q_segment_set_ops,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "event_pairs_range": _q_event_pairs_range,
-        "top_terms": _q_top_terms,
-        "hypertable_rollup": _q_hypertable_rollup,
-        "stratified_split": _q_stratified_split,
-        "quality_filter": _q_quality_filter,
-        "repetition": _q_repetition,
-        "pii_redact": _q_pii_redact,
-        "decontaminate": _q_decontaminate,
-        "hash_sample": _q_hash_sample,
-        "churned_customers": _q_churned_customers,
-        "late_orders": _q_late_orders,
-        "dedup_clusters": _q_dedup_clusters,
-        "events_gapfill": _q_events_gapfill,
-        "temperature_resample": _q_temperature_resample,
-        "pack_sequences": _q_pack_sequences,
-        "events_json": _q_events_json,
-        "events_pivot": _q_events_pivot,
-        "above_avg_orders": _q_above_avg_orders,
-        # added round 3 (rotate into the driver window next round)
-        "order_priority_semi": _q_order_priority_semi,
-        "cust_order_dist": _q_cust_order_dist,
-        "big_orders": _q_big_orders,
-        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
-        "lonely_late_supplier": _q_lonely_late_supplier,
-        "rich_idle_customers": _q_rich_idle_customers,
-        "returned_top_customers": _q_returned_top_customers,
-        "volume_shipping": _q_volume_shipping,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "part_supplier_counts": _q_part_supplier_counts,
-        "common_ngrams": _q_common_ngrams,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4051,8 +4072,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_suppkey) AS n_suppliers
             FROM lineitem
             JOIN part ON p_partkey = l_partkey
-            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                    WHERE s_acctbal < 0)
+            -- NOT EXISTS (not NOT IN): matches the LEFT ANTI join's NULL
+            -- semantics — NOT IN collapses to empty if any s_suppkey is
+            -- NULL, while the anti join (and NOT EXISTS) retains rows
+            WHERE NOT EXISTS (SELECT 1 FROM supplier
+                              WHERE s_suppkey = l_suppkey
+                                AND s_acctbal < 0)
             GROUP BY 1, 2
         """,
         "common_ngrams": """

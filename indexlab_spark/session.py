@@ -53,6 +53,12 @@ def get_spark(
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # On readers that ignore nanosAsLong (Spark 4 truncates nanos to
+        # micros natively), surface the column as TIMESTAMP (LTZ) at the
+        # SCAN instead of TIMESTAMP_NTZ + a post-scan cast: with the UTC
+        # session timezone the values are identical, and ts predicates
+        # keep reaching PushedFilters (a cast above the scan blocks them).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -81,12 +87,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     from pyspark.sql import types as T
 
     # The harness (or any external caller) may hand us a session that was
-    # built without get_spark's builder confs; both confs are
+    # built without get_spark's builder confs; all three confs are
     # runtime-settable, so pin them here so correctness never depends on
-    # who built the session. The timezone pin matters for the NTZ->LTZ
-    # cast below (and matches the DuckDB oracle's naive timestamps).
+    # who built the session. NOTE (public API contract): this mutates the
+    # caller's session config for the rest of the session — UTC session
+    # timezone and LTZ parquet timestamp inference are load-bearing for
+    # oracle parity, and a caller running its own non-UTC timestamp logic
+    # on the same session must re-set these afterwards.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Makes TIMESTAMP(NANOS, isAdjustedToUTC=false) parquet surface as
+    # TIMESTAMP (LTZ) directly at the scan — exact same micros under the
+    # UTC tz, but ts predicates keep pushing down (no post-scan cast).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     out = {}
     for n in names:
