@@ -43,6 +43,43 @@ def _rank_window(query_id_col: str, tie_col: str):
     )
 
 
+#: Driver-collect guard for the "queries are the small side by contract"
+#: paths (knn_matmul / pq_search / ivf_search_pruned). 1M rows x dim 64
+#: float64 is ~512 MB — the upper edge of what a driver should ever hold;
+#: beyond it those paths silently fall back to the fully-distributed
+#: knn_join_blocked instead of OOMing the driver.
+MAX_COLLECT_QUERY_ROWS = 1_000_000
+
+
+def _collect_bounded(df: DataFrame, cols: list[str], limit: int):
+    """Collect at most ``limit`` rows of ``df[cols]``; return None if the
+    frame exceeds the bound. The probe fetches ``limit + 1`` rows and no
+    more, so checking an over-large frame costs one bounded job — never
+    an unbounded driver materialization."""
+    rows = df.select(*cols).limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    return rows
+
+
+def _normalized_queries(queries_df: DataFrame, query_vec_col: str) -> DataFrame:
+    """Spark-side l2 normalization (zero-norm rows pass through), for the
+    blocked fallback where the numpy normalization in knn_matmul never
+    runs."""
+    n = l2_norm(query_vec_col)
+    return (
+        queries_df.withColumn("_qn", n)
+        .withColumn(
+            query_vec_col,
+            F.when(
+                F.col("_qn") > 0,
+                F.transform(F.col(query_vec_col), lambda x: x / F.col("_qn")),
+            ).otherwise(F.col(query_vec_col)),
+        )
+        .drop("_qn")
+    )
+
+
 def knn_join(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -107,6 +144,7 @@ def knn_matmul(
     doc_id_col: str = "doc_id",
     corpus_vec_col: str = "embedding",
     normalize_queries: bool = False,
+    max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
 ) -> DataFrame:
     """K2 bulk path — BLAS matmul per Arrow batch + partial top-k.
 
@@ -116,12 +154,30 @@ def knn_matmul(
     partition computes ``Q @ E.T`` and emits only its local top-k per
     query; a final window merges ``partitions × k`` candidates.
 
+    The contract is GUARDED, not assumed: a query frame larger than
+    ``max_collect_rows`` routes to :func:`knn_join_blocked` (both sides
+    stay distributed) instead of collecting — same (query_id, doc_id,
+    score, rank) output, no driver OOM.
+
     Scale: no cross-join materialization, no full-corpus shuffle; the
     only shuffle is the candidate merge, O(n_partitions · n_q · k).
     """
     qid_type = queries_df.schema[query_id_col].dataType.simpleString()
     did_type = corpus_df.schema[doc_id_col].dataType.simpleString()
-    q_rows = queries_df.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_bounded(
+        queries_df, [query_id_col, query_vec_col], max_collect_rows
+    )
+    if q_rows is None:
+        qdf = (
+            _normalized_queries(queries_df, query_vec_col)
+            if normalize_queries
+            else queries_df
+        )
+        return knn_join_blocked(
+            qdf, corpus_df, k,
+            left_id_col=query_id_col, left_vec_col=query_vec_col,
+            right_id_col=doc_id_col, right_vec_col=corpus_vec_col,
+        )
     if not q_rows:
         return spark.createDataFrame(
             [],
@@ -362,19 +418,33 @@ def ivf_search_pruned(
     query_vec_col: str = "qvec",
     doc_id_col: str = "doc_id",
     corpus_vec_col: str = "embedding",
+    max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
 ) -> DataFrame:
     """K4 over the partitioned layout: rank centroids (tiny, driver-side
     is fine — centroids are nlist x dim), take the UNION of probed cells
     across the query batch, and push one IN-list partition filter into
     the scan. Per-query cell assignment is re-applied after the scan via
     the same broadcast join as ivf_search.
+
+    Query batches beyond ``max_collect_rows`` skip the driver-side
+    centroid ranking (a batch that large probes essentially every cell
+    anyway, so pruning buys nothing) and run the exact distributed
+    :func:`knn_join_blocked` over the full IVF table instead.
     """
     import numpy as np
 
+    q_rows = _collect_bounded(
+        queries_df, [query_id_col, query_vec_col], max_collect_rows
+    )
+    if q_rows is None:
+        return knn_join_blocked(
+            queries_df, spark.read.parquet(ivf_path), k,
+            left_id_col=query_id_col, left_vec_col=query_vec_col,
+            right_id_col=doc_id_col, right_vec_col=corpus_vec_col,
+        )
     cents = centroids_df.collect()
     c_ids = np.array([r["cluster_id"] for r in cents])
     c_mat = np.array([r["centroid"] for r in cents], dtype=np.float64)
-    q_rows = queries_df.select(query_id_col, query_vec_col).collect()
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     scores = q_mat @ c_mat.T  # (n_q, nlist)
     order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
@@ -506,6 +576,7 @@ def pq_search(
     query_vec_col: str = "qvec",
     doc_id_col: str = "doc_id",
     corpus_vec_col: str = "embedding",
+    max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
 ) -> DataFrame:
     """ADC search over PQ codes: per query, an inner-product lookup table
     LUT[j][c] = q_j · codebook[j][c] (m x ksub doubles, built driver-side
@@ -515,7 +586,29 @@ def pq_search(
     knn_matmul shuffle shape. If ``rerank`` > 0 and the codes frame still
     carries the exact vectors, the rerank*k survivors get exact
     re-scoring — the standard PQ + refine recall recovery.
+
+    The small-side contract is guarded: a query frame beyond
+    ``max_collect_rows`` falls back to the exact distributed
+    :func:`knn_join_blocked` over the raw vectors when the codes frame
+    still carries them (exact results are a recall superset of ADC), and
+    raises otherwise rather than OOM the driver.
     """
+    q_rows = _collect_bounded(
+        queries_df, [query_id_col, query_vec_col], max_collect_rows
+    )
+    if q_rows is None:
+        if corpus_vec_col in codes_df.columns:
+            return knn_join_blocked(
+                queries_df, codes_df, k,
+                left_id_col=query_id_col, left_vec_col=query_vec_col,
+                right_id_col=doc_id_col, right_vec_col=corpus_vec_col,
+            )
+        raise ValueError(
+            f"pq_search: query batch exceeds max_collect_rows="
+            f"{max_collect_rows} and codes_df lacks '{corpus_vec_col}' for "
+            "an exact fallback; split the query batch or keep the raw "
+            "vectors alongside the codes"
+        )
     cb = codebooks_df.collect()
     m = 1 + max(r["subspace"] for r in cb)
     ksub = 1 + max(r["code"] for r in cb)
@@ -524,7 +617,6 @@ def pq_search(
     for r in cb:
         books[r["subspace"], r["code"]] = r["centroid"]
 
-    q_rows = queries_df.select(query_id_col, query_vec_col).collect()
     qid_type = queries_df.schema[query_id_col].dataType.simpleString()
     did_type = codes_df.schema[doc_id_col].dataType.simpleString()
     if not q_rows:

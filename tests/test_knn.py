@@ -205,3 +205,71 @@ def test_pq_rerank_scores_are_exact(spark, emb, queries, numpy_truth):
         key = (r["query_id"], int(r["doc_id"]))
         if key in truth_scores:
             assert abs(r["score"] - truth_scores[key]) < 1e-9
+
+
+def test_knn_matmul_oversize_routes_to_blocked(spark, emb, queries, numpy_truth):
+    """Driver-collect guard: a query frame larger than max_collect_rows
+    must NOT be collected — knn_matmul routes to knn_join_blocked and
+    still returns exact top-k."""
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    out = knn_matmul(spark, queries, corpus, K, max_collect_rows=N_QUERIES - 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the blocked path is recognizable: its internal column names survive
+    # into the plan, and there is no broadcast of a collected query matrix
+    assert "_blk" in plan or "_lid" in plan, "expected the blocked-join plan"
+    _check(out.collect(), numpy_truth)
+
+
+def test_knn_matmul_oversize_normalized_routes_to_blocked(spark, emb, queries):
+    """normalize_queries must survive the fallback (Spark-side l2 norm)."""
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    a = knn_matmul(
+        spark, queries, corpus, K, normalize_queries=True,
+        max_collect_rows=N_QUERIES - 1,
+    ).select("query_id", "doc_id", "rank")
+    b = knn_matmul(
+        spark, queries, corpus, K, normalize_queries=True,
+    ).select("query_id", "doc_id", "rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_search_oversize_routes_to_blocked(spark, emb, queries, numpy_truth):
+    """pq_search with an over-large query frame and raw vectors present
+    falls back to the exact blocked join (a recall superset of ADC)."""
+    from indexlab_spark.operators.knn import build_pq, pq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes, books = build_pq(corpus, m=8, nbits=4, seed=42)
+    out = pq_search(
+        spark, queries, codes, books, K, max_collect_rows=N_QUERIES - 1
+    )
+    _check(out.collect(), numpy_truth)
+
+
+def test_pq_search_oversize_without_vectors_raises(spark, emb, queries):
+    from indexlab_spark.operators.knn import build_pq, pq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes, books = build_pq(corpus, m=8, nbits=4, seed=42)
+    bare = codes.drop("embedding")
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        pq_search(spark, queries, bare, books, K, max_collect_rows=N_QUERIES - 1)
+
+
+def test_ivf_pruned_oversize_routes_to_blocked(
+    spark, emb, queries, numpy_truth, tmp_path
+):
+    from indexlab_spark.operators.knn import (
+        ivf_search_pruned, write_ivf_partitioned,
+    )
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    assigned, centroids = build_ivf(corpus, nlist=16, seed=42)
+    path = str(tmp_path / "ivf_guard")
+    write_ivf_partitioned(assigned, path)
+    out = ivf_search_pruned(
+        spark, queries, path, centroids, K, nprobe=4,
+        max_collect_rows=N_QUERIES - 1,
+    )
+    # exact blocked fallback == brute-force truth (not the nprobe subset)
+    _check(out.collect(), numpy_truth)
