@@ -292,6 +292,15 @@ def main() -> None:
     )
 
     # B4 BM25 build + query ------------------------------------------------
+    # NOTE on the small-variant "job floor": on this host a 100-row
+    # LocalTableScan's FIRST count() is ~1.8s and each new plan shape's
+    # first action costs ~0.5-2.5s (measured: bm25_score first call 5.7s,
+    # identical second call 1.5s with inputs cached — the delta is
+    # scheduler/first-execution overhead, not data). The small variants
+    # each pay that floor once; the _large variants amortize it and are
+    # the numbers that extrapolate. Timed regions deliberately include
+    # the floor — hiding it behind warm-up laps would misstate what a
+    # single cold query costs.
     bm_queries = [
         (i, " ".join(str(docs_pdf["text"].iloc[i % len(docs_pdf)]).split()[:4]))
         for i in range(100)
@@ -371,7 +380,14 @@ def main() -> None:
                  "events_gapfill", "embedding_lsh", "local_supplier_volume",
                  "events_funnel", "retention_cohorts", "unigram_logprob",
                  "similarity_pq", "market_share", "session_native",
-                 "bigram_pmi", "semantic_dedup"):
+                 "bigram_pmi", "semantic_dedup",
+                 # round-3 relational/TPC-H-shape additions
+                 "order_priority_semi", "cust_order_dist", "big_orders",
+                 "brand_revenue_disjunctive", "lonely_late_supplier",
+                 "rich_idle_customers", "returned_top_customers",
+                 "volume_shipping", "min_cost_supplier",
+                 "part_supplier_counts", "common_ngrams",
+                 "vocab_coverage", "rolling_median", "incremental_rollup"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

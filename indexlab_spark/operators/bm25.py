@@ -63,15 +63,20 @@ def bm25_build(
 
     Shuffle shape: tf AND dl are per-document local facts, so one Arrow
     mapInPandas pass (Counter per doc — the exploded_shingles trick)
-    emits (doc_id, term, tf, dl) with ZERO shuffle; only the term-level
-    df needs an exchange (one window on term). The previous
-    explode → groupBy(doc_id, term) → window(doc) formulation shuffled
-    the full posting frame twice more for the same result.
+    emits (doc_id, term, tf, dl) with ZERO shuffle. The posting frame
+    itself NEVER shuffles after that: document frequencies come from a
+    map-side-combined ``groupBy(term).count()`` whose output is only
+    |vocab| rows, idf is derived on that small frame, and term_stats is
+    the posting frame joined against it — a join AQE compiles to a
+    broadcast at any realistic vocabulary size (falls back to a shuffle
+    join on the |vocab|-row side, never the corpus, if not). The
+    previous formulation pushed the FULL posting frame through a
+    term-partitioned window plus a distinct — two corpus-sized
+    exchanges for statistics that are vocabulary-sized.
     """
     import re as _re
 
     import pandas as pd
-    from pyspark.sql.window import Window
 
     ws = _re.compile(r"\s+", _re.ASCII)  # match JVM/RE2 \s (ASCII-only) so build- and query-side tokens agree
 
@@ -102,36 +107,32 @@ def bm25_build(
     tf = src.mapInPandas(
         _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
     )
-    w_term = Window.partitionBy("term")
-    enriched = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
     if materialize:
-        enriched = enriched.persist()
+        tf = tf.persist()
     # docs with no tokens still count toward N and avgdl (dl=0)
     all_docs = docs_df.select(F.col(doc_id_col).alias("doc_id"))
     doc_lens = (
         all_docs.join(
-            enriched.groupBy("doc_id").agg(F.first("dl").alias("dl")), "doc_id", "left"
+            tf.groupBy("doc_id").agg(F.first("dl").alias("dl")), "doc_id", "left"
         ).na.fill({"dl": 0})
     )
     # scalar aggregates, no keyed shuffle: N from the corpus frame, total
     # tokens from the (doc,term) frame's per-doc-constant dl via sum(tf)
     globals_df = (
         all_docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(enriched.agg(F.sum("tf").alias("_tok_total")))
+        .crossJoin(tf.agg(F.sum("tf").alias("_tok_total")))
         .select(
             "n_docs",
             (F.col("_tok_total").cast("double") / F.col("n_docs")).alias("avgdl"),
         )
     )
-    # vocabulary-level idf with the epsilon correction for negatives
-    idf = (
-        enriched.select("term", "df").distinct()
-        .crossJoin(F.broadcast(globals_df.select("n_docs")))
-        .select(
-            "term",
-            (F.log(F.col("n_docs") - F.col("df") + 0.5) - F.log(F.col("df") + 0.5))
-            .alias("idf_raw"),
-        )
+    # vocabulary-level document frequencies: map-side combine shrinks the
+    # exchange to |vocab| rows — the posting frame itself never moves
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.crossJoin(F.broadcast(globals_df.select("n_docs"))).select(
+        "term",
+        (F.log(F.col("n_docs") - F.col("df") + 0.5) - F.log(F.col("df") + 0.5))
+        .alias("idf_raw"),
     )
     avg_idf = idf.agg(F.avg("idf_raw").alias("avg_idf"))
     idf_adj = idf.crossJoin(F.broadcast(avg_idf)).select(
@@ -140,8 +141,10 @@ def bm25_build(
         .otherwise(F.col("idf_raw"))
         .alias("idf_adj"),
     )
-    # denormalized: term_stats carries dl so scoring needs no extra join
-    term_stats = enriched.join(idf_adj, "term").select(
+    # denormalized: term_stats carries dl so scoring needs no extra join;
+    # no broadcast hint — AQE broadcasts the vocab-sized idf side when it
+    # fits and degrades to shuffling only that small side when it doesn't
+    term_stats = tf.join(idf_adj, "term").select(
         "doc_id", "term", "tf", "idf_adj", "dl"
     )
     if materialize:
