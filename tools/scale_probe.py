@@ -26,18 +26,35 @@ from indexlab_spark.session import get_spark, load_tables
 
 
 def replicate_docs(docs, n: int):
+    # Each replica gets a DIFFERENT letter-rotation of its text: shingles
+    # (and so jaccard/minhash/simhash matches) across replicas vanish,
+    # while within-replica structure (planted near-dups, lengths, token
+    # counts) is preserved. This models real growth — more data is more
+    # DISTINCT documents — instead of planting n-cliques of near-identical
+    # replicas, which made every pair-based op look quadratic for a reason
+    # that was an artifact of the probe, not the operator. (A one-token
+    # "repN" prefix, the previous scheme, leaves jaccard ~= 1 between
+    # replicas.) Distinct rotations exist for n <= 9; beyond that some
+    # replica pairs would collide again.
+    alpha = "aeiousnrt"
+
+    def rot(r: int) -> str:
+        r = r % len(alpha)
+        return alpha[r:] + alpha[:r]
+
+    text = F.when(F.col("_rep") == 0, F.col("text"))
+    for r in range(1, n):
+        text = text.when(
+            F.col("_rep") == r,
+            F.translate(F.col("text"), alpha, rot(r if r % len(alpha) else 1)),
+        )
     return (
         docs.crossJoin(F.broadcast(
             docs.sparkSession.range(n).select(F.col("id").alias("_rep"))
         ))
         .select(
             (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
-            # perturb replica text so dedup ops don't see an n^2 blowup of
-            # planted identical docs: prefix a replica tag token
-            F.when(F.col("_rep") == 0, F.col("text"))
-            .otherwise(F.concat(F.concat_ws("", F.lit("rep"), F.col("_rep")),
-                                F.lit(" "), F.col("text")))
-            .alias("text"),
+            text.alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -76,18 +93,65 @@ def main() -> None:
     evN = replicate_events(t["events"], n).persist()
     docs1.count(), docsN.count(), ev1.count(), evN.count()  # materialize
 
+    emb1 = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].persist()
+    embN = (
+        emb1.crossJoin(F.broadcast(
+            spark.range(n).select(F.col("id").alias("_rep"))
+        ))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
+            # per-replica SIGN-FLIP mask (flip dims where i % 9 < rep):
+            # cosine between any replica and any other replica/original
+            # drops far below near-dup thresholds, while within-replica
+            # planted structure is preserved (both members get the same
+            # mask) — so pair counts grow linearly with replicas, the
+            # real-growth pattern, instead of n-clique quadratically
+            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(i % 9 < F.col("_rep"), -x).otherwise(x),
+                )
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    emb1.count(), embN.count()
+
+    from indexlab_spark.operators.bm25 import bm25_build
     from indexlab_spark.operators.curation import quality_flags, redact_pii
     from indexlab_spark.operators.dedup import (
+        connected_components,
+        embedding_lsh_pairs,
         exact_dedup,
+        jaccard_pairs,
         minhash_lsh_pairs,
         simhash,
     )
 
-    def cases(docs, ev):
+    def cases(docs, ev, emb):
+        def _bm25():
+            ts_, dl_, g_ = bm25_build(docs)
+            k = ts_.count() + g_.count()
+            ts_.unpersist()
+            return k
+
+        def _clusters():
+            pairs = jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+            return connected_components(
+                pairs, docs.select(F.col("doc_id").alias("id"))
+            ).count()
+
         return {
             "exact_dedup": lambda: exact_dedup(docs).count(),
             "simhash": lambda: simhash(docs).count(),
             "minhash_lsh": lambda: minhash_lsh_pairs(docs, threshold=0.5).count(),
+            "bm25_build": _bm25,
+            "dedup_clusters": _clusters,
+            "embedding_lsh": lambda: embedding_lsh_pairs(
+                emb, dim=64, n_planes=128, bands=8, threshold=0.85
+            ).count(),
             "quality_pii": lambda: (
                 quality_flags(docs).count() + redact_pii(docs).count()
             ),
@@ -99,12 +163,12 @@ def main() -> None:
         }
 
     out = {}
-    for name, fn in cases(docs1, ev1).items():
+    for name, fn in cases(docs1, ev1, emb1).items():
         t0 = time.time()
         fn()
         t1 = time.time() - t0
         t0 = time.time()
-        cases(docsN, evN)[name]()
+        cases(docsN, evN, embN)[name]()
         tn = time.time() - t0
         out[name] = {
             "t1": round(t1, 2),
