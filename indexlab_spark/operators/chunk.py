@@ -162,7 +162,16 @@ def explode_chunks(
     ``doc_id = concat(doc_no, '#', chunk_no)`` (P4, pipeline.py:56).
     Uses the codegen expression for fixed_chars when size > overlap,
     otherwise the parity UDF.
+
+    Fans out under-partitioned inputs first (plans.colocate.fan_out):
+    single-file sources arrive as one partition, which would run the
+    chunk expression AND every downstream Arrow stage (embedding) as a
+    single task. Row-wise semantics are unaffected — doc_no is already
+    a column, chunk_no is per-row.
     """
+    from indexlab_spark.plans.colocate import fan_out
+
+    df = fan_out(df)
     if use_expr is None:
         use_expr = mode == "fixed_chars" and size > overlap
     arr = (
