@@ -162,6 +162,11 @@ def main() -> None:
     from indexlab_spark.operators.evaluate import eval_metrics, eval_results
     from indexlab_spark.session import get_spark, load_tables
 
+    # NOTE: a 4 MB maxPartitionBytes experiment (force many scan splits
+    # at bench SF) measured NET-NEGATIVE — suite 70.7s -> 85.4s — task
+    # scheduling overhead on tiny partitions outweighs the parallelism.
+    # CPU-heavy operators instead fan out explicitly (plans.colocate.
+    # fan_out) and scan-bound queries keep the production 128 MB policy.
     spark = get_spark("bench")
     t = load_tables(spark, SF_DIR, ("documents", "embeddings", "lineitem", "events"))
     # one session, cached base frames, reused across every case — the

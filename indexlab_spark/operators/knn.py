@@ -214,7 +214,11 @@ def knn_matmul(
                 {query_id_col: out_q, doc_id_col: out_d, "score": out_s}
             )
 
-    candidates = corpus_df.select(doc_id_col, corpus_vec_col).mapInPandas(
+    from indexlab_spark.plans.colocate import fan_out
+
+    candidates = fan_out(
+        corpus_df.select(doc_id_col, corpus_vec_col)
+    ).mapInPandas(
         _partial_topk,
         f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double",
     )
@@ -382,6 +386,12 @@ def build_ivf(
         # argmin ||x-c||^2 == argmin (||c||^2 - 2 x·c); ||x||^2 constant per row
         return pd.Series((c2 - 2.0 * (x @ c_t)).argmin(1).astype(np.int32))
 
+    # NO fan_out here (unlike knn_matmul): repartitioning the corpus for
+    # the assign pass was measured net-negative — the shuffle of the full
+    # vector payload costs more than the serial BLAS assign it would
+    # parallelize (b6_ivf_build_large 5.1s -> 6.4s). On a real cluster
+    # the corpus arrives in many splits and the assign pass is parallel
+    # without any repartition.
     assigned = chunks_df.withColumn("cluster_id", _assign(F.col(vec_col)))
     spark = chunks_df.sparkSession
     centroids = spark.createDataFrame(
@@ -552,6 +562,8 @@ def build_pq(
             codes[:, j] = (b2[j][None, :] - 2.0 * (xj @ books[j].T)).argmin(1)
         return pd.Series(list(codes))
 
+    # no fan_out: same measurement as build_ivf's assign pass — shuffling
+    # the vector payload costs more than the serial encode it parallelizes
     codes_df = chunks_df.withColumn("pq_code", _encode(F.col(vec_col)))
     spark = chunks_df.sparkSession
     codebooks_df = spark.createDataFrame(
