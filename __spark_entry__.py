@@ -2497,6 +2497,271 @@ def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tok_arr(col="text"):
+    """ASCII-whitespace tokenization, shared by the round-4 text queries;
+    matches list_filter(regexp_split_to_array(lower(x),'\\s+')) in DuckDB."""
+    return F.array_remove(F.split(F.lower(F.col(col)), r"\s+"), "")
+
+
+def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — top-3 TF-IDF terms per document (the classic
+    keyword-extraction primitive). Shuffle shape mirrors bm25_build: one
+    (doc, term) aggregation shuffle; document frequencies map-side
+    combine to a vocabulary-sized frame that joins back as the small
+    (AQE-broadcast) side; the top-3 window compiles to WindowGroupLimit
+    so partitions emit only their local top-3 before the final merge."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(_tok_arr()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+def _q_flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality — Flesch reading-ease per document (syllables
+    approximated as [aeiouy]+ vowel groups, sentences as [.!?]+ runs,
+    floor-bucketed by 50 points). Pure codegen expressions over one
+    scan; the bucket aggregation is the only (tiny) shuffle."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.size(_tok_arr())
+    syll = F.size(
+        F.array_remove(F.split(F.lower(F.col("text")), r"[^aeiouy]+"), "")
+    )
+    sents = F.greatest(
+        F.lit(1), F.size(F.array_remove(F.split(F.col("text"), r"[.!?]+"), ""))
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (words.cast("double") / sents.cast("double"))
+        - 84.6 * (syll.cast("double") / words.cast("double")),
+        6,
+    )
+    per_doc = docs.filter(words > 0).select(
+        flesch.alias("flesch"), words.alias("words")
+    )
+    return (
+        per_doc.groupBy(
+            F.floor(F.col("flesch") / 50).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.min("words").alias("min_words"),
+            F.max("words").alias("max_words"),
+        )
+    )
+
+
+def _q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series QC — per (event_type, day) value outliers at |z|>=1.5.
+    Two-pass: a keyed stats aggregation (one shuffle, map-side combined),
+    then the stats frame — |types x days| rows — joins back as the small
+    side (AQE broadcast); the fact is scanned twice but never shuffled
+    for the join."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # day as STRING on both sides (events_daily convention): DuckDB DATE
+    # surfaces as datetime64 through pandas and would stringify with a
+    # time component, flapping the driver's value hash
+    day = F.to_date("ts").cast("string").alias("day")
+    base = ev.select("event_type", day, "value")
+    stats = base.groupBy("event_type", "day").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        base.join(stats, ["event_type", "day"])
+        .filter(F.col("sd") > 0)
+        .withColumn("az", F.abs(z))
+        .filter(F.col("az") >= 1.5)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_anom"),
+            F.round(F.max("az"), 6).alias("max_abs_z"),
+        )
+    )
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics — Zipf's-law fit: OLS slope of ln(freq) on
+    ln(rank) over the top-500 terms (a healthy natural-language corpus
+    sits near -1; a pathological/duplicated crawl doesn't). The vocab
+    aggregation map-side combines; the top-500 is TakeOrderedAndProject
+    (never a global sort); only the 500 survivors enter the single-row
+    regression."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        docs.select(F.explode(_tok_arr()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("term")).limit(500)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log("freq"), F.log("rank")), 6
+        ).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def _q_source_mix_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — uniform source-mix downsampling: every source is
+    md5-gated down to the size of the SMALLEST source (the deterministic
+    per-row hash gate from hash_sample/temperature_resample, so the kept
+    set is stable across engines and runs). Per-source rates are a
+    broadcast dim; the corpus filter is one scan, no shuffle beyond the
+    per-source count aggregations."""
+    from indexlab_spark.functions.hashing import md5_long
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    target = counts.agg(F.min("n_total").alias("t"))
+    gates = counts.crossJoin(F.broadcast(target)).select(
+        "source",
+        "n_total",
+        F.floor(
+            F.col("t").cast("double") / F.col("n_total").cast("double") * 1_000_000
+        ).cast("bigint").alias("gate"),
+    )
+    kept = docs.join(F.broadcast(gates), "source").filter(
+        md5_long(F.col("doc_id").cast("string")) % 1_000_000 < F.col("gate")
+    )
+    return kept.groupBy("source").agg(
+        F.first("n_total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def _q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination diagnostics — per-document benchmark 5-gram hit
+    counts (the scoring twin of the decontaminate filter: same held-out
+    split doc_id % 17 == 0, same shingles). The benchmark gram set is
+    vocabulary-sized and broadcast; train grams stream through one
+    distinct + join + per-doc aggregation, never an all-pairs step."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def grams(df):
+        toks = df.select("doc_id", _tok_arr().alias("toks"))
+        return toks.filter(F.size("toks") >= 5).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 5),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 5), " "),
+                )
+            ).alias("gram"),
+        ).distinct()
+
+    bench_grams = grams(docs.filter(F.col("doc_id") % 17 == 0)).select(
+        "gram"
+    ).distinct()
+    train_grams = grams(docs.filter(F.col("doc_id") % 17 != 0))
+    totals = train_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_grams",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("hit_ratio"),
+    )
+
+
+def _q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) with the maximum revenue for one
+    quarter. Revenue aggregates once per suppkey (decimal-exact, one
+    fact shuffle); the scalar max is a single-row broadcast; supplier
+    attaches by key with no forced broadcast (AQE decides)."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(
+            t["supplier"].select("s_suppkey", "s_name"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"), "s_name", "total_rev"
+        )
+    )
+
+
+def _q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp table in this dataset) — each
+    supplier nation's share of total lineitem value, keeping nations
+    above a 4% concentration threshold. One fact aggregation keyed by
+    nation after a dimension join (supplier projected to two columns,
+    nation broadcast); the total is a single-row broadcast for the
+    share division — decimal-exact sums so the hash never wiggles."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation", "lineitem"))
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    val = (
+        t["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_dec()).alias("val_dec"))
+    )
+    total = val.agg(F.sum("val_dec").alias("tot_dec"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.round(F.col("val_dec").cast("double"), 2).alias("value"),
+            F.round(
+                (F.col("val_dec") / F.col("tot_dec")).cast("double"), 6
+            ).alias("share"),
+        )
+        .filter(F.col("share") > 0.04)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -2621,6 +2886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_map": _q_user_type_map,
         "incremental_rollup": _q_incremental_rollup,
         "rolling_median": _q_rolling_median,
+        # added round 4 (rotate into the driver window next round):
+        "tfidf_topterms": _q_tfidf_topterms,
+        "flesch_reading": _q_flesch_reading,
+        "zscore_anomalies": _q_zscore_anomalies,
+        "zipf_fit": _q_zipf_fit,
+        "source_mix_uniform": _q_source_mix_uniform,
+        "benchmark_overlap": _q_benchmark_overlap,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "nation_value_share": _q_nation_value_share,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4099,5 +4373,159 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1
             ORDER BY n_docs DESC, gram ASC
             LIMIT 25
+        """,
+        "tfidf_topterms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term,
+                       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+                FROM tf JOIN dfreq USING (term), n)
+            SELECT doc_id, term, score,
+                   CAST(rk AS INTEGER) AS rk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+                  FROM scored)
+            WHERE rk <= 3
+        """,
+        "flesch_reading": """
+            WITH per_doc AS (
+                SELECT len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       x -> x <> '')) AS words,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^aeiouy]+'),
+                                       x -> x <> '')) AS syll,
+                       greatest(1, len(list_filter(
+                           regexp_split_to_array(text, '[.!?]+'),
+                           x -> x <> ''))) AS sents
+                FROM documents),
+            f AS (
+                SELECT words,
+                       round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                             - 84.6 * (CAST(syll AS DOUBLE) / words), 6) AS flesch
+                FROM per_doc WHERE words > 0)
+            SELECT CAST(floor(flesch / 50) AS INTEGER) AS bucket,
+                   count(*) AS n_docs,
+                   round(avg(flesch), 6) AS avg_flesch,
+                   min(words) AS min_words,
+                   max(words) AS max_words
+            FROM f GROUP BY 1
+        """,
+        "zscore_anomalies": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+                FROM events),
+            stats AS (
+                SELECT event_type, day,
+                       avg(value) AS mu, stddev_samp(value) AS sd
+                FROM base GROUP BY 1, 2)
+            SELECT event_type, day,
+                   count(*) AS n_anom,
+                   round(max(abs((value - mu) / sd)), 6) AS max_abs_z
+            FROM base JOIN stats USING (event_type, day)
+            WHERE sd > 0 AND abs((value - mu) / sd) >= 1.5
+            GROUP BY 1, 2
+        """,
+        "zipf_fit": """
+            WITH counts AS (
+                SELECT term, count(*) AS freq
+                FROM (SELECT unnest(list_filter(
+                          regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS term
+                      FROM documents)
+                GROUP BY 1),
+            top AS (
+                SELECT freq,
+                       row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+                FROM counts
+                ORDER BY freq DESC, term ASC
+                LIMIT 500)
+            SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+                   round(regr_r2(ln(freq), ln(rank)), 6) AS r2,
+                   count(*) AS n_terms
+            FROM top
+        """,
+        "source_mix_uniform": """
+            WITH counts AS (
+                SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+            t AS (SELECT min(n_total) AS t FROM counts),
+            gates AS (
+                SELECT source, n_total,
+                       CAST(floor(CAST(t AS DOUBLE) / n_total * 1000000)
+                            AS BIGINT) AS gate
+                FROM counts, t)
+            SELECT source, any_value(n_total) AS n_total,
+                   count(*) AS n_kept
+            FROM documents JOIN gates USING (source)
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 1000000 < gate
+            GROUP BY source
+        """,
+        "benchmark_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks) - 4, 0))) AS i
+                FROM toks WHERE len(toks) >= 5),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i + 1:i + 5], ' ') AS gram
+                FROM pos),
+            bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+            train AS (SELECT * FROM grams WHERE doc_id % 17 <> 0),
+            totals AS (
+                SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM train JOIN bench USING (gram) GROUP BY 1)
+            SELECT doc_id, n_hits, n_grams,
+                   round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS hit_ratio
+            FROM hits JOIN totals USING (doc_id)
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (CAST(1 AS DECIMAL(12,2))
+                                - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+                             2) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT l_suppkey AS suppkey, s_name, total_rev
+            FROM rev
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        "nation_value_share": """
+            WITH val AS (
+                SELECT n_name,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(12,2))
+                              - CAST(l_discount AS DECIMAL(12,2)))) AS val_dec
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                GROUP BY 1),
+            tot AS (SELECT sum(val_dec) AS tot_dec FROM val)
+            SELECT n_name,
+                   round(CAST(val_dec AS DOUBLE), 2) AS value,
+                   round(CAST(val_dec / tot_dec AS DOUBLE), 6) AS share
+            FROM val, tot
+            WHERE round(CAST(val_dec / tot_dec AS DOUBLE), 6) > 0.04
         """,
     }

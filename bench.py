@@ -392,7 +392,10 @@ def main() -> None:
                  "rich_idle_customers", "returned_top_customers",
                  "volume_shipping", "min_cost_supplier",
                  "part_supplier_counts", "common_ngrams",
-                 "vocab_coverage", "rolling_median", "incremental_rollup"):
+                 "vocab_coverage", "rolling_median", "incremental_rollup",
+                 # round-4 additions
+                 "tfidf_topterms", "zscore_anomalies", "zipf_fit",
+                 "benchmark_overlap", "nation_value_share"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 
