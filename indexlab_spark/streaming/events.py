@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def stage_stream_dir(parquet_path: str) -> str:
+    """Spark's file stream source requires a DIRECTORY. Directories pass
+    through; a single parquet FILE (the driver testdata layout) gets a
+    once-per-path symlink directory staged under the repo warehouse so
+    the stream source sees exactly that one file — the previous approach
+    of stripping to the parent directory would glob EVERY table's
+    parquet in a shared data directory under the events schema."""
+    import hashlib
+    import os
+
+    if os.path.isdir(parquet_path):
+        return parquet_path
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    key = hashlib.md5(os.path.abspath(parquet_path).encode()).hexdigest()[:12]
+    d = os.path.join(root, "spark-warehouse", "_stream_src", key)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(parquet_path), link)
+    return d
+
+
 def read_events_stream(
     spark: SparkSession, events_parquet: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -31,7 +53,7 @@ def read_events_stream(
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_parquet.rsplit("/", 1)[0] if events_parquet.endswith(".parquet") else events_parquet)
+        .parquet(stage_stream_dir(events_parquet))
     )
     return stream
 
