@@ -142,3 +142,41 @@ def test_goldset_python_datasource(spark, tmp_path):
     got = {tuple(r) for r in df.collect()}
     assert got == {("what is spark?", "doc-1"), ("what is an rdd?", "doc-2")}
     assert df.rdd.getNumPartitions() == 2  # one partition per file
+
+
+def test_driver_window_is_all_oracle_backed():
+    """The driver's correctness harness verifies the FIRST 50 registry
+    entries; a rows-only entry slipping into that window would silently
+    shrink external verification. Pin the invariant."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    first50 = list(q)[:50]
+    missing = [k for k in first50 if k not in o]
+    assert not missing, f"rows-only entries inside the driver window: {missing}"
+    # every oracle key maps to a registered query
+    orphans = [k for k in o if k not in q]
+    assert not orphans, f"oracle_sql keys without queries(): {orphans}"
+
+
+def test_stage_stream_dir(tmp_path):
+    """Single parquet FILES get a one-file symlink dir (file stream
+    sources need a directory); directories pass through unchanged."""
+    import os
+
+    from indexlab_spark.streaming.events import stage_stream_dir
+
+    d = tmp_path / "already_a_dir"
+    d.mkdir()
+    assert stage_stream_dir(str(d)) == str(d)
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"PAR1")
+    staged = stage_stream_dir(str(f))
+    assert os.path.isdir(staged)
+    entries = os.listdir(staged)
+    assert entries == ["events.parquet"], "exactly the staged file"
+    assert os.path.realpath(os.path.join(staged, entries[0])) == str(f)
+    # idempotent: second call reuses the same staging dir
+    assert stage_stream_dir(str(f)) == staged
