@@ -2715,9 +2715,13 @@ def _q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("total_rev"))
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+    # scalar max as a window over the AGGREGATED frame (|suppliers| rows,
+    # already orders of magnitude smaller than the fact) — a separate
+    # .agg() subtree would re-scan and re-aggregate lineitem a second
+    # time; the SinglePartition stage here is bounded by supplier count
+    mx_w = Window.partitionBy(F.lit(1))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("mx", F.max("total_rev").over(mx_w))
         .filter(F.col("total_rev") == F.col("mx"))
         .join(
             t["supplier"].select("s_suppkey", "s_name"),
@@ -2748,9 +2752,11 @@ def _q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_revenue_dec()).alias("val_dec"))
     )
-    total = val.agg(F.sum("val_dec").alias("tot_dec"))
+    # total as a window over the 25-row nation aggregate — one fact pass
+    # (a separate .agg() subtree would rescan and re-join lineitem)
+    tot_w = Window.partitionBy(F.lit(1))
     return (
-        val.crossJoin(F.broadcast(total))
+        val.withColumn("tot_dec", F.sum("val_dec").over(tot_w))
         .select(
             "n_name",
             F.round(F.col("val_dec").cast("double"), 2).alias("value"),

@@ -119,3 +119,45 @@ def test_common_ngrams_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "common_ngrams")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_tfidf_window_group_limit(spark, sf_dir):
+    """Round-4 TF-IDF: the per-doc top-3 compiles to WindowGroupLimit
+    (partial top-k before the final exchange) and the whole pipeline is
+    JVM-side — no Python worker in the plan."""
+    plan = _plan(spark, sf_dir, "tfidf_topterms")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_fit_take_ordered_vocab_cut(spark, sf_dir):
+    """The top-500 vocabulary cut is TakeOrderedAndProject; the
+    single-partition regression stage is bounded by the constant 500,
+    never the vocabulary size."""
+    plan = _plan(spark, sf_dir, "zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zscore_stats_join_no_fact_shuffle(spark, sf_dir):
+    """The stats frame (|types x days| rows) joins back to the fact as a
+    broadcast — the events fact itself is never hash-exchanged for the
+    join (its only exchanges are aggregate partials)."""
+    plan = _plan(spark, sf_dir, "zscore_anomalies")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q15_q11_single_fact_pass(spark, sf_dir):
+    """Q15/Q11 shapes: the fact is scanned and aggregated ONCE — the
+    scalar max / total is a window over the aggregated (dimension-sized)
+    frame, not a second .agg() subtree that would rescan lineitem. At
+    most two shuffles: the fact aggregation plus the bounded
+    SinglePartition window over |suppliers| / 25 nations."""
+    for name in ("top_supplier_revenue", "nation_value_share"):
+        plan = _plan(spark, sf_dir, name)
+        li_scans = sum(
+            1 for l in plan.splitlines()
+            if "Scan parquet" in l and "lineitem" in l
+        )
+        assert li_scans == 1, f"{name}: lineitem scanned {li_scans}x"
+        shuffles, _ = _counts(spark, sf_dir, name)
+        assert shuffles <= 2, f"{name}: {shuffles} shuffles"
