@@ -2768,6 +2768,20 @@ def _q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family — distributed Misra-Gries heavy hitters with a
+    candidate-restricted exact verify (operators/textstats.heavy_hitters).
+    Pass 1 is a zero-shuffle map-only sketch (O(1/phi) state per task)
+    whose candidate union is a guaranteed superset of the true heavy
+    hitters; pass 2 exactly counts ONLY the candidates, so the output
+    equals a plain GROUP BY ... HAVING — the whole point: sketch speed
+    at scale, exact answers, plain-SQL oracle."""
+    from indexlab_spark.operators.textstats import heavy_hitters
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return heavy_hitters(docs, phi=0.002)
+
+
 _STREAM_SEQ = [0]
 
 
@@ -2945,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": _q_top_supplier_revenue,
         "nation_value_share": _q_nation_value_share,
         "events_stream_daily": _q_events_stream_daily,
+        "heavy_hitters": _q_heavy_hitters,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4584,5 +4599,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "heavy_hitters": """
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents),
+            n AS (SELECT count(*) AS n_tokens FROM tok)
+            SELECT term, count(*) AS freq,
+                   round(CAST(count(*) AS DOUBLE) / n_tokens, 6) AS share
+            FROM tok, n
+            GROUP BY term, n_tokens
+            HAVING count(*) >= CAST(floor(n_tokens * 0.002) AS BIGINT) + 1
         """,
     }

@@ -164,3 +164,84 @@ def fingerprint(
     sh = token_shingles(F.col(text_col), n)
     fp = F.array_min(F.transform(sh, lambda s: md5_long(s)))
     return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    phi: float = 0.002,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequent-term mining via distributed Misra-Gries + exact verify —
+    the sketch pattern for "which terms exceed phi of all tokens" that
+    never shuffles the full (doc, term) posting frame.
+
+    Pass 1 (sketch, zero shuffle): each partition runs a Misra-Gries
+    summary of size k = ceil(1/phi) over its local token stream and
+    emits only its <= k surviving candidate terms. Pigeonhole guarantee:
+    any term with global frequency >= phi * N must exceed phi * n_p on
+    at least one partition, so the union of partition candidates is a
+    SUPERSET of the true heavy hitters — no false negatives, ever.
+
+    Pass 2 (verify, candidate-bounded): the candidate set (<= k *
+    n_partitions rows, broadcast) filters the token stream and only the
+    survivors are exactly counted — the groupBy shuffles |candidates|
+    distinct keys instead of the full vocabulary. False positives from
+    pass 1 die here, so the output is EXACTLY the true heavy hitters
+    (which is what makes this sketch oracle-checkable against a plain
+    GROUP BY ... HAVING in DuckDB).
+
+    At 100 TB: pass 1 is a map-only scan with O(k) state per task;
+    pass 2's shuffle carries candidate terms only. The full-vocabulary
+    aggregation this replaces is the largest shuffle in corpus stats.
+
+    Returns (term, freq, share double) for freq >= floor(phi * N) + 1.
+    """
+    import math
+
+    import pandas as pd
+
+    from indexlab_spark.plans.colocate import fan_out
+
+    k = max(1, math.ceil(1.0 / phi))
+    toks_df = fan_out(df.select(tokens(text_col).alias("toks")))
+
+    def _misra_gries(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for arr in pdf["toks"]:
+                for t in arr:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < k:
+                        counters[t] = 1
+                    else:
+                        dead = [c for c in counters if counters[c] == 1]
+                        for c in dead:
+                            del counters[c]
+                        for c in counters:
+                            counters[c] -= 1
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    candidates = (
+        toks_df.mapInPandas(_misra_gries, "term string").distinct()
+    )
+    exploded = df.select(F.explode(tokens(text_col)).alias("term"))
+    total = exploded.agg(F.count(F.lit(1)).alias("n_tokens"))
+    exact = (
+        exploded.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    thresh = (F.floor(F.col("n_tokens") * phi) + 1).cast("bigint")
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= thresh)
+        .select(
+            "term",
+            "freq",
+            F.round(
+                F.col("freq").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )

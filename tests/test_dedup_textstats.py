@@ -197,3 +197,33 @@ def test_embedding_lsh_subset_of_bruteforce(spark, tables):
         for r in embedding_lsh_pairs(corpus, threshold=0.85).collect()
     }
     assert lsh == lsh2
+
+
+def test_heavy_hitters_equals_exact(spark, tables):
+    """Misra-Gries + verify must equal the exact full-vocabulary
+    GROUP BY ... HAVING — the superset guarantee makes the sketch
+    lossless after verification."""
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.textstats import heavy_hitters, tokens
+
+    docs = tables["documents"]
+    for phi in (0.002, 0.01):
+        got = {
+            (r["term"], r["freq"])
+            for r in heavy_hitters(docs, phi=phi).collect()
+        }
+        tok = docs.select(F.explode(tokens("text")).alias("term"))
+        n = tok.count()
+        import math
+
+        thresh = math.floor(n * phi) + 1
+        exact = {
+            (r["term"], r["freq"])
+            for r in tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= thresh)
+            .collect()
+        }
+        assert got == exact, f"phi={phi}: sketch+verify != exact"
+        assert exact, f"phi={phi}: degenerate test (no heavy hitters)"
