@@ -2768,6 +2768,181 @@ def _q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — top-10 unshipped orders by revenue for one
+    market segment. The segment-filtered customer joins without a
+    forced broadcast (a fifth of all customers is NOT broadcastable at
+    100 TB; AQE decides), dates prune both fact scans, and the top-10
+    compiles to TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    cust = t["customer"].filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+        )
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — revenue increase from eliminating small
+    discounts: one filtered scan, one decimal-exact scalar aggregate,
+    zero joins. The year/discount/quantity predicates all reach
+    PushedFilters."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(12,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+def _q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit per supplier nation per order year for
+    'red' parts, with unit cost proxied at half retail (no partsupp
+    table in this dataset). The lineitem-orders join is the one genuine
+    fact-fact shuffle; part (name-filtered) and supplier join without
+    hints; nation broadcasts. All money stays decimal until the final
+    rounding."""
+    t = load_tables(
+        spark, sf_dir, ("part", "supplier", "nation", "orders", "lineitem")
+    )
+    red = t["part"].filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = _revenue_dec() - (
+        F.lit(0.5).cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(red, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
+def _q_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column — returnflag stands in as
+    the line category): per category, how many 1997 lines belong to
+    high- vs low-priority orders. One fact-fact join on orderkey, CASE
+    aggregation, three output rows."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — yearly revenue lost to small-quantity orders
+    of one brand: lines below 20% of their part's average quantity.
+    The per-part averages are a keyed aggregate joined back WITHOUT a
+    hint (|parts| rows — AQE broadcasts when it fits); the comparison
+    is exact because integer-valued quantity sums are exact doubles,
+    so both engines derive bit-identical thresholds."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    brand = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = t["lineitem"].join(
+        brand, F.col("p_partkey") == F.col("l_partkey")
+    )
+    lim = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    ).withColumnRenamed("l_partkey", "lim_partkey")
+    return (
+        li.join(lim, F.col("lim_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                 / F.lit(7).cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def _q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers who shipped an outsized share of a
+    PROMO part's 1997 volume (> 25% of that part's total across all
+    suppliers, the availability proxy without partsupp). The (part,
+    supplier) aggregate is one keyed shuffle; the per-part total is a
+    window over that already-aggregated frame (never a re-scan); the
+    share comparison is exact — quantity sums are integer-valued
+    doubles and the 0.25 multiple is a power of two."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    per_ps = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(promo, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot_w = Window.partitionBy("l_partkey")
+    excess = (
+        per_ps.withColumn("part_tot", F.sum("qty").over(tot_w))
+        .filter(F.col("qty") > 0.25 * F.col("part_tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+    return excess.join(
+        t["supplier"].select("s_suppkey", "s_name"),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    ).select(F.col("l_suppkey").alias("suppkey"), "s_name", "n_excess_parts")
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch family — distributed Misra-Gries heavy hitters with a
     candidate-restricted exact verify (operators/textstats.heavy_hitters).
@@ -2960,6 +3135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_value_share": _q_nation_value_share,
         "events_stream_daily": _q_events_stream_daily,
         "heavy_hitters": _q_heavy_hitters,
+        "shipping_priority": _q_shipping_priority,
+        "forecast_revenue": _q_forecast_revenue,
+        "product_profit": _q_product_profit,
+        "linestatus_priority": _q_linestatus_priority,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "excess_stock_suppliers": _q_excess_stock_suppliers,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4612,5 +4793,98 @@ def oracle_sql() -> dict[str, str]:
             FROM tok, n
             GROUP BY term, n_tokens
             HAVING count(*) >= CAST(floor(n_tokens * 0.002) AS BIGINT) + 1
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(12,2))
+                            - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-03-15'
+              AND l_shipdate > TIMESTAMP '1997-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "forecast_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 2)
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "product_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(12,2))
+                             - CAST(l_discount AS DECIMAL(12,2)))
+                          - CAST(0.5 AS DECIMAL(12,2))
+                            * CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+                       AS profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "linestatus_priority": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "small_qty_revenue": """
+            WITH brand_lines AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#3'),
+            lim AS (
+                SELECT l_partkey AS lim_partkey,
+                       avg(l_quantity) * 0.2 AS qty_lim
+                FROM brand_lines GROUP BY 1)
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                         / CAST(7 AS DECIMAL(12,2)) AS DOUBLE), 2)
+                       AS avg_yearly
+            FROM brand_lines
+            JOIN lim ON lim_partkey = l_partkey
+            WHERE l_quantity < qty_lim
+        """,
+        "excess_stock_suppliers": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'PROMO'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2),
+            ex AS (
+                SELECT l_suppkey, count(*) AS n_excess_parts
+                FROM (SELECT *,
+                             sum(qty) OVER (PARTITION BY l_partkey) AS part_tot
+                      FROM per_ps)
+                WHERE qty > 0.25 * part_tot
+                GROUP BY 1)
+            SELECT l_suppkey AS suppkey, s_name, n_excess_parts
+            FROM ex JOIN supplier ON s_suppkey = l_suppkey
         """,
     }
