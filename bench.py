@@ -395,7 +395,9 @@ def main() -> None:
                  "vocab_coverage", "rolling_median", "incremental_rollup",
                  # round-4 additions
                  "tfidf_topterms", "zscore_anomalies", "zipf_fit",
-                 "benchmark_overlap", "nation_value_share"):
+                 "benchmark_overlap", "nation_value_share", "heavy_hitters",
+                 "shipping_priority", "product_profit",
+                 "excess_stock_suppliers"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -161,3 +161,30 @@ def test_q15_q11_single_fact_pass(spark, sf_dir):
         assert li_scans == 1, f"{name}: lineitem scanned {li_scans}x"
         shuffles, _ = _counts(spark, sf_dir, name)
         assert shuffles <= 2, f"{name}: {shuffles} shuffles"
+
+
+def test_q3_take_ordered_and_pruned_scans(spark, sf_dir):
+    """Q3: top-10 is TakeOrderedAndProject and the date predicates reach
+    both fact scans."""
+    plan = _plan(spark, sf_dir, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [") >= 2
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6: a single filtered scan + scalar aggregate — no join, no
+    shuffle beyond the partial-agg exchange, predicates in the scan."""
+    plan = _plan(spark, sf_dir, "forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_q20_lineitem_scanned_once(spark, sf_dir):
+    """Q20 shape: the per-part total is a window over the aggregated
+    (part, supplier) frame — lineitem is scanned exactly once."""
+    plan = _plan(spark, sf_dir, "excess_stock_suppliers")
+    li_scans = sum(
+        1 for l in plan.splitlines()
+        if "Scan parquet" in l and "lineitem" in l
+    )
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
