@@ -2943,6 +2943,71 @@ def _q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("l_suppkey").alias("suppkey"), "s_name", "n_excess_parts")
 
 
+def _q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity — per-source Shannon entropy of the language mix
+    (a skewed crawl shows up as near-zero entropy). Single-pass form:
+    H = ln(tot) - sum(n ln n)/tot over the (source, lang) counts, so the
+    plan is two map-side-combined aggregations and NO join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.log(F.sum("n").cast("double"))
+                - F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double")))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — per-document novelty: the fraction of a doc's
+    distinct word trigrams that occur in NO other document (the inverse
+    signal of common_ngrams; low novelty flags boilerplate/templates).
+    Gram doc-frequencies are one map-side-combined aggregation; the
+    join back is gram-keyed — the same two-exchange shape as
+    common_ngrams, nothing quadratic in documents. Top 50 least-novel
+    docs via TakeOrdered."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", _tok_arr().alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 3), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    gdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    return (
+        grams.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy(F.asc("novelty"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch family — distributed Misra-Gries heavy hitters with a
     candidate-restricted exact verify (operators/textstats.heavy_hitters).
@@ -3141,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linestatus_priority": _q_linestatus_priority,
         "small_qty_revenue": _q_small_qty_revenue,
         "excess_stock_suppliers": _q_excess_stock_suppliers,
+        "source_entropy": _q_source_entropy,
+        "ngram_novelty": _q_ngram_novelty,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4886,5 +4953,43 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT l_suppkey AS suppkey, s_name, n_excess_parts
             FROM ex JOIN supplier ON s_suppkey = l_suppkey
+        """,
+        "source_entropy": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   count(*) AS n_langs,
+                   round(ln(CAST(sum(n) AS DOUBLE))
+                         - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+                           / CAST(sum(n) AS DOUBLE), 6) AS lang_entropy
+            FROM c GROUP BY 1
+        """,
+        "ngram_novelty": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+                FROM toks WHERE len(toks) >= 3),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i + 1:i + 3], ' ') AS gram
+                FROM pos),
+            gdf AS (SELECT gram, count(*) AS gram_df FROM grams GROUP BY 1)
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS novelty
+            FROM grams JOIN gdf USING (gram)
+            GROUP BY 1
+            ORDER BY novelty ASC, doc_id ASC
+            LIMIT 50
         """,
     }

@@ -34,10 +34,24 @@ K = 5
 N_QUERIES = 1000
 
 
-def timed(fn):
-    t0 = time.time()
-    out = fn()
-    return time.time() - t0, out
+def timed(fn, repeats: int = 1):
+    """Time fn; with repeats > 1 return the MINIMUM of the runs (and the
+    first run's output). The sub-second numpy/pandas oracles vary 5-10x
+    run to run on a busy host, which flapped the engine/oracle ratios
+    between rounds; min-of-N is the stable (and for the oracle, most
+    favorable — i.e. hardest on the engine) estimate. The engine side
+    stays single-shot: a cold query really does pay its first-execution
+    cost."""
+    best, out = None, None
+    for i in range(max(1, repeats)):
+        t0 = time.time()
+        o = fn()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+        if i == 0:
+            out = o
+    return best, out
 
 
 # --------------------------------------------------------------- baselines
@@ -199,7 +213,7 @@ def main() -> None:
 
     queries_sec["b1_ingest_chunk_embed"], n_chunks = timed(spark_b1)
     baseline_sec["b1_ingest_chunk_embed"], _ = timed(
-        lambda: baseline_b1_ingest(docs_pdf)
+        lambda: baseline_b1_ingest(docs_pdf), repeats=2
     )
     rows_per_sec["b1_ingest_chunk_embed"] = round(
         len(docs_pdf) / queries_sec["b1_ingest_chunk_embed"], 1
@@ -239,7 +253,7 @@ def main() -> None:
         return knn_matmul(spark, q_df, corpus, K).count()
 
     queries_sec["b2_knn_batch"], _ = timed(spark_b2)
-    baseline_sec["b2_knn_batch"], _ = timed(lambda: baseline_b2_knn(mat, q_mat))
+    baseline_sec["b2_knn_batch"], _ = timed(lambda: baseline_b2_knn(mat, q_mat), repeats=3)
     rows_per_sec["b2_knn_batch"] = round(len(q_mat) / queries_sec["b2_knn_batch"], 1)
 
     # B2-large: replicated corpus (32x) — fixed Spark overhead amortizes;
@@ -275,7 +289,7 @@ def main() -> None:
 
     queries_sec["b3_eval"], _ = timed(spark_b3)
     baseline_sec["b3_eval"], _ = timed(
-        lambda: baseline_b3_eval(mat, q_mat, expected)
+        lambda: baseline_b3_eval(mat, q_mat, expected), repeats=3
     )
     rows_per_sec["b3_eval"] = round(len(q_mat) / queries_sec["b3_eval"], 1)
 
@@ -346,7 +360,8 @@ def main() -> None:
 
     queries_sec["b5_analytics"], _ = timed(spark_b5)
     baseline_sec["b5_analytics"], _ = timed(
-        lambda: baseline_b5_analytics(docs_pdf["text"].astype(str).str.len().tolist())
+        lambda: baseline_b5_analytics(docs_pdf["text"].astype(str).str.len().tolist()),
+        repeats=3,
     )
     rows_per_sec["b5_analytics"] = round(len(docs_pdf) / queries_sec["b5_analytics"], 1)
 
@@ -357,7 +372,7 @@ def main() -> None:
 
     queries_sec["b6_ivf_build"], _ = timed(spark_b6)
     baseline_sec["b6_ivf_build"], _ = timed(
-        lambda: baseline_b6_kmeans(mat, min(256, n_vec // 8))
+        lambda: baseline_b6_kmeans(mat, min(256, n_vec // 8)), repeats=3
     )
     rows_per_sec["b6_ivf_build"] = round(n_vec / queries_sec["b6_ivf_build"], 1)
 
