@@ -603,3 +603,46 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     }
     # first sighting survives for 1 and 2; 3 and 4 pass through
     assert got == {(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)}
+
+
+def test_stream_checkpoint_restart_is_incremental(spark, sf_dir, tmp_path):
+    """Exactly-once file-source semantics across restarts: a second run
+    with the SAME checkpoint processes only files added since the first
+    run (offsets persisted), and the final state equals the batch
+    answer over all files — the property that makes the streaming
+    rollup a safe replacement for a nightly batch job."""
+    from indexlab_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "incr_src")
+    ckpt = str(tmp_path / "incr_ckpt")
+    out = str(tmp_path / "incr_out")
+    half_a.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == half_a.count()
+
+    # add the second half; restart from the same checkpoint
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    sunk = spark.read.parquet(out)
+    # incremental: no reprocessing of the first file's rows
+    assert sunk.count() == ev.count()
+    assert sunk.select("event_id").distinct().count() == ev.count()
