@@ -2943,6 +2943,48 @@ def _q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("l_suppkey").alias("suppkey"), "s_name", "n_excess_parts")
 
 
+def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout family — the zero-shuffle co-located join, run
+    through the correctness gate. orders and lineitem are written ONCE
+    per (session, sf) hash-bucketed and sorted on orderkey; the join +
+    per-order revenue rollup then executes as a SortMergeJoin with NO
+    Exchange before it — the write-time shuffle amortized over every
+    later query, which is the layout a 100 TB fact table wants
+    (tests/test_colocate.py pins exchange_count on this path; here the
+    RESULT is oracle-checked too). Top 20 orders by joined revenue with
+    status attached."""
+    from indexlab_spark.plans.colocate import bucketed_join, write_bucketed
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    lt, ot = f"bkt_li_{tag}", f"bkt_ord_{tag}"
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            t["lineitem"].select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            "l_orderkey",
+            buckets=8,
+        )
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+            ),
+            ot,
+            "l_orderkey",
+            buckets=8,
+        )
+    joined = bucketed_join(spark, lt, ot, "l_orderkey")
+    return (
+        joined.groupBy("l_orderkey", "o_orderstatus")
+        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
 def _q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus diversity — per-source Shannon entropy of the language mix
     (a skewed crawl shows up as near-zero entropy). Single-pass form:
@@ -3208,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_stock_suppliers": _q_excess_stock_suppliers,
         "source_entropy": _q_source_entropy,
         "ngram_novelty": _q_ngram_novelty,
+        "bucketed_order_revenue": _q_bucketed_order_revenue,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4991,5 +5034,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY novelty ASC, doc_id ASC
             LIMIT 50
+        """,
+        "bucketed_order_revenue": """
+            SELECT l_orderkey, o_orderstatus,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(12,2))
+                            - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 20
         """,
     }

@@ -227,3 +227,46 @@ def test_heavy_hitters_equals_exact(spark, tables):
         }
         assert got == exact, f"phi={phi}: sketch+verify != exact"
         assert exact, f"phi={phi}: degenerate test (no heavy hitters)"
+
+
+def test_heavy_hitters_property_random_streams(spark):
+    """Hypothesis: on arbitrary skewed token streams, sketch+verify ==
+    exact GROUP BY ... HAVING for arbitrary phi — the lossless-after-
+    verify guarantee doesn't depend on the corpus looking like the
+    testdata."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.textstats import heavy_hitters
+
+    alphabet = [f"w{i}" for i in range(12)]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(alphabet), min_size=1, max_size=40),
+            min_size=3,
+            max_size=25,
+        ),
+        st.sampled_from([0.05, 0.15, 0.4]),
+    )
+    def inner(doc_tokens, phi):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(doc_tokens)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["term"], r["freq"])
+            for r in heavy_hitters(docs, phi=phi).collect()
+        }
+        flat = [t for toks in doc_tokens for t in toks]
+        n = len(flat)
+        thresh = math.floor(n * phi) + 1
+        from collections import Counter
+
+        exact = {
+            (t, c) for t, c in Counter(flat).items() if c >= thresh
+        }
+        assert got == exact, f"phi={phi}: {got} != {exact}"
+
+    inner()
