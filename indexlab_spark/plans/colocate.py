@@ -40,6 +40,21 @@ def write_bucketed(
     ``key`` between tables bucketed with the SAME bucket count then need
     no Exchange and no Sort — the write-time shuffle is amortized over
     every later query."""
+    spark = df.sparkSession
+    if path is None and not spark.catalog.tableExists(table):
+        # Stale-location recovery: an in-memory catalog forgets managed
+        # tables between sessions while their warehouse directories
+        # survive, and saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS. Only the exact orphaned location for
+        # THIS table name is removed, and only when the catalog does not
+        # know the table (so it cannot be live data of a registered
+        # table).
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        orphan = f"{wh.rstrip('/')}/{table.lower()}"
+        shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(buckets, key).sortBy(key).format("parquet")
     if path is not None:
         w = w.option("path", path)
