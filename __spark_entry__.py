@@ -1648,7 +1648,10 @@ def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_rev").cast("decimal(28,6)")
             > F.lit(0.001).cast("decimal(10,6)") * F.col("total_rev").cast("decimal(28,6)")
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["part"].select("p_partkey", "p_name"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .select(
             "p_partkey",
             "p_name",
@@ -1670,7 +1673,10 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum(_revenue_dec())
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["part"].select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.round(
@@ -1774,7 +1780,8 @@ def _q_segment_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-8 at this magnitude) and the dimensionless corr to 6dp."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     j = t["orders"].join(
-        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal"),
+        F.col("o_custkey") == F.col("c_custkey"),
     )
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -2195,7 +2202,8 @@ def _q_brand_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1..40) is still pushable to the fact scan."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     j = t["lineitem"].join(
-        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+        t["part"].select("p_partkey", "p_brand", "p_size"),
+        F.col("p_partkey") == F.col("l_partkey"),
     )
     bracket = (
         (
@@ -2257,7 +2265,7 @@ def _q_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         blamed.groupBy("late_supp")
         .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"].select("s_suppkey", "s_name"),
             F.col("s_suppkey") == F.col("late_supp"),
         )
         .select("s_name", "n_waiting_orders")
