@@ -2599,11 +2599,15 @@ def _q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"),
         F.stddev_samp("value").alias("sd"),
     )
+    # |z| rounds to 6dp BEFORE the threshold test: mu/sd are distributed
+    # float aggregates whose last bits differ between engines (and
+    # between partial-agg orders), and an unrounded >= 1.5 would let a
+    # boundary row flip membership and flap the value hash
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
         base.join(stats, ["event_type", "day"])
         .filter(F.col("sd") > 0)
-        .withColumn("az", F.abs(z))
+        .withColumn("az", F.round(F.abs(z), 6))
         .filter(F.col("az") >= 1.5)
         .groupBy("event_type", "day")
         .agg(
@@ -3098,6 +3102,15 @@ def _q_events_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+    # bound driver memory: drop the PREVIOUS invocation's memory-sink
+    # table before registering a new one (harnesses re-invoke queries
+    # many times per session; without this every run pins another full
+    # rollup result in the driver for the session lifetime)
+    prev = f"events_stream_daily_{_STREAM_SEQ[0]}"
+    try:
+        spark.catalog.dropTempView(prev)
+    except Exception:
+        pass
     _STREAM_SEQ[0] += 1
     name = f"events_stream_daily_{_STREAM_SEQ[0]}"
     q = (
@@ -4790,9 +4803,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM base GROUP BY 1, 2)
             SELECT event_type, day,
                    count(*) AS n_anom,
-                   round(max(abs((value - mu) / sd)), 6) AS max_abs_z
+                   round(max(round(abs((value - mu) / sd), 6)), 6) AS max_abs_z
             FROM base JOIN stats USING (event_type, day)
-            WHERE sd > 0 AND abs((value - mu) / sd) >= 1.5
+            WHERE sd > 0 AND round(abs((value - mu) / sd), 6) >= 1.5
             GROUP BY 1, 2
         """,
         "zipf_fit": """

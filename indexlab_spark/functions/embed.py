@@ -138,14 +138,20 @@ def embed_udf(model: str, normalize: bool):
 
 
 def with_embedding(df, text_col: str = "text", out_col: str = "embedding",
-                   model: str = "hash-ngram-64", normalize: bool = True):
+                   model: str = "hash-ngram-64", normalize: bool = True,
+                   fan_out: bool = True):
     """Attach an embedding column (E1+E4 composition).
 
-    Fans out under-partitioned inputs first: the embedding UDF is the
-    CPU-heavy stage of ingest, and a 1-partition source would run it as
-    one task regardless of cluster size (see plans.colocate.fan_out).
+    ``fan_out=True`` (the ingest default) repartitions under-partitioned
+    inputs first: the embedding UDF is the CPU-heavy stage of ingest,
+    and a 1-partition source would run it as one task regardless of
+    cluster size (see plans.colocate.fan_out). Interactive QUERY-side
+    callers embedding a handful of rows should pass ``fan_out=False`` —
+    repartitioning a 1-row frame into 32 partitions is a pure shuffle
+    tax on search latency.
     """
-    from indexlab_spark.plans.colocate import fan_out
+    if fan_out:
+        from indexlab_spark.plans.colocate import fan_out as _fan_out
 
-    df = fan_out(df)
+        df = _fan_out(df)
     return df.withColumn(out_col, embed_udf(model, normalize)(df[text_col]))

@@ -452,6 +452,17 @@ def ivf_search_pruned(
             left_id_col=query_id_col, left_vec_col=query_vec_col,
             right_id_col=doc_id_col, right_vec_col=corpus_vec_col,
         )
+    if not q_rows:
+        qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+        did_type = (
+            spark.read.parquet(ivf_path).schema[doc_id_col]
+            .dataType.simpleString()
+        )
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, "
+            "score double, rank int",
+        )
     cents = centroids_df.collect()
     c_ids = np.array([r["cluster_id"] for r in cents])
     c_mat = np.array([r["centroid"] for r in cents], dtype=np.float64)

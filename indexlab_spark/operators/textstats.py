@@ -190,9 +190,14 @@ def heavy_hitters(
     (which is what makes this sketch oracle-checkable against a plain
     GROUP BY ... HAVING in DuckDB).
 
-    At 100 TB: pass 1 is a map-only scan with O(k) state per task;
-    pass 2's shuffle carries candidate terms only. The full-vocabulary
-    aggregation this replaces is the largest shuffle in corpus stats.
+    At 100 TB: pass 1 is a map-only scan with O(k) state per task and
+    truly ZERO shuffle (no repartition either — on a real deployment the
+    source arrives in thousands of splits already, and repartitioning
+    the tokenized corpus would itself be the largest shuffle in the
+    job); it also emits each partition's token count, so the global
+    total needs no separate corpus scan. Pass 2's shuffle carries
+    candidate terms only. The full-vocabulary aggregation this replaces
+    is the largest shuffle in corpus stats.
 
     Returns (term, freq, share double) for freq >= floor(phi * N) + 1.
     """
@@ -200,15 +205,15 @@ def heavy_hitters(
 
     import pandas as pd
 
-    from indexlab_spark.plans.colocate import fan_out
-
     k = max(1, math.ceil(1.0 / phi))
-    toks_df = fan_out(df.select(tokens(text_col).alias("toks")))
+    toks_df = df.select(tokens(text_col).alias("toks"))
 
     def _misra_gries(batches):
         counters: dict = {}
+        n_local = 0
         for pdf in batches:
             for arr in pdf["toks"]:
+                n_local += len(arr)
                 for t in arr:
                     if t in counters:
                         counters[t] += 1
@@ -220,13 +225,24 @@ def heavy_hitters(
                             del counters[c]
                         for c in counters:
                             counters[c] -= 1
-        yield pd.DataFrame({"term": list(counters.keys())})
+        # one NULL-term row per partition carries the local token count
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "cnt": [0] * len(counters) + [n_local],
+            }
+        )
 
+    sketch = toks_df.mapInPandas(
+        _misra_gries, "term string, cnt long"
+    ).persist()
     candidates = (
-        toks_df.mapInPandas(_misra_gries, "term string").distinct()
+        sketch.filter(F.col("term").isNotNull()).select("term").distinct()
+    )
+    total = sketch.filter(F.col("term").isNull()).agg(
+        F.sum("cnt").alias("n_tokens")
     )
     exploded = df.select(F.explode(tokens(text_col)).alias("term"))
-    total = exploded.agg(F.count(F.lit(1)).alias("n_tokens"))
     exact = (
         exploded.join(F.broadcast(candidates), "term")
         .groupBy("term")

@@ -329,6 +329,7 @@ def search(
     qemb = with_embedding(
         qdf, text_col="query", out_col="qvec",
         model=manifest["model"], normalize=manifest["normalize"],
+        fan_out=False,  # interactive query side: 1-few rows, no shuffle tax
     )
     pool = max(k, SEARCH_POOL_MIN)
     if manifest["backend"] == "ivf":
@@ -396,6 +397,7 @@ def evaluate(
     qemb = with_embedding(
         gold.select("query_id", "question"), text_col="question", out_col="qvec",
         model=manifest["model"], normalize=manifest["normalize"],
+        fan_out=False,  # gold sets are query-scale, not corpus-scale
     )
     pool = max(k, EVAL_POOL_MIN)  # V1 cushion (eval_api.py:226)
     hits = knn_join(

@@ -41,14 +41,25 @@ def write_bucketed(
     no Exchange and no Sort — the write-time shuffle is amortized over
     every later query."""
     spark = df.sparkSession
-    if path is None and not spark.catalog.tableExists(table):
+    if (
+        path is None
+        and "." not in table
+        and not spark.catalog.tableExists(table)
+        and not spark.catalog.tableExists(f"default.{table}")
+    ):
         # Stale-location recovery: an in-memory catalog forgets managed
         # tables between sessions while their warehouse directories
         # survive, and saveAsTable then fails with
         # LOCATION_ALREADY_EXISTS. Only the exact orphaned location for
-        # THIS table name is removed, and only when the catalog does not
-        # know the table (so it cannot be live data of a registered
-        # table).
+        # THIS unqualified table name is removed, and only when NEITHER
+        # the current database NOR default knows the table (an
+        # unqualified managed location always lives under default, so
+        # checking the current database alone could delete live data of
+        # default.<table> while currentDatabase is elsewhere). Caveat:
+        # with a file-based warehouse shared by CONCURRENT applications,
+        # each app's in-memory catalog is blind to the others' tables —
+        # don't share one warehouse dir across simultaneously-writing
+        # apps.
         import shutil
         from urllib.parse import urlparse
 

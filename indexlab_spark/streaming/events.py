@@ -47,14 +47,28 @@ def stage_stream_dir(parquet_path: str) -> str:
 def read_events_stream(
     spark: SparkSession, events_parquet: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream with the events schema (ts already micros)."""
+    """File-source stream with the events schema, ts normalized to
+    TIMESTAMP exactly as session.load_tables does for the batch path:
+    on readers that honor the legacy nanosAsLong conf the raw schema
+    surfaces ts as LongType (nanos) and a watermark on it would fail
+    analysis; on Spark 4 with inferTimestampNTZ disabled it is already
+    TIMESTAMP. Both cases converge here so downstream watermarks and
+    window functions always see an event-time column."""
+    from pyspark.sql import types as T
+
     batch = spark.read.parquet(events_parquet)
-    schema = batch.schema
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage_stream_dir(events_parquet))
     )
+    for fld in stream.schema.fields:
+        if fld.name == "ts" and isinstance(fld.dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif fld.name == "ts" and isinstance(fld.dataType, T.TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 

@@ -180,3 +180,25 @@ def test_stage_stream_dir(tmp_path):
     assert os.path.realpath(os.path.join(staged, entries[0])) == str(f)
     # idempotent: second call reuses the same staging dir
     assert stage_stream_dir(str(f)) == staged
+
+
+def test_ivf_pruned_empty_queries(spark, tables, tmp_path):
+    """ivf_search_pruned on an empty query frame returns an empty,
+    correctly-typed result — not a numpy shape error (the guard its
+    sibling paths knn_matmul/pq_search already had)."""
+    from indexlab_spark.operators.knn import (
+        build_ivf, ivf_search_pruned, write_ivf_partitioned,
+    )
+
+    emb = tables["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    assigned, centroids = build_ivf(emb, nlist=4, seed=42)
+    path = str(tmp_path / "ivf_empty")
+    write_ivf_partitioned(assigned, path)
+    empty_q = emb.filter(F.lit(False)).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_search_pruned(spark, empty_q, path, centroids, 5, nprobe=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
