@@ -15,9 +15,9 @@ Implementation is the union-sort trick, NOT a range join:
 One shuffle on the key, linear scan per partition — no quadratic
 candidate pairs, no skew-prone inequality join. At 100 TB this is the
 same cost as a groupBy over (key) — the optimal shape for this
-operator. Right-side ties on (key, t) resolve to the LAST row in
-``tie_col`` order (deterministic; callers dedupe if they need
-uniqueness).
+operator. Right-side ties on (key, t): pass ``tie_col`` to resolve to
+the row with the LARGEST tie_col value (deterministic); without it,
+whichever tied row the sort happens to place last wins.
 
 DuckDB's native ASOF JOIN is the correctness oracle in
 __spark_entry__.py.
@@ -38,20 +38,27 @@ def asof_join(
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
     strict: bool = False,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Backward as-of join.
 
     left:  any columns including ``by`` keys and ``on`` (orderable).
     right: ``by`` + ``on`` + payload columns.
     strict=False matches right.t <= left.t; strict=True right.t < left.t.
+    tie_col: right payload column used to break (key, t) ties — the row
+    with the largest tie_col wins (ascending sort, last-non-null fill).
 
     Returns left columns + right payload columns renamed ``<col><suffix>``
-    (null when no earlier right row exists).
+    (null when no earlier right row exists). Right rows with a NULL
+    ``on`` value are EXCLUDED — a NULL timestamp would otherwise sort
+    first and become a universal "earliest" match, where DuckDB's
+    native ASOF JOIN (the oracle) drops NULL-key rows.
     """
     by = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by) | {on}
     ]
+    right = right.filter(F.col(on).isNotNull())
     # tag: right rows sort BEFORE left rows at equal t for <=, AFTER for <
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
     l_tagged = left.select(
@@ -69,9 +76,14 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    order = ["_t", "_tag"]
+    if tie_col is not None:
+        # tied right rows order ascending by tie_col; last-non-null fill
+        # then deterministically picks the max-tie_col row
+        order.append(f"_r_{tie_col}")
     w = (
         Window.partitionBy(*by)
-        .orderBy("_t", "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

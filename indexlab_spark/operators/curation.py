@@ -215,15 +215,26 @@ def decontaminate(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_clean: bool = False,
 ) -> DataFrame:
-    """Benchmark decontamination: per training doc, the number of distinct
-    word ``n``-grams it shares with ANY benchmark doc (+ contaminated
-    flag). Standard pre-training hygiene (e.g. GPT-3 paper §C, public).
+    """Benchmark decontamination: the CONTAMINATED training docs with
+    their distinct shared word ``n``-gram counts. Standard pre-training
+    hygiene (e.g. GPT-3 paper §C, public).
+
+    By default only docs with n_overlap >= 1 are returned (the flag is
+    therefore always true on that output — it exists for schema parity
+    with the keep_clean variant). ``keep_clean=True`` returns EVERY
+    training doc, clean ones with n_overlap=0 / contaminated=false —
+    use that form to derive the clean training set by filtering
+    ``NOT contaminated``; filtering the default output that way yields
+    nothing.
 
     Plan: both sides explode DISTINCT shingles; benchmark side is tiny by
     contract (an eval set), deduplicated then broadcast, so the join is a
     broadcast hash join against the train shingle stream — corpus never
-    shuffles. Count-distinct re-aggregates on train doc id only.
+    shuffles. Count-distinct re-aggregates on train doc id only; the
+    keep_clean variant adds one left join of per-doc hits back onto the
+    train ids (still no corpus shuffle).
     """
     from indexlab_spark.functions.hashing import token_shingles
 
@@ -236,10 +247,17 @@ def decontaminate(
         .distinct()
     )
     hits = t_sh.join(F.broadcast(b_sh), "shingle")
-    return (
-        hits.groupBy("id")
-        .agg(F.count_distinct("shingle").alias("n_overlap"))
-        .select("id", "n_overlap", (F.col("n_overlap") >= 1).alias("contaminated"))
+    per_doc = hits.groupBy("id").agg(
+        F.count_distinct("shingle").alias("n_overlap")
+    )
+    if keep_clean:
+        per_doc = (
+            train.select(_c(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .na.fill({"n_overlap": 0})
+        )
+    return per_doc.select(
+        "id", "n_overlap", (F.col("n_overlap") >= 1).alias("contaminated")
     )
 
 
@@ -307,8 +325,15 @@ def temperature_resample(
     hash_mod = (
         md5_long(F.concat(F.lit(f"{seed}|"), _c(id_col).cast("string"))) % 1_000_000
     )
+    # null-safe group join: rows with a NULL group form their own group
+    # (counted above by groupBy's null group) — a plain equi-join would
+    # silently DROP them while still counting them in the budget math
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates.withColumnRenamed(group_col, "_rate_grp")),
+            _c(group_col).eqNullSafe(F.col("_rate_grp")),
+        )
+        .drop("_rate_grp")
         .withColumn("rate", F.round("rate", 6))
         .filter(hash_mod < F.floor(F.col("rate") * 1_000_000).cast("bigint"))
     )

@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 
 from indexlab_spark.functions.vector import cosine
 
+# Bounded ring of persisted intermediates (shingle/signature/band
+# frames). The returned pair frames consume these lazily, so the
+# operators cannot unpersist before returning; without a bound, a
+# long-lived session running many dedup queries (the bench/driver flow)
+# accumulates one cached frame per call until executor storage evicts
+# under pressure. Same pattern as functions.text's _ZIP_CACHE.
+_PIN_RING: list = []
+_PIN_RING_MAX = 8
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PIN_RING.append(df)
+    while len(_PIN_RING) > _PIN_RING_MAX:
+        _PIN_RING.pop(0).unpersist(False)
+    return df
+
 
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -136,7 +153,7 @@ def jaccard_pairs(
     then jaccard = inter / (|A| + |B| - inter). Only pairs sharing at
     least one shingle are ever materialized.
     """
-    exploded = exploded_shingles(df, id_col, text_col, n).persist()
+    exploded = _pin(exploded_shingles(df, id_col, text_col, n))
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         exploded.alias("a")
@@ -182,10 +199,20 @@ def minhash_lsh_pairs(
     cache each branch re-runs tokenize+shingle over the corpus. At very
     large scale write it to a bucketed table instead.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would give rows=0 and a CONSTANT band key —
+        # every doc collides and the "prune" silently degenerates to the
+        # full quadratic cross join; a non-divisible remainder computes
+        # hashes that no band ever reads and invalidates the documented
+        # 1-(1-j^r)^b capture math. Fail loudly instead.
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands}"
+        )
     rows = num_hashes // bands
     exploded = exploded_shingles(df, id_col, text_col, n)
     if materialize:
-        exploded = exploded.persist()
+        exploded = _pin(exploded)
     # signatures computed INSIDE one Arrow pass: hashlib.md5 across all
     # cores beats both the per-row array-transform expression tree and a
     # 16-way md5 min-aggregate over the exploded rows (the md5 hex
@@ -225,7 +252,7 @@ def minhash_lsh_pairs(
         f"id {id_t}, sz int, " + ", ".join(f"m{i} string" for i in range(num_hashes)),
     )
     if materialize:
-        sig = sig.persist()
+        sig = _pin(sig)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"m{b * rows + j}") for j in range(rows)])
@@ -340,8 +367,20 @@ def simhash_pairs(
     ``materialize`` persists the fingerprints: the band self-join
     evaluates its input lineage twice otherwise.
     """
+    if bits % nbands != 0:
+        # a remainder leaves the top bits outside every band: pairs
+        # differing only there are silently never candidates
+        raise ValueError(f"bits={bits} must divide evenly into nbands={nbands}")
+    if max_hamming > nbands - 1:
+        # the pigeonhole guarantee covers hamming <= nbands-1 only; a
+        # larger threshold would silently miss qualifying pairs whose
+        # differing bits spread one-per-band
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of nbands-1={nbands - 1}; raise nbands to cover it"
+        )
     if materialize:
-        simhash_df = simhash_df.persist()
+        simhash_df = _pin(simhash_df)
     width = bits // nbands
     mask = (1 << width) - 1
     banded = simhash_df.select(
@@ -455,6 +494,15 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence would silently return
+        # SPLIT components (labels stuck mid-propagation) — for a graph
+        # whose diameter exceeds max_iter, fail loudly instead
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "iterations (component diameter exceeds it); raise max_iter"
+        )
     sym.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster"))
 
@@ -543,7 +591,7 @@ def embedding_lsh_pairs(
     )
     # probe side reads this frame too — persist so the n_planes signature
     # folds run once per row, not twice
-    band_kv = band_kv.persist()
+    band_kv = _pin(band_kv)
 
     if multiprobe:
         # Probing is symmetric under xor (if hamming(ka, kb) == 1, a's flip

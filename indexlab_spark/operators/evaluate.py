@@ -119,12 +119,22 @@ def compare_summary(compare_df: DataFrame) -> DataFrame:
     (eval_api.py:365-374): regressions = delta > 0, improvements =
     delta < 0 (sentinels included: -999 improves, 999 regresses),
     changed = delta not in (0, null)."""
+    # coalesce: an all-NULL delta column (both runs missed everything)
+    # must report explicit 0s like the reference's counting loop, not
+    # NULL sums
     return compare_df.agg(
         F.count(F.lit(1)).alias("total"),
-        F.sum((F.col("delta") > 0).cast("int")).alias("regressions"),
-        F.sum((F.col("delta") < 0).cast("int")).alias("improvements"),
-        F.sum(
-            (F.col("delta").isNotNull() & (F.col("delta") != 0)).cast("int")
+        F.coalesce(
+            F.sum((F.col("delta") > 0).cast("int")), F.lit(0)
+        ).alias("regressions"),
+        F.coalesce(
+            F.sum((F.col("delta") < 0).cast("int")), F.lit(0)
+        ).alias("improvements"),
+        F.coalesce(
+            F.sum(
+                (F.col("delta").isNotNull() & (F.col("delta") != 0)).cast("int")
+            ),
+            F.lit(0),
         ).alias("changed"),
     )
 

@@ -202,3 +202,90 @@ def test_ivf_pruned_empty_queries(spark, tables, tmp_path):
     out = ivf_search_pruned(spark, empty_q, path, centroids, 5, nprobe=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "score", "rank"]
+
+
+def test_asof_null_timestamps_and_ties(spark):
+    """NULL right timestamps are excluded (not universal matches), and
+    tie_col makes (key, t) ties deterministic."""
+    from indexlab_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 5, 1), (1, 5, 2)], "k long, t long, v long"
+    )
+    out = asof_join(left, right, on="t", by="k", tie_col="v").collect()
+    assert len(out) == 1
+    # NULL-t right row must not win; tie at t=5 resolves to max v
+    assert out[0]["v_asof"] == 2
+
+    no_match = spark.createDataFrame([(1, 3)], "k long, t long")
+    right2 = spark.createDataFrame([(1, None, 99)], "k long, t long, v long")
+    out2 = asof_join(no_match, right2, on="t", by="k").collect()
+    assert out2[0]["v_asof"] is None, "NULL-t row must never match"
+
+
+def test_lsh_parameter_guards(spark, tables):
+    from indexlab_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash, simhash_pairs,
+    )
+
+    docs = tables["documents"]
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    sh = simhash(docs.limit(10))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(sh, max_hamming=4, nbands=4)
+    with pytest.raises(ValueError, match="evenly"):
+        simhash_pairs(sh, bits=62, nbands=4)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from indexlab_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # diameter 6 > max_iter 2 -> loud failure, not silent split labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, nodes, max_iter=2)
+    ok = connected_components(chain, nodes, max_iter=10)
+    assert {r["cluster"] for r in ok.collect()} == {0}
+
+
+def test_decontaminate_keep_clean(spark, tables):
+    from indexlab_spark.operators.curation import decontaminate
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    full = decontaminate(train, bench, n=5, keep_clean=True)
+    assert full.count() == train.count()
+    clean = full.filter(~F.col("contaminated"))
+    dirty = full.filter(F.col("contaminated"))
+    assert clean.count() + dirty.count() == train.count()
+    assert clean.filter(F.col("n_overlap") != 0).count() == 0
+    # default output == the contaminated subset
+    assert decontaminate(train, bench, n=5).count() == dirty.count()
+
+
+def test_temperature_resample_null_group_kept(spark):
+    from indexlab_spark.operators.curation import temperature_resample
+
+    rows = [(i, None if i % 4 == 0 else f"l{i % 3}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_resample(df, budget_frac=0.9)
+    n_null = kept.filter(F.col("lang").isNull()).count()
+    assert n_null > 0, "NULL-group rows must participate, not vanish"
+
+
+def test_compare_summary_all_null_deltas_zero(spark):
+    from indexlab_spark.operators.evaluate import compare_summary
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "query_id long, delta int"
+    )
+    row = compare_summary(df).collect()[0]
+    assert (row["regressions"], row["improvements"], row["changed"]) == (0, 0, 0)
