@@ -85,11 +85,20 @@ def band_keys(signature_col: Column | str, bands: int, rows: int) -> Column:
 
     array<string> of length ``bands``; docs sharing ANY band key are
     near-dup candidates (standard MinHash-LSH banding).
+
+    A signature containing nulls (minhash_signature's empty-shingle
+    output for too-short docs) yields NULL band keys, not md5('') —
+    array_join skips nulls, so every short doc would otherwise share
+    identical keys in every band and the m short docs of a corpus would
+    become O(m^2) mutual candidates. NULL keys never equi-join, which is
+    the correct "no shingles, no candidates" semantics.
     """
     sig = _c(signature_col)
-    return F.array(
-        *[
-            F.md5(F.array_join(F.slice(sig, b * rows + 1, rows), "|"))
-            for b in range(bands)
-        ]
-    )
+
+    def _band(b: int) -> Column:
+        sl = F.slice(sig, b * rows + 1, rows)
+        return F.when(
+            F.exists(sl, lambda x: x.isNull()), F.lit(None).cast("string")
+        ).otherwise(F.md5(F.array_join(sl, "|")))
+
+    return F.array(*[_band(b) for b in range(bands)])

@@ -33,15 +33,21 @@ def length_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def histogram(
-    df: DataFrame, value_col: Column | str, bins: int = HIST_BINS
+    df: DataFrame, value_col: Column | str, bins: int = HIST_BINS,
+    dense: bool = False,
 ) -> DataFrame:
-    """A4 — reference-exact integer-step histogram (analytics.py:118-135).
+    """A4 — reference-exact integer-step BINNING (analytics.py:118-135).
 
     step = max(1, ceil((max-min)/bins)); value==max goes to the last
     bin, else bin = min(bins-1, (x-min) div step). The single-value
     corpus degenerates to one bin (the reference's {bins:[v,v]} spike).
     Returns (bin, lo, hi, cnt) ordered by bin; lo/hi are the reference's
     edge values for that bin.
+
+    NOTE on shape: by default only OBSERVED bins are returned (sparse).
+    The reference returns a dense counts array including zero bins —
+    pass ``dense=True`` for that shape (a left join of the bin range,
+    constant-sized, against the observed counts).
 
     Scale: two passes — a min/max agg whose TWO scalars come back to the
     driver and are inlined as literals (the documented small-side
@@ -71,6 +77,14 @@ def histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if dense:
+        n_bins = 1 if vmin == vmax else bins
+        all_bins = df.sparkSession.range(n_bins).select(
+            F.col("id").cast("int").alias("bin")
+        )
+        out = (
+            all_bins.join(out, "bin", "left").na.fill({"cnt": 0})
+        )
     hi = (
         F.lit(vmax)
         if vmin == vmax

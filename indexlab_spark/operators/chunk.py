@@ -226,21 +226,42 @@ def preview_sample(
     nonblank = src.filter(F.trim(F.col(text_col)) != "")
     if not full_file:
         nonblank = nonblank.limit(rows_to_sample)
-    joined = nonblank.agg(
-        F.concat_ws("\n\n", F.collect_list(F.col(text_col))).alias("t")
-    ).collect()[0]["t"]
+    if order_col:
+        # collect_list does NOT preserve a prior global sort across the
+        # aggregation shuffle (partial buffers merge in fetch-completion
+        # order) — collect (order, text) structs and sort the ARRAY
+        agg = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+            "\n\n",
+        )
+    else:
+        agg = F.concat_ws("\n\n", F.collect_list(F.col(text_col)))
+    joined = nonblank.agg(agg.alias("t")).collect()[0]["t"]
     return joined[:PREVIEW_CAP]
 
 
 def paginate(df: DataFrame, order_cols: list[str], page: int, page_size: int) -> DataFrame:
     """C6 — 1-based page, page_size clamped to [1, 500]
-    (/root/reference/app/api/chunk_preview.py:146-151)."""
+    (/root/reference/app/api/chunk_preview.py:146-151).
+
+    Numbering via global_order_index (range shuffle + parallel
+    per-partition numbering) — the previous un-partitioned
+    row_number() window funneled the ENTIRE table through one task per
+    page request, the exact single-partition defect that helper exists
+    to remove. Same 0-based global ranks, so page contents are
+    identical."""
+    from indexlab_spark.functions.text import global_order_index
+
     page = max(1, page)
     page_size = min(500, max(1, page_size))
     start = (page - 1) * page_size
-    w = F.row_number().over(Window.orderBy(*[F.col(c) for c in order_cols]))
     return (
-        df.withColumn("_rn", w)
-        .filter((F.col("_rn") > start) & (F.col("_rn") <= start + page_size))
+        global_order_index(df, order_cols, "_rn")
+        .filter((F.col("_rn") >= start) & (F.col("_rn") < start + page_size))
         .drop("_rn")
     )

@@ -98,8 +98,10 @@ def build_index(
     # global_order_index = range-shuffle + parallel per-partition numbering;
     # the old Window.orderBy funneled every embedded row through ONE task.
     # Persist first: the numbering's counting pass must not re-embed.
-    embedded = embedded.persist()
-    embedded = global_order_index(embedded, ["doc_no", "chunk_no"], "chunk_pos")
+    # (released after the chunk write below — builds in a long session
+    # must not each pin a full-corpus embedding cache)
+    embedded_pin = embedded.persist()
+    embedded = global_order_index(embedded_pin, ["doc_no", "chunk_no"], "chunk_pos")
 
     if cfg.backend == "ivf":
         embedded, centroids = build_ivf(embedded, nlist=cfg.nlist, seed=cfg.seed)
@@ -124,6 +126,7 @@ def build_index(
     out.write.mode("append").partitionBy("index_name", "version").parquet(
         engine.chunks_path()
     )
+    embedded_pin.unpersist(False)
 
     written = spark.read.parquet(engine.chunks_path()).filter(
         (F.col("index_name") == cfg.index_name) & (F.col("version") == version)
@@ -145,6 +148,11 @@ def build_index(
             "efConstruction": str(cfg.ef_construction),
             "efSearch": str(cfg.ef_search),
             "seed": str(cfg.seed),
+            # recorded so append_to_index reproduces the SAME text
+            # extraction; losing it silently switched appended docs to
+            # the concat_row fallback (params is a map column, so this
+            # adds no manifest schema change)
+            "text_column": cfg.text_column or "",
         },
         "chunking": {
             "mode": cfg.chunk_mode,
@@ -209,6 +217,9 @@ def append_to_index(
         normalize=manifest["normalize"],
         backend="flat",  # IVF re-clustering is a rebuild decision
         dim=manifest["dim"],
+        # restore the build's text extraction (recorded in params by
+        # build_index; older manifests without it fall back as before)
+        text_column=(manifest.get("params") or {}).get("text_column") or None,
     )
     version = version or _version_now()
     base = old_chunks.agg(
@@ -232,9 +243,11 @@ def append_to_index(
     chunks = explode_chunks(
         docs, mode=cfg.chunk_mode, size=cfg.chunk_size, overlap=cfg.chunk_overlap
     )
-    embedded = with_embedding(chunks, model=cfg.model, normalize=cfg.normalize)
+    embedded_pin = with_embedding(
+        chunks, model=cfg.model, normalize=cfg.normalize
+    ).persist()
     embedded = global_order_index(
-        embedded.persist(), ["doc_no", "chunk_no"], "chunk_pos"
+        embedded_pin, ["doc_no", "chunk_no"], "chunk_pos"
     )
     new_rows = embedded.withColumn(
         "chunk_pos", F.col("chunk_pos") + F.lit(int(base["p"]))
@@ -251,6 +264,7 @@ def append_to_index(
     carried.unionByName(new_rows).write.mode("append").partitionBy(
         "index_name", "version"
     ).parquet(engine.chunks_path())
+    embedded_pin.unpersist(False)
 
     count = (
         spark.read.parquet(engine.chunks_path())

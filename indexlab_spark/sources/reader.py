@@ -56,12 +56,14 @@ def html_to_text(html: str) -> str:
             flags=re.IGNORECASE | re.DOTALL,
         )
         no_tags = re.sub(r"<[^>]+>", "\n", no_blocks)
+        # &amp; LAST: unescaping it first would double-unescape text like
+        # '&amp;lt;' (which should render as '&lt;', not '<')
         text = (
             no_tags.replace("&nbsp;", " ")
-            .replace("&amp;", "&")
             .replace("&lt;", "<")
             .replace("&gt;", ">")
             .replace("&quot;", '"')
+            .replace("&amp;", "&")
         )
     lines = [ln.strip() for ln in text.splitlines()]
     return "\n".join(ln for ln in lines if ln)
@@ -161,7 +163,23 @@ def _read_excel_driver(spark: SparkSession, path: str) -> DataFrame:
             f"Excel fallback parser handles .xlsx (OOXML) only; "
             f"install openpyxl/xlrd for this file: {e}"
         ) from e
-    import pandas as pd
+    try:
+        import pandas as pd
+    except ImportError:
+        # truly stdlib-only environment: build the frame without pandas
+        # (numeric coercion applied per cell — the pandas path's
+        # to_numeric parity, column-granular, is approximated row-wise)
+        def _coerce(v):
+            if isinstance(v, str):
+                try:
+                    f = float(v)
+                    return int(f) if f.is_integer() else f
+                except ValueError:
+                    return v
+            return v
+
+        data = [tuple(_coerce(v) for v in r) for r in rows]
+        return spark.createDataFrame(data, schema=list(header))
 
     pdf = pd.DataFrame(rows, columns=header)
     # pandas.read_excel parity: numeric-looking columns come back numeric
@@ -273,23 +291,45 @@ def read_html_tree(spark: SparkSession, root_dir: str) -> DataFrame:
     Distributed: ``binaryFile`` scan + decode/strip per file. The
     pathGlobFilter pushes the extension filter into the file listing.
     """
-    bin_df = (
+    from pyspark.sql.window import Window
+
+    src = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{htm,html,hhc,hhk}")
         .option("recursiveFileLookup", True)
         .load(root_dir)
+    )
+    # CUMULATIVE cap, matching the reference walk (reader.py:100-133):
+    # it accumulates bytes across files in walk order and STOPS at
+    # 100 MB total — a per-file cap would let 10k x 50 MB files through.
+    # The metadata pass selects only (path, length) — binaryFile prunes
+    # the content column, so no file bytes are read to compute the cut;
+    # the running-sum window is bounded by CHM_MAX_FILES rows (metadata,
+    # not corpus), like the other constant-bounded SinglePartition
+    # stages.
+    w = Window.orderBy("path").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept = (
+        src.select("path", "length")
+        .orderBy("path")
         .limit(CHM_MAX_FILES)
+        .withColumn("_cum", F.sum("length").over(w))
+        .filter(F.col("_cum") <= CHM_MAX_BYTES)
+        .select("path")
     )
 
     @F.udf("string")
     def _strip(content: bytes) -> str:
-        if content is None or len(content) > CHM_MAX_BYTES:
+        if content is None:
             return ""
         return html_to_text(content.decode("utf-8", errors="ignore"))
 
-    return bin_df.select(
-        F.col("path"), _strip(F.col("content")).alias("text")
-    ).filter(F.trim("text") != "")
+    return (
+        src.join(kept, "path")
+        .select(F.col("path"), _strip(F.col("content")).alias("text"))
+        .filter(F.trim("text") != "")
+    )
 
 
 # ------------------------------------------------------------------- S8 gold
