@@ -245,7 +245,10 @@ def _eval_parts(spark: SparkSession, sf_dir: str):
     from indexlab_spark.operators.evaluate import eval_results
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    n = emb.count()
+    # corpus count folds into the PLAN as a one-row broadcast (the
+    # oracle's n_emb CTE shape) — a driver-side emb.count() here ran an
+    # extra full scan job at query-construction time on every invocation
+    n_df = emb.agg(F.count(F.lit(1)).alias("_n_emb"))
     q = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -268,10 +271,10 @@ def _eval_parts(spark: SparkSession, sf_dir: str):
     rank3 = hits.filter(F.col("rank") == 3).select(
         "query_id", F.col("doc_id").alias("neighbor_id")
     )
-    gold = rank3.select(
+    gold = rank3.crossJoin(F.broadcast(n_df)).select(
         "query_id",
         F.when(F.col("query_id") % 2 == 0, F.col("neighbor_id"))
-        .otherwise((F.col("query_id") * 7 + 3) % n)
+        .otherwise((F.col("query_id") * 7 + 3) % F.col("_n_emb"))
         .cast("string")
         .alias("expected_id"),
     )
@@ -1355,9 +1358,7 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.array_remove(F.split(F.lower("text"), r"\s+"), "")
-        ).alias("term"),
+        F.explode(_tok_arr()).alias("term"),
     )
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
@@ -2480,12 +2481,7 @@ def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct+count is two map-side-combinable exchanges on the gram
     hash; no step is quadratic in documents."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = docs.select(
-        "doc_id",
-        F.array_remove(
-            F.split(F.lower(F.col("text")), r"\s+"), ""
-        ).alias("toks"),
-    )
+    toks = docs.select("doc_id", _tok_arr().alias("toks"))
     grams = toks.filter(F.size("toks") >= 8).select(
         "doc_id",
         F.explode(
@@ -2506,9 +2502,13 @@ def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tok_arr(col="text"):
-    """ASCII-whitespace tokenization, shared by the round-4 text queries;
-    matches list_filter(regexp_split_to_array(lower(x),'\\s+')) in DuckDB."""
-    return F.array_remove(F.split(F.lower(F.col(col)), r"\s+"), "")
+    """ASCII-whitespace tokenization — delegates to the ONE canonical
+    expression (operators/textstats.tokens) so every query stays
+    expression-identical to the DuckDB oracle fragment
+    list_filter(regexp_split_to_array(lower(x),'\\s+'))."""
+    from indexlab_spark.operators.textstats import tokens
+
+    return tokens(col)
 
 
 def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:

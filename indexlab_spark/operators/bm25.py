@@ -108,7 +108,9 @@ def bm25_build(
         _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
     )
     if materialize:
-        tf = tf.persist()
+        from indexlab_spark.functions.cache import pin
+
+        tf = pin(tf)
     # docs with no tokens still count toward N and avgdl (dl=0)
     all_docs = docs_df.select(F.col(doc_id_col).alias("doc_id"))
     doc_lens = (
@@ -148,7 +150,9 @@ def bm25_build(
         "doc_id", "term", "tf", "idf_adj", "dl"
     )
     if materialize:
-        term_stats = term_stats.persist()
+        from indexlab_spark.functions.cache import pin
+
+        term_stats = pin(term_stats)
     return term_stats, doc_lens, globals_df
 
 
@@ -165,6 +169,11 @@ def bm25_score(
     round_digits: int | None = 6,
 ) -> DataFrame:
     """L2 — score and rank top-k docs per query.
+
+    ``doc_lens`` is accepted for API symmetry with bm25_build's return
+    tuple but is NOT read — scoring takes dl from the denormalized
+    term_stats (which spares the extra join); it exists for callers
+    that need per-doc lengths for other purposes.
 
     Query tokens keep multiplicity (rank_bm25 sums per token occurrence).
     Docs with zero overlap score 0 and are NOT returned — the reference

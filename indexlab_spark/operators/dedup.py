@@ -33,22 +33,11 @@ from pyspark.sql import functions as F
 
 from indexlab_spark.functions.vector import cosine
 
-# Bounded ring of persisted intermediates (shingle/signature/band
-# frames). The returned pair frames consume these lazily, so the
-# operators cannot unpersist before returning; without a bound, a
-# long-lived session running many dedup queries (the bench/driver flow)
-# accumulates one cached frame per call until executor storage evicts
-# under pressure. Same pattern as functions.text's _ZIP_CACHE.
-_PIN_RING: list = []
-_PIN_RING_MAX = 8
-
-
-def _pin(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PIN_RING.append(df)
-    while len(_PIN_RING) > _PIN_RING_MAX:
-        _PIN_RING.pop(0).unpersist(False)
-    return df
+# Persisted intermediates (shingle/signature/band frames) go through
+# the shared bounded ring: the returned pair frames consume them
+# lazily, so the operators cannot unpersist before returning — see
+# functions/cache.py for the rationale.
+from indexlab_spark.functions.cache import pin as _pin
 
 
 def exact_dedup(

@@ -213,6 +213,8 @@ def heavy_hitters(
         n_local = 0
         for pdf in batches:
             for arr in pdf["toks"]:
+                if arr is None:  # NULL text -> NULL token array
+                    continue
                 n_local += len(arr)
                 for t in arr:
                     if t in counters:
@@ -233,9 +235,9 @@ def heavy_hitters(
             }
         )
 
-    sketch = toks_df.mapInPandas(
-        _misra_gries, "term string, cnt long"
-    ).persist()
+    from indexlab_spark.functions.cache import pin
+
+    sketch = pin(toks_df.mapInPandas(_misra_gries, "term string, cnt long"))
     candidates = (
         sketch.filter(F.col("term").isNotNull()).select("term").distinct()
     )

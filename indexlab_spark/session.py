@@ -65,6 +65,35 @@ def get_spark(
     return b.getOrCreate()
 
 
+def normalize_event_ts(df):
+    """Normalize a ``ts`` column to TIMESTAMP regardless of how the
+    reader surfaced the parquet TIMESTAMP(NANOS): long nanos (legacy
+    nanosAsLong honored) integer-divide to micros; TIMESTAMP_NTZ casts
+    (an exact reinterpretation under the pinned UTC session timezone).
+    Shared by the batch loader below and streaming.read_events_stream —
+    the two paths must stay identical (the TIMESTAMP_NTZ fix had to
+    land in both when they were separate copies).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
+def pin_reader_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs that oracle parity depends on —
+    see load_tables for the contract note; callers building streams
+    outside load_tables need the same pins."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the driver's parquet tables as temp views and return them.
 
@@ -83,9 +112,6 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
     # The harness (or any external caller) may hand us a session that was
     # built without get_spark's builder confs; all three confs are
     # runtime-settable, so pin them here so correctness never depends on
@@ -94,32 +120,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     # timezone and LTZ parquet timestamp inference are load-bearing for
     # oracle parity, and a caller running its own non-UTC timestamp logic
     # on the same session must re-set these afterwards.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Makes TIMESTAMP(NANOS, isAdjustedToUTC=false) parquet surface as
-    # TIMESTAMP (LTZ) directly at the scan — exact same micros under the
-    # UTC tz, but ts predicates keep pushing down (no post-scan cast).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pin_reader_confs(spark)
 
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        # The driver testdata writes TIMESTAMP(NANOS) parquet. Depending on
-        # the Spark build this surfaces either as long nanos (legacy
-        # nanosAsLong conf honored) or as TIMESTAMP_NTZ (nanos truncated to
-        # micros natively). Normalize both to TIMESTAMP (LTZ, UTC) so every
-        # downstream query sees one type:
-        #  - long: integer-divide to micros (double math would lose
-        #    precision above 2^53 ns), then timestamp_micros
-        #  - NTZ: cast, which under the UTC session tz is an exact
-        #    reinterpretation of the same micros
-        for f in df.schema.fields:
-            if f.name == "ts" and isinstance(f.dataType, T.LongType):
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-            elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
-                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{n}.parquet"))
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -46,8 +46,12 @@ def _iter_gold_rows(path: str):
                 continue
             obj = json.loads(line)
             lower = {str(k).lower().strip(): v for k, v in obj.items()}
-            q = str(lower.get("question", "") or "").strip()
-            e = str(lower.get("expected_id", "") or "").strip()
+            # value cleaning must match sources.reader.load_gold, which
+            # uses F.trim — SPACE characters only. Python's bare strip()
+            # also removes tabs/newlines and would silently desync the
+            # two loaders on padded values.
+            q = str(lower.get("question", "") or "").strip(" ")
+            e = str(lower.get("expected_id", "") or "").strip(" ")
             if q and e:
                 yield (q, e)
 

@@ -39,7 +39,14 @@ def stage_stream_dir(parquet_path: str) -> str:
     d = os.path.join(root, "spark-warehouse", "_stream_src", key)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(parquet_path))
-    if not os.path.exists(link):
+    # lexists, not exists: a DANGLING link (source regenerated/deleted)
+    # reports False under exists and os.symlink would then raise
+    # FileExistsError instead of surfacing the missing source cleanly
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.abspath(parquet_path) or not os.path.exists(link):
+            os.unlink(link)
+            os.symlink(os.path.abspath(parquet_path), link)
+    else:
         os.symlink(os.path.abspath(parquet_path), link)
     return d
 
@@ -48,28 +55,23 @@ def read_events_stream(
     spark: SparkSession, events_parquet: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream with the events schema, ts normalized to
-    TIMESTAMP exactly as session.load_tables does for the batch path:
-    on readers that honor the legacy nanosAsLong conf the raw schema
-    surfaces ts as LongType (nanos) and a watermark on it would fail
-    analysis; on Spark 4 with inferTimestampNTZ disabled it is already
-    TIMESTAMP. Both cases converge here so downstream watermarks and
-    window functions always see an event-time column."""
-    from pyspark.sql import types as T
+    TIMESTAMP via the SAME helper as the batch loader
+    (session.normalize_event_ts): on readers that honor the legacy
+    nanosAsLong conf the raw schema surfaces ts as LongType (nanos) and
+    a watermark on it would fail analysis; on Spark 4 with
+    inferTimestampNTZ disabled it is already TIMESTAMP. The reader
+    confs are pinned here too, so this path does not depend on the
+    caller having called load_tables first."""
+    from indexlab_spark.session import normalize_event_ts, pin_reader_confs
 
+    pin_reader_confs(spark)
     batch = spark.read.parquet(events_parquet)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage_stream_dir(events_parquet))
     )
-    for fld in stream.schema.fields:
-        if fld.name == "ts" and isinstance(fld.dataType, T.LongType):
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif fld.name == "ts" and isinstance(fld.dataType, T.TimestampNTZType):
-            stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def windowed_event_counts(
