@@ -305,6 +305,211 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compare_parts(spark: SparkSession, sf_dir: str):
+    """Shared dual-metric retrieval for the V7-V9 compare queries: the
+    same 64 queries ranked by inner product (left run) and by cosine
+    (right run), self excluded, top-10 each. Gold reuses the _eval_parts
+    rule (even ids expect their IP rank-3 neighbor, odd ids a usually-
+    missing synthetic id), so both sentinel directions are reachable:
+    cosine can lose an even query (999) or find an odd one (-999).
+
+    One broadcast cross join computes BOTH scores per pair; the two
+    rankings are windows over the same scored frame, so the corpus scan
+    and the pair scoring are not duplicated per metric."""
+    from indexlab_spark.functions.vector import dot, l2_norm
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n_df = emb.agg(F.count(F.lit(1)).alias("_n_emb"))
+    q = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("qn"),
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        l2_norm("embedding").alias("dn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(dot(F.col("qv"), F.col("embedding")), 6).alias("ip_score"),
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("dn") > 0),
+                    dot(F.col("qv"), F.col("embedding"))
+                    / (F.col("qn") * F.col("dn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cos_score"),
+        )
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.desc("ip_score"), F.asc("doc_id")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_score"), F.asc("doc_id")
+    )
+    hits_ip = (
+        pairs.withColumn("rank", F.row_number().over(w_ip).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    hits_cos = (
+        pairs.withColumn("rank", F.row_number().over(w_cos).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    rank3 = hits_ip.filter(F.col("rank") == 3).select(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    )
+    gold = rank3.crossJoin(F.broadcast(n_df)).select(
+        "query_id",
+        F.when(F.col("query_id") % 2 == 0, F.col("neighbor_id"))
+        .otherwise((F.col("query_id") * 7 + 3) % F.col("_n_emb"))
+        .cast("string")
+        .alias("expected_id"),
+    )
+    return hits_ip, hits_cos, gold
+
+
+def _q_eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 — per-question rank deltas between two retrieval runs (IP vs
+    cosine) with the reference's ±999 recovered/regression sentinels
+    (app/api/eval_api.py:340-362)."""
+    from indexlab_spark.operators.evaluate import eval_compare, eval_results
+
+    hits_ip, hits_cos, gold = _compare_parts(spark, sf_dir)
+    lres = eval_results(gold, hits_ip, k=5)
+    rres = eval_results(gold, hits_cos, k=5)
+    return eval_compare(lres, rres).select(
+        "query_id", "l_found", "l_rank", "r_found", "r_rank", "delta"
+    )
+
+
+def _q_eval_compare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 — regression/improvement/changed counts over the V7 deltas
+    (app/api/eval_api.py:365-374; sentinels count as changes)."""
+    from indexlab_spark.operators.evaluate import (
+        compare_summary,
+        eval_compare,
+        eval_results,
+    )
+
+    hits_ip, hits_cos, gold = _compare_parts(spark, sf_dir)
+    cmp_df = eval_compare(
+        eval_results(gold, hits_ip, k=5), eval_results(gold, hits_cos, k=5)
+    )
+    return compare_summary(cmp_df)
+
+
+def _q_search_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 — per-query overlap of the IP and cosine top-10 id sets
+    (app/api/answerless_search.py:275-315)."""
+    from indexlab_spark.operators.evaluate import overlap_compare
+
+    hits_ip, hits_cos, _ = _compare_parts(spark, sf_dir)
+    return overlap_compare(hits_ip, hits_cos).select(
+        "query_id", "left_k", "overlap"
+    )
+
+
+def _manifest_fixture(spark: SparkSession, sf_dir: str):
+    """Synthetic chunks+manifests frames for the A5-A8 catalog queries.
+
+    Each documents.source is an index; even doc_ids are version v1,
+    odd v2 (v2 the latest by created_at). The sources map carries the
+    real chunk count plus a constant 'extra' source of 5 rows, so A6's
+    map aggregation has more than one entry to fold. Deterministic and
+    reconstructible in SQL, which is what makes A5-A8 driver-checkable."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    chunks = docs.select(
+        F.col("source").alias("index_name"),
+        F.when(F.col("doc_id") % 2 == 0, "v1").otherwise("v2").alias("version"),
+        "doc_id",
+        "text",
+    )
+    manifests = (
+        chunks.groupBy("index_name", "version")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "index_name",
+            "version",
+            "count",
+            F.lit("hash-ngram-64").alias("model"),
+            F.lit(64).alias("dim"),
+            F.lit("flat").alias("backend"),
+            F.lit(True).alias("normalize"),
+            F.lit("fixed").alias("chunking"),
+            F.when(F.col("version") == "v1", "2026-01-01")
+            .otherwise("2026-02-01")
+            .alias("created_at"),
+            F.map_from_arrays(
+                F.array(F.lit("docs"), F.lit("extra")),
+                F.array(
+                    F.struct(F.col("count").cast("long").alias("rows")),
+                    F.struct(F.lit(5).cast("long").alias("rows")),
+                ),
+            ).alias("sources"),
+        )
+    )
+    return chunks, manifests
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — length stats ⨝ manifest fields for one index at its latest
+    version (reference app/api/analytics.py:140-213); exercises the
+    version=None -> max(version) path."""
+    from indexlab_spark.operators.analytics import index_stats
+
+    chunks, manifests = _manifest_fixture(spark, sf_dir)
+    out = index_stats(chunks, manifests, index_name="src3", version=None)
+    return out.select(
+        "count",
+        "min_len",
+        "max_len",
+        F.round("avg_len", 6).alias("avg_len"),
+        F.round("p95_len", 6).alias("p95_len"),
+        "index_name",
+        "version",
+        "model",
+        "dim",
+        "backend",
+        "normalize",
+        "chunking",
+        "created_at",
+    )
+
+
+def _q_index_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7+A8 — catalog listing (latest version per index via max_by
+    on (created_at, version), reference app/api/sources.py:72-113)
+    joined with the manifest sources-map row totals (pipeline.py:
+    142-146)."""
+    from indexlab_spark.operators.analytics import catalog, sum_source_rows
+
+    _, manifests = _manifest_fixture(spark, sf_dir)
+    cat = catalog(manifests)
+    totals = sum_source_rows(manifests).withColumnRenamed(
+        "version", "latest_version"
+    )
+    return cat.join(totals, ["index_name", "latest_version"]).select(
+        "index_name",
+        "latest_version",
+        "count",
+        "model",
+        "backend",
+        "created_at",
+        "chunking",
+        "has_sources",
+        "total_rows",
+    )
+
+
 # ------------------------------------------------------------- M7 dedup/text
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ copies of every 3rd doc (id+100000) — a corpus with
@@ -2974,17 +3179,37 @@ def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     lt, ot = f"bkt_li_{tag}", f"bkt_ord_{tag}"
+    # Narrow fallback (r4 VERDICT): only the environment failures the
+    # fallback exists for — an unwritable warehouse (OSError, or a JVM IO
+    # error surfacing as Py4JJavaError) or a catalog that rejects
+    # saveAsTable/bucketed reads (AnalysisException) — may switch to the
+    # plain join, and the path taken is announced so a green driver row
+    # attests the BUCKETED plan, not silently the fallback. Anything
+    # else (a real bug) propagates.
+    from pyspark.errors import AnalysisException
+
+    _IO_MARKERS = (
+        "Permission denied", "Read-only", "IOException", "AccessDenied",
+        "AccessControlException", "FileAlreadyExistsException",
+        "Unable to clear output directory", "No space left",
+    )
     try:
         if not spark.catalog.tableExists(lt):
             write_bucketed(li, lt, "l_orderkey", buckets=8)
         if not spark.catalog.tableExists(ot):
             write_bucketed(ords, ot, "l_orderkey", buckets=8)
         joined = bucketed_join(spark, lt, ot, "l_orderkey")
-    except Exception:
-        # Environment fallback (read-only warehouse, foreign catalog):
-        # same result via a plain join — the zero-Exchange co-location
-        # property itself is pinned by tests/test_colocate.py, and the
-        # correctness gate checks the RESULT
+        print(f"bucketed_order_revenue: bucketed path ({lt} JOIN {ot})")
+    except Exception as e:  # noqa: BLE001 — filtered below, else re-raised
+        env_failure = isinstance(e, (OSError, AnalysisException)) or any(
+            m in str(e) for m in _IO_MARKERS
+        )
+        if not env_failure:
+            raise
+        print(
+            "bucketed_order_revenue: FALLBACK plain join — "
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
         joined = li.join(ords, "l_orderkey")
     return (
         joined.groupBy("l_orderkey", "o_orderstatus")
@@ -3122,7 +3347,13 @@ def _q_events_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name)
+    # localCheckpoint decouples the RETURNED frame from the mutable temp-
+    # view registry: the next invocation drops this view (memory-bound
+    # rotation above), which would otherwise invalidate a result a
+    # harness is still holding (r4 ADVICE). eager=True materializes now,
+    # while the view still exists; the checkpointed lineage survives the
+    # later dropTempView.
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3150,56 +3381,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-24: never driver-green before r4.
-        # events_json FAILED in r1 (parquet nanos err) and r2 (hash
-        # mismatch on TIMESTAMP_NTZ); the fix (commit cbc7537) is only
-        # locally verified — it needs a real driver row. The other 11
-        # were added in round 3 and have never been in the window.
-        "events_json": _q_events_json,
-        "order_priority_semi": _q_order_priority_semi,
-        "cust_order_dist": _q_cust_order_dist,
-        "big_orders": _q_big_orders,
-        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
-        "lonely_late_supplier": _q_lonely_late_supplier,
-        "rich_idle_customers": _q_rich_idle_customers,
-        "returned_top_customers": _q_returned_top_customers,
-        "volume_shipping": _q_volume_shipping,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "part_supplier_counts": _q_part_supplier_counts,
-        "common_ngrams": _q_common_ngrams,
-        # -- slots 25-50: re-attestation backfill — the 26 entries whose
+        # -- rotation window slots 13-31: the 19 round-4 additions —
+        # never driver-green (sim-only until r5; flagged by the r4
+        # VERDICT as the top rotation priority).
+        "tfidf_topterms": _q_tfidf_topterms,
+        "flesch_reading": _q_flesch_reading,
+        "zscore_anomalies": _q_zscore_anomalies,
+        "zipf_fit": _q_zipf_fit,
+        "source_mix_uniform": _q_source_mix_uniform,
+        "benchmark_overlap": _q_benchmark_overlap,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "nation_value_share": _q_nation_value_share,
+        "events_stream_daily": _q_events_stream_daily,
+        "heavy_hitters": _q_heavy_hitters,
+        "shipping_priority": _q_shipping_priority,
+        "forecast_revenue": _q_forecast_revenue,
+        "product_profit": _q_product_profit,
+        "linestatus_priority": _q_linestatus_priority,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "excess_stock_suppliers": _q_excess_stock_suppliers,
+        "source_entropy": _q_source_entropy,
+        "ngram_novelty": _q_ngram_novelty,
+        "bucketed_order_revenue": _q_bucketed_order_revenue,
+        # -- slots 32-36: round-5 additions (V7-V9 eval-compare/overlap,
+        # A5-A8 index stats/catalog) — never driver-green, added r5.
+        "eval_compare": _q_eval_compare,
+        "eval_compare_summary": _q_eval_compare_summary,
+        "search_overlap": _q_search_overlap,
+        "index_stats": _q_index_stats,
+        "index_catalog": _q_index_catalog,
+        # -- slots 37-46: re-attestation backfill — the 10 entries whose
         # most recent driver-green row is oldest (all last green in r02).
-        "above_avg_orders": _q_above_avg_orders,
-        "asof_signup": _q_asof_signup,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "chunk_page": _q_chunk_page,
-        "churned_customers": _q_churned_customers,
-        "decontaminate": _q_decontaminate,
-        "dedup_clusters": _q_dedup_clusters,
-        "doc_id_roundtrip": _q_doc_id_roundtrip,
-        "doc_preview": _q_doc_preview,
-        "embedding_dups": _q_embedding_dups,
-        "event_pairs_range": _q_event_pairs_range,
-        "events_daily": _q_events_daily,
-        "events_gapfill": _q_events_gapfill,
-        "events_pivot": _q_events_pivot,
-        "events_sessions": _q_events_sessions,
-        "fingerprint": _q_fingerprint,
-        "hash_sample": _q_hash_sample,
-        "hypertable_rollup": _q_hypertable_rollup,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "lang_quality": _q_lang_quality,
-        "late_orders": _q_late_orders,
-        "pack_sequences": _q_pack_sequences,
-        "pii_redact": _q_pii_redact,
-        "pricing_summary": _q_pricing_summary,
-        "quality_filter": _q_quality_filter,
-        "repetition": _q_repetition,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r0*.json: these 10 last green in
-        # r02, the rest green in r03) and is still run by
-        # tools/driver_sim.py every session.
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
@@ -3210,11 +3422,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "top_revenue": _q_top_revenue,
         "top_terms": _q_top_terms,
-        # green in r03:
+        # -- slots 47-50: next-oldest backfill (last green r03, in
+        # registry order).
         "event_value_quantiles": _q_event_value_quantiles,
         "revenue_moving_avg": _q_revenue_moving_avg,
         "embedding_lsh": _q_embedding_lsh,
         "docs_cube": _q_docs_cube,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r0*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r6 window plan (pinned now per r4 VERDICT item 10): slots 13+
+        # take any round-5 additions that are still unattested, then the
+        # 29 remaining r03-green entries below (unigram_logprob ..
+        # rolling_median, in registry order), then the oldest of the r04
+        # block.  No oracle-backed entry's last green row may age past 3
+        # rounds.
+        # last green r03:
         "fuzzy_part_names": _q_fuzzy_part_names,
         "local_supplier_volume": _q_local_supplier_volume,
         "events_funnel": _q_events_funnel,
@@ -3249,26 +3473,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_map": _q_user_type_map,
         "incremental_rollup": _q_incremental_rollup,
         "rolling_median": _q_rolling_median,
-        # added round 4 (rotate into the driver window next round):
-        "tfidf_topterms": _q_tfidf_topterms,
-        "flesch_reading": _q_flesch_reading,
-        "zscore_anomalies": _q_zscore_anomalies,
-        "zipf_fit": _q_zipf_fit,
-        "source_mix_uniform": _q_source_mix_uniform,
-        "benchmark_overlap": _q_benchmark_overlap,
-        "top_supplier_revenue": _q_top_supplier_revenue,
-        "nation_value_share": _q_nation_value_share,
-        "events_stream_daily": _q_events_stream_daily,
-        "heavy_hitters": _q_heavy_hitters,
-        "shipping_priority": _q_shipping_priority,
-        "forecast_revenue": _q_forecast_revenue,
-        "product_profit": _q_product_profit,
-        "linestatus_priority": _q_linestatus_priority,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "excess_stock_suppliers": _q_excess_stock_suppliers,
-        "source_entropy": _q_source_entropy,
-        "ngram_novelty": _q_ngram_novelty,
-        "bucketed_order_revenue": _q_bucketed_order_revenue,
+        # last green r04 (the r4 window; youngest attestation — rotated
+        # out to make room for the never-attested r4 additions):
+        "events_json": _q_events_json,
+        "order_priority_semi": _q_order_priority_semi,
+        "cust_order_dist": _q_cust_order_dist,
+        "big_orders": _q_big_orders,
+        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
+        "lonely_late_supplier": _q_lonely_late_supplier,
+        "rich_idle_customers": _q_rich_idle_customers,
+        "returned_top_customers": _q_returned_top_customers,
+        "volume_shipping": _q_volume_shipping,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "common_ngrams": _q_common_ngrams,
+        "above_avg_orders": _q_above_avg_orders,
+        "asof_signup": _q_asof_signup,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "chunk_page": _q_chunk_page,
+        "churned_customers": _q_churned_customers,
+        "decontaminate": _q_decontaminate,
+        "dedup_clusters": _q_dedup_clusters,
+        "doc_id_roundtrip": _q_doc_id_roundtrip,
+        "doc_preview": _q_doc_preview,
+        "embedding_dups": _q_embedding_dups,
+        "event_pairs_range": _q_event_pairs_range,
+        "events_daily": _q_events_daily,
+        "events_gapfill": _q_events_gapfill,
+        "events_pivot": _q_events_pivot,
+        "events_sessions": _q_events_sessions,
+        "fingerprint": _q_fingerprint,
+        "hash_sample": _q_hash_sample,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "lang_quality": _q_lang_quality,
+        "late_orders": _q_late_orders,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "pricing_summary": _q_pricing_summary,
+        "quality_filter": _q_quality_filter,
+        "repetition": _q_repetition,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3350,6 +3594,59 @@ _EVAL_CTES = """
         eval_rows AS (SELECT query_id, expected_id,
                              rank IS NOT NULL AS found, rank, top_ids_csv
                       FROM per_q)
+"""
+
+_COMPARE_CTES = """
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 64),
+        corp AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        pairs AS (SELECT q.query_id, c.doc_id,
+                         round(list_dot_product(q.qv, c.v), 6) AS ip_score,
+                         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_score
+                  FROM q, corp c WHERE q.query_id <> c.doc_id),
+        ip_hits AS (SELECT * FROM (
+                       SELECT query_id, doc_id,
+                              CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ip_score DESC, doc_id ASC)
+                                   AS INTEGER) AS rank
+                       FROM pairs)
+                    WHERE rank <= 10),
+        cos_hits AS (SELECT * FROM (
+                        SELECT query_id, doc_id,
+                               CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_score DESC, doc_id ASC)
+                                    AS INTEGER) AS rank
+                        FROM pairs)
+                     WHERE rank <= 10),
+        n_emb AS (SELECT count(*) AS n FROM embeddings),
+        gold AS (SELECT h.query_id,
+                        CAST(CASE WHEN h.query_id % 2 = 0 THEN h.doc_id
+                                  ELSE (h.query_id * 7 + 3) % n END AS VARCHAR)
+                        AS expected_id
+                 FROM ip_hits h, n_emb WHERE h.rank = 3),
+        l_eval AS (SELECT g.query_id,
+                          min(CASE WHEN CAST(h.doc_id AS VARCHAR) = g.expected_id
+                                   THEN h.rank END) AS rank
+                   FROM gold g
+                   JOIN ip_hits h ON g.query_id = h.query_id AND h.rank <= 5
+                   GROUP BY 1),
+        r_eval AS (SELECT g.query_id,
+                          min(CASE WHEN CAST(h.doc_id AS VARCHAR) = g.expected_id
+                                   THEN h.rank END) AS rank
+                   FROM gold g
+                   JOIN cos_hits h ON g.query_id = h.query_id AND h.rank <= 5
+                   GROUP BY 1),
+        cmp AS (SELECT l.query_id,
+                       l.rank IS NOT NULL AS l_found, l.rank AS l_rank,
+                       r.rank IS NOT NULL AS r_found, r.rank AS r_rank,
+                       CAST(CASE
+                            WHEN l.rank IS NULL AND r.rank IS NOT NULL THEN -999
+                            WHEN l.rank IS NOT NULL AND r.rank IS NULL THEN 999
+                            WHEN l.rank IS NOT NULL AND r.rank IS NOT NULL
+                                 THEN r.rank - l.rank
+                            END AS INTEGER) AS delta
+                FROM l_eval l JOIN r_eval r USING (query_id))
 """
 
 
@@ -3477,6 +3774,74 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(coalesce(1.0 / log2(rank + 1.0), 0.0)), 6) AS ndcg
             FROM eval_rows
         """,
+        "eval_compare": f"""
+            WITH {_COMPARE_CTES}
+            SELECT query_id, l_found, l_rank, r_found, r_rank, delta FROM cmp
+        """,
+        "eval_compare_summary": f"""
+            WITH {_COMPARE_CTES}
+            SELECT count(*) AS total,
+                   CAST(coalesce(sum(CASE WHEN delta > 0 THEN 1 END), 0)
+                        AS BIGINT) AS regressions,
+                   CAST(coalesce(sum(CASE WHEN delta < 0 THEN 1 END), 0)
+                        AS BIGINT) AS improvements,
+                   CAST(coalesce(sum(CASE WHEN delta IS NOT NULL AND delta <> 0
+                                          THEN 1 END), 0)
+                        AS BIGINT) AS changed
+            FROM cmp
+        """,
+        "search_overlap": f"""
+            WITH {_COMPARE_CTES},
+            inter AS (SELECT l.query_id, count(*) AS overlap
+                      FROM ip_hits l JOIN cos_hits r
+                        ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+                      GROUP BY 1),
+            base AS (SELECT query_id, count(*) AS left_k
+                     FROM ip_hits GROUP BY 1)
+            SELECT b.query_id, b.left_k,
+                   CAST(coalesce(i.overlap, 0) AS BIGINT) AS overlap
+            FROM base b LEFT JOIN inter i USING (query_id)
+        """,
+        "index_stats": """
+            WITH v AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END
+                              AS version, text
+                       FROM documents WHERE source = 'src3'),
+                 latest AS (SELECT max(version) AS version FROM v)
+            SELECT count(*) AS count,
+                   CAST(min(length(text)) AS INTEGER) AS min_len,
+                   CAST(max(length(text)) AS INTEGER) AS max_len,
+                   round(avg(length(text)), 6) AS avg_len,
+                   round(quantile_cont(length(text), 0.95), 6) AS p95_len,
+                   'src3' AS index_name,
+                   (SELECT version FROM latest) AS version,
+                   'hash-ngram-64' AS model,
+                   64 AS dim,
+                   'flat' AS backend,
+                   true AS normalize,
+                   'fixed' AS chunking,
+                   CASE WHEN (SELECT version FROM latest) = 'v1'
+                        THEN '2026-01-01' ELSE '2026-02-01' END AS created_at
+            FROM v JOIN latest ON v.version = latest.version
+        """,
+        "index_catalog": """
+            WITH v AS (SELECT source AS index_name,
+                              CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END
+                              AS version,
+                              count(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+                 pick AS (SELECT index_name, max(version) AS latest_version
+                          FROM v GROUP BY 1)
+            SELECT p.index_name, p.latest_version, v.cnt AS count,
+                   'hash-ngram-64' AS model, 'flat' AS backend,
+                   CASE WHEN p.latest_version = 'v1'
+                        THEN '2026-01-01' ELSE '2026-02-01' END AS created_at,
+                   'fixed' AS chunking,
+                   true AS has_sources,
+                   CAST(v.cnt + 5 AS BIGINT) AS total_rows
+            FROM pick p
+            JOIN v ON v.index_name = p.index_name
+                  AND v.version = p.latest_version
+        """,
         "exact_dedup": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
@@ -3485,7 +3850,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_md5,
                    count(*) AS cnt,
                    min(doc_id) AS keep_id,
-                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv
+                   -- ids are capped at the first 100 per group, matching
+                   -- exact_dedup's bounded agg state (max_ids=100)
+                   array_to_string(
+                       list_transform(
+                           list_slice(list_sort(list(doc_id)), 1, 100),
+                           x -> CAST(x AS VARCHAR)),
+                       ',') AS ids_csv
             FROM corpus GROUP BY 1
         """,
         "jaccard_pairs": f"""
