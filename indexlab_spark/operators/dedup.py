@@ -28,7 +28,7 @@ expressible 1:1 in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from indexlab_spark.functions.vector import cosine
@@ -39,26 +39,54 @@ from indexlab_spark.functions.vector import cosine
 # functions/cache.py for the rationale.
 from indexlab_spark.functions.cache import pin as _pin
 
+# CPU-bound Arrow/shingle stages fan out through the ONE measured policy
+# (plans/colocate.fan_out) instead of private copies of the partition-
+# count preamble — each private copy also paid an extra .rdd plan-
+# conversion (r4 VERDICT cleanup item). min_fraction=1.0 preserves the
+# historical dedup behavior: spread whenever below full parallelism.
+from indexlab_spark.plans.colocate import fan_out as _fan_out
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    return _fan_out(df, min_fraction=1.0)
+
 
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    normalize: bool = True,
+    normalize: bool = True, max_ids: int | None = 100,
 ) -> DataFrame:
-    """Exact duplicate groups: (text_md5, cnt, keep_id, dup_ids).
+    """Exact duplicate groups: (text_md5, cnt, keep_id, ids).
 
     ``keep_id`` is the minimum id (deterministic survivor). ``normalize``
     lowercases and collapses whitespace first (catches trivial variants).
+
+    ``ids`` carries at most ``max_ids`` member ids (the first by id
+    order): a boilerplate string duplicated 10M times at corpus scale
+    must not materialize one unbounded array cell. The bound is applied
+    BEFORE aggregation (row_number over the same text_md5 partitioning,
+    so no extra shuffle — the window sort and the final agg share one
+    exchange), which keeps the per-group agg state itself bounded, not
+    just the output. ``cnt``/``keep_id`` always reflect the FULL group;
+    pass ``max_ids=None`` to keep every id (small-corpus tooling only).
     """
     t = F.col(text_col)
     if normalize:
         t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("id"), F.md5(t).alias("text_md5"))
+    if max_ids is None:
+        collected = F.collect_list("id")
+    else:
+        w = Window.partitionBy("text_md5").orderBy("id")
+        base = base.withColumn("_rn", F.row_number().over(w))
+        collected = F.collect_list(
+            F.when(F.col("_rn") <= max_ids, F.col("id"))
+        )
     return (
-        df.select(F.col(id_col).alias("id"), F.md5(t).alias("text_md5"))
-        .groupBy("text_md5")
+        base.groupBy("text_md5")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.min("id").alias("keep_id"),
-            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.sort_array(collected).alias("ids"),
         )
     )
 
@@ -75,13 +103,7 @@ def with_shingles(
     # drop_empty filters on TOKEN COUNT, not size(shingles): a filter on
     # the shingle column gets pushed below the projection and re-inlines
     # the whole shingle expression into the predicate.
-    # CPU-bound projection: a small corpus often arrives as ONE parquet
-    # file = one task; spread it across cores first. (At real scale
-    # maxPartitionBytes already yields many partitions and this is a
-    # cheap no-op round-robin of existing splits.)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = _spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "").alias("_toks"),
@@ -121,10 +143,7 @@ def exploded_shingles(
                     shs.extend(grams)
             yield pd.DataFrame({"id": ids, "shingle": shs})
 
-    src = df.select(id_col, text_col)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    src = _spread(df.select(id_col, text_col))
     id_t = df.schema[id_col].dataType.simpleString()
     return src.mapInPandas(_gen, f"id {id_t}, shingle string")
 
@@ -232,10 +251,7 @@ def minhash_lsh_pairs(
                     )
             yield pd.DataFrame(out)
 
-    src = df.select(id_col, text_col)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    src = _spread(df.select(id_col, text_col))
     sig = src.mapInPandas(
         _sigs,
         f"id {id_t}, sz int, " + ", ".join(f"m{i} string" for i in range(num_hashes)),
@@ -329,10 +345,7 @@ def simhash(
                 fps.append(int((bitvec.astype(np.int64) << js).sum()))
             yield pd.DataFrame({"id": ids, "simhash": pd.Series(fps, dtype="int64")})
 
-    src = df.select(id_col, text_col)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    src = _spread(df.select(id_col, text_col))
     id_t = df.schema[id_col].dataType.simpleString()
     return src.mapInPandas(_fp, f"id {id_t}, simhash bigint")
 
@@ -512,6 +525,18 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42):
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
+#: Above this corpus size the "auto" multiprobe policy stops probing
+#: single-bit-flip neighbor keys: the (r+1)x probe fan-out multiplies
+#: BOTH the shuffle and the random-collision candidate set, and random
+#: collisions grow ~n^2/2^r — at small n multiprobe buys recall for
+#: near-free, at large n it is the first dedup path to fall over
+#: (measured 3.71x wall-clock at 8x rows in tools/scale_probe.py before
+#: this gate; the verified-cosine step keeps PRECISION unaffected either
+#: way). For guaranteed-recall mining at scale, set multiprobe=1
+#: explicitly and raise bands/n_planes, or use the IVF/blocked-exact
+#: paths (operators/knn.py).
+MULTIPROBE_AUTO_MAX_ROWS = 8192
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -521,7 +546,9 @@ def embedding_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     seed: int = 42,
-    multiprobe: int = 1,
+    multiprobe: int | str = "auto",
+    max_bucket: int | None = 100_000,
+    _return_candidates: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane (sign) LSH — the
     LSH-bucketed scale path for cosine similarity search (the other one
@@ -543,7 +570,27 @@ def embedding_lsh_pairs(
     Defaults target the near-duplicate regime (cos >= ~0.8). For
     low-threshold mining on noise-like corpora no LSH config is both
     selective and complete — use knn_join / embedding_dup_pairs there.
+
+    Scale controls (both default-on):
+
+    - ``multiprobe="auto"``: single-bit-flip probing is enabled only
+      while the corpus is at most MULTIPROBE_AUTO_MAX_ROWS rows — the
+      flip fan-out is the superlinear term at scale (see the constant's
+      doc). Pass 1/0 to force it on/off.
+    - ``max_bucket``: (band, key) buckets with more members than this
+      are dropped from candidate generation, with a loud stderr note. A
+      degenerate key (all-zero vectors, a giant constant-embedding
+      cluster) otherwise creates ONE bucket whose pair explosion is
+      O(occupancy^2) regardless of r. Pairs inside a dropped bucket are
+      still reachable through their other bands; the guard bounds
+      worst-case candidates at buckets*max_bucket^2. None disables.
+
+    ``_return_candidates`` (internal): return the UNVERIFIED candidate
+    pair frame instead of verified pairs — tools/scale_probe.py uses it
+    to measure candidate growth, the quantity the knobs above control.
     """
+    import sys
+
     import numpy as np
     import pandas as pd
 
@@ -552,6 +599,18 @@ def embedding_lsh_pairs(
     planes = hyperplanes(n_planes, dim, seed)
     r = n_planes // bands
     v = F.col(vec_col).cast("array<double>")
+
+    if multiprobe == "auto":
+        # one metadata-cheap count decides the flip budget
+        n_rows = df.count()
+        multiprobe = 1 if n_rows <= MULTIPROBE_AUTO_MAX_ROWS else 0
+        if not multiprobe:
+            print(
+                f"embedding_lsh_pairs: corpus {n_rows} rows > "
+                f"{MULTIPROBE_AUTO_MAX_ROWS} — multiprobe auto-disabled "
+                "(exact band-key matches only; set multiprobe=1 to force)",
+                file=sys.stderr,
+            )
 
     # One Arrow-batched matmul computes all n_planes dot-product signs per
     # batch — the vectorized path; n_planes separate Catalyst higher-order
@@ -582,6 +641,31 @@ def embedding_lsh_pairs(
     # folds run once per row, not twice
     band_kv = _pin(band_kv)
 
+    if max_bucket is not None:
+        # Overfull-bucket guard: a degenerate band key (zero vectors, a
+        # giant constant-embedding cluster) makes one bucket whose pair
+        # count is O(occupancy^2) no matter how wide r is. Hot keys are
+        # at most n/max_bucket rows — a broadcast-sized frame; the one
+        # count() action below materializes band_kv, which the candidate
+        # join needs anyway (it is pinned).
+        hot = _pin(
+            band_kv.groupBy("band_no", "key")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("band_no", "key")
+        )
+        if hot.count():
+            print(
+                "embedding_lsh_pairs: dropping overfull (band,key) "
+                f"buckets with > {max_bucket} members from candidate "
+                "generation (pairs there remain reachable via their "
+                "other bands)",
+                file=sys.stderr,
+            )
+            band_kv = band_kv.join(
+                F.broadcast(hot), ["band_no", "key"], "left_anti"
+            )
+
     if multiprobe:
         # Probing is symmetric under xor (if hamming(ka, kb) == 1, a's flip
         # hits b's key AND vice versa), so flips on ONE join side suffice
@@ -606,6 +690,8 @@ def embedding_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if _return_candidates:
+        return cand
     vecs = df.select(F.col(id_col).alias("id"), v.alias("v"))
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")

@@ -44,22 +44,27 @@ def _rank_window(query_id_col: str, tie_col: str):
 
 
 #: Driver-collect guard for the "queries are the small side by contract"
-#: paths (knn_matmul / pq_search / ivf_search_pruned). 1M rows x dim 64
-#: float64 is ~512 MB — the upper edge of what a driver should ever hold;
-#: beyond it those paths silently fall back to the fully-distributed
+#: paths (knn_matmul / pq_search / ivf_search_pruned). 250k rows x dim 64
+#: float64 is ~128 MB as Arrow/numpy buffers — and because the bounded
+#: fetch below goes through Arrow (toPandas), that estimate is what the
+#: driver actually holds, not 3-5x more in boxed Row objects. Beyond the
+#: bound those paths silently fall back to the fully-distributed
 #: knn_join_blocked instead of OOMing the driver.
-MAX_COLLECT_QUERY_ROWS = 1_000_000
+MAX_COLLECT_QUERY_ROWS = 250_000
 
 
 def _collect_bounded(df: DataFrame, cols: list[str], limit: int):
-    """Collect at most ``limit`` rows of ``df[cols]``; return None if the
-    frame exceeds the bound. The probe fetches ``limit + 1`` rows and no
-    more, so checking an over-large frame costs one bounded job — never
-    an unbounded driver materialization."""
-    rows = df.select(*cols).limit(limit + 1).collect()
-    if len(rows) > limit:
+    """Fetch at most ``limit`` rows of ``df[cols]`` to the driver; return
+    None if the frame exceeds the bound. The probe fetches ``limit + 1``
+    rows and no more, so checking an over-large frame costs one bounded
+    job — never an unbounded driver materialization. The transfer is
+    Arrow-batched (toPandas, arrow enabled in session.py): vector columns
+    arrive as contiguous buffers, not per-float-boxed Row objects, so
+    driver memory matches the MAX_COLLECT_QUERY_ROWS estimate."""
+    pdf = df.select(*cols).limit(limit + 1).toPandas()
+    if len(pdf) > limit:
         return None
-    return rows
+    return list(pdf.itertuples(index=False, name=None))
 
 
 def _normalized_queries(queries_df: DataFrame, query_vec_col: str) -> DataFrame:

@@ -44,6 +44,7 @@ def write_bucketed(
     if (
         path is None
         and "." not in table
+        and mode == "overwrite"
         and not spark.catalog.tableExists(table)
         and not spark.catalog.tableExists(f"default.{table}")
     ):
@@ -51,21 +52,39 @@ def write_bucketed(
         # tables between sessions while their warehouse directories
         # survive, and saveAsTable then fails with
         # LOCATION_ALREADY_EXISTS. Only the exact orphaned location for
-        # THIS unqualified table name is removed, and only when NEITHER
-        # the current database NOR default knows the table (an
-        # unqualified managed location always lives under default, so
-        # checking the current database alone could delete live data of
-        # default.<table> while currentDatabase is elsewhere). Caveat:
-        # with a file-based warehouse shared by CONCURRENT applications,
-        # each app's in-memory catalog is blind to the others' tables —
-        # don't share one warehouse dir across simultaneously-writing
-        # apps.
-        import shutil
+        # THIS unqualified table name is handled, only when NEITHER the
+        # current database NOR default knows the table (an unqualified
+        # managed location always lives under default, so checking the
+        # current database alone could hit live data of default.<table>
+        # while currentDatabase is elsewhere), and ONLY for
+        # mode='overwrite' — append/error modes never clobber state, so
+        # they must not trigger recovery either. The orphan is RENAMED
+        # aside (<table>.orphan-N), not deleted: recovery stays
+        # non-destructive even if the catalog check was wrong (e.g. a
+        # concurrent app's warehouse — don't share one warehouse dir
+        # across simultaneously-writing apps).
+        import os
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        # Resolve the warehouse dir the way Spark itself does (a
+        # RELATIVE spark.sql.warehouse.dir is resolved by the JVM
+        # against Spark's working dir, which can differ from the Python
+        # CWD that urlparse-of-the-conf-string would imply).
+        try:
+            wh = urlparse(
+                str(spark._jsparkSession.sessionState().conf().warehousePath())
+            ).path
+        except Exception:  # py4j hiccup: conf string is the best we have
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         orphan = f"{wh.rstrip('/')}/{table.lower()}"
-        shutil.rmtree(orphan, ignore_errors=True)
+        if os.path.isdir(orphan):
+            n = 0
+            while os.path.exists(f"{orphan}.orphan-{n}"):
+                n += 1
+            try:
+                os.rename(orphan, f"{orphan}.orphan-{n}")
+            except OSError:
+                pass  # unwritable warehouse: saveAsTable will report it
     w = df.write.mode(mode).bucketBy(buckets, key).sortBy(key).format("parquet")
     if path is not None:
         w = w.option("path", path)

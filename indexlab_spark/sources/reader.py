@@ -325,9 +325,17 @@ def read_html_tree(spark: SparkSession, root_dir: str) -> DataFrame:
             return ""
         return html_to_text(content.decode("utf-8", errors="ignore"))
 
+    # The kept set is metadata (≤ CHM_MAX_FILES paths) — collect it and
+    # load ONLY those files for content. A join of the full content scan
+    # against `kept` would read every file's bytes and then discard the
+    # over-cap ones; passing the explicit file list bounds the content
+    # IO itself, like the reference walk's early stop (reader.py:100-133).
+    kept_paths = [r["path"] for r in kept.collect()]
+    if not kept_paths:
+        return spark.createDataFrame([], "path string, text string")
+    content = spark.read.format("binaryFile").load(kept_paths)
     return (
-        src.join(kept, "path")
-        .select(F.col("path"), _strip(F.col("content")).alias("text"))
+        content.select(F.col("path"), _strip(F.col("content")).alias("text"))
         .filter(F.trim("text") != "")
     )
 

@@ -149,8 +149,17 @@ def main() -> None:
             "minhash_lsh": lambda: minhash_lsh_pairs(docs, threshold=0.5).count(),
             "bm25_build": _bm25,
             "dedup_clusters": _clusters,
+            # default policy (multiprobe="auto", overfull-bucket guard) —
+            # the probe must measure what a caller actually gets
             "embedding_lsh": lambda: embedding_lsh_pairs(
                 emb, dim=64, n_planes=128, bands=8, threshold=0.85
+            ).count(),
+            # candidate-count metric (r4 VERDICT): the UNVERIFIED pair
+            # count is the quantity the multiprobe/bucket knobs bound;
+            # its growth factor is reported alongside wall-clock
+            "embedding_lsh_cand": lambda: embedding_lsh_pairs(
+                emb, dim=64, n_planes=128, bands=8, threshold=0.85,
+                _return_candidates=True,
             ).count(),
             "quality_pii": lambda: (
                 quality_flags(docs).count() + redact_pii(docs).count()
@@ -162,19 +171,35 @@ def main() -> None:
             ),
         }
 
-    out = {}
-    for name, fn in cases(docs1, ev1, emb1).items():
+    def timed_min2(fn):
+        """min of 2 runs — the per-plan FIRST-execution floor on this
+        host is 0.5-2.5s (measured; see bench.py timed() note) and
+        dominates sub-10s cases; worse, an ADAPTIVE op that switches
+        plan shape between scales (embedding_lsh's auto multiprobe)
+        pays that floor only at the switched scale, polluting the
+        growth ratio with a constant that has nothing to do with data
+        volume. min-of-2 measures the steady-state plan both times."""
+        t0 = time.time()
+        v = fn()
+        t_first = time.time() - t0
         t0 = time.time()
         fn()
-        t1 = time.time() - t0
-        t0 = time.time()
-        cases(docsN, evN, embN)[name]()
-        tn = time.time() - t0
+        return min(t_first, time.time() - t0), v
+
+    out = {}
+    for name, fn in cases(docs1, ev1, emb1).items():
+        t1, v1 = timed_min2(fn)
+        tn, vn = timed_min2(cases(docsN, evN, embN)[name])
         out[name] = {
             "t1": round(t1, 2),
             f"t{n}": round(tn, 2),
             "growth": round(tn / t1, 2),
         }
+        if name.endswith("_cand"):
+            # count growth is the metric, not just wall-clock
+            out[name]["n1"] = int(v1)
+            out[name][f"n{n}"] = int(vn)
+            out[name]["count_growth"] = round(vn / max(1, v1), 2)
         print(f"{name}: 1x {t1:.2f}s, {n}x {tn:.2f}s, growth {tn/t1:.2f}",
               file=sys.stderr)
     print(json.dumps({"n": n, "sf_dir": sf_dir, "ops": out}))
