@@ -523,6 +523,18 @@ def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
+def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/exact-substring — maximal duplicated 8-token spans per
+    document (the ExactSubstr semantic of Lee et al. 2022, public
+    paper): k-gram hash frequencies in one map-side-combined agg,
+    gram-keyed join back, pos-row_number island merge. Nothing pairwise;
+    cost ~ total tokens."""
+    from indexlab_spark.operators.dedup import duplicated_spans
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return duplicated_spans(docs, k=8)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 dedup/exact — hash-groupBy duplicate groups (one shuffle on the
     text hash; no pairwise work)."""
@@ -3513,6 +3525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
+        # added round 5, never driver-attested (window already holds the
+        # 24 never-green r4/r5 entries) — rotate into the r6 window
+        # FIRST, before the r03 backfill:
+        "duplicated_spans": _q_duplicated_spans,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3822,6 +3838,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (SELECT version FROM latest) = 'v1'
                         THEN '2026-01-01' ELSE '2026-02-01' END AS created_at
             FROM v JOIN latest ON v.version = latest.version
+        """,
+        "duplicated_spans": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS t
+                          FROM documents),
+                 g AS (SELECT doc_id, i - 1 AS pos,
+                              md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gh
+                       FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+                       WHERE len(t) >= 8),
+                 c AS (SELECT gh, count(*) AS n FROM g GROUP BY 1),
+                 marked AS (SELECT g.doc_id, g.pos
+                            FROM g JOIN c USING (gh) WHERE c.n >= 2),
+                 isl AS (SELECT doc_id, pos,
+                                pos - row_number() OVER (PARTITION BY doc_id
+                                                         ORDER BY pos) AS island
+                         FROM marked)
+            SELECT doc_id,
+                   CAST(min(pos) AS INTEGER) AS start_tok,
+                   CAST(max(pos) + 7 AS INTEGER) AS end_tok,
+                   CAST(max(pos) - min(pos) + 8 AS INTEGER) AS n_tokens
+            FROM isl GROUP BY doc_id, island
         """,
         "index_catalog": """
             WITH v AS (SELECT source AS index_name,

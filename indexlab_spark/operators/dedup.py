@@ -702,6 +702,75 @@ def embedding_lsh_pairs(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication at token granularity (the ExactSubstr
+    semantic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — public paper): every k-token window whose
+    content occurs at least ``min_count`` times in the corpus marks its
+    positions, and overlapping/adjacent marked windows merge into
+    MAXIMAL duplicated spans per document — the ranges a training-data
+    pipeline would cut or down-weight.
+
+    Plan shape (nothing pairwise, cost ~ total tokens):
+      1. tokenize once (the canonical textstats.tokens expression);
+      2. k-gram keys come from a transform over the token array — no
+         self-join, no explode-then-window reassembly;
+      3. window frequencies are ONE map-side-combined aggregation on the
+         md5 of the gram (32-byte keys travel, not k-token strings; an
+         md5 collision merging two counts is negligible and
+         deterministic);
+      4. the join back to positions is gram-keyed — the duplicated-gram
+         set scales with the corpus, so it is NOT broadcast;
+      5. span merging is the pos - row_number island trick under a
+         per-doc window.
+
+    Returns (id_col, start_tok, end_tok, n_tokens), positions 0-based
+    inclusive.
+    """
+    from indexlab_spark.operators.textstats import tokens
+
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    ).filter(F.size("_toks") >= k)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    grams = _pin(grams)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    marked = grams.join(dup, "gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = marked.withColumn("_island", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("id", "_island")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_s").cast("int").alias("start_tok"),
+            (F.col("_e") + (k - 1)).cast("int").alias("end_tok"),
+            (F.col("_e") - F.col("_s") + k).cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
