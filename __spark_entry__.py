@@ -535,6 +535,17 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, k=8)
 
 
+def _q_clean_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/exact-substring — the ACTION half of ExactSubstr: cut
+    every maximal duplicated 8-token span and return the cleaned token
+    stream per document (clean docs pass through whole; per-row array
+    filter in codegen, no shuffle beyond duplicated_spans' own agg)."""
+    from indexlab_spark.operators.dedup import remove_duplicated_spans
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return remove_duplicated_spans(docs, k=8)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 dedup/exact — hash-groupBy duplicate groups (one shuffle on the
     text hash; no pairwise work)."""
@@ -1212,6 +1223,31 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return pack_sequences(docs, budget=512, n_buckets=32)
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — per-source token-budget mixture selection (the "sample
+    each domain to its target token share" step of pre-training mixture
+    construction): md5-shuffled order, greedy prefix per source until
+    the budget, two-level bucketed cumsum so no source ever sorts in a
+    single partition. Budgets cover every case: src1 keeps everything
+    (budget > total), src3 keeps ~one document, src0/src2/src4 keep a
+    strict prefix, the other 15 sources are unlisted and dropped."""
+    from indexlab_spark.operators.curation import token_budget_mix
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return token_budget_mix(
+        docs,
+        budgets={
+            "src0": 400,
+            "src1": 1_000_000,
+            "src2": 700,
+            "src3": 60,
+            "src4": 900,
+        },
+        n_buckets=32,
+        seed="mix",
+    )
 
 
 def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3516,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
+        "token_budget_mix": _q_token_budget_mix,
         "hypertable_rollup": _q_hypertable_rollup,
         "jaccard_pairs": _q_jaccard_pairs,
         "lang_quality": _q_lang_quality,
@@ -3529,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 24 never-green r4/r5 entries) — rotate into the r6 window
         # FIRST, before the r03 backfill:
         "duplicated_spans": _q_duplicated_spans,
+        "clean_dup_spans": _q_clean_dup_spans,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3860,6 +3898,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 7 AS INTEGER) AS end_tok,
                    CAST(max(pos) - min(pos) + 8 AS INTEGER) AS n_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "clean_dup_spans": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS t
+                          FROM documents),
+                 g AS (SELECT doc_id, i - 1 AS pos,
+                              md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gh
+                       FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+                       WHERE len(t) >= 8),
+                 c AS (SELECT gh, count(*) AS n FROM g GROUP BY 1),
+                 marked AS (SELECT g.doc_id, g.pos
+                            FROM g JOIN c USING (gh) WHERE c.n >= 2),
+                 isl AS (SELECT doc_id, pos,
+                                pos - row_number() OVER (PARTITION BY doc_id
+                                                         ORDER BY pos) AS island
+                         FROM marked),
+                 spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                           FROM isl GROUP BY doc_id, island),
+                 tok_pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                             FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+                 kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                          FROM tok_pos tp
+                          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                            WHERE s.doc_id = tp.doc_id
+                                              AND tp.pos BETWEEN s.s AND s.e)),
+                 ka AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                        FROM kept GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS INTEGER) AS n_tokens,
+                   coalesce(ka.n_kept, 0) AS n_kept,
+                   coalesce(ka.clean_text, '') AS clean_text
+            FROM toks t LEFT JOIN ka USING (doc_id)
         """,
         "index_catalog": """
             WITH v AS (SELECT source AS index_name,
@@ -4447,6 +4519,29 @@ def oracle_sql() -> dict[str, str]:
                       md5('resample|' || CAST(d.doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 1000000
                   < CAST(floor(r.rate * 1000000) AS BIGINT)
+        """,
+        "token_budget_mix": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens,
+                       CAST(concat('0x', substr(md5(concat('mix|',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+                FROM documents),
+            b AS (SELECT *, h % 32 AS bucket FROM base),
+            c AS (SELECT doc_id, source, n_tokens,
+                         CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY bucket, h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cum_tokens
+                  FROM b),
+            w(source, budget) AS (VALUES ('src0', 400), ('src1', 1000000),
+                                         ('src2', 700), ('src3', 60),
+                                         ('src4', 900))
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c JOIN w USING (source)
+            WHERE cum_tokens - n_tokens < budget
         """,
         "pack_sequences": """
             WITH base AS (

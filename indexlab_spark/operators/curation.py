@@ -339,6 +339,88 @@ def temperature_resample(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 32,
+    seed: str = "mix",
+) -> DataFrame:
+    """Per-source token-budget data mixing: deterministically select a
+    prefix of each source's documents — in md5-shuffled order — until
+    that source's whitespace-token budget is reached (the "sample each
+    domain to its target token share" step of LM pre-training mixture
+    construction, e.g. The Pile / Dolma recipes, public).
+
+    Semantics: documents of each listed group are ordered by
+    ``(bucket, h, id)`` where ``h = md5(seed|id)`` and ``bucket = h %
+    n_buckets`` (a deterministic shuffle); a document is kept iff its
+    span STARTS inside the budget (``cum - n_tokens < budget``) — so
+    every listed group keeps at least one document and the kept total
+    overshoots by at most one document. Groups absent from ``budgets``
+    are dropped. Returns ``(id, group, n_tokens, cum_tokens)``.
+
+    Scale design: a per-group global running sum would sort each
+    group's full corpus in one partition. Instead the cumsum is
+    two-level, like pack_sequences: a window over ``(group, bucket)``
+    shards (parallel, bounded), plus a per-group bucket-offset frame of
+    ``|groups| x n_buckets`` rows (broadcast back). The budgets table
+    itself is driver-literal and broadcast. One shuffle on (group,
+    bucket), nothing driver-side.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+    from indexlab_spark.operators.textstats import token_count
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(budgets.items())],
+        f"{group_col} string, budget bigint",
+    )
+    base = df.select(
+        _c(id_col).alias("id"),
+        _c(group_col).alias("grp"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+        md5_long(
+            F.concat(F.lit(f"{seed}|"), _c(id_col).cast("string"))
+        ).alias("h"),
+    ).withColumn("bucket", F.col("h") % n_buckets)
+    w_in = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("h", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("in_cum", F.sum("n_tokens").over(w_in))
+    w_off = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("grp", "bucket")
+        .agg(F.sum("n_tokens").alias("b_sum"))
+        .withColumn("b_off", F.sum("b_sum").over(w_off) - F.col("b_sum"))
+        .select("grp", "bucket", "b_off")
+    )
+    cum = within.join(F.broadcast(offsets), ["grp", "bucket"]).withColumn(
+        "cum_tokens", (F.col("b_off") + F.col("in_cum")).cast("bigint")
+    )
+    return (
+        cum.join(
+            F.broadcast(bdf).withColumnRenamed(group_col, "grp"), "grp"
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

@@ -193,6 +193,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     materialize: bool = True,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -268,6 +269,37 @@ def minhash_lsh_pairs(
         "id",
         F.posexplode(F.array(*band_cols)).alias("band", "key"),
     )
+    if max_bucket is not None:
+        # Overfull-bucket guard (same policy as embedding_lsh_pairs): a
+        # degenerate band key — boilerplate text repeated across a huge
+        # slice of the corpus — makes the self-join below O(occupancy^2)
+        # in that one bucket regardless of bands x rows. Hot keys number
+        # at most n_rows*bands/max_bucket — broadcast-sized. NOTE: a
+        # group of IDENTICAL texts is hot in ALL its bands at once, so
+        # its pairs are not recoverable via other bands — run exact_dedup
+        # first (it is one shuffle and catches exactly those); this
+        # operator's contract is NEAR-duplicates.
+        if materialize:
+            buckets = _pin(buckets)
+        hot = _pin(
+            buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("band", "key")
+        )
+        if hot.count():
+            import sys
+
+            print(
+                "minhash_lsh_pairs: dropping overfull (band,key) buckets "
+                f"with > {max_bucket} members from candidate generation "
+                "(boilerplate mega-groups; exact duplicates belong to "
+                "exact_dedup, which runs without candidate generation)",
+                file=sys.stderr,
+            )
+            buckets = buckets.join(
+                F.broadcast(hot), ["band", "key"], "left_anti"
+            )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "key"])
@@ -768,6 +800,65 @@ def duplicated_spans(
             (F.col("_e") + (k - 1)).cast("int").alias("end_tok"),
             (F.col("_e") - F.col("_s") + k).cast("int").alias("n_tokens"),
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ACTION half of ExactSubstr dedup (Lee et al. 2022): cut every
+    maximal duplicated span found by :func:`duplicated_spans` out of
+    each document and return the cleaned token stream. Token-granular
+    like the reference implementations — the rebuilt text is the kept
+    tokens joined with single spaces (original whitespace is not
+    preserved; standard for this operator, which feeds a tokenizer).
+
+    Returns ``(id_col, n_tokens, n_kept, clean_text)`` for EVERY input
+    document (docs with no duplicated spans pass through whole).
+
+    Scale: spans per doc are collected into one array — bounded by the
+    doc's own token count, i.e. the same order as the text already on
+    that row; the cut itself is a per-row array filter (codegen), no
+    extra shuffle beyond duplicated_spans' own aggregation.
+    """
+    from indexlab_spark.operators.textstats import tokens
+
+    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    spans_agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        .join(
+            spans_agg.withColumnRenamed(id_col, "id"), "id", "left"
+        )
+        # NULL spans (no duplication) must become an EMPTY array: exists()
+        # over NULL is NULL, and a NULL predicate would silently drop
+        # every token of every clean document
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                "_spans",
+                F.array().cast("array<struct<start_tok:int,end_tok:int>>"),
+            ),
+        )
+    )
+    kept = F.filter(
+        "_toks",
+        lambda x, i: ~F.exists(
+            "_spans",
+            lambda s: (i >= s["start_tok"]) & (i <= s["end_tok"]),
+        ),
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 

@@ -285,3 +285,36 @@ def test_quality_flags_matches_python_reference(spark):
             assert got[i] == py_ref(text), (text, got[i], py_ref(text))
 
     check()
+
+
+def test_token_budget_mix_semantics(spark):
+    from indexlab_spark.operators.curation import token_budget_mix
+
+    # srcA: 10 docs x 5 tokens = 50 total; budget 22 -> the kept prefix
+    # STARTS inside 22 tokens: docs starting at cum 0,5,10,15,20 = 5 docs
+    # (overshoot bounded by one document). srcB: budget 3 < 5 tokens ->
+    # exactly the first document is still kept. srcC unlisted -> dropped.
+    rows = []
+    for si, (s, n) in enumerate((("srcA", 10), ("srcB", 4), ("srcC", 4))):
+        for i in range(n):
+            rows.append((si * 1000 + i, s, "one two three four five"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_mix(
+        df, budgets={"srcA": 22, "srcB": 3}, n_buckets=4
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"srcA", "srcB"}
+    assert len(by_src["srcA"]) == 5
+    assert len(by_src["srcB"]) == 1  # first doc kept even over budget
+    # cum_tokens is the deterministic global running sum per source
+    assert sorted(r["cum_tokens"] for r in by_src["srcA"]) == [5, 10, 15, 20, 25]
+
+    # determinism across repartitionings
+    out2 = token_budget_mix(
+        df.repartition(7), budgets={"srcA": 22, "srcB": 3}, n_buckets=4
+    ).collect()
+    assert {(r["doc_id"], r["cum_tokens"]) for r in out2} == {
+        (r["doc_id"], r["cum_tokens"]) for r in out
+    }

@@ -75,6 +75,28 @@ def test_embedding_lsh_overfull_bucket_guard(spark):
     assert guarded == 0  # every bucket overfull -> dropped, loudly
 
 
+def test_minhash_lsh_overfull_bucket_guard(spark):
+    from indexlab_spark.operators.dedup import minhash_lsh_pairs
+
+    # 20 identical texts + 2 near-dup texts. The identical group fills
+    # every one of its band buckets past max_bucket=5 -> dropped (its
+    # pairs are exact dups, exact_dedup territory); the near-dup pair,
+    # whose buckets stay small, must survive the guard.
+    # the small pair is identical text so its band collision is certain
+    # (the test pins GUARD behavior — occupancy 2 < max_bucket survives)
+    boiler = "the same boilerplate line repeated in every mirror page"
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, boiler) for i in range(20)] + [(100, small), (101, small)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = minhash_lsh_pairs(df, threshold=0.5, max_bucket=None)
+    un_pairs = {(r["id_a"], r["id_b"]) for r in unguarded.collect()}
+    assert sum(1 for a, b in un_pairs if a < 20 and b < 20) == 20 * 19 // 2
+    guarded = minhash_lsh_pairs(df, threshold=0.5, max_bucket=5)
+    g_pairs = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert not any(a < 20 and b < 20 for a, b in g_pairs)  # clique dropped
+    assert (100, 101) in g_pairs  # small-bucket near-dups unaffected
+
+
 def test_duplicated_spans_merges_maximal_ranges(spark):
     from indexlab_spark.operators.dedup import duplicated_spans
 
@@ -106,6 +128,30 @@ def test_duplicated_spans_merges_maximal_ranges(spark):
     # 3 overlapping 6-grams (pos 0,1,2) merge to tokens [0, 7] in doc 0
     assert spans2[0] == (0, 7, 8)
     assert spans2[1] == (2, 9, 8)
+
+
+def test_remove_duplicated_spans_cuts_and_passes_through(spark):
+    from indexlab_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    rows = [
+        (0, f"{shared} unique tail zero xx yy"),
+        (1, f"own head one {shared} own tail one"),
+        (2, "totally different content with no overlap at all here"),
+        (3, shared),  # entirely one duplicated span -> empty clean text
+        (4, "tiny doc"),  # < k tokens: never enters gram generation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+        for r in remove_duplicated_spans(df, k=6, min_count=2).collect()
+    }
+    assert out[0] == (11, 5, "unique tail zero xx yy")
+    assert out[1] == (12, 6, "own head one own tail one")
+    # clean doc passes through whole (NULL-span coalesce guard)
+    assert out[2] == (9, 9, rows[2][1])
+    assert out[3] == (6, 0, "")
+    assert out[4] == (2, 2, "tiny doc")
 
 
 def test_cache_ring_survives_stale_sessions(spark):
