@@ -348,13 +348,19 @@ def _compare_parts(spark: SparkSession, sf_dir: str):
             ).alias("cos_score"),
         )
     )
+    # the scored frame feeds BOTH rankings, and hits_ip additionally
+    # feeds the gold derivation — pin so one collect doesn't re-run the
+    # cross join and its window sorts 3-4 times (functions/cache.pin)
+    from indexlab_spark.functions.cache import pin as _pin
+
+    pairs = _pin(pairs)
     w_ip = Window.partitionBy("query_id").orderBy(
         F.desc("ip_score"), F.asc("doc_id")
     )
     w_cos = Window.partitionBy("query_id").orderBy(
         F.desc("cos_score"), F.asc("doc_id")
     )
-    hits_ip = (
+    hits_ip = _pin(
         pairs.withColumn("rank", F.row_number().over(w_ip).cast("int"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "doc_id", "rank")
@@ -527,7 +533,7 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 dedup/exact-substring — maximal duplicated 8-token spans per
     document (the ExactSubstr semantic of Lee et al. 2022, public
     paper): k-gram hash frequencies in one map-side-combined agg,
-    gram-keyed join back, pos-row_number island merge. Nothing pairwise;
+    gram-keyed join back, gap-aware island merge. Nothing pairwise;
     cost ~ total tokens."""
     from indexlab_spark.operators.dedup import duplicated_spans
 
@@ -3247,7 +3253,12 @@ def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not spark.catalog.tableExists(ot):
             write_bucketed(ords, ot, "l_orderkey", buckets=8)
         joined = bucketed_join(spark, lt, ot, "l_orderkey")
-        print(f"bucketed_order_revenue: bucketed path ({lt} JOIN {ot})")
+        # stderr like every other diagnostic: the driver parses captured
+        # stdout, and a stray status line could displace the payload
+        print(
+            f"bucketed_order_revenue: bucketed path ({lt} JOIN {ot})",
+            file=sys.stderr,
+        )
     except Exception as e:  # noqa: BLE001 — filtered below, else re-raised
         env_failure = isinstance(e, (OSError, AnalysisException)) or any(
             m in str(e) for m in _IO_MARKERS
@@ -3256,7 +3267,8 @@ def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise
         print(
             "bucketed_order_revenue: FALLBACK plain join — "
-            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}",
+            file=sys.stderr,
         )
         joined = li.join(ords, "l_orderkey")
     return (
@@ -3552,7 +3564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
-        "token_budget_mix": _q_token_budget_mix,
         "hypertable_rollup": _q_hypertable_rollup,
         "jaccard_pairs": _q_jaccard_pairs,
         "lang_quality": _q_lang_quality,
@@ -3567,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST, before the r03 backfill:
         "duplicated_spans": _q_duplicated_spans,
         "clean_dup_spans": _q_clean_dup_spans,
+        "token_budget_mix": _q_token_budget_mix,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3657,7 +3669,14 @@ _COMPARE_CTES = """
                  FROM embeddings),
         pairs AS (SELECT q.query_id, c.doc_id,
                          round(list_dot_product(q.qv, c.v), 6) AS ip_score,
-                         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_score
+                         -- zero-norm guard: the Spark side scores
+                         -- zero-vector pairs 0.0, while DuckDB's
+                         -- list_cosine_similarity yields NaN (which
+                         -- sorts ABOVE real scores under DESC)
+                         round(CASE WHEN list_dot_product(q.qv, q.qv) > 0
+                                     AND list_dot_product(c.v, c.v) > 0
+                                    THEN list_cosine_similarity(q.qv, c.v)
+                                    ELSE 0.0 END, 6) AS cos_score
                   FROM q, corp c WHERE q.query_id <> c.doc_id),
         ip_hits AS (SELECT * FROM (
                        SELECT query_id, doc_id,
@@ -3889,10 +3908,16 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT gh, count(*) AS n FROM g GROUP BY 1),
                  marked AS (SELECT g.doc_id, g.pos
                             FROM g JOIN c USING (gh) WHERE c.n >= 2),
+                 lagd AS (SELECT doc_id, pos,
+                                 lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS prev
+                          FROM marked),
                  isl AS (SELECT doc_id, pos,
-                                pos - row_number() OVER (PARTITION BY doc_id
-                                                         ORDER BY pos) AS island
-                         FROM marked)
+                                sum(CASE WHEN pos - prev <= 8 THEN 0 ELSE 1 END)
+                                    OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+                         FROM lagd)
             SELECT doc_id,
                    CAST(min(pos) AS INTEGER) AS start_tok,
                    CAST(max(pos) + 7 AS INTEGER) AS end_tok,
@@ -3911,10 +3936,16 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT gh, count(*) AS n FROM g GROUP BY 1),
                  marked AS (SELECT g.doc_id, g.pos
                             FROM g JOIN c USING (gh) WHERE c.n >= 2),
+                 lagd AS (SELECT doc_id, pos,
+                                 lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS prev
+                          FROM marked),
                  isl AS (SELECT doc_id, pos,
-                                pos - row_number() OVER (PARTITION BY doc_id
-                                                         ORDER BY pos) AS island
-                         FROM marked),
+                                sum(CASE WHEN pos - prev <= 8 THEN 0 ELSE 1 END)
+                                    OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+                         FROM lagd),
                  spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
                            FROM isl GROUP BY doc_id, island),
                  tok_pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok

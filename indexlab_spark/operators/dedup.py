@@ -632,18 +632,6 @@ def embedding_lsh_pairs(
     r = n_planes // bands
     v = F.col(vec_col).cast("array<double>")
 
-    if multiprobe == "auto":
-        # one metadata-cheap count decides the flip budget
-        n_rows = df.count()
-        multiprobe = 1 if n_rows <= MULTIPROBE_AUTO_MAX_ROWS else 0
-        if not multiprobe:
-            print(
-                f"embedding_lsh_pairs: corpus {n_rows} rows > "
-                f"{MULTIPROBE_AUTO_MAX_ROWS} — multiprobe auto-disabled "
-                "(exact band-key matches only; set multiprobe=1 to force)",
-                file=sys.stderr,
-            )
-
     # One Arrow-batched matmul computes all n_planes dot-product signs per
     # batch — the vectorized path; n_planes separate Catalyst higher-order
     # folds were measured ~20x slower at the same result. Sign parity with a
@@ -672,6 +660,22 @@ def embedding_lsh_pairs(
     # probe side reads this frame too — persist so the n_planes signature
     # folds run once per row, not twice
     band_kv = _pin(band_kv)
+
+    if multiprobe == "auto":
+        # the flip-budget decision needs a row count. Counting the INPUT
+        # would launch a full job over its (possibly expensive, unpinned)
+        # lineage; counting the pinned band frame costs nothing extra —
+        # the candidate join below materializes it anyway, and each row
+        # contributes exactly ``bands`` band rows.
+        n_rows = band_kv.count() // bands
+        multiprobe = 1 if n_rows <= MULTIPROBE_AUTO_MAX_ROWS else 0
+        if not multiprobe:
+            print(
+                f"embedding_lsh_pairs: corpus {n_rows} rows > "
+                f"{MULTIPROBE_AUTO_MAX_ROWS} — multiprobe auto-disabled "
+                "(exact band-key matches only; set multiprobe=1 to force)",
+                file=sys.stderr,
+            )
 
     if max_bucket is not None:
         # Overfull-bucket guard: a degenerate band key (zero vectors, a
@@ -759,8 +763,8 @@ def duplicated_spans(
          deterministic);
       4. the join back to positions is gram-keyed — the duplicated-gram
          set scales with the corpus, so it is NOT broadcast;
-      5. span merging is the pos - row_number island trick under a
-         per-doc window.
+      5. span merging is a gap-aware island cumsum under a per-doc
+         window (windows merge iff their positions differ by <= k).
 
     Returns (id_col, start_tok, end_tok, n_tokens), positions 0-based
     inclusive.
@@ -769,7 +773,17 @@ def duplicated_spans(
 
     toks = _spread(
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-    ).filter(F.size("_toks") >= k)
+    )
+    return _spans_from_toks(toks, id_col, k, min_count)
+
+
+def _spans_from_toks(
+    toks: DataFrame, id_col: str, k: int, min_count: int
+) -> DataFrame:
+    """duplicated_spans body over an already-tokenized ``(id, _toks)``
+    frame — split out so remove_duplicated_spans can share ONE tokenize
+    pass (it needs the token arrays again for the cut)."""
+    toks = toks.filter(F.size("_toks") >= k)
     grams = toks.select(
         "id",
         F.posexplode(
@@ -789,8 +803,20 @@ def duplicated_spans(
         .select("gh")
     )
     marked = grams.join(dup, "gh").select("id", "pos")
+    # Island merge must be GAP-AWARE: two marked windows [p, p+k-1] and
+    # [q, q+k-1] overlap or touch iff q - p <= k, so they belong to one
+    # maximal span even when q > p + 1. The classic pos - row_number
+    # trick merges only CONSECUTIVE positions and would emit two
+    # overlapping span rows for p=0, q=2, k=3 — double-counting the
+    # shared tokens and breaking the non-overlapping contract.
     w = Window.partitionBy("id").orderBy("pos")
-    isl = marked.withColumn("_island", F.col("pos") - F.row_number().over(w))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = marked.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)  # first pos per doc (lag NULL) also starts an island
+        ),
+    ).withColumn("_island", F.sum("_new").over(w_cum))
     return (
         isl.groupBy("id", "_island")
         .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
@@ -827,12 +853,19 @@ def remove_duplicated_spans(
     """
     from indexlab_spark.operators.textstats import tokens
 
-    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    # ONE tokenize pass feeds both the span detection and the cut —
+    # pinned because both branches consume it
+    toks_all = _pin(
+        _spread(
+            df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        )
+    )
+    spans = _spans_from_toks(toks_all, id_col, k, min_count)
     spans_agg = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
     )
     base = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        toks_all
         .join(
             spans_agg.withColumnRenamed(id_col, "id"), "id", "left"
         )

@@ -330,7 +330,13 @@ def read_html_tree(spark: SparkSession, root_dir: str) -> DataFrame:
     # against `kept` would read every file's bytes and then discard the
     # over-cap ones; passing the explicit file list bounds the content
     # IO itself, like the reference walk's early stop (reader.py:100-133).
-    kept_paths = [r["path"] for r in kept.collect()]
+    # load() treats every path as a Hadoop GLOB: a literal filename like
+    # 'intro[1].htm' (a very common CHM/browser-cache artifact name)
+    # would be expanded as a character class — PATH_NOT_FOUND, or worse
+    # a silently-matched sibling file. Backslash-escape the glob
+    # metacharacters so each collected path is read literally.
+    _GLOB_META = re.compile(r"([*?\[\]{}\\])")
+    kept_paths = [_GLOB_META.sub(r"\\\1", r["path"]) for r in kept.collect()]
     if not kept_paths:
         return spark.createDataFrame([], "path string, text string")
     content = spark.read.format("binaryFile").load(kept_paths)

@@ -128,6 +128,27 @@ def test_duplicated_spans_merges_maximal_ranges(spark):
     # 3 overlapping 6-grams (pos 0,1,2) merge to tokens [0, 7] in doc 0
     assert spans2[0] == (0, 7, 8)
     assert spans2[1] == (2, 9, 8)
+    # GAP-AWARE merge: marked positions 0 and 2 with k=3 overlap on
+    # token 2 — one maximal span, not two overlapping rows; marked
+    # positions farther apart than k stay separate spans
+    df3 = spark.createDataFrame(
+        [
+            (0, "a b c d e"),                     # 'a b c' + 'c d e' dup
+            (1, "a b c q r"),                     # donor of 'a b c'
+            (2, "p q c d e"),                     # donor of 'c d e'
+            (3, "a b c m1 m2 m3 m4 c d e"),       # gap 7 > k -> 2 spans
+        ],
+        "doc_id long, text string",
+    )
+    spans3 = {}
+    for r in duplicated_spans(df3, k=3, min_count=2).collect():
+        spans3.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"], r["n_tokens"])
+        )
+    assert spans3[0] == [(0, 4, 5)]  # merged maximal span, no overlap
+    assert spans3[1] == [(0, 2, 3)]
+    assert spans3[2] == [(2, 4, 3)]
+    assert sorted(spans3[3]) == [(0, 2, 3), (7, 9, 3)]
 
 
 def test_remove_duplicated_spans_cuts_and_passes_through(spark):
@@ -161,12 +182,32 @@ def test_cache_ring_survives_stale_sessions(spark):
         def unpersist(self, *_):
             raise RuntimeError("stopped session")
 
+    class _Live:
+        released = 0
+
+        def unpersist(self, *_):
+            _Live.released += 1
+
     cache._RINGS.clear()
-    cache._RINGS[12345] = [_Broken()] * 3  # a dead session's leftovers
+    # another session's ring is NOT dropped just for being another
+    # session (newSession() shares a live JVM — dropping would leak)
+    cache._RINGS[12345] = [_Broken()] * 3
     df = spark.range(5)
     out = cache.pin(df)
     assert out.count() == 5
-    assert 12345 not in cache._RINGS  # stale ring dropped wholesale
+    assert 12345 in cache._RINGS
+    # ... but past MAX_RINGS the oldest other ring is evicted with
+    # best-effort unpersist: broken (stopped-session) frames are
+    # swallowed, live frames are actually released
+    cache._RINGS.clear()
+    cache._RINGS[1] = [_Broken()] * 2
+    cache._RINGS[2] = [_Live(), _Live()]
+    for k in range(3, 3 + cache.MAX_RINGS - 1):
+        cache._RINGS[k] = []  # 5 rings total; pin() makes 6 -> evict 2
+    assert cache.pin(spark.range(2)).count() == 2
+    assert 1 not in cache._RINGS and 2 not in cache._RINGS
+    assert _Live.released == 2
+    assert len(cache._RINGS) == cache.MAX_RINGS
     # eviction of a broken entry inside the LIVE ring must not raise
     key = id(df.sparkSession)
     cache._RINGS[key] = [_Broken()] * cache.RING_MAX
@@ -230,3 +271,22 @@ def test_write_bucketed_non_overwrite_never_touches_orphan(spark):
         import shutil
 
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_read_html_tree_literal_glob_filenames(spark, tmp_path):
+    from indexlab_spark.sources.reader import read_html_tree
+
+    # 'intro[1].htm' is a common CHM/browser-cache artifact name; the
+    # content load must treat collected paths literally, not as Hadoop
+    # globs (where [1] is a character class matching 'intro1.htm')
+    d = tmp_path / "tree"
+    d.mkdir()
+    (d / "intro[1].htm").write_text("<html><body>bracket page</body></html>")
+    (d / "intro1.htm").write_text("<html><body>plain page</body></html>")
+    out = {
+        os.path.basename(r["path"]): r["text"]
+        for r in read_html_tree(spark, str(d)).collect()
+    }
+    assert len(out) == 2
+    assert any("bracket page" in t for t in out.values())
+    assert any("plain page" in t for t in out.values())

@@ -188,3 +188,24 @@ def test_q20_lineitem_scanned_once(spark, sf_dir):
         if "Scan parquet" in l and "lineitem" in l
     )
     assert li_scans == 1, f"lineitem scanned {li_scans}x"
+
+
+def test_token_budget_mix_no_global_window(spark, sf_dir):
+    """The per-source cumsum must stay two-level (windows partitioned by
+    (grp, bucket) / grp over the tiny offset frame) — never a
+    SinglePartition sort, and the offset + budget frames arrive as
+    broadcasts."""
+    plan = _plan(spark, sf_dir, "token_budget_mix")
+    assert "SinglePartition" not in plan
+    _, broadcasts = _counts(spark, sf_dir, "token_budget_mix")
+    assert broadcasts >= 2  # offsets frame + budgets table
+
+
+def test_clean_dup_spans_no_driver_side_ops(spark, sf_dir):
+    """Span detection + cut stay distributed: gram frequencies are a
+    map-side-combined agg (partial_count before the exchange), and the
+    dup-gram set joins back by key — never a broadcast (it scales with
+    the corpus), never a SinglePartition stage."""
+    plan = _plan(spark, sf_dir, "clean_dup_spans")
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan  # map-side combine on the gram agg
