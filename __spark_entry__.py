@@ -587,6 +587,25 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/minhash-incremental — near-dup pairs involving the NEW
+    batch (doc_id % 5 == 0) against the existing corpus via its
+    signature index: old docs are never re-hashed, verification re-reads
+    text only for candidate docs. Union with the old corpus's own pairs
+    reproduces the batch operator exactly (pinned by
+    test_minhash_incremental_matches_batch)."""
+    from indexlab_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 dedup/simhash — 60-bit sign-aggregated fingerprints."""
     from indexlab_spark.operators.dedup import simhash
@@ -3579,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _q_duplicated_spans,
         "clean_dup_spans": _q_clean_dup_spans,
         "token_budget_mix": _q_token_budget_mix,
+        "minhash_incremental": _q_minhash_incremental,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4032,6 +4052,35 @@ def oracle_sql() -> dict[str, str]:
                 JOIN szs sa ON sa.id = c.id_a
                 JOIN szs sb ON sb.id = c.id_b)
             SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+        """,
+        "minhash_incremental": f"""
+            -- identical banding/verification to minhash_lsh, restricted
+            -- to pairs involving the NEW batch (doc_id % 5 = 0): a doc's
+            -- signature is corpus-independent, so the incremental
+            -- operator's output is exactly this slice of the batch run
+            WITH {_SHINGLE_CTES},
+            sigs AS (SELECT doc_id AS id, shingles FROM sh WHERE len(shingles) > 0),
+            bands AS (
+                SELECT id, band_no,
+                       md5(list_min(list_transform(shingles,
+                               s -> md5(CAST(2 * band_no AS VARCHAR) || '|' || s)))
+                           || '|' ||
+                           list_min(list_transform(shingles,
+                               s -> md5(CAST(2 * band_no + 1 AS VARCHAR) || '|' || s))))
+                       AS key
+                FROM sigs, unnest(generate_series(0, 7)) AS tt(band_no)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band_no = b.band_no AND a.key = b.key AND a.id < b.id),
+            verified AS (
+                SELECT c.id_a, c.id_b,
+                       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+                FROM cand c
+                JOIN pair_inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+                JOIN szs sa ON sa.id = c.id_a
+                JOIN szs sb ON sb.id = c.id_b)
+            SELECT id_a, id_b, jaccard FROM verified
+            WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
         """,
         "simhash": f"""
             WITH {_SHINGLE_CTES},

@@ -184,30 +184,7 @@ def jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    materialize: bool = True,
-    max_bucket: int | None = 100_000,
-) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
-
-    shingle -> signature (num_hashes min-md5s) -> ``bands`` band keys ->
-    self-join on (band index, key) -> distinct candidate pairs -> exact
-    jaccard filter. With b bands of r rows the capture probability is
-    1-(1-j^r)^b — b=4, r=4 keeps j>=0.7 pairs with P>~0.93 while pruning
-    the low-similarity mass that makes all-pairs quadratic.
-
-    ``materialize`` persists the exploded shingle frame — it feeds the
-    signature, both verify sides and the size table, and without the
-    cache each branch re-runs tokenize+shingle over the corpus. At very
-    large scale write it to a bucketed table instead.
-    """
+def _check_banding(num_hashes: int, bands: int) -> int:
     if bands < 1 or num_hashes % bands != 0:
         # bands > num_hashes would give rows=0 and a CONSTANT band key —
         # every doc collides and the "prune" silently degenerates to the
@@ -218,15 +195,30 @@ def minhash_lsh_pairs(
             f"num_hashes={num_hashes} must be a positive multiple of "
             f"bands={bands}"
         )
-    rows = num_hashes // bands
-    exploded = exploded_shingles(df, id_col, text_col, n)
-    if materialize:
-        exploded = _pin(exploded)
-    # signatures computed INSIDE one Arrow pass: hashlib.md5 across all
-    # cores beats both the per-row array-transform expression tree and a
-    # 16-way md5 min-aggregate over the exploded rows (the md5 hex
-    # strings are byte-identical to SQL md5, so the min-per-seed is the
-    # same permutation proxy the oracle computes)
+    return num_hashes // bands
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """``(id, sz, m0..m{num_hashes-1})`` MinHash signature frame — the
+    persistable dedup INDEX. ``sz`` is the distinct-shingle count (the
+    denominator side of exact-Jaccard verification); ``mK`` is the min
+    over the doc's shingles of ``md5("K|" + shingle)`` — hex strings
+    compare lexicographically, so each seed is an independent
+    permutation proxy, byte-identical to the SQL oracle's.
+
+    Signatures computed INSIDE one Arrow pass: hashlib.md5 across all
+    cores beats both the per-row array-transform expression tree and a
+    num_hashes-way md5 min-aggregate over exploded shingle rows.
+
+    Write this frame to a table per corpus version and incremental
+    ingestion (minhash_incremental_pairs) never re-hashes old docs.
+    """
     import hashlib as _hashlib
 
     import pandas as pd
@@ -253,21 +245,58 @@ def minhash_lsh_pairs(
             yield pd.DataFrame(out)
 
     src = _spread(df.select(id_col, text_col))
-    sig = src.mapInPandas(
+    return src.mapInPandas(
         _sigs,
         f"id {id_t}, sz int, " + ", ".join(f"m{i} string" for i in range(num_hashes)),
     )
-    if materialize:
-        sig = _pin(sig)
-    band_cols = [
+
+
+def _band_key_cols(num_hashes: int, bands: int) -> list:
+    rows = num_hashes // bands
+    return [
         F.md5(
             F.concat_ws("|", *[F.col(f"m{b * rows + j}") for j in range(rows)])
         ).alias(f"band{b}")
         for b in range(bands)
     ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    materialize: bool = True,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    shingle -> signature (num_hashes min-md5s) -> ``bands`` band keys ->
+    self-join on (band index, key) -> distinct candidate pairs -> exact
+    jaccard filter. With b bands of r rows the capture probability is
+    1-(1-j^r)^b — b=4, r=4 keeps j>=0.7 pairs with P>~0.93 while pruning
+    the low-similarity mass that makes all-pairs quadratic.
+
+    ``materialize`` persists the exploded shingle frame — it feeds the
+    signature, both verify sides and the size table, and without the
+    cache each branch re-runs tokenize+shingle over the corpus. At very
+    large scale write it to a bucketed table instead.
+    """
+    _check_banding(num_hashes, bands)
+    exploded = exploded_shingles(df, id_col, text_col, n)
+    if materialize:
+        exploded = _pin(exploded)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if materialize:
+        sig = _pin(sig)
     buckets = sig.select(
         "id",
-        F.posexplode(F.array(*band_cols)).alias("band", "key"),
+        F.posexplode(F.array(*_band_key_cols(num_hashes, bands))).alias(
+            "band", "key"
+        ),
     )
     if max_bucket is not None:
         # Overfull-bucket guard (same policy as embedding_lsh_pairs): a
@@ -309,7 +338,15 @@ def minhash_lsh_pairs(
     )
     # exact-jaccard verification restricted to CANDIDATES only — the full
     # shingle self-join would be the quadratic blowup LSH exists to avoid
-    sizes = sig.select("id", "sz")
+    return _verify_jaccard(cand, exploded, sig.select("id", "sz"), threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, exploded: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard filter over a candidate pair frame: |A ∩ B| by
+    joining the (id, shingle) frame on both sides restricted to the
+    candidates, |A|/|B| from the precomputed size table."""
     inter = (
         cand.join(exploded.withColumnRenamed("id", "id_a"), "id_a")
         .join(exploded.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
@@ -328,6 +365,106 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    old_sigs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Incremental MinHash dedup for streaming/batch ingestion: verified
+    near-dup pairs INVOLVING at least one NEW document, checked against
+    an existing corpus via its signature index. Old-old pairs are by
+    contract already known from the previous run and are not re-emitted,
+    so ``minhash_lsh_pairs(old ∪ new) == minhash_lsh_pairs(old) ∪
+    this`` exactly (banding is deterministic per document — a doc's
+    signature does not depend on the rest of the corpus).
+
+    Ids of ``new_df`` and ``old_df`` must be disjoint.
+
+    Scale design — the whole point of the index:
+    - old documents are never re-tokenized or re-hashed: pass
+      ``old_sigs`` (the persisted :func:`minhash_signatures` table for
+      the current corpus version); it is recomputed from ``old_df``
+      only as a convenience fallback.
+    - the candidate join probes NEW band keys against the combined
+      bucket table, so its cost scales with the new batch, not the
+      corpus.
+    - exact-Jaccard verification re-reads text ONLY for documents that
+      appear in some candidate pair (semi-join before shingling), and
+      sizes come from the signature frames — the old corpus scan is
+      candidate-bounded.
+    """
+    import sys
+
+    _check_banding(num_hashes, bands)
+    if old_sigs is None:
+        old_sigs = minhash_signatures(old_df, id_col, text_col, n, num_hashes)
+    new_sigs = _pin(minhash_signatures(new_df, id_col, text_col, n, num_hashes))
+    band_cols = _band_key_cols(num_hashes, bands)
+
+    def _buckets(s):
+        return s.select(
+            "id", "sz", F.posexplode(F.array(*band_cols)).alias("band", "key")
+        )
+
+    new_b = _pin(_buckets(new_sigs).withColumn("is_new", F.lit(True)))
+    all_b = _pin(
+        new_b.unionByName(
+            _buckets(old_sigs).withColumn("is_new", F.lit(False))
+        )
+    )
+    if max_bucket is not None:
+        hot = _pin(
+            all_b.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("band", "key")
+        )
+        if hot.count():
+            print(
+                "minhash_incremental_pairs: dropping overfull (band,key) "
+                f"buckets with > {max_bucket} members (same policy as "
+                "minhash_lsh_pairs)",
+                file=sys.stderr,
+            )
+            new_b = new_b.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            all_b = all_b.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # probe NEW keys against the combined buckets; normalize pair order
+    # afterwards so (new, old) and (new, new) pairs dedup identically to
+    # the batch operator's a.id < b.id convention
+    cand = (
+        new_b.alias("a")
+        .join(all_b.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = _pin(cand)
+    cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    # shingle ONLY candidate docs (old text re-read is candidate-bounded)
+    touched = (
+        old_df.select(F.col(id_col), F.col(text_col))
+        .unionByName(new_df.select(F.col(id_col), F.col(text_col)))
+        .join(cand_ids.withColumnRenamed("id", id_col), id_col, "semi")
+    )
+    exploded = exploded_shingles(touched, id_col, text_col, n)
+    sizes = new_sigs.select("id", "sz").unionByName(
+        old_sigs.select("id", "sz")
+    )
+    return _verify_jaccard(cand, exploded, sizes, threshold)
 
 
 def simhash(

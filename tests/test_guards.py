@@ -290,3 +290,36 @@ def test_read_html_tree_literal_glob_filenames(spark, tmp_path):
     assert len(out) == 2
     assert any("bracket page" in t for t in out.values())
     assert any("plain page" in t for t in out.values())
+
+
+def test_minhash_incremental_matches_batch(spark, sf_dir):
+    from indexlab_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from indexlab_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    kw = dict(num_hashes=16, bands=8, threshold=0.5)
+
+    def pairs(df_):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in df_.collect()
+        }
+
+    full = pairs(minhash_lsh_pairs(docs, **kw))
+    old_only = pairs(minhash_lsh_pairs(old, **kw))
+    inc = pairs(minhash_incremental_pairs(new, old, **kw))
+    # every incremental pair involves a new doc, and the union is EXACTLY
+    # the batch result — the contract that makes the index trustworthy
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b, _ in inc)
+    assert old_only | inc == full
+    assert old_only.isdisjoint(inc)
+    # a persisted signature index gives the identical answer
+    sigs = minhash_signatures(old, num_hashes=16)
+    inc2 = pairs(minhash_incremental_pairs(new, old, old_sigs=sigs, **kw))
+    assert inc2 == inc

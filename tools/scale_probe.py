@@ -120,17 +120,22 @@ def main() -> None:
     emb1.count(), embN.count()
 
     from indexlab_spark.operators.bm25 import bm25_build
-    from indexlab_spark.operators.curation import quality_flags, redact_pii
+    from indexlab_spark.operators.curation import (
+        quality_flags,
+        redact_pii,
+        token_budget_mix,
+    )
     from indexlab_spark.operators.dedup import (
         connected_components,
         embedding_lsh_pairs,
         exact_dedup,
         jaccard_pairs,
         minhash_lsh_pairs,
+        remove_duplicated_spans,
         simhash,
     )
 
-    def cases(docs, ev, emb):
+    def cases(docs, ev, emb, scale=1):
         def _bm25():
             ts_, dl_, g_ = bm25_build(docs)
             k = ts_.count() + g_.count()
@@ -164,6 +169,18 @@ def main() -> None:
             "quality_pii": lambda: (
                 quality_flags(docs).count() + redact_pii(docs).count()
             ),
+            # cost ~ total tokens (gram agg + join-back + per-row cut):
+            # should be near-linear; a pair-explosion here would mean the
+            # gram-frequency join degenerated
+            "clean_dup_spans": lambda: remove_duplicated_spans(
+                docs, k=8
+            ).count(),
+            # budgets scaled with the corpus (x n at Nx) so the kept
+            # fraction — and thus the work past the cumsum — is constant
+            "token_budget_mix": lambda: token_budget_mix(
+                docs,
+                budgets={f"src{i}": 700 * scale for i in range(20)},
+            ).count(),
             "session_native": lambda: (
                 ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
                 .count()
@@ -189,7 +206,7 @@ def main() -> None:
     out = {}
     for name, fn in cases(docs1, ev1, emb1).items():
         t1, v1 = timed_min2(fn)
-        tn, vn = timed_min2(cases(docsN, evN, embN)[name])
+        tn, vn = timed_min2(cases(docsN, evN, embN, n)[name])
         out[name] = {
             "t1": round(t1, 2),
             f"t{n}": round(tn, 2),
