@@ -552,6 +552,24 @@ def _q_clean_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(docs, k=8)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/line-level — C4-style corpus-wide exact line dedup
+    (Raffel et al. 2020 §2.2): every repeated line keeps only its first
+    (id, position) occurrence; documents are rebuilt from surviving
+    lines. First occurrences come from a map-side-combinable
+    min(struct(id,pos)) agg — NOT a window — so a line duplicated a
+    billion times never funnels through one sorting reducer; the keep
+    mark is an AQE-skew-splittable equi-join. The synthetic corpus has
+    no newlines, so the registry instantiation runs the same operator at
+    token granularity (delimiter=' ', min_chars=4) — deliberately
+    hot-keyed: the ~40-word vocabulary makes every eligible token a
+    mega-group, stressing exactly the skew path the design avoids."""
+    from indexlab_spark.operators.dedup import line_dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return line_dedup(docs, delimiter=" ", min_chars=4)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 dedup/exact — hash-groupBy duplicate groups (one shuffle on the
     text hash; no pairwise work)."""
@@ -1149,6 +1167,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return decontaminate(train, bench, n=5)
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — the SCALE PATH of decontamination: distinct benchmark
+    shingles fold into a Bloom bitmap distributedly (per-partition numpy
+    bitmaps, treeReduce OR-merge), the broadcast bitmap prefilters train
+    shingles in an Arrow-batched membership test, and survivors
+    exact-verify via a candidate-sized SHUFFLE join — nothing benchmark-
+    sized is ever broadcast as strings. False positives die in the
+    verify join, so the result — and the oracle — is EXACTLY
+    decontaminate()'s."""
+    from indexlab_spark.operators.curation import bloom_decontaminate
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return bloom_decontaminate(train, bench, n=5)
 
 
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3599,6 +3634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_dup_spans": _q_clean_dup_spans,
         "token_budget_mix": _q_token_budget_mix,
         "minhash_incremental": _q_minhash_incremental,
+        "line_dedup": _q_line_dedup,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3607,6 +3644,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
     }
+
+
+_DECON_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 5 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 4),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4]))
+               ELSE CAST([] AS VARCHAR[]) END AS shingles
+        FROM toks),
+    tsh AS (SELECT doc_id AS id, unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % 17 <> 0),
+    bsh AS (SELECT DISTINCT shingle FROM
+            (SELECT unnest(shingles) AS shingle FROM sh
+             WHERE doc_id % 17 = 0))
+    SELECT t.id, count(DISTINCT t.shingle) AS n_overlap,
+           count(DISTINCT t.shingle) >= 1 AS contaminated
+    FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+    GROUP BY 1
+"""
 
 
 _BM25_CTES = """
@@ -3983,6 +4047,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(ka.n_kept, 0) AS n_kept,
                    coalesce(ka.clean_text, '') AS clean_text
             FROM toks t LEFT JOIN ka USING (doc_id)
+        """,
+        "line_dedup": """
+            WITH lines AS (
+                SELECT id, u.pos - 1 AS pos, u.line FROM (
+                    SELECT doc_id AS id,
+                           unnest(list_transform(string_split(text, ' '),
+                               (x, i) -> struct_pack(pos := i, line := x))) AS u
+                    FROM documents)),
+                 elig AS (SELECT * FROM lines WHERE length(line) >= 4),
+                 marked AS (
+                     SELECT id, pos, line,
+                            row_number() OVER (PARTITION BY line
+                                               ORDER BY id, pos) = 1 AS keep
+                     FROM elig),
+                 alll AS (SELECT * FROM marked
+                          UNION ALL
+                          SELECT id, pos, line, TRUE
+                          FROM lines WHERE length(line) < 4)
+            SELECT id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                                       ORDER BY pos), '') AS clean_text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed
+            FROM alll GROUP BY 1
         """,
         "index_catalog": """
             WITH v AS (SELECT source AS index_name,
@@ -4486,31 +4575,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM p)
             SELECT id, redacted, redacted <> text AS changed FROM r
         """,
-        "decontaminate": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS t
-                FROM documents),
-            sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 5 THEN
-                           list_distinct(list_transform(
-                               generate_series(1, len(t) - 4),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                    || ' ' || t[i+3] || ' ' || t[i+4]))
-                       ELSE CAST([] AS VARCHAR[]) END AS shingles
-                FROM toks),
-            tsh AS (SELECT doc_id AS id, unnest(shingles) AS shingle
-                    FROM sh WHERE doc_id % 17 <> 0),
-            bsh AS (SELECT DISTINCT shingle FROM
-                    (SELECT unnest(shingles) AS shingle FROM sh
-                     WHERE doc_id % 17 = 0))
-            SELECT t.id, count(DISTINCT t.shingle) AS n_overlap,
-                   count(DISTINCT t.shingle) >= 1 AS contaminated
-            FROM tsh t JOIN bsh b ON t.shingle = b.shingle
-            GROUP BY 1
-        """,
+        # bloom_decontaminate is decontaminate's scale path with an
+        # EXACTLY-equal result (Bloom false positives die in the verify
+        # join) — both keys share one oracle by construction.
+        "decontaminate": _DECON_ORACLE,
+        "bloom_decontaminate": _DECON_ORACLE,
         "hash_sample": """
             SELECT doc_id,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_prefix,

@@ -5,8 +5,11 @@ a 100 TB training-data pipeline additionally needs corpus *curation*:
 rule-based quality filtering (Gopher-style), repetition detection,
 PII redaction, benchmark decontamination, and deterministic sampling.
 Everything here is pure Catalyst expressions / built-in SQL functions —
-no Python UDFs anywhere — so each operator is 1:1 expressible in the
-DuckDB oracle and stays inside WholeStageCodegen at scale.
+so each operator is 1:1 expressible in the DuckDB oracle and stays
+inside WholeStageCodegen at scale. The ONE exception is
+``bloom_decontaminate``'s Arrow-batched membership test: the Bloom
+bitmap lives outside SQL by nature, and its false positives are killed
+by an exact join, so the operator's RESULT remains oracle-expressible.
 
 Scale notes per operator are in the docstrings; the common theme:
 per-document signals are shuffle-free maps, cross-document steps
@@ -16,10 +19,14 @@ bounded key and broadcast the small side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from indexlab_spark.functions.cache import pin as _pin
 from indexlab_spark.operators.textstats import STOPWORDS, tokens
+from indexlab_spark.plans.colocate import fan_out as _fan_out
 
 # Gopher-ish rule thresholds (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
@@ -247,6 +254,134 @@ def decontaminate(
         .distinct()
     )
     hits = t_sh.join(F.broadcast(b_sh), "shingle")
+    per_doc = hits.groupBy("id").agg(
+        F.count_distinct("shingle").alias("n_overlap")
+    )
+    if keep_clean:
+        per_doc = (
+            train.select(_c(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .na.fill({"n_overlap": 0})
+        )
+    return per_doc.select(
+        "id", "n_overlap", (F.col("n_overlap") >= 1).alias("contaminated")
+    )
+
+
+def _bloom_build(hashes_df: DataFrame, n_items: int, fpp: float):
+    """Distributed Bloom-filter build over an int64 hash column ``h``:
+    each partition sets its bits into a local numpy bitmap, partials are
+    OR-reduced tree-wise. Returns ``(bitmap bytes, m_bits, k_probes)``.
+
+    Sizing is the standard formula (m = -n ln p / ln²2, k = m/n ln 2).
+    At 100M benchmark shingles and fpp=0.01 the bitmap is ~120 MB —
+    treeReduce keeps the driver merge at O(log partitions) transfers,
+    and the result broadcasts where 100M raw shingle strings (tens of
+    GB) could not.
+    """
+    import math
+
+    n = max(n_items, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+
+    def _partial(rows):
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        h = np.fromiter((r[0] for r in rows), dtype=np.int64).view(np.uint64)
+        if h.size:
+            h1 = h % np.uint64(m)
+            h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd -> full cycle
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits, (idx >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(1, (idx & np.uint64(7)).astype(np.int64))
+                    .astype(np.uint8),
+                )
+        yield bits
+
+    bitmap = (
+        hashes_df.select("h").rdd.mapPartitions(_partial)
+        .treeReduce(lambda a, b: np.bitwise_or(a, b))
+    )
+    return bitmap.tobytes(), m, k
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_clean: bool = False,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Benchmark decontamination, Bloom-prefiltered — the scale path of
+    :func:`decontaminate` for when the benchmark shingle set is too
+    large to broadcast as raw strings (a 100M-shingle eval suite is tens
+    of GB of text but a ~120 MB Bloom bitmap at fpp=0.01).
+
+    Three phases, result EXACTLY equal to :func:`decontaminate`:
+
+    1. build: distinct benchmark shingles are xxhash64'd (JVM-side) and
+       OR-folded into one Bloom bitmap distributedly (`_bloom_build` —
+       per-partition numpy bitmaps, treeReduce merge, no driver-side
+       collect of the shingle set).
+    2. prefilter: the broadcast bitmap tests every train shingle in an
+       Arrow-batched pandas_udf over its xxhash64 — a shuffle-free map
+       that drops ~(1-fpp) of non-matching shingles before any join.
+    3. verify: surviving candidate shingles exact-join the benchmark
+       shingle strings with a plain SHUFFLE join — both sides are now
+       candidate-sized, so nothing large is broadcast or replicated;
+       Bloom false positives die here, which is why the output is exact.
+
+    The xxhash64 values never leave the plan (the oracle-visible result
+    is defined purely by string equality), so using a JVM-specific hash
+    is safe here, unlike in the md5-portable dedup family.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from indexlab_spark.functions.hashing import token_shingles
+
+    t_sh = _fan_out(
+        train.select(
+            _c(id_col).alias("id"),
+            F.explode(token_shingles(_c(text_col), n)).alias("shingle"),
+        )
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(token_shingles(_c(text_col), n)).alias("shingle")
+        ).distinct()
+    )
+    b_sh = _pin(b_sh)
+    b_hash = b_sh.select(F.xxhash64("shingle").alias("h"))
+    n_items = b_hash.count()  # one small job over the pinned frame
+    bitmap, m, k = _bloom_build(b_hash, n_items, fpp)
+
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast((bitmap, m, k))
+
+    @pandas_udf("boolean")
+    def _might_contain(h: pd.Series) -> pd.Series:
+        raw, m_, k_ = bc.value
+        bits = np.frombuffer(raw, dtype=np.uint8)
+        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = hv % np.uint64(m_)
+        h2 = (hv >> np.uint64(33)) | np.uint64(1)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k_):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_)
+            ok &= (
+                bits[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.int64)
+            ).astype(np.uint8) & 1 == 1
+        return pd.Series(ok)
+
+    candidates = t_sh.where(_might_contain(F.xxhash64("shingle")))
+    # exact verify: plain shuffle join (NO broadcast hint) — candidate-
+    # sized vs benchmark shingles; false positives are eliminated here
+    hits = candidates.join(b_sh, "shingle")
     per_doc = hits.groupBy("id").agg(
         F.count_distinct("shingle").alias("n_overlap")
     )

@@ -1118,3 +1118,81 @@ def semantic_dedup_keep(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (C4-style, Raffel et al.
+    2020 §2.2; also RefinedWeb's exact line dedup): every line that
+    occurs more than once ACROSS THE WHOLE CORPUS keeps only its first
+    occurrence (ordered by ``(id, line position)``); later occurrences
+    are cut and each document is rebuilt from its surviving lines in
+    original order.
+
+    Lines shorter than ``min_chars`` are never deduplicated (blank lines
+    and trivial separators stay put — with the default ``min_chars=1``
+    empty lines survive everywhere). ``delimiter`` is a LITERAL string
+    (regex-escaped before the split), so the operator doubles as a
+    sentence-/token-granular first-occurrence filter on corpora without
+    newlines.
+
+    Returns one row per input document:
+    ``(id, clean_text, n_lines, n_removed)`` — documents whose every
+    line was removed come back with ``clean_text = ''``, never dropped.
+
+    Scale plan (100 TB): first occurrences are found with a
+    ``groupBy(line).agg(min(struct(id, pos)))`` — a map-side-combinable
+    aggregation, NOT a window, so a line duplicated a billion times
+    costs one partial min per map task instead of a single-reducer sort.
+    The keep-mark is then an equi-join of eligible lines against that
+    winners frame on the line string; a pathological hot line skews the
+    JOIN, which AQE's skew-join splitting handles (a window over the
+    same key could not be split). Two shuffles total on line granularity
+    (winners agg + join) plus the per-document rebuild shuffle on id;
+    the rebuild array is bounded by the document's own size. Short lines
+    bypass the join entirely (filter before shuffle).
+    """
+    import re as _re
+
+    lines = _pin(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(delimiter), -1)
+            ).alias("pos", "line"),
+        )
+    )
+    elig = lines.where(F.length("line") >= min_chars)
+    first = elig.groupBy("line").agg(F.min(F.struct("id", "pos")).alias("w"))
+    marked = (
+        elig.join(first, "line")
+        .select(
+            "id",
+            "pos",
+            "line",
+            (
+                (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+            ).alias("keep"),
+        )
+    )
+    short = lines.where(F.length("line") < min_chars).select(
+        "id", "pos", "line", F.lit(True).alias("keep")
+    )
+    merged = marked.unionByName(short)
+    kept_sorted = F.transform(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("pos", "line", "keep"))),
+            lambda x: x["keep"],
+        ),
+        lambda x: x["line"],
+    )
+    return merged.groupBy("id").agg(
+        F.array_join(kept_sorted, delimiter).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+    )

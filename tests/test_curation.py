@@ -318,3 +318,75 @@ def test_token_budget_mix_semantics(spark):
     assert {(r["doc_id"], r["cum_tokens"]) for r in out2} == {
         (r["doc_id"], r["cum_tokens"]) for r in out
     }
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The Bloom scale path must be RESULT-identical to the exact
+    broadcast path — false positives are killed by the verify join,
+    false negatives are impossible by Bloom construction. Checked at
+    fpp=0.5 too (a deliberately bad bitmap floods the verify join with
+    false positives; output must not change)."""
+    from indexlab_spark.operators.curation import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "news: the quick brown fox jumps over a fence"),
+            (1, "completely unrelated text about spark query planning engines"),
+            (2, "the quick brown fox jumps over the lazy dog verbatim copy"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["id"]: r.asDict()
+        for r in decontaminate(train, bench, n=5, keep_clean=True).collect()
+    }
+    for fpp in (0.01, 0.5):
+        bloom = {
+            r["id"]: r.asDict()
+            for r in bloom_decontaminate(
+                train, bench, n=5, keep_clean=True, fpp=fpp
+            ).collect()
+        }
+        assert bloom == exact, f"fpp={fpp}"
+    assert exact[0]["contaminated"] and exact[2]["contaminated"]
+    assert not exact[1]["contaminated"]
+
+
+def test_bloom_build_no_false_negatives(spark):
+    """Every inserted hash must test positive (Bloom's hard guarantee);
+    a disjoint probe set at fpp=0.01 should be mostly negative."""
+    import numpy as np
+
+    from indexlab_spark.operators.curation import _bloom_build
+
+    inserted = spark.range(0, 2000).selectExpr("xxhash64(id) AS h")
+    raw, m, k = _bloom_build(inserted, 2000, 0.01)
+    bits = np.frombuffer(raw, dtype=np.uint8)
+
+    def contains(hv: np.ndarray) -> np.ndarray:
+        hv = hv.view(np.uint64)
+        h1 = hv % np.uint64(m)
+        h2 = (hv >> np.uint64(33)) | np.uint64(1)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            ok &= (
+                bits[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.int64)
+            ).astype(np.uint8) & 1 == 1
+        return ok
+
+    ins = np.array(
+        [r["h"] for r in inserted.collect()], dtype=np.int64
+    )
+    assert contains(ins).all()
+    probe = np.array(
+        [r["h"] for r in spark.range(10_000, 12_000)
+         .selectExpr("xxhash64(id) AS h").collect()],
+        dtype=np.int64,
+    )
+    fp_rate = contains(probe).mean()
+    assert fp_rate < 0.05, fp_rate

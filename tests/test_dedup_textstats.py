@@ -270,3 +270,46 @@ def test_heavy_hitters_property_random_streams(spark):
         assert got == exact, f"phi={phi}: {got} != {exact}"
 
     inner()
+
+
+def test_line_dedup_first_occurrence_rebuild(spark):
+    """C4-style line dedup: repeated lines keep only the first (id, pos)
+    occurrence; short lines always survive; docs that lose every line
+    come back as '' (never dropped); empty docs pass through."""
+    from indexlab_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "alpha\nbeta\nalpha\n\nshort"),
+            ("d2", "beta\ngamma\n\nx"),
+            ("d3", "alpha\nbeta"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in line_dedup(df, min_chars=2).collect()
+    }
+    assert out["d1"]["clean_text"] == "alpha\nbeta\n\nshort"
+    assert out["d1"]["n_lines"] == 5 and out["d1"]["n_removed"] == 1
+    # d2's 'beta' duplicates d1's; 'x' is short -> always kept
+    assert out["d2"]["clean_text"] == "gamma\n\nx"
+    # every eligible line of d3 was seen earlier -> empty doc, still a row
+    assert out["d3"]["clean_text"] == "" and out["d3"]["n_removed"] == 2
+    assert out["d4"]["clean_text"] == "" and out["d4"]["n_lines"] == 1
+    assert out["d4"]["n_removed"] == 0
+
+
+def test_line_dedup_literal_delimiter(spark):
+    """The delimiter is literal (regex metachars must not be interpreted)
+    and the operator works at token granularity on newline-free text."""
+    from indexlab_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [("a", "x.y.x.zz"), ("b", "zz.y")],
+        "doc_id string, text string",
+    )
+    out = {r["id"]: r for r in line_dedup(df, delimiter=".", min_chars=1).collect()}
+    assert out["a"]["clean_text"] == "x.y.zz"
+    assert out["b"]["clean_text"] == ""
