@@ -371,6 +371,7 @@ def minhash_incremental_pairs(
     new_df: DataFrame,
     old_df: DataFrame,
     old_sigs: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -407,7 +408,10 @@ def minhash_incremental_pairs(
     _check_banding(num_hashes, bands)
     if old_sigs is None:
         old_sigs = minhash_signatures(old_df, id_col, text_col, n, num_hashes)
-    new_sigs = _pin(minhash_signatures(new_df, id_col, text_col, n, num_hashes))
+    if new_sigs is None:
+        new_sigs = _pin(
+            minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+        )
     band_cols = _band_key_cols(num_hashes, bands)
 
     def _buckets(s):

@@ -1,0 +1,152 @@
+"""Streaming document ingestion with incremental near-dup detection.
+
+Ties Structured Streaming to the persistable MinHash signature index
+(operators/dedup.minhash_signatures + minhash_incremental_pairs): a
+document stream is processed in micro-batches via ``foreachBatch``; each
+batch is checked against the signatures of everything ingested before it
+(old docs are never re-hashed), the verified near-dup pairs are written
+out, and the batch's own signatures join the index for the next batch.
+
+Exactly-once output contract on replay: every state table (corpus,
+signature index, emitted pairs) is partitioned by ``batch_id`` and
+written with DYNAMIC partition overwrite, so a micro-batch that is
+reprocessed after a failure overwrites ITS OWN partition instead of
+appending duplicates; reads of prior state filter ``batch_id <
+current`` (partition-pruned), so a half-written current partition can
+never leak into its own "old corpus". This is the standard idempotent-
+foreachBatch pattern (Structured Streaming's foreachBatch is itself
+at-least-once; idempotent sinks make the pipeline exactly-once).
+
+Scale: per-trigger work is minhash_incremental_pairs' contract — the
+candidate join probes only the NEW batch's band keys against the bucket
+table, and old text is re-read only for candidate-touched documents, so
+steady-state cost tracks the batch size, not the corpus size. The
+signature index grows by one small partition per batch; compact it
+periodically with operators/maintenance.compact_files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def _read_state(
+    spark: SparkSession, path: str, template: DataFrame, batch_id: int
+) -> DataFrame:
+    """Read a batch_id-partitioned state table, restricted to partitions
+    strictly BEFORE the current batch (replay safety); a missing path
+    (first batch ever) yields an empty frame with the template schema."""
+    try:
+        df = spark.read.schema(
+            template.withColumn("batch_id", F.lit(0).cast("bigint")).schema
+        ).parquet(path)
+    except AnalysisException:
+        return template.limit(0)
+    return df.where(F.col("batch_id") < batch_id).drop("batch_id")
+
+
+def _write_state(df: DataFrame, path: str, batch_id: int) -> None:
+    (
+        df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def dedup_ingest_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    query_name: str = "dedup_ingest",
+):
+    """Run a document stream through incremental MinHash dedup.
+
+    ``stream_df`` must be a STREAMING DataFrame with at least
+    ``(id_col, text_col)``; ids must be globally unique across the
+    stream (standard ingestion contract — re-delivered files are handled
+    by the file source's own exactly-once tracking, not here).
+
+    State layout under ``state_dir`` (all partitioned by batch_id):
+      corpus/   (id, text)        — text for candidate-bounded verify
+      sigs/     (id, sz, m0..mN)  — the persistable signature index
+      pairs/    (id_a, id_b, jaccard) — verified near-dup pairs, the
+                 stream's OUTPUT; union over batch_ids ==
+                 minhash_lsh_pairs over the whole corpus (pinned by
+                 tests/test_streaming_ingest.py)
+      _checkpoint/                — Structured Streaming offsets
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    everything currently available, then stops; call awaitTermination).
+    """
+    from indexlab_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    corpus_dir = f"{state_dir}/corpus"
+    sigs_dir = f"{state_dir}/sigs"
+    pairs_dir = f"{state_dir}/pairs"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_docs = batch_df.select(
+            F.col(id_col), F.col(text_col)
+        ).localCheckpoint(eager=True)
+        old_docs = _read_state(spark, corpus_dir, new_docs, batch_id)
+        sig_template = minhash_signatures(
+            new_docs.limit(0), id_col, text_col, n, num_hashes
+        )
+        old_sigs = _read_state(spark, sigs_dir, sig_template, batch_id)
+        # materialize the batch's signatures ONCE; they serve both the
+        # pair search and the index write
+        new_sigs = minhash_signatures(
+            new_docs, id_col, text_col, n, num_hashes
+        ).localCheckpoint(eager=True)
+        pairs = minhash_incremental_pairs(
+            new_docs,
+            old_docs,
+            old_sigs=old_sigs,
+            new_sigs=new_sigs,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        _write_state(pairs, pairs_dir, batch_id)
+        _write_state(new_sigs, sigs_dir, batch_id)
+        _write_state(new_docs, corpus_dir, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_documents_stream(
+    spark: SparkSession, documents_parquet: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a documents parquet file/directory (one
+    file per trigger by default — the smallest honest micro-batch)."""
+    from indexlab_spark.streaming.events import stage_stream_dir
+
+    d = stage_stream_dir(documents_parquet)
+    static = spark.read.parquet(d)
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(d)
+    )

@@ -1,0 +1,71 @@
+"""Streaming ingestion with incremental MinHash dedup: the union of
+per-batch pair outputs must EQUAL the batch operator over the full
+corpus, and replayed micro-batches must not duplicate state (the
+exactly-once-by-idempotence contract of streaming/ingest.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from indexlab_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_dedup_ingest_stream_matches_batch(spark, docs, tmp_path):
+    from indexlab_spark.operators.dedup import minhash_lsh_pairs
+    from indexlab_spark.streaming.ingest import (
+        dedup_ingest_stream,
+        read_documents_stream,
+    )
+
+    src = str(tmp_path / "src")
+    # 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+    docs.repartition(4).write.parquet(src)
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    state = str(tmp_path / "state")
+    q = dedup_ingest_stream(stream, state, num_hashes=16, bands=8,
+                            threshold=0.5)
+    q.awaitTermination()
+
+    out = spark.read.parquet(f"{state}/pairs")
+    n_batches = out.select("batch_id").distinct().count()
+    assert n_batches == 4, "expected one state partition per file"
+    streamed = _pair_set(out.select("id_a", "id_b", "jaccard"))
+    batch = _pair_set(
+        minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.5)
+    )
+    assert streamed == batch
+    # no pair emitted twice across batches (disjoint increments)
+    assert out.count() == len(streamed)
+    # the signature index covers every signable doc exactly once
+    sigs = spark.read.parquet(f"{state}/sigs")
+    assert sigs.select("id").distinct().count() == sigs.count()
+
+
+def test_state_write_replay_idempotent(spark, tmp_path):
+    """Dynamic partition overwrite by batch_id: re-running a batch
+    replaces its own partition instead of appending duplicates."""
+    from indexlab_spark.streaming.ingest import _read_state, _write_state
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    _write_state(df, path, 0)
+    _write_state(df, path, 1)
+    _write_state(df, path, 1)  # replay of batch 1
+    assert spark.read.parquet(path).count() == 4
+    # prior-state read excludes the current batch's own (half-written)
+    # partition
+    prior = _read_state(spark, path, df, 1)
+    assert prior.count() == 2
+    # missing path (first batch ever) -> empty frame, template schema
+    empty = _read_state(spark, str(tmp_path / "missing"), df, 0)
+    assert empty.count() == 0 and empty.schema == df.schema

@@ -121,6 +121,7 @@ def main() -> None:
 
     from indexlab_spark.operators.bm25 import bm25_build
     from indexlab_spark.operators.curation import (
+        bloom_decontaminate,
         quality_flags,
         redact_pii,
         token_budget_mix,
@@ -130,6 +131,7 @@ def main() -> None:
         embedding_lsh_pairs,
         exact_dedup,
         jaccard_pairs,
+        line_dedup,
         minhash_lsh_pairs,
         remove_duplicated_spans,
         simhash,
@@ -180,6 +182,20 @@ def main() -> None:
             "token_budget_mix": lambda: token_budget_mix(
                 docs,
                 budgets={f"src{i}": 700 * scale for i in range(20)},
+            ).count(),
+            # the registry's hot-keyed worst case (40-word vocabulary at
+            # token granularity): growth tests the min(struct) agg +
+            # skew-joinable keep-mark, the exact path a window would lose
+            "line_dedup": lambda: line_dedup(
+                docs, delimiter=" ", min_chars=4
+            ).count(),
+            # both sides scale with the corpus here (replica rotation
+            # makes benchmark shingles distinct per replica) — harsher
+            # than the fixed-benchmark production case
+            "bloom_decon": lambda: bloom_decontaminate(
+                docs.filter(F.col("doc_id") % 17 != 0),
+                docs.filter(F.col("doc_id") % 17 == 0),
+                n=5,
             ).count(),
             "session_native": lambda: (
                 ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
