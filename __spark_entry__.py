@@ -1009,6 +1009,27 @@ def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scale extension — 8-bit scalar-quantized search with exact
+    rerank (operators/knn.build_sq8/sq8_search): the first-phase scan is
+    4x smaller than raw float32 at near-flat recall (every dimension
+    keeps 8-bit resolution; the decode folds into a per-query affine so
+    scoring is one BLAS matmul over the uint8 codes). Range training is
+    a seeded sample min/max — not SQL-expressible -> rows-only; recall
+    >= 0.95 and exact-rerank-score parity pinned in tests/test_knn.py."""
+    from indexlab_spark.operators.knn import build_sq8, sq8_search
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    codes_df, params_df = build_sq8(corpus, seed=42)
+    return sq8_search(spark, q, codes_df, params_df, k=5, rerank=4).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E4+K2 — the full text -> deterministic-embed -> batch kNN
     pipeline over documents (the flagship shape at the gate SF). The
@@ -3641,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
         "similarity_pq": _q_similarity_pq,
+        "similarity_sq8": _q_similarity_sq8,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
     }

@@ -273,3 +273,47 @@ def test_ivf_pruned_oversize_routes_to_blocked(
     )
     # exact blocked fallback == brute-force truth (not the nprobe subset)
     _check(out.collect(), numpy_truth)
+
+
+def test_sq8_roundtrip_and_recall(spark, emb, queries, numpy_truth):
+    """SQ8 keeps per-dimension 8-bit resolution: with exact rerank the
+    top-K should match brute force almost everywhere (much tighter than
+    PQ's floor), and rerank scores must be exact."""
+    from indexlab_spark.operators.knn import build_sq8, sq8_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes_df, params_df = build_sq8(corpus, seed=42)
+    # codes are dim-length ints in [0, 255]
+    row = codes_df.select("sq_code").first()
+    assert len(row["sq_code"]) == 64
+    assert all(0 <= c <= 255 for c in row["sq_code"])
+    out = sq8_search(spark, queries, codes_df, params_df, K, rerank=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (int(r["doc_id"]), r["score"], r["rank"])
+        )
+    hits = total = 0
+    for qid, expect in numpy_truth.items():
+        expect_ids = {e[0] for e in expect}
+        total += len(expect_ids)
+        hits += len(expect_ids & {h[0] for h in got[qid]})
+        # exact rerank -> scores of true hits match brute force
+        exp = dict((e[0], e[1]) for e in expect)
+        for did, s, _ in got[qid]:
+            if did in exp:
+                assert abs(s - exp[did]) < 1e-9
+    recall = hits / total
+    assert recall >= 0.95, f"SQ8 recall {recall}"
+
+
+def test_sq8_oversize_routes_to_blocked(spark, emb, queries, numpy_truth):
+    from indexlab_spark.operators.knn import build_sq8, sq8_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes_df, params_df = build_sq8(corpus, seed=42)
+    out = sq8_search(
+        spark, queries, codes_df, params_df, K, max_collect_rows=2
+    )
+    # exact fallback == brute force truth
+    _check(out.collect(), numpy_truth)
