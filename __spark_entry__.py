@@ -1207,6 +1207,20 @@ def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(train, bench, n=5)
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bucket distributions of the target (doc_id % 17 == 0)
+    vs the raw corpus; per-doc logw = sum c_b (ln p_b - ln q_b). Both
+    global distributions aggregate to <= buckets rows, the log-ratio
+    table broadcasts, and only document-keyed aggs shuffle."""
+    from indexlab_spark.operators.curation import dsir_weights
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return dsir_weights(corpus, target, buckets=4096)
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation — deterministic md5 Bernoulli sample (~25%), reproducible
     across engines/partitionings (unlike df.sample)."""
@@ -3657,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "line_dedup": _q_line_dedup,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "dsir_weights": _q_dsir_weights,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4602,6 +4617,42 @@ def oracle_sql() -> dict[str, str]:
         # join) — both keys share one oracle by construction.
         "decontaminate": _DECON_ORACLE,
         "bloom_decontaminate": _DECON_ORACLE,
+        "dsir_weights": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS t
+                          FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(t) AS gram FROM toks
+                UNION ALL
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 2),
+            fb AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                              % 4096 AS bucket
+                   FROM grams),
+            dc AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
+            q AS (SELECT bucket, sum(c) AS nq FROM dc
+                  WHERE doc_id % 17 <> 0 GROUP BY 1),
+            p AS (SELECT bucket, sum(c) AS np_ FROM dc
+                  WHERE doc_id % 17 = 0 GROUP BY 1),
+            qt AS (SELECT sum(nq) AS q_tot FROM q),
+            pt AS (SELECT sum(np_) AS p_tot FROM p),
+            ratio AS (SELECT q.bucket,
+                             ln((coalesce(p.np_, 0) + 1.0) / (pt.p_tot + 4096.0))
+                           - ln((q.nq + 1.0) / (qt.q_tot + 4096.0)) AS lr
+                      FROM q LEFT JOIN p USING (bucket), qt, pt),
+            pd_ AS (SELECT dc.doc_id AS id, CAST(sum(dc.c) AS BIGINT) AS n_feats,
+                           round(sum(dc.c * r.lr), 6) AS logw
+                    FROM dc JOIN ratio r USING (bucket)
+                    WHERE dc.doc_id % 17 <> 0
+                    GROUP BY 1)
+            SELECT d.doc_id AS id, coalesce(pd_.n_feats, 0) AS n_feats,
+                   coalesce(pd_.logw, 0.0) AS logw
+            FROM documents d LEFT JOIN pd_ ON d.doc_id = pd_.id
+            WHERE d.doc_id % 17 <> 0
+        """,
         "hash_sample": """
             SELECT doc_id,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_prefix,

@@ -602,3 +602,144 @@ def pack_sequences(
         ).alias("seq_id"),
         (start % budget).alias("offset_in_seq"),
     )
+
+
+def _hashed_gram_counts(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """``(id, bucket, c)`` — hashed unigram+bigram feature counts per
+    document (the DSIR feature space: Xie et al. 2023 §3, public paper).
+    Grams keep multiplicity; bucket = md5-derived 60-bit int % buckets
+    (portable across engines, unlike xxhash). Cost ~ total tokens; the
+    (id, bucket) agg is map-side-combined and keyed by document."""
+    from indexlab_spark.functions.hashing import md5_long
+
+    base = df.select(
+        _c(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).withColumn("n_words", F.size("toks"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.when(
+                    F.col("n_words") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.col("toks")[i], F.col("toks")[i + 1]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.select("id", (md5_long(F.col("gram")) % buckets).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — the standard 'make web data look like
+    the target domain' selector): per corpus document,
+    ``logw = sum_b c_b * (ln p_b - ln q_b)`` over hashed unigram+bigram
+    buckets, where p is the add-``smoothing`` bucket distribution of the
+    TARGET corpus and q of the raw corpus.
+
+    Returns ``(id, n_feats, logw)`` for EVERY corpus document (rounded
+    to 6dp; docs with no grams get logw = 0). Feed to
+    :func:`dsir_resample` for the selection step.
+
+    Plan at 100 TB: gram explode ~ total tokens; both global bucket
+    distributions are map-side-combined aggs with at most ``buckets``
+    output rows, so the log-ratio table is vocabulary-sized and
+    BROADCAST back onto the per-document feature counts; the final
+    weight is one more agg keyed by document. Nothing shuffles at
+    corpus granularity except the two document-keyed aggs.
+    """
+    c_counts = _hashed_gram_counts(corpus, id_col, text_col, buckets)
+    t_counts = _hashed_gram_counts(target, id_col, text_col, buckets)
+    q_tbl = c_counts.groupBy("bucket").agg(F.sum("c").alias("nq"))
+    p_tbl = t_counts.groupBy("bucket").agg(F.sum("c").alias("np_"))
+    q_tot = q_tbl.agg(F.sum("nq").alias("q_tot"))
+    p_tot = p_tbl.agg(F.sum("np_").alias("p_tot"))
+    s = float(smoothing)
+    ratio = (
+        q_tbl.join(p_tbl, "bucket", "left")
+        .na.fill({"np_": 0})
+        .crossJoin(F.broadcast(q_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("np_").cast("double") + s)
+                    / (F.col("p_tot").cast("double") + s * buckets)
+                )
+                - F.log(
+                    (F.col("nq").cast("double") + s)
+                    / (F.col("q_tot").cast("double") + s * buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        c_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c").cast("double") * F.col("lr")).alias("logw"),
+        )
+    )
+    return (
+        corpus.select(_c(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.round(F.coalesce("logw", F.lit(0.0)), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: sample ``n_keep`` corpus documents WITHOUT
+    replacement, proportionally to their importance weights, via the
+    Gumbel top-k trick — ``key = logw + Gumbel(0,1)``, take the k
+    largest. The Gumbel noise is DETERMINISTIC (inverse-CDF of an
+    md5-hash uniform, same device as hash_sample), so the selection is
+    reproducible across runs, partitionings and engines.
+
+    Returns the selected ``(id, n_feats, logw, key)`` rows, ordered
+    ties-broken by id. Selection is a TakeOrdered top-k over the weight
+    frame — no global sort of the corpus.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    w = dsir_weights(corpus, target, id_col, text_col, buckets, smoothing)
+    u = (
+        (md5_long(F.concat(F.lit(f"{seed}|"), F.col("id").cast("string")))
+         % F.lit(1_000_000)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    keyed = w.withColumn("key", F.round(F.col("logw") - F.log(-F.log(u)), 6))
+    return keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(n_keep)

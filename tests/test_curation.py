@@ -390,3 +390,50 @@ def test_bloom_build_no_false_negatives(spark):
     )
     fp_rate = contains(probe).mean()
     assert fp_rate < 0.05, fp_rate
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A corpus doc sharing the target's vocabulary must out-weigh a doc
+    from a disjoint vocabulary (the DSIR selling point), and weights must
+    cover every corpus doc."""
+    from indexlab_spark.operators.curation import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100, "physics energy quantum field theory particle wave"),
+         (101, "quantum particle energy field wave function physics")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "quantum field energy particle physics wave equation"),
+            (1, "recipe butter flour sugar oven bake cake frosting"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in dsir_weights(corpus, target).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["logw"] > rows[1]["logw"]
+    assert rows[2]["n_feats"] == 0 and rows[2]["logw"] == 0.0
+
+
+def test_dsir_resample_deterministic_and_weighted(spark):
+    """Gumbel top-k selection: deterministic across partitionings, takes
+    exactly n_keep rows, and (statistically) prefers high-weight docs —
+    checked here with weights far apart so preference is near-certain."""
+    from indexlab_spark.operators.curation import dsir_resample
+
+    target = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta " * 4)],
+        ["doc_id", "text"],
+    )
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)]
+    rows += [(i, "one two three four five six seven eight") for i in range(20, 40)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    sel = dsir_resample(corpus, target, 10, seed="t").collect()
+    assert len(sel) == 10
+    sel2 = dsir_resample(corpus.repartition(7), target, 10, seed="t").collect()
+    assert {r["id"] for r in sel} == {r["id"] for r in sel2}
+    # weight gap dominates the Gumbel noise -> mostly target-like picks
+    target_like = sum(1 for r in sel if r["id"] < 20)
+    assert target_like >= 8, target_like
