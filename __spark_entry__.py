@@ -789,6 +789,28 @@ def _q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction='forward' — the
+    union-sort trick scanning DESCENDING, still one shuffle on the key):
+    each event gets the EARLIEST purchase value at-or-after its
+    timestamp. Oracle: DuckDB native ASOF with l.ts <= r.ts."""
+    from indexlab_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value_asof", 6).alias("next_purchase_value"),
+    )
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -3672,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dsir_weights": _q_dsir_weights,
+        "asof_forward": _q_asof_forward,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4361,6 +4384,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
             GROUP BY 1, 2
+        """,
+        "asof_forward": """
+            WITH p AS (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id,
+                   round(r.purchase_value, 6) AS next_purchase_value
+            FROM events l ASOF LEFT JOIN p r
+                ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         "asof_signup": """
             WITH signups AS (

@@ -4,13 +4,19 @@ allow).
 
 ``asof_join(left, right)``: for each left row (key, t), attach the most
 recent right row with the same key and right.t <= left.t (backward
-as-of, the kdb/pandas/DuckDB default).
+as-of, the kdb/pandas/DuckDB default), or with ``direction="forward"``
+the EARLIEST right row with right.t >= left.t; ``tolerance`` bounds the
+time gap either way (pandas ``merge_asof`` parity — pinned against
+pandas itself in tests/test_asof.py).
 
 Implementation is the union-sort trick, NOT a range join:
 
   union(left-tagged, right-tagged)
   window over (key) ordered by (t, tag) rows unbounded preceding
   last non-null right-payload  ->  filter back to left rows
+
+(forward direction orders the window DESCENDING — "earliest following"
+is "last preceding" of the reversed sequence; same single shuffle.)
 
 One shuffle on the key, linear scan per partition — no quadratic
 candidate pairs, no skew-prone inequality join. At 100 TB this is the
@@ -39,33 +45,46 @@ def asof_join(
     suffix: str = "_asof",
     strict: bool = False,
     tie_col: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join with pandas ``merge_asof`` semantics.
 
     left:  any columns including ``by`` keys and ``on`` (orderable).
     right: ``by`` + ``on`` + payload columns.
-    strict=False matches right.t <= left.t; strict=True right.t < left.t.
+    strict=False matches right.t <= left.t (backward) / >= (forward);
+    strict=True excludes equality (pandas ``allow_exact_matches=False``).
+    direction: "backward" (default) or "forward".
+    tolerance: maximum |left.t - right.t| for a match, in the units of
+    ``on`` cast to double (epoch SECONDS for timestamps); matches
+    farther away come back NULL, exactly like pandas' ``tolerance``.
     tie_col: right payload column used to break (key, t) ties — the row
     with the largest tie_col wins (ascending sort, last-non-null fill).
 
     Returns left columns + right payload columns renamed ``<col><suffix>``
-    (null when no earlier right row exists). Right rows with a NULL
+    (null when no matching right row exists). Right rows with a NULL
     ``on`` value are EXCLUDED — a NULL timestamp would otherwise sort
     first and become a universal "earliest" match, where DuckDB's
     native ASOF JOIN (the oracle) drops NULL-key rows.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by) | {on}
     ]
     right = right.filter(F.col(on).isNotNull())
-    # tag: right rows sort BEFORE left rows at equal t for <=, AFTER for <
+    # tag: the right row must sort BEFORE the left row it may match at
+    # equal t when equality is allowed, AFTER it when strict — in the
+    # window's scan order (ascending for backward, descending for
+    # forward), so the tags are direction-independent
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
     l_tagged = left.select(
         *by,
         F.col(on).alias("_t"),
         F.lit(left_tag).alias("_tag"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(right.schema[on].dataType).alias("_rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
     )
     r_tagged = right.select(
@@ -73,30 +92,50 @@ def asof_join(
         F.col(on).alias("_t"),
         F.lit(right_tag).alias("_tag"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        F.col(on).alias("_rt"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    order = ["_t", "_tag"]
+    desc = direction == "forward"
+    order = [
+        F.col("_t").desc() if desc else F.col("_t").asc(),
+        F.col("_tag").asc(),
+    ]
     if tie_col is not None:
         # tied right rows order ascending by tie_col; last-non-null fill
         # then deterministically picks the max-tie_col row
-        order.append(f"_r_{tie_col}")
+        order.append(F.col(f"_r_{tie_col}").asc())
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = ["_rt", *[f"_r_{c}" for c in value_cols]] if tolerance is not None \
+        else [f"_r_{c}" for c in value_cols]
     filled = unioned.select(
         *by,
         "_t",
         "_tag",
         "_l",
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rf_{c}")
-            for c in value_cols
+            F.last(c, ignorenulls=True).over(w).alias(f"_f{c}")
+            for c in fill_cols
         ],
     )
+    payload = {c: F.col(f"_f_r_{c}") for c in value_cols}
+    if tolerance is not None:
+        # the matched right timestamp travels with the fill; a match
+        # farther than the tolerance nulls the payload (pandas contract),
+        # it does NOT fall back to an earlier/later row
+        gap = F.abs(
+            F.col("_t").cast("double") - F.col("_f_rt").cast("double")
+        )
+        ok = F.col("_f_rt").isNotNull() & (gap <= F.lit(float(tolerance)))
+        payload = {
+            c: F.when(ok, payload[c]).otherwise(F.lit(None))
+            for c in value_cols
+        }
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"_rf_{c}").alias(f"{c}{suffix}") for c in value_cols
+        payload[c].alias(f"{c}{suffix}") for c in value_cols
     ]
     return filled.filter(F.col("_tag") == left_tag).select(*out_cols)

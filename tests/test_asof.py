@@ -68,3 +68,56 @@ def test_matches_pandas_merge_asof(spark, tables):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row["v"]) else row["v"]
         assert got[row["event_id"]] == expect, f"event {row['event_id']}"
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Full merge_asof parity sweep: direction x allow_exact x tolerance
+    against pandas itself on random keyed data (unique (key, t) on the
+    right so tie policy cannot differ)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": rng.choice(np.arange(0, 1000), 200, replace=False).astype("int64"),
+        }
+    )
+    right_t = rng.choice(np.arange(0, 1000), 150, replace=False)
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),
+            "t": right_t.astype("int64"),
+            "v": rng.normal(size=150).round(6),
+        }
+    ).drop_duplicates(["k", "t"])
+    left_df = spark.createDataFrame(left_pd)
+    right_df = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward"):
+        for strict in (False, True):
+            for tol in (None, 50.0):
+                got = (
+                    asof_join(
+                        left_df, right_df, on="t", by="k",
+                        strict=strict, direction=direction, tolerance=tol,
+                    )
+                    .orderBy("k", "t")
+                    .toPandas()
+                )
+                exp = pd.merge_asof(
+                    left_pd.sort_values("t"),
+                    right_pd.sort_values("t"),
+                    on="t",
+                    by="k",
+                    direction=direction,
+                    allow_exact_matches=not strict,
+                    tolerance=None if tol is None else int(tol),
+                ).sort_values(["k", "t"]).reset_index(drop=True)
+                label = f"{direction} strict={strict} tol={tol}"
+                assert len(got) == len(exp), label
+                g = got["v_asof"].to_numpy()
+                e = exp["v"].to_numpy()
+                both_nan = np.isnan(g) & np.isnan(e)
+                assert (both_nan | (np.abs(g - e) < 1e-12)).all(), label
