@@ -811,6 +811,18 @@ def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics breadth — one-pass per-column table profile
+    (operators/analytics.profile_table): n / nulls / distinct / typed
+    min-max per column. Registry uses distinct='exact' so the DuckDB
+    oracle can match; the default HLL mode is the documented one-pass
+    100 TB path."""
+    from indexlab_spark.operators.analytics import profile_table
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return profile_table(li, distinct="exact")
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -3695,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dsir_weights": _q_dsir_weights,
         "asof_forward": _q_asof_forward,
+        "profile_lineitem": _q_profile_lineitem,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4384,6 +4397,84 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
             GROUP BY 1, 2
+        """,
+        "profile_lineitem": """
+            SELECT 'l_orderkey' AS "column", count(*) AS n,
+                   count(*) - count(l_orderkey) AS n_null,
+                   count(DISTINCT l_orderkey) AS n_distinct,
+                   round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey' AS "column", count(*) AS n,
+                   count(*) - count(l_partkey) AS n_null,
+                   count(DISTINCT l_partkey) AS n_distinct,
+                   round(CAST(min(l_partkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_partkey) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey' AS "column", count(*) AS n,
+                   count(*) - count(l_suppkey) AS n_null,
+                   count(DISTINCT l_suppkey) AS n_distinct,
+                   round(CAST(min(l_suppkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_suppkey) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber' AS "column", count(*) AS n,
+                   count(*) - count(l_linenumber) AS n_null,
+                   count(DISTINCT l_linenumber) AS n_distinct,
+                   round(CAST(min(l_linenumber) AS DOUBLE), 6) AS min_num, round(CAST(max(l_linenumber) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS "column", count(*) AS n,
+                   count(*) - count(l_quantity) AS n_null,
+                   count(DISTINCT l_quantity) AS n_distinct,
+                   round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_num, round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS "column", count(*) AS n,
+                   count(*) - count(l_extendedprice) AS n_null,
+                   count(DISTINCT l_extendedprice) AS n_distinct,
+                   round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_num, round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount' AS "column", count(*) AS n,
+                   count(*) - count(l_discount) AS n_null,
+                   count(DISTINCT l_discount) AS n_distinct,
+                   round(CAST(min(l_discount) AS DOUBLE), 6) AS min_num, round(CAST(max(l_discount) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax' AS "column", count(*) AS n,
+                   count(*) - count(l_tax) AS n_null,
+                   count(DISTINCT l_tax) AS n_distinct,
+                   round(CAST(min(l_tax) AS DOUBLE), 6) AS min_num, round(CAST(max(l_tax) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS "column", count(*) AS n,
+                   count(*) - count(l_returnflag) AS n_null,
+                   count(DISTINCT l_returnflag) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                   min(l_returnflag) AS min_str, max(l_returnflag) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS "column", count(*) AS n,
+                   count(*) - count(l_linestatus) AS n_null,
+                   count(DISTINCT l_linestatus) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                   min(l_linestatus) AS min_str, max(l_linestatus) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate' AS "column", count(*) AS n,
+                   count(*) - count(l_shipdate) AS n_null,
+                   count(DISTINCT l_shipdate) AS n_distinct,
+                   round(epoch(min(l_shipdate)), 6) AS min_num, round(epoch(max(l_shipdate)), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
         """,
         "asof_forward": """
             WITH p AS (

@@ -215,3 +215,80 @@ def time_gapfill_locf(
         F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         F.col("sum_value").isNull().alias("is_gap"),
     )
+
+
+def profile_table(
+    df,
+    columns: list[str] | None = None,
+    distinct: str = "approx",
+) -> "DataFrame":
+    """One-pass per-column data profile — the table-inspection primitive
+    every warehouse UI needs: row count, null count, distinct count,
+    and min/max per column, one OUTPUT ROW per column.
+
+    ``distinct="approx"`` (default) uses HyperLogLog
+    (approx_count_distinct) so the whole profile is ONE map-side-
+    combined aggregation pass regardless of column count — the 100 TB
+    path. ``distinct="exact"`` uses count(DISTINCT) for every column,
+    which Spark executes via an Expand of the input (one replica per
+    distinct aggregate): exact answers, input x n_columns rows through
+    the shuffle — fine for sampled profiling, documented cost at scale.
+
+    min/max come back in TWO typed column pairs so the output schema is
+    uniform without lossy string formatting: ``min_num/max_num`` (double;
+    numerics directly, timestamps as epoch seconds, 6dp) and
+    ``min_str/max_str`` (string columns verbatim). Complex-typed columns
+    profile counts only.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    if distinct not in ("approx", "exact"):
+        raise ValueError(f"distinct must be approx|exact, got {distinct!r}")
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__nd"))
+        if isinstance(dt, (NumericType, BooleanType, TimestampType, DateType)):
+            num = F.col(c).cast("double")
+            aggs.append(F.round(F.min(num), 6).alias(f"{c}__mnn"))
+            aggs.append(F.round(F.max(num), 6).alias(f"{c}__mxn"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mnn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mxn"))
+        if isinstance(dt, StringType):
+            aggs.append(F.min(F.col(c)).alias(f"{c}__mns"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}__mxs"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__mns"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__mxs"))
+    one = df.agg(*aggs)  # 1 row x 7C columns; the stack below is trivial
+    stack = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nn`, `{c}__nd`, `{c}__mnn`, `{c}__mxn`, "
+        f"`{c}__mns`, `{c}__mxs`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n, n_notnull, n_distinct, min_num, max_num, min_str, max_str)"
+    ).selectExpr(
+        "column",
+        "n",
+        "n - n_notnull AS n_null",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

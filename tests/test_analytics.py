@@ -185,3 +185,29 @@ def test_approx_sketches_within_error_bounds(tables):
         assert lo <= a <= hi, (q, a, lo, hi)
     # sanity: approx quantiles are ordered like the exact ones
     assert approx_q == sorted(approx_q) and list(exact_q) == sorted(exact_q)
+
+
+def test_profile_table_nulls_and_modes(spark):
+    """Profile counts nulls per column, handles string vs numeric min/max
+    typing, and the approx mode agrees with exact on tiny cardinality."""
+    from indexlab_spark.operators.analytics import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (4, "a", 4.0)],
+        "id int, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df, distinct="exact").collect()}
+    assert prof["id"]["n"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None
+    assert prof["v"]["n_null"] == 1
+    assert prof["v"]["min_num"] == 1.5 and prof["v"]["max_num"] == 4.0
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    # HLL is exact at these cardinalities
+    for c in ("id", "s", "v"):
+        assert approx[c]["n_distinct"] == prof[c]["n_distinct"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, distinct="bogus")
