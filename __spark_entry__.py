@@ -823,6 +823,32 @@ def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(li, distinct="exact")
 
 
+def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — per-doc zlib compression ratio (repetitiveness /
+    low-entropy signal; boilerplate compresses far below prose). zlib is
+    outside SQL -> rows-only; determinism across partitionings pinned in
+    tests."""
+    from indexlab_spark.operators.textstats import compression_ratio
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return compression_ratio(docs)
+
+
+def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation — CCNet-style normalization (NFKC, accent strip, case,
+    whitespace squeeze) feeding exact dedup: catches the trivial-variant
+    duplicates byte hashing misses. unicodedata is outside SQL ->
+    rows-only; variant-collapse semantics pinned in tests."""
+    from indexlab_spark.operators.dedup import exact_dedup
+    from indexlab_spark.operators.textstats import normalize_text
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    groups = exact_dedup(normalize_text(docs), normalize=False)
+    return groups.select(
+        "text_md5", "cnt", "keep_id", F.array_join("ids", ",").alias("ids_csv")
+    )
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -3713,9 +3739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
         "similarity_pq": _q_similarity_pq,
-        "similarity_sq8": _q_similarity_sq8,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
+        "similarity_sq8": _q_similarity_sq8,
+        "compression_quality": _q_compression_quality,
+        "normalized_dedup": _q_normalized_dedup,
     }
 
 

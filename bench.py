@@ -412,7 +412,11 @@ def main() -> None:
                  "tfidf_topterms", "zscore_anomalies", "zipf_fit",
                  "benchmark_overlap", "nation_value_share", "heavy_hitters",
                  "shipping_priority", "product_profit",
-                 "excess_stock_suppliers"):
+                 "excess_stock_suppliers",
+                 # round-5 additions
+                 "duplicated_spans", "token_budget_mix", "line_dedup",
+                 "bloom_decontaminate", "dsir_weights", "asof_forward",
+                 "profile_lineitem", "similarity_sq8"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -2,11 +2,15 @@
 
 Language-ID, quality scoring, token counting and document fingerprinting
 over a documents table — all pure Catalyst expressions (no Python UDFs in
-any per-row path), all expressible 1:1 in the DuckDB oracle.
+any per-row path), all expressible 1:1 in the DuckDB oracle. Two
+documented exceptions are Arrow-batched (zlib/unicodedata live outside
+SQL, deterministic by construction): ``compression_ratio`` and
+``normalize_text``.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -263,3 +267,80 @@ def heavy_hitters(
             ).alias("share"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic repetitiveness /
+    low-entropy signal (used alongside Gopher-style rules in public
+    curation recipes: highly repetitive boilerplate compresses far
+    below natural prose). ``ratio = compressed_bytes / raw_bytes``
+    (UTF-8), 1.0 for empty docs by convention.
+
+    zlib lives outside SQL, so this is the module's one Arrow-batched
+    exception (documented in the header contract) and a rows-only
+    registry surface: zlib output is DETERMINISTIC for a fixed level,
+    so results are still reproducible across runs and partitionings —
+    pinned by tests. Shuffle-free map; cost ~ bytes scanned.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                out.append(1.0)
+                continue
+            out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(_ratio(F.col(text_col)), 6).alias("zlib_ratio"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFKC",
+    strip_accents: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """CCNet-style text normalization for dedup preprocessing (public
+    recipe: unicode normalize -> strip accents -> lowercase -> squeeze
+    whitespace). Exact dedup after this catches the trivial-variant
+    duplicates (curly quotes, accents, case, NBSP) that byte-exact
+    hashing misses.
+
+    unicodedata lives outside SQL -> Arrow-batched pandas UDF (the
+    per-row work is pure CPython C, no object churn); deterministic by
+    construction. Shuffle-free map.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = unicodedata.normalize(form, t or "")
+            if strip_accents:
+                s = "".join(
+                    ch for ch in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(ch)
+                )
+            if lowercase:
+                s = s.lower()
+            out.append(" ".join(s.split()))
+        return pd.Series(out)
+
+    return df.withColumn(text_col, _norm(F.col(text_col)))

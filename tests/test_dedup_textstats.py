@@ -313,3 +313,50 @@ def test_line_dedup_literal_delimiter(spark):
     out = {r["id"]: r for r in line_dedup(df, delimiter=".", min_chars=1).collect()}
     assert out["a"]["clean_text"] == "x.y.zz"
     assert out["b"]["clean_text"] == ""
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from indexlab_spark.operators.textstats import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            ("rep", "spam " * 200),
+            ("prose", "the quick brown fox jumps over the lazy dog and then "
+                      "wanders through seventeen distinct meadow paths "
+                      "counting unrepeated wildflower varieties carefully"),
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["id"]: r for r in compression_ratio(df).collect()}
+    assert out["rep"]["zlib_ratio"] < out["prose"]["zlib_ratio"]
+    assert out["empty"]["zlib_ratio"] == 1.0
+    # deterministic across partitionings
+    out2 = {r["id"]: r for r in compression_ratio(df.repartition(3)).collect()}
+    assert {k: v["zlib_ratio"] for k, v in out.items()} == {
+        k: v["zlib_ratio"] for k, v in out2.items()
+    }
+
+
+def test_normalize_text_catches_trivial_variants(spark):
+    """NFKC + accent strip + lowercase + whitespace squeeze: curly
+    quotes, NBSP, fullwidth chars, accents and case collapse so exact
+    dedup catches the variants byte hashing misses."""
+    from indexlab_spark.operators.dedup import exact_dedup
+    from indexlab_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            ("a", "Café  Nap Time"),          # é, NBSP, double space
+            ("b", "cafe nap time"),
+            ("c", "ＣａｆＥ nap time"),  # fullwidth CAFE
+            ("d", "entirely different text"),
+        ],
+        "doc_id string, text string",
+    )
+    norm = normalize_text(df)
+    texts = {r["doc_id"]: r["text"] for r in norm.collect()}
+    assert texts["a"] == texts["b"] == texts["c"] == "cafe nap time"
+    groups = exact_dedup(norm, normalize=False)
+    dup = [r for r in groups.collect() if r["cnt"] == 3]
+    assert len(dup) == 1 and dup[0]["keep_id"] == "a"
