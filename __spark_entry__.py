@@ -849,6 +849,19 @@ def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 similarity — mutual k-NN graph over a 300-vector slice
+    (operators/knn.knn_graph): blocked large-x-large self-join, self
+    hits dropped, re-ranked to exactly k, pair-normalized; mutual edges
+    only. The clustering substrate (+ connected_components =
+    single-linkage embedding clusters, pinned in tests)."""
+    from indexlab_spark.operators.knn import knn_graph
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    sl = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    return knn_graph(sl, k=3, mutual=True)
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -3734,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "asof_forward": _q_asof_forward,
         "profile_lineitem": _q_profile_lineitem,
+        "knn_graph": _q_knn_graph,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4503,6 +4517,21 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(min(l_shipdate)), 6) AS min_num, round(epoch(max(l_shipdate)), 6) AS max_num,
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
             FROM lineitem
+        """,
+        "knn_graph": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300),
+                 pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                                  round(list_dot_product(a.v, b.v), 6) AS s
+                           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+                 topk AS (SELECT ida, idb, s,
+                                 row_number() OVER (PARTITION BY ida
+                                     ORDER BY s DESC, idb ASC) AS rn
+                          FROM pairs),
+                 sel AS (SELECT * FROM topk WHERE rn <= 3)
+            SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+                   s AS score, CAST(count(*) AS INTEGER) AS n_directions
+            FROM sel GROUP BY 1, 2, 3 HAVING count(*) = 2
         """,
         "asof_forward": """
             WITH p AS (

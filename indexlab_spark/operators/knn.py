@@ -873,3 +873,56 @@ def sq8_search(
         "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
     )
     return out.filter(F.col("rank") <= k)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = False,
+    right_blocks: int = 8,
+) -> DataFrame:
+    """Symmetric k-nearest-neighbor GRAPH over an embedding column — the
+    substrate for density/agglomerative clustering and graph-based dedup
+    (``knn_graph`` + ``connected_components`` = single-linkage-style
+    embedding clusters; mutual-kNN graphs are the standard noise-robust
+    variant).
+
+    Edges come back normalized ``(id_a < id_b, score, n_directions)``:
+    with ``mutual=False`` an edge exists if EITHER endpoint ranks the
+    other in its top-k (union-symmetrized); ``mutual=True`` keeps only
+    edges where BOTH do (n_directions == 2). Inner-product scores are
+    symmetric, so each undirected edge carries one well-defined score.
+
+    Plan: one :func:`knn_join_blocked` self-join (large×large safe — no
+    broadcast, no collect, per-partition BLAS partial top-k), self-hits
+    dropped and re-ranked to exactly k (scores rounded to 6dp BEFORE
+    ranking, the oracle-parity convention), then a groupBy on the
+    normalized pair — everything candidate-bounded at |V|·k rows.
+    """
+    left = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    right = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding"))
+    # k+1 absorbs the self hit wherever it ranks; re-rank below restores
+    # exactly-k semantics identical to "top-k excluding self"
+    nn = knn_join_blocked(left, right, k + 1, right_blocks=right_blocks)
+    nn = (
+        nn.filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("score", F.round("score", 6))
+        .withColumn(
+            "rank2", F.row_number().over(_rank_window("query_id", "doc_id"))
+        )
+        .filter(F.col("rank2") <= k)
+    )
+    edges = (
+        nn.select(
+            F.least("query_id", "doc_id").alias("id_a"),
+            F.greatest("query_id", "doc_id").alias("id_b"),
+            "score",
+        )
+        .groupBy("id_a", "id_b", "score")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_directions"))
+    )
+    if mutual:
+        edges = edges.filter(F.col("n_directions") == 2)
+    return edges

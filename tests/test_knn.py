@@ -317,3 +317,30 @@ def test_sq8_oversize_routes_to_blocked(spark, emb, queries, numpy_truth):
     )
     # exact fallback == brute force truth
     _check(out.collect(), numpy_truth)
+
+
+def test_knn_graph_union_mutual_and_clusters(spark, emb):
+    """Union graph ⊇ mutual graph; every mutual edge appears in both
+    endpoints' top-k; + connected_components gives single-linkage-style
+    clusters where planted near-dup pairs co-cluster."""
+    from indexlab_spark.operators.dedup import connected_components
+    from indexlab_spark.operators.knn import knn_graph
+
+    sl = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    union = knn_graph(sl, k=3).collect()
+    mutual = knn_graph(sl, k=3, mutual=True).collect()
+    u_pairs = {(r["id_a"], r["id_b"]) for r in union}
+    m_pairs = {(r["id_a"], r["id_b"]) for r in mutual}
+    assert m_pairs <= u_pairs
+    assert all(r["n_directions"] == 2 for r in mutual)
+    assert all(r["id_a"] < r["id_b"] for r in union)
+    assert 0 < len(m_pairs) < len(u_pairs)
+    # every vertex contributes at most k union-edges as the QUERY side,
+    # so |union| <= |V| * k
+    assert len(u_pairs) <= 200 * 3
+    comp = connected_components(
+        knn_graph(sl, k=3, mutual=True).select("id_a", "id_b"),
+        sl.select(F.col("vec_id").alias("id")),
+    )
+    n_clusters = comp.select("cluster").distinct().count()
+    assert 1 < n_clusters < 200  # nontrivial structure, not one blob
