@@ -3644,23 +3644,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "top_revenue": _q_top_revenue,
         "top_terms": _q_top_terms,
-        # -- slots 47-50: next-oldest backfill (last green r03, in
-        # registry order).
-        "event_value_quantiles": _q_event_value_quantiles,
-        "revenue_moving_avg": _q_revenue_moving_avg,
+        # -- slots 47-50: the three highest-risk round-5 NEW entries
+        # (policy: never-attested before backfill — line_dedup's hot-key
+        # join, bloom's Arrow/treeReduce path, dsir's float-heavy ln
+        # sums are exactly what a driver row attests), plus
+        # embedding_lsh, whose round-5 multiprobe/overfull-bucket fix
+        # changed the code its last green row (r03) attested.
+        "line_dedup": _q_line_dedup,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "dsir_weights": _q_dsir_weights,
         "embedding_lsh": _q_embedding_lsh,
-        "docs_cube": _q_docs_cube,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
         # r6 window plan (pinned now per r4 VERDICT item 10): slots 13+
-        # take any round-5 additions that are still unattested, then the
-        # 29 remaining r03-green entries below (unigram_logprob ..
-        # rolling_median, in registry order), then the oldest of the r04
-        # block.  No oracle-backed entry's last green row may age past 3
-        # rounds.
+        # take the round-5 additions still unattested after the r5
+        # window (asof_forward, profile_lineitem, knn_graph, plus any
+        # r5-window entry that came back red), then the r03-green
+        # entries below (event_value_quantiles .. rolling_median, in
+        # registry order), then the oldest of the r04 block. No
+        # oracle-backed entry's last green row may age past 3 rounds.
         # last green r03:
+        "event_value_quantiles": _q_event_value_quantiles,
+        "revenue_moving_avg": _q_revenue_moving_avg,
+        "docs_cube": _q_docs_cube,
         "fuzzy_part_names": _q_fuzzy_part_names,
         "local_supplier_volume": _q_local_supplier_volume,
         "events_funnel": _q_events_funnel,
@@ -3742,9 +3750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_dup_spans": _q_clean_dup_spans,
         "token_budget_mix": _q_token_budget_mix,
         "minhash_incremental": _q_minhash_incremental,
-        "line_dedup": _q_line_dedup,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "dsir_weights": _q_dsir_weights,
         "asof_forward": _q_asof_forward,
         "profile_lineitem": _q_profile_lineitem,
         "knn_graph": _q_knn_graph,

@@ -131,8 +131,9 @@ def repetition_signals(
     and keyed by doc id, so it scales linearly and evenly unless one
     document is itself enormous (bounded by chunking upstream).
     """
-    toks_col = tokens(text_col)
-    base = df.select(_c(id_col).alias("id"), toks_col.alias("toks")).withColumn(
+    base = _fan_out(
+        df.select(_c(id_col).alias("id"), _c(text_col).alias("_t"))
+    ).select("id", tokens("_t").alias("toks")).withColumn(
         "n_words", F.size("toks")
     )
     dup_word = base.select(
@@ -245,9 +246,14 @@ def decontaminate(
     """
     from indexlab_spark.functions.hashing import token_shingles
 
-    t_sh = train.select(
-        _c(id_col).alias("id"),
-        F.explode(token_shingles(_c(text_col), n)).alias("shingle"),
+    # fan_out the INPUT before exploding: the broadcast join and the
+    # shingle explode both execute in the scan stage, so a single-file
+    # train parquet would otherwise run the whole pipeline as ONE task
+    # (same finding as bloom_decontaminate's probe, fixed there too)
+    t_sh = _fan_out(
+        train.select(_c(id_col).alias("id"), _c(text_col).alias("_ttext"))
+    ).select(
+        "id", F.explode(token_shingles(F.col("_ttext"), n)).alias("shingle")
     )
     b_sh = (
         benchmark.select(F.explode(token_shingles(_c(text_col), n)).alias("shingle"))
@@ -343,16 +349,24 @@ def bloom_decontaminate(
 
     from indexlab_spark.functions.hashing import token_shingles
 
+    # fan_out the INPUT, not the exploded frame: Catalyst pushes the
+    # membership filter (and the explode) through a downstream
+    # Repartition, so a post-explode fan_out would leave the whole
+    # shingle+hash+Bloom-test pipeline on the source's partitioning
+    # (ONE task for a single-file parquet)
     t_sh = _fan_out(
-        train.select(
-            _c(id_col).alias("id"),
-            F.explode(token_shingles(_c(text_col), n)).alias("shingle"),
-        )
+        train.select(_c(id_col).alias("id"), _c(text_col).alias("_ttext"))
+    ).select(
+        "id", F.explode(token_shingles(F.col("_ttext"), n)).alias("shingle")
     )
+    # fan_out on the benchmark side too: a single-file benchmark parquet
+    # would otherwise run the whole shingle explode + Bloom partial on
+    # ONE core (measured: the 1x scale-probe case was SLOWER than 8x
+    # before this, because the 8x replica frame arrived repartitioned)
     b_sh = (
-        benchmark.select(
-            F.explode(token_shingles(_c(text_col), n)).alias("shingle")
-        ).distinct()
+        _fan_out(benchmark.select(_c(text_col).alias("_btext")))
+        .select(F.explode(token_shingles(F.col("_btext"), n)).alias("shingle"))
+        .distinct()
     )
     b_sh = _pin(b_sh)
     b_hash = b_sh.select(F.xxhash64("shingle").alias("h"))
@@ -614,9 +628,11 @@ def _hashed_gram_counts(
     (id, bucket) agg is map-side-combined and keyed by document."""
     from indexlab_spark.functions.hashing import md5_long
 
-    base = df.select(
-        _c(id_col).alias("id"), tokens(text_col).alias("toks")
-    ).withColumn("n_words", F.size("toks"))
+    base = _fan_out(
+        df.select(_c(id_col).alias("id"), _c(text_col).alias("_t"))
+    ).select("id", tokens("_t").alias("toks")).withColumn(
+        "n_words", F.size("toks")
+    )
     grams = base.select(
         "id",
         F.explode(
