@@ -862,6 +862,20 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(sl, k=3, mutual=True)
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse maintenance — type-2 SCD history from the events change
+    log (operators/maintenance.scd2_from_changes): per-user event_type
+    version intervals, ties at equal ts resolved to max event_id, no-op
+    changes collapsed. All windows share one (user_id, ts) partitioning
+    — a single shuffle, no joins."""
+    from indexlab_spark.operators.maintenance import scd2_from_changes
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return scd2_from_changes(
+        ev, "user_id", "ts", ["event_type"], tie_col="event_id"
+    )
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -3753,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": _q_asof_forward,
         "profile_lineitem": _q_profile_lineitem,
         "knn_graph": _q_knn_graph,
+        "scd2_history": _q_scd2_history,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4537,6 +4552,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
                    s AS score, CAST(count(*) AS INTEGER) AS n_directions
             FROM sel GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "scd2_history": """
+            WITH t AS (SELECT user_id, ts, event_type,
+                              row_number() OVER (PARTITION BY user_id, ts
+                                                 ORDER BY event_id DESC) AS rn
+                       FROM events),
+                 d AS (SELECT user_id, ts, event_type FROM t WHERE rn = 1),
+                 c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                                       ORDER BY ts) AS prev
+                       FROM d),
+                 k AS (SELECT user_id, ts, event_type FROM c
+                       WHERE prev IS NULL OR event_type <> prev)
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       AS is_current
+            FROM k
         """,
         "asof_forward": """
             WITH p AS (

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -205,4 +205,61 @@ def rollup_events_daily(events: DataFrame) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_value"),
+    )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str | None = None,
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: each change row opens a version ``[valid_from, valid_to)``
+    closed by the key's next change; the last version per key has
+    ``valid_to = NULL`` and ``is_current = true`` (the standard
+    event-sourcing -> SCD2 materialization every warehouse needs).
+
+    ``tie_col``: when one key has several change rows at the SAME
+    timestamp, the row with the LARGEST tie_col wins (deterministic);
+    required if such ties exist. ``collapse_unchanged=True`` drops
+    change rows whose attributes equal the key's previous surviving
+    row (no-op updates do not open spurious versions).
+
+    Plan: everything is windows over ONE partitioning (the key) with one
+    ordering (ts) — a single shuffle; the collapse filter and the
+    lead() validity close share the sort. No joins, no collects;
+    history length per key is bounded by that key's own change count.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    df = changes.select(key_col, ts_col, *attr_cols)
+    if tie_col is not None:
+        wt = Window.partitionBy(key_col, ts_col).orderBy(
+            F.col(tie_col).desc()
+        )
+        df = (
+            changes.select(key_col, ts_col, tie_col, *attr_cols)
+            .withColumn("_rn", F.row_number().over(wt))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", tie_col)
+        )
+    if collapse_unchanged:
+        attrs = F.struct(*[F.col(c) for c in attr_cols])
+        prev = F.lag(attrs).over(w)
+        # NULL-safe: the first row per key (lag NULL) always survives
+        df = (
+            df.withColumn("_prev", prev)
+            .filter(
+                F.col("_prev").isNull()
+                | ~attrs.eqNullSafe(F.col("_prev"))
+            )
+            .drop("_prev")
+        )
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
     )

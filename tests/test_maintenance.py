@@ -120,3 +120,40 @@ def test_incremental_rollup_refresh_matches_full(spark, tables):
     got = {key(r): (r["n"], round(r["sum_value"], 6)) for r in state.collect()}
     expect = {key(r): (r["n"], round(r["sum_value"], 6)) for r in full.collect()}
     assert got == expect and len(got) > 100
+
+
+def test_scd2_from_changes_semantics(spark):
+    """Tie at equal ts resolves to max tie_col; no-op changes collapse
+    into the surrounding version; last version per key stays open."""
+    from indexlab_spark.operators.maintenance import scd2_from_changes
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 100, "A"),
+            (1, 20, 101, "B"),
+            (1, 20, 102, "C"),  # tie winner at ts=20
+            (1, 30, 103, "C"),  # no-op -> collapsed
+            (1, 40, 104, "A"),
+            (2, 15, 200, "X"),
+        ],
+        "user_id int, ts int, event_id int, state string",
+    )
+    out = scd2_from_changes(
+        df, "user_id", "ts", ["state"], tie_col="event_id"
+    ).orderBy("user_id", "valid_from").collect()
+    got = [
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out
+    ]
+    assert got == [
+        (1, "A", 10, 20, False),
+        (1, "C", 20, 40, False),
+        (1, "A", 40, None, True),
+        (2, "X", 15, None, True),
+    ]
+    # without collapse, the no-op change opens its own version
+    raw = scd2_from_changes(
+        df, "user_id", "ts", ["state"], tie_col="event_id",
+        collapse_unchanged=False,
+    ).filter("user_id = 1").collect()
+    assert len(raw) == 4
