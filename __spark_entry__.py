@@ -197,6 +197,27 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 incremental — the SAME top-10 ranking as bm25_topk, but the
+    index is built in two steps: bm25_build over doc_id % 4 != 0, then
+    bm25_refresh appends the % 4 == 0 batch to the persisted posting
+    state (only the batch is tokenized; df/idf/avgdl re-derive at
+    vocabulary size). Sharing bm25_topk's oracle pins refresh == rebuild
+    through the driver's value hash."""
+    from indexlab_spark.operators.bm25 import bm25_build, bm25_refresh, bm25_score
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    ts_old, dl_old, _ = bm25_build(old)
+    ts, dl, g, _tf = bm25_refresh(
+        ts_old.select("doc_id", "term", "tf", "dl"), dl_old, new
+    )
+    return bm25_score(_queries_df(spark), ts, dl, g, k=_BM25_K).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3/L4 — RRF fusion (k_rrf=60, 1/(60+rank), rank 1-based) of the
     vector top-10 (embeddings table, inner product) and BM25 top-10 over
@@ -3768,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": _q_profile_lineitem,
         "knn_graph": _q_knn_graph,
         "scd2_history": _q_scd2_history,
+        "bm25_incremental": _q_bm25_incremental,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4023,6 +4045,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
         """,
         "bm25_topk": f"""
+            WITH {bm25_ctes}
+            SELECT query_id, doc_id, score, rank
+            FROM bm_ranked WHERE rank <= {_BM25_K}
+        """,
+        "bm25_incremental": f"""
             WITH {bm25_ctes}
             SELECT query_id, doc_id, score, rank
             FROM bm_ranked WHERE rank <= {_BM25_K}

@@ -118,15 +118,18 @@ def bm25_build(
             tf.groupBy("doc_id").agg(F.first("dl").alias("dl")), "doc_id", "left"
         ).na.fill({"dl": 0})
     )
-    # scalar aggregates, no keyed shuffle: N from the corpus frame, total
-    # tokens from the (doc,term) frame's per-doc-constant dl via sum(tf)
-    globals_df = (
-        all_docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(tf.agg(F.sum("tf").alias("_tok_total")))
-        .select(
-            "n_docs",
-            (F.col("_tok_total").cast("double") / F.col("n_docs")).alias("avgdl"),
-        )
+    return _derive_bm25(tf, doc_lens, materialize)
+
+
+def _derive_bm25(tf, doc_lens, materialize: bool):
+    """(term_stats, doc_lens, globals_df) from the raw posting frame +
+    doc-length frame — the vocabulary-sized derivation shared by
+    bm25_build (full) and bm25_refresh (incremental). The posting frame
+    never shuffles: df/idf are map-side-combined |vocab|-row aggregates,
+    globals are scalar aggregates over doc_lens."""
+    globals_df = doc_lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     # vocabulary-level document frequencies: map-side combine shrinks the
     # exchange to |vocab| rows — the posting frame itself never moves
@@ -154,6 +157,91 @@ def bm25_build(
 
         term_stats = pin(term_stats)
     return term_stats, doc_lens, globals_df
+
+
+def bm25_refresh(
+    old_tf: DataFrame,
+    old_doc_lens: DataFrame,
+    new_docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    removed_ids: DataFrame | None = None,
+    materialize: bool = True,
+):
+    """Incremental BM25 index maintenance. The persistable state is the
+    RAW posting frame ``(doc_id, term, tf, dl)`` plus ``(doc_id, dl)``
+    doc lengths — both per-document facts, so ingestion is ADDITIVE:
+    only the new batch is tokenized (one Arrow pass over batch-sized
+    input), appended to the old state (and anti-joined against
+    ``removed_ids(doc_id)`` for deletions), and the vocabulary-sized
+    statistics (df, idf, avgdl) re-derive via :func:`_derive_bm25`.
+    Scores over the union EQUAL a full rebuild (idf/avgdl are global,
+    so they legitimately change for every doc — but the stored
+    per-document state never needs recomputation; pinned by
+    tests/test_bm25.py).
+
+    Returns ``(term_stats, doc_lens, globals_df, new_tf)`` where
+    ``new_tf``/``doc_lens`` are the next round's persistable state.
+
+    Per-refresh cost at 100 TB: tokenize ~ batch size; union is a plan
+    node, not a shuffle; df re-agg is map-side combined over the
+    posting frame scan with |vocab| output rows — the one full-state
+    pass, the same cost a materialized-view refresh of a count table
+    pays (cf. maintenance.refresh_rollup for the keyed-delta variant).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _tf_rows(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            dls: list = []
+            for i, t in zip(pdf[doc_id_col], pdf[text_col]):
+                toks = [x for x in ws.split((t or "").lower()) if x]
+                c = Counter(toks)
+                ids.extend([i] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                dls.extend([len(toks)] * len(c))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    src = new_docs.select(doc_id_col, text_col)
+    parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    id_t = new_docs.schema[doc_id_col].dataType.simpleString()
+    tf_new = src.mapInPandas(
+        _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
+    )
+    dl_new = (
+        new_docs.select(F.col(doc_id_col).alias("doc_id"))
+        .join(
+            tf_new.groupBy("doc_id").agg(F.first("dl").alias("dl")),
+            "doc_id",
+            "left",
+        )
+        .na.fill({"dl": 0})
+    )
+    tf = old_tf.unionByName(tf_new)
+    dl = old_doc_lens.unionByName(dl_new)
+    if removed_ids is not None:
+        tf = tf.join(removed_ids, "doc_id", "left_anti")
+        dl = dl.join(removed_ids, "doc_id", "left_anti")
+    if materialize:
+        from indexlab_spark.functions.cache import pin
+
+        tf = pin(tf)
+    term_stats, doc_lens, globals_df = _derive_bm25(tf, dl, materialize)
+    return term_stats, doc_lens, globals_df, tf
 
 
 def bm25_score(

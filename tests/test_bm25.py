@@ -91,3 +91,56 @@ def test_query_term_multiplicity(spark_hits):
     single = python_bm25(corpus, "fox")
     for doc_id, (score, _) in spark_hits.get(3, {}).items():
         assert abs(score - 2 * single[doc_id]) < 1e-9
+
+
+def test_bm25_refresh_equals_rebuild(spark, tables):
+    """Incremental state append + vocabulary-sized re-derivation must
+    reproduce the full rebuild over the union corpus — term_stats,
+    doc_lens and globals all equal (exact: the additive state is
+    integer, the derived floats see identical inputs)."""
+    from indexlab_spark.operators.bm25 import bm25_build, bm25_refresh
+
+    docs = tables["documents"]
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    # persistable state from the initial build: raw postings + lengths
+    ts_old, dl_old, _ = bm25_build(old, materialize=False)
+    tf_old = ts_old.select("doc_id", "term", "tf", "dl")
+    ts_inc, dl_inc, g_inc, tf_next = bm25_refresh(
+        tf_old, dl_old, new, materialize=False
+    )
+    ts_full, dl_full, g_full = bm25_build(docs, materialize=False)
+
+    def rows(df_, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df_.collect())
+
+    assert rows(g_inc, ["n_docs", "avgdl"]) == rows(g_full, ["n_docs", "avgdl"])
+    assert rows(dl_inc, ["doc_id", "dl"]) == rows(dl_full, ["doc_id", "dl"])
+    inc = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"], round(r["idf_adj"], 9))
+        for r in ts_inc.collect()
+    }
+    full = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"], round(r["idf_adj"], 9))
+        for r in ts_full.collect()
+    }
+    assert inc == full
+    # next-round state covers the union corpus's postings exactly
+    assert tf_next.count() == len(full)
+    # deletions: removing the new batch again restores the OLD index
+    removed = new.select(F.col("doc_id"))
+    ts_back, dl_back, _, _ = bm25_refresh(
+        tf_next, dl_inc, spark.createDataFrame([], docs.schema),
+        removed_ids=removed, materialize=False,
+    )
+    old_full = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"], round(r["idf_adj"], 9))
+        for r in ts_old.collect()
+    }
+    back = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"], round(r["idf_adj"], 9))
+        for r in ts_back.collect()
+    }
+    assert back == old_full
+    assert dl_back.count() == dl_old.count()
