@@ -614,6 +614,19 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.3)
 
 
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup/jaccard-prefix — the EXACT sub-quadratic path: AllPairs
+    prefix filtering (rarest-first global order, per-set prefix
+    |A| - ceil(t|A|) + 1, symmetric size bound) generates candidates,
+    exact verification scores them. Output identical to jaccard_pairs
+    (shared oracle) — the prefix theorem guarantees no false negatives,
+    the verify kills false positives."""
+    from indexlab_spark.operators.dedup import jaccard_join_prefix
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return jaccard_join_prefix(docs, threshold=0.3)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 dedup/minhash-lsh — 16-hash MinHash signatures (portable
     min-md5), 8 bands x 2 rows, candidates verified with exact Jaccard
@@ -3790,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "scd2_history": _q_scd2_history,
         "bm25_incremental": _q_bm25_incremental,
+        "jaccard_prefix": _q_jaccard_prefix,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4272,6 +4286,15 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY 1
         """,
         "jaccard_pairs": f"""
+            WITH {_SHINGLE_CTES}
+            SELECT i.id_a, i.id_b, i.inter,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM pair_inter i
+            JOIN szs sa ON sa.id = i.id_a
+            JOIN szs sb ON sb.id = i.id_b
+            WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3
+        """,
+        "jaccard_prefix": f"""
             WITH {_SHINGLE_CTES}
             SELECT i.id_a, i.id_b, i.inter,
                    round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard

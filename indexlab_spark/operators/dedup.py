@@ -342,16 +342,24 @@ def minhash_lsh_pairs(
 
 
 def _verify_jaccard(
-    cand: DataFrame, exploded: DataFrame, sizes: DataFrame, threshold: float
+    cand: DataFrame, exploded: DataFrame, sizes: DataFrame, threshold: float,
+    include_inter: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard filter over a candidate pair frame: |A ∩ B| by
     joining the (id, shingle) frame on both sides restricted to the
-    candidates, |A|/|B| from the precomputed size table."""
+    candidates, |A|/|B| from the precomputed size table.
+    ``include_inter=True`` adds the raw intersection count column
+    (jaccard_pairs' output shape)."""
     inter = (
         cand.join(exploded.withColumnRenamed("id", "id_a"), "id_a")
         .join(exploded.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out_cols = (
+        ["id_a", "id_b", "inter", "jaccard"]
+        if include_inter
+        else ["id_a", "id_b", "jaccard"]
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -363,7 +371,7 @@ def _verify_jaccard(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(*out_cols)
     )
 
 
@@ -1200,3 +1208,74 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
     )
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. 2007 — public): identical output to
+    :func:`jaccard_pairs` (a < b, inter, jaccard >= threshold), but
+    candidate generation is sub-quadratic instead of the full shingle
+    equi-join.
+
+    The filter: order the vocabulary by global document frequency
+    (rarest first); for Jaccard >= t, |A ∩ B| >= t·|A|, so any
+    qualifying partner must share a shingle with A's first
+    ``|A| - ceil(t·|A|) + 1`` shingles in that order (pigeonhole).
+    Joining PREFIXES on rare-first tokens collapses the candidate
+    space: common shingles (the quadratic blowup in the naive join)
+    fall outside most prefixes. A symmetric size bound
+    (min >= t·max, epsilon-guarded against float slop in the
+    DIRECTION that could drop candidates) prunes further; survivors get
+    the shared exact verification, so false positives die and the
+    prefix theorem guarantees no false negatives.
+
+    Shuffles: vocabulary-frequency agg (|vocab| rows out), per-doc
+    prefix window keyed by doc id, prefix self-join keyed by shingle,
+    candidate-restricted verify — all map-side-combined or
+    candidate-bounded. This is the scale path for EXACT thresholds;
+    MinHash-LSH remains the approximate path when even prefixes blow
+    up.
+    """
+    exploded = _pin(exploded_shingles(df, id_col, text_col, n))
+    sizes = _pin(exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    t = float(threshold)
+    # ceil guard: 0.2*5 floats to 1.0000000000000002, whose ceil (2)
+    # would SHORTEN the prefix and lose candidates — subtract epsilon
+    # before ceil so only genuine fractional parts round up
+    need = F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9))
+    ranked = (
+        exploded.join(freq, "shingle")
+        .join(sizes, "id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("_df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= F.col("sz") - need + 1)
+        .select("id", "sz", "shingle")
+    )
+    ranked = _pin(ranked)
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "shingle")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            # size bound min >= t*max; epsilon ADMITS borderline pairs
+            # (exact verify kills them) rather than dropping real ones
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz") - F.lit(1e-9))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz") - F.lit(1e-9))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, exploded, sizes, t, include_inter=True)

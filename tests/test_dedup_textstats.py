@@ -360,3 +360,26 @@ def test_normalize_text_catches_trivial_variants(spark):
     groups = exact_dedup(norm, normalize=False)
     dup = [r for r in groups.collect() if r["cnt"] == 3]
     assert len(dup) == 1 and dup[0]["keep_id"] == "a"
+
+
+def test_jaccard_prefix_equals_naive(docs, spark, tables):
+    """Prefix filtering must be EXACT: identical pairs, intersections
+    and jaccards to the naive shingle equi-join at several thresholds
+    (including float-awkward ones like 0.2/0.3 that stress the ceil
+    guard), on both the tiny fixture and the real documents table."""
+    from indexlab_spark.operators.dedup import jaccard_join_prefix, jaccard_pairs
+
+    def pairs(df_):
+        return {
+            (r["id_a"], r["id_b"], r["inter"], r["jaccard"])
+            for r in df_.collect()
+        }
+
+    for t in (0.2, 0.3, 0.5, 0.7):
+        naive = pairs(jaccard_pairs(docs, threshold=t))
+        fast = pairs(jaccard_join_prefix(docs, threshold=t))
+        assert fast == naive, f"fixture threshold {t}"
+    real = tables["documents"]
+    naive = pairs(jaccard_pairs(real, threshold=0.3))
+    fast = pairs(jaccard_join_prefix(real, threshold=0.3))
+    assert fast == naive and len(naive) > 0
