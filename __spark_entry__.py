@@ -404,6 +404,32 @@ def _compare_parts(spark: SparkSession, sf_dir: str):
     return hits_ip, hits_cos, gold
 
 
+def _q_eval_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-family extension — paired-bootstrap significance for the IP vs
+    cosine reciprocal-rank delta (operators/evaluate.bootstrap_delta):
+    200 deterministic md5-driven resamples of the 64-question set,
+    exact-percentile 95% CI + sign fraction. No RNG state — the draw
+    indices hash from (seed, b, i), so the oracle reproduces them."""
+    from indexlab_spark.operators.evaluate import (
+        bootstrap_delta,
+        eval_compare,
+        eval_results,
+    )
+
+    hits_ip, hits_cos, gold = _compare_parts(spark, sf_dir)
+    lres = eval_results(gold, hits_ip, k=5)
+    rres = eval_results(gold, hits_cos, k=5)
+    cmp_df = eval_compare(lres, rres)
+    rr = cmp_df.select(
+        "query_id",
+        (
+            F.when(F.col("l_found"), F.lit(1.0) / F.col("l_rank")).otherwise(0.0)
+            - F.when(F.col("r_found"), F.lit(1.0) / F.col("r_rank")).otherwise(0.0)
+        ).alias("delta"),
+    )
+    return bootstrap_delta(rr, n_boot=200, seed="boot")
+
+
 def _q_eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V7 — per-question rank deltas between two retrieval runs (IP vs
     cosine) with the reference's ±999 recovered/regression sentinels
@@ -3804,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "bm25_incremental": _q_bm25_incremental,
         "jaccard_prefix": _q_jaccard_prefix,
+        "eval_bootstrap": _q_eval_bootstrap,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4106,6 +4133,36 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(coalesce(1.0 / rank, 0.0)), 6) AS mrr,
                    round(avg(coalesce(1.0 / log2(rank + 1.0), 0.0)), 6) AS ndcg
             FROM eval_rows
+        """,
+        "eval_bootstrap": f"""
+            WITH {_COMPARE_CTES},
+            rrd AS (SELECT query_id AS _q,
+                           CAST(CASE WHEN l_found THEN 1.0 / l_rank
+                                     ELSE 0.0 END
+                              - CASE WHEN r_found THEN 1.0 / r_rank
+                                     ELSE 0.0 END AS DOUBLE) AS _v
+                    FROM cmp),
+            ranked AS (SELECT _q, _v,
+                              row_number() OVER (ORDER BY _q) - 1 AS _pos
+                       FROM rrd),
+            nrow AS (SELECT count(*) AS _n, avg(_v) AS _mean FROM ranked),
+            draws AS (SELECT b AS _b,
+                             CAST(concat('0x', substr(md5('boot' || '|' || b
+                                  || '|' || i), 1, 15)) AS BIGINT)
+                                 % (SELECT _n FROM nrow) AS _pos
+                      FROM generate_series(0, 199) AS gb(b),
+                           LATERAL (SELECT unnest(generate_series(0,
+                                (SELECT _n FROM nrow) - 1)) AS i) gi),
+            bm AS (SELECT _b, avg(_v) AS _bm
+                   FROM draws JOIN ranked USING (_pos) GROUP BY 1)
+            SELECT (SELECT _n FROM nrow) AS n_questions,
+                   round((SELECT _mean FROM nrow), 6) AS delta_mean,
+                   count(*) AS n_boot,
+                   round(quantile_cont(_bm, 0.025), 6) AS ci_low,
+                   round(quantile_cont(_bm, 0.975), 6) AS ci_high,
+                   round(avg(CASE WHEN _bm >= 0 THEN 1.0 ELSE 0.0 END), 6)
+                       AS frac_ge_0
+            FROM bm
         """,
         "eval_compare": f"""
             WITH {_COMPARE_CTES}

@@ -154,3 +154,87 @@ def overlap_compare(
     )
     base = l.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("left_k"))
     return base.join(inter, query_id_col, "left").na.fill({"overlap": 0})
+
+
+def bootstrap_delta(
+    per_question: DataFrame,
+    value_col: str = "delta",
+    question_col: str = "query_id",
+    n_boot: int = 200,
+    seed: str = "boot",
+) -> DataFrame:
+    """Paired-bootstrap confidence interval for a per-question metric
+    delta between two eval runs — the standard IR significance check
+    (Smucker et al. 2007, public): resample the question set with
+    replacement ``n_boot`` times, average the deltas per resample, and
+    report the 2.5/97.5 percentile band plus the fraction of resamples
+    with mean >= 0. A CI excluding 0 (or frac_ge_0 near 0/1) marks the
+    delta significant; a CI straddling 0 marks it noise.
+
+    Resampling is DETERMINISTIC: draw i of resample b picks question
+    ``md5_long(seed|b|i) % n`` — reproducible across engines, runs and
+    partitionings (the same device as hash_sample), so the operator is
+    oracle-checkable — no RNG state anywhere.
+
+    Plan: one global row_number over the question frame (bounded by the
+    eval set's size — thousands, by contract), a generated
+    ``n_boot x n`` index frame joined back on position (keyed shuffle),
+    per-resample means map-side combined, then one exact-percentile agg
+    over ``n_boot`` rows. Nothing driver-side.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    base = per_question.select(
+        F.col(question_col).alias("_q"), F.col(value_col).cast("double").alias("_v")
+    )
+    ranked = base.withColumn(
+        "_pos",
+        F.row_number().over(Window.orderBy(F.col("_q").asc())) - 1,
+    )
+    n_row = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_v").alias("_mean")
+    )
+    spark = per_question.sparkSession
+    draws = (
+        spark.range(n_boot)
+        .select(F.col("id").alias("_b"))
+        .crossJoin(F.broadcast(n_row.select("_n")))
+        .select(
+            "_b",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+            "_n",
+        )
+        .select(
+            "_b",
+            (
+                md5_long(
+                    F.concat_ws("|", F.lit(seed), F.col("_b"), F.col("_i"))
+                )
+                % F.col("_n")
+            ).alias("_pos"),
+        )
+    )
+    boot_means = (
+        draws.join(ranked.select("_pos", "_v"), "_pos")
+        .groupBy("_b")
+        .agg(F.avg("_v").alias("_bm"))
+    )
+    return (
+        boot_means.agg(
+            F.count(F.lit(1)).alias("n_boot"),
+            F.round(F.expr("percentile(_bm, 0.025)"), 6).alias("ci_low"),
+            F.round(F.expr("percentile(_bm, 0.975)"), 6).alias("ci_high"),
+            F.round(F.avg((F.col("_bm") >= 0).cast("double")), 6).alias(
+                "frac_ge_0"
+            ),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("_n").alias("n_questions"),
+            F.round("_mean", 6).alias("delta_mean"),
+            "n_boot",
+            "ci_low",
+            "ci_high",
+            "frac_ge_0",
+        )
+    )

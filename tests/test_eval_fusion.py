@@ -104,3 +104,27 @@ def test_hybrid_scoreless_hits(spark):
     out = {r["doc_id"]: r for r in hybrid_search(vec_df, bm_df, k=2).collect()}
     assert out["a"]["vector_score"] is not None
     assert out["b"]["vector_score"] is None
+
+
+def test_bootstrap_delta_properties(spark):
+    """Deterministic across partitionings; CI brackets the mean; a
+    clearly-positive delta set is significant (CI > 0, frac_ge_0 = 1),
+    a zero-centered one is not."""
+    import numpy as np
+
+    from indexlab_spark.operators.evaluate import bootstrap_delta
+
+    rng = np.random.default_rng(11)
+    pos = [(int(i), float(v)) for i, v in
+           enumerate(rng.normal(1.0, 0.2, 80).round(6))]
+    noise = [(int(i), float(v)) for i, v in
+             enumerate(rng.normal(0.0, 1.0, 80).round(6))]
+    pos_df = spark.createDataFrame(pos, "query_id int, delta double")
+    out = bootstrap_delta(pos_df, n_boot=100).first()
+    assert out["ci_low"] > 0 and out["frac_ge_0"] == 1.0
+    assert out["ci_low"] <= out["delta_mean"] <= out["ci_high"]
+    out2 = bootstrap_delta(pos_df.repartition(7), n_boot=100).first()
+    assert out.asDict() == out2.asDict()
+    noise_df = spark.createDataFrame(noise, "query_id int, delta double")
+    nz = bootstrap_delta(noise_df, n_boot=100).first()
+    assert nz["ci_low"] < 0 < nz["ci_high"]
