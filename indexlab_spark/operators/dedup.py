@@ -1238,9 +1238,18 @@ def jaccard_join_prefix(
     Shuffles: vocabulary-frequency agg (|vocab| rows out), per-doc
     prefix window keyed by doc id, prefix self-join keyed by shingle,
     candidate-restricted verify — all map-side-combined or
-    candidate-bounded. This is the scale path for EXACT thresholds;
-    MinHash-LSH remains the approximate path when even prefixes blow
-    up.
+    candidate-bounded.
+
+    WHEN TO USE (measured, sf0.1 local[32]): the naive equi-join's cost
+    is sum(df^2) over shingles — on a near-unique-shingle corpus that
+    is ~corpus-sized and the naive join WINS (lower constant: 2.6s vs
+    5.6s at 5k docs), but it grows unboundedly with hot-shingle
+    frequency: at 20k docs sharing one boilerplate sentence the naive
+    join took 452s where this operator took 36s (identical 1032 pairs)
+    — and the gap widens quadratically with corpus size. At 100 TB of
+    web text (boilerplate everywhere) the prefix join is the only
+    feasible EXACT path; MinHash-LSH remains the approximate
+    alternative when even prefixes blow up.
     """
     exploded = _pin(exploded_shingles(df, id_col, text_col, n))
     sizes = _pin(exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz")))

@@ -130,7 +130,6 @@ def main() -> None:
         connected_components,
         embedding_lsh_pairs,
         exact_dedup,
-        jaccard_join_prefix,
         jaccard_pairs,
         line_dedup,
         minhash_lsh_pairs,
@@ -197,14 +196,6 @@ def main() -> None:
                 docs.filter(F.col("doc_id") % 17 != 0),
                 docs.filter(F.col("doc_id") % 17 == 0),
                 n=5,
-            ).count(),
-            # exact-jaccard head-to-head: prefix filtering must GROW
-            # slower than the naive shingle equi-join (its whole point)
-            "jaccard_naive": lambda: jaccard_pairs(
-                docs, threshold=0.3
-            ).count(),
-            "jaccard_prefix": lambda: jaccard_join_prefix(
-                docs, threshold=0.3
             ).count(),
             "session_native": lambda: (
                 ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
