@@ -236,14 +236,22 @@ def scd2_from_changes(
     w = Window.partitionBy(key_col).orderBy(ts_col)
     df = changes.select(key_col, ts_col, *attr_cols)
     if tie_col is not None:
-        wt = Window.partitionBy(key_col, ts_col).orderBy(
-            F.col(tie_col).desc()
+        # tie resolution shares the (key) partitioning of every other
+        # window here — a (key, ts)-partitioned row_number would force a
+        # SECOND exchange (ENSURE_REQUIREMENTS cannot reuse the narrower
+        # one); ordering (ts asc, tie desc) makes the FIRST row of each
+        # ts-group the max-tie winner, identified by lag(ts) != ts
+        wt = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).asc(), F.col(tie_col).desc()
         )
         df = (
             changes.select(key_col, ts_col, tie_col, *attr_cols)
-            .withColumn("_rn", F.row_number().over(wt))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", tie_col)
+            .withColumn("_prev_ts", F.lag(ts_col).over(wt))
+            .filter(
+                F.col("_prev_ts").isNull()
+                | (F.col("_prev_ts") != F.col(ts_col))
+            )
+            .drop("_prev_ts", tie_col)
         )
     if collapse_unchanged:
         attrs = F.struct(*[F.col(c) for c in attr_cols])

@@ -209,3 +209,56 @@ def test_clean_dup_spans_no_driver_side_ops(spark, sf_dir):
     plan = _plan(spark, sf_dir, "clean_dup_spans")
     assert "SinglePartition" not in plan
     assert "partial_count" in plan  # map-side combine on the gram agg
+
+
+def test_line_dedup_no_window_partial_agg(spark, sf_dir):
+    """line_dedup's first-occurrence search must stay a
+    map-side-combinable aggregation (partial agg below the exchange) —
+    never a window over the line key, which a billion-fold duplicated
+    line would funnel through one sorting reducer."""
+    plan = _plan(spark, sf_dir, "line_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "SortAggregate" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """The bucket log-ratio table is <= `buckets` rows by construction
+    and must reach the per-doc counts as a broadcast, not a shuffle."""
+    _, broadcasts = _counts(spark, sf_dir, "dsir_weights")
+    assert broadcasts >= 1
+
+
+def test_profile_table_modes(spark, sf_dir, tables):
+    """HLL mode is ONE aggregation pass with no Expand regardless of
+    column count; exact mode pays the documented Expand."""
+    from indexlab_spark.operators.analytics import profile_table
+
+    li = tables["lineitem"]
+    approx_plan = (
+        profile_table(li)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan
+    exact_plan = (
+        profile_table(li, distinct="exact")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan
+
+
+def test_scd2_single_keyed_exchange(spark, sf_dir):
+    """All SCD2 windows share one (user_id) partitioning: exactly one
+    keyed shuffle, never a SinglePartition global sort."""
+    shuffles, _ = _counts(spark, sf_dir, "scd2_history")
+    assert shuffles == 1, f"expected 1 shuffle, got {shuffles}"
+    assert "SinglePartition" not in _plan(spark, sf_dir, "scd2_history")
+
+
+def test_knn_graph_no_cartesian_no_collect(spark, sf_dir):
+    """The kNN-graph self-join must go through the blocked mapInPandas
+    path — no CartesianProduct over the corpus. (A
+    BroadcastNestedLoopJoin DOES appear: it is knn_join_blocked's
+    fan-out of the left side against the `right_blocks`-row block-id
+    frame — a broadcast of <10 literal rows, not a corpus product.)"""
+    plan = _plan(spark, sf_dir, "knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
