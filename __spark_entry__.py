@@ -936,6 +936,22 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 graph — PageRank centrality over the mutual kNN graph of a
+    300-vector slice (dedup.pagerank: per-iteration keyed join +
+    map-combined sum, scalar dangling/delta aggregates, localCheckpoint
+    per round). Iterative float -> rows-only; the numpy power-iteration
+    equivalence is pinned in tests."""
+    from indexlab_spark.operators.dedup import pagerank
+    from indexlab_spark.operators.knn import knn_graph
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    sl = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    edges = knn_graph(sl, k=3, mutual=True)
+    nodes = sl.select(F.col("vec_id").alias("id"))
+    return pagerank(edges, nodes, tol=1e-4, max_iter=80)
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -3841,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sq8": _q_similarity_sq8,
         "compression_quality": _q_compression_quality,
         "normalized_dedup": _q_normalized_dedup,
+        "graph_pagerank": _q_graph_pagerank,
     }
 
 

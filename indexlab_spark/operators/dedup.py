@@ -1288,3 +1288,97 @@ def jaccard_join_prefix(
         .distinct()
     )
     return _verify_jaccard(cand, exploded, sizes, t, include_inter=True)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float = 1e-6,
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank over an edge list (Brin & Page 1998, public) — the
+    centrality companion to :func:`connected_components` for graph-based
+    corpus analysis (e.g. which documents sit at the center of a
+    near-dup / kNN neighborhood graph). Undirected by default (each
+    edge contributes both ways, the right reading for similarity
+    graphs); ``directed=True`` uses ``a -> b`` as given.
+
+    Returns ``(id, rank)`` with ranks summing to 1 (dangling mass and
+    the teleport term are redistributed uniformly, the standard
+    formulation).
+
+    Scale design (the connected_components discipline): each iteration
+    is one keyed join (ranks x out-edges) + one map-side-combined sum —
+    shuffles keyed by node id only; the dangling mass and the L1 delta
+    are scalar aggregates (the loop's only driver-side values); every
+    round localCheckpoints so lineage stays flat. Convergence = L1
+    delta < tol, loud failure on exhausting max_iter.
+    """
+    if directed:
+        sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    else:
+        sym = edges.select(
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        ).union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+    sym = sym.distinct().persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.select(F.col(id_col).alias("id")).distinct().persist()
+    n_count = n.count()
+    if n_count == 0:
+        sym.unpersist()
+        return n.select("id", F.lit(0.0).alias("rank"))
+    base = float(1.0 - damping) / n_count
+    ranks = n.select("id", F.lit(1.0 / n_count).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
+        "id", "rank", F.coalesce("deg", F.lit(0)).alias("deg")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        dangling = (
+            out.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contrib = (
+            out.filter(F.col("deg") > 0)
+            .join(sym, out["id"] == sym["src"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        uniform = base + damping * dangling / n_count
+        new_out = (
+            out.join(contrib, out["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(uniform)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("new_rank"),
+                "rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = new_out.agg(
+            F.sum(F.abs(F.col("new_rank") - F.col("rank")))
+        ).first()[0]
+        out = new_out.select("id", F.col("new_rank").alias("rank"), "deg")
+        out = out.localCheckpoint(eager=True)
+        if delta < tol:
+            break
+    else:
+        sym.unpersist()
+        n.unpersist()
+        raise RuntimeError(
+            f"pagerank did not converge in max_iter={max_iter} iterations "
+            f"(last L1 delta {delta:.2e}); raise max_iter or tol"
+        )
+    sym.unpersist()
+    n.unpersist()
+    return out.select("id", F.round("rank", 9).alias("rank"))

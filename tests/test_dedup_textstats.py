@@ -383,3 +383,58 @@ def test_jaccard_prefix_equals_naive(docs, spark, tables):
     naive = pairs(jaccard_pairs(real, threshold=0.3))
     fast = pairs(jaccard_join_prefix(real, threshold=0.3))
     assert fast == naive and len(naive) > 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank == dense numpy reference on a graph with a hub,
+    a chain and a dangling node; ranks sum to 1; hub ranks highest."""
+    import numpy as np
+
+    from indexlab_spark.operators.dedup import pagerank
+
+    #   0 -- 1, 0 -- 2, 0 -- 3 (star, undirected)   4 isolated/dangling
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    # L1 delta contracts by ~damping per iteration (0.85^k): 1e-6
+    # needs ~90 rounds and bounds the rank error by delta/(1-d) ~ 7e-6
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, nodes, tol=1e-6, max_iter=120).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[0] == max(got.values())
+    assert abs(got[1] - got[2]) < 1e-6 and abs(got[2] - got[3]) < 1e-6
+
+    # dense reference: column-stochastic with uniform dangling fix
+    d, n = 0.85, 5
+    A = np.zeros((n, n))
+    for a, b in [(0, 1), (0, 2), (0, 3)]:
+        A[b, a] = 1
+        A[a, b] = 1
+    colsum = A.sum(0)
+    M = np.divide(A, colsum, out=np.zeros_like(A), where=colsum > 0)
+    r = np.full(n, 1 / n)
+    for _ in range(500):
+        dangling = r[colsum == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-4, (i, got[i], r[i])
+
+
+def test_line_dedup_idempotent(spark, tables):
+    """Running line_dedup on its own output changes nothing — every
+    surviving line is already globally unique (or short-exempt)."""
+    from indexlab_spark.operators.dedup import line_dedup
+
+    docs = tables["documents"]
+    once = line_dedup(docs, delimiter=" ", min_chars=4)
+    twice = line_dedup(
+        once.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
+        delimiter=" ", min_chars=4,
+    )
+    assert twice.filter(F.col("n_removed") > 0).count() == 0
+    a = {r["id"]: r["clean_text"] for r in once.collect()}
+    b = {r["id"]: r["clean_text"] for r in twice.collect()}
+    assert a == b
