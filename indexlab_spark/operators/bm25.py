@@ -42,6 +42,45 @@ def tokenize(col):
     return F.array_remove(F.split(F.lower(c), r"\s+"), "")
 
 
+def _raw_postings(docs_df: DataFrame, doc_id_col: str, text_col: str) -> DataFrame:
+    """One Arrow pass: ``(doc_id, term, tf, dl)`` — per-document term
+    frequencies and length, zero shuffle (Counter per doc; the
+    exploded_shingles trick). Shared by bm25_build and bm25_refresh."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)  # JVM/RE2 \s (ASCII) parity
+
+    def _tf_rows(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            dls: list = []
+            for i, t in zip(pdf[doc_id_col], pdf[text_col]):
+                toks = [x for x in ws.split((t or "").lower()) if x]
+                c = Counter(toks)
+                ids.extend([i] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                dls.extend([len(toks)] * len(c))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    src = docs_df.select(doc_id_col, text_col)
+    parallelism = docs_df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    id_t = docs_df.schema[doc_id_col].dataType.simpleString()
+    return src.mapInPandas(
+        _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
+    )
+
+
 def bm25_build(
     docs_df: DataFrame,
     doc_id_col: str = "doc_id",
@@ -74,39 +113,7 @@ def bm25_build(
     term-partitioned window plus a distinct — two corpus-sized
     exchanges for statistics that are vocabulary-sized.
     """
-    import re as _re
-
-    import pandas as pd
-
-    ws = _re.compile(r"\s+", _re.ASCII)  # match JVM/RE2 \s (ASCII-only) so build- and query-side tokens agree
-
-    def _tf_rows(batches):
-        from collections import Counter
-
-        for pdf in batches:
-            ids: list = []
-            terms: list = []
-            tfs: list = []
-            dls: list = []
-            for i, t in zip(pdf[doc_id_col], pdf[text_col]):
-                toks = [x for x in ws.split((t or "").lower()) if x]
-                c = Counter(toks)
-                ids.extend([i] * len(c))
-                terms.extend(c.keys())
-                tfs.extend(c.values())
-                dls.extend([len(toks)] * len(c))
-            yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
-            )
-
-    src = docs_df.select(doc_id_col, text_col)
-    parallelism = docs_df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
-    id_t = docs_df.schema[doc_id_col].dataType.simpleString()
-    tf = src.mapInPandas(
-        _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
-    )
+    tf = _raw_postings(docs_df, doc_id_col, text_col)
     if materialize:
         from indexlab_spark.functions.cache import pin
 
@@ -189,39 +196,7 @@ def bm25_refresh(
     pass, the same cost a materialized-view refresh of a count table
     pays (cf. maintenance.refresh_rollup for the keyed-delta variant).
     """
-    import re as _re
-
-    import pandas as pd
-
-    ws = _re.compile(r"\s+", _re.ASCII)
-
-    def _tf_rows(batches):
-        from collections import Counter
-
-        for pdf in batches:
-            ids: list = []
-            terms: list = []
-            tfs: list = []
-            dls: list = []
-            for i, t in zip(pdf[doc_id_col], pdf[text_col]):
-                toks = [x for x in ws.split((t or "").lower()) if x]
-                c = Counter(toks)
-                ids.extend([i] * len(c))
-                terms.extend(c.keys())
-                tfs.extend(c.values())
-                dls.extend([len(toks)] * len(c))
-            yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
-            )
-
-    src = new_docs.select(doc_id_col, text_col)
-    parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
-    id_t = new_docs.schema[doc_id_col].dataType.simpleString()
-    tf_new = src.mapInPandas(
-        _tf_rows, f"doc_id {id_t}, term string, tf long, dl long"
-    )
+    tf_new = _raw_postings(new_docs, doc_id_col, text_col)
     dl_new = (
         new_docs.select(F.col(doc_id_col).alias("doc_id"))
         .join(
