@@ -122,7 +122,14 @@ def asof_join(
             for c in fill_cols
         ],
     )
-    payload = {c: F.col(f"_f_r_{c}") for c in value_cols}
+    # a NULL left `on` never matches (pandas/DuckDB contract). Backward
+    # gets this for free (NULLs sort FIRST ascending, before any right
+    # row); forward scans descending where NULLs sort LAST and would see
+    # every right row — guard both directions uniformly.
+    payload = {
+        c: F.when(F.col("_t").isNotNull(), F.col(f"_f_r_{c}"))
+        for c in value_cols
+    }
     if tolerance is not None:
         # the matched right timestamp travels with the fill; a match
         # farther than the tolerance nulls the payload (pandas contract),

@@ -206,11 +206,15 @@ def bm25_refresh(
         )
         .na.fill({"dl": 0})
     )
+    # removals apply to the OLD state BEFORE the union: the natural
+    # single-call update (remove doc 1, re-add its new text in the same
+    # batch) must keep the fresh rows — anti-joining the union instead
+    # would silently delete the re-added document
+    if removed_ids is not None:
+        old_tf = old_tf.join(removed_ids, "doc_id", "left_anti")
+        old_doc_lens = old_doc_lens.join(removed_ids, "doc_id", "left_anti")
     tf = old_tf.unionByName(tf_new)
     dl = old_doc_lens.unionByName(dl_new)
-    if removed_ids is not None:
-        tf = tf.join(removed_ids, "doc_id", "left_anti")
-        dl = dl.join(removed_ids, "doc_id", "left_anti")
     if materialize:
         from indexlab_spark.functions.cache import pin
 

@@ -53,6 +53,18 @@ def _occurrences(text: Column, needle: str) -> Column:
     ).cast("bigint")
 
 
+def _tokenized_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, toks, n_words)`` with the input fanned out BEFORE the
+    tokenize (single-file sources would otherwise run every downstream
+    explode single-task) — shared by repetition_signals and the DSIR
+    gram counter so the tokenize/fan-out contract lives in one place."""
+    return (
+        _fan_out(df.select(_c(id_col).alias("id"), _c(text_col).alias("_t")))
+        .select("id", tokens("_t").alias("toks"))
+        .withColumn("n_words", F.size("toks"))
+    )
+
+
 def quality_flags(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -131,11 +143,7 @@ def repetition_signals(
     and keyed by doc id, so it scales linearly and evenly unless one
     document is itself enormous (bounded by chunking upstream).
     """
-    base = _fan_out(
-        df.select(_c(id_col).alias("id"), _c(text_col).alias("_t"))
-    ).select("id", tokens("_t").alias("toks")).withColumn(
-        "n_words", F.size("toks")
-    )
+    base = _tokenized_base(df, id_col, text_col)
     dup_word = base.select(
         "id",
         "n_words",
@@ -274,6 +282,17 @@ def decontaminate(
     )
 
 
+def _bloom_indices(h: "np.ndarray", m: int, k: int, i: int) -> "np.ndarray":
+    """Probe i of the double-hash scheme: idx_i = (h1 + i*h2) mod m with
+    h1 = h mod m, h2 = (h >> 33) | 1 (odd -> full cycle). ONE shared
+    definition — bloom_decontaminate's no-false-negative guarantee
+    requires the build and probe sides to be bit-identical, so neither
+    may drift independently."""
+    h1 = h % np.uint64(m)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    return (h1 + np.uint64(i) * h2) % np.uint64(m)
+
+
 def _bloom_build(hashes_df: DataFrame, n_items: int, fpp: float):
     """Distributed Bloom-filter build over an int64 hash column ``h``:
     each partition sets its bits into a local numpy bitmap, partials are
@@ -295,10 +314,8 @@ def _bloom_build(hashes_df: DataFrame, n_items: int, fpp: float):
         bits = np.zeros((m + 7) // 8, dtype=np.uint8)
         h = np.fromiter((r[0] for r in rows), dtype=np.int64).view(np.uint64)
         if h.size:
-            h1 = h % np.uint64(m)
-            h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd -> full cycle
             for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                idx = _bloom_indices(h, m, k, i)
                 np.bitwise_or.at(
                     bits, (idx >> np.uint64(3)).astype(np.int64),
                     np.left_shift(1, (idx & np.uint64(7)).astype(np.int64))
@@ -381,11 +398,9 @@ def bloom_decontaminate(
         raw, m_, k_ = bc.value
         bits = np.frombuffer(raw, dtype=np.uint8)
         hv = h.to_numpy(dtype=np.int64).view(np.uint64)
-        h1 = hv % np.uint64(m_)
-        h2 = (hv >> np.uint64(33)) | np.uint64(1)
         ok = np.ones(len(hv), dtype=bool)
         for i in range(k_):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_)
+            idx = _bloom_indices(hv, m_, k_, i)
             ok &= (
                 bits[(idx >> np.uint64(3)).astype(np.int64)]
                 >> (idx & np.uint64(7)).astype(np.int64)
@@ -628,11 +643,7 @@ def _hashed_gram_counts(
     (id, bucket) agg is map-side-combined and keyed by document."""
     from indexlab_spark.functions.hashing import md5_long
 
-    base = _fan_out(
-        df.select(_c(id_col).alias("id"), _c(text_col).alias("_t"))
-    ).select("id", tokens("_t").alias("toks")).withColumn(
-        "n_words", F.size("toks")
-    )
+    base = _tokenized_base(df, id_col, text_col)
     grams = base.select(
         "id",
         F.explode(

@@ -1337,6 +1337,9 @@ def pagerank(
     base = float(1.0 - damping) / n_count
     ranks = n.select("id", F.lit(1.0 / n_count).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    delta = float("inf")
     out = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
         "id", "rank", F.coalesce("deg", F.lit(0)).alias("deg")
     ).localCheckpoint(eager=True)

@@ -903,9 +903,15 @@ def knn_graph(
     """
     left = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     right = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding"))
-    # k+1 absorbs the self hit wherever it ranks; re-rank below restores
-    # exactly-k semantics identical to "top-k excluding self"
-    nn = knn_join_blocked(left, right, k + 1, right_blocks=right_blocks)
+    # k+1 absorbs the self hit wherever it ranks; the extra slack
+    # absorbs 6dp ROUNDING TIES at the cut boundary — the blocked join
+    # cuts on raw doubles, so a doc whose rounded score ties the k-th
+    # but whose raw score sits just below the raw cut would otherwise
+    # be dropped here while the oracle (which ranks rounded scores,
+    # doc_id-tie-broken) keeps it. Slack 8 covers any realistic 6dp tie
+    # cluster at the boundary; the re-rank below restores exactly-k
+    # semantics on ROUNDED scores.
+    nn = knn_join_blocked(left, right, k + 1 + 8, right_blocks=right_blocks)
     nn = (
         nn.filter(F.col("query_id") != F.col("doc_id"))
         .withColumn("score", F.round("score", 6))

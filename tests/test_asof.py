@@ -121,3 +121,24 @@ def test_asof_matches_pandas_merge_asof(spark):
                 e = exp["v"].to_numpy()
                 both_nan = np.isnan(g) & np.isnan(e)
                 assert (both_nan | (np.abs(g - e) < 1e-12)).all(), label
+
+
+def test_asof_null_left_on_never_matches(spark):
+    """A left row with NULL `on` must return NULL payload in BOTH
+    directions (forward scans descending, where NULLs sort last and
+    would otherwise see every right row)."""
+    left = spark.createDataFrame(
+        [(1, 1, 30), (2, 1, None)], "event_id int, k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 5.0), (1, 50, 7.0)], "k int, t int, v double"
+    )
+    for direction in ("backward", "forward"):
+        rows = {
+            r["event_id"]: r["v_asof"]
+            for r in asof_join(
+                left, right, on="t", by="k", direction=direction
+            ).collect()
+        }
+        assert rows[2] is None, direction
+        assert rows[1] == (5.0 if direction == "backward" else 7.0)

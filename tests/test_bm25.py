@@ -144,3 +144,39 @@ def test_bm25_refresh_equals_rebuild(spark, tables):
     }
     assert back == old_full
     assert dl_back.count() == dl_old.count()
+
+
+def test_bm25_refresh_remove_and_readd_updates(spark):
+    """The natural single-call update — removed_ids=[1] plus doc 1's new
+    text in the same batch — must yield exactly a rebuild over the
+    updated corpus (removal applies to OLD state before the union)."""
+    from indexlab_spark.operators.bm25 import bm25_build, bm25_refresh
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    updated = spark.createDataFrame(
+        [(1, "alpha epsilon zeta")], "doc_id long, text string"
+    )
+    ts0, dl0, _ = bm25_build(v1, materialize=False)
+    ts, dl, g, _tf = bm25_refresh(
+        ts0.select("doc_id", "term", "tf", "dl"), dl0, updated,
+        removed_ids=updated.select("doc_id"), materialize=False,
+    )
+    want = spark.createDataFrame(
+        [(1, "alpha epsilon zeta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    ts_full, dl_full, g_full = bm25_build(want, materialize=False)
+
+    def key(df_):
+        return sorted(
+            (r["doc_id"], r["term"], r["tf"], r["dl"], round(r["idf_adj"], 9))
+            for r in df_.collect()
+        )
+
+    assert key(ts) == key(ts_full)
+    assert sorted(map(tuple, dl.collect())) == sorted(map(tuple, dl_full.collect()))
+    # doc 1 has its NEW terms only — no duplicate/stale postings
+    d1_terms = {r["term"] for r in ts.filter("doc_id = 1").collect()}
+    assert d1_terms == {"alpha", "epsilon", "zeta"}

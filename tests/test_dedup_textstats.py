@@ -438,3 +438,12 @@ def test_line_dedup_idempotent(spark, tables):
     a = {r["id"]: r["clean_text"] for r in once.collect()}
     b = {r["id"]: r["clean_text"] for r in twice.collect()}
     assert a == b
+
+
+def test_pagerank_bad_max_iter_raises_cleanly(spark):
+    from indexlab_spark.operators.dedup import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(edges, nodes, max_iter=0)
