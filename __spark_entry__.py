@@ -3749,12 +3749,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
         # r6 window plan (pinned now per r4 VERDICT item 10): slots 13+
-        # take the round-5 additions still unattested after the r5
-        # window (asof_forward, profile_lineitem, knn_graph, plus any
-        # r5-window entry that came back red), then the r03-green
-        # entries below (event_value_quantiles .. rolling_median, in
-        # registry order), then the oldest of the r04 block. No
-        # oracle-backed entry's last green row may age past 3 rounds.
+        # take the round-5 oracle-backed additions still unattested
+        # after the r5 window — asof_forward, profile_lineitem,
+        # knn_graph, scd2_history, bm25_incremental, jaccard_prefix,
+        # eval_bootstrap — plus any r5-window entry that came back red,
+        # then the r03-green entries below (event_value_quantiles ..
+        # rolling_median, in registry order), then the oldest of the
+        # r04 block. No oracle-backed entry's last green row may age
+        # past 3 rounds.
         # last green r03:
         "event_value_quantiles": _q_event_value_quantiles,
         "revenue_moving_avg": _q_revenue_moving_avg,

@@ -323,10 +323,13 @@ def _bloom_build(hashes_df: DataFrame, n_items: int, fpp: float):
                 )
         yield bits
 
-    bitmap = (
-        hashes_df.select("h").rdd.mapPartitions(_partial)
-        .treeReduce(lambda a, b: np.bitwise_or(a, b))
-    )
+    rdd = hashes_df.select("h").rdd.mapPartitions(_partial)
+    if rdd.isEmpty():
+        # an empty hash frame can optimize to an empty RDD, which
+        # treeReduce refuses; an all-zeros bitmap (nothing inserted ->
+        # nothing might-contain) is the correct Bloom for an empty set
+        return np.zeros((m + 7) // 8, dtype=np.uint8).tobytes(), m, k
+    bitmap = rdd.treeReduce(lambda a, b: np.bitwise_or(a, b))
     return bitmap.tobytes(), m, k
 
 

@@ -437,3 +437,19 @@ def test_dsir_resample_deterministic_and_weighted(spark):
     # weight gap dominates the Gumbel noise -> mostly target-like picks
     target_like = sum(1 for r in sel if r["id"] < 20)
     assert target_like >= 8, target_like
+
+
+def test_bloom_decontaminate_empty_benchmark(spark):
+    """An empty (or too-short-to-shingle) benchmark must yield zero
+    contaminated docs — exercises the n_items=0 Bloom build path and
+    the empty treeReduce edge."""
+    from indexlab_spark.operators.curation import bloom_decontaminate
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "some ordinary training text with enough words here")],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(train, bench, n=5, keep_clean=True).collect()
+    assert len(out) == 1 and out[0]["n_overlap"] == 0
+    assert not out[0]["contaminated"]

@@ -447,3 +447,35 @@ def test_pagerank_bad_max_iter_raises_cleanly(spark):
     nodes = spark.createDataFrame([(0,), (1,)], "id long")
     with pytest.raises(ValueError, match="max_iter"):
         pagerank(edges, nodes, max_iter=0)
+
+
+def test_jaccard_prefix_property_random_corpora(spark):
+    """Hypothesis sweep: prefix filtering equals the naive join on
+    random small corpora — short docs (below the shingle width), exact
+    duplicates, disjoint and heavily-overlapping token sets, random
+    thresholds. Guards the prefix theorem's edge cases (prefix length
+    clamps, size-bound boundaries) beyond the fixed fixtures."""
+    import random
+
+    from indexlab_spark.operators.dedup import jaccard_join_prefix, jaccard_pairs
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        docs = []
+        for i in range(rng.randint(4, 14)):
+            k = rng.randint(0, 12)
+            docs.append((i, " ".join(rng.choices(vocab, k=k))))
+        if trial % 2 == 0 and len(docs) >= 2:
+            docs[1] = (1, docs[0][1])  # plant an exact duplicate
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t = rng.choice([0.15, 0.34, 0.5, 0.77])
+        naive = {
+            (r["id_a"], r["id_b"], r["inter"], r["jaccard"])
+            for r in jaccard_pairs(df, threshold=t).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"], r["inter"], r["jaccard"])
+            for r in jaccard_join_prefix(df, threshold=t).collect()
+        }
+        assert fast == naive, f"trial {trial} threshold {t}"
