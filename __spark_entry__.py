@@ -3668,6 +3668,47 @@ def _q_events_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).localCheckpoint(eager=True)
 
 
+def _q_trending_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming analytics — trending props.k keys: a REAL streaming
+    query (file source, availableNow, memory sink) computes the
+    windowed per-key counts (streaming/events.trending_keys_stream);
+    the drained sink gets the batch top-3-per-window rank
+    (top_k_per_window — append mode cannot rank an unclosed window, so
+    rank-over-sink is the standard pattern). Stream == batch == SQL."""
+    from indexlab_spark.streaming.events import (
+        read_events_stream,
+        top_k_per_window,
+        trending_keys_stream,
+    )
+
+    load_tables(spark, sf_dir, ("events",))  # pin tz/reader confs
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    counts = trending_keys_stream(stream)
+    prev = f"trending_keys_{_STREAM_SEQ[0]}"
+    try:
+        spark.catalog.dropTempView(prev)
+    except Exception:
+        pass
+    _STREAM_SEQ[0] += 1
+    name = f"trending_keys_{_STREAM_SEQ[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    drained = spark.table(name).localCheckpoint(eager=True)
+    return top_k_per_window(drained, k=3).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "k",
+        "n",
+        "rank",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -3860,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": _q_compression_quality,
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
+        "trending_keys": _q_trending_keys,
     }
 
 
@@ -4696,6 +4738,19 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                        AS is_current
             FROM k
+        """,
+        "trending_keys": """
+            WITH c AS (SELECT CAST(date_trunc('hour', ts) AS VARCHAR)
+                              AS window_start,
+                              CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) AS k,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT *, CAST(row_number() OVER (
+                              PARTITION BY window_start
+                              ORDER BY n DESC, k ASC) AS INTEGER) AS rank
+                       FROM c)
+            SELECT window_start, k, n, rank FROM r WHERE rank <= 3
         """,
         "asof_forward": """
             WITH p AS (

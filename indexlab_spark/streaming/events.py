@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -263,4 +263,47 @@ def session_window_stream(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def trending_keys_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming half of trending-key detection: tumbling-window counts
+    of the JSON ``props.k`` key with a late-data watermark. Emits
+    ``(window_start, k, n)`` in append mode as windows close; feed the
+    drained sink to :func:`top_k_per_window` for the rank step —
+    ranking cannot run inside append mode (a window's counts are not
+    final until the watermark passes, so per-window top-k is a
+    batch-over-sink operation by construction, the standard pattern).
+
+    State: one count per (window, k) inside the watermark horizon —
+    bounded by |distinct k| per window.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "k", "n")
+    )
+
+
+def top_k_per_window(
+    counts: DataFrame, k: int = 3
+) -> DataFrame:
+    """Batch rank over the drained trending sink: top-``k`` keys per
+    window (count desc, key asc tie-break — deterministic). One keyed
+    window per partition column; compiles to WindowGroupLimit."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("k").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -69,3 +69,42 @@ def test_state_write_replay_idempotent(spark, tmp_path):
     # missing path (first batch ever) -> empty frame, template schema
     empty = _read_state(spark, str(tmp_path / "missing"), df, 0)
     assert empty.count() == 0 and empty.schema == df.schema
+
+
+def test_trending_keys_stream_equals_batch(spark, sf_dir):
+    """availableNow-drained windowed per-key counts + batch rank ==
+    pure batch computation of the same rollup."""
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        read_events_stream,
+        top_k_per_window,
+        trending_keys_stream,
+    )
+    from pyspark.sql import functions as FN
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        trending_keys_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trending_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    streamed = top_k_per_window(spark.table("trending_test"), k=3)
+    batch_counts = (
+        ev.groupBy(
+            FN.window("ts", "1 hour"),
+            FN.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .agg(FN.count(FN.lit(1)).alias("n"))
+        .select(FN.col("window.start").alias("window_start"), "k", "n")
+    )
+    batch = top_k_per_window(batch_counts, k=3)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+    spark.catalog.dropTempView("trending_test")
