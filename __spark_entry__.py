@@ -1302,6 +1302,20 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ curation
+def _q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone — the three gates composed into one per-doc
+    verdict row (curation.curate_corpus): Gopher quality AND, exact-dup
+    min-id survivorship, 5-gram benchmark contamination (doc_id % 17
+    split), and the final keep decision. Every corpus doc gets a row —
+    the audit trail a production pipeline filters AND reports from."""
+    from indexlab_spark.operators.curation import curate_corpus
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return curate_corpus(corpus, bench, n=5)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation — Gopher-style rule flags + keep decision per document
     (operators/curation.quality_flags; pure codegen map, no shuffle)."""
@@ -3890,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": _q_bm25_incremental,
         "jaccard_prefix": _q_jaccard_prefix,
         "eval_bootstrap": _q_eval_bootstrap,
+        "curation_verdict": _q_curation_verdict,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4751,6 +4766,77 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY n DESC, k ASC) AS INTEGER) AS rank
                        FROM c)
             SELECT window_start, k, n, rank FROM r WHERE rank <= 3
+        """,
+        "curation_verdict": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 17 <> 0),
+            f AS (SELECT doc_id AS id, text,
+                         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '') AS toks
+                  FROM corpus),
+            g AS (SELECT id, text, toks,
+                         CAST(len(toks) AS INTEGER) AS n_words,
+                         CASE WHEN len(toks) = 0 THEN 0.0
+                              ELSE list_aggregate(list_transform(toks,
+                                       t -> CAST(length(t) AS DOUBLE)), 'sum')
+                                   / len(toks) END AS mean_wl,
+                         CAST(length(text) - length(replace(text, '#', ''))
+                              AS BIGINT)
+                           + CAST((length(text)
+                                   - length(replace(text, '...', ''))) / 3
+                                  AS BIGINT) AS symbols,
+                         len(list_filter(toks,
+                             t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+                         CAST(len(list_filter(toks, t -> list_contains(
+                             ['the','and','of','to','in','is','that','with',
+                              'for','it'], t))) AS INTEGER) AS stop_hits
+                  FROM f),
+            qual AS (SELECT id,
+                            ((n_words >= 10 AND n_words <= 100000)
+                             AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+                             AND (CASE WHEN n_words = 0 THEN 0.0
+                                  ELSE CAST(symbols AS DOUBLE) / n_words END)
+                                 <= 0.1
+                             AND (CASE WHEN n_words = 0 THEN 0.0
+                                  ELSE CAST(alpha_words AS DOUBLE) / n_words
+                                  END) >= 0.8
+                             AND stop_hits >= 2) AS quality_keep
+                     FROM g),
+            keyed AS (SELECT doc_id AS id,
+                             md5(trim(regexp_replace(lower(text), '\\s+',
+                                 ' ', 'g'))) AS text_md5
+                      FROM corpus),
+            grp AS (SELECT text_md5, min(id) AS keep_id
+                    FROM keyed GROUP BY 1),
+            dd AS (SELECT k.id, k.id = grp.keep_id AS dedup_keep
+                   FROM keyed k JOIN grp USING (text_md5)),
+            toks2 AS (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text),
+                                         '\\s+'), x -> x <> '') AS t
+                      FROM documents),
+            sh AS (SELECT doc_id,
+                          CASE WHEN len(t) >= 5 THEN
+                              list_distinct(list_transform(
+                                  generate_series(1, len(t) - 4),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       || ' ' || t[i+3] || ' ' || t[i+4]))
+                          ELSE CAST([] AS VARCHAR[]) END AS shingles
+                   FROM toks2),
+            tsh AS (SELECT doc_id AS id, unnest(shingles) AS shingle
+                    FROM sh WHERE doc_id % 17 <> 0),
+            bsh AS (SELECT DISTINCT shingle FROM
+                    (SELECT unnest(shingles) AS shingle FROM sh
+                     WHERE doc_id % 17 = 0)),
+            hits AS (SELECT t.id, count(DISTINCT t.shingle) AS n_overlap
+                     FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+                     GROUP BY 1),
+            decon AS (SELECT c.doc_id AS id,
+                             coalesce(h.n_overlap, 0) >= 1 AS contaminated
+                      FROM corpus c LEFT JOIN hits h ON c.doc_id = h.id)
+            SELECT q.id, q.quality_keep, d.dedup_keep, x.contaminated,
+                   (q.quality_keep AND d.dedup_keep AND NOT x.contaminated)
+                       AS keep
+            FROM qual q JOIN dd d USING (id) JOIN decon x USING (id)
         """,
         "asof_forward": """
             WITH p AS (

@@ -773,3 +773,63 @@ def dsir_resample(
     ) / F.lit(1_000_000.0)
     keyed = w.withColumn("key", F.round(F.col("logw") - F.log(-F.log(u)), 6))
     return keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(n_keep)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end curation verdict — the three standard gates composed
+    into one per-document decision row:
+
+      quality_keep   Gopher-style rule AND (:func:`quality_flags`)
+      dedup_keep     the doc IS its exact-dup group's min-id survivor
+      contaminated   shares an ``n``-gram with the benchmark
+      keep           quality_keep AND dedup_keep AND NOT contaminated
+
+    EVERY input document gets a row (the pipeline's audit trail: which
+    gate killed what), so downstream both filters the corpus
+    (``keep``) and reports per-gate loss rates in one pass.
+
+    Plan: the three verdicts are the underlying operators' plans
+    unchanged (shuffle-free quality map; one hash shuffle for the dup
+    groups; broadcast-shingle decontamination) joined back on doc id —
+    at 100 TB the join keys are doc-granular and AQE-planned; nothing
+    new shuffles at corpus width.
+    """
+    from indexlab_spark.operators.dedup import normalized_md5
+
+    q = quality_flags(docs, id_col, text_col).select(
+        "id", F.col("keep").alias("quality_keep")
+    )
+    from indexlab_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(docs, id_col, text_col).select("text_md5", "keep_id")
+    keyed = docs.select(
+        _c(id_col).alias("id"), normalized_md5(_c(text_col)).alias("text_md5")
+    )
+    dd = keyed.join(groups, "text_md5").select(
+        "id", (F.col("id") == F.col("keep_id")).alias("dedup_keep")
+    )
+    decon = decontaminate(
+        docs, benchmark, n=n, id_col=id_col, text_col=text_col,
+        keep_clean=True,
+    ).select("id", "contaminated")
+    return (
+        q.join(dd, "id")
+        .join(decon, "id")
+        .select(
+            "id",
+            "quality_keep",
+            "dedup_keep",
+            "contaminated",
+            (
+                F.col("quality_keep")
+                & F.col("dedup_keep")
+                & ~F.col("contaminated")
+            ).alias("keep"),
+        )
+    )

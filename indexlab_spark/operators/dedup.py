@@ -28,7 +28,7 @@ expressible 1:1 in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from indexlab_spark.functions.vector import cosine
@@ -51,6 +51,14 @@ def _spread(df: DataFrame) -> DataFrame:
     return _fan_out(df, min_fraction=1.0)
 
 
+def normalized_md5(text: Column | str) -> Column:
+    """md5 of whitespace-normalized lowercase text — THE exact-dedup
+    group key (one definition; exact_dedup and curate_corpus share it).
+    DuckDB equivalent: md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")))
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     normalize: bool = True, max_ids: int | None = 100,
@@ -69,10 +77,11 @@ def exact_dedup(
     just the output. ``cnt``/``keep_id`` always reflect the FULL group;
     pass ``max_ids=None`` to keep every id (small-corpus tooling only).
     """
-    t = F.col(text_col)
     if normalize:
-        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    base = df.select(F.col(id_col).alias("id"), F.md5(t).alias("text_md5"))
+        key = normalized_md5(text_col)
+    else:
+        key = F.md5(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), key.alias("text_md5"))
     if max_ids is None:
         collected = F.collect_list("id")
     else:

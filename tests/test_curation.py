@@ -453,3 +453,34 @@ def test_bloom_decontaminate_empty_benchmark(spark):
     out = bloom_decontaminate(train, bench, n=5, keep_clean=True).collect()
     assert len(out) == 1 and out[0]["n_overlap"] == 0
     assert not out[0]["contaminated"]
+
+
+def test_curate_corpus_gate_composition(spark):
+    """Each gate kills the doc it should; every input doc gets a row;
+    keep == AND of the three verdicts."""
+    from indexlab_spark.operators.curation import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "into the nearby field with calm steady purpose")
+    bench = spark.createDataFrame([(100, good)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # contaminated (shares 5-grams)
+            (2, "short text"),              # fails quality (n_words < 10)
+            (3, "the house stands in a wide green valley where it rains "
+                "for most of the winter season every year"),
+            (4, "the house stands in a wide green valley where it rains "
+                "for most of the winter season every year"),  # dup of 3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r.asDict() for r in curate_corpus(docs, bench).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] and not out[1]["keep"]
+    assert not out[2]["quality_keep"] and not out[2]["keep"]
+    assert out[3]["dedup_keep"] and out[3]["keep"]
+    assert not out[4]["dedup_keep"] and not out[4]["keep"]
+    for r in out.values():
+        assert r["keep"] == (
+            r["quality_keep"] and r["dedup_keep"] and not r["contaminated"]
+        )
