@@ -1316,6 +1316,26 @@ def _q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(corpus, bench, n=5)
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics robustness — median/MAD modified z-score outliers per
+    event_type (analytics.mad_outliers): the robust companion to the
+    mean/stddev z-score query, immune to the outlier masking its own
+    threshold. Two keyed aggs + group-stat join-back."""
+    from indexlab_spark.operators.analytics import mad_outliers
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = mad_outliers(
+        ev.select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+        k=3.5,
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"),
+        "group_median", "group_mad", "robust_z",
+    )
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation — Gopher-style rule flags + keep decision per document
     (operators/curation.quality_flags; pure codegen map, no shuffle)."""
@@ -3905,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": _q_jaccard_prefix,
         "eval_bootstrap": _q_eval_bootstrap,
         "curation_verdict": _q_curation_verdict,
+        "mad_outliers": _q_mad_outliers,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4837,6 +4858,26 @@ def oracle_sql() -> dict[str, str]:
                    (q.quality_keep AND d.dedup_keep AND NOT x.contaminated)
                        AS keep
             FROM qual q JOIN dd d USING (id) JOIN decon x USING (id)
+        """,
+        "mad_outliers": """
+            WITH med AS (SELECT event_type,
+                                quantile_cont(value, 0.5) AS _med
+                         FROM events GROUP BY 1),
+                 wm AS (SELECT e.event_id, e.event_type, e.value, m._med
+                        FROM events e JOIN med m USING (event_type)),
+                 mad AS (SELECT event_type,
+                                quantile_cont(abs(value - _med), 0.5) AS _mad
+                         FROM wm GROUP BY 1)
+            SELECT w.event_id, w.event_type,
+                   round(w.value, 6) AS value,
+                   round(w._med, 6) AS group_median,
+                   round(m._mad, 6) AS group_mad,
+                   round(0.6745 * (w.value - w._med) / m._mad, 6) AS robust_z
+            FROM wm w JOIN mad m USING (event_type)
+            WHERE m._mad > 0
+              -- filter on the ROUNDED score, matching the Spark side:
+              -- an unrounded 3.5000004 must not straddle the cut
+              AND abs(round(0.6745 * (w.value - w._med) / m._mad, 6)) > 3.5
         """,
         "asof_forward": """
             WITH p AS (

@@ -292,3 +292,57 @@ def profile_table(
         "min_str",
         "max_str",
     )
+
+
+def mad_outliers(
+    df,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+) -> "DataFrame":
+    """Robust per-group outlier detection via median/MAD (Iglewicz &
+    Hoaglin 1993, public): modified z-score
+    ``0.6745 * (x - median) / MAD`` with ``|z| > k`` flagging — the
+    robust companion to the mean/stddev z-score (which a single extreme
+    value can mask by inflating its own stddev).
+
+    Returns the flagged rows with group stats and the modified z-score
+    (6dp). Groups with MAD = 0 (over half the group identical) flag
+    nothing — division would be undefined and the convention matches
+    the reference formula.
+
+    Plan: two keyed aggregations (median, then MAD over the residuals —
+    exact ``percentile``, sort-based within groups) and one join-back of
+    group-level stats; the fact rows shuffle only on the group key, and
+    the stats frames are group-cardinality-sized.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(med, group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+        )
+    )
+    scored = (
+        with_med.join(mad, group_col)
+        .filter(F.col("_mad") > 0)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.lit(0.6745)
+                * (F.col(value_col) - F.col("_med"))
+                / F.col("_mad"),
+                6,
+            ),
+        )
+        .filter(F.abs(F.col("robust_z")) > k)
+    )
+    return scored.select(
+        *df.columns,
+        F.round("_med", 6).alias("group_median"),
+        F.round("_mad", 6).alias("group_mad"),
+        "robust_z",
+    )

@@ -211,3 +211,21 @@ def test_profile_table_nulls_and_modes(spark):
 
     with _pytest.raises(ValueError):
         profile_table(df, distinct="bogus")
+
+
+def test_mad_outliers_robustness(spark):
+    """MAD flags the extreme value a stddev z-score would mask, and a
+    constant-majority group (MAD = 0) flags nothing."""
+    from indexlab_spark.operators.analytics import mad_outliers
+
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows.append((99, "a", 1000.0))            # the outlier
+    rows += [(200 + i, "b", 5.0) for i in range(10)]  # MAD = 0 group
+    rows.append((299, "b", 50.0))
+    df = spark.createDataFrame(rows, "event_id long, g string, v double")
+    out = mad_outliers(df, "g", "v", k=3.5).collect()
+    flagged = {(r["g"], r["event_id"]) for r in out}
+    assert ("a", 99) in flagged
+    assert all(g != "b" for g, _ in flagged)  # MAD=0 -> no flags
+    z = {r["event_id"]: r["robust_z"] for r in out}
+    assert z[99] > 1000  # enormous robust score, not masked
