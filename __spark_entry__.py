@@ -3768,71 +3768,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-31: the 19 round-4 additions —
-        # never driver-green (sim-only until r5; flagged by the r4
-        # VERDICT as the top rotation priority).
-        "tfidf_topterms": _q_tfidf_topterms,
-        "flesch_reading": _q_flesch_reading,
-        "zscore_anomalies": _q_zscore_anomalies,
-        "zipf_fit": _q_zipf_fit,
-        "source_mix_uniform": _q_source_mix_uniform,
-        "benchmark_overlap": _q_benchmark_overlap,
-        "top_supplier_revenue": _q_top_supplier_revenue,
-        "nation_value_share": _q_nation_value_share,
-        "events_stream_daily": _q_events_stream_daily,
-        "heavy_hitters": _q_heavy_hitters,
-        "shipping_priority": _q_shipping_priority,
-        "forecast_revenue": _q_forecast_revenue,
-        "product_profit": _q_product_profit,
-        "linestatus_priority": _q_linestatus_priority,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "excess_stock_suppliers": _q_excess_stock_suppliers,
-        "source_entropy": _q_source_entropy,
-        "ngram_novelty": _q_ngram_novelty,
-        "bucketed_order_revenue": _q_bucketed_order_revenue,
-        # -- slots 32-36: round-5 additions (V7-V9 eval-compare/overlap,
-        # A5-A8 index stats/catalog) — never driver-green, added r5.
-        "eval_compare": _q_eval_compare,
-        "eval_compare_summary": _q_eval_compare_summary,
-        "search_overlap": _q_search_overlap,
-        "index_stats": _q_index_stats,
-        "index_catalog": _q_index_catalog,
-        # -- slots 37-46: re-attestation backfill — the 10 entries whose
-        # most recent driver-green row is oldest (all last green in r02).
-        "rollup_pricing": _q_rollup_pricing,
-        "segment_set_ops": _q_segment_set_ops,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "stratified_split": _q_stratified_split,
-        "temperature_resample": _q_temperature_resample,
-        "tokens": _q_tokens,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "top_revenue": _q_top_revenue,
-        "top_terms": _q_top_terms,
-        # -- slots 47-50: the three highest-risk round-5 NEW entries
-        # (policy: never-attested before backfill — line_dedup's hot-key
-        # join, bloom's Arrow/treeReduce path, dsir's float-heavy ln
-        # sums are exactly what a driver row attests), plus
-        # embedding_lsh, whose round-5 multiprobe/overfull-bucket fix
-        # changed the code its last green row (r03) attested.
-        "line_dedup": _q_line_dedup,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "dsir_weights": _q_dsir_weights,
-        "embedding_lsh": _q_embedding_lsh,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r0*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r6 window plan (pinned now per r4 VERDICT item 10): slots 13+
-        # take the round-5 oracle-backed additions still unattested
-        # after the r5 window — asof_forward, profile_lineitem,
-        # knn_graph, scd2_history, bm25_incremental, jaccard_prefix,
-        # eval_bootstrap — plus any r5-window entry that came back red,
-        # then the r03-green entries below (event_value_quantiles ..
-        # rolling_median, in registry order), then the oldest of the
-        # r04 block. No oracle-backed entry's last green row may age
-        # past 3 rounds.
-        # last green r03:
+        # -- rotation window slots 13-26: the 14 round-5 oracle-backed
+        # additions — never driver-attested (sim-only through r5; the r5
+        # VERDICT's top item). trending_keys moved up from the tail: it
+        # gained a SQL oracle in r5 (stream == batch == SQL) and counts
+        # as oracle-backed.
+        "duplicated_spans": _q_duplicated_spans,
+        "clean_dup_spans": _q_clean_dup_spans,
+        "token_budget_mix": _q_token_budget_mix,
+        "minhash_incremental": _q_minhash_incremental,
+        "asof_forward": _q_asof_forward,
+        "profile_lineitem": _q_profile_lineitem,
+        "knn_graph": _q_knn_graph,
+        "scd2_history": _q_scd2_history,
+        "bm25_incremental": _q_bm25_incremental,
+        "jaccard_prefix": _q_jaccard_prefix,
+        "eval_bootstrap": _q_eval_bootstrap,
+        "curation_verdict": _q_curation_verdict,
+        "mad_outliers": _q_mad_outliers,
+        "trending_keys": _q_trending_keys,
+        # -- slots 27-50: re-attestation backfill — the 24 entries whose
+        # most recent driver-green row is oldest (all last green in r03),
+        # in registry order per the pinned r6 plan.
         "event_value_quantiles": _q_event_value_quantiles,
         "revenue_moving_avg": _q_revenue_moving_avg,
         "docs_cube": _q_docs_cube,
@@ -3857,6 +3814,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": _q_promo_revenue,
         "revenue_dod": _q_revenue_dod,
         "balance_percent_rank": _q_balance_percent_rank,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r0*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r7 window plan (pinned per the standing no-entry-older-than-3-
+        # rounds invariant): slots 13-25 take the 13 remaining r03-green
+        # entries below (events_trailing_hour .. rolling_median — they
+        # will be 4 rounds stale by r7); slots 26-50 take the first 25
+        # of the r04 block (events_json .. fingerprint, registry order);
+        # r8 then takes the rest of the r04 block plus the oldest of the
+        # r05 block.
+        # last green r03 (remaining 13; rotate into r7 FIRST):
         "events_trailing_hour": _q_events_trailing_hour,
         "segment_corr_stats": _q_segment_corr_stats,
         "bigram_pmi": _q_bigram_pmi,
@@ -3870,8 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_map": _q_user_type_map,
         "incremental_rollup": _q_incremental_rollup,
         "rolling_median": _q_rolling_median,
-        # last green r04 (the r4 window; youngest attestation — rotated
-        # out to make room for the never-attested r4 additions):
+        # last green r04:
         "events_json": _q_events_json,
         "order_priority_semi": _q_order_priority_semi,
         "cust_order_dist": _q_cust_order_dist,
@@ -3910,22 +3878,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
-        # added round 5, never driver-attested (window already holds the
-        # 24 never-green r4/r5 entries) — rotate into the r6 window
-        # FIRST, before the r03 backfill:
-        "duplicated_spans": _q_duplicated_spans,
-        "clean_dup_spans": _q_clean_dup_spans,
-        "token_budget_mix": _q_token_budget_mix,
-        "minhash_incremental": _q_minhash_incremental,
-        "asof_forward": _q_asof_forward,
-        "profile_lineitem": _q_profile_lineitem,
-        "knn_graph": _q_knn_graph,
-        "scd2_history": _q_scd2_history,
-        "bm25_incremental": _q_bm25_incremental,
-        "jaccard_prefix": _q_jaccard_prefix,
-        "eval_bootstrap": _q_eval_bootstrap,
-        "curation_verdict": _q_curation_verdict,
-        "mad_outliers": _q_mad_outliers,
+        # last green r05 (rotated out of the r5 window this round):
+        "tfidf_topterms": _q_tfidf_topterms,
+        "flesch_reading": _q_flesch_reading,
+        "zscore_anomalies": _q_zscore_anomalies,
+        "zipf_fit": _q_zipf_fit,
+        "source_mix_uniform": _q_source_mix_uniform,
+        "benchmark_overlap": _q_benchmark_overlap,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "nation_value_share": _q_nation_value_share,
+        "events_stream_daily": _q_events_stream_daily,
+        "heavy_hitters": _q_heavy_hitters,
+        "shipping_priority": _q_shipping_priority,
+        "forecast_revenue": _q_forecast_revenue,
+        "product_profit": _q_product_profit,
+        "linestatus_priority": _q_linestatus_priority,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "excess_stock_suppliers": _q_excess_stock_suppliers,
+        "source_entropy": _q_source_entropy,
+        "ngram_novelty": _q_ngram_novelty,
+        "bucketed_order_revenue": _q_bucketed_order_revenue,
+        "eval_compare": _q_eval_compare,
+        "eval_compare_summary": _q_eval_compare_summary,
+        "search_overlap": _q_search_overlap,
+        "index_stats": _q_index_stats,
+        "index_catalog": _q_index_catalog,
+        "rollup_pricing": _q_rollup_pricing,
+        "segment_set_ops": _q_segment_set_ops,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "stratified_split": _q_stratified_split,
+        "temperature_resample": _q_temperature_resample,
+        "tokens": _q_tokens,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "top_revenue": _q_top_revenue,
+        "top_terms": _q_top_terms,
+        "line_dedup": _q_line_dedup,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "dsir_weights": _q_dsir_weights,
+        "embedding_lsh": _q_embedding_lsh,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -3937,7 +3928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": _q_compression_quality,
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
-        "trending_keys": _q_trending_keys,
     }
 
 

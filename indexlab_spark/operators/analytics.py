@@ -236,9 +236,9 @@ def profile_table(
 
     min/max come back in TWO typed column pairs so the output schema is
     uniform without lossy string formatting: ``min_num/max_num`` (double;
-    numerics directly, timestamps as epoch seconds, 6dp) and
-    ``min_str/max_str`` (string columns verbatim). Complex-typed columns
-    profile counts only.
+    numerics directly, timestamps as epoch seconds, dates as days since
+    1970-01-01, 6dp) and ``min_str/max_str`` (string columns verbatim).
+    Complex-typed columns profile counts only.
     """
     from pyspark.sql.types import (
         BooleanType,
@@ -261,7 +261,13 @@ def profile_table(
         else:
             aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__nd"))
         if isinstance(dt, (NumericType, BooleanType, TimestampType, DateType)):
-            num = F.col(c).cast("double")
+            if isinstance(dt, DateType):
+                # DATE cannot cast to DOUBLE directly; profile as days
+                # since the epoch (unix_date), mirroring the
+                # epoch-seconds convention used for timestamps.
+                num = F.unix_date(F.col(c)).cast("double")
+            else:
+                num = F.col(c).cast("double")
             aggs.append(F.round(F.min(num), 6).alias(f"{c}__mnn"))
             aggs.append(F.round(F.max(num), 6).alias(f"{c}__mxn"))
         else:

@@ -79,21 +79,37 @@ def asof_join(
     # window's scan order (ascending for backward, descending for
     # forward), so the tags are direction-independent
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
+    # The whole right row travels as ONE struct (matched timestamp +
+    # every payload column) so the fill is atomic: a NULL payload value
+    # on the matched row stays NULL instead of last(ignorenulls) sliding
+    # past it to an older/newer right row — pandas merge_asof returns
+    # the matched row's NULL, and with tolerance set the slid-to row
+    # could even lie outside the tolerance (r5 ADVICE finding).
+    rt_field = "_rt_"
+    while rt_field in value_cols:  # paranoia: avoid payload-name clash
+        rt_field += "_"
+    from pyspark.sql.types import StructField, StructType
+
+    rp_type = StructType(
+        [StructField(rt_field, right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         *by,
         F.col(on).alias("_t"),
         F.lit(left_tag).alias("_tag"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast(right.schema[on].dataType).alias("_rt"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(rp_type).alias("_rp"),
     )
     r_tagged = right.select(
         *by,
         F.col(on).alias("_t"),
         F.lit(right_tag).alias("_tag"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        F.col(on).alias("_rt"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(
+            F.col(on).alias(rt_field),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_rp"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     desc = direction == "forward"
@@ -103,46 +119,40 @@ def asof_join(
     ]
     if tie_col is not None:
         # tied right rows order ascending by tie_col; last-non-null fill
-        # then deterministically picks the max-tie_col row
-        order.append(F.col(f"_r_{tie_col}").asc())
+        # then deterministically picks the max-tie_col row (left rows
+        # have a NULL _rp → NULL tie value → sort first, before any
+        # tied right row, preserving the tag contract)
+        order.append(F.col("_rp").getField(tie_col).asc())
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill_cols = ["_rt", *[f"_r_{c}" for c in value_cols]] if tolerance is not None \
-        else [f"_r_{c}" for c in value_cols]
     filled = unioned.select(
         *by,
         "_t",
         "_tag",
         "_l",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_f{c}")
-            for c in fill_cols
-        ],
+        F.last("_rp", ignorenulls=True).over(w).alias("_f_rp"),
     )
     # a NULL left `on` never matches (pandas/DuckDB contract). Backward
     # gets this for free (NULLs sort FIRST ascending, before any right
     # row); forward scans descending where NULLs sort LAST and would see
     # every right row — guard both directions uniformly.
-    payload = {
-        c: F.when(F.col("_t").isNotNull(), F.col(f"_f_r_{c}"))
-        for c in value_cols
-    }
+    matched = F.col("_t").isNotNull() & F.col("_f_rp").isNotNull()
     if tolerance is not None:
-        # the matched right timestamp travels with the fill; a match
-        # farther than the tolerance nulls the payload (pandas contract),
-        # it does NOT fall back to an earlier/later row
+        # the matched right timestamp is a field of the SAME struct the
+        # payload comes from, so the gap check and the emitted values
+        # always describe the same right row; a match farther than the
+        # tolerance nulls the payload (pandas contract), it does NOT
+        # fall back to an earlier/later row
         gap = F.abs(
-            F.col("_t").cast("double") - F.col("_f_rt").cast("double")
+            F.col("_t").cast("double")
+            - F.col("_f_rp").getField(rt_field).cast("double")
         )
-        ok = F.col("_f_rt").isNotNull() & (gap <= F.lit(float(tolerance)))
-        payload = {
-            c: F.when(ok, payload[c]).otherwise(F.lit(None))
-            for c in value_cols
-        }
+        matched = matched & (gap <= F.lit(float(tolerance)))
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
-        payload[c].alias(f"{c}{suffix}") for c in value_cols
+        F.when(matched, F.col("_f_rp").getField(c)).alias(f"{c}{suffix}")
+        for c in value_cols
     ]
     return filled.filter(F.col("_tag") == left_tag).select(*out_cols)

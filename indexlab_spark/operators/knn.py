@@ -882,6 +882,7 @@ def knn_graph(
     vec_col: str = "embedding",
     mutual: bool = False,
     right_blocks: int = 8,
+    rounding_slack: int = 8,
 ) -> DataFrame:
     """Symmetric k-nearest-neighbor GRAPH over an embedding column — the
     substrate for density/agglomerative clustering and graph-based dedup
@@ -908,10 +909,16 @@ def knn_graph(
     # cuts on raw doubles, so a doc whose rounded score ties the k-th
     # but whose raw score sits just below the raw cut would otherwise
     # be dropped here while the oracle (which ranks rounded scores,
-    # doc_id-tie-broken) keeps it. Slack 8 covers any realistic 6dp tie
-    # cluster at the boundary; the re-rank below restores exactly-k
-    # semantics on ROUNDED scores.
-    nn = knn_join_blocked(left, right, k + 1 + 8, right_blocks=right_blocks)
+    # doc_id-tie-broken) keeps it. The default slack of 8 covers any
+    # realistic 6dp tie cluster at the boundary; ``rounding_slack`` is
+    # a parameter (r5 ADVICE) so a caller whose embedding space is
+    # quantized/low-entropy enough to produce larger rounded-tie
+    # clusters can widen it — cost is linear (the blocked join's
+    # partial top-k per partition grows by that many rows). The
+    # re-rank below restores exactly-k semantics on ROUNDED scores.
+    nn = knn_join_blocked(
+        left, right, k + 1 + rounding_slack, right_blocks=right_blocks
+    )
     nn = (
         nn.filter(F.col("query_id") != F.col("doc_id"))
         .withColumn("score", F.round("score", 6))

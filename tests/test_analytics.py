@@ -192,11 +192,22 @@ def test_profile_table_nulls_and_modes(spark):
     typing, and the approx mode agrees with exact on tiny cardinality."""
     from indexlab_spark.operators.analytics import profile_table
 
+    import datetime as _dt
+
     df = spark.createDataFrame(
-        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (4, "a", 4.0)],
-        "id int, s string, v double",
+        [
+            (1, "a", 1.5, _dt.date(1970, 1, 2)),
+            (2, None, 2.5, _dt.date(1970, 1, 11)),
+            (3, "b", None, None),
+            (4, "a", 4.0, _dt.date(1969, 12, 31)),
+        ],
+        "id int, s string, v double, d date",
     )
     prof = {r["column"]: r for r in profile_table(df, distinct="exact").collect()}
+    # DATE columns profile as days-since-epoch (direct DATE→DOUBLE casts
+    # are illegal in Spark; regression for the r5 ADVICE finding)
+    assert prof["d"]["n_null"] == 1 and prof["d"]["n_distinct"] == 3
+    assert prof["d"]["min_num"] == -1.0 and prof["d"]["max_num"] == 10.0
     assert prof["id"]["n"] == 4 and prof["id"]["n_null"] == 0
     assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
     assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"

@@ -142,3 +142,44 @@ def test_asof_null_left_on_never_matches(spark):
         }
         assert rows[2] is None, direction
         assert rows[1] == (5.0 if direction == "backward" else 7.0)
+
+
+def test_asof_null_payload_on_matched_row_stays_null(spark):
+    """A NULL payload value on the MATCHED right row must come back
+    NULL — not slide back to an older right row (pandas merge_asof
+    parity; r5 ADVICE regression). With tolerance set, the slid-to row
+    could even lie outside the tolerance."""
+    import math
+
+    import pandas as pd
+
+    left_pd = pd.DataFrame({"k": [1, 1], "t": [100, 5]})
+    right_pd = pd.DataFrame(
+        {"k": [1, 1], "t": [1, 99], "v": [7.0, None], "s": ["old", None]}
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for tol in (None, 10.0):
+        got = {
+            r["t"]: (r["v_asof"], r["s_asof"])
+            for r in asof_join(
+                left, right, on="t", by="k", tolerance=tol
+            ).collect()
+        }
+        exp = pd.merge_asof(
+            left_pd.sort_values("t"),
+            right_pd.sort_values("t"),
+            on="t",
+            by="k",
+            tolerance=None if tol is None else int(tol),
+        )
+        exp_map = {
+            int(r.t): (
+                None if math.isnan(r.v) else r.v,
+                None if r.s is None or (isinstance(r.s, float) and math.isnan(r.s)) else r.s,
+            )
+            for r in exp.itertuples()
+        }
+        assert got == exp_map, (tol, got, exp_map)
+        # t=100 matches right t=99 whose payload is NULL: stays NULL
+        assert got[100] == (None, None)
