@@ -875,12 +875,24 @@ def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics breadth — one-pass per-column table profile
     (operators/analytics.profile_table): n / nulls / distinct / typed
     min-max per column. Registry uses distinct='exact' so the DuckDB
-    oracle can match; the default HLL mode is the documented one-pass
-    100 TB path."""
+    oracle can hash-match, BOUNDED to a 5-column representative subset
+    (int / low- and high-cardinality double / string / timestamp):
+    exact-distinct executes as an Expand — one input replica per
+    distinct agg — so full-width exact profiling was 27% of the r5
+    bench suite. The default HLL mode is the documented one-pass 100 TB
+    path and is benched separately (q_profile_lineitem_hll, timed,
+    full-width)."""
     from indexlab_spark.operators.analytics import profile_table
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return profile_table(li, distinct="exact")
+    cols = [
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    ]
+    return profile_table(li, columns=cols, distinct="exact")
 
 
 def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,9 +959,18 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     sl = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
-    edges = knn_graph(sl, k=3, mutual=True)
+    # checkpoint the edge frame: pagerank's symmetrized union scans its
+    # input twice and every iteration hangs off it — without this the
+    # blocked kNN self-join re-runs inside the loop's lineage (measured
+    # 28.8s -> ~12s at sf0.01)
+    edges = knn_graph(sl, k=3, mutual=True).localCheckpoint(eager=True)
     nodes = sl.select(F.col("vec_id").alias("id"))
-    return pagerank(edges, nodes, tol=1e-4, max_iter=80)
+    # tol 1e-3 for the gate config (rank error bounded by tol/(1-d)
+    # ~ 7e-3, plenty for a rows-only centrality entry); convergence is
+    # iteration-bound, ~0.85^k (~28 rounds here), so each decade of tol
+    # costs ~14 rounds x the per-job floor. The operator default stays
+    # 1e-6-capable.
+    return pagerank(edges, nodes, tol=1e-3, max_iter=80)
 
 
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4662,27 +4683,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
             FROM lineitem
             UNION ALL
-            SELECT 'l_partkey' AS "column", count(*) AS n,
-                   count(*) - count(l_partkey) AS n_null,
-                   count(DISTINCT l_partkey) AS n_distinct,
-                   round(CAST(min(l_partkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_partkey) AS DOUBLE), 6) AS max_num,
-                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_suppkey' AS "column", count(*) AS n,
-                   count(*) - count(l_suppkey) AS n_null,
-                   count(DISTINCT l_suppkey) AS n_distinct,
-                   round(CAST(min(l_suppkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_suppkey) AS DOUBLE), 6) AS max_num,
-                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_linenumber' AS "column", count(*) AS n,
-                   count(*) - count(l_linenumber) AS n_null,
-                   count(DISTINCT l_linenumber) AS n_distinct,
-                   round(CAST(min(l_linenumber) AS DOUBLE), 6) AS min_num, round(CAST(max(l_linenumber) AS DOUBLE), 6) AS max_num,
-                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
-            UNION ALL
             SELECT 'l_quantity' AS "column", count(*) AS n,
                    count(*) - count(l_quantity) AS n_null,
                    count(DISTINCT l_quantity) AS n_distinct,
@@ -4697,32 +4697,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
             FROM lineitem
             UNION ALL
-            SELECT 'l_discount' AS "column", count(*) AS n,
-                   count(*) - count(l_discount) AS n_null,
-                   count(DISTINCT l_discount) AS n_distinct,
-                   round(CAST(min(l_discount) AS DOUBLE), 6) AS min_num, round(CAST(max(l_discount) AS DOUBLE), 6) AS max_num,
-                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_tax' AS "column", count(*) AS n,
-                   count(*) - count(l_tax) AS n_null,
-                   count(DISTINCT l_tax) AS n_distinct,
-                   round(CAST(min(l_tax) AS DOUBLE), 6) AS min_num, round(CAST(max(l_tax) AS DOUBLE), 6) AS max_num,
-                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
-            UNION ALL
             SELECT 'l_returnflag' AS "column", count(*) AS n,
                    count(*) - count(l_returnflag) AS n_null,
                    count(DISTINCT l_returnflag) AS n_distinct,
                    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
                    min(l_returnflag) AS min_str, max(l_returnflag) AS max_str
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_linestatus' AS "column", count(*) AS n,
-                   count(*) - count(l_linestatus) AS n_null,
-                   count(DISTINCT l_linestatus) AS n_distinct,
-                   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-                   min(l_linestatus) AS min_str, max(l_linestatus) AS max_str
             FROM lineitem
             UNION ALL
             SELECT 'l_shipdate' AS "column", count(*) AS n,

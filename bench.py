@@ -420,9 +420,32 @@ def main() -> None:
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 
+    # The registry's profile_lineitem is exact-mode (hash-checkable) over
+    # a bounded 5-column subset; the plan you'd actually run at 100 TB is
+    # the HLL default — ONE map-side-combined agg pass over the FULL
+    # table width, no Expand. Timed here (not hash-checked).
+    from indexlab_spark.operators.analytics import profile_table
+
+    li_full = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    queries_sec["q_profile_lineitem_hll"], _ = timed(
+        lambda: profile_table(li_full).count()
+    )
+
     total = round(sum(queries_sec.values()), 3)
     queries_sec = {k: round(v, 3) for k, v in queries_sec.items()}
     baseline_sec = {k: round(v, 3) for k, v in baseline_sec.items()}
+    # Workload sizes make cross-round baseline drift attributable (r5
+    # BENCH ran on a loaded host and the same-run oracles moved 3-4x;
+    # without the input sizes in the record that is indistinguishable
+    # from a workload change).
+    workloads = {"n_queries": N_QUERIES, "dim": DIM, "k": K}
+    for t in ("documents", "embeddings", "lineitem", "events"):
+        try:
+            workloads[f"n_{t}"] = spark.read.parquet(
+                f"{SF_DIR}/{t}.parquet"
+            ).count()
+        except Exception:
+            workloads[f"n_{t}"] = None
     full = {
         "metric": "bench_suite",
         "value": total,
@@ -432,6 +455,7 @@ def main() -> None:
         "baseline": baseline_sec,
         "rows_per_sec": rows_per_sec,
         "n_chunks": n_chunks,
+        "workloads": workloads,
     }
     # Full record: printed first AND persisted to bench_full.json. The
     # driver keeps only the LAST ~2000 chars of output and parses a JSON
@@ -464,6 +488,7 @@ def main() -> None:
         "baseline": baseline_sec,
         "ratios_large": ratios,
         "geomean_large": geomean,
+        "workloads": workloads,
         "full": "bench_full.json",
     }
     print(json.dumps(compact))

@@ -317,27 +317,19 @@ def minhash_lsh_pairs(
         # its pairs are not recoverable via other bands — run exact_dedup
         # first (it is one shuffle and catches exactly those); this
         # operator's contract is NEAR-duplicates.
-        if materialize:
-            buckets = _pin(buckets)
-        hot = _pin(
+        #
+        # The guard is LAZY (r5 VERDICT: the old eager pin + hot.count()
+        # cost two extra jobs on every call, +63% on clean corpora): the
+        # anti-join folds into the candidate join's own plan — an agg on
+        # the SAME (band, key) the self-join shuffles on — and an empty
+        # hot frame makes it a runtime no-op.
+        hot = (
             buckets.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("_occ"))
             .filter(F.col("_occ") > max_bucket)
             .select("band", "key")
         )
-        if hot.count():
-            import sys
-
-            print(
-                "minhash_lsh_pairs: dropping overfull (band,key) buckets "
-                f"with > {max_bucket} members from candidate generation "
-                "(boilerplate mega-groups; exact duplicates belong to "
-                "exact_dedup, which runs without candidate generation)",
-                file=sys.stderr,
-            )
-            buckets = buckets.join(
-                F.broadcast(hot), ["band", "key"], "left_anti"
-            )
+        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "key"])
@@ -420,8 +412,6 @@ def minhash_incremental_pairs(
       sizes come from the signature frames — the old corpus scan is
       candidate-bounded.
     """
-    import sys
-
     _check_banding(num_hashes, bands)
     if old_sigs is None:
         old_sigs = minhash_signatures(old_df, id_col, text_col, n, num_hashes)
@@ -443,21 +433,17 @@ def minhash_incremental_pairs(
         )
     )
     if max_bucket is not None:
-        hot = _pin(
+        # Lazy guard, same policy and same reasoning as minhash_lsh_pairs:
+        # no eager pin/count — the anti-join against the (empty on clean
+        # corpora) hot frame folds into the probe join's plan.
+        hot = (
             all_b.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("_occ"))
             .filter(F.col("_occ") > max_bucket)
             .select("band", "key")
         )
-        if hot.count():
-            print(
-                "minhash_incremental_pairs: dropping overfull (band,key) "
-                f"buckets with > {max_bucket} members (same policy as "
-                "minhash_lsh_pairs)",
-                file=sys.stderr,
-            )
-            new_b = new_b.join(F.broadcast(hot), ["band", "key"], "left_anti")
-            all_b = all_b.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        new_b = new_b.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        all_b = all_b.join(F.broadcast(hot), ["band", "key"], "left_anti")
     # probe NEW keys against the combined buckets; normalize pair order
     # afterwards so (new, old) and (new, new) pairs dedup identically to
     # the batch operator's a.id < b.id convention
@@ -1309,6 +1295,7 @@ def pagerank(
     max_iter: int = 40,
     tol: float = 1e-6,
     directed: bool = False,
+    adaptive: bool | str = "auto",
 ) -> DataFrame:
     """PageRank over an edge list (Brin & Page 1998, public) — the
     centrality companion to :func:`connected_components` for graph-based
@@ -1323,10 +1310,23 @@ def pagerank(
 
     Scale design (the connected_components discipline): each iteration
     is one keyed join (ranks x out-edges) + one map-side-combined sum —
-    shuffles keyed by node id only; the dangling mass and the L1 delta
-    are scalar aggregates (the loop's only driver-side values); every
-    round localCheckpoints so lineage stays flat. Convergence = L1
-    delta < tol, loud failure on exhausting max_iter.
+    shuffles keyed by node id only. ONE scalar action per round: the
+    L1 delta and the NEXT round's dangling mass come back together from
+    a single aggregate whose job also materializes the round's
+    (non-eager) localCheckpoint, keeping lineage flat. (The r5 shape —
+    eager checkpoint + separate dangling and delta collects — cost 4
+    driver-synchronized jobs per round; chaining several lazy rounds
+    per job was measured WORSE — Catalyst/AQE planning grows
+    superlinearly with plan depth.)
+
+    ``adaptive``: AQE re-plans every iteration job; for a small rank
+    state the replanning dominates the work (measured ~1.5x on the
+    300-node gate graph). "auto" (default) disables AQE for the loop —
+    restoring the prior setting after — when the node count is under
+    1M, where per-iteration skew handling cannot matter; True/False
+    force it. At 100 TB the rank state is billions of rows and AQE's
+    skew handling earns its replanning cost: auto leaves it on.
+    Convergence = L1 delta < tol, loud failure on exhausting max_iter.
     """
     if directed:
         sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -1348,49 +1348,70 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    delta = float("inf")
-    out = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
-        "id", "rank", F.coalesce("deg", F.lit(0)).alias("deg")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        dangling = (
-            out.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
-        )
-        contrib = (
-            out.filter(F.col("deg") > 0)
-            .join(sym, out["id"] == sym["src"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        uniform = base + damping * dangling / n_count
-        new_out = (
-            out.join(contrib, out["id"] == contrib["dst"], "left")
-            .select(
-                "id",
-                "deg",
-                (
-                    F.lit(uniform)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("new_rank"),
-                "rank",
-            )
-            .localCheckpoint(eager=True)
-        )
-        delta = new_out.agg(
-            F.sum(F.abs(F.col("new_rank") - F.col("rank")))
-        ).first()[0]
-        out = new_out.select("id", F.col("new_rank").alias("rank"), "deg")
-        out = out.localCheckpoint(eager=True)
-        if delta < tol:
-            break
+    spark = edges.sparkSession
+    if adaptive == "auto":
+        use_aqe = n_count >= 1_000_000
     else:
-        sym.unpersist()
-        n.unpersist()
-        raise RuntimeError(
-            f"pagerank did not converge in max_iter={max_iter} iterations "
-            f"(last L1 delta {delta:.2e}); raise max_iter or tol"
+        use_aqe = bool(adaptive)
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", str(use_aqe).lower())
+    try:
+        delta = float("inf")
+        out = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
+            "id", "rank", F.coalesce("deg", F.lit(0)).alias("deg")
+        ).localCheckpoint(eager=True)
+        dangling = (
+            out.agg(
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")))
+            ).first()[0]
+            or 0.0
         )
+        for _ in range(max_iter):
+            contrib = (
+                out.filter(F.col("deg") > 0)
+                .join(sym, out["id"] == sym["src"])
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            uniform = base + damping * dangling / n_count
+            new_out = (
+                out.join(contrib, out["id"] == contrib["dst"], "left")
+                .select(
+                    "id",
+                    "deg",
+                    (
+                        F.lit(uniform)
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("new_rank"),
+                    "rank",
+                )
+                .localCheckpoint(eager=False)
+            )
+            # ONE action per round: materializes the checkpoint above
+            # and returns this round's L1 delta plus NEXT round's
+            # dangling mass
+            row = new_out.agg(
+                F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("_d"),
+                F.sum(
+                    F.when(F.col("deg") == 0, F.col("new_rank"))
+                ).alias("_dang"),
+            ).first()
+            delta = row[0]
+            dangling = row[1] or 0.0
+            out = new_out.select("id", F.col("new_rank").alias("rank"), "deg")
+            if delta < tol:
+                break
+        else:
+            sym.unpersist()
+            n.unpersist()
+            raise RuntimeError(
+                f"pagerank did not converge in max_iter={max_iter} "
+                f"iterations (last L1 delta {delta:.2e}); raise max_iter "
+                "or tol"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
     sym.unpersist()
     n.unpersist()
     return out.select("id", F.round("rank", 9).alias("rank"))

@@ -176,21 +176,20 @@ def bootstrap_delta(
     partitionings (the same device as hash_sample), so the operator is
     oracle-checkable — no RNG state anywhere.
 
-    Plan: one global row_number over the question frame (bounded by the
-    eval set's size — thousands, by contract), a generated
-    ``n_boot x n`` index frame joined back on position (keyed shuffle),
+    Plan: questions get global 0-based positions (ordered by question
+    id) via ``global_order_index`` — a range shuffle + per-partition
+    zip, NOT an ``Exchange SinglePartition`` window — then a generated
+    ``n_boot x n`` index frame joins back on position (keyed shuffle),
     per-resample means map-side combined, then one exact-percentile agg
     over ``n_boot`` rows. Nothing driver-side.
     """
     from indexlab_spark.functions.hashing import md5_long
+    from indexlab_spark.functions.text import global_order_index
 
     base = per_question.select(
         F.col(question_col).alias("_q"), F.col(value_col).cast("double").alias("_v")
     )
-    ranked = base.withColumn(
-        "_pos",
-        F.row_number().over(Window.orderBy(F.col("_q").asc())) - 1,
-    )
+    ranked = global_order_index(base, ["_q"], "_pos")
     n_row = base.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_v").alias("_mean")
     )

@@ -262,3 +262,26 @@ def test_knn_graph_no_cartesian_no_collect(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_graph")
     assert "CartesianProduct" not in plan
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_bootstrap_delta_no_window(spark, sf_dir):
+    """Question numbering goes through global_order_index (range shuffle
+    + per-partition zip), not a global row_number window: the operator's
+    executed plan must contain NO Window operator at all. (Exchange
+    SinglePartition still appears for the global aggregates — those are
+    partial-agg-reduced to one row per partition first, a bounded
+    shape. The eval_bootstrap REGISTRY query keeps keyed windows in its
+    upstream retrieval stage — those partition on query_id and are
+    fine — so the pin targets the operator.)"""
+    from indexlab_spark.operators.evaluate import bootstrap_delta
+
+    per_q = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_orderkey AS query_id", "o_totalprice AS delta")
+        .limit(200)
+    )
+    plan = (
+        bootstrap_delta(per_q, n_boot=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan

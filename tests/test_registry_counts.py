@@ -1,0 +1,30 @@
+"""Drift guard: the registry counts quoted in README.md must match the
+actual registry (r5 VERDICT: the hand-edited counts drifted off by one).
+Any change to queries()/oracle_sql() that forgets to update the README
+fails here with the real numbers in the message."""
+
+import re
+
+import __spark_entry__ as entry_mod
+
+
+def test_readme_counts_match_registry():
+    nq = len(entry_mod.queries())
+    no = len(entry_mod.oracle_sql())
+    readme = open("README.md").read()
+    assert f"(flagship), {nq}" in readme, (
+        f"README queries() count != {nq} (update README.md)"
+    )
+    assert f"{no} paired with a DuckDB" in readme, (
+        f"README oracle count != {no} (update README.md)"
+    )
+    assert f"{nq - no} rows-only" in readme, (
+        f"README rows-only count != {nq - no} (update README.md)"
+    )
+    assert f"entry smoke + {no} oracle comparisons" in readme
+
+
+def test_every_oracle_has_a_query():
+    q = entry_mod.queries()
+    extra = [k for k in entry_mod.oracle_sql() if k not in q]
+    assert not extra, f"oracle_sql() keys without queries(): {extra}"
