@@ -833,3 +833,128 @@ def curate_corpus(
             ).alias("keep"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    keep_clean: bool = False,
+    max_collect_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of :func:`decontaminate` (shingle overlap) and
+    :func:`bloom_decontaminate`: a training item is contaminated when
+    its embedding's cosine similarity to ANY benchmark embedding
+    reaches ``threshold`` (catches paraphrases and translations that
+    shingle overlap misses; standard modern-eval hygiene).
+
+    Output: ``(id, max_sim, nearest_bench_id, contaminated)``;
+    ``max_sim`` is rounded to 6dp BEFORE the max/threshold/tie logic so
+    both engines agree at the boundary, and ties on the rounded max
+    resolve to the LOWEST benchmark id. Default returns flagged rows
+    only; ``keep_clean=True`` returns every corpus row (filter
+    ``NOT contaminated`` for the clean set).
+
+    Plan: the benchmark side is an eval set — small by contract, and
+    GUARDED like knn_matmul: a bounded Arrow probe collects it
+    (id-sorted, L2-normalized) and broadcasts one matrix; each corpus
+    partition computes a single BLAS matmul and emits ONE row per
+    corpus row — map-only, shuffle-free, the corpus never moves. A
+    benchmark larger than the bound routes to the blocked
+    large-x-large kNN join (k=1, both sides distributed) instead of
+    collecting.
+    """
+    from indexlab_spark.operators.knn import (
+        MAX_COLLECT_QUERY_ROWS,
+        _collect_bounded,
+        knn_join_blocked,
+    )
+
+    bound = max_collect_rows or MAX_COLLECT_QUERY_ROWS
+    spark = corpus.sparkSession
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    bid_t = benchmark.schema[bench_id_col].dataType.simpleString()
+    b_rows = _collect_bounded(
+        benchmark.orderBy(F.col(bench_id_col).asc()),
+        [bench_id_col, bench_vec_col],
+        bound,
+    )
+    if b_rows is None:
+        # benchmark too large to broadcast: blocked kNN join, k=1, on
+        # pre-normalized vectors (ip of normalized == cosine)
+        def _norm(df, i, v, id_out):
+            n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+            return df.select(
+                F.col(i).alias(id_out),
+                F.transform(
+                    v, lambda x: x / F.when(n > 0, n).otherwise(F.lit(1.0))
+                ).alias("_v"),
+            )
+
+        nn = knn_join_blocked(
+            _norm(corpus, id_col, F.col(vec_col).cast("array<double>"), "_id"),
+            _norm(
+                benchmark, bench_id_col,
+                F.col(bench_vec_col).cast("array<double>"), "_bid",
+            ),
+            1,
+            left_id_col="_id", left_vec_col="_v",
+            right_id_col="_bid", right_vec_col="_v",
+        )
+        out = nn.select(
+            F.col("_id").alias("id"),
+            F.round("score", 6).alias("max_sim"),
+            F.col("_bid").alias("nearest_bench_id"),
+        )
+    else:
+        if not b_rows:
+            out = spark.createDataFrame(
+                [], f"id {id_t}, max_sim double, nearest_bench_id {bid_t}"
+            )
+        else:
+            b_ids = np.array([r[0] for r in b_rows])
+            b_mat = np.array([list(r[1]) for r in b_rows], dtype=np.float64)
+            norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            b_mat = b_mat / norms
+            bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+            def _max_sim(batches):
+                ids, bm = bc.value
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    emb = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+                    en = np.linalg.norm(emb, axis=1, keepdims=True)
+                    en[en == 0] = 1.0
+                    sims = np.round((emb / en) @ bm.T, 6)
+                    best = sims.argmax(axis=1)  # first max = lowest id
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf["_id"],
+                            "max_sim": sims[
+                                np.arange(len(best)), best
+                            ],
+                            "nearest_bench_id": ids[best],
+                        }
+                    )
+
+            out = _fan_out(
+                corpus.select(
+                    F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+                )
+            ).mapInPandas(
+                _max_sim,
+                f"id {id_t}, max_sim double, nearest_bench_id {bid_t}",
+            )
+    out = out.withColumn(
+        "contaminated", F.col("max_sim") >= F.lit(float(threshold))
+    )
+    if not keep_clean:
+        out = out.filter(F.col("contaminated"))
+    return out

@@ -344,3 +344,86 @@ def normalize_text(
         return pd.Series(out)
 
     return df.withColumn(text_col, _norm(F.col(text_col)))
+
+
+def interpolated_lm_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Order-3 interpolated language-model score per document — the
+    trigram big sibling of the unigram/bigram logprob entries and the
+    closest in-container stand-in for CCNet/KenLM perplexity filtering
+    (Jelinek-Mercer interpolation, public):
+
+        P(w3 | w1 w2) = l3*(c123+1)/(c12+V) + l2*(c23+1)/(c2+V)
+                        + l1*(c3+1)/(N+V)
+
+    with all counts derived from the SAME corpus trigram stream
+    (contexts count continuations, so c12 = sum_w3 c123 etc. — one
+    consistent definition both engines can reproduce), add-one
+    smoothing inside each component, and ``lambdas = (l3, l2, l1)``
+    summing to 1. Output: (id, n_trigrams, avg_logprob 6dp); docs with
+    <3 tokens have no trigrams and drop out.
+
+    Plan: the corpus trigram stream shuffles ONCE (on its trigram key).
+    The count model is assembled on the count frames — c123 enriched
+    with c12/c23/c3 via count-frame-sized joins, N and V as broadcast
+    scalars — so the doc stream never touches a second exchange; the
+    model join back is keyed by the same (w1,w2,w3) the count agg
+    produced, which AQE reuses.
+    """
+    from indexlab_spark.operators.bm25 import tokenize
+
+    l3, l2, l1 = (float(x) for x in lambdas)
+    toks = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("toks"))
+    # the size filter also guards Spark's sequence(): with size < 3 the
+    # bounds invert and sequence(2, size-1) would generate DESCENDING
+    # indices (out of range), not an empty array
+    doc_tri = toks.filter(F.size("toks") >= 3).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks) - 1),"
+                " i -> struct(toks[i-2] AS w1, toks[i-1] AS w2,"
+                " toks[i] AS w3))"
+            )
+        ).alias("t"),
+    ).select("id", "t.w1", "t.w2", "t.w3")
+    doc_tri = doc_tri.persist()
+    c123 = doc_tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    # every lower-order count folds out of c123 (count-frame-sized
+    # shuffles) — the full doc stream is aggregated exactly once
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c23 = c123.groupBy("w2", "w3").agg(F.sum("c123").alias("c23"))
+    c2 = c23.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    c3 = c123.groupBy("w3").agg(F.sum("c123").alias("c3"))
+    n_total = c123.agg(F.sum("c123").alias("n"))
+    vocab = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    model = (
+        c123.join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(F.broadcast(c2), "w2")
+        .join(F.broadcast(c3), "w3")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (
+        F.lit(l3) * (F.col("c123") + 1) / (F.col("c12") + F.col("v"))
+        + F.lit(l2) * (F.col("c23") + 1) / (F.col("c2") + F.col("v"))
+        + F.lit(l1) * (F.col("c3") + 1) / (F.col("n") + F.col("v"))
+    )
+    model = model.select("w1", "w2", "w3", F.log(p).alias("_lp"))
+    return (
+        doc_tri.join(model, ["w1", "w2", "w3"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -307,3 +307,44 @@ def top_k_per_window(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping (sliding) window rollup — the streaming op tumbling
+    windows cannot express: every event lands in duration/slide windows
+    (4 here), so a spike is visible in each 30-minute re-read of the
+    trailing 2 hours. ``F.window(ts, duration, slide)`` is Spark's
+    native sliding window (epoch-aligned starts at multiples of the
+    slide), the watermark bounds state to the horizon's open windows x
+    group keys, and each event is assigned its covering windows at the
+    map side — the fan-out is part of the shuffle write, never a
+    separate join.
+
+    Emits ``(window_start, event_type, n, sum_value)``. In append mode
+    a window emits once closed by the watermark; complete mode (the
+    gate's drain pattern) re-emits all windows per trigger — same
+    frame, so stream == batch == SQL is checkable end-to-end.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration, slide).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

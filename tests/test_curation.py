@@ -484,3 +484,52 @@ def test_curate_corpus_gate_composition(spark):
         assert r["keep"] == (
             r["quality_keep"] and r["dedup_keep"] and not r["contaminated"]
         )
+
+
+def test_semantic_decontaminate_flags_planted_near_dup(spark):
+    """A corpus vector nearly identical to a benchmark vector is
+    flagged with the right nearest id; an orthogonal one is clean;
+    rounded-tie resolves to the LOWEST benchmark id; zero vectors get
+    sim 0. Blocked fallback (benchmark over the collect bound) returns
+    the identical frame."""
+    from indexlab_spark.operators.curation import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [1.0, 0.0, 0.0, 0.0]),  # duplicate of 10 -> tie
+            (12, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corp = spark.createDataFrame(
+        [
+            (0, [0.99, 0.01, 0.0, 0.0]),   # near bench 10/11 (tie)
+            (1, [0.0, 0.0, 1.0, 0.0]),     # orthogonal to all
+            (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: r
+        for r in semantic_decontaminate(
+            corp, bench, threshold=0.9, keep_clean=True
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["contaminated"] and out[0]["max_sim"] > 0.99
+    assert out[0]["nearest_bench_id"] == 10  # tie -> lowest id
+    assert not out[1]["contaminated"] and out[1]["max_sim"] == 0.0
+    assert out[2]["max_sim"] == 0.0
+    flagged_only = semantic_decontaminate(corp, bench, threshold=0.9)
+    assert {r["id"] for r in flagged_only.collect()} == {0}
+    # fallback path: force the blocked join by shrinking the bound
+    fb = {
+        r["id"]: r
+        for r in semantic_decontaminate(
+            corp, bench, threshold=0.9, keep_clean=True, max_collect_rows=1
+        ).collect()
+    }
+    for i in out:
+        assert fb[i]["contaminated"] == out[i]["contaminated"]
+        assert abs(fb[i]["max_sim"] - out[i]["max_sim"]) < 1e-6

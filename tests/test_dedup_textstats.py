@@ -479,3 +479,22 @@ def test_jaccard_prefix_property_random_corpora(spark):
             for r in jaccard_join_prefix(df, threshold=t).collect()
         }
         assert fast == naive, f"trial {trial} threshold {t}"
+
+
+def test_interpolated_lm_logprob_orders_and_drops(spark):
+    """Trigram interpolated LM: a doc made of the corpus's dominant
+    trigram scores higher than a doc of hapax trigrams; docs with <3
+    tokens drop out; the score is a finite negative logprob."""
+    from indexlab_spark.operators.textstats import interpolated_lm_logprob
+
+    rows = (
+        [(i, "the quick brown fox jumps") for i in range(10)]
+        + [(100, "zx qv wk pj mn")]  # all-hapax trigrams
+        + [(101, "too short")]       # 2 tokens -> no trigrams
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in interpolated_lm_logprob(df).collect()}
+    assert 101 not in out
+    assert out[0]["n_trigrams"] == 3
+    assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
+    assert out[100]["avg_logprob"] < 0

@@ -108,3 +108,52 @@ def test_trending_keys_stream_equals_batch(spark, sf_dir):
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
     spark.catalog.dropTempView("trending_test")
+
+
+def test_sliding_window_counts_stream_equals_batch(spark, sf_dir):
+    """availableNow-drained sliding-window rollup == pure batch
+    computation with the same F.window(duration, slide); every event
+    appears in duration/slide = 4 windows."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        read_events_stream,
+        sliding_window_counts,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        sliding_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    streamed = spark.table("sliding_test")
+    batch = (
+        ev.groupBy(
+            FN.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            FN.count(FN.lit(1)).alias("n"),
+            FN.round(FN.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            FN.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+    # sum over windows counts each event duration/slide times
+    n_events = ev.count()
+    assert sum(r[2] for r in a) == 4 * n_events
+    spark.catalog.dropTempView("sliding_test")
