@@ -874,25 +874,21 @@ def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics breadth — one-pass per-column table profile
     (operators/analytics.profile_table): n / nulls / distinct / typed
-    min-max per column. Registry uses distinct='exact' so the DuckDB
-    oracle can hash-match, BOUNDED to a 5-column representative subset
-    (int / low- and high-cardinality double / string / timestamp):
-    exact-distinct executes as an Expand — one input replica per
-    distinct agg — so full-width exact profiling was 27% of the r5
-    bench suite. The default HLL mode is the documented one-pass 100 TB
-    path and is benched separately (q_profile_lineitem_hll, timed,
-    full-width)."""
+    min-max per column, ALL 11 lineitem columns. Registry uses
+    distinct='exact' so the DuckDB oracle can hash-match, BOUNDED to a
+    deterministic 10% slice (l_orderkey % 10 = 0): exact-distinct
+    executes as an Expand — one input replica per distinct agg — so the
+    full-table exact profile was 27% of the r5 bench suite (39s). The
+    slice keeps every column and the exact semantics at a tenth of the
+    Expand volume; the default HLL mode is the documented one-pass
+    100 TB path and is benched full-table separately
+    (q_profile_lineitem_hll, timed)."""
     from indexlab_spark.operators.analytics import profile_table
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    cols = [
-        "l_orderkey",
-        "l_quantity",
-        "l_extendedprice",
-        "l_returnflag",
-        "l_shipdate",
-    ]
-    return profile_table(li, columns=cols, distinct="exact")
+    return profile_table(
+        li.filter(F.col("l_orderkey") % 10 == 0), distinct="exact"
+    )
 
 
 def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4760,35 +4756,77 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) AS n_distinct,
                    round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_num,
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'l_partkey' AS "column", count(*) AS n,
+                   count(*) - count(l_partkey) AS n_null,
+                   count(DISTINCT l_partkey) AS n_distinct,
+                   round(CAST(min(l_partkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_partkey) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'l_suppkey' AS "column", count(*) AS n,
+                   count(*) - count(l_suppkey) AS n_null,
+                   count(DISTINCT l_suppkey) AS n_distinct,
+                   round(CAST(min(l_suppkey) AS DOUBLE), 6) AS min_num, round(CAST(max(l_suppkey) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'l_linenumber' AS "column", count(*) AS n,
+                   count(*) - count(l_linenumber) AS n_null,
+                   count(DISTINCT l_linenumber) AS n_distinct,
+                   round(CAST(min(l_linenumber) AS DOUBLE), 6) AS min_num, round(CAST(max(l_linenumber) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem WHERE l_orderkey % 10 = 0
             UNION ALL
             SELECT 'l_quantity' AS "column", count(*) AS n,
                    count(*) - count(l_quantity) AS n_null,
                    count(DISTINCT l_quantity) AS n_distinct,
                    round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_num, round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_num,
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
+            FROM lineitem WHERE l_orderkey % 10 = 0
             UNION ALL
             SELECT 'l_extendedprice' AS "column", count(*) AS n,
                    count(*) - count(l_extendedprice) AS n_null,
                    count(DISTINCT l_extendedprice) AS n_distinct,
                    round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_num, round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max_num,
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'l_discount' AS "column", count(*) AS n,
+                   count(*) - count(l_discount) AS n_null,
+                   count(DISTINCT l_discount) AS n_distinct,
+                   round(CAST(min(l_discount) AS DOUBLE), 6) AS min_num, round(CAST(max(l_discount) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'l_tax' AS "column", count(*) AS n,
+                   count(*) - count(l_tax) AS n_null,
+                   count(DISTINCT l_tax) AS n_distinct,
+                   round(CAST(min(l_tax) AS DOUBLE), 6) AS min_num, round(CAST(max(l_tax) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem WHERE l_orderkey % 10 = 0
             UNION ALL
             SELECT 'l_returnflag' AS "column", count(*) AS n,
                    count(*) - count(l_returnflag) AS n_null,
                    count(DISTINCT l_returnflag) AS n_distinct,
                    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
                    min(l_returnflag) AS min_str, max(l_returnflag) AS max_str
-            FROM lineitem
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'l_linestatus' AS "column", count(*) AS n,
+                   count(*) - count(l_linestatus) AS n_null,
+                   count(DISTINCT l_linestatus) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                   min(l_linestatus) AS min_str, max(l_linestatus) AS max_str
+            FROM lineitem WHERE l_orderkey % 10 = 0
             UNION ALL
             SELECT 'l_shipdate' AS "column", count(*) AS n,
                    count(*) - count(l_shipdate) AS n_null,
                    count(DISTINCT l_shipdate) AS n_distinct,
                    round(epoch(min(l_shipdate)), 6) AS min_num, round(epoch(max(l_shipdate)), 6) AS max_num,
                    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-            FROM lineitem
+            FROM lineitem WHERE l_orderkey % 10 = 0
         """,
         "knn_graph": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -498,3 +498,21 @@ def test_interpolated_lm_logprob_orders_and_drops(spark):
     assert out[0]["n_trigrams"] == 3
     assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
     assert out[100]["avg_logprob"] < 0
+
+
+def test_pagerank_restores_aqe_conf(spark):
+    """pagerank auto-disables AQE for small graphs during its loop and
+    must restore the prior setting afterwards — including when it exits
+    via the non-convergence error."""
+    from indexlab_spark.operators.dedup import pagerank
+
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    pagerank(edges, nodes, tol=1e-2, max_iter=60).count()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prior
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pagerank(edges, nodes, tol=1e-12, max_iter=1)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prior

@@ -124,8 +124,10 @@ def main() -> None:
         bloom_decontaminate,
         quality_flags,
         redact_pii,
+        semantic_decontaminate,
         token_budget_mix,
     )
+    from indexlab_spark.operators.textstats import interpolated_lm_logprob
     from indexlab_spark.operators.dedup import (
         connected_components,
         embedding_lsh_pairs,
@@ -202,6 +204,20 @@ def main() -> None:
                 .count()
                 .count()
             ),
+            # corpus scales, benchmark FIXED (the production shape:
+            # eval sets don't grow with the corpus) — map-only matmul,
+            # growth should be ~N modulo the job floor
+            "semantic_decontam": lambda: semantic_decontaminate(
+                emb.filter(F.col("vec_id") % 20 != 7),
+                emb1.filter(F.col("vec_id") % 20 == 7),
+                threshold=0.4,
+                keep_clean=True,
+            ).count(),
+            # doc stream aggregates once on the trigram key; count-frame
+            # joins grow with DISTINCT trigram types (replica rotation
+            # makes them distinct per replica — harsher than natural
+            # vocabulary growth)
+            "trigram_lm": lambda: interpolated_lm_logprob(docs).count(),
         }
 
     def timed_min2(fn):
