@@ -352,3 +352,100 @@ def mad_outliers(
         F.round("_mad", 6).alias("group_mad"),
         "robust_z",
     )
+
+
+def check_rules(df, rules: dict) -> "DataFrame":
+    """Data-quality rule audit — the declarative constraint checker every
+    warehouse ingest needs (the check-suite pattern popularized by Deequ,
+    public): each rule is a boolean Column that must hold for every row;
+    the result is ONE row per rule with violation counts.
+
+    A row where the rule evaluates NULL counts as a VIOLATION (a
+    constraint that cannot be proven true is not satisfied — the
+    conservative reading, and the one that catches unexpected NULLs).
+
+    Output: (rule, n_rows, n_violations, violation_rate 6dp).
+
+    Plan: all rules evaluate in ONE map-side-combined aggregation pass
+    over the table (codegen conditionals, no UDFs, no Expand — unlike
+    exact-distinct profiling, rule checking needs no per-rule input
+    replica); the stack() unpivot runs on the single 1-row result.
+    """
+    if not rules:
+        raise ValueError("rules must be a non-empty dict of name -> Column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(cond, 0).otherwise(1)).alias(f"{name}__v")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', `{name}__v`" for name in rules)
+    return one.selectExpr(
+        "__n", f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+    ).select(
+        "rule",
+        F.col("__n").alias("n_rows"),
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("__n"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+def embedding_drift(
+    old: "DataFrame",
+    new: "DataFrame",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Per-group centroid drift between two embedding snapshots — the
+    model/data-drift monitor for an embedding pipeline: when a new
+    embedding model version (or a new data slice) moves a class's
+    centroid, retrieval quality shifts before any eval catches it.
+
+    Output per label present in BOTH snapshots: ``(label, n_old, n_new,
+    centroid_cosine, l2_shift)`` — cosine of the two centroids (0 when
+    either is the zero vector) and the euclidean distance between them,
+    both 6dp.
+
+    Plan: each side reduces to a (label x dim)-sized centroid frame
+    (posexplode + avg — map-side combined; at corpus scale the same
+    reduction runs as an Arrow partial-sum per partition), the two tiny
+    frames join on (label, pos), and one more label-keyed agg folds the
+    dim axis into dot/norm/shift scalars. No row-level join anywhere.
+    """
+    def cent(df, tag):
+        pos = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        return pos.groupBy("label", "pos").agg(
+            F.avg("v").alias(f"c_{tag}"),
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+        )
+
+    j = cent(old, "old").join(cent(new, "new"), ["label", "pos"])
+    per = j.groupBy("label").agg(
+        F.max("n_old").alias("n_old"),
+        F.max("n_new").alias("n_new"),
+        F.sum(F.col("c_old") * F.col("c_new")).alias("_dot"),
+        F.sum(F.col("c_old") * F.col("c_old")).alias("_no"),
+        F.sum(F.col("c_new") * F.col("c_new")).alias("_nn"),
+        F.sum(
+            (F.col("c_old") - F.col("c_new"))
+            * (F.col("c_old") - F.col("c_new"))
+        ).alias("_sq"),
+    )
+    cos = F.when(
+        (F.col("_no") > 0) & (F.col("_nn") > 0),
+        F.col("_dot") / (F.sqrt("_no") * F.sqrt("_nn")),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "label",
+        "n_old",
+        "n_new",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(F.sqrt("_sq"), 6).alias("l2_shift"),
+    )

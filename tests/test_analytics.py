@@ -240,3 +240,65 @@ def test_mad_outliers_robustness(spark):
     assert all(g != "b" for g, _ in flagged)  # MAD=0 -> no flags
     z = {r["event_id"]: r["robust_z"] for r in out}
     assert z[99] > 1000  # enormous robust score, not masked
+
+
+def test_check_rules_counts_and_null_violations(spark):
+    """Each rule produces one row; NULL rule results count as
+    violations; rates are exact; empty rules dict raises."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.analytics import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 20.0)],
+        "id int, v double",
+    )
+    out = {
+        r["rule"]: r
+        for r in check_rules(
+            df,
+            {
+                "v_positive": FN.col("v") > 0,   # -5 violates, NULL violates
+                "id_present": FN.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    assert out["v_positive"]["n_rows"] == 4
+    assert out["v_positive"]["n_violations"] == 2  # -5.0 and NULL
+    assert out["v_positive"]["violation_rate"] == 0.5
+    assert out["id_present"]["n_violations"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check_rules(df, {})
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    """Identical snapshots -> cosine 1, shift 0; a known translation
+    shows the exact L2 shift; labels missing from one side drop; zero
+    centroids get cosine 0."""
+    from indexlab_spark.operators.analytics import embedding_drift
+
+    old = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (1, 0, [3.0, 0.0]),   # label 0: centroid (2, 0)
+            (2, 1, [0.0, 1.0]),                        # label 1: centroid (0, 1)
+            (3, 2, [0.0, 0.0]),                        # label 2: zero centroid
+            (4, 9, [5.0, 5.0]),                        # label only in old
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, 0, [2.0, 0.0]),                       # label 0: centroid (2, 0) — same
+            (11, 1, [0.0, 4.0]),                       # label 1: centroid (0, 4) — shift 3
+            (12, 2, [0.0, 0.0]),                       # label 2: zero centroid
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = {r["label"]: r for r in embedding_drift(old, new).collect()}
+    assert set(out) == {0, 1, 2}  # label 9 dropped (absent from new)
+    assert out[0]["centroid_cosine"] == 1.0 and out[0]["l2_shift"] == 0.0
+    assert out[0]["n_old"] == 2 and out[0]["n_new"] == 1
+    assert out[1]["centroid_cosine"] == 1.0 and out[1]["l2_shift"] == 3.0
+    assert out[2]["centroid_cosine"] == 0.0 and out[2]["l2_shift"] == 0.0
