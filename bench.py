@@ -416,7 +416,10 @@ def main() -> None:
                  # round-5 additions
                  "duplicated_spans", "token_budget_mix", "line_dedup",
                  "bloom_decontaminate", "dsir_weights", "asof_forward",
-                 "profile_lineitem", "similarity_sq8"):
+                 "profile_lineitem", "similarity_sq8",
+                 # round-6 additions
+                 "trigram_logprob", "semantic_decontam", "dq_lineitem",
+                 "embedding_drift", "sliding_windows"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

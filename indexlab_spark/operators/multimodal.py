@@ -2,11 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata,
 scanned via Spark's ``binaryFile`` source and processed with
-Arrow-batched ``mapInPandas`` UDFs. The decode kernels themselves are
-STUBBED (PIL / torchaudio / ffmpeg are not installed in this container
-— marked with NotImplementedError) behind a deterministic fake used by
-tests, but the Spark-side plumbing — schema, partitioning, UDF
-signatures, batch shapes — is real and is what matters at 100 TB:
+Arrow-batched ``mapInPandas`` UDFs. Image decode is REAL for PNG and
+24bpp BMP via the pure-stdlib codecs in functions/imagecodec (round 6;
+no PIL needed); JPEG/video kernels remain gated (PIL / ffmpeg absent —
+NotImplementedError or a deterministic fake used by tests). The
+Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes — is real throughout and is what matters at 100 TB:
 
 - assets are one row per object; content stays in executor memory one
   Arrow batch at a time, never on the driver.
@@ -65,11 +66,16 @@ def read_binary_assets(
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """STUB — real decode needs PIL/opencv (not installed).
+    """Decode an image column value to a uint8 numpy array.
 
-    The deterministic fake maps bytes -> a seeded 8x8x3 uint8 'image' so
-    the downstream plumbing (resize/feature/dedup) is testable with
-    stable outputs. Replace the body with PIL.Image.open when available.
+    Decode order:
+    1. PIL, when installed (any format) — import-gated, absent here.
+    2. The pure-stdlib codecs in functions/imagecodec — REAL decoding
+       for PNG (depth 8, gray/GA/RGB/RGBA, non-interlaced) and 24bpp
+       BMP; no third-party dependency.
+    3. Unknown formats (JPEG etc. — a DCT codec is out of stdlib
+       scope): a deterministic seeded 8x8x3 fake keeps the downstream
+       plumbing (resize/feature/dedup) testable with stable outputs.
     """
     try:
         from PIL import Image  # type: ignore
@@ -80,6 +86,20 @@ def decode_image(content: bytes) -> np.ndarray:
         pass
     if content is None:
         raise NotImplementedError("no content and no decoder installed")
+    from indexlab_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_png,
+        sniff_image,
+    )
+
+    kind = sniff_image(content)
+    try:
+        if kind == "png":
+            return decode_png(content)
+        if kind == "bmp":
+            return decode_bmp(content)
+    except ValueError:
+        pass  # malformed/unsupported variant -> deterministic fake
     seed = zlib.crc32(content)
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
@@ -129,8 +149,10 @@ def resize_images(
     assets: DataFrame, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
     """Resize plumbing: decode -> resize -> re-encode, as mapInPandas.
-    The resize kernel is a stub (nearest-neighbor on the fake decode);
-    swap for PIL when installed."""
+    Nearest-neighbor resampling over the decoded array (real pixels for
+    PNG/BMP via functions/imagecodec; the deterministic fake otherwise);
+    output is raw pixel bytes — swap the kernel for PIL's resampling
+    filters when installed."""
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
