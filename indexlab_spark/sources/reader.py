@@ -141,10 +141,11 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
 def _read_excel_driver(spark: SparkSession, path: str) -> DataFrame:
     """S2 — Excel ingestion (reference app/ingest/reader.py:153-154 uses
     pandas.read_excel: first sheet, first row = header). Prefers
-    pandas+openpyxl when present; otherwise falls back to the stdlib
-    OOXML parser below — xlsx is a zip of ECMA-376 XML, so the container
-    needs no third-party engine for the common case. Legacy .xls (BIFF
-    binary) still requires xlrd and stays gated."""
+    pandas+openpyxl/xlrd when present; otherwise falls back to the
+    stdlib parsers — .xlsx is a zip of ECMA-376 XML (parser below), and
+    legacy .xls is OLE2+BIFF8 (sources/xls.parse_xls, round 6 — no xlrd
+    needed for the common record set). Only exotic variants (encrypted,
+    BIFF5, non-8-bit-depth) stay gated."""
     try:
         import pandas as pd
 
@@ -152,17 +153,23 @@ def _read_excel_driver(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf)
     except (ImportError, ValueError):
         # no engine installed (ImportError), or pandas can't pick one
-        # without it (ValueError) — try the stdlib OOXML path
+        # without it (ValueError) — try the stdlib paths
         pass
     try:
         header, rows = _parse_xlsx_stdlib(path)
     except NotImplementedError:
         raise
-    except Exception as e:  # not a zip => legacy .xls (BIFF) etc.
-        raise NotImplementedError(
-            f"Excel fallback parser handles .xlsx (OOXML) only; "
-            f"install openpyxl/xlrd for this file: {e}"
-        ) from e
+    except Exception as zip_err:  # not a zip => try legacy .xls (BIFF8)
+        from indexlab_spark.sources.xls import parse_xls
+
+        try:
+            header, rows = parse_xls(path)
+        except Exception as e:
+            raise NotImplementedError(
+                f"Excel fallback parsers handle .xlsx (OOXML) and .xls "
+                f"(BIFF8); install openpyxl/xlrd for this file "
+                f"(xlsx error: {zip_err}; xls error: {e})"
+            ) from e
     try:
         import pandas as pd
     except ImportError:

@@ -210,9 +210,10 @@ def test_excel_reader_roundtrip_stdlib(spark, tmp_path):
     assert rows[0]["c"] == 2.5 and rows[1]["c"] is None
 
 
-def test_excel_reader_legacy_xls_gated(spark, tmp_path):
-    """Legacy BIFF .xls (not a zip) stays gated with a message naming the
-    dependency to install."""
+def test_excel_reader_corrupt_xls_gated(spark, tmp_path):
+    """A CORRUPT .xls (truncated OLE2) stays gated with a message naming
+    the dependency to install; valid BIFF8 parses via the stdlib path
+    (covered below)."""
     from indexlab_spark.sources.reader import _read_excel_driver
 
     try:
@@ -222,9 +223,63 @@ def test_excel_reader_legacy_xls_gated(spark, tmp_path):
     except ImportError:
         pass
     xls = tmp_path / "t.xls"
-    xls.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic
+    xls.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic only
     with pytest.raises(NotImplementedError, match="openpyxl|xlrd"):
         _read_excel_driver(spark, str(xls))
+
+
+def test_excel_reader_legacy_xls_stdlib(spark, tmp_path):
+    """S2 closed: a REAL BIFF8 .xls (OLE2 compound file, SST shared
+    strings, NUMBER/BOOLERR cells) parses through the stdlib reader —
+    same contract as the xlsx path (first sheet, first row = header,
+    numeric coercion)."""
+    from indexlab_spark.sources.reader import _read_excel_driver
+    from indexlab_spark.sources.xls import write_xls
+
+    xls = tmp_path / "t.xls"
+    write_xls(
+        str(xls),
+        ["a", "b", "c"],
+        [[1, "x", 2.5], [2, "y", None], [3, "z", 7.25]],
+    )
+    df = _read_excel_driver(spark, str(xls))
+    rows = sorted(df.collect(), key=lambda r: r["a"])
+    assert set(df.columns) == {"a", "b", "c"}
+    assert [r["a"] for r in rows] == [1, 2, 3]
+    assert [r["b"] for r in rows] == ["x", "y", "z"]
+    assert rows[0]["c"] == 2.5 and rows[1]["c"] is None and rows[2]["c"] == 7.25
+
+
+def test_xls_codec_roundtrip_paths():
+    """sources/xls: both the mini-stream (<4096B) and main-FAT layouts
+    round-trip; RK decoding handles the int/x100/float encodings."""
+    import struct as _struct
+    import tempfile
+
+    from indexlab_spark.sources.xls import _decode_rk, parse_xls, write_xls
+
+    # mini-stream case
+    p = tempfile.mktemp(suffix=".xls")
+    write_xls(p, ["n", "v"], [["r1", 1.5], ["r2", True]])
+    h, rows = parse_xls(p)
+    assert h == ["n", "v"] and rows == [["r1", 1.5], ["r2", True]]
+    # FAT case (>4096 bytes)
+    p2 = tempfile.mktemp(suffix=".xls")
+    big = [[f"item{i}", i * 0.5] for i in range(400)]
+    h2, rows2 = parse_xls_after_write(p2, ["name", "half"], big, write_xls)
+    assert len(rows2) == 400 and rows2[3] == ["item3", 1.5]
+    # RK encodings: integer, integer/100, float-high-bits
+    assert _decode_rk((7 << 2) | 0x02) == 7
+    assert _decode_rk((250 << 2) | 0x03) == 2.5  # 250/100, int flag + x100
+    (as_q,) = _struct.unpack("<Q", _struct.pack("<d", 8.0))
+    assert _decode_rk((as_q >> 32) & ~0x3) == 8.0
+
+
+def parse_xls_after_write(path, header, rows, write_xls):
+    write_xls(path, header, rows)
+    from indexlab_spark.sources.xls import parse_xls
+
+    return parse_xls(path)
 
 
 def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
