@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata,
 scanned via Spark's ``binaryFile`` source and processed with
-Arrow-batched ``mapInPandas`` UDFs. Image decode is REAL for PNG and
-24bpp BMP via the pure-stdlib codecs in functions/imagecodec (round 6;
-no PIL needed); JPEG/video kernels remain gated (PIL / ffmpeg absent —
-NotImplementedError or a deterministic fake used by tests). The
-Spark-side plumbing — schema, partitioning, UDF signatures, batch
+Arrow-batched ``mapInPandas`` UDFs. Decode is REAL where a public
+format parses with stdlib alone (round 6): PNG + 24bpp BMP images
+(functions/imagecodec), RIFF/WAV PCM audio (``wave``), and RIFF/AVI
+container demux for frame sampling. Only codecs that genuinely need
+external libraries stay gated (JPEG's DCT, mp3/ogg, h264 — PIL/ffmpeg
+absent: NotImplementedError or a deterministic fake used by tests).
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch
 shapes — is real throughout and is what matters at 100 TB:
 
 - assets are one row per object; content stays in executor memory one
@@ -171,11 +173,165 @@ def resize_images(
     return assets.mapInPandas(_resize, assets.schema)
 
 
-def sample_video_frames(*_args, **_kwargs):
-    """STUB — frame sampling needs ffmpeg/opencv (not installed). The
-    scale design: mapInPandas over (uri, frame_index) manifest rows,
-    fetching byte ranges per frame, emitting one asset row per frame."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg/opencv; not installed in "
-        "this container"
-    )
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio column value -> (samples int16 [n, channels],
+    sample_rate).
+
+    REAL for RIFF/WAV PCM (8/16-bit) via the stdlib ``wave`` module —
+    no third-party codec needed. Compressed formats (mp3/ogg/flac)
+    would need an external decoder: deterministic fake (seeded 1-second
+    8kHz mono) keeps downstream plumbing testable, mirroring
+    decode_image's policy.
+    """
+    if content is None:
+        raise NotImplementedError("no content and no decoder installed")
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(content)) as w:
+            n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(n)
+        if width == 2:
+            arr = np.frombuffer(raw, dtype="<i2")
+        elif width == 1:  # 8-bit WAV is unsigned
+            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256
+        else:
+            raise NotImplementedError(f"{width * 8}-bit WAV unsupported")
+        return arr.reshape(-1, ch), rate
+    seed = zlib.crc32(content)
+    rng = np.random.default_rng(seed)
+    return rng.integers(-4096, 4096, size=(8000, 1), dtype=np.int16), 8000
+
+
+def _audio_features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real frame-level DSP over the decoded samples: per-frame RMS
+    energy and zero-crossing rate histograms hashed into ``dim``
+    buckets, L2-normalized — the fixed-dim contract an audio-embedding
+    UDF satisfies, computed from actual waveforms for WAV input."""
+    samples, rate = decode_audio(content)
+    mono = samples.mean(axis=1).astype(np.float64)
+    frame = max(1, rate // 50)  # 20ms frames
+    n_frames = max(1, len(mono) // frame)
+    trimmed = mono[: n_frames * frame].reshape(n_frames, frame)
+    rms = np.sqrt((trimmed**2).mean(axis=1) + 1e-9)
+    zcr = (np.diff(np.signbit(trimmed), axis=1) != 0).mean(axis=1)
+    out = np.zeros(dim, dtype=np.float64)
+    half = dim // 2
+    for v in rms:
+        out[int(v) % half] += 1.0
+    for z in zcr:
+        out[half + int(z * (dim - half - 1))] += 1.0
+    n = np.linalg.norm(out)
+    return (out / n if n > 0 else out).astype(np.float32)
+
+
+def with_audio_features(
+    assets: DataFrame, content_col: str = "content", out_col: str = "embedding"
+) -> DataFrame:
+    """mapInPandas audio feature extraction — same batch shape and
+    output contract as with_image_features, so audio dedup/similarity
+    compose with operators/knn + operators/dedup unchanged."""
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in assets.schema.fields
+              if f.name != content_col]
+    out_schema = ", ".join(fields + [f"{out_col} array<float>"])
+    cols = [f.name for f in assets.schema.fields if f.name != content_col]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _audio_features(c) if c is not None else None
+                for c in pdf[content_col]
+            ]
+            out = pdf[cols].copy()
+            out[out_col] = feats
+            yield out
+
+    return assets.mapInPandas(_extract, out_schema)
+
+
+def demux_avi_frames(content: bytes) -> list[tuple[bytes, bytes]]:
+    """RIFF/AVI container demux — pure stdlib: walk the chunk tree,
+    return the video stream's frame chunks as (fourcc, bytes). The
+    DEMUX is real for any AVI; whether a frame then DECODES depends on
+    its codec — '00db' (uncompressed DIB) frames pair with the stdlib
+    BMP pixel layout, compressed codecs ('00dc' h264/mjpeg...) need
+    ffmpeg and stay gated at decode time."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    frames: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = content[pos:pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append((bytes(cid), content[body_start:body_start + size]))
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(content))
+    return frames
+
+
+def sample_video_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    content_col: str = "content",
+) -> DataFrame:
+    """Video frame sampling: demux each asset's container (REAL for
+    RIFF/AVI via stdlib), keep every ``every_n``-th video frame, emit
+    one asset row per kept frame with the frame bytes as content and
+    (frame_index, fourcc) in meta. Decoding a kept frame follows the
+    codec gates (DIB raw frames usable directly; compressed codecs need
+    ffmpeg). Non-AVI containers (mp4/mkv need a full box/EBML parser +
+    codecs) raise NotImplementedError per asset, surfaced in meta
+    instead of failing the job."""
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                c = r[content_col]
+                base_meta = dict(r["meta"] or {})
+                if c is None:
+                    continue
+                try:
+                    frames = demux_avi_frames(bytes(c))
+                except ValueError:
+                    rows.append(
+                        {
+                            "asset_id": f"{r['asset_id']}#error",
+                            "modality": "video",
+                            "content": None,
+                            "meta": {
+                                **base_meta,
+                                "error": "unsupported container (AVI only)",
+                            },
+                        }
+                    )
+                    continue
+                for i, (fourcc, frame) in enumerate(frames):
+                    if i % every_n:
+                        continue
+                    rows.append(
+                        {
+                            "asset_id": f"{r['asset_id']}#frame{i}",
+                            "modality": "image",
+                            "content": frame,
+                            "meta": {
+                                **base_meta,
+                                "frame_index": str(i),
+                                "fourcc": fourcc.decode("latin-1"),
+                            },
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "content", "meta"]
+            )
+
+    return assets.mapInPandas(_sample, ASSET_SCHEMA)

@@ -106,11 +106,83 @@ def test_multimodal_dedup_composes(spark, tmp_path):
     assert got == {("a.bin", "b.bin")}
 
 
-def test_video_stub_raises(spark):
-    from indexlab_spark.operators.multimodal import sample_video_frames
+def _make_avi(frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI: one movi LIST holding 00db (raw DIB) chunks."""
+    import struct as _s
 
-    with pytest.raises(NotImplementedError):
-        sample_video_frames()
+    chunks = b""
+    for f in frames:
+        chunks += b"00db" + _s.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+    movi = b"LIST" + _s.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+    return b"RIFF" + _s.pack("<I", 4 + len(movi)) + b"AVI " + movi
+
+
+def test_video_avi_demux_and_sampling(spark):
+    """Real AVI demux: every_n sampling keeps frames 0, n, 2n... with
+    frame bytes + fourcc surfaced; non-AVI content emits an error row
+    instead of failing the job."""
+    from indexlab_spark.operators.multimodal import (
+        demux_avi_frames,
+        sample_video_frames,
+    )
+
+    frames = [bytes([i]) * 10 for i in range(7)]
+    avi = _make_avi(frames)
+    assert [f for _, f in demux_avi_frames(avi)] == frames
+    assets = spark.createDataFrame(
+        [("v1", "video", avi, {"src": "t"}), ("bad", "video", b"nope", None)],
+        "asset_id string, modality string, content binary, "
+        "meta map<string,string>",
+    )
+    out = sample_video_frames(assets, every_n=3).collect()
+    got = {r["asset_id"]: r for r in out}
+    assert set(got) == {"v1#frame0", "v1#frame3", "v1#frame6", "bad#error"}
+    assert bytes(got["v1#frame3"]["content"]) == frames[3]
+    assert got["v1#frame3"]["meta"]["fourcc"] == "00db"
+    assert got["v1#frame0"]["meta"]["src"] == "t"
+    assert "unsupported container" in got["bad#error"]["meta"]["error"]
+
+
+def test_audio_wav_real_decode_and_features(spark):
+    """WAV PCM16 decodes to the exact written samples via stdlib; audio
+    features are real DSP over them (stable, L2-normalized, and
+    sensitive to the waveform); unknown formats get the deterministic
+    fake."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from indexlab_spark.operators.multimodal import (
+        _audio_features,
+        decode_audio,
+    )
+
+    t = np.arange(8000)
+    sine = (np.sin(t * 0.1) * 3000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sine.tobytes())
+    wav = buf.getvalue()
+    samples, rate = decode_audio(wav)
+    assert rate == 8000 and samples.shape == (8000, 1)
+    np.testing.assert_array_equal(samples[:, 0], sine)
+    f1, f2 = _audio_features(wav), _audio_features(wav)
+    np.testing.assert_array_equal(f1, f2)
+    assert abs(float(np.linalg.norm(f1)) - 1.0) < 1e-6
+    noise = (np.sign(np.sin(t * 1.7)) * 3000).astype("<i2")
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(noise.tobytes())
+    assert not np.array_equal(f1, _audio_features(buf2.getvalue()))
+    fake_s, fake_r = decode_audio(b"not audio at all")
+    assert fake_r == 8000 and fake_s.shape == (8000, 1)
 
 
 def test_reader_formats(spark, tmp_path):
