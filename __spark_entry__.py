@@ -1169,6 +1169,29 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 incremental — IVF grown by append: train/build on the even
+    half of the corpus, ivf_append the odd half to the SAME centroids
+    (one Arrow map pass, no retrain, no shuffle), search the union.
+    Results are IDENTICAL to a from-scratch assign of the full corpus
+    with those centroids (assignment consistency pinned in
+    tests/test_knn.py); centers aren't SQL-reproducible -> rows-only."""
+    from indexlab_spark.operators.knn import build_ivf, ivf_append, ivf_search
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    old = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    assigned_old, centroids = build_ivf(old, nlist=16, seed=42)
+    combined = assigned_old.unionByName(ivf_append(new, centroids))
+    return ivf_search(q, combined, centroids, k=5, nprobe=4).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ scale extension — product-quantized ADC search with exact
     rerank (operators/knn.build_pq/pq_search): the corpus streams as
@@ -4055,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
+        "similarity_ivf_append": _q_similarity_ivf_append,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,

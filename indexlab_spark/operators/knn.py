@@ -414,6 +414,51 @@ def build_ivf(
     return assigned, centroids
 
 
+def ivf_append(
+    new_df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K3 incremental — assign NEW vectors to an EXISTING index's
+    centroids, so an IVF grows batch by batch without retraining or
+    touching the already-written corpus (the same additive-state
+    discipline as bm25_refresh and minhash_incremental_pairs; FAISS's
+    ``IndexIVF.add`` analog).
+
+    Returns the new rows + ``cluster_id`` — feed straight to
+    :func:`write_ivf_partitioned` with ``mode="append"``: each batch
+    only writes files under the cluster directories it actually
+    touches, and the partition layout (and therefore
+    :func:`ivf_search_pruned`'s PartitionFilters pruning) is identical
+    to a from-scratch build with the same centroids.
+
+    Assignment CONSISTENCY is exact, not approximate: given the same
+    centroid frame, a vector gets the same cluster_id whether it
+    arrives in the original build pass or any later append (pinned in
+    tests). What an append does NOT do is re-train: after the corpus
+    distribution drifts far from the training sample, cells skew —
+    monitor with analytics.embedding_drift / cluster-size stats and
+    rebuild when warranted (the same rebuild-vs-refresh tradeoff FAISS
+    documents).
+
+    Plan: centroids collect (nlist x dim — bounded by construction) and
+    broadcast in the UDF closure; the batch gets its cluster_id in one
+    Arrow-vectorized map pass. Nothing shuffles.
+    """
+    cents = centroids_df.orderBy("cluster_id").collect()
+    ids = np.array([r["cluster_id"] for r in cents], dtype=np.int32)
+    centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    c_t = centers.T.copy()
+    c2 = (centers * centers).sum(1)[None, :]
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(ids[(c2 - 2.0 * (x @ c_t)).argmin(1)])
+
+    return new_df.withColumn("cluster_id", _assign(F.col(vec_col)))
+
+
 def write_ivf_partitioned(
     assigned_df: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:

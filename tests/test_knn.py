@@ -344,3 +344,42 @@ def test_knn_graph_union_mutual_and_clusters(spark, emb):
     )
     n_clusters = comp.select("cluster").distinct().count()
     assert 1 < n_clusters < 200  # nontrivial structure, not one blob
+
+
+def test_ivf_append_assignment_consistency_and_search_parity(spark, tables):
+    """A vector gets the SAME cluster_id whether it was in the original
+    build's assign pass or arrives later via ivf_append with the same
+    centroids — so append+search == rebuild-with-same-centroids+search
+    exactly."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.knn import build_ivf, ivf_append, ivf_search
+
+    emb = tables["embeddings"]
+    corpus = emb.select(FN.col("vec_id").alias("doc_id"), "embedding")
+    old = corpus.filter(FN.col("doc_id") % 2 == 0)
+    new = corpus.filter(FN.col("doc_id") % 2 == 1)
+    assigned_old, centroids = build_ivf(old, nlist=8, seed=7)
+    appended = ivf_append(new, centroids)
+    # consistency: re-assigning the appended rows through the SAME
+    # centroid set (numpy argmin) matches the operator's assignment
+    import numpy as np
+
+    cents = sorted(centroids.collect(), key=lambda r: r["cluster_id"])
+    centers = np.array([r["centroid"] for r in cents])
+    ids = np.array([r["cluster_id"] for r in cents])
+    for r in appended.collect():
+        d = ((centers - np.array(r["embedding"])) ** 2).sum(1)
+        assert r["cluster_id"] == ids[d.argmin()], r["doc_id"]
+    # search parity: union of (build half + appended half) == one assign
+    # pass over the full corpus with the same centroids
+    combined = assigned_old.unionByName(appended)
+    full = ivf_append(corpus, centroids)  # same centroids, full corpus
+    q = emb.filter(FN.col("vec_id") < 8).select(
+        FN.col("vec_id").alias("query_id"), FN.col("embedding").alias("qvec")
+    )
+    a = sorted(map(tuple, ivf_search(q, combined, centroids, k=5, nprobe=3)
+                   .select("query_id", "doc_id", "rank").collect()))
+    b = sorted(map(tuple, ivf_search(q, full, centroids, k=5, nprobe=3)
+                   .select("query_id", "doc_id", "rank").collect()))
+    assert a == b and len(a) > 0
