@@ -646,6 +646,65 @@ def build_pq(
     return codes_df, codebooks_df
 
 
+def pq_append(
+    new_df: DataFrame,
+    codebooks_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ incremental — encode NEW vectors against EXISTING codebooks
+    (FAISS ``IndexPQ.add`` analog; same additive-state discipline as
+    :func:`ivf_append`). The codebook frame collects (m x 2^nbits x
+    dsub — bounded by construction) and broadcasts in the UDF closure;
+    the batch encodes in one Arrow pass, nothing shuffles. Encoding is
+    exactly the build pass's: append ≡ same-codebook re-encode (pinned
+    in tests). No re-training — monitor drift and rebuild when the
+    corpus outgrows the training sample, as with IVF."""
+    rows = codebooks_df.orderBy("subspace", "code").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    b2 = (books * books).sum(2)
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xj = x[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (b2[j][None, :] - 2.0 * (xj @ books[j].T)).argmin(1)
+        return pd.Series(list(codes))
+
+    return new_df.withColumn("pq_code", _encode(F.col(vec_col)))
+
+
+def sq8_append(
+    new_df: DataFrame,
+    params_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 incremental — encode NEW vectors with the EXISTING per-dim
+    [min, max] codec state (see :func:`pq_append`; out-of-range values
+    saturate exactly as in the build pass, so drifted batches degrade
+    gracefully rather than wrapping)."""
+    rows = params_df.orderBy("dim_idx").collect()
+    vmin = np.array([r["vmin"] for r in rows], dtype=np.float64)
+    vmax = np.array([r["vmax"] for r in rows], dtype=np.float64)
+    scale = np.where(vmax > vmin, (vmax - vmin) / 255.0, 1.0)
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.clip(
+            np.rint((x - vmin[None, :]) / scale[None, :]), 0, 255
+        ).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return new_df.withColumn("sq_code", _encode(F.col(vec_col)))
+
+
 def pq_search(
     spark,
     queries_df: DataFrame,

@@ -383,3 +383,36 @@ def test_ivf_append_assignment_consistency_and_search_parity(spark, tables):
     b = sorted(map(tuple, ivf_search(q, full, centroids, k=5, nprobe=3)
                    .select("query_id", "doc_id", "rank").collect()))
     assert a == b and len(a) > 0
+
+
+def test_pq_and_sq8_append_encode_parity(spark, tables):
+    """Appending a batch through existing codebooks/params produces the
+    EXACT codes the original build pass would have assigned — the
+    additive-state contract shared with ivf_append/bm25_refresh."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.knn import (
+        build_pq,
+        build_sq8,
+        pq_append,
+        sq8_append,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.select(FN.col("vec_id").alias("doc_id"), "embedding")
+    old = corpus.filter(FN.col("doc_id") % 2 == 0)
+    new = corpus.filter(FN.col("doc_id") % 2 == 1)
+
+    _, books = build_pq(old, m=8, nbits=4, seed=5)
+    appended = {r["doc_id"]: r["pq_code"] for r in pq_append(new, books).collect()}
+    # re-encoding the FULL corpus with the same books must agree on the
+    # appended half
+    full = {r["doc_id"]: r["pq_code"] for r in pq_append(corpus, books).collect()}
+    assert appended and all(full[d] == c for d, c in appended.items())
+
+    _, params = build_sq8(old, seed=5)
+    ap = {r["doc_id"]: r["sq_code"] for r in sq8_append(new, params).collect()}
+    fl = {r["doc_id"]: r["sq_code"] for r in sq8_append(corpus, params).collect()}
+    assert ap and all(fl[d] == c for d, c in ap.items())
+    # codes are valid uint8 / nbits ranges
+    assert all(0 <= v <= 255 for c in ap.values() for v in c)
