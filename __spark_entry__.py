@@ -3854,6 +3854,22 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer building — distributed BPE training (operators/bpe):
+    learn 8 merges from the corpus word vocabulary (one corpus-wide
+    tokenize+count shuffle, then vocab-frame-sized pair-count
+    iterations) and apply them to a 100-doc slice for per-doc token
+    budgets. Iterative + driver-scalar argmax -> not SQL-expressible;
+    exact merge-list parity with a pure-Python Sennrich reference is
+    pinned in tests."""
+    from indexlab_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = train_bpe(docs, n_merges=8)
+    out = apply_bpe(docs.filter(F.col("doc_id") < 100), merges)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def _q_dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse breadth — declarative data-quality rule audit
     (analytics.check_rules, the Deequ-style check-suite pattern): six
@@ -4079,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
         "similarity_ivf_append": _q_similarity_ivf_append,
+        "bpe_merges": _q_bpe_merges,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,

@@ -1,0 +1,229 @@
+"""Distributed byte-pair-encoding (BPE) training and application —
+the tokenizer-building step of a training-data pipeline (Sennrich et
+al. 2016, public; the bpe_token_counts registry entry APPLIES a
+regex approximation, this module LEARNS real merges from the corpus).
+
+Scale shape: classic BPE iterates over the WORD VOCABULARY (unique
+words weighted by frequency), not the corpus stream — so the corpus is
+touched exactly once (one tokenize + word-count shuffle) and every
+merge iteration runs over the vocab frame: adjacent-pair counts via
+posexplode + one map-side-combined agg, the argmax pair as a 1-row
+driver scalar (count desc, then lexicographic pair asc — fully
+deterministic), and an Arrow-vectorized merge pass rewriting the
+symbol arrays. State per iteration is vocab-sized; nothing quadratic,
+no corpus re-reads.
+
+The merge loop is driver-synchronized by nature (merge i+1's counts
+depend on merge i — the algorithm is sequential by definition); like
+pagerank, AQE is disabled for small vocabularies during the loop
+(replanning dominates vocab-frame jobs) and restored after.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _make_merge(left: str, right: str):
+    """pandas_udf rewriting each symbol array with one merge applied
+    (closure capture — default-arg capture breaks the UDF's type-hint
+    inference)."""
+
+    @F.pandas_udf("array<string>")
+    def _merge(sym_col: pd.Series) -> pd.Series:
+        out = []
+        for syms in sym_col:
+            syms = list(syms)
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return _merge
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the whitespace-lowercase tokenization — the
+    single corpus-wide shuffle of the whole algorithm."""
+    from indexlab_spark.operators.bm25 import tokenize
+
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    list in order: (left_symbol, right_symbol, pair_count). Stops early
+    when the best remaining pair drops under ``min_pair_count``.
+
+    Word symbols start as characters plus a terminal ``</w>`` marker
+    (the standard end-of-word convention, so "low" and "lower" share
+    prefix merges but not the word-final unit).
+    """
+    spark = df.sparkSession
+
+    @F.pandas_udf("array<string>")
+    def _init_syms(words: pd.Series) -> pd.Series:
+        return pd.Series([list(w) + [END] for w in words])
+
+    vocab = (
+        _word_vocab(df, text_col)
+        .select("freq", _init_syms(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            # size filter also guards Spark's descending sequence(): a
+            # fully-merged single-symbol word would make sequence(0, -1)
+            # emit [0, -1], not an empty array
+            pairs = (
+                vocab.filter(F.size("syms") >= 2).select(
+                    "freq",
+                    F.posexplode(
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2),"
+                            " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                        )
+                    ).alias("_p", "pr"),
+                )
+                .groupBy("pr.l", "pr.r")
+                .agg(F.sum("freq").alias("n"))
+            )
+            best = pairs.orderBy(
+                F.col("n").desc(), F.col("l").asc(), F.col("r").asc()
+            ).limit(1).collect()
+            if not best or best[0]["n"] < min_pair_count:
+                break
+            left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+            merges.append((left, right, n))
+
+            vocab = vocab.select(
+                "freq", _make_merge(left, right)(F.col("syms")).alias("syms")
+            ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+    return merges
+
+
+def train_bpe_reference(
+    word_freqs: dict[str, int], n_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str, int]]:
+    """Pure-Python Sennrich reference (the test oracle): same
+    tie-break, same stop rule, driver-only."""
+    vocab = {tuple(list(w) + [END]): f for w, f in word_freqs.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), n = best
+        if n < min_pair_count:
+            break
+        merges.append((left, right, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize each document with a learned merge list: words split to
+    characters + ``</w>``, merges applied IN TRAINING ORDER (the
+    standard greedy application). Output: (id, n_words, n_tokens,
+    tokens_per_word 6dp) — the compression the tokenizer achieves, the
+    number a data-mixture budget actually consumes.
+
+    One Arrow map pass; the merge list broadcasts in the closure.
+    """
+    merge_seq = [(l, r) for l, r, _ in merges]
+
+    @F.pandas_udf("struct<n_words: long, n_tokens: long>")
+    def _count(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}  # word -> token count (Zipf: huge hit rate)
+
+        def word_tokens(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + [END]
+            for left, right in merge_seq:
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            cache[w] = len(syms)
+            return cache[w]
+
+        n_words_out, n_tokens_out = [], []
+        for t in texts:
+            words = (t or "").lower().split()
+            n_words_out.append(len(words))
+            n_tokens_out.append(sum(word_tokens(w) for w in words))
+        return pd.DataFrame({"n_words": n_words_out, "n_tokens": n_tokens_out})
+
+    out = df.select(
+        F.col(id_col).alias("id"), _count(F.col(text_col)).alias("c")
+    )
+    return out.select(
+        "id",
+        F.col("c.n_words").alias("n_words"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.col("c.n_words") > 0,
+                F.col("c.n_tokens") / F.col("c.n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("tokens_per_word"),
+    )

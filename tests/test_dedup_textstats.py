@@ -516,3 +516,58 @@ def test_pagerank_restores_aqe_conf(spark):
     with _pytest.raises(RuntimeError):
         pagerank(edges, nodes, tol=1e-12, max_iter=1)
     assert spark.conf.get("spark.sql.adaptive.enabled") == prior
+
+
+def test_train_bpe_matches_pure_python_reference(spark, tables):
+    """Distributed BPE training == the driver-only Sennrich reference on
+    the same word counts: identical merge list (order, pairs, counts) —
+    same tie-break, same stop rule. apply_bpe with the learned merges
+    compresses real text (tokens_per_word < characters_per_word) and is
+    deterministic."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.bpe import (
+        _word_vocab,
+        apply_bpe,
+        train_bpe,
+        train_bpe_reference,
+    )
+
+    docs = tables["documents"].limit(300)
+    merges = train_bpe(docs, n_merges=10)
+    wf = {r["word"]: r["freq"] for r in _word_vocab(docs, "text").collect()}
+    assert merges == train_bpe_reference(wf, 10)
+    assert len(merges) == 10
+    # counts are non-increasing? No — merges change pair counts; but
+    # every merge must meet the min_pair_count bar
+    assert all(n >= 2 for _, _, n in merges)
+
+    out = apply_bpe(docs.limit(40), merges)
+    rows = out.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["n_tokens"] > 0 and r["n_words"] > 0
+        # with </w> markers, tokens per word <= chars + 1; merges pull it
+        # strictly below for natural text
+        assert r["tokens_per_word"] < 12
+    again = {r["id"]: r["n_tokens"] for r in apply_bpe(docs.limit(40), merges).collect()}
+    assert again == {r["id"]: r["n_tokens"] for r in rows}
+
+
+def test_train_bpe_stop_rule_and_aqe_restore(spark):
+    """Training stops early when the best pair drops under
+    min_pair_count; AQE is restored after the loop."""
+    from indexlab_spark.operators.bpe import train_bpe, train_bpe_reference
+
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    docs = spark.createDataFrame(
+        [(0, "aa ab"), (1, "aa ba")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=50, min_pair_count=2)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prior
+    # exact parity incl. the count-2 ties ('a','</w>') vs ('a','a') —
+    # lexicographic tie-break, '<' sorts before 'a'
+    ref = train_bpe_reference({"aa": 2, "ab": 1, "ba": 1}, 50)
+    assert merges == ref
+    assert merges[0] == ("a", "</w>", 3)  # aa x2 + ba
+    assert 0 < len(merges) < 50  # stop rule fired well before 50
