@@ -16,6 +16,9 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -3854,6 +3857,54 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns end-to-end with REAL codecs: render each of
+    200 embeddings as an 8x8 grayscale PNG (functions/imagecodec —
+    actual zlib/filter encoding, not a fake), plant a duplicate of
+    every 10th asset, then decode -> feature-extract (mapInPandas, Arrow
+    batches) -> embedding_dup_pairs. Identical PNGs must decode to
+    identical pixels and features, so exactly the planted pairs come
+    back at cos ~1. Binary kernels aren't SQL-expressible -> rows-only;
+    codec round-trips are pinned in tests/test_imagecodec.py."""
+    from indexlab_spark.operators.dedup import embedding_dup_pairs
+    from indexlab_spark.operators.multimodal import with_image_features
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+
+    @F.pandas_udf("binary")
+    def _render(vecs: pd.Series) -> pd.Series:
+        from indexlab_spark.functions.imagecodec import encode_png
+
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            lo, hi = x.min(), x.max()
+            scale = (hi - lo) or 1.0
+            px = np.clip(
+                np.rint((x - lo) / scale * 255), 0, 255
+            ).astype(np.uint8).reshape(8, 8)
+            out.append(encode_png(px))
+        return pd.Series(out)
+
+    assets = base.select(
+        F.col("vec_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        _render(F.col("embedding")).alias("content"),
+        F.create_map(F.lit("src"), F.lit("rendered")).alias("meta"),
+    )
+    dup = assets.filter(F.col("asset_id") % 10 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 100000
+    )
+    feats = with_image_features(assets.unionByName(dup)).select(
+        F.col("asset_id").alias("vec_id"), "embedding"
+    )
+    return (
+        embedding_dup_pairs(feats, id_col="vec_id", threshold=0.999)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer building — distributed BPE training (operators/bpe):
     learn 8 merges from the corpus word vocabulary (one corpus-wide
@@ -4096,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "similarity_ivf_append": _q_similarity_ivf_append,
         "bpe_merges": _q_bpe_merges,
+        "multimodal_pipeline": _q_multimodal_pipeline,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
