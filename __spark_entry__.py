@@ -3857,6 +3857,41 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming — applyInPandasWithState gap
+    sessionization (streaming/events.sessionize_with_state) driven as a
+    REAL streaming query and hash-checked against a SQL oracle: with
+    the corpus arriving as one micro-batch, the emitted CLOSED sessions
+    are exactly 'all gap-1800s sessions minus each user's final (still
+    open) one' — expressible via lag/cumsum windows, so this stateful
+    operator is oracle-backed, not rows-only. Output in integer
+    microseconds (the registry's cross-engine timestamp convention)."""
+    from indexlab_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_with_state,
+    )
+
+    load_tables(spark, sf_dir, ("events",))  # pin tz/reader confs
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sess = sessionize_with_state(stream, gap_seconds=1800)
+    prev = f"stateful_sessions_{_STREAM_SEQ[0]}"
+    try:
+        spark.catalog.dropTempView(prev)
+    except Exception:
+        pass
+    _STREAM_SEQ[0] += 1
+    name = f"stateful_sessions_{_STREAM_SEQ[0]}"
+    run_stream_to_memory(sess, name, output_mode="append")
+    drained = spark.table(name).localCheckpoint(eager=True)
+    return drained.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns end-to-end with REAL codecs: render each of
     200 embeddings as an 8x8 grayscale PNG (functions/imagecodec —
@@ -4033,13 +4068,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r7 window plan (pinned per the standing invariants:
         # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-17 take the 5
-        # round-6 additions (trigram_logprob, semantic_decontam,
-        # sliding_windows, dq_lineitem, embedding_drift — never
-        # driver-attested); slots 18-30 take the 13 remaining r03-green
-        # entries below (events_trailing_hour .. rolling_median — 4
-        # rounds stale by r7); slots 31-50 take the first 20 of the r04
-        # block (events_json .. events_pivot, registry order); r8 then
+        # last green row older than 3 rounds): slots 13-18 take the 6
+        # round-6 oracle-backed additions (trigram_logprob,
+        # semantic_decontam, sliding_windows, dq_lineitem,
+        # embedding_drift, stateful_sessions — never driver-attested);
+        # slots 19-31 take the 13 remaining r03-green entries below
+        # (events_trailing_hour .. rolling_median — 4 rounds stale by
+        # r7); slots 32-50 take the first 19 of the r04 block
+        # (events_json .. events_gapfill, registry order); r8 then
         # takes the rest of the r04 block plus the oldest of the r05
         # block.
         # last green r03 (remaining 13; rotate into r7 FIRST):
@@ -4148,6 +4184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_append": _q_similarity_ivf_append,
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
+        # oracle-backed stateful streaming (added r6, never attested —
+        # r7 window takes it with the other round-6 additions):
+        "stateful_sessions": _q_stateful_sessions,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -5070,6 +5109,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "stateful_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)) AS gap_us
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM g),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER
+                           (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+            sess AS (
+                SELECT user_id, sid,
+                       min(epoch_us(ts)) AS start_us,
+                       max(epoch_us(ts)) AS end_us,
+                       CAST(count(*) AS INTEGER) AS n_events
+                FROM numbered GROUP BY 1, 2),
+            last_open AS (
+                SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+            SELECT sess.user_id, start_us, end_us, n_events
+            FROM sess JOIN last_open USING (user_id)
+            WHERE sid <> last_sid
         """,
         "dq_lineitem": """
             WITH t AS (SELECT

@@ -96,3 +96,40 @@ def test_feature_extraction_over_real_png_is_stable():
     np.testing.assert_array_equal(fa1, fa2)
     assert not np.array_equal(fa1, fb)
     assert abs(float(np.linalg.norm(fa1)) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------- hypothesis
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ftype=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, ch, ftype, seed):
+        """ANY shape x channels x filter x content round-trips exactly."""
+        img = _img(h, w, ch, seed=seed)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(img, filter_type=ftype)), img
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_bmp_roundtrip_property(h, w, seed):
+        """ANY (h, w) incl. every row-padding residue round-trips."""
+        img = _img(h, w, 3, seed=seed)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)

@@ -773,3 +773,69 @@ def test_stream_checkpoint_restart_is_incremental(spark, sf_dir, tmp_path):
     # incremental: no reprocessing of the first file's rows
     assert sunk.count() == ev.count()
     assert sunk.select("event_id").distinct().count() == ev.count()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-1_000_000, 1_000_000),
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=32,
+        ).map(float),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=12,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n_cols=st.integers(1, 6),
+        rows=st.lists(st.lists(_cell, min_size=1, max_size=6), max_size=8),
+        seed=st.integers(0, 10**6),
+    )
+    def test_xls_roundtrip_property(n_cols, rows, seed):
+        """Arbitrary small grids (mixed types, unicode strings, Nones)
+        survive write_xls -> parse_xls: same grid shape and values
+        (rows padded/truncated to header width, float column-width
+        caveats excluded by construction)."""
+        import tempfile
+
+        from indexlab_spark.sources.xls import parse_xls, write_xls
+
+        header = [f"c{i}" for i in range(n_cols)]
+        norm = [(r + [None] * n_cols)[:n_cols] for r in rows]
+        # drop all-None rows at the END (trailing BLANK rows have no
+        # cell records, so the parsed grid is shorter — same behavior
+        # as real writers) and ensure at least one non-None cell per
+        # remaining row for a well-defined grid
+        while norm and all(v is None for v in norm[-1]):
+            norm.pop()
+        p = tempfile.mktemp(suffix=".xls")
+        write_xls(p, header, norm)
+        h, got = parse_xls(p)
+        assert h == header
+        assert len(got) == len(norm)
+        for exp_row, got_row in zip(norm, got):
+            g = (got_row + [None] * n_cols)[:n_cols]
+            for e, o in zip(exp_row, g):
+                if isinstance(e, float) and not isinstance(e, bool):
+                    if e == int(e):
+                        assert o == int(e) or o == e
+                    else:
+                        assert o is not None and abs(float(o) - e) < 1e-9
+                elif isinstance(e, str):
+                    assert o == e
+                else:
+                    assert o == e
