@@ -70,10 +70,28 @@ def html_to_text(html: str) -> str:
 
 
 # ------------------------------------------------------------------ S7 sniff
+_COMPRESSED_EXTS = {".gz", ".bz2", ".xz"}
+
+
+def strip_compression_ext(filename: str) -> tuple[str, str | None]:
+    """'data.csv.gz' -> ('data.csv', '.gz'); passthrough otherwise.
+    Spark's text-based sources (csv/json/text) decompress
+    gzip/bzip2/xz natively by extension, so the FORMAT decision should
+    sniff the inner name."""
+    base, ext = os.path.splitext(filename)
+    if ext.lower() in _COMPRESSED_EXTS:
+        return base, ext.lower()
+    return filename, None
+
+
 def sniff_format(filename: str, head: bytes) -> str:
     """S7 — extension first, then magic bytes
     (chunk_preview.py:66-101 semantics): PK zip -> xlsx, OLE2 -> xls,
-    '{'/'[' -> json, comma+newline heuristics -> csv, else txt."""
+    '{'/'[' -> json, comma+newline heuristics -> csv, else txt.
+    Compressed extensions (.gz/.bz2/.xz) are transparent: the inner
+    extension decides (Spark decompresses these codecs natively for
+    csv/json/text sources)."""
+    filename, _codec = strip_compression_ext(filename)
     ext = os.path.splitext(filename)[1].lower()
     if ext in _EXT_CSV:
         return "csv"
@@ -105,12 +123,51 @@ def sniff_format(filename: str, head: bytes) -> str:
 
 
 # ------------------------------------------------------------------- read_any
+def _codec_open(path: str, codec: str):
+    import bz2
+    import gzip
+    import lzma
+
+    return {".gz": gzip.open, ".bz2": bz2.open, ".xz": lzma.open}[codec](
+        path, "rb"
+    )
+
+
 def read_any(spark: SparkSession, path: str) -> DataFrame:
     """S1-S5 dispatch — one DataFrame per source file, schema inferred
-    (reader.py:136-161 contract)."""
-    with open(path, "rb") as f:
-        head = f.read(4096)
+    (reader.py:136-161 contract). Compressed single files (.gz/.bz2/.xz)
+    are transparent: csv/json ride Spark's native codec support
+    (executor-side decompression); text/html/excel decompress in the
+    driver (single-file driver formats already)."""
+    _, codec = strip_compression_ext(os.path.basename(path))
+    if codec:
+        with _codec_open(path, codec) as f:
+            head = f.read(4096)
+    else:
+        with open(path, "rb") as f:
+            head = f.read(4096)
     fmt = sniff_format(os.path.basename(path), head)
+    if codec and fmt in ("text", "html"):
+        with _codec_open(path, codec) as f:
+            raw = f.read()
+        txt = raw.decode("utf-8", errors="ignore")
+        if fmt == "html":
+            txt = html_to_text(txt)
+        return spark.createDataFrame([(txt,)], "text string")
+    if codec and fmt == "excel":
+        import tempfile
+
+        inner = strip_compression_ext(os.path.basename(path))[0]
+        suffix = os.path.splitext(inner)[1] or ".xlsx"
+        with _codec_open(path, codec) as f, tempfile.NamedTemporaryFile(
+            suffix=suffix, delete=False
+        ) as tmp:
+            tmp.write(f.read())
+            tmp_path = tmp.name
+        try:
+            return _read_excel_driver(spark, tmp_path)
+        finally:
+            os.unlink(tmp_path)
     if fmt == "csv":
         return (
             spark.read.option("header", True)

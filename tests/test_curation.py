@@ -533,3 +533,17 @@ def test_semantic_decontaminate_flags_planted_near_dup(spark):
     for i in out:
         assert fb[i]["contaminated"] == out[i]["contaminated"]
         assert abs(fb[i]["max_sim"] - out[i]["max_sim"]) < 1e-6
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    """An empty benchmark flags nothing (keep_clean=False -> empty
+    frame; schema intact)."""
+    from indexlab_spark.operators.curation import semantic_decontaminate
+
+    corp = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_decontaminate(corp, bench, threshold=0.5)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "max_sim", "nearest_bench_id", "contaminated"}

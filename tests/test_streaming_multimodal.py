@@ -839,3 +839,36 @@ if _HAVE_HYP:
                     assert o == e
                 else:
                     assert o == e
+
+
+def test_reader_compressed_sources(spark, tmp_path):
+    """S1/S3/S4 through gzip/bzip2/xz: csv+json ride Spark's native
+    codec support, text decompresses driver-side, and a gzipped BIFF8
+    .xls goes through decompress -> stdlib parser."""
+    import bz2
+    import gzip
+    import lzma
+
+    from indexlab_spark.sources.reader import read_any
+    from indexlab_spark.sources.xls import write_xls
+
+    gz = tmp_path / "t.csv.gz"
+    gz.write_bytes(gzip.compress(b"a,b\n1,x\n2,y\n"))
+    df = read_any(spark, str(gz))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+    bz = tmp_path / "t.json.bz2"
+    bz.write_bytes(bz2.compress(b'[{"a": 1}, {"a": 2}, {"a": 3}]'))
+    assert read_any(spark, str(bz)).count() == 3
+
+    xz = tmp_path / "t.md.xz"
+    xz.write_bytes(lzma.compress("# Title\ncompressed body\n".encode()))
+    rows = read_any(spark, str(xz)).collect()
+    assert len(rows) == 1 and "compressed body" in rows[0]["text"]
+
+    plain_xls = tmp_path / "t.xls"
+    write_xls(str(plain_xls), ["a", "b"], [[1, "x"], [2, "y"]])
+    gz_xls = tmp_path / "t.xls.gz"
+    gz_xls.write_bytes(gzip.compress(plain_xls.read_bytes()))
+    df2 = read_any(spark, str(gz_xls))
+    assert sorted(r["a"] for r in df2.collect()) == [1, 2]
