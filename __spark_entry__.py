@@ -3857,6 +3857,19 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data layout — Z-order (Morton) keys over (user_id, value)
+    (maintenance.zorder_key): min-max 16-bit quantization + a
+    pure-Catalyst unrolled bit interleave, no UDF, one projection. The
+    key write_zorder_clustered sorts files by, so parquet min/max stats
+    prune scans filtered on EITHER column (Delta/Iceberg OPTIMIZE
+    ZORDER design)."""
+    from indexlab_spark.operators.maintenance import zorder_key
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return zorder_key(ev, ["user_id", "value"]).select("event_id", "zval")
+
+
 def _q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming — applyInPandasWithState gap
     sessionization (streaming/events.sessionize_with_state) driven as a
@@ -4068,14 +4081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r7 window plan (pinned per the standing invariants:
         # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-18 take the 6
+        # last green row older than 3 rounds): slots 13-19 take the 7
         # round-6 oracle-backed additions (trigram_logprob,
         # semantic_decontam, sliding_windows, dq_lineitem,
-        # embedding_drift, stateful_sessions — never driver-attested);
-        # slots 19-31 take the 13 remaining r03-green entries below
-        # (events_trailing_hour .. rolling_median — 4 rounds stale by
-        # r7); slots 32-50 take the first 19 of the r04 block
-        # (events_json .. events_gapfill, registry order); r8 then
+        # embedding_drift, stateful_sessions, zorder_events — never
+        # driver-attested); slots 20-32 take the 13 remaining r03-green
+        # entries below (events_trailing_hour .. rolling_median — 4
+        # rounds stale by r7); slots 33-50 take the first 18 of the r04
+        # block (events_json .. events_pivot, registry order); r8 then
         # takes the rest of the r04 block plus the oldest of the r05
         # block.
         # last green r03 (remaining 13; rotate into r7 FIRST):
@@ -4187,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed stateful streaming (added r6, never attested —
         # r7 window takes it with the other round-6 additions):
         "stateful_sessions": _q_stateful_sessions,
+        "zorder_events": _q_zorder_events,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -5109,6 +5123,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "zorder_events": """
+            WITH s AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                              min(value) AS mnv, max(value) AS mxv
+                       FROM events),
+            r AS (SELECT event_id,
+                    least(greatest(CAST(floor(
+                        (CAST(user_id AS DOUBLE) - mnu) / (mxu - mnu) * 65535.0
+                    ) AS BIGINT), 0), 65535) AS ru,
+                    least(greatest(CAST(floor(
+                        (value - mnv) / (mxv - mnv) * 65535.0
+                    ) AS BIGINT), 0), 65535) AS rv
+                  FROM events, s)
+            SELECT event_id,
+                   (((ru >> 0) & 1) << 0)
+                   | (((rv >> 0) & 1) << 1)
+                   | (((ru >> 1) & 1) << 2)
+                   | (((rv >> 1) & 1) << 3)
+                   | (((ru >> 2) & 1) << 4)
+                   | (((rv >> 2) & 1) << 5)
+                   | (((ru >> 3) & 1) << 6)
+                   | (((rv >> 3) & 1) << 7)
+                   | (((ru >> 4) & 1) << 8)
+                   | (((rv >> 4) & 1) << 9)
+                   | (((ru >> 5) & 1) << 10)
+                   | (((rv >> 5) & 1) << 11)
+                   | (((ru >> 6) & 1) << 12)
+                   | (((rv >> 6) & 1) << 13)
+                   | (((ru >> 7) & 1) << 14)
+                   | (((rv >> 7) & 1) << 15)
+                   | (((ru >> 8) & 1) << 16)
+                   | (((rv >> 8) & 1) << 17)
+                   | (((ru >> 9) & 1) << 18)
+                   | (((rv >> 9) & 1) << 19)
+                   | (((ru >> 10) & 1) << 20)
+                   | (((rv >> 10) & 1) << 21)
+                   | (((ru >> 11) & 1) << 22)
+                   | (((rv >> 11) & 1) << 23)
+                   | (((ru >> 12) & 1) << 24)
+                   | (((rv >> 12) & 1) << 25)
+                   | (((ru >> 13) & 1) << 26)
+                   | (((rv >> 13) & 1) << 27)
+                   | (((ru >> 14) & 1) << 28)
+                   | (((rv >> 14) & 1) << 29)
+                   | (((ru >> 15) & 1) << 30)
+                   | (((rv >> 15) & 1) << 31) AS zval
+            FROM r
         """,
         "stateful_sessions": """
             WITH g AS (

@@ -157,3 +157,62 @@ def test_scd2_from_changes_semantics(spark):
         collapse_unchanged=False,
     ).filter("user_id = 1").collect()
     assert len(raw) == 4
+
+
+def test_zorder_clustering_tightens_both_columns(spark, tmp_path):
+    """Z-order layout vs single-column range clustering on a 2-D grid:
+    per-file min/max ranges (the stats a pruning scan consults) must be
+    tight on BOTH dimensions under Z-order, while 1-D clustering leaves
+    the second column's per-file range at ~full width. Also: zval is
+    deterministic, and monotone along the diagonal."""
+    from indexlab_spark.operators.maintenance import (
+        parquet_file_ranges,
+        write_range_clustered,
+        write_zorder_clustered,
+        zorder_key,
+    )
+
+    n = 64
+    rows = [(i * n + j, float(i), float(j)) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "range_x")
+    write_zorder_clustered(df, zpath, ["x", "y"], n_ranges=16)
+    write_range_clustered(df, rpath, "x", n_ranges=16)
+
+    def avg_span(path, col):
+        spans = [hi - lo for lo, hi in parquet_file_ranges(path, col)]
+        return sum(spans) / len(spans)
+
+    # both layouts keep x tight-ish; the y spans are the story: 1-D
+    # clustering leaves y at ~full width per file, Z-order cuts it
+    assert avg_span(rpath, "y") > 0.9 * (n - 1)
+    assert avg_span(zpath, "y") < 0.5 * (n - 1)
+    assert avg_span(zpath, "x") < 0.5 * (n - 1)
+    # rewrite preserved content
+    assert spark.read.parquet(zpath).count() == n * n
+
+    keyed = zorder_key(df, ["x", "y"])
+    z = {r["id"]: r["zval"] for r in keyed.collect()}
+    assert z == {r["id"]: r["zval"] for r in zorder_key(df, ["x", "y"]).collect()}
+    # diagonal monotonicity: (0,0) < (1,1) < (2,2) in Morton order
+    assert z[0] < z[n + 1] < z[2 * n + 2]
+
+
+def test_zorder_key_guards(spark):
+    import pytest as _pytest
+
+    from indexlab_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, x double, y double")
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x"])
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)
+    # constant column ranks 0 everywhere -> key still well-defined
+    const = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 2.0)], "id long, x double, y double"
+    )
+    out = {r["id"]: r["zval"] for r in zorder_key(const, ["x", "y"]).collect()}
+    assert out[1] < out[2]
