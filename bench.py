@@ -419,7 +419,9 @@ def main() -> None:
                  "profile_lineitem", "similarity_sq8",
                  # round-6 additions
                  "trigram_logprob", "semantic_decontam", "dq_lineitem",
-                 "embedding_drift", "sliding_windows"):
+                 "embedding_drift", "sliding_windows", "zorder_events",
+                 "stateful_sessions", "bpe_merges", "multimodal_pipeline",
+                 "similarity_ivf_append"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 
