@@ -416,3 +416,52 @@ def test_pq_and_sq8_append_encode_parity(spark, tables):
     assert ap and all(fl[d] == c for d, c in ap.items())
     # codes are valid uint8 / nbits ranges
     assert all(0 <= v <= 255 for c in ap.values() for v in c)
+
+
+def test_ivf_append_physical_partitioned_layout(spark, tables, tmp_path):
+    """The documented grow-in-place flow: build half -> write partitioned
+    -> append the other half with mode='append' -> the on-disk table
+    equals the in-memory union, cluster directories stay consistent, and
+    the partition-pruned search over the path matches search over the
+    union frame."""
+    import os
+
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.knn import (
+        build_ivf,
+        ivf_append,
+        ivf_search,
+        ivf_search_pruned,
+        write_ivf_partitioned,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.select(FN.col("vec_id").alias("doc_id"), "embedding")
+    old = corpus.filter(FN.col("doc_id") % 2 == 0)
+    new = corpus.filter(FN.col("doc_id") % 2 == 1)
+    assigned_old, centroids = build_ivf(old, nlist=8, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(assigned_old, path)
+    appended = ivf_append(new, centroids)
+    write_ivf_partitioned(appended, path, mode="append")
+
+    on_disk = spark.read.parquet(path)
+    assert on_disk.count() == corpus.count()
+    # every cluster directory holds exactly the union's rows for it
+    union = assigned_old.unionByName(appended)
+    a = sorted((r["doc_id"], r["cluster_id"]) for r in on_disk.collect())
+    b = sorted((r["doc_id"], r["cluster_id"]) for r in union.collect())
+    assert a == b
+    assert any(d.startswith("cluster_id=") for d in os.listdir(path))
+
+    q = emb.filter(FN.col("vec_id") < 8).select(
+        FN.col("vec_id").alias("query_id"), FN.col("embedding").alias("qvec")
+    )
+    got = sorted(map(tuple, ivf_search_pruned(
+        spark, q, path, centroids, k=5, nprobe=3
+    ).select("query_id", "doc_id", "rank").collect()))
+    exp = sorted(map(tuple, ivf_search(
+        q, union, centroids, k=5, nprobe=3
+    ).select("query_id", "doc_id", "rank").collect()))
+    assert got == exp and len(got) > 0
