@@ -3857,6 +3857,25 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (dedup.exact_dedup_incremental): the new
+    batch (doc_id % 3 == 0) classifies against the persisted hash index
+    of the old corpus — dup_of_old / dup_of_new / unique — without any
+    old-text re-read. Old corpus cost: zero scans; the batch hashes
+    once. Additive-state sibling of bm25_refresh / minhash_incremental
+    / ivf_append."""
+    from indexlab_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old_index = exact_dedup(old).select("text_md5", "keep_id")
+    return exact_dedup_incremental(new, old_index)
+
+
 def _q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data layout — Z-order (Morton) keys over (user_id, value)
     (maintenance.zorder_key): min-max 16-bit quantization + a
@@ -4081,14 +4100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r7 window plan (pinned per the standing invariants:
         # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-19 take the 7
+        # last green row older than 3 rounds): slots 13-20 take the 8
         # round-6 oracle-backed additions (trigram_logprob,
         # semantic_decontam, sliding_windows, dq_lineitem,
-        # embedding_drift, stateful_sessions, zorder_events — never
-        # driver-attested); slots 20-32 take the 13 remaining r03-green
-        # entries below (events_trailing_hour .. rolling_median — 4
-        # rounds stale by r7); slots 33-50 take the first 18 of the r04
-        # block (events_json .. events_pivot, registry order); r8 then
+        # embedding_drift, stateful_sessions, zorder_events,
+        # exact_dedup_incremental — never driver-attested); slots 21-33
+        # take the 13 remaining r03-green entries below
+        # (events_trailing_hour .. rolling_median — 4 rounds stale by
+        # r7); slots 34-50 take the first 17 of the r04 block
+        # (events_json .. events_sessions, registry order); r8 then
         # takes the rest of the r04 block plus the oldest of the r05
         # block.
         # last green r03 (remaining 13; rotate into r7 FIRST):
@@ -4201,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 window takes it with the other round-6 additions):
         "stateful_sessions": _q_stateful_sessions,
         "zorder_events": _q_zorder_events,
+        "exact_dedup_incremental": _q_exact_dedup_incremental,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -5123,6 +5144,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "exact_dedup_incremental": """
+            WITH old_idx AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS text_md5,
+                       min(doc_id) AS keep_id
+                FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+            batch AS (
+                SELECT doc_id AS id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS text_md5
+                FROM documents WHERE doc_id % 3 = 0),
+            bmin AS (SELECT text_md5, min(id) AS _bmin FROM batch GROUP BY 1)
+            SELECT b.id, b.text_md5,
+                   CASE WHEN o.keep_id IS NOT NULL THEN 'dup_of_old'
+                        WHEN b.id <> m._bmin THEN 'dup_of_new'
+                        ELSE 'unique' END AS status,
+                   CASE WHEN o.keep_id IS NOT NULL THEN o.keep_id
+                        WHEN b.id <> m._bmin THEN m._bmin
+                        ELSE NULL END AS dup_of
+            FROM batch b
+            JOIN bmin m USING (text_md5)
+            LEFT JOIN old_idx o USING (text_md5)
         """,
         "zorder_events": """
             WITH s AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,

@@ -100,6 +100,60 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    old_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup — the additive-state member of the exact
+    family (bm25_refresh / minhash_incremental_pairs / ivf_append
+    discipline): classify a NEW batch against a persisted hash index
+    (``old_index``: (text_md5, keep_id) — exactly :func:`exact_dedup`'s
+    output columns, so the batch operator's result IS the state) plus
+    against itself, without ever re-reading or re-hashing old text.
+
+    Output, one row per new doc: ``(id, text_md5, status, dup_of)``
+    with status ``dup_of_old`` (dup_of = the old index's keep_id) |
+    ``dup_of_new`` (dup_of = the batch's min id for the hash) |
+    ``unique`` (dup_of = NULL; this doc becomes the hash's keep_id in
+    the refreshed index). Refreshed state = old_index ∪ the unique
+    rows' (text_md5, id) — pinned against a full-batch rebuild in
+    tests.
+
+    Plan: the batch hashes once (codegen map), one batch-keyed agg for
+    within-batch min ids, one keyed left join against the index. Old
+    corpus cost: zero scans; the index frame is hash-count-sized.
+    """
+    key = normalized_md5(text_col) if normalize else F.md5(F.col(text_col))
+    base = new_df.select(F.col(id_col).alias("id"), key.alias("text_md5"))
+    batch_min = base.groupBy("text_md5").agg(F.min("id").alias("_bmin"))
+    joined = (
+        base.join(batch_min, "text_md5")
+        .join(
+            old_index.select(
+                "text_md5", F.col("keep_id").alias("_old_keep")
+            ),
+            "text_md5",
+            "left",
+        )
+    )
+    status = (
+        F.when(F.col("_old_keep").isNotNull(), F.lit("dup_of_old"))
+        .when(F.col("id") != F.col("_bmin"), F.lit("dup_of_new"))
+        .otherwise(F.lit("unique"))
+    )
+    dup_of = (
+        F.when(F.col("_old_keep").isNotNull(), F.col("_old_keep"))
+        .when(F.col("id") != F.col("_bmin"), F.col("_bmin"))
+        .otherwise(F.lit(None))
+    )
+    return joined.select(
+        "id", "text_md5", status.alias("status"), dup_of.alias("dup_of")
+    )
+
+
 def with_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     drop_empty: bool = False,

