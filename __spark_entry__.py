@@ -3857,6 +3857,26 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-table pattern (analytics.sketch_rollup/sketch_union_
+    estimate): per-(day, event_type) HLL sketches union up to per-type
+    distinct-user estimates — the raw table is scanned ONCE to build
+    the rollup; every coarser rollup is a sketch union (mergeable
+    state, unlike count(DISTINCT) partials). DataSketches HLL internals
+    differ across engines -> rows-only; error bounds vs exact are
+    pinned in tests."""
+    from indexlab_spark.operators.analytics import (
+        sketch_rollup,
+        sketch_union_estimate,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    rollup = sketch_rollup(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    return sketch_union_estimate(rollup, ["event_type"])
+
+
 def _q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (dedup.exact_dedup_incremental): the new
     batch (doc_id % 3 == 0) classifies against the persisted hash index
@@ -4217,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_append": _q_similarity_ivf_append,
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
+        "sketch_distinct_rollup": _q_sketch_distinct_rollup,
         # oracle-backed stateful streaming (added r6, never attested —
         # r7 window takes it with the other round-6 additions):
         "stateful_sessions": _q_stateful_sessions,

@@ -449,3 +449,48 @@ def embedding_drift(
         F.round(cos, 6).alias("centroid_cosine"),
         F.round(F.sqrt("_sq"), 6).alias("l2_shift"),
     )
+
+
+def sketch_rollup(
+    df: "DataFrame",
+    group_cols: list[str],
+    distinct_col: str,
+    lg_k: int = 12,
+) -> "DataFrame":
+    """Pre-aggregated distinct-count SKETCH table (Apache DataSketches
+    HLL via Spark's built-ins) — the mergeable-state pattern that makes
+    "distinct users per arbitrary date range" an O(ranges) metadata
+    query at 100 TB instead of a full re-scan: store one sketch per
+    fine-grained group; any coarser rollup is a sketch UNION, never a
+    re-read of the raw data (sketches are commutative/associative —
+    exactly what partial aggregation needs; count(DISTINCT) is not
+    mergeable and re-scans every time).
+
+    Output: group_cols + ``sketch`` (binary) + ``estimate`` (the
+    group's own approx distinct, for direct use).
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("sketch")
+    )
+    return agg.withColumn(
+        "estimate", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+
+def sketch_union_estimate(
+    rollup: "DataFrame",
+    group_cols: list[str],
+) -> "DataFrame":
+    """Merge a sketch-rollup table up to coarser ``group_cols`` (subset
+    of the rollup's grain, possibly empty for a grand total): one
+    map-side-combinable sketch-union agg over the SKETCH column — the
+    raw table is never touched. Returns group_cols + ``estimate``."""
+    if group_cols:
+        agg = rollup.groupBy(*group_cols)
+    else:
+        agg = rollup.groupBy()
+    return agg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
+            "estimate"
+        )
+    )

@@ -302,3 +302,53 @@ def test_embedding_drift_identical_and_shifted(spark):
     assert out[0]["n_old"] == 2 and out[0]["n_new"] == 1
     assert out[1]["centroid_cosine"] == 1.0 and out[1]["l2_shift"] == 3.0
     assert out[2]["centroid_cosine"] == 0.0 and out[2]["l2_shift"] == 0.0
+
+
+def test_sketch_rollup_merges_without_rescan(spark, tables):
+    """HLL sketch rollup: per-(day, type) sketches union up to per-day,
+    per-type, and grand-total estimates within the published HLL error
+    of the exact distinct counts — computed from the SKETCH table
+    alone. The union of disjoint groups must estimate the union of
+    their sets (mergeable state), which count(DISTINCT) partials are
+    not."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.analytics import (
+        sketch_rollup,
+        sketch_union_estimate,
+    )
+
+    ev = tables["events"].withColumn("day", FN.to_date("ts"))
+    rollup = sketch_rollup(ev, ["day", "event_type"], "user_id").persist()
+
+    def exact(*cols):
+        if cols:
+            return {
+                tuple(r[c] for c in cols): r["n"]
+                for r in ev.groupBy(*cols)
+                .agg(FN.countDistinct("user_id").alias("n"))
+                .collect()
+            }
+        return {(): ev.select("user_id").distinct().count()}
+
+    # lg_k=12 -> relative error ~1.6%; allow 3 sigma + small-count slack
+    def close(est, act):
+        return abs(est - act) <= max(3 * 0.016 * act, 6)
+
+    by_type = {
+        (r["event_type"],): r["estimate"]
+        for r in sketch_union_estimate(rollup, ["event_type"]).collect()
+    }
+    exact_type = exact("event_type")
+    assert set(by_type) == set(exact_type)
+    for k in exact_type:
+        assert close(by_type[k], exact_type[k]), (k, by_type[k], exact_type[k])
+
+    total = sketch_union_estimate(rollup, []).collect()[0]["estimate"]
+    assert close(total, exact()[()])
+    # per-group estimates in the rollup itself are also in-bound
+    some = rollup.limit(20).collect()
+    ex_dt = exact("day", "event_type")
+    for r in some:
+        assert close(r["estimate"], ex_dt[(r["day"], r["event_type"])])
+    rollup.unpersist()
