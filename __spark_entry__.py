@@ -3857,6 +3857,24 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 graph — label-propagation communities over the mutual kNN
+    graph of a 300-vector slice (dedup.label_propagation): synchronous
+    min-tie rule, deterministic, one keyed join + two map-combined aggs
+    and ONE scalar action per round. Finer than connected_components
+    (which merges anything bridged), far cheaper than modularity
+    methods. Iterative -> rows-only; reference parity pinned in
+    tests."""
+    from indexlab_spark.operators.dedup import label_propagation
+    from indexlab_spark.operators.knn import knn_graph
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    sl = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    edges = knn_graph(sl, k=3, mutual=True).localCheckpoint(eager=True)
+    nodes = sl.select(F.col("vec_id").alias("id"))
+    return label_propagation(edges, nodes, max_iter=10)
+
+
 def _q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-table pattern (analytics.sketch_rollup/sketch_union_
     estimate): per-(day, event_type) HLL sketches union up to per-type
@@ -4238,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
+        "graph_communities": _q_graph_communities,
         # oracle-backed stateful streaming (added r6, never attested —
         # r7 window takes it with the other round-6 additions):
         "stateful_sessions": _q_stateful_sessions,

@@ -1469,3 +1469,113 @@ def pagerank(
     sym.unpersist()
     n.unpersist()
     return out.select("id", F.round("rank", 9).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    adaptive: bool | str = "auto",
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007,
+    public) — the community detector between connected_components
+    (too coarse: one label per component) and anything
+    modularity-based (too expensive at scale): each round every node
+    adopts its neighbors' most frequent label, ties to the SMALLEST
+    label, isolated nodes keep their own. Deterministic by
+    construction (no random update order — the synchronous rule +
+    min-label tie-break), so results are reproducible across runs and
+    partitionings; a pure-Python reference is pinned in tests.
+
+    Returns (id, community) with community = a member node id.
+
+    Scale shape (the pagerank discipline): per round one keyed join
+    (labels x symmetrized edges) + two map-side-combined aggs (vote
+    count, then max_by per node), all shuffles keyed by node id; ONE
+    scalar action per round returns the changed-count and materializes
+    a non-eager localCheckpoint. AQE auto-disabled under 1M nodes
+    (replanning dominates tiny per-round jobs), restored after.
+    Synchronous LPA can oscillate with period 2 on bipartite
+    structures: the loop stops on changed == 0 OR max_iter — hitting
+    max_iter is a valid stop (labels are still a usable community
+    assignment), not an error, per the published algorithm.
+    """
+    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = sym.union(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct().persist()
+    spark = edges.sparkSession
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+    n_count = labels.count()
+    if adaptive == "auto":
+        use_aqe = n_count >= 1_000_000
+    else:
+        use_aqe = bool(adaptive)
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", str(use_aqe).lower())
+    try:
+        for _ in range(max_iter):
+            votes = (
+                labels.join(sym, labels["id"] == sym["src"])
+                .groupBy("dst", "lbl")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("dst")
+                .agg(
+                    F.max(F.struct(F.col("n"), (-F.col("lbl")).alias("neg")))
+                    .alias("m")
+                )
+                .select(
+                    F.col("dst").alias("id"), (-F.col("m.neg")).alias("new_lbl")
+                )
+            )
+            nxt = (
+                labels.join(votes, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_lbl", "lbl").alias("new_lbl"),
+                    "lbl",
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = nxt.agg(
+                F.sum((F.col("new_lbl") != F.col("lbl")).cast("long"))
+            ).first()[0]
+            labels = nxt.select("id", F.col("new_lbl").alias("lbl"))
+            if not changed:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("community"))
+
+
+def label_propagation_reference(
+    edge_list: list[tuple], node_ids: list, max_iter: int = 20
+) -> dict:
+    """Driver-only reference of the SAME synchronous min-tie rule (the
+    test oracle)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in node_ids}
+    for _ in range(max_iter):
+        new = {}
+        for n in node_ids:
+            if not adj[n]:
+                new[n] = lbl[n]
+                continue
+            counts = Counter(lbl[m] for m in adj[n])
+            top = max(counts.values())
+            new[n] = min(l for l, c in counts.items() if c == top)
+        if new == lbl:
+            break
+        lbl = new
+    return lbl

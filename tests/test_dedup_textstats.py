@@ -617,3 +617,40 @@ def test_exact_dedup_incremental_matches_batch_rebuild(spark, tables):
         assert r["dup_of"] is not None
     for r in by_status.get("dup_of_new", []):
         assert r["dup_of"] < r["id"]
+
+
+def test_label_propagation_matches_reference_and_finds_communities(spark):
+    """Two dense cliques joined by one bridge edge: LPA converges to two
+    communities (where connected_components sees ONE component); the
+    distributed result equals the synchronous min-tie reference; AQE
+    restored; isolated nodes keep their own label."""
+    from indexlab_spark.operators.dedup import (
+        connected_components,
+        label_propagation,
+        label_propagation_reference,
+    )
+
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 10)]
+    edge_list = c1 + c2 + bridge
+    node_ids = list(range(5)) + list(range(10, 15)) + [99]  # 99 isolated
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(edges, nodes, max_iter=20).collect()
+    }
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prior
+    ref = label_propagation_reference(edge_list, node_ids, max_iter=20)
+    assert got == ref
+    # communities: both cliques uniform internally, different labels
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(10, 15)}) == 1
+    assert got[0] != got[10]
+    assert got[99] == 99
+    # CC would merge the bridged cliques into one
+    cc = connected_components(edges, nodes)
+    comp = {r["id"]: r["cluster"] for r in cc.collect()}
+    assert comp[0] == comp[10]
