@@ -285,3 +285,54 @@ def test_bootstrap_delta_no_window(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_zorder_key_is_pure_projection(spark, sf_dir):
+    """zorder_key adds NO exchange: after the 2-scalar stats collect,
+    the Morton key is one codegen projection over the input."""
+    from indexlab_spark.operators.maintenance import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        zorder_key(ev.select("event_id", "user_id", "value"),
+                   ["user_id", "value"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan  # pure Catalyst, no UDF
+
+
+def test_semantic_decontam_map_only(spark, sf_dir):
+    """The broadcast path is map-only: exactly one Exchange (the
+    deliberate fan_out round-robin for single-file scan parallelism),
+    one MapInPandas, no SinglePartition, no join."""
+    plan = _plan(spark, sf_dir, "semantic_decontam")
+    lines = plan.splitlines()
+    exchanges = [l for l in lines if "Exchange" in l and "Reused" not in l]
+    assert len(exchanges) == 1, exchanges
+    assert "RoundRobinPartitioning" in exchanges[0]
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_sketch_union_is_partial_agg(spark, sf_dir):
+    """Sketch-table rollup merges map-side: the union agg over the
+    sketch column shows a partial aggregation before its exchange —
+    the mergeable-state property the pattern exists for."""
+    from pyspark.sql import functions as FN
+
+    from indexlab_spark.operators.analytics import (
+        sketch_rollup,
+        sketch_union_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rollup = sketch_rollup(
+        ev.withColumn("day", FN.to_date("ts")), ["day", "event_type"],
+        "user_id",
+    )
+    plan = (
+        sketch_union_estimate(rollup, ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_hll_union" in plan or "partial_hll_union_agg" in plan, plan
