@@ -34,6 +34,7 @@ _EXT_CSV = {".csv"}
 _EXT_EXCEL = {".xls", ".xlsx"}
 _EXT_JSON = {".json"}
 _EXT_HTML = {".htm", ".html", ".hhc", ".hhk"}
+_EXT_COLUMNAR = {".parquet", ".orc"}  # Spark-native columnar formats
 
 
 # ------------------------------------------------------------------ S6 HTML
@@ -103,8 +104,14 @@ def sniff_format(filename: str, head: bytes) -> str:
         return "html"
     if ext == ".chm":
         return "chm"
+    if ext in _EXT_COLUMNAR:
+        return ext[1:]  # "parquet" | "orc"
     if ext in {".txt", ".md"}:
         return "text"
+    if head.startswith(b"PAR1"):
+        return "parquet"
+    if head.startswith(b"ORC"):
+        return "orc"
     if head.startswith(b"PK"):
         return "excel"
     if head.startswith(b"\xd0\xcf\x11\xe0"):
@@ -168,6 +175,10 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
             return _read_excel_driver(spark, tmp_path)
         finally:
             os.unlink(tmp_path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "csv":
         return (
             spark.read.option("header", True)

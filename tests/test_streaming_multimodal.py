@@ -872,3 +872,25 @@ def test_reader_compressed_sources(spark, tmp_path):
     gz_xls.write_bytes(gzip.compress(plain_xls.read_bytes()))
     df2 = read_any(spark, str(gz_xls))
     assert sorted(r["a"] for r in df2.collect()) == [1, 2]
+
+
+def test_reader_columnar_formats(spark, tmp_path):
+    """read_any handles Spark-native columnar files: parquet and ORC by
+    extension AND by magic bytes (PAR1 / ORC) with extensionless
+    names."""
+    from indexlab_spark.sources.reader import read_any, sniff_format
+
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    pdir = tmp_path / "p"
+    odir = tmp_path / "o"
+    src.coalesce(1).write.parquet(str(pdir))
+    src.coalesce(1).write.orc(str(odir))
+    pfile = next(p for p in pdir.iterdir() if p.suffix == ".parquet")
+    ofile = next(p for p in odir.iterdir() if p.suffix == ".orc")
+    assert read_any(spark, str(pfile)).count() == 2
+    df = read_any(spark, str(ofile))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+    # magic-byte sniffing for extensionless files
+    for f, expect in ((pfile, "parquet"), (ofile, "orc")):
+        head = f.read_bytes()[:4096]
+        assert sniff_format("datafile", head) == expect
