@@ -127,6 +127,8 @@ def main() -> None:
         semantic_decontaminate,
         token_budget_mix,
     )
+    from indexlab_spark.operators.bpe import train_bpe
+    from indexlab_spark.operators.dedup import exact_dedup_incremental
     from indexlab_spark.operators.textstats import interpolated_lm_logprob
     from indexlab_spark.operators.dedup import (
         connected_components,
@@ -138,6 +140,10 @@ def main() -> None:
         remove_duplicated_spans,
         simhash,
     )
+
+    # fixed old index for the incremental-dedup case (docs1-derived at
+    # BOTH scales — the production shape: state grows, batches don't)
+    old_idx = exact_dedup(docs1).select("text_md5", "keep_id").localCheckpoint()
 
     def cases(docs, ev, emb, scale=1):
         def _bm25():
@@ -218,6 +224,15 @@ def main() -> None:
             # makes them distinct per replica — harsher than natural
             # vocabulary growth)
             "trigram_lm": lambda: interpolated_lm_logprob(docs).count(),
+            # batch classification vs a FIXED old index (docs1-derived):
+            # one hash pass + keyed join, growth ~N
+            "exact_dedup_inc": lambda: exact_dedup_incremental(
+                docs, old_idx
+            ).count(),
+            # merge-iteration cost is vocab-frame-sized; the corpus-wide
+            # word count is the only stream-sized pass — growth should
+            # stay well under N even with per-replica distinct vocab
+            "bpe_train": lambda: len(train_bpe(docs, n_merges=4)),
         }
 
     def timed_min2(fn):
