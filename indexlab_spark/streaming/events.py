@@ -102,9 +102,31 @@ def dedup_stream(
     events: DataFrame, id_cols: list[str], watermark: str = "1 hour",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Bounded-state exact dedup on a stream (dropDuplicates + watermark)."""
+    """Bounded-state exact dedup on a stream (dropDuplicates + watermark).
+
+    NOTE the key includes the event-time column (the classic-API
+    requirement for state expiry): a replayed event whose ts drifted —
+    clock skew, re-serialization — is NOT caught. Use
+    :func:`dedup_stream_within_watermark` for key-only dedup."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         id_cols + [ts_col]
+    )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, id_cols: list[str], watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Key-only streaming dedup via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): duplicates are matched on the TRUE business keys —
+    the event-time column is NOT part of the key — so replays whose
+    timestamp drifted inside the watermark horizon still dedup, while
+    state stays bounded (keys expire once the watermark passes their
+    first-seen time + delay). The variant the classic API cannot
+    express, and the right default for at-least-once upstream sources
+    with imperfect clocks."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
     )
 
 

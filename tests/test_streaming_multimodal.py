@@ -894,3 +894,41 @@ def test_reader_columnar_formats(spark, tmp_path):
     for f, expect in ((pfile, "parquet"), (ofile, "orc")):
         head = f.read_bytes()[:4096]
         assert sniff_format("datafile", head) == expect
+
+
+def test_dedup_within_watermark_catches_ts_drifted_replays(spark, sf_dir, tmp_path):
+    """A replayed event whose ts drifted by a few seconds is caught by
+    dropDuplicatesWithinWatermark (key-only dedup) but MISSED by the
+    classic dropDuplicates-with-ts-in-key — the exact gap the new
+    operator exists for."""
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        dedup_stream,
+        dedup_stream_within_watermark,
+        run_stream_to_memory,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].limit(100)
+    drifted = ev.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 SECONDS")
+    )
+    src = str(tmp_path / "drift_src")
+    ev.unionByName(drifted).repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_stream_to_memory(
+        dedup_stream_within_watermark(stream, ["event_id"]),
+        "dedup_wm", output_mode="append",
+    )
+    got = spark.sql(
+        "select count(distinct event_id) c, count(*) n from dedup_wm"
+    ).collect()[0]
+    assert got["c"] == got["n"] == 100  # drifted replays deduped
+    stream2 = spark.readStream.schema(ev.schema).parquet(src)
+    run_stream_to_memory(
+        dedup_stream(stream2, ["event_id"]), "dedup_classic",
+        output_mode="append",
+    )
+    classic = spark.sql("select count(*) n from dedup_classic").collect()[0]
+    assert classic["n"] == 200  # classic key includes ts -> replays pass
+    spark.catalog.dropTempView("dedup_wm")
+    spark.catalog.dropTempView("dedup_classic")
