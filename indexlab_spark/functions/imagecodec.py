@@ -25,7 +25,7 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-_COLORTYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLORTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette index
 
 
 def sniff_image(data: bytes) -> str | None:
@@ -52,19 +52,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> uint8 array (h, w) for grayscale or (h, w, channels).
 
-    Supports bit depth 8, color types 0/2/4/6, non-interlaced — the
-    shapes ~every generated/screenshot PNG uses. Palette (3) and other
-    depths raise ValueError (caller falls back).
+    Supports bit depth 8, color types 0/2/3 (palette, resolved to RGB
+    via PLTE)/4/6, non-interlaced — the shapes ~every
+    generated/screenshot PNG uses. Other depths raise ValueError
+    (caller falls back).
     """
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = b""
+    plte = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
         pos += 12 + length  # length + type + body + crc
-        if ctype == b"IHDR":
+        if ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IHDR":
             w, h, depth, colortype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -113,6 +117,10 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = out[y]
     img = out.reshape(h, w, ch)
+    if colortype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[np.clip(img[:, :, 0], 0, len(plte) - 1)]
     return img[:, :, 0] if ch == 1 else img
 
 

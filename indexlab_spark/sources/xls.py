@@ -352,7 +352,13 @@ def write_xls(path: str, header: list[str], rows: list[list]) -> None:
     mini-stream + mini-FAT exactly as real writers emit them — so small
     test files exercise the reader's mini path and large ones the FAT
     path."""
-    wb = _biff_workbook_stream(header, rows)
+    write_ole_workbook(path, _biff_workbook_stream(header, rows))
+
+
+def write_ole_workbook(path: str, wb: bytes) -> None:
+    """Wrap an arbitrary BIFF stream in the OLE2 container (exposed so
+    tests can exercise reader record branches — RK/MULRK/LABEL — the
+    minimal writer never emits)."""
     sec, mini = 512, 64
 
     def dirent(name: str, etype: int, start: int, size: int) -> bytes:

@@ -133,3 +133,35 @@ if HAVE_HYP:
         """ANY (h, w) incl. every row-padding residue round-trips."""
         img = _img(h, w, 3, seed=seed)
         np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_png_palette_decode():
+    """Color type 3 (palette) resolves indices through PLTE to RGB —
+    hand-crafted PNG, filter 0."""
+    import struct
+    import zlib as _zlib
+
+    from indexlab_spark.functions.imagecodec import PNG_SIG
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)  # 2x3
+    h, w = idx.shape
+
+    def chunk(ctype, body):
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    data = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 3, 3)
+    expect = np.array([[palette[i] for i in row] for row in idx], dtype=np.uint8)
+    np.testing.assert_array_equal(out, expect)

@@ -932,3 +932,64 @@ def test_dedup_within_watermark_catches_ts_drifted_replays(spark, sf_dir, tmp_pa
     assert classic["n"] == 200  # classic key includes ts -> replays pass
     spark.catalog.dropTempView("dedup_wm")
     spark.catalog.dropTempView("dedup_classic")
+
+
+def test_xls_rk_mulrk_label_record_branches(spark, tmp_path):
+    """Reader branches the minimal writer never emits, exercised via a
+    hand-built BIFF stream in the real OLE container: RK (int, int/100,
+    float-bits, float/100), MULRK runs, and inline LABEL strings
+    (compressed and wide)."""
+    import struct as _s
+
+    from indexlab_spark.sources.xls import (
+        parse_xls,
+        write_ole_workbook,
+    )
+
+    def rec(rt, body):
+        return _s.pack("<HH", rt, len(body)) + body
+
+    def rk_int(v):
+        return ((v << 2) | 0x02) & 0xFFFFFFFF
+
+    def rk_float(x):
+        (q,) = _s.unpack("<Q", _s.pack("<d", x))
+        return (q >> 32) & ~0x3
+
+    bof_g = rec(0x0809, _s.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_s = rec(0x0809, _s.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    name = b"S1"
+    # header row via LABEL (inline): compressed 'a', 'b', 'c', 'd'
+    sheet = bof_s
+    for col, txt in enumerate([b"a", b"b", b"c", b"d"]):
+        sheet += rec(
+            0x0204,
+            _s.pack("<HHHH", 0, col, 15, len(txt)) + b"\x00" + txt,
+        )
+    # row 1: RK variants
+    sheet += rec(0x027E, _s.pack("<HHHI", 1, 0, 15, rk_int(7)))        # 7
+    sheet += rec(0x027E, _s.pack("<HHHI", 1, 1, 15, rk_int(250) | 1))  # 2.5
+    sheet += rec(0x027E, _s.pack("<HHHI", 1, 2, 15, rk_float(8.0)))    # 8.0
+    sheet += rec(0x027E, _s.pack("<HHHI", 1, 3, 15, rk_float(500.0) | 1))  # 5.0
+    # row 2: one MULRK covering cols 0-2 + a WIDE inline label at col 3
+    mul = _s.pack("<HH", 2, 0)
+    for v in (1, 2, 3):
+        mul += _s.pack("<HI", 15, rk_int(v))
+    mul += _s.pack("<H", 2)  # colLast
+    sheet += rec(0x00BD, mul)
+    wide = "é✓".encode("utf-16-le")
+    sheet += rec(0x0204, _s.pack("<HHHH", 2, 3, 15, 2) + b"\x01" + wide)
+    sheet += rec(0x000A, b"")
+
+    bs_body = _s.pack("<IHBB", 0, 0, len(name), 0) + name
+    glb = bof_g + rec(0x0085, bs_body) + rec(0x000A, b"")
+    # patch lbPlyPos now that globals length is known
+    glb = bof_g + rec(
+        0x0085, _s.pack("<IHBB", len(glb), 0, len(name), 0) + name
+    ) + rec(0x000A, b"")
+    p = str(tmp_path / "branches.xls")
+    write_ole_workbook(p, glb + sheet)
+    header, rows = parse_xls(p)
+    assert header == ["a", "b", "c", "d"]
+    assert rows[0] == [7, 2.5, 8.0, 5.0]
+    assert rows[1] == [1, 2, 3, "é✓"]
