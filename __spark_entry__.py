@@ -3857,6 +3857,22 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring — Population Stability Index of document lengths
+    between two snapshots (analytics.psi_drift; even/odd doc_id halves
+    play old/new): OLD-side exact-percentile bucket edges, per-bucket
+    proportions and PSI contributions plus the total row (bucket = -1).
+    The textstats companion to embedding_drift."""
+    from indexlab_spark.operators.analytics import psi_drift
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
 def _q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 graph — label-propagation communities over the mutual kNN
     graph of a 300-vector slice (dedup.label_propagation): synchronous
@@ -4143,15 +4159,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r7 window plan (pinned per the standing invariants:
         # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-20 take the 8
+        # last green row older than 3 rounds): slots 13-21 take the 9
         # round-6 oracle-backed additions (trigram_logprob,
         # semantic_decontam, sliding_windows, dq_lineitem,
         # embedding_drift, stateful_sessions, zorder_events,
-        # exact_dedup_incremental — never driver-attested); slots 21-33
-        # take the 13 remaining r03-green entries below
+        # exact_dedup_incremental, psi_drift — never driver-attested);
+        # slots 22-34 take the 13 remaining r03-green entries below
         # (events_trailing_hour .. rolling_median — 4 rounds stale by
-        # r7); slots 34-50 take the first 17 of the r04 block
-        # (events_json .. events_sessions, registry order); r8 then
+        # r7); slots 35-50 take the first 16 of the r04 block
+        # (events_json .. events_gapfill, registry order); r8 then
         # takes the rest of the r04 block plus the oldest of the r05
         # block.
         # last green r03 (remaining 13; rotate into r7 FIRST):
@@ -4267,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": _q_stateful_sessions,
         "zorder_events": _q_zorder_events,
         "exact_dedup_incremental": _q_exact_dedup_incremental,
+        "psi_drift": _q_psi_drift,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -5189,6 +5206,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "psi_drift": """
+            WITH oldd AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+            newd AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+            e AS (SELECT quantile_cont(n_chars,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+                  FROM oldd),
+            ob AS (SELECT CAST(len(list_filter(e.edges, x -> o.n_chars > x))
+                          AS INTEGER) AS bucket, count(*) AS n
+                   FROM oldd o, e GROUP BY 1),
+            nb AS (SELECT CAST(len(list_filter(e.edges, x -> o.n_chars > x))
+                          AS INTEGER) AS bucket, count(*) AS n
+                   FROM newd o, e GROUP BY 1),
+            buckets AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER)
+                               AS bucket),
+            j AS (SELECT b.bucket,
+                         COALESCE(CAST(ob.n AS DOUBLE)
+                                  / (SELECT sum(n) FROM ob), 0) AS p_old,
+                         COALESCE(CAST(nb.n AS DOUBLE)
+                                  / (SELECT sum(n) FROM nb), 0) AS p_new
+                  FROM buckets b
+                  LEFT JOIN ob USING (bucket)
+                  LEFT JOIN nb USING (bucket)),
+            d AS (SELECT bucket, p_old, p_new,
+                         (greatest(p_new, 1e-6) - greatest(p_old, 1e-6))
+                         * ln(greatest(p_new, 1e-6) / greatest(p_old, 1e-6))
+                             AS contrib
+                  FROM j)
+            SELECT d.bucket,
+                   round(CASE WHEN d.bucket = 0 THEN NULL
+                         ELSE e.edges[d.bucket] END, 6) AS lo,
+                   round(CASE WHEN d.bucket = 9 THEN NULL
+                         ELSE e.edges[d.bucket + 1] END, 6) AS hi,
+                   round(p_old, 6) AS p_old,
+                   round(p_new, 6) AS p_new,
+                   round(contrib, 6) AS contrib
+            FROM d, e
+            UNION ALL
+            SELECT -1, NULL, NULL, NULL, NULL, round(sum(contrib), 6)
+            FROM d
         """,
         "exact_dedup_incremental": """
             WITH old_idx AS (

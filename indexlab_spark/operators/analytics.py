@@ -494,3 +494,95 @@ def sketch_union_estimate(
             "estimate"
         )
     )
+
+
+def psi_drift(
+    old: "DataFrame",
+    new: "DataFrame",
+    value_col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> "DataFrame":
+    """Population Stability Index between two snapshots of a numeric
+    column (the standard distribution-drift monitor, public:
+    PSI = sum over buckets of (p_new - p_old) * ln(p_new / p_old);
+    rule-of-thumb <0.1 stable, 0.1-0.25 shifting, >0.25 drifted) — the
+    scalar companion to embedding_drift for text statistics (lengths,
+    quality scores, token counts).
+
+    Buckets are the OLD side's exact quantile edges (percentile, so
+    both engines interpolate identically); each side's proportions come
+    from one map-side-combined bucketed count; ``eps`` floors empty
+    buckets so the log stays finite (the standard smoothing). Output:
+    one row per bucket (bucket, lo, hi, p_old 6dp, p_new 6dp,
+    contrib 6dp) plus the total as bucket = -1 — so the drifted
+    REGION is visible, not just the scalar.
+
+    Plan: one percentile agg over old (bucket-count-sized result,
+    broadcast as literals), one bucketed count per side, one tiny join.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = old.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    edges = [float(x) for x in edges_row["e"]]
+
+    def bucket_expr(col):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(F.col(col) > F.lit(e), F.lit(i + 1)).otherwise(b)
+        return b
+
+    def props(df, name):
+        counts = (
+            df.select(bucket_expr(value_col).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        total = counts.agg(F.sum("_n").alias("_t"))
+        # broadcast 1-row total instead of an unpartitioned window —
+        # same bounded math, no WindowExec single-partition warning
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bucket", (F.col("_n") / F.col("_t")).alias(name)
+        )
+
+    base = old.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        base.join(props(old, "p_old"), "bucket", "left")
+        .join(props(new, "p_new"), "bucket", "left")
+        .na.fill({"p_old": 0.0, "p_new": 0.0})
+    )
+    po = F.greatest(F.col("p_old"), F.lit(eps))
+    pn = F.greatest(F.col("p_new"), F.lit(eps))
+    contrib = (pn - po) * F.log(pn / po)
+    lo = F.when(F.col("bucket") == 0, F.lit(None).cast("double")).otherwise(
+        F.element_at(F.lit(edges), F.col("bucket"))
+    )
+    hi = F.when(
+        F.col("bucket") == n_buckets - 1, F.lit(None).cast("double")
+    ).otherwise(F.element_at(F.lit(edges), F.col("bucket") + 1))
+    detail = j.select(
+        "bucket",
+        F.round(lo, 6).alias("lo"),
+        F.round(hi, 6).alias("hi"),
+        F.round("p_old", 6).alias("p_old"),
+        F.round("p_new", 6).alias("p_new"),
+        F.round(contrib, 6).alias("contrib"),
+    )
+    total = j.agg(
+        F.round(F.sum(contrib), 6).alias("contrib")
+    ).select(
+        F.lit(-1).alias("bucket"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.lit(None).cast("double").alias("p_old"),
+        F.lit(None).cast("double").alias("p_new"),
+        "contrib",
+    )
+    return detail.unionByName(total)

@@ -352,3 +352,31 @@ def test_sketch_rollup_merges_without_rescan(spark, tables):
     for r in some:
         assert close(r["estimate"], ex_dt[(r["day"], r["event_type"])])
     rollup.unpersist()
+
+
+def test_psi_drift_detects_shift_and_is_zero_on_identity(spark):
+    """PSI ~ 0 when old == new; a planted location shift produces a
+    large PSI concentrated in the shifted buckets; bucket edges come
+    from the OLD side; total row has bucket == -1."""
+    from indexlab_spark.operators.analytics import psi_drift
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_drift(base, base, "v", n_buckets=5).collect()
+    total = next(r for r in same if r["bucket"] == -1)
+    assert abs(total["contrib"]) < 1e-9
+    assert len(same) == 6  # 5 buckets + total
+
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("v")
+    )
+    drift = psi_drift(base, shifted, "v", n_buckets=5).collect()
+    t2 = next(r for r in drift if r["bucket"] == -1)
+    assert t2["contrib"] > 0.25  # rule-of-thumb 'drifted'
+    # mass left the low buckets and entered the high ones
+    by_b = {r["bucket"]: r for r in drift if r["bucket"] >= 0}
+    assert by_b[0]["p_new"] < by_b[0]["p_old"]
+    assert by_b[4]["p_new"] > by_b[4]["p_old"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_drift(base, base, "v", n_buckets=1)
