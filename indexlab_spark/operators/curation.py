@@ -886,7 +886,12 @@ def semantic_decontaminate(
     )
     if b_rows is None:
         # benchmark too large to broadcast: blocked kNN join, k=1, on
-        # pre-normalized vectors (ip of normalized == cosine)
+        # pre-normalized vectors (ip of normalized == cosine). NOTE:
+        # this path ranks on RAW scores (ties -> lowest bench id on
+        # bit-equal raws); two DISTINCT bench vectors whose cosines
+        # differ below 6dp could pick a different nearest_bench_id than
+        # the broadcast path's rounded-tie rule — max_sim and the
+        # contaminated verdict are unaffected either way
         def _norm(df, i, v, id_out):
             n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
             return df.select(

@@ -32,6 +32,10 @@ ENDOFCHAIN = 0xFFFFFFFE
 # ------------------------------------------------------------------ OLE2/CFB
 def _read_chain(data: bytes, fat: list[int], start: int, sec_size: int,
                 offset: int) -> bytes:
+    """Sector ``i`` begins at ``(i + 1) * sec_size`` per MS-CFB (the
+    header occupies the whole first sector) — callers pass
+    ``offset=sec_size``, which is 512 for v3 files AND correct for v4's
+    4096-byte sectors (the old ``512 + i*sec_size`` form was v3-only)."""
     out, sect, seen = [], start, set()
     while sect not in (ENDOFCHAIN, FREESECT):
         if sect in seen:
@@ -64,7 +68,7 @@ def _ole_open_stream(data: bytes, *names: str) -> bytes:
     for _ in range(n_difat):
         if sect in (ENDOFCHAIN, FREESECT):
             break
-        pos = 512 + sect * sec_size
+        pos = (sect + 1) * sec_size
         vals = struct.unpack(f"<{sec_size // 4}I", data[pos:pos + sec_size])
         difat.extend(vals[:-1])
         sect = vals[-1]
@@ -72,10 +76,10 @@ def _ole_open_stream(data: bytes, *names: str) -> bytes:
     for fs in difat:
         if fs in (ENDOFCHAIN, FREESECT):
             continue
-        pos = 512 + fs * sec_size
+        pos = (fs + 1) * sec_size
         fat.extend(struct.unpack(f"<{sec_size // 4}I", data[pos:pos + sec_size]))
 
-    dir_data = _read_chain(data, fat, dir_start, sec_size, 512)
+    dir_data = _read_chain(data, fat, dir_start, sec_size, sec_size)
     root_start = root_size = None
     target = None
     wanted = {n.lower() for n in names}
@@ -96,7 +100,7 @@ def _ole_open_stream(data: bytes, *names: str) -> bytes:
         raise ValueError(f"OLE2 stream {names} not found")
     start, size = target
     if size >= mini_cutoff:
-        return _read_chain(data, fat, start, sec_size, 512)[:size]
+        return _read_chain(data, fat, start, sec_size, sec_size)[:size]
     # mini-stream: FAT-of-minisectors over the root entry's stream
     if root_start is None:
         raise ValueError("mini stream without root entry")
@@ -105,12 +109,12 @@ def _ole_open_stream(data: bytes, *names: str) -> bytes:
     for _ in range(n_minifat):
         if sect in (ENDOFCHAIN, FREESECT):
             break
-        pos = 512 + sect * sec_size
+        pos = (sect + 1) * sec_size
         mini_fat.extend(
             struct.unpack(f"<{sec_size // 4}I", data[pos:pos + sec_size])
         )
         sect = fat[sect]
-    mini_stream = _read_chain(data, fat, root_start, sec_size, 512)[:root_size]
+    mini_stream = _read_chain(data, fat, root_start, sec_size, sec_size)[:root_size]
     out, sect, seen = [], start, set()
     while sect not in (ENDOFCHAIN, FREESECT):
         if sect in seen:
