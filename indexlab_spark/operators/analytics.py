@@ -529,6 +529,11 @@ def psi_drift(
             f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
         ).alias("e")
     ).first()
+    if edges_row["e"] is None:
+        raise ValueError(
+            "psi_drift: the OLD snapshot has no non-null values — no "
+            "bucket edges to compare against"
+        )
     edges = [float(x) for x in edges_row["e"]]
 
     def bucket_expr(col):

@@ -446,6 +446,8 @@ def ivf_append(
     Arrow-vectorized map pass. Nothing shuffles.
     """
     cents = centroids_df.orderBy("cluster_id").collect()
+    if not cents:
+        raise ValueError("ivf_append: empty centroid frame (no index state)")
     ids = np.array([r["cluster_id"] for r in cents], dtype=np.int32)
     centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
     c_t = centers.T.copy()
@@ -660,6 +662,8 @@ def pq_append(
     in tests). No re-training — monitor drift and rebuild when the
     corpus outgrows the training sample, as with IVF."""
     rows = codebooks_df.orderBy("subspace", "code").collect()
+    if not rows:
+        raise ValueError("pq_append: empty codebook frame (no index state)")
     m = max(r["subspace"] for r in rows) + 1
     ksub = max(r["code"] for r in rows) + 1
     dsub = len(rows[0]["centroid"])
@@ -690,6 +694,8 @@ def sq8_append(
     saturate exactly as in the build pass, so drifted batches degrade
     gracefully rather than wrapping)."""
     rows = params_df.orderBy("dim_idx").collect()
+    if not rows:
+        raise ValueError("sq8_append: empty params frame (no index state)")
     vmin = np.array([r["vmin"] for r in rows], dtype=np.float64)
     vmax = np.array([r["vmax"] for r in rows], dtype=np.float64)
     scale = np.where(vmax > vmin, (vmax - vmin) / 255.0, 1.0)

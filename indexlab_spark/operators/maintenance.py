@@ -302,6 +302,11 @@ def zorder_key(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).first()
+    if any(stats[f"mn_{c}"] is None for c in cols):
+        # empty input (or an all-NULL column): no range to quantize —
+        # key 0 everywhere keeps the write path total instead of
+        # crashing in float(None)
+        return df.withColumn(out_col, F.lit(0).cast("long"))
     top = (1 << bits) - 1
     ranks = []
     for c in cols:

@@ -289,3 +289,46 @@ def test_compare_summary_all_null_deltas_zero(spark):
     )
     row = compare_summary(df).collect()[0]
     assert (row["regressions"], row["improvements"], row["changed"]) == (0, 0, 0)
+
+
+def test_round6_operators_empty_input_edges(spark):
+    """Empty-input behavior of the round-6 operators: clean errors for
+    missing index state, total functions where a zero default is
+    well-defined."""
+    import pytest as _pytest
+
+    from indexlab_spark.operators.analytics import psi_drift
+    from indexlab_spark.operators.knn import ivf_append, pq_append, sq8_append
+    from indexlab_spark.operators.maintenance import zorder_key
+
+    empty_vec = spark.createDataFrame(
+        [], "doc_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="empty centroid"):
+        ivf_append(
+            empty_vec,
+            spark.createDataFrame([], "cluster_id int, centroid array<double>"),
+        )
+    with _pytest.raises(ValueError, match="empty codebook"):
+        pq_append(
+            empty_vec,
+            spark.createDataFrame(
+                [], "subspace int, code int, centroid array<double>"
+            ),
+        )
+    with _pytest.raises(ValueError, match="empty params"):
+        sq8_append(
+            empty_vec,
+            spark.createDataFrame([], "dim_idx int, vmin double, vmax double"),
+        )
+    with _pytest.raises(ValueError, match="no non-null values"):
+        psi_drift(
+            spark.createDataFrame([], "v double"),
+            spark.createDataFrame([(1.0,)], "v double"),
+            "v",
+        )
+    # empty frame: total, zval 0 everywhere (no crash in float(None))
+    z = zorder_key(
+        spark.createDataFrame([], "id long, x double, y double"), ["x", "y"]
+    )
+    assert z.count() == 0 and "zval" in z.columns
