@@ -216,3 +216,57 @@ def test_zorder_key_guards(spark):
     )
     out = {r["id"]: r["zval"] for r in zorder_key(const, ["x", "y"]).collect()}
     assert out[1] < out[2]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        n=st.integers(2, 40),
+        bits=st.sampled_from([4, 8, 16]),
+    )
+    def test_zorder_key_matches_python_morton(spark, seed, n, bits):
+        """zorder_key == a pure-Python morton reference (same min-max
+        quantization, same clamp, same interleave) on random points —
+        shares the suite's session fixture across examples."""
+        import random
+
+        from indexlab_spark.operators.maintenance import zorder_key
+
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.uniform(-50, 50), rng.uniform(0, 9)) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = {
+            r["id"]: r["zval"]
+            for r in zorder_key(df, ["x", "y"], bits=bits).collect()
+        }
+        top = (1 << bits) - 1
+        xs = [r[1] for r in rows]
+        ys = [r[2] for r in rows]
+        mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+
+        def rank(v, mn, mx):
+            if mx <= mn:
+                return 0
+            import math
+
+            return min(max(int(math.floor((v - mn) / (mx - mn) * top)), 0), top)
+
+        for i, x, y in rows:
+            rx, ry = rank(x, mnx, mxx), rank(y, mny, mxy)
+            z = 0
+            for b in range(bits):
+                z |= ((rx >> b) & 1) << (2 * b)
+                z |= ((ry >> b) & 1) << (2 * b + 1)
+            assert got[i] == z, (i, got[i], z)
