@@ -3857,6 +3857,42 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy tuning — the survivorship curve: how many documents
+    survive min-id-keeper near-dedup at each Jaccard threshold in
+    {0.5, 0.6, 0.7, 0.8, 0.9}. ONE exact pairs computation (threshold
+    0.5, the loosest point) serves the whole sweep — a doc is removed
+    at threshold t iff it pairs at >= t with a smaller id, so each
+    curve point is a filter + distinct-count over the same bounded
+    pairs frame. The number a curation team actually looks at before
+    picking a threshold."""
+    from indexlab_spark.operators.dedup import jaccard_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = docs.count()
+    pairs = jaccard_pairs(docs, threshold=0.5).select(
+        "id_b", "jaccard"
+    ).persist()
+    spark_ts = []
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        removed = (
+            pairs.filter(F.col("jaccard") >= t).select("id_b").distinct()
+        )
+        spark_ts.append((t, removed))
+    out = None
+    for t, removed in spark_ts:
+        row = removed.agg(
+            F.count(F.lit(1)).alias("n_removed")
+        ).select(
+            F.lit(t).alias("threshold"),
+            F.lit(n_docs).alias("n_docs"),
+            "n_removed",
+            (F.lit(n_docs) - F.col("n_removed")).alias("n_survivors"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring — Population Stability Index of document lengths
     between two snapshots (analytics.psi_drift; even/odd doc_id halves
@@ -4159,15 +4195,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r7 window plan (pinned per the standing invariants:
         # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-21 take the 9
+        # last green row older than 3 rounds): slots 13-22 take the 10
         # round-6 oracle-backed additions (trigram_logprob,
         # semantic_decontam, sliding_windows, dq_lineitem,
         # embedding_drift, stateful_sessions, zorder_events,
-        # exact_dedup_incremental, psi_drift — never driver-attested);
-        # slots 22-34 take the 13 remaining r03-green entries below
-        # (events_trailing_hour .. rolling_median — 4 rounds stale by
-        # r7); slots 35-50 take the first 16 of the r04 block
-        # (events_json .. events_gapfill, registry order); r8 then
+        # exact_dedup_incremental, psi_drift, dedup_survival — never
+        # driver-attested); slots 23-35 take the 13 remaining r03-green
+        # entries below (events_trailing_hour .. rolling_median — 4
+        # rounds stale by r7); slots 36-50 take the first 15 of the r04
+        # block (events_json .. events_daily, registry order); r8 then
         # takes the rest of the r04 block plus the oldest of the r05
         # block.
         # last green r03 (remaining 13; rotate into r7 FIRST):
@@ -4284,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": _q_zorder_events,
         "exact_dedup_incremental": _q_exact_dedup_incremental,
         "psi_drift": _q_psi_drift,
+        "dedup_survival": _q_dedup_survival,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -5206,6 +5243,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "dedup_survival": """
+            WITH
+            toks AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        x -> x <> '') AS t
+                     FROM documents),
+            sh AS (SELECT doc_id,
+                          CASE WHEN len(t) >= 3 THEN
+                              list_distinct(list_transform(
+                                  generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                          ELSE CAST([] AS VARCHAR[]) END AS shingles
+                   FROM toks),
+            ex AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh),
+            szs AS (SELECT doc_id AS id, len(shingles) AS sz FROM sh),
+            pair_inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                           FROM ex a JOIN ex b
+                             ON a.shingle = b.shingle AND a.id < b.id
+                           GROUP BY 1, 2),
+            pairs AS (SELECT i.id_b,
+                             round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS j
+                      FROM pair_inter i
+                      JOIN szs sa ON sa.id = i.id_a
+                      JOIN szs sb ON sb.id = i.id_b
+                      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5),
+            nd AS (SELECT count(*) AS n FROM documents),
+            ts AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+            SELECT ts.threshold,
+                   CAST(nd.n AS BIGINT) AS n_docs,
+                   CAST(COALESCE((SELECT count(DISTINCT p.id_b) FROM pairs p
+                                  WHERE p.j >= ts.threshold), 0) AS BIGINT)
+                       AS n_removed,
+                   CAST(nd.n - COALESCE((SELECT count(DISTINCT p.id_b)
+                                         FROM pairs p
+                                         WHERE p.j >= ts.threshold), 0)
+                        AS BIGINT) AS n_survivors
+            FROM ts, nd
         """,
         "psi_drift": """
             WITH oldd AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),

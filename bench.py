@@ -422,7 +422,8 @@ def main() -> None:
                  "embedding_drift", "sliding_windows", "zorder_events",
                  "stateful_sessions", "bpe_merges", "multimodal_pipeline",
                  "similarity_ivf_append", "exact_dedup_incremental",
-                 "sketch_distinct_rollup", "graph_communities", "psi_drift"):
+                 "sketch_distinct_rollup", "graph_communities", "psi_drift",
+                 "dedup_survival"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 
