@@ -3857,6 +3857,30 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest direction (operators/asof.asof_join
+    direction='nearest'): each event attaches the purchase whose
+    timestamp is CLOSEST in absolute distance (equidistant ties ->
+    backward, pandas parity pinned in tests). Both directional fills
+    share one keyed exchange. Oracle: two DuckDB ASOF JOINs picked by
+    gap."""
+    from indexlab_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value_asof", 6).alias("nearest_purchase_value"),
+    )
+
+
 def _q_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup policy tuning — the survivorship curve: how many documents
     survive min-id-keeper near-dedup at each Jaccard threshold in
@@ -4195,17 +4219,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r7 window plan (pinned per the standing invariants:
         # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-22 take the 10
+        # last green row older than 3 rounds): slots 13-23 take the 11
         # round-6 oracle-backed additions (trigram_logprob,
         # semantic_decontam, sliding_windows, dq_lineitem,
         # embedding_drift, stateful_sessions, zorder_events,
-        # exact_dedup_incremental, psi_drift, dedup_survival — never
-        # driver-attested); slots 23-35 take the 13 remaining r03-green
-        # entries below (events_trailing_hour .. rolling_median — 4
-        # rounds stale by r7); slots 36-50 take the first 15 of the r04
-        # block (events_json .. events_daily, registry order); r8 then
-        # takes the rest of the r04 block plus the oldest of the r05
-        # block.
+        # exact_dedup_incremental, psi_drift, dedup_survival,
+        # asof_nearest — never driver-attested); slots 24-36 take the
+        # 13 remaining r03-green entries below (events_trailing_hour ..
+        # rolling_median — 4 rounds stale by r7); slots 37-50 take the
+        # first 14 of the r04 block (events_json .. asof_signup,
+        # registry order); r8 then takes the rest of the r04 block plus
+        # the oldest of the r05 block.
         # last green r03 (remaining 13; rotate into r7 FIRST):
         "events_trailing_hour": _q_events_trailing_hour,
         "segment_corr_stats": _q_segment_corr_stats,
@@ -4321,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_incremental": _q_exact_dedup_incremental,
         "psi_drift": _q_psi_drift,
         "dedup_survival": _q_dedup_survival,
+        "asof_nearest": _q_asof_nearest,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -5243,6 +5268,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "asof_nearest": """
+            WITH p AS (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2),
+            b AS (SELECT l.event_id, l.user_id, l.ts,
+                         r.ts AS bt, r.purchase_value AS bv
+                  FROM events l ASOF LEFT JOIN p r
+                      ON l.user_id = r.user_id AND l.ts >= r.ts),
+            f AS (SELECT l.event_id, r.ts AS ft, r.purchase_value AS fv
+                  FROM events l ASOF LEFT JOIN p r
+                      ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT b.event_id, b.user_id,
+                   round(CASE
+                       WHEN bt IS NOT NULL AND (ft IS NULL
+                            OR abs(epoch(b.ts) - epoch(bt))
+                               <= abs(epoch(ft) - epoch(b.ts))) THEN bv
+                       WHEN ft IS NOT NULL THEN fv
+                       ELSE NULL END, 6) AS nearest_purchase_value
+            FROM b JOIN f USING (event_id)
         """,
         "dedup_survival": """
             WITH

@@ -4,10 +4,12 @@ allow).
 
 ``asof_join(left, right)``: for each left row (key, t), attach the most
 recent right row with the same key and right.t <= left.t (backward
-as-of, the kdb/pandas/DuckDB default), or with ``direction="forward"``
-the EARLIEST right row with right.t >= left.t; ``tolerance`` bounds the
-time gap either way (pandas ``merge_asof`` parity — pinned against
-pandas itself in tests/test_asof.py).
+as-of, the kdb/pandas/DuckDB default), with ``direction="forward"``
+the EARLIEST right row with right.t >= left.t, or with
+``direction="nearest"`` whichever of the two sits closer; ``tolerance``
+bounds the time gap in every direction (FULL pandas ``merge_asof``
+direction x exact x tolerance parity — pinned against pandas itself in
+tests/test_asof.py).
 
 Implementation is the union-sort trick, NOT a range join:
 
@@ -54,7 +56,9 @@ def asof_join(
     right: ``by`` + ``on`` + payload columns.
     strict=False matches right.t <= left.t (backward) / >= (forward);
     strict=True excludes equality (pandas ``allow_exact_matches=False``).
-    direction: "backward" (default) or "forward".
+    direction: "backward" (default), "forward", or "nearest" (min
+    |left.t - right.t|; exact-distance ties prefer the backward match —
+    pinned against pandas itself).
     tolerance: maximum |left.t - right.t| for a match, in the units of
     ``on`` cast to double (epoch SECONDS for timestamps); matches
     farther away come back NULL, exactly like pandas' ``tolerance``.
@@ -67,8 +71,10 @@ def asof_join(
     first and become a universal "earliest" match, where DuckDB's
     native ASOF JOIN (the oracle) drops NULL-key rows.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by) | {on}
@@ -112,29 +118,67 @@ def asof_join(
         ).alias("_rp"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    desc = direction == "forward"
-    order = [
-        F.col("_t").desc() if desc else F.col("_t").asc(),
-        F.col("_tag").asc(),
-    ]
-    if tie_col is not None:
-        # tied right rows order ascending by tie_col; last-non-null fill
-        # then deterministically picks the max-tie_col row (left rows
-        # have a NULL _rp → NULL tie value → sort first, before any
-        # tied right row, preserving the tag contract)
-        order.append(F.col("_rp").getField(tie_col).asc())
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        *by,
-        "_t",
-        "_tag",
-        "_l",
-        F.last("_rp", ignorenulls=True).over(w).alias("_f_rp"),
-    )
+
+    def _order(descending: bool):
+        order = [
+            F.col("_t").desc() if descending else F.col("_t").asc(),
+            F.col("_tag").asc(),
+        ]
+        if tie_col is not None:
+            # tied right rows order ascending by tie_col; last-non-null
+            # fill then deterministically picks the max-tie_col row
+            # (left rows have a NULL _rp → NULL tie value → sort first,
+            # before any tied right row, preserving the tag contract)
+            order.append(F.col("_rp").getField(tie_col).asc())
+        return order
+
+    def _window(descending: bool):
+        return (
+            Window.partitionBy(*by)
+            .orderBy(*_order(descending))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def _gap(struct_col):
+        return F.abs(
+            F.col("_t").cast("double")
+            - struct_col.getField(rt_field).cast("double")
+        )
+
+    if direction == "nearest":
+        # both directional fills over ONE keyed exchange (same
+        # partitionBy, opposite orderings — Spark adds a second Sort,
+        # not a second shuffle), then pick the smaller gap; exact-gap
+        # ties prefer the BACKWARD match (pinned vs pandas itself)
+        filled = unioned.select(
+            *by,
+            "_t",
+            "_tag",
+            "_l",
+            F.last("_rp", ignorenulls=True).over(_window(False)).alias("_fb"),
+            F.last("_rp", ignorenulls=True).over(_window(True)).alias("_ff"),
+        )
+        b_ok = F.col("_fb").isNotNull()
+        f_ok = F.col("_ff").isNotNull()
+        chosen = (
+            F.when(
+                b_ok & (~f_ok | (_gap(F.col("_fb")) <= _gap(F.col("_ff")))),
+                F.col("_fb"),
+            )
+            .when(f_ok, F.col("_ff"))
+            .otherwise(F.lit(None).cast(rp_type))
+        )
+        filled = filled.select(*by, "_t", "_tag", "_l", chosen.alias("_f_rp"))
+    else:
+        filled = unioned.select(
+            *by,
+            "_t",
+            "_tag",
+            "_l",
+            F.last("_rp", ignorenulls=True)
+            .over(_window(direction == "forward"))
+            .alias("_f_rp"),
+        )
     # a NULL left `on` never matches (pandas/DuckDB contract). Backward
     # gets this for free (NULLs sort FIRST ascending, before any right
     # row); forward scans descending where NULLs sort LAST and would see
@@ -146,11 +190,7 @@ def asof_join(
         # always describe the same right row; a match farther than the
         # tolerance nulls the payload (pandas contract), it does NOT
         # fall back to an earlier/later row
-        gap = F.abs(
-            F.col("_t").cast("double")
-            - F.col("_f_rp").getField(rt_field).cast("double")
-        )
-        matched = matched & (gap <= F.lit(float(tolerance)))
+        matched = matched & (_gap(F.col("_f_rp")) <= F.lit(float(tolerance)))
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.when(matched, F.col("_f_rp").getField(c)).alias(f"{c}{suffix}")
         for c in value_cols

