@@ -2221,11 +2221,13 @@ def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape — parts whose revenue exceeds 0.1% of total
-    corpus revenue. The global total is a one-row aggregate broadcast
-    back via cross join (Catalyst plans it as BroadcastNestedLoopJoin of
-    a single row); the threshold compare happens on exact decimals so
-    both engines keep identical rows."""
+    """TPC-H Q11 shape — parts whose revenue exceeds 0.07% of total
+    corpus revenue (Q11 uses 0.01%/SF; 0.07% is calibrated so the
+    sf0.01 gate returns a non-empty frame — 68 parts — instead of the
+    vacuous 0 == 0 row the r6 verdict flagged). The global total is a
+    one-row aggregate broadcast back via cross join (Catalyst plans it
+    as BroadcastNestedLoopJoin of a single row); the threshold compare
+    happens on exact decimals so both engines keep identical rows."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     per_part = t["lineitem"].groupBy("l_partkey").agg(
         F.sum(_revenue_dec()).alias("part_rev")
@@ -2235,7 +2237,7 @@ def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(total))
         .filter(
             F.col("part_rev").cast("decimal(28,6)")
-            > F.lit(0.001).cast("decimal(10,6)") * F.col("total_rev").cast("decimal(28,6)")
+            > F.lit(0.0007).cast("decimal(10,6)") * F.col("total_rev").cast("decimal(28,6)")
         )
         .join(
             t["part"].select("p_partkey", "p_name"),
@@ -3889,12 +3891,16 @@ def _q_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     at threshold t iff it pairs at >= t with a smaller id, so each
     curve point is a filter + distinct-count over the same bounded
     pairs frame. The number a curation team actually looks at before
-    picking a threshold."""
-    from indexlab_spark.operators.dedup import jaccard_pairs
+    picking a threshold. The pairs base is the prefix-filtered AllPairs
+    join (jaccard_join_prefix) — identical output to the naive shingle
+    equi-join (equality pinned at 4 thresholds in tests) but
+    sub-quadratic under hot shingles, so the sweep stays feasible on
+    boilerplate-heavy corpora."""
+    from indexlab_spark.operators.dedup import jaccard_join_prefix
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = docs.count()
-    pairs = jaccard_pairs(docs, threshold=0.5).select(
+    pairs = jaccard_join_prefix(docs, threshold=0.5).select(
         "id_b", "jaccard"
     ).persist()
     spark_ts = []
@@ -4167,70 +4173,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-26: the 14 round-5 oracle-backed
-        # additions — never driver-attested (sim-only through r5; the r5
-        # VERDICT's top item). trending_keys moved up from the tail: it
-        # gained a SQL oracle in r5 (stream == batch == SQL) and counts
-        # as oracle-backed.
-        "duplicated_spans": _q_duplicated_spans,
-        "clean_dup_spans": _q_clean_dup_spans,
-        "token_budget_mix": _q_token_budget_mix,
-        "minhash_incremental": _q_minhash_incremental,
-        "asof_forward": _q_asof_forward,
-        "profile_lineitem": _q_profile_lineitem,
-        "knn_graph": _q_knn_graph,
-        "scd2_history": _q_scd2_history,
-        "bm25_incremental": _q_bm25_incremental,
-        "jaccard_prefix": _q_jaccard_prefix,
-        "eval_bootstrap": _q_eval_bootstrap,
-        "curation_verdict": _q_curation_verdict,
-        "mad_outliers": _q_mad_outliers,
-        "trending_keys": _q_trending_keys,
-        # -- slots 27-50: re-attestation backfill — the 24 entries whose
-        # most recent driver-green row is oldest (all last green in r03),
-        # in registry order per the pinned r6 plan.
-        "event_value_quantiles": _q_event_value_quantiles,
-        "revenue_moving_avg": _q_revenue_moving_avg,
-        "docs_cube": _q_docs_cube,
-        "fuzzy_part_names": _q_fuzzy_part_names,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "events_funnel": _q_events_funnel,
-        "retention_cohorts": _q_retention_cohorts,
-        "balance_quartiles": _q_balance_quartiles,
-        "unigram_logprob": _q_unigram_logprob,
-        "label_centroids": _q_label_centroids,
-        "winsorize_chars": _q_winsorize_chars,
-        "daily_activity_outer": _q_daily_activity_outer,
-        "user_top_event": _q_user_top_event,
-        "merge_latest": _q_merge_latest,
-        "events_ohlc": _q_events_ohlc,
-        "grouping_sets_margins": _q_grouping_sets_margins,
-        "group_sample": _q_group_sample,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "phrase_search": _q_phrase_search,
-        "market_share": _q_market_share,
-        "important_parts": _q_important_parts,
-        "promo_revenue": _q_promo_revenue,
-        "revenue_dod": _q_revenue_dod,
-        "balance_percent_rank": _q_balance_percent_rank,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r0*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r7 window plan (pinned per the standing invariants:
-        # never-attested entries first, then no oracle-backed entry's
-        # last green row older than 3 rounds): slots 13-23 take the 11
-        # round-6 oracle-backed additions (trigram_logprob,
-        # semantic_decontam, sliding_windows, dq_lineitem,
-        # embedding_drift, stateful_sessions, zorder_events,
-        # exact_dedup_incremental, psi_drift, dedup_survival,
-        # asof_nearest — never driver-attested); slots 24-36 take the
-        # 13 remaining r03-green entries below (events_trailing_hour ..
-        # rolling_median — 4 rounds stale by r7); slots 37-50 take the
-        # first 14 of the r04 block (events_json .. asof_signup,
-        # registry order); r8 then takes the rest of the r04 block plus
-        # the oldest of the r05 block.
-        # last green r03 (remaining 13; rotate into r7 FIRST):
+        # -- rotation window slots 13-23 (round 7, exactly per the plan
+        # pinned in r6): the 11 round-6 oracle-backed additions — never
+        # driver-attested (sim-green only through r6; the r6 VERDICT's
+        # top item).
+        "trigram_logprob": _q_trigram_logprob,
+        "semantic_decontam": _q_semantic_decontam,
+        "sliding_windows": _q_sliding_windows,
+        "dq_lineitem": _q_dq_lineitem,
+        "embedding_drift": _q_embedding_drift,
+        "stateful_sessions": _q_stateful_sessions,
+        "zorder_events": _q_zorder_events,
+        "exact_dedup_incremental": _q_exact_dedup_incremental,
+        "psi_drift": _q_psi_drift,
+        "dedup_survival": _q_dedup_survival,
+        "asof_nearest": _q_asof_nearest,
+        # -- slots 24-36: re-attestation backfill, oldest first — the 13
+        # entries whose last driver-green row is r03 (4 rounds stale).
         "events_trailing_hour": _q_events_trailing_hour,
         "segment_corr_stats": _q_segment_corr_stats,
         "bigram_pmi": _q_bigram_pmi,
@@ -4244,7 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_map": _q_user_type_map,
         "incremental_rollup": _q_incremental_rollup,
         "rolling_median": _q_rolling_median,
-        # last green r04:
+        # -- slots 37-50: the first 14 of the r04 block (last driver
+        # green r04; registry order).
         "events_json": _q_events_json,
         "order_priority_semi": _q_order_priority_semi,
         "cust_order_dist": _q_cust_order_dist,
@@ -4259,6 +4219,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_ngrams": _q_common_ngrams,
         "above_avg_orders": _q_above_avg_orders,
         "asof_signup": _q_asof_signup,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r0*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r8 window plan (pinned per the standing invariants: any new
+        # r7 oracle-backed additions first — never-attested beats
+        # stale — then oldest-attestation backfill): after the anchors,
+        # take any round-7 additions, then the 21 remaining r04-green
+        # entries below (bpe_token_counts .. repetition — 4 rounds
+        # stale by r8), then the oldest of the r05 block
+        # (tfidf_topterms onward, registry order) up to slot 50. r9
+        # takes the rest of the r05 block plus the oldest of the
+        # "last green r06/r07" blocks; by r9 every oracle-backed entry
+        # will have a driver row no older than 3 rounds.
+        # last green r04 (remaining 21; rotate into r8 FIRST):
         "bpe_token_counts": _q_bpe_token_counts,
         "chunk_page": _q_chunk_page,
         "churned_customers": _q_churned_customers,
@@ -4322,13 +4297,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dsir_weights": _q_dsir_weights,
         "embedding_lsh": _q_embedding_lsh,
-        # added round 6, never driver-attested — rotate into the r7
-        # window FIRST (see the r7 plan above):
-        "trigram_logprob": _q_trigram_logprob,
-        "semantic_decontam": _q_semantic_decontam,
-        "sliding_windows": _q_sliding_windows,
-        "dq_lineitem": _q_dq_lineitem,
-        "embedding_drift": _q_embedding_drift,
+        # last green r06 (rotated out of the r6 window this round; the
+        # 14 r5 additions followed by the 24 r03-backfills, in r6
+        # window order):
+        "duplicated_spans": _q_duplicated_spans,
+        "clean_dup_spans": _q_clean_dup_spans,
+        "token_budget_mix": _q_token_budget_mix,
+        "minhash_incremental": _q_minhash_incremental,
+        "asof_forward": _q_asof_forward,
+        "profile_lineitem": _q_profile_lineitem,
+        "knn_graph": _q_knn_graph,
+        "scd2_history": _q_scd2_history,
+        "bm25_incremental": _q_bm25_incremental,
+        "jaccard_prefix": _q_jaccard_prefix,
+        "eval_bootstrap": _q_eval_bootstrap,
+        "curation_verdict": _q_curation_verdict,
+        "mad_outliers": _q_mad_outliers,
+        "trending_keys": _q_trending_keys,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "revenue_moving_avg": _q_revenue_moving_avg,
+        "docs_cube": _q_docs_cube,
+        "fuzzy_part_names": _q_fuzzy_part_names,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "events_funnel": _q_events_funnel,
+        "retention_cohorts": _q_retention_cohorts,
+        "balance_quartiles": _q_balance_quartiles,
+        "unigram_logprob": _q_unigram_logprob,
+        "label_centroids": _q_label_centroids,
+        "winsorize_chars": _q_winsorize_chars,
+        "daily_activity_outer": _q_daily_activity_outer,
+        "user_top_event": _q_user_top_event,
+        "merge_latest": _q_merge_latest,
+        "events_ohlc": _q_events_ohlc,
+        "grouping_sets_margins": _q_grouping_sets_margins,
+        "group_sample": _q_group_sample,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "phrase_search": _q_phrase_search,
+        "market_share": _q_market_share,
+        "important_parts": _q_important_parts,
+        "promo_revenue": _q_promo_revenue,
+        "revenue_dod": _q_revenue_dod,
+        "balance_percent_rank": _q_balance_percent_rank,
         # rows-only (no SQL-expressible oracle):
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -4338,14 +4347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
         "graph_communities": _q_graph_communities,
-        # oracle-backed stateful streaming (added r6, never attested —
-        # r7 window takes it with the other round-6 additions):
-        "stateful_sessions": _q_stateful_sessions,
-        "zorder_events": _q_zorder_events,
-        "exact_dedup_incremental": _q_exact_dedup_incremental,
-        "psi_drift": _q_psi_drift,
-        "dedup_survival": _q_dedup_survival,
-        "asof_nearest": _q_asof_nearest,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
@@ -6318,7 +6319,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pr CROSS JOIN tot
             JOIN part ON p_partkey = l_partkey
             WHERE CAST(part_rev AS DECIMAL(28,6))
-                  > CAST(0.001 AS DECIMAL(10,6)) * CAST(total_rev AS DECIMAL(28,6))
+                  > CAST(0.0007 AS DECIMAL(10,6)) * CAST(total_rev AS DECIMAL(28,6))
         """,
         "promo_revenue": """
             SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,

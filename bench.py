@@ -438,6 +438,38 @@ def main() -> None:
         lambda: profile_table(li_full).count()
     )
 
+    # Incremental-vs-rebuild ratio (r6 VERDICT item 7): the incremental
+    # family is the 100 TB story — a new batch must cost ~batch-sized
+    # work, not corpus-sized. Measured concretely: classify a 10% batch
+    # of documents against the 90% corpus via the persisted MinHash
+    # signature index (old docs never re-hashed) vs rebuilding the full
+    # LSH from scratch. The old signature frame is materialized BEFORE
+    # the clock starts — it is the state a prior run already wrote, the
+    # precondition the incremental contract exists for.
+    from indexlab_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs_all = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old_docs = docs_all.filter(F.col("doc_id") % 10 != 0)
+    new_docs = docs_all.filter(F.col("doc_id") % 10 == 0)
+    old_sigs = minhash_signatures(old_docs).localCheckpoint(eager=True)
+    queries_sec["q_minhash_incremental_10pct"], _ = timed(
+        lambda: minhash_incremental_pairs(
+            new_docs, old_docs, old_sigs=old_sigs
+        ).count()
+    )
+    queries_sec["q_minhash_rebuild_full"], _ = timed(
+        lambda: minhash_lsh_pairs(docs_all).count()
+    )
+    incremental_vs_rebuild = round(
+        queries_sec["q_minhash_incremental_10pct"]
+        / queries_sec["q_minhash_rebuild_full"],
+        3,
+    )
+
     total = round(sum(queries_sec.values()), 3)
     queries_sec = {k: round(v, 3) for k, v in queries_sec.items()}
     baseline_sec = {k: round(v, 3) for k, v in baseline_sec.items()}
@@ -462,6 +494,7 @@ def main() -> None:
         "baseline": baseline_sec,
         "rows_per_sec": rows_per_sec,
         "n_chunks": n_chunks,
+        "incremental_vs_rebuild": incremental_vs_rebuild,
         "workloads": workloads,
     }
     # Full record: printed first AND persisted to bench_full.json. The
@@ -495,6 +528,7 @@ def main() -> None:
         "baseline": baseline_sec,
         "ratios_large": ratios,
         "geomean_large": geomean,
+        "incremental_vs_rebuild": incremental_vs_rebuild,
         "workloads": workloads,
         "full": "bench_full.json",
     }

@@ -336,3 +336,27 @@ def test_sketch_union_is_partial_agg(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_hll_union" in plan or "partial_hll_union_agg" in plan, plan
+
+
+def test_dedup_survival_uses_prefix_join(spark, sf_dir):
+    """The survivorship curve's pairs base must be the prefix-filtered
+    AllPairs join, not the naive shingle equi-join (the r6 verdict's
+    scale-killer: naive candidate cost is sum(df^2) over shingles,
+    unbounded under hot boilerplate). Two pins: the registry entry
+    sources jaccard_join_prefix, and the operator's executed plan
+    carries the prefix-ranking Window (row_number over rare-first
+    shingle order) that the naive path has no occasion to plan."""
+    import inspect
+
+    src = inspect.getsource(entry_mod._q_dedup_survival)
+    assert "jaccard_join_prefix" in src
+    assert "jaccard_pairs" not in src
+
+    from indexlab_spark.operators.dedup import jaccard_join_prefix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    plan = (
+        jaccard_join_prefix(docs, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan, plan

@@ -28,3 +28,19 @@ def test_every_oracle_has_a_query():
     q = entry_mod.queries()
     extra = [k for k in entry_mod.oracle_sql() if k not in q]
     assert not extra, f"oracle_sql() keys without queries(): {extra}"
+
+
+def test_every_registry_entry_in_operators_md():
+    """r6 VERDICT item 6: extend the drift guard to OPERATORS.md — a
+    registry entry with no OPERATORS.md row means the per-round
+    inventory silently drifted. Every queries() key must appear as a
+    word in OPERATORS.md (either a 🧪 marker on its operator's row or
+    the warehouse-breadth inventory table)."""
+    ops = open("OPERATORS.md").read()
+    missing = [
+        k for k in entry_mod.queries()
+        if not re.search(r"\b" + re.escape(k) + r"\b", ops)
+    ]
+    assert not missing, (
+        f"registry entries with no OPERATORS.md row: {missing}"
+    )
