@@ -423,7 +423,11 @@ def main() -> None:
                  "stateful_sessions", "bpe_merges", "multimodal_pipeline",
                  "similarity_ivf_append", "exact_dedup_incremental",
                  "sketch_distinct_rollup", "graph_communities", "psi_drift",
-                 "dedup_survival"):
+                 "dedup_survival",
+                 # round-7 additions
+                 "quantile_rollup", "skew_orders", "event_transitions",
+                 "pca_embeddings", "quantile_incremental", "join_explosion",
+                 "order_triangles"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -591,3 +591,305 @@ def psi_drift(
         "contrib",
     )
     return detail.unionByName(total)
+
+
+def quantile_sketch_rollup(
+    df: "DataFrame",
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> "DataFrame":
+    """Pre-aggregated QUANTILE sketch table — the quantile companion to
+    :func:`sketch_rollup`'s HLL distinct sketches: store a bounded
+    per-fine-group sample; any coarser quantile estimate merges samples
+    instead of re-reading the raw table.
+
+    The sketch is a deterministic bottom-k row sample: every row gets
+    rank = md5("qs|" + id) (a uniform permutation proxy — same trick as
+    the MinHash signatures), and each fine group keeps the k
+    smallest-rank (rank, value) pairs. Bottom-k is EXACTLY mergeable
+    over disjoint groups — bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪
+    bottom_k(B)), because each of the union's k smallest ranks is
+    necessarily within its own group's k smallest — so a coarser-grain
+    estimate from merged sketches equals the estimate computed directly
+    from the raw table with the same k. That makes the rollup path
+    oracle-checkable: the gate's DuckDB oracle computes the DIRECT
+    bottom-k per coarse group while Spark goes through the fine-grained
+    sketch table, and the hash match attests the merge property itself.
+
+    Error: the sample is a uniform k-subset per group, so an estimated
+    q-quantile sits at true rank q ± O(sqrt(q(1-q)/k)) — ~3% rank error
+    at k=256, constant regardless of group size (3-sigma bound pinned
+    in tests against exact percentiles).
+
+    Plan: one keyed exchange (the per-group row_number window) whose
+    HashPartitioning the follow-up collect_list agg reuses — the
+    collected state is capped at k rows per group BEFORE the agg by the
+    window filter, so no unbounded collect_list state anywhere. NULL
+    values are excluded (a NULL carries no quantile information).
+
+    Output: group_cols + ``sample`` array<struct<rank,value>> sorted by
+    rank + ``n_sampled``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rank = F.md5(
+        F.concat_ws("|", F.lit("qs"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("rank")
+    kept = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            rank.alias("rank"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "value"))
+        ).alias("sample"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+def quantile_union_estimate(
+    rollup: "DataFrame",
+    group_cols: list[str],
+    qs: tuple = (0.5, 0.95, 0.99),
+    k: int = 256,
+) -> "DataFrame":
+    """Merge a quantile-sketch table up to coarser ``group_cols``
+    (subset of the rollup's grain, possibly empty for a grand total)
+    and estimate quantiles: explode the bounded samples, keep the k
+    smallest ranks per coarse group (the bottom-k merge), exact
+    interpolated percentile over the survivors. The raw table is never
+    touched — the exploded frame is at most k x n_fine_groups rows, so
+    even the grand-total single-partition window is sketch-sized, not
+    data-sized.
+
+    ``k`` must equal the rollup's k for the direct-equality contract
+    (a smaller k still yields a valid coarser sketch — bottom-k of a
+    bottom-k — just a different one than direct-at-k).
+
+    Output: group_cols + one ``q<NN>`` column per requested quantile,
+    rounded to 6dp.
+    """
+    ex = rollup.select(
+        *group_cols, F.explode("sample").alias("s")
+    ).select(*group_cols, F.col("s.rank").alias("rank"),
+             F.col("s.value").alias("value"))
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("rank")
+        grouped = lambda d: d.groupBy(*group_cols)  # noqa: E731
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("rank")
+        grouped = lambda d: d.groupBy()  # noqa: E731
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    aggs = [
+        F.round(
+            F.expr(f"percentile(value, {q!r})"), 6
+        ).alias(f"q{int(round(q * 100)):02d}")
+        for q in qs
+    ]
+    return grouped(kept).agg(*aggs)
+
+
+def skew_report(
+    df: "DataFrame",
+    key_cols: list[str],
+    top_n: int = 10,
+) -> "DataFrame":
+    """Shuffle-key skew diagnostic — the pre-flight check before keying
+    a 100 TB join or aggregation on ``key_cols``: per-key row counts
+    for the ``top_n`` heaviest keys, each annotated with the global
+    skew metrics that decide whether the key needs salting or AQE skew
+    handling (n_keys, mean/max key size, max/mean ratio, coefficient of
+    variation, and the share of all rows owned by the single hottest
+    key).
+
+    Plan: one map-side-combined count per key, one scalar-stats agg
+    over the (n_keys)-row count frame (broadcast back as a single row),
+    TakeOrderedAndProject for the top-n. Nothing is ever data-sized
+    after the first agg.
+
+    Output: key_cols + cnt + share + rank + n_keys + mean_cnt +
+    max_cnt + skew_ratio (max/mean) + cv (stddev_pop/mean), rounded to
+    6dp; ordered by rank.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.avg("cnt").alias("mean_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.stddev_pop("cnt").alias("sd_cnt"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    # top-n via sort+limit (TakeOrderedAndProject — distributed partial
+    # top-k, never a single-partition sort of the n_keys-sized count
+    # frame); the rank window then runs over the <= top_n-row result, a
+    # bounded single partition by construction
+    topk = counts.orderBy(*order).limit(top_n).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    return topk.crossJoin(F.broadcast(stats)).select(
+        *key_cols,
+        "cnt",
+        F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+        "rank",
+        "n_keys",
+        F.round("mean_cnt", 6).alias("mean_cnt"),
+        "max_cnt",
+        F.round(F.col("max_cnt") / F.col("mean_cnt"), 6).alias("skew_ratio"),
+        F.round(F.col("sd_cnt") / F.col("mean_cnt"), 6).alias("cv"),
+    )
+
+
+def transition_matrix(
+    df: "DataFrame",
+    seq_col: str,
+    order_col: str,
+    state_col: str,
+) -> "DataFrame":
+    """First-order Markov transition statistics over per-sequence event
+    streams (user behavior modeling / synthetic-sequence QA: does the
+    generated data's transition structure match production's?): for
+    each (from_state, to_state) pair, the transition count and the
+    row-conditional probability P(to | from).
+
+    Plan: ONE keyed exchange on the sequence id (the lag window), then
+    a map-side-combined pair count; the probability normalization joins
+    the (from_state)-level totals back — a states^2-sized frame, never
+    data-sized. Deterministic: ties in ``order_col`` break by
+    ``state_col`` so concurrent events yield a stable order.
+
+    Output: (from_state, to_state, cnt, prob 6dp), one row per observed
+    pair.
+    """
+    w = Window.partitionBy(seq_col).orderBy(
+        F.col(order_col).asc(), F.col("to_state").asc()
+    )
+    pairs = (
+        df.select(
+            F.col(seq_col),
+            F.col(order_col),
+            F.col(state_col).alias("to_state"),
+        )
+        .withColumn("from_state", F.lag("to_state").over(w))
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("cnt").alias("_tot"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_tot"), 6).alias("prob"),
+    )
+
+
+def quantile_sketch_merge(
+    a: "DataFrame",
+    b: "DataFrame",
+    group_cols: list[str],
+    k: int = 256,
+) -> "DataFrame":
+    """Merge two quantile-sketch tables grain-wise — the incremental
+    maintenance path: a new batch's sketch table (over only the batch)
+    merges into the persisted state without ever re-reading the old
+    corpus, the same contract as bm25_refresh / exact_dedup_incremental
+    / ivf_append. Because the bottom-k sample is exactly associative,
+    merged state == the sketch built from scratch over old ∪ new,
+    IDENTICALLY (pinned in tests and attested by the gate oracle, which
+    computes the direct bottom-k over the union).
+
+    Groups present on only one side pass through (their bottom-k is
+    already correct). The exploded union is sketch-sized (<= 2k rows
+    per group), never data-sized.
+
+    The merge is also IDEMPOTENT under row replay: a rank is
+    md5-derived from the source row's id, so a replayed batch
+    contributes byte-identical (rank, value) rows, which the
+    per-(group, rank) dedup below collapses before the bottom-k window
+    — without it, duplicate copies of a surviving rank would displace
+    genuinely distinct ranks from the k smallest and corrupt the
+    sample (pinned by the streaming replay test).
+
+    Output schema matches :func:`quantile_sketch_rollup`.
+    """
+    cols = [*group_cols, F.explode("sample").alias("s")]
+    ex = (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .select(
+            *group_cols,
+            F.col("s.rank").alias("rank"),
+            F.col("s.value").alias("value"),
+        )
+        .dropDuplicates([*group_cols, "rank"])
+    )
+    w = Window.partitionBy(*group_cols).orderBy("rank")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "value"))
+        ).alias("sample"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+def join_explosion_report(
+    a: "DataFrame",
+    b: "DataFrame",
+    key_cols: list[str],
+    top_n: int = 10,
+) -> "DataFrame":
+    """Join-output pre-flight — estimate an equi-join's output size and
+    find the keys that would explode it BEFORE running the join (the
+    companion to :func:`skew_report` for two-sided fan-out: a key with
+    1k rows on each side emits 1M rows; at 100 TB this is the
+    difference between a plan that finishes and one that fills every
+    disk). Exact arithmetic, never runs the join: per-key counts on
+    each side (two map-combined aggs), inner-join of the two KEY-level
+    frames (key-cardinality-sized, not row-sized), out_rows = cnt_a *
+    cnt_b per key, global total broadcast back.
+
+    Output: top_n keys by out_rows — key_cols + cnt_a + cnt_b +
+    out_rows + share (of the estimated join output) + rank +
+    est_total_rows + n_join_keys; ordered by rank.
+    """
+    ca = a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt_a"))
+    cb = b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt_b"))
+    per_key = ca.join(cb, list(key_cols)).withColumn(
+        "out_rows", F.col("cnt_a") * F.col("cnt_b")
+    )
+    stats = per_key.agg(
+        F.sum("out_rows").alias("est_total_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )
+    order = [F.col("out_rows").desc()] + [F.col(c).asc() for c in key_cols]
+    topk = per_key.orderBy(*order).limit(top_n).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    return topk.crossJoin(F.broadcast(stats)).select(
+        *key_cols,
+        "cnt_a",
+        "cnt_b",
+        "out_rows",
+        F.round(F.col("out_rows") / F.col("est_total_rows"), 6).alias(
+            "share"
+        ),
+        "rank",
+        "est_total_rows",
+        "n_join_keys",
+    )

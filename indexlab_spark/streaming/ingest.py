@@ -150,3 +150,68 @@ def read_documents_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(d)
     )
+
+
+def quantile_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    query_name: str = "quantile_monitor",
+):
+    """Maintain a live quantile-sketch table over a stream — the
+    streaming face of analytics.quantile_sketch_rollup/merge: each
+    micro-batch is sketched ALONE (batch-sized work) and bottom-k-merged
+    into the persisted state table; any consumer reads the state and
+    calls quantile_union_estimate for current per-group quantiles at
+    any grain.
+
+    Replay safety WITHOUT batch_id bookkeeping: the merge is
+    IDEMPOTENT — a replayed batch contributes byte-identical
+    md5-derived (rank, value) rows, which quantile_sketch_merge's
+    per-(group, rank) dedup collapses before the bottom-k window, so
+    merging the same batch twice is exactly a no-op (pinned by the
+    replay test). Unlike the dedup ingest state, at-least-once
+    foreachBatch therefore needs no partition bookkeeping: the whole
+    (n_groups x k)-row state is rewritten via a staging path each
+    trigger.
+
+    Steady-state cost: sketching the batch (batch-sized) + merging two
+    sketch tables (n_groups x k rows, corpus-size-independent).
+    """
+    from indexlab_spark.operators.analytics import (
+        quantile_sketch_merge,
+        quantile_sketch_rollup,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = quantile_sketch_rollup(
+            batch_df, group_cols, value_col, id_col, k=k
+        )
+        try:
+            state = spark.read.parquet(state_path)
+            merged = quantile_sketch_merge(
+                state, batch_sk, group_cols, k=k
+            )
+        except AnalysisException:
+            merged = batch_sk
+        # write-stage-swap: the state frame is being read lazily while
+        # we overwrite, so land the merge in a staging dir first, then
+        # rewrite the live path from the materialized staging copy
+        staging = state_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,343 @@
+"""Round-7 operators: mergeable quantile sketches, skew diagnostics,
+Markov transition matrix, distributed PCA."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from indexlab_spark.operators.analytics import (
+    quantile_sketch_rollup,
+    quantile_union_estimate,
+    skew_report,
+    transition_matrix,
+)
+from indexlab_spark.operators.decompose import pca_fit, pca_project
+
+
+# ---------------------------------------------------------------- quantile
+
+
+def test_quantile_rollup_equals_direct_bottom_k(spark, sf_dir):
+    """The merge contract: estimating at a coarse grain THROUGH the
+    fine-grained sketch table must EXACTLY equal the direct bottom-k
+    computation at that grain (bottom-k is associative over disjoint
+    groups). This is the property the gate oracle attests."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = quantile_sketch_rollup(
+        ev, ["event_type", "day"], "value", "event_id", k=64
+    )
+    via_rollup = quantile_union_estimate(
+        fine, ["event_type"], qs=(0.5, 0.95), k=64
+    )
+    direct = quantile_union_estimate(
+        quantile_sketch_rollup(ev, ["event_type"], "value", "event_id", k=64),
+        ["event_type"],
+        qs=(0.5, 0.95),
+        k=64,
+    )
+    a = {r["event_type"]: (r["q50"], r["q95"]) for r in via_rollup.collect()}
+    b = {r["event_type"]: (r["q50"], r["q95"]) for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_quantile_estimate_within_sampling_error(spark, sf_dir):
+    """k=256 bottom-k sample: estimated quantile must sit within ~3
+    sigma of the exact one IN RANK SPACE — checked by measuring the
+    exact CDF position of the estimate, q_hat_rank ~ q +-
+    3*sqrt(q(1-q)/k)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = quantile_union_estimate(
+        quantile_sketch_rollup(ev, ["event_type"], "value", "event_id", k=256),
+        ["event_type"],
+        qs=(0.5, 0.95),
+        k=256,
+    ).collect()
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(float(r["value"]))
+    for r in est:
+        arr = np.sort(np.array(vals[r["event_type"]]))
+        for q, col in ((0.5, "q50"), (0.95, "q95")):
+            rank = np.searchsorted(arr, float(r[col])) / len(arr)
+            tol = 3 * math.sqrt(q * (1 - q) / 256) + 2 / len(arr)
+            assert abs(rank - q) <= tol, (
+                f"{r['event_type']} {col}: rank {rank:.3f} vs {q} (tol {tol:.3f})"
+            )
+
+
+def test_quantile_rollup_sample_is_bounded_and_sorted(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = quantile_sketch_rollup(ev, ["event_type"], "value", "event_id", k=16)
+    for r in fine.collect():
+        ranks = [s["rank"] for s in r["sample"]]
+        assert len(ranks) <= 16
+        assert ranks == sorted(ranks)
+        assert r["n_sampled"] == len(ranks)
+
+
+def test_quantile_rollup_excludes_nulls_and_rejects_bad_k(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, "a", 3.0)], "id long, g string, v double"
+    )
+    out = quantile_sketch_rollup(df, ["g"], "v", "id", k=10).collect()
+    assert out[0]["n_sampled"] == 2
+    with pytest.raises(ValueError):
+        quantile_sketch_rollup(df, ["g"], "v", "id", k=0)
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    rows = [(i, "hot") for i in range(900)] + [
+        (i, f"k{i % 20}") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = skew_report(df, ["k"], top_n=3).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["rank"] == 1
+    assert rep[0]["cnt"] == 900
+    assert abs(rep[0]["share"] - 0.9) < 1e-9
+    assert rep[0]["n_keys"] == 21
+    # max/mean: 900 / (1000/21)
+    assert abs(rep[0]["skew_ratio"] - 900 / (1000 / 21)) < 1e-3
+    assert len(rep) == 3
+    assert [r["rank"] for r in rep] == [1, 2, 3]
+
+
+def test_skew_report_uniform_keys_low_cv(spark):
+    df = spark.createDataFrame(
+        [(i, f"k{i % 10}") for i in range(1000)], "id long, k string"
+    )
+    rep = skew_report(df, ["k"], top_n=2).collect()
+    assert rep[0]["cv"] == 0.0 and rep[0]["skew_ratio"] == 1.0
+
+
+# ---------------------------------------------------------------- transitions
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, t long, s string")
+    out = {
+        (r["from_state"], r["to_state"]): (r["cnt"], r["prob"])
+        for r in transition_matrix(df, "uid", "t", "s").collect()
+    }
+    # a->b twice, b->a once, b->b once
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")][0] == 1 and abs(out[("b", "a")][1] - 0.5) < 1e-9
+    assert out[("b", "b")][0] == 1
+    assert ("a", "a") not in out
+
+
+def test_transition_matrix_no_cross_sequence_pairs(spark):
+    """The last event of one sequence must not chain into the first of
+    another."""
+    rows = [(1, 1, "a"), (2, 2, "b")]
+    df = spark.createDataFrame(rows, "uid long, t long, s string")
+    assert transition_matrix(df, "uid", "t", "s").count() == 0
+
+
+def test_transition_matrix_deterministic_tie_order(spark):
+    """Equal timestamps order by state so reruns agree."""
+    rows = [(1, 1, "b"), (1, 1, "a"), (1, 2, "c")]
+    df = spark.createDataFrame(rows, "uid long, t long, s string")
+    out = {
+        (r["from_state"], r["to_state"]): r["cnt"]
+        for r in transition_matrix(df, "uid", "t", "s").collect()
+    }
+    assert out == {("a", "b"): 1, ("b", "c"): 1}
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, "embedding", k=4)
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T.copy()
+    for i in range(ref.shape[0]):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    np.testing.assert_allclose(model.mean, mean, atol=1e-8)
+    np.testing.assert_allclose(model.components, ref, atol=1e-6)
+    np.testing.assert_allclose(
+        model.explained_variance, np.maximum(evals[order], 0.0), rtol=1e-6
+    )
+    # projection parity
+    proj = pca_project(emb, model).select("vec_id", "pca").collect()
+    got = {r["vec_id"]: np.array(r["pca"]) for r in proj}
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    ref_proj = (mat - mean) @ ref.T
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[vid], ref_proj[i], atol=1e-6)
+
+
+def test_pca_components_orthonormal_variance_descending(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, "embedding", k=6)
+    gram = model.components @ model.components.T
+    np.testing.assert_allclose(gram, np.eye(6), atol=1e-8)
+    ev = model.explained_variance
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+
+
+def test_pca_empty_and_ragged_raise(spark):
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError):
+        pca_fit(empty)
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "embedding array<double>"
+    )
+    with pytest.raises(Exception):
+        pca_fit(ragged, k=2)
+
+
+# ---------------------------------------------------------------- merge
+
+
+def test_quantile_sketch_merge_equals_rebuild(spark, sf_dir):
+    """Incremental contract: merging a new batch's sketch into the old
+    state must EXACTLY equal the sketch built from scratch over
+    old ∪ new (bottom-k associativity)."""
+    from indexlab_spark.operators.analytics import quantile_sketch_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    new = ev.filter(F.col("event_id") % 5 == 0)
+    merged = quantile_sketch_merge(
+        quantile_sketch_rollup(old, ["event_type"], "value", "event_id", k=64),
+        quantile_sketch_rollup(new, ["event_type"], "value", "event_id", k=64),
+        ["event_type"],
+        k=64,
+    )
+    rebuilt = quantile_sketch_rollup(
+        ev, ["event_type"], "value", "event_id", k=64
+    )
+    a = {
+        r["event_type"]: [(s["rank"], s["value"]) for s in r["sample"]]
+        for r in merged.collect()
+    }
+    b = {
+        r["event_type"]: [(s["rank"], s["value"]) for s in r["sample"]]
+        for r in rebuilt.collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_quantile_sketch_merge_one_sided_groups_pass_through(spark):
+    from indexlab_spark.operators.analytics import quantile_sketch_merge
+
+    a = spark.createDataFrame(
+        [(1, "only_a", 1.0), (2, "both", 2.0)], "id long, g string, v double"
+    )
+    b = spark.createDataFrame(
+        [(3, "only_b", 3.0), (4, "both", 4.0)], "id long, g string, v double"
+    )
+    sa = quantile_sketch_rollup(a, ["g"], "v", "id", k=8)
+    sb = quantile_sketch_rollup(b, ["g"], "v", "id", k=8)
+    from indexlab_spark.operators.analytics import quantile_sketch_merge as m
+
+    out = {r["g"]: r["n_sampled"] for r in m(sa, sb, ["g"], k=8).collect()}
+    assert out == {"only_a": 1, "only_b": 1, "both": 2}
+
+
+# ---------------------------------------------------------------- join explosion
+
+
+def test_join_explosion_exact_arithmetic(spark):
+    from indexlab_spark.operators.analytics import join_explosion_report
+
+    a = spark.createDataFrame(
+        [(i, "hot") for i in range(100)] + [(i, "cold") for i in range(3)],
+        "id long, k string",
+    )
+    b = spark.createDataFrame(
+        [(i, "hot") for i in range(50)] + [(i, "cold") for i in range(2)]
+        + [(0, "b_only")],
+        "id long, k string",
+    )
+    rep = join_explosion_report(a, b, ["k"], top_n=5).collect()
+    by_key = {r["k"]: r for r in rep}
+    assert by_key["hot"]["out_rows"] == 5000 and by_key["hot"]["rank"] == 1
+    assert by_key["cold"]["out_rows"] == 6
+    assert "b_only" not in by_key  # inner keys only
+    assert rep[0]["est_total_rows"] == 5006
+    assert rep[0]["n_join_keys"] == 2
+    # it never ran the join: verify against the real join size
+    assert a.join(b, "k").count() == 5006
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _tri(spark, edges):
+    from indexlab_spark.operators.dedup import triangle_count
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangle_count_k4(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = _tri(spark, k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["n_wedges"] == 12
+    assert r["global_clustering"] == 1.0
+
+
+def test_triangle_count_path_and_pendant(spark):
+    r = _tri(spark, [(1, 2), (2, 3)])
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 1)
+    assert r["global_clustering"] == 0.0
+    r = _tri(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["n_wedges"]) == (
+        4, 4, 1, 5,
+    )
+    assert abs(r["global_clustering"] - 0.6) < 1e-9
+
+
+def test_triangle_count_multigraph_input_collapses(spark):
+    """Self-loops, duplicates and reversed duplicates must not change
+    the census."""
+    r = _tri(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (1, 3)])
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    import hashlib
+    from itertools import combinations
+
+    nodes = list(range(30))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if int(hashlib.md5(f"{a}|{b}".encode()).hexdigest(), 16) % 5 == 0
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    r = _tri(spark, edges)
+    assert r["n_triangles"] == expected
+    assert r["n_edges"] == len(edges)

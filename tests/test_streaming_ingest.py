@@ -157,3 +157,58 @@ def test_sliding_window_counts_stream_equals_batch(spark, sf_dir):
     n_events = ev.count()
     assert sum(r[2] for r in a) == 4 * n_events
     spark.catalog.dropTempView("sliding_test")
+
+
+def test_quantile_monitor_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming quantile state: after draining the stream, the state
+    table must EXACTLY equal the batch sketch over all data (bottom-k
+    associativity across micro-batches), and re-merging an
+    already-merged batch must be a no-op (md5-rank dedup
+    idempotence)."""
+    from indexlab_spark.operators.analytics import (
+        quantile_sketch_merge,
+        quantile_sketch_rollup,
+    )
+    from indexlab_spark.streaming.ingest import quantile_monitor_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src = str(tmp_path / "qsrc")
+    ev.repartition(3).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "qstate")
+    q = quantile_monitor_stream(
+        stream, state, ["event_type"], "value", "event_id", k=64
+    ).start()
+    q.awaitTermination()
+
+    def sample_map(df):
+        return {
+            r["event_type"]: [(s["rank"], s["value"]) for s in r["sample"]]
+            for r in df.collect()
+        }
+
+    got = sample_map(spark.read.parquet(state))
+    want = sample_map(
+        quantile_sketch_rollup(ev, ["event_type"], "value", "event_id", k=64)
+    )
+    assert got == want and len(got) > 0
+
+    # replay idempotence: merge the WHOLE corpus's sketch AGAIN into
+    # the final state (the worst-case replay) — nothing may change
+    replayed = quantile_sketch_merge(
+        spark.read.parquet(state),
+        quantile_sketch_rollup(
+            static, ["event_type"], "value", "event_id", k=64
+        ),
+        ["event_type"],
+        k=64,
+    )
+    assert sample_map(replayed) == got

@@ -127,8 +127,15 @@ def main() -> None:
         semantic_decontaminate,
         token_budget_mix,
     )
+    from indexlab_spark.operators.analytics import (
+        quantile_sketch_rollup,
+        quantile_union_estimate,
+        skew_report,
+        transition_matrix,
+    )
     from indexlab_spark.operators.bpe import train_bpe
     from indexlab_spark.operators.dedup import exact_dedup_incremental
+    from indexlab_spark.operators.decompose import pca_fit
     from indexlab_spark.operators.textstats import interpolated_lm_logprob
     from indexlab_spark.operators.dedup import (
         connected_components,
@@ -233,6 +240,21 @@ def main() -> None:
             # word count is the only stream-sized pass — growth should
             # stay well under N even with per-replica distinct vocab
             "bpe_train": lambda: len(train_bpe(docs, n_merges=4)),
+            # round 7: quantile sketch rollup (fine grain + merged
+            # estimate), PCA moment pass, transitions, skew report —
+            # all expected ~linear (keyed windows / map-combined aggs)
+            "quantile_rollup": lambda: quantile_union_estimate(
+                quantile_sketch_rollup(
+                    ev.withColumn("day", F.to_date("ts")),
+                    ["event_type", "day"], "value", "event_id", k=256,
+                ),
+                ["event_type"], qs=(0.5, 0.95), k=256,
+            ).count(),
+            "pca_fit": lambda: int(pca_fit(emb, "embedding", k=4).n),
+            "event_transitions": lambda: transition_matrix(
+                ev, "user_id", "ts", "event_type"
+            ).count(),
+            "skew_report": lambda: skew_report(ev, ["user_id"]).count(),
         }
 
     def timed_min2(fn):
