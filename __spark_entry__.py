@@ -4296,6 +4296,42 @@ def _q_order_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring — EXACT two-sample Kolmogorov-Smirnov statistic
+    between document-length snapshots (analytics.ks_drift; even/odd
+    doc_id halves play old/new, same pairing as psi_drift): the sup of
+    |CDF_old - CDF_new| plus the value where it occurs. The global
+    cumsum the CDFs need is two-level bucketed (range-bucket window
+    shards + broadcast bucket offsets) — never a single-partition
+    window over data."""
+    from indexlab_spark.operators.analytics import ks_drift
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return ks_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
+def _q_cm_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (analytics.cm_sketch_build/
+    estimate, Cormode & Muthukrishnan 2005): event_type counts read
+    back from a 4x1024 counter table built with the repo's portable md5
+    hashing — the bounded-memory frequency state for unbounded key
+    domains (the counts companion to the HLL distinct rollup). The
+    oracle reproduces every counter exactly, so the hash match attests
+    the full sketch arithmetic, not just the estimates."""
+    from indexlab_spark.operators.analytics import (
+        cm_sketch_build,
+        cm_sketch_estimate,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cm = cm_sketch_build(ev, "event_type")
+    return cm_sketch_estimate(cm, ev, "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4373,14 +4409,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r8 window plan (pinned per the standing invariants:
         # never-attested entries first, then oldest-attestation
-        # backfill): after the 12 anchors, slots 13-18 take the 6
+        # backfill): after the 12 anchors, slots 13-20 take the 8
         # round-7 oracle-backed additions (quantile_rollup,
         # skew_orders, event_transitions, quantile_incremental,
-        # join_explosion, order_triangles — sim-green only, no driver
-        # row yet), slots 19-39 the 21 remaining r04-green entries
-        # below (bpe_token_counts .. repetition — 4 rounds stale by
-        # r8), slots 40-50 the first 11 of the r05 block
-        # (tfidf_topterms .. shipping_priority, registry order).
+        # join_explosion, order_triangles, ks_drift, cm_event_counts —
+        # sim-green only, no driver row yet), slots 21-41 the 21
+        # remaining r04-green entries below (bpe_token_counts ..
+        # repetition — 4 rounds stale by r8), slots 42-50 the first 9
+        # of the r05 block (tfidf_topterms .. events_stream_daily,
+        # registry order).
         # r9 takes the rest of the r05 block plus the oldest of the
         # "last green r06/r07" blocks; by r9 every oracle-backed entry
         # will have a driver row no older than 3 rounds.
@@ -4497,6 +4534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_incremental": _q_quantile_incremental,
         "join_explosion": _q_join_explosion,
         "order_triangles": _q_order_triangles,
+        "ks_drift": _q_ks_drift,
+        "cm_event_counts": _q_cm_event_counts,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "chunk_sentences": _q_chunk_sentences,
@@ -5789,6 +5828,51 @@ def oracle_sql() -> dict[str, str]:
                               / (SELECT sum(d * (d - 1) // 2) FROM deg)
                          ELSE 0.0 END, 6) AS global_clustering
             FROM tri
+        """,
+        "ks_drift": """
+            WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v
+                       FROM documents
+                       WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+            nn AS (SELECT CAST(n_chars AS DOUBLE) AS v
+                   FROM documents
+                   WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+            co AS (SELECT v, count(*) AS c_old FROM o GROUP BY 1),
+            cn AS (SELECT v, count(*) AS c_new FROM nn GROUP BY 1),
+            u AS (SELECT coalesce(co.v, cn.v) AS v,
+                         coalesce(c_old, 0) AS c_old,
+                         coalesce(c_new, 0) AS c_new
+                  FROM co FULL OUTER JOIN cn ON co.v = cn.v),
+            t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+                         CAST(sum(c_new) AS BIGINT) AS n_new
+                  FROM u),
+            c AS (SELECT v,
+                         sum(c_old) OVER (ORDER BY v) AS cum_o,
+                         sum(c_new) OVER (ORDER BY v) AS cum_n
+                  FROM u),
+            d AS (SELECT v,
+                         abs(CAST(cum_o AS DOUBLE) / t.n_old
+                             - CAST(cum_n AS DOUBLE) / t.n_new) AS dd
+                  FROM c, t)
+            SELECT round(dd, 6) AS ks_stat, v AS at_value,
+                   t.n_old, t.n_new
+            FROM d, t ORDER BY dd DESC, v ASC LIMIT 1
+        """,
+        "cm_event_counts": """
+            WITH d(j) AS (VALUES (0), (1), (2), (3)),
+            r AS (SELECT j,
+                         CAST(concat('0x', substr(md5('cm|'
+                             || CAST(j AS VARCHAR) || '|' || event_type),
+                             1, 15)) AS BIGINT) % 1024 AS bucket
+                  FROM events, d),
+            cm AS (SELECT j, bucket, count(*) AS cnt FROM r GROUP BY 1, 2),
+            keys AS (SELECT DISTINCT event_type AS key FROM events),
+            p AS (SELECT key, j,
+                         CAST(concat('0x', substr(md5('cm|'
+                             || CAST(j AS VARCHAR) || '|' || key),
+                             1, 15)) AS BIGINT) % 1024 AS bucket
+                  FROM keys, d)
+            SELECT p.key, CAST(min(coalesce(cm.cnt, 0)) AS BIGINT) AS est
+            FROM p LEFT JOIN cm USING (j, bucket) GROUP BY 1
         """,
         "curation_verdict": """
             WITH corpus AS (SELECT doc_id, text FROM documents

@@ -424,10 +424,14 @@ def main() -> None:
                  "similarity_ivf_append", "exact_dedup_incremental",
                  "sketch_distinct_rollup", "graph_communities", "psi_drift",
                  "dedup_survival",
-                 # round-7 additions
+                 # round-7 additions (order_triangles is gate-only: the
+                 # sf0.1 part co-purchase graph has mean degree ~80 and
+                 # 18s of genuine wedge work — fine for one correctness
+                 # run at sf0.01, wrong for a suite that must stay tight;
+                 # plan shape documented in PLANS.md round 7)
                  "quantile_rollup", "skew_orders", "event_transitions",
-                 "pca_embeddings", "quantile_incremental", "join_explosion",
-                 "order_triangles"):
+                 "pca_embeddings", "quantile_incremental",
+                 "join_explosion", "ks_drift", "cm_event_counts"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 
@@ -450,6 +454,19 @@ def main() -> None:
     # LSH from scratch. The old signature frame is materialized BEFORE
     # the clock starts — it is the state a prior run already wrote, the
     # precondition the incremental contract exists for.
+    #
+    # Timing is min-of-2 (the scale_probe's timed_min2 rationale): the
+    # incremental path plans ~6 stages and the per-plan first-execution
+    # floor on this host is 0.5-2.5s, which at this SF swamps the work
+    # being compared (single-run timings flapped 2.6s-8.6s for
+    # identical work). HONEST CAVEAT recorded with the number: at sf0.1
+    # (5k docs, ~500-char texts) the ratio sits ABOVE 1 — the rebuild's
+    # corpus re-hash is too cheap here for the batch-sized contract to
+    # pay for the extra join stages. The asymptotic evidence is the
+    # scale probe's fixed-batch series (PLANS.md): a CONSTANT batch
+    # against a corpus grown 8x keeps incremental time ~flat while the
+    # rebuild grows with the corpus — cost tracks batch size, which is
+    # the claim.
     from indexlab_spark.operators.dedup import (
         minhash_incremental_pairs,
         minhash_lsh_pairs,
@@ -463,10 +480,11 @@ def main() -> None:
     queries_sec["q_minhash_incremental_10pct"], _ = timed(
         lambda: minhash_incremental_pairs(
             new_docs, old_docs, old_sigs=old_sigs
-        ).count()
+        ).count(),
+        repeats=2,
     )
     queries_sec["q_minhash_rebuild_full"], _ = timed(
-        lambda: minhash_lsh_pairs(docs_all).count()
+        lambda: minhash_lsh_pairs(docs_all).count(), repeats=2
     )
     incremental_vs_rebuild = round(
         queries_sec["q_minhash_incremental_10pct"]

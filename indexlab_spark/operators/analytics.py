@@ -893,3 +893,218 @@ def join_explosion_report(
         "est_total_rows",
         "n_join_keys",
     )
+
+
+def sketch_rollup_merge(
+    a: "DataFrame",
+    b: "DataFrame",
+    group_cols: list[str],
+) -> "DataFrame":
+    """Merge two HLL sketch-rollup tables grain-wise — incremental
+    maintenance for :func:`sketch_rollup`, completing the incremental
+    family (exact dedup, MinHash, BM25, IVF/PQ/SQ8, quantile sketches,
+    now distinct sketches): a new batch is sketched alone and unioned
+    into the persisted state; the old corpus is never re-read. HLL
+    registers are element-wise maxima, so union is associative,
+    commutative AND idempotent — merged state estimates equal the
+    from-scratch rebuild's exactly, and replayed batches are no-ops
+    (pinned in tests).
+
+    Output schema matches :func:`sketch_rollup`.
+    """
+    cols = [*group_cols, "sketch"]
+    agg = (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+    return agg.withColumn(
+        "estimate", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+
+def ks_drift(
+    old: "DataFrame",
+    new: "DataFrame",
+    value_col: str,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """EXACT two-sample Kolmogorov-Smirnov statistic between snapshots
+    — the nonparametric companion to :func:`psi_drift` (PSI needs a
+    bucket count choice; KS is the sup of |CDF_old - CDF_new| over the
+    actual data and detects any distributional change, with the
+    classical null quantiles available for thresholding).
+
+    The scalable part is the global cumulative sum the CDFs need:
+    NEVER a single-partition window over the data. The per-value count
+    frame (distinct values x 2 counts — the only data-sized frame) is
+    range-bucketed by driver-literal quantile edges, cumsummed with a
+    window over each bucket shard (parallel, bounded), and the
+    per-bucket totals (n_buckets rows) are offset-cumsummed and
+    broadcast back — the same two-level pattern as
+    curation.token_budget_mix. The sup and its location come from one
+    max(struct) aggregate.
+
+    Output: one row — ks_stat (6dp), at_value (the smallest value
+    achieving the sup), n_old, n_new.
+    """
+    def side(df, name):
+        return (
+            df.select(F.col(value_col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    counts = (
+        side(old, "c_old")
+        .join(side(new, "c_new"), "v", "full_outer")
+        .na.fill({"c_old": 0, "c_new": 0})
+    )
+    tot = counts.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    ).first()
+    n_old, n_new = int(tot["n_old"] or 0), int(tot["n_new"] or 0)
+    if n_old == 0 or n_new == 0:
+        raise ValueError("ks_drift: both snapshots need non-null values")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = counts.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    edges = sorted({float(x) for x in edges_row["e"]})
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(b)
+    bucketed = counts.withColumn("bucket", b)
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = bucketed.select(
+        "bucket", "v",
+        F.sum("c_old").over(w).alias("cum_old"),
+        F.sum("c_new").over(w).alias("cum_new"),
+    )
+    btot = bucketed.groupBy("bucket").agg(
+        F.sum("c_old").alias("bo"), F.sum("c_new").alias("bn")
+    )
+    bw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-partition window over <= n_buckets rows — bounded
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bo").over(bw), F.lit(0)).alias("off_old"),
+        F.coalesce(F.sum("bn").over(bw), F.lit(0)).alias("off_new"),
+    )
+    diff = (
+        (F.col("off_old") + F.col("cum_old")) / F.lit(float(n_old))
+        - (F.col("off_new") + F.col("cum_new")) / F.lit(float(n_new))
+    )
+    best = cum.join(F.broadcast(offsets), "bucket").select(
+        F.abs(diff).alias("d"), "v"
+    ).agg(
+        F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"))).alias("m")
+    )
+    return best.select(
+        F.round(F.col("m.d"), 6).alias("ks_stat"),
+        (-F.col("m.nv")).alias("at_value"),
+        F.lit(n_old).alias("n_old"),
+        F.lit(n_new).alias("n_new"),
+    )
+
+
+def cm_sketch_build(
+    df: "DataFrame",
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> "DataFrame":
+    """Count-Min sketch of key frequencies (Cormode & Muthukrishnan
+    2005, public) — the bounded-memory approximate count table for
+    UNBOUNDED key domains: depth x width counters regardless of
+    cardinality, estimates never undercount, overcount bounded by
+    n/width per row with high probability. The linear-sketch
+    counterpart of the HLL rollup (counts instead of distincts).
+
+    Hashing is the repo's portable md5 scheme (functions/hashing), so
+    a DuckDB oracle reproduces every counter exactly. The d-way fan-out
+    happens BEFORE a map-side-combined count, so the exchange carries
+    at most depth x width rows per map task, never data-sized.
+
+    Output: (j, bucket, cnt) — the counter table, <= depth*width rows.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    rows = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("j"),
+    )
+    bucket = F.pmod(
+        md5_long(
+            F.concat_ws("|", F.lit("cm"), F.col("j").cast("string"),
+                        F.col("k"))
+        ),
+        F.lit(width),
+    )
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_sketch_merge(a: "DataFrame", b: "DataFrame") -> "DataFrame":
+    """Merge two Count-Min tables (same width/depth/hash contract):
+    counters ADD — CM is a linear sketch, so merged state equals the
+    sketch of the concatenated data EXACTLY (not just approximately;
+    pinned in tests). The incremental-maintenance path for streaming
+    frequency state."""
+    return (
+        a.select("j", "bucket", "cnt")
+        .unionByName(b.select("j", "bucket", "cnt"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_sketch_estimate(
+    cm: "DataFrame",
+    keys_df: "DataFrame",
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> "DataFrame":
+    """Point-estimate key frequencies from a Count-Min table: for each
+    key, min over the depth rows of its counters (absent counter = 0).
+    The counter table (<= depth*width rows) broadcasts; the keys frame
+    never shuffles beyond its own dedup.
+
+    Output: (key, est) — est >= true count always; est - true bounded
+    by the sketch's collision mass.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    keys = keys_df.select(
+        F.col(key_col).cast("string").alias("key")
+    ).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            md5_long(
+                F.concat_ws("|", F.lit("cm"), F.col("j").cast("string"),
+                            F.col("key"))
+            ),
+            F.lit(width),
+        ),
+    )
+    joined = probes.join(F.broadcast(cm), ["j", "bucket"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy("key").agg(F.min("cnt").alias("est"))

@@ -360,3 +360,59 @@ def test_dedup_survival_uses_prefix_join(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in plan, plan
+
+
+def test_quantile_rollup_single_exchange(spark, sf_dir):
+    """The fine-grain sketch build is ONE keyed exchange: the bottom-k
+    window's HashPartitioning is reused by the collect_list agg on the
+    same keys — no second shuffle, and the collected state is capped at
+    k rows per group by the window filter before the agg."""
+    from indexlab_spark.operators.analytics import quantile_sketch_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        quantile_sketch_rollup(ev, ["event_type"], "value", "event_id", k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    shuffles = sum(
+        1 for l in lines
+        if "Exchange" in l and "ReusedExchange" not in l
+        and "BroadcastExchange" not in l
+    )
+    assert shuffles == 1, plan
+
+
+def test_skew_and_explosion_use_take_ordered(spark, sf_dir):
+    """Top-n hottest keys must compile to TakeOrderedAndProject
+    (distributed partial top-k over the key-count frame), never a
+    global single-partition sort of all keys; the only unpartitioned
+    Window allowed is the rank assignment over the <= top_n-row
+    result."""
+    from indexlab_spark.operators.analytics import (
+        join_explosion_report,
+        skew_report,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for df in (
+        skew_report(ev, ["user_id"], top_n=5),
+        join_explosion_report(ev, ev, ["user_id"], top_n=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_transition_matrix_totals_broadcast(spark, sf_dir):
+    """After the per-sequence lag window, every frame is bounded by
+    distinct state pairs: the P(to|from) normalization must join the
+    totals back as a BROADCAST, never a shuffled row-level join."""
+    from indexlab_spark.operators.analytics import transition_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        transition_matrix(ev, "user_id", "ts", "event_type")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

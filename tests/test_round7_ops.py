@@ -341,3 +341,130 @@ def test_triangle_count_matches_bruteforce_on_random_graph(spark):
     r = _tri(spark, edges)
     assert r["n_triangles"] == expected
     assert r["n_edges"] == len(edges)
+
+
+def test_sketch_rollup_merge_equals_rebuild_and_replay(spark, sf_dir):
+    """HLL union is associative and idempotent: merged old+batch state
+    must estimate identically to a from-scratch rebuild, and re-merging
+    an already-merged batch must change nothing."""
+    from indexlab_spark.operators.analytics import (
+        sketch_rollup,
+        sketch_rollup_merge,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = ev.filter(F.col("event_id") % 4 != 0)
+    batch = ev.filter(F.col("event_id") % 4 == 0)
+    merged = sketch_rollup_merge(
+        sketch_rollup(old, ["event_type"], "user_id"),
+        sketch_rollup(batch, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+    rebuilt = sketch_rollup(ev, ["event_type"], "user_id")
+    est = lambda df: {  # noqa: E731
+        r["event_type"]: r["estimate"] for r in df.collect()
+    }
+    assert est(merged) == est(rebuilt) and len(est(merged)) > 0
+    replayed = sketch_rollup_merge(
+        merged, sketch_rollup(batch, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+    assert est(replayed) == est(merged)
+
+
+# ---------------------------------------------------------------- KS drift
+
+
+def test_ks_drift_identity_is_zero_and_shift_detected(spark, sf_dir):
+    from indexlab_spark.operators.analytics import ks_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    same = ks_drift(docs, docs, "n_chars").collect()[0]
+    assert same["ks_stat"] == 0.0
+    shifted = docs.withColumn("n_chars", F.col("n_chars") + 200)
+    moved = ks_drift(docs, shifted, "n_chars").collect()[0]
+    assert moved["ks_stat"] > 0.3
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    """Exact KS vs a direct numpy two-sample computation."""
+    import numpy as np
+
+    from indexlab_spark.operators.analytics import ks_drift
+
+    a = [float(x) for x in [1, 1, 2, 3, 5, 8, 13, 21, 34, 55]]
+    b = [float(x) for x in [2, 3, 3, 4, 6, 9, 14, 22, 40, 80, 100]]
+    old = spark.createDataFrame([(x,) for x in a], "v double")
+    new = spark.createDataFrame([(x,) for x in b], "v double")
+    got = ks_drift(old, new, "v", n_buckets=4).collect()[0]
+    xs = np.sort(np.unique(np.array(a + b)))
+    f_old = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    f_new = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    want = float(np.max(np.abs(f_old - f_new)))
+    assert abs(got["ks_stat"] - round(want, 6)) < 1e-9
+    assert got["n_old"] == 10 and got["n_new"] == 11
+    # at_value is the smallest value achieving the sup
+    best = xs[np.abs(np.abs(f_old - f_new) - want) < 1e-12]
+    assert got["at_value"] == float(best.min())
+
+
+def test_ks_drift_empty_side_raises(spark):
+    from indexlab_spark.operators.analytics import ks_drift
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError):
+        ks_drift(df, empty, "v")
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+def test_cm_sketch_never_undercounts_and_is_tight_here(spark, sf_dir):
+    from indexlab_spark.operators.analytics import (
+        cm_sketch_build,
+        cm_sketch_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cm = cm_sketch_build(ev, "event_type")
+    est = {
+        r["key"]: r["est"]
+        for r in cm_sketch_estimate(cm, ev, "event_type").collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n = sum(true.values())
+    for k, t in true.items():
+        assert est[k] >= t, f"{k}: CM undercounted"
+        assert est[k] - t <= 2 * n / 1024 + 1, f"{k}: overcount beyond bound"
+
+
+def test_cm_sketch_merge_is_exactly_linear(spark, sf_dir):
+    from indexlab_spark.operators.analytics import (
+        cm_sketch_build,
+        cm_sketch_merge,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = cm_sketch_merge(
+        cm_sketch_build(a, "event_type"), cm_sketch_build(b, "event_type")
+    )
+    rebuilt = cm_sketch_build(ev, "event_type")
+    m = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    r2 = {(r["j"], r["bucket"]): r["cnt"] for r in rebuilt.collect()}
+    assert m == r2 and len(m) > 0
+
+
+def test_cm_sketch_bounded_size(spark, sf_dir):
+    from indexlab_spark.operators.analytics import cm_sketch_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cm = cm_sketch_build(ev, "user_id", width=64, depth=3)
+    assert cm.count() <= 64 * 3
