@@ -4332,6 +4332,36 @@ def _q_cm_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_sketch_estimate(cm, ev, "event_type")
 
 
+def _q_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend (analytics.segment_trend): slope/
+    intercept/R^2 of event value over the DAY INDEX per event_type, one
+    map-side-combined regr_* aggregation — which segments trend
+    up/down, fitted without any per-group driver work. The x axis is
+    days-since-2024-01-01 rather than epoch seconds: regr moments
+    square x, and 1e9-scale seconds would push x^2 sums past double
+    precision where the two engines' last-ulp rounding could diverge at
+    the 6dp compare."""
+    from indexlab_spark.operators.analytics import segment_trend
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "day_idx",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")),
+    )
+    return segment_trend(ev, ["event_type"], "day_idx", "value")
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse breadth — RFM customer segmentation
+    (analytics.rfm_segments): recency/frequency/monetary quintile
+    scores per customer from exact percentile EDGES (driver literals),
+    never a global ntile sort; ties land in the lower bucket on both
+    engines, which is what makes the assignment hash-checkable."""
+    from indexlab_spark.operators.analytics import rfm_segments
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return rfm_segments(orders)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4409,15 +4439,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r8 window plan (pinned per the standing invariants:
         # never-attested entries first, then oldest-attestation
-        # backfill): after the 12 anchors, slots 13-20 take the 8
+        # backfill): after the 12 anchors, slots 13-22 take the 10
         # round-7 oracle-backed additions (quantile_rollup,
         # skew_orders, event_transitions, quantile_incremental,
-        # join_explosion, order_triangles, ks_drift, cm_event_counts —
-        # sim-green only, no driver row yet), slots 21-41 the 21
-        # remaining r04-green entries below (bpe_token_counts ..
-        # repetition — 4 rounds stale by r8), slots 42-50 the first 9
-        # of the r05 block (tfidf_topterms .. events_stream_daily,
-        # registry order).
+        # join_explosion, order_triangles, ks_drift, cm_event_counts,
+        # segment_trend, rfm_segments — sim-green only, no driver row
+        # yet), slots 23-43 the 21 remaining r04-green entries below
+        # (bpe_token_counts .. repetition — 4 rounds stale by r8),
+        # slots 44-50 the first 7 of the r05 block (tfidf_topterms ..
+        # top_supplier_revenue, registry order).
         # r9 takes the rest of the r05 block plus the oldest of the
         # "last green r06/r07" blocks; by r9 every oracle-backed entry
         # will have a driver row no older than 3 rounds.
@@ -4536,6 +4566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_triangles": _q_order_triangles,
         "ks_drift": _q_ks_drift,
         "cm_event_counts": _q_cm_event_counts,
+        "segment_trend": _q_segment_trend,
+        "rfm_segments": _q_rfm_segments,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "chunk_sentences": _q_chunk_sentences,
@@ -5828,6 +5860,60 @@ def oracle_sql() -> dict[str, str]:
                               / (SELECT sum(d * (d - 1) // 2) FROM deg)
                          ELSE 0.0 END, 6) AS global_clustering
             FROM tri
+        """,
+        "rfm_segments": """
+            WITH pc AS (SELECT o_custkey AS cust,
+                               max(CAST(o_orderdate AS DATE)) AS last_order,
+                               count(*) AS frequency,
+                               sum(CAST(o_totalprice AS DOUBLE)) AS monetary
+                        FROM orders GROUP BY 1),
+            a AS (SELECT max(last_order) AS anchor FROM pc),
+            pc2 AS (SELECT cust,
+                           date_diff('day', last_order, anchor)
+                               AS recency_days,
+                           frequency, monetary
+                    FROM pc, a),
+            e AS (SELECT
+                    quantile_cont(-recency_days, [0.2, 0.4, 0.6, 0.8]) AS r,
+                    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS f,
+                    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS m
+                  FROM pc2),
+            s AS (SELECT cust, recency_days, frequency,
+                         round(monetary, 2) AS monetary,
+                         1 + (CASE WHEN -recency_days > r[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN -recency_days > r[2] THEN 1 ELSE 0 END)
+                           + (CASE WHEN -recency_days > r[3] THEN 1 ELSE 0 END)
+                           + (CASE WHEN -recency_days > r[4] THEN 1 ELSE 0 END)
+                             AS r_score,
+                         1 + (CASE WHEN frequency > f[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN frequency > f[2] THEN 1 ELSE 0 END)
+                           + (CASE WHEN frequency > f[3] THEN 1 ELSE 0 END)
+                           + (CASE WHEN frequency > f[4] THEN 1 ELSE 0 END)
+                             AS f_score,
+                         1 + (CASE WHEN monetary > m[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN monetary > m[2] THEN 1 ELSE 0 END)
+                           + (CASE WHEN monetary > m[3] THEN 1 ELSE 0 END)
+                           + (CASE WHEN monetary > m[4] THEN 1 ELSE 0 END)
+                             AS m_score
+                  FROM pc2, e)
+            SELECT cust, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   concat(r_score, f_score, m_score) AS rfm
+            FROM s
+        """,
+        "segment_trend": """
+            WITH d AS (SELECT event_type,
+                              CAST(date_diff('day', DATE '2024-01-01',
+                                             CAST(ts AS DATE)) AS DOUBLE)
+                                  AS x,
+                              CAST(value AS DOUBLE) AS y
+                       FROM events)
+            SELECT event_type,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2,
+                   CAST(regr_count(y, x) AS BIGINT) AS n
+            FROM d GROUP BY 1
         """,
         "ks_drift": """
             WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v

@@ -431,7 +431,8 @@ def main() -> None:
                  # plan shape documented in PLANS.md round 7)
                  "quantile_rollup", "skew_orders", "event_transitions",
                  "pca_embeddings", "quantile_incremental",
-                 "join_explosion", "ks_drift", "cm_event_counts"):
+                 "join_explosion", "ks_drift", "cm_event_counts",
+                 "segment_trend", "rfm_segments"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

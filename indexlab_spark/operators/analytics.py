@@ -1108,3 +1108,149 @@ def cm_sketch_estimate(
         {"cnt": 0}
     )
     return joined.groupBy("key").agg(F.min("cnt").alias("est"))
+
+
+def segment_trend(
+    df: "DataFrame",
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> "DataFrame":
+    """Per-segment ordinary-least-squares trend — slope, intercept, R^2
+    and n for every group in ONE map-side-combined aggregation (the
+    regr_* aggregates are sum-of-moments state, so the exchange carries
+    one moment tuple per group, never rows). The monitoring question
+    this answers at 100 TB: which segments are trending up/down, and
+    how well does a line explain them — without ever fitting per-group
+    models driver-side.
+
+    Groups with zero x-variance return NULL slope/intercept/r2 (the
+    SQL-standard regr_* behavior in both engines).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+def sketch_overlap(
+    rollup_a: "DataFrame",
+    rollup_b: "DataFrame",
+    group_cols: list[str],
+) -> "DataFrame":
+    """Estimate per-group set OVERLAP between two HLL sketch-rollup
+    tables (audience/corpus intersection without re-reading either
+    side): inclusion-exclusion over mergeable sketches —
+    |A ∩ B| ≈ |A| + |B| - |A ∪ B|, with the union estimated by
+    hll_union of the stored sketches. Everything is sketch-frame-sized.
+
+    Inclusion-exclusion compounds the HLL error of three estimates, so
+    the intersection estimate is clamped at 0 and should be read with
+    ~3x the single-sketch relative error (bounds pinned in tests).
+    Output: group_cols + est_a, est_b, est_union, est_intersection,
+    jaccard_est (6dp).
+    """
+    a = rollup_a.select(
+        *group_cols,
+        F.col("sketch").alias("sk_a"),
+        F.col("estimate").alias("est_a"),
+    )
+    b = rollup_b.select(
+        *group_cols,
+        F.col("sketch").alias("sk_b"),
+        F.col("estimate").alias("est_b"),
+    )
+    j = a.join(b, list(group_cols))
+    union_est = F.hll_sketch_estimate(
+        F.hll_union("sk_a", "sk_b")
+    ).cast("long")
+    out = j.select(
+        *group_cols,
+        "est_a",
+        "est_b",
+        union_est.alias("est_union"),
+    ).withColumn(
+        "est_intersection",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ),
+    )
+    return out.withColumn(
+        "jaccard_est",
+        F.round(
+            F.when(
+                F.col("est_union") > 0,
+                F.col("est_intersection") / F.col("est_union"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+def rfm_segments(
+    orders: "DataFrame",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> "DataFrame":
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse scoring, shaped for scale: scores come from exact
+    PERCENTILE EDGES over the per-customer frame, NOT ntile(), because
+    a global ntile is a single-partition sort of every customer. Here:
+    one keyed agg to the per-customer (recency_days, frequency,
+    monetary) frame, one 3x(n_tiles-1)-scalar percentile agg whose
+    edges come back as driver literals, then a map-only bucket compare.
+    Ties land in the lower bucket on both engines (score = 1 + count of
+    edges strictly below the value), so the assignment is deterministic
+    and oracle-checkable, unlike ntile's position-dependent splits.
+
+    Scores are 1..n_tiles, higher = better (more recent / more
+    frequent / more spend). Output: cust + recency_days + frequency +
+    monetary + r_score + f_score + m_score + rfm (the concatenated
+    segment label).
+    """
+    per_cust = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(F.col(date_col).cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("double")).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("a")).first()["a"]
+    if anchor is None:
+        raise ValueError("rfm_segments: no orders")
+    per_cust = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.lit(anchor).cast("date"), F.col("last_order")),
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    qlist = ", ".join(str(q) for q in qs)
+    edges_row = per_cust.agg(
+        F.expr(f"percentile(-recency_days, array({qlist}))").alias("r"),
+        F.expr(f"percentile(frequency, array({qlist}))").alias("f"),
+        F.expr(f"percentile(monetary, array({qlist}))").alias("m"),
+    ).first()
+
+    def score(col, edges):
+        s = F.lit(1)
+        for e in edges:
+            s = s + F.when(col > F.lit(float(e)), 1).otherwise(0)
+        return s
+
+    out = per_cust.select(
+        "cust",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        score(-F.col("recency_days"), edges_row["r"]).alias("r_score"),
+        score(F.col("frequency"), edges_row["f"]).alias("f_score"),
+        score(F.col("monetary"), edges_row["m"]).alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm",
+        F.concat_ws("", "r_score", "f_score", "m_score"),
+    )

@@ -370,3 +370,30 @@ def sliding_window_counts(
             "sum_value",
         )
     )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment — the most common production streaming
+    shape: attach dimension attributes to a live stream. The static
+    side is explicitly broadcast, so each micro-batch plans a
+    BroadcastHashJoin (map-only per batch, no stream-side shuffle, no
+    state store) — the stream-static join never needs watermarks
+    because the static side is bounded by definition. Spark re-resolves
+    the static relation per micro-batch, so a dim table updated between
+    triggers is picked up (snapshot-per-batch semantics, the documented
+    stream-static contract).
+
+    Inner/left only: right/outer would make unmatched DIM rows emit
+    once per micro-batch, which is never the intended semantics.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"enrich_stream: how must be 'left' or 'inner', got {how!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream_df.join(F.broadcast(dim_df), keys, how)

@@ -468,3 +468,131 @@ def test_cm_sketch_bounded_size(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cm = cm_sketch_build(ev, "user_id", width=64, depth=3)
     assert cm.count() <= 64 * 3
+
+
+# ---------------------------------------------------------------- trends
+
+
+def test_segment_trend_exact_lines_and_degenerate_groups(spark):
+    from indexlab_spark.operators.analytics import segment_trend
+
+    rows = (
+        [("a", float(x), 2.0 * x + 1.0) for x in range(5)]
+        + [("b", float(x), -0.5 * x + 3.0) for x in range(4)]
+        + [("c", 1.0, 7.0), ("c", 1.0, 9.0)]  # zero x-variance
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in segment_trend(df, ["g"], "x", "y").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 1.0
+    assert out["a"]["r2"] == 1.0 and out["a"]["n"] == 5
+    assert out["b"]["slope"] == -0.5 and out["b"]["intercept"] == 3.0
+    assert out["c"]["slope"] is None  # zero-variance group
+
+
+# ---------------------------------------------------------------- overlap
+
+
+def test_sketch_overlap_estimates_within_bounds(spark, sf_dir):
+    """Planted overlap: sides share exactly the users with
+    user_id % 3 == 0; inclusion-exclusion over HLL sketches must land
+    within ~3x single-sketch error of the true intersection."""
+    from indexlab_spark.operators.analytics import (
+        sketch_overlap,
+        sketch_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter((F.col("user_id") % 3 == 0) | (F.col("user_id") % 3 == 1))
+    b = ev.filter((F.col("user_id") % 3 == 0) | (F.col("user_id") % 3 == 2))
+    out = sketch_overlap(
+        sketch_rollup(a, ["event_type"], "user_id"),
+        sketch_rollup(b, ["event_type"], "user_id"),
+        ["event_type"],
+    ).collect()
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("user_id") % 3 == 0)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        t = true.get(r["event_type"], 0)
+        tol = 3 * 0.026 * max(r["est_union"], 1) + 2  # lgK=12 rse~2.6%
+        assert abs(r["est_intersection"] - t) <= tol, (
+            f"{r['event_type']}: est {r['est_intersection']} vs true {t}"
+        )
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+
+
+# ---------------------------------------------------------------- enrich
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, tmp_path):
+    from indexlab_spark.streaming.events import (
+        enrich_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive")],
+        "event_type string, kind string",
+    )
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = enrich_stream(stream, dim, "event_type")
+    q = run_stream_to_memory(enriched, "enrich_t", output_mode="append")
+    got = spark.table("enrich_t").groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from indexlab_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    want = ev.join(F.broadcast(dim), "event_type", "left").groupBy(
+        "kind"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g = {r["kind"]: r["n"] for r in got.collect()}
+    w = {r["kind"]: r["n"] for r in want.collect()}
+    assert g == w and sum(w.values()) == ev.count()
+    with pytest.raises(ValueError):
+        enrich_stream(stream, dim, "event_type", how="full")
+
+
+# ---------------------------------------------------------------- RFM
+
+
+def test_rfm_scores_monotone_and_tie_stable(spark):
+    from indexlab_spark.operators.analytics import rfm_segments
+
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for c in range(10):
+        # customer c: c+1 orders, last order base + c days, spend 100*(c+1)
+        for k in range(c + 1):
+            rows.append((c, base + dt.timedelta(days=c), 100.0 * (c + 1)))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r["cust"]: r for r in rfm_segments(df).collect()}
+    # most recent + most frequent + biggest spender gets the top label
+    assert out[9]["r_score"] == 5 and out[9]["f_score"] == 5
+    assert out[9]["m_score"] == 5 and out[9]["rfm"] == "555"
+    assert out[0]["r_score"] == 1 and out[0]["f_score"] == 1
+    # monotone: better recency never lowers r_score
+    for a in range(9):
+        assert out[a]["r_score"] <= out[a + 1]["r_score"]
+    # recency_days anchored at the global max order date
+    assert out[9]["recency_days"] == 0 and out[0]["recency_days"] == 9
+
+
+def test_rfm_empty_raises(spark):
+    from indexlab_spark.operators.analytics import rfm_segments
+
+    empty = spark.createDataFrame(
+        [], "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    with pytest.raises(ValueError):
+        rfm_segments(empty)
