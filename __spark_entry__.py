@@ -4362,6 +4362,25 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(orders)
 
 
+def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-parity windowFunnel (analytics.window_funnel): per
+    user, the deepest view -> click -> purchase level completed within
+    one hour of the chain's anchor — the time-bounded variant of
+    events_funnel. Spark runs the per-user O(n*k) DP scan (the
+    scalable formulation); the oracle proves the SEMANTICS with a
+    completely different one — EXISTS-chain triple joins — so the hash
+    match attests chain-existence equivalence, not implementation
+    echo. Output is the funnel summary: users per level."""
+    from indexlab_spark.operators.analytics import window_funnel
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    lv = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], 3600,
+    )
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4439,15 +4458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r8 window plan (pinned per the standing invariants:
         # never-attested entries first, then oldest-attestation
-        # backfill): after the 12 anchors, slots 13-22 take the 10
+        # backfill): after the 12 anchors, slots 13-23 take the 11
         # round-7 oracle-backed additions (quantile_rollup,
         # skew_orders, event_transitions, quantile_incremental,
         # join_explosion, order_triangles, ks_drift, cm_event_counts,
-        # segment_trend, rfm_segments — sim-green only, no driver row
-        # yet), slots 23-43 the 21 remaining r04-green entries below
-        # (bpe_token_counts .. repetition — 4 rounds stale by r8),
-        # slots 44-50 the first 7 of the r05 block (tfidf_topterms ..
-        # top_supplier_revenue, registry order).
+        # segment_trend, rfm_segments, window_funnel — sim-green only,
+        # no driver row yet), slots 24-44 the 21 remaining r04-green
+        # entries below (bpe_token_counts .. repetition — 4 rounds
+        # stale by r8), slots 45-50 the first 6 of the r05 block
+        # (tfidf_topterms .. benchmark_overlap, registry order).
         # r9 takes the rest of the r05 block plus the oldest of the
         # "last green r06/r07" blocks; by r9 every oracle-backed entry
         # will have a driver row no older than 3 rounds.
@@ -4568,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_event_counts": _q_cm_event_counts,
         "segment_trend": _q_segment_trend,
         "rfm_segments": _q_rfm_segments,
+        "window_funnel": _q_window_funnel,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "chunk_sentences": _q_chunk_sentences,
@@ -5914,6 +5934,35 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(y, x), 6) AS r2,
                    CAST(regr_count(y, x) AS BIGINT) AS n
             FROM d GROUP BY 1
+        """,
+        # EXISTS-chain formulation — deliberately a DIFFERENT algorithm
+        # than the Spark per-user DP scan (see _q_window_funnel).
+        "window_funnel": """
+            WITH v AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            c AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            l3 AS (SELECT DISTINCT v.user_id
+                   FROM v JOIN c ON c.user_id = v.user_id
+                                AND c.ts > v.ts
+                          JOIN p ON p.user_id = v.user_id
+                                AND p.ts > c.ts
+                                AND p.ts <= v.ts + INTERVAL 3600 SECOND),
+            l2 AS (SELECT DISTINCT v.user_id
+                   FROM v JOIN c ON c.user_id = v.user_id
+                                AND c.ts > v.ts
+                                AND c.ts <= v.ts + INTERVAL 3600 SECOND),
+            l1 AS (SELECT DISTINCT user_id FROM v),
+            lv AS (SELECT user_id,
+                          CASE WHEN user_id IN (SELECT user_id FROM l3)
+                                   THEN 3
+                               WHEN user_id IN (SELECT user_id FROM l2)
+                                   THEN 2
+                               ELSE 1 END AS level
+                   FROM l1)
+            SELECT level, count(*) AS n_users FROM lv GROUP BY 1
         """,
         "ks_drift": """
             WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v

@@ -432,7 +432,7 @@ def main() -> None:
                  "quantile_rollup", "skew_orders", "event_transitions",
                  "pca_embeddings", "quantile_incremental",
                  "join_explosion", "ks_drift", "cm_event_counts",
-                 "segment_trend", "rfm_segments"):
+                 "segment_trend", "rfm_segments", "window_funnel"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

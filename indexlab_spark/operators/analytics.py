@@ -1254,3 +1254,103 @@ def rfm_segments(
         "rfm",
         F.concat_ws("", "r_score", "f_score", "m_score"),
     )
+
+
+def window_funnel(
+    df: "DataFrame",
+    seq_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list[str],
+    window_seconds: int,
+) -> "DataFrame":
+    """ClickHouse-style ``windowFunnel``: per sequence (user), the
+    deepest funnel level k such that there EXISTS a strictly
+    time-increasing chain steps[0] < steps[1] < ... < steps[k-1] whose
+    last event falls within ``window_seconds`` of its FIRST (the
+    anchor). This is the time-bounded variant of the repo's
+    events_funnel (which has no window constraint) — "did the user
+    view -> click -> purchase within an hour", not just "eventually".
+
+    Exact semantics via a per-sequence O(n * k) scan (Arrow
+    applyInPandas, events sorted per user): dynamic programming where
+    A[i] holds the MAXIMUM anchor timestamp over all valid chains
+    reaching step i — maximizing the anchor is optimal because it
+    maximizes remaining window slack, so reachability under the DP
+    equals chain-existence (pinned against a brute-force
+    enumerate-all-chains reference, including equal-timestamp batches,
+    which update from the pre-batch state so a chain can never use two
+    events at the same instant). The per-user payload is that user's
+    step events only — the naive alternative, a k-way self-join, fans
+    out combinatorially on active users, which is why ClickHouse also
+    runs the scan.
+
+    Output: (seq_col, level) — one row per sequence that has at least
+    one step event; level in [1, len(steps)].
+    """
+    import pandas as pd
+
+    if not steps:
+        raise ValueError("window_funnel: steps must be non-empty")
+    step_ix = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    # integer MICROseconds throughout: int64 nanos (~1.7e18) exceed
+    # float64's 2^53 exact range, and a lossy cast could flip a
+    # window-boundary or equal-timestamp compare vs the SQL oracle
+    w = int(window_seconds) * 1_000_000
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in pdf.groupby("_seq", sort=False):
+            ts = (
+                pd.to_datetime(g["_ts"]).astype("int64").to_numpy() // 1000
+            )
+            ix = g["_ix"].to_numpy()
+            order = ts.argsort(kind="mergesort")
+            ts, ix = ts[order], ix[order]
+            best = [None] * k  # A[i]: max anchor reaching step i+1
+            i = 0
+            n = len(ts)
+            while i < n:
+                j = i
+                while j < n and ts[j] == ts[i]:
+                    j += 1
+                prev = list(best)  # ties update from pre-batch state
+                for e in range(i, j):
+                    s = int(ix[e])
+                    t = ts[e]
+                    if s == 0:
+                        if best[0] is None or t > best[0]:
+                            best[0] = t
+                    elif prev[s - 1] is not None and t - prev[s - 1] <= w:
+                        a = prev[s - 1]
+                        if best[s] is None or a > best[s]:
+                            best[s] = a
+                i = j
+            level = 0
+            for i2 in range(k):
+                if best[i2] is not None:
+                    level = i2 + 1
+            if level:
+                out.append((key, level))
+        return pd.DataFrame(out, columns=["seq", "level"]) if out else (
+            pd.DataFrame({"seq": pd.Series([], dtype="int64"),
+                          "level": pd.Series([], dtype="int32")})
+        )
+
+    ev = (
+        df.filter(F.col(state_col).isin(*steps))
+        .select(
+            F.col(seq_col).alias("_seq"),
+            F.col(ts_col).alias("_ts"),
+            F.coalesce(
+                *[
+                    F.when(F.col(state_col) == s, F.lit(i))
+                    for s, i in step_ix.items()
+                ]
+            ).alias("_ix"),
+        )
+    )
+    return ev.groupBy("_seq").applyInPandas(
+        fn, schema=f"seq long, level int"
+    ).withColumnRenamed("seq", seq_col)

@@ -355,3 +355,68 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def expire_versions(
+    spark: SparkSession,
+    chunks_path: str,
+    manifests_path: str,
+    keep_n: int = 2,
+) -> dict:
+    """Snapshot retention for the versioned index store (the
+    Delta/Iceberg `VACUUM` / snapshot-expiration analog for the plain
+    partitioned layout): per index_name, keep the ``keep_n`` most
+    recent versions (ordered by created_at then version, the catalog's
+    latest-wins order) and delete the older partition directories plus
+    their manifest rows.
+
+    Deletion is directory-level via the Hadoop FileSystem API —
+    partition pruning in reverse: nothing data-sized is ever read. The
+    manifests table is rewritten to a staging path first and swapped
+    via the materialized copy (same write-stage-swap discipline as the
+    streaming quantile state: never overwrite a path a lazy plan is
+    still reading).
+
+    Returns {"deleted": [(index_name, version), ...], "kept": n}.
+    Refuses keep_n < 1 (deleting every version is never retention).
+    """
+    if keep_n < 1:
+        raise ValueError(f"expire_versions: keep_n must be >= 1, got {keep_n}")
+    manifests = spark.read.parquet(manifests_path)
+    ranked = manifests.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("index_name").orderBy(
+                F.desc("created_at"), F.desc("version")
+            )
+        ),
+    )
+    doomed = [
+        (r["index_name"], r["version"])
+        for r in ranked.filter(F.col("_rk") > keep_n)
+        .select("index_name", "version")
+        .collect()
+    ]  # bounded: one row per (index, version) pair, catalog-sized
+    if not doomed:
+        return {"deleted": [], "kept": manifests.count()}
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for name, version in doomed:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{chunks_path}/index_name={name}/version={version}"
+        )
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    survivors = ranked.filter(F.col("_rk") <= keep_n).drop("_rk")
+    staging = manifests_path.rstrip("/") + "__staging"
+    survivors.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(
+        manifests_path
+    )
+    return {
+        "deleted": doomed,
+        "kept": spark.read.parquet(manifests_path).count(),
+    }

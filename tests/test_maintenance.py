@@ -270,3 +270,56 @@ if _HAVE_HYP:
                 z |= ((rx >> b) & 1) << (2 * b)
                 z |= ((ry >> b) & 1) << (2 * b + 1)
             assert got[i] == z, (i, got[i], z)
+
+
+def test_expire_versions_keeps_latest_and_deletes_dirs(spark, tmp_path):
+    """Snapshot retention: older versions' partition directories vanish,
+    the latest keep_n survive and stay readable, manifests rewrite to
+    the survivors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.maintenance import expire_versions
+
+    chunks = str(tmp_path / "chunks")
+    manifests = str(tmp_path / "manifests")
+    rows = []
+    for idx in ("a", "b"):
+        for v in ("v1", "v2", "v3"):
+            rows += [(idx, v, i, f"{idx}-{v}-{i}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "index_name string, version string, pos int, text string"
+    )
+    df.write.partitionBy("index_name", "version").parquet(chunks)
+    spark.createDataFrame(
+        [
+            (idx, v, f"2024-01-0{n}")
+            for idx in ("a", "b")
+            for n, v in enumerate(("v1", "v2", "v3"), start=1)
+        ],
+        "index_name string, version string, created_at string",
+    ).write.parquet(manifests)
+
+    out = expire_versions(spark, chunks, manifests, keep_n=2)
+    assert sorted(out["deleted"]) == [("a", "v1"), ("b", "v1")]
+    assert out["kept"] == 4
+    assert not os.path.exists(f"{chunks}/index_name=a/version=v1")
+    assert os.path.exists(f"{chunks}/index_name=a/version=v3")
+    # survivors still readable with correct rows
+    left = spark.read.parquet(chunks)
+    assert left.count() == 20
+    assert left.filter(F.col("version") == "v1").count() == 0
+    mf = spark.read.parquet(manifests)
+    assert mf.count() == 4
+    assert mf.filter(F.col("version") == "v1").count() == 0
+
+    # keep_n=1 expires one more round; keep_n<1 refused
+    out2 = expire_versions(spark, chunks, manifests, keep_n=1)
+    assert sorted(out2["deleted"]) == [("a", "v2"), ("b", "v2")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expire_versions(spark, chunks, manifests, keep_n=0)
+    # no-op when nothing to expire
+    assert expire_versions(spark, chunks, manifests, keep_n=5)["deleted"] == []

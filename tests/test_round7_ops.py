@@ -596,3 +596,112 @@ def test_rfm_empty_raises(spark):
     )
     with pytest.raises(ValueError):
         rfm_segments(empty)
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _wf(spark, rows, steps, w):
+    from indexlab_spark.operators.analytics import window_funnel
+
+    df = spark.createDataFrame(rows, "uid long, t timestamp, s string")
+    return {
+        r["uid"]: r["level"]
+        for r in window_funnel(df, "uid", "t", "s", steps, w).collect()
+    }
+
+
+def _ts(sec):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_window_funnel_basic_and_window_cut(spark):
+    steps = ["view", "click", "buy"]
+    rows = [
+        # user 1: full chain inside 100s
+        (1, _ts(0), "view"), (1, _ts(50), "click"), (1, _ts(90), "buy"),
+        # user 2: buy falls outside the window of the only anchor
+        (2, _ts(0), "view"), (2, _ts(50), "click"), (2, _ts(150), "buy"),
+        # user 3: a LATER anchor rescues the chain
+        (3, _ts(0), "view"), (3, _ts(120), "view"),
+        (3, _ts(130), "click"), (3, _ts(200), "buy"),
+        # user 4: steps out of order never chain
+        (4, _ts(0), "click"), (4, _ts(10), "view"),
+        # user 5: no step events at all -> absent from output
+        (5, _ts(0), "scroll"),
+    ]
+    out = _wf(spark, rows, steps, 100)
+    assert out[1] == 3
+    assert out[2] == 2
+    assert out[3] == 3
+    assert out[4] == 1
+    assert 5 not in out
+
+
+def test_window_funnel_equal_timestamps_never_chain(spark):
+    steps = ["view", "click"]
+    rows = [(1, _ts(10), "view"), (1, _ts(10), "click")]
+    assert _wf(spark, rows, steps, 100)[1] == 1
+    rows = [(2, _ts(10), "view"), (2, _ts(11), "click")]
+    assert _wf(spark, rows, steps, 100)[2] == 2
+
+
+def test_window_funnel_matches_bruteforce_chains(spark):
+    """Exists-chain reference: enumerate every strictly-increasing
+    chain; the DP must agree on random event soups (incl. ties)."""
+    import hashlib
+    from itertools import combinations
+
+    steps = ["a", "b", "c"]
+    w = 30
+    rows = []
+    per_user = {}
+    for uid in range(12):
+        evs = []
+        for i in range(14):
+            h = int(
+                hashlib.md5(f"{uid}|{i}".encode()).hexdigest(), 16
+            )
+            t = h % 80
+            s = steps[(h // 100) % 3]
+            evs.append((t, s))
+            rows.append((uid, _ts(t), s))
+        per_user[uid] = evs
+
+    def brute(evs):
+        best = 0
+        n = len(evs)
+        for k in (3, 2, 1):
+            for combo in combinations(range(n), k):
+                ts = [evs[i][0] for i in combo]
+                ss = [evs[i][1] for i in combo]
+                # any permutation? combinations keep list order, not ts
+                # order — sort the chosen events by ts and require
+                # strict increase + step labels in order
+                pairs = sorted(zip(ts, ss))
+                ok = all(
+                    pairs[i][1] == steps[i] for i in range(k)
+                ) and all(
+                    pairs[i][0] < pairs[i + 1][0] for i in range(k - 1)
+                ) and (pairs[-1][0] - pairs[0][0] <= w)
+                if ok:
+                    best = k
+                    break
+            if best:
+                break
+        return best
+
+    got = _wf(spark, rows, steps, w)
+    for uid, evs in per_user.items():
+        want = brute(evs)
+        assert got.get(uid, 0) == want, f"user {uid}: {got.get(uid)} != {want}"
+
+
+def test_window_funnel_empty_steps_raise(spark):
+    from indexlab_spark.operators.analytics import window_funnel
+
+    df = spark.createDataFrame([(1, _ts(0), "a")], "uid long, t timestamp, s string")
+    with pytest.raises(ValueError):
+        window_funnel(df, "uid", "t", "s", [], 10)
