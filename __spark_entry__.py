@@ -4381,6 +4381,37 @@ def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression diff (maintenance.table_diff): today's
+    orders vs a deterministically perturbed tomorrow (keys % 97 == 0
+    dropped, % 89 == 0 repriced, % 101 == 0 re-keyed as inserts) —
+    every key classified added/removed/changed/unchanged from ONE
+    full-outer key join + a NULL-safe codegen compare. The check a
+    pipeline runs before publishing a rebuilt table."""
+    from indexlab_spark.operators.maintenance import table_diff
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return table_diff(orders, new, ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4458,15 +4489,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r8 window plan (pinned per the standing invariants:
         # never-attested entries first, then oldest-attestation
-        # backfill): after the 12 anchors, slots 13-23 take the 11
+        # backfill): after the 12 anchors, slots 13-24 take the 12
         # round-7 oracle-backed additions (quantile_rollup,
         # skew_orders, event_transitions, quantile_incremental,
         # join_explosion, order_triangles, ks_drift, cm_event_counts,
-        # segment_trend, rfm_segments, window_funnel — sim-green only,
-        # no driver row yet), slots 24-44 the 21 remaining r04-green
-        # entries below (bpe_token_counts .. repetition — 4 rounds
-        # stale by r8), slots 45-50 the first 6 of the r05 block
-        # (tfidf_topterms .. benchmark_overlap, registry order).
+        # segment_trend, rfm_segments, window_funnel, table_diff —
+        # sim-green only, no driver row yet), slots 25-45 the 21
+        # remaining r04-green entries below (bpe_token_counts ..
+        # repetition — 4 rounds stale by r8), slots 46-50 the first 5
+        # of the r05 block (tfidf_topterms .. source_mix_uniform,
+        # registry order).
         # r9 takes the rest of the r05 block plus the oldest of the
         # "last green r06/r07" blocks; by r9 every oracle-backed entry
         # will have a driver row no older than 3 rounds.
@@ -4588,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_trend": _q_segment_trend,
         "rfm_segments": _q_rfm_segments,
         "window_funnel": _q_window_funnel,
+        "table_diff": _q_table_diff,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "chunk_sentences": _q_chunk_sentences,
@@ -5934,6 +5967,28 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(y, x), 6) AS r2,
                    CAST(regr_count(y, x) AS BIGINT) AS n
             FROM d GROUP BY 1
+        """,
+        "table_diff": """
+            WITH old AS (SELECT o_orderkey,
+                                CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                         FROM orders),
+            nw AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 89 = 0
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM old WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_totalprice
+                FROM old WHERE o_orderkey % 101 = 0)
+            SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+                   CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                        WHEN nw.o_orderkey IS NULL THEN 'removed'
+                        WHEN old.o_totalprice IS NOT DISTINCT FROM
+                             nw.o_totalprice THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN nw
+              ON old.o_orderkey = nw.o_orderkey
         """,
         # EXISTS-chain formulation — deliberately a DIFFERENT algorithm
         # than the Spark per-user DP scan (see _q_window_funnel).

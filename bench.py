@@ -432,7 +432,8 @@ def main() -> None:
                  "quantile_rollup", "skew_orders", "event_transitions",
                  "pca_embeddings", "quantile_incremental",
                  "join_explosion", "ks_drift", "cm_event_counts",
-                 "segment_trend", "rfm_segments", "window_funnel"):
+                 "segment_trend", "rfm_segments", "window_funnel",
+                 "table_diff"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

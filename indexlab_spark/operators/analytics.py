@@ -1334,7 +1334,7 @@ def window_funnel(
             if level:
                 out.append((key, level))
         return pd.DataFrame(out, columns=["seq", "level"]) if out else (
-            pd.DataFrame({"seq": pd.Series([], dtype="int64"),
+            pd.DataFrame({"seq": pd.Series([], dtype=object),
                           "level": pd.Series([], dtype="int32")})
         )
 
@@ -1351,6 +1351,9 @@ def window_funnel(
             ).alias("_ix"),
         )
     )
+    # output key type follows the input sequence column (a hardcoded
+    # long would break string/other sequence ids)
+    seq_type = df.schema[seq_col].dataType.simpleString()
     return ev.groupBy("_seq").applyInPandas(
-        fn, schema=f"seq long, level int"
+        fn, schema=f"seq {seq_type}, level int"
     ).withColumnRenamed("seq", seq_col)

@@ -29,6 +29,13 @@ __all__ = [
     "compact_files",
     "write_range_clustered",
     "parquet_file_ranges",
+    "refresh_rollup",
+    "rollup_events_daily",
+    "scd2_from_changes",
+    "zorder_key",
+    "write_zorder_clustered",
+    "expire_versions",
+    "table_diff",
 ]
 
 
@@ -420,3 +427,54 @@ def expire_versions(
         "deleted": doomed,
         "kept": spark.read.parquet(manifests_path).count(),
     }
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level diff between two table snapshots — the regression
+    check a pipeline runs between yesterday's output and today's
+    before publishing: every key classified as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (present in both, any compared
+    column differs, NULL-safe) or ``unchanged``.
+
+    One full-outer join on the key (the single data-sized exchange,
+    both sides keyed identically so AQE can plan it as a co-partitioned
+    join); the per-column compare is a codegen projection using
+    null-safe equality (``<=>``), so NULL -> value and value -> NULL
+    both count as changes and NULL == NULL does not.
+
+    Output: key_cols + ``status`` — one row per key in either
+    snapshot. Aggregate for the summary, filter for the drill-down.
+    """
+    if not key_cols:
+        raise ValueError("table_diff: key_cols must be non-empty")
+    compare_cols = (
+        [c for c in old.columns if c not in key_cols]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, status.alias("status"))

@@ -397,3 +397,54 @@ def enrich_stream(
         )
     keys = [on] if isinstance(on, str) else list(on)
     return stream_df.join(F.broadcast(dim_df), keys, how)
+
+
+def view_click_left_join_stream(
+    events: DataFrame, within_seconds: int = 600, watermark: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the conversion-tracking
+    shape the inner variant cannot express: EVERY view emits, matched
+    views with their click, unmatched views with NULL click columns —
+    but an unmatched view can only be declared unmatched once the
+    watermark has passed ``view_ts + within_seconds`` (until then a
+    matching click could still arrive), so NULL rows emit with
+    watermark latency, not immediately. That deferral is the defining
+    semantics of outer stream-stream joins: correctness requires the
+    event-time bound, and state stays exactly as bounded as the inner
+    join's.
+
+    Note for drain-style tests/backfills: rows whose expiry the final
+    watermark never passes stay in state unemitted — a run over a
+    finite file set needs a watermark-advancing sentinel beyond
+    ``max(ts) + within + watermark`` (see the parity test).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        F.expr(
+            f"""v_user = c_user
+            AND click_ts > view_ts
+            AND click_ts <= view_ts + interval {within_seconds} seconds"""
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id",
+        "view_ts", "click_ts",
+    )

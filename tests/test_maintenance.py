@@ -323,3 +323,36 @@ def test_expire_versions_keeps_latest_and_deletes_dirs(spark, tmp_path):
         expire_versions(spark, chunks, manifests, keep_n=0)
     # no-op when nothing to expire
     assert expire_versions(spark, chunks, manifests, keep_n=5)["deleted"] == []
+
+
+def test_table_diff_classifies_all_four_states(spark):
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.maintenance import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "id long, name string, v double",
+    )
+    out = {r["id"]: r["status"] for r in table_diff(old, new, ["id"]).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",       # name differs
+        3: "changed",       # NULL -> value counts as change
+        4: "removed",
+        5: "added",
+    }
+    # restricted compare: only v — id 2's name change becomes invisible
+    out_v = {
+        r["id"]: r["status"]
+        for r in table_diff(old, new, ["id"], compare_cols=["v"]).collect()
+    }
+    assert out_v[2] == "unchanged" and out_v[3] == "changed"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_diff(old, new, [])

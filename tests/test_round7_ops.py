@@ -705,3 +705,14 @@ def test_window_funnel_empty_steps_raise(spark):
     df = spark.createDataFrame([(1, _ts(0), "a")], "uid long, t timestamp, s string")
     with pytest.raises(ValueError):
         window_funnel(df, "uid", "t", "s", [], 10)
+
+
+def test_window_funnel_string_sequence_ids(spark):
+    """The output key type must follow the input sequence column."""
+    from indexlab_spark.operators.analytics import window_funnel
+
+    rows = [("u1", _ts(0), "view"), ("u1", _ts(5), "click")]
+    df = spark.createDataFrame(rows, "uid string, t timestamp, s string")
+    out = window_funnel(df, "uid", "t", "s", ["view", "click"], 100)
+    assert dict(out.dtypes)["uid"] == "string"
+    assert out.collect()[0]["level"] == 2

@@ -993,3 +993,84 @@ def test_xls_rk_mulrk_label_record_branches(spark, tmp_path):
     assert header == ["a", "b", "c", "d"]
     assert rows[0] == [7, 2.5, 8.0, 5.0]
     assert rows[1] == [1, 2, 3, "é✓"]
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER view⋈click: matched rows equal the inner join, and
+    every unmatched view emits exactly one NULL-click row — but only
+    after the watermark passes its expiry, so the drain plants two
+    far-future sentinel files (one to advance the watermark, one to
+    run the flushing batch under availableNow)."""
+    import datetime as dt
+
+    from indexlab_spark.session import load_tables
+    from indexlab_spark.streaming.events import (
+        run_stream_to_memory,
+        view_click_left_join_stream,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "ssl_src")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    # watermark-advancing sentinels: a view+click pair far beyond
+    # max(ts) + within + watermark, on a user id outside the data
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    far = max_ts + dt.timedelta(days=30)
+    far2 = far + dt.timedelta(seconds=1)
+    sent = spark.createDataFrame(
+        [(10_000_001, far, -1, "view", 0.0, "{}"),
+         (10_000_002, far, -1, "click", 0.0, "{}")],
+        ev.schema,
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    sent2 = spark.createDataFrame(
+        [(10_000_003, far2, -1, "view", 0.0, "{}"),
+         (10_000_004, far2, -1, "click", 0.0, "{}")],
+        ev.schema,
+    )
+    sent2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = view_click_left_join_stream(stream, within_seconds=600)
+    run_stream_to_memory(out, "ssl_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM ssl_out").filter(
+        F.col("user_id") != -1
+    ).collect()
+    got_matched = {
+        (r["view_id"], r["click_id"]) for r in rows
+        if r["click_id"] is not None
+    }
+    got_unmatched = {r["view_id"] for r in rows if r["click_id"] is None}
+
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    batch = v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + interval 600 seconds"
+        ),
+        "left_outer",
+    )
+    want_matched = {
+        (r["view_id"], r["click_id"])
+        for r in batch.filter(F.col("click_id").isNotNull()).collect()
+    }
+    want_unmatched = {
+        r["view_id"]
+        for r in batch.filter(F.col("click_id").isNull()).collect()
+    }
+    assert got_matched == want_matched and len(want_matched) > 0
+    assert got_unmatched == want_unmatched and len(want_unmatched) > 0
+    # every real view emitted exactly once per match (or once if none)
+    assert len(rows) == batch.count()
