@@ -71,6 +71,7 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
     (bounded by DIM squared, never by rows) -> covariance eigh ->
     top-k axes, deterministic sign. Raises on empty input and ragged
     dims; k is clamped to d."""
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None or first["d"] is None:
         raise ValueError("pca_fit: empty input or null embeddings")

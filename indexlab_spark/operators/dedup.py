@@ -1646,8 +1646,13 @@ def triangle_count(
     counts = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.sum(
-                (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+            # coalesce: an edgeless graph sums over zero rows -> NULL,
+            # but the census contract is integer counts throughout
+            F.coalesce(
+                F.sum(
+                    (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+                ),
+                F.lit(0).cast("long"),
             ).alias("n_wedges"),
         )
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))

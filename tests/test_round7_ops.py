@@ -716,3 +716,26 @@ def test_window_funnel_string_sequence_ids(spark):
     out = window_funnel(df, "uid", "t", "s", ["view", "click"], 100)
     assert dict(out.dtypes)["uid"] == "string"
     assert out.collect()[0]["level"] == 2
+
+
+def test_triangle_count_empty_graph_all_zero(spark):
+    from indexlab_spark.operators.dedup import triangle_count
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = triangle_count(empty).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["n_wedges"]) == (
+        0, 0, 0, 0,
+    )
+    assert r["global_clustering"] == 0.0
+
+
+def test_pca_fit_skips_null_embeddings(spark):
+    import numpy as np
+
+    from indexlab_spark.operators.decompose import pca_fit
+
+    rows = [([1.0, 2.0],), (None,), ([3.0, 4.0],), ([5.0, 6.0],)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    model = pca_fit(df, k=2)
+    assert model.n == 3
+    np.testing.assert_allclose(model.mean, [3.0, 4.0], atol=1e-12)
