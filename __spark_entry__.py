@@ -4412,6 +4412,23 @@ def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(orders, new, ["o_orderkey"])
 
 
+def _q_cusum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring — CUSUM changepoint scan over daily event value per
+    type (analytics.cusum_changepoints): WHERE did the level shift
+    start, the onset question PSI/KS/psi_drift cannot answer. The
+    max(0, .) reset fold is not a SQL window sum -> rows-only; exact
+    parity with a pure-python reference is pinned in tests. Input is
+    the bounded daily pre-aggregate, so per-group series length is
+    calendar-bounded."""
+    from indexlab_spark.operators.analytics import cusum_changepoints
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return cusum_changepoints(daily, ["event_type"], "day", "revenue")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4623,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
+        "cusum_revenue": _q_cusum_revenue,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,

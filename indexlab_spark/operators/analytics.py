@@ -1357,3 +1357,84 @@ def window_funnel(
     return ev.groupBy("_seq").applyInPandas(
         fn, schema=f"seq {seq_type}, level int"
     ).withColumnRenamed("seq", seq_col)
+
+
+def cusum_changepoints(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 4.0,
+) -> "DataFrame":
+    """Tabular CUSUM changepoint detection per segment (Page 1954,
+    public — the standard drift-ONSET monitor: PSI/KS say "the
+    distributions differ", CUSUM says "it started HERE"): per group,
+    the one-sided cumulative sums
+    S+_t = max(0, S+_{t-1} + (x_t - mean - k)) and
+    S-_t = max(0, S-_{t-1} - (x_t - mean + k)) with k = k_sigmas * sd,
+    flagging points where either exceeds h = h_sigmas * sd. mean/sd are
+    the group's own (the self-baselined retrospective form).
+
+    The max(0, ...) recurrence is a running-reset fold that plain
+    window sums cannot express; it runs as an Arrow per-group pass
+    (applyInPandas) over the group's ORDERED series — appropriate
+    because the input is a pre-aggregated series (daily revenue,
+    hourly counts): rows per group = time buckets, bounded by calendar,
+    not by raw data volume. Group stats ride along from one
+    map-combined agg; ties on ``order_col`` break by value then
+    position for determinism.
+
+    Output: group_cols + order_col + value + cusum_pos + cusum_neg
+    (6dp) + flag (boolean), every input row.
+    """
+    import pandas as pd
+
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(F.col(value_col)).alias("_mu"),
+        F.coalesce(F.stddev_pop(F.col(value_col)), F.lit(0.0)).alias("_sd"),
+    )
+    joined = df.join(F.broadcast(stats), list(group_cols)).select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_val"),
+        "_mu",
+        "_sd",
+    )
+    out_fields = ", ".join(
+        f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    ord_type = dict(df.dtypes)[order_col]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "_val"], kind="mergesort")
+        mu = float(pdf["_mu"].iloc[0])
+        sd = float(pdf["_sd"].iloc[0])
+        kk = k_sigmas * sd
+        h = h_sigmas * sd
+        sp = sn = 0.0
+        pos, neg, flag = [], [], []
+        for x in pdf["_val"]:
+            sp = max(0.0, sp + (x - mu - kk))
+            sn = max(0.0, sn - (x - mu) - kk)
+            pos.append(round(sp, 6))
+            neg.append(round(sn, 6))
+            flag.append(bool(sd > 0 and (sp > h or sn > h)))
+        res = pdf[[*group_cols, "_ord", "_val"]].copy()
+        res["cusum_pos"] = pos
+        res["cusum_neg"] = neg
+        res["flag"] = flag
+        return res
+
+    return (
+        joined.groupBy(*group_cols)
+        .applyInPandas(
+            fn,
+            schema=(
+                f"{out_fields}, `_ord` {ord_type}, `_val` double, "
+                "cusum_pos double, cusum_neg double, flag boolean"
+            ),
+        )
+        .withColumnRenamed("_ord", order_col)
+        .withColumnRenamed("_val", value_col)
+    )

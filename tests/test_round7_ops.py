@@ -739,3 +739,72 @@ def test_pca_fit_skips_null_embeddings(spark):
     model = pca_fit(df, k=2)
     assert model.n == 3
     np.testing.assert_allclose(model.mean, [3.0, 4.0], atol=1e-12)
+
+
+# ---------------------------------------------------------------- CUSUM
+
+
+def test_cusum_constant_series_never_flags(spark):
+    from indexlab_spark.operators.analytics import cusum_changepoints
+
+    rows = [("a", i, 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = cusum_changepoints(df, ["g"], "t", "v").collect()
+    assert all(not r["flag"] for r in out)
+    assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in out)
+
+
+def test_cusum_flags_after_planted_step(spark):
+    """Step change at t=20: the positive-side statistic must first
+    exceed h AFTER the shift; the negative side accumulates in the
+    below-mean early regime (the retrospective two-sided behavior)."""
+    from indexlab_spark.operators.analytics import cusum_changepoints
+
+    rows = [("a", i, 10.0) for i in range(20)] + [
+        ("a", i, 20.0) for i in range(20, 30)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = sorted(
+        cusum_changepoints(df, ["g"], "t", "v").collect(),
+        key=lambda r: r["t"],
+    )
+    pos_flags = [r["t"] for r in out if r["cusum_pos"] > 0 and r["flag"]]
+    assert pos_flags and min(pos_flags) >= 20
+    assert any(r["flag"] for r in out)
+
+
+def test_cusum_matches_python_reference(spark):
+    import hashlib
+
+    from indexlab_spark.operators.analytics import cusum_changepoints
+
+    vals = [
+        (int(hashlib.md5(f"{i}".encode()).hexdigest(), 16) % 100) / 10.0
+        for i in range(25)
+    ]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        r["t"]: (r["cusum_pos"], r["cusum_neg"])
+        for r in cusum_changepoints(df, ["g"], "t", "v").collect()
+    }
+    import statistics
+
+    mu = statistics.mean(vals)
+    sd = statistics.pstdev(vals)
+    kk = 0.5 * sd
+    sp = sn = 0.0
+    for i, x in enumerate(vals):
+        sp = max(0.0, sp + (x - mu - kk))
+        sn = max(0.0, sn - (x - mu) - kk)
+        assert got[i] == (round(sp, 6), round(sn, 6)), i
+
+
+def test_cusum_zero_variance_group_never_flags(spark):
+    from indexlab_spark.operators.analytics import cusum_changepoints
+
+    rows = [("z", i, 5.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    assert all(
+        not r["flag"] for r in cusum_changepoints(df, ["g"], "t", "v").collect()
+    )
