@@ -4429,6 +4429,36 @@ def _q_cusum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(daily, ["event_type"], "day", "revenue")
 
 
+def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 sequence mining (analytics.transition_paths): counts and
+    shares of consecutive event-type TRIPLES per user journey — the
+    structure order-1 transitions miss (ping-pong vs progression). All
+    lags share one keyed exchange; output bounded by observed
+    state^3."""
+    from indexlab_spark.operators.analytics import transition_paths
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return transition_paths(ev, "user_id", "ts", "event_type", depth=3)
+
+
+def _q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup pairs (dedup.wminhash_lsh_pairs, ICWS — Ioffe
+    2010): unweighted MinHash treats documents as SETS, so repeated
+    boilerplate is invisible; ICWS samples the weighted Jaccard
+    sum(min tf)/sum(max tf) exactly, and candidates get an exact
+    candidate-restricted verify. LSH capture is probabilistic ->
+    rows-only; the collision-rate guarantee and exact-verify values
+    are pinned in tests."""
+    from indexlab_spark.operators.dedup import wminhash_lsh_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # 0.65, not the family's usual 0.5: the synthetic docs draw from a
+    # small shared vocabulary, so random pairs already sit near 0.5 in
+    # tf space — 0.65 keeps the frame at the planted-near-dup level
+    # (85 pairs at sf0.01) instead of 6k noise pairs
+    return wminhash_lsh_pairs(docs, threshold=0.65)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4506,16 +4536,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/driver_sim.py every session.
         # r8 window plan (pinned per the standing invariants:
         # never-attested entries first, then oldest-attestation
-        # backfill): after the 12 anchors, slots 13-24 take the 12
+        # backfill): after the 12 anchors, slots 13-25 take the 13
         # round-7 oracle-backed additions (quantile_rollup,
         # skew_orders, event_transitions, quantile_incremental,
         # join_explosion, order_triangles, ks_drift, cm_event_counts,
-        # segment_trend, rfm_segments, window_funnel, table_diff —
-        # sim-green only, no driver row yet), slots 25-45 the 21
-        # remaining r04-green entries below (bpe_token_counts ..
-        # repetition — 4 rounds stale by r8), slots 46-50 the first 5
-        # of the r05 block (tfidf_topterms .. source_mix_uniform,
-        # registry order).
+        # segment_trend, rfm_segments, window_funnel, table_diff,
+        # event_paths — sim-green only, no driver row yet), slots
+        # 26-46 the 21 remaining r04-green entries below
+        # (bpe_token_counts .. repetition — 4 rounds stale by r8),
+        # slots 47-50 the first 4 of the r05 block (tfidf_topterms ..
+        # zipf_fit, registry order).
         # r9 takes the rest of the r05 block plus the oldest of the
         # "last green r06/r07" blocks; by r9 every oracle-backed entry
         # will have a driver row no older than 3 rounds.
@@ -4638,9 +4668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "window_funnel": _q_window_funnel,
         "table_diff": _q_table_diff,
+        "event_paths": _q_event_paths,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "cusum_revenue": _q_cusum_revenue,
+        "weighted_minhash": _q_weighted_minhash,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
@@ -5985,6 +6017,21 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(y, x), 6) AS r2,
                    CAST(regr_count(y, x) AS BIGINT) AS n
             FROM d GROUP BY 1
+        """,
+        "event_paths": """
+            WITH seq AS (
+                SELECT user_id, event_type AS s3,
+                       lag(event_type, 1) OVER w AS s2,
+                       lag(event_type, 2) OVER w AS s1
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_type ASC)),
+            p AS (SELECT s1, s2, s3, count(*) AS cnt
+                  FROM seq WHERE s1 IS NOT NULL GROUP BY 1, 2, 3),
+            t AS (SELECT sum(cnt) AS tot FROM p)
+            SELECT s1, s2, s3, cnt,
+                   round(CAST(cnt AS DOUBLE) / tot, 6) AS share
+            FROM p, t
         """,
         "table_diff": """
             WITH old AS (SELECT o_orderkey,

@@ -433,7 +433,8 @@ def main() -> None:
                  "pca_embeddings", "quantile_incremental",
                  "join_explosion", "ks_drift", "cm_event_counts",
                  "segment_trend", "rfm_segments", "window_funnel",
-                 "table_diff"):
+                 "table_diff", "event_paths", "cusum_revenue",
+                 "weighted_minhash"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

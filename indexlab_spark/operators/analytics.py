@@ -1438,3 +1438,49 @@ def cusum_changepoints(
         .withColumnRenamed("_ord", order_col)
         .withColumnRenamed("_val", value_col)
     )
+
+
+def transition_paths(
+    df: "DataFrame",
+    seq_col: str,
+    order_col: str,
+    state_col: str,
+    depth: int = 3,
+) -> "DataFrame":
+    """Consecutive state PATHS of length ``depth`` per sequence — the
+    higher-order companion to :func:`transition_matrix` (order-1 pairs
+    miss structure like a->b->a ping-pong vs a->b->c progression; path
+    mining over user journeys is the standard product-analytics view).
+
+    ONE keyed exchange (the per-sequence window; all ``depth - 1`` lags
+    share it), then a map-side-combined count over observed paths —
+    output is bounded by distinct state^depth combinations actually
+    seen, never row count. Ties on ``order_col`` break by state for
+    run-to-run determinism. Output: s1..s<depth> + cnt + share (of all
+    complete paths, 6dp).
+    """
+    if depth < 2:
+        raise ValueError(f"transition_paths: depth must be >= 2, got {depth}")
+    w = Window.partitionBy(seq_col).orderBy(
+        F.col(order_col).asc(), F.col("_s").asc()
+    )
+    base = df.select(
+        F.col(seq_col),
+        F.col(order_col),
+        F.col(state_col).alias("_s"),
+    )
+    cols = {f"s{depth}": F.col("_s")}
+    for i in range(depth - 1, 0, -1):
+        cols[f"s{i}"] = F.lag("_s", depth - i).over(w)
+    lagged = base.select(
+        *[cols[f"s{i}"].alias(f"s{i}") for i in range(1, depth + 1)]
+    ).filter(F.col("s1").isNotNull())
+    counts = lagged.groupBy(
+        *[f"s{i}" for i in range(1, depth + 1)]
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        *[f"s{i}" for i in range(1, depth + 1)],
+        "cnt",
+        F.round(F.col("cnt") / F.col("_t"), 6).alias("share"),
+    )

@@ -1671,3 +1671,189 @@ def triangle_count(
             6,
         ).alias("global_clustering"),
     )
+
+
+def _icws_params(term: str, i: int):
+    """Deterministic ICWS randomness for (term, hash i) — Ioffe 2010
+    needs r, c ~ Gamma(2, 1) and beta ~ Uniform(0, 1) per (element,
+    hash). Derived from two md5 digests so every executor (and the
+    pure-python test reference) sees identical draws: Gamma(2,1) =
+    -ln(u1*u2) for independent uniforms."""
+    import hashlib
+    import math
+
+    d1 = hashlib.md5(f"icws1|{i}|{term}".encode()).digest()
+    d2 = hashlib.md5(f"icws2|{i}|{term}".encode()).digest()
+
+    def u(b, lo):
+        # 8 bytes -> uniform in (0, 1); +1 offsets exclude exact 0
+        return (int.from_bytes(b[lo:lo + 8], "big") + 1) / (2.0**64 + 2)
+
+    r = -math.log(u(d1, 0) * u(d1, 8))
+    c = -math.log(u(d2, 0) * u(d2, 8))
+    beta = u(hashlib.md5(f"icws3|{i}|{term}".encode()).digest(), 0)
+    return r, c, beta
+
+
+def icws_signature(weights: dict, num_hashes: int = 32) -> list:
+    """One document's ICWS signature (Ioffe 2010, public — Improved
+    Consistent Weighted Sampling): for each hash i, over elements k
+    with weight w_k > 0:
+        t_k  = floor(ln(w_k)/r_k + beta_k)
+        y_k  = exp(r_k * (t_k - beta_k))
+        a_k  = c_k / (y_k * exp(r_k))
+    and the sample is argmin_k a_k, returned as (k, t_k) — two
+    signatures collide on position i with probability EXACTLY the
+    weighted Jaccard sum(min w)/sum(max w). Pure python on a doc's
+    term-frequency dict; executed inside an Arrow batch per document.
+    """
+    import math
+
+    out = []
+    for i in range(num_hashes):
+        best = None
+        best_key = None
+        for k, w in weights.items():
+            if w <= 0:
+                continue
+            r, c, beta = _icws_params(k, i)
+            t = math.floor(math.log(w) / r + beta)
+            y = math.exp(r * (t - beta))
+            a = c / (y * math.exp(r))
+            if best is None or a < best:
+                best = a
+                best_key = (k, t)
+        out.append(best_key)
+    return out
+
+
+def wminhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-document ICWS signatures over word TERM FREQUENCIES — the
+    weighted-Jaccard analog of :func:`minhash_signatures`: unweighted
+    MinHash treats a document as a SET, so a page that repeats one
+    boilerplate sentence fifty times looks identical to one that says
+    it once; weighted Jaccard sum(min tf)/sum(max tf) (and ICWS, which
+    samples it exactly) keeps multiplicity. Signatures computed in one
+    Arrow pass; each signature position serializes as "term|t" (the
+    (k, t_k) sample — both components must match for a collision).
+
+    Output: (id, sumw, sig array<string>) — ``sumw`` = total token
+    count, the denominator building block for the exact verify.
+    """
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                toks = [t for t in str(text).lower().split() if t]
+                tf: dict = {}
+                for t in toks:
+                    tf[t] = tf.get(t, 0) + 1
+                sig = [
+                    f"{k}|{t}" if k is not None else ""
+                    for k, t in (
+                        s if s is not None else (None, 0)
+                        for s in icws_signature(tf, num_hashes)
+                    )
+                ]
+                rows.append((did, float(len(toks)), sig))
+            yield pd.DataFrame(rows, columns=["id", "sumw", "sig"])
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(fn, schema="id long, sumw double, sig array<string>")
+
+
+def wminhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Weighted near-duplicate pairs: ICWS signatures -> banded LSH
+    candidate generation -> EXACT weighted-Jaccard verify. The verify
+    needs only sum(min tf) per candidate pair plus each side's token
+    total: J_w = summin / (sumw_a + sumw_b - summin) — the min-sum
+    comes from a candidate-restricted join of the two documents'
+    (term, tf) frames, so nothing pairwise ever touches non-candidates
+    (the same verify discipline as every other dedup operator here).
+
+    Output: (id_a, id_b, wjaccard) with id_a < id_b, wjaccard >=
+    threshold, 6dp.
+    """
+    sigs = _pin(wminhash_signatures(df, id_col, text_col, num_hashes))
+    rows_per_band = max(1, num_hashes // bands)
+    band_keys = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "#",
+                        *[
+                            F.col("sig")[i]
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    tf = _pin(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .select(
+            "id",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    summin = (
+        cand.join(tf.withColumnRenamed("id", "id_a").withColumnRenamed("tf", "tf_a"), "id_a")
+        .join(
+            tf.withColumnRenamed("id", "id_b").withColumnRenamed("tf", "tf_b"),
+            ["id_b", "term"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("summin"))
+    )
+    sums = sigs.select("id", "sumw")
+    out = (
+        cand.join(summin, ["id_a", "id_b"], "left")
+        .na.fill({"summin": 0})
+        .join(sums.withColumnRenamed("id", "id_a").withColumnRenamed("sumw", "wa"), "id_a")
+        .join(sums.withColumnRenamed("id", "id_b").withColumnRenamed("sumw", "wb"), "id_b")
+        .withColumn(
+            "wjaccard",
+            F.round(
+                F.col("summin")
+                / (F.col("wa") + F.col("wb") - F.col("summin")),
+                6,
+            ),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+        .select("id_a", "id_b", "wjaccard")
+    )
+    return out

@@ -808,3 +808,108 @@ def test_cusum_zero_variance_group_never_flags(spark):
     assert all(
         not r["flag"] for r in cusum_changepoints(df, ["g"], "t", "v").collect()
     )
+
+
+# ---------------------------------------------------------------- paths
+
+
+def test_transition_paths_triples_and_no_cross_sequence(spark):
+    from indexlab_spark.operators.analytics import transition_paths
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+        (2, 1, "x"), (2, 2, "y"),  # too short for depth 3
+    ]
+    df = spark.createDataFrame(rows, "uid long, t long, s string")
+    out = {
+        (r["s1"], r["s2"], r["s3"]): (r["cnt"], r["share"])
+        for r in transition_paths(df, "uid", "t", "s").collect()
+    }
+    assert out[("a", "b", "c")][0] == 1
+    assert out[("b", "c", "a")][0] == 1
+    assert len(out) == 2
+    assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9
+    # depth=2 equals pair counts
+    pairs = {
+        (r["s1"], r["s2"]): r["cnt"]
+        for r in transition_paths(df, "uid", "t", "s", depth=2).collect()
+    }
+    assert pairs == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1, ("x", "y"): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        transition_paths(df, "uid", "t", "s", depth=1)
+
+
+# ---------------------------------------------------------------- ICWS
+
+
+def test_icws_collision_rate_estimates_weighted_jaccard():
+    """The ICWS guarantee: P(sig_A[i] == sig_B[i]) == weighted Jaccard.
+    Check the empirical agreement over many hashes against the exact
+    J_w within 3-sigma binomial error."""
+    import math
+
+    from indexlab_spark.operators.dedup import icws_signature
+
+    a = {"x": 5, "y": 3, "z": 1}
+    b = {"x": 2, "y": 3, "w": 4}
+    summin = 2 + 3 + 0 + 0
+    summax = 5 + 3 + 1 + 4
+    jw = summin / summax
+    n = 400
+    sa = icws_signature(a, n)
+    sb = icws_signature(b, n)
+    agree = sum(1 for p, q in zip(sa, sb) if p == q) / n
+    tol = 3 * math.sqrt(jw * (1 - jw) / n)
+    assert abs(agree - jw) <= tol, f"{agree} vs {jw} (tol {tol})"
+
+
+def test_icws_identical_weights_identical_signatures():
+    from indexlab_spark.operators.dedup import icws_signature
+
+    w = {"a": 3, "b": 7}
+    assert icws_signature(w, 16) == icws_signature(dict(w), 16)
+    # scaling all weights preserves each hash's argmin ELEMENT often
+    # but not the t component — only exact equality of dicts is pinned
+
+
+def test_wminhash_pairs_exact_weighted_jaccard(spark):
+    """Planted docs with known tf overlap: the verify must produce the
+    exact sum-min / sum-max value, and the repeated-boilerplate doc
+    must NOT look identical to the single-copy doc (the failure mode of
+    unweighted MinHash)."""
+    from indexlab_spark.operators.dedup import wminhash_lsh_pairs
+
+    d1 = "alpha beta gamma " * 10          # tf: each word 10
+    d2 = "alpha beta gamma " * 9 + "delta "  # close in tf space
+    d3 = "alpha beta gamma"                 # same SET, far in tf space
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in wminhash_lsh_pairs(df, threshold=0.1).collect()
+    }
+    # exact: summin(d1,d2) = 27, sums 30 and 28 -> 27/31
+    assert (1, 2) in out
+    assert abs(out[(1, 2)] - round(27 / 31, 6)) < 1e-9
+    # unweighted jaccard(d1, d3) = 1.0; weighted = 3/30 = 0.1 — the
+    # multiplicity difference must be visible if the pair surfaces
+    if (1, 3) in out:
+        assert out[(1, 3)] <= round(3 / 30, 6) + 1e-9
+
+
+def test_wminhash_spark_signature_matches_local_reference(spark):
+    from indexlab_spark.operators.dedup import (
+        icws_signature,
+        wminhash_signatures,
+    )
+
+    text = "red blue red green red blue"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = wminhash_signatures(df, num_hashes=8).collect()[0]
+    tf = {"red": 3, "blue": 2, "green": 1}
+    want = [f"{k}|{t}" for k, t in icws_signature(tf, 8)]
+    assert list(row["sig"]) == want
+    assert row["sumw"] == 6.0
