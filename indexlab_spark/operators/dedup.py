@@ -1673,12 +1673,23 @@ def triangle_count(
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1_000_000)
 def _icws_params(term: str, i: int):
     """Deterministic ICWS randomness for (term, hash i) — Ioffe 2010
     needs r, c ~ Gamma(2, 1) and beta ~ Uniform(0, 1) per (element,
     hash). Derived from two md5 digests so every executor (and the
     pure-python test reference) sees identical draws: Gamma(2,1) =
-    -ln(u1*u2) for independent uniforms."""
+    -ln(u1*u2) for independent uniforms.
+
+    lru_cache is load-bearing for throughput: terms repeat across the
+    documents an executor processes, so without it every document
+    re-derives 3 md5 digests per (term, hash) — measured ~25x slower
+    on the gate corpus (shared ~2k-word vocabulary). The cache is
+    per-executor-process and bounded at 1M entries (vocab x hashes);
+    eviction only costs recompute."""
     import hashlib
     import math
 
