@@ -4459,6 +4459,23 @@ def _q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wminhash_lsh_pairs(docs, threshold=0.65)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res weighted sampling (curation.weighted_sample, Efraimidis &
+    Spirakis 2006): 5 documents per language drawn WITHOUT replacement
+    with probability proportional to length — the sampling family's
+    weighted-rows member (hash_sample is uniform; temperature/DSIR
+    reweight sources). Deterministic md5-uniform keys; the k=1
+    inclusion-probability guarantee and repartition-invariance are
+    pinned in tests. Float pow/log keys are engine-specific ->
+    rows-only."""
+    from indexlab_spark.operators.curation import weighted_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return weighted_sample(
+        docs, "n_chars", 5, group_cols=["lang"]
+    ).select("lang", "doc_id", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -4673,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": _q_pca_embeddings,
         "cusum_revenue": _q_cusum_revenue,
         "weighted_minhash": _q_weighted_minhash,
+        "weighted_sample": _q_weighted_sample,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,

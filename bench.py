@@ -438,7 +438,8 @@ def main() -> None:
                  # doc x vocab x hashes (~16s at sf0.1 even with the
                  # param memo) — one correctness run at sf0.01 attests
                  # it; the suite stays tight
-                 "table_diff", "event_paths", "cusum_revenue"):
+                 "table_diff", "event_paths", "cusum_revenue",
+                 "weighted_sample"):
         fn = entry_mod.queries()[name]
         queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
 

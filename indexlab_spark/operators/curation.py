@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from indexlab_spark.functions.cache import pin as _pin
@@ -963,3 +963,62 @@ def semantic_decontaminate(
     if not keep_clean:
         out = out.filter(F.col("contaminated"))
     return out
+
+
+def weighted_sample(
+    df: "DataFrame",
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    salt: str = "ares",
+) -> "DataFrame":
+    """Weighted random sampling WITHOUT replacement — A-Res (Efraimidis
+    & Spirakis 2006, public): every row gets key = u^(1/w) for a
+    uniform u, and the k largest keys are an exact weighted sample
+    (for k=1 the inclusion probability is exactly w_i / sum(w); for
+    k>1 the sequential-selection probabilities). The sampling family's
+    missing member: hash_sample is uniform, temperature/DSIR reweight
+    SOURCES — this samples ROWS by their own weights (quality scores,
+    token counts) in one pass.
+
+    Deterministic and engine-stable: u derives from the repo's
+    portable md5 (functions/hashing) on (salt, id), so reruns and
+    different partitionings agree; change ``salt`` for an independent
+    draw. Keys are compared as ln(u)/w — the monotone transform of
+    u^(1/w) that avoids float pow underflow at tiny weights.
+
+    Plan: a codegen key projection, then per-group top-k via one keyed
+    window (or TakeOrderedAndProject when ungrouped) — never a global
+    sort when groups exist, never more state than k rows per group.
+    Rows with NULL, zero or negative weight are excluded (they have no
+    sampling mass).
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    u = (
+        md5_long(
+            F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60 + 2))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_ares", key)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("_ares").desc(), F.col(id_col).asc()
+        )
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_ares")
+        )
+    return (
+        base.orderBy(F.col("_ares").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_ares")
+    )

@@ -913,3 +913,77 @@ def test_wminhash_spark_signature_matches_local_reference(spark):
     want = [f"{k}|{t}" for k, t in icws_signature(tf, 8)]
     assert list(row["sig"]) == want
     assert row["sumw"] == 6.0
+
+
+# ---------------------------------------------------------------- A-Res
+
+
+def _ares_key_local(salt, doc_id, w):
+    """Local replica of weighted_sample's key formula."""
+    import hashlib
+    import math
+
+    h = int(
+        hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()[:15], 16
+    )
+    u = (float(h) + 1.0) / float(2**60 + 2)
+    return math.log(u) / w
+
+
+def test_weighted_sample_k1_inclusion_probability(spark):
+    """A-Res guarantee at k=1: P(select i) == w_i / sum(w). ONE Spark
+    draw is pinned against the local key-formula replica (so the local
+    sweep provably simulates the operator), then 600 independent local
+    salts check the heavy item wins ~2/3 of draws (3-sigma band)."""
+    import math
+
+    from indexlab_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "doc_id long, w double"
+    )
+    got = weighted_sample(df, "w", 1, salt="s0").collect()[0]["doc_id"]
+    want = max(
+        [(1, 1.0), (2, 2.0)],
+        key=lambda t: _ares_key_local("s0", t[0], t[1]),
+    )[0]
+    assert got == want
+
+    n = 600
+    wins = sum(
+        1
+        for s in range(n)
+        if _ares_key_local(f"s{s}", 2, 2.0) > _ares_key_local(f"s{s}", 1, 1.0)
+    )
+    p = wins / n
+    tol = 3 * math.sqrt((2 / 3) * (1 / 3) / n)
+    assert abs(p - 2 / 3) <= tol, f"{p} vs 2/3 (tol {tol:.3f})"
+
+
+def test_weighted_sample_grouped_exact_k_and_determinism(spark):
+    from indexlab_spark.operators.curation import weighted_sample
+
+    rows = [(i, "g1" if i < 50 else "g2", float(1 + i % 5)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    a = weighted_sample(df, "w", 7, group_cols=["g"])
+    counts = {r["g"]: r["n"] for r in a.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"g1": 7, "g2": 7}
+    # determinism: same salt, same selection; repartition-invariant
+    b = weighted_sample(df.repartition(13), "w", 7, group_cols=["g"])
+    ids = lambda d: sorted(r["doc_id"] for r in d.collect())  # noqa: E731
+    assert ids(a) == ids(b)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from indexlab_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, "w", 10)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "w", 0)
