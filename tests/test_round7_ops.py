@@ -987,3 +987,20 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
 
     with _pytest.raises(ValueError):
         weighted_sample(df, "w", 0)
+
+
+def test_quantile_union_estimate_grand_total(spark, sf_dir):
+    """Empty group_cols = grand total: merged-sketch estimate must
+    equal the direct bottom-k estimate over everything (associativity
+    again), and the single-partition window it uses is sketch-sized by
+    construction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = quantile_sketch_rollup(ev, ["event_type"], "value", "event_id", k=64)
+    via = quantile_union_estimate(fine, [], qs=(0.5,), k=64).collect()[0]
+    direct_sample = quantile_sketch_rollup(
+        ev.withColumn("_one", F.lit(1)), ["_one"], "value", "event_id", k=64
+    )
+    direct = quantile_union_estimate(
+        direct_sample, ["_one"], qs=(0.5,), k=64
+    ).collect()[0]
+    assert via["q50"] == direct["q50"]
