@@ -4501,72 +4501,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-23 (round 7, exactly per the plan
-        # pinned in r6): the 11 round-6 oracle-backed additions — never
-        # driver-attested (sim-green only through r6; the r6 VERDICT's
+        # -- rotation window slots 13-25 (round 8, per the plan pinned
+        # in r7): the 13 round-7 oracle-backed additions — never
+        # driver-attested (sim-green only through r7; the r7 VERDICT's
         # top item).
-        "trigram_logprob": _q_trigram_logprob,
-        "semantic_decontam": _q_semantic_decontam,
-        "sliding_windows": _q_sliding_windows,
-        "dq_lineitem": _q_dq_lineitem,
-        "embedding_drift": _q_embedding_drift,
-        "stateful_sessions": _q_stateful_sessions,
-        "zorder_events": _q_zorder_events,
-        "exact_dedup_incremental": _q_exact_dedup_incremental,
-        "psi_drift": _q_psi_drift,
-        "dedup_survival": _q_dedup_survival,
-        "asof_nearest": _q_asof_nearest,
-        # -- slots 24-36: re-attestation backfill, oldest first — the 13
-        # entries whose last driver-green row is r03 (4 rounds stale).
-        "events_trailing_hour": _q_events_trailing_hour,
-        "segment_corr_stats": _q_segment_corr_stats,
-        "bigram_pmi": _q_bigram_pmi,
-        "label_norm_stats": _q_label_norm_stats,
-        "user_first_last": _q_user_first_last,
-        "session_native": _q_session_native,
-        "distinct_counts": _q_distinct_counts,
-        "orders_profile": _q_orders_profile,
-        "vocab_coverage": _q_vocab_coverage,
-        "bigram_logprob": _q_bigram_logprob,
-        "user_type_map": _q_user_type_map,
-        "incremental_rollup": _q_incremental_rollup,
-        "rolling_median": _q_rolling_median,
-        # -- slots 37-50: the first 14 of the r04 block (last driver
-        # green r04; registry order).
-        "events_json": _q_events_json,
-        "order_priority_semi": _q_order_priority_semi,
-        "cust_order_dist": _q_cust_order_dist,
-        "big_orders": _q_big_orders,
-        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
-        "lonely_late_supplier": _q_lonely_late_supplier,
-        "rich_idle_customers": _q_rich_idle_customers,
-        "returned_top_customers": _q_returned_top_customers,
-        "volume_shipping": _q_volume_shipping,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "part_supplier_counts": _q_part_supplier_counts,
-        "common_ngrams": _q_common_ngrams,
-        "above_avg_orders": _q_above_avg_orders,
-        "asof_signup": _q_asof_signup,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r0*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r8 window plan (pinned per the standing invariants:
-        # never-attested entries first, then oldest-attestation
-        # backfill): after the 12 anchors, slots 13-25 take the 13
-        # round-7 oracle-backed additions (quantile_rollup,
-        # skew_orders, event_transitions, quantile_incremental,
-        # join_explosion, order_triangles, ks_drift, cm_event_counts,
-        # segment_trend, rfm_segments, window_funnel, table_diff,
-        # event_paths — sim-green only, no driver row yet), slots
-        # 26-46 the 21 remaining r04-green entries below
-        # (bpe_token_counts .. repetition — 4 rounds stale by r8),
-        # slots 47-50 the first 4 of the r05 block (tfidf_topterms ..
-        # zipf_fit, registry order).
-        # r9 takes the rest of the r05 block plus the oldest of the
-        # "last green r06/r07" blocks; by r9 every oracle-backed entry
-        # will have a driver row no older than 3 rounds.
-        # last green r04 (remaining 21; rotate into r8 FIRST):
+        "quantile_rollup": _q_quantile_rollup,
+        "skew_orders": _q_skew_orders,
+        "event_transitions": _q_event_transitions,
+        "quantile_incremental": _q_quantile_incremental,
+        "join_explosion": _q_join_explosion,
+        "order_triangles": _q_order_triangles,
+        "ks_drift": _q_ks_drift,
+        "cm_event_counts": _q_cm_event_counts,
+        "segment_trend": _q_segment_trend,
+        "rfm_segments": _q_rfm_segments,
+        "window_funnel": _q_window_funnel,
+        "table_diff": _q_table_diff,
+        "event_paths": _q_event_paths,
+        # -- slots 26-49: re-attestation backfill, oldest first — the
+        # r04-green block. NOTE: the r7 plan said 21 entries here, but
+        # the attestation table (CORRECTNESS_r01-r07, recomputed this
+        # round) shows 24 entries whose last driver-green row is r04;
+        # all 24 rotate in, leaving one slot for the r05 block.
         "bpe_token_counts": _q_bpe_token_counts,
         "chunk_page": _q_chunk_page,
         "churned_customers": _q_churned_customers,
@@ -4591,8 +4547,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
-        # last green r05 (rotated out of the r5 window this round):
+        # -- slot 50: first of the r05-green block (registry order).
         "tfidf_topterms": _q_tfidf_topterms,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r0*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r9 window plan (pinned per the standing invariants: oldest
+        # attestation first; recomputed from CORRECTNESS_r01-r08 once
+        # r8 lands): after the 12 anchors, slots 13-49 take the 37
+        # remaining r05-green entries below (flesch_reading ..
+        # embedding_lsh, registry order), slot 50 the first of the
+        # r06-green block (duplicated_spans). r10 then takes the
+        # remaining 37 r06-green entries plus the oldest r07-green
+        # backfill — by r10 every oracle-backed entry will have cycled
+        # through a real driver row at most 3 rounds stale.
+        # last green r05 (37 remaining; rotate into r9 FIRST):
         "flesch_reading": _q_flesch_reading,
         "zscore_anomalies": _q_zscore_anomalies,
         "zipf_fit": _q_zipf_fit,
@@ -4671,21 +4641,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": _q_promo_revenue,
         "revenue_dod": _q_revenue_dod,
         "balance_percent_rank": _q_balance_percent_rank,
-        # added round 7, never driver-attested — rotate into the r8
-        # window FIRST (see the r8 plan above):
-        "quantile_rollup": _q_quantile_rollup,
-        "skew_orders": _q_skew_orders,
-        "event_transitions": _q_event_transitions,
-        "quantile_incremental": _q_quantile_incremental,
-        "join_explosion": _q_join_explosion,
-        "order_triangles": _q_order_triangles,
-        "ks_drift": _q_ks_drift,
-        "cm_event_counts": _q_cm_event_counts,
-        "segment_trend": _q_segment_trend,
-        "rfm_segments": _q_rfm_segments,
-        "window_funnel": _q_window_funnel,
-        "table_diff": _q_table_diff,
-        "event_paths": _q_event_paths,
+        # last green r07 (the 38 entries rotated out of the r7
+        # window this round; r7 window order):
+        "trigram_logprob": _q_trigram_logprob,
+        "semantic_decontam": _q_semantic_decontam,
+        "sliding_windows": _q_sliding_windows,
+        "dq_lineitem": _q_dq_lineitem,
+        "embedding_drift": _q_embedding_drift,
+        "stateful_sessions": _q_stateful_sessions,
+        "zorder_events": _q_zorder_events,
+        "exact_dedup_incremental": _q_exact_dedup_incremental,
+        "psi_drift": _q_psi_drift,
+        "dedup_survival": _q_dedup_survival,
+        "asof_nearest": _q_asof_nearest,
+        "events_trailing_hour": _q_events_trailing_hour,
+        "segment_corr_stats": _q_segment_corr_stats,
+        "bigram_pmi": _q_bigram_pmi,
+        "label_norm_stats": _q_label_norm_stats,
+        "user_first_last": _q_user_first_last,
+        "session_native": _q_session_native,
+        "distinct_counts": _q_distinct_counts,
+        "orders_profile": _q_orders_profile,
+        "vocab_coverage": _q_vocab_coverage,
+        "bigram_logprob": _q_bigram_logprob,
+        "user_type_map": _q_user_type_map,
+        "incremental_rollup": _q_incremental_rollup,
+        "rolling_median": _q_rolling_median,
+        "events_json": _q_events_json,
+        "order_priority_semi": _q_order_priority_semi,
+        "cust_order_dist": _q_cust_order_dist,
+        "big_orders": _q_big_orders,
+        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
+        "lonely_late_supplier": _q_lonely_late_supplier,
+        "rich_idle_customers": _q_rich_idle_customers,
+        "returned_top_customers": _q_returned_top_customers,
+        "volume_shipping": _q_volume_shipping,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "common_ngrams": _q_common_ngrams,
+        "above_avg_orders": _q_above_avg_orders,
+        "asof_signup": _q_asof_signup,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "cusum_revenue": _q_cusum_revenue,
