@@ -834,7 +834,14 @@ def quantile_sketch_merge(
             F.col("s.rank").alias("rank"),
             F.col("s.value").alias("value"),
         )
-        .dropDuplicates([*group_cols, "rank"])
+        # Deterministic per-(group, rank) collapse: min(value), not
+        # dropDuplicates (which keeps an ARBITRARY row). For exact
+        # replays the values are byte-identical so this is the same
+        # row; if an id reappears with an UPDATED value the merge still
+        # picks one deterministically — min — so merge order and
+        # partitioning can never change the sketch.
+        .groupBy(*group_cols, "rank")
+        .agg(F.min("value").alias("value"))
     )
     w = Window.partitionBy(*group_cols).orderBy("rank")
     kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
@@ -1031,7 +1038,12 @@ def cm_sketch_build(
     happens BEFORE a map-side-combined count, so the exchange carries
     at most depth x width rows per map task, never data-sized.
 
-    Output: (j, bucket, cnt) — the counter table, <= depth*width rows.
+    Output: (j, bucket, cnt, width, depth) — the counter table,
+    <= depth*width rows. width/depth ride along as constant columns so
+    estimate/merge can VALIDATE the hash contract instead of silently
+    remapping probe buckets against a table built with different
+    parameters (which can return estimates BELOW the true count,
+    breaking the never-undercount guarantee).
     """
     from indexlab_spark.functions.hashing import md5_long
 
@@ -1052,7 +1064,27 @@ def cm_sketch_build(
         rows.withColumn("bucket", bucket)
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("width", F.lit(int(width)))
+        .withColumn("depth", F.lit(int(depth)))
     )
+
+
+def _cm_params(cm: "DataFrame", what: str) -> tuple[int, int]:
+    """Read the (width, depth) contract off a Count-Min table; raise if
+    the table is inconsistent (a union of incompatible sketches) or
+    predates the carried-params schema."""
+    if "width" not in cm.columns or "depth" not in cm.columns:
+        raise ValueError(
+            f"{what}: sketch table lacks width/depth columns — rebuild "
+            "with cm_sketch_build (params are carried in the table)"
+        )
+    rows = cm.select("width", "depth").distinct().collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{what}: sketch table mixes incompatible (width, depth) "
+            f"contracts: {sorted((r[0], r[1]) for r in rows)}"
+        )
+    return int(rows[0][0]), int(rows[0][1])
 
 
 def cm_sketch_merge(a: "DataFrame", b: "DataFrame") -> "DataFrame":
@@ -1060,12 +1092,23 @@ def cm_sketch_merge(a: "DataFrame", b: "DataFrame") -> "DataFrame":
     counters ADD — CM is a linear sketch, so merged state equals the
     sketch of the concatenated data EXACTLY (not just approximately;
     pinned in tests). The incremental-maintenance path for streaming
-    frequency state."""
+    frequency state. Both sides must carry the SAME (width, depth) —
+    adding counters from differently-shaped tables would silently
+    corrupt every estimate, so a mismatch raises."""
+    wa, da = _cm_params(a, "cm_sketch_merge (left)")
+    wb, db = _cm_params(b, "cm_sketch_merge (right)")
+    if (wa, da) != (wb, db):
+        raise ValueError(
+            "cm_sketch_merge: incompatible sketches — left is "
+            f"{wa}x{da}, right is {wb}x{db}"
+        )
     return (
         a.select("j", "bucket", "cnt")
         .unionByName(b.select("j", "bucket", "cnt"))
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("width", F.lit(wa))
+        .withColumn("depth", F.lit(da))
     )
 
 
@@ -1073,19 +1116,33 @@ def cm_sketch_estimate(
     cm: "DataFrame",
     keys_df: "DataFrame",
     key_col: str,
-    width: int = 1024,
-    depth: int = 4,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> "DataFrame":
     """Point-estimate key frequencies from a Count-Min table: for each
     key, min over the depth rows of its counters (absent counter = 0).
     The counter table (<= depth*width rows) broadcasts; the keys frame
     never shuffles beyond its own dedup.
 
+    width/depth are read OFF the sketch table (cm_sketch_build carries
+    them); passing them explicitly only asserts they match — probing
+    with mismatched parameters used to silently remap buckets and
+    could return estimates BELOW the true count.
+
     Output: (key, est) — est >= true count always; est - true bounded
     by the sketch's collision mass.
     """
     from indexlab_spark.functions.hashing import md5_long
 
+    tw, td = _cm_params(cm, "cm_sketch_estimate")
+    if (width is not None and width != tw) or (
+        depth is not None and depth != td
+    ):
+        raise ValueError(
+            f"cm_sketch_estimate: sketch table is {tw}x{td} but caller "
+            f"asked for {width}x{depth}"
+        )
+    width, depth = tw, td
     keys = keys_df.select(
         F.col(key_col).cast("string").alias("key")
     ).distinct()

@@ -1753,10 +1753,18 @@ def wminhash_signatures(
     Arrow pass; each signature position serializes as "term|t" (the
     (k, t_k) sample — both components must match for a collision).
 
-    Output: (id, sumw, sig array<string>) — ``sumw`` = total token
-    count, the denominator building block for the exact verify.
+    Output: (id, sumw, sig array<string>, tf map<string,int>) —
+    ``sumw`` = total token count and ``tf`` the per-term counts, the
+    building blocks for the exact verify. Carrying tf out of this pass
+    keeps ONE tokenization path (Python ``str.split()``, unicode
+    whitespace) for both the signature and the verify — a separate SQL
+    ``split(lower, '\\s+')`` frame would tokenize ASCII-whitespace-only
+    and skew summin vs sumw on unicode spacing. The id field's type
+    follows ``df.schema[id_col]`` (string ids work, not just longs).
     """
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         for pdf in batches:
@@ -1773,12 +1781,18 @@ def wminhash_signatures(
                         for s in icws_signature(tf, num_hashes)
                     )
                 ]
-                rows.append((did, float(len(toks)), sig))
-            yield pd.DataFrame(rows, columns=["id", "sumw", "sig"])
+                rows.append((did, float(len(toks)), sig, tf))
+            yield pd.DataFrame(rows, columns=["id", "sumw", "sig", "tf"])
 
     return df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(fn, schema="id long, sumw double, sig array<string>")
+    ).mapInPandas(
+        fn,
+        schema=(
+            f"id {id_type}, sumw double, sig array<string>, "
+            "tf map<string,int>"
+        ),
+    )
 
 
 def wminhash_lsh_pairs(
@@ -1829,17 +1843,11 @@ def wminhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # (term, tf) frame exploded from the SAME Arrow pass that built the
+    # signatures — one tokenization path, so summin and sumw can never
+    # disagree about what a token is (ADVICE r7).
     tf = _pin(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .select(
-            "id",
-            F.explode(
-                F.split(F.lower(F.col("text")), r"\s+")
-            ).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        sigs.select("id", F.explode("tf").alias("term", "tf"))
     )
     summin = (
         cand.join(tf.withColumnRenamed("id", "id_a").withColumnRenamed("tf", "tf_a"), "id_a")

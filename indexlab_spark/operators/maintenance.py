@@ -407,6 +407,19 @@ def expire_versions(
     if not doomed:
         return {"deleted": [], "kept": manifests.count()}
 
+    # Metadata first, data last (the Delta/Iceberg expiration ordering):
+    # rewrite the manifests so no live row references a doomed version,
+    # THEN delete the partition directories. A crash between the two
+    # steps leaves orphaned-but-unreferenced data (re-vacuumable),
+    # never live manifest rows pointing at deleted chunks.
+    survivors = ranked.filter(F.col("_rk") <= keep_n).drop("_rk")
+    staging = manifests_path.rstrip("/") + "__staging"
+    survivors.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(
+        manifests_path
+    )
+    kept = spark.read.parquet(manifests_path).count()
+
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for name, version in doomed:
@@ -416,17 +429,12 @@ def expire_versions(
         fs = p.getFileSystem(hconf)
         if fs.exists(p):
             fs.delete(p, True)
+    sp = jvm.org.apache.hadoop.fs.Path(staging)
+    sfs = sp.getFileSystem(hconf)
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
 
-    survivors = ranked.filter(F.col("_rk") <= keep_n).drop("_rk")
-    staging = manifests_path.rstrip("/") + "__staging"
-    survivors.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(
-        manifests_path
-    )
-    return {
-        "deleted": doomed,
-        "kept": spark.read.parquet(manifests_path).count(),
-    }
+    return {"deleted": doomed, "kept": kept}
 
 
 def table_diff(

@@ -313,6 +313,8 @@ def test_expire_versions_keeps_latest_and_deletes_dirs(spark, tmp_path):
     mf = spark.read.parquet(manifests)
     assert mf.count() == 4
     assert mf.filter(F.col("version") == "v1").count() == 0
+    # the staging dir used for the manifest swap is cleaned up
+    assert not os.path.exists(manifests.rstrip("/") + "__staging")
 
     # keep_n=1 expires one more round; keep_n<1 refused
     out2 = expire_versions(spark, chunks, manifests, keep_n=1)

@@ -257,6 +257,41 @@ def test_quantile_sketch_merge_one_sided_groups_pass_through(spark):
     assert out == {"only_a": 1, "only_b": 1, "both": 2}
 
 
+def test_quantile_sketch_merge_updated_id_is_deterministic(spark):
+    """r7 ADVICE regression: when the SAME id reappears with a
+    DIFFERENT value (an update, not an exact replay), the per-(group,
+    rank) collapse used to keep an arbitrary row; it now keeps
+    min(value), so merge order can never change the sketch."""
+    from indexlab_spark.operators.analytics import (
+        quantile_sketch_merge,
+        quantile_sketch_rollup,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 7.0)], "id long, g string, v double"
+    )
+    # id 1 reappears with an updated value
+    b = spark.createDataFrame(
+        [(1, "g", 9.0), (3, "g", 2.0)], "id long, g string, v double"
+    )
+    sa = quantile_sketch_rollup(a, ["g"], "v", "id", k=8)
+    sb = quantile_sketch_rollup(b, ["g"], "v", "id", k=8)
+
+    def sample(m):
+        return [
+            (s["rank"], s["value"])
+            for r in m.collect()
+            for s in r["sample"]
+        ]
+
+    ab = sample(quantile_sketch_merge(sa, sb, ["g"], k=8))
+    ba = sample(quantile_sketch_merge(sb, sa, ["g"], k=8))
+    assert ab == ba
+    # id 1's rank carries min(5.0, 9.0) = 5.0
+    assert 9.0 not in {v for _, v in ab}
+    assert {5.0, 7.0, 2.0} == {v for _, v in ab}
+
+
 # ---------------------------------------------------------------- join explosion
 
 
@@ -468,6 +503,34 @@ def test_cm_sketch_bounded_size(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cm = cm_sketch_build(ev, "user_id", width=64, depth=3)
     assert cm.count() <= 64 * 3
+
+
+def test_cm_sketch_param_mismatch_raises(spark):
+    """r7 ADVICE regression: estimating or merging with a (width,
+    depth) contract different from the one the table was built with
+    used to silently remap buckets (and could UNDERCOUNT); now the
+    params ride in the table and a mismatch raises."""
+    import pytest
+
+    from indexlab_spark.operators.analytics import (
+        cm_sketch_build,
+        cm_sketch_estimate,
+        cm_sketch_merge,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    cm64 = cm_sketch_build(df, "k", width=64, depth=3)
+    cm32 = cm_sketch_build(df, "k", width=32, depth=3)
+    with pytest.raises(ValueError, match="64x3"):
+        cm_sketch_estimate(cm64, df, "k", width=1024, depth=4)
+    with pytest.raises(ValueError, match="incompatible"):
+        cm_sketch_merge(cm64, cm32).collect()
+    # params read off the table: no explicit width/depth needed
+    est = {
+        r["key"]: r["est"]
+        for r in cm_sketch_estimate(cm64, df, "k").collect()
+    }
+    assert est["a"] >= 2 and est["b"] >= 1
 
 
 # ---------------------------------------------------------------- trends
@@ -913,6 +976,30 @@ def test_wminhash_spark_signature_matches_local_reference(spark):
     want = [f"{k}|{t}" for k, t in icws_signature(tf, 8)]
     assert list(row["sig"]) == want
     assert row["sumw"] == 6.0
+    # tf counts ride along from the same tokenization pass
+    assert dict(row["tf"]) == tf
+
+
+def test_wminhash_string_ids_and_unicode_whitespace(spark):
+    """r7 ADVICE regression: (a) the signature schema must follow the
+    id column's actual type — string doc ids used to fail on a
+    hardcoded 'id long'; (b) unicode whitespace (NBSP, ideographic
+    space) must tokenize identically in the signature pass and the
+    exact-verify tf frame — a SQL '\\s+' split would treat
+    'alpha\\u00a0beta' as ONE token and skew summin vs sumw."""
+    from indexlab_spark.operators.dedup import wminhash_lsh_pairs
+
+    d1 = "alpha beta　gamma alpha"   # NBSP + ideographic space
+    d2 = "alpha beta gamma alpha"
+    df = spark.createDataFrame(
+        [("doc-a", d1), ("doc-b", d2)], "doc_id string, text string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in wminhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    # identical tf after unicode-aware tokenization -> exact 1.0
+    assert out == {("doc-a", "doc-b"): 1.0}
 
 
 # ---------------------------------------------------------------- A-Res
