@@ -3891,16 +3891,19 @@ def _q_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     at threshold t iff it pairs at >= t with a smaller id, so each
     curve point is a filter + distinct-count over the same bounded
     pairs frame. The number a curation team actually looks at before
-    picking a threshold. The pairs base is the prefix-filtered AllPairs
-    join (jaccard_join_prefix) — identical output to the naive shingle
-    equi-join (equality pinned at 4 thresholds in tests) but
-    sub-quadratic under hot shingles, so the sweep stays feasible on
-    boilerplate-heavy corpora."""
-    from indexlab_spark.operators.dedup import jaccard_join_prefix
+    picking a threshold. The pairs base is ADAPTIVE
+    (jaccard_join_adaptive): a vocab-sized probe of the naive join's
+    exact candidate mass picks the naive shingle equi-join on
+    near-unique-shingle corpora (lower constant — this corpus) and the
+    prefix-filtered AllPairs join under hot shingles (sub-quadratic);
+    both bases are output-identical (equality pinned at 4 thresholds
+    in tests), so the sweep keeps the hot-shingle safety without
+    paying the prefix stages where they buy nothing."""
+    from indexlab_spark.operators.dedup import jaccard_join_adaptive
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = docs.count()
-    pairs = jaccard_join_prefix(docs, threshold=0.5).select(
+    pairs = jaccard_join_adaptive(docs, threshold=0.5).select(
         "id_b", "jaccard"
     ).persist()
     spark_ts = []

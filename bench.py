@@ -199,6 +199,13 @@ def main() -> None:
     queries_sec: dict[str, float] = {}
     baseline_sec: dict[str, float] = {}
     rows_per_sec: dict[str, float] = {}
+    # Flap-prone entries recorded as min-of-N (r7 VERDICT item 7): the
+    # suite's ±12% host-load band plus single-shot timing produced three
+    # of r7's four apparent regressions. min_of records WHICH entries get
+    # repeats so the round-over-round diff can weight them correctly;
+    # everything else stays single-shot (a cold query really does pay
+    # its first-execution cost, and hiding that would misstate it).
+    min_of: dict[str, int] = {}
 
     # B1 ingest+chunk+embed ------------------------------------------------
     def spark_b1():
@@ -302,7 +309,8 @@ def main() -> None:
         )
         return eval_metrics(eval_results(gold, hits, K)).collect()[0]
 
-    queries_sec["b3_eval_large"], _ = timed(spark_b3_large)
+    queries_sec["b3_eval_large"], _ = timed(spark_b3_large, repeats=2)
+    min_of["b3_eval_large"] = 2
     baseline_sec["b3_eval_large"], _ = timed(
         lambda: baseline_b3_eval(big_mat, q_mat, expected)
     )
@@ -330,7 +338,8 @@ def main() -> None:
         ts_, dl_, g_ = bm25_build(docs)
         return bm25_score(bmq_df, ts_, dl_, g_, k=50).count()
 
-    queries_sec["b4_bm25"], _ = timed(spark_b4)
+    queries_sec["b4_bm25"], _ = timed(spark_b4, repeats=2)
+    min_of["b4_bm25"] = 2
     baseline_sec["b4_bm25"], _ = timed(
         lambda: baseline_b4_bm25(
             docs_pdf["text"].astype(str).tolist(), [q for _, q in bm_queries]
@@ -441,7 +450,16 @@ def main() -> None:
                  "table_diff", "event_paths", "cusum_revenue",
                  "weighted_sample"):
         fn = entry_mod.queries()[name]
-        queries_sec[f"q_{name}"], _ = timed(lambda fn=fn: fn(spark, SF_DIR).count())
+        reps = (
+            2
+            if name in ("dedup_survival", "profile_lineitem", "minhash_lsh")
+            else 1
+        )
+        if reps > 1:
+            min_of[f"q_{name}"] = reps
+        queries_sec[f"q_{name}"], _ = timed(
+            lambda fn=fn: fn(spark, SF_DIR).count(), repeats=reps
+        )
 
     # The registry's profile_lineitem is exact-mode (hash-checkable) over
     # a bounded 5-column subset; the plan you'd actually run at 100 TB is
@@ -494,11 +512,54 @@ def main() -> None:
     queries_sec["q_minhash_rebuild_full"], _ = timed(
         lambda: minhash_lsh_pairs(docs_all).count(), repeats=2
     )
-    incremental_vs_rebuild = round(
+    incremental_vs_rebuild_same_corpus = round(
         queries_sec["q_minhash_incremental_10pct"]
         / queries_sec["q_minhash_rebuild_full"],
         3,
     )
+    min_of["q_minhash_incremental_10pct"] = 2
+    min_of["q_minhash_rebuild_full"] = 2
+
+    # Grown-corpus measurement (r7 VERDICT item 2): the number above is
+    # the SAME-corpus ratio, and at this SF it sits above 1 — the
+    # rebuild's 5k-doc re-hash is cheaper than the incremental path's
+    # extra join stages, so the headline said the opposite of the scale
+    # story. The contract the incremental family exists for is "a fixed
+    # batch costs ~batch-sized work NO MATTER how big the corpus has
+    # grown", so the headline ratio is measured the scale_probe way: the
+    # SAME fixed batch (10% of the 1x corpus) classified against an
+    # 8x-grown corpus's persisted signature index, vs rebuilding the
+    # full 8x LSH from scratch. Corpus sizes are recorded in workloads
+    # (n_documents_grown / n_minhash_batch) so the ratio is attributable.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scale_probe import replicate_docs
+
+    GROW = 8
+    docs_grown = replicate_docs(docs_all, GROW).localCheckpoint(eager=True)
+    old_grown = docs_grown.join(
+        new_docs.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    sigs_grown = minhash_signatures(old_grown).localCheckpoint(eager=True)
+    queries_sec["q_minhash_incremental_grown8x"], _ = timed(
+        lambda: minhash_incremental_pairs(
+            new_docs, old_grown, old_sigs=sigs_grown
+        ).count(),
+        repeats=2,
+    )
+    queries_sec["q_minhash_rebuild_grown8x"], _ = timed(
+        lambda: minhash_lsh_pairs(docs_grown).count(), repeats=2
+    )
+    min_of["q_minhash_incremental_grown8x"] = 2
+    min_of["q_minhash_rebuild_grown8x"] = 2
+    incremental_vs_rebuild = round(
+        queries_sec["q_minhash_incremental_grown8x"]
+        / queries_sec["q_minhash_rebuild_grown8x"],
+        3,
+    )
+    n_docs_grown = docs_grown.count()
+    n_minhash_batch = new_docs.count()
+    docs_grown.unpersist()
 
     total = round(sum(queries_sec.values()), 3)
     queries_sec = {k: round(v, 3) for k, v in queries_sec.items()}
@@ -507,7 +568,9 @@ def main() -> None:
     # BENCH ran on a loaded host and the same-run oracles moved 3-4x;
     # without the input sizes in the record that is indistinguishable
     # from a workload change).
-    workloads = {"n_queries": N_QUERIES, "dim": DIM, "k": K}
+    workloads = {"n_queries": N_QUERIES, "dim": DIM, "k": K,
+                 "n_documents_grown": n_docs_grown,
+                 "n_minhash_batch": n_minhash_batch}
     for t in ("documents", "embeddings", "lineitem", "events"):
         try:
             workloads[f"n_{t}"] = spark.read.parquet(
@@ -525,6 +588,9 @@ def main() -> None:
         "rows_per_sec": rows_per_sec,
         "n_chunks": n_chunks,
         "incremental_vs_rebuild": incremental_vs_rebuild,
+        "incremental_vs_rebuild_same_corpus":
+            incremental_vs_rebuild_same_corpus,
+        "min_of": min_of,
         "workloads": workloads,
     }
     # Full record: printed first AND persisted to bench_full.json. The
@@ -559,6 +625,9 @@ def main() -> None:
         "ratios_large": ratios,
         "geomean_large": geomean,
         "incremental_vs_rebuild": incremental_vs_rebuild,
+        "incremental_vs_rebuild_same_corpus":
+            incremental_vs_rebuild_same_corpus,
+        "min_of": min_of,
         "workloads": workloads,
         "full": "bench_full.json",
     }
