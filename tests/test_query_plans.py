@@ -433,3 +433,75 @@ def test_transition_matrix_totals_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_window_funnel_single_exchange_no_join(spark, sf_dir):
+    """The funnel DP is ONE keyed exchange into the per-sequence Arrow
+    scan — never the EXISTS-chain k-way self-join (combinatorial on
+    active users). Pins: exactly one shuffle Exchange (feeding the
+    FlatMapGroupsInPandas), zero joins of any kind, and the step filter
+    pushed to the scan."""
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.analytics import window_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "cart", "purchase"], window_seconds=86400,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    shuffles = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l
+        and "ReusedExchange" not in l
+        and "BroadcastExchange" not in l
+    )
+    assert shuffles == 1, plan
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_cusum_broadcast_stats_single_arrow_pass(spark):
+    """CUSUM's reset fold: group stats ride along via a BROADCAST join
+    (stats frame is group-count-sized), and the fold itself is ONE
+    keyed Arrow pass — no shuffled row-level join, no second
+    FlatMapGroupsInPandas."""
+    from indexlab_spark.operators.analytics import cusum_changepoints
+
+    rows = [("g", float(i), 10.0 + (5.0 if i > 6 else 0.0)) for i in range(12)]
+    df = spark.createDataFrame(rows, "seg string, t double, v double")
+    plan = (
+        cusum_changepoints(df, ["seg"], "t", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_wminhash_no_union_of_terms_join(spark, sf_dir):
+    """The weighted-Jaccard verify needs only sum(min tf) per CANDIDATE
+    pair: J_w = summin / (wa + wb - summin), so the sum-max side folds
+    to per-doc totals and NO union-of-terms (full-outer) join — the
+    naive shape — may appear anywhere. The tf frame must also come from
+    the signature pass's carried map (one tokenization path), not a
+    second SQL split of the corpus."""
+    import inspect
+
+    from indexlab_spark.operators.dedup import (
+        wminhash_lsh_pairs,
+        wminhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    plan = (
+        wminhash_lsh_pairs(docs, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    src = inspect.getsource(wminhash_lsh_pairs)
+    assert 'F.explode("tf")' in src and "F.split" not in src
