@@ -4419,10 +4419,12 @@ def _q_cusum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring — CUSUM changepoint scan over daily event value per
     type (analytics.cusum_changepoints): WHERE did the level shift
     start, the onset question PSI/KS/psi_drift cannot answer. The
-    max(0, .) reset fold is not a SQL window sum -> rows-only; exact
-    parity with a pure-python reference is pinned in tests. Input is
-    the bounded daily pre-aggregate, so per-group series length is
-    calendar-bounded."""
+    max(0, .) reset fold is not a SQL window sum, but it IS a linear
+    recursion — the oracle walks it with a recursive CTE (a different
+    algorithm from the engine's per-group Arrow DP, the window_funnel
+    discipline), and exact parity with a pure-python reference is
+    additionally pinned in tests. Input is the bounded daily
+    pre-aggregate, so per-group series length is calendar-bounded."""
     from indexlab_spark.operators.analytics import cusum_changepoints
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -4467,10 +4469,10 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spirakis 2006): 5 documents per language drawn WITHOUT replacement
     with probability proportional to length — the sampling family's
     weighted-rows member (hash_sample is uniform; temperature/DSIR
-    reweight sources). Deterministic md5-uniform keys; the k=1
-    inclusion-probability guarantee and repartition-invariance are
-    pinned in tests. Float pow/log keys are engine-specific ->
-    rows-only."""
+    reweight sources). Deterministic md5-uniform keys mean the oracle
+    reproduces the SELECTION itself (ln((h+1)/2^60)/w, top-k by key);
+    the k=1 inclusion-probability guarantee and
+    repartition-invariance are additionally pinned in tests."""
     from indexlab_spark.operators.curation import weighted_sample
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -4684,11 +4686,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_ngrams": _q_common_ngrams,
         "above_avg_orders": _q_above_avg_orders,
         "asof_signup": _q_asof_signup,
+        # oracle-backed as of round 8 (recursive-CTE fold / md5 key
+        # replication) — never driver-attested with an oracle; rotate
+        # into the r9 window FIRST per the never-attested-first
+        # invariant (ahead of the r05 backfill pinned above, whose
+        # last two entries slip to r10):
+        "cusum_revenue": _q_cusum_revenue,
+        "weighted_sample": _q_weighted_sample,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
-        "cusum_revenue": _q_cusum_revenue,
         "weighted_minhash": _q_weighted_minhash,
-        "weighted_sample": _q_weighted_sample,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
         "similarity_ivf": _q_similarity_ivf,
@@ -7674,5 +7681,77 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 20
+        """,
+        # The CUSUM reset fold max(0, S + delta) is not a window sum,
+        # but it IS a linear recursion — DuckDB's recursive CTE walks
+        # it row by row per group, a genuinely different evaluation
+        # strategy from the engine's per-group Arrow DP (the
+        # window_funnel discipline: oracle and engine must not share
+        # an algorithm). Association of the float ops mirrors the
+        # Python fold exactly: ((x - mu) - k) added, ((S - (x-mu)) - k)
+        # subtracted; flags compare UNROUNDED sums against h = 4*sd.
+        "cusum_revenue": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       round(sum(value), 6) AS revenue
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT event_type, avg(revenue) AS mu,
+                       coalesce(stddev_pop(revenue), 0) AS sd
+                FROM daily GROUP BY 1
+            ),
+            base AS (
+                SELECT d.event_type, d.day, d.revenue, s.mu, s.sd,
+                       row_number() OVER (PARTITION BY d.event_type
+                                          ORDER BY d.day, d.revenue)
+                           AS rn
+                FROM daily d JOIN stats s USING (event_type)
+            ),
+            rec AS (
+                SELECT event_type, day, revenue, mu, sd, rn,
+                       greatest(0, revenue - mu - 0.5 * sd) AS sp,
+                       greatest(0, 0 - (revenue - mu) - 0.5 * sd) AS sn
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.event_type, b.day, b.revenue, b.mu, b.sd,
+                       b.rn,
+                       greatest(0, r.sp + (b.revenue - b.mu
+                                           - 0.5 * b.sd)),
+                       greatest(0, r.sn - (b.revenue - b.mu)
+                                   - 0.5 * b.sd)
+                FROM rec r
+                JOIN base b ON b.event_type = r.event_type
+                           AND b.rn = r.rn + 1
+            )
+            SELECT event_type, day, revenue,
+                   round(sp, 6) AS cusum_pos,
+                   round(sn, 6) AS cusum_neg,
+                   (sd > 0 AND (sp > 4 * sd OR sn > 4 * sd)) AS flag
+            FROM rec
+        """,
+        # A-Res keys are pure md5 arithmetic (the portable-hash
+        # contract), so DuckDB reproduces the SELECTION, not just the
+        # shape: ln((md5_60bit + 1) / 2^60) / weight, top-5 per
+        # language by key desc with the id tie-break.
+        "weighted_sample": """
+            WITH keyed AS (
+                SELECT lang, doc_id, n_chars,
+                       ln((CAST(concat('0x', substr(md5('ares|'
+                               || CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) + 1.0)
+                          / (power(2.0, 60) + 2.0))
+                         / CAST(n_chars AS DOUBLE) AS k
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT lang, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY k DESC,
+                                                     doc_id ASC) AS rn
+                  FROM keyed)
+            WHERE rn <= 5
         """,
     }
