@@ -972,6 +972,42 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, nodes, tol=1e-3, max_iter=80)
 
 
+def _q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 graph — 3-core of the repeat-co-purchase graph
+    (dedup.k_core, Seidman 1983 peeling): parts are linked when they
+    appear together in at least TWO orders (the >= 2 support cut keeps
+    the graph sparse enough that peeling says something — the raw
+    co-purchase graph's mean degree is ~100 and everything is core).
+    The densest-substructure filter the triangle census only hints at:
+    in a near-dup or co-occurrence graph, the k-core is the
+    template-farm / bot-ring neighborhood. Each peel round is two
+    node-set-keyed joins + a map-combined degree agg with one scalar
+    action; the oracle replays the identical peeling as a bounded
+    DuckDB recursive CTE (idempotent once converged, so the fixed
+    64-round recursion equals the engine's early-stopped fixpoint)."""
+    from indexlab_spark.operators.dedup import k_core
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .drop("cnt")
+    )
+    return k_core(edges, k=3)
+
+
 def _q_doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — 220-char preview with ellipsis (answerless_search.py:161)."""
     from indexlab_spark.functions.text import preview
@@ -4686,13 +4722,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_ngrams": _q_common_ngrams,
         "above_avg_orders": _q_above_avg_orders,
         "asof_signup": _q_asof_signup,
-        # oracle-backed as of round 8 (recursive-CTE fold / md5 key
+        # oracle-backed as of round 8 (recursive-CTE folds / md5 key
         # replication) — never driver-attested with an oracle; rotate
         # into the r9 window FIRST per the never-attested-first
         # invariant (ahead of the r05 backfill pinned above, whose
-        # last two entries slip to r10):
+        # last entries slip to r10 to make room):
         "cusum_revenue": _q_cusum_revenue,
         "weighted_sample": _q_weighted_sample,
+        "part_kcore": _q_part_kcore,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
@@ -7753,5 +7790,47 @@ def oracle_sql() -> dict[str, str]:
                                                      doc_id ASC) AS rn
                   FROM keyed)
             WHERE rn <= 5
+        """,
+        # k-core peeling is a fixpoint, and a fixpoint is idempotent:
+        # running the recursion for a FIXED 64 rounds (the engine's
+        # max_iter) equals the engine's early-stopped loop whenever it
+        # converges within the bound, and equals its capped output
+        # otherwise. The working table passes the full surviving set
+        # each round; degrees are counted over edges whose BOTH
+        # endpoints survive (the extra peel-table join).
+        "part_kcore": """
+            WITH RECURSIVE co AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            und AS (
+                SELECT pa AS s, pb AS t FROM co
+                UNION ALL
+                SELECT pb, pa FROM co
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            peel AS (
+                SELECT node, 0 AS it FROM nodes
+                UNION ALL
+                SELECT d.node, p.it + 1
+                FROM peel p
+                JOIN (SELECT x.node, count(*) AS deg
+                      FROM peel x
+                      JOIN und e ON e.s = x.node
+                      JOIN peel y ON y.node = e.t
+                      GROUP BY 1) d ON d.node = p.node
+                WHERE p.it < 64 AND d.deg >= 3
+            ),
+            core AS (SELECT node FROM peel WHERE it = 64)
+            SELECT x.node, count(*) AS deg
+            FROM core x
+            JOIN und e ON e.s = x.node
+            JOIN core y ON y.node = e.t
+            GROUP BY 1
         """,
     }

@@ -1733,6 +1733,81 @@ def triangle_count(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 64,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983 /
+    Matula & Beck 1983, public): repeatedly delete every node whose
+    degree WITHIN the surviving subgraph is below ``k`` until the set
+    is stable. The densest-substructure filter of the graph family —
+    in a near-dup / co-occurrence graph the k-core is the template-farm
+    or bot-ring signal that triangles and communities only hint at.
+
+    Output: ``(node, deg)`` — the members of the k-core and their
+    degree inside the core (>= k by construction). Self-loops dropped,
+    duplicate/reversed edges collapsed (simple-graph semantics, same
+    as :func:`triangle_count`).
+
+    Scale design (the connected_components round discipline): the
+    symmetrized edge frame is checkpointed ONCE and never changes;
+    each round is two keyed joins (edges x surviving-node set on both
+    endpoints — the node frame is set-sized, so AQE broadcasts it as
+    peeling shrinks) + one map-combined degree agg + ONE scalar action
+    (the survivor count, which also materializes that round's lazy
+    localCheckpoint, keeping lineage flat). Because the node set
+    shrinks monotonically, equal consecutive counts means a fixpoint
+    — and peeling is idempotent there, so the ``max_iter`` bound only
+    caps pathological peel depth (a chain peels one layer per round).
+    The gate oracle replays the SAME peeling as a DuckDB recursive CTE
+    run for exactly ``max_iter`` rounds (idempotence makes the fixed
+    count equivalent once converged).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    half = edges.filter(F.col(a_col) != F.col(b_col)).select(
+        F.col(a_col).alias("s"), F.col(b_col).alias("t")
+    )
+    und = (
+        half.unionByName(half.select(F.col("t").alias("s"),
+                                     F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    n_cur = cur.count()
+
+    def _core_deg(nodes: DataFrame) -> DataFrame:
+        return (
+            und.join(nodes.withColumnRenamed("node", "s"), "s")
+            .join(nodes.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(max_iter):
+        if n_cur == 0:
+            break
+        nxt = (
+            _core_deg(cur)
+            .filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint()  # lazy: materialized by the count below
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    # No trailing filter: at the fixpoint every degree is >= k already,
+    # and in the max_iter-capped case the contract is "the set after
+    # exactly max_iter peels" — the same thing the oracle's bounded
+    # recursion computes.
+    return _core_deg(cur)
+
+
 from functools import lru_cache
 
 

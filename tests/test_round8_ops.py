@@ -1,0 +1,92 @@
+"""Round-8 operator tests: k-core decomposition and the streaming
+heavy-hitters monitor."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _local_kcore(edges, k):
+    """Reference peeling in plain python: repeatedly drop nodes whose
+    degree within the surviving set is < k; return {node: core_deg}."""
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        doomed = {n for n in alive if len(adj[n] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def test_k_core_hand_graph(spark):
+    """Triangle 1-2-3 with a tail 3-4-5: the 2-core is exactly the
+    triangle (4 peels away after 5, the cascade the one-shot degree
+    filter misses)."""
+    from indexlab_spark.operators.dedup import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["deg"] for r in k_core(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=1: every non-isolated node survives (leaves have degree 1)
+    got1 = {r["node"]: r["deg"] for r in k_core(edges, 1).collect()}
+    assert set(got1) == {1, 2, 3, 4, 5}
+    # k above the max core: empty
+    assert k_core(edges, 4).count() == 0
+    with pytest.raises(ValueError):
+        k_core(edges, 0)
+
+
+def test_k_core_multigraph_and_self_loops(spark):
+    """Duplicate, reversed and self-loop edges must collapse to
+    simple-graph semantics before peeling."""
+    from indexlab_spark.operators.dedup import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["deg"] for r in k_core(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_matches_local_reference_random_graphs(spark):
+    """Pseudo-random graphs (deterministic congruential edges) at
+    several densities and k values: Spark peeling == local peeling,
+    node for node, degree for degree."""
+    from indexlab_spark.operators.dedup import k_core
+
+    for seed, n_nodes, n_edges in ((1, 40, 80), (2, 60, 90), (3, 30, 120)):
+        raw = []
+        x = seed
+        for _ in range(n_edges):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a = x % n_nodes
+            x = (x * 1103515245 + 12345) % (2**31)
+            b = x % n_nodes
+            raw.append((a, b))
+        df = spark.createDataFrame(raw, "id_a long, id_b long")
+        for k in (2, 3, 4):
+            want = _local_kcore(raw, k)
+            got = {r["node"]: r["deg"] for r in k_core(df, k).collect()}
+            assert got == want, (seed, k)
+
+
+def test_k_core_rounds_are_bounded_joins(spark):
+    """Plan discipline: the per-round degree computation is two keyed
+    joins + a partial-agg count — no cartesian product, no window."""
+    from indexlab_spark.operators.dedup import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(0, 49)], "id_a long, id_b long"
+    )
+    out = k_core(edges, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
