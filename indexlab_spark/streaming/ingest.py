@@ -215,3 +215,67 @@ def quantile_monitor_stream(
         )
         .trigger(availableNow=True)
     )
+
+
+def heavy_hitters_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    query_name: str = "cm_monitor",
+):
+    """Maintain a live Count-Min frequency sketch over a stream — the
+    COUNTS companion to :func:`quantile_monitor_stream`: bounded-memory
+    key-frequency state over an unbounded key domain, readable at any
+    moment for "what's hot right now" without ever storing per-key
+    rows.
+
+    Replay safety differs from the quantile monitor on purpose: CM is
+    a LINEAR sketch (counters add), so re-merging a replayed batch
+    would DOUBLE-count — idempotent-merge tricks don't apply. Instead
+    the state is per-batch sketch partitions (the dedup-ingest
+    discipline): each micro-batch writes its own ``batch_id=N``
+    partition with dynamic partition overwrite, so an at-least-once
+    redelivery overwrites byte-identically instead of adding. Readers
+    collapse the partitions with :func:`cm_monitor_totals` (one
+    sketch-sized sum — linearity makes the collapsed table exactly the
+    sketch of all data seen).
+
+    Steady-state cost per trigger: one map-side-combined batch sketch
+    (exchange bounded by depth x width rows) + one partition write.
+    State grows one depth*width-row partition per batch; totals reads
+    stay sketch-sized after the sum.
+    """
+    from indexlab_spark.operators.analytics import cm_sketch_build
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cm_sketch_build(batch_df, key_col, width=width, depth=depth)
+        _write_state(sk, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def cm_monitor_totals(spark: SparkSession, state_path: str) -> DataFrame:
+    """Collapse the batch-partitioned Count-Min state into ONE counter
+    table: counters sum across batches (linearity), the width/depth
+    contract is validated across every partition, and the result feeds
+    :func:`~indexlab_spark.operators.analytics.cm_sketch_estimate`
+    directly."""
+    from indexlab_spark.operators.analytics import _cm_params
+
+    cm = spark.read.parquet(state_path)
+    w, d = _cm_params(cm, "cm_monitor_totals")
+    return (
+        cm.groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("width", F.lit(w))
+        .withColumn("depth", F.lit(d))
+    )

@@ -90,3 +90,96 @@ def test_k_core_rounds_are_bounded_joins(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+# ------------------------------------------------- streaming CM monitor
+
+
+def test_cm_monitor_stream_equals_batch_and_replay(spark, tmp_path):
+    """Drained CM state collapsed across batch partitions must EXACTLY
+    equal the one-shot batch sketch (linearity), and a redelivered
+    batch must overwrite its own partition, not double-add."""
+    from indexlab_spark.operators.analytics import (
+        cm_sketch_build,
+        cm_sketch_estimate,
+    )
+    from indexlab_spark.streaming.ingest import (
+        cm_monitor_totals,
+        heavy_hitters_monitor_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type"
+    )
+    src = str(tmp_path / "cmsrc")
+    ev.repartition(3).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "cmstate")
+    q = heavy_hitters_monitor_stream(
+        stream, state, "event_type", width=128, depth=3
+    ).start()
+    q.awaitTermination()
+
+    def counters(df):
+        return {(r["j"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    totals = cm_monitor_totals(spark, state)
+    want = cm_sketch_build(ev, "event_type", width=128, depth=3)
+    assert counters(totals) == counters(want) and totals.count() > 0
+
+    # estimates off the collapsed table never undercount and are exact
+    # for this tiny key domain
+    true = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    est = {
+        r["key"]: r["est"]
+        for r in cm_sketch_estimate(totals, ev, "event_type").collect()
+    }
+    assert all(est[k] >= v for k, v in true.items())
+
+    # replay idempotence, driven directly through the state writer:
+    # re-delivering a batch overwrites its partition, never double-adds
+    from indexlab_spark.streaming.ingest import _write_state
+
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    state2 = str(tmp_path / "cmstate2")
+    _write_state(cm_sketch_build(h1, "event_type", width=128, depth=3),
+                 state2, 0)
+    _write_state(cm_sketch_build(h2, "event_type", width=128, depth=3),
+                 state2, 1)
+    before = counters(cm_monitor_totals(spark, state2))
+    # batch 0 redelivered (at-least-once): byte-identical overwrite
+    _write_state(cm_sketch_build(h1, "event_type", width=128, depth=3),
+                 state2, 0)
+    after = counters(cm_monitor_totals(spark, state2))
+    assert before == after == counters(want)
+
+
+def test_cm_monitor_rejects_mixed_contracts(spark, tmp_path):
+    """A state dir accidentally holding partitions from two different
+    (width, depth) configurations must refuse to collapse."""
+    import pytest as _pytest
+
+    from indexlab_spark.operators.analytics import cm_sketch_build
+    from indexlab_spark.streaming.ingest import (
+        _write_state,
+        cm_monitor_totals,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    state = str(tmp_path / "mixed")
+    _write_state(cm_sketch_build(df, "k", width=64, depth=2), state, 0)
+    _write_state(cm_sketch_build(df, "k", width=32, depth=2), state, 1)
+    with _pytest.raises(ValueError, match="incompatible|mixes"):
+        cm_monitor_totals(spark, state)
