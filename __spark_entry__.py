@@ -972,6 +972,33 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, nodes, tol=1e-3, max_iter=80)
 
 
+def _q_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse breadth — two-arm experiment readout
+    (analytics.ab_test_report): users split by id parity into arms,
+    per-user total value as the metric (Welch's unequal-variance t)
+    and any-purchase as the conversion (pooled two-proportion z),
+    reported as statistics + fixed-1.96 significance flags (neither
+    engine has erf, and the normal cut is the dashboard standard).
+    One per-user exchange, then ONE filtered-aggregate reduction to a
+    single row — no self-join, no pivot."""
+    from indexlab_spark.operators.analytics import ab_test_report
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.groupBy("user_id").agg(
+        F.sum("value").alias("metric"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("double").alias("conv"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias(
+            "variant"
+        ),
+        "metric",
+        "conv",
+    )
+    return ab_test_report(units, "variant", "metric", "conv")
+
+
 def _q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 graph — 3-core of the repeat-co-purchase graph
     (dedup.k_core, Seidman 1983 peeling): parts are linked when they
@@ -4730,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_revenue": _q_cusum_revenue,
         "weighted_sample": _q_weighted_sample,
         "part_kcore": _q_part_kcore,
+        "ab_events": _q_ab_events,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
@@ -7832,5 +7860,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN und e ON e.s = x.node
             JOIN core y ON y.node = e.t
             GROUP BY 1
+        """,
+        # Same filtered-aggregate reduction + identical closed-form
+        # arithmetic (association mirrored term by term); statistics
+        # not p-values — no erf in either engine.
+        "ab_events": """
+            WITH units AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS variant,
+                       sum(value) AS metric,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                           AS conv
+                FROM events GROUP BY user_id
+            ),
+            agg AS (
+                SELECT
+                    count(CASE WHEN variant = 'a' THEN metric END) AS n_a,
+                    count(CASE WHEN variant = 'b' THEN metric END) AS n_b,
+                    avg(CASE WHEN variant = 'a' THEN metric END) AS mean_a,
+                    avg(CASE WHEN variant = 'b' THEN metric END) AS mean_b,
+                    var_samp(CASE WHEN variant = 'a' THEN metric END)
+                        AS var_a,
+                    var_samp(CASE WHEN variant = 'b' THEN metric END)
+                        AS var_b,
+                    sum(CASE WHEN variant = 'a' THEN conv END) AS k_a,
+                    sum(CASE WHEN variant = 'b' THEN conv END) AS k_b
+                FROM units
+            ),
+            d AS (
+                SELECT *,
+                       var_a / n_a + var_b / n_b AS se2,
+                       k_a / n_a AS p_a,
+                       k_b / n_b AS p_b,
+                       (k_a + k_b) / (n_a + n_b) AS p_pool
+                FROM agg
+            ),
+            e AS (
+                SELECT *,
+                       (mean_a - mean_b) / sqrt(se2) AS t_stat,
+                       (se2 * se2) /
+                         ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                          + (var_b / n_b) * (var_b / n_b) / (n_b - 1))
+                           AS t_df,
+                       sqrt(p_pool * (1 - p_pool)
+                            * (1.0 / n_a + 1.0 / n_b)) AS z_den,
+                       (n_a >= 2 AND n_b >= 2 AND se2 > 0) AS ok_t
+                FROM d
+            )
+            SELECT n_a, n_b,
+                   round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   round(CASE WHEN ok_t THEN t_stat END, 6) AS t_stat,
+                   round(CASE WHEN ok_t THEN t_df END, 6) AS t_df,
+                   coalesce(CASE WHEN ok_t THEN abs(t_stat) > 1.96 END,
+                            FALSE) AS t_sig,
+                   round(p_a, 6) AS conv_a,
+                   round(p_b, 6) AS conv_b,
+                   round(CASE WHEN z_den > 0
+                              THEN (p_a - p_b) / z_den END, 6) AS z_stat,
+                   coalesce(CASE WHEN z_den > 0
+                                 THEN abs((p_a - p_b) / z_den) > 1.96
+                            END, FALSE) AS z_sig
+            FROM e
         """,
     }

@@ -1541,3 +1541,88 @@ def transition_paths(
         "cnt",
         F.round(F.col("cnt") / F.col("_t"), 6).alias("share"),
     )
+
+
+def ab_test_report(
+    df: "DataFrame",
+    variant_col: str,
+    metric_col: str,
+    conv_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+    z_crit: float = 1.96,
+) -> "DataFrame":
+    """Two-arm experiment readout over a PER-UNIT frame (one row per
+    user/session — aggregate to units first; testing raw events
+    violates the independence assumption): Welch's unequal-variance
+    t-test on the metric and the two-proportion pooled z-test on the
+    conversion flag, the two numbers every A/B dashboard starts with.
+
+    Reported as TEST STATISTICS plus fixed-threshold significance
+    flags (|stat| > ``z_crit``, the normal-approximation cut both
+    engines can evaluate exactly) rather than p-values — neither Spark
+    SQL nor the oracle has erf, and at experiment sample sizes the
+    normal approximation to Welch's t is the standard dashboard
+    treatment anyway.
+
+    ONE map-side-combined aggregation over the unit frame (filtered
+    aggregates per arm — no self-join, no pivot shuffle); the single
+    reduced row then gets the closed-form arithmetic as a codegen
+    projection. At 100 TB of units this is a corpus scan plus a
+    one-row exchange.
+
+    Output (one row, 6dp): n_a, n_b, mean_a, mean_b, t_stat, t_df
+    (Welch-Satterthwaite), t_sig, conv_a, conv_b, z_stat, z_sig.
+    Degenerate arms (n < 2 or zero variance on both sides / pooled
+    rate 0 or 1) yield NULL statistics and false flags.
+    """
+    v = F.col(variant_col)
+    x = F.col(metric_col).cast("double")
+    c = F.col(conv_col).cast("double")
+
+    def arm(val, expr, agg):
+        return agg(F.when(v == F.lit(val), expr))
+
+    agg = df.agg(
+        arm(variant_a, x, F.count).alias("n_a"),
+        arm(variant_b, x, F.count).alias("n_b"),
+        arm(variant_a, x, F.avg).alias("mean_a"),
+        arm(variant_b, x, F.avg).alias("mean_b"),
+        arm(variant_a, x, F.var_samp).alias("var_a"),
+        arm(variant_b, x, F.var_samp).alias("var_b"),
+        arm(variant_a, c, F.sum).alias("k_a"),
+        arm(variant_b, c, F.sum).alias("k_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t_stat = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    t_df = (se2 * se2) / (
+        (F.col("var_a") / F.col("n_a")) * (F.col("var_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("var_b") / F.col("n_b")) * (F.col("var_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    p_a = F.col("k_a") / F.col("n_a")
+    p_b = F.col("k_b") / F.col("n_b")
+    p_pool = (F.col("k_a") + F.col("k_b")) / (F.col("n_a") + F.col("n_b"))
+    z_den = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z_stat = F.when(z_den > 0, (p_a - p_b) / z_den)
+    ok_t = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(F.when(ok_t, t_stat), 6).alias("t_stat"),
+        F.round(F.when(ok_t, t_df), 6).alias("t_df"),
+        F.coalesce(
+            F.when(ok_t, F.abs(t_stat) > F.lit(z_crit)), F.lit(False)
+        ).alias("t_sig"),
+        F.round(p_a, 6).alias("conv_a"),
+        F.round(p_b, 6).alias("conv_b"),
+        F.round(z_stat, 6).alias("z_stat"),
+        F.coalesce(F.abs(z_stat) > F.lit(z_crit), F.lit(False)).alias(
+            "z_sig"
+        ),
+    )

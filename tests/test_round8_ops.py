@@ -1,5 +1,5 @@
-"""Round-8 operator tests: k-core decomposition and the streaming
-heavy-hitters monitor."""
+"""Round-8 operator tests: k-core decomposition, the streaming
+heavy-hitters monitor, and the A/B experiment readout."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -183,3 +183,94 @@ def test_cm_monitor_rejects_mixed_contracts(spark, tmp_path):
     _write_state(cm_sketch_build(df, "k", width=32, depth=2), state, 1)
     with _pytest.raises(ValueError, match="incompatible|mixes"):
         cm_monitor_totals(spark, state)
+
+
+# ------------------------------------------------------ A/B test report
+
+
+def test_ab_test_report_matches_local_welch(spark):
+    """Planted two-arm experiment: t/z statistics equal a pure-python
+    Welch + pooled-z reference to 1e-6, and the significance flags
+    fire on a real difference."""
+    import math
+
+    from indexlab_spark.operators.analytics import ab_test_report
+
+    a = [10.0, 12.0, 11.0, 13.0, 9.0, 14.0, 10.5, 12.5]
+    b = [15.0, 17.0, 16.0, 18.0, 14.0, 19.0, 15.5, 17.5]
+    conv_a = [1, 0, 0, 0, 1, 0, 0, 0]
+    conv_b = [1, 1, 1, 0, 1, 1, 1, 0]
+    rows = [("a", x, float(c)) for x, c in zip(a, conv_a)] + [
+        ("b", x, float(c)) for x, c in zip(b, conv_b)
+    ]
+    df = spark.createDataFrame(rows, "variant string, metric double, conv double")
+    r = ab_test_report(df, "variant", "metric", "conv").collect()[0]
+
+    def mean(v):
+        return sum(v) / len(v)
+
+    def var_s(v):
+        m = mean(v)
+        return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+    na, nb = len(a), len(b)
+    se2 = var_s(a) / na + var_s(b) / nb
+    t = (mean(a) - mean(b)) / math.sqrt(se2)
+    t_df = se2 * se2 / (
+        (var_s(a) / na) ** 2 / (na - 1) + (var_s(b) / nb) ** 2 / (nb - 1)
+    )
+    pa, pb = mean(conv_a), mean(conv_b)
+    pp = (sum(conv_a) + sum(conv_b)) / (na + nb)
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(r["t_df"] - round(t_df, 6)) < 1e-9
+    assert abs(r["z_stat"] - round(z, 6)) < 1e-9
+    assert r["t_sig"] is True and r["z_sig"] is True
+    assert r["n_a"] == na and r["n_b"] == nb
+
+
+def test_ab_test_report_degenerate_arms(spark):
+    """n=1 arm or zero variance on both sides -> NULL statistics and
+    false flags, never a division error."""
+    from indexlab_spark.operators.analytics import ab_test_report
+
+    one = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0)],
+        "variant string, metric double, conv double",
+    )
+    r = ab_test_report(one, "variant", "metric", "conv").collect()[0]
+    assert r["t_stat"] is None and r["t_sig"] is False
+
+    flat = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 5.0, 1.0), ("b", 5.0, 1.0), ("b", 5.0, 1.0)],
+        "variant string, metric double, conv double",
+    )
+    r2 = ab_test_report(flat, "variant", "metric", "conv").collect()[0]
+    # zero metric variance -> no t; pooled conversion rate 1 -> no z
+    assert r2["t_stat"] is None and r2["z_stat"] is None
+    assert r2["t_sig"] is False and r2["z_sig"] is False
+
+
+def test_ab_test_report_single_reduction_plan(spark):
+    """Plan contract: one filtered-aggregate reduction — no join, no
+    pivot exchange, a single shuffle (the one-row partial agg)."""
+    from indexlab_spark.operators.analytics import ab_test_report
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("b", 2.0, 1.0)],
+        "variant string, metric double, conv double",
+    )
+    plan = (
+        ab_test_report(df, "variant", "metric", "conv")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    shuffles = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l
+        and "ReusedExchange" not in l
+        and "BroadcastExchange" not in l
+    )
+    assert shuffles == 1, plan
