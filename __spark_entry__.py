@@ -999,6 +999,42 @@ def _q_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_report(units, "variant", "metric", "conv")
 
 
+def _q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse breadth — time-to-convert distribution: per user the
+    FIRST view and FIRST purchase, lag in seconds for users who
+    converted after viewing, summarized as count/share/avg/p50/p90
+    (exact-interpolation percentile, the doc_len_stats convention).
+    Two map-combined aggregations (per-user firsts, then the one-row
+    summary with filtered aggregates) — the funnel-latency readout
+    next to window_funnel's depth counts."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "fv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    lag = F.col("fp").cast("double") - F.col("fv").cast("double")
+    conv = (
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (lag >= 0)
+    )
+    clag = F.when(conv, lag)
+    return firsts.agg(
+        F.count(F.when(F.col("fv").isNotNull(), 1)).alias("n_view_users"),
+        F.count(F.when(conv, 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(conv, 1)).cast("double")
+            / F.count(F.when(F.col("fv").isNotNull(), 1)),
+            6,
+        ).alias("conv_share"),
+        F.round(F.avg(clag), 6).alias("avg_lag_sec"),
+        F.round(F.percentile(clag, F.lit(0.5)), 6).alias("p50_lag_sec"),
+        F.round(F.percentile(clag, F.lit(0.9)), 6).alias("p90_lag_sec"),
+    )
+
+
 def _q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 graph — 3-core of the repeat-co-purchase graph
     (dedup.k_core, Seidman 1983 peeling): parts are linked when they
@@ -4758,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "part_kcore": _q_part_kcore,
         "ab_events": _q_ab_events,
+        "conversion_lag": _q_conversion_lag,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
@@ -7923,5 +7960,35 @@ def oracle_sql() -> dict[str, str]:
                                  THEN abs((p_a - p_b) / z_den) > 1.96
                             END, FALSE) AS z_sig
             FROM e
+        """,
+        "conversion_lag": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           AS fv,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS fp
+                FROM events GROUP BY 1
+            ),
+            l AS (
+                SELECT fv, fp, epoch(fp) - epoch(fv) AS lag_sec,
+                       (fv IS NOT NULL AND fp IS NOT NULL
+                        AND epoch(fp) - epoch(fv) >= 0) AS conv
+                FROM f
+            )
+            SELECT
+                count(CASE WHEN fv IS NOT NULL THEN 1 END)
+                    AS n_view_users,
+                count(CASE WHEN conv THEN 1 END) AS n_converted,
+                round(CAST(count(CASE WHEN conv THEN 1 END) AS DOUBLE)
+                      / count(CASE WHEN fv IS NOT NULL THEN 1 END), 6)
+                    AS conv_share,
+                round(avg(CASE WHEN conv THEN lag_sec END), 6)
+                    AS avg_lag_sec,
+                round(quantile_cont(CASE WHEN conv THEN lag_sec END,
+                                    0.5), 6) AS p50_lag_sec,
+                round(quantile_cont(CASE WHEN conv THEN lag_sec END,
+                                    0.9), 6) AS p90_lag_sec
+            FROM l
         """,
     }
