@@ -427,3 +427,77 @@ def interpolated_lm_logprob(
             F.round(F.avg("_lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def unigram_jsd(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    top_n: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — TEXT drift, the vocabulary-level companion to the
+    numeric monitors (PSI/KS watch a value column; this watches what
+    the corpus is ABOUT). Add-lambda smoothing over the union
+    vocabulary keeps every term's contribution finite, natural-log
+    JSD, per-term contributions surfaced so the answer is not just "it
+    drifted" but WHICH terms moved.
+
+    Output: top_n terms by contribution (term, c_a, c_b, contrib 6dp;
+    ties break term-ascending) plus one ``<ALL>`` summary row carrying
+    the total token counts and the full JSD.
+
+    Plan: two map-side-combined token-count aggs, ONE vocab-sized
+    full-outer join on term, scalar totals broadcast back, codegen
+    arithmetic, TakeOrdered top-n — the corpus is scanned once per
+    side and nothing row-sized is ever exchanged again.
+    """
+    lam = float(smoothing)
+    if lam <= 0:
+        raise ValueError(f"unigram_jsd: smoothing must be > 0, got {lam}")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.array_remove(
+                        F.split(F.lower(F.col(text_col)), r"\s+"), ""
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = (
+        counts(a, "c_a")
+        .join(counts(b, "c_b"), "term", "full_outer")
+        .na.fill({"c_a": 0, "c_b": 0})
+    )
+    totals = j.agg(
+        F.sum("c_a").alias("na"),
+        F.sum("c_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    x = j.crossJoin(F.broadcast(totals))
+    p = (F.col("c_a") + lam) / (F.col("na") + lam * F.col("v"))
+    q = (F.col("c_b") + lam) / (F.col("nb") + lam * F.col("v"))
+    m = (p + q) / 2
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    top = (
+        x.select(
+            "term",
+            "c_a",
+            "c_b",
+            F.round(contrib, 6).alias("contrib"),
+        )
+        .orderBy(F.col("contrib").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    total = x.agg(
+        F.max("na").alias("c_a"),
+        F.max("nb").alias("c_b"),
+        F.round(F.sum(contrib), 6).alias("contrib"),
+    ).select(F.lit("<ALL>").alias("term"), "c_a", "c_b", "contrib")
+    return top.unionByName(total)
