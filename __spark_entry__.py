@@ -4041,6 +4041,22 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring — Jensen-Shannon divergence between two corpora's
+    unigram distributions (textstats.unigram_jsd; even/odd doc_id
+    halves play old/new): add-lambda smoothing over the union
+    vocabulary, top-10 terms by JSD contribution plus the ``<ALL>``
+    total row. The vocabulary-level companion to psi_drift — PSI
+    watches a value column, this watches what the corpus is ABOUT."""
+    from indexlab_spark.operators.textstats import unigram_jsd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return unigram_jsd(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 graph — label-propagation communities over the mutual kNN
     graph of a 300-vector slice (dedup.label_propagation): synchronous
@@ -4605,68 +4621,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-25 (round 8, per the plan pinned
-        # in r7): the 13 round-7 oracle-backed additions — never
-        # driver-attested (sim-green only through r7; the r7 VERDICT's
-        # top item).
-        "quantile_rollup": _q_quantile_rollup,
-        "skew_orders": _q_skew_orders,
-        "event_transitions": _q_event_transitions,
-        "quantile_incremental": _q_quantile_incremental,
-        "join_explosion": _q_join_explosion,
-        "order_triangles": _q_order_triangles,
-        "ks_drift": _q_ks_drift,
-        "cm_event_counts": _q_cm_event_counts,
-        "segment_trend": _q_segment_trend,
-        "rfm_segments": _q_rfm_segments,
-        "window_funnel": _q_window_funnel,
-        "table_diff": _q_table_diff,
-        "event_paths": _q_event_paths,
-        # -- slots 26-49: re-attestation backfill, oldest first — the
-        # r04-green block. NOTE: the r7 plan said 21 entries here, but
-        # the attestation table (CORRECTNESS_r01-r07, recomputed this
-        # round) shows 24 entries whose last driver-green row is r04;
-        # all 24 rotate in, leaving one slot for the r05 block.
-        "bpe_token_counts": _q_bpe_token_counts,
-        "chunk_page": _q_chunk_page,
-        "churned_customers": _q_churned_customers,
-        "decontaminate": _q_decontaminate,
-        "dedup_clusters": _q_dedup_clusters,
-        "doc_id_roundtrip": _q_doc_id_roundtrip,
-        "doc_preview": _q_doc_preview,
-        "embedding_dups": _q_embedding_dups,
-        "event_pairs_range": _q_event_pairs_range,
-        "events_daily": _q_events_daily,
-        "events_gapfill": _q_events_gapfill,
-        "events_pivot": _q_events_pivot,
-        "events_sessions": _q_events_sessions,
-        "fingerprint": _q_fingerprint,
-        "hash_sample": _q_hash_sample,
-        "hypertable_rollup": _q_hypertable_rollup,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "lang_quality": _q_lang_quality,
-        "late_orders": _q_late_orders,
-        "pack_sequences": _q_pack_sequences,
-        "pii_redact": _q_pii_redact,
-        "pricing_summary": _q_pricing_summary,
-        "quality_filter": _q_quality_filter,
-        "repetition": _q_repetition,
-        # -- slot 50: first of the r05-green block (registry order).
-        "tfidf_topterms": _q_tfidf_topterms,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r0*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r9 window plan (pinned per the standing invariants: oldest
-        # attestation first; recomputed from CORRECTNESS_r01-r08 once
-        # r8 lands): after the 12 anchors, slots 13-49 take the 37
-        # remaining r05-green entries below (flesch_reading ..
-        # embedding_lsh, registry order), slot 50 the first of the
-        # r06-green block (duplicated_spans). r10 then takes the
-        # remaining 37 r06-green entries plus the oldest r07-green
-        # backfill — by r10 every oracle-backed entry will have cycled
-        # through a real driver row at most 3 rounds stale.
-        # last green r05 (37 remaining; rotate into r9 FIRST):
+        # -- rotation window slots 13-17 (round 9, per the plan pinned
+        # in r8, never-attested-first invariant): the 5 round-8
+        # oracle-backed additions — sim-green only through r8; the r8
+        # VERDICT's top item.
+        "cusum_revenue": _q_cusum_revenue,
+        "weighted_sample": _q_weighted_sample,
+        "part_kcore": _q_part_kcore,
+        "ab_events": _q_ab_events,
+        "conversion_lag": _q_conversion_lag,
+        # -- slot 18: unigram_jsd, oracle-registered THIS round (the r8
+        # VERDICT flagged it as dead code); never-attested, so it joins
+        # the never-attested-first block. This is the one deviation
+        # from the r8-pinned plan — it displaces one r05 backfill slot.
+        "unigram_jsd": _q_unigram_jsd,
+        # -- slots 19-50: re-attestation backfill, oldest first — the
+        # first 32 of the 37 entries whose last driver-green row is
+        # r05 (registry order). The remaining 5 (top_terms, line_dedup,
+        # bloom_decontaminate, dsir_weights, embedding_lsh) slip to the
+        # r10 window.
         "flesch_reading": _q_flesch_reading,
         "zscore_anomalies": _q_zscore_anomalies,
         "zipf_fit": _q_zipf_fit,
@@ -4699,6 +4672,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens": _q_tokens,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "top_revenue": _q_top_revenue,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r0*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r10 window plan (pinned per the standing invariants: oldest
+        # attestation first; recompute from CORRECTNESS_r01-r09 once
+        # r9 lands): after the 12 anchors, slots 13-17 take the 5
+        # r05-green leftovers below (top_terms .. embedding_lsh,
+        # 4 rounds stale by r10 — the oldest attestations left), then
+        # slots 18-50 take the first 33 of the 38 r06-green entries
+        # (duplicated_spans .. , r6 window order); the remaining 5
+        # r06 entries plus the r07 block backfill in r11. Any operator
+        # newly oracle-registered in r10 goes never-attested-first,
+        # displacing the tail.
+        # last green r05 (5 remaining; rotate into r10 FIRST):
         "top_terms": _q_top_terms,
         "line_dedup": _q_line_dedup,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -4785,16 +4773,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_ngrams": _q_common_ngrams,
         "above_avg_orders": _q_above_avg_orders,
         "asof_signup": _q_asof_signup,
-        # oracle-backed as of round 8 (recursive-CTE folds / md5 key
-        # replication) — never driver-attested with an oracle; rotate
-        # into the r9 window FIRST per the never-attested-first
-        # invariant (ahead of the r05 backfill pinned above, whose
-        # last entries slip to r10 to make room):
-        "cusum_revenue": _q_cusum_revenue,
-        "weighted_sample": _q_weighted_sample,
-        "part_kcore": _q_part_kcore,
-        "ab_events": _q_ab_events,
-        "conversion_lag": _q_conversion_lag,
+        # last green r08 (the 38 entries rotated out of the r8 window
+        # this round; r8 window order — 13 r7 oracle additions, the 24
+        # r04-backfills, then tfidf_topterms):
+        "quantile_rollup": _q_quantile_rollup,
+        "skew_orders": _q_skew_orders,
+        "event_transitions": _q_event_transitions,
+        "quantile_incremental": _q_quantile_incremental,
+        "join_explosion": _q_join_explosion,
+        "order_triangles": _q_order_triangles,
+        "ks_drift": _q_ks_drift,
+        "cm_event_counts": _q_cm_event_counts,
+        "segment_trend": _q_segment_trend,
+        "rfm_segments": _q_rfm_segments,
+        "window_funnel": _q_window_funnel,
+        "table_diff": _q_table_diff,
+        "event_paths": _q_event_paths,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "chunk_page": _q_chunk_page,
+        "churned_customers": _q_churned_customers,
+        "decontaminate": _q_decontaminate,
+        "dedup_clusters": _q_dedup_clusters,
+        "doc_id_roundtrip": _q_doc_id_roundtrip,
+        "doc_preview": _q_doc_preview,
+        "embedding_dups": _q_embedding_dups,
+        "event_pairs_range": _q_event_pairs_range,
+        "events_daily": _q_events_daily,
+        "events_gapfill": _q_events_gapfill,
+        "events_pivot": _q_events_pivot,
+        "events_sessions": _q_events_sessions,
+        "fingerprint": _q_fingerprint,
+        "hash_sample": _q_hash_sample,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "lang_quality": _q_lang_quality,
+        "late_orders": _q_late_orders,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "pricing_summary": _q_pricing_summary,
+        "quality_filter": _q_quality_filter,
+        "repetition": _q_repetition,
+        "tfidf_topterms": _q_tfidf_topterms,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
@@ -5827,6 +5846,44 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, NULL, NULL, NULL, NULL, round(sum(contrib), 6)
             FROM d
+        """,
+        "unigram_jsd": """
+            WITH ca AS (
+                SELECT t.term, count(*) AS c_a
+                FROM (SELECT unnest(list_filter(
+                          regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS term
+                      FROM documents WHERE doc_id % 2 = 0) t
+                GROUP BY 1),
+            cb AS (
+                SELECT t.term, count(*) AS c_b
+                FROM (SELECT unnest(list_filter(
+                          regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS term
+                      FROM documents WHERE doc_id % 2 = 1) t
+                GROUP BY 1),
+            j AS (SELECT term,
+                         COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+                  FROM ca FULL OUTER JOIN cb USING (term)),
+            t AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+                         CAST(sum(c_b) AS BIGINT) AS nb,
+                         count(*) AS v FROM j),
+            x AS (SELECT term, c_a, c_b,
+                         (c_a + 0.5) / (na + 0.5 * v) AS p,
+                         (c_b + 0.5) / (nb + 0.5 * v) AS q
+                  FROM j, t),
+            c AS (SELECT term, c_a, c_b,
+                         0.5 * p * ln(p / ((p + q) / 2))
+                         + 0.5 * q * ln(q / ((p + q) / 2)) AS contrib
+                  FROM x)
+            SELECT term, CAST(c_a AS BIGINT) AS c_a,
+                   CAST(c_b AS BIGINT) AS c_b,
+                   round(contrib, 6) AS contrib
+            FROM (SELECT * FROM c ORDER BY contrib DESC, term ASC LIMIT 10)
+            UNION ALL
+            SELECT '<ALL>', t.na, t.nb,
+                   (SELECT round(sum(contrib), 6) FROM c)
+            FROM t
         """,
         "exact_dedup_incremental": """
             WITH old_idx AS (

@@ -448,7 +448,13 @@ def main() -> None:
                  # param memo) — one correctness run at sf0.01 attests
                  # it; the suite stays tight
                  "table_diff", "event_paths", "cusum_revenue",
-                 "weighted_sample"):
+                 "weighted_sample",
+                 # round-8/9 additions (measured sf0.1 min-of-2 at r9:
+                 # part_kcore 5.4s — iterative peel, dedup_survival
+                 # class, kept; ab_events 0.5s / conversion_lag 0.4s
+                 # one-row aggregates; unigram_jsd 0.7s)
+                 "part_kcore", "ab_events", "conversion_lag",
+                 "unigram_jsd"):
         fn = entry_mod.queries()[name]
         reps = (
             2

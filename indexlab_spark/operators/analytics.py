@@ -1575,10 +1575,19 @@ def ab_test_report(
     (Welch-Satterthwaite), t_sig, conv_a, conv_b, z_stat, z_sig.
     Degenerate arms (n < 2 or zero variance on both sides / pooled
     rate 0 or 1) yield NULL statistics and false flags.
+
+    NULL contract (single denominator per arm): a unit row with a NULL
+    ``metric_col`` is dropped from BOTH tests — it contributes to
+    neither n/mean/var nor the conversion numerator/denominator — so
+    ``n_a``/``n_b`` are the one sample size both statistics share. A
+    NULL ``conv_col`` on a kept row counts as not-converted.
     """
     v = F.col(variant_col)
     x = F.col(metric_col).cast("double")
     c = F.col(conv_col).cast("double")
+    # The NULL contract above: null-metric units leave both tests, so
+    # the z-test denominator is exactly the t-test's n per arm.
+    df = df.filter(F.col(metric_col).isNotNull())
 
     def arm(val, expr, agg):
         return agg(F.when(v == F.lit(val), expr))

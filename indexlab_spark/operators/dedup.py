@@ -1795,7 +1795,9 @@ def k_core(
             _core_deg(cur)
             .filter(F.col("deg") >= k)
             .select("node")
-            .localCheckpoint()  # lazy: materialized by the count below
+            # lazy (eager=False, the file's loop convention — the
+            # default is eager): materialized by the count below
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur:

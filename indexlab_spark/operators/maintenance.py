@@ -410,8 +410,9 @@ def expire_versions(
     # Metadata first, data last (the Delta/Iceberg expiration ordering):
     # rewrite the manifests so no live row references a doomed version,
     # THEN delete the partition directories. A crash between the two
-    # steps leaves orphaned-but-unreferenced data (re-vacuumable),
-    # never live manifest rows pointing at deleted chunks.
+    # steps leaves orphaned-but-unreferenced data (reclaimed by
+    # vacuum_orphans below), never live manifest rows pointing at
+    # deleted chunks.
     survivors = ranked.filter(F.col("_rk") <= keep_n).drop("_rk")
     staging = manifests_path.rstrip("/") + "__staging"
     survivors.write.mode("overwrite").parquet(staging)
@@ -435,6 +436,59 @@ def expire_versions(
         sfs.delete(sp, True)
 
     return {"deleted": doomed, "kept": kept}
+
+
+def vacuum_orphans(
+    spark: SparkSession,
+    chunks_path: str,
+    manifests_path: str,
+) -> dict:
+    """Orphan sweep for the versioned index store — the crash-recovery
+    companion to :func:`expire_versions`. That function deletes
+    metadata FIRST, so a crash mid-expiration can only ever leave
+    unreferenced partition directories (never live manifest rows
+    pointing at deleted data); this sweep is the out-of-band cleanup
+    that reclaims them, the plain-layout analog of Delta/Iceberg's
+    ``VACUUM`` of unreferenced files.
+
+    Lists the ``index_name=*/version=*`` partition directories via the
+    Hadoop FileSystem API and deletes every directory no manifest row
+    references — catalog-sized work on both sides; nothing data-sized
+    is ever read.
+
+    Returns {"deleted": [(index_name, version), ...], "kept": n} where
+    ``kept`` counts the referenced directories left in place.
+    """
+    live = {
+        (r["index_name"], str(r["version"]))
+        for r in spark.read.parquet(manifests_path)
+        .select("index_name", "version")
+        .distinct()
+        .collect()
+    }  # bounded: one row per (index, version) pair, catalog-sized
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(chunks_path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {"deleted": [], "kept": 0}
+    deleted, kept = [], 0
+    for idx_st in fs.listStatus(root):
+        iname = idx_st.getPath().getName()
+        if not (idx_st.isDirectory() and iname.startswith("index_name=")):
+            continue
+        index_name = iname.split("=", 1)[1]
+        for v_st in fs.listStatus(idx_st.getPath()):
+            vname = v_st.getPath().getName()
+            if not (v_st.isDirectory() and vname.startswith("version=")):
+                continue
+            version = vname.split("=", 1)[1]
+            if (index_name, version) in live:
+                kept += 1
+            else:
+                fs.delete(v_st.getPath(), True)
+                deleted.append((index_name, version))
+    return {"deleted": sorted(deleted), "kept": kept}
 
 
 def table_diff(

@@ -654,3 +654,76 @@ def test_label_propagation_matches_reference_and_finds_communities(spark):
     cc = connected_components(edges, nodes)
     comp = {r["id"]: r["cluster"] for r in cc.collect()}
     assert comp[0] == comp[10]
+
+
+class TestUnigramJSD:
+    """r8 VERDICT item 2: unigram_jsd was shipped untested — pin the
+    smoothing/JSD arithmetic and the <ALL> summary row against a pure
+    python reimplementation, plus the algebraic identities."""
+
+    def _expected(self, a_texts, b_texts, lam=0.5):
+        import math
+        from collections import Counter
+
+        ca = Counter(t for s in a_texts for t in s.lower().split())
+        cb = Counter(t for s in b_texts for t in s.lower().split())
+        vocab = sorted(set(ca) | set(cb))
+        na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+        rows = {}
+        total = 0.0
+        for term in vocab:
+            p = (ca[term] + lam) / (na + lam * v)
+            q = (cb[term] + lam) / (nb + lam * v)
+            m = (p + q) / 2
+            c = 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+            rows[term] = (ca[term], cb[term], round(c, 6))
+            total += c
+        return rows, na, nb, round(total, 6)
+
+    def test_hand_computed_contributions_and_total(self, spark):
+        from indexlab_spark.operators.textstats import unigram_jsd
+
+        a_texts = ["red red blue fish", "blue fish swim"]
+        b_texts = ["red cat", "cat cat sat sat sat"]
+        a = spark.createDataFrame([(t,) for t in a_texts], "text string")
+        b = spark.createDataFrame([(t,) for t in b_texts], "text string")
+        got = {
+            r["term"]: (r["c_a"], r["c_b"], r["contrib"])
+            for r in unigram_jsd(a, b, top_n=100).collect()
+        }
+        rows, na, nb, total = self._expected(a_texts, b_texts)
+        assert got.pop("<ALL>") == (na, nb, total)
+        assert got == rows
+
+    def test_identical_corpora_zero_divergence(self, spark):
+        from indexlab_spark.operators.textstats import unigram_jsd
+
+        a = spark.createDataFrame(
+            [("alpha beta gamma",), ("beta beta delta",)], "text string"
+        )
+        out = unigram_jsd(a, a, top_n=100).collect()
+        assert all(r["contrib"] == 0.0 for r in out)
+
+    def test_symmetric(self, spark):
+        from indexlab_spark.operators.textstats import unigram_jsd
+
+        a = spark.createDataFrame([("x x y",), ("y z",)], "text string")
+        b = spark.createDataFrame([("x q q",), ("z z z",)], "text string")
+        ab = {
+            r["term"]: r["contrib"]
+            for r in unigram_jsd(a, b, top_n=100).collect()
+        }
+        ba = {
+            r["term"]: r["contrib"]
+            for r in unigram_jsd(b, a, top_n=100).collect()
+        }
+        assert ab == ba
+
+    def test_rejects_nonpositive_smoothing(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.textstats import unigram_jsd
+
+        a = spark.createDataFrame([("x",)], "text string")
+        with _pytest.raises(ValueError, match="smoothing"):
+            unigram_jsd(a, a, smoothing=0.0)

@@ -358,3 +358,53 @@ def test_table_diff_classifies_all_four_states(spark):
 
     with _pytest.raises(ValueError):
         table_diff(old, new, [])
+
+
+def test_vacuum_orphans_reclaims_unreferenced_versions(spark, tmp_path):
+    """r8 ADVICE: a crash between expire_versions' manifest rewrite and
+    its directory deletes leaves orphaned-but-unreferenced partition
+    dirs; vacuum_orphans is the out-of-band sweep that reclaims them —
+    referenced dirs stay, unreferenced dirs (and only those) vanish."""
+    import os
+
+    from indexlab_spark.operators.maintenance import vacuum_orphans
+
+    chunks = str(tmp_path / "chunks")
+    manifests = str(tmp_path / "manifests")
+    rows = []
+    for idx in ("a", "b"):
+        for v in ("v1", "v2"):
+            rows += [(idx, v, i, f"{idx}-{v}-{i}") for i in range(3)]
+    spark.createDataFrame(
+        rows, "index_name string, version string, pos int, text string"
+    ).write.partitionBy("index_name", "version").parquet(chunks)
+    # manifests reference only a/v2 and b/v1 -> a/v1 and b/v2 are the
+    # simulated crash orphans
+    spark.createDataFrame(
+        [("a", "v2", "2024-01-02"), ("b", "v1", "2024-01-01")],
+        "index_name string, version string, created_at string",
+    ).write.parquet(manifests)
+
+    out = vacuum_orphans(spark, chunks, manifests)
+    assert out["deleted"] == [("a", "v1"), ("b", "v2")]
+    assert out["kept"] == 2
+    assert not os.path.exists(f"{chunks}/index_name=a/version=v1")
+    assert not os.path.exists(f"{chunks}/index_name=b/version=v2")
+    assert os.path.exists(f"{chunks}/index_name=a/version=v2")
+    assert os.path.exists(f"{chunks}/index_name=b/version=v1")
+    # survivors still readable; second sweep is a no-op
+    assert spark.read.parquet(chunks).count() == 6
+    again = vacuum_orphans(spark, chunks, manifests)
+    assert again == {"deleted": [], "kept": 2}
+
+
+def test_vacuum_orphans_missing_root(spark, tmp_path):
+    from indexlab_spark.operators.maintenance import vacuum_orphans
+
+    manifests = str(tmp_path / "m2")
+    spark.createDataFrame(
+        [("a", "v1", "2024-01-01")],
+        "index_name string, version string, created_at string",
+    ).write.parquet(manifests)
+    out = vacuum_orphans(spark, str(tmp_path / "nope"), manifests)
+    assert out == {"deleted": [], "kept": 0}

@@ -44,3 +44,37 @@ def test_every_registry_entry_in_operators_md():
     assert not missing, (
         f"registry entries with no OPERATORS.md row: {missing}"
     )
+
+
+def test_every_public_operator_in_operators_md():
+    """r8 VERDICT item 3: the module->docs direction the old guards
+    missed (unigram_jsd shipped as dead code because nothing checked
+    it). Every public top-level function in operators/*.py that is
+    annotated to return a DataFrame must appear by name in OPERATORS.md
+    — landing an operator without documenting/registering it fails
+    here."""
+    import ast
+    import glob
+
+    ops = open("OPERATORS.md").read()
+    missing = []
+    for path in sorted(glob.glob("indexlab_spark/operators/*.py")):
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            if node.name.startswith("_"):
+                continue
+            ret = node.returns
+            returns_df = (
+                isinstance(ret, ast.Name) and ret.id == "DataFrame"
+            ) or (
+                isinstance(ret, ast.Constant) and ret.value == "DataFrame"
+            )
+            if not returns_df:
+                continue
+            if not re.search(r"\b" + re.escape(node.name) + r"\b", ops):
+                missing.append(f"{path}:{node.name}")
+    assert not missing, (
+        f"public DataFrame operators with no OPERATORS.md row: {missing}"
+    )

@@ -274,3 +274,35 @@ def test_ab_test_report_single_reduction_plan(spark):
         and "BroadcastExchange" not in l
     )
     assert shuffles == 1, plan
+
+
+def test_ab_test_report_null_metric_contract(spark):
+    """r8 VERDICT: pin the NULL denominator semantics — a unit row with
+    a NULL metric leaves BOTH tests (it adds to neither n nor the
+    conversion numerator/denominator), so the report over a frame with
+    null-metric rows equals the report over the frame with those rows
+    filtered out; a NULL conv on a kept row counts as not-converted."""
+    from indexlab_spark.operators.analytics import ab_test_report
+
+    clean = [
+        ("a", 10.0, 1.0), ("a", 12.0, 0.0), ("a", 11.0, 1.0),
+        ("b", 15.0, 1.0), ("b", 17.0, 1.0), ("b", 16.0, 0.0),
+    ]
+    dirty = clean + [
+        ("a", None, 1.0),   # null metric + converted: fully dropped
+        ("b", None, None),  # null metric: fully dropped
+        ("a", 13.0, None),  # null conv on a kept row: not-converted
+    ]
+    schema = "variant string, metric double, conv double"
+    got = ab_test_report(
+        spark.createDataFrame(dirty, schema), "variant", "metric", "conv"
+    ).collect()[0]
+    want = ab_test_report(
+        spark.createDataFrame(
+            clean + [("a", 13.0, 0.0)], schema
+        ),
+        "variant", "metric", "conv",
+    ).collect()[0]
+    assert got["n_a"] == 4 and got["n_b"] == 3
+    assert got["conv_a"] == want["conv_a"] == 0.5
+    assert got.asDict() == want.asDict()

@@ -171,6 +171,41 @@ def main() -> None:
         for s, d in mh_old.items()
     }
 
+    # r8 VERDICT item 5: extend the fixed-batch-vs-grown-state probe to
+    # one representative per remaining incremental family, so the
+    # "per-refresh cost is batch-sized, not corpus-sized" claim is
+    # MEASURED wherever it is made. All prior-run state is built
+    # outside the timer.
+    from indexlab_spark.operators.bm25 import _raw_postings, bm25_refresh
+    from indexlab_spark.operators.knn import build_ivf, ivf_append
+
+    # exact-dedup family: per-scale persisted (text_md5, keep_id) index
+    ed_idx = {
+        s: exact_dedup(d).select("text_md5", "keep_id")
+        .localCheckpoint(eager=True)
+        for s, d in mh_old.items()
+    }
+    # BM25 family: per-scale raw posting + doc-length state
+    bm_tf = {
+        s: _raw_postings(d, "doc_id", "text").localCheckpoint(eager=True)
+        for s, d in mh_old.items()
+    }
+    bm_dl = {
+        s: t.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .localCheckpoint(eager=True)
+        for s, t in bm_tf.items()
+    }
+    # ANN family: per-scale trained centroids (nlist fixed — the state
+    # an append touches is centroid-sized BY CONSTRUCTION; the probe
+    # verifies nothing corpus-sized leaks into the append path)
+    ivf_batch = emb1.filter(F.col("vec_id") % 10 == 0).localCheckpoint(
+        eager=True
+    )
+    ivf_cent = {
+        s: build_ivf(e, nlist=64, seed=42)[1].localCheckpoint(eager=True)
+        for s, e in ((1, emb1), (n, embN))
+    }
+
     def cases(docs, ev, emb, scale=1):
         def _bm25():
             ts_, dl_, g_ = bm25_build(docs)
@@ -286,6 +321,25 @@ def main() -> None:
             # the growth factor tells the story.
             "minhash_inc_fixed_batch": lambda: minhash_incremental_pairs(
                 mh_batch, mh_old[scale], old_sigs=mh_sigs[scale]
+            ).count(),
+            # fixed batch vs grown persisted hash index: one batch hash
+            # pass + a keyed join whose build side is the (deduped)
+            # index — growth tracks the index scan, never old text
+            "exact_dedup_inc_fixed_batch": lambda: exact_dedup_incremental(
+                mh_batch, ed_idx[scale]
+            ).count(),
+            # fixed batch vs grown posting state: tokenize ~ batch; the
+            # df/idf re-agg is the documented one full-state pass (map-
+            # side combined, vocab-sized output) — growth should sit
+            # well under N and far under a full rebuild
+            "bm25_refresh_fixed_batch": lambda: bm25_refresh(
+                bm_tf[scale], bm_dl[scale], mh_batch, materialize=False
+            )[0].count(),
+            # fixed batch vs centroids trained on the grown corpus:
+            # the append touches batch + nlist-sized centroids only —
+            # growth ~1.0 is the contract
+            "ivf_append_fixed_batch": lambda: ivf_append(
+                ivf_batch, ivf_cent[scale]
             ).count(),
         }
 
