@@ -4041,6 +4041,92 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — linear credit split across the touch
+    types preceding each purchase within one hour
+    (analytics.multi_touch_attribution): ONE user-keyed
+    conversions × touches join bounded by the time window, per-
+    conversion weights from a conversion-keyed window, map-combined
+    final agg. Answers "which channel earns the conversion credit",
+    the step after window_funnel's "did they convert"."""
+    from indexlab_spark.operators.analytics import multi_touch_attribution
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return multi_touch_attribution(
+        ev, "user_id", "ts", "event_type", "purchase",
+        window_seconds=3600, model="linear",
+    )
+
+
+def _q_assoc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — brand pairs co-ordered with
+    support / confidence / lift (analytics.association_rules, the
+    Apriori level-2 pass): baskets are orders, items the part brands on
+    their lineitems. Infrequent items are pruned before pairing
+    (monotonicity), the per-basket self-join squares only the frequent
+    brand width, and the basket total rides a broadcast one-row frame
+    — nothing corpus-sized is ever paired."""
+    from indexlab_spark.operators.analytics import association_rules
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    bi = (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+        )
+    )
+    return association_rules(
+        bi, "basket", "item", min_support=0.01, min_pair_support=0.002
+    ).orderBy("item_a", "item_b")
+
+
+def _q_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra — pairwise distinct user-day overlap between
+    event types via theta sketches (analytics.theta_sketch_build /
+    _union / _intersect): the raw table is scanned ONCE into per-(type,
+    day) KMV sketches, unioned to per-type (bottom-k merge — exactly
+    the direct build below saturation), then every type pair's
+    common / a-only / b-only distinct counts come from sketch-sized
+    array arithmetic — the question ("how many user-days did click
+    and purchase share?") HLL sketches fundamentally cannot answer.
+    Below saturation (gate SF) the estimates are EXACT, which is what
+    the plain COUNT(DISTINCT) oracle attests."""
+    from indexlab_spark.operators.analytics import (
+        theta_sketch_build,
+        theta_sketch_intersect,
+        theta_sketch_union,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keyed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.concat_ws(
+            "#",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("ud"),
+    )
+    fine = theta_sketch_build(keyed, ["event_type", "day"], "ud")
+    per_type = theta_sketch_union(fine, ["event_type"])
+    a = per_type.withColumnRenamed("event_type", "type_a")
+    b = per_type.withColumnRenamed("event_type", "type_b")
+    return (
+        theta_sketch_intersect(a, b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("est_common").cast("bigint").alias("common_user_days"),
+            F.col("est_a_only").cast("bigint").alias("a_only"),
+            F.col("est_b_only").cast("bigint").alias("b_only"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def _q_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring — Jensen-Shannon divergence between two corpora's
     unigram distributions (textstats.unigram_jsd; even/odd doc_id
@@ -4635,11 +4721,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the never-attested-first block. This is the one deviation
         # from the r8-pinned plan — it displaces one r05 backfill slot.
         "unigram_jsd": _q_unigram_jsd,
-        # -- slots 19-50: re-attestation backfill, oldest first — the
-        # first 32 of the 37 entries whose last driver-green row is
-        # r05 (registry order). The remaining 5 (top_terms, line_dedup,
-        # bloom_decontaminate, dsir_weights, embedding_lsh) slip to the
-        # r10 window.
+        # -- slot 19: theta_users — the round-9 theta-sketch set
+        # algebra addition (oracle-backed, exact regime at gate SF);
+        # never-attested-first.
+        "theta_users": _q_theta_users,
+        # -- slot 20: assoc_brands — round-9 market-basket association
+        # rules (oracle-backed); never-attested-first.
+        "assoc_brands": _q_assoc_brands,
+        # -- slot 21: attribution — round-9 multi-touch conversion
+        # attribution (oracle-backed); never-attested-first.
+        "attribution": _q_attribution,
+        # -- slots 22-50: re-attestation backfill, oldest first — the
+        # first 29 of the 37 entries whose last driver-green row is
+        # r05 (registry order). The remaining 8 (tokens,
+        # top_orders_per_cust, top_revenue, top_terms, line_dedup,
+        # bloom_decontaminate, dsir_weights, embedding_lsh) slip to
+        # the r10 window.
         "flesch_reading": _q_flesch_reading,
         "zscore_anomalies": _q_zscore_anomalies,
         "zipf_fit": _q_zipf_fit,
@@ -4669,24 +4766,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
-        "tokens": _q_tokens,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "top_revenue": _q_top_revenue,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
         # r10 window plan (pinned per the standing invariants: oldest
         # attestation first; recompute from CORRECTNESS_r01-r09 once
-        # r9 lands): after the 12 anchors, slots 13-17 take the 5
-        # r05-green leftovers below (top_terms .. embedding_lsh,
-        # 4 rounds stale by r10 — the oldest attestations left), then
-        # slots 18-50 take the first 33 of the 38 r06-green entries
-        # (duplicated_spans .. , r6 window order); the remaining 5
+        # r9 lands): after the 12 anchors, slots 13-20 take the 8
+        # r05-green leftovers below (tokens .. embedding_lsh, 4
+        # rounds stale by r10 — the oldest attestations left), then
+        # slots 21-50 take the first 30 of the 38 r06-green entries
+        # (duplicated_spans .. , r6 window order); the remaining 8
         # r06 entries plus the r07 block backfill in r11. Any operator
         # newly oracle-registered in r10 goes never-attested-first,
         # displacing the tail.
-        # last green r05 (5 remaining; rotate into r10 FIRST):
+        # last green r05 (8 remaining; rotate into r10 FIRST):
+        "tokens": _q_tokens,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "top_revenue": _q_top_revenue,
         "top_terms": _q_top_terms,
         "line_dedup": _q_line_dedup,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -5846,6 +5943,84 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, NULL, NULL, NULL, NULL, round(sum(contrib), 6)
             FROM d
+        """,
+        "attribution": """
+            WITH conv AS (
+                SELECT user_id AS u, ts AS cts,
+                       ROW_NUMBER() OVER (ORDER BY user_id, ts) AS cid
+                FROM events WHERE event_type = 'purchase'),
+            touch AS (
+                SELECT user_id AS u, event_type AS tt, ts AS tts
+                FROM events WHERE event_type <> 'purchase'),
+            j AS (
+                SELECT c.cid, t.tt
+                FROM conv c JOIN touch t ON c.u = t.u
+                 AND t.tts < c.cts
+                 AND t.tts >= c.cts - INTERVAL 3600 SECOND),
+            wgt AS (
+                SELECT cid, tt,
+                       1.0 / count(*) OVER (PARTITION BY cid) AS w
+                FROM j)
+            SELECT tt AS touch_type,
+                   round(sum(w), 6) AS credit,
+                   CAST(count(*) AS BIGINT) AS touches,
+                   CAST(count(DISTINCT cid) AS BIGINT) AS conversions
+            FROM wgt GROUP BY 1
+            ORDER BY 1
+        """,
+        "assoc_brands": """
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+            nb AS (SELECT count(DISTINCT basket) AS n FROM bi),
+            ic AS (SELECT item, count(*) AS n_item FROM bi GROUP BY 1),
+            freq AS (SELECT item, n_item FROM ic, nb
+                     WHERE n_item >= n * 0.01),
+            k AS (SELECT b.basket, b.item, f.n_item
+                  FROM bi b JOIN freq f USING (item)),
+            p AS (SELECT a.item AS item_a, b.item AS item_b,
+                         count(*) AS n_ab,
+                         min(a.n_item) AS n_a, min(b.n_item) AS n_b
+                  FROM k a JOIN k b
+                    ON a.basket = b.basket AND a.item < b.item
+                  GROUP BY 1, 2)
+            SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   round(CAST(n_ab AS DOUBLE) / n, 6) AS support,
+                   round(CAST(n_ab AS DOUBLE) / n_a, 6) AS conf_a_to_b,
+                   round(CAST(n_ab AS DOUBLE) / n_b, 6) AS conf_b_to_a,
+                   round((CAST(n_ab AS DOUBLE) / n)
+                         / ((CAST(n_a AS DOUBLE) / n)
+                            * (CAST(n_b AS DOUBLE) / n)), 6) AS lift
+            FROM p, nb
+            WHERE n_ab >= n * 0.002
+            ORDER BY item_a, item_b
+        """,
+        "theta_users": """
+            WITH ud AS (
+                SELECT DISTINCT event_type AS t,
+                       CAST(user_id AS VARCHAR) || '#'
+                           || CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+                FROM events),
+            pairs AS (
+                SELECT a.t AS type_a, b.t AS type_b
+                FROM (SELECT DISTINCT t FROM ud) a,
+                     (SELECT DISTINCT t FROM ud) b
+                WHERE a.t < b.t),
+            j AS (
+                SELECT p.type_a, p.type_b, u.ud,
+                       max(CASE WHEN u.t = p.type_a THEN 1 ELSE 0 END)
+                           AS in_a,
+                       max(CASE WHEN u.t = p.type_b THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM pairs p
+                JOIN ud u ON u.t IN (p.type_a, p.type_b)
+                GROUP BY 1, 2, 3)
+            SELECT type_a, type_b,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS common_user_days,
+                   CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS a_only,
+                   CAST(sum((1 - in_a) * in_b) AS BIGINT) AS b_only
+            FROM j GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "unigram_jsd": """
             WITH ca AS (

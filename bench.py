@@ -454,7 +454,10 @@ def main() -> None:
                  # class, kept; ab_events 0.5s / conversion_lag 0.4s
                  # one-row aggregates; unigram_jsd 0.7s)
                  "part_kcore", "ab_events", "conversion_lag",
-                 "unigram_jsd"):
+                 "unigram_jsd",
+                 # round-9 additions (sf0.1 min-of-2: theta_users
+                 # 2.5s, assoc_brands 2.6s, attribution 0.6s)
+                 "theta_users", "assoc_brands", "attribution"):
         fn = entry_mod.queries()[name]
         reps = (
             2

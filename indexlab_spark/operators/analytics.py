@@ -931,6 +931,195 @@ def sketch_rollup_merge(
     )
 
 
+def theta_sketch_build(
+    df: "DataFrame",
+    group_cols: list[str],
+    key_col: str,
+    k: int = 4096,
+) -> "DataFrame":
+    """Per-group KMV/theta distinct sketch — the SET-ALGEBRA member of
+    the sketch family. HLL (:func:`sketch_rollup`) unions but cannot
+    intersect; a theta sketch (Dasgupta et al., the DataSketches Theta
+    framework) supports union AND intersection/difference estimates
+    ("how many distinct users did A and B share?") from bounded state,
+    because it keeps the actual smallest hash values rather than
+    register maxima.
+
+    The sketch is the k smallest DISTINCT md5-derived hash points of
+    the group's keys, mapped to doubles in [0, 1) (first 15 hex chars
+    / 16^15 — deterministic and portable, the same md5-permutation
+    trick as the MinHash/quantile sketches). ``theta`` is 1.0 while
+    the group holds fewer than k distinct keys — the EXACT regime,
+    where every estimate (including intersections) is an exact
+    distinct count, which is what makes the gate query
+    oracle-checkable against plain COUNT(DISTINCT) SQL — and the k-th
+    smallest hash once saturated, where estimates carry the standard
+    ~1/sqrt(k) relative error (deterministic per corpus: the "noise"
+    is fixed by md5, pinned in tests).
+
+    Plan: one distinct-hash agg + one per-group bottom-k window (the
+    keyed exchange); output is sketch-sized — group_cols + ``sample``
+    (sorted array<double>, <= k), ``theta``, ``n_retained``,
+    ``est`` (exact count or (k-1)/theta, rounded 2dp).
+    """
+    if k < 2:
+        raise ValueError(f"theta_sketch_build: k must be >= 2, got {k}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("th"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**15)
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("h")).alias("sample"),
+        F.count(F.lit(1)).alias("n_retained"),
+    )
+    theta = F.when(
+        F.col("n_retained") < k, F.lit(1.0)
+    ).otherwise(F.element_at("sample", -1))
+    return agg.withColumn("theta", theta).withColumn(
+        "est",
+        F.round(
+            F.when(
+                F.col("theta") < 1.0,
+                (F.col("n_retained") - 1) / F.col("theta"),
+            ).otherwise(F.col("n_retained").cast("double")),
+            2,
+        ),
+    )
+
+
+def theta_sketch_union(
+    sketches: "DataFrame",
+    group_cols: list[str],
+    k: int = 4096,
+) -> "DataFrame":
+    """Merge a theta-sketch table up to coarser ``group_cols`` (subset
+    of the build grain, possibly empty for a grand total) — same rollup
+    discipline as :func:`quantile_union_estimate`: theta' = min of the
+    member thetas, survivors = distinct hashes < theta', bottom-k of
+    the survivors with the saturation rule re-applied. The raw table is
+    never touched; every frame here is sketch-sized.
+
+    Output schema matches :func:`theta_sketch_build`. For disjoint
+    member groups below saturation the union is EXACT, so coarser
+    estimates equal direct builds — the oracle-checkable contract.
+    """
+    ex = sketches.select(
+        *group_cols,
+        F.col("theta").alias("_t"),
+        F.explode("sample").alias("h"),
+    )
+    if group_cols:
+        tmin = ex.groupBy(*group_cols).agg(F.min("_t").alias("_tmin"))
+        ex = ex.join(tmin, group_cols)
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        grouped = ex.filter(F.col("h") < F.col("_tmin"))
+    else:
+        tmin = ex.agg(F.min("_t").alias("_tmin"))
+        ex = ex.crossJoin(F.broadcast(tmin))
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+        grouped = ex.filter(F.col("h") < F.col("_tmin"))
+    kept = (
+        grouped.select(*group_cols, "h", "_tmin")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("h")).alias("sample"),
+        F.count(F.lit(1)).alias("n_retained"),
+        F.min("_tmin").alias("_tmin"),
+    )
+    theta = F.when(F.col("n_retained") < k, F.col("_tmin")).otherwise(
+        F.element_at("sample", -1)
+    )
+    return (
+        agg.withColumn("theta", theta)
+        .withColumn(
+            "est",
+            F.round(
+                F.when(
+                    F.col("theta") < 1.0,
+                    F.when(
+                        F.col("n_retained") == k,
+                        (F.col("n_retained") - 1) / F.col("theta"),
+                    ).otherwise(F.col("n_retained") / F.col("theta")),
+                ).otherwise(F.col("n_retained").cast("double")),
+                2,
+            ),
+        )
+        .drop("_tmin")
+    )
+
+
+def theta_sketch_intersect(
+    a: "DataFrame",
+    b: "DataFrame",
+    on: list[str] | None = None,
+) -> "DataFrame":
+    """Intersection/difference estimates between two theta-sketch
+    frames — the query HLL fundamentally cannot answer. theta =
+    min(theta_a, theta_b); below that cut BOTH samples are complete,
+    so membership tests are exact over the retained points:
+    est_common = |A ∩ B ∩ [0, theta)| / theta, est_a_only /
+    est_b_only likewise (A∖B, B∖A). In the exact regime (both thetas
+    1.0) all three are exact distinct counts.
+
+    ``on`` joins the frames on shared group keys (the old-vs-new
+    snapshot-per-segment shape); ``on=None`` cross-pairs every group
+    of ``a`` with every group of ``b`` (the pairwise-overlap shape —
+    rename the group columns apart first). Either way both sides are
+    sketch-sized, so even the cross join is sketch² frame work,
+    nothing data-sized. Output: the non-sketch columns of both sides
+    + est_common, est_a_only, est_b_only, theta (estimates 2dp).
+    """
+
+    def prep(df, s, t):
+        return (
+            df.withColumnRenamed("sample", s)
+            .withColumnRenamed("theta", t)
+            .drop("n_retained", "est")
+        )
+
+    aa = prep(a, "_sa", "_ta")
+    bb = prep(b, "_sb", "_tb")
+    j = aa.join(bb, on) if on else aa.crossJoin(bb)
+    theta = F.least("_ta", "_tb")
+    cut = lambda c: F.filter(c, lambda x: x < theta)  # noqa: E731
+    n_common = F.size(F.array_intersect(cut("_sa"), cut("_sb")))
+    n_a = F.size(F.array_except(cut("_sa"), cut("_sb")))
+    n_b = F.size(F.array_except(cut("_sb"), cut("_sa")))
+    est = lambda n: F.round(n / theta, 2)  # noqa: E731
+    keep = [c for c in j.columns if c not in ("_sa", "_ta", "_sb", "_tb")]
+    return j.select(
+        *keep,
+        est(n_common).alias("est_common"),
+        est(n_a).alias("est_a_only"),
+        est(n_b).alias("est_b_only"),
+        theta.alias("theta"),
+    )
+
+
 def ks_drift(
     old: "DataFrame",
     new: "DataFrame",
@@ -1634,4 +1823,180 @@ def ab_test_report(
         F.coalesce(F.abs(z_stat) > F.lit(z_crit), F.lit(False)).alias(
             "z_sig"
         ),
+    )
+
+
+def association_rules(
+    df: "DataFrame",
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_pair_support: float | None = None,
+) -> "DataFrame":
+    """Market-basket association rules — frequent item PAIRS with
+    support / confidence / lift (the Agrawal-Srikant Apriori level-2
+    pass, which is where the warehouse value lives: "customers who
+    bought brand A also bought brand B"). Items below ``min_support``
+    are pruned BEFORE pairing (the Apriori monotonicity cut:
+    an infrequent item cannot appear in a frequent pair), pairs below
+    ``min_pair_support`` (defaults to ``min_support``) are dropped
+    after counting.
+
+    Output, one row per unordered frequent pair (item_a < item_b):
+    ``n_ab``, ``support`` (n_ab / n_baskets), ``conf_a_to_b`` (n_ab /
+    n_a), ``conf_b_to_a``, ``lift`` (support / (supp_a * supp_b)),
+    all 6dp.
+
+    Plan: distinct (basket, item) — one keyed exchange — then item
+    counts (map-combined agg; frequent set broadcast back via a
+    semi-joinable frame), then the self-join ON BASKET restricted to
+    frequent items: the only quadratic is per-basket over FREQUENT
+    items, bounded by basket width × frequency cut, never corpus². The
+    basket total rides a broadcast one-row frame — no driver scalars.
+    At 100 TB: hot baskets are the skew risk; the frequent-item
+    restriction caps the per-basket width the join squares, and the
+    basket key distributes the pair counting.
+    """
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError(
+            f"association_rules: min_support in (0, 1], got {min_support}"
+        )
+    mps = min_support if min_pair_support is None else min_pair_support
+    bi = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    totals = bi.agg(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = (
+        item_counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_item") >= F.col("n_baskets") * F.lit(min_support))
+        .select("item", "n_item")
+    )
+    kept = bi.join(freq, "item")
+    a = kept.select("basket", F.col("item").alias("item_a"),
+                    F.col("n_item").alias("n_a"))
+    b = kept.select("basket", F.col("item").alias("item_b"),
+                    F.col("n_item").alias("n_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    x = pairs.crossJoin(F.broadcast(totals)).filter(
+        F.col("n_ab") >= F.col("n_baskets") * F.lit(mps)
+    )
+    supp = F.col("n_ab") / F.col("n_baskets")
+    lift = (
+        supp
+        / (
+            (F.col("n_a") / F.col("n_baskets"))
+            * (F.col("n_b") / F.col("n_baskets"))
+        )
+    )
+    return x.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        F.round(supp, 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+def multi_touch_attribution(
+    df: "DataFrame",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str] | None = None,
+    window_seconds: int = 3600,
+    model: str = "linear",
+) -> "DataFrame":
+    """Multi-touch conversion attribution — split each conversion's
+    credit across the touchpoints that preceded it within
+    ``window_seconds`` (the marketing-analytics companion to
+    window_funnel/conversion_lag: not "did they convert" but "which
+    channel gets the credit"). Models: ``linear`` (1/n to each touch),
+    ``first_touch`` / ``last_touch`` (winner takes 1; deterministic
+    (ts, event id) tie-break), ``position`` (40% first, 40% last, 20%
+    split over the middles; 1.0 / 0.5-0.5 for 1- and 2-touch paths).
+
+    Output, one row per touch type: ``touch_type``, ``credit`` (sum of
+    weights over conversions, 6dp), ``touches`` (touch rows used),
+    ``conversions`` (distinct conversions the type got credit for).
+
+    Plan: ONE user-keyed join (conversions × touches, fan-out bounded
+    by the time window), per-conversion weights via a conv-keyed
+    window (second keyed exchange, conversion-sized), map-combined
+    final agg. At 100 TB the user key distributes both sides and the
+    window bound keeps the per-user pairing linear in events per
+    window, never per-history quadratic.
+    """
+    if model not in ("linear", "first_touch", "last_touch", "position"):
+        raise ValueError(f"multi_touch_attribution: unknown model {model!r}")
+    t = F.col(type_col)
+    conv = df.filter(t == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.monotonically_increasing_id().alias("_cid"),
+        F.col(ts_col).alias("_cts"),
+    )
+    touch = df.filter(
+        t.isin(list(touch_types)) if touch_types is not None
+        else t != conversion_type
+    ).select(
+        F.col(user_col).alias("_u"),
+        t.alias("touch_type"),
+        F.col(ts_col).alias("_tts"),
+    )
+    j = conv.join(touch, "_u").filter(
+        (F.col("_tts") < F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+        )
+    )
+    wspec = Window.partitionBy("_cid")
+    order = [F.col("_tts").asc(), F.col("touch_type").asc()]
+    rn = F.row_number().over(wspec.orderBy(*order))
+    n = F.count(F.lit(1)).over(wspec)
+    if model == "linear":
+        w = F.lit(1.0) / n
+    elif model == "first_touch":
+        w = F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last_touch":
+        w = F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0))
+    else:  # position (U-shaped)
+        w = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .otherwise(
+                F.when((rn == 1) | (rn == n), F.lit(0.4)).otherwise(
+                    F.lit(0.2) / (n - 2)
+                )
+            )
+        )
+    weighted = j.withColumn("_w", w)
+    return (
+        weighted.groupBy("touch_type")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("credit"),
+            F.count(F.lit(1)).alias("touches"),
+            F.countDistinct(
+                F.when(F.col("_w") > 0, F.col("_cid"))
+            ).alias("conversions"),
+        )
+        .orderBy("touch_type")
     )

@@ -1,0 +1,326 @@
+"""Round-9 operator tests: theta-sketch set algebra (distinct
+intersection/difference — the query HLL cannot answer)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _build(spark, rows, group="g", key="k", **kw):
+    from indexlab_spark.operators.analytics import theta_sketch_build
+
+    df = spark.createDataFrame(rows, f"{group} string, {key} string")
+    return theta_sketch_build(df, [group], key, **kw)
+
+
+class TestThetaSketchExactRegime:
+    """Below saturation theta stays 1.0 and every estimate is an exact
+    distinct count — the regime the oracle-backed gate query runs in."""
+
+    def test_build_exact_distinct(self, spark):
+        rows = [("a", f"k{i}") for i in range(30)] * 3 + [
+            ("b", f"k{i}") for i in range(12)
+        ]
+        out = {
+            r["g"]: r for r in _build(spark, rows, k=64).collect()
+        }
+        assert out["a"]["est"] == 30.0 and out["a"]["theta"] == 1.0
+        assert out["b"]["est"] == 12.0
+        assert out["a"]["n_retained"] == 30
+        assert list(out["a"]["sample"]) == sorted(out["a"]["sample"])
+
+    def test_null_keys_excluded(self, spark):
+        rows = [("a", "x"), ("a", None), ("a", "y")]
+        out = _build(spark, rows, k=8).collect()
+        assert out[0]["est"] == 2.0
+
+    def test_union_equals_direct_build(self, spark):
+        """Bottom-k merge property: fine-grain sketches unioned up to a
+        coarser grain equal the direct build at that grain — samples
+        and all."""
+        from indexlab_spark.operators.analytics import (
+            theta_sketch_build,
+            theta_sketch_union,
+        )
+
+        rows = [
+            (g, d, f"{g}-{i % 37}")
+            for g in ("a", "b")
+            for d in ("d1", "d2", "d3")
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "g string, d string, k string")
+        fine = theta_sketch_build(df, ["g", "d"], "k", k=64)
+        merged = {
+            r["g"]: r
+            for r in theta_sketch_union(fine, ["g"], k=64).collect()
+        }
+        direct = {
+            r["g"]: r
+            for r in theta_sketch_build(df, ["g"], "k", k=64).collect()
+        }
+        for g in ("a", "b"):
+            assert list(merged[g]["sample"]) == list(direct[g]["sample"])
+            assert merged[g]["est"] == direct[g]["est"] == 25.0
+
+    def test_grand_total_union(self, spark):
+        from indexlab_spark.operators.analytics import (
+            theta_sketch_build,
+            theta_sketch_union,
+        )
+
+        rows = [("a", f"k{i}") for i in range(10)] + [
+            ("b", f"k{i}") for i in range(5, 20)
+        ]
+        df = spark.createDataFrame(rows, "g string, k string")
+        fine = theta_sketch_build(df, ["g"], "k", k=64)
+        out = theta_sketch_union(fine, [], k=64).collect()
+        assert len(out) == 1 and out[0]["est"] == 20.0  # |{k0..k19}|
+
+    def test_intersect_exact_counts(self, spark):
+        """Planted overlap: A = {0..29}, B = {20..49} -> common 10,
+        a_only 20, b_only 20 — exact in the unsaturated regime."""
+        from indexlab_spark.operators.analytics import (
+            theta_sketch_build,
+            theta_sketch_intersect,
+        )
+
+        rows = [("A", f"k{i}") for i in range(30)] + [
+            ("B", f"k{i}") for i in range(20, 50)
+        ]
+        df = spark.createDataFrame(rows, "g string, k string")
+        sk = theta_sketch_build(df, ["g"], "k", k=256)
+        a = sk.filter(F.col("g") == "A").withColumnRenamed("g", "g_a")
+        b = sk.filter(F.col("g") == "B").withColumnRenamed("g", "g_b")
+        r = theta_sketch_intersect(a, b).collect()[0]
+        assert (r["est_common"], r["est_a_only"], r["est_b_only"]) == (
+            10.0,
+            20.0,
+            20.0,
+        )
+        assert r["theta"] == 1.0
+
+    def test_intersect_on_keyed_join(self, spark):
+        """on=[...] joins matching groups (old-vs-new per segment)."""
+        from indexlab_spark.operators.analytics import (
+            theta_sketch_build,
+            theta_sketch_intersect,
+        )
+
+        old = _build(
+            spark, [("s1", f"k{i}") for i in range(8)], k=64
+        )
+        new = _build(
+            spark, [("s1", f"k{i}") for i in range(4, 12)], k=64
+        )
+        r = theta_sketch_intersect(old, new, on=["g"]).collect()[0]
+        assert (r["est_common"], r["est_a_only"], r["est_b_only"]) == (
+            4.0,
+            4.0,
+            4.0,
+        )
+
+    def test_rejects_bad_k(self, spark):
+        from indexlab_spark.operators.analytics import theta_sketch_build
+
+        df = spark.createDataFrame([("a", "x")], "g string, k string")
+        with pytest.raises(ValueError, match="k must be"):
+            theta_sketch_build(df, ["g"], "k", k=1)
+
+
+class TestThetaSketchSaturated:
+    """Above saturation the estimate carries ~1/sqrt(k) relative error;
+    md5 hashing makes the 'noise' deterministic per corpus, so these
+    bounds are stable assertions, not flaky statistics."""
+
+    def test_build_estimate_within_bound(self, spark):
+        n, k = 5000, 64
+        rows = [("a", f"key-{i}") for i in range(n)]
+        r = _build(spark, rows, k=k).collect()[0]
+        assert r["theta"] < 1.0 and r["n_retained"] == k
+        assert abs(r["est"] - n) / n < 3.0 / (k**0.5)  # 3/sqrt(k)
+
+    def test_union_of_saturated_members(self, spark):
+        from indexlab_spark.operators.analytics import (
+            theta_sketch_build,
+            theta_sketch_union,
+        )
+
+        n, k = 4000, 128
+        rows = [("a", "d1", f"x-{i}") for i in range(n)] + [
+            ("a", "d2", f"y-{i}") for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, d string, k string")
+        fine = theta_sketch_build(df, ["g", "d"], "k", k=k)
+        r = theta_sketch_union(fine, ["g"], k=k).collect()[0]
+        assert abs(r["est"] - 2 * n) / (2 * n) < 3.0 / (k**0.5)
+
+    def test_intersect_estimate_within_bound(self, spark):
+        """50% planted overlap at k=256: the intersection estimator's
+        error grows with 1/(J*sqrt(k)) — allow a generous fixed band
+        (deterministic, so this pins the actual md5 outcome)."""
+        from indexlab_spark.operators.analytics import (
+            theta_sketch_build,
+            theta_sketch_intersect,
+        )
+
+        n, k = 4000, 256
+        rows = [("A", f"c-{i}") for i in range(n)] + [
+            ("B", f"c-{i}") for i in range(n // 2, n + n // 2)
+        ]
+        df = spark.createDataFrame(rows, "g string, k string")
+        sk = theta_sketch_build(df, ["g"], "k", k=k)
+        a = sk.filter(F.col("g") == "A").withColumnRenamed("g", "g_a")
+        b = sk.filter(F.col("g") == "B").withColumnRenamed("g", "g_b")
+        r = theta_sketch_intersect(a, b).collect()[0]
+        true_common = n // 2
+        assert abs(r["est_common"] - true_common) / true_common < 0.3
+        assert abs(r["est_a_only"] - true_common) / true_common < 0.3
+
+
+class TestAssociationRules:
+    """Hand-computed market-basket: baskets {x,y}, {x,y}, {x,z}, {y}."""
+
+    def _df(self, spark):
+        rows = [
+            (1, "x"), (1, "y"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "z"),
+            (4, "y"),
+        ]
+        return spark.createDataFrame(rows, "b int, i string")
+
+    def test_hand_computed_pair_stats(self, spark):
+        from indexlab_spark.operators.analytics import association_rules
+
+        out = {
+            (r["item_a"], r["item_b"]): r
+            for r in association_rules(
+                self._df(spark), "b", "i", min_support=0.01
+            ).collect()
+        }
+        # n=4 baskets; n_x=3, n_y=3, n_z=1; xy=2, xz=1, yz=0
+        xy = out[("x", "y")]
+        assert xy["n_ab"] == 2
+        assert xy["support"] == 0.5
+        assert xy["conf_a_to_b"] == round(2 / 3, 6)
+        assert xy["conf_b_to_a"] == round(2 / 3, 6)
+        assert xy["lift"] == round(0.5 / (0.75 * 0.75), 6)
+        xz = out[("x", "z")]
+        assert xz["n_ab"] == 1 and xz["lift"] == round(
+            0.25 / (0.75 * 0.25), 6
+        )
+        assert ("y", "z") not in out  # never co-occur
+
+    def test_min_support_prunes_items_before_pairing(self, spark):
+        from indexlab_spark.operators.analytics import association_rules
+
+        out = association_rules(
+            self._df(spark), "b", "i", min_support=0.5
+        ).collect()
+        # z (support .25) pruned -> only the xy pair can survive
+        assert {(r["item_a"], r["item_b"]) for r in out} == {("x", "y")}
+
+    def test_min_pair_support_cut(self, spark):
+        from indexlab_spark.operators.analytics import association_rules
+
+        out = association_rules(
+            self._df(spark), "b", "i",
+            min_support=0.01, min_pair_support=0.4,
+        ).collect()
+        assert {(r["item_a"], r["item_b"]) for r in out} == {("x", "y")}
+
+    def test_duplicate_rows_in_basket_count_once(self, spark):
+        from indexlab_spark.operators.analytics import association_rules
+
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x")]
+        df = spark.createDataFrame(rows, "b int, i string")
+        out = association_rules(df, "b", "i", min_support=0.01).collect()
+        assert len(out) == 1 and out[0]["n_ab"] == 1
+        assert out[0]["support"] == 0.5
+
+    def test_rejects_bad_support(self, spark):
+        from indexlab_spark.operators.analytics import association_rules
+
+        with pytest.raises(ValueError, match="min_support"):
+            association_rules(self._df(spark), "b", "i", min_support=0.0)
+
+
+class TestMultiTouchAttribution:
+    """Hand-computed path: user u1 touches view@0s, click@10s, view@20s,
+    converts@30s; user u2 touches click@5s, converts@40s; u3 converts
+    with no touch in window."""
+
+    def _df(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            ("u1", base + dt.timedelta(seconds=0), "view"),
+            ("u1", base + dt.timedelta(seconds=10), "click"),
+            ("u1", base + dt.timedelta(seconds=20), "view"),
+            ("u1", base + dt.timedelta(seconds=30), "purchase"),
+            ("u2", base + dt.timedelta(seconds=5), "click"),
+            ("u2", base + dt.timedelta(seconds=40), "purchase"),
+            ("u3", base - dt.timedelta(seconds=7200), "view"),
+            ("u3", base + dt.timedelta(seconds=50), "purchase"),
+        ]
+        return spark.createDataFrame(rows, "u string, ts timestamp, et string")
+
+    def _run(self, spark, model):
+        from indexlab_spark.operators.analytics import (
+            multi_touch_attribution,
+        )
+
+        return {
+            r["touch_type"]: r
+            for r in multi_touch_attribution(
+                self._df(spark), "u", "ts", "et", "purchase",
+                window_seconds=3600, model=model,
+            ).collect()
+        }
+
+    def test_linear(self, spark):
+        out = self._run(spark, "linear")
+        # u1: view 2/3, click 1/3; u2: click 1
+        assert out["view"]["credit"] == round(2 / 3, 6)
+        assert out["click"]["credit"] == round(1 / 3 + 1.0, 6)
+        assert out["view"]["touches"] == 2
+        assert out["click"]["conversions"] == 2
+        assert out["view"]["conversions"] == 1  # u3's old view out of window
+
+    def test_first_touch(self, spark):
+        out = self._run(spark, "first_touch")
+        assert out["view"]["credit"] == 1.0  # u1's first touch
+        assert out["click"]["credit"] == 1.0  # u2's only touch
+        assert out["view"]["conversions"] == 1
+        assert out["click"]["conversions"] == 1
+
+    def test_last_touch(self, spark):
+        out = self._run(spark, "last_touch")
+        assert out["view"]["credit"] == 1.0  # u1's last touch is a view
+        assert out["click"]["credit"] == 1.0  # u2
+
+    def test_position(self, spark):
+        out = self._run(spark, "position")
+        # u1 (3 touches): first view .4, middle click .2, last view .4
+        # u2 (1 touch): click 1.0
+        assert out["view"]["credit"] == 0.8
+        assert out["click"]["credit"] == 1.2
+
+    def test_total_credit_is_attributed_conversions(self, spark):
+        """Every model hands out exactly 1.0 per conversion that had
+        any in-window touch (2 of the 3 conversions here)."""
+        for model in ("linear", "first_touch", "last_touch", "position"):
+            out = self._run(spark, model)
+            assert round(sum(r["credit"] for r in out.values()), 6) == 2.0
+
+    def test_unknown_model_rejected(self, spark):
+        from indexlab_spark.operators.analytics import (
+            multi_touch_attribution,
+        )
+
+        with pytest.raises(ValueError, match="unknown model"):
+            multi_touch_attribution(
+                self._df(spark), "u", "ts", "et", "purchase",
+                model="shapley",
+            )
