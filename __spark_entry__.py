@@ -4041,6 +4041,44 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier — distributed full-batch logistic
+    regression over the embedding column
+    (curation.train_quality_classifier / score_quality_classifier,
+    the fastText/DCLM-style "looks like the good corpus" step):
+    planted binary labels (cluster id <= 4), 20 deterministic
+    gradient iterations (one Arrow moment pass each, d+3 scalars to
+    the driver), then pure-codegen sigmoid scoring; per-cluster mean
+    probability and 0.5-threshold accuracy. Iterative training is not
+    SQL-expressible -> rows-only; spark ≡ numpy parity is pinned in
+    tests/test_round9_ops.py."""
+    from indexlab_spark.operators.curation import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    labeled = emb.withColumn("y", (F.col("label") <= 4).cast("double"))
+    model = train_quality_classifier(labeled, "y", iters=20)
+    scored = score_quality_classifier(labeled, model)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("quality_prob"), 6).alias("mean_prob"),
+            F.round(
+                F.avg(
+                    (
+                        (F.col("quality_prob") > 0.5) == (F.col("y") > 0.5)
+                    ).cast("double")
+                ),
+                6,
+            ).alias("acc"),
+        )
+        .orderBy("label")
+    )
+
+
 def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution — linear credit split across the touch
     types preceding each purchase within one hour
@@ -4929,6 +4967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": _q_compression_quality,
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
+        "quality_classifier": _q_quality_classifier,
     }
 
 

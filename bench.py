@@ -456,8 +456,10 @@ def main() -> None:
                  "part_kcore", "ab_events", "conversion_lag",
                  "unigram_jsd",
                  # round-9 additions (sf0.1 min-of-2: theta_users
-                 # 2.5s, assoc_brands 2.6s, attribution 0.6s)
-                 "theta_users", "assoc_brands", "attribution"):
+                 # 2.5s, assoc_brands 2.6s, attribution 0.6s,
+                 # quality_classifier 4.4s — 20 gradient jobs)
+                 "theta_users", "assoc_brands", "attribution",
+                 "quality_classifier"):
         fn = entry_mod.queries()[name]
         reps = (
             2

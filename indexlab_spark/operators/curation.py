@@ -1022,3 +1022,137 @@ def weighted_sample(
         .limit(k)
         .drop("_ares")
     )
+
+
+class QualityClassifier:
+    """Frozen logistic-regression model (weights + bias + training
+    metadata) returned by :func:`train_quality_classifier`."""
+
+    def __init__(self, weights, bias, n_rows, iters, final_loss):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = float(bias)
+        self.n_rows = int(n_rows)
+        self.iters = int(iters)
+        self.final_loss = float(final_loss)
+
+    def __repr__(self):  # pragma: no cover
+        return (
+            f"QualityClassifier(dim={len(self.weights)}, "
+            f"n={self.n_rows}, iters={self.iters}, "
+            f"loss={self.final_loss:.4f})"
+        )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    iters: int = 30,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+) -> QualityClassifier:
+    """Distributed full-batch logistic regression over an embedding
+    column — the fastText/DCLM-style learned quality classifier step
+    of a training-data pipeline (learn "looks like the good corpus"
+    from labeled seeds, then score everything; the learned complement
+    to the rule-based :func:`quality_flags`).
+
+    Deterministic by construction: zero init, full-batch gradient (no
+    sampling, no shuffling sensitivity — the gradient is a SUM, so
+    row order cannot change it beyond float round-off), fixed
+    learning rate with L2; spark ≡ pure-numpy parity is pinned in
+    tests.
+
+    Plan per iteration: ONE Arrow pass emits (d+2)-sized partial
+    sums per batch (gradient, count, loss), a map-combined agg
+    reduces them, and d+2 scalars reach the driver — the same
+    moment-pass discipline as decompose.pca_fit. Nothing row-sized
+    ever leaves the executors; 100 TB cost is iters corpus scans,
+    each embarrassingly parallel. Labels must be 0/1; rows with NULL
+    label or vector are excluded.
+    """
+    base = (
+        df.filter(
+            F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(
+            F.col(vec_col).alias("vec"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+    )
+    first = base.select(F.size("vec").alias("d")).first()
+    if first is None:
+        raise ValueError("train_quality_classifier: empty input")
+    dim = int(first["d"])
+    base = base.localCheckpoint(eager=True)  # iters scans of a frozen frame
+
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    n_rows = 0
+    loss = float("nan")
+    for _ in range(max(1, iters)):
+        w_b = w.copy()
+        b_b = b
+
+        def partials(batches, w_b=w_b, b_b=b_b):
+            for pdf in batches:
+                x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                z = x @ w_b + b_b
+                p = 1.0 / (1.0 + np.exp(-z))
+                err = p - y
+                g = x.T @ err  # d-vector partial
+                eps = 1e-12
+                ll = -np.sum(
+                    y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)
+                )
+                idx = np.arange(dim + 3, dtype=np.int64)
+                val = np.concatenate(
+                    [g, [err.sum()], [float(len(y))], [ll]]
+                )
+                yield pd.DataFrame({"idx": idx, "val": val})
+
+        rows = (
+            base.mapInPandas(partials, schema="idx long, val double")
+            .groupBy("idx")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )  # bounded: d + 3 rows
+        acc = {int(r["idx"]): float(r["val"]) for r in rows}
+        n_rows = int(acc[dim + 1])
+        if n_rows == 0:
+            raise ValueError("train_quality_classifier: empty input")
+        grad_w = np.array([acc[i] for i in range(dim)]) / n_rows + l2 * w
+        grad_b = acc[dim] / n_rows
+        loss = acc[dim + 2] / n_rows + 0.5 * l2 * float(w @ w)
+        w = w - lr * grad_w
+        b = b - lr * grad_b
+    base.unpersist()
+    return QualityClassifier(w, b, n_rows, iters, loss)
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    model: QualityClassifier,
+    vec_col: str = "embedding",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score a corpus with a trained :class:`QualityClassifier` —
+    sigmoid(w·x + b) as a pure Catalyst expression: the weight vector
+    is inlined as an array literal (d doubles, plan-sized), the dot
+    product is ``aggregate(zip_with(...))`` — JVM-side, inside
+    WholeStageCodegen, zero Python in the hot path, zero shuffles.
+    The standard deployment: train once on seeds (driver-sized
+    state), score 100 TB as a map."""
+    wlit = F.array(*[F.lit(float(v)) for v in model.weights])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            wlit,
+            lambda x, wi: x * wi,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    z = dot + F.lit(model.bias)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

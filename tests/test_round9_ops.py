@@ -324,3 +324,88 @@ class TestMultiTouchAttribution:
                 self._df(spark), "u", "ts", "et", "purchase",
                 model="shapley",
             )
+
+
+class TestQualityClassifier:
+    """Distributed full-batch logistic regression: spark == numpy
+    parity, separable-data sanity, codegen scoring parity."""
+
+    def _data(self, n=200, d=8, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, d))
+        w_true = rng.normal(size=d)
+        y = (x @ w_true + 0.25 * rng.normal(size=n) > 0).astype(float)
+        return x, y
+
+    def _numpy_train(self, x, y, iters=30, lr=1.0, l2=1e-3):
+        import numpy as np
+
+        w = np.zeros(x.shape[1])
+        b = 0.0
+        n = len(y)
+        for _ in range(iters):
+            p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+            err = p - y
+            gw = x.T @ err / n + l2 * w
+            gb = err.sum() / n
+            w, b = w - lr * gw, b - lr * gb
+        return w, b
+
+    def test_spark_matches_numpy(self, spark):
+        import numpy as np
+
+        from indexlab_spark.operators.curation import (
+            train_quality_classifier,
+        )
+
+        x, y = self._data()
+        rows = [(x[i].tolist(), float(y[i])) for i in range(len(y))]
+        df = spark.createDataFrame(
+            rows, "embedding array<double>, label double"
+        ).repartition(4)
+        m = train_quality_classifier(df, "label", iters=30)
+        w_np, b_np = self._numpy_train(x, y, iters=30)
+        assert np.allclose(m.weights, w_np, atol=1e-6)
+        assert abs(m.bias - b_np) < 1e-6
+        assert m.n_rows == len(y)
+
+    def test_separable_accuracy_and_scoring_parity(self, spark):
+        import numpy as np
+
+        from indexlab_spark.operators.curation import (
+            score_quality_classifier,
+            train_quality_classifier,
+        )
+
+        x, y = self._data(n=300, seed=3)
+        rows = [
+            (i, x[i].tolist(), float(y[i])) for i in range(len(y))
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, embedding array<double>, label double"
+        )
+        m = train_quality_classifier(df, "label", iters=50)
+        scored = score_quality_classifier(df, m).orderBy("id").collect()
+        probs = np.array([r["quality_prob"] for r in scored])
+        want = 1.0 / (1.0 + np.exp(-(x @ m.weights + m.bias)))
+        assert np.allclose(probs, want, atol=1e-9)
+        acc = ((probs > 0.5) == (y > 0.5)).mean()
+        assert acc > 0.9
+        assert np.isfinite(m.final_loss) and m.final_loss < 0.69  # < ln 2
+
+    def test_null_rows_excluded_and_empty_raises(self, spark):
+        from indexlab_spark.operators.curation import (
+            train_quality_classifier,
+        )
+
+        df = spark.createDataFrame(
+            [([0.1, 0.2], None), (None, 1.0), ([0.3, 0.1], 1.0)],
+            "embedding array<double>, label double",
+        )
+        m = train_quality_classifier(df, "label", iters=2)
+        assert m.n_rows == 1
+        empty = df.filter(F.col("label") < -1)
+        with pytest.raises(Exception):
+            train_quality_classifier(empty, "label", iters=1)
