@@ -1072,6 +1072,30 @@ def theta_sketch_union(
     )
 
 
+def theta_sketch_merge(
+    a: "DataFrame",
+    b: "DataFrame",
+    group_cols: list[str],
+    k: int = 4096,
+) -> "DataFrame":
+    """Merge two theta-sketch tables grain-wise — incremental
+    maintenance for :func:`theta_sketch_build` (the same role
+    :func:`sketch_rollup_merge` plays for HLL and
+    :func:`quantile_sketch_merge` for quantiles): a new batch is
+    sketched alone and unioned into the persisted state; the old
+    corpus is never re-read. Hash points are VALUES (the union
+    dedups them), so the merge is associative, commutative AND
+    idempotent — replayed batches are exact no-ops, which is what
+    lets the streaming monitor skip batch bookkeeping.
+
+    Output schema matches :func:`theta_sketch_build`.
+    """
+    cols = [*group_cols, "sample", "theta", "n_retained", "est"]
+    return theta_sketch_union(
+        a.select(*cols).unionByName(b.select(*cols)), group_cols, k=k
+    )
+
+
 def theta_sketch_intersect(
     a: "DataFrame",
     b: "DataFrame",

@@ -279,3 +279,60 @@ def cm_monitor_totals(spark: SparkSession, state_path: str) -> DataFrame:
         .withColumn("width", F.lit(w))
         .withColumn("depth", F.lit(d))
     )
+
+
+def theta_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 4096,
+    query_name: str = "theta_monitor",
+):
+    """Maintain a live per-group DISTINCT-count theta sketch over a
+    stream — the set-algebra companion to
+    :func:`quantile_monitor_stream` (and the third state discipline in
+    this file next to the CM monitor): readers get current per-group
+    distinct estimates at any grain via
+    ``analytics.theta_sketch_union``, AND cross-group overlap answers
+    via ``theta_sketch_intersect`` ("how many users did checkout and
+    search share so far today") — the question the HLL monitor cannot
+    answer.
+
+    Replay safety is the quantile monitor's, for the same reason:
+    hash points are VALUES, so ``theta_sketch_merge``'s distinct
+    collapses a replayed batch into an exact no-op — idempotent-merge,
+    no batch_id bookkeeping (pinned by the replay test). The whole
+    (n_groups x k)-row state rewrites via the staging swap each
+    trigger.
+
+    Steady-state cost: sketching the batch (batch-sized, one keyed
+    exchange) + merging two sketch tables (sketch-sized).
+    """
+    from indexlab_spark.operators.analytics import (
+        theta_sketch_build,
+        theta_sketch_merge,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = theta_sketch_build(batch_df, group_cols, key_col, k=k)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = theta_sketch_merge(state, batch_sk, group_cols, k=k)
+        except AnalysisException:
+            merged = batch_sk
+        staging = state_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )

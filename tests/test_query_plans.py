@@ -509,3 +509,91 @@ def test_wminhash_no_union_of_terms_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     src = inspect.getsource(wminhash_lsh_pairs)
     assert 'F.explode("tf")' in src and "F.split" not in src
+
+
+def test_theta_sketch_single_keyed_exchange(spark):
+    """theta_sketch_build: one distinct + one bottom-k window + one
+    final agg, all on the same group key — AQE should plan at most the
+    keyed exchanges for that one partitioning chain, and no join of any
+    kind (the totals never leave the executors)."""
+    from indexlab_spark.operators.analytics import theta_sketch_build
+
+    rows = [("g%d" % (i % 5), "k%d" % i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    plan = (
+        theta_sketch_build(df, ["g"], "k", k=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_theta_intersect_sketch_sized_no_shuffle_join(spark):
+    """theta_sketch_intersect on=[...]: the join is between two
+    SKETCH frames. With both sides small they broadcast; the contract
+    pinned here is simply that no sort-merge (shuffle) join appears —
+    sketch frames must never be treated as data-sized."""
+    from indexlab_spark.operators.analytics import (
+        theta_sketch_build,
+        theta_sketch_intersect,
+    )
+
+    rows = [("g%d" % (i % 4), f"k{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk = theta_sketch_build(df, ["g"], "k", k=16)
+    out = theta_sketch_intersect(sk, sk, on=["g"])
+    out.collect()  # let AQE finalize with real sketch-frame stats
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the
+    # pre-adaptive plan after this marker; the contract is on the
+    # FINAL plan only
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastHashJoin" in final, final
+
+
+def test_association_rules_pairs_only_frequent_items(spark):
+    """association_rules: the self-join runs on the basket key over the
+    FREQUENT-item-restricted frame — the plan must show the min_support
+    semi-restriction (join against the frequent frame) upstream of the
+    basket self-join, and no cartesian product anywhere. The basket
+    total rides a broadcast; no corpus-sized frame is ever broadcast."""
+    from indexlab_spark.operators.analytics import association_rules
+
+    rows = [(i % 40, "i%d" % (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "b int, i string")
+    plan = (
+        association_rules(df, "b", "i", min_support=0.05)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    # the one-row totals frame joins via broadcast nested loop (it has
+    # no key) — never a shuffled join
+    assert "SortMergeJoin" not in plan or "basket" in plan, plan
+
+
+def test_attribution_single_user_join_window_bounded(spark):
+    """multi_touch_attribution: ONE equi-join on the user key carries
+    the interval condition as a post-join filter (never a cartesian),
+    and the weight pass is a window over the conversion key — no second
+    data-sized join."""
+    import datetime as dt
+
+    from indexlab_spark.operators.analytics import multi_touch_attribution
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u%d" % (i % 9), base + dt.timedelta(seconds=i * 37),
+         ["view", "click", "purchase"][i % 3])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, et string")
+    plan = (
+        multi_touch_attribution(df, "u", "ts", "et", "purchase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+    ))
+    assert joins == 1, plan

@@ -212,3 +212,65 @@ def test_quantile_monitor_stream_matches_batch_and_replay(spark, tmp_path):
         k=64,
     )
     assert sample_map(replayed) == got
+
+
+def test_theta_monitor_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming theta-sketch distinct state: drained state EXACTLY
+    equals the one-shot batch sketch over all data (bottom-k set-union
+    associativity across micro-batches), a worst-case full replay
+    merge is a no-op (hash points are values -> idempotent), and the
+    state supports the overlap query the HLL monitor cannot answer."""
+    from indexlab_spark.operators.analytics import (
+        theta_sketch_build,
+        theta_sketch_intersect,
+        theta_sketch_merge,
+    )
+    from indexlab_spark.streaming.ingest import theta_monitor_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    src = str(tmp_path / "tsrc")
+    ev.repartition(3).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "tstate")
+    q = theta_monitor_stream(
+        stream, state, ["event_type"], "user_id", k=64
+    ).start()
+    q.awaitTermination()
+
+    def sketch_map(df):
+        return {
+            r["event_type"]: (list(r["sample"]), r["theta"], r["est"])
+            for r in df.collect()
+        }
+
+    got = sketch_map(spark.read.parquet(state))
+    want = sketch_map(theta_sketch_build(ev, ["event_type"], "user_id", k=64))
+    assert got == want and len(got) > 0
+
+    # replay idempotence: merge the whole corpus's sketch AGAIN
+    replayed = theta_sketch_merge(
+        spark.read.parquet(state),
+        theta_sketch_build(ev, ["event_type"], "user_id", k=64),
+        ["event_type"],
+        k=64,
+    )
+    assert sketch_map(replayed) == got
+
+    # the monitor state answers overlap questions directly
+    sk = spark.read.parquet(state)
+    a = sk.filter(F.col("event_type") == "view").withColumnRenamed(
+        "event_type", "type_a"
+    )
+    b = sk.filter(F.col("event_type") == "purchase").withColumnRenamed(
+        "event_type", "type_b"
+    )
+    r = theta_sketch_intersect(a, b).collect()[0]
+    assert r["est_common"] >= 0
