@@ -4041,6 +4041,23 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edit_dist_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join — all part-NAME pairs within
+    Levenshtein distance 2 (dedup.edit_distance_join): identical
+    strings collapse to the domain first (multiplicities carried as
+    n_a/n_b), candidates come from positional q-gram count filtering
+    with a pigeonhole short-string path — never all-pairs, unlike the
+    brand-blocked fuzzy_part_names whose blocks stay quadratic — and
+    the filters only prune: output equals brute force (pinned in
+    tests)."""
+    from indexlab_spark.operators.dedup import edit_distance_join
+
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    return edit_distance_join(p, "p_name", max_dist=2, q=3).orderBy(
+        "text_a", "text_b"
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -4769,12 +4786,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- slot 21: attribution — round-9 multi-touch conversion
         # attribution (oracle-backed); never-attested-first.
         "attribution": _q_attribution,
-        # -- slots 22-50: re-attestation backfill, oldest first — the
-        # first 29 of the 37 entries whose last driver-green row is
-        # r05 (registry order). The remaining 8 (tokens,
-        # top_orders_per_cust, top_revenue, top_terms, line_dedup,
-        # bloom_decontaminate, dsir_weights, embedding_lsh) slip to
-        # the r10 window.
+        # -- slot 22: edit_dist_names — round-9 q-gram-filtered exact
+        # edit-distance join (oracle-backed); never-attested-first.
+        "edit_dist_names": _q_edit_dist_names,
+        # -- slots 23-50: re-attestation backfill, oldest first — the
+        # first 28 of the 37 entries whose last driver-green row is
+        # r05 (registry order). The remaining 9 (temperature_resample,
+        # tokens, top_orders_per_cust, top_revenue, top_terms,
+        # line_dedup, bloom_decontaminate, dsir_weights,
+        # embedding_lsh) slip to the r10 window.
         "flesch_reading": _q_flesch_reading,
         "zscore_anomalies": _q_zscore_anomalies,
         "zipf_fit": _q_zipf_fit,
@@ -4803,22 +4823,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
-        "temperature_resample": _q_temperature_resample,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
         # r10 window plan (pinned per the standing invariants: oldest
         # attestation first; recompute from CORRECTNESS_r01-r09 once
-        # r9 lands): after the 12 anchors, slots 13-20 take the 8
-        # r05-green leftovers below (tokens .. embedding_lsh, 4
-        # rounds stale by r10 — the oldest attestations left), then
-        # slots 21-50 take the first 30 of the 38 r06-green entries
-        # (duplicated_spans .. , r6 window order); the remaining 8
-        # r06 entries plus the r07 block backfill in r11. Any operator
+        # r9 lands): after the 12 anchors, slots 13-21 take the 9
+        # r05-green leftovers below (temperature_resample ..
+        # embedding_lsh, 4 rounds stale by r10 — the oldest
+        # attestations left), then slots 22-50 take the first 29 of
+        # the 38 r06-green entries (duplicated_spans .. , r6 window
+        # order); the remaining 9 r06 entries plus the r07 block
+        # backfill in r11. Any operator
         # newly oracle-registered in r10 goes never-attested-first,
         # displacing the tail.
-        # last green r05 (8 remaining; rotate into r10 FIRST):
+        # last green r05 (9 remaining; rotate into r10 FIRST):
+        "temperature_resample": _q_temperature_resample,
         "tokens": _q_tokens,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "top_revenue": _q_top_revenue,
@@ -5982,6 +6003,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, NULL, NULL, NULL, NULL, round(sum(contrib), 6)
             FROM d
+        """,
+        "edit_dist_names": """
+            WITH s AS (SELECT p_name AS s, count(*) AS n
+                       FROM part GROUP BY 1)
+            SELECT a.s AS text_a, b.s AS text_b,
+                   CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist,
+                   a.n AS n_a, b.n AS n_b
+            FROM s a JOIN s b ON a.s < b.s
+            WHERE levenshtein(a.s, b.s) <= 2
+            ORDER BY text_a, text_b
         """,
         "attribution": """
             WITH conv AS (

@@ -459,7 +459,9 @@ def main() -> None:
                  # 2.5s, assoc_brands 2.6s, attribution 0.6s,
                  # quality_classifier 4.4s — 20 gradient jobs)
                  "theta_users", "assoc_brands", "attribution",
-                 "quality_classifier"):
+                 "quality_classifier",
+                 # edit_dist_names 1.0s sf0.1 min-of-2
+                 "edit_dist_names"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2013,3 +2013,149 @@ def wminhash_lsh_pairs(
         .select("id_a", "id_b", "wjaccard")
     )
     return out
+
+
+def edit_distance_join(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """Exact edit-distance similarity self-join over DISTINCT strings —
+    every unordered pair within Levenshtein distance ``max_dist``
+    (entity-resolution / near-identical-title dedup; the
+    string-distance member of the similarity-join family next to
+    jaccard_join_prefix). Operates on the string DOMAIN: identical
+    strings collapse first (carrying their multiplicities as
+    ``n_a``/``n_b``), which is what makes the join scale — real
+    corpora repeat titles massively, and id-level output would square
+    those groups (expand via a join back on the text when id pairs
+    are genuinely wanted).
+
+    Candidate generation, never all-pairs (Gravano et al. q-gram
+    count filtering + pigeonhole routing):
+
+    - **gram path** (strings with ``len >= q*(max_dist+1)``, where the
+      filter has power): positional q-grams; candidates share >= 1
+      gram with position slack <= d and length gap <= d, then the
+      COUNT filter — a true pair must share at least
+      ``min(len)-q+1-d*q`` positional grams (each edit destroys at
+      most q grams) — prunes before any distance call.
+    - **short path** (pairs whose min side is shorter than that): the
+      filter is vacuous there, so short strings all-pair WITHIN
+      length classes via an equi-join on target length (a short
+      string emits its len..len+d keys) — bounded by the short-string
+      domain, which a q*(d+1)-char alphabet bound keeps tiny.
+
+    Both paths verify with JVM-side ``levenshtein`` (exact — the
+    filters only prune, never decide). Paths are disjoint (gram path
+    needs BOTH sides long; short path needs a short min side), so no
+    dedup join is needed.
+
+    Output: ``text_a < text_b``, ``dist``, ``n_a``, ``n_b``
+    (multiplicities in the input frame).
+
+    At 100 TB: the gram join keys on (gram) with length/position
+    conditions; the worst case is a hot gram shared by many long
+    strings — the count-filter agg bounds what reaches verify, and
+    the positional key keeps hot grams far more selective than
+    bag-of-grams LSH. Nothing is ever corpus x corpus.
+    """
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError(f"edit_distance_join: max_dist must be >= 1, got {d}")
+    if q < 2:
+        raise ValueError(f"edit_distance_join: q must be >= 2, got {q}")
+    strings = (
+        df.select(F.col(text_col).alias("s"))
+        .filter(F.col("s").isNotNull() & (F.length("s") > 0))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("len", F.length("s"))
+    )
+    long_min = q * (d + 1)  # count-filter threshold >= 1 from here up
+    longs = strings.filter(F.col("len") >= long_min)
+    grams = longs.select(
+        "s",
+        "n",
+        "len",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, len - {q}), "
+                f"i -> struct(i as pos, substring(s, i + 1, {q}) as gram))"
+            )
+        ).alias("g"),
+    ).select("s", "n", "len", F.col("g.pos").alias("pos"),
+             F.col("g.gram").alias("gram"))
+    ga = grams.select(
+        F.col("s").alias("text_a"), F.col("n").alias("n_a"),
+        F.col("len").alias("la"), F.col("pos").alias("pa"), "gram",
+    )
+    gb = grams.select(
+        F.col("s").alias("text_b"), F.col("n").alias("n_b"),
+        F.col("len").alias("lb"), F.col("pos").alias("pb"), "gram",
+    )
+    cand_long = (
+        ga.join(gb, "gram")
+        .filter(
+            (F.col("text_a") < F.col("text_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= d)
+            & (F.abs(F.col("pa") - F.col("pb")) <= d)
+        )
+        .groupBy("text_a", "text_b")
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.first("la").alias("la"),
+            F.first("lb").alias("lb"),
+        )
+        .filter(
+            F.col("_shared")
+            >= F.least("la", "lb") - F.lit(q - 1) - F.lit(d * q)
+        )
+        .select("text_a", "text_b", "n_a", "n_b")
+    )
+    # Short path. The emitting (shorter) side must itself be short —
+    # if the min side were long, both sides would be long (|Δlen| <= d)
+    # and the gram path owns the pair, keeping the paths disjoint.
+    shortish = strings.filter(F.col("len") <= long_min - 1 + d)
+    sa = (
+        shortish.filter(F.col("len") <= long_min - 1)
+        .select(
+            F.col("s").alias("s_x"), F.col("n").alias("n_x"),
+            F.explode(F.expr(f"sequence(len, len + {d})")).alias("_tgt"),
+        )
+    )
+    sb = shortish.select(
+        F.col("s").alias("s_y"), F.col("n").alias("n_y"),
+        F.col("len").alias("_tgt"),
+    )
+    # every unordered pair with a short min side appears here once per
+    # (shorter, longer) orientation — twice when lengths tie, and the
+    # length order need not match lexicographic order, so canonicalize
+    # by least/greatest and dedupe
+    lo_first = F.col("s_x") < F.col("s_y")
+    cand_short = (
+        sa.join(sb, "_tgt")
+        .filter(F.col("s_x") != F.col("s_y"))
+        .select(
+            F.when(lo_first, F.col("s_x")).otherwise(F.col("s_y"))
+            .alias("text_a"),
+            F.when(lo_first, F.col("s_y")).otherwise(F.col("s_x"))
+            .alias("text_b"),
+            F.when(lo_first, F.col("n_x")).otherwise(F.col("n_y"))
+            .alias("n_a"),
+            F.when(lo_first, F.col("n_y")).otherwise(F.col("n_x"))
+            .alias("n_b"),
+        )
+        .distinct()
+    )
+    cand = cand_long.unionByName(cand_short)
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("text_a", "text_b").cast("int")
+        )
+        .filter(F.col("dist") <= d)
+        .select("text_a", "text_b", "dist", "n_a", "n_b")
+    )

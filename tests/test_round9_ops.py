@@ -409,3 +409,91 @@ class TestQualityClassifier:
         empty = df.filter(F.col("label") < -1)
         with pytest.raises(Exception):
             train_quality_classifier(empty, "label", iters=1)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistanceJoin:
+    """q-gram count-filter + short-path pigeonhole candidate scheme:
+    the filters must only PRUNE — output equals brute force exactly."""
+
+    def _corpus(self, seed=42, n=80):
+        import random
+
+        rng = random.Random(seed)
+        alphabet = "abcde"
+        out = []
+        for _ in range(n):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(2, 12))
+            )
+            out.append(w)
+            if rng.random() < 0.5:  # substitution neighbor
+                i = rng.randrange(len(w))
+                out.append(w[:i] + rng.choice(alphabet) + w[i + 1:])
+            if rng.random() < 0.3 and len(w) > 2:  # deletion neighbor
+                i = rng.randrange(len(w))
+                out.append(w[:i] + w[i + 1:])
+        return [w for w in out if w]
+
+    def _brute(self, corpus, d):
+        from itertools import combinations
+
+        distinct = sorted(set(corpus))
+        return {
+            (a, b, _lev(a, b))
+            for a, b in combinations(distinct, 2)
+            if _lev(a, b) <= d
+        }
+
+    def _run(self, spark, corpus, d, q):
+        from indexlab_spark.operators.dedup import edit_distance_join
+
+        df = spark.createDataFrame([(w,) for w in corpus], "t string")
+        return {
+            (r["text_a"], r["text_b"], r["dist"])
+            for r in edit_distance_join(df, "t", max_dist=d, q=q).collect()
+        }
+
+    def test_equals_bruteforce_d1(self, spark):
+        corpus = self._corpus()
+        assert self._run(spark, corpus, 1, 3) == self._brute(corpus, 1)
+
+    def test_equals_bruteforce_d2_q2(self, spark):
+        corpus = self._corpus(seed=7, n=50)
+        assert self._run(spark, corpus, 2, 2) == self._brute(corpus, 2)
+
+    def test_multiplicities_carried(self, spark):
+        from indexlab_spark.operators.dedup import edit_distance_join
+
+        df = spark.createDataFrame(
+            [("abcdef",)] * 3 + [("abcdxf",)] * 2 + [("zzz",)],
+            "t string",
+        )
+        rows = edit_distance_join(df, "t", max_dist=1, q=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["text_a"], r["text_b"], r["dist"]) == (
+            "abcdef", "abcdxf", 1,
+        )
+        assert (r["n_a"], r["n_b"]) == (3, 2)
+
+    def test_rejects_bad_params(self, spark):
+        from indexlab_spark.operators.dedup import edit_distance_join
+
+        df = spark.createDataFrame([("x",)], "t string")
+        with pytest.raises(ValueError, match="max_dist"):
+            edit_distance_join(df, "t", max_dist=0)
+        with pytest.raises(ValueError, match="q must"):
+            edit_distance_join(df, "t", q=1)
