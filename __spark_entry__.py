@@ -4041,6 +4041,23 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seasonal_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection — hourly event volumes scored
+    against their (day-of-week, hour) slot profile
+    (analytics.seasonal_anomalies): calendar-aware monitoring where
+    "Mondays are always busy" is baseline, not anomaly. One rollup
+    exchange, a 7x24 profile agg broadcast back, codegen z."""
+    from indexlab_spark.operators.analytics import seasonal_anomalies
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return seasonal_anomalies(
+        hourly, "bucket", "n_events", z_thresh=2.5
+    ).orderBy("bucket")
+
+
 def _q_edit_dist_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity self-join — all part-NAME pairs within
     Levenshtein distance 2 (dedup.edit_distance_join): identical
@@ -4789,12 +4806,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- slot 22: edit_dist_names — round-9 q-gram-filtered exact
         # edit-distance join (oracle-backed); never-attested-first.
         "edit_dist_names": _q_edit_dist_names,
-        # -- slots 23-50: re-attestation backfill, oldest first — the
-        # first 28 of the 37 entries whose last driver-green row is
-        # r05 (registry order). The remaining 9 (temperature_resample,
-        # tokens, top_orders_per_cust, top_revenue, top_terms,
-        # line_dedup, bloom_decontaminate, dsir_weights,
-        # embedding_lsh) slip to the r10 window.
+        # -- slot 23: seasonal_hours — round-9 calendar-profile
+        # anomaly scoring (oracle-backed); never-attested-first.
+        "seasonal_hours": _q_seasonal_hours,
+        # -- slots 24-50: re-attestation backfill, oldest first — the
+        # first 27 of the 37 entries whose last driver-green row is
+        # r05 (registry order). The remaining 10 (stratified_split,
+        # temperature_resample, tokens, top_orders_per_cust,
+        # top_revenue, top_terms, line_dedup, bloom_decontaminate,
+        # dsir_weights, embedding_lsh) slip to the r10 window.
         "flesch_reading": _q_flesch_reading,
         "zscore_anomalies": _q_zscore_anomalies,
         "zipf_fit": _q_zipf_fit,
@@ -4822,23 +4842,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
-        "stratified_split": _q_stratified_split,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
         # r10 window plan (pinned per the standing invariants: oldest
         # attestation first; recompute from CORRECTNESS_r01-r09 once
-        # r9 lands): after the 12 anchors, slots 13-21 take the 9
-        # r05-green leftovers below (temperature_resample ..
+        # r9 lands): after the 12 anchors, slots 13-22 take the 10
+        # r05-green leftovers below (stratified_split ..
         # embedding_lsh, 4 rounds stale by r10 — the oldest
-        # attestations left), then slots 22-50 take the first 29 of
+        # attestations left), then slots 23-50 take the first 28 of
         # the 38 r06-green entries (duplicated_spans .. , r6 window
-        # order); the remaining 9 r06 entries plus the r07 block
+        # order); the remaining 10 r06 entries plus the r07 block
         # backfill in r11. Any operator
         # newly oracle-registered in r10 goes never-attested-first,
         # displacing the tail.
-        # last green r05 (9 remaining; rotate into r10 FIRST):
+        # last green r05 (10 remaining; rotate into r10 FIRST):
+        "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
         "tokens": _q_tokens,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -6003,6 +6023,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, NULL, NULL, NULL, NULL, round(sum(contrib), 6)
             FROM d
+        """,
+        "seasonal_hours": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS bucket,
+                       CAST(count(*) AS DOUBLE) AS n_events
+                FROM events GROUP BY 1),
+            prof AS (
+                SELECT date_part('dow', bucket) AS dw,
+                       date_part('hour', bucket) AS hr,
+                       avg(n_events) AS m,
+                       stddev_samp(n_events) AS s,
+                       count(*) AS n
+                FROM hourly GROUP BY 1, 2)
+            SELECT h.bucket, h.n_events,
+                   CAST(p.dw AS INTEGER) AS dow,
+                   CAST(p.hr AS INTEGER) AS hour,
+                   round(p.m, 6) AS expected,
+                   round(CASE WHEN p.n >= 2 AND p.s > 0
+                         THEN (h.n_events - p.m) / p.s END, 6) AS z,
+                   COALESCE(
+                       p.n >= 2 AND p.s > 0
+                       AND abs((h.n_events - p.m) / p.s) >= 2.5,
+                       FALSE) AS anomaly
+            FROM hourly h
+            JOIN prof p ON date_part('dow', h.bucket) = p.dw
+               AND date_part('hour', h.bucket) = p.hr
+            ORDER BY h.bucket
         """,
         "edit_dist_names": """
             WITH s AS (SELECT p_name AS s, count(*) AS n

@@ -2024,3 +2024,60 @@ def multi_touch_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def seasonal_anomalies(
+    series: "DataFrame",
+    ts_col: str,
+    value_col: str,
+    z_thresh: float = 2.5,
+) -> "DataFrame":
+    """Seasonal-profile anomaly detection over a PRE-AGGREGATED time
+    series (same pre-aggregated-series-only discipline as
+    psi_drift/cusum: roll raw events to buckets first) — the
+    calendar-aware companion to the plain z-score monitor: each
+    observation is scored against the mean/std of ITS (day-of-week,
+    hour) slot across the series' weeks, so "Monday 9am is always
+    busy" stops being an anomaly and "THIS Monday 9am is 3 sigma off
+    every other Monday 9am" starts.
+
+    Simple in-sample profile (each point contributes to its own
+    baseline — the standard dashboard treatment; at >= 4 weeks of data
+    the self-contribution bias is small). Slots with fewer than 2
+    observations or zero variance yield NULL z and a false flag.
+
+    Plan: one map-combined agg to the 7 x 24 slot profile (tiny),
+    broadcast back onto the series, codegen z — the series is scanned
+    twice and nothing row-sized shuffles.
+
+    Output: the input rows + ``dow`` (0=Sunday), ``hour``,
+    ``expected``, ``z`` (6dp), ``anomaly``.
+    """
+    ts = F.col(ts_col)
+    dow = (F.dayofweek(ts) - 1).alias("dow")
+    hour = F.hour(ts).alias("hour")
+    base = series.select(
+        ts.alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        dow,
+        hour,
+    )
+    prof = base.groupBy("dow", "hour").agg(
+        F.avg("_v").alias("_mean"),
+        F.stddev_samp("_v").alias("_std"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = base.join(F.broadcast(prof), ["dow", "hour"])
+    ok = (F.col("_n") >= 2) & (F.col("_std") > 0)
+    z = F.when(ok, (F.col("_v") - F.col("_mean")) / F.col("_std"))
+    return j.select(
+        F.col("_ts").alias(ts_col),
+        F.col("_v").alias(value_col),
+        "dow",
+        "hour",
+        F.round("_mean", 6).alias("expected"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(z_thresh), F.lit(False)).alias(
+            "anomaly"
+        ),
+    )

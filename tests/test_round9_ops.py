@@ -497,3 +497,54 @@ class TestEditDistanceJoin:
             edit_distance_join(df, "t", max_dist=0)
         with pytest.raises(ValueError, match="q must"):
             edit_distance_join(df, "t", q=1)
+
+
+class TestSeasonalAnomalies:
+    def test_planted_spike_flagged_peers_not(self, spark):
+        """4 weeks of a flat Monday-9am series plus one 10x spike: the
+        spike's z is computed against its own (dow, hour) slot and
+        flags; the flat siblings do not; a different slot with constant
+        values gets NULL z (zero variance)."""
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import seasonal_anomalies
+
+        base = dt.datetime(2024, 1, 1, 9, 0)  # a Monday
+        rows = []
+        for wk in range(5):
+            v = 1000.0 if wk == 4 else 100.0 + wk  # slight jitter
+            rows.append((base + dt.timedelta(weeks=wk), v))
+        # constant Tuesday-3pm slot -> zero variance -> NULL z
+        tue = dt.datetime(2024, 1, 2, 15, 0)
+        for wk in range(3):
+            rows.append((tue + dt.timedelta(weeks=wk), 50.0))
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = seasonal_anomalies(df, "ts", "v", z_thresh=1.5).collect()
+        by_ts = {r["ts"]: r for r in out}
+        spike = by_ts[base + dt.timedelta(weeks=4)]
+        assert spike["anomaly"] is True and spike["z"] > 1.5
+        assert spike["dow"] == 1 and spike["hour"] == 9
+        for wk in range(4):
+            assert by_ts[base + dt.timedelta(weeks=wk)]["anomaly"] is False
+        flat = by_ts[tue]
+        assert flat["z"] is None and flat["anomaly"] is False
+
+    def test_matches_manual_z(self, spark):
+        import datetime as dt
+        import statistics
+
+        from indexlab_spark.operators.analytics import seasonal_anomalies
+
+        base = dt.datetime(2024, 3, 6, 12, 0)
+        vals = [10.0, 14.0, 9.0, 13.0]
+        rows = [
+            (base + dt.timedelta(weeks=i), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = {r["ts"]: r for r in seasonal_anomalies(df, "ts", "v").collect()}
+        m = statistics.mean(vals)
+        s = statistics.stdev(vals)
+        for i, v in enumerate(vals):
+            r = out[base + dt.timedelta(weeks=i)]
+            assert r["z"] == round((v - m) / s, 6)
+            assert r["expected"] == round(m, 6)
