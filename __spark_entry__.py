@@ -4041,6 +4041,43 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion — per-user signup→first-purchase
+    duration in days, right-censored at the corpus horizon for users
+    who never purchased (analytics.survival_curve): the estimate a
+    plain average of conversion lags gets wrong exactly because the
+    non-converters are truncated, the classic KM use. One keyed agg to
+    the distinct-duration grain, curve-sized cumulative windows."""
+    from indexlab_spark.operators.analytics import survival_curve
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .join(su, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    base = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.coalesce("first_purchase", "max_ts"), F.col("signup_ts")
+            ).alias("dur_days"),
+            F.col("first_purchase").isNotNull().cast("int").alias("e"),
+        )
+    )
+    return survival_curve(base, "dur_days", "e").orderBy("t")
+
+
 def _q_seasonal_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-profile anomaly detection — hourly event volumes scored
     against their (day-of-week, hour) slot profile
@@ -4809,12 +4846,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- slot 23: seasonal_hours — round-9 calendar-profile
         # anomaly scoring (oracle-backed); never-attested-first.
         "seasonal_hours": _q_seasonal_hours,
-        # -- slots 24-50: re-attestation backfill, oldest first — the
-        # first 27 of the 37 entries whose last driver-green row is
-        # r05 (registry order). The remaining 10 (stratified_split,
-        # temperature_resample, tokens, top_orders_per_cust,
-        # top_revenue, top_terms, line_dedup, bloom_decontaminate,
-        # dsir_weights, embedding_lsh) slip to the r10 window.
+        # -- slot 24: survival_conversion — round-9 Kaplan-Meier
+        # time-to-event curve (oracle-backed); never-attested-first.
+        "survival_conversion": _q_survival_conversion,
+        # -- slots 25-50: re-attestation backfill, oldest first — the
+        # first 26 of the 37 entries whose last driver-green row is
+        # r05 (registry order). The remaining 11 (simhash_pairs,
+        # stratified_split, temperature_resample, tokens,
+        # top_orders_per_cust, top_revenue, top_terms, line_dedup,
+        # bloom_decontaminate, dsir_weights, embedding_lsh) slip to
+        # the r10 window.
         "flesch_reading": _q_flesch_reading,
         "zscore_anomalies": _q_zscore_anomalies,
         "zipf_fit": _q_zipf_fit,
@@ -4841,23 +4882,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
         # r10 window plan (pinned per the standing invariants: oldest
         # attestation first; recompute from CORRECTNESS_r01-r09 once
-        # r9 lands): after the 12 anchors, slots 13-22 take the 10
-        # r05-green leftovers below (stratified_split ..
-        # embedding_lsh, 4 rounds stale by r10 — the oldest
-        # attestations left), then slots 23-50 take the first 28 of
-        # the 38 r06-green entries (duplicated_spans .. , r6 window
-        # order); the remaining 10 r06 entries plus the r07 block
-        # backfill in r11. Any operator
+        # r9 lands): after the 12 anchors, slots 13-23 take the 11
+        # r05-green leftovers below (simhash_pairs .. embedding_lsh,
+        # 4 rounds stale by r10 — the oldest attestations left), then
+        # slots 24-50 take the first 27 of the 38 r06-green entries
+        # (duplicated_spans .. , r6 window order); the remaining 11
+        # r06 entries plus the r07 block backfill in r11. Any operator
         # newly oracle-registered in r10 goes never-attested-first,
         # displacing the tail.
-        # last green r05 (10 remaining; rotate into r10 FIRST):
+        # last green r05 (11 remaining; rotate into r10 FIRST):
+        "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
         "tokens": _q_tokens,
@@ -6023,6 +6063,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, NULL, NULL, NULL, NULL, round(sum(contrib), 6)
             FROM d
+        """,
+        "survival_conversion": """
+            WITH su AS (
+                SELECT user_id, min(ts) AS signup_ts
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+            pu AS (
+                SELECT e.user_id, min(e.ts) AS first_purchase
+                FROM events e JOIN su ON e.user_id = su.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+                GROUP BY 1),
+            mx AS (SELECT max(ts) AS max_ts FROM events),
+            base AS (
+                SELECT date_diff('day',
+                           CAST(su.signup_ts AS DATE),
+                           CAST(COALESCE(pu.first_purchase, mx.max_ts)
+                                AS DATE)) AS t,
+                       CASE WHEN pu.first_purchase IS NOT NULL
+                            THEN 1.0 ELSE 0.0 END AS e
+                FROM su LEFT JOIN pu ON su.user_id = pu.user_id, mx),
+            agg AS (
+                SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                       CAST(sum(1.0 - e) AS BIGINT) AS censored
+                FROM base GROUP BY 1),
+            r AS (
+                SELECT *,
+                       CAST(sum(d + censored) OVER ()
+                            - COALESCE(sum(d + censored) OVER (
+                                  ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT)
+                           AS n_risk
+                FROM agg),
+            s AS (
+                SELECT *,
+                       sum(ln(NULLIF(1.0 - CAST(d AS DOUBLE) / n_risk,
+                                     0.0)))
+                           OVER (ORDER BY t) AS cum_ln,
+                       max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY t) AS dead
+                FROM r)
+            SELECT t, n_risk, d, censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE round(exp(COALESCE(cum_ln, 0.0)), 6)
+                   END AS survival
+            FROM s
+            ORDER BY t
         """,
         "seasonal_hours": """
             WITH hourly AS (

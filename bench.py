@@ -460,9 +460,10 @@ def main() -> None:
                  # quality_classifier 4.4s — 20 gradient jobs)
                  "theta_users", "assoc_brands", "attribution",
                  "quality_classifier",
-                 # edit_dist_names 1.0s, seasonal_hours 0.7s (sf0.1
-                 # min-of-2)
-                 "edit_dist_names", "seasonal_hours"):
+                 # edit_dist_names 1.0s, seasonal_hours 0.7s,
+                 # survival_conversion 1.6s (sf0.1 min-of-2)
+                 "edit_dist_names", "seasonal_hours",
+                 "survival_conversion"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2081,3 +2081,75 @@ def seasonal_anomalies(
             "anomaly"
         ),
     )
+
+
+def survival_curve(
+    df: "DataFrame",
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Kaplan-Meier survival estimator over right-censored durations —
+    the time-to-event summary (signup→conversion, install→churn) that
+    a plain average of durations gets WRONG whenever observation
+    windows truncate: censored subjects (``event_col`` = 0) leave the
+    risk set at their duration without counting as events, exactly the
+    KM product-limit treatment (Kaplan & Meier 1958).
+
+    Input: one row per subject — ``duration_col`` (time observed) and
+    ``event_col`` (1 = event occurred at that time, 0 = censored
+    there). Optional ``group_cols`` produce one curve per group.
+
+    Output, one row per distinct duration (per group): ``t``,
+    ``n_risk`` (subjects with duration >= t), ``d`` (events at t),
+    ``censored`` (censorings at t), ``survival`` = Π_{t_i <= t}
+    (1 - d_i/n_i), 6dp; exactly 0 from the first time the risk set is
+    wiped out.
+
+    Plan: one keyed agg to the distinct-duration grain (the only
+    data-sized exchange), then cumulative windows over that
+    curve-sized frame: cumulative removals give n_risk, the product
+    runs as exp(Σ ln) with NULLIF guarding the wipe-out row and a
+    cumulative dead-flag pinning survival to zero after it. Nothing
+    row-sized shuffles twice; the per-group window frame is
+    curve-sized, not subject-sized.
+    """
+    g = list(group_cols or [])
+    ev = F.col(event_col).cast("double")
+    agg = df.groupBy(
+        *g, F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(ev).cast("bigint").alias("d"),
+        F.sum(1 - ev).cast("bigint").alias("censored"),
+    )
+    if g:
+        w_all = Window.partitionBy(*g)
+        w_cum = Window.partitionBy(*g).orderBy("t")
+    else:
+        w_all = Window.partitionBy(F.lit(1))
+        w_cum = Window.partitionBy(F.lit(1)).orderBy("t")
+    removed = F.col("d") + F.col("censored")
+    total = F.sum(removed).over(w_all)
+    before = F.coalesce(
+        F.sum(removed).over(
+            w_cum.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    n_risk = (total - before).cast("bigint")
+    x = agg.withColumn("n_risk", n_risk)
+    lnterm = F.log(
+        F.nullif(
+            F.lit(1.0) - F.col("d") / F.col("n_risk"), F.lit(0.0)
+        )
+    )
+    cum_ln = F.sum(lnterm).over(w_cum)
+    dead = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.coalesce(cum_ln, F.lit(0.0))), 6)
+    )
+    return x.select(
+        *g, "t", "n_risk", "d", "censored", surv.alias("survival")
+    )

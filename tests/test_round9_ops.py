@@ -548,3 +548,53 @@ class TestSeasonalAnomalies:
             r = out[base + dt.timedelta(weeks=i)]
             assert r["z"] == round((v - m) / s, 6)
             assert r["expected"] == round(m, 6)
+
+
+class TestSurvivalCurve:
+    """Kaplan-Meier against the textbook worked example and a
+    lifelines-style hand computation."""
+
+    def test_textbook_km(self, spark):
+        """Durations 1,2+,3,4+,5 (+'= censored): S(1)=4/5, S(3)=4/5 *
+        2/3, S(5)=0 (last subject dies when alone at risk)."""
+        from indexlab_spark.operators.analytics import survival_curve
+
+        rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+        df = spark.createDataFrame(rows, "t int, e int")
+        out = {r["t"]: r for r in survival_curve(df, "t", "e").collect()}
+        assert out[1]["n_risk"] == 5 and out[1]["d"] == 1
+        assert out[1]["survival"] == round(4 / 5, 6)
+        assert out[2]["survival"] == round(4 / 5, 6)  # censoring: no drop
+        assert out[2]["censored"] == 1
+        assert out[3]["n_risk"] == 3
+        assert out[3]["survival"] == round(4 / 5 * 2 / 3, 6)
+        assert out[5]["n_risk"] == 1 and out[5]["survival"] == 0.0
+
+    def test_no_censoring_matches_empirical(self, spark):
+        """Without censoring KM is the empirical survival function."""
+        from indexlab_spark.operators.analytics import survival_curve
+
+        durs = [1, 1, 2, 3, 3, 3, 7]
+        df = spark.createDataFrame([(t, 1) for t in durs], "t int, e int")
+        out = {r["t"]: r["survival"] for r in
+               survival_curve(df, "t", "e").collect()}
+        n = len(durs)
+        import collections
+
+        c = collections.Counter(durs)
+        seen = 0
+        for t in sorted(c):
+            seen += c[t]
+            assert out[t] == round((n - seen) / n, 6)
+
+    def test_grouped_curves_independent(self, spark):
+        from indexlab_spark.operators.analytics import survival_curve
+
+        rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 0), ("b", 5, 1)]
+        df = spark.createDataFrame(rows, "g string, t int, e int")
+        out = {(r["g"], r["t"]): r for r in
+               survival_curve(df, "t", "e", ["g"]).collect()}
+        assert out[("a", 1)]["survival"] == 0.5
+        assert out[("a", 2)]["survival"] == 0.0
+        assert out[("b", 1)]["survival"] == 1.0  # censored only
+        assert out[("b", 5)]["survival"] == 0.0
