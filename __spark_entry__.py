@@ -4112,6 +4112,63 @@ def _q_edit_dist_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_holt_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast (analytics.holt_forecast, double
+    exponential smoothing): 7-day-ahead revenue per event type from
+    the daily pre-aggregate — the forward-looking member of the
+    timeseries family (seasonal_hours profiles the calendar,
+    cusum_revenue locates the shift onset, this extrapolates). The
+    coupled (level, trend) recurrence is a linear fold no window sum
+    expresses; the engine runs it as one Arrow per-group pass over the
+    calendar-bounded series, and the oracle walks the IDENTICAL
+    recursion as a DuckDB recursive CTE (the cusum_revenue
+    discipline), so the hash match attests the fold itself."""
+    from indexlab_spark.operators.analytics import holt_forecast
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return holt_forecast(
+        daily, ["event_type"], "day", "revenue",
+        alpha=0.5, beta=0.3, horizon=7,
+    )
+
+
+def _q_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph link prediction (dedup.link_prediction, Liben-Nowell &
+    Kleinberg 2003): which part pairs are MISSING from the
+    repeat-co-purchase graph — common-neighbor count, Adamic-Adar, and
+    neighborhood Jaccard for every non-adjacent pair sharing >= 2
+    neighbors, on the same support>=2 graph part_kcore peels. The
+    census says how clustered, the k-core says how dense; this ranks
+    the un-drawn edges — the "customers also bought" candidate set.
+    Wedge generation is one center-keyed self-join (Σ deg² bounded by
+    the support cut), one keyed agg, one anti-join; the oracle
+    replays it relationally."""
+    from indexlab_spark.operators.dedup import link_prediction
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .drop("cnt")
+    )
+    return link_prediction(edges, min_common=2)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5049,6 +5106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
         "quality_classifier": _q_quality_classifier,
+        # -- round-9 post-window additions (oracle-backed, never
+        # attested; per the standing invariant these go FIRST in the
+        # r10 window, before the 11 r05-green leftovers):
+        "holt_revenue": _q_holt_revenue,
+        "link_parts": _q_link_parts,
     }
 
 
@@ -8425,5 +8487,104 @@ def oracle_sql() -> dict[str, str]:
                 round(quantile_cont(CASE WHEN conv THEN lag_sec END,
                                     0.9), 6) AS p90_lag_sec
             FROM l
+        """,
+        # Holt's coupled (level, trend) fold is a linear recursion like
+        # the CUSUM reset fold: the oracle walks the IDENTICAL
+        # recurrence (same operand association, so IEEE doubles agree
+        # bit-for-bit) as a recursive CTE anchored at rn=1 with the
+        # classic init l1 = x1, b1 = x2 - x1 (lead() at the anchor).
+        "holt_revenue": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       round(sum(value), 6) AS revenue
+                FROM events GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT event_type, revenue,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day, revenue) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       lead(revenue) OVER (PARTITION BY event_type
+                                           ORDER BY day, revenue) AS nxt
+                FROM daily
+            ),
+            rec AS (
+                SELECT event_type, rn, n,
+                       CAST(revenue AS DOUBLE) AS lvl,
+                       CAST(coalesce(nxt - revenue, 0) AS DOUBLE) AS trd,
+                       CAST(0 AS DOUBLE) AS sse
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.event_type, b.rn, b.n,
+                       0.5 * b.revenue + (1 - 0.5) * (r.lvl + r.trd),
+                       0.3 * ((0.5 * b.revenue
+                               + (1 - 0.5) * (r.lvl + r.trd)) - r.lvl)
+                           + (1 - 0.3) * r.trd,
+                       r.sse + (b.revenue - (r.lvl + r.trd))
+                             * (b.revenue - (r.lvl + r.trd))
+                FROM rec r
+                JOIN base b ON b.event_type = r.event_type
+                           AND b.rn = r.rn + 1
+            ),
+            fin AS (SELECT * FROM rec WHERE rn = n)
+            SELECT f.event_type, CAST(h.h AS INTEGER) AS h,
+                   round(f.lvl + h.h * f.trd, 6) AS forecast,
+                   round(f.lvl, 6) AS level,
+                   round(f.trd, 6) AS trend,
+                   f.n AS n_obs,
+                   round(f.sse, 6) AS sse
+            FROM fin f
+            CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
+        """,
+        # Link prediction replayed relationally: wedge self-join on the
+        # center, >= 2 common neighbors, anti-join the edge set; the
+        # Adamic-Adar 1/ln(deg) terms and the neighborhood-Jaccard
+        # denominator use the same double arithmetic as the engine.
+        "link_parts": """
+            WITH co AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            und AS (
+                SELECT pa AS w, pb AS u FROM co
+                UNION ALL
+                SELECT pb, pa FROM co
+            ),
+            deg AS (SELECT w, count(*) AS deg FROM und GROUP BY 1),
+            cen AS (
+                SELECT u.w, u.u, d.deg
+                FROM und u JOIN deg d USING (w)
+            ),
+            pairs AS (
+                SELECT c1.u AS pa, c2.u AS pb,
+                       count(*) AS common_neighbors,
+                       sum(1.0 / ln(CAST(c1.deg AS DOUBLE)))
+                           AS adamic_adar
+                FROM cen c1
+                JOIN cen c2 ON c1.w = c2.w AND c1.u < c2.u
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            nonadj AS (
+                SELECT p.* FROM pairs p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM co e
+                    WHERE e.pa = p.pa AND e.pb = p.pb
+                )
+            )
+            SELECT n.pa AS id_a, n.pb AS id_b, n.common_neighbors,
+                   round(n.adamic_adar, 6) AS adamic_adar,
+                   round(n.common_neighbors
+                         / CAST(da.deg + db.deg - n.common_neighbors
+                                AS DOUBLE), 6) AS jaccard
+            FROM nonadj n
+            JOIN deg da ON da.w = n.pa
+            JOIN deg db ON db.w = n.pb
         """,
     }

@@ -463,7 +463,12 @@ def main() -> None:
                  # edit_dist_names 1.0s, seasonal_hours 0.7s,
                  # survival_conversion 1.6s (sf0.1 min-of-2)
                  "edit_dist_names", "seasonal_hours",
-                 "survival_conversion"):
+                 "survival_conversion",
+                 # holt_revenue 0.7s; link_parts 3.2s — dominated by
+                 # the lineitem co-purchase self-join (the support>=2
+                 # graph is near-empty at sf0.1, so the wedge stage is
+                 # cheap; the gate at sf0.01 exercises the full path)
+                 "holt_revenue", "link_parts"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2153,3 +2153,95 @@ def survival_curve(
     return x.select(
         *g, "t", "n_risk", "d", "censored", surv.alias("survival")
     )
+
+
+def holt_forecast(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> "DataFrame":
+    """Holt linear-trend forecast per segment (double exponential
+    smoothing, Holt 1957, public) — the forward-looking member of the
+    timeseries family: seasonal_anomalies profiles the calendar shape,
+    cusum_changepoints locates the level shift, and this extrapolates
+    the level + trend ``horizon`` steps ahead.
+
+    Per group, over the ORDERED series x_1..x_n (classic init:
+    l_1 = x_1, b_1 = x_2 - x_1, or 0 when n == 1):
+
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    with the one-step-ahead fit yhat_t = l_{t-1} + b_{t-1} and
+    h-step forecast l_n + h * b_n.
+
+    The coupled (l, b) recurrence is a linear fold no window sum can
+    express; like ``cusum_changepoints`` it runs as ONE Arrow
+    per-group pass (applyInPandas) — appropriate because the input is
+    a pre-aggregated series (daily revenue, hourly counts) whose
+    per-group length is calendar-bounded, not data-volume-bounded.
+    One keyed exchange total; output is horizon-sized per group, never
+    series-sized. Ties on ``order_col`` break by value then position
+    (mergesort), the CUSUM determinism discipline.
+
+    Output: one row per group per step h in 1..horizon —
+    group_cols + h + forecast + level + trend + n_obs + sse (sum of
+    squared one-step-ahead errors over t >= 2; model-fit quality),
+    all doubles rounded 6dp.
+    """
+    import pandas as pd
+
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    out_fields = ", ".join(
+        f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "_val"], kind="mergesort")
+        xs = [float(v) for v in pdf["_val"]]
+        n = len(xs)
+        lvl = xs[0]
+        trd = (xs[1] - xs[0]) if n > 1 else 0.0
+        sse = 0.0
+        for x in xs[1:]:
+            yhat = lvl + trd
+            err = x - yhat
+            sse += err * err
+            lvl_new = alpha * x + (1 - alpha) * (lvl + trd)
+            trd = beta * (lvl_new - lvl) + (1 - beta) * trd
+            lvl = lvl_new
+        rows = []
+        head = [pdf[c].iloc[0] for c in group_cols]
+        for h in range(1, horizon + 1):
+            rows.append(
+                head
+                + [
+                    h,
+                    round(lvl + h * trd, 6),
+                    round(lvl, 6),
+                    round(trd, 6),
+                    n,
+                    round(sse, 6),
+                ]
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[*group_cols, "h", "forecast", "level", "trend",
+                     "n_obs", "sse"],
+        )
+
+    return base.groupBy(*group_cols).applyInPandas(
+        fn,
+        schema=(
+            f"{out_fields}, h int, forecast double, level double, "
+            "trend double, n_obs bigint, sse double"
+        ),
+    )

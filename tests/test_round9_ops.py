@@ -598,3 +598,127 @@ class TestSurvivalCurve:
         assert out[("a", 2)]["survival"] == 0.0
         assert out[("b", 1)]["survival"] == 1.0  # censored only
         assert out[("b", 5)]["survival"] == 0.0
+
+
+class TestHoltForecast:
+    """Holt linear-trend forecast (analytics.holt_forecast): closed
+    forms on constant/linear series, exact pure-python parity on a
+    noisy one, and the degenerate n == 1 contract."""
+
+    def _run(self, spark, series, **kw):
+        from indexlab_spark.operators.analytics import holt_forecast
+
+        rows = [("g", i, float(v)) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        return holt_forecast(df, ["g"], "t", "x", **kw).collect()
+
+    def test_constant_series_is_fixed_point(self, spark):
+        out = self._run(spark, [5.0] * 10, horizon=3)
+        assert len(out) == 3
+        for r in out:
+            assert r["level"] == 5.0 and r["trend"] == 0.0
+            assert r["forecast"] == 5.0 and r["sse"] == 0.0
+            assert r["n_obs"] == 10
+
+    def test_linear_series_extrapolates_exactly(self, spark):
+        """x_t = 2 + 3t: classic init (b1 = x2 - x1) makes every
+        one-step error zero, so level tracks x_n, trend stays 3, and
+        the h-step forecast is the true line continuation."""
+        xs = [2.0 + 3.0 * t for t in range(8)]
+        out = sorted(self._run(spark, xs, horizon=4), key=lambda r: r["h"])
+        for r in out:
+            assert r["trend"] == 3.0 and r["sse"] == 0.0
+            assert r["level"] == xs[-1]
+            assert r["forecast"] == xs[-1] + 3.0 * r["h"]
+
+    def test_python_parity_noisy_series(self, spark):
+        alpha, beta = 0.4, 0.2
+        xs = [float(((7 * i * i + 3 * i) % 23) - 5) for i in range(20)]
+        lvl, trd, sse = xs[0], xs[1] - xs[0], 0.0
+        for x in xs[1:]:
+            err = x - (lvl + trd)
+            sse += err * err
+            new = alpha * x + (1 - alpha) * (lvl + trd)
+            trd = beta * (new - lvl) + (1 - beta) * trd
+            lvl = new
+        out = sorted(
+            self._run(spark, xs, alpha=alpha, beta=beta, horizon=2),
+            key=lambda r: r["h"],
+        )
+        assert out[0]["level"] == round(lvl, 6)
+        assert out[0]["trend"] == round(trd, 6)
+        assert out[0]["sse"] == round(sse, 6)
+        assert out[1]["forecast"] == round(lvl + 2 * trd, 6)
+
+    def test_single_point_group(self, spark):
+        out = self._run(spark, [7.5], horizon=2)
+        for r in out:
+            assert r["level"] == 7.5 and r["trend"] == 0.0
+            assert r["forecast"] == 7.5 and r["n_obs"] == 1
+
+    def test_groups_independent(self, spark):
+        from indexlab_spark.operators.analytics import holt_forecast
+
+        rows = [("a", i, float(i)) for i in range(5)] + [
+            ("b", i, 10.0) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        out = {
+            (r["g"], r["h"]): r
+            for r in holt_forecast(df, ["g"], "t", "x", horizon=1).collect()
+        }
+        assert out[("a", 1)]["forecast"] == 5.0  # line continues
+        assert out[("b", 1)]["forecast"] == 10.0
+
+
+class TestLinkPrediction:
+    """Neighborhood link prediction (dedup.link_prediction):
+    hand-computed scores, adjacency exclusion, hub cap, multigraph
+    collapse."""
+
+    def _run(self, spark, edges, **kw):
+        from indexlab_spark.operators.dedup import link_prediction
+
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        return {
+            (r["id_a"], r["id_b"]): r
+            for r in link_prediction(df, **kw).collect()
+        }
+
+    def test_square_scores(self, spark):
+        import math
+
+        out = self._run(
+            spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+        )
+        assert set(out) == {("a", "c"), ("b", "d")}
+        r = out[("a", "c")]
+        assert r["common_neighbors"] == 2
+        assert r["adamic_adar"] == round(2.0 / math.log(2.0), 6)
+        assert r["jaccard"] == 1.0  # N(a) == N(c) == {b, d}
+
+    def test_existing_edges_excluded(self, spark):
+        # triangle a-b-c plus pendant c-d: (a,b) share c but are
+        # adjacent -> excluded; (a,d)/(b,d) share c -> predicted
+        out = self._run(
+            spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        )
+        assert set(out) == {("a", "d"), ("b", "d")}
+        assert out[("a", "d")]["common_neighbors"] == 1
+        # deg(a)=2, deg(d)=1, common=1 -> jaccard 1/2
+        assert out[("a", "d")]["jaccard"] == 0.5
+
+    def test_hub_cap_drops_star_center(self, spark):
+        star = [("s", f"l{i}") for i in range(6)]
+        assert len(self._run(spark, star)) == 15  # all leaf pairs via s
+        assert self._run(spark, star, max_hub_degree=5) == {}
+
+    def test_multigraph_and_reversed_edges_collapse(self, spark):
+        base = [("a", "b"), ("b", "c")]
+        noisy = base + [("b", "a"), ("a", "b"), ("c", "b"), ("a", "a")]
+        assert self._run(spark, noisy) == self._run(spark, base)
+
+    def test_min_common_filters(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+        out = self._run(spark, edges, min_common=3)
+        assert out == {}
