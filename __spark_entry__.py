@@ -4169,6 +4169,42 @@ def _q_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(edges, min_common=2)
 
 
+def _q_isotonic_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration map (curation.isotonic_calibrate, PAV /
+    Zadrozny & Elkan 2002): does event value PREDICT purchase, as a
+    probability — the monotone reliability curve a raw score needs
+    before "keep if P > t" thresholding (the deployment companion to
+    quality_classifier). The corpus reduces to 10 exact-quantile bins
+    with integer (count, positives) in ONE map-combined agg; the fit
+    uses the minimax characterization max_j min_k of the block rate —
+    integer prefix sums, one double division — which the oracle
+    replays relationally, so the hash attests the isotonic fit
+    itself (PAV ≡ minimax is separately pinned in tests)."""
+    from indexlab_spark.operators.curation import isotonic_calibrate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return isotonic_calibrate(base, "value", "label", n_bins=10)
+
+
+def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public k-means clustering (knn.kmeans_summary): the natural
+    group structure of the embedding corpus — per-cluster size,
+    inertia, centroid norm — from the same sample-trained seeded
+    Lloyd + one-Arrow-pass assignment the IVF build uses for cell
+    routing. Rows-only: the fit is deterministic given the seed, but
+    a float32 Lloyd + float-sum inertia is not SQL-replayable;
+    cluster recovery / inertia parity / determinism are pinned in
+    tests instead."""
+    from indexlab_spark.operators.knn import kmeans_summary
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kmeans_summary(emb, "embedding", k=8)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5111,6 +5147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window, before the 11 r05-green leftovers):
         "holt_revenue": _q_holt_revenue,
         "link_parts": _q_link_parts,
+        "isotonic_value": _q_isotonic_value,
+        "embedding_kmeans": _q_embedding_kmeans,  # rows-only
     }
 
 
@@ -8586,5 +8624,64 @@ def oracle_sql() -> dict[str, str]:
             FROM nonadj n
             JOIN deg da ON da.w = n.pa
             JOIN deg db ON db.w = n.pb
+        """,
+        # Isotonic fit replayed via the minimax characterization
+        # fitted[i] = max_{j<=i} min_{k>=i} (CS[k]-CS[j])/(CN[k]-CN[j])
+        # over integer bin prefix sums — every operand integral until
+        # ONE double division, so the engines agree bit-for-bit.
+        "isotonic_value": """
+            WITH base AS (
+                SELECT value AS sc,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            ed AS (
+                SELECT quantile_cont(sc, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                          0.6, 0.7, 0.8, 0.9]) AS e
+                FROM base
+            ),
+            binned AS (
+                SELECT CAST(len(list_filter(ed.e, x -> b.sc > x))
+                            AS INTEGER) AS bin,
+                       b.sc, b.y
+                FROM base b CROSS JOIN ed
+            ),
+            aggb AS (
+                SELECT bin, count(*) AS n, sum(y) AS pos,
+                       avg(sc) AS ms
+                FROM binned GROUP BY 1
+            ),
+            cum AS (
+                SELECT bin, n, pos, ms,
+                       sum(n) OVER (ORDER BY bin) AS cn,
+                       sum(pos) OVER (ORDER BY bin) AS cs,
+                       row_number() OVER (ORDER BY bin) AS idx
+                FROM aggb
+            ),
+            starts AS (
+                SELECT idx, cn, cs FROM cum
+                UNION ALL SELECT 0, 0, 0
+            ),
+            mins AS (
+                SELECT i.idx AS idx, j.idx AS jdx,
+                       min((k.cs - j.cs)
+                           / CAST(k.cn - j.cn AS DOUBLE)) AS mn
+                FROM cum i
+                JOIN starts j ON j.idx < i.idx
+                JOIN cum k ON k.idx >= i.idx
+                GROUP BY 1, 2
+            ),
+            fit AS (SELECT idx, max(mn) AS calibrated FROM mins
+                    GROUP BY 1)
+            SELECT c.bin,
+                   CASE WHEN c.bin > 0 THEN ed.e[c.bin] END AS lo,
+                   CASE WHEN c.bin < 9 THEN ed.e[c.bin + 1] END AS hi,
+                   c.n, CAST(c.pos AS BIGINT) AS positives,
+                   round(c.pos / CAST(c.n AS DOUBLE), 6) AS raw_rate,
+                   round(f.calibrated, 6) AS calibrated,
+                   round(c.ms, 6) AS mean_score
+            FROM cum c JOIN fit f USING (idx) CROSS JOIN ed
         """,
     }

@@ -467,8 +467,10 @@ def main() -> None:
                  # holt_revenue 0.7s; link_parts 3.2s — dominated by
                  # the lineitem co-purchase self-join (the support>=2
                  # graph is near-empty at sf0.1, so the wedge stage is
-                 # cheap; the gate at sf0.01 exercises the full path)
-                 "holt_revenue", "link_parts"):
+                 # cheap; the gate at sf0.01 exercises the full path);
+                 # isotonic_value 1.2s; embedding_kmeans 1.5s
+                 "holt_revenue", "link_parts", "isotonic_value",
+                 "embedding_kmeans"):
         fn = entry_mod.queries()[name]
         reps = (
             2

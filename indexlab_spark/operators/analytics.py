@@ -535,32 +535,61 @@ def psi_drift(
             "bucket edges to compare against"
         )
     edges = [float(x) for x in edges_row["e"]]
+    return _psi_table(
+        old.sparkSession,
+        edges,
+        _psi_props(psi_bucket_counts(old, value_col, edges), "p_old"),
+        _psi_props(psi_bucket_counts(new, value_col, edges), "p_new"),
+        n_buckets,
+        eps,
+    )
 
-    def bucket_expr(col):
-        b = F.lit(0)
-        for i, e in enumerate(edges):
-            b = F.when(F.col(col) > F.lit(e), F.lit(i + 1)).otherwise(b)
-        return b
 
-    def props(df, name):
-        counts = (
-            df.select(bucket_expr(value_col).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-        )
-        total = counts.agg(F.sum("_n").alias("_t"))
-        # broadcast 1-row total instead of an unpartitioned window —
-        # same bounded math, no WindowExec single-partition warning
-        return counts.crossJoin(F.broadcast(total)).select(
-            "bucket", (F.col("_n") / F.col("_t")).alias(name)
-        )
+def psi_bucket_counts(
+    df: "DataFrame", value_col: str, edges: list[float]
+) -> "DataFrame":
+    """PSI's binning step alone — (bucket, _n) counts against FIXED
+    edges, one map-side-combined agg. Shared by :func:`psi_drift`
+    (edges from the old snapshot) and the streaming PSI monitor
+    (frozen reference edges, counts are LINEAR so per-batch partitions
+    sum). Bucket = number of edges strictly below the value; NULLs
+    land in bucket 0 (the psi_drift contract)."""
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col(value_col) > F.lit(e), F.lit(i + 1)).otherwise(b)
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
 
-    base = old.sparkSession.range(n_buckets).select(
+
+def _psi_props(counts: "DataFrame", name: str) -> "DataFrame":
+    """Bucket counts -> proportions; broadcast 1-row total instead of
+    an unpartitioned window — same bounded math, no WindowExec
+    single-partition warning."""
+    total = counts.agg(F.sum("_n").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket", (F.col("_n") / F.col("_t")).alias(name)
+    )
+
+
+def _psi_table(
+    spark,
+    edges: list[float],
+    p_old_df: "DataFrame",
+    p_new_df: "DataFrame",
+    n_buckets: int,
+    eps: float,
+) -> "DataFrame":
+    """PSI detail + total from two proportion frames (shared tail of
+    psi_drift and the streaming monitor's totals read)."""
+    base = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
     j = (
-        base.join(props(old, "p_old"), "bucket", "left")
-        .join(props(new, "p_new"), "bucket", "left")
+        base.join(p_old_df, "bucket", "left")
+        .join(p_new_df, "bucket", "left")
         .na.fill({"p_old": 0.0, "p_new": 0.0})
     )
     po = F.greatest(F.col("p_old"), F.lit(eps))
@@ -591,6 +620,40 @@ def psi_drift(
         "contrib",
     )
     return detail.unionByName(total)
+
+
+def psi_reference(
+    df: "DataFrame", value_col: str, n_buckets: int = 10
+) -> dict:
+    """Freeze a PSI baseline from a reference snapshot: exact-quantile
+    ``edges`` plus integer per-bucket ``counts`` (and their total) —
+    the driver-sized contract the streaming PSI monitor carries so
+    every micro-batch bins against the SAME frozen reference the
+    alerts are defined on. Integer counts (not proportions) so the
+    totals read rebuilds p_old with the identical division psi_drift
+    performs."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    if edges_row is None or edges_row["e"] is None:
+        raise ValueError(
+            "psi_reference: no non-null values in the reference snapshot"
+        )
+    edges = [float(x) for x in edges_row["e"]]
+    counts = {
+        int(r["bucket"]): int(r["_n"])
+        for r in psi_bucket_counts(df, value_col, edges).collect()
+    }
+    return {
+        "edges": edges,
+        "counts": [counts.get(i, 0) for i in range(n_buckets)],
+        "n_buckets": n_buckets,
+    }
 
 
 def quantile_sketch_rollup(

@@ -1156,3 +1156,111 @@ def score_quality_classifier(
     )
     z = dot + F.lit(model.bias)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (PAV) calibration map for a binary-outcome score — the
+    deployment companion to :func:`train_quality_classifier`: a raw
+    model score ranks documents but its VALUE is not a probability;
+    this fits the monotone step function mapping score -> empirical
+    outcome rate (Zadrozny & Elkan 2002, public), the standard
+    reliability fix before thresholding on "keep if P(good) > 0.9".
+
+    Distributed shape: the corpus is reduced to ``n_bins``
+    exact-score-quantile bins (edges from one ``percentile`` agg —
+    driver literals, the psi_drift discipline) by ONE map-combined
+    agg producing integer (count, positives) per bin; everything
+    after runs on that contract-bounded bin frame (<= n_bins rows to
+    the driver — bounded like the CM params probe, never row-sized).
+
+    The isotonic fit itself uses the exact minimax characterization
+    fitted[i] = max_{j<=i} min_{k>=i} (S[k..j]) / (N[k..j]) over the
+    bins' integer prefix sums — mathematically identical to PAV
+    pooling (pinned in tests) and, because every operand is an
+    integer until one double division, bit-reproducible by any
+    engine that replays the formula (the oracle does, relationally).
+
+    Labels must be 0/1 (NULL score/label rows are excluded). Output:
+    one row per NON-EMPTY bin — bin, lo, hi (NULL at the open ends),
+    n, positives, raw_rate, calibrated (monotone non-decreasing),
+    mean_score; rates 6dp.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = base.agg(
+        F.expr(
+            f"percentile(_s, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    if edges_row is None or edges_row["e"] is None:
+        raise ValueError("isotonic_calibrate: no non-null rows")
+    edges = [float(x) for x in edges_row["e"]]
+
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col("_s") > F.lit(e), F.lit(i + 1)).otherwise(b)
+    binned = (
+        base.select(b.alias("bin"), "_s", "_y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("positives"),
+            F.avg("_s").alias("mean_score"),
+        )
+    )
+    rows = sorted(binned.collect(), key=lambda r: r["bin"])  # <= n_bins
+
+    ns = [int(r["n"]) for r in rows]
+    ss = [int(r["positives"]) for r in rows]
+    cn = [0]
+    cs = [0]
+    for n_i, s_i in zip(ns, ss):
+        cn.append(cn[-1] + n_i)
+        cs.append(cs[-1] + s_i)
+    m = len(rows)
+    fitted = []
+    for i in range(m):
+        best = None
+        for j in range(i + 1):  # block start j (prefix index j)
+            worst = None
+            for k in range(i + 1, m + 1):  # block end k (prefix index)
+                v = (cs[k] - cs[j]) / (cn[k] - cn[j])
+                if worst is None or v < worst:
+                    worst = v
+            if best is None or worst > best:
+                best = worst
+        fitted.append(best)
+
+    spark = df.sparkSession
+    out = []
+    for r, cal in zip(rows, fitted):
+        i = int(r["bin"])
+        out.append(
+            (
+                i,
+                edges[i - 1] if i > 0 else None,
+                edges[i] if i < len(edges) else None,
+                int(r["n"]),
+                int(r["positives"]),
+                round(int(r["positives"]) / int(r["n"]), 6),
+                round(cal, 6),
+                round(float(r["mean_score"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "bin int, lo double, hi double, n bigint, positives bigint, "
+        "raw_rate double, calibrated double, mean_score double",
+    )

@@ -1054,3 +1054,73 @@ def knn_graph(
     if mutual:
         edges = edges.filter(F.col("n_directions") == 2)
     return edges
+
+
+def kmeans_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    iters: int = 20,
+    max_points_per_centroid: int = 256,
+) -> DataFrame:
+    """Public k-means clustering over an embedding column — the
+    standalone face of the IVF quantizer (same sample-trained seeded
+    Lloyd + one-pass Arrow assignment as :func:`build_ivf`, which
+    exists for ANN cell routing; this one is for the clustering
+    QUESTIONS a pipeline asks directly: how many natural groups, how
+    tight, how skewed — topic discovery, dedup-cluster sizing,
+    stratified-eval design).
+
+    Plan: the bounded seeded training sample fits Lloyd on the driver
+    (``k * max_points_per_centroid`` cap — FAISS's own training
+    contract), the full corpus gets cluster ids in ONE Arrow pass with
+    the centroid matrix in the UDF closure, and the per-cluster
+    summary is ONE map-combined agg where the squared distance to the
+    assigned centroid is a pure-codegen ``aggregate(zip_with(...))``
+    against the row's centroid (joined from the k-row broadcast
+    centroid frame) — no Python in the distance hot path, nothing
+    row-sized to the driver.
+
+    Output: one row per non-empty cluster — cluster_id, n, inertia
+    (sum of squared L2 distances to the centroid, 6dp),
+    centroid_norm (6dp).
+    """
+    assigned, centroids = build_ivf(
+        df,
+        nlist=k,
+        seed=seed,
+        vec_col=vec_col,
+        max_points_per_centroid=max_points_per_centroid,
+        iters=iters,
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("centroid"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    return (
+        assigned.join(F.broadcast(centroids), "cluster_id")
+        .select(
+            "cluster_id",
+            sq.alias("_sq"),
+            norm.alias("_nm"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_sq"), 6).alias("inertia"),
+            F.round(F.first("_nm"), 6).alias("centroid_norm"),
+        )
+    )

@@ -336,3 +336,92 @@ def theta_monitor_stream(
         )
         .trigger(availableNow=True)
     )
+
+
+def psi_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    value_col: str,
+    ref: dict,
+    query_name: str = "psi_monitor",
+):
+    """Maintain live PSI drift state over a stream — the DISTRIBUTION
+    companion to the quantile/CM/theta monitors: "has the score/length/
+    value distribution drifted off the frozen baseline" answerable at
+    any moment, without storing rows. ``ref`` is the
+    :func:`~indexlab_spark.operators.analytics.psi_reference` contract
+    (frozen quantile edges + integer baseline counts) — every batch
+    bins against the SAME edges the alert thresholds were defined on.
+
+    Replay safety is the CM monitor's, for the same reason: bucket
+    counts are LINEAR (they add), so idempotent-merge tricks don't
+    apply — each micro-batch writes its own ``batch_id=N`` partition
+    of bounded (bucket, _n) rows with dynamic partition overwrite; an
+    at-least-once redelivery overwrites byte-identically instead of
+    double-counting. Readers collapse with :func:`psi_monitor_totals`
+    (one bucket-count-sized sum).
+
+    Steady-state cost per trigger: one map-side-combined bucketed
+    count (exchange bounded by n_buckets rows) + one tiny partition
+    write. State grows one n_buckets-row partition per batch.
+    """
+    from indexlab_spark.operators.analytics import psi_bucket_counts
+
+    edges = [float(x) for x in ref["edges"]]
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = psi_bucket_counts(batch_df, value_col, edges)
+        _write_state(counts, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def psi_monitor_totals(
+    spark: SparkSession,
+    state_path: str,
+    ref: dict,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Collapse the batch-partitioned PSI state into the SAME
+    detail+total table :func:`~indexlab_spark.operators.analytics.
+    psi_drift` produces (bucket, lo, hi, p_old, p_new, contrib; total
+    at bucket = -1): counts sum across batch partitions (linearity),
+    the frozen reference's integer counts rebuild p_old with the
+    identical division, and the shared PSI tail computes the
+    contributions — so drained-stream totals EXACTLY equal the
+    one-shot batch psi_drift over the same data (pinned in tests)."""
+    from indexlab_spark.operators.analytics import (
+        _psi_props,
+        _psi_table,
+    )
+
+    edges = [float(x) for x in ref["edges"]]
+    n_buckets = int(ref["n_buckets"])
+    folded = (
+        spark.read.parquet(state_path)
+        .groupBy("bucket")
+        .agg(F.sum("_n").alias("_n"))
+    )
+    old_counts = spark.createDataFrame(
+        [
+            (i, int(c))
+            for i, c in enumerate(ref["counts"])
+            if int(c) > 0
+        ],
+        "bucket int, _n bigint",
+    )
+    return _psi_table(
+        spark,
+        edges,
+        _psi_props(old_counts, "p_old"),
+        _psi_props(folded, "p_new"),
+        n_buckets,
+        eps,
+    )

@@ -722,3 +722,153 @@ class TestLinkPrediction:
         edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
         out = self._run(spark, edges, min_common=3)
         assert out == {}
+
+
+def _pav(ns, ss):
+    """Textbook pool-adjacent-violators on integer (count, positives)
+    bins — the reference the operator's minimax formula must equal."""
+    blocks = []  # (n, s, span)
+    for n, s in zip(ns, ss):
+        blocks.append([n, s, 1])
+        while len(blocks) >= 2 and (
+            blocks[-1][1] * blocks[-2][0]
+            < blocks[-2][1] * blocks[-1][0]  # exact rate compare
+        ):
+            n2, s2, c2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += s2
+            blocks[-1][2] += c2
+    out = []
+    for n, s, c in blocks:
+        out.extend([s / n] * c)
+    return out
+
+
+class TestIsotonicCalibrate:
+    """Isotonic calibration (curation.isotonic_calibrate): hand-built
+    violation pooling, PAV ≡ minimax equivalence, monotonicity, and
+    the null-exclusion contract."""
+
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.curation import isotonic_calibrate
+
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = isotonic_calibrate(df, "s", "y", **kw).collect()
+        return sorted(out, key=lambda r: r["bin"])
+
+    def test_hand_example_pools_violation(self, spark):
+        # 4 quantile bins of 10 (scores 1..40), raw rates
+        # [0.1, 0.3, 0.2, 0.4]: PAV pools the middle violation -> 0.25
+        rates = {0: 1, 1: 3, 2: 2, 3: 4}
+        rows = []
+        for b in range(4):
+            for i in range(10):
+                rows.append((float(b * 10 + i + 1), int(i < rates[b])))
+        out = self._run(spark, rows, n_bins=4)
+        assert [r["raw_rate"] for r in out] == [0.1, 0.3, 0.2, 0.4]
+        assert [r["calibrated"] for r in out] == [0.1, 0.25, 0.25, 0.4]
+        assert [r["n"] for r in out] == [10] * 4
+
+    def test_already_monotone_is_identity(self, spark):
+        rates = {0: 1, 1: 4, 2: 7}
+        rows = []
+        for b in range(3):
+            for i in range(10):
+                rows.append((float(b * 10 + i), int(i < rates[b])))
+        out = self._run(spark, rows, n_bins=3)
+        assert [r["calibrated"] for r in out] == [0.1, 0.4, 0.7]
+        assert [r["calibrated"] for r in out] == [
+            r["raw_rate"] for r in out
+        ]
+
+    def test_minimax_equals_pav_and_monotone(self, spark):
+        # adversarial pseudo-random labels; the operator's minimax
+        # fit must equal textbook PAV pooling and be non-decreasing
+        rows = [
+            (float(i), int((i * 7 + 3) % 11 < 4)) for i in range(200)
+        ]
+        out = self._run(spark, rows, n_bins=8)
+        ns = [r["n"] for r in out]
+        ss = [r["positives"] for r in out]
+        expect = [round(v, 6) for v in _pav(ns, ss)]
+        got = [r["calibrated"] for r in out]
+        assert got == expect
+        assert got == sorted(got)
+
+    def test_null_rows_excluded(self, spark):
+        rows = [(float(i), i % 2) for i in range(20)]
+        rows += [(None, 1), (5.0, None)]
+        out = self._run(spark, rows, n_bins=2)
+        assert sum(r["n"] for r in out) == 20
+
+    def test_edges_and_counts(self, spark):
+        rows = [(float(i), 0) for i in range(100)]
+        out = self._run(spark, rows, n_bins=4)
+        assert out[0]["lo"] is None and out[-1]["hi"] is None
+        assert all(r["calibrated"] == 0.0 for r in out)
+
+
+class TestKmeansSummary:
+    """Public k-means (knn.kmeans_summary): blob recovery, inertia
+    parity with a local recomputation, and same-input determinism."""
+
+    def _blobs(self, spark, per=30, k=3, dim=8):
+        rows = []
+        for c in range(k):
+            for i in range(per):
+                # tight separated blobs at 10*c with small spread
+                v = [
+                    10.0 * c + 0.01 * ((i * 7 + j * 3) % 5)
+                    for j in range(dim)
+                ]
+                rows.append((c * per + i, v))
+        return spark.createDataFrame(
+            rows, "id int, embedding array<float>"
+        )
+
+    def test_recovers_separated_blobs(self, spark):
+        from indexlab_spark.operators.knn import kmeans_summary
+
+        df = self._blobs(spark)
+        out = kmeans_summary(df, k=3, iters=10).collect()
+        assert sorted(r["n"] for r in out) == [30, 30, 30]
+        # tight blobs: inertia per cluster is tiny vs separation
+        assert all(r["inertia"] < 1.0 for r in out)
+        assert all(r["centroid_norm"] > 0 for r in out)
+
+    def test_inertia_matches_local_recompute(self, spark):
+        import numpy as np
+
+        from indexlab_spark.operators.knn import build_ivf, kmeans_summary
+
+        df = self._blobs(spark, per=20, k=2, dim=4)
+        out = {
+            r["cluster_id"]: r
+            for r in kmeans_summary(df, k=2, iters=5).collect()
+        }
+        assigned, cents = build_ivf(df, nlist=2, iters=5)
+        cmap = {
+            r["cluster_id"]: np.array(r["centroid"])
+            for r in cents.collect()
+        }
+        loc = {}
+        for r in assigned.collect():
+            x = np.array([float(v) for v in r["embedding"]])
+            d = float(((x - cmap[r["cluster_id"]]) ** 2).sum())
+            loc[r["cluster_id"]] = loc.get(r["cluster_id"], 0.0) + d
+        for cid, r in out.items():
+            assert abs(r["inertia"] - loc[cid]) < 1e-6
+
+    def test_deterministic_same_input(self, spark):
+        from indexlab_spark.operators.knn import kmeans_summary
+
+        df = self._blobs(spark)
+        a = sorted(
+            kmeans_summary(df, k=3, iters=10).collect(),
+            key=lambda r: r["cluster_id"],
+        )
+        b = sorted(
+            kmeans_summary(df, k=3, iters=10).collect(),
+            key=lambda r: r["cluster_id"],
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
