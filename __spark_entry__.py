@@ -4205,6 +4205,55 @@ def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(emb, "embedding", k=8)
 
 
+def _q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-decision (dedup.cluster_representatives): the member
+    to KEEP per near-dup cluster — argmax n_chars (keep the most
+    complete copy), smallest doc_id on ties — on the same jaccard>=0.3
+    -> connected-components clusters dedup_clusters labels. That query
+    canonicalizes arbitrarily (min id); this one makes the curation
+    choice real pipelines make. One members⨝scores join + ONE
+    map-combined min_by agg; the oracle replays the argmax with a
+    per-cluster window."""
+    from indexlab_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    scores = docs.select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("score")
+    )
+    return cluster_representatives(cc, scores).select(
+        "cluster",
+        "rep_id",
+        "n_members",
+        F.col("best_score").cast("long").alias("best_score"),
+    )
+
+
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (dedup.cluster_split): 80/10/10 train/val/
+    test where every near-dup cluster lands WHOLE in one split — the
+    md5 bucket hashes the CLUSTER label, not the doc id, so a test
+    document can never have a near-copy in train (the eval-
+    contamination failure mode of row-wise splitting). Same cluster
+    frame as dedup_clusters; the oracle replays the recursive-CTE
+    components + the stratified_split md5 arithmetic on the label."""
+    from indexlab_spark.operators.dedup import (
+        cluster_split,
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    cc = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    return cluster_split(cc).select("id", "cluster", "split")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5149,6 +5198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_parts": _q_link_parts,
         "isotonic_value": _q_isotonic_value,
         "embedding_kmeans": _q_embedding_kmeans,  # rows-only
+        "cluster_reps": _q_cluster_reps,
+        "cluster_split": _q_cluster_split,
     }
 
 
@@ -8683,5 +8734,70 @@ def oracle_sql() -> dict[str, str]:
                    round(f.calibrated, 6) AS calibrated,
                    round(c.ms, 6) AS mean_score
             FROM cum c JOIN fit f USING (idx) CROSS JOIN ed
+        """,
+        # Same recursive-CTE components as dedup_clusters, then the
+        # keep decision: argmax n_chars per cluster (smallest id on
+        # ties) via a window — the operator's min_by(struct) resolved
+        # relationally.
+        "cluster_reps": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM pair_inter i
+                JOIN szs sa ON sa.id = i.id_a
+                JOIN szs sb ON sb.id = i.id_b
+                WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+            cc AS (
+                SELECT doc_id AS node, doc_id AS lbl FROM documents
+                UNION
+                SELECT e.dst AS node, cc.lbl
+                FROM cc JOIN e ON e.src = cc.node),
+            memb AS (SELECT node AS id, min(lbl) AS cluster
+                     FROM cc GROUP BY node),
+            sc AS (
+                SELECT m.cluster, m.id,
+                       CAST(d.n_chars AS DOUBLE) AS score,
+                       row_number() OVER (
+                           PARTITION BY m.cluster
+                           ORDER BY d.n_chars DESC, m.id ASC) AS rn
+                FROM memb m JOIN documents d ON d.doc_id = m.id)
+            SELECT cluster,
+                   max(CASE WHEN rn = 1 THEN id END) AS rep_id,
+                   count(*) AS n_members,
+                   CAST(max(score) AS BIGINT) AS best_score
+            FROM sc GROUP BY cluster
+        """,
+        # Components again, then stratified_split's md5 bucket
+        # arithmetic applied to the CLUSTER label (leakage-safe).
+        "cluster_split": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM pair_inter i
+                JOIN szs sa ON sa.id = i.id_a
+                JOIN szs sb ON sb.id = i.id_b
+                WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+            cc AS (
+                SELECT doc_id AS node, doc_id AS lbl FROM documents
+                UNION
+                SELECT e.dst AS node, cc.lbl
+                FROM cc JOIN e ON e.src = cc.node),
+            memb AS (SELECT node AS id, min(lbl) AS cluster
+                     FROM cc GROUP BY node)
+            SELECT id, cluster,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT id, cluster,
+                         CAST(concat('0x', substr(
+                             md5('split|' || CAST(cluster AS VARCHAR)),
+                             1, 15)) AS BIGINT) % 100 AS b
+                  FROM memb)
         """,
     }

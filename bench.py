@@ -468,7 +468,11 @@ def main() -> None:
                  # the lineitem co-purchase self-join (the support>=2
                  # graph is near-empty at sf0.1, so the wedge stage is
                  # cheap; the gate at sf0.01 exercises the full path);
-                 # isotonic_value 1.2s; embedding_kmeans 1.5s
+                 # isotonic_value 1.2s; embedding_kmeans 1.5s.
+                 # cluster_reps (6.3s) / cluster_split (3.1s) are
+                 # gate-only: both re-run the jaccard_pairs+CC pipeline
+                 # the dedup_clusters bench row already times — their
+                 # marginal work is one agg / one projection
                  "holt_revenue", "link_parts", "isotonic_value",
                  "embedding_kmeans"):
         fn = entry_mod.queries()[name]

@@ -2261,3 +2261,71 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def cluster_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the single member to KEEP per near-dup cluster — the
+    decision step that turns :func:`connected_components` output into a
+    curation action. Min-label canonicalization (``id == cluster``)
+    keeps an ARBITRARY member; real pipelines keep the BEST one (the
+    longest, the highest quality score, the most recent), which is what
+    the representative here is: argmax score, smallest id on ties
+    (deterministic for any score column).
+
+    Distributed shape: members inner-join scores on id (one keyed
+    exchange; members without a score row are excluded — score every
+    candidate or pre-filter), then ONE map-side-combined agg per
+    cluster: ``min_by(id, struct(-score, id))`` resolves the argmax
+    with the tie-break inside the aggregate — no window sort over the
+    corpus, no second pass. Output is cluster-sized, never
+    corpus-sized.
+
+    Output: ``cluster, rep_id, n_members, best_score``.
+    """
+    j = members.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("double").alias("_score"),
+        ),
+        "_id",
+    )
+    ordk = F.struct(
+        (-F.col("_score")).alias("neg_score"), F.col("_id").alias("tb")
+    )
+    return j.groupBy("cluster").agg(
+        F.min_by(F.col("_id"), ordk).alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("_score").alias("best_score"),
+    )
+
+
+def cluster_split(
+    members: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member inherits
+    its CLUSTER's md5 bucket, so near-duplicates can never straddle a
+    split boundary (the eval-contamination failure mode of hashing raw
+    doc ids — a test document whose near-copy sits in train). Delegates
+    the bucket arithmetic to
+    :func:`~indexlab_spark.operators.textstats.stratified_split`
+    applied to the cluster label (single-sourced md5 convention,
+    engine-portable); pure projection over the members frame, no
+    shuffle beyond what produced the clusters.
+    """
+    from indexlab_spark.operators.textstats import stratified_split
+
+    return stratified_split(
+        members, id_col=cluster_col, weights=weights, salt=salt
+    )

@@ -872,3 +872,58 @@ class TestKmeansSummary:
             key=lambda r: r["cluster_id"],
         )
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestClusterRepresentatives:
+    """Dedup keep decision (dedup.cluster_representatives): argmax
+    score per cluster, smallest-id tie-break, missing-score exclusion;
+    and the leakage-safe cluster_split co-assignment contract."""
+
+    def _run(self, spark, members, scores):
+        from indexlab_spark.operators.dedup import cluster_representatives
+
+        m = spark.createDataFrame(members, "id bigint, cluster bigint")
+        s = spark.createDataFrame(scores, "id bigint, score double")
+        out = cluster_representatives(m, s).collect()
+        return {r["cluster"]: r for r in out}
+
+    def test_argmax_with_smallest_id_tiebreak(self, spark):
+        members = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)]
+        scores = [
+            (1, 10.0), (2, 30.0), (3, 30.0),  # tie at 30 -> id 2
+            (4, 5.0), (5, 2.0), (6, 7.0),
+        ]
+        out = self._run(spark, members, scores)
+        assert out[1]["rep_id"] == 2 and out[1]["best_score"] == 30.0
+        assert out[1]["n_members"] == 3
+        assert out[4]["rep_id"] == 4 and out[4]["n_members"] == 2
+        assert out[6]["rep_id"] == 6 and out[6]["n_members"] == 1
+
+    def test_members_without_scores_excluded(self, spark):
+        members = [(1, 1), (2, 1), (3, 3)]
+        scores = [(1, 1.0), (3, 9.0)]  # no score for 2
+        out = self._run(spark, members, scores)
+        assert out[1]["rep_id"] == 1 and out[1]["n_members"] == 1
+        assert out[3]["rep_id"] == 3
+
+    def test_cluster_split_coassigns_and_delegates(self, spark):
+        from indexlab_spark.operators.dedup import cluster_split
+        from indexlab_spark.operators.textstats import stratified_split
+
+        members = [(i, i % 7) for i in range(200)]
+        m = spark.createDataFrame(members, "id bigint, cluster bigint")
+        out = cluster_split(m)
+        # every cluster maps to exactly one split (the leakage contract)
+        per = (
+            out.groupBy("cluster")
+            .agg(F.countDistinct("split").alias("k"))
+            .collect()
+        )
+        assert all(r["k"] == 1 for r in per)
+        # and the bucket arithmetic is stratified_split's, verbatim
+        want = {
+            (r["id"], r["split"])
+            for r in stratified_split(m, id_col="cluster").collect()
+        }
+        got = {(r["id"], r["split"]) for r in out.collect()}
+        assert got == want
