@@ -4254,6 +4254,44 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(cc).select("id", "cluster", "split")
 
 
+def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostic (analytics.acf): r_1..r_7 of the
+    daily revenue series per event_type — the lag-structure question
+    that decides whether holt_revenue's trend model or seasonal_hours'
+    profile is the right forecaster for this stream. One exchange:
+    window mean + all 7 lags in a single ordered window + map-combined
+    per-lag product sums; the oracle replays the identical estimator
+    with SQL window functions."""
+    from indexlab_spark.operators.analytics import acf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return acf(daily, ["event_type"], "day", "revenue", max_lag=7)
+
+
+def _q_theilsen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend (analytics.theilsen_trend, Theil 1950 / Sen 1968):
+    median-of-pairwise-slopes daily-revenue trend per event_type — the
+    outlier-proof companion to segment_trend's OLS (one bad day moves
+    OLS, barely moves this). Pairs come from ONE group-keyed self-join
+    over the calendar-bounded daily frame; exact-percentile medians;
+    the oracle replays pairs + quantile_cont."""
+    from indexlab_spark.operators.analytics import theilsen_trend
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 6).alias("revenue")
+    )
+    base = daily.select(
+        "event_type",
+        F.datediff("d", F.lit("1970-01-01")).alias("x"),
+        F.col("revenue").alias("y"),
+    )
+    return theilsen_trend(base, ["event_type"], "x", "y")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5200,6 +5238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_embedding_kmeans,  # rows-only
         "cluster_reps": _q_cluster_reps,
         "cluster_split": _q_cluster_split,
+        "acf_daily": _q_acf_daily,
+        "theilsen_revenue": _q_theilsen_revenue,
     }
 
 
@@ -8799,5 +8839,77 @@ def oracle_sql() -> dict[str, str]:
                              md5('split|' || CAST(cluster AS VARCHAR)),
                              1, 15)) AS BIGINT) % 100 AS b
                   FROM memb)
+        """,
+        # The standard biased ACF estimator replayed with SQL window
+        # functions: centered series, 7 lags from one ordered window,
+        # per-lag product sums / the full variance sum.
+        "acf_daily": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       round(sum(value), 6) AS revenue
+                FROM events GROUP BY 1, 2),
+            c AS (
+                SELECT event_type, day,
+                       revenue - avg(revenue)
+                           OVER (PARTITION BY event_type) AS xc
+                FROM d),
+            l AS (
+                SELECT event_type, xc,
+                       lag(xc, 1) OVER w AS l1, lag(xc, 2) OVER w AS l2,
+                       lag(xc, 3) OVER w AS l3, lag(xc, 4) OVER w AS l4,
+                       lag(xc, 5) OVER w AS l5, lag(xc, 6) OVER w AS l6,
+                       lag(xc, 7) OVER w AS l7
+                FROM c
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            ag AS (
+                SELECT event_type, count(*) AS n, sum(xc * xc) AS den,
+                       sum(xc * l1) AS n1, sum(xc * l2) AS n2,
+                       sum(xc * l3) AS n3, sum(xc * l4) AS n4,
+                       sum(xc * l5) AS n5, sum(xc * l6) AS n6,
+                       sum(xc * l7) AS n7
+                FROM l GROUP BY 1)
+            SELECT event_type, 1 AS "lag", round(n1 / den, 6) AS autocorr, n FROM ag
+            UNION ALL
+            SELECT event_type, 2, round(n2 / den, 6), n FROM ag
+            UNION ALL
+            SELECT event_type, 3, round(n3 / den, 6), n FROM ag
+            UNION ALL
+            SELECT event_type, 4, round(n4 / den, 6), n FROM ag
+            UNION ALL
+            SELECT event_type, 5, round(n5 / den, 6), n FROM ag
+            UNION ALL
+            SELECT event_type, 6, round(n6 / den, 6), n FROM ag
+            UNION ALL
+            SELECT event_type, 7, round(n7 / den, 6), n FROM ag
+        """,
+        # Theil-Sen replay: pairwise slopes from the same x < x2
+        # group-keyed join, quantile_cont medians (Spark's exact
+        # interpolating percentile), UNROUNDED slope in the residuals.
+        "theilsen_revenue": """
+            WITH d AS (
+                SELECT event_type, CAST(ts AS DATE) AS dd,
+                       round(sum(value), 6) AS y
+                FROM events GROUP BY 1, 2),
+            b AS (
+                SELECT event_type,
+                       CAST(date_diff('day', DATE '1970-01-01', dd)
+                            AS DOUBLE) AS x,
+                       CAST(y AS DOUBLE) AS y
+                FROM d),
+            sl AS (
+                SELECT a.event_type,
+                       quantile_cont((b2.y - a.y) / (b2.x - a.x), 0.5)
+                           AS slope
+                FROM b a
+                JOIN b b2 ON a.event_type = b2.event_type
+                         AND a.x < b2.x
+                GROUP BY 1)
+            SELECT b.event_type, count(*) AS n,
+                   round(any_value(s.slope), 6) AS slope,
+                   round(quantile_cont(b.y - s.slope * b.x, 0.5), 6)
+                       AS intercept
+            FROM b JOIN sl s ON s.event_type = b.event_type
+            GROUP BY b.event_type
         """,
     }

@@ -474,7 +474,10 @@ def main() -> None:
                  # the dedup_clusters bench row already times — their
                  # marginal work is one agg / one projection
                  "holt_revenue", "link_parts", "isotonic_value",
-                 "embedding_kmeans"):
+                 "embedding_kmeans",
+                 # acf_daily 0.9s / theilsen_revenue 0.8s (sf0.1
+                 # min-of-2) — calendar-bounded series ops
+                 "acf_daily", "theilsen_revenue"):
         fn = entry_mod.queries()[name]
         reps = (
             2

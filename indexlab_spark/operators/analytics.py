@@ -2308,3 +2308,134 @@ def holt_forecast(
             "trend double, n_obs bigint, sse double"
         ),
     )
+
+
+def acf(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> "DataFrame":
+    """Per-segment autocorrelation function (Box & Jenkins): r_k for
+    lags 1..max_lag of an ORDERED, PRE-AGGREGATED series — the
+    seasonality/memory diagnostic that tells you WHICH lag structure a
+    forecast (holt_forecast) or anomaly profile (seasonal_anomalies)
+    should model. r_k = sum_{t>k}(x_t - mean)(x_{t-k} - mean) /
+    sum_t (x_t - mean)^2 — the standard biased estimator (numerator
+    over n-k terms, denominator over all n), so r_0 = 1 and
+    |r_k| <= 1.
+
+    Distributed shape: ONE exchange on the group keys serves
+    everything — an unbounded window mean, one ordered window
+    producing all max_lag lagged centered values in a single sort,
+    then a map-side-combined agg whose per-lag numerators skip the
+    first k rows for free (NULL lag products drop out of sum());
+    ``posexplode`` of the per-lag array emits the long-format result.
+    No self-joins, nothing per-group on the driver. The series must be
+    pre-aggregated (one row per group x order value — the
+    holt_forecast/cusum discipline); at 100 TB that frame is
+    calendar-bounded, not corpus-bounded.
+
+    Output: group_cols + lag, autocorr (6dp), n (series length).
+    Groups with zero variance (constant series) return NULL autocorr.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    g = Window.partitionBy(*group_cols)
+    w = g.orderBy(order_col)
+    xc = (F.col(value_col).cast("double") - F.avg(
+        F.col(value_col).cast("double")
+    ).over(g)).alias("_xc")
+    lagged = df.select(
+        *group_cols,
+        F.col(order_col),
+        xc,
+    ).select(
+        *group_cols,
+        "_xc",
+        *[
+            F.lag("_xc", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggd = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_xc") * F.col("_xc")).alias("_den"),
+        *[
+            F.sum(F.col("_xc") * F.col(f"_l{k}")).alias(f"_n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.try_divide(F.col(f"_n{k}"), F.col("_den"))
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return aggd.select(
+        *group_cols,
+        "n",
+        F.posexplode(pairs).alias("_pos", "_r"),
+    ).select(
+        *group_cols,
+        (F.col("_pos") + 1).alias("lag"),
+        F.round(F.col("_r"), 6).alias("autocorr"),
+        "n",
+    )
+
+
+def theilsen_trend(
+    df: "DataFrame",
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> "DataFrame":
+    """Per-segment Theil-Sen robust trend (Theil 1950 / Sen 1968) —
+    slope = median of all pairwise slopes, intercept = median of
+    ``y - slope * x`` — the outlier-proof companion to
+    :func:`segment_trend`: one corrupted day barely moves it (~29%
+    breakdown point), where OLS follows the outlier.
+
+    Distributed shape: the pairwise slope set is a self-join KEYED ON
+    THE GROUP (one exchange; map-side pair generation within each
+    group's partition), exact-``percentile`` median per group, then the
+    group-sized slope frame broadcasts back for the intercept's second
+    small agg. O(n^2) pairs per group is the algorithm's nature — the
+    input must be a PRE-AGGREGATED series (the segment_trend/
+    holt_forecast discipline: daily points per segment, so n is
+    calendar-bounded; 365 days = 66k pairs per group, trivial; never
+    feed raw events).
+
+    Pairs with equal x are skipped (vertical slopes), matching scipy's
+    theilslopes. Groups with < 2 distinct x values drop from the
+    output. Output: group_cols + n, slope, intercept (6dp).
+    """
+    base = df.select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    a = base
+    b = base.select(
+        *[F.col(c).alias(f"_b_{c}") for c in group_cols],
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+    )
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+    pairs = a.join(b, cond & (F.col("_x") < F.col("_x2")))
+    slopes = pairs.groupBy(*group_cols).agg(
+        F.expr("percentile((_y2 - _y) / (_x2 - _x), 0.5)").alias("_slope")
+    )
+    resid = base.join(F.broadcast(slopes), list(group_cols)).groupBy(
+        *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("_slope"), 6).alias("slope"),
+        F.round(
+            F.expr("percentile(_y - _slope * _x, 0.5)"), 6
+        ).alias("intercept"),
+    )
+    return resid

@@ -927,3 +927,109 @@ class TestClusterRepresentatives:
         }
         got = {(r["id"], r["split"]) for r in out.collect()}
         assert got == want
+
+
+def _acf_local(xs, max_lag):
+    n = len(xs)
+    m = sum(xs) / n
+    xc = [x - m for x in xs]
+    den = sum(v * v for v in xc)
+    out = []
+    for k in range(1, max_lag + 1):
+        num = sum(xc[t] * xc[t - k] for t in range(k, n))
+        out.append(num / den if den else None)
+    return out
+
+
+class TestAcf:
+    """Autocorrelation (analytics.acf): local-estimator parity, the
+    alternating-series anchor, constant-series NULLs, and bounds."""
+
+    def _run(self, spark, series, max_lag=3):
+        from indexlab_spark.operators.analytics import acf
+
+        rows = [("g", i, float(v)) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "g string, t int, v double")
+        out = acf(df, ["g"], "t", "v", max_lag=max_lag).collect()
+        return {r["lag"]: r for r in out}
+
+    def test_matches_local_estimator(self, spark):
+        series = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+        got = self._run(spark, series, max_lag=4)
+        want = _acf_local(series, 4)
+        for k in range(1, 5):
+            assert abs(got[k]["autocorr"] - round(want[k - 1], 6)) < 1e-9
+            assert got[k]["n"] == 10
+
+    def test_alternating_series_lag1_near_minus_one(self, spark):
+        series = [1.0, -1.0] * 10
+        got = self._run(spark, series, max_lag=2)
+        assert got[1]["autocorr"] < -0.9
+        assert got[2]["autocorr"] > 0.85
+
+    def test_constant_series_null(self, spark):
+        got = self._run(spark, [5.0] * 8, max_lag=2)
+        assert got[1]["autocorr"] is None
+
+    def test_bounded_and_validates(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import acf
+
+        series = [float((i * 13 + 5) % 7) for i in range(30)]
+        got = self._run(spark, series, max_lag=5)
+        assert all(abs(got[k]["autocorr"]) <= 1.0 for k in range(1, 6))
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, v double")
+        with _pytest.raises(ValueError, match="max_lag"):
+            acf(df, ["g"], "t", "v", max_lag=0)
+
+
+class TestTheilSen:
+    """Robust trend (analytics.theilsen_trend): exact hand values,
+    outlier robustness vs OLS, and the <2-distinct-x drop contract."""
+
+    def _run(self, spark, rows):
+        from indexlab_spark.operators.analytics import theilsen_trend
+
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        return {
+            r["g"]: r
+            for r in theilsen_trend(df, ["g"], "x", "y").collect()
+        }
+
+    def test_exact_line_recovered(self, spark):
+        rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+        out = self._run(spark, rows)
+        assert out["a"]["slope"] == 2.0
+        assert out["a"]["intercept"] == 3.0
+        assert out["a"]["n"] == 10
+
+    def test_outlier_robustness_vs_ols(self, spark):
+        from indexlab_spark.operators.analytics import segment_trend
+
+        rows = [("a", float(x), 1.0 * x) for x in range(11)]
+        rows[10] = ("a", 10.0, 500.0)  # one corrupted endpoint day
+        out = self._run(spark, rows)
+        assert abs(out["a"]["slope"] - 1.0) < 0.2  # barely moves
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        ols = segment_trend(df, ["g"], "x", "y").collect()[0]
+        assert ols["slope"] > 2.0  # OLS follows the outlier
+
+    def test_median_of_pairwise_slopes(self, spark):
+        pts = [(0.0, 0.0), (1.0, 2.0), (2.0, 1.0), (3.0, 6.0)]
+        rows = [("a", x, y) for x, y in pts]
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for x2, y2 in pts[i + 1:]
+        )
+        n = len(slopes)
+        med = (slopes[n // 2 - 1] + slopes[n // 2]) / 2 if n % 2 == 0 \
+            else slopes[n // 2]
+        out = self._run(spark, rows)
+        assert abs(out["a"]["slope"] - round(med, 6)) < 1e-9
+
+    def test_single_point_group_dropped(self, spark):
+        rows = [("a", 1.0, 1.0), ("b", 1.0, 1.0), ("b", 2.0, 3.0)]
+        out = self._run(spark, rows)
+        assert "a" not in out and out["b"]["slope"] == 2.0
