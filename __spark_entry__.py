@@ -4292,6 +4292,46 @@ def _q_theilsen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theilsen_trend(base, ["event_type"], "x", "y")
 
 
+def _q_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration scoring (analytics.gini_concentration): how
+    concentrated is order revenue across customers, per market segment
+    — the one-number skew diagnostic beside skew_orders' heavy-key
+    list, and the same math that scores token concentration across
+    sources in a training mix. Entity-level pre-agg first (customer
+    revenue), then one group-keyed window rank + map-combined agg; the
+    oracle replays rank and formula."""
+    from indexlab_spark.operators.analytics import gini_concentration
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    per_cust = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        # integer cents: gini is scale-invariant and the operator's
+        # total is then an exact integer sum (engine-reproducible)
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("w_cents")
+        )
+    )
+    return gini_concentration(per_cust, ["seg"], "w_cents")
+
+
+def _q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ screen (analytics.benford_test): first-significant-digit
+    distribution of l_extendedprice vs Benford's law, per-digit
+    chi-square contributions + total. TPC-H prices are synthetic
+    (price = base * qty over a narrow range), so the statistic is
+    huge — exactly the "this column is generated, not natural" signal
+    the screen exists to raise. String-regex digit extraction is
+    engine-exact; one 9-row map-combined count."""
+    from indexlab_spark.operators.analytics import benford_test
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return benford_test(li, "l_extendedprice")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5240,6 +5280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": _q_cluster_split,
         "acf_daily": _q_acf_daily,
         "theilsen_revenue": _q_theilsen_revenue,
+        "gini_customers": _q_gini_customers,
+        "benford_prices": _q_benford_prices,
     }
 
 
@@ -8911,5 +8953,56 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept
             FROM b JOIN sl s ON s.event_type = b.event_type
             GROUP BY b.event_type
+        """,
+        # Exact Gini replay: ascending rank within segment (tie order
+        # is irrelevant — equal weights permute to the same sum), then
+        # the closed formula.
+        "gini_customers": """
+            WITH cr AS (
+                SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+                       CAST(round(sum(o.o_totalprice) * 100)
+                            AS BIGINT) AS wd
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                GROUP BY 1, 2),
+            r AS (
+                SELECT seg, wd, CAST(wd AS DOUBLE) AS w,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY CAST(wd AS DOUBLE))
+                           AS i
+                FROM cr)
+            SELECT seg, count(*) AS n,
+                   CAST(round(sum(wd), 6) AS DOUBLE) AS total,
+                   round(2.0 * sum(i * w) / (count(*) * sum(w))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY seg
+        """,
+        # Benford replay: identical string-regex first-digit
+        # extraction, 9-digit frame, chi-square contributions.
+        "benford_prices": """
+            WITH d AS (
+                SELECT CAST(regexp_extract(
+                           CAST(l_extendedprice AS VARCHAR),
+                           '[1-9]', 0) AS INTEGER) AS digit
+                FROM lineitem
+                WHERE regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                                     '[1-9]', 0) <> ''),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT sum(n) AS tt FROM c),
+            b AS (SELECT unnest(generate_series(1, 9)) AS digit),
+            j AS (SELECT b.digit, coalesce(c.n, 0) AS n, t.tt
+                  FROM b LEFT JOIN c USING (digit), t)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(n / CAST(tt AS DOUBLE), 6) AS p_obs,
+                   round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+                   round(pow(n - tt * log10(1.0 + 1.0 / digit), 2)
+                         / (tt * log10(1.0 + 1.0 / digit)), 6)
+                       AS chi2_contrib
+            FROM j
+            UNION ALL
+            SELECT -1, CAST(tt AS BIGINT), NULL, NULL,
+                   round(sum(pow(n - tt * log10(1.0 + 1.0 / digit), 2)
+                             / (tt * log10(1.0 + 1.0 / digit))), 6)
+            FROM j GROUP BY tt
         """,
     }

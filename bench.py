@@ -477,7 +477,9 @@ def main() -> None:
                  "embedding_kmeans",
                  # acf_daily 0.9s / theilsen_revenue 0.8s (sf0.1
                  # min-of-2) — calendar-bounded series ops
-                 "acf_daily", "theilsen_revenue"):
+                 "acf_daily", "theilsen_revenue",
+                 # gini_customers 1.0s / benford_prices 0.8s
+                 "gini_customers", "benford_prices"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2439,3 +2439,132 @@ def theilsen_trend(
         ).alias("intercept"),
     )
     return resid
+
+
+def gini_concentration(
+    df: "DataFrame",
+    group_cols: list[str],
+    weight_col: str,
+) -> "DataFrame":
+    """Per-group Gini coefficient of a weight column — HOW CONCENTRATED
+    is revenue across customers, tokens across sources, traffic across
+    users: 0 = perfectly even, ->1 = one entity holds everything. The
+    one-number companion to skew_preflight (which names the heavy keys;
+    this scores the whole distribution) and the standard diversity
+    check on a training-mix (a high-Gini source mix is a deduplication
+    / upsampling decision waiting to happen).
+
+    Formula (sorted ascending, i = 1..n):
+    G = 2 * sum(i * x_i) / (n * sum(x_i)) - (n + 1) / n — exact, no
+    binning. Ties may be ranked in any order (equal values permute to
+    the same sum), so the result is deterministic even though
+    row_number over ties is not.
+
+    Distributed shape: one group-keyed exchange; ranks from a window
+    sort WITHIN each group, then a map-side-combined agg. The input
+    contract is ENTITY-level weights (one row per customer/source —
+    i.e. pre-aggregate raw events first), so the per-group sort is
+    bounded by entity count, not event count; for a group too large to
+    sort in one task, pre-aggregate entities into value buckets first
+    (the histogram discipline) and accept binned Gini.
+
+    Output: group_cols + n, total (6dp), gini (6dp). Negative weights
+    are a contract violation (Gini is undefined); NULL weights are
+    excluded. Single-entity groups return gini = 0. ``total`` sums the
+    weight column in its ORIGINAL type — pass integer (e.g. cents) or
+    decimal weights when the total must be exactly reproducible; a
+    float-summed total at 1e8+ magnitude is not stable to 6dp across
+    engines/partitionings (the gini ratio itself is).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_w"))
+    base = df.filter(F.col(weight_col).isNotNull()).select(
+        *group_cols,
+        # total sums the ORIGINAL column (exact for decimal/integer
+        # weights — a 6dp round of a cross-engine double sum at 1e8+
+        # magnitude is not reproducible); doubles only in the rank
+        # products, where the result is a ratio
+        F.col(weight_col).alias("_worig"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("_worig"), 6).cast("double").alias("total"),
+        F.round(
+            F.try_divide(
+                F.lit(2.0) * F.sum(F.col("_i") * F.col("_w")),
+                F.count(F.lit(1)) * F.sum("_w"),
+            )
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+def benford_test(
+    df: "DataFrame",
+    value_col: str,
+) -> "DataFrame":
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-numbers / broken-ETL screen for a positive
+    measure column (Benford 1938; Nigrini's audit use is the public
+    standard): natural multi-magnitude data has P(d) = log10(1 + 1/d);
+    a generator that draws uniformly, truncates, or stitches sources
+    shows up as a large chi-square. A DQ rule beside dq_checks — the
+    point is the DIAGNOSTIC table, so it reports the per-digit
+    contributions, not a boolean.
+
+    The first digit comes from the value's STRING form (first [1-9]
+    match) — exact and engine-portable, where floor(x / 10^floor(
+    log10 x)) can mis-digit on log10 edge cases (1000 -> 2.999...).
+    Rows with no nonzero digit (NULL, zero) are excluded; negatives
+    contribute their magnitude's digit (the sign is stripped by the
+    regex).
+
+    Distributed shape: ONE map-side-combined digit count (9-row
+    exchange), broadcast total, digit-frame math — the psi_drift
+    shape. Output: one row per digit 1..9 (digit, n, p_obs, p_benford,
+    chi2_contrib; 6dp) + a total row at digit = -1 carrying N and the
+    chi-square statistic (8 dof).
+    """
+    spark = df.sparkSession
+    d = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    counts = (
+        df.select(d.alias("_d"))
+        .filter(F.col("_d") != "")
+        .select(F.col("_d").cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    total = counts.agg(F.sum("_n").alias("_t"))
+    base = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    j = (
+        base.join(counts, "digit", "left")
+        .na.fill({"_n": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    expected = F.col("_t") * p_exp
+    contrib = (F.col("_n") - expected) * (F.col("_n") - expected) / expected
+    detail = j.select(
+        "digit",
+        F.col("_n").alias("n"),
+        F.round(F.col("_n") / F.col("_t"), 6).alias("p_obs"),
+        F.round(p_exp, 6).alias("p_benford"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+    )
+    tot = (
+        j.groupBy()
+        .agg(
+            F.first("_t").alias("n"),
+            F.round(F.sum(contrib), 6).alias("chi2_contrib"),
+        )
+        .select(
+            F.lit(-1).alias("digit"),
+            "n",
+            F.lit(None).cast("double").alias("p_obs"),
+            F.lit(None).cast("double").alias("p_benford"),
+            "chi2_contrib",
+        )
+    )
+    return detail.unionByName(tot)

@@ -1033,3 +1033,86 @@ class TestTheilSen:
         rows = [("a", 1.0, 1.0), ("b", 1.0, 1.0), ("b", 2.0, 3.0)]
         out = self._run(spark, rows)
         assert "a" not in out and out["b"]["slope"] == 2.0
+
+
+class TestGiniConcentration:
+    """Gini (analytics.gini_concentration): closed-form anchors,
+    local-formula parity, tie/order invariance, null exclusion."""
+
+    def _run(self, spark, weights, extra_rows=()):
+        from indexlab_spark.operators.analytics import gini_concentration
+
+        rows = [("g", float(w)) for w in weights] + list(extra_rows)
+        df = spark.createDataFrame(rows, "g string, w double")
+        out = gini_concentration(df, ["g"], "w").collect()
+        return {r["g"]: r for r in out}
+
+    def test_uniform_is_zero(self, spark):
+        out = self._run(spark, [5.0] * 10)
+        assert out["g"]["gini"] == 0.0
+        assert out["g"]["n"] == 10 and out["g"]["total"] == 50.0
+
+    def test_total_concentration(self, spark):
+        # one entity holds everything: G = (n-1)/n
+        out = self._run(spark, [0.0] * 9 + [100.0])
+        assert abs(out["g"]["gini"] - 0.9) < 1e-9
+
+    def test_matches_local_formula_and_order_invariant(self, spark):
+        ws = [float((i * 17 + 3) % 23 + 1) for i in range(40)]
+        xs = sorted(ws)
+        n = len(xs)
+        want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (
+            n * sum(xs)
+        ) - (n + 1) / n
+        a = self._run(spark, ws)["g"]["gini"]
+        b = self._run(spark, list(reversed(ws)))["g"]["gini"]
+        assert a == b == round(want, 6)
+
+    def test_null_excluded_single_entity_zero(self, spark):
+        out = self._run(spark, [7.0], extra_rows=[("g", None)])
+        assert out["g"]["n"] == 1 and out["g"]["gini"] == 0.0
+
+
+class TestBenfordTest:
+    """Benford screen (analytics.benford_test): hand-computed chi2,
+    string digit extraction edge cases, zero/null exclusion."""
+
+    def _run(self, spark, values):
+        from indexlab_spark.operators.analytics import benford_test
+
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        out = benford_test(df, "v").collect()
+        return {r["digit"]: r for r in out}
+
+    def test_hand_chi2(self, spark):
+        import math
+
+        values = [1.0, 1.5, 19.0, 2.0, 3.0]  # digits 1,1,1,2,3
+        out = self._run(spark, values)
+        assert out[-1]["n"] == 5
+        obs = {1: 3, 2: 1, 3: 1}
+        chi2 = 0.0
+        for d in range(1, 10):
+            e = 5 * math.log10(1 + 1 / d)
+            chi2 += (obs.get(d, 0) - e) ** 2 / e
+            assert out[d]["n"] == obs.get(d, 0)
+            assert out[d]["p_benford"] == round(math.log10(1 + 1 / d), 6)
+        assert abs(out[-1]["chi2_contrib"] - round(chi2, 6)) < 1e-6
+        assert out[1]["p_obs"] == 0.6
+
+    def test_digit_extraction_edges(self, spark):
+        out = self._run(spark, [0.052, -34.0, 0.0001234, 7e9])
+        # digits: 5, 3, 1, 7
+        assert out[5]["n"] == 1 and out[3]["n"] == 1
+        assert out[1]["n"] == 1 and out[7]["n"] == 1
+        assert out[-1]["n"] == 4
+
+    def test_zero_and_null_excluded(self, spark):
+        out = self._run(spark, [0.0, None, 5.0])
+        assert out[-1]["n"] == 1 and out[5]["n"] == 1
+
+    def test_total_is_sum_of_contribs(self, spark):
+        vals = [float(i) for i in range(1, 60)]
+        out = self._run(spark, vals)
+        s = sum(out[d]["chi2_contrib"] for d in range(1, 10))
+        assert abs(out[-1]["chi2_contrib"] - s) < 1e-4
