@@ -4332,6 +4332,20 @@ def _q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_test(li, "l_extendedprice")
 
 
+def _q_contingency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association (analytics.contingency_stats): is
+    event_type independent of day-of-week — chi-square, Cramér's V and
+    mutual information from ONE contingency aggregation (the
+    feature-leakage / redundancy diagnostic). Spark dayofweek is
+    1=Sunday; the oracle's date_part('dow') is 0=Sunday, shifted +1 to
+    match."""
+    from indexlab_spark.operators.analytics import contingency_stats
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select("event_type", F.dayofweek("ts").alias("dow"))
+    return contingency_stats(base, "event_type", "dow")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5282,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_revenue": _q_theilsen_revenue,
         "gini_customers": _q_gini_customers,
         "benford_prices": _q_benford_prices,
+        "contingency_events": _q_contingency_events,
     }
 
 
@@ -9004,5 +9019,43 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(pow(n - tt * log10(1.0 + 1.0 / digit), 2)
                              / (tt * log10(1.0 + 1.0 / digit))), 6)
             FROM j GROUP BY tt
+        """,
+        # chi2 over the FULL zero-included grid, MI in nats over
+        # observed cells — the operator's definitions term by term.
+        "contingency_events": """
+            WITH base AS (
+                SELECT event_type AS a,
+                       CAST(date_part('dow', CAST(ts AS TIMESTAMP)) + 1
+                            AS VARCHAR) AS b
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            joint AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+            ma AS (SELECT a, sum(o) AS ra FROM joint GROUP BY 1),
+            mb AS (SELECT b, sum(o) AS rb FROM joint GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM joint),
+            grid AS (
+                SELECT ma.a, mb.b, coalesce(j.o, 0) AS o,
+                       CAST(ma.ra AS DOUBLE) AS ra,
+                       CAST(mb.rb AS DOUBLE) AS rb,
+                       CAST(t.n AS DOUBLE) AS n
+                FROM ma CROSS JOIN mb
+                LEFT JOIN joint j ON j.a = ma.a AND j.b = mb.b, t),
+            ag AS (
+                SELECT any_value(n) AS n,
+                       count(DISTINCT a) AS n_a,
+                       count(DISTINCT b) AS n_b,
+                       sum(pow(o - ra * rb / n, 2) / (ra * rb / n))
+                           AS chi2,
+                       sum(CASE WHEN o > 0
+                                THEN (o / n) * ln(o * n / (ra * rb))
+                                ELSE 0 END) AS mi
+                FROM grid)
+            SELECT CAST(n AS BIGINT) AS n, n_a, n_b,
+                   (n_a - 1) * (n_b - 1) AS dof,
+                   round(chi2, 6) AS chi2,
+                   round(sqrt(chi2 / (n * least(n_a - 1, n_b - 1))), 6)
+                       AS cramers_v,
+                   round(mi, 6) AS mi_nats
+            FROM ag
         """,
     }

@@ -478,8 +478,10 @@ def main() -> None:
                  # acf_daily 0.9s / theilsen_revenue 0.8s (sf0.1
                  # min-of-2) — calendar-bounded series ops
                  "acf_daily", "theilsen_revenue",
-                 # gini_customers 1.0s / benford_prices 0.8s
-                 "gini_customers", "benford_prices"):
+                 # gini_customers 1.0s / benford_prices 0.8s;
+                 # contingency_events 2.9s
+                 "gini_customers", "benford_prices",
+                 "contingency_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2568,3 +2568,86 @@ def benford_test(
         )
     )
     return detail.unionByName(tot)
+
+
+def contingency_stats(
+    df: "DataFrame",
+    col_a: str,
+    col_b: str,
+) -> "DataFrame":
+    """Association between two CATEGORICAL columns — Pearson
+    chi-square of independence, Cramér's V, and mutual information in
+    one pass: the feature-leakage / redundancy diagnostic (is
+    event_type just weekday in disguise? does lang determine source?)
+    that decides whether a column adds signal to a mix or a model.
+
+    Distributed shape: the corpus shuffles ONCE into the joint
+    (a, b, count) contingency frame — map-side-combined, bounded by
+    the category-pair count, never row-sized; marginals, the full
+    zero-included cell grid (marginal x marginal cross of two tiny
+    frames), and all three statistics derive from it. The input
+    contract is genuinely categorical columns (bounded cardinality);
+    a high-cardinality id column makes the grid its own join
+    explosion — run profile/distinct_counts first.
+
+    Definitions: chi2 over ALL grid cells (expected = ra*rb/N, zero
+    observed included); dof = (|A|-1)(|B|-1); Cramér's V =
+    sqrt(chi2 / (N * min(|A|-1, |B|-1))); MI in NATS over observed
+    cells = sum (O/N) ln(O*N / (ra*rb)) (zero cells contribute 0 by
+    continuity). NULL categories are excluded from both columns.
+
+    Output: one row — n, n_a, n_b, dof, chi2, cramers_v, mi_nats
+    (6dp).
+    """
+    joint = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ma = joint.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    mb = joint.groupBy("_b").agg(F.sum("_o").alias("_rb"))
+    tot = joint.agg(F.sum("_o").alias("_n"))
+    grid = (
+        ma.crossJoin(mb)
+        .join(joint, ["_a", "_b"], "left")
+        .na.fill({"_o": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_rb") / F.col("_n")
+    chi_cell = (F.col("_o") - e) * (F.col("_o") - e) / e
+    mi_cell = F.when(
+        F.col("_o") > 0,
+        (F.col("_o") / F.col("_n"))
+        * F.log(
+            F.col("_o").cast("double")
+            * F.col("_n")
+            / (F.col("_ra") * F.col("_rb"))
+        ),
+    ).otherwise(F.lit(0.0))
+    agg = grid.agg(
+        F.first("_n").alias("n"),
+        F.countDistinct("_a").alias("n_a"),
+        F.countDistinct("_b").alias("n_b"),
+        F.sum(chi_cell).alias("_chi2"),
+        F.sum(mi_cell).alias("_mi"),
+    )
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    v = F.sqrt(
+        F.try_divide(
+            F.col("_chi2"),
+            F.col("n")
+            * F.least(F.col("n_a") - 1, F.col("n_b") - 1),
+        )
+    )
+    return agg.select(
+        "n",
+        "n_a",
+        "n_b",
+        dof.alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+        F.round("_mi", 6).alias("mi_nats"),
+    )

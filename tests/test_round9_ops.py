@@ -1116,3 +1116,66 @@ class TestBenfordTest:
         out = self._run(spark, vals)
         s = sum(out[d]["chi2_contrib"] for d in range(1, 10))
         assert abs(out[-1]["chi2_contrib"] - s) < 1e-4
+
+
+class TestContingencyStats:
+    """Categorical association (analytics.contingency_stats): local
+    chi2/V/MI parity, exact independence, perfect association, and
+    zero-cell inclusion."""
+
+    def _run(self, spark, rows):
+        from indexlab_spark.operators.analytics import contingency_stats
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        return contingency_stats(df, "a", "b").collect()[0]
+
+    def test_matches_local_computation(self, spark):
+        import math
+
+        rows = []
+        counts = {("x", "p"): 10, ("x", "q"): 20, ("y", "p"): 30,
+                  ("y", "q"): 5, ("z", "q"): 15}
+        for (a, b), c in counts.items():
+            rows += [(a, b)] * c
+        r = self._run(spark, rows)
+        n = sum(counts.values())
+        ra = {"x": 30, "y": 35, "z": 15}
+        rb = {"p": 40, "q": 40}
+        chi2 = mi = 0.0
+        for a in ra:
+            for b in rb:
+                o = counts.get((a, b), 0)
+                e = ra[a] * rb[b] / n
+                chi2 += (o - e) ** 2 / e
+                if o:
+                    mi += (o / n) * math.log(o * n / (ra[a] * rb[b]))
+        assert r["n"] == n and r["n_a"] == 3 and r["n_b"] == 2
+        assert r["dof"] == 2
+        assert abs(r["chi2"] - round(chi2, 6)) < 1e-6
+        assert abs(r["mi_nats"] - round(mi, 6)) < 1e-6
+        v = math.sqrt(chi2 / (n * 1))
+        assert abs(r["cramers_v"] - round(v, 6)) < 1e-6
+
+    def test_exact_independence_is_zero(self, spark):
+        rows = []
+        for a, na in (("x", 2), ("y", 3)):
+            for b, nb in (("p", 4), ("q", 6)):
+                rows += [(a, b)] * (na * nb)
+        r = self._run(spark, rows)
+        assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+        assert r["mi_nats"] == 0.0
+
+    def test_perfect_association(self, spark):
+        import math
+
+        rows = [("x", "x")] * 10 + [("y", "y")] * 20 + [("z", "z")] * 10
+        r = self._run(spark, rows)
+        assert r["cramers_v"] == 1.0
+        # MI equals the (shared) entropy
+        h = -(0.25 * math.log(0.25) * 2 + 0.5 * math.log(0.5))
+        assert abs(r["mi_nats"] - round(h, 6)) < 1e-6
+
+    def test_nulls_excluded(self, spark):
+        rows = [("x", "p"), ("x", None), (None, "p"), ("y", "q")]
+        r = self._run(spark, rows)
+        assert r["n"] == 2
