@@ -4346,6 +4346,29 @@ def _q_contingency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contingency_stats(base, "event_type", "dow")
 
 
+def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the customer -> supplier purchase bipartite graph
+    (dedup.hits_scores, Kleinberg 1999): hub customers buy from many
+    endorsed suppliers, authority suppliers are bought from by strong
+    hubs — the directed-centrality companion to graph_pagerank, which
+    cannot separate the two roles. Rows-only like pagerank: 10 rounds
+    of float L2-normalized power iteration are not SQL-replayable;
+    numpy parity and anchors are pinned in tests."""
+    from indexlab_spark.operators.dedup import hits_scores
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("id_a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, iters=10)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5297,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_customers": _q_gini_customers,
         "benford_prices": _q_benford_prices,
         "contingency_events": _q_contingency_events,
+        "hits_suppliers": _q_hits_suppliers,  # rows-only
     }
 
 

@@ -2329,3 +2329,121 @@ def cluster_split(
     return stratified_split(
         members, id_col=cluster_col, weights=weights, salt=salt
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iters: int = 20,
+    adaptive: bool | str = "auto",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public) on a DIRECTED
+    edge list — the second centrality beside :func:`pagerank`, and the
+    natural one for BIPARTITE interaction graphs (customer -> supplier,
+    user -> document): a good hub points at good authorities, a good
+    authority is pointed at by good hubs. PageRank answers "who is
+    central"; HITS separates "who curates well" from "who is endorsed".
+
+    Round structure (the pagerank discipline exactly — keyed joins +
+    map-side-combined sums only, ONE scalar action per round):
+    a_raw(v) = sum of h over in-edges, h_raw(u) = sum of a_raw over
+    out-edges (the textbook I-then-O sweep) assembled onto the node
+    frame, then the round's single action is the 2-scalar L2-norm
+    aggregate whose job ALSO materializes the round's lazy
+    localCheckpoint (pagerank returns delta+dangling the same way);
+    next round's scores are a pure projection over the checkpointed
+    frame dividing by the returned norm literals. (The first cut
+    normalized via crossJoin(broadcast(1-row agg)) + a separate
+    count() — two planned jobs per round; on loop graphs the per-round
+    plan-compile floor dominates, and halving the job count measured
+    ~2x on the sf0.01 gate graph.) Normalizing once per round (not per
+    half-sweep) defers only a uniform scale factor, which the
+    normalization removes; within-round growth is degree-bounded, far
+    from double overflow.
+
+    Runs EXACTLY ``iters`` rounds — deterministic and replayable (no
+    float-threshold early stop; HITS converges geometrically, 20
+    rounds is the standard choice). AQE handling mirrors pagerank:
+    re-planning dominates sub-1M-node loops, so "auto" disables it
+    below that and restores the prior setting after.
+
+    Output: ``(node, hub, authority)`` (6dp), one row per node
+    appearing in the edge list; L2 norm of each score vector is 1.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_count = nodes.count()
+    spark = edges.sparkSession
+    if n_count == 0:
+        e.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    if adaptive == "auto":
+        use_aqe = n_count >= 1_000_000
+    else:
+        use_aqe = bool(adaptive)
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", str(use_aqe).lower())
+    try:
+        init = 1.0 / (n_count ** 0.5)
+        scores = nodes.select(
+            "node", F.lit(init).alias("h"), F.lit(init).alias("a")
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            a_raw = (
+                e.join(
+                    scores.select(F.col("node").alias("src"), "h"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("h").alias("a_raw"))
+            )
+            h_raw = (
+                e.join(
+                    a_raw.select(F.col("node").alias("dst"), "a_raw"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a_raw").alias("h_raw"))
+            )
+            joined = (
+                nodes.join(a_raw, "node", "left")
+                .join(h_raw, "node", "left")
+                .na.fill({"a_raw": 0.0, "h_raw": 0.0})
+                .localCheckpoint(eager=False)
+            )
+            # ONE action per round: materializes the checkpoint above
+            # and returns both L2 norms as scalars
+            row = joined.agg(
+                F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("_nh"),
+                F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("_na"),
+            ).first()
+            nh, na = row[0] or 0.0, row[1] or 0.0
+            scores = joined.select(
+                "node",
+                (
+                    F.col("h_raw") / F.lit(nh) if nh else F.lit(0.0)
+                ).alias("h"),
+                (
+                    F.col("a_raw") / F.lit(na) if na else F.lit(0.0)
+                ).alias("a"),
+            )
+        return scores.select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+        e.unpersist()
+        nodes.unpersist()

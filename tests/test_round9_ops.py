@@ -1179,3 +1179,72 @@ class TestContingencyStats:
         rows = [("x", "p"), ("x", None), (None, "p"), ("y", "q")]
         r = self._run(spark, rows)
         assert r["n"] == 2
+
+
+class TestHitsScores:
+    """HITS (dedup.hits_scores): numpy power-iteration parity, the
+    bipartite star anchor, determinism, and validation."""
+
+    def _numpy_hits(self, edges, nodes, iters):
+        import numpy as np
+
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in edges:
+            A[idx[s], idx[d]] = 1.0
+        h = np.full(len(nodes), 1.0 / len(nodes) ** 0.5)
+        a = h.copy()
+        for _ in range(iters):
+            a_raw = A.T @ h
+            h_raw = A @ a_raw
+            a = a_raw / (np.linalg.norm(a_raw) or 1.0)
+            h = h_raw / (np.linalg.norm(h_raw) or 1.0)
+        return {n: (h[idx[n]], a[idx[n]]) for n in nodes}
+
+    def _run(self, spark, edges, iters=20):
+        from indexlab_spark.operators.dedup import hits_scores
+
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        out = hits_scores(df, iters=iters).collect()
+        return {r["node"]: r for r in out}
+
+    def test_matches_numpy_power_iteration(self, spark):
+        edges = [
+            ("u1", "v1"), ("u1", "v2"), ("u1", "v3"),
+            ("u2", "v2"), ("u2", "v3"),
+            ("u3", "v3"), ("v1", "u3"),
+        ]
+        nodes = sorted({x for e in edges for x in e})
+        got = self._run(spark, edges, iters=15)
+        want = self._numpy_hits(edges, nodes, 15)
+        for n in nodes:
+            assert abs(got[n]["hub"] - round(want[n][0], 6)) < 1e-5
+            assert abs(got[n]["authority"] - round(want[n][1], 6)) < 1e-5
+
+    def test_bipartite_star(self, spark):
+        # one hub pointing at 3 authorities: hub=1, authorities equal
+        edges = [("h", "x"), ("h", "y"), ("h", "z")]
+        got = self._run(spark, edges, iters=5)
+        assert abs(got["h"]["hub"] - 1.0) < 1e-9
+        assert got["h"]["authority"] == 0.0
+        tri = 1.0 / 3 ** 0.5
+        for n in ("x", "y", "z"):
+            assert abs(got[n]["authority"] - round(tri, 6)) < 1e-6
+            assert got[n]["hub"] == 0.0
+
+    def test_deterministic(self, spark):
+        edges = [(f"a{i % 5}", f"b{(i * 3) % 7}") for i in range(30)]
+        x = self._run(spark, edges, iters=8)
+        y = self._run(spark, edges, iters=8)
+        assert {k: tuple(v) for k, v in x.items()} == {
+            k: tuple(v) for k, v in y.items()
+        }
+
+    def test_rejects_bad_iters(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.dedup import hits_scores
+
+        df = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+        with _pytest.raises(ValueError, match="iters"):
+            hits_scores(df, iters=0)
