@@ -481,6 +481,12 @@ def main() -> None:
                  # gini_customers 1.0s / benford_prices 0.8s;
                  # contingency_events 2.9s
                  "gini_customers", "benford_prices",
+                 # hits_suppliers is gate-only like graph_pagerank: 10
+                 # fixed power-iteration rounds over the 600k-edge
+                 # customer->supplier graph measure 18.1s warm at sf0.1
+                 # (min-of-2, r9) — per-round scheduling floor on a
+                 # loop, same class as order_triangles; the sf0.01
+                 # gate run attests correctness each round
                  "contingency_events"):
         fn = entry_mod.queries()[name]
         reps = (
