@@ -4369,6 +4369,21 @@ def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(edges, iters=10)
 
 
+def _q_mwu_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum comparison of order totals between
+    urgent and low-priority orders (analytics.mann_whitney_u, Mann &
+    Whitney 1947) — the rank-based, outlier-proof companion to
+    ab_events' Welch t. Ranks come from the distinct-value frame via
+    the ks_drift two-level bucketed cumsum; the oracle replays the
+    identical midrank/tie-correction arithmetic in SQL."""
+    from indexlab_spark.operators.analytics import mann_whitney_u
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return mann_whitney_u(
+        t["orders"], "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5321,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": _q_benford_prices,
         "contingency_events": _q_contingency_events,
         "hits_suppliers": _q_hits_suppliers,  # rows-only
+        "mwu_prices": _q_mwu_prices,
     }
 
 
@@ -9081,5 +9097,66 @@ def oracle_sql() -> dict[str, str]:
                        AS cramers_v,
                    round(mi, 6) AS mi_nats
             FROM ag
+        """,
+        "mwu_prices": """
+            WITH c AS (
+                SELECT o_totalprice AS v,
+                       count(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN 1 END) AS c_a,
+                       count(CASE WHEN o_orderpriority = '5-LOW'
+                                  THEN 1 END) AS c_b
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                  AND o_totalprice IS NOT NULL
+                GROUP BY o_totalprice
+            ),
+            r AS (
+                SELECT c_a, c_b, c_a + c_b AS t,
+                       coalesce(sum(c_a + c_b) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM c
+            ),
+            s AS (
+                SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                       CAST(sum(c_b) AS BIGINT) AS n_b,
+                       sum(c_a * (cb + (t + 1) / 2.0)) AS r_a,
+                       sum(CAST(t AS DOUBLE) * t * t - t) AS tie
+                FROM r
+            ),
+            d AS (
+                SELECT n_a, n_b, tie,
+                       n_a + n_b AS n,
+                       CAST(n_a AS DOUBLE) * n_b AS nanb,
+                       r_a - n_a * (n_a + 1) / 2.0 AS u_a
+                FROM s
+            ),
+            e AS (
+                SELECT *,
+                       nanb / 2.0 AS mu,
+                       sqrt(nanb / 12.0 * ((n + 1)
+                            - tie / (CAST(n AS DOUBLE) * (n - 1))))
+                           AS sigma
+                FROM d
+            ),
+            f AS (
+                SELECT *,
+                       u_a - mu + CASE WHEN u_a - mu > 0 THEN -0.5
+                                       WHEN u_a - mu < 0 THEN 0.5
+                                       ELSE 0.0 END AS num
+                FROM e
+            )
+            SELECT CAST(n_a AS INTEGER) AS n_a,
+                   CAST(n_b AS INTEGER) AS n_b,
+                   round(u_a, 6) AS u_a,
+                   round(nanb - u_a, 6) AS u_b,
+                   round(mu, 6) AS mu,
+                   round(CASE WHEN sigma > 0 THEN sigma END, 6) AS sigma,
+                   round(CASE WHEN sigma > 0 THEN num / sigma END, 6)
+                       AS z_stat,
+                   coalesce(abs(CASE WHEN sigma > 0 THEN num / sigma END)
+                            > 1.96, FALSE) AS z_sig
+            FROM f
         """,
     }

@@ -487,7 +487,9 @@ def main() -> None:
                  # (min-of-2, r9) — per-round scheduling floor on a
                  # loop, same class as order_triangles; the sf0.01
                  # gate run attests correctness each round
-                 "contingency_events"):
+                 "contingency_events",
+                 # mwu_prices 1.9s warm (sf0.1 min-of-2, r9)
+                 "mwu_prices"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2651,3 +2651,129 @@ def contingency_stats(
         F.round(v, 6).alias("cramers_v"),
         F.round("_mi", 6).alias("mi_nats"),
     )
+
+
+def mann_whitney_u(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    z_crit: float = 1.96,
+    continuity: bool = True,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) — the
+    nonparametric companion to :func:`ab_test_report`'s Welch t: it
+    compares two samples by RANKS, so a heavy-tailed metric (revenue,
+    latency) with a few enormous outliers cannot swamp the statistic
+    the way it swamps a mean. Tie-corrected normal approximation with
+    optional continuity correction (the standard large-sample
+    treatment); reported as a z statistic plus a fixed-threshold flag,
+    not a p-value, for the same no-erf reason as ab_test_report.
+
+    Scale design (the :func:`ks_drift` discipline): ranks are computed
+    on the DISTINCT-VALUE frame, never the row frame — one map-combined
+    (value -> per-group counts) aggregation is the only corpus-sized
+    pass. The global rank cumsum over distinct values is two-level
+    bucketed (per-bucket parallel windows + an n_buckets-row offset
+    frame), NEVER a single-partition window over data; with t rows
+    tied at a value, every one gets the midrank cum_before + (t+1)/2,
+    which is exactly what one agg over the value frame can then fold
+    into R_a and the tie term sum(t^3 - t).
+
+    Output (one row, 6dp): n_a, n_b, u_a, u_b, mu (= n_a*n_b/2),
+    sigma (tie-corrected), z_stat (continuity-corrected toward the
+    mean when ``continuity``), z_sig (|z| > ``z_crit``). Degenerate
+    inputs (an empty arm, or every value tied so sigma = 0) yield
+    NULL u/mu/sigma/z and a false flag, matching ab_test_report's
+    degenerate-arm contract.
+    """
+    g = F.col(group_col)
+    counts = (
+        df.select(g.alias("_g"), F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull() & g.isin(group_a, group_b))
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("_g") == F.lit(group_a), 1)).alias("c_a"),
+            F.count(F.when(F.col("_g") == F.lit(group_b), 1)).alias("c_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    ).first()
+    n_a, n_b = int(tot["n_a"] or 0), int(tot["n_b"] or 0)
+    n = n_a + n_b
+    if n_a == 0 or n_b == 0 or n < 2:
+        return df.sparkSession.range(1).select(
+            F.lit(n_a).alias("n_a"),
+            F.lit(n_b).alias("n_b"),
+            *[
+                F.lit(None).cast("double").alias(c)
+                for c in ("u_a", "u_b", "mu", "sigma", "z_stat")
+            ],
+            F.lit(False).alias("z_sig"),
+        )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = counts.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    edges = sorted({float(x) for x in edges_row["e"]})
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(b)
+    bucketed = counts.withColumn("bucket", b).withColumn(
+        "t", F.col("c_a") + F.col("c_b")
+    )
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = bucketed.select(
+        "bucket", "v", "c_a", "t", F.sum("t").over(w).alias("cum_incl")
+    )
+    bw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-partition window over <= n_buckets rows — bounded
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("t").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("off"),
+        )
+    )
+    avg_rank = (
+        F.col("off") + F.col("cum_incl") - F.col("t")
+        + (F.col("t") + 1) / 2.0
+    )
+    sums = cum.join(F.broadcast(offsets), "bucket").agg(
+        F.sum(F.col("c_a") * avg_rank).alias("r_a"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie"),
+    )
+    u_a = F.col("r_a") - F.lit(n_a * (n_a + 1) / 2.0)
+    u_b = F.lit(float(n_a) * n_b) - u_a
+    mu = F.lit(n_a * n_b / 2.0)
+    sigma = F.sqrt(
+        F.lit(n_a * n_b / 12.0)
+        * (F.lit(float(n + 1)) - F.col("tie") / F.lit(float(n) * (n - 1)))
+    )
+    diff = u_a - mu
+    cc = (
+        F.when(diff > 0, -0.5).when(diff < 0, F.lit(0.5)).otherwise(0.0)
+        if continuity
+        else F.lit(0.0)
+    )
+    z = F.when(sigma > 0, (diff + cc) / sigma)
+    return sums.select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(u_b, 6).alias("u_b"),
+        F.round(mu, 6).alias("mu"),
+        F.round(F.when(sigma > 0, sigma), 6).alias("sigma"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias("z_sig"),
+    )

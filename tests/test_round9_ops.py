@@ -1248,3 +1248,91 @@ class TestHitsScores:
         df = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
         with _pytest.raises(ValueError, match="iters"):
             hits_scores(df, iters=0)
+
+
+class TestMannWhitneyU:
+    """Mann-Whitney U (analytics.mann_whitney_u): pure-python midrank
+    parity, brute-force pairwise-U equality, tie/degenerate contracts."""
+
+    @staticmethod
+    def _ref(av, bv, continuity=True):
+        from collections import Counter
+
+        cnt = Counter(av + bv)
+        ranks, cum = {}, 0
+        for v in sorted(cnt):
+            ranks[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        n_a, n_b = len(av), len(bv)
+        n = n_a + n_b
+        r_a = sum(ranks[v] for v in av)
+        u_a = r_a - n_a * (n_a + 1) / 2.0
+        mu = n_a * n_b / 2.0
+        tie = sum(t**3 - t for t in cnt.values())
+        sigma = (n_a * n_b / 12.0 * ((n + 1) - tie / (n * (n - 1)))) ** 0.5
+        diff = u_a - mu
+        cc = (
+            (-0.5 if diff > 0 else (0.5 if diff < 0 else 0.0))
+            if continuity
+            else 0.0
+        )
+        z = (diff + cc) / sigma if sigma > 0 else None
+        return u_a, n_a * n_b - u_a, mu, sigma, z
+
+    def _run(self, spark, av, bv, **kw):
+        from indexlab_spark.operators.analytics import mann_whitney_u
+
+        rows = [("a", float(v)) for v in av] + [("b", float(v)) for v in bv]
+        df = spark.createDataFrame(rows, "g string, v double")
+        return mann_whitney_u(df, "g", "v", "a", "b", **kw).collect()[0]
+
+    def test_matches_reference_with_ties(self, spark):
+        av = [1.0, 2.0, 2.0, 3.5, 7.0, 7.0, 9.0, 4.2]
+        bv = [2.0, 3.5, 5.0, 7.0, 8.0, 10.0, 1.0]
+        got = self._run(spark, av, bv)
+        u_a, u_b, mu, sigma, z = self._ref(av, bv)
+        assert got["n_a"] == 8 and got["n_b"] == 7
+        assert abs(got["u_a"] - u_a) < 1e-6
+        assert abs(got["u_b"] - u_b) < 1e-6
+        assert abs(got["mu"] - mu) < 1e-6
+        assert abs(got["sigma"] - round(sigma, 6)) < 1e-5
+        assert abs(got["z_stat"] - round(z, 6)) < 1e-5
+
+    def test_u_equals_bruteforce_pair_count(self, spark):
+        av = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+        bv = [6.0, 5.0, 3.0, 5.0, 8.0]
+        got = self._run(spark, av, bv)
+        brute = sum(
+            1.0 if a > b else (0.5 if a == b else 0.0)
+            for a in av
+            for b in bv
+        )
+        assert abs(got["u_a"] - brute) < 1e-9
+
+    def test_no_continuity(self, spark):
+        av, bv = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0]
+        got = self._run(spark, av, bv, continuity=False)
+        *_, z = self._ref(av, bv, continuity=False)
+        assert abs(got["z_stat"] - round(z, 6)) < 1e-6
+
+    def test_all_tied_gives_null_sigma(self, spark):
+        got = self._run(spark, [5.0, 5.0, 5.0], [5.0, 5.0])
+        assert got["sigma"] is None and got["z_stat"] is None
+        assert got["z_sig"] is False
+        assert abs(got["u_a"] - 3.0) < 1e-9  # all pairs tie at 0.5
+
+    def test_empty_arm_gives_nulls(self, spark):
+        from indexlab_spark.operators.analytics import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, v double"
+        )
+        r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert r["n_b"] == 0 and r["u_a"] is None and r["z_sig"] is False
+
+    def test_many_buckets_vs_few(self, spark):
+        av = [float(i % 13) for i in range(60)]
+        bv = [float((i * 7) % 17) for i in range(45)]
+        r1 = self._run(spark, av, bv, n_buckets=2)
+        r2 = self._run(spark, av, bv, n_buckets=32)
+        assert r1 == r2
