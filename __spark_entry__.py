@@ -4384,6 +4384,20 @@ def _q_mwu_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bootstrap_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order total
+    (analytics.bootstrap_ci) — deterministic md5-seeded Poisson(1)
+    weights, one corpus pass with a replicate-count-sized shuffle; the
+    oracle replays the identical hash -> inverse-CDF -> replicate-mean
+    -> interpolated-percentile arithmetic in SQL."""
+    from indexlab_spark.operators.analytics import bootstrap_ci
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return bootstrap_ci(
+        t["orders"], "o_totalprice", "o_orderkey", n_boot=200
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5337,6 +5351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_events": _q_contingency_events,
         "hits_suppliers": _q_hits_suppliers,  # rows-only
         "mwu_prices": _q_mwu_prices,
+        "bootstrap_prices": _q_bootstrap_prices,
     }
 
 
@@ -9158,5 +9173,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(abs(CASE WHEN sigma > 0 THEN num / sigma END)
                             > 1.96, FALSE) AS z_sig
             FROM f
+        """,
+        "bootstrap_prices": """
+            WITH base AS (
+                SELECT o_totalprice AS x,
+                       CAST(o_orderkey AS VARCHAR) AS id
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            rep AS (
+                SELECT b.b, base.x,
+                       CAST(concat('0x', substr(md5(concat(
+                           '1|', CAST(b.b AS VARCHAR), '|', id)), 1, 15))
+                           AS BIGINT) / 1152921504606846976.0 AS u
+                FROM base, generate_series(0, 200) AS b(b)
+            ),
+            wtd AS (
+                SELECT b, x,
+                       CASE WHEN b = 0 THEN 1.0
+                            WHEN u < 0.36787944117144233 THEN 0.0
+                            WHEN u < 0.7357588823428847 THEN 1.0
+                            WHEN u < 0.9196986029286058 THEN 2.0
+                            WHEN u < 0.9810118431238463 THEN 3.0
+                            WHEN u < 0.9963401531726563 THEN 4.0
+                            WHEN u < 0.9994058151824183 THEN 5.0
+                            WHEN u < 0.999916758850712 THEN 6.0
+                            WHEN u < 0.9999897508033253 THEN 7.0
+                            ELSE 8.0 END AS w
+                FROM rep
+            ),
+            means AS (
+                SELECT b, sum(w * x) AS sx, sum(w) AS sw
+                FROM wtd GROUP BY b
+            ),
+            s AS (
+                SELECT max(CASE WHEN b = 0 THEN sx / sw END) AS mean,
+                       max(CASE WHEN b = 0 THEN sw END) AS n,
+                       quantile_cont(CASE WHEN b >= 1 AND sw > 0
+                                          THEN sx / sw END,
+                                     [0.025, 0.975]) AS q
+                FROM means
+            )
+            SELECT CAST(coalesce(n, 0) AS BIGINT) AS n,
+                   round(mean, 6) AS mean,
+                   round(q[1], 6) AS lo,
+                   round(q[2], 6) AS hi,
+                   200 AS n_boot,
+                   CAST(0.95 AS DOUBLE) AS level
+            FROM s
         """,
     }

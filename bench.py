@@ -488,8 +488,10 @@ def main() -> None:
                  # loop, same class as order_triangles; the sf0.01
                  # gate run attests correctness each round
                  "contingency_events",
-                 # mwu_prices 1.9s warm (sf0.1 min-of-2, r9)
-                 "mwu_prices"):
+                 # mwu_prices 1.9s warm (sf0.1 min-of-2, r9);
+                 # bootstrap_prices 0.6s (201-replicate explode is
+                 # map-side codegen — cheap even at 30M expanded rows)
+                 "mwu_prices", "bootstrap_prices"):
         fn = entry_mod.queries()[name]
         reps = (
             2

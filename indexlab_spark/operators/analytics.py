@@ -2777,3 +2777,103 @@ def mann_whitney_u(
         F.round(z, 6).alias("z_stat"),
         F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias("z_sig"),
     )
+
+
+# Poisson(1) CDF at k = 0..7 — the inverse-CDF thresholds for the
+# deterministic bootstrap weights; the SAME literals appear verbatim in
+# the mwu/bootstrap oracle SQL so both engines draw identical integers.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def bootstrap_ci(
+    df: "DataFrame",
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    level: float = 0.95,
+    seed: int = 1,
+) -> "DataFrame":
+    """Poisson-bootstrap confidence interval for the mean (the
+    distributed bootstrap of Chamandy et al. / Kleiner et al.'s
+    lineage: resampling n-out-of-n at scale is infeasible because no
+    worker knows n up front, but multinomial counts converge to
+    independent Poisson(1) weights, so each row draws its replicate
+    weights LOCALLY) — the uncertainty companion to
+    :func:`ab_test_report`: a CI on any mean metric without normality
+    assumptions or a closed-form variance.
+
+    Fully deterministic and oracle-replayable: replicate ``b``'s
+    weight for a row is the Poisson(1) inverse CDF applied to the
+    md5-derived uniform of ``seed|b|id`` (the weighted_sample /
+    stratified_split md5 discipline; CDF thresholds in
+    ``_POIS1_CDF``, weights capped at 8 where the CDF tail is < 1e-5).
+
+    ONE corpus pass: rows explode ``b = 0..n_boot`` MAP-SIDE (b=0
+    carries weight 1, making the point estimate and n part of the same
+    aggregation) and combine into a (n_boot+1)-row keyed frame — the
+    shuffle is replicate-count-sized, never corpus-sized. The CI is
+    the exact interpolated percentile pair over the replicate means
+    (a second agg over n_boot rows).
+
+    Output (one row): n, mean (6dp), lo, hi (6dp bootstrap percentile
+    bounds at ``level``), n_boot, level. Empty input yields n=0 and
+    NULL mean/lo/hi. Replicates with all-zero weight (vanishing
+    probability for n more than a few rows) drop from the percentile.
+    """
+    if n_boot < 1:
+        raise ValueError(f"bootstrap_ci: n_boot must be >= 1, got {n_boot}")
+    if not (0.0 < level < 1.0):
+        raise ValueError(f"bootstrap_ci: level in (0, 1), got {level}")
+    from indexlab_spark.functions.hashing import md5_long
+
+    x = F.col(value_col).cast("double")
+    base = df.select(
+        x.alias("x"), F.col(id_col).cast("string").alias("_id")
+    ).filter(F.col("x").isNotNull())
+    rep = base.select(
+        "x",
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot))).alias("b"),
+    )
+    u = md5_long(
+        F.concat(
+            F.lit(f"{seed}|"), F.col("b").cast("string"), F.lit("|"),
+            F.col("_id"),
+        )
+    ) / F.lit(2.0**60)
+    pois = F.lit(len(_POIS1_CDF))
+    for k in reversed(range(len(_POIS1_CDF))):
+        pois = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(pois)
+    w = F.when(F.col("b") == 0, F.lit(1)).otherwise(pois).cast("double")
+    means = rep.select("b", w.alias("w"), "x").groupBy("b").agg(
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum("w").alias("sw"),
+    )
+    alpha = (1.0 - level) / 2.0
+    stats = means.agg(
+        F.max(
+            F.when(F.col("b") == 0, F.col("sx") / F.col("sw"))
+        ).alias("_mean"),
+        F.max(F.when(F.col("b") == 0, F.col("sw"))).alias("_n"),
+        F.expr(
+            "percentile(CASE WHEN b >= 1 AND sw > 0 THEN sx / sw END,"
+            f" array({alpha!r}, {1.0 - alpha!r}))"
+        ).alias("_q"),
+    )
+    return stats.select(
+        F.coalesce(F.col("_n"), F.lit(0.0)).cast("long").alias("n"),
+        F.round("_mean", 6).alias("mean"),
+        F.round(F.col("_q")[0], 6).alias("lo"),
+        F.round(F.col("_q")[1], 6).alias("hi"),
+        F.lit(n_boot).alias("n_boot"),
+        F.lit(float(level)).alias("level"),
+    )

@@ -1336,3 +1336,88 @@ class TestMannWhitneyU:
         r1 = self._run(spark, av, bv, n_buckets=2)
         r2 = self._run(spark, av, bv, n_buckets=32)
         assert r1 == r2
+
+
+class TestBootstrapCI:
+    """Poisson bootstrap (analytics.bootstrap_ci): full local replica
+    (md5 uniforms -> Poisson weights -> replicate means -> interpolated
+    percentiles), determinism, point-estimate exactness, validation."""
+
+    def _local(self, vals, ids, n_boot=50, level=0.95, seed=1):
+        import hashlib
+
+        import numpy as np
+
+        from indexlab_spark.operators.analytics import _POIS1_CDF
+
+        def pois_w(b, i):
+            h = hashlib.md5(f"{seed}|{b}|{i}".encode()).hexdigest()
+            u = int(h[:15], 16) / 2.0**60
+            for k, c in enumerate(_POIS1_CDF):
+                if u < c:
+                    return k
+            return len(_POIS1_CDF)
+
+        means = []
+        for b in range(1, n_boot + 1):
+            ws = [pois_w(b, i) for i in ids]
+            sw = sum(ws)
+            if sw > 0:
+                means.append(
+                    sum(w * v for w, v in zip(ws, vals)) / sw
+                )
+        alpha = (1 - level) / 2
+        lo, hi = np.quantile(means, [alpha, 1 - alpha], method="linear")
+        return float(lo), float(hi)
+
+    def _run(self, spark, vals, ids, **kw):
+        from indexlab_spark.operators.analytics import bootstrap_ci
+
+        df = spark.createDataFrame(
+            list(zip(ids, [float(v) for v in vals])), "id string, x double"
+        )
+        return bootstrap_ci(df, "x", "id", **kw).collect()[0]
+
+    def test_matches_local_replica(self, spark):
+        vals = [float((i * 37) % 101) for i in range(40)]
+        ids = [str(1000 + i) for i in range(40)]
+        got = self._run(spark, vals, ids, n_boot=50)
+        lo, hi = self._local(vals, ids, n_boot=50)
+        assert abs(got["lo"] - round(lo, 6)) < 1e-6
+        assert abs(got["hi"] - round(hi, 6)) < 1e-6
+        assert got["n"] == 40
+        assert abs(got["mean"] - round(sum(vals) / 40, 6)) < 1e-6
+        assert got["lo"] <= got["mean"] <= got["hi"]
+
+    def test_deterministic(self, spark):
+        vals = list(range(25))
+        ids = [str(i) for i in range(25)]
+        a = self._run(spark, vals, ids, n_boot=30)
+        b = self._run(spark, vals, ids, n_boot=30)
+        assert a == b
+
+    def test_seed_moves_interval(self, spark):
+        vals = [float((i * 13) % 37) for i in range(30)]
+        ids = [str(i) for i in range(30)]
+        a = self._run(spark, vals, ids, n_boot=30, seed=1)
+        b = self._run(spark, vals, ids, n_boot=30, seed=2)
+        assert (a["lo"], a["hi"]) != (b["lo"], b["hi"])
+        assert a["mean"] == b["mean"]  # point estimate is weight-free
+
+    def test_empty_input(self, spark):
+        from indexlab_spark.operators.analytics import bootstrap_ci
+
+        df = spark.createDataFrame([], "id string, x double")
+        r = bootstrap_ci(df, "x", "id", n_boot=10).collect()[0]
+        assert r["n"] == 0 and r["mean"] is None and r["lo"] is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import bootstrap_ci
+
+        df = spark.createDataFrame([("1", 1.0)], "id string, x double")
+        with _pytest.raises(ValueError, match="n_boot"):
+            bootstrap_ci(df, "x", "id", n_boot=0)
+        with _pytest.raises(ValueError, match="level"):
+            bootstrap_ci(df, "x", "id", level=1.0)
