@@ -4398,6 +4398,23 @@ def _q_bootstrap_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training negatives (curation.negative_samples):
+    the first 100 documents act as queries with themselves as the sole
+    positive; 3 md5-bucketed negative picks per query. The oracle
+    replays the identical bucket-shard / pick-hash / winner-window /
+    anti-join / rank arithmetic in SQL."""
+    from indexlab_spark.operators.curation import negative_samples
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id")
+    qs = docs.orderBy("doc_id").limit(100)
+    pos = qs.select(
+        F.col("doc_id").alias("query_id"), F.col("doc_id").alias("doc_id")
+    )
+    return negative_samples(pos, docs, k=3)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5352,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_suppliers": _q_hits_suppliers,  # rows-only
         "mwu_prices": _q_mwu_prices,
         "bootstrap_prices": _q_bootstrap_prices,
+        "negatives_docs": _q_negatives_docs,
     }
 
 
@@ -9220,5 +9238,68 @@ def oracle_sql() -> dict[str, str]:
                    200 AS n_boot,
                    CAST(0.95 AS DOUBLE) AS level
             FROM s
+        """,
+        "negatives_docs": """
+            WITH docs AS (
+                SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d
+                FROM documents
+            ),
+            nb AS (
+                SELECT CAST(ceil(count(*) / 8.0) AS BIGINT) AS n
+                FROM docs
+            ),
+            docs_b AS (
+                SELECT d,
+                       CAST(concat('0x', substr(md5(d), 1, 15)) AS BIGINT)
+                           % (SELECT n FROM nb) AS bkt
+                FROM docs
+            ),
+            qs AS (
+                -- order by the NATIVE bigint id (the Spark side sorts
+                -- pre-cast), not the varchar cast
+                SELECT CAST(doc_id AS VARCHAR) AS q
+                FROM (SELECT DISTINCT doc_id FROM documents
+                      ORDER BY doc_id LIMIT 100) t
+            ),
+            picks AS (
+                SELECT q, i.i,
+                       CAST(concat('0x', substr(md5(concat(
+                           '1|', q, '|', CAST(i.i AS VARCHAR))), 1, 15))
+                           AS BIGINT) % (SELECT n FROM nb) AS bkt
+                FROM qs, generate_series(1, 6) AS i(i)
+            ),
+            cand AS (
+                SELECT p.q, p.i, db.d,
+                       CAST(concat('0x', substr(md5(concat(
+                           '1|', p.q, '|', CAST(p.i AS VARCHAR), '|',
+                           db.d)), 1, 15)) AS BIGINT) AS h
+                FROM picks p JOIN docs_b db USING (bkt)
+            ),
+            won AS (
+                SELECT q, i, d FROM (
+                    SELECT q, i, d,
+                           row_number() OVER (PARTITION BY q, i
+                                              ORDER BY h, d) AS rn
+                    FROM cand) t
+                WHERE rn = 1
+            ),
+            neg AS (
+                SELECT * FROM won WHERE q <> d
+            ),
+            dd AS (
+                SELECT q, i, d,
+                       row_number() OVER (PARTITION BY q, d
+                                          ORDER BY i) AS dn
+                FROM neg
+            ),
+            ranked AS (
+                SELECT q, d,
+                       row_number() OVER (PARTITION BY q
+                                          ORDER BY i) AS pick_rank
+                FROM dd WHERE dn = 1
+            )
+            SELECT q AS query_id, d AS doc_id,
+                   CAST(pick_rank AS INTEGER) AS pick_rank
+            FROM ranked WHERE pick_rank <= 3
         """,
     }

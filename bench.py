@@ -491,7 +491,8 @@ def main() -> None:
                  # mwu_prices 1.9s warm (sf0.1 min-of-2, r9);
                  # bootstrap_prices 0.6s (201-replicate explode is
                  # map-side codegen — cheap even at 30M expanded rows)
-                 "mwu_prices", "bootstrap_prices"):
+                 # negatives_docs 1.5s warm (sf0.1 min-of-2, r9)
+                 "mwu_prices", "bootstrap_prices", "negatives_docs"):
         fn = entry_mod.queries()[name]
         reps = (
             2

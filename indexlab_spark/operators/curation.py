@@ -1264,3 +1264,107 @@ def isotonic_calibrate(
         "bin int, lo double, hi double, n bigint, positives bigint, "
         "raw_rate double, calibrated double, mean_score double",
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    corpus: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 1,
+    bucket_target: int = 8,
+    margin: int = 3,
+) -> DataFrame:
+    """Deterministic random negatives for contrastive / retrieval
+    training pairs: for every query in ``positives``, up to ``k``
+    corpus documents that are NOT among that query's positives — the
+    (query, positive, negatives) triple builder every bi-encoder /
+    reranker training pipeline needs.
+
+    The naive spec is "k uniform draws per query from corpus \\ P(q)",
+    which at scale is a query x corpus cross join. Instead the
+    corpus is sharded ONCE into ``ceil(D / bucket_target)`` md5
+    buckets, and each query makes ``k + margin`` independent
+    deterministic picks: pick i hashes to a bucket (md5 of
+    seed|query|i — the weighted_sample md5 discipline), and within
+    that bucket the winning doc is the min of md5(seed|query|i|doc).
+    Every stage is a keyed join or keyed window: the only fan-out is
+    picks x bucket size (~``bucket_target``), never corpus-sized.
+    Collisions across picks and the query's own positives are then
+    removed, keeping the LOWEST pick index per surviving doc, and the
+    first ``k`` by pick order are emitted.
+
+    Deterministic and oracle-replayable end to end. Output: (query_col,
+    doc_col, pick_rank) with pick_rank 1..k in pick order. UP TO k
+    rows per query: a pick can land in an md5-empty bucket, collide
+    with another pick, or hit a positive — ``margin`` extra picks make
+    a shortfall vanishingly rare for corpora >> k * bucket_target;
+    queries with no eligible docs emit nothing (documented contract,
+    matched by the oracle).
+    """
+    if k < 1:
+        raise ValueError(f"negative_samples: k must be >= 1, got {k}")
+    if bucket_target < 1 or margin < 0:
+        raise ValueError(
+            "negative_samples: bucket_target >= 1 and margin >= 0"
+        )
+    from indexlab_spark.functions.hashing import md5_long
+
+    docs = corpus.select(
+        F.col(doc_col).cast("string").alias("_doc")
+    ).distinct()
+    n_docs = docs.count()  # one catalog-sized scalar, sizes the shards
+    if n_docs == 0:
+        return positives.sparkSession.createDataFrame(
+            [], f"{query_col} string, {doc_col} string, pick_rank int"
+        )
+    n_buckets = max(1, -(-n_docs // bucket_target))
+    docs_b = docs.withColumn(
+        "_bkt", md5_long(F.col("_doc")) % F.lit(n_buckets)
+    )
+    qs = positives.select(
+        F.col(query_col).cast("string").alias("_q")
+    ).distinct()
+    picks = qs.select(
+        "_q",
+        F.explode(F.sequence(F.lit(1), F.lit(k + margin))).alias("_i"),
+    ).withColumn(
+        "_bkt",
+        md5_long(
+            F.concat(F.lit(f"{seed}|"), F.col("_q"), F.lit("|"),
+                     F.col("_i").cast("string"))
+        ) % F.lit(n_buckets),
+    )
+    cand = picks.join(docs_b, "_bkt").withColumn(
+        "_h",
+        md5_long(
+            F.concat(F.lit(f"{seed}|"), F.col("_q"), F.lit("|"),
+                     F.col("_i").cast("string"), F.lit("|"),
+                     F.col("_doc"))
+        ),
+    )
+    w_pick = Window.partitionBy("_q", "_i").orderBy("_h", "_doc")
+    won = (
+        cand.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select("_q", "_i", "_doc")
+    )
+    pos = positives.select(
+        F.col(query_col).cast("string").alias("_q"),
+        F.col(doc_col).cast("string").alias("_doc"),
+    ).distinct()
+    neg = won.join(pos, ["_q", "_doc"], "left_anti")
+    w_dedup = Window.partitionBy("_q", "_doc").orderBy("_i")
+    w_rank = Window.partitionBy("_q").orderBy("_i")
+    return (
+        neg.withColumn("_dn", F.row_number().over(w_dedup))
+        .filter(F.col("_dn") == 1)
+        .withColumn("pick_rank", F.row_number().over(w_rank))
+        .filter(F.col("pick_rank") <= k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_doc").alias(doc_col),
+            "pick_rank",
+        )
+    )

@@ -1421,3 +1421,103 @@ class TestBootstrapCI:
             bootstrap_ci(df, "x", "id", n_boot=0)
         with _pytest.raises(ValueError, match="level"):
             bootstrap_ci(df, "x", "id", level=1.0)
+
+
+class TestNegativeSamples:
+    """Training-pair negatives (curation.negative_samples): full local
+    hash replica, positive exclusion, determinism, contracts."""
+
+    @staticmethod
+    def _h(s):
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def _local(self, queries, positives, docs, k, seed=1,
+               bucket_target=8, margin=3):
+        nb = max(1, -(-len(set(docs)) // bucket_target))
+        by_bucket = {}
+        for d in sorted(set(docs)):
+            by_bucket.setdefault(self._h(d) % nb, []).append(d)
+        out = {}
+        pos = set(positives)
+        for q in queries:
+            picked, seen = [], set()
+            for i in range(1, k + margin + 1):
+                b = self._h(f"{seed}|{q}|{i}") % nb
+                cand = by_bucket.get(b, [])
+                if not cand:
+                    continue
+                win = min(cand, key=lambda d: (self._h(f"{seed}|{q}|{i}|{d}"), d))
+                if (q, win) in pos or win in seen:
+                    continue
+                seen.add(win)
+                picked.append(win)
+                if len(picked) == k:
+                    break
+            out[q] = picked
+        return out
+
+    def _run(self, spark, positives, docs, **kw):
+        from indexlab_spark.operators.curation import negative_samples
+
+        pos_df = spark.createDataFrame(
+            positives, "query_id string, doc_id string"
+        )
+        doc_df = spark.createDataFrame([(d,) for d in docs], "doc_id string")
+        rows = negative_samples(pos_df, doc_df, **kw).collect()
+        got = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["pick_rank"])):
+            got.setdefault(r["query_id"], []).append(r["doc_id"])
+        return got
+
+    def test_matches_local_replica(self, spark):
+        docs = [f"d{i}" for i in range(25)]
+        positives = [("q1", "d3"), ("q1", "d7"), ("q2", "d0"), ("q3", "d9")]
+        got = self._run(spark, positives, docs, k=4)
+        want = self._local(
+            ["q1", "q2", "q3"], positives, docs, k=4
+        )
+        assert got == {q: v for q, v in want.items() if v}
+
+    def test_never_emits_positives_and_no_dups(self, spark):
+        docs = [f"d{i}" for i in range(12)]
+        positives = [(f"q{j}", f"d{i}") for j in range(4) for i in range(6)]
+        got = self._run(spark, positives, docs, k=5)
+        pos = {(q, d) for q, d in positives}
+        for q, ds in got.items():
+            assert len(ds) == len(set(ds))
+            for d in ds:
+                assert (q, d) not in pos
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        docs = [f"d{i}" for i in range(30)]
+        positives = [("q1", "d1"), ("q2", "d2")]
+        a = self._run(spark, positives, docs, k=3, seed=1)
+        b = self._run(spark, positives, docs, k=3, seed=1)
+        c = self._run(spark, positives, docs, k=3, seed=9)
+        assert a == b
+        assert a != c
+
+    def test_empty_corpus(self, spark):
+        from indexlab_spark.operators.curation import negative_samples
+
+        pos = spark.createDataFrame(
+            [("q1", "d1")], "query_id string, doc_id string"
+        )
+        docs = spark.createDataFrame([], "doc_id string")
+        assert negative_samples(pos, docs).count() == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.curation import negative_samples
+
+        pos = spark.createDataFrame(
+            [("q1", "d1")], "query_id string, doc_id string"
+        )
+        docs = spark.createDataFrame([("d1",)], "doc_id string")
+        with _pytest.raises(ValueError, match="k must"):
+            negative_samples(pos, docs, k=0)
+        with _pytest.raises(ValueError, match="bucket_target"):
+            negative_samples(pos, docs, bucket_target=0)
