@@ -4415,6 +4415,21 @@ def _q_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(pos, docs, k=3)
 
 
+def _q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal train/test split of event users
+    (curation.temporal_split, Lopez de Prado embargo discipline):
+    entity-level assignment by full activity span, 2-day embargo
+    before the 2024-01-20 boundary; straddlers and embargo-zone users
+    are labeled, not silently dropped."""
+    from indexlab_spark.operators.curation import temporal_split
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return temporal_split(
+        t["events"], "user_id", "ts", "2024-01-20 00:00:00",
+        embargo_seconds=172800,
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5370,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_prices": _q_mwu_prices,
         "bootstrap_prices": _q_bootstrap_prices,
         "negatives_docs": _q_negatives_docs,
+        "temporal_split": _q_temporal_split,
     }
 
 
@@ -9301,5 +9317,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT q AS query_id, d AS doc_id,
                    CAST(pick_rank AS INTEGER) AS pick_rank
             FROM ranked WHERE pick_rank <= 3
+        """,
+        "temporal_split": """
+            SELECT user_id,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   CASE WHEN min(ts) >= TIMESTAMP '2024-01-20 00:00:00'
+                            THEN 'test'
+                        WHEN max(ts) < TIMESTAMP '2024-01-20 00:00:00'
+                                       - INTERVAL 172800 SECOND
+                            THEN 'train'
+                        ELSE 'embargo' END AS split
+            FROM events GROUP BY user_id
         """,
     }

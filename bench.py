@@ -491,8 +491,10 @@ def main() -> None:
                  # mwu_prices 1.9s warm (sf0.1 min-of-2, r9);
                  # bootstrap_prices 0.6s (201-replicate explode is
                  # map-side codegen — cheap even at 30M expanded rows)
-                 # negatives_docs 1.5s warm (sf0.1 min-of-2, r9)
-                 "mwu_prices", "bootstrap_prices", "negatives_docs"):
+                 # negatives_docs 1.5s / temporal_split 0.4s warm
+                 # (sf0.1 min-of-2, r9)
+                 "mwu_prices", "bootstrap_prices", "negatives_docs",
+                 "temporal_split"):
         fn = entry_mod.queries()[name]
         reps = (
             2

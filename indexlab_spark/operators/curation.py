@@ -1368,3 +1368,53 @@ def negative_samples(
             "pick_rank",
         )
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    boundary: str,
+    embargo_seconds: int = 0,
+) -> DataFrame:
+    """Leakage-safe ENTITY-LEVEL time split with an embargo gap (the
+    purged/embargoed split of Lopez de Prado 2018, public) — the
+    temporal companion to :func:`~indexlab_spark.operators.dedup.
+    cluster_split`: that one stops near-duplicate leakage across
+    splits, this one stops TEMPORAL leakage. A per-row cut at
+    ``boundary`` still leaks, twice: the same entity lands on both
+    sides (its test behavior is predictable from its own train rows),
+    and rows just before the cut are autocorrelated with rows just
+    after. So the unit of assignment is the entity, judged by its
+    FULL activity span:
+
+    - ``test``   — first activity at/after ``boundary``;
+    - ``train``  — last activity strictly before ``boundary`` minus
+      ``embargo_seconds``;
+    - ``embargo`` — everything else: entities that straddle the
+      boundary or whose activity ends inside the embargo window.
+      Training pipelines drop this bucket; it is labeled rather than
+      silently removed so the cost of the gap is auditable.
+
+    ONE map-side-combined (entity -> min/max ts) aggregation; the
+    classification is a codegen projection. Output: (entity_col,
+    first_ts, last_ts, split), one row per entity.
+    """
+    if embargo_seconds < 0:
+        raise ValueError(
+            f"temporal_split: embargo_seconds >= 0, got {embargo_seconds}"
+        )
+    b = F.lit(boundary).cast("timestamp")
+    cutoff = b - F.make_interval(secs=F.lit(float(embargo_seconds)))
+    spans = df.groupBy(F.col(entity_col)).agg(
+        F.min(F.col(ts_col).cast("timestamp")).alias("first_ts"),
+        F.max(F.col(ts_col).cast("timestamp")).alias("last_ts"),
+    )
+    split = (
+        F.when(F.col("first_ts") >= b, "test")
+        .when(F.col("last_ts") < cutoff, "train")
+        .otherwise("embargo")
+    )
+    return spans.select(
+        entity_col, "first_ts", "last_ts", split.alias("split")
+    )

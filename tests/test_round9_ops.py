@@ -1521,3 +1521,75 @@ class TestNegativeSamples:
             negative_samples(pos, docs, k=0)
         with _pytest.raises(ValueError, match="bucket_target"):
             negative_samples(pos, docs, bucket_target=0)
+
+
+class TestTemporalSplit:
+    """Purged temporal split (curation.temporal_split): boundary and
+    embargo edge semantics, entity-level atomicity, validation."""
+
+    def _run(self, spark, rows, boundary, embargo=0):
+        from indexlab_spark.operators.curation import temporal_split
+
+        df = spark.createDataFrame(rows, "user string, ts timestamp")
+        out = temporal_split(df, "user", "ts", boundary, embargo)
+        return {r["user"]: r["split"] for r in out.collect()}
+
+    def test_classification(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        rows = [
+            ("train_u", t("2024-01-01 00:00:00")),
+            ("train_u", t("2024-01-05 00:00:00")),
+            ("test_u", t("2024-01-20 00:00:00")),
+            ("straddle_u", t("2024-01-05 00:00:00")),
+            ("straddle_u", t("2024-01-25 00:00:00")),
+            ("embargo_u", t("2024-01-09 12:00:00")),  # inside the gap
+        ]
+        got = self._run(
+            spark, rows, "2024-01-10 00:00:00", embargo=86400
+        )
+        assert got == {
+            "train_u": "train",
+            "test_u": "test",
+            "straddle_u": "embargo",
+            "embargo_u": "embargo",
+        }
+
+    def test_boundary_edges(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        rows = [
+            ("at_boundary", t("2024-01-10 00:00:00")),  # >= -> test
+            ("at_cutoff", t("2024-01-09 00:00:00")),  # == cutoff -> embargo
+            ("just_before", t("2024-01-08 23:59:59")),  # < cutoff -> train
+        ]
+        got = self._run(spark, rows, "2024-01-10 00:00:00", embargo=86400)
+        assert got == {
+            "at_boundary": "test",
+            "at_cutoff": "embargo",
+            "just_before": "train",
+        }
+
+    def test_zero_embargo_is_a_plain_entity_cut(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        rows = [
+            ("a", t("2024-01-01 00:00:00")),
+            ("b", t("2024-01-10 00:00:00")),
+        ]
+        got = self._run(spark, rows, "2024-01-10 00:00:00", embargo=0)
+        assert got == {"a": "train", "b": "test"}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.curation import temporal_split
+
+        df = spark.createDataFrame([("a",)], "user string").withColumn(
+            "ts", F.current_timestamp()
+        )
+        with _pytest.raises(ValueError, match="embargo"):
+            temporal_split(df, "user", "ts", "2024-01-01", -1)
