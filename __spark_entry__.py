@@ -4430,6 +4430,26 @@ def _q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency screen over orders
+    (analytics.fd_discovery, Kivinen-Mannila g3): is o_orderkey really
+    a key for o_custkey (exact FD expected), does custkey determine
+    priority (expected violated), does the order date determine the
+    status. Oracle replays the per-determinant majority
+    arithmetic pair by pair."""
+    from indexlab_spark.operators.analytics import fd_discovery
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return fd_discovery(
+        t["orders"],
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5386,6 +5406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_prices": _q_bootstrap_prices,
         "negatives_docs": _q_negatives_docs,
         "temporal_split": _q_temporal_split,
+        "fd_orders": _q_fd_orders,
     }
 
 
@@ -9329,5 +9350,62 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'train'
                         ELSE 'embargo' END AS split
             FROM events GROUP BY user_id
+        """,
+        "fd_orders": """
+            WITH p1 AS (
+                SELECT sum(c) AS tot, max(c) AS mx FROM (
+                    SELECT o_orderkey AS det, o_custkey AS dep,
+                           count(*) AS c
+                    FROM orders WHERE o_orderkey IS NOT NULL
+                    GROUP BY 1, 2) g GROUP BY det
+            ),
+            p2 AS (
+                SELECT sum(c) AS tot, max(c) AS mx FROM (
+                    SELECT o_custkey AS det, o_orderpriority AS dep,
+                           count(*) AS c
+                    FROM orders WHERE o_custkey IS NOT NULL
+                    GROUP BY 1, 2) g GROUP BY det
+            ),
+            p3 AS (
+                SELECT sum(c) AS tot, max(c) AS mx FROM (
+                    SELECT o_orderdate AS det, o_orderstatus AS dep,
+                           count(*) AS c
+                    FROM orders WHERE o_orderdate IS NOT NULL
+                    GROUP BY 1, 2) g GROUP BY det
+            )
+            SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                   CAST(coalesce(sum(tot), 0) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(coalesce(sum(tot - mx), 0) AS BIGINT)
+                       AS violations,
+                   CAST(coalesce(sum(CASE WHEN tot > mx THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS violating_keys,
+                   round(coalesce(sum(tot - mx), 0) * 1.0
+                         / nullif(sum(tot), 0), 6) AS violation_rate,
+                   coalesce(sum(tot - mx), 0) = 0 AS holds
+            FROM p1
+            UNION ALL
+            SELECT 'o_custkey', 'o_orderpriority',
+                   CAST(coalesce(sum(tot), 0) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(tot - mx), 0) AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN tot > mx THEN 1
+                                          ELSE 0 END), 0) AS BIGINT),
+                   round(coalesce(sum(tot - mx), 0) * 1.0
+                         / nullif(sum(tot), 0), 6),
+                   coalesce(sum(tot - mx), 0) = 0
+            FROM p2
+            UNION ALL
+            SELECT 'o_orderdate', 'o_orderstatus',
+                   CAST(coalesce(sum(tot), 0) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(tot - mx), 0) AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN tot > mx THEN 1
+                                          ELSE 0 END), 0) AS BIGINT),
+                   round(coalesce(sum(tot - mx), 0) * 1.0
+                         / nullif(sum(tot), 0), 6),
+                   coalesce(sum(tot - mx), 0) = 0
+            FROM p3
         """,
     }

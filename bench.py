@@ -494,7 +494,8 @@ def main() -> None:
                  # negatives_docs 1.5s / temporal_split 0.4s warm
                  # (sf0.1 min-of-2, r9)
                  "mwu_prices", "bootstrap_prices", "negatives_docs",
-                 "temporal_split"):
+                 # fd_orders 0.8s warm (sf0.1 min-of-2, r9)
+                 "temporal_split", "fd_orders"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2877,3 +2877,84 @@ def bootstrap_ci(
         F.lit(n_boot).alias("n_boot"),
         F.lit(float(level)).alias("level"),
     )
+
+
+def fd_discovery(
+    df: "DataFrame",
+    pairs: list[tuple[str, str]],
+) -> "DataFrame":
+    """Approximate functional-dependency check over candidate column
+    pairs — the g3 error of Kivinen & Mannila 1995 (the standard
+    approximate-FD measure, what profilers like Metanome report): for
+    a candidate ``det -> dep``, the violation count is the minimum
+    number of rows to delete so the FD holds exactly, i.e. per
+    determinant value everything outside the majority dependent value.
+    The data-modeling / broken-ETL screen the one-pass profiler can't
+    express: "is o_orderkey really a key for o_custkey", "does zip
+    still determine state after the merge".
+
+    Per pair: one (det, dep)-keyed map-combined count, one det-keyed
+    (sum, max) agg, one scalar reduction — each scan column-pruned to
+    the two columns, nothing row-sized leaves the executors. Pairs run
+    as independent branches of one returned plan (a pair list is
+    human-sized; a grouping-sets fusion would serialize the hot path
+    through one wide shuffle instead of k narrow ones).
+
+    NULL contract: rows with a NULL determinant are excluded (an FD
+    says nothing about missing keys — documented to match the oracle);
+    a NULL dependent is a VALUE (two rows with the same det, one NULL
+    and one 'x', violate).
+
+    Output, one row per pair: determinant, dependent, n (rows with
+    non-null det), n_keys (distinct det), violations, violating_keys,
+    violation_rate (g3, 6dp, NULL when n = 0), holds (violations = 0).
+    """
+    if not pairs:
+        raise ValueError("fd_discovery: pairs must be non-empty")
+    from functools import reduce
+
+    outs = []
+    for det, dep in pairs:
+        g = (
+            df.filter(F.col(det).isNotNull())
+            .groupBy(
+                F.col(det).alias("_det"), F.col(dep).alias("_dep")
+            )
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        per_det = g.groupBy("_det").agg(
+            F.sum("_c").alias("_tot"), F.max("_c").alias("_mx")
+        )
+        agg = per_det.agg(
+            F.coalesce(F.sum("_tot"), F.lit(0)).alias("n"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(
+                F.sum(F.col("_tot") - F.col("_mx")), F.lit(0)
+            ).alias("violations"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_tot") > F.col("_mx"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("violating_keys"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.col("n").cast("long").alias("n"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("violations").cast("long").alias("violations"),
+                F.col("violating_keys").cast("long").alias(
+                    "violating_keys"
+                ),
+                F.round(
+                    F.try_divide(
+                        F.col("violations").cast("double"), F.col("n")
+                    ),
+                    6,
+                ).alias("violation_rate"),
+                (F.col("violations") == 0).alias("holds"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

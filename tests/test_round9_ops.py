@@ -1593,3 +1593,56 @@ class TestTemporalSplit:
         )
         with _pytest.raises(ValueError, match="embargo"):
             temporal_split(df, "user", "ts", "2024-01-01", -1)
+
+
+class TestFdDiscovery:
+    """Approximate FDs (analytics.fd_discovery): hand-computed g3
+    counts, exact-FD zero, NULL contracts, validation."""
+
+    def _run(self, spark, rows, pairs):
+        from indexlab_spark.operators.analytics import fd_discovery
+
+        df = spark.createDataFrame(rows, "a string, b string, c string")
+        out = fd_discovery(df, pairs).collect()
+        return {(r["determinant"], r["dependent"]): r for r in out}
+
+    def test_hand_computed_g3(self, spark):
+        rows = [
+            ("k1", "x", "p"), ("k1", "x", "p"), ("k1", "y", "p"),
+            ("k2", "z", "q"), ("k2", "z", "q"),
+            ("k3", "w", "r"),
+        ]
+        got = self._run(spark, rows, [("a", "b"), ("a", "c")])
+        r = got[("a", "b")]
+        # k1 majority x (2 of 3) -> 1 violation; k2, k3 clean
+        assert r["n"] == 6 and r["n_keys"] == 3
+        assert r["violations"] == 1 and r["violating_keys"] == 1
+        assert abs(r["violation_rate"] - round(1 / 6, 6)) < 1e-9
+        assert r["holds"] is False
+        assert got[("a", "c")]["holds"] is True
+        assert got[("a", "c")]["violations"] == 0
+
+    def test_null_contracts(self, spark):
+        rows = [
+            (None, "x", "p"),   # null det: excluded entirely
+            ("k1", None, "p"),  # null dep is a value...
+            ("k1", "x", "p"),   # ...so k1 has {NULL, x} -> 1 violation
+        ]
+        got = self._run(spark, rows, [("a", "b")])
+        r = got[("a", "b")]
+        assert r["n"] == 2 and r["violations"] == 1
+
+    def test_empty_input(self, spark):
+        got = self._run(spark, [], [("a", "b")])
+        r = got[("a", "b")]
+        assert r["n"] == 0 and r["violations"] == 0 and r["holds"] is True
+        assert r["violation_rate"] is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import fd_discovery
+
+        df = spark.createDataFrame([("a",)], "a string")
+        with _pytest.raises(ValueError, match="pairs"):
+            fd_discovery(df, [])
