@@ -4450,6 +4450,21 @@ def _q_fd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out m-estimate target encoding of order priority by
+    order total (curation.target_encode, Micci-Barreca 2001) — the
+    leakage-safe training-feature path: every row's encoding excludes
+    its own label. Oracle replays the smoothing/LOO arithmetic with a
+    null-safe category join."""
+    from indexlab_spark.operators.curation import target_encode
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return target_encode(
+        t["orders"], "o_orderpriority", "o_totalprice", "o_orderkey",
+        m=20.0, loo=True,
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5407,6 +5422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negatives_docs": _q_negatives_docs,
         "temporal_split": _q_temporal_split,
         "fd_orders": _q_fd_orders,
+        "target_encode": _q_target_encode,
     }
 
 
@@ -9407,5 +9423,27 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(sum(tot), 0), 6),
                    coalesce(sum(tot - mx), 0) = 0
             FROM p3
+        """,
+        "target_encode": """
+            WITH stats AS (
+                SELECT o_orderpriority AS cat,
+                       sum(o_totalprice) AS sy,
+                       count(o_totalprice) AS cn
+                FROM orders GROUP BY o_orderpriority
+            ),
+            p AS (SELECT sum(sy) / sum(cn) AS prior FROM stats)
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   round(CASE WHEN o.o_totalprice IS NOT NULL THEN
+                           CASE WHEN s.cn - 1 + 20.0 > 0
+                                THEN (s.sy - o.o_totalprice
+                                      + 20.0 * p.prior)
+                                     / (s.cn - 1 + 20.0)
+                                ELSE p.prior END
+                         ELSE (s.sy + 20.0 * p.prior) / (s.cn + 20.0)
+                         END, 6) AS te
+            FROM orders o
+            LEFT JOIN stats s
+                   ON o.o_orderpriority IS NOT DISTINCT FROM s.cat
+            CROSS JOIN p
         """,
     }

@@ -494,8 +494,9 @@ def main() -> None:
                  # negatives_docs 1.5s / temporal_split 0.4s warm
                  # (sf0.1 min-of-2, r9)
                  "mwu_prices", "bootstrap_prices", "negatives_docs",
-                 # fd_orders 0.8s warm (sf0.1 min-of-2, r9)
-                 "temporal_split", "fd_orders"):
+                 # fd_orders 0.8s / target_encode 1.1s warm (sf0.1
+                 # min-of-2, r9)
+                 "temporal_split", "fd_orders", "target_encode"):
         fn = entry_mod.queries()[name]
         reps = (
             2

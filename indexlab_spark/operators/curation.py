@@ -1418,3 +1418,74 @@ def temporal_split(
     return spans.select(
         entity_col, "first_ts", "last_ts", split.alias("split")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    m: float = 20.0,
+    loo: bool = False,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    m-estimate encoder of Micci-Barreca 2001, the standard high-
+    cardinality categorical feature for tabular models where one-hot
+    explodes: ``te = (sum_y + m * prior) / (n + m)`` per category,
+    shrinking rare categories toward the global prior.
+
+    ``loo=True`` gives the LEAVE-ONE-OUT variant for TRAINING rows —
+    the leakage-safe form (a row must not see its own label inside its
+    feature): ``te_i = (sum_y - y_i + m * prior) / (n - 1 + m)``.
+    With ``m > 0`` a singleton category degrades gracefully to exactly
+    the prior; rows with a NULL target get the non-LOO encoding (they
+    contributed nothing, so there is nothing to leave out). Score-time
+    frames use ``loo=False``.
+
+    Plan: one map-combined (category -> sum, count) agg + a broadcast
+    one-row prior, joined back on the category key — the join is
+    category-keyed, the stats frame is category-sized, nothing
+    row-sized reaches the driver. At 100 TB a hot category skews the
+    join; AQE's skew handling applies because this is a plain keyed
+    equi-join, not a window.
+
+    Output: (id_col, cat_col, te 6dp). NULL categories form their own
+    group (missingness is signal — documented; matches the oracle).
+    Empty or all-NULL-target input raises (no prior to shrink toward).
+    """
+    if m < 0:
+        raise ValueError(f"target_encode: m must be >= 0, got {m}")
+    y = F.col(target_col).cast("double")
+    stats = df.groupBy(F.col(cat_col).alias("_cat")).agg(
+        F.sum(y).alias("_sy"),
+        F.count(y).alias("_cn"),
+    )
+    prior_row = stats.agg(
+        (F.sum("_sy") / F.sum("_cn")).alias("_prior")
+    ).first()
+    prior = prior_row["_prior"]
+    if prior is None:
+        raise ValueError("target_encode: no non-null targets")
+    rows = df.select(F.col(id_col), F.col(cat_col), y.alias("_y"))
+    # null-safe equality: a NULL category is a real group (missingness
+    # is signal), and a plain equi-join would drop it
+    base = rows.join(
+        stats, rows[cat_col].eqNullSafe(stats["_cat"]), "left"
+    ).drop("_cat")
+    fitted = (F.col("_sy") + F.lit(m * prior)) / (
+        F.col("_cn") + F.lit(m)
+    )
+    if loo:
+        denom = F.col("_cn") - 1 + F.lit(m)
+        loo_te = F.when(
+            denom > 0,
+            (F.col("_sy") - F.col("_y") + F.lit(m * prior)) / denom,
+        ).otherwise(
+            F.lit(prior)
+        )  # m=0 singleton: nothing left after leave-out -> prior
+        te = F.when(F.col("_y").isNotNull(), loo_te).otherwise(fitted)
+    else:
+        te = fitted
+    return base.select(
+        id_col, cat_col, F.round(te, 6).alias("te")
+    )

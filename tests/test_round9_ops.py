@@ -1646,3 +1646,68 @@ class TestFdDiscovery:
         df = spark.createDataFrame([("a",)], "a string")
         with _pytest.raises(ValueError, match="pairs"):
             fd_discovery(df, [])
+
+
+class TestTargetEncode:
+    """m-estimate target encoding (curation.target_encode): hand
+    arithmetic, LOO leakage semantics, degenerate contracts."""
+
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.curation import target_encode
+
+        df = spark.createDataFrame(rows, "id string, cat string, y double")
+        out = target_encode(df, "cat", "y", "id", **kw).collect()
+        return {r["id"]: r["te"] for r in out}
+
+    def test_fitted_hand_arithmetic(self, spark):
+        rows = [
+            ("r1", "a", 1.0), ("r2", "a", 0.0),
+            ("r3", "b", 1.0),
+        ]
+        got = self._run(spark, rows, m=2.0)
+        prior = 2.0 / 3.0
+        te_a = (1.0 + 2.0 * prior) / (2 + 2.0)
+        te_b = (1.0 + 2.0 * prior) / (1 + 2.0)
+        assert abs(got["r1"] - round(te_a, 6)) < 1e-9
+        assert abs(got["r2"] - round(te_a, 6)) < 1e-9
+        assert abs(got["r3"] - round(te_b, 6)) < 1e-9
+
+    def test_loo_excludes_own_label(self, spark):
+        rows = [
+            ("r1", "a", 1.0), ("r2", "a", 0.0), ("r3", "a", 1.0),
+        ]
+        got = self._run(spark, rows, m=1.0, loo=True)
+        prior = 2.0 / 3.0
+        # r1: (2 - 1 + prior) / (3 - 1 + 1)
+        assert abs(got["r1"] - round((1 + prior) / 3.0, 6)) < 1e-9
+        assert abs(got["r2"] - round((2 + prior) / 3.0, 6)) < 1e-9
+
+    def test_loo_singleton_with_zero_m_falls_back_to_prior(self, spark):
+        rows = [("r1", "a", 1.0), ("r2", "b", 0.0)]
+        got = self._run(spark, rows, m=0.0, loo=True)
+        assert abs(got["r1"] - 0.5) < 1e-9
+        assert abs(got["r2"] - 0.5) < 1e-9
+
+    def test_null_target_gets_fitted_encoding_under_loo(self, spark):
+        rows = [("r1", "a", 1.0), ("r2", "a", None), ("r3", "a", 0.0)]
+        got = self._run(spark, rows, m=0.0, loo=True)
+        assert abs(got["r2"] - 0.5) < 1e-9  # fitted mean of {1, 0}
+
+    def test_null_category_is_a_group(self, spark):
+        rows = [("r1", None, 1.0), ("r2", None, 1.0), ("r3", "a", 0.0)]
+        got = self._run(spark, rows, m=0.0)
+        assert abs(got["r1"] - 1.0) < 1e-9
+        assert abs(got["r3"] - 0.0) < 1e-9
+
+    def test_all_null_targets_raise(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.curation import target_encode
+
+        df = spark.createDataFrame(
+            [("r1", "a", None)], "id string, cat string, y double"
+        )
+        with _pytest.raises(ValueError, match="non-null"):
+            target_encode(df, "cat", "y", "id")
+        with _pytest.raises(ValueError, match="m must"):
+            target_encode(df, "cat", "y", "id", m=-1)
