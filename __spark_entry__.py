@@ -4465,6 +4465,23 @@ def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCE-style hard-negative mining (knn.hard_negatives): the first
+    50 embeddings act as queries with themselves as the sole positive;
+    top-5 inner-product near-misses per query after pool-then-exclude
+    (pool = k + max positives = 6). Oracle replays the identical
+    round-before-rank / exclusion / re-rank pipeline."""
+    from indexlab_spark.operators.knn import hard_negatives
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pos = q.select("query_id", F.col("query_id").alias("doc_id"))
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    return hard_negatives(q, pos, corpus, k=5)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5423,6 +5440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": _q_temporal_split,
         "fd_orders": _q_fd_orders,
         "target_encode": _q_target_encode,
+        "hard_negatives": _q_hard_negatives,
     }
 
 
@@ -9445,5 +9463,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN stats s
                    ON o.o_orderpriority IS NOT DISTINCT FROM s.cat
             CROSS JOIN p
+        """,
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 50),
+            s AS (SELECT q.query_id, e.vec_id AS doc_id,
+                         round(list_dot_product(q.qv,
+                               CAST(e.embedding AS DOUBLE[])), 6) AS score
+                  FROM q, embeddings e),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rk
+                  FROM s),
+            neg AS (SELECT * FROM r
+                    WHERE rk <= 6 AND doc_id <> query_id),
+            rr AS (SELECT query_id, doc_id, score,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rk) AS INTEGER) AS hard_rank
+                   FROM neg)
+            SELECT query_id, doc_id, score, hard_rank
+            FROM rr WHERE hard_rank <= 5
         """,
     }

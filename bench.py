@@ -496,7 +496,9 @@ def main() -> None:
                  "mwu_prices", "bootstrap_prices", "negatives_docs",
                  # fd_orders 0.8s / target_encode 1.1s warm (sf0.1
                  # min-of-2, r9)
-                 "temporal_split", "fd_orders", "target_encode"):
+                 # hard_negatives 1.8s warm (sf0.1 min-of-2, r9)
+                 "temporal_split", "fd_orders", "target_encode",
+                 "hard_negatives"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -1124,3 +1124,88 @@ def kmeans_summary(
             F.round(F.first("_nm"), 6).alias("centroid_norm"),
         )
     )
+
+
+def hard_negatives(
+    queries_df: DataFrame,
+    positives: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    doc_id_col: str = "doc_id",
+    corpus_vec_col: str = "embedding",
+    metric: str = "ip",
+    extra_pool: int = 0,
+) -> DataFrame:
+    """Hard negatives for contrastive training — the similarity-mined
+    complement to :func:`~indexlab_spark.operators.curation.
+    negative_samples`' random picks: the top-scoring corpus docs that
+    are NOT the query's positives (ANCE / DPR-style mining, public).
+    Random negatives teach a bi-encoder almost nothing once it
+    separates topics; the gradient lives in the near-misses.
+
+    Pool-then-exclude (the pipeline's K8 cushion discipline): mine the
+    top ``k + max_positives_per_query + extra_pool`` per query — the
+    max comes from ONE catalog-sized scalar probe of the positives
+    frame, so the pool provably survives the worst-case exclusion —
+    then anti-join the positives and re-rank the survivors by pool
+    order, keeping ``k``. Scores round to 6dp BEFORE ranking with a
+    doc-id tie-break (the knn gate determinism contract).
+
+    Plan: broadcast queries x corpus scan (the corpus never moves),
+    window top-pool compiling to WindowGroupLimit (per-partition
+    partial top-k), positives anti-join, bounded re-rank over
+    pool-sized groups. For a 100 TB corpus pass an IVF/PQ-pruned
+    candidate frame as ``corpus_df`` — the mining contract is
+    unchanged, only the candidate generator narrows.
+
+    Output: (query_id, doc_id, score 6dp, hard_rank 1..k).
+    """
+    if k < 1:
+        raise ValueError(f"hard_negatives: k must be >= 1, got {k}")
+    if metric not in ("ip", "cos"):
+        raise ValueError(f"hard_negatives: metric 'ip' or 'cos', got {metric}")
+    if extra_pool < 0:
+        raise ValueError("hard_negatives: extra_pool must be >= 0")
+    max_pos_row = (
+        positives.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c"))
+        .first()
+    )
+    pool = k + int(max_pos_row[0] or 0) + extra_pool
+    q, c = queries_df, corpus_df
+    if metric == "cos":
+        q = q.withColumn("_qn", l2_norm(query_vec_col))
+        c = c.withColumn("_cn", l2_norm(corpus_vec_col))
+        d = dot(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
+        score = F.when(
+            (F.col("_q._qn") > 0) & (F.col("_c._cn") > 0),
+            d / (F.col("_q._qn") * F.col("_c._cn")),
+        ).otherwise(F.lit(0.0))
+    else:
+        score = dot(F.col("_q." + query_vec_col), F.col("_c." + corpus_vec_col))
+    scored = (
+        F.broadcast(q.alias("_q"))
+        .crossJoin(c.alias("_c"))
+        .select(
+            F.col("_q." + query_id_col).alias(query_id_col),
+            F.col("_c." + doc_id_col).alias(doc_id_col),
+            F.round(score, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(doc_id_col)
+    )
+    pooled = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= pool
+    )
+    pos = positives.select(query_id_col, doc_id_col).distinct()
+    neg = pooled.join(pos, [query_id_col, doc_id_col], "left_anti")
+    w2 = Window.partitionBy(query_id_col).orderBy("_rk")
+    return (
+        neg.withColumn("hard_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("hard_rank") <= k)
+        .select(query_id_col, doc_id_col, "score", "hard_rank")
+    )

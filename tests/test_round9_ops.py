@@ -1711,3 +1711,103 @@ class TestTargetEncode:
             target_encode(df, "cat", "y", "id")
         with _pytest.raises(ValueError, match="m must"):
             target_encode(df, "cat", "y", "id", m=-1)
+
+
+class TestHardNegatives:
+    """ANCE-style mining (knn.hard_negatives): numpy brute parity with
+    pool-then-exclude semantics, cushion sufficiency, cosine path."""
+
+    def _np_ref(self, qs, corpus, positives, k, metric="ip"):
+        import numpy as np
+
+        out = {}
+        pos = {}
+        for q, d in positives:
+            pos.setdefault(q, set()).add(d)
+        max_pos = max((len(v) for v in pos.values()), default=0)
+        pool = k + max_pos
+        for qid, qv in qs:
+            scores = []
+            for did, dv in corpus:
+                if metric == "ip":
+                    s = float(np.dot(qv, dv))
+                else:
+                    nq, nd = np.linalg.norm(qv), np.linalg.norm(dv)
+                    s = float(np.dot(qv, dv) / (nq * nd)) if nq > 0 and nd > 0 else 0.0
+                scores.append((round(s, 6), did))
+            ranked = sorted(scores, key=lambda t: (-t[0], t[1]))[:pool]
+            negs = [
+                (did, s) for s, did in ranked if did not in pos.get(qid, set())
+            ][:k]
+            out[qid] = negs
+        return out
+
+    def _run(self, spark, qs, corpus, positives, k, metric="ip"):
+        from indexlab_spark.operators.knn import hard_negatives
+
+        qdf = spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in qs],
+            "query_id string, qvec array<double>",
+        )
+        cdf = spark.createDataFrame(
+            [(d, [float(x) for x in v]) for d, v in corpus],
+            "doc_id string, embedding array<double>",
+        )
+        pdf = spark.createDataFrame(positives, "query_id string, doc_id string")
+        rows = hard_negatives(qdf, pdf, cdf, k, metric=metric).collect()
+        got = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["hard_rank"])):
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        return got
+
+    def test_matches_numpy_pool_then_exclude(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        corpus = [(f"d{i}", rng.normal(size=8)) for i in range(30)]
+        qs = [(f"q{i}", rng.normal(size=8)) for i in range(4)]
+        positives = [("q0", "d1"), ("q0", "d2"), ("q1", "d5"), ("q3", "d0")]
+        got = self._run(spark, qs, corpus, positives, k=4)
+        want = self._np_ref(qs, corpus, positives, k=4)
+        assert got == want
+
+    def test_positive_in_topk_is_excluded_and_backfilled(self, spark):
+        # corpus doc equal to the query vector is its own top-1 under cos
+        qs = [("q1", [1.0, 0.0])]
+        corpus = [
+            ("self", [1.0, 0.0]),
+            ("near", [0.9, 0.1]),
+            ("far", [0.0, 1.0]),
+        ]
+        got = self._run(
+            spark, qs, corpus, [("q1", "self")], k=2, metric="cos"
+        )
+        docs = [d for d, _ in got["q1"]]
+        assert docs == ["near", "far"]
+
+    def test_cosine_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        corpus = [(f"d{i}", rng.normal(size=5)) for i in range(15)]
+        qs = [(f"q{i}", rng.normal(size=5)) for i in range(3)]
+        positives = [("q0", "d3")]
+        got = self._run(spark, qs, corpus, positives, k=3, metric="cos")
+        want = self._np_ref(qs, corpus, positives, k=3, metric="cos")
+        assert got == want
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.knn import hard_negatives
+
+        df = spark.createDataFrame(
+            [("q", [1.0])], "query_id string, qvec array<double>"
+        )
+        pos = spark.createDataFrame([("q", "d")], "query_id string, doc_id string")
+        with _pytest.raises(ValueError, match="k must"):
+            hard_negatives(df, pos, df, 0)
+        with _pytest.raises(ValueError, match="metric"):
+            hard_negatives(df, pos, df, 1, metric="l2")
