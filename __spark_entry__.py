@@ -4482,6 +4482,22 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(q, pos, corpus, k=5)
 
 
+def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (analytics.roc_auc, rank identity /
+    normalized Mann-Whitney U) scoring how well the first embedding
+    coordinate separates low labels (<5) from high — the headline
+    ranking metric without a corpus sort; oracle replays the midrank
+    arithmetic."""
+    from indexlab_spark.operators.analytics import roc_auc
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    scored = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        F.col("embedding")[0].cast("double").alias("s"),
+    )
+    return roc_auc(scored, "y", "s")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5441,6 +5457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_orders": _q_fd_orders,
         "target_encode": _q_target_encode,
         "hard_negatives": _q_hard_negatives,
+        "roc_auc": _q_roc_auc,
     }
 
 
@@ -9483,5 +9500,39 @@ def oracle_sql() -> dict[str, str]:
                    FROM neg)
             SELECT query_id, doc_id, score, hard_rank
             FROM rr WHERE hard_rank <= 5
+        """,
+        "roc_auc": """
+            WITH f AS (
+                SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+                       CAST(embedding[1] AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT v,
+                       count(CASE WHEN y = 1 THEN 1 END) AS c_a,
+                       count(CASE WHEN y = 0 THEN 1 END) AS c_b
+                FROM f WHERE v IS NOT NULL GROUP BY v
+            ),
+            r AS (
+                SELECT c_a, c_b, c_a + c_b AS t,
+                       coalesce(sum(c_a + c_b) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM c
+            ),
+            s AS (
+                SELECT CAST(sum(c_a) AS BIGINT) AS np,
+                       CAST(sum(c_b) AS BIGINT) AS nn,
+                       sum(c_a * (cb + (t + 1) / 2.0)) AS r_a
+                FROM r
+            )
+            SELECT CAST(np AS INTEGER) AS n_pos,
+                   CAST(nn AS INTEGER) AS n_neg,
+                   round((r_a - np * (np + 1) / 2.0)
+                         / (CAST(np AS DOUBLE) * nn), 6) AS auc,
+                   round(2 * (r_a - np * (np + 1) / 2.0)
+                         / (CAST(np AS DOUBLE) * nn) - 1, 6) AS gini
+            FROM s
         """,
     }

@@ -497,8 +497,9 @@ def main() -> None:
                  # fd_orders 0.8s / target_encode 1.1s warm (sf0.1
                  # min-of-2, r9)
                  # hard_negatives 1.8s warm (sf0.1 min-of-2, r9)
+                 # roc_auc 1.5s warm (sf0.1 min-of-2, r9)
                  "temporal_split", "fd_orders", "target_encode",
-                 "hard_negatives"):
+                 "hard_negatives", "roc_auc"):
         fn = entry_mod.queries()[name]
         reps = (
             2

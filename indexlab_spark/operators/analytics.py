@@ -2653,6 +2653,54 @@ def contingency_stats(
     )
 
 
+def _midrank_sums(counts: "DataFrame", n_buckets: int) -> "DataFrame":
+    """Shared rank engine for :func:`mann_whitney_u` / :func:`roc_auc`:
+    given a distinct-value frame ``(v, c_a, c_b)``, return the 1-row
+    frame ``(r_a = sum of c_a * midrank(v), tie = sum(t^3 - t))``
+    where midranks come from the ks_drift two-level bucketed cumsum —
+    per-bucket parallel windows plus an n_buckets-row offset frame,
+    never a single-partition window over data."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = counts.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    edges = sorted({float(x) for x in edges_row["e"]})
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(b)
+    bucketed = counts.withColumn("bucket", b).withColumn(
+        "t", F.col("c_a") + F.col("c_b")
+    )
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = bucketed.select(
+        "bucket", "v", "c_a", "t", F.sum("t").over(w).alias("cum_incl")
+    )
+    bw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-partition window over <= n_buckets rows — bounded
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("t").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("off"),
+        )
+    )
+    avg_rank = (
+        F.col("off") + F.col("cum_incl") - F.col("t")
+        + (F.col("t") + 1) / 2.0
+    )
+    return cum.join(F.broadcast(offsets), "bucket").agg(
+        F.sum(F.col("c_a") * avg_rank).alias("r_a"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie"),
+    )
+
+
 def mann_whitney_u(
     df: "DataFrame",
     group_col: str,
@@ -2714,45 +2762,7 @@ def mann_whitney_u(
             ],
             F.lit(False).alias("z_sig"),
         )
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    edges_row = counts.agg(
-        F.expr(
-            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
-        ).alias("e")
-    ).first()
-    edges = sorted({float(x) for x in edges_row["e"]})
-    b = F.lit(0)
-    for i, e in enumerate(edges):
-        b = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(b)
-    bucketed = counts.withColumn("bucket", b).withColumn(
-        "t", F.col("c_a") + F.col("c_b")
-    )
-    w = Window.partitionBy("bucket").orderBy("v")
-    cum = bucketed.select(
-        "bucket", "v", "c_a", "t", F.sum("t").over(w).alias("cum_incl")
-    )
-    bw = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # single-partition window over <= n_buckets rows — bounded
-    offsets = (
-        bucketed.groupBy("bucket")
-        .agg(F.sum("t").alias("bt"))
-        .select(
-            "bucket",
-            F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("off"),
-        )
-    )
-    avg_rank = (
-        F.col("off") + F.col("cum_incl") - F.col("t")
-        + (F.col("t") + 1) / 2.0
-    )
-    sums = cum.join(F.broadcast(offsets), "bucket").agg(
-        F.sum(F.col("c_a") * avg_rank).alias("r_a"),
-        F.sum(
-            F.col("t").cast("double") * F.col("t") * F.col("t")
-            - F.col("t")
-        ).alias("tie"),
-    )
+    sums = _midrank_sums(counts, n_buckets)
     u_a = F.col("r_a") - F.lit(n_a * (n_a + 1) / 2.0)
     u_b = F.lit(float(n_a) * n_b) - u_a
     mu = F.lit(n_a * n_b / 2.0)
@@ -2958,3 +2968,60 @@ def fd_discovery(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def roc_auc(
+    df: "DataFrame",
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Exact tie-aware ROC-AUC via the rank identity AUC = (R_pos -
+    n_pos(n_pos+1)/2) / (n_pos * n_neg) — AUC IS the Mann-Whitney U
+    statistic normalized (ties contribute 1/2, matching
+    sklearn.roc_auc_score's trapezoidal treatment) — the headline
+    ranking metric for every scorer in the repo (quality classifier,
+    target encoding, dedup scores) WITHOUT materializing a ROC curve
+    or sorting the corpus: the same distinct-value midrank engine as
+    :func:`mann_whitney_u` (one map-combined value agg is the only
+    corpus pass; :func:`_midrank_sums` two-level cumsum for ranks).
+
+    Label contract: rows are classified by ``label == 1`` /
+    ``label == 0`` after a double cast; anything else — non-binary
+    labels, NULL labels, NULL scores — is EXCLUDED, with n_pos/n_neg
+    reporting only the used rows (pinned in tests).
+
+    Output (one row): n_pos, n_neg, auc (6dp), gini (2*auc - 1, 6dp).
+    Degenerate input (an empty class) yields NULL auc/gini.
+    """
+    y = F.col(label_col).cast("double")
+    counts = (
+        df.select(y.alias("_y"), F.col(score_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull() & F.col("_y").isin(0.0, 1.0))
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("_y") == 1.0, 1)).alias("c_a"),
+            F.count(F.when(F.col("_y") == 0.0, 1)).alias("c_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("np"), F.sum("c_b").alias("nn")
+    ).first()
+    n_pos, n_neg = int(tot["np"] or 0), int(tot["nn"] or 0)
+    if n_pos == 0 or n_neg == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(n_pos).alias("n_pos"),
+            F.lit(n_neg).alias("n_neg"),
+            F.lit(None).cast("double").alias("auc"),
+            F.lit(None).cast("double").alias("gini"),
+        )
+    sums = _midrank_sums(counts, n_buckets)
+    auc = (F.col("r_a") - F.lit(n_pos * (n_pos + 1) / 2.0)) / F.lit(
+        float(n_pos) * n_neg
+    )
+    return sums.select(
+        F.lit(n_pos).alias("n_pos"),
+        F.lit(n_neg).alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )

@@ -1811,3 +1811,61 @@ class TestHardNegatives:
             hard_negatives(df, pos, df, 0)
         with _pytest.raises(ValueError, match="metric"):
             hard_negatives(df, pos, df, 1, metric="l2")
+
+
+class TestRocAuc:
+    """Exact rank AUC (analytics.roc_auc): brute pair-counting parity
+    (the probabilistic definition), tie halves, degenerate classes."""
+
+    def _run(self, spark, pairs):
+        from indexlab_spark.operators.analytics import roc_auc
+
+        df = spark.createDataFrame(
+            [(float(y), float(s)) for y, s in pairs], "y double, s double"
+        )
+        return roc_auc(df, "y", "s").collect()[0]
+
+    @staticmethod
+    def _brute(pairs):
+        pos = [s for y, s in pairs if y == 1]
+        neg = [s for y, s in pairs if y == 0]
+        tot = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos
+            for n in neg
+        )
+        return tot / (len(pos) * len(neg))
+
+    def test_matches_brute_pair_counting(self, spark):
+        pairs = [
+            (1, 0.9), (1, 0.7), (1, 0.7), (1, 0.3),
+            (0, 0.8), (0, 0.7), (0, 0.2), (0, 0.1), (0, 0.3),
+        ]
+        got = self._run(spark, pairs)
+        assert got["n_pos"] == 4 and got["n_neg"] == 5
+        assert abs(got["auc"] - round(self._brute(pairs), 6)) < 1e-9
+        assert abs(got["gini"] - round(2 * self._brute(pairs) - 1, 6)) < 1e-9
+
+    def test_perfect_and_inverted(self, spark):
+        perfect = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+        assert self._run(spark, perfect)["auc"] == 1.0
+        inverted = [(1, 0.1), (1, 0.2), (0, 0.8), (0, 0.9)]
+        assert self._run(spark, inverted)["auc"] == 0.0
+
+    def test_all_tied_is_half(self, spark):
+        pairs = [(1, 0.5), (1, 0.5), (0, 0.5)]
+        assert abs(self._run(spark, pairs)["auc"] - 0.5) < 1e-9
+
+    def test_single_class_is_null(self, spark):
+        r = self._run(spark, [(1, 0.5), (1, 0.7)])
+        assert r["auc"] is None and r["n_neg"] == 0
+
+    def test_non_binary_and_null_rows_excluded(self, spark):
+        from indexlab_spark.operators.analytics import roc_auc
+
+        df = spark.createDataFrame(
+            [(1.0, 0.9), (0.0, 0.1), (2.0, 0.5), (None, 0.5), (1.0, None)],
+            "y double, s double",
+        )
+        r = roc_auc(df, "y", "s").collect()[0]
+        assert r["n_pos"] == 1 and r["n_neg"] == 1 and r["auc"] == 1.0
