@@ -4498,6 +4498,39 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(scored, "y", "s")
 
 
+def _q_reliability_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table + ECE (analytics.reliability_curve) for a
+    deterministic per-user score (user_id % 100 / 100) against
+    did-the-user-purchase — exercises binning/clamp/ECE arithmetic
+    end to end; oracle replays it bin by bin."""
+    from indexlab_spark.operators.analytics import reliability_curve
+
+    t = load_tables(spark, sf_dir, ("events",))
+    units = t["events"].groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("y"),
+    ).select(
+        ((F.col("user_id") % 100) / F.lit(100.0)).alias("p"), "y"
+    )
+    return reliability_curve(units, "y", "p", n_bins=10)
+
+
+def _q_woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / Information Value screen (analytics.woe_iv, Siddiqi
+    credit-scoring standard): how much does order priority say about
+    an order being finished ('F')? Add-0.5 smoothing; the <ALL> row
+    carries total IV. Oracle replays the smoothed share arithmetic."""
+    from indexlab_spark.operators.analytics import woe_iv
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    return woe_iv(base, "o_orderpriority", "y", smoothing=0.5)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5458,6 +5491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": _q_target_encode,
         "hard_negatives": _q_hard_negatives,
         "roc_auc": _q_roc_auc,
+        "reliability_events": _q_reliability_events,
+        "woe_orders": _q_woe_orders,
     }
 
 
@@ -9534,5 +9569,77 @@ def oracle_sql() -> dict[str, str]:
                    round(2 * (r_a - np * (np + 1) / 2.0)
                          / (CAST(np AS DOUBLE) * nn) - 1, 6) AS gini
             FROM s
+        """,
+        "reliability_events": """
+            WITH units AS (
+                SELECT user_id % 100 / 100.0 AS p,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS y
+                FROM events GROUP BY user_id
+            ),
+            b AS (
+                SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+                       p, y
+                FROM units
+                WHERE p IS NOT NULL AND p >= 0 AND p <= 1
+                  AND y IN (0, 1)
+            ),
+            per AS (
+                SELECT bin, count(*) AS n, avg(p) AS conf, avg(y) AS acc
+                FROM b GROUP BY bin
+            )
+            SELECT bin,
+                   round(bin / 10.0, 6) AS lo,
+                   round((bin + 1) / 10.0, 6) AS hi,
+                   CAST(n AS BIGINT) AS n,
+                   round(conf, 6) AS conf,
+                   round(acc, 6) AS acc,
+                   round(acc - conf, 6) AS gap,
+                   CAST(NULL AS DOUBLE) AS ece
+            FROM per
+            UNION ALL
+            SELECT -1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(coalesce(sum(n), 0) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   round(sum(n * abs(acc - conf)) / sum(n), 6)
+            FROM per
+        """,
+        "woe_orders": """
+            WITH f AS (
+                SELECT o_orderpriority AS cat,
+                       CASE WHEN o_orderstatus = 'F' THEN 1.0
+                            ELSE 0.0 END AS y
+                FROM orders
+            ),
+            per AS (
+                SELECT cat,
+                       count(CASE WHEN y = 1 THEN 1 END) AS n_pos,
+                       count(CASE WHEN y = 0 THEN 1 END) AS n_neg
+                FROM f GROUP BY cat
+            ),
+            tot AS (
+                SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                       CAST(sum(n_neg) AS BIGINT) AS tn,
+                       count(*) AS k
+                FROM per
+            ),
+            s AS (
+                SELECT coalesce(cat, '<NULL>') AS category,
+                       n_pos, n_neg,
+                       (n_pos + 0.5) / (tp + 0.5 * k) AS pg,
+                       (n_neg + 0.5) / (tn + 0.5 * k) AS pb
+                FROM per, tot
+            )
+            SELECT category, CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   round(ln(pg / pb), 6) AS woe,
+                   round((pg - pb) * ln(pg / pb), 6) AS iv_contrib,
+                   CAST(NULL AS DOUBLE) AS iv
+            FROM s
+            UNION ALL
+            SELECT '<ALL>', (SELECT tp FROM tot), (SELECT tn FROM tot),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   (SELECT round(sum((pg - pb) * ln(pg / pb)), 6) FROM s)
         """,
     }

@@ -498,8 +498,11 @@ def main() -> None:
                  # min-of-2, r9)
                  # hard_negatives 1.8s warm (sf0.1 min-of-2, r9)
                  # roc_auc 1.5s warm (sf0.1 min-of-2, r9)
+                 # reliability_events 0.8s / woe_orders 0.7s warm
+                 # (sf0.1 min-of-2, r9)
                  "temporal_split", "fd_orders", "target_encode",
-                 "hard_negatives", "roc_auc"):
+                 "hard_negatives", "roc_auc", "reliability_events",
+                 "woe_orders"):
         fn = entry_mod.queries()[name]
         reps = (
             2

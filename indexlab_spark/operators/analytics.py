@@ -3025,3 +3025,157 @@ def roc_auc(
         F.round(auc, 6).alias("auc"),
         F.round(2.0 * auc - 1.0, 6).alias("gini"),
     )
+
+
+def reliability_curve(
+    df: "DataFrame",
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> "DataFrame":
+    """Calibration / reliability table + expected calibration error
+    (Naeini et al. 2015's ECE, the standard calibration readout) — the
+    EVALUATION companion to the isotonic calibrator: does predicted
+    probability p actually mean "right p of the time"? Equal-width
+    bins over [0, 1] (bin = floor(p * n_bins), the 1.0 edge clamped
+    into the last bin); per bin the mean predicted probability
+    (confidence), observed positive rate (accuracy) and signed gap;
+    ECE = sum over bins of (n_b / N) * |acc_b - conf_b|.
+
+    ONE map-combined (bin -> count, sum p, sum y) aggregation over the
+    scored frame; the ECE total rides a second n_bins-row agg unioned
+    in as the ``bin = -1`` summary row (the benford_test total-row
+    shape). Rows with NULL p, p outside [0, 1], or a label other than
+    0/1 are EXCLUDED (the roc_auc contract).
+
+    Output: (bin, lo, hi, n, conf, acc, gap, ece) — ece is NULL on
+    per-bin rows and carries the total on the bin = -1 row (lo/hi
+    NULL there); all floats 6dp. Empty input yields just the summary
+    row with n = 0 and NULL ece.
+    """
+    if n_bins < 1:
+        raise ValueError(f"reliability_curve: n_bins >= 1, got {n_bins}")
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    base = df.select(y.alias("_y"), p.alias("_p")).filter(
+        F.col("_p").isNotNull()
+        & (F.col("_p") >= 0.0)
+        & (F.col("_p") <= 1.0)
+        & F.col("_y").isin(0.0, 1.0)
+    )
+    binned = base.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("_p") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_p").alias("_conf"),
+        F.avg("_y").alias("_acc"),
+    )
+    rows = per_bin.select(
+        "bin",
+        F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("lo"),
+        F.round((F.col("bin") + 1) / F.lit(float(n_bins)), 6).alias("hi"),
+        "n",
+        F.round("_conf", 6).alias("conf"),
+        F.round("_acc", 6).alias("acc"),
+        F.round(F.col("_acc") - F.col("_conf"), 6).alias("gap"),
+        F.lit(None).cast("double").alias("ece"),
+    )
+    total = per_bin.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.round(
+            F.sum(
+                F.col("n") * F.abs(F.col("_acc") - F.col("_conf"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("_ece"),
+    ).select(
+        F.lit(-1).alias("bin"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        "n",
+        F.lit(None).cast("double").alias("conf"),
+        F.lit(None).cast("double").alias("acc"),
+        F.lit(None).cast("double").alias("gap"),
+        F.col("_ece").alias("ece"),
+    )
+    return rows.unionByName(total)
+
+
+def woe_iv(
+    df: "DataFrame",
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> "DataFrame":
+    """Weight of Evidence / Information Value feature screen — the
+    credit-scoring-standard univariate strength measure for a
+    categorical predictor against a binary target (Siddiqi 2006):
+    WOE_c = ln((pos_c / pos_tot) / (neg_c / neg_tot)), IV = sum over
+    categories of (pos_share - neg_share) * WOE. The conventional
+    reading: IV < 0.02 useless, 0.1-0.3 medium, > 0.5 suspicious
+    (leakage). Add-lambda ``smoothing`` on both counts keeps
+    zero-count cells finite (the unigram_jsd discipline); shares are
+    smoothed consistently so they still sum to 1.
+
+    ONE map-combined (category -> pos, neg) agg; totals ride a
+    broadcast one-row frame; IV total emitted as the ``<ALL>`` row
+    (the unigram_jsd / benford shape). Label contract: rows with a
+    label other than exactly 0/1 after double cast are excluded; NULL
+    category is a real group.
+
+    Output: (category string, n_pos, n_neg, woe, iv_contrib, iv) —
+    woe/iv_contrib NULL on the <ALL> row, iv only there; 6dp.
+    """
+    if smoothing < 0:
+        raise ValueError(f"woe_iv: smoothing >= 0, got {smoothing}")
+    y = F.col(label_col).cast("double")
+    per_cat = (
+        df.select(F.col(cat_col).cast("string").alias("_cat"), y.alias("_y"))
+        .filter(F.col("_y").isin(0.0, 1.0))
+        .groupBy("_cat")
+        .agg(
+            F.count(F.when(F.col("_y") == 1.0, 1)).alias("n_pos"),
+            F.count(F.when(F.col("_y") == 0.0, 1)).alias("n_neg"),
+        )
+    )
+    lam = float(smoothing)
+    tot = per_cat.agg(
+        F.sum("n_pos").alias("_tp"),
+        F.sum("n_neg").alias("_tn"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = per_cat.crossJoin(F.broadcast(tot))
+    pg = (F.col("n_pos") + F.lit(lam)) / (
+        F.col("_tp") + F.lit(lam) * F.col("_k")
+    )
+    pb = (F.col("n_neg") + F.lit(lam)) / (
+        F.col("_tn") + F.lit(lam) * F.col("_k")
+    )
+    woe = F.log(pg / pb)
+    scored = j.select(
+        F.coalesce(F.col("_cat"), F.lit("<NULL>")).alias("category"),
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((pg - pb) * woe, 6).alias("iv_contrib"),
+        F.lit(None).cast("double").alias("iv"),
+        ((pg - pb) * woe).alias("_ivc"),
+    )
+    total = scored.agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).alias("n_neg"),
+        F.round(F.sum("_ivc"), 6).alias("_iv"),
+    ).select(
+        F.lit("<ALL>").alias("category"),
+        "n_pos",
+        "n_neg",
+        F.lit(None).cast("double").alias("woe"),
+        F.lit(None).cast("double").alias("iv_contrib"),
+        F.col("_iv").alias("iv"),
+    )
+    return scored.drop("_ivc").unionByName(total)

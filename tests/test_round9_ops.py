@@ -1869,3 +1869,112 @@ class TestRocAuc:
         )
         r = roc_auc(df, "y", "s").collect()[0]
         assert r["n_pos"] == 1 and r["n_neg"] == 1 and r["auc"] == 1.0
+
+
+class TestReliabilityCurve:
+    """Calibration table + ECE (analytics.reliability_curve)."""
+
+    def _run(self, spark, pairs, n_bins=10):
+        from indexlab_spark.operators.analytics import reliability_curve
+
+        df = spark.createDataFrame(
+            [(float(y) if y is not None else None,
+              float(p) if p is not None else None) for y, p in pairs],
+            "y double, p double",
+        )
+        rows = reliability_curve(df, "y", "p", n_bins).collect()
+        return {r["bin"]: r for r in rows}
+
+    def test_hand_computed_ece(self, spark):
+        pairs = [
+            (1, 0.95), (0, 0.95),   # bin 9: conf .95, acc .5
+            (1, 0.15), (0, 0.15), (0, 0.15),  # bin 1: conf .15, acc 1/3
+        ]
+        got = self._run(spark, pairs)
+        b9, b1, tot = got[9], got[1], got[-1]
+        assert b9["n"] == 2 and abs(b9["acc"] - 0.5) < 1e-9
+        assert abs(b9["gap"] - round(0.5 - 0.95, 6)) < 1e-9
+        assert abs(b1["conf"] - 0.15) < 1e-9
+        ece = (2 * abs(0.5 - 0.95) + 3 * abs(1 / 3 - 0.15)) / 5
+        assert abs(tot["ece"] - round(ece, 6)) < 1e-6
+        assert tot["n"] == 5
+
+    def test_edge_probability_one_clamps_to_last_bin(self, spark):
+        got = self._run(spark, [(1, 1.0), (1, 0.0)], n_bins=4)
+        assert got[3]["n"] == 1 and got[0]["n"] == 1
+
+    def test_exclusions(self, spark):
+        pairs = [(1, 0.5), (2, 0.5), (None, 0.5), (1, None), (1, 1.5)]
+        got = self._run(spark, pairs)
+        assert got[-1]["n"] == 1
+
+    def test_perfectly_calibrated_bins_give_zero_ece(self, spark):
+        pairs = [(1, 0.75), (1, 0.75), (1, 0.75), (0, 0.75)]
+        got = self._run(spark, pairs, n_bins=2)
+        assert abs(got[-1]["ece"] - 0.0) < 1e-9
+
+    def test_empty_input(self, spark):
+        got = self._run(spark, [])
+        assert list(got) == [-1] and got[-1]["n"] == 0
+        assert got[-1]["ece"] is None
+
+
+class TestWoeIv:
+    """WOE / IV feature screen (analytics.woe_iv)."""
+
+    def _run(self, spark, rows, smoothing=0.5):
+        from indexlab_spark.operators.analytics import woe_iv
+
+        df = spark.createDataFrame(rows, "cat string, y double")
+        out = woe_iv(df, "cat", "y", smoothing).collect()
+        return {r["category"]: r for r in out}
+
+    def test_hand_computed(self, spark):
+        import math
+
+        rows = (
+            [("a", 1.0)] * 3 + [("a", 0.0)] * 1
+            + [("b", 1.0)] * 1 + [("b", 0.0)] * 3
+        )
+        lam, tp, tn, k = 0.5, 4, 4, 2
+        got = self._run(spark, rows, smoothing=lam)
+
+        def share(n, tot):
+            return (n + lam) / (tot + lam * k)
+
+        woe_a = math.log(share(3, tp) / share(1, tn))
+        ivc_a = (share(3, tp) - share(1, tn)) * woe_a
+        woe_b = math.log(share(1, tp) / share(3, tn))
+        ivc_b = (share(1, tp) - share(3, tn)) * woe_b
+        assert abs(got["a"]["woe"] - round(woe_a, 6)) < 1e-9
+        assert abs(got["b"]["woe"] - round(woe_b, 6)) < 1e-9
+        assert abs(got["<ALL>"]["iv"] - round(ivc_a + ivc_b, 6)) < 1e-6
+        assert got["<ALL>"]["n_pos"] == 4 and got["<ALL>"]["n_neg"] == 4
+
+    def test_zero_count_cell_stays_finite_with_smoothing(self, spark):
+        rows = [("a", 1.0), ("a", 1.0), ("b", 0.0)]
+        got = self._run(spark, rows, smoothing=0.5)
+        assert got["a"]["woe"] is not None
+        assert abs(got["a"]["woe"]) < float("inf")
+
+    def test_null_category_is_a_group(self, spark):
+        rows = [(None, 1.0), (None, 0.0), ("a", 1.0)]
+        got = self._run(spark, rows)
+        assert got["<NULL>"]["n_pos"] == 1 and got["<NULL>"]["n_neg"] == 1
+
+    def test_independent_predictor_has_near_zero_iv(self, spark):
+        rows = (
+            [("a", 1.0)] * 5 + [("a", 0.0)] * 5
+            + [("b", 1.0)] * 5 + [("b", 0.0)] * 5
+        )
+        got = self._run(spark, rows)
+        assert abs(got["<ALL>"]["iv"]) < 1e-9
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import woe_iv
+
+        df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
+        with _pytest.raises(ValueError, match="smoothing"):
+            woe_iv(df, "cat", "y", smoothing=-1)
