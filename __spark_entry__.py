@@ -4531,6 +4531,61 @@ def _q_woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv(base, "o_orderpriority", "y", smoothing=0.5)
 
 
+def _q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson matrix (analytics.corr_matrix) over the four
+    lineitem numerics — k sums + k sumsq + k(k-1)/2 cross products in
+    ONE map-combined agg, pairs unpacked from the single 1-row result;
+    oracle replays the identical moment arithmetic."""
+    from indexlab_spark.operators.analytics import corr_matrix
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return corr_matrix(
+        t["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _q_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains (analytics.lift_table): per-user event count
+    as the propensity score against did-the-user-purchase — integer
+    scores keep tile edges exactly engine-portable; percentile edges
+    as driver literals, never an ntile global sort. Oracle replays
+    edges/tiles/cumulatives identically."""
+    from indexlab_spark.operators.analytics import lift_table
+
+    t = load_tables(spark, sf_dir, ("events",))
+    units = t["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    return lift_table(units, "s", "y", n_tiles=10)
+
+
+def _q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (analytics.cuped_ab, Deng
+    et al. 2013): variant = user parity, metric = second-half-of-
+    January revenue, covariate = first-half event count (the
+    pre-period signal). Oracle mirrors every moment and the Welch
+    arithmetic term by term, as ab_events does."""
+    from indexlab_spark.operators.analytics import cuped_ab
+
+    t = load_tables(spark, sf_dir, ("events",))
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    units = t["events"].groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+        F.count(F.when(F.col("ts") < cut, 1))
+        .cast("double")
+        .alias("x"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        "y",
+        "x",
+    )
+    return cuped_ab(units, "v", "y", "x")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5493,6 +5548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _q_roc_auc,
         "reliability_events": _q_reliability_events,
         "woe_orders": _q_woe_orders,
+        "corr_lineitem": _q_corr_lineitem,
+        "lift_events": _q_lift_events,
+        "cuped_events": _q_cuped_events,
     }
 
 
@@ -9641,5 +9699,189 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<ALL>', (SELECT tp FROM tot), (SELECT tn FROM tot),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    (SELECT round(sum((pg - pb) * ln(pg / pb)), 6) FROM s)
+        """,
+        "corr_lineitem": """
+            WITH base AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS a,
+                       CAST(l_extendedprice AS DOUBLE) AS b,
+                       CAST(l_discount AS DOUBLE) AS c,
+                       CAST(l_tax AS DOUBLE) AS d
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(*) AS BIGINT) AS n_out,
+                       sum(a) sa, sum(b) sb, sum(c) sc, sum(d) sd,
+                       sum(a*a) qa, sum(b*b) qb, sum(c*c) qc, sum(d*d) qd,
+                       sum(a*b) xab, sum(a*c) xac, sum(a*d) xad,
+                       sum(b*c) xbc, sum(b*d) xbd, sum(c*d) xcd
+                FROM base
+            ),
+            pairs AS (
+                SELECT 'l_quantity' ca, 'l_extendedprice' cb,
+                       n*xab - sa*sb cv, n*qa - sa*sa va,
+                       n*qb - sb*sb vb, n_out FROM m
+                UNION ALL SELECT 'l_quantity', 'l_discount',
+                       n*xac - sa*sc, n*qa - sa*sa, n*qc - sc*sc, n_out
+                FROM m
+                UNION ALL SELECT 'l_quantity', 'l_tax',
+                       n*xad - sa*sd, n*qa - sa*sa, n*qd - sd*sd, n_out
+                FROM m
+                UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                       n*xbc - sb*sc, n*qb - sb*sb, n*qc - sc*sc, n_out
+                FROM m
+                UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                       n*xbd - sb*sd, n*qb - sb*sb, n*qd - sd*sd, n_out
+                FROM m
+                UNION ALL SELECT 'l_discount', 'l_tax',
+                       n*xcd - sc*sd, n*qc - sc*sc, n*qd - sd*sd, n_out
+                FROM m
+            )
+            SELECT ca AS col_a, cb AS col_b,
+                   round(CASE WHEN va > 0 AND vb > 0
+                              THEN cv / sqrt(va * vb) END, 6) AS corr,
+                   n_out AS n
+            FROM pairs
+        """,
+        "lift_events": """
+            WITH units AS (
+                SELECT CAST(count(*) AS DOUBLE) AS s,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS y
+                FROM events GROUP BY user_id
+            ),
+            f AS (SELECT s, y FROM units
+                  WHERE s IS NOT NULL AND y IN (0, 1)),
+            e AS (SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                           0.6, 0.7, 0.8, 0.9]) AS q
+                  FROM f),
+            tiled AS (
+                SELECT 10 - ((CASE WHEN s > q[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[2] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[3] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[4] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[5] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[6] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[7] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[8] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[9] THEN 1 ELSE 0 END))
+                           AS tile,
+                       y
+                FROM f, e
+            ),
+            per AS (
+                SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS responders
+                FROM tiled GROUP BY tile
+            ),
+            tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS tn,
+                       CAST(sum(responders) AS DOUBLE) AS tr
+                FROM per
+            ),
+            cum AS (
+                SELECT tile, n, responders,
+                       CAST(sum(n) OVER (ORDER BY tile) AS BIGINT)
+                           AS cum_n,
+                       CAST(sum(responders) OVER (ORDER BY tile)
+                            AS BIGINT) AS cum_responders
+                FROM per
+            )
+            SELECT tile, n, responders,
+                   round(responders * 1.0 / n, 6) AS rate,
+                   round((responders * 1.0 / n) / (tr / tn), 6) AS lift,
+                   cum_n, cum_responders,
+                   round(cum_responders / tr, 6) AS cum_capture,
+                   round((cum_responders * 1.0 / cum_n) / (tr / tn), 6)
+                       AS cum_lift
+            FROM cum, tot ORDER BY tile
+        """,
+        "cuped_events": """
+            WITH units AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS v,
+                       sum(CASE WHEN ts >= TIMESTAMP
+                                     '2024-01-16 00:00:00'
+                                THEN value END) AS y,
+                       CAST(count(CASE WHEN ts < TIMESTAMP
+                                            '2024-01-16 00:00:00'
+                                       THEN 1 END) AS DOUBLE) AS x
+                FROM events GROUP BY user_id
+            ),
+            f AS (SELECT v, y, x FROM units
+                  WHERE y IS NOT NULL AND x IS NOT NULL),
+            m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       sum(x) sx, sum(y) sy, sum(x*x) qx,
+                       sum(x*y) xy, sum(y*y) qy,
+                       count(CASE WHEN v = 'a' THEN 1 END) AS n_a,
+                       count(CASE WHEN v = 'b' THEN 1 END) AS n_b,
+                       sum(CASE WHEN v = 'a' THEN y END) sy_a,
+                       sum(CASE WHEN v = 'b' THEN y END) sy_b,
+                       sum(CASE WHEN v = 'a' THEN x END) sx_a,
+                       sum(CASE WHEN v = 'b' THEN x END) sx_b,
+                       sum(CASE WHEN v = 'a' THEN y*y END) qy_a,
+                       sum(CASE WHEN v = 'b' THEN y*y END) qy_b,
+                       sum(CASE WHEN v = 'a' THEN x*x END) qx_a,
+                       sum(CASE WHEN v = 'b' THEN x*x END) qx_b,
+                       sum(CASE WHEN v = 'a' THEN x*y END) xy_a,
+                       sum(CASE WHEN v = 'b' THEN x*y END) xy_b
+                FROM f
+            ),
+            d AS (
+                SELECT *, n*qx - sx*sx AS vxn, n*xy - sx*sy AS covn,
+                       n*qy - sy*sy AS vyn, sx / n AS xbar
+                FROM m
+            ),
+            e AS (
+                SELECT *,
+                       CASE WHEN vxn > 0 THEN covn / vxn END AS theta,
+                       CASE WHEN vxn > 0 AND vyn > 0
+                            THEN covn*covn / (vxn*vyn) END AS rho2
+                FROM d
+            ),
+            g AS (
+                SELECT *,
+                       sy_a/n_a - theta*(sx_a/n_a - xbar) AS mean_a,
+                       sy_b/n_b - theta*(sx_b/n_b - xbar) AS mean_b,
+                       (qy_a - n_a*(sy_a/n_a)*(sy_a/n_a))/(n_a-1)
+                         - 2*theta*((xy_a - n_a*(sx_a/n_a)*(sy_a/n_a))
+                                    /(n_a-1))
+                         + theta*theta*((qx_a - n_a*(sx_a/n_a)
+                                         *(sx_a/n_a))/(n_a-1)) AS var_a,
+                       (qy_b - n_b*(sy_b/n_b)*(sy_b/n_b))/(n_b-1)
+                         - 2*theta*((xy_b - n_b*(sx_b/n_b)*(sy_b/n_b))
+                                    /(n_b-1))
+                         + theta*theta*((qx_b - n_b*(sx_b/n_b)
+                                         *(sx_b/n_b))/(n_b-1)) AS var_b
+                FROM e
+            ),
+            h AS (SELECT *, var_a/n_a + var_b/n_b AS se2 FROM g),
+            i AS (
+                SELECT *,
+                       (mean_a - mean_b) / sqrt(se2) AS t_stat,
+                       (se2*se2) / ((var_a/n_a)*(var_a/n_a)/(n_a-1)
+                                    + (var_b/n_b)*(var_b/n_b)/(n_b-1))
+                           AS t_df,
+                       (n_a >= 2 AND n_b >= 2
+                        AND theta IS NOT NULL AND se2 > 0) AS ok
+                FROM h
+            )
+            SELECT round(theta, 6) AS theta,
+                   round(rho2, 6) AS rho2,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(CASE WHEN theta IS NOT NULL THEN mean_a END, 6)
+                       AS mean_a_adj,
+                   round(CASE WHEN theta IS NOT NULL THEN mean_b END, 6)
+                       AS mean_b_adj,
+                   round(CASE WHEN ok THEN t_stat END, 6) AS t_stat,
+                   round(CASE WHEN ok THEN t_df END, 6) AS t_df,
+                   coalesce(CASE WHEN ok THEN abs(t_stat) > 1.96 END,
+                            FALSE) AS t_sig
+            FROM i
         """,
     }

@@ -502,7 +502,10 @@ def main() -> None:
                  # (sf0.1 min-of-2, r9)
                  "temporal_split", "fd_orders", "target_encode",
                  "hard_negatives", "roc_auc", "reliability_events",
-                 "woe_orders"):
+                 # corr_lineitem 0.9s / lift_events 1.3s /
+                 # cuped_events 0.8s warm (sf0.1 min-of-2, r9)
+                 "woe_orders", "corr_lineitem", "lift_events",
+                 "cuped_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -3179,3 +3179,272 @@ def woe_iv(
         F.col("_iv").alias("iv"),
     )
     return scored.drop("_ivc").unionByName(total)
+
+
+def corr_matrix(
+    df: "DataFrame",
+    cols: list[str],
+) -> "DataFrame":
+    """Pairwise Pearson correlation matrix over a column list in ONE
+    map-side-combined pass — the multi-column companion to the
+    profiler: k columns need k sums, k sums of squares and k(k-1)/2
+    cross-products, all living in a single aggregation (never k² scans,
+    never a driver-side loop over collect()ed columns).
+
+    NULL contract: LISTWISE deletion — a row with a NULL in ANY of
+    ``cols`` is dropped entirely, so every pair shares one n and the
+    matrix is guaranteed positive semi-definite (pairwise-complete
+    matrices are not; documented to match the oracle).
+
+    Output: one row per unordered pair (col_a < col_b in list order):
+    col_a, col_b, corr (6dp; NULL when either column is constant), n.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"corr_matrix: need >= 2 cols, got {len(cols)}")
+    if len(set(cols)) != len(cols):
+        raise ValueError("corr_matrix: duplicate columns")
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).na.drop()
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"_q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_x_{a}_{b}"))
+    m = base.agg(*aggs)
+    # every pair unpacks from the SAME 1-row aggregate via one
+    # explode(array(struct...)) — a union of per-pair selects would
+    # replay the corpus scan once per pair
+    n = F.col("_n").cast("double")
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            cov = n * F.col(f"_x_{a}_{b}") - F.col(f"_s_{a}") * F.col(
+                f"_s_{b}"
+            )
+            va = n * F.col(f"_q_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+            vb = n * F.col(f"_q_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(
+                        F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)),
+                        6,
+                    ).alias("corr"),
+                )
+            )
+    return m.select(
+        F.explode(F.array(*structs)).alias("_p"), F.col("_n").alias("n")
+    ).select("_p.col_a", "_p.col_b", "_p.corr", "n")
+
+
+def lift_table(
+    df: "DataFrame",
+    score_col: str,
+    label_col: str,
+    n_tiles: int = 10,
+) -> "DataFrame":
+    """Decile lift / gains table — the campaign-targeting readout for
+    a propensity score ("mail the top 2 deciles"): tile 1 holds the
+    HIGHEST scores; per tile the response rate, lift vs the global
+    rate, and the cumulative capture (gains) walking down from the
+    top. The actionable companion to :func:`roc_auc` — AUC says the
+    ranking is good, the gains table says where to cut it.
+
+    Scale shape (the rfm_segments discipline): tile edges are exact
+    interpolated percentiles fetched once as DRIVER LITERALS, so tile
+    assignment is a codegen projection — never an ntile window (a
+    global sort). Per-tile stats are ONE map-combined agg; the
+    cumulative walk is a bounded window over <= n_tiles rows with
+    global totals on a broadcast 1-row frame. Rows tied at an edge
+    share a tile (tile sizes are then uneven — determinism over
+    cosmetic equal counts; documented, matches the oracle).
+
+    Label/score contract as :func:`roc_auc`: non-binary labels and
+    NULL scores are excluded. Output per tile: tile (1 = top), n,
+    responders, rate, lift, cum_n, cum_responders, cum_capture,
+    cum_lift (floats 6dp). Raises on empty input or zero responders
+    (a lift table against nothing is meaningless).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"lift_table: n_tiles >= 2, got {n_tiles}")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    base = df.select(s.alias("_s"), y.alias("_y")).filter(
+        F.col("_s").isNotNull() & F.col("_y").isin(0.0, 1.0)
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    edges_row = base.agg(
+        F.expr(
+            f"percentile(_s, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    if edges_row["e"] is None:
+        raise ValueError("lift_table: no usable rows")
+    edges = [float(x) for x in edges_row["e"]]
+    asc = F.lit(1)
+    for e in edges:
+        asc = asc + F.when(F.col("_s") > F.lit(e), 1).otherwise(0)
+    per_tile = (
+        base.withColumn("tile", F.lit(n_tiles + 1) - asc)
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("long").alias("responders"),
+        )
+    )
+    tot = per_tile.agg(
+        F.sum("n").alias("_tn"), F.sum("responders").alias("_tr")
+    ).first()  # tile-frame-sized scalar probe (ks_drift discipline)
+    if not tot["_tn"]:
+        raise ValueError("lift_table: no usable rows")
+    if not tot["_tr"]:
+        raise ValueError("lift_table: zero responders")
+    t_n, t_r = float(tot["_tn"]), float(tot["_tr"])
+    w = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # single-partition window over <= n_tiles rows — bounded
+    out = per_tile.select(
+        "tile",
+        "n",
+        "responders",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("responders").over(w).alias("cum_responders"),
+    )
+    rate = F.col("responders") / F.col("n")
+    grate = F.lit(t_r / t_n)
+    return out.select(
+        "tile",
+        "n",
+        "responders",
+        F.round(rate, 6).alias("rate"),
+        F.round(rate / grate, 6).alias("lift"),
+        "cum_n",
+        "cum_responders",
+        F.round(F.col("cum_responders") / F.lit(t_r), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("cum_responders") / F.col("cum_n")) / grate, 6
+        ).alias("cum_lift"),
+    ).orderBy("tile")
+
+
+def cuped_ab(
+    df: "DataFrame",
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+    z_crit: float = 1.96,
+) -> "DataFrame":
+    """CUPED-adjusted two-arm experiment readout (Deng, Xu, Kohavi &
+    Walker 2013, public): regress out a pre-experiment covariate
+    (``y_adj = y - theta * (x - mean(x))``, theta = cov(x, y) /
+    var(x) pooled over both arms) before the Welch t — the industry-
+    standard variance-reduction layer on top of
+    :func:`ab_test_report`; with a well-correlated pre-period metric
+    it cuts required sample sizes by rho^2.
+
+    ONE map-side-combined aggregation (the ab_test_report shape):
+    global and per-arm moment sums (n, sum x, sum y, sum x^2,
+    sum y^2, sum xy) in a single filtered-aggregate pass; theta, the
+    adjusted means, the adjusted per-arm variances (var_y - 2 theta
+    cov + theta^2 var_x — adjustment never rescans the data) and the
+    Welch statistic are all closed-form projections of that one row.
+
+    NULL contract (mirrors ab_test_report): a unit with a NULL metric
+    OR a NULL covariate leaves entirely. Degenerate inputs (an arm
+    with n < 2, zero pooled covariate variance, or zero adjusted
+    variance on both arms) yield NULL statistics and a false flag.
+
+    Output (one row, 6dp): theta, rho2 (fraction of metric variance
+    the covariate explains = achieved variance reduction), n_a, n_b,
+    mean_a_adj, mean_b_adj, t_stat, t_df, t_sig.
+    """
+    v = F.col(variant_col)
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & x.isNotNull() & v.isin(variant_a, variant_b)
+    )
+
+    def arm(val, expr, agg):
+        return agg(F.when(v == F.lit(val), expr))
+
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("qx"),
+        F.sum(x * y).alias("xy"),
+        *[
+            e
+            for val, tag in ((variant_a, "a"), (variant_b, "b"))
+            for e in (
+                arm(val, y, F.count).alias(f"n_{tag}"),
+                arm(val, y, F.sum).alias(f"sy_{tag}"),
+                arm(val, x, F.sum).alias(f"sx_{tag}"),
+                arm(val, y * y, F.sum).alias(f"qy_{tag}"),
+                arm(val, x * x, F.sum).alias(f"qx_{tag}"),
+                arm(val, x * y, F.sum).alias(f"xy_{tag}"),
+            )
+        ],
+        F.sum(y * y).alias("qy"),
+    )
+    n = F.col("n").cast("double")
+    var_x_n = n * F.col("qx") - F.col("sx") * F.col("sx")
+    cov_n = n * F.col("xy") - F.col("sx") * F.col("sy")
+    var_y_n = n * F.col("qy") - F.col("sy") * F.col("sy")
+    theta = F.when(var_x_n > 0, cov_n / var_x_n)
+    rho2 = F.when(
+        (var_x_n > 0) & (var_y_n > 0),
+        (cov_n * cov_n) / (var_x_n * var_y_n),
+    )
+    xbar = F.col("sx") / n
+
+    def adj(tag):
+        na = F.col(f"n_{tag}").cast("double")
+        my = F.col(f"sy_{tag}") / na
+        mx = F.col(f"sx_{tag}") / na
+        mean_adj = my - theta * (mx - xbar)
+        # sample (n-1) variances/covariance of the arm
+        vy = (F.col(f"qy_{tag}") - na * my * my) / (na - 1)
+        vx = (F.col(f"qx_{tag}") - na * mx * mx) / (na - 1)
+        cxy = (F.col(f"xy_{tag}") - na * mx * my) / (na - 1)
+        var_adj = vy - 2 * theta * cxy + theta * theta * vx
+        return mean_adj, var_adj
+
+    mean_a, var_a = adj("a")
+    mean_b, var_b = adj("b")
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t_stat = (mean_a - mean_b) / F.sqrt(se2)
+    t_df = (se2 * se2) / (
+        (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    ok = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & theta.isNotNull()
+        & (se2 > 0)
+    )
+    return agg.select(
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(F.when(theta.isNotNull(), mean_a), 6).alias("mean_a_adj"),
+        F.round(F.when(theta.isNotNull(), mean_b), 6).alias("mean_b_adj"),
+        F.round(F.when(ok, t_stat), 6).alias("t_stat"),
+        F.round(F.when(ok, t_df), 6).alias("t_df"),
+        F.coalesce(
+            F.when(ok, F.abs(t_stat) > F.lit(z_crit)), F.lit(False)
+        ).alias("t_sig"),
+    )

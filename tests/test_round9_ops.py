@@ -1978,3 +1978,212 @@ class TestWoeIv:
         df = spark.createDataFrame([("a", 1.0)], "cat string, y double")
         with _pytest.raises(ValueError, match="smoothing"):
             woe_iv(df, "cat", "y", smoothing=-1)
+
+
+class TestCorrMatrix:
+    """One-pass Pearson matrix (analytics.corr_matrix)."""
+
+    def _run(self, spark, rows, cols=("a", "b", "c")):
+        from indexlab_spark.operators.analytics import corr_matrix
+
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = corr_matrix(df, list(cols)).collect()
+        return {(r["col_a"], r["col_b"]): r for r in out}
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=40)
+        y = 2 * x + rng.normal(size=40)
+        z = rng.normal(size=40)
+        rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+        got = self._run(spark, rows)
+        ref = np.corrcoef(np.array(rows).T)
+        assert abs(got[("a", "b")]["corr"] - round(ref[0, 1], 6)) < 1e-6
+        assert abs(got[("a", "c")]["corr"] - round(ref[0, 2], 6)) < 1e-6
+        assert abs(got[("b", "c")]["corr"] - round(ref[1, 2], 6)) < 1e-6
+        assert got[("a", "b")]["n"] == 40
+        assert len(got) == 3  # pairs only, no diagonal
+
+    def test_listwise_deletion(self, spark):
+        rows = [
+            (1.0, 2.0, 3.0), (2.0, 4.0, 1.0),
+            (3.0, 6.0, None),  # dropped everywhere
+            (4.0, 8.0, 2.0),
+        ]
+        got = self._run(spark, rows)
+        assert got[("a", "b")]["n"] == 3
+        assert abs(got[("a", "b")]["corr"] - 1.0) < 1e-9
+
+    def test_constant_column_is_null(self, spark):
+        rows = [(1.0, 5.0, 1.0), (2.0, 5.0, 2.0), (3.0, 5.0, 1.0)]
+        got = self._run(spark, rows)
+        assert got[("a", "b")]["corr"] is None
+        assert got[("a", "c")]["corr"] is not None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import corr_matrix
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with _pytest.raises(ValueError, match=">= 2"):
+            corr_matrix(df, ["a"])
+        with _pytest.raises(ValueError, match="duplicate"):
+            corr_matrix(df, ["a", "a"])
+
+
+class TestLiftTable:
+    """Decile lift / gains (analytics.lift_table)."""
+
+    def _run(self, spark, pairs, n_tiles=4):
+        from indexlab_spark.operators.analytics import lift_table
+
+        df = spark.createDataFrame(
+            [(float(s), float(y)) for s, y in pairs], "s double, y double"
+        )
+        rows = lift_table(df, "s", "y", n_tiles).collect()
+        return {r["tile"]: r for r in rows}
+
+    def test_hand_computed_quartiles(self, spark):
+        # 8 rows, scores 1..8, responders are the top 3 scorers
+        pairs = [(i, 1.0 if i >= 6 else 0.0) for i in range(1, 9)]
+        got = self._run(spark, pairs, n_tiles=4)
+        top = got[1]
+        assert top["n"] == 2 and top["responders"] == 2
+        assert abs(top["rate"] - 1.0) < 1e-9
+        grate = 3 / 8
+        assert abs(top["lift"] - round(1.0 / grate, 6)) < 1e-9
+        assert abs(top["cum_capture"] - round(2 / 3, 6)) < 1e-9
+        t2 = got[2]
+        assert t2["cum_n"] == 4 and t2["cum_responders"] == 3
+        assert abs(t2["cum_capture"] - 1.0) < 1e-9
+        assert abs(got[4]["cum_lift"] - 1.0) < 1e-9  # full population
+
+    def test_ties_share_a_tile(self, spark):
+        pairs = [(5.0, 1.0)] * 6 + [(1.0, 0.0), (1.0, 1.0)]
+        got = self._run(spark, pairs, n_tiles=4)
+        # all 5.0-scores land together; tile count < n_tiles
+        sizes = sorted(r["n"] for r in got.values())
+        assert 6 in sizes
+
+    def test_random_scores_have_unit_total_lift(self, spark):
+        pairs = [((i * 17) % 29, 1.0 if i % 3 == 0 else 0.0)
+                 for i in range(60)]
+        got = self._run(spark, pairs, n_tiles=5)
+        last = got[max(got)]
+        assert abs(last["cum_lift"] - 1.0) < 1e-9
+        assert abs(last["cum_capture"] - 1.0) < 1e-9
+
+    def test_raises_on_no_responders_or_empty(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import lift_table
+
+        df = spark.createDataFrame(
+            [(1.0, 0.0), (2.0, 0.0)], "s double, y double"
+        )
+        with _pytest.raises(ValueError, match="zero responders"):
+            lift_table(df, "s", "y")
+        empty = spark.createDataFrame([], "s double, y double")
+        with _pytest.raises(ValueError, match="usable|n_tiles"):
+            lift_table(empty, "s", "y")
+        with _pytest.raises(ValueError, match="n_tiles"):
+            lift_table(df, "s", "y", n_tiles=1)
+
+
+class TestCupedAb:
+    """CUPED A/B (analytics.cuped_ab): pure-python parity, variance
+    reduction on a correlated covariate, degenerate contracts."""
+
+    @staticmethod
+    def _ref(units):
+        # units: list of (variant, y, x)
+        import statistics as st
+
+        xs = [x for _, _, x in units]
+        ys = [y for _, y, _ in units]
+        n = len(units)
+        xbar = sum(xs) / n
+        ybar = sum(ys) / n
+        cov = sum((x - xbar) * (y - ybar) for _, y, x in units)
+        varx = sum((x - xbar) ** 2 for x in xs)
+        theta = cov / varx
+        out = {}
+        for arm in ("a", "b"):
+            rows = [(y, x) for v, y, x in units if v == arm]
+            na = len(rows)
+            my = sum(y for y, _ in rows) / na
+            mx = sum(x for _, x in rows) / na
+            out[f"mean_{arm}"] = my - theta * (mx - xbar)
+            adj = [y - theta * x for y, x in rows]
+            out[f"var_{arm}"] = st.variance(adj)
+            out[f"n_{arm}"] = na
+        se2 = out["var_a"] / out["n_a"] + out["var_b"] / out["n_b"]
+        out["t"] = (out["mean_a"] - out["mean_b"]) / se2**0.5
+        out["theta"] = theta
+        return out
+
+    def _run(self, spark, units):
+        from indexlab_spark.operators.analytics import cuped_ab
+
+        df = spark.createDataFrame(
+            [(v, float(y), float(x)) for v, y, x in units],
+            "v string, y double, x double",
+        )
+        return cuped_ab(df, "v", "y", "x").collect()[0]
+
+    def test_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(5)
+        units = []
+        for i in range(60):
+            x = rng.gauss(10, 3)
+            arm = "a" if i % 2 == 0 else "b"
+            lift = 0.5 if arm == "a" else 0.0
+            units.append((arm, 0.8 * x + rng.gauss(0, 1) + lift, x))
+        got = self._run(spark, units)
+        ref = self._ref(units)
+        assert abs(got["theta"] - round(ref["theta"], 6)) < 1e-6
+        assert abs(got["mean_a_adj"] - round(ref["mean_a"], 6)) < 1e-6
+        assert abs(got["mean_b_adj"] - round(ref["mean_b"], 6)) < 1e-6
+        assert abs(got["t_stat"] - round(ref["t"], 6)) < 1e-4
+        assert got["n_a"] == 30 and got["n_b"] == 30
+
+    def test_variance_reduction_beats_raw_welch(self, spark):
+        import random
+
+        from indexlab_spark.operators.analytics import ab_test_report
+
+        rng = random.Random(9)
+        units = []
+        for i in range(200):
+            x = rng.gauss(100, 20)
+            arm = "a" if i % 2 == 0 else "b"
+            units.append((arm, x + rng.gauss(0, 2) + (1.0 if arm == "a" else 0.0), x))
+        got = self._run(spark, units)
+        assert got["rho2"] > 0.9  # covariate explains most variance
+        raw_df = spark.createDataFrame(
+            [(v, float(y), 0.0) for v, y, x in units],
+            "v string, y double, c double",
+        )
+        raw = ab_test_report(raw_df, "v", "y", "c").collect()[0]
+        assert abs(got["t_stat"]) > abs(raw["t_stat"])
+
+    def test_null_units_leave_both_moments(self, spark):
+        units = [("a", 1.0, 2.0), ("a", None, 2.0), ("b", 2.0, None),
+                 ("a", 2.0, 3.0), ("b", 1.0, 1.0), ("b", 3.0, 4.0)]
+        df = spark.createDataFrame(units, "v string, y double, x double")
+        from indexlab_spark.operators.analytics import cuped_ab
+
+        r = cuped_ab(df, "v", "y", "x").collect()[0]
+        assert r["n_a"] == 2 and r["n_b"] == 2
+
+    def test_constant_covariate_gives_nulls(self, spark):
+        units = [("a", 1.0, 5.0), ("a", 2.0, 5.0),
+                 ("b", 1.5, 5.0), ("b", 2.5, 5.0)]
+        got = self._run(spark, units)
+        assert got["theta"] is None and got["t_stat"] is None
+        assert got["t_sig"] is False
