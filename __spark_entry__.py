@@ -4586,6 +4586,47 @@ def _q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_ab(units, "v", "y", "x")
 
 
+def _q_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class classification report (analytics.
+    classification_report): per-class P/R/F1 + accuracy/kappa/macro-F1
+    summary for a deterministic pseudo-classifier (vec_id % 10)
+    against the embeddings labels — exercises the full 10x10
+    confusion-matrix arithmetic; oracle replays it cell by cell."""
+    from indexlab_spark.operators.analytics import classification_report
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    scored = emb.select(
+        F.col("label").cast("string").alias("y"),
+        (F.col("vec_id") % 10).cast("string").alias("p"),
+    )
+    return classification_report(scored, "y", "p")
+
+
+def _q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between quantity and extended price
+    (analytics.spearman_corr) — midrank Pearson via the shared
+    two-level rank engine; midranks are half-integers so every moment
+    is exact in double and the oracle replay is arithmetic-identical,
+    not merely 6dp-close."""
+    from indexlab_spark.operators.analytics import spearman_corr
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return spearman_corr(t["lineitem"], "l_quantity", "l_extendedprice")
+
+
+def _q_next_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training pairs over the events table
+    (curation.next_event_dataset): per user, 3-event sliding contexts
+    with (ts, event) deterministic ordering; oracle replays the
+    bounded window frame with DuckDB list() windows."""
+    from indexlab_spark.operators.curation import next_event_dataset
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return next_event_dataset(
+        t["events"], "user_id", "ts", "event_type", context_len=3
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5551,6 +5592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": _q_corr_lineitem,
         "lift_events": _q_lift_events,
         "cuped_events": _q_cuped_events,
+        "class_report": _q_class_report,
+        "spearman_lineitem": _q_spearman_lineitem,
+        "next_events": _q_next_events,
     }
 
 
@@ -9883,5 +9927,134 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CASE WHEN ok THEN abs(t_stat) > 1.96 END,
                             FALSE) AS t_sig
             FROM i
+        """,
+        "class_report": """
+            WITH f AS (
+                SELECT CAST(label AS VARCHAR) AS y,
+                       CAST(vec_id % 10 AS VARCHAR) AS p
+                FROM embeddings
+                WHERE label IS NOT NULL AND vec_id IS NOT NULL
+            ),
+            cells AS (SELECT y, p, count(*) AS c FROM f GROUP BY y, p),
+            classes AS (
+                SELECT DISTINCT y AS cls FROM cells
+                UNION SELECT DISTINCT p FROM cells
+            ),
+            rm AS (SELECT y AS cls, CAST(sum(c) AS BIGINT) AS support
+                   FROM cells GROUP BY y),
+            cm AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS predicted
+                   FROM cells GROUP BY p),
+            dg AS (SELECT y AS cls, CAST(c AS BIGINT) AS tp
+                   FROM cells WHERE y = p),
+            per AS (
+                SELECT classes.cls,
+                       coalesce(support, 0) AS support,
+                       coalesce(predicted, 0) AS predicted,
+                       coalesce(tp, 0) AS tp
+                FROM classes
+                LEFT JOIN rm USING (cls)
+                LEFT JOIN cm USING (cls)
+                LEFT JOIN dg USING (cls)
+            ),
+            sc AS (
+                SELECT cls, support, predicted, tp,
+                       CASE WHEN predicted > 0
+                            THEN tp * 1.0 / predicted END AS prec,
+                       CASE WHEN support > 0
+                            THEN tp * 1.0 / support END AS rec
+                FROM per
+            ),
+            tot AS (
+                SELECT CAST(sum(support) AS BIGINT) AS n,
+                       sum(tp) AS tps,
+                       sum(support * 1.0 * predicted) AS src,
+                       avg(CASE WHEN prec + rec > 0
+                                THEN 2*prec*rec/(prec+rec) END) AS mf1
+                FROM sc
+            )
+            SELECT cls AS class, support,
+                   round(prec, 6) AS precision,
+                   round(rec, 6) AS recall,
+                   round(CASE WHEN prec + rec > 0
+                              THEN 2*prec*rec/(prec+rec) END, 6) AS f1
+            FROM sc
+            UNION ALL
+            SELECT '<ALL>', n,
+                   round(tps * 1.0 / n, 6),
+                   round((tps * 1.0 / n - src / (n * 1.0 * n))
+                         / (1 - src / (n * 1.0 * n)), 6),
+                   round(mf1, 6)
+            FROM tot
+        """,
+        "spearman_lineitem": """
+            WITH base AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS a,
+                       CAST(l_extendedprice AS DOUBLE) AS b
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            ca AS (SELECT a AS v, count(*) AS t FROM base GROUP BY a),
+            ra AS (
+                SELECT v,
+                       coalesce(sum(t) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS r
+                FROM ca
+            ),
+            cb AS (SELECT b AS v, count(*) AS t FROM base GROUP BY b),
+            rb AS (
+                SELECT v,
+                       coalesce(sum(t) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS r
+                FROM cb
+            ),
+            j AS (
+                SELECT ra.r AS x, rb.r AS y
+                FROM base
+                JOIN ra ON base.a = ra.v
+                JOIN rb ON base.b = rb.v
+            ),
+            m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(*) AS BIGINT) AS n_out,
+                       sum(x) sa, sum(y) sb, sum(x*x) qa,
+                       sum(y*y) qb, sum(x*y) xab
+                FROM j
+            )
+            SELECT n_out AS n,
+                   round(CASE WHEN (n*qa - sa*sa) > 0
+                               AND (n*qb - sb*sb) > 0
+                              THEN (n*xab - sa*sb)
+                                   / sqrt((n*qa - sa*sa)
+                                          * (n*qb - sb*sb)) END, 6)
+                       AS rho
+            FROM m
+        """,
+        "next_events": """
+            WITH base AS (
+                SELECT user_id AS u, ts,
+                       CAST(event_type AS VARCHAR) AS e
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT u AS user_id, pos, context, next_event FROM (
+                SELECT u,
+                       CAST(row_number() OVER w AS INTEGER) - 1 AS pos,
+                       array_to_string(list(e) OVER (
+                           PARTITION BY u ORDER BY ts, e
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                           '|') AS context,
+                       len(list(e) OVER (
+                           PARTITION BY u ORDER BY ts, e
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+                           AS cn,
+                       e AS next_event
+                FROM base
+                WINDOW w AS (PARTITION BY u ORDER BY ts, e)
+            ) t WHERE cn >= 1
         """,
     }

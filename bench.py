@@ -505,7 +505,14 @@ def main() -> None:
                  # corr_lineitem 0.9s / lift_events 1.3s /
                  # cuped_events 0.8s warm (sf0.1 min-of-2, r9)
                  "woe_orders", "corr_lineitem", "lift_events",
-                 "cuped_events"):
+                 # class_report 1.1s / next_events 0.5s warm;
+                 # spearman_lineitem 8.0s — the near-distinct
+                 # l_extendedprice value domain makes both the exact
+                 # percentile edges and the rank-map join row-sized
+                 # (real work, kept: it is the operator's honest cost
+                 # on a high-cardinality column)
+                 "cuped_events", "class_report", "spearman_lineitem",
+                 "next_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -2653,13 +2653,14 @@ def contingency_stats(
     )
 
 
-def _midrank_sums(counts: "DataFrame", n_buckets: int) -> "DataFrame":
-    """Shared rank engine for :func:`mann_whitney_u` / :func:`roc_auc`:
-    given a distinct-value frame ``(v, c_a, c_b)``, return the 1-row
-    frame ``(r_a = sum of c_a * midrank(v), tie = sum(t^3 - t))``
-    where midranks come from the ks_drift two-level bucketed cumsum —
-    per-bucket parallel windows plus an n_buckets-row offset frame,
-    never a single-partition window over data."""
+def _midrank_map(counts: "DataFrame", n_buckets: int) -> "DataFrame":
+    """Shared rank engine for :func:`mann_whitney_u` / :func:`roc_auc`
+    / :func:`spearman_corr`: given a distinct-value frame ``(v, c_a,
+    c_b)``, return ``(v, c_a, t, rank)`` where ``rank`` is the global
+    MIDRANK of value v and ``t`` its tie count, via the ks_drift
+    two-level bucketed cumsum — per-bucket parallel windows plus an
+    n_buckets-row offset frame, never a single-partition window over
+    data."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     edges_row = counts.agg(
         F.expr(
@@ -2692,8 +2693,17 @@ def _midrank_sums(counts: "DataFrame", n_buckets: int) -> "DataFrame":
         F.col("off") + F.col("cum_incl") - F.col("t")
         + (F.col("t") + 1) / 2.0
     )
-    return cum.join(F.broadcast(offsets), "bucket").agg(
-        F.sum(F.col("c_a") * avg_rank).alias("r_a"),
+    return cum.join(F.broadcast(offsets), "bucket").select(
+        "v", "c_a", "t", avg_rank.alias("rank")
+    )
+
+
+def _midrank_sums(counts: "DataFrame", n_buckets: int) -> "DataFrame":
+    """Rank-sum + tie-term reduction over :func:`_midrank_map` — the
+    1-row frame (r_a = sum of c_a * midrank, tie = sum(t^3 - t)) that
+    mann_whitney_u / roc_auc consume."""
+    return _midrank_map(counts, n_buckets).agg(
+        F.sum(F.col("c_a") * F.col("rank")).alias("r_a"),
         F.sum(
             F.col("t").cast("double") * F.col("t") * F.col("t")
             - F.col("t")
@@ -3447,4 +3457,163 @@ def cuped_ab(
         F.coalesce(
             F.when(ok, F.abs(t_stat) > F.lit(z_crit)), F.lit(False)
         ).alias("t_sig"),
+    )
+
+
+def classification_report(
+    df: "DataFrame",
+    label_col: str,
+    pred_col: str,
+) -> "DataFrame":
+    """Multi-class classification report — per-class precision /
+    recall / F1 with support, plus accuracy, macro-F1 and Cohen's
+    kappa on a summary row: the evaluation staple for every
+    categorical scorer in the repo (quality classifier, language ID,
+    cluster-vs-label checks).
+
+    ONE map-combined (label, pred) contingency aggregation is the
+    only corpus pass — the confusion matrix is class²-sized, and every
+    metric (TP per class, row/column marginals, the kappa expected
+    agreement Σ row_i·col_i / n²) derives from it without touching the
+    data again (the contingency_stats discipline). Rows with a NULL
+    label or NULL prediction are excluded; classes appearing only in
+    predictions still get a row (precision defined, recall NULL).
+
+    Output: (class, support, precision, recall, f1) per class sorted
+    by class name, then a ``<ALL>`` row where support = n, precision
+    column carries ACCURACY, recall carries Cohen's KAPPA and f1
+    carries MACRO-F1 (documented convention — one stable schema
+    instead of a ragged union; 6dp). Zero-denominator cells are NULL;
+    macro-F1 averages classes with a defined f1.
+    """
+    cells = (
+        df.select(
+            F.col(label_col).cast("string").alias("_y"),
+            F.col(pred_col).cast("string").alias("_p"),
+        )
+        .filter(F.col("_y").isNotNull() & F.col("_p").isNotNull())
+        .groupBy("_y", "_p")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    classes = (
+        cells.select(F.col("_y").alias("cls"))
+        .unionByName(cells.select(F.col("_p").alias("cls")))
+        .distinct()
+    )
+    row_m = cells.groupBy(F.col("_y").alias("cls")).agg(
+        F.sum("_c").alias("support")
+    )
+    col_m = cells.groupBy(F.col("_p").alias("cls")).agg(
+        F.sum("_c").alias("predicted")
+    )
+    diag = cells.filter(F.col("_y") == F.col("_p")).select(
+        F.col("_y").alias("cls"), F.col("_c").alias("tp")
+    )
+    per = (
+        classes.join(row_m, "cls", "left")
+        .join(col_m, "cls", "left")
+        .join(diag, "cls", "left")
+        .na.fill({"support": 0, "predicted": 0, "tp": 0})
+    )
+    prec = F.try_divide(F.col("tp").cast("double"), F.col("predicted"))
+    rec = F.try_divide(F.col("tp").cast("double"), F.col("support"))
+    f1 = F.try_divide(2 * prec * rec, prec + rec)
+    scored = per.select(
+        F.col("cls").alias("class"),
+        F.col("support"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        prec.alias("_prec"),
+        rec.alias("_rec"),
+        (F.col("support").cast("double") * F.col("predicted")).alias(
+            "_rc"
+        ),
+        F.col("tp"),
+    )
+    total = scored.agg(
+        F.coalesce(F.sum("support"), F.lit(0)).alias("n"),
+        F.sum("tp").alias("_tp"),
+        F.sum("_rc").alias("_sum_rc"),
+        F.avg(
+            F.when(
+                (F.col("_prec") + F.col("_rec")) > 0,
+                2 * F.col("_prec") * F.col("_rec")
+                / (F.col("_prec") + F.col("_rec")),
+            )
+        ).alias("_macro_f1"),
+    )
+    n = F.col("n").cast("double")
+    acc = F.try_divide(F.col("_tp").cast("double"), n)
+    pe = F.try_divide(F.col("_sum_rc"), n * n)
+    kappa = F.try_divide(acc - pe, 1 - pe)
+    summary = total.select(
+        F.lit("<ALL>").alias("class"),
+        F.col("n").alias("support"),
+        F.round(acc, 6).alias("precision"),
+        F.round(kappa, 6).alias("recall"),
+        F.round("_macro_f1", 6).alias("f1"),
+    )
+    return (
+        scored.select("class", "support", "precision", "recall", "f1")
+        .unionByName(summary)
+        .orderBy("class")
+    )
+
+
+def spearman_corr(
+    df: "DataFrame",
+    col_a: str,
+    col_b: str,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Spearman rank correlation — Pearson on midranks (tie-correct by
+    construction), the monotone-relationship companion to
+    :func:`corr_matrix`'s Pearson: a perfectly monotone but curved
+    relationship scores rho = 1 here while Pearson under-reads it, and
+    outliers move ranks by at most their count.
+
+    Scale shape: each column reduces to its DISTINCT-VALUE frame (one
+    map-combined count agg per column), midranks come from the shared
+    :func:`_midrank_map` two-level bucketed cumsum, and the rank maps
+    join back to the row frame by value — two keyed joins on the
+    (usually far smaller) value domain, then ONE moment aggregation.
+    No global sort, no single-partition window, no row-level rank
+    window.
+
+    NULL contract: listwise (a row missing either value drops — the
+    corr_matrix contract). Output one row: n, rho (6dp; NULL when a
+    column is constant or n < 2).
+    """
+    base = df.select(
+        F.col(col_a).cast("double").alias("_a"),
+        F.col(col_b).cast("double").alias("_b"),
+    ).na.drop()
+
+    def rank_map(col):
+        counts = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c_a")
+        ).withColumn("c_b", F.lit(0))
+        return _midrank_map(counts, n_buckets).select(
+            F.col("v").alias(col), F.col("rank").alias(f"_r{col}")
+        )
+
+    ranked = base.join(rank_map("_a"), "_a").join(rank_map("_b"), "_b")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_r_a").alias("sa"),
+        F.sum("_r_b").alias("sb"),
+        F.sum(F.col("_r_a") * F.col("_r_a")).alias("qa"),
+        F.sum(F.col("_r_b") * F.col("_r_b")).alias("qb"),
+        F.sum(F.col("_r_a") * F.col("_r_b")).alias("xab"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("xab") - F.col("sa") * F.col("sb")
+    va = n * F.col("qa") - F.col("sa") * F.col("sa")
+    vb = n * F.col("qb") - F.col("sb") * F.col("sb")
+    return m.select(
+        F.col("n"),
+        F.round(
+            F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)), 6
+        ).alias("rho"),
     )

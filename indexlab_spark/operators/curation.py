@@ -1489,3 +1489,63 @@ def target_encode(
     return base.select(
         id_col, cat_col, F.round(te, 6).alias("te")
     )
+
+
+def next_event_dataset(
+    df: DataFrame,
+    seq_col: str,
+    ts_col: str,
+    event_col: str,
+    context_len: int = 3,
+    sep: str = "|",
+    min_context: int = 1,
+) -> DataFrame:
+    """(context, next-event) training pairs from event sequences — the
+    sequence-model dataset builder (next-token prediction over
+    behavioral events: churn models, recommendation, session LMs):
+    for every event, the up-to-``context_len`` events immediately
+    before it in the same sequence become the context, the event
+    itself the label.
+
+    ONE keyed exchange (partition by sequence) and an ordered window
+    with a bounded ``rowsBetween(-context_len, -1)`` frame — the
+    event_paths discipline; state per row is context-sized, never
+    sequence-sized. Ordering is (ts, event) so equal-timestamp batches
+    are deterministic: fully-tied rows produce the same OUTPUT row set
+    under either internal order (pinned in tests). The context is
+    emitted as a ``sep``-joined STRING (drivers and most trainers want
+    text; list cells also break order-insensitive comparison
+    downstream).
+
+    Output: (seq_col, pos, context, next_event) with pos the 0-based
+    position in the sequence; rows with fewer than ``min_context``
+    context events are dropped (default 1 drops each sequence's first
+    event — there is nothing to condition on).
+    """
+    if context_len < 1:
+        raise ValueError(
+            f"next_event_dataset: context_len >= 1, got {context_len}"
+        )
+    if not (0 <= min_context <= context_len):
+        raise ValueError(
+            "next_event_dataset: 0 <= min_context <= context_len"
+        )
+    ev = F.col(event_col).cast("string")
+    base = df.select(
+        F.col(seq_col),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        ev.alias("_ev"),
+    ).filter(F.col("_ev").isNotNull() & F.col("_ts").isNotNull())
+    order = [F.col("_ts").asc(), F.col("_ev").asc()]
+    w = Window.partitionBy(seq_col).orderBy(*order)
+    ctx_w = w.rowsBetween(-context_len, -1)
+    out = base.select(
+        seq_col,
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.concat_ws(sep, F.collect_list("_ev").over(ctx_w)).alias(
+            "context"
+        ),
+        F.size(F.collect_list("_ev").over(ctx_w)).alias("_cn"),
+        F.col("_ev").alias("next_event"),
+    )
+    return out.filter(F.col("_cn") >= min_context).drop("_cn")

@@ -2187,3 +2187,176 @@ class TestCupedAb:
         got = self._run(spark, units)
         assert got["theta"] is None and got["t_stat"] is None
         assert got["t_sig"] is False
+
+
+class TestClassificationReport:
+    """Confusion-matrix metrics (analytics.classification_report)."""
+
+    def _run(self, spark, pairs):
+        from indexlab_spark.operators.analytics import classification_report
+
+        df = spark.createDataFrame(pairs, "y string, p string")
+        rows = classification_report(df, "y", "p").collect()
+        return {r["class"]: r for r in rows}
+
+    def test_hand_computed(self, spark):
+        pairs = (
+            [("cat", "cat")] * 4 + [("cat", "dog")] * 1
+            + [("dog", "dog")] * 2 + [("dog", "cat")] * 2
+            + [("dog", "bird")] * 1
+        )
+        got = self._run(spark, pairs)
+        cat = got["cat"]
+        assert cat["support"] == 5
+        assert abs(cat["precision"] - round(4 / 6, 6)) < 1e-9
+        assert abs(cat["recall"] - 0.8) < 1e-9
+        f1 = 2 * (4 / 6) * 0.8 / ((4 / 6) + 0.8)
+        assert abs(cat["f1"] - round(f1, 6)) < 1e-6
+        bird = got["bird"]  # prediction-only class
+        assert bird["support"] == 0 and bird["recall"] is None
+        assert bird["precision"] == 0.0
+        tot = got["<ALL>"]
+        acc = 6 / 10
+        assert abs(tot["precision"] - acc) < 1e-9
+        # kappa: pe = (5*6 + 5*3 + 0*1) / 100 = 0.45
+        kappa = (acc - 0.45) / (1 - 0.45)
+        assert abs(tot["recall"] - round(kappa, 6)) < 1e-6
+        assert tot["support"] == 10
+
+    def test_perfect_predictions(self, spark):
+        pairs = [("a", "a")] * 3 + [("b", "b")] * 2
+        got = self._run(spark, pairs)
+        assert got["a"]["f1"] == 1.0 and got["b"]["f1"] == 1.0
+        assert got["<ALL>"]["precision"] == 1.0  # accuracy
+        assert got["<ALL>"]["recall"] == 1.0  # kappa
+        assert got["<ALL>"]["f1"] == 1.0  # macro f1
+
+    def test_nulls_excluded(self, spark):
+        pairs = [("a", "a"), (None, "a"), ("a", None)]
+        got = self._run(spark, pairs)
+        assert got["<ALL>"]["support"] == 1
+
+    def test_single_class_kappa_null(self, spark):
+        # pe = 1 -> kappa 0/0 -> NULL
+        got = self._run(spark, [("a", "a"), ("a", "a")])
+        assert got["<ALL>"]["recall"] is None
+
+
+class TestSpearmanCorr:
+    """Spearman rho (analytics.spearman_corr)."""
+
+    def _run(self, spark, pairs):
+        from indexlab_spark.operators.analytics import spearman_corr
+
+        df = spark.createDataFrame(
+            [(float(a) if a is not None else None,
+              float(b) if b is not None else None) for a, b in pairs],
+            "a double, b double",
+        )
+        return spearman_corr(df, "a", "b").collect()[0]
+
+    @staticmethod
+    def _ref(pairs):
+        # midrank-based Spearman, pure python
+        def midranks(vals):
+            from collections import Counter
+
+            cnt = Counter(vals)
+            r, cum = {}, 0
+            for v in sorted(cnt):
+                r[v] = cum + (cnt[v] + 1) / 2.0
+                cum += cnt[v]
+            return [r[v] for v in vals]
+
+        xs = [a for a, _ in pairs]
+        ys = [b for _, b in pairs]
+        ra, rb = midranks(xs), midranks(ys)
+        n = len(pairs)
+        ma, mb = sum(ra) / n, sum(rb) / n
+        cov = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+        va = sum((x - ma) ** 2 for x in ra)
+        vb = sum((y - mb) ** 2 for y in rb)
+        return cov / (va * vb) ** 0.5
+
+    def test_monotone_nonlinear_is_one(self, spark):
+        pairs = [(x, x**3) for x in range(-5, 6)]
+        r = self._run(spark, pairs)
+        assert abs(r["rho"] - 1.0) < 1e-9 and r["n"] == 11
+
+    def test_matches_reference_with_ties(self, spark):
+        pairs = [
+            (1, 4), (2, 4), (2, 7), (3, 1), (3, 1), (5, 9),
+            (5, 2), (8, 8), (9, 8), (4, 4),
+        ]
+        r = self._run(spark, pairs)
+        assert abs(r["rho"] - round(self._ref(pairs), 6)) < 1e-6
+
+    def test_listwise_and_constant(self, spark):
+        pairs = [(1, 2), (2, None), (None, 3), (4, 5), (6, 7)]
+        r = self._run(spark, pairs)
+        assert r["n"] == 3
+        const = self._run(spark, [(1, 5), (2, 5), (3, 5)])
+        assert const["rho"] is None
+
+
+class TestNextEventDataset:
+    """Sequence training pairs (curation.next_event_dataset)."""
+
+    def _run(self, spark, rows, **kw):
+        import datetime as dt
+
+        from indexlab_spark.operators.curation import next_event_dataset
+
+        data = [
+            (u, dt.datetime(2024, 1, 1, 0, 0, sec), e)
+            for u, sec, e in rows
+        ]
+        df = spark.createDataFrame(data, "u string, ts timestamp, e string")
+        out = next_event_dataset(df, "u", "ts", "e", **kw).collect()
+        return sorted(
+            (r["u"], r["pos"], r["context"], r["next_event"]) for r in out
+        )
+
+    def test_basic_sliding_context(self, spark):
+        rows = [("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"),
+                ("u1", 4, "d"), ("u1", 5, "e")]
+        got = self._run(spark, rows, context_len=3)
+        assert got == [
+            ("u1", 1, "a", "b"),
+            ("u1", 2, "a|b", "c"),
+            ("u1", 3, "a|b|c", "d"),
+            ("u1", 4, "b|c|d", "e"),
+        ]
+
+    def test_min_context_zero_keeps_first_event(self, spark):
+        rows = [("u1", 1, "a"), ("u1", 2, "b")]
+        got = self._run(spark, rows, context_len=2, min_context=0)
+        assert ("u1", 0, "", "a") in got
+
+    def test_sequences_are_independent(self, spark):
+        rows = [("u1", 1, "a"), ("u2", 2, "x"), ("u1", 3, "b"),
+                ("u2", 4, "y")]
+        got = self._run(spark, rows)
+        assert ("u1", 1, "a", "b") in got
+        assert ("u2", 1, "x", "y") in got
+        assert all("x" not in c for u, p, c, n in got if u == "u1")
+
+    def test_full_ties_give_stable_output_set(self, spark):
+        rows = [("u1", 1, "a"), ("u1", 1, "a"), ("u1", 2, "b")]
+        got1 = self._run(spark, rows)
+        got2 = self._run(spark, list(reversed(rows)))
+        assert got1 == got2
+        assert ("u1", 2, "a|a", "b") in got1
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.curation import next_event_dataset
+
+        df = spark.createDataFrame(
+            [("u", "2024-01-01", "a")], "u string, ts string, e string"
+        )
+        with _pytest.raises(ValueError, match="context_len"):
+            next_event_dataset(df, "u", "ts", "e", context_len=0)
+        with _pytest.raises(ValueError, match="min_context"):
+            next_event_dataset(df, "u", "ts", "e", min_context=9)
