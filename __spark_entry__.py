@@ -5401,16 +5401,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
-        # r10 window plan (pinned per the standing invariants: oldest
-        # attestation first; recompute from CORRECTNESS_r01-r09 once
-        # r9 lands): after the 12 anchors, slots 13-23 take the 11
-        # r05-green leftovers below (simhash_pairs .. embedding_lsh,
-        # 4 rounds stale by r10 — the oldest attestations left), then
-        # slots 24-50 take the first 27 of the 38 r06-green entries
-        # (duplicated_spans .. , r6 window order); the remaining 11
-        # r06 entries plus the r07 block backfill in r11. Any operator
-        # newly oracle-registered in r10 goes never-attested-first,
-        # displacing the tail.
+        # r10 window plan (pinned per the standing invariants,
+        # never-attested-first then oldest attestation; recompute from
+        # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
+        # slots 13-40 take the 28 round-9 POST-WINDOW additions
+        # (holt_revenue .. next_events in registry order — all added
+        # after the r9 window was pinned, so none has a driver row;
+        # the two rows-only members, embedding_kmeans and
+        # hits_suppliers, get rows-only rows like part_kcore did in
+        # r9), then slots 41-50 take the first 10 of the 11 r05-green
+        # leftovers below (simhash_pairs .. dsir_weights — 4 rounds
+        # stale by r10, the oldest attestations left). embedding_lsh
+        # plus the 38 r06-green entries backfill in r11, the r07 block
+        # in r12. Any operator newly oracle-registered in r10 goes
+        # never-attested-first, displacing the tail.
         # last green r05 (11 remaining; rotate into r10 FIRST):
         "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
