@@ -597,3 +597,116 @@ def test_attribution_single_user_join_window_bounded(spark):
         "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
     ))
     assert joins == 1, plan
+
+
+def test_corr_matrix_single_scan_single_agg(spark, sf_dir):
+    """corr_matrix computes ALL pairwise moments in ONE aggregation
+    over ONE scan — the per-pair union-of-selects shape (k(k-1)/2
+    corpus rescans) must never come back. Pins: exactly one parquet
+    scan, one partial/final HashAggregate pair, zero joins; the pairs
+    unpack via explode/Generate over the 1-row result."""
+    from indexlab_spark.operators.analytics import corr_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (
+        corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = sum(
+        1 for l in plan.splitlines() if "Scan parquet" in l
+    )
+    assert scans == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_lift_table_no_global_sort_of_rows(spark, sf_dir):
+    """lift_table's tile assignment is a codegen projection against
+    driver-literal percentile edges — an ntile/row_number window over
+    the ROW frame (a global single-partition sort of the corpus) must
+    never appear. The only window runs over the <= n_tiles per-tile
+    frame, after the aggregation."""
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.analytics import lift_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    units = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    plan = (
+        lift_table(units, "s", "y", n_tiles=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the window input must already be aggregated: every Window sits
+    # above the per-tile HashAggregate, and no Window partitions by
+    # nothing over the unit frame (the unit frame only ever feeds
+    # aggregates)
+    lines = plan.splitlines()
+    first_agg = min(
+        i for i, l in enumerate(lines) if "HashAggregate" in l
+    )
+    for i, l in enumerate(lines):
+        if "Window" in l and "WindowGroupLimit" not in l:
+            assert i < first_agg or "ntile" not in l, plan
+    assert "ntile" not in plan, plan
+
+
+def test_bootstrap_ci_map_side_explode_one_shuffle(spark, sf_dir):
+    """bootstrap_ci's replicate fan-out happens MAP-SIDE (explode below
+    the partial aggregate): one shuffle Exchange carrying the
+    (n_boot+1)-row keyed frame, never a corpus-sized exchange of
+    exploded rows, and no join anywhere."""
+    from indexlab_spark.operators.analytics import bootstrap_ci
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = (
+        bootstrap_ci(orders, "o_totalprice", "o_orderkey", n_boot=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    shuffles = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l
+        and "ReusedExchange" not in l
+        and "BroadcastExchange" not in l
+    )
+    # one keyed exchange for the replicate agg + the single-row final
+    # agg's exchange
+    assert shuffles <= 2, plan
+    lines = plan.splitlines()
+    gen = min(i for i, l in enumerate(lines) if "Generate explode" in l)
+    agg = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    # plans print top-down: the explode line sits BELOW (higher index
+    # than) the partial aggregate that consumes it — map-side combine
+    assert any(i < gen for i in agg), plan
+
+
+def test_cuped_ab_single_aggregation_no_rescan(spark, sf_dir):
+    """CUPED: theta, adjusted means/variances and the Welch t are all
+    projections of ONE filtered-moment aggregate — a second corpus
+    scan (the two-pass 'compute theta, then rescan to adjust' shape)
+    must never appear."""
+    from pyspark.sql import functions as F
+
+    from indexlab_spark.operators.analytics import cuped_ab
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    units = ev.groupBy("user_id").agg(
+        F.sum("value").alias("y"),
+        F.count(F.lit(1)).cast("double").alias("x"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        "y", "x",
+    )
+    plan = (
+        cuped_ab(units, "v", "y", "x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
+    assert scans == 1, plan
+    assert "Join" not in plan, plan
