@@ -1314,6 +1314,29 @@ def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ scale extension — the composed FAISS-standard index
+    (operators/knn.build_ivfpq/ivfpq_search): coarse cells prune WHICH
+    candidates stream (nprobe=4 of nlist=8), residual product codes
+    shrink WHAT streams (q.x = q.c + q.r so one query LUT serves the
+    residual ADC), exact rerank recovers recall. Seeded Lloyd fits ->
+    rows-only; recall floors and append≡rebuild are pinned in
+    tests/test_knn.py."""
+    from indexlab_spark.operators.knn import build_ivfpq, ivfpq_search
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    codes, cents, books = build_ivfpq(corpus, nlist=8, m=8, nbits=6, seed=42)
+    return ivfpq_search(
+        spark, q, codes, cents, books, k=5, nprobe=4, rerank=8
+    ).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scale extension — 8-bit scalar-quantized search with exact
     rerank (operators/knn.build_sq8/sq8_search): the first-phase scan is
@@ -5599,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_report": _q_class_report,
         "spearman_lineitem": _q_spearman_lineitem,
         "next_events": _q_next_events,
+        "similarity_ivfpq": _q_similarity_ivfpq,  # rows-only
     }
 
 

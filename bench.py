@@ -512,7 +512,9 @@ def main() -> None:
                  # (real work, kept: it is the operator's honest cost
                  # on a high-cardinality column)
                  "cuped_events", "class_report", "spearman_lineitem",
-                 "next_events"):
+                 # similarity_ivfpq 5.1s warm (sf0.1 min-of-2, r9) —
+                 # build+search each call, like similarity_pq
+                 "next_events", "similarity_ivfpq"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -1209,3 +1209,215 @@ def hard_negatives(
         .filter(F.col("hard_rank") <= k)
         .select(query_id_col, doc_id_col, "score", "hard_rank")
     )
+
+
+def _with_residual(assigned_df: DataFrame, centroids_df: DataFrame,
+                   vec_col: str) -> DataFrame:
+    """vec - centroid[cluster_id] as a pure-Catalyst zip_with over a
+    broadcast centroid join — no Python in the residual path."""
+    return assigned_df.join(F.broadcast(centroids_df), "cluster_id").withColumn(
+        "_residual",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: x.cast("double") - y,
+        ),
+    )
+
+
+def build_ivfpq(
+    chunks_df: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF + residual PQ — the composed index FAISS ships as
+    ``IndexIVFPQ``, and the one actually deployed at billion scale
+    (coarse quantizer prunes WHICH cells to read, residual product
+    codes shrink WHAT gets read): vectors assign to ``nlist`` cells
+    (:func:`build_ivf`), the RESIDUAL vec - centroid — far lower
+    variance than the raw vector, so the same code budget quantizes it
+    much more accurately — encodes through :func:`build_pq`'s
+    machinery in one Arrow pass.
+
+    Build plan: the IVF assign pass, one broadcast-join + zip_with
+    codegen projection for residuals (no Python), the PQ train (seeded
+    driver Lloyd on a bounded residual sample) and encode pass. Under
+    INNER-PRODUCT search the composition is exact in expectation:
+    q . x = q . c + q . r, so :func:`ivfpq_search` scores candidates
+    as the cell dot plus the residual ADC from one query LUT.
+
+    Returns (codes_df = corpus + cluster_id + pq_code (raw vectors
+    kept for rerank), centroids_df, codebooks_df). Feed codes_df to
+    :func:`write_ivf_partitioned` for physically pruned storage.
+    """
+    assigned, centroids = build_ivf(
+        chunks_df, nlist, seed=seed, vec_col=vec_col
+    )
+    res = _with_residual(assigned, centroids, vec_col)
+    codes, books = build_pq(
+        res, m=m, nbits=nbits, seed=seed,
+        vec_col="_residual", doc_id_col=doc_id_col,
+    )
+    return codes.drop("_residual", "centroid"), centroids, books
+
+
+def ivfpq_append(
+    new_df: DataFrame,
+    centroids_df: DataFrame,
+    codebooks_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ incremental — assign new vectors to the existing cells
+    and encode their residuals against the existing codebooks
+    (``IndexIVFPQ.add``): :func:`ivf_append` then :func:`pq_append`
+    on the zip_with residual, two Arrow map passes, nothing shuffles,
+    append ≡ same-state re-encode (pinned in tests)."""
+    assigned = ivf_append(new_df, centroids_df, vec_col)
+    res = _with_residual(assigned, centroids_df, vec_col)
+    return pq_append(res, codebooks_df, vec_col="_residual").drop(
+        "_residual", "centroid"
+    )
+
+
+def ivfpq_search(
+    spark,
+    queries_df: DataFrame,
+    codes_df: DataFrame,
+    centroids_df: DataFrame,
+    codebooks_df: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    rerank: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    doc_id_col: str = "doc_id",
+    corpus_vec_col: str = "embedding",
+    max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
+) -> DataFrame:
+    """ADC search over the composed index: per query the top-``nprobe``
+    cells by q . centroid (centroid matrix is nlist-sized, scored
+    driver-side from the collected query batch — the pq_search small-
+    side contract, exact-fallback guarded the same way), then
+    candidates stream from ONLY the probed cells (a broadcast
+    probe-frame join on cluster_id — with
+    :func:`write_ivf_partitioned` storage that predicate is partition
+    pruning) and score as ``q . c + sum_j LUT[j][code_j]`` in one
+    Arrow pass with per-batch partial top-k. Optional exact rerank of
+    the ``rerank * k`` survivors when the codes frame still carries
+    raw vectors.
+
+    Returns (query_id, doc_id, score, rank) — rank 1..k per query.
+    """
+    if nprobe < 1:
+        raise ValueError(f"ivfpq_search: nprobe >= 1, got {nprobe}")
+    q_rows = _collect_bounded(
+        queries_df, [query_id_col, query_vec_col], max_collect_rows
+    )
+    if q_rows is None:
+        if corpus_vec_col in codes_df.columns:
+            return knn_join_blocked(
+                queries_df, codes_df, k,
+                left_id_col=query_id_col, left_vec_col=query_vec_col,
+                right_id_col=doc_id_col, right_vec_col=corpus_vec_col,
+            )
+        raise ValueError(
+            "ivfpq_search: query batch exceeds max_collect_rows="
+            f"{max_collect_rows} and codes_df lacks '{corpus_vec_col}' "
+            "for an exact fallback"
+        )
+    qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+    did_type = codes_df.schema[doc_id_col].dataType.simpleString()
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {qid_type}, {doc_id_col} {did_type},"
+            " score double, rank int",
+        )
+    cents = centroids_df.orderBy("cluster_id").collect()
+    if not cents:
+        raise ValueError("ivfpq_search: empty centroid frame")
+    c_ids = np.array([r["cluster_id"] for r in cents])
+    centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cb = codebooks_df.collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    ksub = 1 + max(r["code"] for r in cb)
+    dsub = len(cb[0]["centroid"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["centroid"]
+
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qdotc = q_mat @ centers.T  # (nq, nlist)
+    npb = min(nprobe, len(c_ids))
+    probe_rows = []
+    for qi, qid in enumerate(q_ids):
+        top = np.argpartition(-qdotc[qi], npb - 1)[:npb]
+        probe_rows.extend(
+            (qid, int(c_ids[ci]), float(qdotc[qi, ci])) for ci in top
+        )
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id_col} {qid_type}, cluster_id int, _qdotc double"
+    )
+    cand = F.broadcast(probe_df).join(
+        codes_df.select(doc_id_col, "cluster_id", "pq_code"), "cluster_id"
+    )
+    lut = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_mat), m, dsub), books
+    )
+    idx_map = {qid: i for i, qid in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((idx_map, lut))
+    pool = max(k * rerank, k) if rerank else k
+
+    def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        imap, lut_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qidx = pdf[query_id_col].map(imap).to_numpy(dtype=np.int64)
+            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
+            scores = pdf["_qdotc"].to_numpy(dtype=np.float64).copy()
+            for j in range(lut_.shape[1]):
+                scores += lut_[qidx, j, codes[:, j]]
+            out = pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].to_numpy(),
+                    doc_id_col: pdf[doc_id_col].to_numpy(),
+                    "score": scores,
+                }
+            )
+            # per-batch partial top-pool per query present in the batch
+            yield out.sort_values(
+                "score", ascending=False, kind="mergesort"
+            ).groupby(query_id_col, sort=False).head(pool)
+
+    scored = cand.mapInPandas(
+        _adc,
+        f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double",
+    )
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
+    ).filter(F.col("rank") <= pool)
+    if not rerank or corpus_vec_col not in codes_df.columns:
+        return ranked.filter(F.col("rank") <= k)
+    exact = (
+        ranked.select(query_id_col, doc_id_col)
+        .join(codes_df.select(doc_id_col, corpus_vec_col), doc_id_col)
+        .join(
+            F.broadcast(queries_df.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            doc_id_col,
+            dot(F.col(query_vec_col), F.col(corpus_vec_col)).alias("score"),
+        )
+    )
+    out = exact.withColumn(
+        "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
+    )
+    return out.filter(F.col("rank") <= k)

@@ -465,3 +465,68 @@ def test_ivf_append_physical_partitioned_layout(spark, tables, tmp_path):
         q, union, centroids, k=5, nprobe=3
     ).select("query_id", "doc_id", "rank").collect()))
     assert got == exp and len(got) > 0
+
+
+def test_ivfpq_recall_floor_and_exhaustive(spark, emb, queries, numpy_truth):
+    from indexlab_spark.operators.knn import build_ivfpq, ivfpq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes, cents, books = build_ivfpq(corpus, nlist=8, m=8, nbits=6, seed=42)
+    # exhaustive probe + exact rerank: residual coding should beat the
+    # plain-PQ 0.8 floor on the same random-vector corpus
+    out = ivfpq_search(
+        spark, queries, codes, cents, books, K, nprobe=8, rerank=8
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["doc_id"]), r["score"])
+        )
+    hits = total = 0
+    for qid, truth in numpy_truth.items():
+        ids = {d for _, d, _ in got[qid]}
+        hits += len(ids & {d for d, _ in truth})
+        total += K
+    assert hits / total >= 0.9, got
+    # partial probe still clears the random-vector floor (worst case
+    # for IVF — see test_ivf_recall_floor's note)
+    out2 = ivfpq_search(
+        spark, queries, codes, cents, books, K, nprobe=4, rerank=8
+    )
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    hits2 = sum(
+        len(got2.get(q, set()) & {d for d, _ in t})
+        for q, t in numpy_truth.items()
+    )
+    assert hits2 / total >= 0.4, got2
+
+
+def test_ivfpq_append_equals_rebuild_encoding(spark, emb):
+    from indexlab_spark.operators.knn import build_ivfpq, ivfpq_append
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes, cents, books = build_ivfpq(corpus, nlist=8, m=8, nbits=6, seed=42)
+    batch = corpus.filter(F.col("doc_id") < 20)
+    appended = ivfpq_append(batch, cents, books)
+    want = {
+        r["doc_id"]: (r["cluster_id"], tuple(r["pq_code"]))
+        for r in codes.filter(F.col("doc_id") < 20).collect()
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], tuple(r["pq_code"]))
+        for r in appended.collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_search_empty_queries(spark, emb):
+    from indexlab_spark.operators.knn import build_ivfpq, ivfpq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes, cents, books = build_ivfpq(corpus, nlist=4, m=4, nbits=4, seed=1)
+    empty_q = spark.createDataFrame(
+        [], "query_id bigint, qvec array<float>"
+    )
+    assert ivfpq_search(spark, empty_q, codes, cents, books, K).count() == 0
