@@ -506,11 +506,11 @@ def main() -> None:
                  # cuped_events 0.8s warm (sf0.1 min-of-2, r9)
                  "woe_orders", "corr_lineitem", "lift_events",
                  # class_report 1.1s / next_events 0.5s warm;
-                 # spearman_lineitem 8.0s — the near-distinct
-                 # l_extendedprice value domain makes both the exact
-                 # percentile edges and the rank-map join row-sized
-                 # (real work, kept: it is the operator's honest cost
-                 # on a high-cardinality column)
+                 # spearman_lineitem 3.2s after swapping the rank
+                 # engine's bucket edges to approx_percentile (edges
+                 # only balance shards — midranks exact regardless;
+                 # was 8.0s with the one-buffer exact percentile over
+                 # the near-distinct l_extendedprice domain)
                  "cuped_events", "class_report", "spearman_lineitem",
                  # similarity_ivfpq 5.1s warm (sf0.1 min-of-2, r9) —
                  # build+search each call, like similarity_pq

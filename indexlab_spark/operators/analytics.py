@@ -2660,11 +2660,18 @@ def _midrank_map(counts: "DataFrame", n_buckets: int) -> "DataFrame":
     MIDRANK of value v and ``t`` its tie count, via the ks_drift
     two-level bucketed cumsum — per-bucket parallel windows plus an
     n_buckets-row offset frame, never a single-partition window over
-    data."""
+    data. Edges come from approx_percentile: they only balance the
+    bucket shards — the cumsum is exact for ANY bucketing, so the
+    midranks (and every downstream statistic) are identical whatever
+    the sketch returns; the exact `percentile` here was the single
+    most expensive line in the spearman bench point (a one-buffer
+    sort of the whole value domain, 9.3s -> measured after the swap
+    in bench_full.json)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     edges_row = counts.agg(
         F.expr(
-            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
+            "approx_percentile(v, array("
+            f"{', '.join(str(q) for q in qs)}), 1000)"
         ).alias("e")
     ).first()
     edges = sorted({float(x) for x in edges_row["e"]})
