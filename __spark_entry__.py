@@ -4650,6 +4650,30 @@ def _q_next_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment (curation.kfold_assign): documents
+    folded BY SOURCE (GroupKFold leakage discipline — an entity never
+    straddles folds), zero-shuffle md5 projection; oracle replays the
+    hash arithmetic."""
+    from indexlab_spark.operators.curation import kfold_assign
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return kfold_assign(
+        docs.select("doc_id", "source"), "doc_id", 5, group_col="source"
+    )
+
+
+def _q_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (analytics.
+    sliding_distinct, exact cover-day path): the 28-day-MAU shape a
+    naive GROUP BY cannot express incrementally; oracle replays the
+    cover-day expansion with a range() lateral."""
+    from indexlab_spark.operators.analytics import sliding_distinct
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return sliding_distinct(t["events"], "ts", "user_id", 7)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5623,6 +5647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_lineitem": _q_spearman_lineitem,
         "next_events": _q_next_events,
         "similarity_ivfpq": _q_similarity_ivfpq,  # rows-only
+        "kfold_docs": _q_kfold_docs,
+        "sliding_users": _q_sliding_users,
     }
 
 
@@ -10084,5 +10110,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
                 WINDOW w AS (PARTITION BY u ORDER BY ts, e)
             ) t WHERE cn >= 1
+        """,
+        "kfold_docs": """
+            SELECT doc_id, source,
+                   CAST(CAST(concat('0x', substr(md5(concat('fold|',
+                        CAST(source AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 5 AS INTEGER) AS fold
+            FROM documents
+        """,
+        "sliding_users": """
+            WITH kd AS (
+                SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            hi AS (SELECT max(d) AS hi FROM kd),
+            cover AS (
+                SELECT DISTINCT kd.k,
+                       CAST(kd.d + r.i * INTERVAL 1 DAY AS DATE) AS day
+                FROM kd, range(7) r(i)
+            )
+            SELECT CAST(day AS VARCHAR) AS day,
+                   CAST(count(*) AS BIGINT) AS distinct_keys,
+                   7 AS window_days
+            FROM cover, hi WHERE day <= hi GROUP BY day
         """,
     }

@@ -514,7 +514,10 @@ def main() -> None:
                  "cuped_events", "class_report", "spearman_lineitem",
                  # similarity_ivfpq 5.1s warm (sf0.1 min-of-2, r9) —
                  # build+search each call, like similarity_pq
-                 "next_events", "similarity_ivfpq"):
+                 # kfold_docs 0.3s / sliding_users 1.1s warm (sf0.1
+                 # min-of-2, r9)
+                 "next_events", "similarity_ivfpq", "kfold_docs",
+                 "sliding_users"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -3624,3 +3624,94 @@ def spearman_corr(
             F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)), 6
         ).alias("rho"),
     )
+
+
+def sliding_distinct(
+    df: "DataFrame",
+    ts_col: str,
+    key_col: str,
+    window_days: int = 28,
+    sketch: bool = False,
+) -> "DataFrame":
+    """Trailing-window distinct entities per day — the "28-day MAU"
+    computation a naive GROUP BY cannot express incrementally (distinct
+    is not additive, so you cannot sum dailies). Two scale paths:
+
+    - **exact** (default): the (key, day) DISTINCT frame — far smaller
+      than the event stream — expands map-side to the ``window_days``
+      cover days each activity day serves (the standard cover-day
+      trick: key k active on day d counts for every day in
+      [d, d + w - 1]); one distinct-combine shuffle of (cover_day,
+      key), then a map-combined per-day count. Cost is bounded by
+      |key-day pairs| x window, never events x window.
+    - **sketch=True**: per-day HLL sketches (hll_sketch_agg) unioned
+      over each trailing window via a bounded day x window range join
+      of the DAY-sized sketch frame — state is days x sketch bytes,
+      the path for windows x cardinalities where even the cover-day
+      frame is too hot. Estimates, not exact (same contract as
+      sketch_rollup; pinned within tolerance in tests).
+
+    Output: (day date, distinct_keys long, window_days int), one row
+    per day (up to the max activity day) whose trailing window covers
+    at least one activity — a day with NO active keys in its window
+    has no row (count 0 by absence; pinned in tests). Early days are
+    partial windows by construction ("28-day MAU as of day d"). NULL
+    keys/timestamps are excluded.
+    """
+    if window_days < 1:
+        raise ValueError(
+            f"sliding_distinct: window_days >= 1, got {window_days}"
+        )
+    kd = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("_d"),
+        )
+        .filter(F.col("_k").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    bounds = kd.agg(
+        F.min("_d").alias("lo"), F.max("_d").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "day date, distinct_keys long, window_days int"
+        )
+    if sketch:
+        daily = kd.groupBy("_d").agg(
+            F.expr("hll_sketch_agg(_k)").alias("sk")
+        )
+        cover = daily.select(
+            F.explode(
+                F.expr(
+                    f"sequence(_d, date_add(_d, {window_days - 1}),"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+            "sk",
+        ).filter(F.col("day") <= F.lit(bounds["hi"]))
+        out = cover.groupBy("day").agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("distinct_keys")
+        )
+    else:
+        cover = kd.select(
+            "_k",
+            F.explode(
+                F.expr(
+                    f"sequence(_d, date_add(_d, {window_days - 1}),"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+        ).filter(F.col("day") <= F.lit(bounds["hi"]))
+        out = (
+            cover.distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("distinct_keys"))
+        )
+    return out.select(
+        "day",
+        F.col("distinct_keys").cast("long").alias("distinct_keys"),
+        F.lit(window_days).alias("window_days"),
+    )

@@ -1549,3 +1549,34 @@ def next_event_dataset(
         F.col("_ev").alias("next_event"),
     )
     return out.filter(F.col("_cn") >= min_context).drop("_cn")
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    group_col: str | None = None,
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment — completing
+    the split family (random: textstats.stratified_split, near-dup-
+    safe: dedup.cluster_split, temporal: temporal_split): fold =
+    md5(salt|key) mod k, where the key is ``group_col`` when given
+    (GROUP k-fold — every row of an entity lands in one fold, the
+    sklearn GroupKFold leakage discipline) and ``id_col`` otherwise.
+
+    Zero shuffle: the assignment is a pure md5 projection (the
+    stratified_split discipline), deterministic across runs, engines
+    and machines, and train/test for fold i is a FILTER (fold != i /
+    fold == i) — no materialized copies of the corpus per fold.
+    Output: input columns + ``fold`` int in [0, k).
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    from indexlab_spark.functions.hashing import md5_long
+
+    key = F.col(group_col if group_col else id_col).cast("string")
+    fold = F.pmod(
+        md5_long(F.concat(F.lit(f"{salt}|"), key)), F.lit(k)
+    ).cast("int")
+    return df.select("*", fold.alias("fold"))

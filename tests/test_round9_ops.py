@@ -2360,3 +2360,136 @@ class TestNextEventDataset:
             next_event_dataset(df, "u", "ts", "e", context_len=0)
         with _pytest.raises(ValueError, match="min_context"):
             next_event_dataset(df, "u", "ts", "e", min_context=9)
+
+
+class TestKfoldAssign:
+    """Group k-fold (curation.kfold_assign)."""
+
+    def test_deterministic_and_balanced(self, spark):
+        from indexlab_spark.operators.curation import kfold_assign
+
+        df = spark.createDataFrame(
+            [(str(i), f"g{i % 40}") for i in range(400)],
+            "id string, grp string",
+        )
+        a = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5).collect()}
+        b = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5).collect()}
+        assert a == b
+        sizes = {}
+        for f in a.values():
+            sizes[f] = sizes.get(f, 0) + 1
+        assert set(sizes) == {0, 1, 2, 3, 4}
+        assert max(sizes.values()) < 2.0 * min(sizes.values())
+
+    def test_group_mode_keeps_entities_whole(self, spark):
+        from indexlab_spark.operators.curation import kfold_assign
+
+        df = spark.createDataFrame(
+            [(str(i), f"g{i % 7}") for i in range(70)],
+            "id string, grp string",
+        )
+        rows = kfold_assign(df, "id", 4, group_col="grp").collect()
+        per_group = {}
+        for r in rows:
+            per_group.setdefault(r["grp"], set()).add(r["fold"])
+        assert all(len(v) == 1 for v in per_group.values())
+
+    def test_salt_moves_assignment(self, spark):
+        from indexlab_spark.operators.curation import kfold_assign
+
+        df = spark.createDataFrame([(str(i),) for i in range(50)], "id string")
+        a = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5).collect()}
+        c = {
+            r["id"]: r["fold"]
+            for r in kfold_assign(df, "id", 5, salt="other").collect()
+        }
+        assert a != c
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.curation import kfold_assign
+
+        df = spark.createDataFrame([("1",)], "id string")
+        with _pytest.raises(ValueError, match="k must"):
+            kfold_assign(df, "id", 1)
+
+
+class TestSlidingDistinct:
+    """Trailing-window distinct (analytics.sliding_distinct)."""
+
+    def _brute(self, pairs, w):
+        import datetime as dt
+
+        days = sorted({d for _, d in pairs})
+        lo, hi = days[0], days[-1]
+        out = {}
+        d = lo
+        while d <= hi:
+            start = d - dt.timedelta(days=w - 1)
+            out[d] = len({k for k, ad in pairs if start <= ad <= d})
+            d += dt.timedelta(days=1)
+        return out
+
+    def _run(self, spark, pairs, w, **kw):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import sliding_distinct
+
+        rows = [
+            (k, dt.datetime.combine(d, dt.time(12, 0)))
+            for k, d in pairs
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = sliding_distinct(df, "ts", "k", w, **kw).collect()
+        return {r["day"]: r["distinct_keys"] for r in out}
+
+    def test_exact_matches_bruteforce(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 1)
+        pairs = [
+            (f"u{i % 9}", d0 + dt.timedelta(days=(i * 3) % 15))
+            for i in range(60)
+        ]
+        got = self._run(spark, pairs, 7)
+        want = self._brute(pairs, 7)
+        assert got == want
+
+    def test_window_one_is_daily_distinct(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 1)
+        pairs = [("a", d0), ("b", d0), ("a", d0),
+                 ("a", d0 + dt.timedelta(days=2))]
+        got = self._run(spark, pairs, 1)
+        assert got[d0] == 2
+        assert got[d0 + dt.timedelta(days=2)] == 1
+        # gap day: no activity, zero distinct -> absent row is the
+        # contract (only days with a covering activity appear)
+        assert d0 + dt.timedelta(days=1) not in got
+
+    def test_sketch_close_to_exact(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 1)
+        pairs = [
+            (f"u{i}", d0 + dt.timedelta(days=i % 10))
+            for i in range(500)
+        ]
+        exact = self._run(spark, pairs, 7)
+        approx = self._run(spark, pairs, 7, sketch=True)
+        assert set(exact) == set(approx)
+        for d, n in exact.items():
+            assert abs(approx[d] - n) <= max(3, 0.05 * n)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import sliding_distinct
+
+        df = spark.createDataFrame([("a",)], "k string").withColumn(
+            "ts", F.current_timestamp()
+        )
+        with _pytest.raises(ValueError, match="window_days"):
+            sliding_distinct(df, "ts", "k", 0)
