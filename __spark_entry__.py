@@ -4674,6 +4674,34 @@ def _q_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_distinct(t["events"], "ts", "user_id", 7)
 
 
+def _q_fk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (analytics.fk_check): orphaned
+    lineitems vs the orders table — the key-level anti-join never
+    touches row×row; oracle replays the key-frame arithmetic."""
+    from indexlab_spark.operators.analytics import fk_check
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    return fk_check(
+        t["lineitem"], t["orders"], [("l_orderkey", "o_orderkey")]
+    )
+
+
+def _q_conformal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal half-width (analytics.conformal_interval) for
+    the per-priority-mean price predictor: exact finite-sample
+    k-th-order-statistic of |residual| via the shared two-level rank
+    engine — no global sort; oracle replays it with a row_number
+    order statistic."""
+    from indexlab_spark.operators.analytics import conformal_interval
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    means = t["orders"].groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("yhat")
+    )
+    cal = t["orders"].join(means, "o_orderpriority")
+    return conformal_interval(cal, "o_totalprice", "yhat", alpha=0.1)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5649,6 +5677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq": _q_similarity_ivfpq,  # rows-only
         "kfold_docs": _q_kfold_docs,
         "sliding_users": _q_sliding_users,
+        "fk_lineitem": _q_fk_lineitem,
+        "conformal_orders": _q_conformal_orders,
     }
 
 
@@ -10134,5 +10164,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS distinct_keys,
                    7 AS window_days
             FROM cover, hi WHERE day <= hi GROUP BY day
+        """,
+        "fk_lineitem": """
+            WITH ck AS (
+                SELECT l_orderkey AS k, count(*) AS c
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                GROUP BY l_orderkey
+            ),
+            nulls AS (
+                SELECT count(*) AS n FROM lineitem
+                WHERE l_orderkey IS NULL
+            ),
+            pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            orph AS (
+                SELECT coalesce(sum(c), 0) AS n_orphans,
+                       count(*) AS n_orphan_keys
+                FROM ck WHERE NOT EXISTS
+                    (SELECT 1 FROM pk WHERE pk.k = ck.k)
+            ),
+            tot AS (
+                SELECT coalesce(sum(c), 0) AS n_child,
+                       count(*) AS n_keys
+                FROM ck
+            )
+            SELECT CAST(n_child AS BIGINT) AS n_child,
+                   CAST((SELECT n FROM nulls) AS BIGINT) AS n_null_keys,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(n_orphans AS BIGINT) AS n_orphans,
+                   CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+                   round(n_orphans * 1.0 / nullif(n_child, 0), 6)
+                       AS orphan_rate,
+                   n_orphans = 0 AS ok
+            FROM tot, orph
+        """,
+        "conformal_orders": """
+            WITH means AS (
+                SELECT o_orderpriority, avg(o_totalprice) AS yhat
+                FROM orders GROUP BY o_orderpriority
+            ),
+            r AS (
+                SELECT abs(o_totalprice - yhat) AS v
+                FROM orders JOIN means USING (o_orderpriority)
+                WHERE o_totalprice IS NOT NULL
+            ),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+            kk AS (
+                SELECT n, CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k
+                FROM s
+            ),
+            ranked AS (
+                SELECT v, row_number() OVER (ORDER BY v) AS rn FROM r
+            )
+            SELECT kk.n, kk.k,
+                   round((SELECT v FROM ranked, kk WHERE rn = kk.k), 6)
+                       AS q_hat,
+                   CAST(0.1 AS DOUBLE) AS alpha
+            FROM kk
         """,
     }

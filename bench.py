@@ -517,7 +517,9 @@ def main() -> None:
                  # kfold_docs 0.3s / sliding_users 1.1s warm (sf0.1
                  # min-of-2, r9)
                  "next_events", "similarity_ivfpq", "kfold_docs",
-                 "sliding_users"):
+                 # fk_lineitem 1.3s / conformal_orders 3.6s warm
+                 # (sf0.1 min-of-2, r9)
+                 "sliding_users", "fk_lineitem", "conformal_orders"):
         fn = entry_mod.queries()[name]
         reps = (
             2

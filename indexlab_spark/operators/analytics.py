@@ -3715,3 +3715,129 @@ def sliding_distinct(
         F.col("distinct_keys").cast("long").alias("distinct_keys"),
         F.lit(window_days).alias("window_days"),
     )
+
+
+def fk_check(
+    child: "DataFrame",
+    parent: "DataFrame",
+    keys: list[tuple[str, str]],
+) -> "DataFrame":
+    """Referential-integrity audit — the CROSS-TABLE member of the DQ
+    family (:func:`check_rules` is single-table): how many child rows
+    point at a parent key that does not exist ("orphaned lineitems",
+    the classic broken-backfill symptom). Standard SQL FK semantics:
+    a child row with ANY NULL key column passes vacuously (excluded
+    from the check, counted separately).
+
+    Plan: the child reduces to its KEY-LEVEL count frame first (one
+    map-combined agg), so the anti-join against the parent's distinct
+    keys is key-cardinality-sized on both sides — never a row-level
+    child x parent join; at 100 TB the join cost tracks key counts,
+    not table sizes.
+
+    Output (one row): n_child (rows with fully non-null keys),
+    n_null_keys (rows excluded by the NULL rule), n_keys (distinct
+    child keys), n_orphans (child ROWS violating), n_orphan_keys,
+    orphan_rate (6dp over n_child, NULL when n_child = 0), ok.
+    """
+    if not keys:
+        raise ValueError("fk_check: keys must be non-empty")
+    ck = [c for c, _ in keys]
+    nn = None
+    for c in ck:
+        cond = F.col(c).isNotNull()
+        nn = cond if nn is None else (nn & cond)
+    child_rows = child.select(*ck)
+    null_cnt = child_rows.filter(~nn).count()
+    ckeys = (
+        child_rows.filter(nn)
+        .groupBy(*ck)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    pk = parent.select(
+        *[F.col(p).alias(c) for c, p in keys]
+    ).distinct()
+    orphans = ckeys.join(pk, ck, "left_anti")
+    agg = ckeys.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_child"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).crossJoin(
+        orphans.agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_orphans"),
+            F.count(F.lit(1)).alias("n_orphan_keys"),
+        )
+    )
+    return agg.select(
+        F.col("n_child").cast("long").alias("n_child"),
+        F.lit(int(null_cnt)).cast("long").alias("n_null_keys"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_orphans").cast("long").alias("n_orphans"),
+        F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+        F.round(
+            F.try_divide(
+                F.col("n_orphans").cast("double"), F.col("n_child")
+            ),
+            6,
+        ).alias("orphan_rate"),
+        (F.col("n_orphans") == 0).alias("ok"),
+    )
+
+
+def conformal_interval(
+    cal_df: "DataFrame",
+    y_col: str,
+    yhat_col: str,
+    alpha: float = 0.1,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Split-conformal prediction half-width (Vovk et al. / the
+    standard split-conformal recipe): from a CALIBRATION frame of
+    (actual, predicted) pairs, the finite-sample-corrected quantile
+    q_hat of absolute residuals such that ``yhat ± q_hat`` covers a
+    fresh point with probability >= 1 - alpha, distribution-free —
+    the uncertainty band for ANY point predictor in the repo
+    (holt_forecast, segment_trend, target_encode scorers).
+
+    q_hat is the k-th smallest |y - yhat| with k = ceil((n+1)(1-alpha))
+    — an EXACT order statistic, found without a global sort: the
+    residual distinct-value count frame feeds the shared
+    :func:`_midrank_map` two-level cumsum and q_hat is the smallest
+    value whose through-cumulative reaches k (min-aggregate over the
+    value frame). Raises when the calibration set is too small for
+    the requested level (k > n — the standard conformal requirement
+    n >= (1-alpha)/alpha points).
+
+    Output (one row): n, k, q_hat (6dp), alpha.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"conformal_interval: alpha in (0,1), got {alpha}")
+    import math
+
+    r = F.abs(
+        F.col(y_col).cast("double") - F.col(yhat_col).cast("double")
+    )
+    counts = (
+        cal_df.select(r.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+        .withColumn("c_b", F.lit(0))
+    )
+    n = counts.agg(F.sum("c_a")).first()[0] or 0
+    k = math.ceil((n + 1) * (1.0 - alpha))
+    if n == 0 or k > n:
+        raise ValueError(
+            f"conformal_interval: calibration set too small (n={n}, "
+            f"need k={k} <= n for alpha={alpha})"
+        )
+    ranked = _midrank_map(counts, n_buckets)
+    # through-cumulative from the midrank: cum(v) = rank + (t-1)/2
+    qhat = ranked.filter(
+        (F.col("rank") + (F.col("t") - 1) / 2.0) >= F.lit(float(k))
+    ).agg(F.min("v").alias("q"))
+    return qhat.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.lit(int(k)).cast("long").alias("k"),
+        F.round("q", 6).alias("q_hat"),
+        F.lit(float(alpha)).alias("alpha"),
+    )

@@ -2493,3 +2493,102 @@ class TestSlidingDistinct:
         )
         with _pytest.raises(ValueError, match="window_days"):
             sliding_distinct(df, "ts", "k", 0)
+
+
+class TestFkCheck:
+    """Cross-table referential integrity (analytics.fk_check)."""
+
+    def _run(self, spark, child, parent, keys=None):
+        from indexlab_spark.operators.analytics import fk_check
+
+        c = spark.createDataFrame(child, "ck string, x int")
+        p = spark.createDataFrame(parent, "pk string")
+        return fk_check(c, p, keys or [("ck", "pk")]).collect()[0]
+
+    def test_hand_counts(self, spark):
+        child = [("a", 1), ("a", 2), ("b", 3), ("zz", 4), ("zz", 5),
+                 (None, 6)]
+        parent = [("a",), ("b",), ("c",)]
+        r = self._run(spark, child, parent)
+        assert r["n_child"] == 5 and r["n_null_keys"] == 1
+        assert r["n_keys"] == 3
+        assert r["n_orphans"] == 2 and r["n_orphan_keys"] == 1
+        assert abs(r["orphan_rate"] - 0.4) < 1e-9
+        assert r["ok"] is False
+
+    def test_clean_fk(self, spark):
+        r = self._run(spark, [("a", 1), ("b", 2)], [("a",), ("b",)])
+        assert r["n_orphans"] == 0 and r["ok"] is True
+
+    def test_composite_key(self, spark):
+        from indexlab_spark.operators.analytics import fk_check
+
+        c = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 9)], "k1 string, k2 int"
+        )
+        p = spark.createDataFrame(
+            [("a", 1), ("a", 2)], "p1 string, p2 int"
+        )
+        r = fk_check(c, p, [("k1", "p1"), ("k2", "p2")]).collect()[0]
+        assert r["n_orphans"] == 1 and r["n_orphan_keys"] == 1
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import fk_check
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError, match="keys"):
+            fk_check(df, df, [])
+
+
+class TestConformalInterval:
+    """Split-conformal q_hat (analytics.conformal_interval)."""
+
+    def _run(self, spark, pairs, alpha=0.1):
+        from indexlab_spark.operators.analytics import conformal_interval
+
+        df = spark.createDataFrame(
+            [(float(y), float(p)) for y, p in pairs], "y double, p double"
+        )
+        return conformal_interval(df, "y", "p", alpha).collect()[0]
+
+    def test_exact_order_statistic(self, spark):
+        import math
+
+        residuals = [0.5, 1.5, 0.25, 3.0, 2.0, 0.75, 1.0, 2.5, 0.1]
+        pairs = [(r, 0.0) for r in residuals]
+        alpha = 0.2
+        got = self._run(spark, pairs, alpha)
+        n = len(residuals)
+        k = math.ceil((n + 1) * (1 - alpha))
+        want = sorted(residuals)[k - 1]
+        assert got["n"] == n and got["k"] == k
+        assert abs(got["q_hat"] - round(want, 6)) < 1e-9
+
+    def test_tied_residuals(self, spark):
+        pairs = [(1.0, 0.0)] * 6 + [(2.0, 0.0)] * 2
+        got = self._run(spark, pairs, alpha=0.5)
+        # k = ceil(9 * 0.5) = 5 -> 5th smallest of [1]*6+[2]*2 = 1.0
+        assert got["k"] == 5 and abs(got["q_hat"] - 1.0) < 1e-9
+
+    def test_coverage_on_holdout(self, spark):
+        import random
+
+        rng = random.Random(3)
+        cal = [(rng.gauss(0, 1), 0.0) for _ in range(200)]
+        got = self._run(spark, cal, alpha=0.1)
+        test = [abs(rng.gauss(0, 1)) for _ in range(500)]
+        cover = sum(1 for t in test if t <= got["q_hat"]) / len(test)
+        assert cover >= 0.85  # 0.9 target, finite-sample slack
+
+    def test_too_small_raises(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import conformal_interval
+
+        df = spark.createDataFrame([(1.0, 0.0)], "y double, p double")
+        with _pytest.raises(ValueError, match="too small"):
+            conformal_interval(df, "y", "p", alpha=0.1)
+        with _pytest.raises(ValueError, match="alpha"):
+            conformal_interval(df, "y", "p", alpha=1.5)
