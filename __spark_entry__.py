@@ -4702,6 +4702,22 @@ def _q_conformal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_interval(cal, "o_totalprice", "yhat", alpha=0.1)
 
 
+def _q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized order totals (analytics.winsorize,
+    p5/p95): group-count-sized exact-percentile bounds broadcast back,
+    clamp as codegen; oracle replays with quantile_cont."""
+    from indexlab_spark.operators.analytics import winsorize
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return winsorize(
+        t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        0.05,
+        0.95,
+        group_cols=["o_orderpriority"],
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5679,6 +5695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_users": _q_sliding_users,
         "fk_lineitem": _q_fk_lineitem,
         "conformal_orders": _q_conformal_orders,
+        "winsorize_prices": _q_winsorize_prices,
     }
 
 
@@ -10220,5 +10237,21 @@ def oracle_sql() -> dict[str, str]:
                        AS q_hat,
                    CAST(0.1 AS DOUBLE) AS alpha
             FROM kk
+        """,
+        "winsorize_prices": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.05) AS lo,
+                       quantile_cont(o_totalprice, 0.95) AS hi
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+                   round(CASE WHEN o.o_totalprice < b.lo THEN b.lo
+                              WHEN o.o_totalprice > b.hi THEN b.hi
+                              ELSE o.o_totalprice END, 6)
+                       AS o_totalprice_w,
+                   round(b.lo, 6) AS _lo,
+                   round(b.hi, 6) AS _hi
+            FROM orders o LEFT JOIN b USING (o_orderpriority)
         """,
     }

@@ -519,7 +519,9 @@ def main() -> None:
                  "next_events", "similarity_ivfpq", "kfold_docs",
                  # fk_lineitem 1.3s / conformal_orders 3.6s warm
                  # (sf0.1 min-of-2, r9)
-                 "sliding_users", "fk_lineitem", "conformal_orders"):
+                 # winsorize_prices 0.3s warm (sf0.1 min-of-2, r9)
+                 "sliding_users", "fk_lineitem", "conformal_orders",
+                 "winsorize_prices"):
         fn = entry_mod.queries()[name]
         reps = (
             2

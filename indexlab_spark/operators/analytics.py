@@ -3841,3 +3841,53 @@ def conformal_interval(
         F.round("q", 6).alias("q_hat"),
         F.lit(float(alpha)).alias("alpha"),
     )
+
+
+def winsorize(
+    df: "DataFrame",
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Winsorization — clamp a metric to its [lower, upper] exact
+    interpolated percentiles, per group when ``group_cols`` is given:
+    the standard heavy-tail taming transform before means/OLS/scalers
+    (the transform-side companion to :func:`mad_outliers`, which only
+    FLAGS; a winsorized mean keeps the row count while a trimmed mean
+    drops data).
+
+    ONE map-combined percentile aggregation per group (exact
+    interpolated `percentile`, the rfm_segments/theilsen discipline —
+    group-count-sized output), broadcast-joined back; the clamp is a
+    codegen projection. NULL values pass through unclamped (nothing
+    to clamp; documented to match the oracle).
+
+    Output: input columns + ``<value_col>_w`` (clamped, 6dp) + the
+    group's ``_lo`` / ``_hi`` bounds (6dp) for auditability.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"winsorize: need 0 <= lower < upper <= 1, got "
+            f"({lower}, {upper})"
+        )
+    v = F.col(value_col).cast("double")
+    gcols = list(group_cols or [])
+    agg = F.expr(
+        f"percentile({value_col}, array({lower!r}, {upper!r}))"
+    ).alias("_b")
+    if gcols:
+        bounds = df.groupBy(*gcols).agg(agg)
+        joined = df.join(F.broadcast(bounds), gcols, "left")
+    else:
+        bounds = df.agg(agg)
+        joined = df.crossJoin(F.broadcast(bounds))
+    lo = F.col("_b")[0]
+    hi = F.col("_b")[1]
+    clamped = F.when(v < lo, lo).when(v > hi, hi).otherwise(v)
+    return joined.select(
+        *df.columns,
+        F.round(clamped, 6).alias(f"{value_col}_w"),
+        F.round(lo, 6).alias("_lo"),
+        F.round(hi, 6).alias("_hi"),
+    )

@@ -2592,3 +2592,56 @@ class TestConformalInterval:
             conformal_interval(df, "y", "p", alpha=0.1)
         with _pytest.raises(ValueError, match="alpha"):
             conformal_interval(df, "y", "p", alpha=1.5)
+
+
+class TestWinsorize:
+    """Percentile clamp (analytics.winsorize)."""
+
+    def _run(self, spark, vals, **kw):
+        from indexlab_spark.operators.analytics import winsorize
+
+        df = spark.createDataFrame(
+            [(str(i), float(v) if v is not None else None)
+             for i, v in enumerate(vals)],
+            "id string, v double",
+        )
+        rows = winsorize(df, "v", **kw).collect()
+        return {r["id"]: r for r in rows}
+
+    def test_clamps_tails_to_exact_percentiles(self, spark):
+        import numpy as np
+
+        vals = list(range(1, 101))  # 1..100
+        got = self._run(spark, vals, lower=0.1, upper=0.9)
+        lo = float(np.percentile(vals, 10, method="linear"))
+        hi = float(np.percentile(vals, 90, method="linear"))
+        assert abs(got["0"]["v_w"] - round(lo, 6)) < 1e-9   # 1 -> lo
+        assert abs(got["99"]["v_w"] - round(hi, 6)) < 1e-9  # 100 -> hi
+        assert got["49"]["v_w"] == 50.0  # middle untouched
+        assert abs(got["0"]["_lo"] - round(lo, 6)) < 1e-9
+
+    def test_per_group_bounds(self, spark):
+        from indexlab_spark.operators.analytics import winsorize
+
+        rows = [("a", float(v)) for v in range(10)] + [
+            ("b", float(v * 100)) for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, "v", 0.0, 0.5, group_cols=["g"]).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], set()).add(r["_hi"])
+        assert by_g["a"] == {4.5} and by_g["b"] == {450.0}
+
+    def test_null_passthrough(self, spark):
+        got = self._run(spark, [1.0, 2.0, None, 3.0], lower=0.0, upper=1.0)
+        assert got["2"]["v_w"] is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import winsorize
+
+        df = spark.createDataFrame([("1", 1.0)], "id string, v double")
+        with _pytest.raises(ValueError, match="lower"):
+            winsorize(df, "v", 0.9, 0.1)
