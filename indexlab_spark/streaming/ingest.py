@@ -425,3 +425,94 @@ def psi_monitor_totals(
         n_buckets,
         eps,
     )
+
+
+def mau_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    ts_col: str,
+    key_col: str,
+    query_name: str = "mau_monitor",
+):
+    """Maintain live per-day HLL distinct state over a stream — the
+    trailing-window-distinct ("28-day MAU") monitor, the streaming
+    twin of :func:`~indexlab_spark.operators.analytics.
+    sliding_distinct`'s sketch path: distinct is not additive, so a
+    live MAU needs per-day mergeable state, not counters.
+
+    Each micro-batch reduces to its (day -> HLL sketch) frame — one
+    map-side-combined sketch agg, days-in-batch rows — written as its
+    own ``batch_id=N`` partition with dynamic overwrite: HLL register
+    union is idempotent AND the per-batch partition overwrites
+    byte-identically on an at-least-once redelivery, so replays are
+    no-ops twice over (the PSI/CM state scheme). Readers collapse
+    with :func:`mau_monitor_totals`; because HLL union is associative
+    and commutative, the drained totals EXACTLY equal the one-shot
+    batch ``sliding_distinct(sketch=True)`` over the same rows
+    (pinned in tests).
+
+    Steady-state cost per trigger: one sketch agg bounded by
+    days-in-batch rows + one tiny partition write.
+    """
+    from pyspark.sql import functions as F
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        daily = (
+            batch_df.select(
+                F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+                F.col(key_col).alias("_k"),
+            )
+            .filter(F.col("_k").isNotNull() & F.col("day").isNotNull())
+            .groupBy("day")
+            .agg(F.expr("hll_sketch_agg(_k)").alias("sk"))
+        )
+        _write_state(daily, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def mau_monitor_totals(
+    spark: SparkSession,
+    state_path: str,
+    window_days: int = 28,
+) -> DataFrame:
+    """Collapse the batch-partitioned day-sketch state into the SAME
+    (day, distinct_keys, window_days) table the batch
+    ``sliding_distinct(sketch=True)`` produces: sketches union per day
+    across batch partitions, the day frame cover-expands over the
+    trailing window (day-frame-sized work, never row-sized), and each
+    cover day unions its window's sketches once."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(state_path)
+    daily = st.groupBy("day").agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    hi = daily.agg(F.max("day").alias("hi")).first()["hi"]
+    if hi is None:
+        return spark.createDataFrame(
+            [], "day date, distinct_keys long, window_days int"
+        )
+    cover = daily.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {window_days - 1}),"
+                " interval 1 day)"
+            )
+        ).alias("day2"),
+        "sk",
+    ).filter(F.col("day2") <= F.lit(hi))
+    return (
+        cover.groupBy(F.col("day2").alias("day"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("distinct_keys")
+        )
+        .select("day", "distinct_keys", F.lit(window_days).alias("window_days"))
+    )

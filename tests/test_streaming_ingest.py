@@ -349,3 +349,56 @@ def test_psi_monitor_stream_matches_batch_and_replay(spark, tmp_path):
     q2.awaitTermination()
     ident = psi_monitor_totals(spark, state2, ref)
     assert all(r["contrib"] == 0.0 for r in ident.collect())
+
+
+def test_mau_monitor_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming per-day HLL distinct state: drained totals EXACTLY
+    equal the one-shot batch sliding_distinct(sketch=True) over the
+    same rows (HLL union associativity across micro-batches), and
+    rewriting a batch partition with identical content (at-least-once
+    redelivery) leaves the totals unchanged."""
+    from indexlab_spark.operators.analytics import sliding_distinct
+    from indexlab_spark.streaming.ingest import (
+        _write_state,
+        mau_monitor_stream,
+        mau_monitor_totals,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "user_id"
+    )
+    from indexlab_spark.session import normalize_event_ts
+
+    ev = normalize_event_ts(ev)
+    src = str(tmp_path / "msrc")
+    ev.repartition(3).write.parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "mstate")
+    q = mau_monitor_stream(stream, state, "ts", "user_id").start()
+    q.awaitTermination()
+
+    def tbl(df):
+        return sorted(
+            (r["day"], r["distinct_keys"], r["window_days"])
+            for r in df.collect()
+        )
+
+    got = tbl(mau_monitor_totals(spark, state, window_days=7))
+    want = tbl(sliding_distinct(static, "ts", "user_id", 7, sketch=True))
+    assert got == want and len(got) > 0
+
+    # redelivery: rewrite the highest batch partition byte-identically
+    import pyspark.sql.functions as SF
+
+    raw = spark.read.option("basePath", state).parquet(state)
+    max_b = raw.select(SF.max("batch_id")).first()[0]
+    replay = raw.filter(SF.col("batch_id") == max_b).drop("batch_id")
+    _write_state(replay, state, int(max_b))
+    again = tbl(mau_monitor_totals(spark, state, window_days=7))
+    assert again == got
