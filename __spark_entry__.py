@@ -4718,6 +4718,53 @@ def _q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style keyed upsert (maintenance.upsert_by_key): every
+    10th customer arrives re-stated with a shifted balance — updates
+    win, others survive, via one left-anti + union (never a full
+    outer); oracle replays the same semantics."""
+    from indexlab_spark.operators.maintenance import upsert_by_key
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    base = t["customer"].select("c_custkey", "c_name", "c_acctbal")
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    )
+    return upsert_by_key(base, updates, ["c_custkey"])
+
+
+def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (maintenance.scd2_merge, Kimball):
+    an open-rows customer dimension meets a snapshot where every 7th
+    segment changed and every 13th key disappeared — change/close/
+    open/passthrough in one open-slice full-outer join; oracle
+    replays all four branches."""
+    from indexlab_spark.operators.maintenance import scd2_merge
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    current = t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snap = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    return scd2_merge(
+        current, snap, ["c_custkey"], ["c_mktsegment"], "2024-06-01"
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5696,6 +5743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_lineitem": _q_fk_lineitem,
         "conformal_orders": _q_conformal_orders,
         "winsorize_prices": _q_winsorize_prices,
+        "upsert_customers": _q_upsert_customers,
+        "scd2_customers": _q_scd2_customers,
     }
 
 
@@ -10253,5 +10302,44 @@ def oracle_sql() -> dict[str, str]:
                    round(b.lo, 6) AS _lo,
                    round(b.hi, 6) AS _hi
             FROM orders o LEFT JOIN b USING (o_orderpriority)
+        """,
+        "upsert_customers": """
+            WITH upd AS (
+                SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+                FROM customer WHERE c_custkey % 10 = 0
+            )
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal FROM upd
+        """,
+        "scd2_customers": """
+            WITH snap AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                            ELSE c_mktsegment END AS seg
+                FROM customer WHERE c_custkey % 13 <> 0
+            ),
+            j AS (
+                SELECT c.c_custkey AS k_old, c.c_mktsegment AS seg_old,
+                       s.c_custkey AS k_new, s.seg AS seg_new
+                FROM customer c FULL OUTER JOIN snap s
+                  ON c.c_custkey = s.c_custkey
+            )
+            SELECT k_old AS c_custkey, seg_old AS c_mktsegment,
+                   '2024-01-01' AS valid_from,
+                   CAST(NULL AS VARCHAR) AS valid_to
+            FROM j WHERE k_old IS NOT NULL AND k_new IS NOT NULL
+                     AND seg_old IS NOT DISTINCT FROM seg_new
+            UNION ALL
+            SELECT k_old, seg_old, '2024-01-01', '2024-06-01'
+            FROM j WHERE k_old IS NOT NULL
+                     AND (k_new IS NULL
+                          OR seg_old IS DISTINCT FROM seg_new)
+            UNION ALL
+            SELECT k_new, seg_new, '2024-06-01', CAST(NULL AS VARCHAR)
+            FROM j WHERE k_new IS NOT NULL
+                     AND (k_old IS NULL
+                          OR seg_old IS DISTINCT FROM seg_new)
         """,
     }

@@ -521,7 +521,10 @@ def main() -> None:
                  # (sf0.1 min-of-2, r9)
                  # winsorize_prices 0.3s warm (sf0.1 min-of-2, r9)
                  "sliding_users", "fk_lineitem", "conformal_orders",
-                 "winsorize_prices"):
+                 # upsert_customers 0.6s / scd2_customers 0.9s warm
+                 # (sf0.1 min-of-2, r9)
+                 "winsorize_prices", "upsert_customers",
+                 "scd2_customers"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -540,3 +540,124 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*key_cols, status.alias("status"))
+
+
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE-style keyed upsert without a table format: the updates
+    frame wins on key collision, unmatched existing rows survive,
+    unmatched updates insert — the Delta ``MERGE WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT`` semantics expressed as one LEFT-ANTI
+    join plus a union (cheaper than a full outer: the surviving-old
+    side never carries the update payload through the join).
+
+    Duplicate keys WITHIN updates are an error at merge semantics
+    level; this keeps all of them (documented — dedupe upstream with
+    dedup.cluster_representatives / a window if the batch can carry
+    dupes). Schema: updates must carry exactly the existing columns
+    (checked).
+
+    At 100 TB: one keyed shuffle of the smaller updates frame against
+    the corpus's key frame; writing the result partitioned by the key
+    range keeps the rewrite bounded to touched partitions.
+    """
+    if not key_cols:
+        raise ValueError("upsert_by_key: key_cols must be non-empty")
+    if set(existing.columns) != set(updates.columns):
+        raise ValueError(
+            "upsert_by_key: schemas differ: "
+            f"{sorted(existing.columns)} vs {sorted(updates.columns)}"
+        )
+    survivors = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return survivors.unionByName(updates.select(*existing.columns))
+
+
+def scd2_merge(
+    current: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    as_of: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 maintenance (Kimball):
+    ``current`` is the history table (one OPEN row per live key —
+    ``valid_to`` NULL — plus closed rows), ``snapshot`` is today's
+    full extract of (key, attrs). The merge:
+
+    - attribute change  -> the open row CLOSES at ``as_of`` and a new
+      open row starts at ``as_of``;
+    - key missing from the snapshot (deleted upstream) -> the open
+      row closes at ``as_of``;
+    - new key -> a new open row starts at ``as_of``;
+    - unchanged keys and already-closed history pass through
+      untouched.
+
+    One full-outer join of the OPEN slice against the snapshot on the
+    key (both sides key-sized after the open filter), null-safe
+    attribute comparison (NULL == NULL is "unchanged", the table_diff
+    discipline), and a union with the closed history — the history
+    table is never rewritten row-by-row, only the open slice moves.
+
+    Output: the full new history frame with the input column layout
+    (key_cols + attr_cols + valid_from + valid_to, all as strings of
+    the input types).
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_merge: key_cols and attr_cols required")
+    a = F.lit(as_of).cast("date")
+    cols = [*key_cols, *attr_cols, valid_from_col, valid_to_col]
+    closed_history = current.filter(
+        F.col(valid_to_col).isNotNull()
+    ).select(*cols)
+    open_rows = current.filter(F.col(valid_to_col).isNull())
+    o = open_rows.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        F.col(valid_from_col).alias("_vf"),
+        *[F.col(c).alias(f"_o_{c}") for c in attr_cols],
+    )
+    s = snapshot.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
+    )
+    j = o.join(s, list(key_cols), "full_outer")
+    same = F.lit(True)
+    for c in attr_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    unchanged = j.filter(
+        F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull() & same
+    ).select(
+        *key_cols,
+        *[F.col(f"_o_{c}").alias(c) for c in attr_cols],
+        F.col("_vf").alias(valid_from_col),
+        F.lit(None).cast("date").alias(valid_to_col),
+    )
+    closing = j.filter(
+        F.col("_in_old").isNotNull() & (F.col("_in_new").isNull() | ~same)
+    ).select(
+        *key_cols,
+        *[F.col(f"_o_{c}").alias(c) for c in attr_cols],
+        F.col("_vf").alias(valid_from_col),
+        a.alias(valid_to_col),
+    )
+    opening = j.filter(
+        F.col("_in_new").isNotNull() & (F.col("_in_old").isNull() | ~same)
+    ).select(
+        *key_cols,
+        *[F.col(f"_n_{c}").alias(c) for c in attr_cols],
+        a.alias(valid_from_col),
+        F.lit(None).cast("date").alias(valid_to_col),
+    )
+    return (
+        closed_history.unionByName(unchanged)
+        .unionByName(closing)
+        .unionByName(opening)
+    )

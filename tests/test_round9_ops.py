@@ -2645,3 +2645,110 @@ class TestWinsorize:
         df = spark.createDataFrame([("1", 1.0)], "id string, v double")
         with _pytest.raises(ValueError, match="lower"):
             winsorize(df, "v", 0.9, 0.1)
+
+
+class TestUpsertByKey:
+    """Keyed MERGE semantics (maintenance.upsert_by_key)."""
+
+    def test_update_insert_survive(self, spark):
+        from indexlab_spark.operators.maintenance import upsert_by_key
+
+        old = spark.createDataFrame(
+            [("k1", 1), ("k2", 2), ("k3", 3)], "k string, v int"
+        )
+        upd = spark.createDataFrame(
+            [("k2", 20), ("k9", 90)], "k string, v int"
+        )
+        got = {r["k"]: r["v"] for r in upsert_by_key(old, upd, ["k"]).collect()}
+        assert got == {"k1": 1, "k2": 20, "k3": 3, "k9": 90}
+
+    def test_schema_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.maintenance import upsert_by_key
+
+        old = spark.createDataFrame([("k", 1)], "k string, v int")
+        upd = spark.createDataFrame([("k",)], "k string")
+        with _pytest.raises(ValueError, match="schemas differ"):
+            upsert_by_key(old, upd, ["k"])
+        with _pytest.raises(ValueError, match="key_cols"):
+            upsert_by_key(old, old, [])
+
+
+class TestScd2Merge:
+    """SCD type-2 maintenance (maintenance.scd2_merge)."""
+
+    def _dim(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (k, v, dt.date.fromisoformat(vf),
+                 dt.date.fromisoformat(vt) if vt else None)
+                for k, v, vf, vt in rows
+            ],
+            "k string, attr string, valid_from date, valid_to date",
+        )
+
+    def test_full_lifecycle(self, spark):
+        from indexlab_spark.operators.maintenance import scd2_merge
+
+        current = self._dim(spark, [
+            ("a", "old", "2024-01-01", "2024-03-01"),  # closed history
+            ("a", "new", "2024-03-01", None),          # open, will change
+            ("b", "keep", "2024-01-01", None),         # open, unchanged
+            ("c", "gone", "2024-01-01", None),         # open, deleted
+        ])
+        snap = spark.createDataFrame(
+            [("a", "newer"), ("b", "keep"), ("d", "born")],
+            "k string, attr string",
+        )
+        out = scd2_merge(current, snap, ["k"], ["attr"], "2024-06-01")
+        rows = sorted(
+            (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]))
+            for r in out.collect()
+        )
+        assert rows == sorted([
+            ("a", "old", "2024-01-01", "2024-03-01"),
+            ("a", "new", "2024-03-01", "2024-06-01"),
+            ("a", "newer", "2024-06-01", "None"),
+            ("b", "keep", "2024-01-01", "None"),
+            ("c", "gone", "2024-01-01", "2024-06-01"),
+            ("d", "born", "2024-06-01", "None"),
+        ])
+
+    def test_null_attr_equality_is_unchanged(self, spark):
+        from indexlab_spark.operators.maintenance import scd2_merge
+
+        current = spark.createDataFrame(
+            [("a", None, "2024-01-01", None)],
+            "k string, attr string, valid_from string, valid_to string",
+        ).select(
+            "k", "attr",
+            F.col("valid_from").cast("date").alias("valid_from"),
+            F.col("valid_to").cast("date").alias("valid_to"),
+        )
+        snap = spark.createDataFrame([("a", None)], "k string, attr string")
+        out = scd2_merge(current, snap, ["k"], ["attr"], "2024-06-01")
+        r = out.collect()
+        assert len(r) == 1 and r[0]["valid_to"] is None
+
+    def test_idempotent_on_same_snapshot(self, spark):
+        from indexlab_spark.operators.maintenance import scd2_merge
+
+        current = self._dim(spark, [("a", "x", "2024-01-01", None)])
+        snap = spark.createDataFrame([("a", "x")], "k string, attr string")
+        once = scd2_merge(current, snap, ["k"], ["attr"], "2024-06-01")
+        twice = scd2_merge(once, snap, ["k"], ["attr"], "2024-07-01")
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.maintenance import scd2_merge
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError, match="required"):
+            scd2_merge(df, df, [], ["a"], "2024-01-01")
