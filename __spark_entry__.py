@@ -5542,16 +5542,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-40 take the 28 round-9 POST-WINDOW additions
-        # (holt_revenue .. next_events in registry order — all added
-        # after the r9 window was pinned, so none has a driver row;
-        # the two rows-only members, embedding_kmeans and
-        # hits_suppliers, get rows-only rows like part_kcore did in
-        # r9), then slots 41-50 take the first 10 of the 11 r05-green
-        # leftovers below (simhash_pairs .. dsir_weights — 4 rounds
-        # stale by r10, the oldest attestations left). embedding_lsh
-        # plus the 38 r06-green entries backfill in r11, the r07 block
-        # in r12. Any operator newly oracle-registered in r10 goes
+        # slots 13-48 take the 36 round-9 POST-WINDOW additions
+        # (holt_revenue .. scd2_customers in registry order — all
+        # added after the r9 window was pinned, so none has a driver
+        # row; the three rows-only members — embedding_kmeans,
+        # hits_suppliers, similarity_ivfpq — get rows-only rows like
+        # part_kcore did in r9), then slots 49-50 take the first 2 of
+        # the 11 r05-green leftovers below (simhash_pairs,
+        # stratified_split — 4 rounds stale by r10, the oldest
+        # attestations left). The remaining 9 r05 leftovers plus the
+        # 38 r06-green entries backfill in r11, the r07 block in r12.
+        # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
         # last green r05 (11 remaining; rotate into r10 FIRST):
         "simhash_pairs": _q_simhash_pairs,
