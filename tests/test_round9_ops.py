@@ -2752,3 +2752,115 @@ class TestScd2Merge:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError, match="required"):
             scd2_merge(df, df, [], ["a"], "2024-01-01")
+
+
+class TestRound9Properties:
+    """Hypothesis property tests for the round-9 statistics family —
+    algebraic invariants that hold for ANY input, complementing the
+    hand-computed anchors."""
+
+    def test_mwu_u_sum_invariant(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from indexlab_spark.operators.analytics import mann_whitney_u
+
+        @given(
+            av=st.lists(
+                st.integers(min_value=0, max_value=9), min_size=1,
+                max_size=12,
+            ),
+            bv=st.lists(
+                st.integers(min_value=0, max_value=9), min_size=1,
+                max_size=12,
+            ),
+        )
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def prop(av, bv):
+            rows = [("a", float(v)) for v in av] + [
+                ("b", float(v)) for v in bv
+            ]
+            df = spark.createDataFrame(rows, "g string, v double")
+            r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+            # U_a + U_b == n_a * n_b always (rank-sum identity)
+            assert abs(r["u_a"] + r["u_b"] - len(av) * len(bv)) < 1e-6
+            assert 0 <= r["u_a"] <= len(av) * len(bv)
+
+        prop()
+
+    def test_winsorize_output_always_within_bounds(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from indexlab_spark.operators.analytics import winsorize
+
+        @given(
+            vals=st.lists(
+                st.floats(
+                    min_value=-1e6, max_value=1e6,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=2, max_size=20,
+            )
+        )
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def prop(vals):
+            df = spark.createDataFrame(
+                [(float(v),) for v in vals], "v double"
+            )
+            for r in winsorize(df, "v", 0.1, 0.9).collect():
+                assert r["_lo"] <= r["v_w"] <= r["_hi"]
+
+        prop()
+
+    def test_sliding_distinct_monotone_in_window(self, spark):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import sliding_distinct
+
+        d0 = dt.date(2024, 5, 1)
+        rows = [
+            (f"u{(i * 7) % 13}",
+             dt.datetime.combine(
+                 d0 + dt.timedelta(days=(i * 3) % 11), dt.time(9)
+             ))
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        small = {
+            r["day"]: r["distinct_keys"]
+            for r in sliding_distinct(df, "ts", "k", 3).collect()
+        }
+        big = {
+            r["day"]: r["distinct_keys"]
+            for r in sliding_distinct(df, "ts", "k", 9).collect()
+        }
+        for day, n in small.items():
+            assert big[day] >= n  # a wider window never loses keys
+
+    def test_roc_auc_is_mwu_normalized(self, spark):
+        from indexlab_spark.operators.analytics import (
+            mann_whitney_u,
+            roc_auc,
+        )
+
+        rows = [
+            (1.0 if i % 3 == 0 else 0.0, float((i * 11) % 17))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "y double, s double")
+        auc = roc_auc(df, "y", "s").collect()[0]
+        mwu_df = df.select(
+            F.when(F.col("y") == 1.0, "pos").otherwise("neg").alias("g"),
+            "s",
+        )
+        u = mann_whitney_u(mwu_df, "g", "s", "pos", "neg").collect()[0]
+        assert abs(
+            auc["auc"] - round(u["u_a"] / (u["n_a"] * u["n_b"]), 6)
+        ) < 1e-6
