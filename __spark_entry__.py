@@ -4765,6 +4765,21 @@ def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit (analytics.k_anonymity,
+    Sweeney 2002) over the customer quasi-identifiers (nation x
+    market segment) with account balance as the sensitive column —
+    equivalence classes ARE the group-by, one map-combined agg;
+    oracle replays the class-frame reduction."""
+    from indexlab_spark.operators.analytics import k_anonymity
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    return k_anonymity(
+        t["customer"], ["c_nationkey", "c_mktsegment"], k=5,
+        sensitive_col="c_acctbal",
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5542,15 +5557,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-48 take the 36 round-9 POST-WINDOW additions
-        # (holt_revenue .. scd2_customers in registry order — all
+        # slots 13-49 take the 37 round-9 POST-WINDOW additions
+        # (holt_revenue .. kanon_customers in registry order — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
-        # part_kcore did in r9), then slots 49-50 take the first 2 of
-        # the 11 r05-green leftovers below (simhash_pairs,
-        # stratified_split — 4 rounds stale by r10, the oldest
-        # attestations left). The remaining 9 r05 leftovers plus the
+        # part_kcore did in r9), then slot 50 takes the first of the
+        # 11 r05-green leftovers below (simhash_pairs — 4 rounds
+        # stale by r10, the oldest attestation left). The remaining
+        # 10 r05 leftovers plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
         # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
@@ -5746,6 +5761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": _q_winsorize_prices,
         "upsert_customers": _q_upsert_customers,
         "scd2_customers": _q_scd2_customers,
+        "kanon_customers": _q_kanon_customers,
     }
 
 
@@ -10342,5 +10358,26 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE k_new IS NOT NULL
                      AND (k_old IS NULL
                           OR seg_old IS DISTINCT FROM seg_new)
+        """,
+        "kanon_customers": """
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment,
+                       count(*) AS sz,
+                       count(DISTINCT c_acctbal) AS l
+                FROM customer GROUP BY c_nationkey, c_mktsegment
+            )
+            SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   5 AS k,
+                   CAST(min(sz) AS BIGINT) AS min_class_size,
+                   CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)
+                        AS BIGINT) AS n_violating_rows,
+                   round(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)
+                         * 1.0 / nullif(sum(sz), 0), 6)
+                       AS violating_share,
+                   coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) = 0
+                       AS anonymous,
+                   CAST(min(l) AS BIGINT) AS l_min
+            FROM classes
         """,
     }

@@ -3891,3 +3891,69 @@ def winsorize(
         F.round(lo, 6).alias("_lo"),
         F.round(hi, 6).alias("_hi"),
     )
+
+
+def k_anonymity(
+    df: "DataFrame",
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> "DataFrame":
+    """k-anonymity audit (Sweeney 2002) — the privacy screen for a
+    training-data release: every row should be indistinguishable from
+    at least k-1 others on its quasi-identifier combination (zip x
+    age x gender is the canonical re-identification vector). Reports
+    how far the table is from k-anonymous, and — when
+    ``sensitive_col`` is given — the l-diversity floor (min distinct
+    sensitive values within any equivalence class; a k-anonymous
+    class with ONE diagnosis still leaks it).
+
+    ONE map-combined (QI-combination -> size [+ distinct-sensitive])
+    aggregation — equivalence classes ARE the group-by; the audit
+    then reduces the class frame (class-count-sized, never row-sized)
+    to a single row. NULL is a QI value (two rows with NULL zip are
+    indistinguishable from each other — grouped, not dropped).
+
+    Output (one row): n, n_classes, k (the threshold), min_class_size,
+    n_violating_rows (rows in classes smaller than k),
+    violating_share (6dp), anonymous (true iff no violations), and
+    with ``sensitive_col``: l_min (the l-diversity floor) else NULL.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity: qi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k_anonymity: k must be >= 2, got {k}")
+    aggs = [F.count(F.lit(1)).alias("_sz")]
+    if sensitive_col:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("_l")
+        )
+    classes = df.groupBy(*qi_cols).agg(*aggs)
+    out = classes.agg(
+        F.coalesce(F.sum("_sz"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_sz").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("_sz") < k, F.col("_sz"))), F.lit(0)
+        ).alias("n_violating_rows"),
+        *(
+            [F.min("_l").alias("l_min")]
+            if sensitive_col
+            else [F.min(F.lit(None).cast("long")).alias("l_min")]
+        ),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.lit(k).alias("k"),
+        F.col("min_class_size").cast("long").alias("min_class_size"),
+        F.col("n_violating_rows").cast("long").alias("n_violating_rows"),
+        F.round(
+            F.try_divide(
+                F.col("n_violating_rows").cast("double"), F.col("n")
+            ),
+            6,
+        ).alias("violating_share"),
+        (F.col("n_violating_rows") == 0).alias("anonymous"),
+        F.col("l_min").cast("long").alias("l_min"),
+    )

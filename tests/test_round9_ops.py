@@ -2864,3 +2864,53 @@ class TestRound9Properties:
         assert abs(
             auc["auc"] - round(u["u_a"] / (u["n_a"] * u["n_b"]), 6)
         ) < 1e-6
+
+
+class TestKAnonymity:
+    """Privacy audit (analytics.k_anonymity)."""
+
+    def _run(self, spark, rows, k=3, sensitive=None):
+        from indexlab_spark.operators.analytics import k_anonymity
+
+        df = spark.createDataFrame(rows, "zip string, age string, dx string")
+        return k_anonymity(
+            df, ["zip", "age"], k, sensitive_col=sensitive
+        ).collect()[0]
+
+    def test_hand_counts(self, spark):
+        rows = (
+            [("10001", "30", "flu")] * 4
+            + [("10001", "40", "cold")] * 2   # class of 2 < k=3
+            + [("10002", "30", "flu")] * 3
+        )
+        r = self._run(spark, rows, k=3)
+        assert r["n"] == 9 and r["n_classes"] == 3
+        assert r["min_class_size"] == 2
+        assert r["n_violating_rows"] == 2
+        assert abs(r["violating_share"] - round(2 / 9, 6)) < 1e-9
+        assert r["anonymous"] is False and r["l_min"] is None
+
+    def test_l_diversity_floor(self, spark):
+        rows = (
+            [("10001", "30", "flu")] * 3       # 1 distinct dx -> leaks
+            + [("10002", "30", "flu")] * 2
+            + [("10002", "30", "cold")] * 1    # 2 distinct dx
+        )
+        r = self._run(spark, rows, k=3, sensitive="dx")
+        assert r["l_min"] == 1
+
+    def test_null_qi_is_a_value(self, spark):
+        rows = [(None, "30", "a")] * 3 + [("10001", "30", "b")] * 3
+        r = self._run(spark, rows, k=3)
+        assert r["n_classes"] == 2 and r["anonymous"] is True
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import k_anonymity
+
+        df = spark.createDataFrame([("a",)], "zip string")
+        with _pytest.raises(ValueError, match="qi_cols"):
+            k_anonymity(df, [], 3)
+        with _pytest.raises(ValueError, match="k must"):
+            k_anonymity(df, ["zip"], 1)
