@@ -4813,6 +4813,23 @@ def _zorder_interleave_sql(cols: list[str], bits: int) -> str:
     return " + ".join(terms)
 
 
+def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing (analytics.ab_power): per-arm n required to
+    detect a 2% lift on per-user revenue, from one pooled moment agg
+    over the same unit frame ab_events tests; oracle replays the
+    closed form."""
+    from indexlab_spark.operators.analytics import ab_power
+
+    t = load_tables(spark, sf_dir, ("events",))
+    units = t["events"].groupBy("user_id").agg(
+        F.sum("value").alias("metric")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        "metric",
+    )
+    return ab_power(units, "v", "metric", mde_rel=0.02)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier — distributed full-batch logistic
     regression over the embedding column
@@ -5590,14 +5607,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the 38 round-9 POST-WINDOW additions
-        # (holt_revenue .. zorder_orders in registry order — all
+        # slots 13-50 take the first 38 of the 39 round-9 POST-WINDOW additions
+        # (holt_revenue .. zorder_orders in registry order; the 39th,
+        # ab_power_events, leads the r11 window — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
-        # part_kcore did in r9) — exactly filling the window. The 11
-        # r05-green leftovers below (4 rounds stale by r10, the
-        # oldest attestations left) plus the
+        # part_kcore did in r9) — exactly filling the window.
+        # ab_power_events plus the 11 r05-green leftovers below
+        # (4 rounds stale by r10, the oldest attestations left) plus
+        # the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
         # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
@@ -5795,6 +5814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers": _q_scd2_customers,
         "kanon_customers": _q_kanon_customers,
         "zorder_orders": _q_zorder_orders,
+        "ab_power_events": _q_ab_power_events,
     }
 
 
@@ -10426,5 +10446,40 @@ def oracle_sql() -> dict[str, str]:
                        ["o.o_custkey", "o.o_totalprice"], 8
                    )} AS zkey
             FROM orders o, b
+        """,
+        "ab_power_events": """
+            WITH units AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS v,
+                       sum(value) AS metric
+                FROM events GROUP BY user_id
+            ),
+            f AS (SELECT v, metric FROM units WHERE metric IS NOT NULL),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       avg(metric) AS mean,
+                       var_samp(metric) AS var,
+                       count(CASE WHEN v = 'a' THEN 1 END) / 2.0
+                       + count(CASE WHEN v = 'b' THEN 1 END) / 2.0
+                           AS n_arm_avg
+                FROM f
+            ),
+            d AS (
+                SELECT *, abs(mean) * 0.02 AS delta,
+                       2.0 * (1.96 + 0.84) * (1.96 + 0.84) AS kappa,
+                       (var > 0 AND abs(mean) * 0.02 > 0) AS ok
+                FROM m
+            )
+            SELECT n AS n_units,
+                   round(mean, 6) AS mean,
+                   round(var, 6) AS variance,
+                   CAST(0.02 AS DOUBLE) AS mde_rel,
+                   CAST(CASE WHEN ok THEN
+                        ceil(kappa * var / (delta * delta)) END
+                        AS BIGINT) AS n_required_per_arm,
+                   round(CASE WHEN ok AND n_arm_avg > 0 THEN
+                         sqrt(kappa * var / n_arm_avg) / abs(mean) END,
+                         6) AS mde_detectable_rel
+            FROM d
         """,
     }

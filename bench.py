@@ -527,7 +527,8 @@ def main() -> None:
                  # kanon_customers 0.4s / zorder_orders 0.6s warm
                  # (sf0.1 min-of-2, r9)
                  "scd2_customers", "kanon_customers",
-                 "zorder_orders"):
+                 # ab_power_events 0.7s warm (sf0.1 min-of-2, r9)
+                 "zorder_orders", "ab_power_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

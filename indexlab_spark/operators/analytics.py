@@ -2808,7 +2808,7 @@ def mann_whitney_u(
 
 # Poisson(1) CDF at k = 0..7 — the inverse-CDF thresholds for the
 # deterministic bootstrap weights; the SAME literals appear verbatim in
-# the mwu/bootstrap oracle SQL so both engines draw identical integers.
+# the bootstrap oracle SQL so both engines draw identical integers.
 _POIS1_CDF = (
     0.36787944117144233,
     0.7357588823428847,
@@ -3956,4 +3956,68 @@ def k_anonymity(
         ).alias("violating_share"),
         (F.col("n_violating_rows") == 0).alias("anonymous"),
         F.col("l_min").cast("long").alias("l_min"),
+    )
+
+
+def ab_power(
+    df: "DataFrame",
+    variant_col: str,
+    metric_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+    mde_rel: float = 0.02,
+    z_alpha: float = 1.96,
+    z_beta: float = 0.84,
+) -> DataFrame:
+    """Sample-size / power readout for a two-arm experiment — the
+    PLANNING member of the experimentation family (ab_test_report
+    reads a finished test, cuped_ab shrinks its variance, this one
+    says how long to run the NEXT one): from the measured metric mean
+    and variance, the per-arm n required to detect a relative lift of
+    ``mde_rel`` at the z_alpha/z_beta normal approximation,
+    ``n = 2 * (z_alpha + z_beta)^2 * var / delta^2`` (the standard
+    two-sample formula), plus the detectable-lift curve inverted at
+    the CURRENT sample size ("what MDE do we already have power
+    for").
+
+    ONE map-side-combined moment aggregation over the unit frame
+    (pooled across both arms — planning uses the best variance
+    estimate available); everything else is a closed-form projection.
+    NULL metrics drop (the ab_test_report contract).
+
+    Output (one row, 6dp): n_units, mean, variance, mde_rel,
+    n_required_per_arm (ceil), mde_detectable_rel (the relative lift
+    the current per-arm n already powers). Degenerate inputs (zero
+    mean or zero variance) yield NULL sizing.
+    """
+    if not (0.0 < mde_rel):
+        raise ValueError(f"ab_power: mde_rel must be > 0, got {mde_rel}")
+    v = F.col(variant_col)
+    x = F.col(metric_col).cast("double")
+    base = df.filter(x.isNotNull() & v.isin(variant_a, variant_b))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("mean"),
+        F.var_samp(x).alias("var"),
+        (
+            F.count(F.when(v == F.lit(variant_a), 1)) / 2
+            + F.count(F.when(v == F.lit(variant_b), 1)) / 2
+        ).alias("_n_arm_avg"),
+    )
+    kappa = F.lit(2.0 * (z_alpha + z_beta) ** 2)
+    delta = F.abs(F.col("mean")) * F.lit(mde_rel)
+    ok = (F.col("var") > 0) & (delta > 0)
+    n_req = F.ceil(kappa * F.col("var") / (delta * delta))
+    mde_det = F.sqrt(
+        kappa * F.col("var") / F.col("_n_arm_avg")
+    ) / F.abs(F.col("mean"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("variance"),
+        F.lit(float(mde_rel)).alias("mde_rel"),
+        F.when(ok, n_req).cast("long").alias("n_required_per_arm"),
+        F.round(
+            F.when(ok & (F.col("_n_arm_avg") > 0), mde_det), 6
+        ).alias("mde_detectable_rel"),
     )

@@ -2992,3 +2992,65 @@ class TestZorderKey:
             zorder_key(df, ["x"])
         with _pytest.raises(ValueError, match="62"):
             zorder_key(df, ["x", "y"], bits=40)
+
+
+class TestAbPower:
+    """Experiment sizing (analytics.ab_power)."""
+
+    def _run(self, spark, units, **kw):
+        from indexlab_spark.operators.analytics import ab_power
+
+        df = spark.createDataFrame(
+            [(v, float(x)) for v, x in units], "v string, x double"
+        )
+        return ab_power(df, "v", "x", **kw).collect()[0]
+
+    def test_closed_form(self, spark):
+        import math
+        import statistics as st
+
+        vals = [10.0, 12.0, 9.0, 11.0, 10.5, 13.0, 8.5, 12.5]
+        units = [("a" if i % 2 == 0 else "b", x) for i, x in enumerate(vals)]
+        got = self._run(spark, units, mde_rel=0.05)
+        var = st.variance(vals)
+        mean = st.mean(vals)
+        kappa = 2 * (1.96 + 0.84) ** 2
+        n_req = math.ceil(kappa * var / (0.05 * mean) ** 2)
+        assert got["n_required_per_arm"] == n_req
+        mde = math.sqrt(kappa * var / 4.0) / mean  # 4 units per arm
+        assert abs(got["mde_detectable_rel"] - round(mde, 6)) < 1e-6
+        assert got["n_units"] == 8
+
+    def test_inversion_roundtrip(self, spark):
+        # at n = n_required, the detectable MDE equals the asked MDE
+        import random
+
+        rng = random.Random(1)
+        units = [
+            ("a" if i % 2 == 0 else "b", rng.gauss(100, 10))
+            for i in range(400)
+        ]
+        got = self._run(spark, units, mde_rel=0.02)
+        n_req = got["n_required_per_arm"]
+        # rebuild with exactly n_req per arm of the same distribution:
+        # instead verify algebraically from the returned stats
+        import math
+
+        kappa = 2 * (1.96 + 0.84) ** 2
+        mde_at_req = math.sqrt(
+            kappa * got["variance"] / n_req
+        ) / abs(got["mean"])
+        assert abs(mde_at_req - 0.02) < 0.001
+
+    def test_degenerate_zero_variance(self, spark):
+        got = self._run(spark, [("a", 5.0), ("b", 5.0)])
+        assert got["n_required_per_arm"] is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import ab_power
+
+        df = spark.createDataFrame([("a", 1.0)], "v string, x double")
+        with _pytest.raises(ValueError, match="mde_rel"):
+            ab_power(df, "v", "x", mde_rel=0.0)
