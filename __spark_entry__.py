@@ -4780,39 +4780,6 @@ def _q_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustering key (maintenance.zorder_key, Morton 1966 /
-    lakehouse OPTIMIZE ZORDER practice) over (custkey, totalprice) —
-    pure integer-codegen bit interleave after a 2-scalar bounds probe;
-    oracle replays the identical normalize/shift/mask arithmetic
-    (generated term by term)."""
-    from indexlab_spark.operators.maintenance import zorder_key
-
-    t = load_tables(spark, sf_dir, ("orders",))
-    return zorder_key(
-        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
-        ["o_custkey", "o_totalprice"],
-        bits=8,
-    ).select("o_orderkey", "zkey")
-
-
-def _zorder_interleave_sql(cols: list[str], bits: int) -> str:
-    """The SQL mirror of zorder_key's bit interleave — generated so
-    the oracle stays literally the same arithmetic at any bits."""
-    top = float((1 << bits) - 1)
-    terms = []
-    for j, c in enumerate(cols):
-        u = (
-            f"CAST(floor((CAST({c} AS DOUBLE) - b.mn_{j})"
-            f" / (b.mx_{j} - b.mn_{j}) * {top!r}) AS BIGINT)"
-        )
-        for bit in range(bits):
-            terms.append(
-                f"((({u} >> {bit}) & 1) << {bit * len(cols) + j})"
-            )
-    return " + ".join(terms)
-
-
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5607,16 +5574,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 39 round-9 POST-WINDOW additions
-        # (holt_revenue .. zorder_orders in registry order; the 39th,
-        # ab_power_events, leads the r11 window — all
+        # slots 13-50 take the 38 round-9 POST-WINDOW additions
+        # (holt_revenue .. ab_power_events in registry order — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
-        # part_kcore did in r9) — exactly filling the window.
-        # ab_power_events plus the 11 r05-green leftovers below
-        # (4 rounds stale by r10, the oldest attestations left) plus
-        # the
+        # part_kcore did in r9) — exactly filling the window. The 11
+        # r05-green leftovers below (4 rounds stale by r10, the
+        # oldest attestations left) plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
         # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
@@ -5813,7 +5778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_customers": _q_upsert_customers,
         "scd2_customers": _q_scd2_customers,
         "kanon_customers": _q_kanon_customers,
-        "zorder_orders": _q_zorder_orders,
         "ab_power_events": _q_ab_power_events,
     }
 
@@ -10432,20 +10396,6 @@ def oracle_sql() -> dict[str, str]:
                        AS anonymous,
                    CAST(min(l) AS BIGINT) AS l_min
             FROM classes
-        """,
-        "zorder_orders": f"""
-            WITH b AS (
-                SELECT min(CAST(o_custkey AS DOUBLE)) AS mn_0,
-                       max(CAST(o_custkey AS DOUBLE)) AS mx_0,
-                       min(CAST(o_totalprice AS DOUBLE)) AS mn_1,
-                       max(CAST(o_totalprice AS DOUBLE)) AS mx_1
-                FROM orders
-            )
-            SELECT o.o_orderkey,
-                   {_zorder_interleave_sql(
-                       ["o.o_custkey", "o.o_totalprice"], 8
-                   )} AS zkey
-            FROM orders o, b
         """,
         "ab_power_events": """
             WITH units AS (

@@ -524,11 +524,10 @@ def main() -> None:
                  # upsert_customers 0.6s / scd2_customers 0.9s warm
                  # (sf0.1 min-of-2, r9)
                  "winsorize_prices", "upsert_customers",
-                 # kanon_customers 0.4s / zorder_orders 0.6s warm
+                 # kanon_customers 0.4s / ab_power_events 0.7s warm
                  # (sf0.1 min-of-2, r9)
                  "scd2_customers", "kanon_customers",
-                 # ab_power_events 0.7s warm (sf0.1 min-of-2, r9)
-                 "zorder_orders", "ab_power_events"):
+                 "ab_power_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -661,69 +661,3 @@ def scd2_merge(
         .unionByName(closing)
         .unionByName(opening)
     )
-
-
-def zorder_key(
-    df: DataFrame,
-    cols: list[str],
-    bits: int = 16,
-) -> DataFrame:
-    """Z-order (Morton) clustering key — the multi-dimensional sort
-    key behind lakehouse ``OPTIMIZE ZORDER BY`` (Delta/Iceberg
-    practice, Morton 1966): interleaving the bits of several columns'
-    normalized ranks makes rows that are close in EVERY dimension
-    close in the one-dimensional sort, so per-file min/max statistics
-    stay tight on ALL the z-ordered columns at once and a predicate
-    on any of them prunes files — a single-column sort gives that for
-    one column only.
-
-    Each column min-max normalizes to a ``bits``-bit integer (bounds
-    fetched once as driver literals — one 2-scalar agg per call) and
-    the z key interleaves the bits column-major: bit b of column j
-    lands at position ``b * len(cols) + j``. Pure integer codegen —
-    shifts and masks, no UDF; NULL in any column yields a NULL key
-    (sort them last and they cluster together). ``bits * len(cols)``
-    must fit a signed 64-bit key (capped at 62).
-
-    Usage at scale: ``df.repartitionByRange(N, "zkey")`` (or sort
-    within partitions) before writing; the write is the expensive
-    step, the key itself is a projection. Output: input columns +
-    ``zkey`` (bigint).
-    """
-    if len(cols) < 2:
-        raise ValueError(f"zorder_key: need >= 2 cols, got {len(cols)}")
-    if bits < 1 or bits * len(cols) > 62:
-        raise ValueError(
-            f"zorder_key: bits * ncols must be in [len(cols), 62], got "
-            f"{bits * len(cols)}"
-        )
-    bounds = df.agg(
-        *[
-            f
-            for c in cols
-            for f in (
-                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
-            )
-        ]
-    ).first()
-    top = (1 << bits) - 1
-    z = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
-        mn = bounds[f"_mn_{c}"]
-        mx = bounds[f"_mx_{c}"]
-        if mn is None:
-            raise ValueError(f"zorder_key: column {c} is all NULL")
-        v = F.col(c).cast("double")
-        if mx > mn:
-            u = F.floor(
-                (v - F.lit(mn)) / F.lit(mx - mn) * F.lit(float(top))
-            ).cast("long")
-        else:
-            u = F.when(v.isNotNull(), F.lit(0).cast("long"))
-        for b in range(bits):
-            z = z + F.shiftleft(
-                F.shiftright(u, b).bitwiseAND(F.lit(1)),
-                b * len(cols) + j,
-            )
-    return df.select("*", z.alias("zkey"))

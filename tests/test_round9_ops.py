@@ -2916,84 +2916,6 @@ class TestKAnonymity:
             k_anonymity(df, ["zip"], 1)
 
 
-class TestZorderKey:
-    """Morton clustering key (maintenance.zorder_key)."""
-
-    def test_exact_morton_order_on_grid(self, spark):
-        from indexlab_spark.operators.maintenance import zorder_key
-
-        rows = [(float(x), float(y)) for x in range(4) for y in range(4)]
-        df = spark.createDataFrame(rows, "x double, y double")
-        got = {
-            (r["x"], r["y"]): r["zkey"]
-            for r in zorder_key(df, ["x", "y"], bits=2).collect()
-        }
-
-        def morton(x, y):
-            z = 0
-            for b in range(2):
-                z |= ((int(x) >> b) & 1) << (2 * b)
-                z |= ((int(y) >> b) & 1) << (2 * b + 1)
-            return z
-
-        # min-max normalization maps 0..3 onto 0..3 exactly (top = 3)
-        for (x, y), zk in got.items():
-            assert zk == morton(x, y), (x, y, zk)
-        # the canonical N-curve: (0,0) (1,0) (0,1) (1,1) are 0,1,2,3
-        assert [got[(0.0, 0.0)], got[(1.0, 0.0)],
-                got[(0.0, 1.0)], got[(1.0, 1.0)]] == [0, 1, 2, 3]
-
-    def test_locality_beats_single_column_sort(self, spark):
-        import numpy as np
-
-        from indexlab_spark.operators.maintenance import zorder_key
-
-        rng = np.random.default_rng(2)
-        rows = [(float(a), float(b)) for a, b in rng.uniform(0, 100, (400, 2))]
-        df = spark.createDataFrame(rows, "x double, y double")
-        out = sorted(
-            ((r["zkey"], r["x"], r["y"])
-             for r in zorder_key(df, ["x", "y"], bits=8).collect())
-        )
-        # file-skipping proxy: split each sort order into 20 "files"
-        # and count files whose y min/max range overlaps a narrow y
-        # predicate band — the x-sorted layout cannot skip ANY file
-        # on a y predicate (every file spans ~all of y); the z order
-        # must skip a majority
-        def overlapping(seq, lo=40.0, hi=50.0):
-            n = 0
-            for i in range(0, 400, 20):
-                ys = [c[2] for c in seq[i:i + 20]]
-                if min(ys) <= hi and max(ys) >= lo:
-                    n += 1
-            return n
-
-        z_hit = overlapping(out)
-        x_hit = overlapping(sorted((x, x, y) for x, y in rows))
-        assert x_hit == 20, x_hit  # x-sort: no y pruning at all
-        assert z_hit <= 10, (z_hit, x_hit)
-
-    def test_null_gives_null_key(self, spark):
-        from indexlab_spark.operators.maintenance import zorder_key
-
-        df = spark.createDataFrame(
-            [(1.0, 2.0), (None, 3.0), (4.0, 5.0)], "x double, y double"
-        )
-        rows = {r["x"]: r["zkey"] for r in zorder_key(df, ["x", "y"]).collect()}
-        assert rows[None] is None and rows[1.0] is not None
-
-    def test_validation(self, spark):
-        import pytest as _pytest
-
-        from indexlab_spark.operators.maintenance import zorder_key
-
-        df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
-        with _pytest.raises(ValueError, match="cols"):
-            zorder_key(df, ["x"])
-        with _pytest.raises(ValueError, match="62"):
-            zorder_key(df, ["x", "y"], bits=40)
-
-
 class TestAbPower:
     """Experiment sizing (analytics.ab_power)."""
 
