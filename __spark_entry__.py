@@ -4780,6 +4780,25 @@ def _q_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal forecast of hourly revenue per
+    event type (analytics.holt_winters_forecast, period=24): the
+    seasonal completion of holt_revenue. Rows-only — the (l, b,
+    s[1..24]) fold is not SQL-replayable; pure-python parity and the
+    exact-periodic fixpoint are pinned in tests."""
+    from indexlab_spark.operators.analytics import holt_winters_forecast
+
+    t = load_tables(spark, sf_dir, ("events",))
+    series = t["events"].groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+    ).agg(F.sum("value").alias("revenue"))
+    return holt_winters_forecast(
+        series, ["event_type"], "hour_ts", "revenue",
+        period=24, horizon=12,
+    )
+
+
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5574,14 +5593,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the 38 round-9 POST-WINDOW additions
-        # (holt_revenue .. ab_power_events in registry order — all
+        # slots 13-50 take the first 38 of the 39 round-9 POST-WINDOW additions
+        # (holt_revenue .. ab_power_events in registry order; the
+        # 39th, holt_winters_hourly, leads r11 — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
-        # part_kcore did in r9) — exactly filling the window. The 11
-        # r05-green leftovers below (4 rounds stale by r10, the
-        # oldest attestations left) plus the
+        # part_kcore did in r9) — exactly filling the window.
+        # holt_winters_hourly plus the 11 r05-green leftovers below
+        # (4 rounds stale by r10, the oldest attestations left) plus
+        # the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
         # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
@@ -5779,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers": _q_scd2_customers,
         "kanon_customers": _q_kanon_customers,
         "ab_power_events": _q_ab_power_events,
+        "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
     }
 
 

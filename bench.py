@@ -527,7 +527,8 @@ def main() -> None:
                  # kanon_customers 0.4s / ab_power_events 0.7s warm
                  # (sf0.1 min-of-2, r9)
                  "scd2_customers", "kanon_customers",
-                 "ab_power_events"):
+                 # holt_winters_hourly 0.7s warm (sf0.1 min-of-2, r9)
+                 "ab_power_events", "holt_winters_hourly"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -4021,3 +4021,121 @@ def ab_power(
             F.when(ok & (F.col("_n_arm_avg") > 0), mde_det), 6
         ).alias("mde_detectable_rel"),
     )
+
+
+def holt_winters_forecast(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int = 7,
+) -> "DataFrame":
+    """Holt-Winters ADDITIVE seasonal forecast per segment (triple
+    exponential smoothing, Winters 1960) — the seasonal completion of
+    :func:`holt_forecast`: level + trend + an m-slot seasonal state,
+    the right model when seasonal_anomalies / acf show a strong
+    period (daily cycle in hourly events, weekly cycle in dailies).
+
+    Classic init over the ordered series x_1..x_n (requires
+    n >= 2 * period): l = mean of season 1, b = the mean
+    season-over-season step ((x_{m+i} - x_i) / m averaged), s_i =
+    x_i - l. Then the textbook additive recurrences::
+
+        l_t = alpha * (x_t - s_{t-m}) + (1 - alpha) * (l + b)
+        b_t = beta * (l_t - l) + (1 - beta) * b
+        s_t = gamma * (x_t - l_t) + (1 - gamma) * s_{t-m}
+
+    h-step forecast: l_n + h * b_n + s from the matching seasonal
+    slot. A perfectly periodic series reproduces itself EXACTLY
+    (zero-trend fixpoint of the recurrences — pinned in tests).
+
+    Same execution discipline as holt_forecast / cusum: the coupled
+    (l, b, s[1..m]) fold is ONE Arrow per-group pass over a
+    pre-aggregated calendar-bounded series; one keyed exchange,
+    horizon-sized output per group; (order, value) mergesort ties.
+    Not SQL-replayable (m+2-wide recursive state) -> rows-only gate,
+    pure-python parity pinned in tests (the weighted_minhash
+    precedent).
+
+    Output per group per h in 1..horizon: group_cols + h + forecast +
+    level + trend + seasonal (the slot used) + n_obs + sse (one-step
+    fit errors over t > m), 6dp.
+    """
+    import pandas as pd
+
+    if period < 2:
+        raise ValueError(
+            f"holt_winters_forecast: period >= 2, got {period}"
+        )
+    if horizon < 1:
+        raise ValueError(
+            f"holt_winters_forecast: horizon >= 1, got {horizon}"
+        )
+    m = int(period)
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    out_fields = ", ".join(
+        f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "_val"], kind="mergesort")
+        xs = [float(v) for v in pdf["_val"]]
+        n = len(xs)
+        head = [pdf[c].iloc[0] for c in group_cols]
+        if n < 2 * m:
+            # under-determined seasonal state: emit nothing rather
+            # than a fake season (documented; callers fall back to
+            # holt_forecast)
+            return pd.DataFrame(
+                columns=[*group_cols, "h", "forecast", "level",
+                         "trend", "seasonal", "n_obs", "sse"]
+            )
+        lvl = sum(xs[:m]) / m
+        trd = sum((xs[m + i] - xs[i]) / m for i in range(m)) / m
+        season = [xs[i] - lvl for i in range(m)]
+        sse = 0.0
+        for t in range(m, n):
+            s_old = season[t % m]
+            yhat = lvl + trd + s_old
+            err = xs[t] - yhat
+            sse += err * err
+            lvl_new = alpha * (xs[t] - s_old) + (1 - alpha) * (lvl + trd)
+            trd = beta * (lvl_new - lvl) + (1 - beta) * trd
+            season[t % m] = gamma * (xs[t] - lvl_new) + (1 - gamma) * s_old
+            lvl = lvl_new
+        rows = []
+        for h in range(1, horizon + 1):
+            s_h = season[(n + h - 1) % m]
+            rows.append(
+                head
+                + [
+                    h,
+                    round(lvl + h * trd + s_h, 6),
+                    round(lvl, 6),
+                    round(trd, 6),
+                    round(s_h, 6),
+                    n,
+                    round(sse, 6),
+                ]
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[*group_cols, "h", "forecast", "level", "trend",
+                     "seasonal", "n_obs", "sse"],
+        )
+
+    return base.groupBy(*group_cols).applyInPandas(
+        fn,
+        schema=(
+            f"{out_fields}, h int, forecast double, level double, "
+            "trend double, seasonal double, n_obs bigint, sse double"
+        ),
+    )

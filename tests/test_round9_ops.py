@@ -2976,3 +2976,79 @@ class TestAbPower:
         df = spark.createDataFrame([("a", 1.0)], "v string, x double")
         with _pytest.raises(ValueError, match="mde_rel"):
             ab_power(df, "v", "x", mde_rel=0.0)
+
+
+class TestHoltWinters:
+    """Triple exponential smoothing (analytics.holt_winters_forecast)."""
+
+    @staticmethod
+    def _ref(xs, m, alpha, beta, gamma, horizon):
+        lvl = sum(xs[:m]) / m
+        trd = sum((xs[m + i] - xs[i]) / m for i in range(m)) / m
+        season = [xs[i] - lvl for i in range(m)]
+        sse = 0.0
+        for t in range(m, len(xs)):
+            s_old = season[t % m]
+            err = xs[t] - (lvl + trd + s_old)
+            sse += err * err
+            lvl_new = alpha * (xs[t] - s_old) + (1 - alpha) * (lvl + trd)
+            trd = beta * (lvl_new - lvl) + (1 - beta) * trd
+            season[t % m] = gamma * (xs[t] - lvl_new) + (1 - gamma) * s_old
+            lvl = lvl_new
+        n = len(xs)
+        return [
+            lvl + h * trd + season[(n + h - 1) % m]
+            for h in range(1, horizon + 1)
+        ], sse
+
+    def _run(self, spark, xs, m, horizon=4, **kw):
+        from indexlab_spark.operators.analytics import (
+            holt_winters_forecast,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i, float(x)) for i, x in enumerate(xs)],
+            "g string, t int, v double",
+        )
+        rows = holt_winters_forecast(
+            df, ["g"], "t", "v", m, horizon=horizon, **kw
+        ).collect()
+        return sorted(rows, key=lambda r: r["h"])
+
+    def test_matches_pure_python(self, spark):
+        xs = [10, 20, 15, 12, 22, 18, 14, 25, 19, 16, 27, 20]
+        got = self._run(spark, xs, m=3, horizon=5)
+        want, sse = self._ref(
+            [float(x) for x in xs], 3, 0.5, 0.3, 0.3, 5
+        )
+        assert [r["h"] for r in got] == [1, 2, 3, 4, 5]
+        for r, w in zip(got, want):
+            assert abs(r["forecast"] - round(w, 6)) < 1e-9
+        assert abs(got[0]["sse"] - round(sse, 6)) < 1e-9
+        assert got[0]["n_obs"] == 12
+
+    def test_pure_seasonal_series_reproduces_exactly(self, spark):
+        pattern = [5.0, 9.0, 2.0, 7.0]
+        xs = pattern * 4
+        got = self._run(spark, xs, m=4, horizon=8)
+        for r in got:
+            assert abs(r["forecast"] - pattern[(16 + r["h"] - 1) % 4]) < 1e-9
+        assert abs(got[0]["sse"]) < 1e-18
+        assert abs(got[0]["trend"]) < 1e-18
+
+    def test_short_series_emits_nothing(self, spark):
+        got = self._run(spark, [1.0, 2.0, 3.0], m=2, horizon=2)
+        assert got == []
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import (
+            holt_winters_forecast,
+        )
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, v double")
+        with _pytest.raises(ValueError, match="period"):
+            holt_winters_forecast(df, ["g"], "t", "v", 1)
+        with _pytest.raises(ValueError, match="horizon"):
+            holt_winters_forecast(df, ["g"], "t", "v", 4, horizon=0)
