@@ -4799,6 +4799,21 @@ def _q_holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-allowed sequential pairs over events
+    (analytics.sequence_pairs, GSP level-2): "users who A eventually
+    B" via the min/max-timestamp support trick — the corpus pass is
+    one (user, type) min/max agg, the join fans out per-user
+    type²-bounded. Oracle replays the identical algebra."""
+    from indexlab_spark.operators.analytics import sequence_pairs
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return sequence_pairs(
+        t["events"], "user_id", "ts", "event_type",
+        min_support=0.05, top_n=30,
+    )
+
+
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5593,16 +5608,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 39 round-9 POST-WINDOW additions
+        # slots 13-50 take the first 38 of the 40 round-9 POST-WINDOW additions
         # (holt_revenue .. ab_power_events in registry order; the
-        # 39th, holt_winters_hourly, leads r11 — all
+        # 39th and 40th, holt_winters_hourly and seq_pairs_events,
+        # lead r11 — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
         # part_kcore did in r9) — exactly filling the window.
-        # holt_winters_hourly plus the 11 r05-green leftovers below
-        # (4 rounds stale by r10, the oldest attestations left) plus
-        # the
+        # holt_winters_hourly and seq_pairs_events plus the 11
+        # r05-green leftovers below (4 rounds stale by r10, the
+        # oldest attestations left) plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
         # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
@@ -5801,6 +5817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_customers": _q_kanon_customers,
         "ab_power_events": _q_ab_power_events,
         "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
+        "seq_pairs_events": _q_seq_pairs_events,
     }
 
 
@@ -10453,5 +10470,35 @@ def oracle_sql() -> dict[str, str]:
                          sqrt(kappa * var / n_arm_avg) / abs(mean) END,
                          6) AS mde_detectable_rel
             FROM d
+        """,
+        "seq_pairs_events": """
+            WITH se AS (
+                SELECT user_id AS s, event_type AS e,
+                       min(ts) AS mn, max(ts) AS mx
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id, event_type
+            ),
+            tot AS (
+                SELECT CAST(count(DISTINCT s) AS DOUBLE) AS n FROM se
+            ),
+            p AS (
+                SELECT a.e AS antecedent, b.e AS consequent,
+                       CAST(count(*) AS BIGINT) AS n_seqs
+                FROM se a JOIN se b ON a.s = b.s AND a.mn < b.mx
+                GROUP BY a.e, b.e
+            ),
+            q AS (
+                SELECT antecedent, consequent, n_seqs,
+                       round(n_seqs / (SELECT n FROM tot), 6) AS support
+                FROM p
+            ),
+            r AS (
+                SELECT *, row_number() OVER (ORDER BY support DESC,
+                           antecedent, consequent) AS rk
+                FROM q WHERE support >= 0.05
+            )
+            SELECT antecedent, consequent, n_seqs, support
+            FROM r WHERE rk <= 30
         """,
     }

@@ -527,8 +527,10 @@ def main() -> None:
                  # kanon_customers 0.4s / ab_power_events 0.7s warm
                  # (sf0.1 min-of-2, r9)
                  "scd2_customers", "kanon_customers",
-                 # holt_winters_hourly 0.7s warm (sf0.1 min-of-2, r9)
-                 "ab_power_events", "holt_winters_hourly"):
+                 # holt_winters_hourly 0.7s / seq_pairs_events 1.1s
+                 # warm (sf0.1 min-of-2, r9)
+                 "ab_power_events", "holt_winters_hourly",
+                 "seq_pairs_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

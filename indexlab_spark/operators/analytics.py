@@ -4139,3 +4139,82 @@ def holt_winters_forecast(
             "trend double, seasonal double, n_obs bigint, sse double"
         ),
     )
+
+
+def sequence_pairs(
+    df: "DataFrame",
+    seq_col: str,
+    ts_col: str,
+    event_col: str,
+    min_support: float = 0.01,
+    top_n: int = 50,
+) -> "DataFrame":
+    """GAP-ALLOWED sequential pattern mining at length 2 (the level-2
+    AprioriAll/GSP pass, Agrawal & Srikant 1995) — "users who do A
+    eventually do B", with ANY number of events between: the member
+    of the behavioral family event_transitions (adjacent bigrams) and
+    window_funnel (fixed step list) cannot express.
+
+    The scalable trick: sequence s supports A -> B iff min_ts(A in s)
+    < max_ts(B in s) — one per-(sequence, event) min/max aggregation
+    (the only corpus pass), then a self-join ON SEQUENCE over the
+    per-sequence TYPE frame, whose fan-out is bounded by (distinct
+    event types per sequence)², never events². A == B is supported
+    exactly when the event repeats (min < max handles it with no
+    special case). Strictly-less means simultaneous timestamps never
+    support an order (deterministic under ties).
+
+    Output: top_n rows (antecedent, consequent, n_seqs, support =
+    n_seqs / sequences-with-any-event, 6dp), support >= min_support,
+    ordered by support desc then antecedent, consequent; ties at the
+    cut resolve by that total order (rank window over the
+    type²-bounded pair frame, never data-sized).
+    """
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError(
+            f"sequence_pairs: min_support in (0, 1], got {min_support}"
+        )
+    if top_n < 1:
+        raise ValueError(f"sequence_pairs: top_n >= 1, got {top_n}")
+    se = (
+        df.select(
+            F.col(seq_col).alias("_s"),
+            F.col(event_col).cast("string").alias("_e"),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+        )
+        .filter(F.col("_e").isNotNull() & F.col("_ts").isNotNull())
+        .groupBy("_s", "_e")
+        .agg(F.min("_ts").alias("_mn"), F.max("_ts").alias("_mx"))
+    )
+    n_seqs_total = se.select("_s").distinct().count()
+    if n_seqs_total == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "antecedent string, consequent string, n_seqs long,"
+            " support double",
+        )
+    a = se.select(
+        F.col("_s"), F.col("_e").alias("antecedent"), F.col("_mn")
+    )
+    b = se.select(
+        F.col("_s"), F.col("_e").alias("consequent"), F.col("_mx")
+    )
+    pairs = (
+        a.join(b, "_s")
+        .filter(F.col("_mn") < F.col("_mx"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_seqs"))
+        .withColumn(
+            "support",
+            F.round(F.col("n_seqs") / F.lit(float(n_seqs_total)), 6),
+        )
+        .filter(F.col("support") >= min_support)
+    )
+    w = Window.orderBy(
+        F.desc("support"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .drop("_rk")
+    )

@@ -3052,3 +3052,64 @@ class TestHoltWinters:
             holt_winters_forecast(df, ["g"], "t", "v", 1)
         with _pytest.raises(ValueError, match="horizon"):
             holt_winters_forecast(df, ["g"], "t", "v", 4, horizon=0)
+
+
+class TestSequencePairs:
+    """Gap-allowed A->B mining (analytics.sequence_pairs)."""
+
+    def _run(self, spark, rows, **kw):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import sequence_pairs
+
+        data = [
+            (u, dt.datetime(2024, 1, 1, 0, 0, sec), e)
+            for u, sec, e in rows
+        ]
+        df = spark.createDataFrame(data, "u string, ts timestamp, e string")
+        out = sequence_pairs(df, "u", "ts", "e", **kw).collect()
+        return {(r["antecedent"], r["consequent"]): r for r in out}
+
+    def test_gap_allowed_vs_adjacent(self, spark):
+        # u1: a .. x .. b  (a->b holds WITH a gap)
+        rows = [("u1", 1, "a"), ("u1", 2, "x"), ("u1", 3, "b"),
+                ("u2", 1, "a"), ("u2", 2, "b")]
+        got = self._run(spark, rows, min_support=0.01)
+        assert got[("a", "b")]["n_seqs"] == 2
+        assert abs(got[("a", "b")]["support"] - 1.0) < 1e-9
+        assert got[("a", "x")]["n_seqs"] == 1
+        assert ("b", "a") not in got
+
+    def test_repeat_event_supports_self_pair(self, spark):
+        rows = [("u1", 1, "a"), ("u1", 5, "a"), ("u2", 1, "a")]
+        got = self._run(spark, rows)
+        assert got[("a", "a")]["n_seqs"] == 1  # only u1 repeats
+
+    def test_simultaneous_never_supports(self, spark):
+        rows = [("u1", 1, "a"), ("u1", 1, "b")]
+        got = self._run(spark, rows)
+        assert ("a", "b") not in got and ("b", "a") not in got
+
+    def test_support_floor_and_topn(self, spark):
+        rows = (
+            [("u%d" % i, 1, "a") for i in range(10)]
+            + [("u%d" % i, 2, "b") for i in range(10)]
+            + [("u0", 3, "z")]
+        )
+        got = self._run(spark, rows, min_support=0.5)
+        assert ("a", "b") in got and ("a", "z") not in got
+        one = self._run(spark, rows, min_support=0.01, top_n=1)
+        assert list(one) == [("a", "b")]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import sequence_pairs
+
+        df = spark.createDataFrame(
+            [("u", "2024-01-01", "a")], "u string, ts string, e string"
+        )
+        with _pytest.raises(ValueError, match="min_support"):
+            sequence_pairs(df, "u", "ts", "e", min_support=0)
+        with _pytest.raises(ValueError, match="top_n"):
+            sequence_pairs(df, "u", "ts", "e", top_n=0)
