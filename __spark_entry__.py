@@ -4814,6 +4814,17 @@ def _q_seq_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (analytics.cohort_ltv): weekly cohorts of
+    event users with per-offset revenue, cumulative, and LTV-per-user
+    — the revenue companion to retention_cohorts; oracle replays the
+    cohort/offset/cumsum algebra."""
+    from indexlab_spark.operators.analytics import cohort_ltv
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return cohort_ltv(t["events"], "user_id", "ts", "value")
+
+
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5608,17 +5619,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 40 round-9 POST-WINDOW additions
+        # slots 13-50 take the first 38 of the 41 round-9 POST-WINDOW additions
         # (holt_revenue .. ab_power_events in registry order; the
-        # 39th and 40th, holt_winters_hourly and seq_pairs_events,
-        # lead r11 — all
+        # 39th-41st — holt_winters_hourly, seq_pairs_events,
+        # cohort_ltv — lead r11 — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
         # part_kcore did in r9) — exactly filling the window.
-        # holt_winters_hourly and seq_pairs_events plus the 11
-        # r05-green leftovers below (4 rounds stale by r10, the
-        # oldest attestations left) plus the
+        # The three r11 leaders plus the 11 r05-green leftovers
+        # below (4 rounds stale by r10, the oldest attestations
+        # left) plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
         # Any operator newly oracle-registered in r10 goes
         # never-attested-first, displacing the tail.
@@ -5818,6 +5829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_power_events": _q_ab_power_events,
         "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
         "seq_pairs_events": _q_seq_pairs_events,
+        "cohort_ltv": _q_cohort_ltv,
     }
 
 
@@ -10500,5 +10512,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT antecedent, consequent, n_seqs, support
             FROM r WHERE rk <= 30
+        """,
+        "cohort_ltv": """
+            WITH ev AS (
+                SELECT user_id AS u, CAST(ts AS DATE) AS d,
+                       coalesce(value, 0.0) AS v
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            first AS (
+                SELECT u, CAST(date_trunc('week', min(d)) AS DATE)
+                           AS cw
+                FROM ev GROUP BY u
+            ),
+            sizes AS (
+                SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+                FROM first GROUP BY cw
+            ),
+            cells AS (
+                SELECT f.cw,
+                       CAST(date_diff('day', f.cw, e.d) // 7 AS INTEGER)
+                           AS week_offset,
+                       sum(e.v) AS rev
+                FROM ev e JOIN first f ON e.u = f.u
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT cw, week_offset, rev,
+                       sum(rev) OVER (PARTITION BY cw
+                                      ORDER BY week_offset) AS c
+                FROM cells
+            )
+            SELECT strftime(cum.cw, '%Y-%m-%d') AS cohort_week,
+                   week_offset, n_users,
+                   round(rev, 6) AS revenue,
+                   round(c, 6) AS cum_revenue,
+                   round(c / n_users, 6) AS ltv
+            FROM cum JOIN sizes ON cum.cw = sizes.cw
         """,
     }

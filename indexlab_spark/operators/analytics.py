@@ -4218,3 +4218,63 @@ def sequence_pairs(
         .filter(F.col("_rk") <= top_n)
         .drop("_rk")
     )
+
+
+def cohort_ltv(
+    df: "DataFrame",
+    seq_col: str,
+    ts_col: str,
+    value_col: str,
+) -> "DataFrame":
+    """Cohort lifetime-value triangle — the REVENUE companion to the
+    count-based retention triangle: cohort = the Monday week of an
+    entity's first event; each (cohort, week offset) cell carries
+    that week's revenue from the cohort's members, the running
+    cumulative, and LTV-per-user (cumulative / cohort size) — the
+    curve whose plateau says what a user is worth and whose
+    cohort-over-cohort shift says whether acquisition quality moved.
+
+    One (entity -> first ts) keyed agg, one keyed join back, one
+    (cohort, offset) map-combined revenue agg; the cumulative is a
+    per-cohort window over <= calendar-weeks rows (bounded, the
+    ks_drift offset discipline). NULL values count 0 revenue but
+    still mark activity.
+
+    Output: cohort_week (date string yyyy-MM-dd), week_offset int,
+    n_users (cohort size), revenue, cum_revenue, ltv (6dp), ordered
+    by cohort then offset.
+    """
+    ev = df.select(
+        F.col(seq_col).alias("_u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("_d"),
+        F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias(
+            "_v"
+        ),
+    ).filter(F.col("_u").isNotNull() & F.col("_d").isNotNull())
+    first = ev.groupBy("_u").agg(
+        F.date_trunc("week", F.min("_d")).cast("date").alias("_cw")
+    )
+    sizes = first.groupBy("_cw").agg(F.count(F.lit(1)).alias("n_users"))
+    cells = (
+        ev.join(first, "_u")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("_d"), F.col("_cw")) / 7).cast("int"),
+        )
+        .groupBy("_cw", "week_offset")
+        .agg(F.sum("_v").alias("_rev"))
+    )
+    w = Window.partitionBy("_cw").orderBy("week_offset")
+    out = (
+        cells.withColumn("_cum", F.sum("_rev").over(w))
+        .join(sizes, "_cw")
+        .select(
+            F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round("_rev", 6).alias("revenue"),
+            F.round("_cum", 6).alias("cum_revenue"),
+            F.round(F.col("_cum") / F.col("n_users"), 6).alias("ltv"),
+        )
+    )
+    return out.orderBy("cohort_week", "week_offset")

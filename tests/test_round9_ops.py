@@ -3113,3 +3113,70 @@ class TestSequencePairs:
             sequence_pairs(df, "u", "ts", "e", min_support=0)
         with _pytest.raises(ValueError, match="top_n"):
             sequence_pairs(df, "u", "ts", "e", top_n=0)
+
+
+class TestCohortLtv:
+    """Revenue retention triangle (analytics.cohort_ltv)."""
+
+    def _run(self, spark, rows):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import cohort_ltv
+
+        data = [
+            (u, dt.datetime.fromisoformat(d), float(v)) for u, d, v in rows
+        ]
+        df = spark.createDataFrame(data, "u string, ts timestamp, v double")
+        return {
+            (r["cohort_week"], r["week_offset"]): r
+            for r in cohort_ltv(df, "u", "ts", "v").collect()
+        }
+
+    def test_hand_triangle(self, spark):
+        rows = [
+            # cohort of Mon 2024-01-01: u1, u2
+            ("u1", "2024-01-02 10:00", 10.0),
+            ("u2", "2024-01-03 10:00", 20.0),
+            ("u1", "2024-01-09 10:00", 5.0),    # offset 1
+            # cohort of Mon 2024-01-08: u3
+            ("u3", "2024-01-10 10:00", 7.0),
+        ]
+        got = self._run(spark, rows)
+        c0 = got[("2024-01-01", 0)]
+        assert c0["n_users"] == 2 and c0["revenue"] == 30.0
+        assert c0["ltv"] == 15.0
+        c1 = got[("2024-01-01", 1)]
+        assert c1["revenue"] == 5.0 and c1["cum_revenue"] == 35.0
+        assert abs(c1["ltv"] - 17.5) < 1e-9
+        c2 = got[("2024-01-08", 0)]
+        assert c2["n_users"] == 1 and c2["ltv"] == 7.0
+
+    def test_null_value_marks_activity_with_zero_revenue(self, spark):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import cohort_ltv
+
+        df = spark.createDataFrame(
+            [("u1", dt.datetime(2024, 1, 2), None)],
+            "u string, ts timestamp, v double",
+        )
+        r = cohort_ltv(df, "u", "ts", "v").collect()
+        assert len(r) == 1 and r[0]["revenue"] == 0.0
+
+    def test_ltv_curve_is_monotone(self, spark):
+        rows = [
+            ("u%d" % i, "2024-01-0%d 09:00" % (2 + i % 3),
+             float(1 + i % 5))
+            for i in range(30)
+        ] + [
+            ("u%d" % i, "2024-01-1%d 09:00" % (i % 4), 2.0)
+            for i in range(15)
+        ]
+        got = self._run(spark, rows)
+        by_cohort = {}
+        for (cw, off), r in got.items():
+            by_cohort.setdefault(cw, []).append((off, r["cum_revenue"]))
+        for curve in by_cohort.values():
+            curve.sort()
+            for (o1, c1), (o2, c2) in zip(curve, curve[1:]):
+                assert c2 >= c1
