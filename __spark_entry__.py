@@ -4825,6 +4825,24 @@ def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_ltv(t["events"], "user_id", "ts", "value")
 
 
+def _q_ewma_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (analytics.ewma_control, Roberts 1959) on
+    daily event volumes per type — the small-sustained-shift monitor
+    beside cusum_revenue; the oracle walks the identical z fold with
+    a recursive CTE (the holt_revenue discipline) and the closed-form
+    finite-start limits."""
+    from indexlab_spark.operators.analytics import ewma_control
+
+    t = load_tables(spark, sf_dir, ("events",))
+    series = t["events"].groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("volume"))
+    return ewma_control(
+        series, ["event_type"], "day", "volume", lam=0.2, L=3.0
+    )
+
+
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5619,15 +5637,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 41 round-9 POST-WINDOW additions
+        # slots 13-50 take the first 38 of the 42 round-9 POST-WINDOW additions
         # (holt_revenue .. ab_power_events in registry order; the
-        # 39th-41st — holt_winters_hourly, seq_pairs_events,
-        # cohort_ltv — lead r11 — all
+        # 39th-42nd — holt_winters_hourly, seq_pairs_events,
+        # cohort_ltv, ewma_volumes — lead r11 — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
         # part_kcore did in r9) — exactly filling the window.
-        # The three r11 leaders plus the 11 r05-green leftovers
+        # The four r11 leaders plus the 11 r05-green leftovers
         # below (4 rounds stale by r10, the oldest attestations
         # left) plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
@@ -5830,6 +5848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
         "seq_pairs_events": _q_seq_pairs_events,
         "cohort_ltv": _q_cohort_ltv,
+        "ewma_volumes": _q_ewma_volumes,
     }
 
 
@@ -10549,5 +10568,55 @@ def oracle_sql() -> dict[str, str]:
                    round(c, 6) AS cum_revenue,
                    round(c / n_users, 6) AS ltv
             FROM cum JOIN sizes ON cum.cw = sizes.cw
+        """,
+        "ewma_volumes": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type AS g,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+                       CAST(count(*) AS DOUBLE) AS x
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT g, d, x,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY d, x) AS t
+                FROM daily
+            ),
+            stats AS (
+                SELECT g, avg(x) AS mean,
+                       CASE WHEN count(*) > 1 AND var_samp(x) > 0
+                            THEN sqrt(var_samp(x)) END AS sd
+                FROM daily GROUP BY g
+            ),
+            fold AS (
+                SELECT o.g, o.d, o.x, o.t,
+                       0.2 * o.x + 0.8 * s.mean AS z
+                FROM ordered o JOIN stats s USING (g)
+                WHERE o.t = 1
+                UNION ALL
+                SELECT o.g, o.d, o.x, o.t, 0.2 * o.x + 0.8 * f.z
+                FROM ordered o JOIN fold f
+                  ON o.g = f.g AND o.t = f.t + 1
+            )
+            SELECT f.g AS event_type, f.d AS day,
+                   round(f.x, 6) AS value,
+                   round(f.z, 6) AS z,
+                   round(s.mean + 3.0 * s.sd
+                         * sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * f.t))),
+                         6) AS ucl,
+                   round(s.mean - 3.0 * s.sd
+                         * sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * f.t))),
+                         6) AS lcl,
+                   coalesce(
+                       f.z > s.mean + 3.0 * s.sd
+                             * sqrt(0.2 / 1.8
+                                    * (1 - power(0.8, 2 * f.t)))
+                       OR f.z < s.mean - 3.0 * s.sd
+                             * sqrt(0.2 / 1.8
+                                    * (1 - power(0.8, 2 * f.t))),
+                       FALSE) AS breach
+            FROM fold f JOIN stats s USING (g)
         """,
     }

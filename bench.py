@@ -530,8 +530,9 @@ def main() -> None:
                  # holt_winters_hourly 0.7s / seq_pairs_events 1.1s
                  # warm (sf0.1 min-of-2, r9)
                  "ab_power_events", "holt_winters_hourly",
-                 # cohort_ltv 0.9s warm (sf0.1 min-of-2, r9)
-                 "seq_pairs_events", "cohort_ltv"):
+                 # cohort_ltv 0.9s / ewma_volumes 0.7s warm (sf0.1
+                 # min-of-2, r9)
+                 "seq_pairs_events", "cohort_ltv", "ewma_volumes"):
         fn = entry_mod.queries()[name]
         reps = (
             2

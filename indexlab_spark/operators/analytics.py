@@ -4278,3 +4278,103 @@ def cohort_ltv(
         )
     )
     return out.orderBy("cohort_week", "week_offset")
+
+
+def ewma_control(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    L: float = 3.0,
+) -> "DataFrame":
+    """EWMA control chart per segment (Roberts 1959, the SPC
+    standard for detecting SMALL sustained shifts that a Shewhart
+    3-sigma rule misses and that CUSUM locates but does not bound):
+    z_t = lam * x_t + (1 - lam) * z_{t-1} with z_0 = the series mean,
+    against time-varying control limits mean +/- L * sigma *
+    sqrt(lam / (2 - lam) * (1 - (1 - lam)^(2t))) — the exact
+    finite-start variance, so early points get the tighter limits
+    they deserve. Phase-I convention: mean and sigma (sample) come
+    from the series itself.
+
+    The z recurrence is a linear fold (the cusum/holt discipline):
+    ONE keyed exchange into an Arrow per-group pass over the
+    pre-aggregated calendar-bounded series; (order, value) mergesort
+    ties. Output is series-sized per group (each point gets its z and
+    limits — the chart IS the output).
+
+    Output per (group, point): group_cols + order_col + value + z +
+    ucl + lcl + breach (|z - mean| beyond the limit), 6dp. Groups
+    with n < 2 or zero variance emit rows with NULL limits and
+    breach = false (nothing to bound).
+    """
+    import pandas as pd
+
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"ewma_control: lam in (0, 1], got {lam}")
+    if L <= 0:
+        raise ValueError(f"ewma_control: L > 0, got {L}")
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    dtypes = dict(df.dtypes)
+    out_fields = ", ".join(f"`{c}` {dtypes[c]}" for c in group_cols)
+    ord_type = dtypes[order_col]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(["_ord", "_val"], kind="mergesort")
+        xs = [float(v) for v in pdf["_val"]]
+        n = len(xs)
+        mean = sum(xs) / n
+        var = (
+            sum((x - mean) ** 2 for x in xs) / (n - 1) if n > 1 else None
+        )
+        sd = math.sqrt(var) if var and var > 0 else None
+        head = [pdf[c].iloc[0] for c in group_cols]
+        z = mean
+        rows = []
+        for t, x in enumerate(xs, start=1):
+            z = lam * x + (1 - lam) * z
+            if sd is not None:
+                half = (
+                    L
+                    * sd
+                    * math.sqrt(
+                        lam / (2 - lam) * (1 - (1 - lam) ** (2 * t))
+                    )
+                )
+                ucl, lcl = mean + half, mean - half
+                breach = z > ucl or z < lcl
+            else:
+                ucl = lcl = None
+                breach = False
+            rows.append(
+                head
+                + [
+                    pdf["_ord"].iloc[t - 1],
+                    round(x, 6),
+                    round(z, 6),
+                    round(ucl, 6) if ucl is not None else None,
+                    round(lcl, 6) if lcl is not None else None,
+                    breach,
+                ]
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[*group_cols, "_ord", "value", "z", "ucl", "lcl",
+                     "breach"],
+        )
+
+    out = base.groupBy(*group_cols).applyInPandas(
+        fn,
+        schema=(
+            f"{out_fields}, `_ord` {ord_type}, value double, z double,"
+            " ucl double, lcl double, breach boolean"
+        ),
+    )
+    return out.withColumnRenamed("_ord", order_col)

@@ -3180,3 +3180,68 @@ class TestCohortLtv:
             curve.sort()
             for (o1, c1), (o2, c2) in zip(curve, curve[1:]):
                 assert c2 >= c1
+
+
+class TestEwmaControl:
+    """EWMA chart (analytics.ewma_control)."""
+
+    @staticmethod
+    def _ref(xs, lam, L):
+        import math
+
+        n = len(xs)
+        mean = sum(xs) / n
+        sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / (n - 1))
+        z = mean
+        out = []
+        for t, x in enumerate(xs, start=1):
+            z = lam * x + (1 - lam) * z
+            half = L * sd * math.sqrt(
+                lam / (2 - lam) * (1 - (1 - lam) ** (2 * t))
+            )
+            out.append((z, mean + half, mean - half))
+        return out
+
+    def _run(self, spark, xs, **kw):
+        from indexlab_spark.operators.analytics import ewma_control
+
+        df = spark.createDataFrame(
+            [("g", i, float(x)) for i, x in enumerate(xs)],
+            "g string, t int, v double",
+        )
+        rows = ewma_control(df, ["g"], "t", "v", **kw).collect()
+        return sorted(rows, key=lambda r: r["t"])
+
+    def test_matches_reference_fold(self, spark):
+        xs = [10, 11, 9, 10, 12, 10, 11, 30, 31, 30]
+        got = self._run(spark, xs, lam=0.2, L=3.0)
+        want = self._ref([float(x) for x in xs], 0.2, 3.0)
+        for r, (z, ucl, lcl) in zip(got, want):
+            assert abs(r["z"] - round(z, 6)) < 1e-9
+            assert abs(r["ucl"] - round(ucl, 6)) < 1e-9
+            assert abs(r["lcl"] - round(lcl, 6)) < 1e-9
+
+    def test_sustained_shift_breaches(self, spark):
+        base = [9.5, 10.5, 9.8, 10.2, 10.0,
+                9.7, 10.3, 9.9, 10.1, 10.0] * 2
+        xs = base + [12.0] * 3  # small sustained shift at the tail
+        got = self._run(spark, xs, lam=0.5, L=3.0)
+        # verified against the reference fold: the 3rd shifted point
+        # crosses the UCL while every in-control point stays inside
+        assert got[-1]["breach"] is True
+        assert not any(r["breach"] for r in got[:20])
+
+    def test_constant_series_has_null_limits(self, spark):
+        got = self._run(spark, [5.0, 5.0, 5.0])
+        assert all(r["ucl"] is None and r["breach"] is False for r in got)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import ewma_control
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, v double")
+        with _pytest.raises(ValueError, match="lam"):
+            ewma_control(df, ["g"], "t", "v", lam=0)
+        with _pytest.raises(ValueError, match="L >"):
+            ewma_control(df, ["g"], "t", "v", L=0)
