@@ -4843,6 +4843,21 @@ def _q_ewma_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (analytics.pr_auc, sklearn threshold-step
+    semantics) on the same scored frame as roc_auc — the
+    class-imbalance-honest ranking metric; oracle replays the
+    descending-cumulative threshold sum."""
+    from indexlab_spark.operators.analytics import pr_auc
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    scored = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        F.col("embedding")[0].cast("double").alias("s"),
+    )
+    return pr_auc(scored, "y", "s")
+
+
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5637,15 +5652,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 42 round-9 POST-WINDOW additions
+        # slots 13-50 take the first 38 of the 43 round-9 POST-WINDOW additions
         # (holt_revenue .. ab_power_events in registry order; the
-        # 39th-42nd — holt_winters_hourly, seq_pairs_events,
-        # cohort_ltv, ewma_volumes — lead r11 — all
+        # 39th-43rd — holt_winters_hourly, seq_pairs_events,
+        # cohort_ltv, ewma_volumes, pr_auc — lead r11 — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
         # part_kcore did in r9) — exactly filling the window.
-        # The four r11 leaders plus the 11 r05-green leftovers
+        # The five r11 leaders plus the 11 r05-green leftovers
         # below (4 rounds stale by r10, the oldest attestations
         # left) plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
@@ -5849,6 +5864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pairs_events": _q_seq_pairs_events,
         "cohort_ltv": _q_cohort_ltv,
         "ewma_volumes": _q_ewma_volumes,
+        "pr_auc": _q_pr_auc,
     }
 
 
@@ -10618,5 +10634,36 @@ def oracle_sql() -> dict[str, str]:
                                     * (1 - power(0.8, 2 * f.t))),
                        FALSE) AS breach
             FROM fold f JOIN stats s USING (g)
+        """,
+        "pr_auc": """
+            WITH f AS (
+                SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+                       CAST(embedding[1] AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT v,
+                       count(CASE WHEN y = 1 THEN 1 END) AS c_a,
+                       count(CASE WHEN y = 0 THEN 1 END) AS c_b
+                FROM f WHERE v IS NOT NULL GROUP BY v
+            ),
+            t AS (
+                SELECT CAST(sum(c_a) AS BIGINT) AS np,
+                       CAST(sum(c_b) AS BIGINT) AS nn
+                FROM c
+            ),
+            r AS (
+                SELECT c_a,
+                       sum(c_a) OVER (ORDER BY v DESC) AS tp,
+                       sum(c_b) OVER (ORDER BY v DESC) AS fp
+                FROM c
+            )
+            SELECT CAST(np AS INTEGER) AS n_pos,
+                   CAST(nn AS INTEGER) AS n_neg,
+                   round((SELECT sum(c_a * 1.0 / np
+                                     * (tp * 1.0 / (tp + fp)))
+                          FROM r, t), 6) AS pr_auc,
+                   round(np * 1.0 / (np + nn), 6) AS prevalence
+            FROM t
         """,
     }

@@ -4378,3 +4378,106 @@ def ewma_control(
         ),
     )
     return out.withColumnRenamed("_ord", order_col)
+
+
+def pr_auc(
+    df: "DataFrame",
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Average precision (PR-AUC, the sklearn
+    ``average_precision_score`` step definition) — the ranking metric
+    that matters when positives are RARE: ROC-AUC stays flattering
+    under class imbalance (false positives barely move its FPR axis),
+    precision-recall does not. Identity used: over distinct score
+    thresholds v (descending), AP = sum_v [c_pos(v) / n_pos] *
+    precision(v) with precision(v) = TP(v) / (TP(v) + FP(v)) and
+    TP(v) = positives scoring >= v — every term derives from the
+    distinct-value count frame and its cumulative sums, so ties are
+    handled exactly as sklearn's threshold semantics, not
+    arbitrarily.
+
+    Scale shape (the roc_auc discipline): one map-combined
+    (score -> pos, neg counts) agg is the only corpus pass; the
+    ascending cumulatives come from the same two-level bucketed
+    cumsum pattern (per-bucket parallel windows + an n_buckets-row
+    offset frame — never a single-partition data window); AP is one
+    final aggregate over the value frame. Label/exclusion contract as
+    roc_auc (non-binary / NULL rows excluded).
+
+    Output (one row): n_pos, n_neg, pr_auc (6dp), prevalence
+    (n_pos / n — the random-classifier baseline AP). Degenerate
+    single-class input yields NULL pr_auc.
+    """
+    y = F.col(label_col).cast("double")
+    counts = (
+        df.select(y.alias("_y"), F.col(score_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull() & F.col("_y").isin(0.0, 1.0))
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("_y") == 1.0, 1)).alias("c_a"),
+            F.count(F.when(F.col("_y") == 0.0, 1)).alias("c_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("np"), F.sum("c_b").alias("nn")
+    ).first()
+    n_pos, n_neg = int(tot["np"] or 0), int(tot["nn"] or 0)
+    if n_pos == 0 or n_neg == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(n_pos).alias("n_pos"),
+            F.lit(n_neg).alias("n_neg"),
+            F.lit(None).cast("double").alias("pr_auc"),
+            F.lit(None).cast("double").alias("prevalence"),
+        )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = counts.agg(
+        F.expr(
+            "approx_percentile(v, array("
+            f"{', '.join(str(q) for q in qs)}), 1000)"
+        ).alias("e")
+    ).first()
+    edges = sorted({float(x) for x in edges_row["e"]})
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(b)
+    bucketed = counts.withColumn("bucket", b)
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = bucketed.select(
+        "bucket", "v", "c_a", "c_b",
+        F.sum("c_a").over(w).alias("ca_i"),
+        F.sum("c_b").over(w).alias("cb_i"),
+    )
+    bw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-partition window over <= n_buckets rows — bounded
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("c_a").alias("ba"), F.sum("c_b").alias("bb"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("ba").over(bw), F.lit(0)).alias("oa"),
+            F.coalesce(F.sum("bb").over(bw), F.lit(0)).alias("ob"),
+        )
+    )
+    tp = F.lit(n_pos) - (F.col("oa") + F.col("ca_i")) + F.col("c_a")
+    fp = F.lit(n_neg) - (F.col("ob") + F.col("cb_i")) + F.col("c_b")
+    ap = (
+        cum.join(F.broadcast(offsets), "bucket")
+        .agg(
+            F.sum(
+                F.col("c_a")
+                / F.lit(float(n_pos))
+                * (tp.cast("double") / (tp + fp))
+            ).alias("_ap")
+        )
+    )
+    return ap.select(
+        F.lit(n_pos).alias("n_pos"),
+        F.lit(n_neg).alias("n_neg"),
+        F.round("_ap", 6).alias("pr_auc"),
+        F.round(
+            F.lit(float(n_pos) / (n_pos + n_neg)), 6
+        ).alias("prevalence"),
+    )

@@ -3245,3 +3245,58 @@ class TestEwmaControl:
             ewma_control(df, ["g"], "t", "v", lam=0)
         with _pytest.raises(ValueError, match="L >"):
             ewma_control(df, ["g"], "t", "v", L=0)
+
+
+class TestPrAuc:
+    """Average precision (analytics.pr_auc)."""
+
+    @staticmethod
+    def _ref(pairs):
+        # sklearn threshold-step definition over distinct scores desc
+        from collections import defaultdict
+
+        by_v = defaultdict(lambda: [0, 0])
+        for y, s in pairs:
+            by_v[s][0 if y == 1 else 1] += 1
+        n_pos = sum(c[0] for c in by_v.values())
+        ap = 0.0
+        tp = fp = 0
+        for v in sorted(by_v, reverse=True):
+            ca, cb = by_v[v]
+            tp += ca
+            fp += cb
+            if ca:
+                ap += (ca / n_pos) * (tp / (tp + fp))
+        return ap
+
+    def _run(self, spark, pairs):
+        from indexlab_spark.operators.analytics import pr_auc
+
+        df = spark.createDataFrame(
+            [(float(y), float(s)) for y, s in pairs], "y double, s double"
+        )
+        return pr_auc(df, "y", "s").collect()[0]
+
+    def test_matches_reference_with_ties(self, spark):
+        pairs = [
+            (1, 0.9), (0, 0.9), (1, 0.8), (1, 0.7), (0, 0.7),
+            (0, 0.5), (1, 0.3), (0, 0.2), (0, 0.2), (0, 0.1),
+        ]
+        got = self._run(spark, pairs)
+        assert abs(got["pr_auc"] - round(self._ref(pairs), 6)) < 1e-6
+        assert got["n_pos"] == 4 and got["n_neg"] == 6
+        assert abs(got["prevalence"] - 0.4) < 1e-9
+
+    def test_perfect_ranking_is_one(self, spark):
+        pairs = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+        assert self._run(spark, pairs)["pr_auc"] == 1.0
+
+    def test_random_uniform_score_near_prevalence(self, spark):
+        pairs = [(1 if i % 4 == 0 else 0, 0.5) for i in range(40)]
+        got = self._run(spark, pairs)
+        # all tied at one threshold: AP = precision at full recall
+        assert abs(got["pr_auc"] - got["prevalence"]) < 1e-9
+
+    def test_single_class_null(self, spark):
+        r = self._run(spark, [(1, 0.5), (1, 0.6)])
+        assert r["pr_auc"] is None and r["n_neg"] == 0
