@@ -78,3 +78,35 @@ def test_every_public_operator_in_operators_md():
     assert not missing, (
         f"public DataFrame operators with no OPERATORS.md row: {missing}"
     )
+
+
+def test_no_shadowed_definitions_in_modules():
+    """r9 incident guard: a SECOND top-level def with an existing name
+    (appended at the end of a module) silently shadows the original —
+    the docs/registry guards can't see it because the name is still
+    documented. Fail on any duplicate top-level function name in the
+    operator, streaming, functions, and sources modules."""
+    import ast
+    import glob
+    from collections import Counter
+
+    paths = sorted(
+        glob.glob("indexlab_spark/operators/*.py")
+        + glob.glob("indexlab_spark/streaming/*.py")
+        + glob.glob("indexlab_spark/functions/*.py")
+        + glob.glob("indexlab_spark/sources/*.py")
+    )
+    offenders = []
+    for path in paths:
+        tree = ast.parse(open(path).read())
+        names = Counter(
+            node.name
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        )
+        offenders.extend(
+            f"{path}:{name} (x{c})" for name, c in names.items() if c > 1
+        )
+    assert not offenders, (
+        f"shadowed top-level definitions: {offenders}"
+    )
