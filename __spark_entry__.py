@@ -4858,6 +4858,21 @@ def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_auc(scored, "y", "s")
 
 
+def _q_quantile_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile mapping (analytics.quantile_map): re-express view
+    event values on the purchase-value scale — the Q-Q calibration
+    that makes scores from different segments threshold-compatible;
+    oracle replays Hazen positions + type-7 order-statistic
+    interpolation with row_number positions."""
+    from indexlab_spark.operators.analytics import quantile_map
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    new = ev.filter(F.col("event_type") == "view").select("value")
+    ref = ev.filter(F.col("event_type") == "purchase").select("value")
+    return quantile_map(new, ref, "value")
+
+
 def _q_ab_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment sizing (analytics.ab_power): per-arm n required to
     detect a 2% lift on per-user revenue, from one pooled moment agg
@@ -5652,15 +5667,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
         # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 43 round-9 POST-WINDOW additions
+        # slots 13-50 take the first 38 of the 44 round-9 POST-WINDOW additions
         # (holt_revenue .. ab_power_events in registry order; the
-        # 39th-43rd — holt_winters_hourly, seq_pairs_events,
-        # cohort_ltv, ewma_volumes, pr_auc — lead r11 — all
+        # 39th-44th — holt_winters_hourly, seq_pairs_events,
+        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events —
+        # lead r11 — all
         # added after the r9 window was pinned, so none has a driver
         # row; the three rows-only members — embedding_kmeans,
         # hits_suppliers, similarity_ivfpq — get rows-only rows like
         # part_kcore did in r9) — exactly filling the window.
-        # The five r11 leaders plus the 11 r05-green leftovers
+        # The six r11 leaders plus the 11 r05-green leftovers
         # below (4 rounds stale by r10, the oldest attestations
         # left) plus the
         # 38 r06-green entries backfill in r11, the r07 block in r12.
@@ -5865,6 +5881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": _q_cohort_ltv,
         "ewma_volumes": _q_ewma_volumes,
         "pr_auc": _q_pr_auc,
+        "quantile_map_events": _q_quantile_map_events,
     }
 
 
@@ -10665,5 +10682,51 @@ def oracle_sql() -> dict[str, str]:
                           FROM r, t), 6) AS pr_auc,
                    round(np * 1.0 / (np + nn), 6) AS prevalence
             FROM t
+        """,
+        "quantile_map_events": """
+            WITH newv AS (
+                SELECT value AS v FROM events
+                WHERE event_type = 'view' AND value IS NOT NULL
+            ),
+            refv AS (
+                SELECT value AS v FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL
+            ),
+            nc AS (SELECT v, count(*) AS t FROM newv GROUP BY v),
+            nr AS (
+                SELECT v,
+                       coalesce(sum(t) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + (t + 1) / 2.0 AS midrank
+                FROM nc
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM newv),
+            rc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM refv),
+            kk AS (
+                SELECT v AS value,
+                       (midrank - 0.5) / (SELECT n FROM nn) AS p,
+                       (midrank - 0.5) / (SELECT n FROM nn)
+                           * ((SELECT n FROM rc) - 1) AS h
+                FROM nr
+            ),
+            kk2 AS (
+                SELECT value, p,
+                       CAST(floor(h) AS BIGINT) AS k0,
+                       least(CAST(floor(h) AS BIGINT) + 1,
+                             CAST((SELECT n FROM rc) AS BIGINT) - 1)
+                           AS k1,
+                       h - floor(h) AS frac
+                FROM kk
+            ),
+            pos AS (
+                SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+                FROM refv
+            )
+            SELECT value, round(p, 6) AS p,
+                   round(a0.v * (1 - frac) + a1.v * frac, 6) AS mapped
+            FROM kk2
+            JOIN pos a0 ON kk2.k0 = a0.r
+            JOIN pos a1 ON kk2.k1 = a1.r
         """,
     }

@@ -532,9 +532,10 @@ def main() -> None:
                  "ab_power_events", "holt_winters_hourly",
                  # cohort_ltv 0.9s / ewma_volumes 0.7s warm (sf0.1
                  # min-of-2, r9)
-                 # pr_auc 1.4s warm (sf0.1 min-of-2, r9)
+                 # pr_auc 1.4s / quantile_map_events 2.6s warm (sf0.1
+                 # min-of-2, r9)
                  "seq_pairs_events", "cohort_ltv", "ewma_volumes",
-                 "pr_auc"):
+                 "pr_auc", "quantile_map_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -4481,3 +4481,114 @@ def pr_auc(
             F.lit(float(n_pos) / (n_pos + n_neg)), 6
         ).alias("prevalence"),
     )
+
+
+def quantile_map(
+    new_df: "DataFrame",
+    ref_df: "DataFrame",
+    value_col: str,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Quantile mapping — re-express a column on a REFERENCE
+    distribution's scale (``mapped = Q_ref(F_new(v))``, the Q-Q /
+    quantile-matching normalization of bias correction and
+    cross-model score calibration): after mapping, the new column's
+    distribution matches the reference's, so scores from different
+    models/shards/eras become comparable and thresholds tuned on the
+    reference transfer.
+
+    F_new via Hazen plotting positions on the NEW distinct-value
+    midranks (p = (midrank - 0.5) / n, the shared
+    :func:`_midrank_map` engine — ties map identically by
+    construction); Q_ref is the exact type-7 interpolated quantile,
+    evaluated WITHOUT sorting the reference: the two bracketing order
+    statistics per target (floor/ceil of p * (n_ref - 1)) resolve
+    against the reference's cumulative-range frame through a
+    POSITION-BUCKETED equi join — ranges replicate only to the
+    buckets they overlap (<= n_buckets + #distinct-values extra
+    rows), every join is keyed, nothing single-partitions.
+
+    Output: the new frame's distinct values ``(value, p, mapped)``
+    (6dp) — join back on ``value`` to transform row frames (kept
+    value-level so the result is reusable as a calibration table).
+    Raises on an empty reference; empty new input yields no rows.
+    """
+    ref_counts = (
+        ref_df.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+        .withColumn("c_b", F.lit(0))
+    )
+    n_ref = ref_counts.agg(F.sum("c_a")).first()[0] or 0
+    if n_ref == 0:
+        raise ValueError("quantile_map: empty reference distribution")
+    new_counts = (
+        new_df.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+        .withColumn("c_b", F.lit(0))
+    )
+    n_new = new_counts.agg(F.sum("c_a")).first()[0] or 0
+    if n_new == 0:
+        return new_df.sparkSession.createDataFrame(
+            [], "value double, p double, mapped double"
+        )
+    # targets: Hazen p per distinct new value, bracketing ref positions
+    targets = _midrank_map(new_counts, n_buckets).select(
+        F.col("v").alias("value"),
+        ((F.col("rank") - 0.5) / F.lit(float(n_new))).alias("p"),
+    ).withColumn(
+        "_h", F.col("p") * F.lit(float(n_ref - 1))
+    ).withColumn(
+        "_k0", F.floor("_h").cast("long")
+    ).withColumn(
+        "_k1", F.least(F.col("_k0") + 1, F.lit(n_ref - 1))
+    ).withColumn(
+        "_frac", F.col("_h") - F.col("_k0")
+    )
+    # reference cumulative ranges [lo, hi] of 0-indexed positions per
+    # distinct value (midrank encodes the range: lo = rank-(t+1)/2,
+    # hi = lo + t - 1)
+    ref_ranges = _midrank_map(ref_counts, n_buckets).select(
+        F.col("v").alias("_rv"),
+        (F.col("rank") - (F.col("t") + 1) / 2.0).cast("long").alias("_lo"),
+        (F.col("rank") + (F.col("t") + 1) / 2.0 - 2).cast("long").alias(
+            "_hi"
+        ),
+    )
+    width = max(1, -(-int(n_ref) // 1024))  # <= 1024 position buckets
+    ref_bucketed = ref_ranges.select(
+        "_rv", "_lo", "_hi",
+        F.explode(
+            F.sequence(
+                (F.col("_lo") / width).cast("long"),
+                (F.col("_hi") / width).cast("long"),
+            )
+        ).alias("_pb"),
+    )
+
+    def lookup(k_col, alias):
+        need = targets.select(
+            "value", F.col(k_col).alias("_k")
+        ).withColumn("_pb", (F.col("_k") / width).cast("long"))
+        hit = need.join(ref_bucketed, "_pb").filter(
+            (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi"))
+        )
+        return hit.select("value", F.col("_rv").alias(alias))
+
+    a0 = lookup("_k0", "_a0")
+    a1 = lookup("_k1", "_a1")
+    return (
+        targets.join(a0, "value").join(a1, "value")
+        .select(
+            "value",
+            F.round("p", 6).alias("p"),
+            F.round(
+                F.col("_a0") * (1 - F.col("_frac"))
+                + F.col("_a1") * F.col("_frac"),
+                6,
+            ).alias("mapped"),
+        )
+    )

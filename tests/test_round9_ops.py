@@ -3300,3 +3300,71 @@ class TestPrAuc:
     def test_single_class_null(self, spark):
         r = self._run(spark, [(1, 0.5), (1, 0.6)])
         assert r["pr_auc"] is None and r["n_neg"] == 0
+
+
+class TestQuantileMap:
+    """Q-Q score calibration (analytics.quantile_map)."""
+
+    @staticmethod
+    def _ref_map(new_vals, ref_vals):
+        import numpy as np
+        from collections import Counter
+
+        cnt = Counter(new_vals)
+        ranks, cum = {}, 0
+        for v in sorted(cnt):
+            ranks[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        n = len(new_vals)
+        out = {}
+        for v in sorted(cnt):
+            p = (ranks[v] - 0.5) / n
+            out[v] = float(
+                np.quantile(sorted(ref_vals), p, method="linear")
+            )
+        return out
+
+    def _run(self, spark, new_vals, ref_vals):
+        from indexlab_spark.operators.analytics import quantile_map
+
+        nd = spark.createDataFrame([(float(v),) for v in new_vals], "x double")
+        rd = spark.createDataFrame([(float(v),) for v in ref_vals], "x double")
+        rows = quantile_map(nd, rd, "x").collect()
+        return {r["value"]: r["mapped"] for r in rows}
+
+    def test_matches_numpy_quantile(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        new_vals = [float(x) for x in rng.normal(0, 1, 40)]
+        ref_vals = [float(x) for x in rng.normal(100, 15, 60)]
+        got = self._run(spark, new_vals, ref_vals)
+        want = self._ref_map(new_vals, ref_vals)
+        assert set(got) == set(want)
+        for v in got:
+            assert abs(got[v] - round(want[v], 6)) < 1e-6
+
+    def test_ties_and_monotonicity(self, spark):
+        new_vals = [1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 5.0]
+        ref_vals = [10.0, 20.0, 20.0, 30.0, 40.0]
+        got = self._run(spark, new_vals, ref_vals)
+        want = self._ref_map(new_vals, ref_vals)
+        for v in got:
+            assert abs(got[v] - round(want[v], 6)) < 1e-9
+        ordered = [got[v] for v in sorted(got)]
+        assert ordered == sorted(ordered)
+
+    def test_constant_reference(self, spark):
+        got = self._run(spark, [1.0, 5.0, 9.0], [7.0, 7.0, 7.0])
+        assert all(abs(m - 7.0) < 1e-9 for m in got.values())
+
+    def test_empty_contracts(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import quantile_map
+
+        nd = spark.createDataFrame([(1.0,)], "x double")
+        empty = spark.createDataFrame([], "x double")
+        with _pytest.raises(ValueError, match="empty reference"):
+            quantile_map(nd, empty, "x")
+        assert quantile_map(empty, nd, "x").count() == 0
