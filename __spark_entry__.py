@@ -5594,95 +5594,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-17 (round 9, per the plan pinned
-        # in r8, never-attested-first invariant): the 5 round-8
-        # oracle-backed additions — sim-green only through r8; the r8
-        # VERDICT's top item.
-        "cusum_revenue": _q_cusum_revenue,
-        "weighted_sample": _q_weighted_sample,
-        "part_kcore": _q_part_kcore,
-        "ab_events": _q_ab_events,
-        "conversion_lag": _q_conversion_lag,
-        # -- slot 18: unigram_jsd, oracle-registered THIS round (the r8
-        # VERDICT flagged it as dead code); never-attested, so it joins
-        # the never-attested-first block. This is the one deviation
-        # from the r8-pinned plan — it displaces one r05 backfill slot.
-        "unigram_jsd": _q_unigram_jsd,
-        # -- slot 19: theta_users — the round-9 theta-sketch set
-        # algebra addition (oracle-backed, exact regime at gate SF);
-        # never-attested-first.
-        "theta_users": _q_theta_users,
-        # -- slot 20: assoc_brands — round-9 market-basket association
-        # rules (oracle-backed); never-attested-first.
-        "assoc_brands": _q_assoc_brands,
-        # -- slot 21: attribution — round-9 multi-touch conversion
-        # attribution (oracle-backed); never-attested-first.
-        "attribution": _q_attribution,
-        # -- slot 22: edit_dist_names — round-9 q-gram-filtered exact
-        # edit-distance join (oracle-backed); never-attested-first.
-        "edit_dist_names": _q_edit_dist_names,
-        # -- slot 23: seasonal_hours — round-9 calendar-profile
-        # anomaly scoring (oracle-backed); never-attested-first.
-        "seasonal_hours": _q_seasonal_hours,
-        # -- slot 24: survival_conversion — round-9 Kaplan-Meier
-        # time-to-event curve (oracle-backed); never-attested-first.
-        "survival_conversion": _q_survival_conversion,
-        # -- slots 25-50: re-attestation backfill, oldest first — the
-        # first 26 of the 37 entries whose last driver-green row is
-        # r05 (registry order). The remaining 11 (simhash_pairs,
-        # stratified_split, temperature_resample, tokens,
-        # top_orders_per_cust, top_revenue, top_terms, line_dedup,
-        # bloom_decontaminate, dsir_weights, embedding_lsh) slip to
-        # the r10 window.
-        "flesch_reading": _q_flesch_reading,
-        "zscore_anomalies": _q_zscore_anomalies,
-        "zipf_fit": _q_zipf_fit,
-        "source_mix_uniform": _q_source_mix_uniform,
-        "benchmark_overlap": _q_benchmark_overlap,
-        "top_supplier_revenue": _q_top_supplier_revenue,
-        "nation_value_share": _q_nation_value_share,
-        "events_stream_daily": _q_events_stream_daily,
-        "heavy_hitters": _q_heavy_hitters,
-        "shipping_priority": _q_shipping_priority,
-        "forecast_revenue": _q_forecast_revenue,
-        "product_profit": _q_product_profit,
-        "linestatus_priority": _q_linestatus_priority,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "excess_stock_suppliers": _q_excess_stock_suppliers,
-        "source_entropy": _q_source_entropy,
-        "ngram_novelty": _q_ngram_novelty,
-        "bucketed_order_revenue": _q_bucketed_order_revenue,
-        "eval_compare": _q_eval_compare,
-        "eval_compare_summary": _q_eval_compare_summary,
-        "search_overlap": _q_search_overlap,
-        "index_stats": _q_index_stats,
-        "index_catalog": _q_index_catalog,
-        "rollup_pricing": _q_rollup_pricing,
-        "segment_set_ops": _q_segment_set_ops,
-        "simhash": _q_simhash,
+        # -- rotation window slots 13-50 (round 10, per the plan pinned
+        # in r9, never-attested-first invariant): the first 38 of the
+        # 44 round-9 post-window additions in registry order — all
+        # added after the r9 window was pinned, so none has a driver
+        # row. Three are rows-only (embedding_kmeans, hits_suppliers,
+        # similarity_ivfpq) and get the driver's weaker rows-only
+        # check. The remaining 6 (holt_winters_hourly,
+        # seq_pairs_events, cohort_ltv, ewma_volumes, pr_auc,
+        # quantile_map_events) lead the r11 window.
+        "holt_revenue": _q_holt_revenue,
+        "link_parts": _q_link_parts,
+        "isotonic_value": _q_isotonic_value,
+        "embedding_kmeans": _q_embedding_kmeans,  # rows-only
+        "cluster_reps": _q_cluster_reps,
+        "cluster_split": _q_cluster_split,
+        "acf_daily": _q_acf_daily,
+        "theilsen_revenue": _q_theilsen_revenue,
+        "gini_customers": _q_gini_customers,
+        "benford_prices": _q_benford_prices,
+        "contingency_events": _q_contingency_events,
+        "hits_suppliers": _q_hits_suppliers,  # rows-only
+        "mwu_prices": _q_mwu_prices,
+        "bootstrap_prices": _q_bootstrap_prices,
+        "negatives_docs": _q_negatives_docs,
+        "temporal_split": _q_temporal_split,
+        "fd_orders": _q_fd_orders,
+        "target_encode": _q_target_encode,
+        "hard_negatives": _q_hard_negatives,
+        "roc_auc": _q_roc_auc,
+        "reliability_events": _q_reliability_events,
+        "woe_orders": _q_woe_orders,
+        "corr_lineitem": _q_corr_lineitem,
+        "lift_events": _q_lift_events,
+        "cuped_events": _q_cuped_events,
+        "class_report": _q_class_report,
+        "spearman_lineitem": _q_spearman_lineitem,
+        "next_events": _q_next_events,
+        "similarity_ivfpq": _q_similarity_ivfpq,  # rows-only
+        "kfold_docs": _q_kfold_docs,
+        "sliding_users": _q_sliding_users,
+        "fk_lineitem": _q_fk_lineitem,
+        "conformal_orders": _q_conformal_orders,
+        "winsorize_prices": _q_winsorize_prices,
+        "upsert_customers": _q_upsert_customers,
+        "scd2_customers": _q_scd2_customers,
+        "kanon_customers": _q_kanon_customers,
+        "ab_power_events": _q_ab_power_events,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
-        # r10 window plan (pinned per the standing invariants,
+        # r11 window plan (pinned per the standing invariants,
         # never-attested-first then oldest attestation; recompute from
-        # CORRECTNESS_r01-r09 once r9 lands): after the 12 anchors,
-        # slots 13-50 take the first 38 of the 44 round-9 POST-WINDOW additions
-        # (holt_revenue .. ab_power_events in registry order; the
-        # 39th-44th — holt_winters_hourly, seq_pairs_events,
-        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events —
-        # lead r11 — all
-        # added after the r9 window was pinned, so none has a driver
-        # row; the three rows-only members — embedding_kmeans,
-        # hits_suppliers, similarity_ivfpq — get rows-only rows like
-        # part_kcore did in r9) — exactly filling the window.
-        # The six r11 leaders plus the 11 r05-green leftovers
-        # below (4 rounds stale by r10, the oldest attestations
-        # left) plus the
-        # 38 r06-green entries backfill in r11, the r07 block in r12.
-        # Any operator newly oracle-registered in r10 goes
-        # never-attested-first, displacing the tail.
-        # last green r05 (11 remaining; rotate into r10 FIRST):
+        # CORRECTNESS_r01-r10 once r10 lands): after the 12 anchors,
+        # never-attested-first — the 6 round-9 leftovers
+        # (holt_winters_hourly [rows-only], seq_pairs_events,
+        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events)
+        # followed by every operator newly oracle-registered in r10
+        # (in registry order) — then the oldest-attestation backfill:
+        # the 11 r05-green leftovers below (5 rounds stale by r11, the
+        # oldest attestations left), then as many of the 38 r06-green
+        # entries as fit. The rest of the r06 block plus the r07 block
+        # backfill in r12.
+        # last green r05 (11 remaining; backfill into r11 after the
+        # never-attested block):
         "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
@@ -5816,6 +5792,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
         "tfidf_topterms": _q_tfidf_topterms,
+        # last green r09 (the 38 entries rotated out of the r9 window
+        # this round; r9 window order — the 5 r8 oracle additions,
+        # unigram_jsd, the 6 round-9 first-wave entries, then the 26
+        # r05-backfills):
+        "cusum_revenue": _q_cusum_revenue,
+        "weighted_sample": _q_weighted_sample,
+        "part_kcore": _q_part_kcore,
+        "ab_events": _q_ab_events,
+        "conversion_lag": _q_conversion_lag,
+        "unigram_jsd": _q_unigram_jsd,
+        "theta_users": _q_theta_users,
+        "assoc_brands": _q_assoc_brands,
+        "attribution": _q_attribution,
+        "edit_dist_names": _q_edit_dist_names,
+        "seasonal_hours": _q_seasonal_hours,
+        "survival_conversion": _q_survival_conversion,
+        "flesch_reading": _q_flesch_reading,
+        "zscore_anomalies": _q_zscore_anomalies,
+        "zipf_fit": _q_zipf_fit,
+        "source_mix_uniform": _q_source_mix_uniform,
+        "benchmark_overlap": _q_benchmark_overlap,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "nation_value_share": _q_nation_value_share,
+        "events_stream_daily": _q_events_stream_daily,
+        "heavy_hitters": _q_heavy_hitters,
+        "shipping_priority": _q_shipping_priority,
+        "forecast_revenue": _q_forecast_revenue,
+        "product_profit": _q_product_profit,
+        "linestatus_priority": _q_linestatus_priority,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "excess_stock_suppliers": _q_excess_stock_suppliers,
+        "source_entropy": _q_source_entropy,
+        "ngram_novelty": _q_ngram_novelty,
+        "bucketed_order_revenue": _q_bucketed_order_revenue,
+        "eval_compare": _q_eval_compare,
+        "eval_compare_summary": _q_eval_compare_summary,
+        "search_overlap": _q_search_overlap,
+        "index_stats": _q_index_stats,
+        "index_catalog": _q_index_catalog,
+        "rollup_pricing": _q_rollup_pricing,
+        "segment_set_ops": _q_segment_set_ops,
+        "simhash": _q_simhash,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
@@ -5835,47 +5853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
         "quality_classifier": _q_quality_classifier,
-        # -- round-9 post-window additions (oracle-backed, never
-        # attested; per the standing invariant these go FIRST in the
-        # r10 window, before the 11 r05-green leftovers):
-        "holt_revenue": _q_holt_revenue,
-        "link_parts": _q_link_parts,
-        "isotonic_value": _q_isotonic_value,
-        "embedding_kmeans": _q_embedding_kmeans,  # rows-only
-        "cluster_reps": _q_cluster_reps,
-        "cluster_split": _q_cluster_split,
-        "acf_daily": _q_acf_daily,
-        "theilsen_revenue": _q_theilsen_revenue,
-        "gini_customers": _q_gini_customers,
-        "benford_prices": _q_benford_prices,
-        "contingency_events": _q_contingency_events,
-        "hits_suppliers": _q_hits_suppliers,  # rows-only
-        "mwu_prices": _q_mwu_prices,
-        "bootstrap_prices": _q_bootstrap_prices,
-        "negatives_docs": _q_negatives_docs,
-        "temporal_split": _q_temporal_split,
-        "fd_orders": _q_fd_orders,
-        "target_encode": _q_target_encode,
-        "hard_negatives": _q_hard_negatives,
-        "roc_auc": _q_roc_auc,
-        "reliability_events": _q_reliability_events,
-        "woe_orders": _q_woe_orders,
-        "corr_lineitem": _q_corr_lineitem,
-        "lift_events": _q_lift_events,
-        "cuped_events": _q_cuped_events,
-        "class_report": _q_class_report,
-        "spearman_lineitem": _q_spearman_lineitem,
-        "next_events": _q_next_events,
-        "similarity_ivfpq": _q_similarity_ivfpq,  # rows-only
-        "kfold_docs": _q_kfold_docs,
-        "sliding_users": _q_sliding_users,
-        "fk_lineitem": _q_fk_lineitem,
-        "conformal_orders": _q_conformal_orders,
-        "winsorize_prices": _q_winsorize_prices,
-        "upsert_customers": _q_upsert_customers,
-        "scd2_customers": _q_scd2_customers,
-        "kanon_customers": _q_kanon_customers,
-        "ab_power_events": _q_ab_power_events,
+        # -- round-9 post-window leftovers (never attested; per the
+        # standing invariant these go FIRST in the r11 window, before
+        # the 11 r05-green leftovers):
         "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
         "seq_pairs_events": _q_seq_pairs_events,
         "cohort_ltv": _q_cohort_ltv,
