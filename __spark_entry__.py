@@ -5569,6 +5569,201 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars")
 
 
+def _q_srm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (analytics.srm_check): the
+    experiment units (distinct users, arm = user_id decile split)
+    chi-square-tested against the designed 50/50 — the validity check
+    that runs BEFORE ab_events/cuped_events are believed. One
+    map-combined count agg to the arm-sized frame; per-arm
+    contribution rows + the <ALL> total carrying the flag."""
+    from indexlab_spark.operators.analytics import srm_check
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.select("user_id").distinct().select(
+        F.when(F.col("user_id") % 10 < 5, "a").otherwise("b").alias(
+            "variant"
+        )
+    )
+    return srm_check(units, "variant", {"a": 0.5, "b": 0.5})
+
+
+def _q_ratio_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric experiment readout (analytics.delta_method_ratio):
+    revenue-per-event as sum(purchase value) / count(events) per arm,
+    with the delta-method variance — the estimand ab_events' per-unit
+    mean cannot express. ONE filtered moment reduction over the
+    per-user frame; the oracle replays every moment term."""
+    from indexlab_spark.operators.analytics import delta_method_ratio
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+        ).alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias(
+            "variant"
+        ),
+        "x",
+        "y",
+    )
+    return delta_method_ratio(units, "variant", "x", "y")
+
+
+def _q_did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (analytics.did_readout): the
+    quasi-experiment member of the family — per-(user, period) value
+    units, treated group = even user ids, post period = Jan 16 on;
+    the 2x2 interaction nets out both the stable group gap and the
+    shared time shock. ONE 12-term filtered moment reduction."""
+    from indexlab_spark.operators.analytics import did_readout
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.groupBy(
+        "user_id",
+        F.when(
+            F.to_date("ts") >= F.lit("2024-01-16"), "post"
+        ).otherwise("pre").alias("period"),
+    ).agg(F.sum("value").alias("val")).select(
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias(
+            "grp"
+        ),
+        "period",
+        "val",
+    )
+    return did_readout(units, "grp", "period", "val", "t", "post")
+
+
+def _q_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (analytics.seasonal_decompose)
+    of the daily revenue series per event_type at weekly period:
+    centered-MA trend, centered slot means, residual — the view that
+    SHOWS whether the trend or the cycle moved before seasonal_hours
+    scores anomalies against it. One keyed exchange + a
+    (groups x 7)-sized slot join."""
+    from indexlab_spark.operators.analytics import seasonal_decompose
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return seasonal_decompose(daily, ["event_type"], "day", "revenue", 7)
+
+
+def _q_ccf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (analytics.ccf): daily view counts
+    vs daily purchase counts at lags -3..3 — does traffic LEAD
+    conversion? The acf discipline: one exchange, all shifted products
+    in a single ordered window + one map-combined agg."""
+    from indexlab_spark.operators.analytics import ccf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast(
+            "double"
+        ).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast(
+            "double"
+        ).alias("y"),
+    ).withColumn("g", F.lit("all"))
+    return ccf(daily, ["g"], "day", "x", "y", max_lag=3)
+
+
+def _q_amoc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-changepoint location (analytics.amoc_changepoint)
+    over the daily revenue series per event_type — the LOCATOR
+    companion to cusum_revenue (CUSUM flags the onset under a
+    baseline; this finds the least-squares split with none). One
+    cumulative window + one min_by agg; the oracle replays the
+    identical prefix-sum argmin."""
+    from indexlab_spark.operators.analytics import amoc_changepoint
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return amoc_changepoint(daily, ["event_type"], "day", "revenue", 3)
+
+
+def _q_rake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (textstats.rake_keywords, Rose et al.
+    2010): top-3 multi-word phrases per document, word score =
+    degree/frequency over stopword-delimited candidate runs — the
+    phrase-level companion to tfidf_topterms. Pure Catalyst regex
+    segmentation (RE2-safe, no lookarounds) + doc-keyed aggs; the
+    oracle replays the identical pipeline."""
+    from indexlab_spark.operators.textstats import rake_keywords
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return rake_keywords(docs, "doc_id", "text", top_n=3)
+
+
+def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (dedup.degree_assortativity, Newman 2002)
+    of the part co-purchase graph — hubs-link-to-hubs vs
+    hub-and-spoke, the one-number structure diagnostic that decides
+    whether the wedge-generating ops (link_parts) need their hub
+    caps. One degree agg + two keyed joins + one moment row."""
+    from indexlab_spark.operators.dedup import degree_assortativity
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges, "src", "dst")
+
+
+def _q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution (analytics.multi_touch_attribution,
+    model='time_decay'): credit 2^(-age/half_life) normalized per
+    conversion — recency on a continuous clock, the model rank-based
+    first/last/position can't express. Same two keyed exchanges as
+    the linear gate entry; the oracle replays the microsecond-age
+    pow arithmetic."""
+    from indexlab_spark.operators.analytics import multi_touch_attribution
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return multi_touch_attribution(
+        ev, "user_id", "ts", "event_type", "purchase",
+        model="time_decay", half_life_seconds=600,
+    )
+
+
+def _q_compaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (maintenance.compaction_plan):
+    the documents listing (path = doc_id, size = n_chars, partition =
+    lang) bin-packed into ~2000-byte merge groups in path order — the
+    Iceberg/Delta OPTIMIZE binpack shape as one window cumsum over
+    the listing frame; single-file groups are marked already-compact."""
+    from indexlab_spark.operators.maintenance import compaction_plan
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    files = docs.select(
+        "lang",
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return compaction_plan(
+        files, "size_bytes", "path", target_bytes=2000, group_cols=["lang"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -5595,18 +5790,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
         # -- rotation window slots 13-50 (round 10, per the plan pinned
-        # in r9, never-attested-first invariant): the first 38 of the
-        # 44 round-9 post-window additions in registry order — all
-        # added after the r9 window was pinned, so none has a driver
-        # row. Three are rows-only (embedding_kmeans, hits_suppliers,
-        # similarity_ivfpq) and get the driver's weaker rows-only
-        # check. The remaining 6 (holt_winters_hourly,
-        # seq_pairs_events, cohort_ltv, ewma_volumes, pr_auc,
-        # quantile_map_events) lead the r11 window.
+        # in r9, never-attested-first invariant): the 35 ORACLE-BACKED
+        # round-9 post-window additions in registry order — all added
+        # after the r9 window was pinned, so none has a driver row.
+        # Deviation from the r9-pinned plan: the plan put the three
+        # rows-only members (embedding_kmeans, hits_suppliers,
+        # similarity_ivfpq) in the window too, but the standing
+        # test_robustness.py invariant — every driver-window slot is
+        # hash-checked, never a weaker rows-only row — outranks it
+        # (50 oracle rows beat 47), so those three stay parked
+        # (driver_sim + pytest cover them) and the three freed slots
+        # take the oldest backfill (r05-green, registry order). The
+        # remaining 6 round-9 oracle entries (seq_pairs_events,
+        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events, plus
+        # rows-only holt_winters_hourly excluded likewise) lead r11.
         "holt_revenue": _q_holt_revenue,
         "link_parts": _q_link_parts,
         "isotonic_value": _q_isotonic_value,
-        "embedding_kmeans": _q_embedding_kmeans,  # rows-only
         "cluster_reps": _q_cluster_reps,
         "cluster_split": _q_cluster_split,
         "acf_daily": _q_acf_daily,
@@ -5614,7 +5814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_customers": _q_gini_customers,
         "benford_prices": _q_benford_prices,
         "contingency_events": _q_contingency_events,
-        "hits_suppliers": _q_hits_suppliers,  # rows-only
         "mwu_prices": _q_mwu_prices,
         "bootstrap_prices": _q_bootstrap_prices,
         "negatives_docs": _q_negatives_docs,
@@ -5631,7 +5830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_report": _q_class_report,
         "spearman_lineitem": _q_spearman_lineitem,
         "next_events": _q_next_events,
-        "similarity_ivfpq": _q_similarity_ivfpq,  # rows-only
         "kfold_docs": _q_kfold_docs,
         "sliding_users": _q_sliding_users,
         "fk_lineitem": _q_fk_lineitem,
@@ -5641,27 +5839,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers": _q_scd2_customers,
         "kanon_customers": _q_kanon_customers,
         "ab_power_events": _q_ab_power_events,
+        # oldest-backfill slots 48-50 (last green r05):
+        "simhash_pairs": _q_simhash_pairs,
+        "stratified_split": _q_stratified_split,
+        "temperature_resample": _q_temperature_resample,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
         # tools/driver_sim.py every session.
-        # r11 window plan (pinned per the standing invariants,
-        # never-attested-first then oldest attestation; recompute from
-        # CORRECTNESS_r01-r10 once r10 lands): after the 12 anchors,
-        # never-attested-first — the 6 round-9 leftovers
-        # (holt_winters_hourly [rows-only], seq_pairs_events,
-        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events)
-        # followed by every operator newly oracle-registered in r10
-        # (in registry order) — then the oldest-attestation backfill:
-        # the 11 r05-green leftovers below (5 rounds stale by r11, the
-        # oldest attestations left), then as many of the 38 r06-green
-        # entries as fit. The rest of the r06 block plus the r07 block
-        # backfill in r12.
-        # last green r05 (11 remaining; backfill into r11 after the
-        # never-attested block):
-        "simhash_pairs": _q_simhash_pairs,
-        "stratified_split": _q_stratified_split,
-        "temperature_resample": _q_temperature_resample,
+        # r11 window plan (pinned per the standing invariants:
+        # all-slots-oracle-backed, never-attested-first, then oldest
+        # attestation; recompute from CORRECTNESS_r01-r10 once r10
+        # lands): after the 12 anchors, never-attested-first — the 5
+        # oracle-backed round-9 leftovers (seq_pairs_events,
+        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events;
+        # holt_winters_hourly is rows-only and stays parked) followed
+        # by every operator newly oracle-registered in r10 (registry
+        # order: srm_events .. attribution_decay) — then the
+        # oldest-attestation backfill: the 8 r05-green leftovers below
+        # (5 rounds stale by r11, the oldest attestations left), then
+        # as many of the 38 r06-green entries as fit. The rest of the
+        # r06 block plus the r07 block backfill in r12.
+        # last green r05 (8 remaining after 3 took the r10 window's
+        # freed slots; backfill into r11 after the never-attested
+        # block):
         "tokens": _q_tokens,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "top_revenue": _q_top_revenue,
@@ -5853,6 +6054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
         "quality_classifier": _q_quality_classifier,
+        # round-9 rows-only additions (excluded from the driver window
+        # by the all-slots-oracle-backed invariant; driver_sim + pytest
+        # cover them):
+        "embedding_kmeans": _q_embedding_kmeans,
+        "hits_suppliers": _q_hits_suppliers,
+        "similarity_ivfpq": _q_similarity_ivfpq,
         # -- round-9 post-window leftovers (never attested; per the
         # standing invariant these go FIRST in the r11 window, before
         # the 11 r05-green leftovers):
@@ -5862,6 +6069,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_volumes": _q_ewma_volumes,
         "pr_auc": _q_pr_auc,
         "quantile_map_events": _q_quantile_map_events,
+        # -- round-10 additions (oracle-backed, never attested; join
+        # the never-attested-first block of the r11 window AFTER the
+        # six round-9 leftovers above — older registrations first):
+        "srm_events": _q_srm_events,
+        "ratio_ab_events": _q_ratio_ab_events,
+        "did_events": _q_did_events,
+        "seasonal_daily": _q_seasonal_daily,
+        "ccf_events": _q_ccf_events,
+        "amoc_revenue": _q_amoc_revenue,
+        "rake_docs": _q_rake_docs,
+        "part_assortativity": _q_part_assortativity,
+        "compaction_docs": _q_compaction_docs,
+        "attribution_decay": _q_attribution_decay,
     }
 
 
@@ -10708,5 +10928,404 @@ def oracle_sql() -> dict[str, str]:
             FROM kk2
             JOIN pos a0 ON kk2.k0 = a0.r
             JOIN pos a1 ON kk2.k1 = a1.r
+        """,
+        # SRM replay: arm counts over distinct users, chi2 contributions
+        # vs the 50/50 design, total row carries the UNROUNDED-sum flag.
+        "srm_events": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            c AS (
+                SELECT CASE WHEN user_id % 10 < 5 THEN 'a' ELSE 'b' END
+                           AS variant,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM u GROUP BY 1),
+            e(variant, expected_share) AS (VALUES ('a', 0.5), ('b', 0.5)),
+            cells AS (
+                SELECT coalesce(c.variant, e.variant) AS variant,
+                       coalesce(c.n, 0) AS n,
+                       coalesce(e.expected_share, 0.0) AS expected_share
+                FROM c FULL OUTER JOIN e ON c.variant = e.variant),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM cells),
+            x AS (
+                SELECT variant, CAST(n AS BIGINT) AS n, expected_share,
+                       expected_share * tot AS expected_n,
+                       CASE WHEN expected_share * tot > 0 THEN
+                           (n - expected_share * tot)
+                           * (n - expected_share * tot)
+                           / (expected_share * tot)
+                       WHEN n > 0 THEN 3.841 + n ELSE 0.0 END AS contrib
+                FROM cells, t)
+            SELECT variant, n, round(expected_share, 6) AS expected_share,
+                   round(expected_n, 6) AS expected_n,
+                   round(contrib, 6) AS chi2_contrib,
+                   CAST(NULL AS DOUBLE) AS chi2,
+                   CAST(NULL AS BOOLEAN) AS srm
+            FROM x
+            UNION ALL
+            SELECT '<ALL>', CAST(sum(n) AS BIGINT),
+                   round(sum(expected_share), 6),
+                   round(sum(expected_n), 6),
+                   CAST(NULL AS DOUBLE),
+                   round(sum(contrib), 6),
+                   sum(contrib) > 3.841
+            FROM x
+        """,
+        # Delta-method ratio replay: per-user (purchase revenue, event
+        # count) units, every moment term reproduced closed-form.
+        "ratio_ab_events": """
+            WITH u AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS variant,
+                       sum(CASE WHEN event_type = 'purchase' THEN value
+                                ELSE 0.0 END) AS x,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY user_id),
+            m AS (
+                SELECT
+                    CAST(count(*) FILTER (variant = 'a') AS BIGINT) AS n_a,
+                    CAST(count(*) FILTER (variant = 'b') AS BIGINT) AS n_b,
+                    sum(x) FILTER (variant = 'a') AS sxa,
+                    sum(y) FILTER (variant = 'a') AS sya,
+                    sum(x * x) FILTER (variant = 'a') AS qxa,
+                    sum(y * y) FILTER (variant = 'a') AS qya,
+                    sum(x * y) FILTER (variant = 'a') AS xya,
+                    sum(x) FILTER (variant = 'b') AS sxb,
+                    sum(y) FILTER (variant = 'b') AS syb,
+                    sum(x * x) FILTER (variant = 'b') AS qxb,
+                    sum(y * y) FILTER (variant = 'b') AS qyb,
+                    sum(x * y) FILTER (variant = 'b') AS xyb
+                FROM u),
+            d AS (
+                SELECT n_a, n_b,
+                       sxa / sya AS ra, sxb / syb AS rb,
+                       ((qxa - n_a * (sxa/n_a) * (sxa/n_a)) / (n_a - 1)
+                        - 2 * (sxa/sya)
+                          * ((xya - n_a * (sxa/n_a) * (sya/n_a)) / (n_a - 1))
+                        + (sxa/sya) * (sxa/sya)
+                          * ((qya - n_a * (sya/n_a) * (sya/n_a)) / (n_a - 1)))
+                       / (n_a * (sya/n_a) * (sya/n_a)) AS va,
+                       ((qxb - n_b * (sxb/n_b) * (sxb/n_b)) / (n_b - 1)
+                        - 2 * (sxb/syb)
+                          * ((xyb - n_b * (sxb/n_b) * (syb/n_b)) / (n_b - 1))
+                        + (sxb/syb) * (sxb/syb)
+                          * ((qyb - n_b * (syb/n_b) * (syb/n_b)) / (n_b - 1)))
+                       / (n_b * (syb/n_b) * (syb/n_b)) AS vb
+                FROM m)
+            SELECT n_a, n_b,
+                   round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+                   round((rb - ra) / abs(ra), 6) AS lift_rel,
+                   round(sqrt(va + vb), 6) AS se,
+                   round((rb - ra) / sqrt(va + vb), 6) AS z_stat,
+                   abs((rb - ra) / sqrt(va + vb)) > 1.96 AS z_sig
+            FROM d
+        """,
+        # DiD replay: per-(user, period) value units, 2x2 cell moments,
+        # interaction + unequal-variance normal SE.
+        "did_events": """
+            WITH u AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END
+                           AS g,
+                       CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                            THEN 'post' ELSE 'pre' END AS p,
+                       sum(value) AS v
+                FROM events GROUP BY user_id, 2),
+            m AS (
+                SELECT
+                    CAST(count(*) FILTER (g='c' AND p='pre') AS BIGINT) AS n_c_pre,
+                    CAST(count(*) FILTER (g='c' AND p='post') AS BIGINT) AS n_c_post,
+                    CAST(count(*) FILTER (g='t' AND p='pre') AS BIGINT) AS n_t_pre,
+                    CAST(count(*) FILTER (g='t' AND p='post') AS BIGINT) AS n_t_post,
+                    avg(v) FILTER (g='c' AND p='pre') AS m_c_pre,
+                    avg(v) FILTER (g='c' AND p='post') AS m_c_post,
+                    avg(v) FILTER (g='t' AND p='pre') AS m_t_pre,
+                    avg(v) FILTER (g='t' AND p='post') AS m_t_post,
+                    var_samp(v) FILTER (g='c' AND p='pre') AS v_c_pre,
+                    var_samp(v) FILTER (g='c' AND p='post') AS v_c_post,
+                    var_samp(v) FILTER (g='t' AND p='pre') AS v_t_pre,
+                    var_samp(v) FILTER (g='t' AND p='post') AS v_t_post
+                FROM u),
+            d AS (
+                SELECT *,
+                       (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+                       sqrt(v_c_pre / n_c_pre + v_c_post / n_c_post
+                            + v_t_pre / n_t_pre + v_t_post / n_t_post)
+                           AS se
+                FROM m)
+            SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+                   round(m_c_pre, 6) AS mean_c_pre,
+                   round(m_c_post, 6) AS mean_c_post,
+                   round(m_t_pre, 6) AS mean_t_pre,
+                   round(m_t_post, 6) AS mean_t_post,
+                   round(did, 6) AS did, round(se, 6) AS se,
+                   round(did / se, 6) AS z_stat,
+                   abs(did / se) > 1.96 AS z_sig
+            FROM d
+        """,
+        # Classical decomposition replay: 7-row centered MA (full
+        # windows only), slot = row index mod 7, centered slot means.
+        "seasonal_daily": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       round(sum(value), 6) AS revenue
+                FROM events GROUP BY 1, 2),
+            idx AS (
+                SELECT *, row_number() OVER
+                           (PARTITION BY event_type ORDER BY day) - 1 AS i
+                FROM d),
+            tr AS (
+                SELECT *,
+                       CASE WHEN count(*) OVER w7 = 7
+                            THEN avg(revenue) OVER w7 END AS trend,
+                       i % 7 AS slot
+                FROM idx
+                WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            sm AS (
+                SELECT event_type, slot,
+                       avg(revenue - trend) AS raw
+                FROM tr GROUP BY 1, 2),
+            ctr AS (
+                SELECT event_type, slot,
+                       raw - avg(raw) OVER (PARTITION BY event_type)
+                           AS seas
+                FROM sm)
+            SELECT t.event_type, t.day,
+                   round(t.revenue, 6) AS value,
+                   round(t.trend, 6) AS trend,
+                   round(c.seas, 6) AS seasonal,
+                   round(t.revenue - t.trend - c.seas, 6) AS resid,
+                   CAST(t.slot AS BIGINT) AS slot
+            FROM tr t JOIN ctr c
+                ON t.event_type = c.event_type AND t.slot = c.slot
+        """,
+        # CCF replay: daily view/purchase counts, all 7 shifts from one
+        # ordered window, full-series normalizer.
+        "ccf_events": """
+            WITH d AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       CAST(count(*) FILTER (event_type = 'view')
+                            AS DOUBLE) AS x,
+                       CAST(count(*) FILTER (event_type = 'purchase')
+                            AS DOUBLE) AS y
+                FROM events GROUP BY 1),
+            c AS (
+                SELECT day, x - avg(x) OVER () AS xc,
+                       y - avg(y) OVER () AS yc
+                FROM d),
+            l AS (
+                SELECT xc, yc,
+                       lag(yc, 3) OVER w AS m3, lag(yc, 2) OVER w AS m2,
+                       lag(yc, 1) OVER w AS m1,
+                       lead(yc, 1) OVER w AS p1, lead(yc, 2) OVER w AS p2,
+                       lead(yc, 3) OVER w AS p3
+                FROM c WINDOW w AS (ORDER BY day)),
+            ag AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(xc * xc) AS dx, sum(yc * yc) AS dy,
+                       sum(xc * m3) AS nm3, sum(xc * m2) AS nm2,
+                       sum(xc * m1) AS nm1, sum(xc * yc) AS n0,
+                       sum(xc * p1) AS np1, sum(xc * p2) AS np2,
+                       sum(xc * p3) AS np3
+                FROM l)
+            SELECT 'all' AS g, -3 AS "lag",
+                   round(nm3 / sqrt(dx * dy), 6) AS ccf, n FROM ag
+            UNION ALL SELECT 'all', -2, round(nm2 / sqrt(dx * dy), 6), n FROM ag
+            UNION ALL SELECT 'all', -1, round(nm1 / sqrt(dx * dy), 6), n FROM ag
+            UNION ALL SELECT 'all', 0, round(n0 / sqrt(dx * dy), 6), n FROM ag
+            UNION ALL SELECT 'all', 1, round(np1 / sqrt(dx * dy), 6), n FROM ag
+            UNION ALL SELECT 'all', 2, round(np2 / sqrt(dx * dy), 6), n FROM ag
+            UNION ALL SELECT 'all', 3, round(np3 / sqrt(dx * dy), 6), n FROM ag
+        """,
+        # AMOC replay: identical prefix-sum split costs, earliest-tie
+        # argmin via (cost, i) row_number.
+        "amoc_revenue": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       round(sum(value), 6) AS revenue
+                FROM events GROUP BY 1, 2),
+            b AS (
+                SELECT event_type, day, CAST(revenue AS DOUBLE) AS x,
+                       row_number() OVER w AS i,
+                       sum(CAST(revenue AS DOUBLE)) OVER
+                           (w ROWS UNBOUNDED PRECEDING) AS s,
+                       sum(CAST(revenue AS DOUBLE) * CAST(revenue AS DOUBLE))
+                           OVER (w ROWS UNBOUNDED PRECEDING) AS q
+                FROM d
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+            t AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       arg_max(s, i) AS st, arg_max(q, i) AS qt
+                FROM b GROUP BY 1),
+            cand AS (
+                SELECT b.event_type, t.n, t.st, t.qt, b.i, b.day,
+                       (b.q - b.s * b.s / b.i)
+                       + ((t.qt - b.q)
+                          - (t.st - b.s) * (t.st - b.s) / (t.n - b.i))
+                           AS cost,
+                       b.s / b.i AS mean_l,
+                       (t.st - b.s) / (t.n - b.i) AS mean_r
+                FROM b JOIN t ON b.event_type = t.event_type
+                WHERE b.i >= 3 AND b.i <= t.n - 3),
+            best AS (
+                SELECT *, row_number() OVER
+                           (PARTITION BY event_type ORDER BY cost, i)
+                           AS rn
+                FROM cand)
+            SELECT event_type, n, CAST(i AS BIGINT) AS cp_index,
+                   day AS cp_order,
+                   round(mean_l, 6) AS mean_left,
+                   round(mean_r, 6) AS mean_right,
+                   round(qt - st * st / n, 6) AS sse_total,
+                   round(cost, 6) AS sse_best,
+                   round((qt - st * st / n) - cost, 6) AS reduction,
+                   round(CASE WHEN qt - st * st / n > 0 THEN
+                       ((qt - st * st / n) - cost) / (qt - st * st / n)
+                   END, 6) AS reduction_ratio
+            FROM best WHERE rn = 1
+        """,
+        # RAKE replay: identical RE2-safe segmentation (two stopword
+        # passes), per-(doc, word) deg/freq, phrase sums, rounded-score
+        # rank.
+        "rake_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           ' ' || lower(text) || ' ',
+                           '[^a-z0-9 ]', '|', 'g'),
+                           ' (a|an|and|are|as|at|be|but|by|for|from|have|in|is|it|not|of|on|or|that|the|this|to|was|with) ',
+                           ' | ', 'g'),
+                           ' (a|an|and|are|as|at|be|but|by|for|from|have|in|is|it|not|of|on|or|that|the|this|to|was|with) ',
+                           ' | ', 'g') AS t
+                FROM documents),
+            ph AS (
+                SELECT doc_id, trim(x) AS phrase, count(*) AS occ
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(t, '\\|')) AS x
+                      FROM s)
+                WHERE trim(x) <> ''
+                GROUP BY 1, 2),
+            pw AS (
+                SELECT doc_id, phrase, occ,
+                       len(regexp_split_to_array(phrase, ' +')) AS plen,
+                       unnest(regexp_split_to_array(phrase, ' +')) AS w
+                FROM ph),
+            ws AS (
+                SELECT doc_id, w,
+                       CAST(sum(occ) AS DOUBLE) AS freq,
+                       CAST(sum(plen * occ) AS DOUBLE) AS deg
+                FROM pw GROUP BY 1, 2),
+            ps AS (
+                SELECT p.doc_id, p.phrase,
+                       sum(ws.deg / ws.freq) AS score,
+                       CAST(count(*) AS BIGINT) AS n_words
+                FROM pw p JOIN ws
+                    ON p.doc_id = ws.doc_id AND p.w = ws.w
+                GROUP BY 1, 2),
+            rk AS (
+                SELECT doc_id, phrase, n_words,
+                       round(score, 6) AS score,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY round(score, 6) DESC, phrase)
+                           AS rank
+                FROM ps)
+            SELECT doc_id, phrase, n_words, score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 3
+        """,
+        # Assortativity replay: canonical co-purchase edges, node
+        # degrees, moment-form Pearson over both edge orientations.
+        "part_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey),
+            deg AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT u AS n FROM e
+                      UNION ALL SELECT v FROM e)
+                GROUP BY 1),
+            bo AS (
+                SELECT CAST(du.d AS DOUBLE) AS dx,
+                       CAST(dv.d AS DOUBLE) AS dy
+                FROM e JOIN deg du ON e.u = du.n
+                       JOIN deg dv ON e.v = dv.n),
+            dir AS (
+                SELECT dx, dy FROM bo
+                UNION ALL SELECT dy, dx FROM bo),
+            ns AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                       round(avg(CAST(d AS DOUBLE)), 6) AS avg_degree,
+                       CAST(min(d) AS BIGINT) AS min_degree,
+                       CAST(max(d) AS BIGINT) AS max_degree
+                FROM deg),
+            mm AS (
+                SELECT CAST(count(*) AS DOUBLE) AS m2,
+                       sum(dx) AS sx, sum(dy) AS sy,
+                       sum(dx * dx) AS qx, sum(dy * dy) AS qy,
+                       sum(dx * dy) AS xy
+                FROM dir)
+            SELECT ns.n_nodes, CAST(mm.m2 / 2 AS BIGINT) AS n_edges,
+                   ns.avg_degree, ns.min_degree, ns.max_degree,
+                   round((m2 * xy - sx * sy)
+                         / sqrt((m2 * qx - sx * sx)
+                                * (m2 * qy - sy * sy)), 6)
+                       AS assortativity
+            FROM mm, ns
+        """,
+        # Compaction-plan replay: exclusive prefix sum per lang in path
+        # order, group = floor(prefix / target), group totals.
+        "compaction_docs": """
+            WITH f AS (
+                SELECT lang, CAST(doc_id AS VARCHAR) AS path,
+                       CAST(n_chars AS BIGINT) AS size_bytes
+                FROM documents),
+            p AS (
+                SELECT lang, path, size_bytes,
+                       sum(size_bytes) OVER
+                           (PARTITION BY lang ORDER BY path
+                            ROWS UNBOUNDED PRECEDING)
+                           - size_bytes AS pref
+                FROM f),
+            g AS (
+                SELECT *, CAST(floor(pref / 2000.0) AS BIGINT)
+                           AS group_id
+                FROM p)
+            SELECT lang, path, size_bytes, group_id,
+                   CAST(count(*) OVER w AS BIGINT) AS group_files,
+                   CAST(sum(size_bytes) OVER w AS BIGINT) AS group_bytes,
+                   (count(*) OVER w) > 1 AS needs_compaction
+            FROM g WINDOW w AS (PARTITION BY lang, group_id)
+        """,
+        # Time-decay attribution replay: identical microsecond ages,
+        # pow(0.5, age/half_life) normalized per conversion.
+        "attribution_decay": """
+            WITH conv AS (
+                SELECT user_id AS u, ts AS cts,
+                       ROW_NUMBER() OVER (ORDER BY user_id, ts) AS cid
+                FROM events WHERE event_type = 'purchase'),
+            touch AS (
+                SELECT user_id AS u, event_type AS tt, ts AS tts
+                FROM events WHERE event_type <> 'purchase'),
+            j AS (
+                SELECT c.cid, t.tt,
+                       pow(0.5,
+                           (CAST(epoch_us(CAST(c.cts AS TIMESTAMP))
+                                 - epoch_us(CAST(t.tts AS TIMESTAMP))
+                             AS DOUBLE) / 1000000.0) / 600.0) AS raw
+                FROM conv c JOIN touch t ON c.u = t.u
+                 AND t.tts < c.cts
+                 AND t.tts >= c.cts - INTERVAL 3600 SECOND),
+            wgt AS (
+                SELECT cid, tt,
+                       raw / sum(raw) OVER (PARTITION BY cid) AS w
+                FROM j)
+            SELECT tt AS touch_type,
+                   round(sum(w), 6) AS credit,
+                   CAST(count(*) AS BIGINT) AS touches,
+                   CAST(count(DISTINCT cid) AS BIGINT) AS conversions
+            FROM wgt GROUP BY 1
+            ORDER BY 1
         """,
     }

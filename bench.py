@@ -535,7 +535,22 @@ def main() -> None:
                  # pr_auc 1.4s / quantile_map_events 2.6s warm (sf0.1
                  # min-of-2, r9)
                  "seq_pairs_events", "cohort_ltv", "ewma_volumes",
-                 "pr_auc", "quantile_map_events"):
+                 "pr_auc", "quantile_map_events",
+                 # round-10 additions (sf0.1 warm min-of-2, r10):
+                 # srm_events 1.7s, ratio_ab_events 0.9s, did_events
+                 # 0.8s, seasonal_daily 0.6s, ccf_events 0.6s,
+                 # amoc_revenue 0.8s, compaction_docs 0.3s — one-pass
+                 # aggregates / calendar-bounded series ops;
+                 # rake_docs 3.2s (doc-keyed regex + word-stat join);
+                 # part_assortativity 3.2s (dominated by the same
+                 # lineitem co-purchase self-join link_parts times —
+                 # the degree/moment stages are node/edge-sized)
+                 "srm_events", "ratio_ab_events", "did_events",
+                 "seasonal_daily", "ccf_events", "amoc_revenue",
+                 "rake_docs", "part_assortativity", "compaction_docs",
+                 # attribution_decay ~0.6s at sf0.1 (same joins as the
+                 # attribution row, one extra pow projection)
+                 "attribution_decay"):
         fn = entry_mod.queries()[name]
         reps = (
             2

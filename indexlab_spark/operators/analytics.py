@@ -2011,6 +2011,7 @@ def multi_touch_attribution(
     touch_types: list[str] | None = None,
     window_seconds: int = 3600,
     model: str = "linear",
+    half_life_seconds: int = 600,
 ) -> "DataFrame":
     """Multi-touch conversion attribution — split each conversion's
     credit across the touchpoints that preceded it within
@@ -2019,7 +2020,11 @@ def multi_touch_attribution(
     channel gets the credit"). Models: ``linear`` (1/n to each touch),
     ``first_touch`` / ``last_touch`` (winner takes 1; deterministic
     (ts, event id) tie-break), ``position`` (40% first, 40% last, 20%
-    split over the middles; 1.0 / 0.5-0.5 for 1- and 2-touch paths).
+    split over the middles; 1.0 / 0.5-0.5 for 1- and 2-touch paths),
+    ``time_decay`` (weight 2^(-age/half_life_seconds) from raw
+    microsecond ages, normalized per conversion — recency earns
+    credit on a continuous clock instead of by rank; credit still
+    conserves at exactly 1 per credited conversion).
 
     Output, one row per touch type: ``touch_type``, ``credit`` (sum of
     weights over conversions, 6dp), ``touches`` (touch rows used),
@@ -2032,8 +2037,15 @@ def multi_touch_attribution(
     window bound keeps the per-user pairing linear in events per
     window, never per-history quadratic.
     """
-    if model not in ("linear", "first_touch", "last_touch", "position"):
+    if model not in (
+        "linear", "first_touch", "last_touch", "position", "time_decay"
+    ):
         raise ValueError(f"multi_touch_attribution: unknown model {model!r}")
+    if model == "time_decay" and half_life_seconds <= 0:
+        raise ValueError(
+            "multi_touch_attribution: half_life_seconds must be > 0, "
+            f"got {half_life_seconds}"
+        )
     t = F.col(type_col)
     conv = df.filter(t == conversion_type).select(
         F.col(user_col).alias("_u"),
@@ -2065,7 +2077,7 @@ def multi_touch_attribution(
         w = F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0))
     elif model == "last_touch":
         w = F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0))
-    else:  # position (U-shaped)
+    elif model == "position":  # U-shaped
         w = (
             F.when(n == 1, F.lit(1.0))
             .when(n == 2, F.lit(0.5))
@@ -2075,6 +2087,12 @@ def multi_touch_attribution(
                 )
             )
         )
+    else:  # time_decay: 2^(-age/half_life), normalized per conversion
+        age_s = (
+            F.unix_micros(F.col("_cts")) - F.unix_micros(F.col("_tts"))
+        ).cast("double") / F.lit(1_000_000.0)
+        raw = F.pow(F.lit(0.5), age_s / F.lit(float(half_life_seconds)))
+        w = raw / F.sum(raw).over(wspec)
     weighted = j.withColumn("_w", w)
     return (
         weighted.groupBy("touch_type")
@@ -4591,4 +4609,589 @@ def quantile_map(
                 6,
             ).alias("mapped"),
         )
+    )
+
+
+def srm_check(
+    df: "DataFrame",
+    variant_col: str,
+    expected: dict[str, float],
+    crit: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for an experiment assignment
+    (the standard pre-read validity check: if the observed arm split
+    deviates from the DESIGNED split, the readout is untrustworthy —
+    randomization, logging, or bot filtering broke). Chi-square
+    goodness-of-fit of the observed per-arm unit counts against the
+    expected shares, per-arm contribution rows plus a ``<ALL>`` total
+    row carrying the statistic and the flag (the benford_test shape).
+
+    Distributed shape: ONE map-side-combined count aggregation to the
+    arm-sized frame (arms are the group-by — never more than a handful
+    of rows), expected shares as a broadcast literal frame, total as a
+    broadcast one-row sum. Nothing row-sized leaves the executors.
+
+    ``crit`` is the chi-square critical value; the 3.841 default is
+    df=1 at alpha=0.05, i.e. a TWO-arm design — pass the right
+    quantile for more arms (5.991 for 3, 7.815 for 4). The flag lives
+    only on the total row; arm rows carry NULL srm. Units whose
+    variant is not in ``expected`` fail loudly (an unknown arm IS a
+    mismatch) rather than being silently dropped — they surface as an
+    ``<UNEXPECTED>`` row whose contribution uses expected share 0 and
+    therefore forces the flag when present.
+
+    Output: variant, n (long), expected_share, expected_n,
+    chi2_contrib (6dp), and the total row (variant='<ALL>') with
+    chi2 = sum of contributions and srm = chi2 > crit.
+    """
+    _srm_validate(expected)
+    known = list(expected)
+    v = F.col(variant_col)
+    counts = df.select(
+        F.when(v.isin(known), v).otherwise(F.lit("<UNEXPECTED>")).alias(
+            "variant"
+        )
+    ).groupBy("variant").agg(F.count(F.lit(1)).alias("n"))
+    return _srm_table(counts, expected, crit)
+
+
+def _srm_validate(expected: dict[str, float]) -> None:
+    if not expected:
+        raise ValueError("srm_check: expected shares must be non-empty")
+    tot_share = sum(expected.values())
+    if abs(tot_share - 1.0) > 1e-9:
+        raise ValueError(
+            f"srm_check: expected shares must sum to 1, got {tot_share}"
+        )
+    if any(s <= 0 for s in expected.values()):
+        raise ValueError("srm_check: expected shares must be > 0")
+
+
+def _srm_table(
+    counts: "DataFrame", expected: dict[str, float], crit: float
+) -> DataFrame:
+    """Shared SRM tail over a (variant, n) counts frame — srm_check
+    feeds it the batch aggregation, the streaming monitor's totals
+    reader feeds it the folded per-batch state, so drained-stream
+    results EXACTLY equal the one-shot check."""
+    spark = counts.sparkSession
+    exp = spark.createDataFrame(
+        [(k, float(s)) for k, s in expected.items()],
+        "variant string, expected_share double",
+    )
+    # outer join: designed arms with ZERO observed units still appear
+    # (n=0 against a positive expectation is the worst mismatch).
+    cells = counts.join(F.broadcast(exp), "variant", "full_outer").select(
+        "variant",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("expected_share", F.lit(0.0)).alias("expected_share"),
+    )
+    total = cells.agg(F.sum("n").alias("_tot"))
+    cells = cells.crossJoin(F.broadcast(total))
+    exp_n = F.col("expected_share") * F.col("_tot")
+    contrib = F.when(
+        exp_n > 0,
+        F.try_divide((F.col("n") - exp_n) * (F.col("n") - exp_n), exp_n),
+    ).otherwise(
+        # unexpected arm: expected 0 -> infinite chi2 in theory; carry
+        # the count itself so the total always breaches a finite crit
+        F.when(F.col("n") > 0, F.lit(float(crit)) + F.col("n"))
+        .otherwise(F.lit(0.0))
+    )
+    arm_rows = cells.select(
+        "variant",
+        "n",
+        F.round("expected_share", 6).alias("expected_share"),
+        F.round(exp_n, 6).alias("expected_n"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+        F.lit(None).cast("double").alias("chi2"),
+        F.lit(None).cast("boolean").alias("srm"),
+    )
+    tot_row = cells.agg(
+        F.lit("<ALL>").alias("variant"),
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("expected_share"), 6).alias("expected_share"),
+        F.round(F.sum(exp_n), 6).alias("expected_n"),
+        F.lit(None).cast("double").alias("chi2_contrib"),
+        F.round(F.sum(contrib), 6).alias("chi2"),
+        (F.sum(contrib) > F.lit(float(crit))).alias("srm"),
+    )
+    return arm_rows.unionByName(tot_row)
+
+
+def delta_method_ratio(
+    df: "DataFrame",
+    variant_col: str,
+    num_col: str,
+    den_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Ratio-metric two-arm readout with delta-method variance (Deng,
+    Knoblich & Lu 2018, public): metrics like revenue-per-session or
+    clicks-per-view are RATIOS of two per-unit sums, R = sum(x) /
+    sum(y), and treating the per-unit ratio as the metric is both a
+    different estimand and biased for small denominators. The delta
+    method gives Var(R) ~= (var_x - 2 R cov_xy + R^2 var_y) /
+    (n * ybar^2) from per-unit moments — the missing member between
+    ab_test_report (per-unit means) and cuped_ab (adjusted means).
+
+    ONE filtered-aggregate moment reduction over the unit frame (the
+    cuped_ab shape): per arm n, sum x, sum y, sum x^2, sum y^2,
+    sum xy; the ratios, delta-method variances, lift and the z test
+    are all closed-form projections of that single row. The
+    corpus is never rescanned or self-joined.
+
+    NULL contract: units with NULL numerator or denominator leave
+    entirely (ab_test_report); an arm with n < 2, a zero denominator
+    sum, or zero combined variance yields NULL statistics and a false
+    flag. Output (one row, 6dp): n_a, n_b, ratio_a, ratio_b, lift_rel,
+    se, z_stat, z_sig.
+    """
+    v = F.col(variant_col)
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & v.isin(variant_a, variant_b)
+    )
+
+    def arm(val, expr, agg):
+        return agg(F.when(v == F.lit(val), expr))
+
+    agg = base.agg(
+        *[
+            e
+            for val, tag in ((variant_a, "a"), (variant_b, "b"))
+            for e in (
+                arm(val, x, F.count).alias(f"n_{tag}"),
+                arm(val, x, F.sum).alias(f"sx_{tag}"),
+                arm(val, y, F.sum).alias(f"sy_{tag}"),
+                arm(val, x * x, F.sum).alias(f"qx_{tag}"),
+                arm(val, y * y, F.sum).alias(f"qy_{tag}"),
+                arm(val, x * y, F.sum).alias(f"xy_{tag}"),
+            )
+        ],
+    )
+
+    def ratio_var(tag):
+        # try_divide throughout: ANSI mode + codegen common-subexpression
+        # elimination can evaluate a guarded branch's divisions even when
+        # the F.when guard is false.
+        na = F.col(f"n_{tag}").cast("double")
+        mx = F.try_divide(F.col(f"sx_{tag}"), na)
+        my = F.try_divide(F.col(f"sy_{tag}"), na)
+        r = F.try_divide(F.col(f"sx_{tag}"), F.col(f"sy_{tag}"))
+        vx = F.try_divide(F.col(f"qx_{tag}") - na * mx * mx, na - 1)
+        vy = F.try_divide(F.col(f"qy_{tag}") - na * my * my, na - 1)
+        cxy = F.try_divide(F.col(f"xy_{tag}") - na * mx * my, na - 1)
+        var_r = F.try_divide(
+            vx - 2 * r * cxy + r * r * vy, na * my * my
+        )
+        return r, var_r
+
+    r_a, var_a = ratio_var("a")
+    r_b, var_b = ratio_var("b")
+    se2 = var_a + var_b
+    z = F.try_divide(r_b - r_a, F.sqrt(se2))
+    ok = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (F.col("sy_a") != 0)
+        & (F.col("sy_b") != 0)
+        & (se2 > 0)
+    )
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(F.when(F.col("sy_a") != 0, r_a), 6).alias("ratio_a"),
+        F.round(F.when(F.col("sy_b") != 0, r_b), 6).alias("ratio_b"),
+        F.round(
+            F.when(ok & (r_a != 0), F.try_divide(r_b - r_a, F.abs(r_a))),
+            6,
+        ).alias("lift_rel"),
+        F.round(F.when(ok, F.sqrt(se2)), 6).alias("se"),
+        F.round(F.when(ok, z), 6).alias("z_stat"),
+        F.coalesce(
+            F.when(ok, F.abs(z) > F.lit(float(z_crit))), F.lit(False)
+        ).alias("z_sig"),
+    )
+
+
+def did_readout(
+    df: "DataFrame",
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treat_value: str,
+    post_value: str,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Difference-in-differences readout over a 2x2 (group x period)
+    design (Card & Krueger 1994 lineage, public) — the
+    QUASI-experiment member of the family: when you could not
+    randomize (a rollout hit one region, one platform, one cohort),
+    the treated group's pre->post change minus the control group's
+    pre->post change removes both the stable group gap and the shared
+    time shock, under the parallel-trends assumption (stated, not
+    tested here).
+
+    did = (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre),
+    se = sqrt(sum over the 4 cells of var_cell / n_cell) (unequal-
+    variance normal approximation, the ab_test_report convention).
+
+    ONE filtered-aggregate moment reduction: all four cells' (n, sum,
+    sum of squares) in a single map-side-combined pass over the unit
+    frame — never a groupBy-then-pivot, never four scans. NULL values
+    leave; rows whose group/period is neither the treat/post value
+    nor a remaining observed value are just the control/pre side (any
+    non-treat group is control, any non-post period is pre).
+
+    Output (one row, 6dp): n per cell, the four cell means, did, se,
+    z_stat, z_sig. Any cell with n < 2 yields NULL statistics and a
+    false flag.
+    """
+    g = F.col(group_col)
+    p = F.col(period_col)
+    val = F.col(value_col).cast("double")
+    base = df.filter(val.isNotNull())
+    is_t = (g == F.lit(treat_value)).cast("int")
+    is_post = (p == F.lit(post_value)).cast("int")
+
+    cells = (("c", "pre"), ("c", "post"), ("t", "pre"), ("t", "post"))
+
+    def cell_cond(gt, pp):
+        c = is_t == F.lit(1 if gt == "t" else 0)
+        c = c & (is_post == F.lit(1 if pp == "post" else 0))
+        return c
+
+    agg = base.agg(
+        *[
+            e
+            for gt, pp in cells
+            for e in (
+                F.count(F.when(cell_cond(gt, pp), val)).alias(
+                    f"n_{gt}_{pp}"
+                ),
+                F.sum(F.when(cell_cond(gt, pp), val)).alias(
+                    f"s_{gt}_{pp}"
+                ),
+                F.sum(F.when(cell_cond(gt, pp), val * val)).alias(
+                    f"q_{gt}_{pp}"
+                ),
+            )
+        ]
+    )
+
+    def mean_var(gt, pp):
+        # try_divide: empty / single-unit cells must yield NULL, and
+        # ANSI + codegen subexpression elimination evaluates divisions
+        # even under a false F.when guard.
+        n = F.col(f"n_{gt}_{pp}").cast("double")
+        m = F.try_divide(F.col(f"s_{gt}_{pp}"), n)
+        var = F.try_divide(F.col(f"q_{gt}_{pp}") - n * m * m, n - 1)
+        return m, var, n
+
+    m_c_pre, v_c_pre, n_c_pre = mean_var("c", "pre")
+    m_c_post, v_c_post, n_c_post = mean_var("c", "post")
+    m_t_pre, v_t_pre, n_t_pre = mean_var("t", "pre")
+    m_t_post, v_t_post, n_t_post = mean_var("t", "post")
+    did = (m_t_post - m_t_pre) - (m_c_post - m_c_pre)
+    se2 = (
+        F.try_divide(v_c_pre, n_c_pre)
+        + F.try_divide(v_c_post, n_c_post)
+        + F.try_divide(v_t_pre, n_t_pre)
+        + F.try_divide(v_t_post, n_t_post)
+    )
+    ok = se2.isNotNull() & (se2 > 0)
+    for gt, pp in cells:
+        ok = ok & (F.col(f"n_{gt}_{pp}") >= 2)
+    z = F.try_divide(did, F.sqrt(se2))
+    return agg.select(
+        F.col("n_c_pre"),
+        F.col("n_c_post"),
+        F.col("n_t_pre"),
+        F.col("n_t_post"),
+        F.round(m_c_pre, 6).alias("mean_c_pre"),
+        F.round(m_c_post, 6).alias("mean_c_post"),
+        F.round(m_t_pre, 6).alias("mean_t_pre"),
+        F.round(m_t_post, 6).alias("mean_t_post"),
+        F.round(F.when(ok, did), 6).alias("did"),
+        F.round(F.when(ok, F.sqrt(se2)), 6).alias("se"),
+        F.round(F.when(ok, z), 6).alias("z_stat"),
+        F.coalesce(
+            F.when(ok, F.abs(z) > F.lit(float(z_crit))), F.lit(False)
+        ).alias("z_sig"),
+    )
+
+
+def seasonal_decompose(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+) -> "DataFrame":
+    """Classical additive seasonal decomposition per segment (the
+    moving-average method of Macaulay 1931, the `statsmodels
+    seasonal_decompose` classic): value = trend + seasonal + resid.
+    The DIAGNOSTIC member of the seasonal family — seasonal_anomalies
+    scores against a calendar profile, holt_winters_forecast predicts
+    with one, this one SHOWS the decomposition so you can see whether
+    the trend or the cycle moved.
+
+    trend = centered moving average of length ``period`` (for even
+    periods the standard 2xm MA: half-weight endpoints); defined only
+    where the full window exists (edge rows carry NULL trend —
+    statsmodels parity). seasonal = per-slot (index mod period) mean
+    of the detrended series, centered so the seasonal components sum
+    to ~zero over one cycle. resid = value - trend - seasonal.
+
+    Distributed shape: ONE exchange on the group keys serves the
+    row-number index and the MA window; slot means are a
+    (groups x period)-sized aggregate broadcast-joined back; nothing
+    else shuffles. The input must be a PRE-AGGREGATED series (one row
+    per group x order value — the holt/cusum discipline), so the
+    frame is calendar-bounded at any corpus size.
+
+    Output: group_cols + order_col, value, trend, seasonal, resid
+    (all 6dp), slot. Groups shorter than period + 1 rows have no full
+    MA window -> NULL trend/seasonal/resid everywhere (documented;
+    they still emit their rows).
+    """
+    if period < 2:
+        raise ValueError(f"seasonal_decompose: period >= 2, got {period}")
+    m = int(period)
+    h = m // 2
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    base = df.select(
+        *group_cols,
+        F.col(order_col),
+        x.alias("_x"),
+        (F.row_number().over(w) - 1).alias("_idx"),
+    )
+    if m % 2 == 1:
+        frame = w.rowsBetween(-h, h)
+        full = F.count(F.lit(1)).over(frame) == m
+        trend = F.when(full, F.avg("_x").over(frame))
+    else:
+        # 2 x m MA: (0.5*x_{t-h} + x_{t-h+1..t+h-1} + 0.5*x_{t+h}) / m
+        inner = F.sum("_x").over(w.rowsBetween(-(h - 1), h - 1))
+        lo = F.lag("_x", h).over(w)
+        hi = F.lead("_x", h).over(w)
+        cnt = F.count(F.lit(1)).over(w.rowsBetween(-(h - 1), h - 1))
+        full = lo.isNotNull() & hi.isNotNull() & (cnt == m - 1)
+        trend = F.when(full, (0.5 * lo + inner + 0.5 * hi) / m)
+    with_trend = base.withColumn("_trend", trend).withColumn(
+        "_slot", F.col("_idx") % m
+    )
+    slot_means = with_trend.groupBy(*group_cols, "_slot").agg(
+        F.avg(F.col("_x") - F.col("_trend")).alias("_raw_seas")
+    )
+    gw = Window.partitionBy(*group_cols)
+    centered = slot_means.select(
+        *group_cols,
+        "_slot",
+        (F.col("_raw_seas") - F.avg("_raw_seas").over(gw)).alias("_seas"),
+    )
+    joined = with_trend.join(
+        F.broadcast(centered), [*group_cols, "_slot"], "left"
+    )
+    return joined.select(
+        *group_cols,
+        F.col(order_col),
+        F.round("_x", 6).alias("value"),
+        F.round("_trend", 6).alias("trend"),
+        F.round("_seas", 6).alias("seasonal"),
+        F.round(
+            F.col("_x") - F.col("_trend") - F.col("_seas"), 6
+        ).alias("resid"),
+        F.col("_slot").alias("slot"),
+    )
+
+
+def ccf(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> "DataFrame":
+    """Per-segment cross-correlation function between two aligned
+    series (Box & Jenkins) — the LEAD-LAG diagnostic acf cannot give:
+    does x move BEFORE y (marketing spend before purchases, errors
+    before churn)? r_k = sum_t (x_t - xbar)(y_{t+k} - ybar) /
+    sqrt(sum (x-xbar)^2 * sum (y-ybar)^2) for k in -max_lag..max_lag;
+    positive lag means x LEADS y by k steps. The denominator is the
+    full-series normalizer (the acf estimator's convention), so
+    |r_k| <= 1 and r at lag 0 is the ordinary Pearson correlation.
+
+    Distributed shape (the acf discipline): ONE exchange on the group
+    keys serves the unbounded window means and a single ordered
+    window producing all 2*max_lag+1 shifted centered values; one
+    map-side-combined aggregate sums every lag's products (NULL
+    products at the series edges drop out of sum()); posexplode emits
+    long format. Input must be a pre-aggregated series with BOTH
+    columns on each row (one row per group x order value).
+
+    Output: group_cols + lag (-max_lag..max_lag), ccf (6dp), n.
+    Groups where either series has zero variance return NULL ccf.
+    """
+    if max_lag < 1:
+        raise ValueError(f"ccf: max_lag must be >= 1, got {max_lag}")
+    g = Window.partitionBy(*group_cols)
+    w = g.orderBy(order_col)
+    xc = (F.col(x_col).cast("double") - F.avg(
+        F.col(x_col).cast("double")
+    ).over(g)).alias("_xc")
+    yc = (F.col(y_col).cast("double") - F.avg(
+        F.col(y_col).cast("double")
+    ).over(g)).alias("_yc")
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def shifted(k):
+        if k > 0:
+            return F.lead("_yc", k).over(w)
+        if k < 0:
+            return F.lag("_yc", -k).over(w)
+        return F.col("_yc")
+
+    lagged = df.select(
+        *group_cols, F.col(order_col), xc, yc
+    ).select(
+        *group_cols,
+        "_xc",
+        "_yc",
+        *[shifted(k).alias(f"_s{k + max_lag}") for k in lags],
+    )
+    aggd = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_xc") * F.col("_xc")).alias("_dx"),
+        F.sum(F.col("_yc") * F.col("_yc")).alias("_dy"),
+        *[
+            F.sum(F.col("_xc") * F.col(f"_s{k + max_lag}")).alias(
+                f"_n{k + max_lag}"
+            )
+            for k in lags
+        ],
+    )
+    den = F.sqrt(F.col("_dx") * F.col("_dy"))
+    pairs = F.array(
+        *[
+            F.when(den > 0, F.try_divide(F.col(f"_n{k + max_lag}"), den))
+            for k in lags
+        ]
+    )
+    return aggd.select(
+        *group_cols,
+        "n",
+        F.posexplode(pairs).alias("_pos", "_r"),
+    ).select(
+        *group_cols,
+        (F.col("_pos") - max_lag).alias("lag"),
+        F.round(F.col("_r"), 6).alias("ccf"),
+        "n",
+    )
+
+
+def amoc_changepoint(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    min_seg: int = 2,
+) -> "DataFrame":
+    """At-most-one changepoint per segment by exact least-squares
+    (the AMOC case of binary segmentation, Scott & Knott 1974 /
+    Hinkley 1970): the single split that minimizes
+    SSE(left) + SSE(right), i.e. the maximum-likelihood mean-shift
+    location — the LOCATOR companion to cusum_changepoints (CUSUM
+    flags the onset under a known baseline; this one finds the best
+    split with no baseline at all) and to ewma_control (which bounds,
+    but does not locate).
+
+    Every split cost comes from prefix sums: SSE(1..i) = q_i -
+    s_i^2 / i with s, q the cumulative sum and sum of squares, so the
+    whole scan is ONE ordered cumulative window + one
+    map-side-combined min_by aggregation per group — never a per-split
+    rescan, nothing per-row on the driver. The input must be a
+    pre-aggregated series (the cusum/holt discipline). Both engines
+    fold the cumulative in the same order, so the argmin is
+    arithmetic-identical and oracle-checkable.
+
+    ``min_seg`` bounds both segment lengths (>= min_seg points each).
+    Ties on cost pick the EARLIEST split. Groups with n < 2 * min_seg
+    drop from the output.
+
+    Output per group (6dp): n, cp_index (1-based last index of the
+    left segment), cp_order (order value at cp_index), mean_left,
+    mean_right, sse_total, sse_best, reduction, reduction_ratio
+    (NULL when sse_total == 0).
+    """
+    if min_seg < 1:
+        raise ValueError(
+            f"amoc_changepoint: min_seg must be >= 1, got {min_seg}"
+        )
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("double")
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        x.alias("_x"),
+        F.row_number().over(w).alias("_i"),
+        F.sum(x).over(cum).alias("_s"),
+        F.sum(x * x).over(cum).alias("_q"),
+    )
+    totals = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max_by("_s", "_i").alias("_st"),
+        F.max_by("_q", "_i").alias("_qt"),
+    )
+    joined = base.join(F.broadcast(totals), list(group_cols))
+    i = F.col("_i").cast("double")
+    nn = F.col("_n").cast("double")
+    sse_l = F.col("_q") - F.col("_s") * F.col("_s") / i
+    sse_r = (F.col("_qt") - F.col("_q")) - (
+        (F.col("_st") - F.col("_s")) * (F.col("_st") - F.col("_s"))
+        / (nn - i)
+    )
+    cand = joined.filter(
+        (F.col("_i") >= min_seg) & (F.col("_i") <= F.col("_n") - min_seg)
+    ).select(
+        *group_cols,
+        "_n",
+        "_st",
+        "_qt",
+        F.struct(
+            (sse_l + sse_r).alias("cost"),
+            F.col("_i").alias("i"),
+            F.col("_ord").alias("ord"),
+            (F.col("_s") / i).alias("mean_l"),
+            ((F.col("_st") - F.col("_s")) / (nn - i)).alias("mean_r"),
+        ).alias("_c"),
+    )
+    best = cand.groupBy(*group_cols).agg(
+        F.first("_n").alias("n"),
+        F.first("_st").alias("_st"),
+        F.first("_qt").alias("_qt"),
+        F.min("_c").alias("_b"),
+    )
+    sse_tot = F.col("_qt") - F.col("_st") * F.col("_st") / F.col("n")
+    red = sse_tot - F.col("_b.cost")
+    return best.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("_b.i").cast("long").alias("cp_index"),
+        F.col("_b.ord").alias("cp_order"),
+        F.round("_b.mean_l", 6).alias("mean_left"),
+        F.round("_b.mean_r", 6).alias("mean_right"),
+        F.round(sse_tot, 6).alias("sse_total"),
+        F.round("_b.cost", 6).alias("sse_best"),
+        F.round(red, 6).alias("reduction"),
+        F.round(
+            F.when(sse_tot > 0, F.try_divide(red, sse_tot)), 6
+        ).alias("reduction_ratio"),
     )

@@ -2447,3 +2447,98 @@ def hits_scores(
         spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
         e.unpersist()
         nodes.unpersist()
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002,
+    public): the Pearson correlation of the degrees at the two ends of
+    every edge — POSITIVE means hubs link to hubs (social/citation
+    shape), NEGATIVE means hubs fan out to leaves (infrastructure /
+    hub-and-spoke shape). The one-number STRUCTURE diagnostic the
+    degree distribution alone can't give, and the cheap pre-flight
+    before the iterative family (pagerank / k_core / LPA): strongly
+    disassortative co-occurrence graphs are exactly where hub-capped
+    wedge ops (link_prediction max_hub_degree) need their caps.
+
+    Simple-graph semantics (the triangle_count contract): self-loops
+    drop, parallel edges collapse via the canonical (least, greatest)
+    key. Distributed shape: one distinct on the canonical edge frame,
+    ONE map-side-combined degree aggregation (node-sized), two keyed
+    joins hanging the endpoint degrees back on the edges, both edge
+    orientations unioned map-side (the correlation must see each edge
+    from both ends), then a single moment aggregation -> one row.
+    Nothing is ever quadratic; the widest frame is 2x the edge list.
+
+    Output (one row): n_nodes, n_edges, avg_degree, min_degree,
+    max_degree, assortativity (6dp; NULL for degree-regular graphs,
+    where the correlation is 0/0 — documented, matches networkx NaN).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    both = e.join(
+        deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du")), "_u"
+    ).join(
+        deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv")), "_v"
+    )
+    directed = both.select(
+        F.col("_du").cast("double").alias("_dx"),
+        F.col("_dv").cast("double").alias("_dy"),
+    ).unionAll(
+        both.select(
+            F.col("_dv").cast("double").alias("_dx"),
+            F.col("_du").cast("double").alias("_dy"),
+        )
+    )
+    # node-level stats from the degree frame (avg over NODES, 2m/n —
+    # an average over edge endpoints would weight hubs by their own
+    # degree), edge-level correlation from the directed frame
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.avg(F.col("_d").cast("double")), 6).alias("avg_degree"),
+        F.min("_d").cast("long").alias("min_degree"),
+        F.max("_d").cast("long").alias("max_degree"),
+    )
+    # correlation from raw moments (F.corr raises DIVIDE_BY_ZERO under
+    # ANSI on zero-variance = degree-regular graphs; try_divide -> NULL)
+    m = directed.agg(
+        F.count(F.lit(1)).alias("_m2"),
+        F.sum("_dx").alias("_sx"),
+        F.sum("_dy").alias("_sy"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_qx"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("_qy"),
+        F.sum(F.col("_dx") * F.col("_dy")).alias("_xy"),
+    )
+    m2 = F.col("_m2").cast("double")
+    num = m2 * F.col("_xy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (m2 * F.col("_qx") - F.col("_sx") * F.col("_sx"))
+        * (m2 * F.col("_qy") - F.col("_sy") * F.col("_sy"))
+    )
+    return m.select(
+        (F.col("_m2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(den > 0, F.try_divide(num, den)), 6
+        ).alias("assortativity"),
+    ).crossJoin(F.broadcast(node_stats)).select(
+        "n_nodes",
+        "n_edges",
+        "avg_degree",
+        "min_degree",
+        "max_degree",
+        "assortativity",
+    )

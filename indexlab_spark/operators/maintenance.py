@@ -661,3 +661,71 @@ def scd2_merge(
         .unionByName(closing)
         .unionByName(opening)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    order_col: str = "path",
+    target_bytes: int = 128 * 1024 * 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction PLANNER — the incremental complement to
+    :func:`compact_files` (which rewrites a whole directory): given a
+    file listing (path, size, partition columns), bin-pack adjacent
+    files into ~``target_bytes`` merge groups so a compaction job can
+    rewrite ONLY the offending groups and leave right-sized files
+    untouched — the Iceberg/Delta OPTIMIZE binpack design, expressed
+    as a plain DataFrame program over the (tiny) listing frame.
+
+    Files pack in ``order_col`` order (path order preserves the sort /
+    z-order locality an earlier clustered write paid for — merging
+    neighbors keeps file-level min/max stats tight, where bin-packing
+    by size would interleave ranges). Group id = floor(exclusive
+    prefix sum / target): deterministic next-fit, every group's START
+    stays under each target boundary, so groups reach >= target with
+    at most one file of overflow — and a single file >= target forms
+    its own group. The whole plan is ONE window cumsum over the
+    listing partition plus a group-keyed window for the totals;
+    nothing data-sized is read.
+
+    ``needs_compaction`` marks groups of more than one file — a
+    single-file group is already as compact as it can get. Rows with
+    NULL size are excluded (a listing row without a size cannot be
+    planned). Output: group_cols + order_col, size (long), group_id
+    (long), group_files, group_bytes, needs_compaction.
+    """
+    if target_bytes <= 0:
+        raise ValueError(
+            f"compaction_plan: target_bytes must be > 0, got {target_bytes}"
+        )
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*gcols).orderBy(order_col) if gcols else (
+        Window.orderBy(order_col)
+    )
+    size = F.col(size_col).cast("long")
+    base = files.filter(size.isNotNull()).select(
+        *gcols,
+        F.col(order_col),
+        size.alias("_sz"),
+        (
+            F.sum(size).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - size
+        ).alias("_prefix"),
+    )
+    planned = base.withColumn(
+        "group_id",
+        F.floor(F.col("_prefix") / F.lit(int(target_bytes))).cast("long"),
+    )
+    gw = Window.partitionBy(*gcols, "group_id")
+    return planned.select(
+        *gcols,
+        F.col(order_col),
+        F.col("_sz").alias(size_col),
+        "group_id",
+        F.count(F.lit(1)).over(gw).cast("long").alias("group_files"),
+        F.sum("_sz").over(gw).cast("long").alias("group_bytes"),
+        (F.count(F.lit(1)).over(gw) > 1).alias("needs_compaction"),
+    )

@@ -11,7 +11,7 @@ SQL, deterministic by construction): ``compression_ratio`` and
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from indexlab_spark.functions.hashing import md5_long, token_shingles
@@ -501,3 +501,102 @@ def unigram_jsd(
         F.round(F.sum(contrib), 6).alias("contrib"),
     ).select(F.lit("<ALL>").alias("term"), "c_a", "c_b", "contrib")
     return top.unionByName(total)
+
+
+# Compact SMART-style stopword list for RAKE phrase boundaries — kept
+# small and ASCII so the identical alternation inlines into the DuckDB
+# oracle (the STOPWORDS-dict discipline above).
+RAKE_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "that", "with", "for", "it", "on", "as", "by", "at",
+    "be", "this", "from", "but", "not", "have",
+]
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    top_n: int = 5,
+) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+    Rose, Engel, Cramer & Cowley 2010 — public): multi-word keyphrases
+    per document, the PHRASE-level companion to tfidf_topterms' single
+    terms. Candidate phrases are the maximal runs of content words
+    between stopwords/punctuation; within a document each word scores
+    deg(w)/freq(w) (deg = total length of candidate phrases containing
+    w — co-occurrence degree; freq = its occurrence count), and a
+    phrase scores the sum of its member words' scores, so words that
+    keep company in LONG phrases outrank frequent loners.
+
+    Everything is pure Catalyst: phrase segmentation is two
+    regexp_replace passes (punctuation -> boundary, then
+    space-delimited stopword -> boundary run twice — the second pass
+    catches stopwords left adjacent after the first; NO lookarounds,
+    so the identical pattern runs under DuckDB's RE2 oracle), then
+    split / posexplode. Word stats are ONE map-side-combined
+    (doc, word) aggregation; the join back is co-partitioned on the
+    same key; phrase assembly and the top-n window are doc-keyed —
+    every stage is keyed on the document, so the operator scales
+    embarrassingly at corpus size.
+
+    Ties rank deterministically (score desc 6dp, phrase asc). Output:
+    id_col, phrase, n_words, score (6dp), rank (1..top_n). Duplicate
+    phrases within a doc collapse to one row (identical score by
+    construction).
+    """
+    if top_n < 1:
+        raise ValueError(f"rake_keywords: top_n must be >= 1, got {top_n}")
+    stops = stopwords if stopwords is not None else RAKE_STOPWORDS
+    if not stops:
+        raise ValueError("rake_keywords: stopwords must be non-empty")
+    alt = "|".join(sorted(stops))
+    did = F.col(id_col)
+    s = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    s = F.regexp_replace(s, "[^a-z0-9 ]", "|")
+    stop_pat = f" ({alt}) "
+    s = F.regexp_replace(s, stop_pat, " | ")
+    s = F.regexp_replace(s, stop_pat, " | ")
+    phrases = F.filter(
+        F.transform(F.split(s, "\\|"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    cand = df.select(did.alias("_id"), phrases.alias("_ps")).select(
+        "_id", F.posexplode("_ps").alias("_pos", "_phrase")
+    ).withColumn("_words", F.split("_phrase", " +"))
+    occ = cand.select(
+        "_id",
+        "_pos",
+        "_phrase",
+        F.size("_words").alias("_plen"),
+        F.explode("_words").alias("_w"),
+    )
+    wstats = occ.groupBy("_id", "_w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    ).withColumn(
+        "_wscore", F.col("_deg").cast("double") / F.col("_freq")
+    )
+    scored = occ.join(wstats, ["_id", "_w"]).groupBy(
+        "_id", "_pos", "_phrase"
+    ).agg(
+        F.sum("_wscore").alias("_score"),
+        F.count(F.lit(1)).alias("_nw"),
+    )
+    uniq = scored.groupBy("_id", "_phrase").agg(
+        F.max(F.round("_score", 6)).alias("score"),
+        F.max("_nw").alias("n_words"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("_phrase").asc()
+    )
+    return uniq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_phrase").alias("phrase"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -516,3 +516,80 @@ def mau_monitor_totals(
         )
         .select("day", "distinct_keys", F.lit(window_days).alias("window_days"))
     )
+
+
+def srm_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    variant_col: str,
+    expected: dict[str, float],
+    query_name: str = "srm_monitor",
+):
+    """Maintain a LIVE sample-ratio-mismatch guardrail over the
+    assignment stream — the experimentation member of the monitor
+    family (quantile/CM/theta/PSI/MAU): "is the split still the
+    designed split" answerable at any moment while the experiment
+    runs, so a broken bucketing deploy is caught in minutes, not at
+    the readout. ``expected`` is validated up front with the
+    srm_check contract.
+
+    Replay safety is the CM/PSI monitor's, for the same reason: arm
+    counts are LINEAR (they add), so idempotent-merge tricks don't
+    apply — each micro-batch writes its own ``batch_id=N`` partition
+    of bounded (variant, _n) rows with dynamic partition overwrite; an
+    at-least-once redelivery overwrites byte-identically instead of
+    double-counting. Readers collapse with :func:`srm_monitor_totals`,
+    whose output EXACTLY equals the one-shot
+    :func:`~indexlab_spark.operators.analytics.srm_check` over the
+    same units (the shared ``_srm_table`` tail; pinned in tests).
+
+    Steady-state cost per trigger: one map-side-combined arm count
+    (exchange bounded by arms+1 rows) + one tiny partition write.
+    """
+    from indexlab_spark.operators.analytics import _srm_validate
+
+    _srm_validate(expected)
+    known = list(expected)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v = F.col(variant_col)
+        counts = batch_df.select(
+            F.when(v.isin(known), v)
+            .otherwise(F.lit("<UNEXPECTED>"))
+            .alias("variant")
+        ).groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
+        _write_state(counts, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def srm_monitor_totals(
+    spark: SparkSession,
+    state_path: str,
+    expected: dict[str, float],
+    crit: float = 3.841,
+) -> DataFrame:
+    """Collapse the batch-partitioned SRM state into the SAME
+    per-arm + <ALL> table srm_check produces: counts sum across batch
+    partitions (linearity), then the shared _srm_table tail computes
+    expected counts, chi-square contributions and the flag — so
+    drained-stream totals EXACTLY equal the one-shot check."""
+    from indexlab_spark.operators.analytics import (
+        _srm_table,
+        _srm_validate,
+    )
+
+    _srm_validate(expected)
+    folded = (
+        spark.read.parquet(state_path)
+        .groupBy("variant")
+        .agg(F.sum("_n").alias("n"))
+    )
+    return _srm_table(folded, expected, crit)

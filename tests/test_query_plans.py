@@ -710,3 +710,148 @@ def test_cuped_ab_single_aggregation_no_rescan(spark, sf_dir):
     scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
     assert scans == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ratio_and_did_single_reduction(spark):
+    """delta_method_ratio and did_readout are ONE filtered-aggregate
+    reduction over the unit frame: zero joins of any kind, no pivot,
+    no second scan — every statistic is a closed-form projection of a
+    single HashAggregate row."""
+    from indexlab_spark.operators.analytics import (
+        delta_method_ratio,
+        did_readout,
+    )
+
+    units = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 3.0), ("b", 3.0, 4.0), ("b", 4.0, 5.0)],
+        "variant string, x double, y double",
+    )
+    plan = (
+        delta_method_ratio(units, "variant", "x", "y")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+    cells = spark.createDataFrame(
+        [("t", "post", 1.0), ("t", "pre", 2.0), ("c", "post", 3.0),
+         ("c", "pre", 4.0)],
+        "g string, p string, v double",
+    )
+    plan = (
+        did_readout(cells, "g", "p", "v", "t", "post")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_amoc_broadcast_totals_keyed_window(spark):
+    """amoc_changepoint: the per-group totals hang back on the
+    cumulative frame via a BROADCAST join (the totals frame is
+    group-count-sized), the cumsum is one keyed window (never
+    SinglePartition), and the argmin is a map-combined min_by — no
+    sort-merge join, no per-split rescan."""
+    from indexlab_spark.operators.analytics import amoc_changepoint
+
+    rows = [("g", float(i), float(i > 5)) for i in range(12)]
+    df = spark.createDataFrame(rows, "seg string, t double, v double")
+    plan = (
+        amoc_changepoint(df, ["seg"], "t", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_seasonal_decompose_broadcast_slot_join(spark):
+    """seasonal_decompose: the (groups x period)-sized slot-mean frame
+    joins back as a BROADCAST — the calendar-bounded series frame must
+    never shuffle for that join."""
+    from indexlab_spark.operators.analytics import seasonal_decompose
+
+    rows = [("g", i, float(i % 7) + 0.1 * i) for i in range(30)]
+    df = spark.createDataFrame(rows, "seg string, t int, v double")
+    plan = (
+        seasonal_decompose(df, ["seg"], "t", "v", period=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ccf_single_keyed_exchange(spark):
+    """ccf (the acf discipline): all 2k+1 shifted products come from
+    ONE ordered window on ONE keyed exchange + a map-combined agg —
+    no self-join of the series against its shifted copy."""
+    from indexlab_spark.operators.analytics import ccf
+
+    rows = [("g", i, float(i % 5), float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "seg string, t int, x double, y double")
+    plan = (
+        ccf(df, ["seg"], "t", "x", "y", max_lag=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    shuffles = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l
+        and "ReusedExchange" not in l
+        and "BroadcastExchange" not in l
+    )
+    assert shuffles == 1, plan
+
+
+def test_compaction_plan_windows_only(spark):
+    """compaction_plan is pure window arithmetic over the listing
+    frame: zero joins, zero aggregates-with-shuffle beyond the keyed
+    windows, and the partitioned variant never plans SinglePartition."""
+    from indexlab_spark.operators.maintenance import compaction_plan
+
+    rows = [("p1", f"f{i:03d}", 100 + i) for i in range(20)]
+    rows += [("p2", f"f{i:03d}", 50 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "part string, path string, size_bytes long")
+    plan = (
+        compaction_plan(df, "size_bytes", "path", 500, group_cols=["part"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_rake_all_jvm_no_cartesian(spark, sf_dir):
+    """rake_keywords stays entirely JVM-side (regex segmentation +
+    keyed aggs — no Python evaluation of any kind in the plan) and
+    every join is keyed (no cartesian, no full-outer)."""
+    from indexlab_spark.operators.textstats import rake_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    plan = (
+        rake_keywords(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_assortativity_no_cartesian_one_nlj(spark):
+    """degree_assortativity: the degree joins are keyed; the only
+    nested-loop join permitted is the final 1-row broadcast of the
+    node-stats frame onto the 1-row moment frame."""
+    from indexlab_spark.operators.dedup import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17) for i in range(40)], "src long, dst long"
+    )
+    plan = (
+        degree_assortativity(edges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

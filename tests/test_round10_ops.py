@@ -1,0 +1,788 @@
+"""Round-10 operator tests: experimentation completion (SRM guard,
+delta-method ratio metrics, difference-in-differences) and the
+time-series diagnosis trio (classical seasonal decomposition,
+cross-correlation, AMOC changepoint)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# srm_check
+# ---------------------------------------------------------------------------
+
+
+class TestSrmCheck:
+    def _run(self, spark, counts, expected, **kw):
+        from indexlab_spark.operators.analytics import srm_check
+
+        rows = [(arm,) for arm, n in counts.items() for _ in range(n)]
+        df = spark.createDataFrame(rows, "variant string")
+        out = srm_check(df, "variant", expected, **kw)
+        return {r["variant"]: r for r in out.collect()}
+
+    def test_hand_computed_chi2(self, spark):
+        # 60/40 observed vs 50/50 designed over 100 units:
+        # chi2 = (60-50)^2/50 + (40-50)^2/50 = 4.0 > 3.841
+        out = self._run(spark, {"a": 60, "b": 40}, {"a": 0.5, "b": 0.5})
+        assert out["<ALL>"]["chi2"] == pytest.approx(4.0)
+        assert out["<ALL>"]["srm"] is True
+        assert out["a"]["chi2_contrib"] == pytest.approx(2.0)
+        assert out["a"]["expected_n"] == pytest.approx(50.0)
+        assert out["a"]["srm"] is None  # flag lives on the total row
+
+    def test_balanced_no_flag(self, spark):
+        out = self._run(spark, {"a": 50, "b": 50}, {"a": 0.5, "b": 0.5})
+        assert out["<ALL>"]["chi2"] == pytest.approx(0.0)
+        assert out["<ALL>"]["srm"] is False
+
+    def test_designed_arm_with_zero_units_appears(self, spark):
+        out = self._run(spark, {"a": 10}, {"a": 0.5, "b": 0.5})
+        assert out["b"]["n"] == 0
+        assert out["b"]["chi2_contrib"] == pytest.approx(5.0)  # (0-5)^2/5
+        assert out["<ALL>"]["srm"] is True
+
+    def test_unexpected_arm_forces_flag(self, spark):
+        out = self._run(
+            spark, {"a": 50, "b": 50, "zz": 3}, {"a": 0.5, "b": 0.5}
+        )
+        assert out["<UNEXPECTED>"]["n"] == 3
+        assert out["<ALL>"]["srm"] is True
+
+    def test_uneven_design(self, spark):
+        # 90/10 design observed exactly -> no flag
+        out = self._run(spark, {"a": 90, "b": 10}, {"a": 0.9, "b": 0.1})
+        assert out["<ALL>"]["chi2"] == pytest.approx(0.0)
+        assert out["<ALL>"]["srm"] is False
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import srm_check
+
+        df = spark.createDataFrame([("a",)], "variant string")
+        with pytest.raises(ValueError):
+            srm_check(df, "variant", {})
+        with pytest.raises(ValueError):
+            srm_check(df, "variant", {"a": 0.6, "b": 0.6})
+        with pytest.raises(ValueError):
+            srm_check(df, "variant", {"a": 1.5, "b": -0.5})
+
+
+# ---------------------------------------------------------------------------
+# delta_method_ratio
+# ---------------------------------------------------------------------------
+
+
+def _delta_ref(units):
+    """Pure-python delta-method readout for [(arm, x, y), ...]."""
+    import statistics
+
+    out = {}
+    for arm in ("a", "b"):
+        xs = [x for a, x, y in units if a == arm]
+        ys = [y for a, x, y in units if a == arm]
+        n = len(xs)
+        r = sum(xs) / sum(ys)
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = statistics.variance(xs)
+        vy = statistics.variance(ys)
+        cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+        var_r = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+        out[arm] = (r, var_r)
+    (ra, va), (rb, vb) = out["a"], out["b"]
+    se = math.sqrt(va + vb)
+    return ra, rb, (rb - ra) / se, se
+
+
+class TestDeltaMethodRatio:
+    def _units(self):
+        # deterministic pseudo-random per-user (numerator, denominator)
+        rows = []
+        for i in range(60):
+            arm = "a" if i % 2 == 0 else "b"
+            y = 1.0 + (i * 7 % 5)  # sessions
+            lift = 1.25 if arm == "b" else 1.0
+            x = lift * (2.0 + (i * 13 % 7)) * y / 4.0  # revenue
+            rows.append((arm, x, y))
+        return rows
+
+    def test_python_parity(self, spark):
+        from indexlab_spark.operators.analytics import delta_method_ratio
+
+        rows = self._units()
+        df = spark.createDataFrame(rows, "variant string, x double, y double")
+        got = delta_method_ratio(df, "variant", "x", "y").collect()[0]
+        ra, rb, z, se = _delta_ref(rows)
+        assert got["ratio_a"] == pytest.approx(ra, abs=1e-6)
+        assert got["ratio_b"] == pytest.approx(rb, abs=1e-6)
+        assert got["z_stat"] == pytest.approx(z, abs=1e-5)
+        assert got["se"] == pytest.approx(se, abs=1e-6)
+        assert got["lift_rel"] == pytest.approx((rb - ra) / abs(ra), abs=1e-6)
+
+    def test_identical_arms_not_significant(self, spark):
+        from indexlab_spark.operators.analytics import delta_method_ratio
+
+        rows = [("a", float(2 + i % 3), 1.0 + i % 2) for i in range(40)]
+        rows += [("b", x, y) for (_, x, y) in rows[:40]]
+        df = spark.createDataFrame(rows, "variant string, x double, y double")
+        got = delta_method_ratio(df, "variant", "x", "y").collect()[0]
+        assert got["ratio_a"] == got["ratio_b"]
+        assert got["z_stat"] == pytest.approx(0.0, abs=1e-9)
+        assert got["z_sig"] is False
+
+    def test_degenerate_arm_nulls(self, spark):
+        from indexlab_spark.operators.analytics import delta_method_ratio
+
+        rows = [("a", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 2.0)]
+        df = spark.createDataFrame(rows, "variant string, x double, y double")
+        got = delta_method_ratio(df, "variant", "x", "y").collect()[0]
+        assert got["z_stat"] is None and got["z_sig"] is False
+        assert got["ratio_a"] == pytest.approx(1.0)
+
+    def test_null_rows_leave(self, spark):
+        from indexlab_spark.operators.analytics import delta_method_ratio
+
+        rows = self._units()
+        df = spark.createDataFrame(rows, "variant string, x double, y double")
+        noisy = df.unionByName(
+            spark.createDataFrame(
+                [("a", None, 1.0), ("b", 5.0, None)],
+                "variant string, x double, y double",
+            )
+        )
+        a = delta_method_ratio(df, "variant", "x", "y").collect()[0]
+        b = delta_method_ratio(noisy, "variant", "x", "y").collect()[0]
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# did_readout
+# ---------------------------------------------------------------------------
+
+
+def _did_ref(units, treat="t", post="post"):
+    import statistics
+
+    cells = {}
+    for g, p, v in units:
+        key = ("t" if g == treat else "c", "post" if p == post else "pre")
+        cells.setdefault(key, []).append(v)
+    m = {k: statistics.mean(v) for k, v in cells.items()}
+    did = (m[("t", "post")] - m[("t", "pre")]) - (
+        m[("c", "post")] - m[("c", "pre")]
+    )
+    se2 = sum(
+        statistics.variance(v) / len(v) for v in cells.values()
+    )
+    return did, math.sqrt(se2), m
+
+
+class TestDidReadout:
+    def _units(self, effect=3.0):
+        rows = []
+        for i in range(80):
+            g = "t" if i % 2 == 0 else "c"
+            p = "post" if i % 4 < 2 else "pre"
+            base = 10.0 + (i * 11 % 7)  # shared noise
+            grp_gap = 4.0 if g == "t" else 0.0  # stable group gap
+            time_shock = 2.0 if p == "post" else 0.0  # shared shock
+            eff = effect if (g == "t" and p == "post") else 0.0
+            rows.append((g, p, base + grp_gap + time_shock + eff))
+        return rows
+
+    def test_python_parity_and_recovers_effect(self, spark):
+        from indexlab_spark.operators.analytics import did_readout
+
+        rows = self._units(effect=3.0)
+        df = spark.createDataFrame(rows, "grp string, period string, v double")
+        got = did_readout(df, "grp", "period", "v", "t", "post").collect()[0]
+        did, se, m = _did_ref(rows)
+        assert got["did"] == pytest.approx(did, abs=1e-6)
+        assert got["se"] == pytest.approx(se, abs=1e-6)
+        assert got["mean_t_post"] == pytest.approx(m[("t", "post")], abs=1e-6)
+        assert got["mean_c_pre"] == pytest.approx(m[("c", "pre")], abs=1e-6)
+
+    def test_parallel_trends_no_effect(self, spark):
+        """Group gap + shared time shock with zero treatment effect:
+        the naive post-vs-pre treated delta is biased (the shock), but
+        DiD nets to exactly zero."""
+        from indexlab_spark.operators.analytics import did_readout
+
+        rows = self._units(effect=0.0)
+        df = spark.createDataFrame(rows, "grp string, period string, v double")
+        got = did_readout(df, "grp", "period", "v", "t", "post").collect()[0]
+        assert got["did"] == pytest.approx(0.0, abs=1e-9)
+        assert got["z_sig"] is False
+        # the naive delta the design exists to correct is NOT zero
+        # (the shared time shock of 2.0 plus cell-noise imbalance)
+        assert got["mean_t_post"] - got["mean_t_pre"] > 1.5
+
+    def test_small_cell_nulls(self, spark):
+        from indexlab_spark.operators.analytics import did_readout
+
+        rows = [
+            ("t", "post", 1.0),
+            ("t", "pre", 1.0),
+            ("t", "pre", 2.0),
+            ("c", "post", 1.0),
+            ("c", "post", 2.0),
+            ("c", "pre", 1.0),
+            ("c", "pre", 2.0),
+        ]
+        df = spark.createDataFrame(rows, "grp string, period string, v double")
+        got = did_readout(df, "grp", "period", "v", "t", "post").collect()[0]
+        assert got["n_t_post"] == 1
+        assert got["did"] is None and got["z_sig"] is False
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+# ---------------------------------------------------------------------------
+
+
+def _decompose_ref(xs, m):
+    """Pure-python classical additive decomposition (statsmodels
+    semantics: centered MA trend, centered slot means, resid)."""
+    n = len(xs)
+    h = m // 2
+    trend = [None] * n
+    for t in range(n):
+        if m % 2 == 1:
+            if t - h >= 0 and t + h < n:
+                trend[t] = sum(xs[t - h : t + h + 1]) / m
+        else:
+            if t - h >= 0 and t + h < n:
+                trend[t] = (
+                    0.5 * xs[t - h] + sum(xs[t - h + 1 : t + h]) + 0.5 * xs[t + h]
+                ) / m
+    slots = {}
+    for t in range(n):
+        if trend[t] is not None:
+            slots.setdefault(t % m, []).append(xs[t] - trend[t])
+    raw = {s: sum(v) / len(v) for s, v in slots.items()}
+    mean_raw = sum(raw.values()) / len(raw)
+    seas = {s: v - mean_raw for s, v in raw.items()}
+    resid = [
+        xs[t] - trend[t] - seas[t % m] if trend[t] is not None else None
+        for t in range(n)
+    ]
+    return trend, seas, resid
+
+
+class TestSeasonalDecompose:
+    def _series(self, n=30, m=7):
+        s = [3.0, -1.0, 2.0, -4.0, 1.0, 0.5, -1.5][:m]
+        s = [v - sum(s) / len(s) for v in s]  # zero-mean season
+        return [5.0 + 0.3 * t + s[t % m] + 0.01 * ((t * 13) % 5) for t in range(n)]
+
+    def _run(self, spark, xs, m):
+        from indexlab_spark.operators.analytics import seasonal_decompose
+
+        rows = [("g", t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        out = seasonal_decompose(df, ["g"], "t", "x", period=m)
+        return sorted(out.collect(), key=lambda r: r["t"])
+
+    def test_python_parity_odd_period(self, spark):
+        xs, m = self._series(30, 7), 7
+        got = self._run(spark, xs, m)
+        trend, seas, resid = _decompose_ref(xs, m)
+        for r in got:
+            t = r["t"]
+            if trend[t] is None:
+                assert r["trend"] is None and r["resid"] is None
+            else:
+                assert r["trend"] == pytest.approx(trend[t], abs=1e-6)
+                assert r["resid"] == pytest.approx(resid[t], abs=1e-6)
+            assert r["seasonal"] == pytest.approx(seas[t % m], abs=1e-6)
+
+    def test_python_parity_even_period(self, spark):
+        xs = [10.0 + 0.5 * t + [2.0, -2.0, 1.0, -1.0][t % 4] for t in range(20)]
+        got = self._run(spark, xs, 4)
+        trend, seas, resid = _decompose_ref(xs, 4)
+        for r in got:
+            t = r["t"]
+            if trend[t] is not None:
+                assert r["trend"] == pytest.approx(trend[t], abs=1e-6)
+                assert r["seasonal"] == pytest.approx(seas[t % 4], abs=1e-6)
+
+    def test_linear_trend_plus_period_residual_zero(self, spark):
+        """Exact linear trend + exact zero-mean period (odd m): the
+        centered MA recovers the line exactly, slot means recover the
+        season exactly, residuals vanish."""
+        m = 5
+        s = [2.0, -1.0, 0.5, -3.0, 1.5]
+        xs = [1.0 + 0.7 * t + s[t % m] for t in range(25)]
+        got = self._run(spark, xs, m)
+        for r in got:
+            if r["trend"] is not None:
+                assert r["resid"] == pytest.approx(0.0, abs=1e-6)
+                assert r["trend"] == pytest.approx(1.0 + 0.7 * r["t"], abs=1e-6)
+
+    def test_short_group_all_null(self, spark):
+        got = self._run(spark, [1.0, 2.0, 3.0], 7)
+        assert all(r["trend"] is None for r in got)
+        assert all(r["seasonal"] is None for r in got)
+        assert len(got) == 3  # rows still emitted
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import seasonal_decompose
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
+        with pytest.raises(ValueError):
+            seasonal_decompose(df, ["g"], "t", "x", period=1)
+
+
+# ---------------------------------------------------------------------------
+# ccf
+# ---------------------------------------------------------------------------
+
+
+def _ccf_ref(xs, ys, max_lag):
+    n = len(xs)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    dx = sum((x - mx) ** 2 for x in xs)
+    dy = sum((y - my) ** 2 for y in ys)
+    den = math.sqrt(dx * dy)
+    out = {}
+    for k in range(-max_lag, max_lag + 1):
+        num = 0.0
+        for t in range(n):
+            if 0 <= t + k < n:
+                num += (xs[t] - mx) * (ys[t + k] - my)
+        out[k] = num / den if den > 0 else None
+    return out
+
+
+class TestCcf:
+    def _run(self, spark, xs, ys, max_lag=3):
+        from indexlab_spark.operators.analytics import ccf
+
+        rows = [("g", t, x, y) for t, (x, y) in enumerate(zip(xs, ys))]
+        df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+        out = ccf(df, ["g"], "t", "x", "y", max_lag=max_lag)
+        return {r["lag"]: r["ccf"] for r in out.collect()}
+
+    def test_python_parity(self, spark):
+        xs = [float((t * 17) % 11) for t in range(40)]
+        ys = [float((t * 7) % 5) + 0.5 * xs[t] for t in range(40)]
+        got = self._run(spark, xs, ys, max_lag=3)
+        ref = _ccf_ref(xs, ys, 3)
+        for k in range(-3, 4):
+            assert got[k] == pytest.approx(ref[k], abs=1e-6)
+
+    def test_lagged_copy_peaks_at_lead(self, spark):
+        """y is x delayed by 2 steps -> x LEADS y: the peak sits at
+        lag +2 and is (up to edge effects) ~1."""
+        xs = [float((t * 13) % 7) + (t % 3) for t in range(50)]
+        ys = [xs[t - 2] if t >= 2 else 0.0 for t in range(50)]
+        got = self._run(spark, xs, ys, max_lag=3)
+        peak = max(got, key=lambda k: got[k])
+        assert peak == 2
+        assert got[2] > 0.8
+
+    def test_lag_zero_is_pearson(self, spark):
+        xs = [float(t % 9) for t in range(30)]
+        ys = [2.0 * x + 1.0 for x in xs]
+        got = self._run(spark, xs, ys, max_lag=1)
+        assert got[0] == pytest.approx(1.0, abs=1e-9)
+
+    def test_constant_series_null(self, spark):
+        got = self._run(spark, [1.0] * 10, [float(t) for t in range(10)])
+        assert all(v is None for v in got.values())
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import ccf
+
+        df = spark.createDataFrame(
+            [("g", 1, 1.0, 1.0)], "g string, t int, x double, y double"
+        )
+        with pytest.raises(ValueError):
+            ccf(df, ["g"], "t", "x", "y", max_lag=0)
+
+
+# ---------------------------------------------------------------------------
+# amoc_changepoint
+# ---------------------------------------------------------------------------
+
+
+def _amoc_ref(xs, min_seg=2):
+    n = len(xs)
+    best = None
+    sse_tot = sum(x * x for x in xs) - sum(xs) ** 2 / n
+    for i in range(min_seg, n - min_seg + 1):
+        l, r = xs[:i], xs[i:]
+        sse = (
+            sum(x * x for x in l)
+            - sum(l) ** 2 / len(l)
+            + sum(x * x for x in r)
+            - sum(r) ** 2 / len(r)
+        )
+        if best is None or sse < best[0] - 1e-12:
+            best = (sse, i, sum(l) / len(l), sum(r) / len(r))
+    return best, sse_tot
+
+
+class TestAmocChangepoint:
+    def _run(self, spark, xs, **kw):
+        from indexlab_spark.operators.analytics import amoc_changepoint
+
+        rows = [("g", t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        out = amoc_changepoint(df, ["g"], "t", "x", **kw).collect()
+        return out[0] if out else None
+
+    def test_planted_step(self, spark):
+        xs = [0.1 * ((t * 7) % 3) for t in range(20)]
+        xs += [5.0 + 0.1 * ((t * 7) % 3) for t in range(20)]
+        got = self._run(spark, xs)
+        assert got["cp_index"] == 20
+        assert got["mean_left"] == pytest.approx(
+            sum(xs[:20]) / 20, abs=1e-6
+        )
+        assert got["mean_right"] == pytest.approx(
+            sum(xs[20:]) / 20, abs=1e-6
+        )
+        assert got["reduction_ratio"] > 0.9
+
+    def test_brute_force_parity(self, spark):
+        xs = [float((t * 29) % 13) - (3.0 if t > 23 else 0.0) for t in range(37)]
+        got = self._run(spark, xs, min_seg=3)
+        (sse, i, ml, mr), sse_tot = _amoc_ref(xs, min_seg=3)
+        assert got["cp_index"] == i
+        assert got["sse_best"] == pytest.approx(sse, abs=1e-5)
+        assert got["sse_total"] == pytest.approx(sse_tot, abs=1e-5)
+        assert got["mean_left"] == pytest.approx(ml, abs=1e-6)
+        assert got["mean_right"] == pytest.approx(mr, abs=1e-6)
+
+    def test_constant_series_earliest_tie(self, spark):
+        got = self._run(spark, [2.0] * 12)
+        assert got["cp_index"] == 2  # earliest valid split on full tie
+        assert got["reduction"] == pytest.approx(0.0, abs=1e-9)
+        assert got["reduction_ratio"] is None  # sse_total == 0
+
+    def test_short_group_drops(self, spark):
+        assert self._run(spark, [1.0, 2.0, 3.0], min_seg=2) is None
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import amoc_changepoint
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
+        with pytest.raises(ValueError):
+            amoc_changepoint(df, ["g"], "t", "x", min_seg=0)
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords
+# ---------------------------------------------------------------------------
+
+
+class TestRakeKeywords:
+    def _run(self, spark, docs, **kw):
+        from indexlab_spark.operators.textstats import rake_keywords
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = rake_keywords(df, "doc_id", "text", **kw)
+        return out.collect()
+
+    def test_hand_computed_scores(self, spark):
+        # phrases: "red apple pie", "red apple", "pie"
+        # freq: red 2, apple 2, pie 2; deg: red 5, apple 5, pie 4
+        # word scores: red 2.5, apple 2.5, pie 2.0
+        # phrase scores: 7.0 / 5.0 / 2.0
+        rows = self._run(
+            spark,
+            [(1, "red apple pie of red apple and pie")],
+            stopwords=["of", "and"],
+            top_n=10,
+        )
+        got = {r["phrase"]: (r["score"], r["rank"], r["n_words"]) for r in rows}
+        assert got["red apple pie"] == (7.0, 1, 3)
+        assert got["red apple"] == (5.0, 2, 2)
+        assert got["pie"] == (2.0, 3, 1)
+
+    def test_punctuation_is_boundary(self, spark):
+        rows = self._run(
+            spark, [(1, "alpha beta. gamma, delta")], stopwords=["zz"]
+        )
+        phrases = {r["phrase"] for r in rows}
+        assert phrases == {"alpha beta", "gamma", "delta"}
+
+    def test_consecutive_stopwords(self, spark):
+        rows = self._run(
+            spark,
+            [(1, "alpha of the beta and of the gamma")],
+            stopwords=["of", "the", "and"],
+        )
+        phrases = {r["phrase"] for r in rows}
+        assert phrases == {"alpha", "beta", "gamma"}
+
+    def test_duplicate_phrase_collapses(self, spark):
+        rows = self._run(
+            spark, [(1, "x y of x y")], stopwords=["of"], top_n=10
+        )
+        assert len(rows) == 1
+        assert rows[0]["phrase"] == "x y"
+        # freq x=2,y=2; deg x=4,y=4 -> word scores 2.0 -> phrase 4.0
+        assert rows[0]["score"] == pytest.approx(4.0)
+
+    def test_top_n_and_rank_determinism(self, spark):
+        rows = self._run(
+            spark,
+            [(1, "aa bb of cc dd of ee")],
+            stopwords=["of"],
+            top_n=2,
+        )
+        assert len(rows) == 2
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+        # "aa bb" and "cc dd" tie at score 4.0 -> phrase asc breaks it
+        assert sorted(rows, key=lambda r: r["rank"])[0]["phrase"] == "aa bb"
+
+    def test_case_and_digits(self, spark):
+        rows = self._run(
+            spark, [(1, "Alpha BETA7 gamma")], stopwords=["zz"], top_n=1
+        )
+        assert rows[0]["phrase"] == "alpha beta7 gamma"
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.textstats import rake_keywords
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            rake_keywords(df, top_n=0)
+        with pytest.raises(ValueError):
+            rake_keywords(df, stopwords=[])
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+class TestDegreeAssortativity:
+    def _run(self, spark, edges):
+        from indexlab_spark.operators.dedup import degree_assortativity
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return degree_assortativity(df, "src", "dst").collect()[0]
+
+    def test_star_is_perfectly_disassortative(self, spark):
+        got = self._run(spark, [(0, i) for i in range(1, 5)])
+        assert got["assortativity"] == pytest.approx(-1.0)
+        assert got["n_nodes"] == 5 and got["n_edges"] == 4
+        assert got["min_degree"] == 1 and got["max_degree"] == 4
+        assert got["avg_degree"] == pytest.approx(8 / 5)
+
+    def test_regular_graph_null(self, spark):
+        # cycle: every degree 2 -> zero variance -> NULL (networkx NaN)
+        cyc = [(i, (i + 1) % 6) for i in range(6)]
+        got = self._run(spark, cyc)
+        assert got["assortativity"] is None
+        assert got["avg_degree"] == pytest.approx(2.0)
+
+    def test_path_graph_reference_value(self, spark):
+        # P4 assortativity is -0.5 (networkx degree_assortativity_coefficient)
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got["assortativity"] == pytest.approx(-0.5, abs=1e-9)
+
+    def test_multigraph_and_self_loops_collapse(self, spark):
+        base = [(1, 2), (2, 3), (3, 4)]
+        noisy = base + [(2, 1), (2, 2), (1, 2), (4, 4)]
+        assert self._run(spark, base) == self._run(spark, noisy)
+
+    def test_python_parity_random_graph(self, spark):
+        import statistics
+
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    ((i * 7) % 13, (i * 11 + 3) % 13) for i in range(40)
+                )
+                if a != b
+            }
+            # hub edges break the circulant's degree regularity
+            | {(0, k) for k in range(5, 11)}
+        )
+        got = self._run(spark, edges)
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        xs, ys = [], []
+        for u, v in edges:
+            xs += [deg[u], deg[v]]
+            ys += [deg[v], deg[u]]
+        mx, my = statistics.mean(xs), statistics.mean(ys)
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        den = math.sqrt(
+            sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+        )
+        assert got["assortativity"] == pytest.approx(num / den, abs=1e-6)
+        assert got["n_edges"] == len(edges)
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan
+# ---------------------------------------------------------------------------
+
+
+class TestCompactionPlan:
+    def _run(self, spark, files, **kw):
+        from indexlab_spark.operators.maintenance import compaction_plan
+
+        df = spark.createDataFrame(files, "part string, path string, size_bytes long")
+        out = compaction_plan(
+            df, "size_bytes", "path", group_cols=["part"], **kw
+        )
+        return {(r["part"], r["path"]): r for r in out.collect()}
+
+    def test_hand_packing(self, spark):
+        files = [
+            ("p", "a", 50),
+            ("p", "b", 60),
+            ("p", "c", 30),
+            ("p", "d", 40),
+            ("p", "e", 200),
+            ("p", "f", 10),
+        ]
+        got = self._run(spark, files, target_bytes=100)
+        gid = {p: got[("p", p)]["group_id"] for p in "abcdef"}
+        assert gid == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 1, "f": 3}
+        assert got[("p", "a")]["group_bytes"] == 110
+        assert got[("p", "a")]["group_files"] == 2
+        assert got[("p", "a")]["needs_compaction"] is True
+        # the oversized group-1 absorbed e (next-fit overflow, documented)
+        assert got[("p", "c")]["group_bytes"] == 270
+        # f starts past 3 targets -> its own group, nothing to do
+        assert got[("p", "f")]["needs_compaction"] is False
+
+    def test_partitions_reset_packing(self, spark):
+        files = [("p1", "a", 90), ("p1", "b", 90), ("p2", "a", 90)]
+        got = self._run(spark, files, target_bytes=100)
+        assert got[("p1", "a")]["group_id"] == 0
+        assert got[("p1", "b")]["group_id"] == 0
+        assert got[("p2", "a")]["group_id"] == 0
+        assert got[("p2", "a")]["group_files"] == 1
+        assert got[("p2", "a")]["needs_compaction"] is False
+
+    def test_right_sized_file_alone(self, spark):
+        files = [("p", "a", 500), ("p", "b", 20), ("p", "c", 20)]
+        got = self._run(spark, files, target_bytes=100)
+        assert got[("p", "a")]["group_files"] == 1
+        assert got[("p", "a")]["needs_compaction"] is False
+        assert got[("p", "b")]["group_id"] == got[("p", "c")]["group_id"]
+
+    def test_null_size_excluded(self, spark):
+        from indexlab_spark.operators.maintenance import compaction_plan
+
+        df = spark.createDataFrame(
+            [("p", "a", 10), ("p", "b", None)],
+            "part string, path string, size_bytes long",
+        )
+        out = compaction_plan(df, "size_bytes", "path", group_cols=["part"])
+        assert [r["path"] for r in out.collect()] == ["a"]
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.maintenance import compaction_plan
+
+        df = spark.createDataFrame(
+            [("p", "a", 10)], "part string, path string, size_bytes long"
+        )
+        with pytest.raises(ValueError):
+            compaction_plan(df, "size_bytes", "path", target_bytes=0)
+
+
+# ---------------------------------------------------------------------------
+# multi_touch_attribution: time_decay model
+# ---------------------------------------------------------------------------
+
+
+class TestTimeDecayAttribution:
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.analytics import multi_touch_attribution
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        out = multi_touch_attribution(
+            df, "user_id", "ts", "event_type", "purchase",
+            model="time_decay", **kw
+        )
+        return {r["touch_type"]: r for r in out.collect()}
+
+    def test_hand_computed_weights(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, t0 + dt.timedelta(seconds=40), "ad"),      # age 60s
+            (1, t0 + dt.timedelta(seconds=90), "email"),   # age 10s
+            (1, t0 + dt.timedelta(seconds=100), "purchase"),
+        ]
+        got = self._run(spark, rows, half_life_seconds=10)
+        # raw: ad 2^-6, email 2^-1 -> ad 1/33, email 32/33
+        assert got["ad"]["credit"] == pytest.approx(1 / 33, abs=1e-6)
+        assert got["email"]["credit"] == pytest.approx(32 / 33, abs=1e-6)
+
+    def test_credit_conserves_per_conversion(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(5):
+            for k in range(u + 1):
+                rows.append(
+                    (u, t0 + dt.timedelta(seconds=10 * k), f"ch{k % 3}")
+                )
+            rows.append((u, t0 + dt.timedelta(seconds=100), "purchase"))
+        got = self._run(spark, rows, half_life_seconds=30)
+        assert sum(r["credit"] for r in got.values()) == pytest.approx(
+            5.0, abs=1e-5
+        )
+
+    def test_equal_ages_equal_linear(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, "a"),
+            (1, t0, "b"),
+            (1, t0 + dt.timedelta(seconds=50), "purchase"),
+        ]
+        got = self._run(spark, rows, half_life_seconds=10)
+        assert got["a"]["credit"] == pytest.approx(0.5, abs=1e-9)
+        assert got["b"]["credit"] == pytest.approx(0.5, abs=1e-9)
+
+    def test_recency_monotone(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(seconds=s), f"ch{s}")
+            for s in (10, 40, 70)
+        ] + [(1, t0 + dt.timedelta(seconds=100), "purchase")]
+        got = self._run(spark, rows, half_life_seconds=20)
+        assert (
+            got["ch70"]["credit"]
+            > got["ch40"]["credit"]
+            > got["ch10"]["credit"]
+        )
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import multi_touch_attribution
+
+        df = spark.createDataFrame(
+            [(1, None, "x")], "user_id long, ts timestamp, event_type string"
+        )
+        with pytest.raises(ValueError):
+            multi_touch_attribution(
+                df, "user_id", "ts", "event_type", "purchase",
+                model="time_decay", half_life_seconds=0,
+            )
+        with pytest.raises(ValueError):
+            multi_touch_attribution(
+                df, "user_id", "ts", "event_type", "purchase", model="nope"
+            )

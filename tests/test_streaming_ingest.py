@@ -402,3 +402,83 @@ def test_mau_monitor_stream_matches_batch_and_replay(spark, tmp_path):
     _write_state(replay, state, int(max_b))
     again = tbl(mau_monitor_totals(spark, state, window_days=7))
     assert again == got
+
+
+def test_srm_monitor_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming SRM state: drained per-batch arm-count partitions,
+    collapsed by srm_monitor_totals, must EXACTLY equal the one-shot
+    srm_check over the same units (count linearity + the shared
+    _srm_table tail). Replaying a batch partition (at-least-once
+    redelivery) must change nothing."""
+    from indexlab_spark.operators.analytics import srm_check
+    from indexlab_spark.streaming.ingest import (
+        _write_state,
+        srm_monitor_stream,
+        srm_monitor_totals,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.when(F.col("user_id") % 20 == 0, "b")
+        .otherwise("a")
+        .alias("variant")
+    )
+    expected = {"a": 0.5, "b": 0.5}
+
+    src = str(tmp_path / "ssrc")
+    ev.repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "sstate")
+    q = srm_monitor_stream(stream, state, "variant", expected).start()
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=lambda t: t[0])
+
+    got = rows(srm_monitor_totals(spark, state, expected))
+    want = rows(srm_check(ev, "variant", expected))
+    assert got == want
+    total = [t for t in got if t[0] == "<ALL>"][0]
+    assert total[-1] is True  # a deliberate 95/5 split vs 50/50 flags
+
+    # replay: redeliver batch 0's own materialized counts via dynamic
+    # overwrite — totals must be unchanged, never double-counted
+    b0 = spark.createDataFrame(
+        spark.read.parquet(state + "/batch_id=0")
+        .select("variant", "_n")
+        .collect(),
+        "variant string, _n bigint",
+    )
+    _write_state(b0, state, 0)
+    assert rows(srm_monitor_totals(spark, state, expected)) == got
+
+    # a balanced split reads as no mismatch (event_id parity is an
+    # exact 500/500 at this SF; user_id parity is 562/438 and would
+    # correctly flag)
+    ev2 = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias(
+            "variant"
+        )
+    )
+    src2 = str(tmp_path / "ssrc2")
+    ev2.repartition(2).write.parquet(src2)
+    stream2 = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    state2 = str(tmp_path / "sstate2")
+    q2 = srm_monitor_stream(stream2, state2, "variant", expected).start()
+    q2.awaitTermination()
+    tot2 = [
+        r
+        for r in srm_monitor_totals(spark, state2, expected).collect()
+        if r["variant"] == "<ALL>"
+    ][0]
+    assert tot2["srm"] is False
