@@ -5729,6 +5729,116 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale layout (maintenance.hilbert_key): 8-bit Hilbert-curve key
+    over (user_id, value) — the stronger-locality sibling of
+    zorder_events (consecutive keys are ADJACENT grid cells, so
+    rectangular predicates cover fewer, longer key runs = fewer files;
+    the liquid-clustering design). Pure codegen bit arithmetic, one
+    projection pipeline, one 4-scalar stats collect; the oracle
+    replays the identical unrolled xy2d rounds as chained CTEs."""
+    from indexlab_spark.operators.maintenance import hilbert_key
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return hilbert_key(
+        ev.select("event_id", "user_id", "value"),
+        ["user_id", "value"],
+        bits=8,
+    ).select("event_id", "hval")
+
+
+def _q_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release (analytics.dp_noisy_counts, Laplace mechanism):
+    documents per (lang, source) released with epsilon=1 seeded noise
+    — the RELEASE member of the privacy family (kanon_customers
+    audits; this publishes). One group-sized count agg + a codegen
+    inverse-CDF projection; the oracle replays the identical md5
+    draw. Seeded determinism is the testability contract — the
+    docstring states the fresh-secret-seed production requirement."""
+    from indexlab_spark.operators.analytics import dp_noisy_counts
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dp_noisy_counts(docs, ["lang", "source"], epsilon=1.0)
+
+
+def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 dedup analytics — WHERE the near-dups come from: the exact
+    Jaccard pair set (same computation jaccard_pairs attests) rolled
+    up to a source-pair contamination matrix (which feeds duplicate
+    which — mirror detection, scraper overlap, license laundering).
+    The diagonal (same-source pairs) is internal redundancy; the
+    off-diagonal is cross-source contamination that survives
+    per-source dedup. One extra doc-keyed join + a source-pair-sized
+    agg on top of the pair frame."""
+    from indexlab_spark.operators.dedup import jaccard_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_pairs(docs, threshold=0.3)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def _q_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 graph — 3-truss of the repeat-co-purchase graph
+    (dedup.k_truss, Cohen 2008 edge peeling): the EDGE-cohesion
+    sibling of part_kcore — a core can be held together by hub edges
+    in no triangle at all, while every surviving truss edge is
+    certified by mutual neighbors. Same >= 2-support edge cut as
+    part_kcore; each peel round is one degree-ordered triangle pass
+    (oriented wedges, O(sqrt(m)) out-degree) + one scalar action.
+    Rows-only: the per-round triangle join needs the recursive frame
+    twice, which SQL recursive CTEs forbid; exact pure-python parity
+    is pinned in tests instead."""
+    from indexlab_spark.operators.dedup import k_truss
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+    return k_truss(edges, 3)
+
+
 def _q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay attribution (analytics.multi_touch_attribution,
     model='time_decay'): credit 2^(-age/half_life) normalized per
@@ -6082,6 +6192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_assortativity": _q_part_assortativity,
         "compaction_docs": _q_compaction_docs,
         "attribution_decay": _q_attribution_decay,
+        "part_ktruss": _q_part_ktruss,  # rows-only
+        "cross_source_dups": _q_cross_source_dups,
+        "dp_lang_counts": _q_dp_lang_counts,
+        "hilbert_events": _q_hilbert_events,
     }
 
 
@@ -6265,6 +6379,67 @@ _SHINGLE_CTES = """
                          ON a.shingle = b.shingle AND a.id < b.id
                        GROUP BY 1, 2)
 """
+
+def _hilbert_oracle_sql(bits: int = 8) -> str:
+    """Generate the hilbert_events oracle: quantization to
+    ``bits``-bit ranks (identical min-max-literal arithmetic to
+    maintenance.hilbert_key) followed by one chained CTE per xy2d
+    round — the same unrolled canonical rotate/reflect fold, so the
+    key is bit-identical."""
+    top = (1 << bits) - 1
+    rounds = []
+    prev = "r0"
+    for i, b in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << b
+        rounds.append(f"""
+            r{i} AS (
+                SELECT event_id,
+                       CASE WHEN ((y >> {b}) & 1) = 0 THEN
+                           CASE WHEN ((x >> {b}) & 1) = 1
+                                 AND ((y >> {b}) & 1) = 0
+                                THEN {top} - y ELSE y END
+                       ELSE
+                           CASE WHEN ((x >> {b}) & 1) = 1
+                                 AND ((y >> {b}) & 1) = 0
+                                THEN {top} - x ELSE x END
+                       END AS x,
+                       CASE WHEN ((y >> {b}) & 1) = 0 THEN
+                           CASE WHEN ((x >> {b}) & 1) = 1
+                                 AND ((y >> {b}) & 1) = 0
+                                THEN {top} - x ELSE x END
+                       ELSE
+                           CASE WHEN ((x >> {b}) & 1) = 1
+                                 AND ((y >> {b}) & 1) = 0
+                                THEN {top} - y ELSE y END
+                       END AS y,
+                       d + {s * s} * CAST(
+                           xor(3 * ((x >> {b}) & 1), ((y >> {b}) & 1))
+                           AS BIGINT) AS d
+                FROM {prev})""")
+        prev = f"r{i}"
+    return f"""
+            WITH st AS (
+                SELECT CAST(min(user_id) AS DOUBLE) AS mnx,
+                       CAST(max(user_id) AS DOUBLE) AS mxx,
+                       CAST(min(value) AS DOUBLE) AS mny,
+                       CAST(max(value) AS DOUBLE) AS mxy
+                FROM events),
+            q AS (
+                SELECT event_id,
+                       least(greatest(CAST(floor(
+                           (CAST(user_id AS DOUBLE) - mnx)
+                           / (mxx - mnx) * {float(top)}) AS BIGINT),
+                           0), {top}) AS x,
+                       least(greatest(CAST(floor(
+                           (CAST(value AS DOUBLE) - mny)
+                           / (mxy - mny) * {float(top)}) AS BIGINT),
+                           0), {top}) AS y
+                FROM events, st),
+            r0 AS (SELECT event_id, x, y, CAST(0 AS BIGINT) AS d
+                   FROM q),{",".join(rounds)}
+            SELECT event_id, d AS hval FROM {prev}
+        """
+
 
 _QUALITY_SW = {
     "en": "['the','and','of','to','in','is','that','with','for','it']",
@@ -11328,4 +11503,54 @@ def oracle_sql() -> dict[str, str]:
             FROM wgt GROUP BY 1
             ORDER BY 1
         """,
+        # Cross-source contamination replay: the shared shingle CTEs
+        # feed the identical pair set, rolled up by canonical source
+        # pair.
+        "cross_source_dups": f"""
+            WITH {_SHINGLE_CTES},
+            pj AS (
+                SELECT i.id_a, i.id_b,
+                       round(i.inter / (sa.sz + sb.sz - i.inter), 6)
+                           AS jaccard
+                FROM pair_inter i
+                JOIN szs sa ON sa.id = i.id_a
+                JOIN szs sb ON sb.id = i.id_b
+                WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6)
+                      >= 0.3),
+            lab AS (
+                SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b,
+                       p.jaccard
+                FROM pj p
+                JOIN documents da ON da.doc_id = p.id_a
+                JOIN documents db ON db.doc_id = p.id_b)
+            SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(avg(jaccard), 6) AS avg_jaccard
+            FROM lab GROUP BY 1, 2
+        """,
+        # Laplace release replay: identical md5-uniform draw and
+        # inverse CDF, clamped at 0.
+        "dp_lang_counts": """
+            WITH c AS (
+                SELECT lang, source, count(*) AS n
+                FROM documents GROUP BY 1, 2),
+            u AS (
+                SELECT lang, source, n,
+                       (CAST(concat('0x', substr(md5('dp|' || lang
+                               || '|' || source), 1, 15)) AS BIGINT)
+                        + 1.0) / (power(2.0, 60) + 2.0) AS u
+                FROM c)
+            SELECT lang, source,
+                   round(greatest(
+                       n + (-1.0) * sign(u - 0.5)
+                           * ln(1.0 - 2.0 * abs(u - 0.5)),
+                       0.0), 6) AS n_released,
+                   1.0 AS epsilon,
+                   1.0 AS scale
+            FROM u
+        """,
+        # Hilbert replay: generated chained-CTE unroll of the same
+        # canonical xy2d rounds (see _hilbert_oracle_sql).
+        "hilbert_events": _hilbert_oracle_sql(8),
     }

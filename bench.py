@@ -548,9 +548,18 @@ def main() -> None:
                  "srm_events", "ratio_ab_events", "did_events",
                  "seasonal_daily", "ccf_events", "amoc_revenue",
                  "rake_docs", "part_assortativity", "compaction_docs",
-                 # attribution_decay ~0.6s at sf0.1 (same joins as the
-                 # attribution row, one extra pow projection)
-                 "attribution_decay"):
+                 # attribution_decay 0.8s (same joins as the
+                 # attribution row, one extra pow projection);
+                 # part_ktruss 3.6s (the support>=2 graph is sparse at
+                 # sf0.1 — 2-3 peel rounds; the sf0.01 gate graph is
+                 # the denser, slower case at 12s);
+                 # cross_source_dups 1.4s (the jaccard pair frame +
+                 # one source join); dp_lang_counts 0.2s
+                 "attribution_decay", "part_ktruss",
+                 "cross_source_dups", "dp_lang_counts",
+                 # hilbert_events 1.0s (8 projection rounds, zero
+                 # exchanges — the layout key is compute-free at scale)
+                 "hilbert_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

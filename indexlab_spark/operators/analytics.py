@@ -5195,3 +5195,70 @@ def amoc_changepoint(
             F.when(sse_tot > 0, F.try_divide(red, sse_tot)), 6
         ).alias("reduction_ratio"),
     )
+
+
+def dp_noisy_counts(
+    df: "DataFrame",
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+    clamp_nonneg: bool = True,
+) -> DataFrame:
+    """Laplace-mechanism count release (Dwork, McSherry, Nissim &
+    Smith 2006, public) — the RELEASE member of the privacy family
+    (k_anonymity AUDITS a table you intend to publish; this publishes
+    only noisy aggregate counts with an epsilon budget): per-group
+    count + Laplace(1/epsilon) noise, the calibrated mechanism for
+    sensitivity-1 counting queries.
+
+    SENSITIVITY CONTRACT: each underlying unit must contribute at
+    most ONE row to ONE group (pre-deduplicate units first — e.g.
+    one row per user), or the 1/epsilon calibration understates the
+    privacy loss. DETERMINISM CAVEAT, stated loudly: the noise here
+    is a SEEDED md5 inverse-CDF draw (the weighted_sample /
+    bootstrap_ci discipline) so tests and the SQL oracle can replay
+    it bit-for-bit — real differential privacy requires FRESH SECRET
+    randomness; in production pass a random, never-reused,
+    never-published seed per release, and the mechanism's calibration
+    is then the textbook one.
+
+    Laplace draw: u = md5-uniform(seed | group key) in (0, 1),
+    noise = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|) — the
+    standard inverse CDF. ONE map-side-combined count aggregation to
+    the group-sized frame; the noise is a codegen projection of the
+    group key. Negative releases clamp at 0 by default (count
+    post-processing, no privacy cost).
+
+    Output: group_cols + n_released (6dp), epsilon, scale.
+    """
+    from indexlab_spark.functions.hashing import md5_long
+
+    if epsilon <= 0:
+        raise ValueError(
+            f"dp_noisy_counts: epsilon must be > 0, got {epsilon}"
+        )
+    if not group_cols:
+        raise ValueError("dp_noisy_counts: group_cols must be non-empty")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    key = F.concat_ws(
+        "|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u = (md5_long(key).cast("double") + F.lit(1.0)) / F.lit(
+        float(2**60 + 2)
+    )
+    c = u - F.lit(0.5)
+    scale = 1.0 / float(epsilon)
+    noise = (
+        F.lit(-scale)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(c))
+    )
+    released = F.col("_n").cast("double") + noise
+    if clamp_nonneg:
+        released = F.greatest(released, F.lit(0.0))
+    return counts.select(
+        *group_cols,
+        F.round(released, 6).alias("n_released"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(scale).alias("scale"),
+    )

@@ -729,3 +729,103 @@ def compaction_plan(
         F.sum("_sz").over(gw).cast("long").alias("group_bytes"),
         (F.count(F.lit(1)).over(gw) > 1).alias("needs_compaction"),
     )
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "hval",
+) -> DataFrame:
+    """Hilbert-curve key over exactly TWO numeric columns — the
+    stronger-locality sibling of :func:`zorder_key` (the design behind
+    Databricks liquid clustering / Iceberg's Hilbert ordering,
+    public): the Hilbert curve visits grid cells so that CONSECUTIVE
+    keys are always ADJACENT cells (step distance exactly 1, where the
+    Z-curve takes long diagonal jumps at power-of-two boundaries), so
+    a rectangular predicate region covers fewer, longer runs of the
+    key space — fewer files touched for the same file count.
+
+    Each column min-max-quantizes to ``bits``-bit ranks exactly like
+    zorder_key (driver-literal range scalars, clamped, constant
+    columns rank 0). The curve fold is the classic xy2d bit
+    transform (rotate/reflect per scale); each of the ``bits`` rounds
+    materializes (x, y, d) as real projection columns — keeping the
+    expression tree LINEAR in ``bits`` where naive expression nesting
+    would double per round — and every round is pure codegen bit
+    arithmetic: no UDF, no shuffle, one projection pipeline.
+
+    Keep ``2 * bits <= 63``. Output: df + ``out_col`` (long).
+    """
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_key needs exactly 2 columns, got {len(cols)}"
+        )
+    if 2 * bits > 63:
+        raise ValueError(f"bits={bits} x 2 exceeds a long")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    if any(stats[f"mn_{c}"] is None for c in cols):
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        if mx > mn:
+            r = F.floor(
+                (F.col(c).cast("double") - F.lit(mn))
+                / F.lit(mx - mn)
+                * F.lit(float(top))
+            ).cast("long")
+            r = F.least(F.greatest(r, F.lit(0)), F.lit(top))
+        else:
+            r = F.lit(0).cast("long")
+        ranks.append(r)
+    cur = df.withColumns(
+        {"_hx": ranks[0], "_hy": ranks[1], "_hd": F.lit(0).cast("long")}
+    )
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx = F.shiftright(x, b).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, b).bitwiseAND(F.lit(1))
+        nd = d + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        ).cast("long")
+        # canonical rotate/reflect (the classic xy2d `rot`): the
+        # reflection is N-1-x over the FULL grid width N = 2^bits,
+        # applied only when ry == 0, followed by the x/y swap
+        flip = (rx == 1) & (ry == 0)
+        n_full = F.lit((1 << bits) - 1)
+        fx = F.when(flip, n_full - x).otherwise(x)
+        fy = F.when(flip, n_full - y).otherwise(y)
+        nx = F.when(ry == 0, fy).otherwise(fx)
+        ny = F.when(ry == 0, fx).otherwise(fy)
+        cur = cur.withColumns({"_hx": nx, "_hy": ny, "_hd": nd})
+    return cur.withColumn(out_col, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd"
+    )
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_ranges: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` Hilbert-clustered on two columns: compute the
+    curve key, range-repartition + sort on it, drop the key — the
+    write_zorder_clustered shape with the stronger-locality curve
+    (every file covers a CONNECTED region of the 2-D column space, so
+    rectangular predicates touch fewer files)."""
+    keyed = hilbert_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_ranges, F.col("hval"))
+        .sortWithinPartitions("hval")
+        .drop("hval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -855,3 +855,26 @@ def test_assortativity_no_cartesian_one_nlj(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_hilbert_key_no_exchange(spark, sf_dir):
+    """hilbert_key adds NO exchange: after the 4-scalar stats collect,
+    the whole bits-round xy2d fold is a projection pipeline (codegen
+    bit arithmetic, no UDF, no shuffle) — the zorder_key contract."""
+    from indexlab_spark.operators.maintenance import hilbert_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    plan = (
+        hilbert_key(ev, ["user_id", "value"], bits=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l
+    ]
+    assert not exchanges, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, plan

@@ -786,3 +786,307 @@ class TestTimeDecayAttribution:
             multi_touch_attribution(
                 df, "user_id", "ts", "event_type", "purchase", model="nope"
             )
+
+
+# ---------------------------------------------------------------------------
+# k_truss
+# ---------------------------------------------------------------------------
+
+
+def _truss_ref(edges, k):
+    """Pure-python k-truss reference: peel edges with support < k-2
+    until stable; returns {canonical_edge: final_support}."""
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v]) for u, v in E
+        }
+        keep = {e for e in E if sup[e] >= k - 2}
+        if keep == E:
+            return sup
+        E = keep
+
+
+class TestKTruss:
+    def _run(self, spark, edges, k):
+        from indexlab_spark.operators.dedup import k_truss
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            (r["id_a"], r["id_b"]): r["support"]
+            for r in k_truss(df, k).collect()
+        }
+
+    def test_k4_is_a_4_truss(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        got = self._run(spark, k4, 4)
+        assert got == {e: 2 for e in k4}
+        assert self._run(spark, k4, 5) == {}
+
+    def test_triangle_free_graph_empty_at_3(self, spark):
+        path = [(0, 1), (1, 2), (2, 3)]
+        assert self._run(spark, path, 3) == {}
+        # but 2-truss keeps the whole simple graph
+        assert set(self._run(spark, path, 2)) == set(path)
+
+    def test_cascading_peel(self, spark):
+        """Two triangles sharing an edge: at k=4 the outer edges die
+        first (support 1), which strands the shared edge (support 2
+        initially, 0 after) — the cascade a one-shot filter misses."""
+        tri2 = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+        got3 = self._run(spark, tri2, 3)
+        assert set(got3) == set(tri2)  # every edge in >= 1 triangle
+        assert got3[(1, 2)] == 2  # the shared edge
+        assert self._run(spark, tri2, 4) == {}
+
+    def test_python_parity_random_graph(self, spark):
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    ((i * i + i) % 23, (i * 7 + 3) % 23) for i in range(90)
+                )
+                if a != b
+            }
+        )
+        for k in (3, 4):
+            got = self._run(spark, edges, k)
+            assert got == _truss_ref(edges, k), f"k={k}"
+
+    def test_multigraph_and_self_loops_collapse(self, spark):
+        base = [(0, 1), (0, 2), (1, 2), (2, 3)]
+        noisy = base + [(1, 0), (0, 1), (2, 2), (3, 3)]
+        assert self._run(spark, base, 3) == self._run(spark, noisy, 3)
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.dedup import k_truss
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            k_truss(df, 1)
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_counts
+# ---------------------------------------------------------------------------
+
+
+def _lap_ref(seed, keyparts, eps):
+    import hashlib
+    import math as m
+
+    h = hashlib.md5(("|".join([seed, *keyparts])).encode()).hexdigest()
+    u = (int(h[:15], 16) + 1.0) / (2**60 + 2)
+    c = u - 0.5
+    return -(1.0 / eps) * m.copysign(1.0, c) * m.log(1.0 - 2.0 * abs(c))
+
+
+class TestDpNoisyCounts:
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.analytics import dp_noisy_counts
+
+        df = spark.createDataFrame(rows, "g string, x long")
+        out = dp_noisy_counts(df, ["g"], **kw)
+        return {r["g"]: r for r in out.collect()}
+
+    def test_python_replica_parity(self, spark):
+        rows = [(f"g{i % 7}", i) for i in range(200)]
+        got = self._run(spark, rows, epsilon=2.0, seed="s1",
+                        clamp_nonneg=False)
+        true = {}
+        for g, _ in rows:
+            true[g] = true.get(g, 0) + 1
+        for g, n in true.items():
+            want = n + _lap_ref("s1", [g], 2.0)
+            assert got[g]["n_released"] == pytest.approx(want, abs=1e-5)
+            assert got[g]["scale"] == pytest.approx(0.5)
+
+    def test_clamp_nonnegative(self, spark):
+        # find a group whose noise is negative enough to push a count
+        # of 1 below zero at tiny epsilon, then confirm the clamp
+        rows = [(f"g{i}", i) for i in range(50)]  # all counts == 1
+        unclamped = self._run(
+            spark, rows, epsilon=0.05, seed="s2", clamp_nonneg=False
+        )
+        clamped = self._run(
+            spark, rows, epsilon=0.05, seed="s2", clamp_nonneg=True
+        )
+        neg = [g for g, r in unclamped.items() if r["n_released"] < 0]
+        assert neg, "tiny epsilon should push some releases negative"
+        for g in neg:
+            assert clamped[g]["n_released"] == 0.0
+
+    def test_epsilon_scales_noise(self, spark):
+        rows = [(f"g{i}", i) for i in range(300)]
+        loose = self._run(spark, rows, epsilon=0.5, clamp_nonneg=False)
+        tight = self._run(spark, rows, epsilon=5.0, clamp_nonneg=False)
+        mean_abs = lambda d: sum(
+            abs(r["n_released"] - 1.0) for r in d.values()
+        ) / len(d)
+        # E|Laplace(b)| = b: 2.0 vs 0.2 — an order of magnitude apart
+        assert mean_abs(loose) > 4 * mean_abs(tight)
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        rows = [(f"g{i % 5}", i) for i in range(40)]
+        a = self._run(spark, rows, seed="s")
+        b = self._run(spark, rows, seed="s")
+        c = self._run(spark, rows, seed="t")
+        assert a == b
+        assert any(a[g] != c[g] for g in a)
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import dp_noisy_counts
+
+        df = spark.createDataFrame([("g", 1)], "g string, x long")
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, ["g"], epsilon=0.0)
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, [])
+
+
+# ---------------------------------------------------------------------------
+# hilbert_key
+# ---------------------------------------------------------------------------
+
+
+def _xy2d(order_n, x, y):
+    """Canonical Hilbert xy2d (Wikipedia form): grid side order_n =
+    2^bits, reflection over the full width."""
+    d = 0
+    s = order_n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = order_n - 1 - x
+                y = order_n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _d2xy(order_n, d):
+    x = y = 0
+    t = d
+    s = 1
+    while s < order_n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+class TestHilbertKey:
+    def test_reference_adjacency(self):
+        """The defining Hilbert property: consecutive d values are
+        grid NEIGHBORS (step distance exactly 1) — where the Z-curve
+        jumps. Validates the reference the Spark parity test then
+        transfers to the operator."""
+        n = 16
+        prev = _d2xy(n, 0)
+        for d in range(1, n * n):
+            cur = _d2xy(n, d)
+            assert abs(cur[0] - prev[0]) + abs(cur[1] - prev[1]) == 1
+            prev = cur
+        # and xy2d inverts d2xy
+        for d in range(n * n):
+            assert _xy2d(n, *_d2xy(n, d)) == d
+
+    def test_spark_parity_full_grid(self, spark):
+        """Every cell of a 2^5 x 2^5 integer grid: the operator's key
+        equals the canonical xy2d. Integer inputs spanning exactly
+        [0, top] quantize to themselves, so the curve fold is tested
+        in isolation."""
+        from indexlab_spark.operators.maintenance import hilbert_key
+
+        bits = 5
+        n = 1 << bits
+        rows = [(x, y) for x in range(n) for y in range(n)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["hval"]
+            for r in hilbert_key(df, ["x", "y"], bits=bits).collect()
+        }
+        for (x, y), hv in got.items():
+            assert hv == _xy2d(n, x, y), (x, y)
+        # bijective over the grid
+        assert len(set(got.values())) == n * n
+
+    def test_hilbert_beats_zorder_on_range_query_runs(self, spark):
+        """The reason this operator exists: over all 8x8 query
+        rectangles on a 32x32 grid, the number of CONTIGUOUS key runs
+        covering the rectangle (= files touched per file-sized run) is
+        lower for Hilbert than for Morton on average."""
+        bits, n = 5, 32
+
+        def morton(x, y):
+            z = 0
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        def runs(keys):
+            ks = sorted(keys)
+            return 1 + sum(
+                1 for a, b in zip(ks, ks[1:]) if b != a + 1
+            )
+
+        tot_h = tot_z = 0
+        for x0 in range(0, n - 8, 5):
+            for y0 in range(0, n - 8, 5):
+                cells = [
+                    (x, y)
+                    for x in range(x0, x0 + 8)
+                    for y in range(y0, y0 + 8)
+                ]
+                tot_h += runs([_xy2d(n, x, y) for x, y in cells])
+                tot_z += runs([morton(x, y) for x, y in cells])
+        assert tot_h < tot_z
+
+    def test_quantization_and_guards(self, spark):
+        from indexlab_spark.operators.maintenance import hilbert_key
+
+        # constant column -> rank 0 (a line along the other axis)
+        df = spark.createDataFrame(
+            [(1.0, float(i)) for i in range(8)], "x double, y double"
+        )
+        out = hilbert_key(df, ["x", "y"], bits=3).collect()
+        ys = sorted((r["y"], r["hval"]) for r in out)
+        assert len({h for _, h in ys}) == 8  # distinct keys along y
+        # empty frame -> key 0 path, no crash
+        empty = spark.createDataFrame([], "x double, y double")
+        assert hilbert_key(empty, ["x", "y"]).count() == 0
+        with pytest.raises(ValueError):
+            hilbert_key(df, ["x"], bits=3)
+        with pytest.raises(ValueError):
+            hilbert_key(df, ["x", "y"], bits=32)
+
+    def test_write_clustered_roundtrip(self, spark, tmp_path):
+        from indexlab_spark.operators.maintenance import (
+            write_hilbert_clustered,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i % 13), float(i % 7), i) for i in range(200)],
+            "x double, y double, i long",
+        )
+        path = str(tmp_path / "hc")
+        write_hilbert_clustered(df, path, ["x", "y"], n_ranges=4, bits=8)
+        back = spark.read.parquet(path)
+        assert back.count() == 200
+        assert set(back.columns) == {"x", "y", "i"}
