@@ -5729,6 +5729,51 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition — STL-style robust anomaly flags: classical
+    decomposition strips trend AND weekly cycle from the daily
+    revenue series (analytics.seasonal_decompose), then the robust
+    median/MAD screen (analytics.mad_outliers) flags residual days —
+    anomalies net of seasonality, where the plain z-score monitor
+    flags every busy Monday. Two operators composing through a plain
+    DataFrame — the composability the operator registry exists for;
+    the oracle replays both stages."""
+    from indexlab_spark.operators.analytics import (
+        mad_outliers,
+        seasonal_decompose,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    dec = seasonal_decompose(daily, ["event_type"], "day", "revenue", 7)
+    resid = dec.filter(F.col("resid").isNotNull()).select(
+        "event_type", "day", "resid"
+    )
+    return mad_outliers(resid, "event_type", "resid", k=2.0)
+
+
+def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-corpus statistics (analytics.weighted_quantiles):
+    exact type-1 weighted length quantiles per language under
+    deterministic importance weights — the quantile the curation
+    stack needs once rows carry DSIR/resample weights (plain
+    percentile can't take fractional weights). One (group, value)
+    map-combined agg + a domain-sized cumulative window + one agg for
+    ALL probs; the oracle replays the identical cumulative-weight
+    threshold."""
+    from indexlab_spark.operators.analytics import weighted_quantiles
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wdf = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        ((F.col("doc_id") % 7) + 1).cast("double").alias("w"),
+    )
+    return weighted_quantiles(wdf, ["lang"], "v", "w", [0.5, 0.9])
+
+
 def _q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale layout (maintenance.hilbert_key): 8-bit Hilbert-curve key
     over (user_id, value) — the stronger-locality sibling of
@@ -6196,6 +6241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": _q_cross_source_dups,
         "dp_lang_counts": _q_dp_lang_counts,
         "hilbert_events": _q_hilbert_events,
+        "weighted_quantiles": _q_weighted_quantiles,
+        "seasonal_outliers": _q_seasonal_outliers,
     }
 
 
@@ -11553,4 +11600,84 @@ def oracle_sql() -> dict[str, str]:
         # Hilbert replay: generated chained-CTE unroll of the same
         # canonical xy2d rounds (see _hilbert_oracle_sql).
         "hilbert_events": _hilbert_oracle_sql(8),
+        # Weighted-quantile replay: identical (group, value) weight
+        # collapse, cumulative window, threshold min.
+        "weighted_quantiles": """
+            WITH wd AS (
+                SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                       CAST((doc_id % 7) + 1 AS DOUBLE) AS w
+                FROM documents
+                WHERE n_chars IS NOT NULL),
+            dom AS (
+                SELECT lang, v, sum(w) AS w
+                FROM wd GROUP BY 1, 2),
+            cum AS (
+                SELECT lang, v,
+                       sum(w) OVER (PARTITION BY lang ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cw,
+                       sum(w) OVER (PARTITION BY lang) AS tw
+                FROM dom),
+            wide AS (
+                SELECT lang,
+                       min(CASE WHEN cw >= 0.5 * tw THEN v END) AS q0,
+                       min(CASE WHEN cw >= 0.9 * tw THEN v END) AS q1
+                FROM cum GROUP BY 1)
+            SELECT lang, 0.5 AS p, q0 AS quantile FROM wide
+            UNION ALL
+            SELECT lang, 0.9, q1 FROM wide
+        """,
+        # Composition replay: the seasonal_daily decomposition CTEs
+        # feed the mad_outliers median/MAD screen on the residuals.
+        "seasonal_outliers": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       round(sum(value), 6) AS revenue
+                FROM events GROUP BY 1, 2),
+            idx AS (
+                SELECT *, row_number() OVER
+                           (PARTITION BY event_type ORDER BY day) - 1 AS i
+                FROM d),
+            tr AS (
+                SELECT *,
+                       CASE WHEN count(*) OVER w7 = 7
+                            THEN avg(revenue) OVER w7 END AS trend,
+                       i % 7 AS slot
+                FROM idx
+                WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            sm AS (
+                SELECT event_type, slot, avg(revenue - trend) AS raw
+                FROM tr GROUP BY 1, 2),
+            ctr AS (
+                SELECT event_type, slot,
+                       raw - avg(raw) OVER (PARTITION BY event_type)
+                           AS seas
+                FROM sm),
+            res AS (
+                SELECT t.event_type, t.day,
+                       round(t.revenue - t.trend - c.seas, 6) AS resid
+                FROM tr t JOIN ctr c
+                    ON t.event_type = c.event_type AND t.slot = c.slot
+                WHERE t.trend IS NOT NULL),
+            med AS (
+                SELECT event_type, quantile_cont(resid, 0.5) AS _med
+                FROM res GROUP BY 1),
+            wm AS (
+                SELECT r.event_type, r.day, r.resid, m._med
+                FROM res r JOIN med m USING (event_type)),
+            mad AS (
+                SELECT event_type,
+                       quantile_cont(abs(resid - _med), 0.5) AS _mad
+                FROM wm GROUP BY 1)
+            SELECT w.event_type, w.day, w.resid,
+                   round(w._med, 6) AS group_median,
+                   round(m._mad, 6) AS group_mad,
+                   round(0.6745 * (w.resid - w._med) / m._mad, 6)
+                       AS robust_z
+            FROM wm w JOIN mad m USING (event_type)
+            WHERE m._mad > 0
+              AND abs(round(0.6745 * (w.resid - w._med) / m._mad, 6))
+                  > 2.0
+        """,
     }

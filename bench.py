@@ -559,7 +559,10 @@ def main() -> None:
                  "cross_source_dups", "dp_lang_counts",
                  # hilbert_events 1.0s (8 projection rounds, zero
                  # exchanges — the layout key is compute-free at scale)
-                 "hilbert_events"):
+                 "hilbert_events",
+                 # weighted_quantiles 0.8s (domain-sized cumsum);
+                 # seasonal_outliers 1.2s (decompose + MAD composition)
+                 "weighted_quantiles", "seasonal_outliers"):
         fn = entry_mod.queries()[name]
         reps = (
             2

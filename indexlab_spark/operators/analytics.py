@@ -5262,3 +5262,73 @@ def dp_noisy_counts(
         F.lit(float(epsilon)).alias("epsilon"),
         F.lit(scale).alias("scale"),
     )
+
+
+def weighted_quantiles(
+    df: "DataFrame",
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    probs: list[float] = (0.5,),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per group — the quantile the curation
+    stack actually needs once rows carry importance weights (DSIR
+    weights, temperature-resample rates, dedup survivor multiplicities):
+    q_p = the smallest value whose cumulative weight reaches p * W
+    (the type-1 / inverse-CDF definition, which replication-equivalence
+    makes canonical for weights: integer weights give exactly the
+    quantile of the exploded multiset — pinned in tests). Plain
+    ``percentile`` can't express this for fractional weights.
+
+    Distributed shape: ONE map-side-combined (group, value) -> weight
+    sum aggregation collapses the corpus to its value domain, an
+    ordered window cumsum over that domain-sized frame (same keyed
+    exchange), then every requested p reduces via
+    ``min(value WHERE cumw >= p * W)`` in a single agg — all probs in
+    one pass, nothing row-sized to the driver, never a global sort of
+    the corpus. Rows with NULL values or NULL/non-positive weights are
+    excluded (the weighted_sample mass contract).
+
+    Output: group_cols + p, quantile — long format, one row per
+    group x prob. Groups with zero total weight drop.
+    """
+    ps = [float(p) for p in probs]
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError(
+            f"weighted_quantiles: probs must be in (0, 1], got {probs}"
+        )
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("double")
+    base = df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+    dom = base.groupBy(*group_cols, v.alias("_v")).agg(
+        F.sum(w).alias("_w")
+    )
+    win = Window.partitionBy(*group_cols).orderBy("_v")
+    gw = Window.partitionBy(*group_cols)
+    cum = dom.select(
+        *group_cols,
+        "_v",
+        F.sum("_w").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cw"),
+        F.sum("_w").over(gw).alias("_tw"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cw") >= F.lit(p) * F.col("_tw"), F.col("_v"))
+        ).alias(f"_q{i}")
+        for i, p in enumerate(ps)
+    ]
+    wide = cum.groupBy(*group_cols).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"), F.col(f"_q{i}").alias("quantile")
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    return wide.select(*group_cols, F.explode(pairs).alias("_e")).select(
+        *group_cols, F.col("_e.p").alias("p"),
+        F.col("_e.quantile").alias("quantile"),
+    )

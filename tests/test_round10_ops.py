@@ -1090,3 +1090,76 @@ class TestHilbertKey:
         back = spark.read.parquet(path)
         assert back.count() == 200
         assert set(back.columns) == {"x", "y", "i"}
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles
+# ---------------------------------------------------------------------------
+
+
+def _wq_ref(pairs, p):
+    """Type-1 weighted quantile: smallest v with cumW >= p * W."""
+    pairs = sorted(pairs)
+    total = sum(w for _, w in pairs)
+    acc = 0.0
+    for v, w in pairs:
+        acc += w
+        if acc >= p * total - 1e-12:
+            return v
+    return pairs[-1][0]
+
+
+class TestWeightedQuantiles:
+    def _run(self, spark, rows, probs):
+        from indexlab_spark.operators.analytics import weighted_quantiles
+
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        out = weighted_quantiles(df, ["g"], "v", "w", probs)
+        return {(r["g"], r["p"]): r["quantile"] for r in out.collect()}
+
+    def test_python_parity_with_ties(self, spark):
+        rows = [
+            ("a", float(i % 9), 0.5 + (i * 3 % 5)) for i in range(60)
+        ] + [("b", float(i % 4), 1.0 + (i % 3)) for i in range(30)]
+        got = self._run(spark, rows, [0.1, 0.5, 0.9, 1.0])
+        for g in ("a", "b"):
+            pairs = [(v, w) for gg, v, w in rows if gg == g]
+            for p in (0.1, 0.5, 0.9, 1.0):
+                assert got[(g, p)] == _wq_ref(pairs, p), (g, p)
+
+    def test_replication_equivalence(self, spark):
+        """Integer weight w == the row appearing w times: the weighted
+        quantile equals the type-1 quantile of the exploded multiset."""
+        rows = [("g", float(v), float(w)) for v, w in
+                [(1, 3), (2, 1), (5, 4), (9, 2)]]
+        exploded = sorted(
+            v for _, v, w in rows for _ in range(int(w))
+        )
+        got = self._run(spark, rows, [0.25, 0.5, 0.75])
+        import math as m
+
+        for p in (0.25, 0.5, 0.75):
+            k = m.ceil(p * len(exploded))
+            assert got[("g", p)] == exploded[k - 1], p
+
+    def test_unit_weights_are_order_stats(self, spark):
+        rows = [("g", float(i), 1.0) for i in range(1, 11)]
+        got = self._run(spark, rows, [0.3, 0.5, 1.0])
+        assert got[("g", 0.3)] == 3.0  # ceil(0.3*10) = 3rd order stat
+        assert got[("g", 0.5)] == 5.0
+        assert got[("g", 1.0)] == 10.0
+
+    def test_nonpositive_weights_excluded(self, spark):
+        rows = [("g", 1.0, 1.0), ("g", 100.0, 0.0), ("g", 200.0, -5.0),
+                ("g", 2.0, 1.0)]
+        got = self._run(spark, rows, [1.0])
+        assert got[("g", 1.0)] == 2.0
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import weighted_quantiles
+
+        df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, v double, w double")
+        with pytest.raises(ValueError):
+            weighted_quantiles(df, ["g"], "v", "w", [0.0])
+        with pytest.raises(ValueError):
+            weighted_quantiles(df, ["g"], "v", "w", [])
