@@ -5729,6 +5729,28 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_binseg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-changepoint location (analytics.binseg_changepoints,
+    greedy binary segmentation): up to 3 mean shifts in the daily
+    revenue series per event_type — the MULTIPLE-shift completion of
+    amoc_revenue (one split) and cusum_revenue (onset under a
+    baseline). One keyed exchange into an Arrow prefix-sum greedy
+    pass. Rows-only: the greedy recursion's segment state is not
+    SQL-replayable; exact independent-python parity and planted-step
+    recovery are pinned in tests, and max_cp=1 agrees with the
+    oracle-backed amoc by construction."""
+    from indexlab_spark.operators.analytics import binseg_changepoints
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return binseg_changepoints(
+        daily, ["event_type"], "day", "revenue",
+        max_cp=3, min_seg=3, min_reduction_ratio=0.05,
+    )
+
+
 def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition — STL-style robust anomaly flags: classical
     decomposition strips trend AND weekly cycle from the daily
@@ -6243,6 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_events": _q_hilbert_events,
         "weighted_quantiles": _q_weighted_quantiles,
         "seasonal_outliers": _q_seasonal_outliers,
+        "binseg_revenue": _q_binseg_revenue,  # rows-only
     }
 
 

@@ -562,7 +562,10 @@ def main() -> None:
                  "hilbert_events",
                  # weighted_quantiles 0.8s (domain-sized cumsum);
                  # seasonal_outliers 1.2s (decompose + MAD composition)
-                 "weighted_quantiles", "seasonal_outliers"):
+                 "weighted_quantiles", "seasonal_outliers",
+                 # binseg_revenue 0.7s (one Arrow greedy pass over the
+                 # calendar-bounded series)
+                 "binseg_revenue"):
         fn = entry_mod.queries()[name]
         reps = (
             2

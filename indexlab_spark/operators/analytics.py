@@ -5332,3 +5332,134 @@ def weighted_quantiles(
         *group_cols, F.col("_e.p").alias("p"),
         F.col("_e.quantile").alias("quantile"),
     )
+
+
+def binseg_changepoints(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_cp: int = 5,
+    min_seg: int = 2,
+    min_reduction_ratio: float = 0.01,
+) -> "DataFrame":
+    """MULTIPLE changepoints per segment by greedy binary segmentation
+    (Scott & Knott 1974; the standard first-line multi-changepoint
+    method): repeatedly apply the :func:`amoc_changepoint` split to
+    whichever current segment offers the largest SSE reduction, until
+    ``max_cp`` splits are placed or the best admissible split's
+    reduction falls below ``min_reduction_ratio`` x total SSE (the
+    stopping penalty — 0 accepts any strictly positive reduction).
+    Deterministic throughout: among segments the largest reduction
+    wins, ties break to the smallest index.
+
+    Execution is the cusum/holt discipline: ONE keyed exchange into an
+    Arrow per-group pass over the PRE-AGGREGATED, calendar-bounded
+    series; prefix sums make every candidate split O(1), so a greedy
+    pass is O(n * max_cp) per group. Not SQL-replayable (the greedy
+    recursion's segment state) -> rows-only gate; exact pure-python
+    parity and planted-step recovery pinned in tests, and max_cp=1
+    agrees with amoc_changepoint by construction.
+
+    Output: one row per placed changepoint — group_cols + cp_rank
+    (1 = largest reduction, the order placed), cp_index (1-based index
+    of the last point of the left side, GLOBAL over the group's
+    series), cp_order (the order value there), reduction (6dp), n.
+    Groups with no admissible split emit nothing.
+    """
+    import pandas as pd
+
+    if max_cp < 1:
+        raise ValueError(
+            f"binseg_changepoints: max_cp must be >= 1, got {max_cp}"
+        )
+    if min_seg < 1:
+        raise ValueError(
+            f"binseg_changepoints: min_seg must be >= 1, got {min_seg}"
+        )
+    if min_reduction_ratio < 0:
+        raise ValueError(
+            "binseg_changepoints: min_reduction_ratio must be >= 0, "
+            f"got {min_reduction_ratio}"
+        )
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    out_fields = ", ".join(
+        f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    ord_type = dict(df.dtypes)[order_col]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "_val"], kind="mergesort")
+        xs = [float(v) for v in pdf["_val"]]
+        n = len(xs)
+        s = [0.0]
+        q = [0.0]
+        for x in xs:
+            s.append(s[-1] + x)
+            q.append(q[-1] + x * x)
+
+        def sse(a, b):  # half-open [a, b)
+            if b <= a:
+                return 0.0
+            d = s[b] - s[a]
+            return (q[b] - q[a]) - d * d / (b - a)
+
+        def best_split(a, b):
+            """(reduction, i) for the best split of [a, b); i is the
+            global 1-based index of the left side's last point."""
+            if b - a < 2 * min_seg:
+                return None
+            whole = sse(a, b)
+            best = None
+            for i in range(a + min_seg, b - min_seg + 1):
+                red = whole - sse(a, i) - sse(i, b)
+                if best is None or red > best[0] + 1e-12:
+                    best = (red, i)
+            return best
+
+        thresh = min_reduction_ratio * sse(0, n)
+        segments = [(0, n)]
+        found = []
+        for _ in range(max_cp):
+            cand = None
+            for seg in segments:
+                bs = best_split(*seg)
+                if bs is None:
+                    continue
+                if (
+                    cand is None
+                    or bs[0] > cand[0][0] + 1e-12
+                    or (abs(bs[0] - cand[0][0]) <= 1e-12
+                        and bs[1] < cand[0][1])
+                ):
+                    cand = (bs, seg)
+            if cand is None or cand[0][0] <= max(thresh, 0.0) + 1e-12:
+                break
+            (red, i), seg = cand
+            segments.remove(seg)
+            segments.extend([(seg[0], i), (i, seg[1])])
+            found.append((i, red))
+        rows = []
+        gvals = [pdf[c].iloc[0] for c in group_cols]
+        for rank, (i, red) in enumerate(found, start=1):
+            rows.append(
+                [*gvals, rank, i, pdf["_ord"].iloc[i - 1],
+                 round(red, 6), n]
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[*group_cols, "cp_rank", "cp_index", "cp_order",
+                     "reduction", "n"],
+        )
+
+    return base.groupBy(*group_cols).applyInPandas(
+        fn,
+        schema=(
+            f"{out_fields}, cp_rank long, cp_index long, "
+            f"cp_order {ord_type}, reduction double, n long"
+        ),
+    )

@@ -1163,3 +1163,103 @@ class TestWeightedQuantiles:
             weighted_quantiles(df, ["g"], "v", "w", [0.0])
         with pytest.raises(ValueError):
             weighted_quantiles(df, ["g"], "v", "w", [])
+
+
+# ---------------------------------------------------------------------------
+# binseg_changepoints
+# ---------------------------------------------------------------------------
+
+
+def _binseg_ref(xs, max_cp, min_seg, ratio):
+    """Independent greedy binseg reference."""
+    n = len(xs)
+    s, q = [0.0], [0.0]
+    for x in xs:
+        s.append(s[-1] + x)
+        q.append(q[-1] + x * x)
+
+    def sse(a, b):
+        if b <= a:
+            return 0.0
+        d = s[b] - s[a]
+        return (q[b] - q[a]) - d * d / (b - a)
+
+    thresh = ratio * sse(0, n)
+    segs = [(0, n)]
+    out = []
+    for _ in range(max_cp):
+        cand = None
+        for a, b in segs:
+            if b - a < 2 * min_seg:
+                continue
+            whole = sse(a, b)
+            for i in range(a + min_seg, b - min_seg + 1):
+                red = whole - sse(a, i) - sse(i, b)
+                if cand is None or red > cand[0] + 1e-12:
+                    cand = (red, i, (a, b))
+        if cand is None or cand[0] <= max(thresh, 0.0) + 1e-12:
+            break
+        red, i, seg = cand
+        segs.remove(seg)
+        segs += [(seg[0], i), (i, seg[1])]
+        out.append((i, red))
+    return out
+
+
+class TestBinsegChangepoints:
+    def _run(self, spark, xs, **kw):
+        from indexlab_spark.operators.analytics import binseg_changepoints
+
+        rows = [("g", t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        out = binseg_changepoints(df, ["g"], "t", "x", **kw).collect()
+        return sorted(
+            ((r["cp_rank"], r["cp_index"], r["reduction"]) for r in out)
+        )
+
+    def test_two_planted_steps_recovered(self, spark):
+        xs = [0.0 + 0.01 * (t % 3) for t in range(15)]
+        xs += [8.0 + 0.01 * (t % 3) for t in range(15)]
+        xs += [3.0 + 0.01 * (t % 3) for t in range(15)]
+        got = self._run(spark, xs, max_cp=2)
+        idx = sorted(i for _, i, _ in got)
+        assert idx == [15, 30]
+
+    def test_max_cp_1_matches_amoc(self, spark):
+        from indexlab_spark.operators.analytics import amoc_changepoint
+
+        xs = [float((t * 29) % 13) - (3.0 if t > 23 else 0.0) for t in range(37)]
+        got = self._run(spark, xs, max_cp=1, min_reduction_ratio=0.0)
+        rows = [("g", t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        amoc = amoc_changepoint(df, ["g"], "t", "x").collect()[0]
+        assert len(got) == 1
+        assert got[0][1] == amoc["cp_index"]
+
+    def test_constant_series_no_changepoints(self, spark):
+        assert self._run(spark, [5.0] * 20) == []
+
+    def test_python_parity(self, spark):
+        xs = [float((t * 17) % 7) + (4.0 if 20 < t <= 35 else 0.0)
+              for t in range(50)]
+        got = self._run(spark, xs, max_cp=4, min_seg=3,
+                        min_reduction_ratio=0.005)
+        ref = _binseg_ref(xs, 4, 3, 0.005)
+        assert got == sorted(
+            (rank, i, round(red, 6))
+            for rank, (i, red) in enumerate(ref, start=1)
+        )
+
+    def test_penalty_stops_overfitting(self, spark):
+        # pure noise: a high ratio threshold places no changepoints
+        xs = [float((t * 13) % 5) for t in range(40)]
+        assert self._run(spark, xs, min_reduction_ratio=0.5) == []
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import binseg_changepoints
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
+        for kw in ({"max_cp": 0}, {"min_seg": 0},
+                   {"min_reduction_ratio": -1.0}):
+            with pytest.raises(ValueError):
+                binseg_changepoints(df, ["g"], "t", "x", **kw)
