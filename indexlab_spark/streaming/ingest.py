@@ -27,7 +27,7 @@ periodically with operators/maintenance.compact_files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -593,3 +593,162 @@ def srm_monitor_totals(
         .agg(F.sum("_n").alias("n"))
     )
     return _srm_table(folded, expected, crit)
+
+
+def ewma_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    ref: dict,
+    lam: float = 0.2,
+    L: float = 3.0,
+    query_name: str = "ewma_monitor",
+):
+    """Live EWMA control chart over a stream — the SEQUENTIAL-fold
+    member of the monitor family (quantile/theta merge idempotently,
+    CM/PSI/SRM counts are linear; the EWMA recurrence is neither, so
+    the discipline here is STATE CARRY): per key the fold state
+    (t, z) advances batch by batch, and each micro-batch's charted
+    points are a deterministic function of the PREVIOUS batch's
+    state — so an at-least-once redelivery recomputes byte-identical
+    partitions and dynamic overwrite keeps replays safe, exactly like
+    the linear monitors, without pretending the fold is mergeable.
+
+    ``ref`` freezes Phase-I per key: {key: {"mean": m, "sd": s}} —
+    limits are defined on a FROZEN baseline (the psi_monitor
+    contract); keys not in ``ref`` are not monitored. The recurrence
+    and finite-start variance limits are EXACTLY ewma_control's, and
+    the drained chart equals the one-shot batch chart over the same
+    (time-ordered) data when ``ref`` carries that series' mean/sd —
+    pinned in tests. Micro-batches must arrive in time order (the
+    availableNow file-stream contract for sequential folds); rows
+    within a batch sort by (order, value).
+
+    Layout: ``state_path/points/batch_id=N`` (the charted rows) and
+    ``state_path/state/batch_id=N`` (per-key (t, z) AFTER batch N).
+    Steady-state cost per trigger: one key-sized state read + one
+    keyed Arrow fold over the batch + two tiny partition writes.
+    """
+    import math
+
+    import pandas as pd
+
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"ewma_monitor_stream: lam in (0, 1], got {lam}")
+    refs = {
+        str(k): (float(v["mean"]),
+                 float(v["sd"]) if v.get("sd") is not None else None)
+        for k, v in ref.items()
+    }
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            prev = (
+                spark.read.parquet(state_path.rstrip("/") + "/state")
+                .filter(F.col("batch_id") < batch_id)
+            )
+            prow = (
+                prev.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("_key").orderBy(
+                            F.col("batch_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("_key", "_t", "_z")
+            )
+            init = {r["_key"]: (int(r["_t"]), float(r["_z"]))
+                    for r in prow.collect()}
+        except Exception:
+            init = {}
+
+        base = batch_df.select(
+            F.col(key_col).cast("string").alias("_key"),
+            F.col(order_col).alias("_ord"),
+            F.col(value_col).cast("double").alias("_val"),
+        ).filter(F.col("_key").isin(list(refs)))
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["_ord", "_val"], kind="mergesort")
+            key = pdf["_key"].iloc[0]
+            mu, sd = refs[key]
+            t, z = init.get(key, (0, mu))
+            rows = []
+            for o, x in zip(pdf["_ord"], pdf["_val"]):
+                t += 1
+                z = lam * x + (1 - lam) * z
+                if sd is not None and sd > 0:
+                    half = L * sd * math.sqrt(
+                        lam / (2 - lam) * (1 - (1 - lam) ** (2 * t))
+                    )
+                    ucl, lcl = mu + half, mu - half
+                    breach = z > ucl or z < lcl
+                else:
+                    ucl = lcl = None
+                    breach = False
+                rows.append(
+                    [key, o, round(float(x), 6), round(z, 6),
+                     round(ucl, 6) if ucl is not None else None,
+                     round(lcl, 6) if lcl is not None else None,
+                     breach, t]
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["_key", "_ord", "value", "z", "ucl", "lcl",
+                         "breach", "_t"],
+            )
+            out["_zfin"] = z
+            return out
+
+        ord_type = dict(base.dtypes)["_ord"]
+        folded = base.groupBy("_key").applyInPandas(
+            fold,
+            schema=(
+                f"`_key` string, `_ord` {ord_type}, value double, "
+                "z double, ucl double, lcl double, breach boolean, "
+                "`_t` long, `_zfin` double"
+            ),
+        )
+        pts = folded.select(
+            "_key", "_ord", "value", "z", "ucl", "lcl", "breach"
+        )
+        _write_state(pts, state_path.rstrip("/") + "/points", batch_id)
+        # final per-key state: max-t row carries the closing (t, z)
+        st = (
+            folded.groupBy("_key")
+            .agg(F.max("_t").alias("_t"), F.max_by("_zfin", "_t").alias("_z"))
+        )
+        # carry forward state for keys with no rows in this batch, so
+        # a quiet key's fold does not reset
+        quiet = [
+            (k, int(t), float(z))
+            for k, (t, z) in init.items()
+        ]
+        if quiet:
+            spark_quiet = spark.createDataFrame(
+                quiet, "_key string, _t long, _z double"
+            ).join(st.select("_key"), "_key", "left_anti")
+            st = st.unionByName(spark_quiet)
+        _write_state(st, state_path.rstrip("/") + "/state", batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def ewma_monitor_points(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the full charted history the EWMA monitor has produced —
+    the union of every batch's points partitions (each a deterministic
+    recompute under replay, so the union is exact)."""
+    return spark.read.parquet(state_path.rstrip("/") + "/points").drop(
+        "batch_id"
+    )

@@ -482,3 +482,106 @@ def test_srm_monitor_stream_matches_batch_and_replay(spark, tmp_path):
         if r["variant"] == "<ALL>"
     ][0]
     assert tot2["srm"] is False
+
+
+def test_ewma_monitor_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming EWMA chart: time-ordered micro-batches folded with
+    carried (t, z) state must EXACTLY equal the one-shot batch
+    ewma_control over the same series when the frozen ref carries
+    that series' Phase-I mean/sd; batch-partition replay (dynamic
+    overwrite of a recomputed partition) changes nothing; quiet keys
+    carry state forward instead of resetting."""
+    import os
+    import time
+
+    from indexlab_spark.streaming.ingest import (
+        ewma_monitor_points,
+        ewma_monitor_stream,
+    )
+
+    rows = []
+    for t in range(30):
+        val = 10.0 + (t * 7 % 5) * 0.3 + (4.0 if t >= 22 else 0.0)
+        rows.append(("m", t, val))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+
+    # frozen Phase-I from the full series (so batch == stream)
+    import statistics
+
+    vals = [v for _, _, v in rows]
+    ref = {
+        "m": {
+            "mean": statistics.mean(vals),
+            "sd": statistics.stdev(vals),
+        }
+    }
+    # one-shot reference fold in python (identical recurrence — the
+    # same fold ewma_control runs, pinned there against its own
+    # reference; the frozen ref carries the full series' Phase-I
+    # stats so the stream chart must reproduce it exactly)
+    import math
+
+    mu, sd = ref["m"]["mean"], ref["m"]["sd"]
+    z = mu
+    want = []
+    for t, (_, o, x) in enumerate(rows, start=1):
+        z = 0.2 * x + 0.8 * z
+        half = 3.0 * sd * math.sqrt(0.2 / 1.8 * (1 - 0.8 ** (2 * t)))
+        want.append(
+            (o, round(x, 6), round(z, 6), round(mu + half, 6),
+             round(mu - half, 6), z > mu + half or z < mu - half)
+        )
+
+    # three time-ordered files -> three micro-batches
+    src = str(tmp_path / "esrc")
+    os.makedirs(src)
+    for i, sl in enumerate((rows[:10], rows[10:20], rows[20:])):
+        spark.createDataFrame(sl, "k string, t int, v double").coalesce(
+            1
+        ).write.parquet(f"{src}/part{i}", mode="overwrite")
+        time.sleep(0.05)
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "eflat")
+    os.makedirs(flat)
+    for i in range(3):
+        f = glob.glob(f"{src}/part{i}/*.parquet")[0]
+        shutil.copy(f, f"{flat}/{i:03d}.parquet")
+        os.utime(f"{flat}/{i:03d}.parquet", (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state = str(tmp_path / "estate")
+    q = ewma_monitor_stream(
+        stream, state, "k", "t", "v", ref, lam=0.2, L=3.0
+    ).start()
+    q.awaitTermination()
+
+    got = sorted(
+        (r["_ord"], r["value"], r["z"], r["ucl"], r["lcl"], r["breach"])
+        for r in ewma_monitor_points(spark, state).collect()
+    )
+    assert got == sorted(want)
+    assert any(b for *_, b in got)  # the planted level shift breaches
+
+    # replay idempotence: rewrite batch 0's points/state partitions
+    # with their own materialized contents
+    from indexlab_spark.streaming.ingest import _write_state
+
+    for sub, schema in (
+        ("points", "_key string, _ord int, value double, z double,"
+                   " ucl double, lcl double, breach boolean"),
+        ("state", "_key string, _t long, _z double"),
+    ):
+        part = spark.read.parquet(f"{state}/{sub}/batch_id=0")
+        b0 = spark.createDataFrame(part.collect(), schema)
+        _write_state(b0, f"{state}/{sub}", 0)
+    got2 = sorted(
+        (r["_ord"], r["value"], r["z"], r["ucl"], r["lcl"], r["breach"])
+        for r in ewma_monitor_points(spark, state).collect()
+    )
+    assert got2 == got
