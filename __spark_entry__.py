@@ -5729,6 +5729,36 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_mmr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking (fusion.mmr_rerank, Carbonell & Goldstein
+    1998): cosine top-10 per query MMR-diversified to 5 — the pass
+    between ranking and the LLM context window that stops five
+    near-copies of one passage filling the prompt. The greedy runs as
+    ONE Arrow per-query pass over the already-tiny top-k pool; the
+    corpus is never touched. Rows-only (greedy selection state is not
+    SQL-replayable); exact independent-python parity and the
+    lam=1-degrades-to-ranking anchor are pinned in tests."""
+    from indexlab_spark.operators.fusion import mmr_rerank
+    from indexlab_spark.operators.knn import knn_join
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    hits = knn_join(
+        queries_df, corpus, k=10, metric="cosine",
+        query_vec_col="qv", corpus_vec_col="embedding",
+    )
+    return mmr_rerank(
+        hits.select("query_id", "doc_id", "score"),
+        corpus,
+        k=5,
+        lam=0.7,
+    )
+
+
 def _q_binseg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-changepoint location (analytics.binseg_changepoints,
     greedy binary segmentation): up to 3 mean shifts in the daily
@@ -6266,6 +6296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": _q_weighted_quantiles,
         "seasonal_outliers": _q_seasonal_outliers,
         "binseg_revenue": _q_binseg_revenue,  # rows-only
+        "mmr_embeddings": _q_mmr_embeddings,  # rows-only
     }
 
 

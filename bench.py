@@ -565,7 +565,10 @@ def main() -> None:
                  "weighted_quantiles", "seasonal_outliers",
                  # binseg_revenue 0.7s (one Arrow greedy pass over the
                  # calendar-bounded series)
-                 "binseg_revenue"):
+                 "binseg_revenue",
+                 # mmr_embeddings 1.3s (cosine top-10 + per-query
+                 # greedy over the 10-row pool)
+                 "mmr_embeddings"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -1263,3 +1263,189 @@ class TestBinsegChangepoints:
                    {"min_reduction_ratio": -1.0}):
             with pytest.raises(ValueError):
                 binseg_changepoints(df, ["g"], "t", "x", **kw)
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def _mmr_ref(cands, k, lam):
+    """Independent MMR reference: cands = [(doc, score, vec)]."""
+    import math as m
+
+    def cos(a, b):
+        na = m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = m.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    lo = min(s for _, s, _ in cands)
+    hi = max(s for _, s, _ in cands)
+    rel = {
+        d: ((s - lo) / (hi - lo) if hi > lo else 1.0)
+        for d, s, _ in cands
+    }
+    vec = {d: v for d, _, v in cands}
+    remaining = sorted(vec)
+    sel = []
+    out = []
+    while remaining and len(sel) < k:
+        best = None
+        for d in remaining:
+            red = max((cos(vec[d], vec[s]) for s in sel), default=0.0)
+            obj = round(lam * rel[d] - (1 - lam) * red, 9)
+            if best is None or obj > best[1] or (
+                obj == best[1] and d < best[0]
+            ):
+                best = (d, obj)
+        sel.append(best[0])
+        remaining.remove(best[0])
+        out.append((best[0], len(sel)))
+    return out
+
+
+class TestMmrRerank:
+    def _run(self, spark, cands, k=10, lam=0.7):
+        from indexlab_spark.operators.fusion import mmr_rerank
+
+        hits = spark.createDataFrame(
+            [("q1", d, s) for d, s, _ in cands],
+            "query_id string, doc_id long, score double",
+        )
+        vecs = spark.createDataFrame(
+            [(d, v) for d, _, v in cands],
+            "doc_id long, embedding array<double>",
+        )
+        out = mmr_rerank(hits, vecs, k=k, lam=lam)
+        return [(r["doc_id"], r["rank"]) for r in sorted(
+            out.collect(), key=lambda r: r["rank"]
+        )]
+
+    def test_near_duplicate_demoted(self, spark):
+        """Docs 1 and 2 are identical vectors with top scores; doc 3 is
+        orthogonal with a lower score. Plain ranking: 1, 2, 3. MMR:
+        the duplicate is demoted below the diverse doc."""
+        cands = [
+            (1, 10.0, [1.0, 0.0]),
+            (2, 9.9, [1.0, 0.0]),
+            (3, 7.0, [0.0, 1.0]),
+        ]
+        got = self._run(spark, cands, k=3, lam=0.5)
+        assert [d for d, _ in got] == [1, 3, 2]
+
+    def test_lambda_one_is_score_order(self, spark):
+        cands = [
+            (d, 10.0 - d, [1.0, 0.0]) for d in range(1, 6)
+        ]
+        got = self._run(spark, cands, k=5, lam=1.0)
+        assert [d for d, _ in got] == [1, 2, 3, 4, 5]
+
+    def test_python_parity(self, spark):
+        cands = [
+            (
+                d,
+                float((d * 7) % 11),
+                [float((d * 3 + i) % 5) - 2.0 for i in range(4)],
+            )
+            for d in range(1, 13)
+        ]
+        got = self._run(spark, cands, k=8, lam=0.6)
+        assert got == _mmr_ref(cands, 8, 0.6)
+
+    def test_k_clamps(self, spark):
+        cands = [(d, float(d), [1.0, float(d)]) for d in range(1, 4)]
+        got = self._run(spark, cands, k=10)
+        assert len(got) == 3
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.fusion import mmr_rerank
+
+        hits = spark.createDataFrame(
+            [("q", 1, 1.0)], "query_id string, doc_id long, score double"
+        )
+        vecs = spark.createDataFrame(
+            [(1, [1.0])], "doc_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            mmr_rerank(hits, vecs, lam=1.5)
+        with pytest.raises(ValueError):
+            mmr_rerank(hits, vecs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# layout file-skipping evidence: hilbert vs zorder vs unsorted
+# ---------------------------------------------------------------------------
+
+
+def _file_ranges_2d(path, col_a, col_b):
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        rng = {col_a: [None, None], col_b: [None, None]}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema in rng and col.statistics:
+                    s = col.statistics
+                    lo, hi = rng[col.path_in_schema]
+                    rng[col.path_in_schema] = [
+                        s.min if lo is None else min(lo, s.min),
+                        s.max if hi is None else max(hi, s.max),
+                    ]
+        if rng[col_a][0] is not None:
+            out.append((tuple(rng[col_a]), tuple(rng[col_b])))
+    return out
+
+
+def test_hilbert_layout_skips_files_end_to_end(spark, tmp_path):
+    """The layout family's actual value, measured from parquet footers
+    (the exact metadata a stats-pruning scan consults): for 2-D
+    rectangle predicates over a grid-uniform dataset written as 16
+    files, the Hilbert layout touches no more files in total than the
+    Z-order layout, and BOTH touch far fewer than the unsorted
+    round-robin write (whose every file covers the full range)."""
+    from indexlab_spark.operators.maintenance import (
+        write_hilbert_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 64
+    rows = [
+        (float(x), float(y)) for x in range(n) for y in range(n)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    paths = {}
+    for name, writer in (
+        ("hilbert", write_hilbert_clustered),
+        ("zorder", write_zorder_clustered),
+    ):
+        p = str(tmp_path / name)
+        writer(df, p, ["x", "y"], n_ranges=16, bits=8)
+        paths[name] = p
+    p_plain = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(p_plain)
+    paths["plain"] = p_plain
+
+    def files_touched(path, x0, x1, y0, y1):
+        cnt = 0
+        for (xlo, xhi), (ylo, yhi) in _file_ranges_2d(path, "x", "y"):
+            if xlo <= x1 and xhi >= x0 and ylo <= y1 and yhi >= y0:
+                cnt += 1
+        return cnt
+
+    totals = {k: 0 for k in paths}
+    for x0 in range(0, n - 16, 13):
+        for y0 in range(0, n - 16, 13):
+            for k, p in paths.items():
+                totals[k] += files_touched(
+                    p, x0, x0 + 15, y0, y0 + 15
+                )
+    assert totals["hilbert"] <= totals["zorder"], totals
+    assert totals["zorder"] < totals["plain"] * 0.6, totals
