@@ -5729,6 +5729,31 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (bm25.prf_expand, RM3 lineage): BM25
+    top-5 per query -> the 2 best relevance-weighted expansion terms
+    from those hits (terms already in the query excluded) -> a second
+    BM25 pass with the expanded queries — the classic recall lever
+    for short queries. Both passes reuse ONE materialized posting
+    frame; the expansion stage is hit-frame-sized. The oracle replays
+    the full two-stage pipeline (stage-1 ranks, term mining, qt2
+    union, stage-2 scoring) on the shared BM25 CTEs."""
+    from indexlab_spark.operators.bm25 import (
+        bm25_build,
+        bm25_score,
+        prf_expand,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    term_stats, doc_lens, globals_df = bm25_build(docs)
+    q1 = _queries_df(spark)
+    hits1 = bm25_score(q1, term_stats, doc_lens, globals_df, k=5)
+    q2 = prf_expand(q1, hits1, term_stats, n_terms=2)
+    return bm25_score(q2, term_stats, doc_lens, globals_df, k=5).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
 def _q_mmr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity re-ranking (fusion.mmr_rerank, Carbonell & Goldstein
     1998): cosine top-10 per query MMR-diversified to 5 — the pass
@@ -6297,6 +6322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_outliers": _q_seasonal_outliers,
         "binseg_revenue": _q_binseg_revenue,  # rows-only
         "mmr_embeddings": _q_mmr_embeddings,  # rows-only
+        "bm25_prf": _q_bm25_prf,
     }
 
 
@@ -11654,6 +11680,55 @@ def oracle_sql() -> dict[str, str]:
         # Hilbert replay: generated chained-CTE unroll of the same
         # canonical xy2d rounds (see _hilbert_oracle_sql).
         "hilbert_events": _hilbert_oracle_sql(8),
+        # PRF replay: stage-1 ranks from the shared BM25 CTEs, term
+        # mining over the hit docs (original-query terms excluded),
+        # expanded token multiset, stage-2 scoring + rank.
+        "bm25_prf": f"""
+            WITH {bm25_ctes},
+            h1 AS (SELECT query_id, doc_id, score
+                   FROM bm_ranked WHERE rank <= 5),
+            cand AS (
+                SELECT h.query_id, t.term,
+                       round(sum(t.tf / d.dl * h.score), 6) AS w
+                FROM h1 h
+                JOIN tf t USING (doc_id)
+                JOIN dl d ON t.doc_id = d.doc_id
+                GROUP BY 1, 2),
+            cand2 AS (
+                SELECT c.query_id, c.term, c.w
+                FROM cand c
+                LEFT JOIN qt q
+                    ON c.query_id = q.query_id AND c.term = q.term
+                WHERE q.term IS NULL),
+            topt AS (
+                SELECT query_id, term FROM (
+                    SELECT query_id, term,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY w DESC, term ASC) AS r
+                    FROM cand2)
+                WHERE r <= 2),
+            qt2 AS (
+                SELECT query_id, term, qtf FROM qt
+                UNION ALL
+                SELECT query_id, term, 1 FROM topt),
+            s2 AS (
+                SELECT q.query_id, t.doc_id,
+                       round(sum(q.qtf * i.idf_adj * t.tf * (1.5 + 1)
+                             / (t.tf + 1.5 * (1 - 0.75
+                                + 0.75 * d.dl / g.avgdl))), 6) AS score
+                FROM qt2 q
+                JOIN idf2 i USING (term)
+                JOIN tf t USING (term)
+                JOIN dl d ON t.doc_id = d.doc_id, g
+                GROUP BY 1, 2)
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT query_id, doc_id, score,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                           AS rank
+                FROM s2)
+            WHERE rank <= 5
+        """,
         # Weighted-quantile replay: identical (group, value) weight
         # collapse, cumulative window, threshold min.
         "weighted_quantiles": """

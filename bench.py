@@ -568,7 +568,11 @@ def main() -> None:
                  "binseg_revenue",
                  # mmr_embeddings 1.3s (cosine top-10 + per-query
                  # greedy over the 10-row pool)
-                 "mmr_embeddings"):
+                 "mmr_embeddings",
+                 # bm25_prf 2.9s (two scoring passes over ONE
+                 # materialized posting frame + a hit-frame-sized
+                 # expansion stage)
+                 "bm25_prf"):
         fn = entry_mod.queries()[name]
         reps = (
             2

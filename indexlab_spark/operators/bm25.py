@@ -292,3 +292,86 @@ def bm25_search(
     """Convenience: build + score in one plan (small corpora / tests)."""
     term_stats, doc_lens, globals_df = bm25_build(docs_df, doc_id_col, text_col)
     return bm25_score(queries_df, term_stats, doc_lens, globals_df, k, **kwargs)
+
+
+def prf_expand(
+    queries_df: DataFrame,
+    hits: DataFrame,
+    term_stats: DataFrame,
+    n_terms: int = 2,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 lineage,
+    Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004, public): assume
+    the first-pass top-k documents are relevant, mine them for the
+    terms that best characterize them, and append those terms to the
+    query — the classic recall lever when queries are short and the
+    vocabulary gap is real. Term weight is the relevance-weighted
+    normalized frequency ``w(t) = sum over hit docs of
+    (tf(t, d) / dl(d)) * score(d)`` (6dp); terms already in the query
+    are excluded; the top ``n_terms`` by (w desc, term asc) append to
+    the query text in rank order, so re-tokenization gives original
+    multiplicities + 1 per expansion term.
+
+    Distributed shape: the hit frame is queries x k rows; joining it
+    to the posting frame is doc-keyed (the postings never move for the
+    original corpus pass — this reuses bm25_build's materialized
+    term_stats), the candidate agg is (query, term)-keyed, and the
+    top-n window runs on the candidate frame. Nothing corpus-sized
+    shuffles a second time.
+
+    Output: query_id_col, query_col — the expanded queries frame,
+    ready for a second :func:`bm25_score` pass. Queries whose hits
+    yield no admissible terms pass through unchanged.
+    """
+    if n_terms < 1:
+        raise ValueError(f"prf_expand: n_terms must be >= 1, got {n_terms}")
+    orig = queries_df.select(query_id_col, query_col)
+    qtok = orig.select(
+        F.col(query_id_col),
+        F.explode(tokenize(F.col(query_col))).alias("term"),
+    ).distinct()
+    cand = (
+        hits.select(query_id_col, doc_id_col, "score")
+        .join(
+            term_stats.select(doc_id_col, "term", "tf", "dl"),
+            doc_id_col,
+        )
+        .groupBy(query_id_col, "term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double") / F.col("dl")
+                    * F.col("score")
+                ),
+                6,
+            ).alias("w")
+        )
+        .join(qtok, [query_id_col, "term"], "left_anti")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    top = cand.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= n_terms
+    )
+    agg = top.groupBy(query_id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_r", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("_exp")
+    )
+    return orig.join(agg, query_id_col, "left").select(
+        query_id_col,
+        F.when(
+            F.col("_exp").isNotNull(),
+            F.concat_ws(" ", F.col(query_col), F.col("_exp")),
+        )
+        .otherwise(F.col(query_col))
+        .alias(query_col),
+    )

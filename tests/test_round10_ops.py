@@ -1449,3 +1449,79 @@ def test_hilbert_layout_skips_files_end_to_end(spark, tmp_path):
                 )
     assert totals["hilbert"] <= totals["zorder"], totals
     assert totals["zorder"] < totals["plain"] * 0.6, totals
+
+
+# ---------------------------------------------------------------------------
+# prf_expand
+# ---------------------------------------------------------------------------
+
+
+class TestPrfExpand:
+    def _setup(self, spark, docs, queries):
+        from indexlab_spark.operators.bm25 import bm25_build, bm25_score
+
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        qdf = spark.createDataFrame(queries, "query_id long, query string")
+        ts, dl, g = bm25_build(ddf)
+        hits = bm25_score(qdf, ts, dl, g, k=3)
+        return qdf, hits, ts, dl, g
+
+    def test_expansion_terms_and_order(self, spark):
+        from indexlab_spark.operators.bm25 import prf_expand
+
+        docs = [
+            (1, "spark shuffle exchange partition partition"),
+            (2, "spark shuffle broadcast"),
+            (3, "cooking pasta recipe"),
+        ]
+        qdf, hits, ts, _, _ = self._setup(spark, docs, [(1, "shuffle")])
+        out = prf_expand(qdf, hits, ts, n_terms=2).collect()
+        q = out[0]["query"]
+        # original term first, then expansion terms in weight order;
+        # 'shuffle' itself excluded
+        assert q.startswith("shuffle ")
+        toks = q.split()
+        assert "shuffle" not in toks[1:]
+        assert len(toks) == 3
+        # both docs 1 and 2 contain 'spark'; 'partition' has tf 2 in
+        # doc 1 — the mined terms must come from the hit docs only
+        assert set(toks[1:]) <= {
+            "spark", "partition", "exchange", "broadcast"
+        }
+
+    def test_no_admissible_terms_passthrough(self, spark):
+        from indexlab_spark.operators.bm25 import prf_expand
+
+        docs = [(1, "alpha alpha"), (2, "alpha")]
+        qdf, hits, ts, _, _ = self._setup(spark, docs, [(1, "alpha")])
+        out = prf_expand(qdf, hits, ts, n_terms=2).collect()
+        assert out[0]["query"] == "alpha"
+
+    def test_recall_improves_second_pass(self, spark):
+        """A doc sharing NO original query term becomes retrievable
+        after expansion — the recall lever the operator exists for."""
+        from indexlab_spark.operators.bm25 import bm25_score, prf_expand
+
+        docs = [
+            (1, "neural retrieval embedding model"),
+            (2, "retrieval embedding index"),
+            (3, "embedding model training corpus"),  # no 'retrieval'
+            (4, "weather forecast sunny"),
+        ]
+        qdf, hits, ts, dl, g = self._setup(
+            spark, docs, [(1, "retrieval")]
+        )
+        first_ids = {r["doc_id"] for r in hits.collect()}
+        assert 3 not in first_ids
+        q2 = prf_expand(qdf, hits, ts, n_terms=2)
+        hits2 = bm25_score(q2, ts, dl, g, k=4)
+        second_ids = {r["doc_id"] for r in hits2.collect()}
+        assert 3 in second_ids
+        assert 4 not in second_ids  # junk stays out
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.bm25 import prf_expand
+
+        df = spark.createDataFrame([(1, "x")], "query_id long, query string")
+        with pytest.raises(ValueError):
+            prf_expand(df, df, df, n_terms=0)
