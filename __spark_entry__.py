@@ -5729,6 +5729,76 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted features (analytics.decayed_sum): per-user
+    exponentially decayed purchase value anchored at the corpus end
+    (half-life 7 days) — the standard activity/LTV feature where raw
+    sums overweight ancient history. Pure codegen decay kernel, one
+    map-combined agg; the oracle replays the microsecond pow
+    arithmetic."""
+    from indexlab_spark.operators.analytics import decayed_sum
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return decayed_sum(
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        "ts",
+        "value",
+        half_life_seconds=7 * 86400.0,
+        as_of="2024-01-31 00:00:00",
+    )
+
+
+def _q_truss_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition — template-farm extraction: the 3-truss of the
+    repeat-co-purchase graph (every surviving edge certified by a
+    mutual neighbor) decomposed into connected components with sizes —
+    the tightly-knit bundles with hub noise peeled away, THE shape a
+    template farm / bot ring makes in a near-dup graph. k_truss ->
+    connected_components -> component sizes, three registry operators
+    chained through plain DataFrames. Rows-only (k_truss's peel is
+    not SQL-replayable)."""
+    from indexlab_spark.operators.dedup import (
+        connected_components,
+        k_truss,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+    truss = k_truss(edges, 3)
+    te = truss.select("id_a", "id_b")
+    nodes = (
+        te.select(F.col("id_a").alias("id"))
+        .unionByName(te.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comps = connected_components(te, nodes)
+    sizes = comps.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return comps.join(sizes, "cluster").select(
+        F.col("cluster").alias("component"),
+        F.col("id").alias("part_id"),
+        "size",
+    )
+
+
 def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance feedback (bm25.prf_expand, RM3 lineage): BM25
     top-5 per query -> the 2 best relevance-weighted expansion terms
@@ -6323,6 +6393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_revenue": _q_binseg_revenue,  # rows-only
         "mmr_embeddings": _q_mmr_embeddings,  # rows-only
         "bm25_prf": _q_bm25_prf,
+        "decayed_user_value": _q_decayed_user_value,
+        "truss_farms": _q_truss_farms,  # rows-only
     }
 
 
@@ -11728,6 +11800,25 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM s2)
             WHERE rank <= 5
+        """,
+        # Decayed-sum replay: identical microsecond ages, pow kernel,
+        # future events excluded at the anchor.
+        "decayed_user_value": """
+            WITH p AS (
+                SELECT user_id, ts, value,
+                       (epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                        - epoch_us(CAST(ts AS TIMESTAMP)))
+                       / 1000000.0 AS age_s
+                FROM events
+                WHERE event_type = 'purchase')
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value * pow(0.5, age_s / 604800.0)), 6)
+                       AS decayed,
+                   round(sum(value), 6) AS raw_sum,
+                   TIMESTAMP '2024-01-31 00:00:00' AS anchor_ts
+            FROM p WHERE age_s >= 0
+            GROUP BY 1
         """,
         # Weighted-quantile replay: identical (group, value) weight
         # collapse, cumulative window, threshold min.

@@ -572,7 +572,14 @@ def main() -> None:
                  # bm25_prf 2.9s (two scoring passes over ONE
                  # materialized posting frame + a hit-frame-sized
                  # expansion stage)
-                 "bm25_prf"):
+                 "bm25_prf",
+                 # decayed_user_value 0.5s (one codegen decay agg).
+                 # truss_farms is gate-only like part_ktruss's denser
+                 # sibling: the truss peel + CC composition measures
+                 # 6.4s at sf0.1 (two iterative families chained) —
+                 # its pieces are already timed (part_ktruss,
+                 # dedup_clusters' CC)
+                 "decayed_user_value"):
         fn = entry_mod.queries()[name]
         reps = (
             2

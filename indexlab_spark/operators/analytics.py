@@ -5463,3 +5463,61 @@ def binseg_changepoints(
             f"cp_order {ord_type}, reduction double, n long"
         ),
     )
+
+
+def decayed_sum(
+    df: "DataFrame",
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+    as_of=None,
+) -> DataFrame:
+    """Exponentially time-decayed aggregate per group — the standard
+    recency-weighted feature (activity scores, decayed revenue,
+    trending mass): ``sum(value * 2^(-(as_of - ts) / half_life))``,
+    so yesterday counts half as much as today at a one-day half-life.
+    The feature-engineering companion to the time_decay attribution
+    model (same kernel, group-level instead of per-conversion).
+
+    ``as_of`` anchors the decay (a timestamp literal / column name);
+    None uses each GROUP's latest event (self-anchored recency —
+    deterministic, no wall clock, the Date.now-free contract). Events
+    after ``as_of`` are excluded (they haven't happened yet).
+
+    ONE map-side-combined aggregation when ``as_of`` is given; the
+    self-anchored form adds one group-keyed max-ts aggregate joined
+    back (group-sized, broadcastable). Pure codegen arithmetic —
+    microsecond-exact ages, no UDF.
+
+    Output: group_cols + n (rows in window), decayed (6dp), raw_sum
+    (undecayed, 6dp), anchor_ts.
+    """
+    if half_life_seconds <= 0:
+        raise ValueError(
+            "decayed_sum: half_life_seconds must be > 0, "
+            f"got {half_life_seconds}"
+        )
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col)
+    if as_of is None:
+        anchors = df.groupBy(*group_cols).agg(
+            F.max(ts).alias("_anchor")
+        )
+        base = df.join(F.broadcast(anchors), list(group_cols))
+    else:
+        anchor = F.lit(as_of).cast("timestamp") if isinstance(
+            as_of, str
+        ) else as_of
+        base = df.withColumn("_anchor", anchor)
+    age_s = (
+        F.unix_micros(F.col("_anchor")) - F.unix_micros(ts)
+    ).cast("double") / F.lit(1_000_000.0)
+    w = F.pow(F.lit(0.5), age_s / F.lit(float(half_life_seconds)))
+    inwin = base.filter(age_s >= 0)
+    return inwin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(v * w), 6).alias("decayed"),
+        F.round(F.sum(v), 6).alias("raw_sum"),
+        F.max("_anchor").alias("anchor_ts"),
+    )

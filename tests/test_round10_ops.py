@@ -1525,3 +1525,72 @@ class TestPrfExpand:
         df = spark.createDataFrame([(1, "x")], "query_id long, query string")
         with pytest.raises(ValueError):
             prf_expand(df, df, df, n_terms=0)
+
+
+# ---------------------------------------------------------------------------
+# decayed_sum
+# ---------------------------------------------------------------------------
+
+
+class TestDecayedSum:
+    def _rows(self):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        return [
+            ("u1", t0 + dt.timedelta(seconds=s), float(v))
+            for s, v in ((0, 10.0), (30, 20.0), (60, 40.0))
+        ]
+
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.analytics import decayed_sum
+
+        df = spark.createDataFrame(rows, "u string, ts timestamp, v double")
+        out = decayed_sum(df, ["u"], "ts", "v", **kw)
+        return {r["u"]: r for r in out.collect()}
+
+    def test_hand_computed_self_anchored(self, spark):
+        # anchor = last event (t=60); half-life 30s:
+        # 40*1 + 20*2^-1 + 10*2^-2 = 52.5
+        got = self._run(spark, self._rows(), half_life_seconds=30)
+        assert got["u1"]["decayed"] == pytest.approx(52.5)
+        assert got["u1"]["raw_sum"] == pytest.approx(70.0)
+        assert got["u1"]["n"] == 3
+
+    def test_explicit_anchor_excludes_future(self, spark):
+        # as_of = t+30: the t+60 event is in the future and excluded;
+        # 20*1 + 10*2^-1 = 25
+        got = self._run(
+            spark, self._rows(),
+            half_life_seconds=30, as_of="2024-01-01 00:00:30",
+        )
+        assert got["u1"]["decayed"] == pytest.approx(25.0)
+        assert got["u1"]["n"] == 2
+
+    def test_long_half_life_approaches_raw_sum(self, spark):
+        got = self._run(
+            spark, self._rows(), half_life_seconds=1_000_000
+        )
+        assert got["u1"]["decayed"] == pytest.approx(70.0, abs=0.01)
+
+    def test_groups_anchor_independently(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = self._rows() + [
+            ("u2", t0, 8.0),
+            ("u2", t0 + dt.timedelta(seconds=30), 8.0),
+        ]
+        got = self._run(spark, rows, half_life_seconds=30)
+        # u2 anchor is ITS latest (t+30): 8*1 + 8*0.5 = 12
+        assert got["u2"]["decayed"] == pytest.approx(12.0)
+        assert got["u1"]["decayed"] == pytest.approx(52.5)
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import decayed_sum
+
+        df = spark.createDataFrame(
+            [("u", None, 1.0)], "u string, ts timestamp, v double"
+        )
+        with pytest.raises(ValueError):
+            decayed_sum(df, ["u"], "ts", "v", half_life_seconds=0)
