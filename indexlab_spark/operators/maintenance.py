@@ -829,3 +829,84 @@ def write_hilbert_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_groups(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Execute an incremental compaction: plan the directory's files
+    with :func:`compaction_plan`, then rewrite ONLY the multi-file
+    groups (each group coalesced to one output file) while
+    single-file, already-right-sized groups are COPIED byte-for-byte
+    untouched — the OPTIMIZE-binpack executor, against
+    :func:`compact_files`' whole-directory rewrite. Rewriting a
+    fraction of a 100 TB directory instead of all of it is the whole
+    point of planning first.
+
+    Plain parquet layout (no table format, so no transactional swap):
+    the rewrite goes to ``out_path`` and the caller swaps directories
+    afterwards, same contract as compact_files. Returns
+    {files_in, bytes_in, files_out, groups_rewritten, files_copied}.
+    """
+    import os
+    import shutil
+
+    if in_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError(
+            "compact_groups: out_path must differ from in_path;"
+            " write to a sibling directory and swap afterwards"
+        )
+    names = [
+        f
+        for f in sorted(os.listdir(in_path))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    listing = spark.createDataFrame(
+        [
+            (f, os.path.getsize(os.path.join(in_path, f)))
+            for f in names
+        ],
+        "path string, size_bytes long",
+    )
+    plan = compaction_plan(
+        listing, "size_bytes", "path", target_bytes=target_bytes
+    ).collect()
+    os.makedirs(out_path, exist_ok=True)
+    groups: dict[int, list[str]] = {}
+    for r in plan:
+        groups.setdefault(r["group_id"], []).append(r["path"])
+    rewritten = copied = 0
+    for gid in sorted(groups):
+        members = groups[gid]
+        if len(members) == 1:
+            shutil.copy2(
+                os.path.join(in_path, members[0]),
+                os.path.join(out_path, members[0]),
+            )
+            copied += 1
+            continue
+        (
+            spark.read.parquet(
+                *[os.path.join(in_path, m) for m in members]
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        rewritten += 1
+    bytes_in = sum(
+        os.path.getsize(os.path.join(in_path, f)) for f in names
+    )
+    files_out = len(
+        [f for f in os.listdir(out_path) if f.endswith(".parquet")]
+    )
+    return {
+        "files_in": len(names),
+        "bytes_in": bytes_in,
+        "files_out": files_out,
+        "groups_rewritten": rewritten,
+        "files_copied": copied,
+    }

@@ -1594,3 +1594,58 @@ class TestDecayedSum:
         )
         with pytest.raises(ValueError):
             decayed_sum(df, ["u"], "ts", "v", half_life_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# compact_groups
+# ---------------------------------------------------------------------------
+
+
+class TestCompactGroups:
+    def test_rewrites_only_small_groups(self, spark, tmp_path):
+        import os
+
+        from indexlab_spark.operators.maintenance import compact_groups
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        # 6 tiny files + 1 big one
+        for i in range(6):
+            spark.range(i * 10, i * 10 + 10).coalesce(1).write.parquet(
+                str(tmp_path / f"tmp{i}")
+            )
+            import glob
+            import shutil
+
+            f = glob.glob(str(tmp_path / f"tmp{i}") + "/*.parquet")[0]
+            shutil.copy(f, f"{src}/small{i}.parquet")
+        spark.range(100, 4000).coalesce(1).write.parquet(
+            str(tmp_path / "tmpbig")
+        )
+        import glob
+        import shutil
+
+        big = glob.glob(str(tmp_path / "tmpbig") + "/*.parquet")[0]
+        shutil.copy(big, f"{src}/abig.parquet")
+        big_size = os.path.getsize(f"{src}/abig.parquet")
+
+        out = str(tmp_path / "out")
+        stats = compact_groups(
+            spark, src, out, target_bytes=big_size
+        )
+        # content preserved exactly
+        a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+        b = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert a == b
+        # fewer files out; the big file was copied, not rewritten
+        assert stats["files_out"] < stats["files_in"]
+        assert stats["files_copied"] >= 1
+        assert os.path.exists(f"{out}/abig.parquet")
+        assert os.path.getsize(f"{out}/abig.parquet") == big_size
+        assert stats["groups_rewritten"] >= 1
+
+    def test_refuses_inplace(self, spark, tmp_path):
+        from indexlab_spark.operators.maintenance import compact_groups
+
+        with pytest.raises(ValueError):
+            compact_groups(spark, str(tmp_path), str(tmp_path))

@@ -206,6 +206,29 @@ def main() -> None:
         for s, e in ((1, emb1), (n, embN))
     }
 
+    from indexlab_spark.operators.analytics import weighted_quantiles
+    from indexlab_spark.operators.maintenance import hilbert_key
+    from indexlab_spark.operators.textstats import rake_keywords
+
+    def _rake(docs):
+        return rake_keywords(docs, top_n=3).count()
+
+    def _wq(docs):
+        return weighted_quantiles(
+            docs.select(
+                "lang",
+                F.col("n_chars").cast("double").alias("v"),
+                ((F.col("doc_id") % 7) + 1).cast("double").alias("w"),
+            ),
+            ["lang"], "v", "w", [0.5, 0.9],
+        ).count()
+
+    def _hilbert(ev):
+        return hilbert_key(
+            ev.select("event_id", "user_id", "value"),
+            ["user_id", "value"], bits=8,
+        ).count()
+
     def cases(docs, ev, emb, scale=1):
         def _bm25():
             ts_, dl_, g_ = bm25_build(docs)
@@ -341,6 +364,17 @@ def main() -> None:
             "ivf_append_fixed_batch": lambda: ivf_append(
                 ivf_batch, ivf_cent[scale]
             ).count(),
+            # round 10: RAKE is doc-keyed throughout (regex
+            # segmentation + (doc, word) aggs + doc-keyed top-n) —
+            # growth ~N; a blowup would mean a stage lost its doc key
+            "rake_keywords": lambda: _rake(docs),
+            # weighted quantiles: the (group, value) collapse is the
+            # corpus pass; the cumulative window runs on the value
+            # DOMAIN (grows slower than rows) — growth <= N
+            "weighted_quantiles": lambda: _wq(docs),
+            # hilbert key: stats collect + pure projection — growth ~N
+            # with zero exchanges (the layout key must stay free)
+            "hilbert_key": lambda: _hilbert(ev),
         }
 
     def timed_min2(fn):
