@@ -1649,3 +1649,111 @@ class TestCompactGroups:
 
         with pytest.raises(ValueError):
             compact_groups(spark, str(tmp_path), str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests for the round-10 statistics family
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_quantiles_property_random(spark):
+    """Hypothesis: on arbitrary (value, integer-weight) multisets, the
+    weighted quantile equals the type-1 quantile of the exploded
+    multiset for arbitrary probs — replication equivalence holds off
+    the fixture."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import weighted_quantiles
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=1, max_value=5),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+    )
+    def inner(pairs, p):
+        rows = [("g", float(v), float(w)) for v, w in pairs]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        got = {
+            r["p"]: r["quantile"]
+            for r in weighted_quantiles(df, ["g"], "v", "w", [p]).collect()
+        }
+        exploded = sorted(float(v) for v, w in pairs for _ in range(w))
+        k = math.ceil(p * len(exploded))
+        assert got[p] == exploded[k - 1]
+
+    inner()
+
+
+def test_amoc_property_brute_force_random(spark):
+    """Hypothesis: on arbitrary series, the AMOC split equals the
+    brute-force minimum over all admissible splits (earliest tie)."""
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import amoc_changepoint
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-20, max_value=20),
+            min_size=4,
+            max_size=40,
+        )
+    )
+    def inner(vals):
+        xs = [float(v) for v in vals]
+        rows = [("g", t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        got = amoc_changepoint(df, ["g"], "t", "x", min_seg=2).collect()
+        (sse, i, ml, mr), sse_tot = _amoc_ref(xs, min_seg=2)
+        assert got[0]["cp_index"] == i
+        assert got[0]["sse_best"] == pytest.approx(sse, abs=1e-4)
+
+    inner()
+
+
+def test_srm_property_chi2_random_counts(spark):
+    """Hypothesis: for arbitrary arm counts and designed shares, the
+    chi-square total equals the textbook sum and the flag fires
+    exactly at crit."""
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import srm_check
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=200),
+            min_size=2,
+            max_size=4,
+        ),
+        st.floats(min_value=0.5, max_value=10.0),
+    )
+    def inner(counts, crit):
+        if sum(counts) == 0:
+            return
+        arms = [f"a{i}" for i in range(len(counts))]
+        share = 1.0 / len(arms)
+        expected = {a: share for a in arms}
+        rows = [(a,) for a, n in zip(arms, counts) for _ in range(n)]
+        df = spark.createDataFrame(rows, "variant string")
+        out = {
+            r["variant"]: r
+            for r in srm_check(df, "variant", expected, crit=crit).collect()
+        }
+        tot = sum(counts)
+        chi2 = sum(
+            (n - share * tot) ** 2 / (share * tot) for n in counts
+        )
+        assert out["<ALL>"]["chi2"] == pytest.approx(chi2, abs=1e-5)
+        assert out["<ALL>"]["srm"] is (chi2 > crit)
+
+    inner()
