@@ -4686,8 +4686,18 @@ def _srm_table(
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         F.coalesce("expected_share", F.lit(0.0)).alias("expected_share"),
     )
-    total = cells.agg(F.sum("n").alias("_tot"))
-    cells = cells.crossJoin(F.broadcast(total))
+    # the grand total via a window over the ARM-SIZED cells frame —
+    # an agg + crossJoin-back would re-derive cells and re-scan the
+    # corpus (Spark does not share common subplans across branches);
+    # the unpartitioned window is over arms+1 rows, not data
+    cells = cells.withColumn(
+        "_tot",
+        F.sum("n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
     exp_n = F.col("expected_share") * F.col("_tot")
     contrib = F.when(
         exp_n > 0,
@@ -4698,25 +4708,31 @@ def _srm_table(
         F.when(F.col("n") > 0, F.lit(float(crit)) + F.col("n"))
         .otherwise(F.lit(0.0))
     )
-    arm_rows = cells.select(
-        "variant",
-        "n",
-        F.round("expected_share", 6).alias("expected_share"),
-        F.round(exp_n, 6).alias("expected_n"),
-        F.round(contrib, 6).alias("chi2_contrib"),
-        F.lit(None).cast("double").alias("chi2"),
-        F.lit(None).cast("boolean").alias("srm"),
+    # arm rows AND the <ALL> total in ONE pass: a rollup over the
+    # arm-sized cells frame — a union of two branches would re-derive
+    # cells and RE-SCAN the corpus for the total row (audited via
+    # explain; rollup's Expand merely doubles the arm-sized frame)
+    scored = cells.select(
+        "variant", "n", "expected_share", exp_n.alias("_en"),
+        contrib.alias("_c"),
     )
-    tot_row = cells.agg(
-        F.lit("<ALL>").alias("variant"),
+    g = scored.rollup("variant").agg(
         F.sum("n").cast("long").alias("n"),
-        F.round(F.sum("expected_share"), 6).alias("expected_share"),
-        F.round(F.sum(exp_n), 6).alias("expected_n"),
-        F.lit(None).cast("double").alias("chi2_contrib"),
-        F.round(F.sum(contrib), 6).alias("chi2"),
-        (F.sum(contrib) > F.lit(float(crit))).alias("srm"),
+        F.sum("expected_share").alias("_sh"),
+        F.sum("_en").alias("_ens"),
+        F.sum("_c").alias("_cs"),
+        F.grouping("variant").alias("_g"),
     )
-    return arm_rows.unionByName(tot_row)
+    is_tot = F.col("_g") == 1
+    return g.select(
+        F.coalesce("variant", F.lit("<ALL>")).alias("variant"),
+        "n",
+        F.round("_sh", 6).alias("expected_share"),
+        F.round("_ens", 6).alias("expected_n"),
+        F.when(~is_tot, F.round("_cs", 6)).alias("chi2_contrib"),
+        F.when(is_tot, F.round("_cs", 6)).alias("chi2"),
+        F.when(is_tot, F.col("_cs") > F.lit(float(crit))).alias("srm"),
+    )
 
 
 def delta_method_ratio(

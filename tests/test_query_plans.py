@@ -878,3 +878,20 @@ def test_hilbert_key_no_exchange(spark, sf_dir):
     assert not exchanges, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, plan
+
+
+def test_srm_single_corpus_scan(spark, sf_dir):
+    """srm_check reads the unit frame ONCE: the total comes from a
+    window over the arm-sized cells frame and the <ALL> row from a
+    rollup — an agg-and-crossJoin-back or a union of branches would
+    re-derive the counts and re-scan the corpus (Spark shares no
+    common subplans across branches; audited via explain in r10)."""
+    import __spark_entry__ as entry_mod
+
+    plan = (
+        entry_mod.queries()["srm_events"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
+    assert scans == 1, plan
+    assert "Expand" in plan  # the rollup, not a union of branches
