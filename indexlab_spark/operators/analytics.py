@@ -4963,12 +4963,16 @@ def seasonal_decompose(
     of the detrended series, centered so the seasonal components sum
     to ~zero over one cycle. resid = value - trend - seasonal.
 
-    Distributed shape: ONE exchange on the group keys serves the
-    row-number index and the MA window; slot means are a
-    (groups x period)-sized aggregate broadcast-joined back; nothing
-    else shuffles. The input must be a PRE-AGGREGATED series (one row
-    per group x order value — the holt/cusum discipline), so the
-    frame is calendar-bounded at any corpus size.
+    Distributed shape: the row-number index and MA window ride one
+    exchange on the group keys; slot means and their centering are
+    WINDOWS over the same calendar-bounded frame (a (group, slot)
+    window plus a one-representative-per-slot group-window average —
+    exactly the mean of slot means), so there is NO join and the
+    input is derived exactly once (a groupBy + join-back would
+    re-derive a lazily-corpus-derived input a second time). The input
+    must be a PRE-AGGREGATED series (one row per group x order value —
+    the holt/cusum discipline), so every frame is calendar-bounded at
+    any corpus size.
 
     Output: group_cols + order_col, value, trend, seasonal, resid
     (all 6dp), slot. Groups shorter than period + 1 rows have no full
@@ -5002,17 +5006,29 @@ def seasonal_decompose(
     with_trend = base.withColumn("_trend", trend).withColumn(
         "_slot", F.col("_idx") % m
     )
-    slot_means = with_trend.groupBy(*group_cols, "_slot").agg(
-        F.avg(F.col("_x") - F.col("_trend")).alias("_raw_seas")
-    )
+    # slot means + centering via WINDOWS over the (already tiny,
+    # calendar-bounded) keyed frame — a groupBy + join-back would
+    # re-derive the input (often a lazy corpus aggregation) a second
+    # time (the srm_check single-scan lesson, audited r10). The
+    # centering averages ONE representative row per slot, which is
+    # exactly the mean of slot means (slots with no defined detrended
+    # value stay NULL and drop from the window avg, the groupBy
+    # semantics).
+    sw = Window.partitionBy(*group_cols, "_slot")
     gw = Window.partitionBy(*group_cols)
-    centered = slot_means.select(
-        *group_cols,
-        "_slot",
-        (F.col("_raw_seas") - F.avg("_raw_seas").over(gw)).alias("_seas"),
+    slotted = with_trend.select(
+        "*",
+        F.avg(F.col("_x") - F.col("_trend")).over(sw).alias("_raw_seas"),
+        F.row_number().over(
+            sw.orderBy("_idx")
+        ).alias("_slot_rn"),
     )
-    joined = with_trend.join(
-        F.broadcast(centered), [*group_cols, "_slot"], "left"
+    joined = slotted.withColumn(
+        "_seas",
+        F.col("_raw_seas")
+        - F.avg(
+            F.when(F.col("_slot_rn") == 1, F.col("_raw_seas"))
+        ).over(gw),
     )
     return joined.select(
         *group_cols,
@@ -5130,12 +5146,13 @@ def amoc_changepoint(
 
     Every split cost comes from prefix sums: SSE(1..i) = q_i -
     s_i^2 / i with s, q the cumulative sum and sum of squares, so the
-    whole scan is ONE ordered cumulative window + one
-    map-side-combined min_by aggregation per group — never a per-split
-    rescan, nothing per-row on the driver. The input must be a
-    pre-aggregated series (the cusum/holt discipline). Both engines
-    fold the cumulative in the same order, so the argmin is
-    arithmetic-identical and oracle-checkable.
+    whole scan is ONE ordered cumulative window (the group totals are
+    a full-frame window on the SAME exchange — zero joins, the input
+    derived exactly once) + one map-side-combined min_by aggregation
+    per group — never a per-split rescan, nothing per-row on the
+    driver. The input must be a pre-aggregated series (the cusum/holt
+    discipline). Both engines fold the cumulative in the same order,
+    so the argmin is arithmetic-identical and oracle-checkable.
 
     ``min_seg`` bounds both segment lengths (>= min_seg points each).
     Ties on cost pick the EARLIEST split. Groups with n < 2 * min_seg
@@ -5153,6 +5170,11 @@ def amoc_changepoint(
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     x = F.col(value_col).cast("double")
+    # group totals via a FULL-FRAME window on the same keyed exchange
+    # the cumsum already pays — a groupBy + broadcast join-back would
+    # re-derive the (possibly lazily corpus-derived) input frame a
+    # second time (the srm_check single-scan lesson, audited r10)
+    full = Window.partitionBy(*group_cols)
     base = df.select(
         *group_cols,
         F.col(order_col).alias("_ord"),
@@ -5161,12 +5183,12 @@ def amoc_changepoint(
         F.sum(x).over(cum).alias("_s"),
         F.sum(x * x).over(cum).alias("_q"),
     )
-    totals = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.max_by("_s", "_i").alias("_st"),
-        F.max_by("_q", "_i").alias("_qt"),
+    joined = base.select(
+        "*",
+        F.count(F.lit(1)).over(full).alias("_n"),
+        F.max_by("_s", "_i").over(full).alias("_st"),
+        F.max_by("_q", "_i").over(full).alias("_qt"),
     )
-    joined = base.join(F.broadcast(totals), list(group_cols))
     i = F.col("_i").cast("double")
     nn = F.col("_n").cast("double")
     sse_l = F.col("_q") - F.col("_s") * F.col("_s") / i

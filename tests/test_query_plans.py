@@ -746,12 +746,12 @@ def test_ratio_and_did_single_reduction(spark):
     assert plan.count("HashAggregate") == 2, plan
 
 
-def test_amoc_broadcast_totals_keyed_window(spark):
-    """amoc_changepoint: the per-group totals hang back on the
-    cumulative frame via a BROADCAST join (the totals frame is
-    group-count-sized), the cumsum is one keyed window (never
-    SinglePartition), and the argmin is a map-combined min_by — no
-    sort-merge join, no per-split rescan."""
+def test_amoc_windows_only_no_join(spark):
+    """amoc_changepoint: the per-group totals come from a FULL-FRAME
+    window on the same keyed exchange the cumsum pays — ZERO joins of
+    any kind (a groupBy + join-back would re-derive the input a
+    second time — the r10 single-scan audit), never SinglePartition,
+    and the argmin is a map-combined min_by."""
     from indexlab_spark.operators.analytics import amoc_changepoint
 
     rows = [("g", float(i), float(i > 5)) for i in range(12)]
@@ -760,15 +760,15 @@ def test_amoc_broadcast_totals_keyed_window(spark):
         amoc_changepoint(df, ["seg"], "t", "v")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
     assert "SinglePartition" not in plan, plan
 
 
-def test_seasonal_decompose_broadcast_slot_join(spark):
-    """seasonal_decompose: the (groups x period)-sized slot-mean frame
-    joins back as a BROADCAST — the calendar-bounded series frame must
-    never shuffle for that join."""
+def test_seasonal_decompose_windows_only_no_join(spark):
+    """seasonal_decompose: slot means + centering are WINDOWS over the
+    calendar-bounded keyed frame — ZERO joins (the groupBy +
+    broadcast-join-back shape re-derived the input a second time —
+    the r10 single-scan audit), never SinglePartition."""
     from indexlab_spark.operators.analytics import seasonal_decompose
 
     rows = [("g", i, float(i % 7) + 0.1 * i) for i in range(30)]
@@ -777,8 +777,7 @@ def test_seasonal_decompose_broadcast_slot_join(spark):
         seasonal_decompose(df, ["seg"], "t", "v", period=7)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
     assert "SinglePartition" not in plan, plan
 
 
