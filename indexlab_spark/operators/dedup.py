@@ -2483,12 +2483,20 @@ def degree_assortativity(
         .filter(F.col("_u") != F.col("_v"))
         .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
         .distinct()
+        # the canonical edge frame feeds the degree agg, BOTH degree
+        # joins and both orientations — without a checkpoint every
+        # consumer re-derives it from the caller's (possibly
+        # join-built) lineage; first audit showed 24 source scans
+        # (the k_core multi-consumer discipline; lazy — materialized
+        # by the first action)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("_u").alias("_n"))
         .unionAll(e.select(F.col("_v").alias("_n")))
         .groupBy("_n")
         .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=False)
     )
     both = e.join(
         deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du")), "_u"
