@@ -2601,7 +2601,10 @@ def _edge_support(e: DataFrame) -> DataFrame:
         F.when(F.col("ka") < F.col("kb"), F.col("kb"))
         .otherwise(F.col("ka"))
         .alias("kdst"),
-    )
+        # consumed THREE times (both wedge sides + the closure probe):
+        # without a checkpoint each consumer re-runs the degree agg and
+        # both joins every peel round (the assortativity audit lesson)
+    ).localCheckpoint(eager=False)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
