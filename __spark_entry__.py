@@ -5729,6 +5729,37 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_part_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering (dedup.clustering_coefficients, Watts
+    & Strogatz 1998) over the repeat-co-purchase graph — the
+    node-level refinement of order_triangles' single global number:
+    high-degree/low-lcc nodes are pure hubs, high-lcc nodes sit in
+    genuine cliques (the per-node spam/bot feature). One oriented
+    triangle pass + a node-keyed credit agg; the oracle replays the
+    canonical a<b<c triple join."""
+    from indexlab_spark.operators.dedup import clustering_coefficients
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+    return clustering_coefficients(edges)
+
+
 def _q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted features (analytics.decayed_sum): per-user
     exponentially decayed purchase value anchored at the corpus end
@@ -6395,6 +6426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf": _q_bm25_prf,
         "decayed_user_value": _q_decayed_user_value,
         "truss_farms": _q_truss_farms,  # rows-only
+        "part_lcc": _q_part_lcc,
     }
 
 
@@ -11819,6 +11851,40 @@ def oracle_sql() -> dict[str, str]:
                    TIMESTAMP '2024-01-31 00:00:00' AS anchor_ts
             FROM p WHERE age_s >= 0
             GROUP BY 1
+        """,
+        # Local-clustering replay: canonical a<b<c triple join credits
+        # each triangle's three nodes; degree-1 nodes get NULL lcc.
+        "part_lcc": """
+            WITH raw AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2),
+            deg AS (
+                SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT u AS n FROM raw
+                      UNION ALL SELECT v FROM raw)
+                GROUP BY 1),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM raw e1
+                JOIN raw e2 ON e1.v = e2.u
+                JOIN raw e3 ON e3.u = e1.u AND e3.v = e2.v),
+            pn AS (
+                SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles
+                FROM (SELECT a AS n FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY 1)
+            SELECT d.node, d.degree,
+                   CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+                   round(CASE WHEN d.degree >= 2 THEN
+                       coalesce(pn.triangles, 0)
+                       / (d.degree * (d.degree - 1) / 2.0)
+                   END, 6) AS lcc
+            FROM deg d LEFT JOIN pn ON d.node = pn.node
         """,
         # Weighted-quantile replay: identical (group, value) weight
         # collapse, cumulative window, threshold min.

@@ -579,7 +579,10 @@ def main() -> None:
                  # 6.4s at sf0.1 (two iterative families chained) —
                  # its pieces are already timed (part_ktruss,
                  # dedup_clusters' CC)
-                 "decayed_user_value"):
+                 "decayed_user_value",
+                 # part_lcc 3.3s (one oriented triangle pass; the
+                 # co-purchase self-join dominates, as in link_parts)
+                 "part_lcc"):
         fn = entry_mod.queries()[name]
         reps = (
             2

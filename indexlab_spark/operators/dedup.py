@@ -2710,3 +2710,120 @@ def k_truss(
         F.col("b").alias(b_col),
         "support",
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """PER-NODE local clustering coefficients (Watts & Strogatz 1998,
+    public) — the node-level refinement of :func:`triangle_count`'s
+    single global number: lcc(v) = triangles through v / (deg(v)
+    choose 2), the "how clique-like is THIS node's neighborhood"
+    signal that separates a genuine community member (high lcc) from
+    a pure hub (high degree, lcc ~ 0) — per-node input for spam/bot
+    scoring where k_core/k_truss give set-level answers.
+
+    Simple-graph semantics (triangle_count's contract). Distributed
+    shape: the canonical edge frame checkpoints once (multi-consumer
+    discipline), triangles enumerate ONCE via the degree-ordered
+    oriented wedge join (O(sqrt(m)) oriented out-degree), then each
+    triangle credits its THREE nodes map-side and a node-keyed count
+    joins back onto the degree frame — all keyed, nothing quadratic.
+
+    Output: node, degree (long), triangles (long, 0 for none), lcc
+    (6dp; NULL for degree-1 nodes, where the denominator is 0 —
+    networkx reports 0 there, the NULL makes the undefinedness
+    explicit and is documented).
+    """
+    e = (
+        edges.filter(F.col(a_col) != F.col(b_col))
+        .select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    keyed = (
+        e.join(
+            deg.select(
+                F.col("node").alias("a"), F.col("degree").alias("da")
+            ),
+            "a",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("degree").alias("db")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("i")).alias(
+                "ka"
+            ),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("i")).alias(
+                "kb"
+            ),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("dst"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+        .otherwise(F.col("ka"))
+        .alias("kdst"),
+    ).localCheckpoint(eager=False)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    closed = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.kdst") < F.col("o2.kdst")),
+        )
+        .select(
+            F.col("o1.src").alias("u"),
+            F.col("o1.dst").alias("v"),
+            F.col("o2.dst").alias("w"),
+        )
+        .join(
+            oriented,
+            (F.col("v") == F.col("src")) & (F.col("w") == F.col("dst")),
+        )
+        .select("u", "v", "w")
+    )
+    per_node = (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    denom = (
+        F.col("degree").cast("double")
+        * (F.col("degree").cast("double") - 1)
+        / 2.0
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce("triangles", F.lit(0)) / denom,
+            ),
+            6,
+        ).alias("lcc"),
+    )

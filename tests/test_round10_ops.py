@@ -1757,3 +1757,81 @@ def test_srm_property_chi2_random_counts(spark):
         assert out["<ALL>"]["srm"] is (chi2 > crit)
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients
+# ---------------------------------------------------------------------------
+
+
+def _lcc_ref(edges):
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        tri = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and (min(x, y), max(x, y)) in E
+        )
+        out[n] = (d, tri, (tri / (d * (d - 1) / 2)) if d >= 2 else None)
+    return out
+
+
+class TestClusteringCoefficients:
+    def _run(self, spark, edges):
+        from indexlab_spark.operators.dedup import clustering_coefficients
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["node"]: (r["degree"], r["triangles"], r["lcc"])
+            for r in clustering_coefficients(df).collect()
+        }
+
+    def test_triangle_plus_pendant(self, spark):
+        # triangle 0-1-2 with a pendant 3 hanging off 2
+        got = self._run(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+        assert got[0] == (2, 1, 1.0)
+        assert got[1] == (2, 1, 1.0)
+        assert got[2][0] == 3 and got[2][1] == 1
+        assert got[2][2] == pytest.approx(1 / 3)
+        assert got[3] == (1, 0, None)  # degree-1: undefined
+
+    def test_k4_all_one(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        got = self._run(spark, k4)
+        assert all(v == (3, 3, 1.0) for v in got.values())
+
+    def test_star_hub_zero(self, spark):
+        got = self._run(spark, [(0, i) for i in range(1, 6)])
+        assert got[0] == (5, 0, 0.0)
+
+    def test_python_parity_random(self, spark):
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    ((i * i) % 19, (i * 5 + 2) % 19) for i in range(70)
+                )
+                if a != b
+            }
+        )
+        got = self._run(spark, edges)
+        ref = _lcc_ref(edges)
+        for n, (d, tri, lcc) in ref.items():
+            gd, gt, gl = got[n]
+            assert (gd, gt) == (d, tri), n
+            if lcc is None:
+                assert gl is None
+            else:
+                assert gl == pytest.approx(lcc, abs=1e-6)
+
+    def test_multigraph_collapse(self, spark):
+        base = [(0, 1), (0, 2), (1, 2)]
+        noisy = base + [(1, 0), (2, 2)]
+        assert self._run(spark, base) == self._run(spark, noisy)
