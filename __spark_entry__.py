@@ -5729,6 +5729,22 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_event_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dominance matrix (evaluate.pairwise_winrates): which
+    event type wins each DAY on revenue, across all type pairs — the
+    per-unit comparison a mean-revenue delta hides (A can win 80% of
+    days by a hair and lose 20% catastrophically). One unit-keyed
+    self-join bounded by systems^2 per unit + a pair-sized agg; ties
+    credit 1/2."""
+    from indexlab_spark.operators.evaluate import pairwise_winrates
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return pairwise_winrates(daily, "day", "event_type", "revenue")
+
+
 def _q_part_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering (dedup.clustering_coefficients, Watts
     & Strogatz 1998) over the repeat-co-purchase graph — the
@@ -6427,6 +6443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_user_value": _q_decayed_user_value,
         "truss_farms": _q_truss_farms,  # rows-only
         "part_lcc": _q_part_lcc,
+        "event_winrates": _q_event_winrates,
     }
 
 
@@ -11885,6 +11902,31 @@ def oracle_sql() -> dict[str, str]:
                        / (d.degree * (d.degree - 1) / 2.0)
                    END, 6) AS lcc
             FROM deg d LEFT JOIN pn ON d.node = pn.node
+        """,
+        # Winrate replay: per-day revenue per type, unit-keyed pair
+        # join, ties at 1/2.
+        "event_winrates": """
+            WITH d AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS u,
+                       event_type AS s,
+                       round(sum(value), 6) AS m
+                FROM events GROUP BY 1, 2),
+            p AS (
+                SELECT a.s AS system_a, b.s AS system_b,
+                       a.m AS ma, b.m AS mb
+                FROM d a JOIN d b ON a.u = b.u AND a.s < b.s)
+            SELECT system_a, system_b,
+                   CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(CASE WHEN ma > mb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wins_a,
+                   CAST(sum(CASE WHEN ma < mb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wins_b,
+                   CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ties,
+                   round((sum(CASE WHEN ma > mb THEN 1 ELSE 0 END)
+                          + 0.5 * sum(CASE WHEN ma = mb THEN 1 ELSE 0 END))
+                         / count(*), 6) AS win_rate_a
+            FROM p GROUP BY 1, 2
         """,
         # Weighted-quantile replay: identical (group, value) weight
         # collapse, cumulative window, threshold min.

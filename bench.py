@@ -582,7 +582,9 @@ def main() -> None:
                  "decayed_user_value",
                  # part_lcc 3.3s (one oriented triangle pass; the
                  # co-purchase self-join dominates, as in link_parts)
-                 "part_lcc"):
+                 "part_lcc",
+                 # event_winrates 0.4s (calendar-bounded pair join)
+                 "event_winrates"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -237,3 +237,71 @@ def bootstrap_delta(
             "frac_ge_0",
         )
     )
+
+
+def pairwise_winrates(
+    df: DataFrame,
+    unit_col: str,
+    system_col: str,
+    metric_col: str,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Pairwise win/tie/loss matrix between SYSTEMS over shared
+    evaluation units (queries, days, test cases) — the many-system
+    completion of eval_compare's two-run delta: when k models /
+    retrieval configs / pipelines are scored on the same units, the
+    honest comparison is per-unit dominance, not mean-metric deltas
+    (a mean hides that A wins 80% of units by a hair and loses 20%
+    catastrophically). win_rate credits ties at 1/2 (the standard
+    convention, so A vs B and B vs A sum to 1).
+
+    Distributed shape: ONE self-join KEYED ON THE UNIT (fan-out
+    bounded by systems^2 per unit — systems are few by nature), then
+    a map-side-combined (system_a, system_b) aggregation to the
+    pair-sized matrix. Units missing a system's score simply don't
+    pair for that system (documented: win rates are over units BOTH
+    systems scored).
+
+    Output per unordered pair (system_a < system_b): n_units, wins_a,
+    wins_b, ties, win_rate_a (6dp).
+    """
+    m = F.col(metric_col).cast("double")
+    base = df.filter(m.isNotNull()).select(
+        F.col(unit_col).alias("_u"),
+        F.col(system_col).alias("_s"),
+        m.alias("_m"),
+    )
+    a = base.select(
+        F.col("_u"), F.col("_s").alias("system_a"), F.col("_m").alias("_ma")
+    )
+    b = base.select(
+        F.col("_u"), F.col("_s").alias("system_b"), F.col("_m").alias("_mb")
+    )
+    pairs = a.join(b, "_u").filter(F.col("system_a") < F.col("system_b"))
+    better = F.col("_ma") > F.col("_mb") if higher_is_better else (
+        F.col("_ma") < F.col("_mb")
+    )
+    worse = F.col("_ma") < F.col("_mb") if higher_is_better else (
+        F.col("_ma") > F.col("_mb")
+    )
+    agg = pairs.groupBy("system_a", "system_b").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.when(better, 1).otherwise(0)).cast("long").alias("wins_a"),
+        F.sum(F.when(worse, 1).otherwise(0)).cast("long").alias("wins_b"),
+        F.sum(
+            F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0)
+        ).cast("long").alias("ties"),
+    )
+    return agg.select(
+        "system_a",
+        "system_b",
+        "n_units",
+        "wins_a",
+        "wins_b",
+        "ties",
+        F.round(
+            (F.col("wins_a") + 0.5 * F.col("ties"))
+            / F.col("n_units"),
+            6,
+        ).alias("win_rate_a"),
+    )

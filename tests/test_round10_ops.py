@@ -1835,3 +1835,50 @@ class TestClusteringCoefficients:
         base = [(0, 1), (0, 2), (1, 2)]
         noisy = base + [(1, 0), (2, 2)]
         assert self._run(spark, base) == self._run(spark, noisy)
+
+
+# ---------------------------------------------------------------------------
+# pairwise_winrates
+# ---------------------------------------------------------------------------
+
+
+class TestPairwiseWinrates:
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.evaluate import pairwise_winrates
+
+        df = spark.createDataFrame(rows, "u long, s string, m double")
+        out = pairwise_winrates(df, "u", "s", "m", **kw)
+        return {(r["system_a"], r["system_b"]): r for r in out.collect()}
+
+    def test_hand_matrix(self, spark):
+        rows = [
+            (1, "A", 3.0), (1, "B", 1.0), (1, "C", 3.0),
+            (2, "A", 2.0), (2, "B", 5.0), (2, "C", 1.0),
+            (3, "A", 4.0), (3, "B", 4.0), (3, "C", 0.0),
+        ]
+        got = self._run(spark, rows)
+        ab = got[("A", "B")]
+        assert (ab["wins_a"], ab["wins_b"], ab["ties"]) == (1, 1, 1)
+        assert ab["win_rate_a"] == pytest.approx(0.5)
+        ac = got[("A", "C")]
+        assert (ac["wins_a"], ac["wins_b"], ac["ties"]) == (2, 0, 1)
+        assert ac["win_rate_a"] == pytest.approx(5 / 6)
+
+    def test_lower_is_better(self, spark):
+        rows = [(1, "A", 1.0), (1, "B", 2.0)]
+        got = self._run(spark, rows, higher_is_better=False)
+        assert got[("A", "B")]["wins_a"] == 1
+
+    def test_missing_units_dont_pair(self, spark):
+        rows = [
+            (1, "A", 1.0), (1, "B", 2.0),
+            (2, "A", 9.0),  # B missing on unit 2
+        ]
+        got = self._run(spark, rows)
+        assert got[("A", "B")]["n_units"] == 1
+
+    def test_null_metric_excluded(self, spark):
+        rows = [(1, "A", 1.0), (1, "B", None), (2, "A", 1.0), (2, "B", 0.0)]
+        got = self._run(spark, rows)
+        assert got[("A", "B")]["n_units"] == 1
+        assert got[("A", "B")]["wins_a"] == 1
