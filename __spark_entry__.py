@@ -6204,7 +6204,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events;
         # holt_winters_hourly is rows-only and stays parked) followed
         # by every operator newly oracle-registered in r10 (registry
-        # order: srm_events .. attribution_decay) — then the
+        # order: srm_events, ratio_ab_events, did_events,
+        # seasonal_daily, ccf_events, amoc_revenue, rake_docs,
+        # part_assortativity, compaction_docs, attribution_decay,
+        # cross_source_dups, dp_lang_counts, hilbert_events,
+        # weighted_quantiles, seasonal_outliers, bm25_prf,
+        # decayed_user_value, part_lcc, event_winrates — 19 of them,
+        # so with the 12 anchors + 5 round-9 leftovers the r11 window
+        # holds 36 never-attested entries and 14 backfill slots: the
+        # 8 r05-green leftovers + the first 6 r06-green entries) — then the
         # oldest-attestation backfill: the 8 r05-green leftovers below
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
