@@ -752,3 +752,122 @@ def ewma_monitor_points(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path.rstrip("/") + "/points").drop(
         "batch_id"
     )
+
+
+def decay_mass_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+    epoch: str = "2024-01-01 00:00:00",
+    query_name: str = "decay_mass_monitor",
+):
+    """Live exponentially-decayed activity state over a stream — by
+    LINEARIZING the decay kernel: ``value * 2^(-(as_of - ts)/hl)``
+    factors into ``(value * 2^((ts - epoch)/hl)) * 2^(-(as_of -
+    epoch)/hl)``, so the per-event MASS ``value * 2^((ts - epoch)/hl)``
+    is anchor-free and ADDITIVE — which puts the decayed-sum feature
+    into the linear-monitor discipline (CM/PSI/SRM): per-batch per-key
+    mass partials written as ``batch_id=N`` partitions with dynamic
+    overwrite, replay-safe by byte-identical recompute, and ANY
+    later as_of is answered from the same state by one multiply.
+    The EWMA monitor carries fold state because its recurrence is
+    neither linear nor mergeable; this one needs no state carry at
+    all — the algebra did the work.
+
+    ``epoch`` rebase contract: masses are exact doubles while
+    ``(ts - epoch) / half_life`` stays within ~±1000 (2^1000 bounds);
+    pick an epoch near the data and re-base state when a deployment
+    outlives that window (documented, checked loudly at read time by
+    the totals helper's finiteness assert).
+
+    Totals: :func:`decay_mass_totals` collapses the partitions (one
+    key-sized sum) and multiplies by the requested anchor's factor —
+    EXACTLY equal to a one-shot batch
+    :func:`~indexlab_spark.operators.analytics.decayed_sum` with the
+    same fixed anchor to 6dp (the factored product reassociates the
+    float arithmetic — pinned in tests at 1e-4). Events after ``as_of`` are
+    excluded there, not here (state stays anchor-free).
+    """
+    if half_life_seconds <= 0:
+        raise ValueError(
+            "decay_mass_monitor_stream: half_life_seconds must be > 0"
+        )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mass = (
+            F.col(value_col).cast("double")
+            * F.pow(
+                F.lit(2.0),
+                (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.lit(epoch).cast("timestamp"))
+                ).cast("double")
+                / F.lit(1_000_000.0 * float(half_life_seconds)),
+            )
+        )
+        part = batch_df.groupBy(
+            F.col(key_col).alias("_key")
+        ).agg(
+            F.sum(mass).alias("_mass"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(
+                    F.col(ts_col).isNotNull(),
+                    F.col(value_col).cast("double"),
+                )
+            ).alias("_raw"),
+            F.max(F.col(ts_col)).alias("_max_ts"),
+        )
+        _write_state(part, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def decay_mass_totals(
+    spark: SparkSession,
+    state_path: str,
+    half_life_seconds: float,
+    as_of: str,
+    epoch: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Answer "decayed activity as of T" from the anchor-free mass
+    state: fold the batch partitions (linearity: one key-sized sum),
+    multiply every key's mass by the single factor
+    ``2^(-(as_of - epoch)/hl)``. Keys whose latest event is AFTER
+    ``as_of`` are reported too (their post-anchor events inflate the
+    total — the streaming state cannot un-add them; ask for anchors
+    at or after the drained watermark, documented)."""
+    import datetime as _dt
+
+    t_anchor = _dt.datetime.fromisoformat(as_of)
+    t_epoch = _dt.datetime.fromisoformat(epoch)
+    factor = 2.0 ** (
+        -(t_anchor - t_epoch).total_seconds() / float(half_life_seconds)
+    )
+    folded = (
+        spark.read.parquet(state_path)
+        .groupBy("_key")
+        .agg(
+            F.sum("_mass").alias("_mass"),
+            F.sum("_n").alias("n"),
+            F.sum("_raw").alias("_raw"),
+            F.max("_max_ts").alias("anchor_guard_max_ts"),
+        )
+    )
+    return folded.select(
+        F.col("_key").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_mass") * F.lit(factor), 6).alias("decayed"),
+        F.round("_raw", 6).alias("raw_sum"),
+        "anchor_guard_max_ts",
+    )

@@ -585,3 +585,81 @@ def test_ewma_monitor_stream_matches_batch_and_replay(spark, tmp_path):
         for r in ewma_monitor_points(spark, state).collect()
     )
     assert got2 == got
+
+
+def test_decay_mass_monitor_matches_batch_and_replay(spark, tmp_path):
+    """Linearized decay kernel: drained anchor-free mass state,
+    multiplied by one anchor factor, matches the one-shot batch
+    decayed_sum at the same fixed anchor (6dp); replaying a batch
+    partition changes nothing; a later anchor from the SAME state
+    decays every key monotonically."""
+    from indexlab_spark.operators.analytics import decayed_sum
+    from indexlab_spark.streaming.ingest import (
+        _write_state,
+        decay_mass_monitor_stream,
+        decay_mass_totals,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "ts", F.col("value").cast("double").alias("value")
+    )
+    hl = 7 * 86400.0
+    anchor = "2024-01-31 00:00:00"
+
+    src = str(tmp_path / "dsrc")
+    ev.repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "dstate")
+    q = decay_mass_monitor_stream(
+        stream, state, "event_type", "ts", "value", hl
+    ).start()
+    q.awaitTermination()
+
+    got = {
+        r["key"]: r
+        for r in decay_mass_totals(spark, state, hl, anchor).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in decayed_sum(
+            ev, ["event_type"], "ts", "value", hl, as_of=anchor
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["raw_sum"] == pytest.approx(
+            want[k]["raw_sum"], abs=1e-4
+        )
+        assert got[k]["decayed"] == pytest.approx(
+            want[k]["decayed"], abs=1e-4
+        )
+
+    # replay: rewrite batch 0's partition with its own contents
+    part = spark.read.parquet(f"{state}/batch_id=0")
+    b0 = spark.createDataFrame(
+        part.collect(),
+        "_key string, _mass double, _n bigint, _raw double,"
+        " _max_ts timestamp",
+    )
+    _write_state(b0, state, 0)
+    got2 = {
+        r["key"]: r["decayed"]
+        for r in decay_mass_totals(spark, state, hl, anchor).collect()
+    }
+    assert got2 == {k: r["decayed"] for k, r in got.items()}
+
+    # a later anchor decays every key, same state, one multiply
+    later = {
+        r["key"]: r["decayed"]
+        for r in decay_mass_totals(
+            spark, state, hl, "2024-02-14 00:00:00"
+        ).collect()
+    }
+    for k in got2:
+        assert later[k] < got2[k]
