@@ -5729,6 +5729,29 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_stratified_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified experiment readout (analytics.stratified_ab):
+    the per-user value metric re-read with user-cohort strata — the
+    nonparametric variance-reduction cousin of cuped_events (needs
+    only a categorical stratum, no pre-period covariate). ONE
+    stratum-keyed filtered-moment agg + a one-row reduction; the
+    unstratified delta rides along so the removed variance is
+    visible. The oracle replays every stratum moment."""
+    from indexlab_spark.operators.analytics import stratified_ab
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.groupBy("user_id").agg(
+        F.sum("value").alias("metric")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias(
+            "variant"
+        ),
+        F.concat(F.lit("c"), (F.col("user_id") % 3)).alias("cohort"),
+        "metric",
+    )
+    return stratified_ab(units, "variant", "cohort", "metric")
+
+
 def _q_event_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise dominance matrix (evaluate.pairwise_winrates): which
     event type wins each DAY on revenue, across all type pairs — the
@@ -6452,6 +6475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_farms": _q_truss_farms,  # rows-only
         "part_lcc": _q_part_lcc,
         "event_winrates": _q_event_winrates,
+        "stratified_ab_events": _q_stratified_ab_events,
     }
 
 
@@ -12015,5 +12039,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE m._mad > 0
               AND abs(round(0.6745 * (w.resid - w._med) / m._mad, 6))
                   > 2.0
+        """,
+        # Post-stratified replay: per-stratum filtered moments, n_s
+        # weights, excluded strata counted loudly, raw delta alongside.
+        "stratified_ab_events": """
+            WITH u AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS variant,
+                       'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+                       sum(value) AS y
+                FROM events GROUP BY user_id),
+            s AS (
+                SELECT cohort,
+                       CAST(count(*) AS BIGINT) AS n_s,
+                       count(*) FILTER (variant = 'a') AS n_a,
+                       count(*) FILTER (variant = 'b') AS n_b,
+                       sum(y) FILTER (variant = 'a') AS sa,
+                       sum(y) FILTER (variant = 'b') AS sb,
+                       var_samp(y) FILTER (variant = 'a') AS va,
+                       var_samp(y) FILTER (variant = 'b') AS vb,
+                       avg(y) FILTER (variant = 'a') AS ma,
+                       avg(y) FILTER (variant = 'b') AS mb
+                FROM u GROUP BY 1),
+            g AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                       CAST(sum(CASE WHEN n_a >= 2 AND n_b >= 2
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+                       CAST(sum(CASE WHEN NOT (n_a >= 2 AND n_b >= 2)
+                                THEN n_s ELSE 0 END) AS BIGINT)
+                           AS n_excluded_units,
+                       sum(CASE WHEN n_a >= 2 AND n_b >= 2
+                           THEN n_s END) AS n_tot,
+                       sum(CASE WHEN n_a >= 2 AND n_b >= 2
+                           THEN n_s * (mb - ma) END) AS wd,
+                       sum(CASE WHEN n_a >= 2 AND n_b >= 2
+                           THEN n_s * n_s * (va / n_a + vb / n_b) END)
+                           AS wse,
+                       sum(sa) AS tsa, sum(sb) AS tsb,
+                       sum(n_a) AS tna, sum(n_b) AS tnb
+                FROM s)
+            SELECT n_strata, n_used, n_excluded_units,
+                   round(wd / n_tot, 6) AS estimate,
+                   round(sqrt(wse / (n_tot * n_tot)), 6) AS se,
+                   round((wd / n_tot) / sqrt(wse / (n_tot * n_tot)), 6)
+                       AS z_stat,
+                   abs((wd / n_tot) / sqrt(wse / (n_tot * n_tot)))
+                       > 1.96 AS z_sig,
+                   round(tsb / tnb - tsa / tna, 6) AS unstratified_delta
+            FROM g
         """,
     }

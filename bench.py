@@ -584,7 +584,9 @@ def main() -> None:
                  # co-purchase self-join dominates, as in link_parts)
                  "part_lcc",
                  # event_winrates 0.4s (calendar-bounded pair join)
-                 "event_winrates"):
+                 "event_winrates",
+                 # stratified_ab_events 0.5s (one stratum-keyed agg)
+                 "stratified_ab_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -5559,3 +5559,122 @@ def decayed_sum(
         F.round(F.sum(v), 6).alias("raw_sum"),
         F.max("_anchor").alias("anchor_ts"),
     )
+
+
+def stratified_ab(
+    df: "DataFrame",
+    variant_col: str,
+    stratum_col: str,
+    metric_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Post-stratified two-arm readout (Miratrix, Sekhon & Yu 2013
+    lineage, public): weight each stratum's within-stratum arm delta
+    by the stratum's population share — the NONPARAMETRIC cousin of
+    cuped_ab (CUPED needs a numeric pre-period covariate and a linear
+    relationship; post-stratification needs only a categorical
+    stratum — country, platform, signup cohort) and removes the
+    between-strata variance component from the readout.
+
+    estimate = sum_s w_s * (mean_b_s - mean_a_s) with w_s = n_s / n;
+    se^2 = sum_s w_s^2 * (var_a_s / n_a_s + var_b_s / n_b_s) (the
+    standard post-stratified variance under proportional weights).
+
+    Distributed shape: ONE map-side-combined (stratum) aggregation
+    with filtered per-arm moments — the corpus shuffles once to the
+    stratum-sized frame, everything after is frame-local arithmetic
+    plus a one-row reduction. Strata where either arm has n < 2 are
+    EXCLUDED from both the estimate and the weights (their delta is
+    undefined; n_excluded reports how much mass dropped — documented,
+    never silent). NULL metrics leave (the ab_test_report contract).
+
+    Output (one row, 6dp): n_strata, n_used, n_excluded_units,
+    estimate, se, z_stat, z_sig, plus the UNSTRATIFIED delta for
+    comparison (the variance the stratification removed is visible).
+    """
+    v = F.col(variant_col)
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull() & v.isin(variant_a, variant_b))
+
+    def arm(val, expr, agg):
+        return agg(F.when(v == F.lit(val), expr))
+
+    strata = base.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        *[
+            e
+            for val, tag in ((variant_a, "a"), (variant_b, "b"))
+            for e in (
+                arm(val, y, F.count).alias(f"n_{tag}"),
+                arm(val, y, F.sum).alias(f"s_{tag}"),
+                arm(val, y * y, F.sum).alias(f"q_{tag}"),
+            )
+        ],
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+
+    def mv(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        m = F.try_divide(F.col(f"s_{tag}"), n)
+        var = F.try_divide(F.col(f"q_{tag}") - n * m * m, n - 1)
+        return m, var, n
+
+    m_a, v_a, n_a = mv("a")
+    m_b, v_b, n_b = mv("b")
+    scored = strata.select(
+        "n_s",
+        ok.alias("_ok"),
+        (m_b - m_a).alias("_delta"),
+        (F.try_divide(v_a, n_a) + F.try_divide(v_b, n_b)).alias("_se2"),
+        F.col("s_a"),
+        F.col("s_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).cast("long").alias(
+            "n_used"
+        ),
+        F.sum(
+            F.when(~F.col("_ok"), F.col("n_s")).otherwise(0)
+        ).cast("long").alias("n_excluded_units"),
+        F.sum(F.when(F.col("_ok"), F.col("n_s"))).alias("_n_tot"),
+        F.sum(
+            F.when(F.col("_ok"), F.col("n_s") * F.col("_delta"))
+        ).alias("_wd"),
+        F.sum(
+            F.when(
+                F.col("_ok"),
+                F.col("n_s") * F.col("n_s") * F.col("_se2"),
+            )
+        ).alias("_wse"),
+        # unstratified comparison from the same pass
+        F.sum("s_a").alias("_sa"),
+        F.sum("s_b").alias("_sb"),
+        F.sum("n_a").alias("_na"),
+        F.sum("n_b").alias("_nb"),
+    )
+    est = F.try_divide(F.col("_wd"), F.col("_n_tot"))
+    se = F.sqrt(
+        F.try_divide(F.col("_wse"), F.col("_n_tot") * F.col("_n_tot"))
+    )
+    z = F.try_divide(est, se)
+    raw_delta = F.try_divide(F.col("_sb"), F.col("_nb")) - F.try_divide(
+        F.col("_sa"), F.col("_na")
+    )
+    valid = (F.col("n_used") > 0) & se.isNotNull() & (se > 0)
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        "n_used",
+        "n_excluded_units",
+        F.round(F.when(F.col("n_used") > 0, est), 6).alias("estimate"),
+        F.round(F.when(valid, se), 6).alias("se"),
+        F.round(F.when(valid, z), 6).alias("z_stat"),
+        F.coalesce(
+            F.when(valid, F.abs(z) > F.lit(float(z_crit))), F.lit(False)
+        ).alias("z_sig"),
+        F.round(raw_delta, 6).alias("unstratified_delta"),
+    )
