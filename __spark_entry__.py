@@ -5729,6 +5729,23 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounder screen (analytics.partial_corr_matrix): the
+    corr_lineitem column set re-read as PARTIAL correlations
+    controlling for the other columns (precision-matrix identity) —
+    the redundancy call feature selection needs where marginal
+    correlations mislead. Distributed work = corr_matrix's ONE moment
+    pass; the k x k inversion is driver math (the PCA eigh
+    discipline). Rows-only (matrix inversion is not SQL); exact numpy
+    parity + a planted-confounder recovery are pinned in tests."""
+    from indexlab_spark.operators.analytics import partial_corr_matrix
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return partial_corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def _q_stratified_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-stratified experiment readout (analytics.stratified_ab):
     the per-user value metric re-read with user-cohort strata — the
@@ -6232,10 +6249,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # part_assortativity, compaction_docs, attribution_decay,
         # cross_source_dups, dp_lang_counts, hilbert_events,
         # weighted_quantiles, seasonal_outliers, bm25_prf,
-        # decayed_user_value, part_lcc, event_winrates — 19 of them,
-        # so with the 12 anchors + 5 round-9 leftovers the r11 window
-        # holds 36 never-attested entries and 14 backfill slots: the
-        # 8 r05-green leftovers + the first 6 r06-green entries) — then the
+        # decayed_user_value, part_lcc, event_winrates,
+        # stratified_ab_events — 20 of them, so with the 12 anchors +
+        # 5 round-9 leftovers the r11 window holds 37 never-attested
+        # entries and 13 backfill slots: the 8 r05-green leftovers +
+        # the first 5 r06-green entries) — then the
         # oldest-attestation backfill: the 8 r05-green leftovers below
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
@@ -6476,6 +6494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_lcc": _q_part_lcc,
         "event_winrates": _q_event_winrates,
         "stratified_ab_events": _q_stratified_ab_events,
+        "partial_corr_lineitem": _q_partial_corr_lineitem,  # rows-only
     }
 
 

@@ -586,7 +586,10 @@ def main() -> None:
                  # event_winrates 0.4s (calendar-bounded pair join)
                  "event_winrates",
                  # stratified_ab_events 0.5s (one stratum-keyed agg)
-                 "stratified_ab_events"):
+                 "stratified_ab_events",
+                 # partial_corr_lineitem 0.9s (one moment pass + k x k
+                 # driver inversion)
+                 "partial_corr_lineitem"):
         fn = entry_mod.queries()[name]
         reps = (
             2

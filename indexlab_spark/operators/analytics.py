@@ -5678,3 +5678,70 @@ def stratified_ab(
         ).alias("z_sig"),
         F.round(raw_delta, 6).alias("unstratified_delta"),
     )
+
+
+def partial_corr_matrix(
+    df: "DataFrame",
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise PARTIAL correlations controlling for all the other
+    listed columns (the precision-matrix identity: p_ij =
+    -P_ij / sqrt(P_ii * P_jj) with P = R^-1) — the confounder screen
+    corr_matrix can't give: two features both driven by a third show
+    a large marginal correlation and a near-zero partial one, which
+    is exactly the redundancy call feature selection needs.
+
+    The distributed work is :func:`corr_matrix`'s single moment pass;
+    the k x k inversion is driver math on the pair frame (k is a
+    column LIST by contract — tens, never thousands), the standard
+    small-state/driver-scalar split (PCA's eigh discipline). Columns
+    whose correlation is undefined (constant) or a singular matrix
+    (exactly collinear columns) raise loudly rather than emitting
+    garbage. Not SQL-replayable (matrix inversion) -> rows-only gate;
+    exact numpy/reference parity pinned in tests.
+
+    Output: one row per unordered pair (list order): col_a, col_b,
+    corr (the marginal, for contrast), partial_corr (6dp), n.
+    """
+    import numpy as np
+
+    pairs = corr_matrix(df, cols).collect()
+    if not pairs:
+        raise ValueError("partial_corr_matrix: empty input")
+    n = pairs[0]["n"]
+    k = len(cols)
+    r = np.eye(k)
+    idx = {c: i for i, c in enumerate(cols)}
+    for row in pairs:
+        if row["corr"] is None:
+            raise ValueError(
+                "partial_corr_matrix: constant column "
+                f"{row['col_a']}/{row['col_b']} has undefined correlation"
+            )
+        i, j = idx[row["col_a"]], idx[row["col_b"]]
+        r[i, j] = r[j, i] = row["corr"]
+    try:
+        p = np.linalg.inv(r)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "partial_corr_matrix: correlation matrix is singular "
+            "(exactly collinear columns) — drop one of them"
+        ) from exc
+    spark = df.sparkSession
+    out = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            out.append(
+                (
+                    cols[a],
+                    cols[b],
+                    float(r[a, b]),
+                    round(float(-p[a, b] / np.sqrt(p[a, a] * p[b, b])), 6),
+                    int(n),
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "col_a string, col_b string, corr double, partial_corr double,"
+        " n long",
+    )

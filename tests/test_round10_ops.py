@@ -1974,3 +1974,71 @@ class TestStratifiedAb:
         rows = [("a", "s", 1.0), ("b", "s", 2.0)]
         got = self._run(spark, rows)
         assert got["estimate"] is None and got["z_sig"] is False
+
+
+# ---------------------------------------------------------------------------
+# partial_corr_matrix
+# ---------------------------------------------------------------------------
+
+
+class TestPartialCorrMatrix:
+    def _confounded(self):
+        # z drives both x and y; x and y share nothing else
+        rows = []
+        for i in range(200):
+            z = float((i * 13) % 17)
+            ex = float((i * 7) % 5) - 2.0
+            ey = float((i * 11) % 7) - 3.0
+            rows.append((2.0 * z + ex, -1.5 * z + ey, z))
+        return rows
+
+    def test_confounder_vanishes_in_partial(self, spark):
+        from indexlab_spark.operators.analytics import partial_corr_matrix
+
+        df = spark.createDataFrame(self._confounded(), "x double, y double, z double")
+        got = {
+            (r["col_a"], r["col_b"]): r
+            for r in partial_corr_matrix(df, ["x", "y", "z"]).collect()
+        }
+        xy = got[("x", "y")]
+        # marginally strongly negative (both driven by z)...
+        assert xy["corr"] < -0.8
+        # ...but nearly independent once z is controlled
+        assert abs(xy["partial_corr"]) < 0.15
+        # x-z stays strong in partial (the genuine link)
+        assert got[("x", "z")]["partial_corr"] > 0.8
+
+    def test_numpy_reference_parity(self, spark):
+        import numpy as np
+
+        from indexlab_spark.operators.analytics import partial_corr_matrix
+
+        rows = self._confounded()
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        got = {
+            (r["col_a"], r["col_b"]): r["partial_corr"]
+            for r in partial_corr_matrix(df, ["x", "y", "z"]).collect()
+        }
+        m = np.array(rows)
+        r = np.corrcoef(m.T)
+        p = np.linalg.inv(r)
+        for (a, b), (i, j) in ((("x", "y"), (0, 1)), (("x", "z"), (0, 2)),
+                               (("y", "z"), (1, 2))):
+            want = -p[i, j] / np.sqrt(p[i, i] * p[j, j])
+            assert got[(a, b)] == pytest.approx(want, abs=1e-5)
+
+    def test_collinear_raises(self, spark):
+        from indexlab_spark.operators.analytics import partial_corr_matrix
+
+        rows = [(float(i), 2.0 * i, float(i % 3)) for i in range(50)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        with pytest.raises(ValueError):
+            partial_corr_matrix(df, ["x", "y", "z"])
+
+    def test_constant_column_raises(self, spark):
+        from indexlab_spark.operators.analytics import partial_corr_matrix
+
+        rows = [(float(i), 1.0, float(i % 3)) for i in range(50)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        with pytest.raises(ValueError):
+            partial_corr_matrix(df, ["x", "y", "z"])
