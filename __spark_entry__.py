@@ -5729,6 +5729,27 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_brier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier decomposition (analytics.brier_decomposition, Murphy
+    1973): the reliability_events scorer split into reliability −
+    resolution + uncertainty (+ the exact within-bin variance and
+    covariance terms) — WHY a Brier score is what it is, where ECE
+    only says how miscalibrated. ONE bin-keyed agg + frame-local
+    arithmetic; the oracle replays every bin moment and the exact
+    generalized identity is pinned in tests."""
+    from indexlab_spark.operators.analytics import brier_decomposition
+
+    t = load_tables(spark, sf_dir, ("events",))
+    units = t["events"].groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("y"),
+    ).select(
+        ((F.col("user_id") % 100) / F.lit(100.0)).alias("p"), "y"
+    )
+    return brier_decomposition(units, "p", "y", n_bins=10)
+
+
 def _q_partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confounder screen (analytics.partial_corr_matrix): the
     corr_lineitem column set re-read as PARTIAL correlations
@@ -6495,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_winrates": _q_event_winrates,
         "stratified_ab_events": _q_stratified_ab_events,
         "partial_corr_lineitem": _q_partial_corr_lineitem,  # rows-only
+        "brier_events": _q_brier_events,
     }
 
 
@@ -12106,5 +12128,37 @@ def oracle_sql() -> dict[str, str]:
                        > 1.96 AS z_sig,
                    round(tsb / tnb - tsa / tna, 6) AS unstratified_delta
             FROM g
+        """,
+        # Brier-decomposition replay: identical bin moments, bin-mean
+        # confidences, generalized-identity terms.
+        "brier_events": """
+            WITH u AS (
+                SELECT (user_id % 100) / 100.0 AS p,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                            THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS y
+                FROM events GROUP BY user_id),
+            b AS (
+                SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bb,
+                       count(*) AS n, sum(p) AS sp, sum(y) AS sy,
+                       sum(p * p) AS spp, sum(p * y) AS spy
+                FROM u
+                WHERE p >= 0 AND p <= 1 AND y IN (0.0, 1.0)
+                GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn,
+                         sum(sy) AS tsy FROM b)
+            SELECT CAST(tn AS BIGINT) AS n,
+                   round(sum(spp - 2 * spy + sy) / tn, 6) AS brier,
+                   round(sum(n * (sp / n - sy / n)
+                             * (sp / n - sy / n)) / tn, 6)
+                       AS reliability,
+                   round(sum(n * (sy / n - tsy / tn)
+                             * (sy / n - tsy / tn)) / tn, 6)
+                       AS resolution,
+                   round((tsy / tn) * (1 - tsy / tn), 6) AS uncertainty,
+                   round(sum(spp - n * (sp / n) * (sp / n)) / tn, 6)
+                       AS within_bin_var,
+                   round(sum(spy - (sp / n) * sy) / tn, 6)
+                       AS within_bin_cov
+            FROM b, t GROUP BY tn, tsy
         """,
     }

@@ -589,7 +589,9 @@ def main() -> None:
                  "stratified_ab_events",
                  # partial_corr_lineitem 0.9s (one moment pass + k x k
                  # driver inversion)
-                 "partial_corr_lineitem"):
+                 "partial_corr_lineitem",
+                 # brier_events 0.5s (one bin-keyed agg)
+                 "brier_events"):
         fn = entry_mod.queries()[name]
         reps = (
             2

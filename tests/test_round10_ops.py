@@ -2042,3 +2042,82 @@ class TestPartialCorrMatrix:
         df = spark.createDataFrame(rows, "x double, y double, z double")
         with pytest.raises(ValueError):
             partial_corr_matrix(df, ["x", "y", "z"])
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition
+# ---------------------------------------------------------------------------
+
+
+class TestBrierDecomposition:
+    def _scored(self, miscal=0.0):
+        rows = []
+        for i in range(400):
+            p = ((i * 37) % 100) / 100.0
+            # outcome drawn deterministically with P(y=1) ~ p
+            y = 1.0 if ((i * 61) % 100) / 100.0 < p else 0.0
+            rows.append((min(1.0, p + miscal * (0.5 - p)), y))
+        return rows
+
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.analytics import brier_decomposition
+
+        df = spark.createDataFrame(rows, "p double, y double")
+        return brier_decomposition(df, "p", "y", **kw).collect()[0]
+
+    def test_exact_identity(self, spark):
+        got = self._run(spark, self._scored())
+        lhs = got["brier"]
+        rhs = (
+            got["reliability"]
+            - got["resolution"]
+            + got["uncertainty"]
+            + got["within_bin_var"]
+            - 2 * got["within_bin_cov"]
+        )
+        assert lhs == pytest.approx(rhs, abs=5e-6)
+
+    def test_python_parity(self, spark):
+        rows = self._scored()
+        got = self._run(spark, rows, n_bins=10)
+        n = len(rows)
+        bins = {}
+        for p, y in rows:
+            b = min(int(p * 10), 9)
+            bins.setdefault(b, []).append((p, y))
+        ybar = sum(y for _, y in rows) / n
+        rel = sum(
+            len(m) * (sum(p for p, _ in m) / len(m)
+                      - sum(y for _, y in m) / len(m)) ** 2
+            for m in bins.values()
+        ) / n
+        res = sum(
+            len(m) * (sum(y for _, y in m) / len(m) - ybar) ** 2
+            for m in bins.values()
+        ) / n
+        brier = sum((p - y) ** 2 for p, y in rows) / n
+        assert got["brier"] == pytest.approx(brier, abs=1e-6)
+        assert got["reliability"] == pytest.approx(rel, abs=1e-6)
+        assert got["resolution"] == pytest.approx(res, abs=1e-6)
+        assert got["uncertainty"] == pytest.approx(
+            ybar * (1 - ybar), abs=1e-6
+        )
+
+    def test_miscalibration_raises_reliability_only(self, spark):
+        good = self._run(spark, self._scored(0.0))
+        bad = self._run(spark, self._scored(0.8))
+        assert bad["reliability"] > good["reliability"] + 0.01
+        # uncertainty is a property of the OUTCOMES, which changed
+        # little; resolution may shift, reliability must dominate
+        assert abs(bad["uncertainty"] - good["uncertainty"]) < 0.05
+
+    def test_exclusions_and_validation(self, spark):
+        from indexlab_spark.operators.analytics import brier_decomposition
+
+        rows = [(0.5, 1.0), (1.5, 0.0), (None, 1.0), (0.2, 2.0),
+                (0.3, 0.0)]
+        df = spark.createDataFrame(rows, "p double, y double")
+        got = brier_decomposition(df, "p", "y").collect()[0]
+        assert got["n"] == 2
+        with pytest.raises(ValueError):
+            brier_decomposition(df, "p", "y", n_bins=1)
