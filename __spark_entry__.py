@@ -5729,6 +5729,33 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN acceptance gate (evaluate.ann_recall): recall@5 of
+    IVF(nprobe=2 of 16 cells) against flat exact search, per query
+    plus the <ALL> mean — the per-query FLOOR a mean recall hides is
+    the operator's point. Both inputs are top-k frames; one
+    query+doc-keyed join + query-keyed agg. Rows-only (the seeded
+    Lloyd quantizer is not SQL-replayable); recall arithmetic and an
+    nprobe=nlist ≡ 1.0 anchor are pinned in tests."""
+    from indexlab_spark.operators.evaluate import ann_recall
+    from indexlab_spark.operators.knn import (
+        build_ivf,
+        ivf_search,
+        knn_join,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = knn_join(q, corpus, k=5)
+    assigned, cents = build_ivf(corpus, nlist=16, seed=42)
+    approx = ivf_search(q, assigned, cents, k=5, nprobe=2)
+    return ann_recall(exact, approx, k=5)
+
+
 def _q_brier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brier decomposition (analytics.brier_decomposition, Murphy
     1973): the reliability_events scorer split into reliability −
@@ -6517,6 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_ab_events": _q_stratified_ab_events,
         "partial_corr_lineitem": _q_partial_corr_lineitem,  # rows-only
         "brier_events": _q_brier_events,
+        "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
     }
 
 

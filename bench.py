@@ -591,7 +591,9 @@ def main() -> None:
                  # driver inversion)
                  "partial_corr_lineitem",
                  # brier_events 0.5s (one bin-keyed agg)
-                 "brier_events"):
+                 "brier_events",
+                 # ann_recall_ivf 1.7s (IVF build+search + recall agg)
+                 "ann_recall_ivf"):
         fn = entry_mod.queries()[name]
         reps = (
             2

@@ -305,3 +305,69 @@ def pairwise_winrates(
             6,
         ).alias("win_rate_a"),
     )
+
+
+def ann_recall(
+    exact_hits: DataFrame,
+    approx_hits: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k of an APPROXIMATE retrieval run against the exact
+    ground truth — the acceptance gate for every ANN config in the
+    family (IVF nprobe, PQ codebooks, SQ8, LSH bands): per query,
+    |approx top-k ∩ exact top-k| / min(k, |exact top-k|), summarized
+    with the mean, the worst query, and the share of queries at
+    perfect recall. The per-query floor matters: a 0.95 MEAN recall
+    can hide queries at 0.2, which is what a user actually hits.
+
+    Distributed shape: both inputs are top-k frames (queries x k —
+    tiny); rank-filter both to k, one query+doc-keyed semi-ish join
+    (inner join counts the intersection), one query-keyed agg, one
+    summary row appended via a rollup-free union of the per-query
+    frame with its own aggregate — both branches derive from the
+    already-aggregated per-query frame (query-count-sized, so the
+    re-derivation the srm audit banned is frame-local, not
+    corpus-local). Queries present in exact but absent from approx
+    score 0 (a config that drops queries must not look good).
+
+    Output: query rows (query_id as string, n_exact, n_hit, recall
+    6dp) + one '<ALL>' row (n_exact = total exact rows, n_hit = total
+    hits, recall = MEAN of per-query recalls, 6dp).
+    """
+    if k < 1:
+        raise ValueError(f"ann_recall: k must be >= 1, got {k}")
+    ex = exact_hits.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("_q"), F.col(doc_id_col).alias("_d")
+    )
+    ap = approx_hits.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("_q"), F.col(doc_id_col).alias("_d")
+    )
+    per_q = (
+        ex.join(ap.withColumn("_hit", F.lit(1)), ["_q", "_d"], "left")
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            F.col("_q").cast("string").alias("query_id"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.col("n_hit")
+                / F.least(F.lit(k), F.col("n_exact")).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+    # summary from the (query-count-sized) per-query frame
+    total = per_q.agg(
+        F.lit("<ALL>").alias("query_id"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+    )
+    return per_q.unionByName(total)

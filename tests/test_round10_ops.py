@@ -2121,3 +2121,87 @@ class TestBrierDecomposition:
         assert got["n"] == 2
         with pytest.raises(ValueError):
             brier_decomposition(df, "p", "y", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall
+# ---------------------------------------------------------------------------
+
+
+class TestAnnRecall:
+    def _frames(self, spark, exact, approx):
+        mk = lambda rows: spark.createDataFrame(
+            [(q, d, r) for q, docs in rows.items()
+             for r, d in enumerate(docs, start=1)],
+            "query_id long, doc_id long, rank int",
+        )
+        return mk(exact), mk(approx)
+
+    def test_hand_recall(self, spark):
+        from indexlab_spark.operators.evaluate import ann_recall
+
+        ex, ap = self._frames(
+            spark,
+            {1: [10, 11, 12], 2: [20, 21, 22]},
+            {1: [10, 12, 99], 2: [20, 21, 22]},
+        )
+        got = {r["query_id"]: r for r in ann_recall(ex, ap, k=3).collect()}
+        assert got["1"]["recall"] == pytest.approx(2 / 3)
+        assert got["2"]["recall"] == pytest.approx(1.0)
+        assert got["<ALL>"]["recall"] == pytest.approx((2 / 3 + 1.0) / 2)
+        assert got["<ALL>"]["n_hit"] == 5
+
+    def test_missing_query_scores_zero(self, spark):
+        from indexlab_spark.operators.evaluate import ann_recall
+
+        ex, ap = self._frames(
+            spark, {1: [10, 11], 2: [20, 21]}, {1: [10, 11]}
+        )
+        got = {r["query_id"]: r for r in ann_recall(ex, ap, k=2).collect()}
+        assert got["2"]["recall"] == 0.0
+        assert got["<ALL>"]["recall"] == pytest.approx(0.5)
+
+    def test_k_filters_both_sides(self, spark):
+        from indexlab_spark.operators.evaluate import ann_recall
+
+        ex, ap = self._frames(
+            spark, {1: [10, 11, 12, 13]}, {1: [13, 12, 11, 10]}
+        )
+        # k=2: exact top-2 {10,11}; approx top-2 {13,12} -> 0 hits
+        got = {r["query_id"]: r for r in ann_recall(ex, ap, k=2).collect()}
+        assert got["1"]["recall"] == 0.0
+
+    def test_short_exact_list_denominator(self, spark):
+        from indexlab_spark.operators.evaluate import ann_recall
+
+        ex, ap = self._frames(spark, {1: [10]}, {1: [10, 11, 12]})
+        got = {r["query_id"]: r for r in ann_recall(ex, ap, k=5).collect()}
+        assert got["1"]["recall"] == 1.0  # denominator min(k, 1)
+
+    def test_end_to_end_ivf_recall(self, spark, sf_dir):
+        """Real composition: IVF search recall against flat search on
+        the embeddings table — the acceptance gate the ANN family's
+        recall-floor tests assert, expressed as the operator."""
+        from indexlab_spark.operators.evaluate import ann_recall
+        from indexlab_spark.operators.knn import (
+            build_ivf,
+            ivf_search,
+            knn_join,
+        )
+        from indexlab_spark.session import load_tables
+
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        exact = knn_join(q, corpus, k=5)
+        assigned, cents = build_ivf(corpus, nlist=8, seed=42)
+        approx = ivf_search(q, assigned, cents, k=5, nprobe=8)
+        got = {
+            r["query_id"]: r["recall"]
+            for r in ann_recall(exact, approx, k=5).collect()
+        }
+        # nprobe == nlist probes everything -> recall must be perfect
+        assert got["<ALL>"] == pytest.approx(1.0)
