@@ -5729,6 +5729,23 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_event_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run state mix (analytics.stationary_distribution): where
+    user journeys END UP if the observed event dynamics persist — the
+    forward-looking companion to event_transitions' one-step matrix.
+    Distributed work = the transition matrix's one keyed exchange;
+    the states²-sized chain solves on the driver with PageRank-style
+    damping (sink rows uniform, residual reported). Rows-only (the
+    eigenvector fixpoint is not SQL); closed-form, numpy-eig and
+    doubly-stochastic anchors pinned in tests."""
+    from indexlab_spark.operators.analytics import stationary_distribution
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return stationary_distribution(
+        ev, "user_id", "ts", "event_type", damping=0.99
+    )
+
+
 def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN acceptance gate (evaluate.ann_recall): recall@5 of
     IVF(nprobe=2 of 16 cells) against flat exact search, per query
@@ -6545,6 +6562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_corr_lineitem": _q_partial_corr_lineitem,  # rows-only
         "brier_events": _q_brier_events,
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
+        "event_stationary": _q_event_stationary,  # rows-only
     }
 
 

@@ -593,7 +593,10 @@ def main() -> None:
                  # brier_events 0.5s (one bin-keyed agg)
                  "brier_events",
                  # ann_recall_ivf 1.7s (IVF build+search + recall agg)
-                 "ann_recall_ivf"):
+                 "ann_recall_ivf",
+                 # event_stationary 0.6s (one keyed exchange + driver
+                 # states^2 fixpoint)
+                 "event_stationary"):
         fn = entry_mod.queries()[name]
         reps = (
             2

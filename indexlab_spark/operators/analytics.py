@@ -5841,3 +5841,80 @@ def brier_decomposition(
         ).alias("within_bin_cov"),
     )
     return agg
+
+
+def stationary_distribution(
+    df: "DataFrame",
+    seq_col: str,
+    order_col: str,
+    state_col: str,
+    damping: float = 0.99,
+    max_iter: int = 500,
+    tol: float = 1e-12,
+) -> DataFrame:
+    """Long-run state occupancy of the empirical Markov chain — the
+    FORWARD-looking companion to :func:`transition_matrix` (the
+    matrix says where each state leads next; the stationary
+    distribution says where the population ENDS UP if the observed
+    dynamics persist — the steady-state funnel mix, the equilibrium
+    page/feature occupancy). pi solves pi P = pi.
+
+    The distributed work is transition_matrix's single keyed
+    exchange; the chain itself is a states^2-sized frame, so the
+    fixed-point runs as driver numpy (the partial_corr / PCA
+    small-state discipline). The observed chain may be reducible or
+    have absorbing states (pi then isn't unique), so the chain is
+    DAMPED exactly like PageRank: P' = damping * P + (1 - damping)/n,
+    with rows for states that never transition OUT (sinks observed
+    only as destinations) set uniform — strictly positive and
+    irreducible, hence a unique pi. damping=1.0 is allowed for
+    chains the caller knows are ergodic. The residual
+    ||pi P' - pi||_1 at stop is reported, never hidden.
+
+    Output: state, pi (6dp), n_states, n_iter, residual. Not
+    SQL-replayable (the eigenvector fixpoint) -> rows-only gate;
+    closed-form two-state parity, doubly-stochastic-uniform and
+    numpy-eig parity pinned in tests.
+    """
+    import numpy as np
+
+    if not (0.0 < damping <= 1.0):
+        raise ValueError(
+            f"stationary_distribution: damping in (0, 1], got {damping}"
+        )
+    tm = transition_matrix(df, seq_col, order_col, state_col).collect()
+    if not tm:
+        raise ValueError("stationary_distribution: no transitions")
+    states = sorted(
+        {r["from_state"] for r in tm} | {r["to_state"] for r in tm}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    p = np.zeros((n, n))
+    for r in tm:
+        # rebuild row-stochastic P from counts (prob is rounded 6dp;
+        # counts are exact)
+        p[idx[r["from_state"]], idx[r["to_state"]]] = r["cnt"]
+    row = p.sum(axis=1)
+    sink = row == 0
+    p[sink] = 1.0 / n
+    p[~sink] = p[~sink] / row[~sink, None]
+    pd_ = damping * p + (1.0 - damping) / n
+    pi = np.full(n, 1.0 / n)
+    it = 0
+    res = np.inf
+    for it in range(1, max_iter + 1):
+        nxt = pi @ pd_
+        res = float(np.abs(nxt - pi).sum())
+        pi = nxt
+        if res < tol:
+            break
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (str(s), round(float(pi[idx[s]]), 6), n, it, float(res))
+            for s in states
+        ],
+        "state string, pi double, n_states int, n_iter int,"
+        " residual double",
+    )

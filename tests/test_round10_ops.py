@@ -2205,3 +2205,113 @@ class TestAnnRecall:
         }
         # nprobe == nlist probes everything -> recall must be perfect
         assert got["<ALL>"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# stationary_distribution
+# ---------------------------------------------------------------------------
+
+
+class TestStationaryDistribution:
+    def _chain_df(self, spark, seqs):
+        rows = [
+            (u, t, s)
+            for u, states in enumerate(seqs)
+            for t, s in enumerate(states)
+        ]
+        return spark.createDataFrame(rows, "u long, t int, s string")
+
+    def test_two_state_closed_form(self, spark):
+        """Chain with P(A->B)=1/3, P(B->A)=1: pi = (q, p)/(p+q)
+        = (3/4, 1/4) for p=1/3, q=1."""
+        from indexlab_spark.operators.analytics import (
+            stationary_distribution,
+        )
+
+        # one long walk realizing exactly those empirical frequencies
+        walk = ["A", "A", "A", "B"] * 12 + ["A"]
+        df = self._chain_df(spark, [walk])
+        got = {
+            r["state"]: r["pi"]
+            for r in stationary_distribution(
+                df, "u", "t", "s", damping=1.0
+            ).collect()
+        }
+        # empirical: from A: 2/3 stay, 1/3 to B; from B: all to A
+        assert got["A"] == pytest.approx(0.75, abs=1e-6)
+        assert got["B"] == pytest.approx(0.25, abs=1e-6)
+
+    def test_doubly_stochastic_uniform(self, spark):
+        from indexlab_spark.operators.analytics import (
+            stationary_distribution,
+        )
+
+        # symmetric 2-cycle: uniform stationary
+        df = self._chain_df(spark, [["A", "B"] * 20, ["B", "A"] * 20])
+        got = {
+            r["state"]: r["pi"]
+            for r in stationary_distribution(
+                df, "u", "t", "s", damping=1.0
+            ).collect()
+        }
+        assert got["A"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_numpy_eig_parity(self, spark):
+        import numpy as np
+
+        from indexlab_spark.operators.analytics import (
+            stationary_distribution,
+            transition_matrix,
+        )
+
+        seqs = [
+            [f"s{(i * k + k) % 4}" for i in range(30)] for k in range(1, 6)
+        ]
+        df = self._chain_df(spark, seqs)
+        got = {
+            r["state"]: r["pi"]
+            for r in stationary_distribution(
+                df, "u", "t", "s", damping=0.9
+            ).collect()
+        }
+        tm = transition_matrix(df, "u", "t", "s").collect()
+        states = sorted({r["from_state"] for r in tm}
+                        | {r["to_state"] for r in tm})
+        idx = {s: i for i, s in enumerate(states)}
+        n = len(states)
+        p = np.zeros((n, n))
+        for r in tm:
+            p[idx[r["from_state"]], idx[r["to_state"]]] = r["cnt"]
+        row = p.sum(1)
+        p[row == 0] = 1.0 / n
+        p[row > 0] = p[row > 0] / row[row > 0, None]
+        pd_ = 0.9 * p + 0.1 / n
+        w, v = np.linalg.eig(pd_.T)
+        pi = np.real(v[:, np.argmax(np.real(w))])
+        pi = pi / pi.sum()
+        for s in states:
+            assert got[s] == pytest.approx(float(pi[idx[s]]), abs=1e-5)
+
+    def test_absorbing_state_damped(self, spark):
+        from indexlab_spark.operators.analytics import (
+            stationary_distribution,
+        )
+
+        # C absorbs (appears only as destination): sink row -> uniform;
+        # with damping the chain stays irreducible and pi is unique
+        df = self._chain_df(spark, [["A", "B", "C"], ["A", "B", "C"]])
+        out = stationary_distribution(df, "u", "t", "s").collect()
+        assert sum(r["pi"] for r in out) == pytest.approx(1.0, abs=1e-5)
+        assert all(r["residual"] < 1e-9 for r in out)
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import (
+            stationary_distribution,
+        )
+
+        df = self._chain_df(spark, [["A", "B"]])
+        with pytest.raises(ValueError):
+            stationary_distribution(df, "u", "t", "s", damping=0.0)
+        empty = self._chain_df(spark, [["A"]])  # no transitions
+        with pytest.raises(ValueError):
+            stationary_distribution(empty, "u", "t", "s")
