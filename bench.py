@@ -594,7 +594,7 @@ def main() -> None:
                  "brier_events",
                  # ann_recall_ivf 1.7s (IVF build+search + recall agg)
                  "ann_recall_ivf",
-                 # event_stationary 0.6s (one keyed exchange + driver
+                 # event_stationary 1.4s (one keyed exchange + driver
                  # states^2 fixpoint)
                  "event_stationary"):
         fn = entry_mod.queries()[name]
