@@ -1955,15 +1955,23 @@ def association_rules(
         )
         .filter(F.col("item").isNotNull())
         .distinct()
+        # the basket-item frame feeds the basket total, the item
+        # counts and BOTH sides of the pair self-join — without a
+        # checkpoint every consumer re-derives it through the
+        # caller's (often join-built) lineage; the r10 scan audit
+        # measured 14 source scans on the co-purchase gate (the
+        # assortativity multi-consumer lesson)
+        .localCheckpoint(eager=False)
     )
     totals = bi.agg(
         F.countDistinct("basket").alias("n_baskets")
-    )
+    ).localCheckpoint(eager=False)
     item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     freq = (
         item_counts.crossJoin(F.broadcast(totals))
         .filter(F.col("n_item") >= F.col("n_baskets") * F.lit(min_support))
         .select("item", "n_item")
+        .localCheckpoint(eager=False)
     )
     kept = bi.join(freq, "item")
     a = kept.select("basket", F.col("item").alias("item_a"),
@@ -2553,6 +2561,10 @@ def benford_test(
         .select(F.col("_d").cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("_n"))
+        # <= 9 rows, but consumed by the detail branch, the total
+        # branch AND the total crossJoin — each re-derived the corpus
+        # digit scan before the r10 scan audit (4 scans -> 1)
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("_n").alias("_t"))
     base = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
@@ -3177,6 +3189,10 @@ def woe_iv(
             F.count(F.when(F.col("_y") == 1.0, 1)).alias("n_pos"),
             F.count(F.when(F.col("_y") == 0.0, 1)).alias("n_neg"),
         )
+        # category-sized, but consumed by the detail rows, the totals
+        # agg and the <ALL> IV row — each re-derived the corpus scan
+        # before the r10 scan audit (4 scans -> 1)
+        .localCheckpoint(eager=False)
     )
     lam = float(smoothing)
     tot = per_cat.agg(
@@ -3771,6 +3787,10 @@ def fk_check(
         child_rows.filter(nn)
         .groupBy(*ck)
         .agg(F.count(F.lit(1)).alias("_c"))
+        # key-sized, but consumed by the anti-join, the totals agg and
+        # (via orphans) the orphan agg — each re-derived the child
+        # scan before the r10 scan audit
+        .localCheckpoint(eager=False)
     )
     pk = parent.select(
         *[F.col(p).alias(c) for c, p in keys]
@@ -3840,6 +3860,10 @@ def conformal_interval(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("c_a"))
         .withColumn("c_b", F.lit(0))
+        # value-domain-sized, but consumed by the scalar n probe AND
+        # the midrank cumsum — each re-derived the corpus scan before
+        # the r10 scan audit
+        .localCheckpoint(eager=False)
     )
     n = counts.agg(F.sum("c_a")).first()[0] or 0
     k = math.ceil((n + 1) * (1.0 - alpha))
@@ -4269,9 +4293,12 @@ def cohort_ltv(
             "_v"
         ),
     ).filter(F.col("_u").isNotNull() & F.col("_d").isNotNull())
+    # the entity-sized first-activity frame feeds the cohort sizes AND
+    # the join back onto the event stream — each re-derived the event
+    # scan before the r10 scan audit
     first = ev.groupBy("_u").agg(
         F.date_trunc("week", F.min("_d")).cast("date").alias("_cw")
-    )
+    ).localCheckpoint(eager=False)
     sizes = first.groupBy("_cw").agg(F.count(F.lit(1)).alias("n_users"))
     cells = (
         ev.join(first, "_u")
