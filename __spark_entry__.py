@@ -5729,6 +5729,44 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED PageRank (dedup.pagerank, tol=None fixed-8-round
+    contract) over the repeat-co-purchase graph — upgrading the graph
+    family's centrality from rows-only attestation: with a FIXED
+    iteration count the power iteration is a bounded recursive-CTE
+    replay (the part_kcore discipline; DuckDB permits the multi-
+    reference recursive join), and 8 rounds of double arithmetic stay
+    bit-stable far inside 6dp. No dangling nodes by construction
+    (nodes = edge endpoints, undirected)."""
+    from indexlab_spark.operators.dedup import pagerank
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    out = pagerank(edges, nodes, max_iter=8, tol=None)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_event_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-run state mix (analytics.stationary_distribution): where
     user journeys END UP if the observed event dynamics persist — the
@@ -6563,6 +6601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_events": _q_brier_events,
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
         "event_stationary": _q_event_stationary,  # rows-only
+        "pagerank_parts": _q_pagerank_parts,
     }
 
 
@@ -12206,5 +12245,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(spy - (sp / n) * sy) / tn, 6)
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
+        """,
+        # Fixed-8-round PageRank replay: the power iteration as a
+        # bounded recursive CTE (part_kcore's multi-reference
+        # discipline); undirected support>=2 co-purchase graph, no
+        # dangling nodes by construction.
+        "pagerank_parts": """
+            WITH RECURSIVE co AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            und AS (
+                SELECT pa AS s, pb AS t FROM co
+                UNION ALL
+                SELECT pb, pa FROM co
+            ),
+            deg AS (SELECT s, count(*) AS d FROM und GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            pr AS (
+                SELECT s AS node, 0 AS it, 1.0 / nn.n AS r
+                FROM deg, nn
+                UNION ALL
+                SELECT e.t, p.it + 1,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * sum(p.r / dg.d)
+                FROM pr p
+                JOIN und e ON e.s = p.node
+                JOIN deg dg ON dg.s = p.node
+                WHERE p.it < 8
+                GROUP BY e.t, p.it + 1
+            )
+            SELECT node AS id, round(r, 6) AS rank
+            FROM pr WHERE it = 8
         """,
     }

@@ -596,6 +596,11 @@ def main() -> None:
                  "ann_recall_ivf",
                  # event_stationary 1.4s (one keyed exchange + driver
                  # states^2 fixpoint)
+                 # pagerank_parts is gate-only like graph_pagerank /
+                 # hits_suppliers: 8 fixed power-iteration rounds
+                 # measure 11.4s warm at sf0.1 (min-of-2, r10) — the
+                 # per-round scheduling floor on a loop; the sf0.01
+                 # gate run hash-attests it each round
                  "event_stationary"):
         fn = entry_mod.queries()[name]
         reps = (

@@ -1407,7 +1407,7 @@ def pagerank(
     b_col: str = "id_b",
     damping: float = 0.85,
     max_iter: int = 40,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
     directed: bool = False,
     adaptive: bool | str = "auto",
 ) -> DataFrame:
@@ -1514,16 +1514,21 @@ def pagerank(
             delta = row[0]
             dangling = row[1] or 0.0
             out = new_out.select("id", F.col("new_rank").alias("rank"), "deg")
-            if delta < tol:
+            # tol=None is the FIXED-ITERATION contract: run exactly
+            # max_iter rounds and return (deterministic, replayable by
+            # a bounded recursive-CTE oracle); a numeric tol keeps the
+            # early-stop + loud non-convergence behavior
+            if tol is not None and delta < tol:
                 break
         else:
-            sym.unpersist()
-            n.unpersist()
-            raise RuntimeError(
-                f"pagerank did not converge in max_iter={max_iter} "
-                f"iterations (last L1 delta {delta:.2e}); raise max_iter "
-                "or tol"
-            )
+            if tol is not None:
+                sym.unpersist()
+                n.unpersist()
+                raise RuntimeError(
+                    f"pagerank did not converge in max_iter={max_iter} "
+                    f"iterations (last L1 delta {delta:.2e}); raise "
+                    "max_iter or tol"
+                )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
     sym.unpersist()

@@ -2315,3 +2315,44 @@ class TestStationaryDistribution:
         empty = self._chain_df(spark, [["A"]])  # no transitions
         with pytest.raises(ValueError):
             stationary_distribution(empty, "u", "t", "s")
+
+
+# ---------------------------------------------------------------------------
+# pagerank fixed-iteration mode
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_fixed_iterations_no_raise(spark):
+    """tol=None runs EXACTLY max_iter rounds and returns — the
+    replayable contract the oracle-backed gate uses — where a numeric
+    tol would raise on non-convergence at the same budget."""
+    from indexlab_spark.operators.dedup import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (2, 5)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    out = pagerank(edges, nodes, max_iter=3, tol=None).collect()
+    total = sum(r["rank"] for r in out)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(RuntimeError):
+        pagerank(edges, nodes, max_iter=1, tol=1e-12)
+    # fixed-iteration result matches a pure-python replay of the same
+    # 3 rounds (undirected, no dangling)
+    import collections
+
+    und = set()
+    for a, b in [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (2, 5)]:
+        und.add((a, b))
+        und.add((b, a))
+    deg = collections.Counter(s for s, _ in und)
+    r = {i: 1 / 7 for i in range(7)}
+    for _ in range(3):
+        nxt = {i: 0.15 / 7 for i in range(7)}
+        for s, t in und:
+            nxt[t] += 0.85 * r[s] / deg[s]
+        r = nxt
+    got = {row["id"]: row["rank"] for row in out}
+    for i in range(7):
+        assert got[i] == pytest.approx(r[i], abs=1e-9)
