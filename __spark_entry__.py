@@ -5729,6 +5729,42 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges, "src", "dst")
 
 
+def _q_lpa_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED label propagation (dedup.label_propagation,
+    3 synchronous min-tie rounds) over the repeat-co-purchase graph —
+    upgrading the graph family's communities from rows-only
+    attestation: the early stop fires only at the no-change FIXPOINT,
+    where extra rounds are no-ops, so a fixed-3-round recursive-CTE
+    replay is exact (the k_core idempotence argument); the min-tie
+    vote is max(struct(count, -label)) in both engines."""
+    from indexlab_spark.operators.dedup import label_propagation
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    return label_propagation(edges, nodes, max_iter=3)
+
+
 def _q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-BACKED PageRank (dedup.pagerank, tol=None fixed-8-round
     contract) over the repeat-co-purchase graph — upgrading the graph
@@ -6602,6 +6638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
         "event_stationary": _q_event_stationary,  # rows-only
         "pagerank_parts": _q_pagerank_parts,
+        "lpa_parts": _q_lpa_parts,
     }
 
 
@@ -12282,5 +12319,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS id, round(r, 6) AS rank
             FROM pr WHERE it = 8
+        """,
+        # Fixed-3-round LPA replay: synchronous min-tie votes as
+        # max(struct(count, -label)) per round; the operator's early
+        # stop fires only at the no-change fixpoint, where extra
+        # rounds are no-ops (the k_core idempotence argument).
+        "lpa_parts": """
+            WITH RECURSIVE co AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            und AS (
+                SELECT pa AS s, pb AS t FROM co
+                UNION ALL
+                SELECT pb, pa FROM co
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            lab AS (
+                SELECT node, 0 AS it, node AS lbl FROM nodes
+                UNION ALL
+                SELECT z.t AS node, z.it AS it,
+                       -((z.m).neg) AS lbl
+                FROM (
+                    SELECT c.t, c.it,
+                           max({'n': c.cnt, 'neg': -c.lbl}) AS m
+                    FROM (
+                        SELECT e.t AS t, y.it + 1 AS it,
+                               y.lbl AS lbl, count(*) AS cnt
+                        FROM lab y
+                        JOIN und e ON e.s = y.node
+                        WHERE y.it < 3
+                        GROUP BY 1, 2, 3
+                    ) c
+                    GROUP BY c.t, c.it
+                ) z
+            )
+            SELECT node AS id, lbl AS community
+            FROM lab WHERE it = 3
         """,
     }

@@ -601,7 +601,10 @@ def main() -> None:
                  # measure 11.4s warm at sf0.1 (min-of-2, r10) — the
                  # per-round scheduling floor on a loop; the sf0.01
                  # gate run hash-attests it each round
-                 "event_stationary"):
+                 "event_stationary",
+                 # lpa_parts gate-only like pagerank_parts (3 rounds,
+                 # per-round scheduling floor; sf0.01 gate attests it)
+                 ):
         fn = entry_mod.queries()[name]
         reps = (
             2
