@@ -6389,10 +6389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross_source_dups, dp_lang_counts, hilbert_events,
         # weighted_quantiles, seasonal_outliers, bm25_prf,
         # decayed_user_value, part_lcc, event_winrates,
-        # stratified_ab_events, brier_events — 21 of them, so with
-        # the 12 anchors + 5 round-9 leftovers the r11 window holds
-        # 38 never-attested entries and 12 backfill slots: the 8
-        # r05-green leftovers + the first 4 r06-green entries) — then the
+        # stratified_ab_events, brier_events, pagerank_parts,
+        # lpa_parts — 23 of them, so with the 12 anchors + 5 round-9
+        # leftovers the r11 window holds 40 never-attested entries
+        # and 10 backfill slots: the 8 r05-green leftovers + the
+        # first 2 r06-green entries) — then the
         # oldest-attestation backfill: the 8 r05-green leftovers below
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
