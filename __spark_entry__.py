@@ -6317,60 +6317,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 10, per the plan pinned
-        # in r9, never-attested-first invariant): the 35 ORACLE-BACKED
-        # round-9 post-window additions in registry order — all added
-        # after the r9 window was pinned, so none has a driver row.
-        # Deviation from the r9-pinned plan: the plan put the three
-        # rows-only members (embedding_kmeans, hits_suppliers,
-        # similarity_ivfpq) in the window too, but the standing
-        # test_robustness.py invariant — every driver-window slot is
-        # hash-checked, never a weaker rows-only row — outranks it
-        # (50 oracle rows beat 47), so those three stay parked
-        # (driver_sim + pytest cover them) and the three freed slots
-        # take the oldest backfill (r05-green, registry order). The
-        # remaining 6 round-9 oracle entries (seq_pairs_events,
-        # cohort_ltv, ewma_volumes, pr_auc, quantile_map_events, plus
-        # rows-only holt_winters_hourly excluded likewise) lead r11.
-        "holt_revenue": _q_holt_revenue,
-        "link_parts": _q_link_parts,
-        "isotonic_value": _q_isotonic_value,
-        "cluster_reps": _q_cluster_reps,
-        "cluster_split": _q_cluster_split,
-        "acf_daily": _q_acf_daily,
-        "theilsen_revenue": _q_theilsen_revenue,
-        "gini_customers": _q_gini_customers,
-        "benford_prices": _q_benford_prices,
-        "contingency_events": _q_contingency_events,
-        "mwu_prices": _q_mwu_prices,
-        "bootstrap_prices": _q_bootstrap_prices,
-        "negatives_docs": _q_negatives_docs,
-        "temporal_split": _q_temporal_split,
-        "fd_orders": _q_fd_orders,
-        "target_encode": _q_target_encode,
-        "hard_negatives": _q_hard_negatives,
-        "roc_auc": _q_roc_auc,
-        "reliability_events": _q_reliability_events,
-        "woe_orders": _q_woe_orders,
-        "corr_lineitem": _q_corr_lineitem,
-        "lift_events": _q_lift_events,
-        "cuped_events": _q_cuped_events,
-        "class_report": _q_class_report,
-        "spearman_lineitem": _q_spearman_lineitem,
-        "next_events": _q_next_events,
-        "kfold_docs": _q_kfold_docs,
-        "sliding_users": _q_sliding_users,
-        "fk_lineitem": _q_fk_lineitem,
-        "conformal_orders": _q_conformal_orders,
-        "winsorize_prices": _q_winsorize_prices,
-        "upsert_customers": _q_upsert_customers,
-        "scd2_customers": _q_scd2_customers,
-        "kanon_customers": _q_kanon_customers,
-        "ab_power_events": _q_ab_power_events,
-        # oldest-backfill slots 48-50 (last green r05):
-        "simhash_pairs": _q_simhash_pairs,
-        "stratified_split": _q_stratified_split,
-        "temperature_resample": _q_temperature_resample,
+        # -- rotation window slots 13-50 (round 11, exactly per the plan
+        # pinned in the r9/r10 registry comments and re-confirmed by the
+        # r10 VERDICT, never-attested-first invariant): the 5 round-9
+        # oracle-backed leftovers, then the 23 round-10 oracle entries in
+        # registry order, then 10 oldest-attestation backfill slots (the
+        # 8 r05-green leftovers + the first 2 r06-green entries).
+        # This clears EVERY never-attested oracle-backed entry: after
+        # r11, every oracle-backed registry entry that existed at the
+        # r10 HEAD has a driver-green row in some CORRECTNESS_rNN.json.
+        # round-9 oracle leftovers (slots 13-17):
+        "seq_pairs_events": _q_seq_pairs_events,
+        "cohort_ltv": _q_cohort_ltv,
+        "ewma_volumes": _q_ewma_volumes,
+        "pr_auc": _q_pr_auc,
+        "quantile_map_events": _q_quantile_map_events,
+        # round-10 oracle entries, registry order (slots 18-40):
+        "srm_events": _q_srm_events,
+        "ratio_ab_events": _q_ratio_ab_events,
+        "did_events": _q_did_events,
+        "seasonal_daily": _q_seasonal_daily,
+        "ccf_events": _q_ccf_events,
+        "amoc_revenue": _q_amoc_revenue,
+        "rake_docs": _q_rake_docs,
+        "part_assortativity": _q_part_assortativity,
+        "compaction_docs": _q_compaction_docs,
+        "attribution_decay": _q_attribution_decay,
+        "cross_source_dups": _q_cross_source_dups,
+        "dp_lang_counts": _q_dp_lang_counts,
+        "hilbert_events": _q_hilbert_events,
+        "weighted_quantiles": _q_weighted_quantiles,
+        "seasonal_outliers": _q_seasonal_outliers,
+        "bm25_prf": _q_bm25_prf,
+        "decayed_user_value": _q_decayed_user_value,
+        "part_lcc": _q_part_lcc,
+        "event_winrates": _q_event_winrates,
+        "stratified_ab_events": _q_stratified_ab_events,
+        "brier_events": _q_brier_events,
+        "pagerank_parts": _q_pagerank_parts,
+        "lpa_parts": _q_lpa_parts,
+        # oldest-attestation backfill (slots 41-48: the 8 r05-green
+        # leftovers, registry order):
+        "tokens": _q_tokens,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "top_revenue": _q_top_revenue,
+        "top_terms": _q_top_terms,
+        "line_dedup": _q_line_dedup,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "dsir_weights": _q_dsir_weights,
+        "embedding_lsh": _q_embedding_lsh,
+        # backfill slots 49-50 (first 2 r06-green entries):
+        "duplicated_spans": _q_duplicated_spans,
+        "clean_dup_spans": _q_clean_dup_spans,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r0*.json) and is still run by
@@ -6398,22 +6396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r05 (8 remaining after 3 took the r10 window's
-        # freed slots; backfill into r11 after the never-attested
-        # block):
-        "tokens": _q_tokens,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "top_revenue": _q_top_revenue,
-        "top_terms": _q_top_terms,
-        "line_dedup": _q_line_dedup,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "dsir_weights": _q_dsir_weights,
-        "embedding_lsh": _q_embedding_lsh,
         # last green r06 (rotated out of the r6 window this round; the
         # 14 r5 additions followed by the 24 r03-backfills, in r6
         # window order):
-        "duplicated_spans": _q_duplicated_spans,
-        "clean_dup_spans": _q_clean_dup_spans,
         "token_budget_mix": _q_token_budget_mix,
         "minhash_incremental": _q_minhash_incremental,
         "asof_forward": _q_asof_forward,
@@ -6598,48 +6583,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "hits_suppliers": _q_hits_suppliers,
         "similarity_ivfpq": _q_similarity_ivfpq,
-        # -- round-9 post-window leftovers (never attested; per the
-        # standing invariant these go FIRST in the r11 window, before
-        # the 11 r05-green leftovers):
+        # -- round-9 rows-only leftover (its oracle-backed siblings
+        # moved into the r11 window above):
         "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
-        "seq_pairs_events": _q_seq_pairs_events,
-        "cohort_ltv": _q_cohort_ltv,
-        "ewma_volumes": _q_ewma_volumes,
-        "pr_auc": _q_pr_auc,
-        "quantile_map_events": _q_quantile_map_events,
-        # -- round-10 additions (oracle-backed, never attested; join
-        # the never-attested-first block of the r11 window AFTER the
-        # six round-9 leftovers above — older registrations first):
-        "srm_events": _q_srm_events,
-        "ratio_ab_events": _q_ratio_ab_events,
-        "did_events": _q_did_events,
-        "seasonal_daily": _q_seasonal_daily,
-        "ccf_events": _q_ccf_events,
-        "amoc_revenue": _q_amoc_revenue,
-        "rake_docs": _q_rake_docs,
-        "part_assortativity": _q_part_assortativity,
-        "compaction_docs": _q_compaction_docs,
-        "attribution_decay": _q_attribution_decay,
+        # -- round-10 rows-only additions (oracle-backed siblings moved
+        # into the r11 window above):
         "part_ktruss": _q_part_ktruss,  # rows-only
-        "cross_source_dups": _q_cross_source_dups,
-        "dp_lang_counts": _q_dp_lang_counts,
-        "hilbert_events": _q_hilbert_events,
-        "weighted_quantiles": _q_weighted_quantiles,
-        "seasonal_outliers": _q_seasonal_outliers,
         "binseg_revenue": _q_binseg_revenue,  # rows-only
         "mmr_embeddings": _q_mmr_embeddings,  # rows-only
-        "bm25_prf": _q_bm25_prf,
-        "decayed_user_value": _q_decayed_user_value,
         "truss_farms": _q_truss_farms,  # rows-only
-        "part_lcc": _q_part_lcc,
-        "event_winrates": _q_event_winrates,
-        "stratified_ab_events": _q_stratified_ab_events,
         "partial_corr_lineitem": _q_partial_corr_lineitem,  # rows-only
-        "brier_events": _q_brier_events,
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
         "event_stationary": _q_event_stationary,  # rows-only
-        "pagerank_parts": _q_pagerank_parts,
-        "lpa_parts": _q_lpa_parts,
+        # -- last green r10 (the 38 entries rotated out of the r10
+        # window this round; r10 window order; backfill candidates
+        # for r15+ by the oldest-attestation rule):
+        "holt_revenue": _q_holt_revenue,
+        "link_parts": _q_link_parts,
+        "isotonic_value": _q_isotonic_value,
+        "cluster_reps": _q_cluster_reps,
+        "cluster_split": _q_cluster_split,
+        "acf_daily": _q_acf_daily,
+        "theilsen_revenue": _q_theilsen_revenue,
+        "gini_customers": _q_gini_customers,
+        "benford_prices": _q_benford_prices,
+        "contingency_events": _q_contingency_events,
+        "mwu_prices": _q_mwu_prices,
+        "bootstrap_prices": _q_bootstrap_prices,
+        "negatives_docs": _q_negatives_docs,
+        "temporal_split": _q_temporal_split,
+        "fd_orders": _q_fd_orders,
+        "target_encode": _q_target_encode,
+        "hard_negatives": _q_hard_negatives,
+        "roc_auc": _q_roc_auc,
+        "reliability_events": _q_reliability_events,
+        "woe_orders": _q_woe_orders,
+        "corr_lineitem": _q_corr_lineitem,
+        "lift_events": _q_lift_events,
+        "cuped_events": _q_cuped_events,
+        "class_report": _q_class_report,
+        "spearman_lineitem": _q_spearman_lineitem,
+        "next_events": _q_next_events,
+        "kfold_docs": _q_kfold_docs,
+        "sliding_users": _q_sliding_users,
+        "fk_lineitem": _q_fk_lineitem,
+        "conformal_orders": _q_conformal_orders,
+        "winsorize_prices": _q_winsorize_prices,
+        "upsert_customers": _q_upsert_customers,
+        "scd2_customers": _q_scd2_customers,
+        "kanon_customers": _q_kanon_customers,
+        "ab_power_events": _q_ab_power_events,
+        "simhash_pairs": _q_simhash_pairs,
+        "stratified_split": _q_stratified_split,
+        "temperature_resample": _q_temperature_resample,
     }
 
 
