@@ -2561,10 +2561,13 @@ def benford_test(
         .select(F.col("_d").cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("_n"))
-        # <= 9 rows, but consumed by the detail branch, the total
-        # branch AND the total crossJoin — each re-derived the corpus
-        # digit scan before the r10 scan audit (4 scans -> 1)
-        .localCheckpoint(eager=False)
+        # <= 9 rows, consumed by the detail branch, the total branch
+        # AND the total crossJoin. No checkpoint: the digit-count
+        # exchange is identical in every branch, so ReuseExchange
+        # dedupes it to ONE corpus scan natively (final AQE plan shows
+        # 2 ReusedExchange nodes); the r10 localCheckpoint here cost
+        # an extra RDD job and doubled the sf0.1 time (0.68s -> 1.36s
+        # cold) while saving nothing.
     )
     total = counts.agg(F.sum("_n").alias("_t"))
     base = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
@@ -5571,9 +5574,19 @@ def decayed_sum(
         )
         base = df.join(F.broadcast(anchors), list(group_cols))
     else:
-        anchor = F.lit(as_of).cast("timestamp") if isinstance(
-            as_of, str
-        ) else as_of
+        if isinstance(as_of, str):
+            # a string naming an existing column anchors per-row on
+            # that column; any other string is a timestamp literal
+            # (docstring contract — without this branch a column-name
+            # string cast as a literal yields a NULL anchor that
+            # silently filters out every row)
+            anchor = (
+                F.col(as_of)
+                if as_of in df.columns
+                else F.lit(as_of).cast("timestamp")
+            )
+        else:
+            anchor = as_of
         base = df.withColumn("_anchor", anchor)
     age_s = (
         F.unix_micros(F.col("_anchor")) - F.unix_micros(ts)
@@ -5724,8 +5737,10 @@ def partial_corr_matrix(
     small-state/driver-scalar split (PCA's eigh discipline). Columns
     whose correlation is undefined (constant) or a singular matrix
     (exactly collinear columns) raise loudly rather than emitting
-    garbage. Not SQL-replayable (matrix inversion) -> rows-only gate;
-    exact numpy/reference parity pinned in tests.
+    garbage. SQL-replayable at small fixed k after all: the
+    determinant cancels in p_ij = -C_ij/sqrt(C_ii*C_jj), so the k=4
+    gate replays as closed-form 3x3 cofactors over the same rounded
+    correlations; exact numpy/reference parity pinned in tests.
 
     Output: one row per unordered pair (list order): col_a, col_b,
     corr (the marginal, for contrast), partial_corr (6dp), n.

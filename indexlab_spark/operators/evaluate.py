@@ -260,16 +260,22 @@ def pairwise_winrates(
     a map-side-combined (system_a, system_b) aggregation to the
     pair-sized matrix. Units missing a system's score simply don't
     pair for that system (documented: win rates are over units BOTH
-    systems scored).
+    systems scored). Multiple rows per (unit, system) — repeated
+    trials — are averaged into ONE score per (unit, system) BEFORE
+    pairing (otherwise the unit-keyed self-join would fan out and
+    silently inflate n_units/wins/ties).
 
     Output per unordered pair (system_a < system_b): n_units, wins_a,
     wins_b, ties, win_rate_a (6dp).
     """
     m = F.col(metric_col).cast("double")
-    base = df.filter(m.isNotNull()).select(
-        F.col(unit_col).alias("_u"),
-        F.col(system_col).alias("_s"),
-        m.alias("_m"),
+    base = (
+        df.filter(m.isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("_u"),
+            F.col(system_col).alias("_s"),
+        )
+        .agg(F.avg(m).alias("_m"))
     )
     a = base.select(
         F.col("_u"), F.col("_s").alias("system_a"), F.col("_m").alias("_ma")

@@ -848,7 +848,11 @@ def compact_groups(
 
     Plain parquet layout (no table format, so no transactional swap):
     the rewrite goes to ``out_path`` and the caller swaps directories
-    afterwards, same contract as compact_files. Returns
+    afterwards, same contract as compact_files. ``out_path`` must not
+    already hold parquet files: the per-group append loop is NOT
+    idempotent (a re-run would duplicate previously rewritten groups'
+    rows while copied files are silently overwritten), so a non-empty
+    target fails fast instead of producing a corrupt mix. Returns
     {files_in, bytes_in, files_out, groups_rewritten, files_copied}.
     """
     import os
@@ -858,6 +862,14 @@ def compact_groups(
         raise ValueError(
             "compact_groups: out_path must differ from in_path;"
             " write to a sibling directory and swap afterwards"
+        )
+    if os.path.isdir(out_path) and any(
+        not f.startswith((".", "_")) for f in os.listdir(out_path)
+    ):
+        raise ValueError(
+            "compact_groups: out_path exists and is non-empty; the"
+            " append-per-group rewrite is not idempotent — clear it"
+            " (or pick a fresh sibling) before compacting"
         )
     names = [
         f

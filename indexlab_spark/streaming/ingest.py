@@ -628,8 +628,12 @@ def ewma_monitor_stream(
 
     Layout: ``state_path/points/batch_id=N`` (the charted rows) and
     ``state_path/state/batch_id=N`` (per-key (t, z) AFTER batch N).
-    Steady-state cost per trigger: one key-sized state read + one
-    keyed Arrow fold over the batch + two tiny partition writes.
+    Because every state partition carries quiet keys forward, the
+    newest prior partition is a complete snapshot, and each trigger
+    reads ONLY it (partition-pruned after a metadata-cheap
+    max(batch_id) probe). Steady-state cost per trigger: one
+    key-sized state read + one keyed Arrow fold over the batch + two
+    tiny partition writes.
     """
     import math
 
@@ -644,27 +648,32 @@ def ewma_monitor_stream(
     }
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # AnalysisException = no state yet (first batch ever); any
+        # other read failure (IO, corrupt footer) must PROPAGATE —
+        # swallowing it would silently reset every key's fold to
+        # (t=0, z=ref mean) and chart wrong points with narrowed
+        # finite-start limits.
         try:
             prev = (
                 spark.read.parquet(state_path.rstrip("/") + "/state")
                 .filter(F.col("batch_id") < batch_id)
             )
-            prow = (
-                prev.withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy("_key").orderBy(
-                            F.col("batch_id").desc()
-                        )
-                    ),
+        except AnalysisException:
+            prev = None
+        init = {}
+        if prev is not None:
+            # each batch's state partition carries quiet keys forward,
+            # so the NEWEST prior partition is a complete per-key
+            # snapshot — read only it (partition-pruned), not every
+            # prior partition: state read stays O(keys), not
+            # O(batches x keys).
+            last = prev.agg(F.max("batch_id").alias("_b")).first()["_b"]
+            if last is not None:
+                prow = prev.filter(F.col("batch_id") == last).select(
+                    "_key", "_t", "_z"
                 )
-                .filter(F.col("_rn") == 1)
-                .select("_key", "_t", "_z")
-            )
-            init = {r["_key"]: (int(r["_t"]), float(r["_z"]))
-                    for r in prow.collect()}
-        except Exception:
-            init = {}
+                init = {r["_key"]: (int(r["_t"]), float(r["_z"]))
+                        for r in prow.collect()}
 
         base = batch_df.select(
             F.col(key_col).cast("string").alias("_key"),

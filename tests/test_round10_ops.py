@@ -1586,6 +1586,33 @@ class TestDecayedSum:
         assert got["u2"]["decayed"] == pytest.approx(12.0)
         assert got["u1"]["decayed"] == pytest.approx(52.5)
 
+    def test_as_of_column_name_resolves_per_row(self, spark):
+        # as_of naming an existing column anchors each row on that
+        # column (docstring contract): anchor == ts means age 0, so
+        # decayed == raw_sum exactly
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import decayed_sum
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", t0 + dt.timedelta(seconds=s), float(v),
+             t0 + dt.timedelta(seconds=s))
+            for s, v in ((0, 10.0), (30, 20.0))
+        ]
+        df = spark.createDataFrame(
+            rows, "u string, ts timestamp, v double, anchor timestamp"
+        )
+        got = {
+            r["u"]: r
+            for r in decayed_sum(
+                df, ["u"], "ts", "v", half_life_seconds=30,
+                as_of="anchor",
+            ).collect()
+        }
+        assert got["u1"]["decayed"] == pytest.approx(30.0)
+        assert got["u1"]["n"] == 2
+
     def test_validation(self, spark):
         from indexlab_spark.operators.analytics import decayed_sum
 
@@ -1649,6 +1676,29 @@ class TestCompactGroups:
 
         with pytest.raises(ValueError):
             compact_groups(spark, str(tmp_path), str(tmp_path))
+
+    def test_refuses_nonempty_out_path(self, spark, tmp_path):
+        # the append-per-group rewrite is not idempotent: re-running
+        # into a populated target would duplicate rewritten groups'
+        # rows, so a non-empty out_path must fail fast
+        import os
+
+        from indexlab_spark.operators.maintenance import compact_groups
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        spark.range(10).coalesce(1).write.parquet(str(tmp_path / "t"))
+        import glob
+        import shutil
+
+        f = glob.glob(str(tmp_path / "t") + "/*.parquet")[0]
+        shutil.copy(f, f"{src}/a.parquet")
+        out = str(tmp_path / "out")
+        os.makedirs(out)
+        with open(f"{out}/stale.parquet", "wb") as fh:
+            fh.write(b"x")
+        with pytest.raises(ValueError, match="non-empty"):
+            compact_groups(spark, src, out)
 
 
 # ---------------------------------------------------------------------------
@@ -1882,6 +1932,19 @@ class TestPairwiseWinrates:
         got = self._run(spark, rows)
         assert got[("A", "B")]["n_units"] == 1
         assert got[("A", "B")]["wins_a"] == 1
+
+    def test_repeated_trials_averaged_not_fanned_out(self, spark):
+        # two rows for (unit 1, A) average to 2.0 — the unit still
+        # counts ONCE and A's 2.0 beats B's 1.0 (without the pre-agg
+        # the self-join would fan out to 2 pairs on unit 1)
+        rows = [
+            (1, "A", 1.0), (1, "A", 3.0), (1, "B", 1.0),
+            (2, "A", 0.0), (2, "B", 5.0),
+        ]
+        got = self._run(spark, rows)
+        ab = got[("A", "B")]
+        assert ab["n_units"] == 2
+        assert (ab["wins_a"], ab["wins_b"], ab["ties"]) == (1, 1, 0)
 
 
 # ---------------------------------------------------------------------------
