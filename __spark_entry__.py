@@ -5875,8 +5875,12 @@ def _q_partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redundancy call feature selection needs where marginal
     correlations mislead. Distributed work = corr_matrix's ONE moment
     pass; the k x k inversion is driver math (the PCA eigh
-    discipline). Rows-only (matrix inversion is not SQL); exact numpy
-    parity + a planted-confounder recovery are pinned in tests."""
+    discipline). ORACLE-backed despite the inversion: p_ij =
+    -C_ij/sqrt(C_ii*C_jj) cancels the determinant, so the k=4 gate is
+    closed-form over 3x3 cofactors of the SAME 6dp-rounded correlation
+    matrix both engines start from (cofactor-vs-LU drift < 1e-9,
+    verified on 200 random PD matrices); exact numpy parity + a
+    planted-confounder recovery are pinned in tests."""
     from indexlab_spark.operators.analytics import partial_corr_matrix
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
@@ -6592,7 +6596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_revenue": _q_binseg_revenue,  # rows-only
         "mmr_embeddings": _q_mmr_embeddings,  # rows-only
         "truss_farms": _q_truss_farms,  # rows-only
-        "partial_corr_lineitem": _q_partial_corr_lineitem,  # rows-only
+        # partial_corr upgraded to oracle-backed in r11 (determinant
+        # cancels in the partial-corr ratio -> closed-form cofactor
+        # replay); never-attested, leads the r12 window:
+        "partial_corr_lineitem": _q_partial_corr_lineitem,
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
         "event_stationary": _q_event_stationary,  # rows-only
         # -- last green r10 (the 38 entries rotated out of the r10
@@ -12358,5 +12365,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS id, lbl AS community
             FROM lab WHERE it = 3
+        """,
+        "partial_corr_lineitem": """
+            WITH base AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS a,
+                       CAST(l_extendedprice AS DOUBLE) AS b,
+                       CAST(l_discount AS DOUBLE) AS c,
+                       CAST(l_tax AS DOUBLE) AS d
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(*) AS BIGINT) AS n_out,
+                       sum(a) sa, sum(b) sb, sum(c) sc, sum(d) sd,
+                       sum(a*a) qa, sum(b*b) qb, sum(c*c) qc, sum(d*d) qd,
+                       sum(a*b) xab, sum(a*c) xac, sum(a*d) xad,
+                       sum(b*c) xbc, sum(b*d) xbd, sum(c*d) xcd
+                FROM base
+            ),
+            r AS (
+                SELECT n_out,
+                       round((n*xab - sa*sb) / sqrt((n*qa - sa*sa)*(n*qb - sb*sb)), 6) AS r12,
+                       round((n*xac - sa*sc) / sqrt((n*qa - sa*sa)*(n*qc - sc*sc)), 6) AS r13,
+                       round((n*xad - sa*sd) / sqrt((n*qa - sa*sa)*(n*qd - sd*sd)), 6) AS r14,
+                       round((n*xbc - sb*sc) / sqrt((n*qb - sb*sb)*(n*qc - sc*sc)), 6) AS r23,
+                       round((n*xbd - sb*sd) / sqrt((n*qb - sb*sb)*(n*qd - sd*sd)), 6) AS r24,
+                       round((n*xcd - sc*sd) / sqrt((n*qc - sc*sc)*(n*qd - sd*sd)), 6) AS r34
+                FROM m
+            )
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       r12 AS corr,
+       round(-(-((r12)*((1)*(1)-(r34)*(r34)) - (r23)*((r13)*(1)-(r34)*(r14)) + (r24)*((r13)*(r34)-(1)*(r14)))) / sqrt(((1)*((1)*(1)-(r34)*(r34)) - (r23)*((r23)*(1)-(r34)*(r24)) + (r24)*((r23)*(r34)-(1)*(r24))) * ((1)*((1)*(1)-(r34)*(r34)) - (r13)*((r13)*(1)-(r34)*(r14)) + (r14)*((r13)*(r34)-(1)*(r14)))), 6) AS partial_corr, n_out AS n FROM r
+            UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+       r13 AS corr,
+       round(-((r12)*((r23)*(1)-(r34)*(r24)) - (1)*((r13)*(1)-(r34)*(r14)) + (r24)*((r13)*(r24)-(r23)*(r14))) / sqrt(((1)*((1)*(1)-(r34)*(r34)) - (r23)*((r23)*(1)-(r34)*(r24)) + (r24)*((r23)*(r34)-(1)*(r24))) * ((1)*((1)*(1)-(r24)*(r24)) - (r12)*((r12)*(1)-(r24)*(r14)) + (r14)*((r12)*(r24)-(1)*(r14)))), 6) AS partial_corr, n_out AS n FROM r
+            UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+       r14 AS corr,
+       round(-(-((r12)*((r23)*(r34)-(1)*(r24)) - (1)*((r13)*(r34)-(1)*(r14)) + (r23)*((r13)*(r24)-(r23)*(r14)))) / sqrt(((1)*((1)*(1)-(r34)*(r34)) - (r23)*((r23)*(1)-(r34)*(r24)) + (r24)*((r23)*(r34)-(1)*(r24))) * ((1)*((1)*(1)-(r23)*(r23)) - (r12)*((r12)*(1)-(r23)*(r13)) + (r13)*((r12)*(r23)-(1)*(r13)))), 6) AS partial_corr, n_out AS n FROM r
+            UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+       r23 AS corr,
+       round(-(-((1)*((r23)*(1)-(r34)*(r24)) - (r12)*((r13)*(1)-(r34)*(r14)) + (r14)*((r13)*(r24)-(r23)*(r14)))) / sqrt(((1)*((1)*(1)-(r34)*(r34)) - (r13)*((r13)*(1)-(r34)*(r14)) + (r14)*((r13)*(r34)-(1)*(r14))) * ((1)*((1)*(1)-(r24)*(r24)) - (r12)*((r12)*(1)-(r24)*(r14)) + (r14)*((r12)*(r24)-(1)*(r14)))), 6) AS partial_corr, n_out AS n FROM r
+            UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+       r24 AS corr,
+       round(-((1)*((r23)*(r34)-(1)*(r24)) - (r12)*((r13)*(r34)-(1)*(r14)) + (r13)*((r13)*(r24)-(r23)*(r14))) / sqrt(((1)*((1)*(1)-(r34)*(r34)) - (r13)*((r13)*(1)-(r34)*(r14)) + (r14)*((r13)*(r34)-(1)*(r14))) * ((1)*((1)*(1)-(r23)*(r23)) - (r12)*((r12)*(1)-(r23)*(r13)) + (r13)*((r12)*(r23)-(1)*(r13)))), 6) AS partial_corr, n_out AS n FROM r
+            UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+       r34 AS corr,
+       round(-(-((1)*((1)*(r34)-(r23)*(r24)) - (r12)*((r12)*(r34)-(r23)*(r14)) + (r13)*((r12)*(r24)-(1)*(r14)))) / sqrt(((1)*((1)*(1)-(r24)*(r24)) - (r12)*((r12)*(1)-(r24)*(r14)) + (r14)*((r12)*(r24)-(1)*(r14))) * ((1)*((1)*(1)-(r23)*(r23)) - (r12)*((r12)*(1)-(r23)*(r13)) + (r13)*((r12)*(r23)-(1)*(r13)))), 6) AS partial_corr, n_out AS n FROM r
         """,
     }
