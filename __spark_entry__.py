@@ -4783,9 +4783,13 @@ def _q_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive seasonal forecast of hourly revenue per
     event type (analytics.holt_winters_forecast, period=24): the
-    seasonal completion of holt_revenue. Rows-only — the (l, b,
-    s[1..24]) fold is not SQL-replayable; pure-python parity and the
-    exact-periodic fixpoint are pinned in tests."""
+    seasonal completion of holt_revenue. ORACLE-backed (r11): the
+    (l, b, s[1..24]) fold is a deterministic linear recursion, so a
+    recursive CTE carrying the 24-slot season list replays it — the
+    ewma_volumes discipline widened to list-valued state; bit-exact
+    vs Spark at sf0.001 AND sf0.01 including the accumulated sse.
+    Pure-python parity and the exact-periodic fixpoint are also
+    pinned in tests."""
     from indexlab_spark.operators.analytics import holt_winters_forecast
 
     t = load_tables(spark, sf_dir, ("events",))
@@ -6060,9 +6064,14 @@ def _q_mmr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     between ranking and the LLM context window that stops five
     near-copies of one passage filling the prompt. The greedy runs as
     ONE Arrow per-query pass over the already-tiny top-k pool; the
-    corpus is never touched. Rows-only (greedy selection state is not
-    SQL-replayable); exact independent-python parity and the
-    lam=1-degrades-to-ranking anchor are pinned in tests."""
+    corpus is never touched. ORACLE-backed (r11): the greedy is a
+    5-step recursion over a bounded pool, so a recursive CTE carrying
+    the selected set as a list replays it exactly — pool, rel
+    normalization and redundancy term all from the same UNROUNDED
+    cosine scores both engines compute; the operator's 9dp
+    round-before-compare makes the argmax engine-portable. Exact
+    independent-python parity and the lam=1-degrades-to-ranking
+    anchor are also pinned in tests."""
     from indexlab_spark.operators.fusion import mmr_rerank
     from indexlab_spark.operators.knn import knn_join
 
@@ -6587,14 +6596,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "hits_suppliers": _q_hits_suppliers,
         "similarity_ivfpq": _q_similarity_ivfpq,
-        # -- round-9 rows-only leftover (its oracle-backed siblings
-        # moved into the r11 window above):
-        "holt_winters_hourly": _q_holt_winters_hourly,  # rows-only
+        # holt_winters upgraded to oracle-backed in r11 (fixed linear
+        # recursion -> recursive CTE with 24-slot list state);
+        # never-attested, leads the r12 window:
+        "holt_winters_hourly": _q_holt_winters_hourly,
         # -- round-10 rows-only additions (oracle-backed siblings moved
         # into the r11 window above):
         "part_ktruss": _q_part_ktruss,  # rows-only
         "binseg_revenue": _q_binseg_revenue,  # rows-only
-        "mmr_embeddings": _q_mmr_embeddings,  # rows-only
+        # mmr upgraded to oracle-backed in r11 (bounded 5-step greedy
+        # -> recursive CTE with list-valued selected set);
+        # never-attested, leads the r12 window:
+        "mmr_embeddings": _q_mmr_embeddings,
         "truss_farms": _q_truss_farms,  # rows-only
         # partial_corr upgraded to oracle-backed in r11 (determinant
         # cancels in the partial-corr ratio -> closed-form cofactor
@@ -12414,5 +12427,160 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
        r34 AS corr,
        round(-(-((1)*((1)*(r34)-(r23)*(r24)) - (r12)*((r12)*(r34)-(r23)*(r14)) + (r13)*((r12)*(r24)-(1)*(r14)))) / sqrt(((1)*((1)*(1)-(r24)*(r24)) - (r12)*((r12)*(1)-(r24)*(r14)) + (r14)*((r12)*(r24)-(1)*(r14))) * ((1)*((1)*(1)-(r23)*(r23)) - (r12)*((r12)*(1)-(r23)*(r13)) + (r13)*((r12)*(r23)-(1)*(r13)))), 6) AS partial_corr, n_out AS n FROM r
+        """,
+        "holt_winters_hourly": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type AS g,
+                       date_trunc('hour', ts) AS hh,
+                       CAST(sum(value) AS DOUBLE) AS x
+                FROM events
+                GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT g, x,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY hh, x) AS t
+                FROM hourly
+            ),
+            elig AS (
+                SELECT g, count(*) AS n FROM hourly
+                GROUP BY g HAVING count(*) >= 48
+            ),
+            h48 AS (
+                SELECT o.g, list(o.x ORDER BY o.t) AS xs
+                FROM ordered o JOIN elig e USING (g)
+                WHERE o.t <= 48
+                GROUP BY o.g
+            ),
+            init AS (
+                SELECT f.g, e.n,
+                       list_sum(xs[1:24]) / 24.0 AS lvl,
+                       list_sum(list_transform(generate_series(1, 24),
+                           i -> (xs[i + 24] - xs[i]) / 24.0)) / 24.0 AS trd,
+                       list_transform(generate_series(1, 24),
+                           i -> xs[i] - list_sum(xs[1:24]) / 24.0) AS season
+                FROM h48 f JOIN elig e USING (g)
+            ),
+            fold AS (
+                SELECT g, n, CAST(24 AS BIGINT) AS t, lvl, trd, season,
+                       CAST(0.0 AS DOUBLE) AS sse
+                FROM init
+                UNION ALL
+                SELECT z.g, z.n, z.t,
+                       z.lvl_new AS lvl,
+                       0.3 * (z.lvl_new - z.lvl) + 0.7 * z.trd AS trd,
+                       list_transform(generate_series(1, 24),
+                           i -> CASE WHEN i = ((z.t - 1) % 24) + 1
+                                THEN 0.3 * (z.x - z.lvl_new) + 0.7 * z.s_old
+                                ELSE z.season[i] END) AS season,
+                       z.sse + (z.x - (z.lvl + z.trd + z.s_old))
+                             * (z.x - (z.lvl + z.trd + z.s_old)) AS sse
+                FROM (
+                    SELECT f.g, f.n, o.t, o.x, f.lvl, f.trd, f.season,
+                           f.sse,
+                           f.season[((o.t - 1) % 24) + 1] AS s_old,
+                           0.5 * (o.x - f.season[((o.t - 1) % 24) + 1])
+                             + 0.5 * (f.lvl + f.trd) AS lvl_new
+                    FROM fold f
+                    JOIN ordered o ON o.g = f.g AND o.t = f.t + 1
+                ) z
+            ),
+            fin AS (SELECT * FROM fold WHERE t = n),
+            hs AS (SELECT unnest(generate_series(1, 12)) AS h)
+            SELECT fin.g AS event_type, CAST(hs.h AS INT) AS h,
+                   round(fin.lvl + hs.h * fin.trd
+                         + fin.season[((fin.n + hs.h - 1) % 24) + 1],
+                         6) AS forecast,
+                   round(fin.lvl, 6) AS level,
+                   round(fin.trd, 6) AS trend,
+                   round(fin.season[((fin.n + hs.h - 1) % 24) + 1],
+                         6) AS seasonal,
+                   fin.n AS n_obs,
+                   round(fin.sse, 6) AS sse
+            FROM fin CROSS JOIN hs
+        """,
+        "mmr_embeddings": """
+            WITH RECURSIVE q AS (
+                SELECT vec_id AS qq, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 16
+            ),
+            s AS (
+                SELECT q.qq, e.vec_id AS d,
+                       list_cosine_similarity(q.qv,
+                             CAST(e.embedding AS DOUBLE[])) AS score
+                FROM q, embeddings e
+            ),
+            pool AS (
+                SELECT qq, d, score FROM (
+                    SELECT qq, d, score,
+                           row_number() OVER (PARTITION BY qq
+                               ORDER BY score DESC, d ASC) AS rk
+                    FROM s
+                ) WHERE rk <= 10
+            ),
+            ext AS (
+                SELECT qq, min(score) AS lo, max(score) AS hi
+                FROM pool GROUP BY qq
+            ),
+            cand AS (
+                SELECT p.qq, p.d, p.score,
+                       CASE WHEN e.hi > e.lo
+                            THEN (p.score - e.lo) / (e.hi - e.lo)
+                            ELSE 1.0 END AS rel
+                FROM pool p JOIN ext e USING (qq)
+            ),
+            vecs AS (
+                SELECT p.qq, p.d, CAST(e.embedding AS DOUBLE[]) AS v
+                FROM pool p JOIN embeddings e ON e.vec_id = p.d
+            ),
+            unitv AS (
+                SELECT qq, d,
+                       CASE WHEN sqrt(list_sum(
+                                list_transform(v, x -> x * x))) = 0
+                            THEN v
+                            ELSE list_transform(v, x -> x / sqrt(
+                                list_sum(list_transform(v, y -> y * y))))
+                       END AS u
+                FROM vecs
+            ),
+            sims AS (
+                SELECT a.qq, a.d AS da, b.d AS db,
+                       list_dot_product(a.u, b.u) AS sim
+                FROM unitv a JOIN unitv b
+                  ON a.qq = b.qq AND a.d <> b.d
+            ),
+            fold AS (
+                SELECT qq, 0 AS it, CAST([] AS BIGINT[]) AS sel,
+                       CAST(NULL AS BIGINT) AS pick,
+                       CAST(NULL AS DOUBLE) AS pscore,
+                       CAST(NULL AS DOUBLE) AS pobj
+                FROM (SELECT DISTINCT qq FROM pool)
+                UNION ALL
+                SELECT z.qq, z.it, z.sel, z.pick, z.pscore, z.pobj
+                FROM (
+                    SELECT y.qq, y.it, list_append(y.sel, y.pick) AS sel,
+                           y.pick, y.pscore, y.pobj,
+                           row_number() OVER (PARTITION BY y.qq
+                               ORDER BY y.pobj DESC, y.pick ASC) AS rn
+                    FROM (
+                        SELECT f.qq, f.it + 1 AS it, f.sel,
+                               c.d AS pick, c.score AS pscore,
+                               round(0.7 * c.rel - 0.3 * coalesce((
+                                   SELECT max(s2.sim) FROM sims s2
+                                   WHERE s2.qq = f.qq AND s2.da = c.d
+                                     AND list_contains(f.sel, s2.db)
+                               ), 0.0), 9) AS pobj
+                        FROM fold f JOIN cand c
+                          ON c.qq = f.qq
+                         AND NOT list_contains(f.sel, c.d)
+                        WHERE f.it < 5
+                    ) y
+                ) z WHERE z.rn = 1
+            )
+            SELECT qq AS query_id, pick AS doc_id,
+                   CAST(it AS BIGINT) AS rank,
+                   round(pscore, 6) AS score,
+                   round(pobj, 6) AS mmr_score
+            FROM fold WHERE it >= 1
         """,
     }

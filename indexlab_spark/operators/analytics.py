@@ -4102,9 +4102,9 @@ def holt_winters_forecast(
     (l, b, s[1..m]) fold is ONE Arrow per-group pass over a
     pre-aggregated calendar-bounded series; one keyed exchange,
     horizon-sized output per group; (order, value) mergesort ties.
-    Not SQL-replayable (m+2-wide recursive state) -> rows-only gate,
-    pure-python parity pinned in tests (the weighted_minhash
-    precedent).
+    SQL-replayable after all: the m+2-wide state rides a recursive
+    CTE as a list column (the gate's oracle is bit-exact vs this
+    fold, sse included); pure-python parity also pinned in tests.
 
     Output per group per h in 1..horizon: group_cols + h + forecast +
     level + trend + seasonal (the slot used) + n_obs + sse (one-step

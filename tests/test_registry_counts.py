@@ -24,6 +24,23 @@ def test_readme_counts_match_registry():
     assert f"entry smoke + {no} oracle comparisons" in readme
 
 
+def test_plans_head_counts_match_registry():
+    """r10 VERDICT item 6: PLANS.md's certification counts went stale
+    within a round while README's guarded counts did not — so the
+    'Registry at HEAD' line in PLANS.md is now pinned the same way."""
+    nq = len(entry_mod.queries())
+    no = len(entry_mod.oracle_sql())
+    plans = open("PLANS.md").read()
+    want = (
+        f"Registry at HEAD: {nq} entries ({no} oracle-backed + "
+        f"{nq - no} rows-only)."
+    )
+    assert want in plans, (
+        f"PLANS.md 'Registry at HEAD' line != registry ({nq} entries, "
+        f"{no} oracle-backed, {nq - no} rows-only) — update the line"
+    )
+
+
 def test_every_oracle_has_a_query():
     q = entry_mod.queries()
     extra = [k for k in entry_mod.oracle_sql() if k not in q]
