@@ -487,11 +487,21 @@ def minhash_incremental_pairs(
         )
     )
     if max_bucket is not None:
-        # Lazy guard, same policy and same reasoning as minhash_lsh_pairs:
-        # no eager pin/count — the anti-join against the (empty on clean
-        # corpora) hot frame folds into the probe join's plan.
+        # Lazy guard, same policy as minhash_lsh_pairs, but restricted
+        # to the BATCH's keys: a hot bucket with no new-side key never
+        # joins, so anti-filtering it is a no-op — which means hot
+        # detection only needs counts for keys the new batch touches.
+        # The unrestricted groupBy was the one corpus-sized SHUFFLE in
+        # the probe path (r11 postmortem of the incremental ratio);
+        # after the broadcast semi-join the count's input is
+        # candidate-mass-bounded and the corpus bucket table is only
+        # ever SCANNED, never shuffled. Result-identical by the
+        # argument above (per-key counts are unchanged by the key
+        # restriction).
+        new_keys = new_b.select("band", "key").distinct()
         hot = (
-            all_b.groupBy("band", "key")
+            all_b.join(F.broadcast(new_keys), ["band", "key"], "semi")
+            .groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("_occ"))
             .filter(F.col("_occ") > max_bucket)
             .select("band", "key")
