@@ -550,12 +550,16 @@ def main() -> None:
                  "rake_docs", "part_assortativity", "compaction_docs",
                  # attribution_decay 0.8s (same joins as the
                  # attribution row, one extra pow projection);
-                 # part_ktruss 3.6s (the support>=2 graph is sparse at
-                 # sf0.1 — 2-3 peel rounds; the sf0.01 gate graph is
-                 # the denser, slower case at 12s);
+                 # part_ktruss moved to gate-only in r11 (3.7s warm at
+                 # sf0.1, min-of-2 — per-round peel floors, the
+                 # truss_farms/order_triangles class; part_kcore stays
+                 # as the iterative-peel representative and the sf0.01
+                 # gate run attests ktruss each round). Pays for the
+                 # min-of-3 bump on the two incremental headline
+                 # entries, keeping the suite inside the ~230s budget;
                  # cross_source_dups 1.4s (the jaccard pair frame +
                  # one source join); dp_lang_counts 0.2s
-                 "attribution_decay", "part_ktruss",
+                 "attribution_decay",
                  "cross_source_dups", "dp_lang_counts",
                  # hilbert_events 1.0s (8 projection rounds, zero
                  # exchanges — the layout key is compute-free at scale)

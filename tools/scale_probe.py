@@ -142,8 +142,10 @@ def main() -> None:
         embedding_lsh_pairs,
         exact_dedup,
         jaccard_pairs,
+        label_propagation,
         line_dedup,
         minhash_lsh_pairs,
+        pagerank,
         remove_duplicated_spans,
         simhash,
     )
@@ -204,6 +206,53 @@ def main() -> None:
     ivf_cent = {
         s: build_ivf(e, nlist=64, seed=42)[1].localCheckpoint(eager=True)
         for s, e in ((1, emb1), (n, embN))
+    }
+
+    # r10 VERDICT item 5: growth-measure the graph family's "one keyed
+    # join per round" claim (plan-audited until now). The co-purchase
+    # edge set from lineitem is replicated with per-replica node-id
+    # offsets — N disjoint copies of the SAME graph, so per-round join
+    # work grows ~N while round count (fixed-iteration contract) stays
+    # constant. State built outside the timer.
+    li_g = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    _ga, _gb = li_g.alias("a"), li_g.alias("b")
+    edges_base = (
+        _ga.join(
+            _gb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+
+    def _replicate_edges(e, reps: int):
+        if reps == 1:
+            return e
+        return e.crossJoin(F.broadcast(
+            spark.range(reps).select(F.col("id").alias("_rep"))
+        )).select(
+            (F.col("id_a") + F.col("_rep") * 10_000_000).alias("id_a"),
+            (F.col("id_b") + F.col("_rep") * 10_000_000).alias("id_b"),
+        )
+
+    g_edges = {
+        s: _replicate_edges(edges_base, s).localCheckpoint(eager=True)
+        for s in (1, n)
+    }
+    g_nodes = {
+        s: e.select(F.col("id_a").alias("id"))
+        .unionByName(e.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        for s, e in g_edges.items()
     }
 
     from indexlab_spark.operators.analytics import weighted_quantiles
@@ -375,6 +424,21 @@ def main() -> None:
             # hilbert key: stats collect + pure projection — growth ~N
             # with zero exchanges (the layout key must stay free)
             "hilbert_key": lambda: _hilbert(ev),
+            # round 11: the graph family's "one keyed join + map-side
+            # aggs per round, ONE driver action per round" claim,
+            # growth-measured at the gates' fixed iteration counts
+            # over N disjoint copies of the co-purchase graph. Rounds
+            # are constant, per-round join work grows ~N — so total
+            # time should grow ~N (modulo the per-round scheduling
+            # floor, which at this SF dominates and pushes the factor
+            # BELOW N; a factor >> N would mean a round stopped being
+            # key-local).
+            "pagerank_fixed8": lambda: pagerank(
+                g_edges[scale], g_nodes[scale], max_iter=8, tol=None
+            ).count(),
+            "label_prop_fixed3": lambda: label_propagation(
+                g_edges[scale], g_nodes[scale], max_iter=3
+            ).count(),
         }
 
     def timed_min2(fn):
