@@ -6305,6 +6305,131 @@ def _q_compaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theil_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposable inequality (analytics.theil_index): the
+    entropy-based companion to gini_customers over the SAME
+    per-customer revenue-by-segment frame — Theil T from ONE
+    map-side-combined moment agg per segment (sum x ln x identity, no
+    rank window at all); the oracle replays the identity."""
+    from indexlab_spark.operators.analytics import theil_index
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    per_cust = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100).alias("cents"))
+    )
+    return theil_index(per_cust, ["seg"], "cents")
+
+
+def _q_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (analytics.sprt_test, Wald 1945):
+    per experiment arm (user-parity split), is the purchase rate p1 =
+    0.25 rather than p0 = 0.15 — the guardrail monitor that stops at
+    the FIRST boundary crossing with (alpha, beta) held no matter when
+    you peek. One variant-keyed window cumsum + one agg; the oracle
+    replays the identical walk (same double increments, same (ts,
+    success) order, ties exchangeable)."""
+    from indexlab_spark.operators.analytics import sprt_test
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    return sprt_test(ev, "v", "ts", "s", p0=0.15, p1=0.25)
+
+
+def _q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend test (analytics.mann_kendall_trend, Mann
+    1945 / Kendall 1975): is daily revenue per event type trending at
+    all — the assumption-free companion to theilsen_revenue's slope.
+    Daily revenue is rounded to 6dp BEFORE the test on BOTH sides so
+    sign() never flips on cross-engine float residue; the calendar-
+    bounded pair join + tie-corrected variance replay exactly."""
+    from indexlab_spark.operators.analytics import mann_kendall_trend
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    return mann_kendall_trend(daily, ["event_type"], "day", "revenue")
+
+
+def _q_croston_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intermittent-demand forecast (analytics.croston_forecast,
+    Croston 1972): daily shipped quantity per sampled part over the
+    full lineitem calendar spine — the mostly-zero series holt-family
+    smoothing gets wrong by construction. The fold touches only the
+    nonzero rows (the dense zeros never leave the scan); the oracle
+    replays the (z, p) recursion over the same nonzero positions (the
+    ewma_volumes recursive-CTE discipline)."""
+    from indexlab_spark.operators.analytics import croston_forecast
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_partkey", F.to_date("l_shipdate").alias("day"), "l_quantity"
+    )
+    parts = li.select("l_partkey").distinct().filter(
+        F.col("l_partkey") % 50 == 0
+    )
+    days = li.select("day").distinct()
+    spine = parts.crossJoin(days)
+    demand = (
+        li.join(parts, "l_partkey")
+        .groupBy("l_partkey", "day")
+        .agg(F.sum("l_quantity").alias("_q"))
+    )
+    dense = spine.join(demand, ["l_partkey", "day"], "left").select(
+        "l_partkey", "day", F.coalesce(F.col("_q"), F.lit(0.0)).alias("d")
+    )
+    return croston_forecast(dense, ["l_partkey"], "day", "d", alpha=0.1)
+
+
+def _q_ranking_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement between retrieval runs (evaluate.ranking_tau,
+    Kendall tau-b): do cosine and inner-product retrieval ORDER the
+    shared top-10 the same way — the order-sensitive completion of
+    search_overlap. Both runs re-rank deterministically on (6dp score,
+    doc id) IN the query so the oracle can replay the exact ranks; the
+    pair fan-out is pool-squared-bounded."""
+    from indexlab_spark.operators.evaluate import ranking_tau
+    from indexlab_spark.operators.knn import knn_join
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    def run(metric):
+        hits = knn_join(
+            queries_df, corpus, k=10, metric=metric,
+            query_vec_col="qv", corpus_vec_col="embedding",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("score"), 6).desc(), F.col("doc_id")
+        )
+        return hits.select(
+            "query_id", "doc_id", F.row_number().over(w).alias("rank")
+        )
+
+    return ranking_tau(run("cosine"), run("ip"))
+
+
+def _q_lexical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-side quality signals (textstats.lexical_richness):
+    TTR, hapax rate and Yule's K per document — the repeat-rate screen
+    (machine-generated text repeats itself) beside the curation
+    stack's length/punct features. Doc-keyed explode + two map-side
+    aggs, embarrassingly parallel; the oracle replays the frequency
+    spectrum."""
+    from indexlab_spark.operators.textstats import lexical_richness
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return lexical_richness(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -6656,6 +6781,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
+        # -- round-11 additions (oracle-backed, never attested; by the
+        # never-attested-first invariant these plus the three r11
+        # attestation upgrades above (partial_corr_lineitem,
+        # holt_winters_hourly, mmr_embeddings) lead the r12 window
+        # after the 12 anchors — registration order):
+        "theil_customers": _q_theil_customers,
+        "sprt_events": _q_sprt_events,
+        "mann_kendall_daily": _q_mann_kendall_daily,
+        "croston_parts": _q_croston_parts,
+        "ranking_tau": _q_ranking_tau,
+        "lexical_docs": _q_lexical_docs,
     }
 
 
@@ -12582,5 +12718,286 @@ def oracle_sql() -> dict[str, str]:
                    round(pscore, 6) AS score,
                    round(pobj, 6) AS mmr_score
             FROM fold WHERE it >= 1
+        """,
+        "theil_customers": """
+            WITH per_cust AS (
+                SELECT c.c_mktsegment AS seg, o.o_custkey,
+                       round(sum(o.o_totalprice) * 100) AS cents
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT seg, count(*) AS n,
+                       sum(cents) AS sx,
+                       sum(CASE WHEN cents > 0
+                                THEN cents * ln(cents) ELSE 0.0 END) AS sxlx
+                FROM per_cust GROUP BY seg
+            )
+            SELECT seg, n,
+                   round(sx / n, 6) AS mean,
+                   round(greatest(sxlx / (n * (sx / n)) - ln(sx / n),
+                                  0.0), 6) AS theil
+            FROM m
+        """,
+        "sprt_events": """
+            WITH base AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+                       ts,
+                       CAST(event_type = 'purchase' AS INT) AS s
+                FROM events
+                WHERE (event_type = 'purchase') IS NOT NULL
+            ),
+            walked AS (
+                SELECT v, s,
+                       row_number() OVER w AS i,
+                       sum(CASE WHEN s = 1 THEN ln(0.25 / 0.15)
+                                ELSE ln(0.75 / 0.85) END) OVER w AS llr
+                FROM base
+                WINDOW w AS (PARTITION BY v ORDER BY ts, s
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            agg AS (
+                SELECT v, max(i) AS n,
+                       CAST(sum(s) AS BIGINT) AS successes,
+                       round(max_by(llr, i), 6) AS llr_final,
+                       min(CASE WHEN llr >= ln((1 - 0.2) / 0.05)
+                                  OR llr <= ln(0.2 / (1 - 0.05))
+                                THEN i END) AS n_decision
+                FROM walked GROUP BY v
+            )
+            SELECT a.v, a.n, a.successes, a.llr_final,
+                   CASE WHEN w.llr >= ln((1 - 0.2) / 0.05)
+                        THEN 'accept_h1'
+                        WHEN w.llr <= ln(0.2 / (1 - 0.05))
+                        THEN 'accept_h0'
+                        ELSE 'continue' END AS decision,
+                   a.n_decision,
+                   round(w.llr, 6) AS llr_decision
+            FROM agg a LEFT JOIN walked w
+              ON w.v = a.v AND w.i = a.n_decision
+        """,
+        "mann_kendall_daily": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       round(sum(value), 6) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a.event_type, sign(b.x - a.x) AS sg
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.day < b.day
+            ),
+            s_agg AS (
+                SELECT event_type, CAST(sum(sg) AS BIGINT) AS s
+                FROM pairs GROUP BY event_type
+            ),
+            counts AS (
+                SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+            ),
+            ties AS (
+                SELECT event_type,
+                       sum(t * (t - 1) * (2 * t + 5)) AS tie_sum
+                FROM (
+                    SELECT event_type, x, count(*) AS t
+                    FROM daily GROUP BY 1, 2 HAVING count(*) > 1
+                ) GROUP BY event_type
+            ),
+            j AS (
+                SELECT c.event_type, c.n,
+                       coalesce(s.s, 0) AS s,
+                       (CAST(c.n AS DOUBLE) * (c.n - 1) * (2 * c.n + 5)
+                        - coalesce(t.tie_sum, 0)) / 18.0 AS vs
+                FROM counts c
+                LEFT JOIN s_agg s USING (event_type)
+                LEFT JOIN ties t USING (event_type)
+            ),
+            z AS (
+                SELECT event_type, n, s, vs,
+                       CASE WHEN vs <= 0 THEN NULL
+                            WHEN s > 0 THEN (s - 1) / sqrt(vs)
+                            WHEN s < 0 THEN (s + 1) / sqrt(vs)
+                            ELSE 0.0 END AS zz
+                FROM j
+            )
+            SELECT event_type, n, s, round(vs, 6) AS var_s,
+                   round(zz, 6) AS z,
+                   CASE WHEN zz IS NULL THEN 'no_trend'
+                        WHEN zz > 1.959964 THEN 'increasing'
+                        WHEN zz < -1.959964 THEN 'decreasing'
+                        ELSE 'no_trend' END AS trend
+            FROM z
+        """,
+        "croston_parts": """
+            WITH RECURSIVE li AS (
+                SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                       l_quantity
+                FROM lineitem
+            ),
+            parts AS (
+                SELECT DISTINCT l_partkey FROM li
+                WHERE l_partkey % 50 = 0
+            ),
+            days AS (SELECT DISTINCT day FROM li),
+            dayidx AS (
+                SELECT day, row_number() OVER (ORDER BY day) AS pos
+                FROM days
+            ),
+            nper AS (SELECT count(*) AS n_periods FROM days),
+            demand AS (
+                SELECT l.l_partkey, l.day, sum(l.l_quantity) AS d
+                FROM li l JOIN parts p USING (l_partkey)
+                GROUP BY 1, 2
+            ),
+            nz AS (
+                SELECT d.l_partkey, di.pos, CAST(d.d AS DOUBLE) AS d,
+                       row_number() OVER (PARTITION BY d.l_partkey
+                                          ORDER BY di.pos) AS k
+                FROM demand d JOIN dayidx di USING (day)
+                WHERE d.d > 0
+            ),
+            fold AS (
+                SELECT l_partkey, k, pos, d AS z,
+                       CAST(pos AS DOUBLE) AS p
+                FROM nz WHERE k = 1
+                UNION ALL
+                SELECT n.l_partkey, n.k, n.pos,
+                       0.1 * n.d + 0.9 * f.z,
+                       0.1 * (n.pos - f.pos) + 0.9 * f.p
+                FROM fold f JOIN nz n
+                  ON n.l_partkey = f.l_partkey AND n.k = f.k + 1
+            ),
+            last AS (
+                SELECT l_partkey, k, z, p,
+                       row_number() OVER (PARTITION BY l_partkey
+                                          ORDER BY k DESC) AS rn
+                FROM fold
+            ),
+            cnt AS (
+                SELECT l_partkey, max(k) AS n_nonzero FROM nz GROUP BY 1
+            )
+            SELECT l.l_partkey,
+                   (SELECT n_periods FROM nper) AS n_periods,
+                   c.n_nonzero,
+                   round(l.z, 6) AS z,
+                   round(l.p, 6) AS p,
+                   round(l.z / l.p, 6) AS forecast
+            FROM last l JOIN cnt c USING (l_partkey)
+            WHERE l.rn = 1
+        """,
+        "ranking_tau": """
+            WITH q AS (
+                SELECT vec_id AS qq, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 16
+            ),
+            sc AS (
+                SELECT q.qq, e.vec_id AS d,
+                       list_cosine_similarity(q.qv,
+                           CAST(e.embedding AS DOUBLE[])) AS raw_cos,
+                       list_dot_product(q.qv,
+                           CAST(e.embedding AS DOUBLE[])) AS raw_ip
+                FROM q, embeddings e
+            ),
+            pool_a AS (
+                SELECT qq, d, raw_cos FROM (
+                    SELECT qq, d, raw_cos,
+                           row_number() OVER (PARTITION BY qq
+                               ORDER BY raw_cos DESC, d) AS rk
+                    FROM sc) WHERE rk <= 10
+            ),
+            pool_b AS (
+                SELECT qq, d, raw_ip FROM (
+                    SELECT qq, d, raw_ip,
+                           row_number() OVER (PARTITION BY qq
+                               ORDER BY raw_ip DESC, d) AS rk
+                    FROM sc) WHERE rk <= 10
+            ),
+            ra AS (
+                SELECT qq, d,
+                       CAST(row_number() OVER (PARTITION BY qq
+                           ORDER BY round(raw_cos, 6) DESC, d)
+                       AS DOUBLE) AS r
+                FROM pool_a
+            ),
+            rb AS (
+                SELECT qq, d,
+                       CAST(row_number() OVER (PARTITION BY qq
+                           ORDER BY round(raw_ip, 6) DESC, d)
+                       AS DOUBLE) AS r
+                FROM pool_b
+            ),
+            shared AS (
+                SELECT ra.qq, ra.d, ra.r AS ra_r, rb.r AS rb_r
+                FROM ra JOIN rb ON ra.qq = rb.qq AND ra.d = rb.d
+            ),
+            prs AS (
+                SELECT x.qq,
+                       (x.ra_r - y.ra_r) AS da,
+                       (x.rb_r - y.rb_r) AS db
+                FROM shared x JOIN shared y
+                  ON x.qq = y.qq AND x.d < y.d
+            ),
+            agg AS (
+                SELECT qq, count(*) AS n_pairs,
+                       CAST(sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS concordant,
+                       CAST(sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS discordant,
+                       CAST(sum(CASE WHEN da = 0 AND db <> 0
+                                     THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ta,
+                       CAST(sum(CASE WHEN db = 0 AND da <> 0
+                                     THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tb
+                FROM prs GROUP BY qq
+            ),
+            counts AS (
+                SELECT qq, count(*) AS n_shared FROM shared GROUP BY qq
+            )
+            SELECT c.qq AS query_id, c.n_shared,
+                   coalesce(a.n_pairs, 0) AS n_pairs,
+                   coalesce(a.concordant, 0) AS concordant,
+                   coalesce(a.discordant, 0) AS discordant,
+                   round(CASE WHEN (a.concordant + a.discordant + a.ta) > 0
+                               AND (a.concordant + a.discordant + a.tb) > 0
+                              THEN (a.concordant - a.discordant)
+                                   / sqrt(CAST((a.concordant + a.discordant
+                                                + a.ta) AS DOUBLE)
+                                          * (a.concordant + a.discordant
+                                             + a.tb))
+                         END, 6) AS tau_b
+            FROM counts c LEFT JOIN agg a USING (qq)
+        """,
+        "lexical_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ),
+            per_type AS (
+                SELECT doc_id, tok, count(*) AS m
+                FROM toks GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(m) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
+                       CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS hapax,
+                       CAST(sum(m * m) AS DOUBLE) AS sm2
+                FROM per_type GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_types, 0) AS n_types,
+                   round(a.n_types / CAST(a.n_tokens AS DOUBLE), 6)
+                       AS ttr,
+                   round(a.hapax / CAST(a.n_types AS DOUBLE), 6)
+                       AS hapax_rate,
+                   round(10000.0 * (a.sm2 - a.n_tokens)
+                         / (CAST(a.n_tokens AS DOUBLE) * a.n_tokens), 6)
+                       AS yule_k
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

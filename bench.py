@@ -608,6 +608,16 @@ def main() -> None:
                  "event_stationary",
                  # lpa_parts gate-only like pagerank_parts (3 rounds,
                  # per-round scheduling floor; sf0.01 gate attests it)
+                 # round-11 additions (sf0.1 min-of-2: theil 1.4s —
+                 # one moment agg; sprt 0.7s — one window cumsum;
+                 # mann_kendall 1.0s — calendar-bounded pair join;
+                 # lexical 0.7s — doc-keyed explode aggs;
+                 # ranking_tau 1.6s — two knn joins + pool pairs).
+                 # croston_parts is gate-only (3.1s: the parts x days
+                 # spine build dominates; the fold itself is trivial
+                 # and the sf0.01 gate hash-attests it each round)
+                 "theil_customers", "sprt_events", "mann_kendall_daily",
+                 "lexical_docs", "ranking_tau",
                  ):
         fn = entry_mod.queries()[name]
         reps = (

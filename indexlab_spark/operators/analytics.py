@@ -5960,3 +5960,340 @@ def stationary_distribution(
         "state string, pi double, n_states int, n_iter int,"
         " residual double",
     )
+
+
+def theil_index(
+    df: "DataFrame",
+    group_cols: list[str],
+    weight_col: str,
+) -> "DataFrame":
+    """Per-group Theil T inequality index of a weight column — the
+    entropy-based companion to :func:`gini_concentration` (Theil 1967,
+    public): 0 = perfectly even, ln(n) = one entity holds everything.
+    Unlike Gini it is ADDITIVELY DECOMPOSABLE across subgroups
+    (between + within), which is why mix audits report both: Gini for
+    the familiar scale, Theil when the question is "how much of the
+    token concentration is between sources vs within one".
+
+    Algebra chosen for ONE pass: T = (1/n) sum (x/mu) ln(x/mu)
+    = sum(x ln x) / (n mu) - ln(mu), so a single map-side-combined
+    aggregation per group (n, sum x, sum x ln x) suffices — no rank
+    window, no second scan (the corr_matrix moment discipline). Zero
+    weights contribute 0 (the x->0 limit of x ln x); NULL weights are
+    excluded; negative weights are a contract violation as in Gini.
+    Single-entity groups return theil = 0 exactly (mu = x).
+
+    Output: group_cols + n, mean (6dp), theil (6dp).
+    """
+    x = F.col(weight_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*group_cols, x.alias("_x"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(
+            F.when(F.col("_x") > 0, F.col("_x") * F.log(F.col("_x")))
+            .otherwise(F.lit(0.0))
+        ).alias("_sxlx"),
+    )
+    mu = F.col("_sx") / F.col("n")
+    t = F.col("_sxlx") / (F.col("n") * mu) - F.log(mu)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(mu, 6).alias("mean"),
+        # clamp the -1e-16-class float residue of single-entity /
+        # all-equal groups so the index is exactly 0 there
+        F.round(F.greatest(t, F.lit(0.0)), 6).alias("theil"),
+    )
+
+
+def sprt_test(
+    df: "DataFrame",
+    variant_col: str,
+    order_col: str,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> "DataFrame":
+    """Wald's Sequential Probability Ratio Test (Wald 1945, public)
+    per experiment arm over a Bernoulli outcome stream — the
+    ALWAYS-VALID companion to ab_test/srm_check: instead of one
+    fixed-horizon readout, the log-likelihood ratio is tracked event
+    by event and the arm STOPS the moment it crosses a boundary,
+    with type-I/II error held at (alpha, beta) regardless of when you
+    peek. The standard guardrail-metric monitor shape.
+
+    Per observation: llr += ln(p1/p0) on success, ln((1-p1)/(1-p0))
+    on failure. Boundaries: accept H1 (rate is p1) at llr >=
+    ln((1-beta)/alpha); accept H0 (rate is p0) at llr <=
+    ln(beta/(1-alpha)); otherwise 'continue'. The DECISION is taken
+    at the FIRST crossing (sequential semantics — later observations
+    cannot un-decide), and the first-crossing row is reported even
+    though the full stream's final llr is also emitted.
+
+    Distributed shape: one variant-keyed window cumsum (rows ordered
+    by (order, success) — remaining ties are exchangeable: equal
+    increments commute, so the first-crossing INDEX is deterministic)
+    + one map-side-combined agg per variant. Sequential semantics are
+    inherently ordered per arm — the same per-group scan contract as
+    cusum_revenue; arms are few, events per arm bound the task.
+
+    Output per variant: n, successes, llr_final (6dp), decision
+    ('accept_h1' | 'accept_h0' | 'continue'), n_decision (1-based
+    observation index of the first crossing; NULL if none),
+    llr_decision (6dp; NULL if none).
+    """
+    for name, v in (("p0", p0), ("p1", p1)):
+        if not (0.0 < v < 1.0):
+            raise ValueError(f"sprt_test: {name} in (0, 1), got {v}")
+    if p0 == p1:
+        raise ValueError("sprt_test: p0 and p1 must differ")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("sprt_test: alpha/beta in (0, 1)")
+    import math
+
+    inc_s = math.log(p1 / p0)
+    inc_f = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+    s = F.col(success_col).cast("int")
+    base = df.filter(s.isNotNull()).select(
+        F.col(variant_col).alias("_v"),
+        F.col(order_col).alias("_ord"),
+        s.alias("_s"),
+    )
+    w = Window.partitionBy("_v").orderBy("_ord", "_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = base.select(
+        "_v",
+        "_s",
+        F.count(F.lit(1)).over(w).alias("_i"),
+        (
+            F.sum(
+                F.when(F.col("_s") == 1, F.lit(inc_s)).otherwise(
+                    F.lit(inc_f)
+                )
+            ).over(w)
+        ).alias("_llr"),
+    )
+    crossed = F.when(F.col("_llr") >= up, F.lit("accept_h1")).when(
+        F.col("_llr") <= lo, F.lit("accept_h0")
+    )
+    return (
+        walked.withColumn("_dec", crossed)
+        .groupBy(F.col("_v").alias(variant_col))
+        .agg(
+            F.max("_i").alias("n"),
+            F.sum("_s").cast("long").alias("successes"),
+            F.round(F.max_by("_llr", "_i"), 6).alias("llr_final"),
+            F.min(F.when(F.col("_dec").isNotNull(), F.col("_i"))).alias(
+                "n_decision"
+            ),
+            F.coalesce(
+                F.min_by(
+                    "_dec",
+                    F.when(F.col("_dec").isNotNull(), F.col("_i")),
+                ),
+                F.lit("continue"),
+            ).alias("decision"),
+            F.round(
+                F.min_by(
+                    "_llr",
+                    F.when(F.col("_dec").isNotNull(), F.col("_i")),
+                ),
+                6,
+            ).alias("llr_decision"),
+        )
+        .select(
+            variant_col, "n", "successes", "llr_final", "decision",
+            "n_decision", "llr_decision",
+        )
+    )
+
+
+def mann_kendall_trend(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    z_crit: float = 1.959964,
+) -> "DataFrame":
+    """Mann-Kendall monotonic-trend test per group (Mann 1945, Kendall
+    1975, public) — the NONPARAMETRIC member of the trend family:
+    theilsen_revenue estimates the slope, this one answers "is there a
+    monotonic trend AT ALL" with no linearity or distribution
+    assumption, robust to outliers and exactly right for the daily /
+    hourly series the other calendar ops emit.
+
+    S = sum over ordered pairs i < j of sign(x_j - x_i); the normal
+    approximation uses the tie-corrected variance
+    Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 over tie groups
+    of size t, and the continuity-corrected
+    Z = (S-1)/sqrt(Var) if S > 0, 0 if S = 0, (S+1)/sqrt(Var) if S < 0.
+
+    Input contract: a PRE-AGGREGATED series per group (daily revenue,
+    hourly volume — the acf_daily discipline), so the within-group
+    pair join is calendar-bounded (n^2 over ~10^2-10^3 points), never
+    event-sized. Distributed shape: one group-keyed self-join on
+    order_i < order_j + ONE map-side-combined sign agg; the tie
+    correction is a second tiny (group, value)-keyed agg. Rows with
+    NULL order or value are excluded. Groups need n >= 2 (smaller
+    groups emit n with NULL z).
+
+    Output: group_cols + n, s (long), var_s (6dp), z (6dp; NULL when
+    Var = 0 — an all-tied series has no trend information), trend
+    ('increasing' | 'decreasing' | 'no_trend' at |z| > z_crit).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & F.col(order_col).isNotNull()
+    ).select(*group_cols, F.col(order_col).alias("_o"), v.alias("_x"))
+    a = base.alias("a")
+    b = base.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    pairs = a.join(b, on + [F.col("a._o") < F.col("b._o")])
+    s_agg = pairs.groupBy(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols]
+    ).agg(
+        F.sum(F.signum(F.col("b._x") - F.col("a._x")))
+        .cast("long")
+        .alias("s")
+    )
+    counts = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        base.groupBy(*group_cols, "_x")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .filter(F.col("_t") > 1)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_sum")
+        )
+    )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5)
+        - F.coalesce(F.col("_tie_sum"), F.lit(0)).cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("var_s_raw") <= 0, F.lit(None).cast("double")).when(
+        F.col("s") > 0, (sd - 1) / F.sqrt(F.col("var_s_raw"))
+    ).when(
+        F.col("s") < 0, (sd + 1) / F.sqrt(F.col("var_s_raw"))
+    ).otherwise(F.lit(0.0))
+    out = (
+        counts.join(s_agg, list(group_cols), "left")
+        .join(ties, list(group_cols), "left")
+        .withColumn("var_s_raw", var_s)
+        .withColumn("_z", z)
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+        F.round("var_s_raw", 6).alias("var_s"),
+        F.round("_z", 6).alias("z"),
+        F.when(F.col("_z").isNull(), "no_trend")
+        .when(F.col("_z") > z_crit, "increasing")
+        .when(F.col("_z") < -z_crit, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+def croston_forecast(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    demand_col: str,
+    alpha: float = 0.1,
+    sba: bool = False,
+) -> "DataFrame":
+    """Croston's method for INTERMITTENT demand per group (Croston
+    1972; SBA bias correction Syntetos & Boylan 2005 — both public):
+    the member of the forecast family holt/holt_winters get wrong by
+    construction, because smoothing a mostly-zero series drags the
+    level to ~0 between demands. Croston smooths TWO series instead —
+    nonzero demand size z and inter-demand interval p — and forecasts
+    demand-per-period as z/p (SBA multiplies by 1 - alpha/2).
+
+    Input contract: a DENSE pre-aggregated series per group (every
+    period present, zero demand as 0 — build it on a calendar spine),
+    ordered by ``order_col``. Init at the first nonzero demand d at
+    1-based position k: z = d, p = k. Then for each later period with
+    demand d > 0 arriving q periods after the previous nonzero:
+    z = alpha*d + (1-alpha)*z; p = alpha*q + (1-alpha)*p. Zero
+    periods only advance q. Groups with no nonzero demand emit
+    nothing (documented — there is no demand process to forecast).
+
+    Distributed shape: the fold touches ONLY the nonzero rows — q is
+    reconstructible from consecutive nonzero positions — so the Arrow
+    per-group pass runs on the sparse frame (intermittent means MOSTLY
+    ZEROS: the shuffle carries the nonzero fraction, the dense zeros
+    never leave the scan); one keyed exchange, one output row per
+    group (the holt_forecast discipline). (order, demand) mergesort
+    ties. SQL-replayable: the same fold is a linear recursion over the
+    nonzero rows (the ewma_volumes oracle discipline).
+
+    Output: group_cols + n_periods, n_nonzero, z (6dp), p (6dp),
+    forecast (6dp) = (1 - alpha/2 if sba else 1) * z / p.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"croston_forecast: alpha in (0, 1], got {alpha}")
+    import pandas as pd
+
+    d = F.col(demand_col).cast("double")
+    base = df.filter(d.isNotNull() & F.col(order_col).isNotNull()).select(
+        *group_cols, F.col(order_col).alias("_ord"), d.alias("_d")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_ord", "_d")
+    pos = base.select(
+        *group_cols, "_ord", "_d",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_pos"),
+    )
+    totals = pos.groupBy(*group_cols).agg(
+        F.max("_pos").alias("n_periods")
+    )
+    nz = pos.filter(F.col("_d") > 0).select(
+        *group_cols, "_ord", "_d", "_pos"
+    )
+    out_fields = ", ".join(
+        f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    factor = (1.0 - alpha / 2.0) if sba else 1.0
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_pos"], kind="mergesort")
+        head = [pdf[c].iloc[0] for c in group_cols]
+        z = p = None
+        last = None
+        for ppos, dd in zip(pdf["_pos"], pdf["_d"]):
+            if z is None:
+                z, p = float(dd), float(ppos)
+            else:
+                q = float(ppos - last)
+                z = alpha * float(dd) + (1 - alpha) * z
+                p = alpha * q + (1 - alpha) * p
+            last = ppos
+        return pd.DataFrame(
+            [head + [int(len(pdf)), round(z, 6), round(p, 6),
+                     round(factor * z / p, 6)]],
+            columns=[*group_cols, "n_nonzero", "z", "p", "forecast"],
+        )
+
+    folded = nz.groupBy(*group_cols).applyInPandas(
+        fold,
+        schema=(
+            f"{out_fields}, n_nonzero long, z double, p double,"
+            " forecast double"
+        ),
+    )
+    return folded.join(totals, list(group_cols)).select(
+        *group_cols, "n_periods", "n_nonzero", "z", "p", "forecast"
+    )

@@ -377,3 +377,87 @@ def ann_recall(
         F.round(F.avg("recall"), 6).alias("recall"),
     )
     return per_q.unionByName(total)
+
+
+def ranking_tau(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Kendall tau-b rank agreement between two retrieval runs per
+    query (Kendall 1938 with the tau-b tie correction, public) — the
+    ORDER-sensitive completion of :func:`search_overlap` (set overlap
+    says the two systems retrieve the same documents; tau says whether
+    they RANK them the same way, which is what changes the LLM context
+    window's first slots). Standard in IR evaluation for comparing a
+    cheap ranker against an expensive one.
+
+    Computed over documents BOTH runs retrieved for the query
+    (documented: tau over the shared set; disjoint tails are overlap's
+    job, not tau's). For every unordered shared-doc pair:
+    concordant = both runs order it the same way, discordant =
+    opposite ways, tied in a / tied in b otherwise;
+    tau_b = (C - D) / sqrt((P - Ta) * (P - Tb)) with P = all pairs,
+    Ta/Tb = pairs tied in that run alone... exactly: P = C + D + Ta +
+    Tb + Tab, tau_b = (C - D) / sqrt((C + D + Ta) * (C + D + Tb)).
+    NULL when either factor is 0 (a run ranked every shared doc
+    equally — no order information).
+
+    Distributed shape: one doc-keyed inner join aligns the runs, then
+    ONE query-keyed self-join over the shared frame (pair fan-out
+    bounded by the per-query POOL size squared — pools are top-k
+    frames, never corpus-sized) + one map-side-combined agg.
+
+    Output per query: query_col, n_shared, n_pairs, concordant,
+    discordant, tau_b (6dp).
+    """
+    def side(run, suffix):
+        return run.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rank_col).cast("double").alias(f"_r{suffix}"),
+        )
+
+    shared = side(run_a, "a").join(side(run_b, "b"), ["_q", "_d"])
+    x = shared.alias("x")
+    y = shared.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x._q") == F.col("y._q")) & (F.col("x._d") < F.col("y._d")),
+    )
+    da = F.col("x._ra") - F.col("y._ra")
+    db = F.col("x._rb") - F.col("y._rb")
+    conc = (da * db > 0).cast("long")
+    disc = (da * db < 0).cast("long")
+    tie_a = ((da == 0) & (db != 0)).cast("long")
+    tie_b = ((db == 0) & (da != 0)).cast("long")
+    counts = shared.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    agg = pairs.groupBy(F.col("x._q").alias(query_col)).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(conc).alias("concordant"),
+        F.sum(disc).alias("discordant"),
+        F.sum(tie_a).alias("_ta"),
+        F.sum(tie_b).alias("_tb"),
+    )
+    c, d = F.col("concordant"), F.col("discordant")
+    denom_a = (c + d + F.col("_ta")).cast("double")
+    denom_b = (c + d + F.col("_tb")).cast("double")
+    tau = F.when(
+        (denom_a > 0) & (denom_b > 0),
+        (c - d).cast("double") / F.sqrt(denom_a * denom_b),
+    )
+    return (
+        counts.join(agg, query_col, "left")
+        .select(
+            query_col,
+            "n_shared",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(c, F.lit(0)).alias("concordant"),
+            F.coalesce(d, F.lit(0)).alias("discordant"),
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )

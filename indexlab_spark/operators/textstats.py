@@ -600,3 +600,72 @@ def rake_keywords(
         "score",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def lexical_richness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical richness profile — the vocabulary-side
+    quality signals the curation stack's length/punct features miss:
+    TTR (type-token ratio, Templin 1957 usage), hapax rate (share of
+    the doc's vocabulary used exactly once — boilerplate and keyword
+    stuffing crater it), and Yule's K (Yule 1944, public) — the
+    repeat-rate statistic 10^4 * (sum_m m^2 V_m - N) / N^2 over the
+    frequency spectrum V_m (# types occurring m times), which unlike
+    TTR is approximately length-invariant and is the standard
+    "machine-generated text repeats itself" screen.
+
+    Tokenization: lowercase whitespace split (the BM25/tokens
+    contract, so the numbers line up with the rest of the text
+    family). Empty docs emit n_tokens = 0 with NULL ratios.
+
+    Distributed shape: one explode -> (doc, token) count agg -> one
+    doc-keyed agg over the per-type counts (both map-side combined,
+    everything keyed by doc id — embarrassingly parallel, no
+    corpus-global state). Output: id_col, n_tokens, n_types, ttr
+    (6dp), hapax_rate (6dp, hapax/types), yule_k (6dp; NULL for
+    single-token docs where N^2 = sum m^2 V_m makes K exactly 0 --
+    emitted as 0, and NULL only when N = 0).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("_tok"),
+    )
+    per_type = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    agg = per_type.groupBy(id_col).agg(
+        F.sum("_m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("_m") == 1).cast("long")).cast("long").alias("_hapax"),
+        F.sum(F.col("_m") * F.col("_m")).cast("double").alias("_sm2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    out = agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / n, 6).alias("ttr"),
+        F.round(F.col("_hapax") / F.col("n_types"), 6).alias("hapax_rate"),
+        F.round(F.lit(10_000.0) * (F.col("_sm2") - n) / (n * n), 6).alias(
+            "yule_k"
+        ),
+    )
+    empties = df.join(toks.select(id_col).distinct(), id_col, "left_anti")
+    return out.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_types"),
+            F.lit(None).cast("double").alias("ttr"),
+            F.lit(None).cast("double").alias("hapax_rate"),
+            F.lit(None).cast("double").alias("yule_k"),
+        )
+    )
