@@ -6430,6 +6430,130 @@ def _q_lexical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_richness(docs)
 
 
+def _q_fdr_weekday_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control (analytics.fdr_bh, Benjamini-Hochberg
+    1995): seven per-weekday independence tests (3x2 contingency of
+    event type x experiment arm, dof = 2) corrected at q = 0.1 — the
+    guard a dashboard needs the moment it watches more than one
+    number. dof = 2 is chosen deliberately: its chi-square survival
+    is EXACTLY exp(-x/2), so the p-values are closed-form in both
+    engines (the repo's no-erf discipline). The BH rank window runs
+    over 7 rows — test-frame-sized by contract."""
+    from indexlab_spark.operators.analytics import fdr_bh
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("wd"),
+        "event_type",
+        (F.col("user_id") % 2 == 0).cast("int").alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wd = Window.partitionBy("wd")
+    e = (
+        F.sum("o").over(Window.partitionBy("wd", "event_type"))
+        * F.sum("o").over(Window.partitionBy("wd", "arm"))
+        / F.sum("o").over(wd)
+    )
+    chi2 = cells.withColumn(
+        "_c", (F.col("o") - e) * (F.col("o") - e) / e
+    ).groupBy("wd").agg(F.sum("_c").alias("chi2"))
+    tests = chi2.select(
+        "wd", F.exp(-F.col("chi2") / 2).alias("pval")
+    )
+    return fdr_bh(tests, "wd", "pval", q=0.1)
+
+
+def _q_eb_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-sample rate shrinkage (analytics.eb_shrinkage): per-part
+    return rates (l_returnflag = 'R') shrunk toward the
+    moment-matched Beta prior — the fix for every "100% return rate,
+    n=1" leaderboard. One item-frame moment agg -> broadcast prior ->
+    codegen posterior; the oracle replays the moments and posterior
+    exactly."""
+    from indexlab_spark.operators.analytics import eb_shrinkage
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    return eb_shrinkage(items, ["l_partkey"], "r", "t")
+
+
+def _q_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary saturation (textstats.vocab_richness): Chao1
+    unseen-vocabulary estimate, Good-Turing unseen mass and Herdan's C
+    from the global frequency spectrum — is more data still adding
+    words. ONE token-keyed map-combined count (the single corpus
+    shuffle, vocab-sized output) + a spectrum reduction to one row."""
+    from indexlab_spark.operators.textstats import vocab_richness
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return vocab_richness(docs)
+
+
+def _q_ipw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational treatment effect (analytics.ipw_ate, Horvitz-
+    Thompson weighting, Hajek-normalized): ATE of the parity split on
+    per-user revenue under a KNOWN deterministic propensity (0.3 +
+    0.05 * (user_id % 8) — the gate exercises the estimator mechanics
+    and its overlap diagnostics with a score both engines replicate
+    exactly; a learned score is the classifier family's job). One
+    unit-frame agg, one row out, ESS + max-weight diagnostics ride
+    along."""
+    from indexlab_spark.operators.analytics import ipw_ate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.groupBy("user_id").agg(F.sum("value").alias("outcome"))
+    units = units.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        "outcome",
+        (0.3 + 0.05 * (F.col("user_id") % 8)).alias("score"),
+    )
+    return ipw_ate(units, "treat", "outcome", "score")
+
+
+def _q_qini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift targeting curve (analytics.qini_curve, Radcliffe 2007):
+    cumulative incremental conversions by score decile for the parity
+    split on per-user purchase response, against the random-targeting
+    line — the "who converts BECAUSE treated" completion of
+    lift_events. Driver-literal percentile edges (no ntile global
+    sort), ONE map-combined tile agg, bounded cumulative window; the
+    deterministic score (user_id-derived) makes the tiling
+    oracle-replayable via quantile_cont, the lift_table precedent."""
+    from indexlab_spark.operators.analytics import qini_curve
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    units = units.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        F.col("converted").cast("double").alias("outcome"),
+        (0.01 * (F.col("user_id") % 100)).alias("score"),
+    )
+    return qini_curve(units, "treat", "outcome", "score", n_tiles=10)
+
+
+def _q_markov_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven attribution (analytics.markov_attribution, Anderl
+    et al. 2014): removal-effect credit over the event-type journey
+    chain with 'purchase' as the CONV absorber — the measured
+    completion of multi_touch_attribution's heuristic models. One
+    user-keyed window pass + one (src, dst) count; the channels²
+    matrix solves n_iter=60 FIXED absorption iterations on the driver
+    in plain doubles, so the whole solve replays as a recursive CTE
+    (the pagerank_parts fixed-iteration discipline)."""
+    from indexlab_spark.operators.analytics import markov_attribution
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return markov_attribution(ev, "user_id", "ts", "event_type", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -6782,16 +6906,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
         # -- round-11 additions (oracle-backed, never attested; by the
-        # never-attested-first invariant these plus the three r11
+        # never-attested-first invariant these TWELVE plus the three r11
         # attestation upgrades above (partial_corr_lineitem,
         # holt_winters_hourly, mmr_embeddings) lead the r12 window
-        # after the 12 anchors — registration order):
+        # after the 12 anchors — registration order; 15 + 12 anchors
+        # leaves 23 oldest-backfill slots: the remaining 36 r06-green
+        # entries fill them in registry order, r07+ continue in r13):
         "theil_customers": _q_theil_customers,
         "sprt_events": _q_sprt_events,
         "mann_kendall_daily": _q_mann_kendall_daily,
         "croston_parts": _q_croston_parts,
         "ranking_tau": _q_ranking_tau,
         "lexical_docs": _q_lexical_docs,
+        "fdr_weekday_tests": _q_fdr_weekday_tests,
+        "eb_return_rates": _q_eb_return_rates,
+        "vocab_docs": _q_vocab_docs,
+        "ipw_events": _q_ipw_events,
+        "qini_events": _q_qini_events,
+        "markov_channels": _q_markov_channels,
     }
 
 
@@ -12999,5 +13131,359 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(a.n_tokens AS DOUBLE) * a.n_tokens), 6)
                        AS yule_k
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "fdr_weekday_tests": """
+            WITH ev AS (
+                SELECT dayofweek(ts) + 1 AS wd, event_type,
+                       CAST(user_id % 2 = 0 AS INT) AS arm
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            cells AS (
+                SELECT wd, event_type, arm, count(*) AS o
+                FROM ev GROUP BY 1, 2, 3
+            ),
+            ex AS (
+                SELECT wd, event_type, arm, o,
+                       sum(o) OVER (PARTITION BY wd, event_type)
+                       * sum(o) OVER (PARTITION BY wd, arm)
+                       / CAST(sum(o) OVER (PARTITION BY wd) AS DOUBLE)
+                       AS e
+                FROM cells
+            ),
+            chi AS (
+                SELECT wd, sum((o - e) * (o - e) / e) AS chi2
+                FROM ex GROUP BY wd
+            ),
+            tests AS (
+                SELECT wd, exp(-chi2 / 2) AS pval FROM chi
+            ),
+            ranked AS (
+                SELECT wd AS t, pval AS p,
+                       row_number() OVER (ORDER BY pval, wd) AS rank,
+                       count(*) OVER () AS m
+                FROM tests
+            ),
+            kk AS (
+                SELECT max(CASE WHEN p <= rank * 0.1 / m
+                                THEN rank END) AS k
+                FROM ranked
+            )
+            SELECT r.t AS wd, round(r.p, 6) AS p, r.rank, r.m,
+                   round(r.rank * 0.1 / r.m, 6) AS bh_critical,
+                   coalesce(r.rank <= kk.k, FALSE) AS rejected
+            FROM ranked r CROSS JOIN kk
+        """,
+        "eb_return_rates": """
+            WITH items AS (
+                SELECT l_partkey,
+                       CAST(sum(CASE WHEN l_returnflag = 'R'
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS s,
+                       CAST(count(*) AS DOUBLE) AS t
+                FROM lineitem GROUP BY 1
+            ),
+            base AS (
+                SELECT l_partkey, s, t, s / t AS r
+                FROM items WHERE t > 0
+            ),
+            mom AS (
+                SELECT avg(r) AS mu, var_pop(r) AS v FROM base
+            ),
+            prior AS (
+                SELECT CASE WHEN v > 0 AND v < mu * (1 - mu)
+                            THEN mu * (mu * (1 - mu) / v - 1) END AS a,
+                       CASE WHEN v > 0 AND v < mu * (1 - mu)
+                            THEN (1 - mu) * (mu * (1 - mu) / v - 1)
+                       END AS b
+                FROM mom
+            )
+            SELECT base.l_partkey,
+                   CAST(base.s AS BIGINT) AS successes,
+                   CAST(base.t AS BIGINT) AS trials,
+                   round(base.r, 6) AS rate,
+                   round(CASE WHEN p.a IS NOT NULL
+                              THEN (base.s + p.a) / (base.t + p.a + p.b)
+                              ELSE base.r END, 6) AS shrunk_rate,
+                   round(p.a, 6) AS prior_alpha,
+                   round(p.b, 6) AS prior_beta
+            FROM base CROSS JOIN prior p
+        """,
+        "vocab_docs": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS tok
+                FROM documents
+            ),
+            per_type AS (
+                SELECT tok, count(*) AS m FROM toks GROUP BY tok
+            ),
+            agg AS (
+                SELECT CAST(sum(m) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
+                       CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f1,
+                       CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f2
+                FROM per_type
+            )
+            SELECT n_tokens, n_types, f1, f2,
+                   round(n_types + CAST(f1 AS DOUBLE) * (f1 - 1)
+                         / (2 * (f2 + 1)), 6) AS chao1,
+                   round(CAST(f1 AS DOUBLE) / n_tokens, 6)
+                       AS gt_unseen_mass,
+                   round(CASE WHEN n_tokens > 1
+                              THEN ln(CAST(n_types AS DOUBLE))
+                                   / ln(CAST(n_tokens AS DOUBLE)) END,
+                         6) AS herdan_c
+            FROM agg
+        """,
+        "ipw_events": """
+            WITH units AS (
+                SELECT user_id, sum(value) AS outcome
+                FROM events GROUP BY user_id
+            ),
+            scored AS (
+                SELECT CAST(user_id % 2 = 0 AS INT) AS tr,
+                       CAST(outcome AS DOUBLE) AS y,
+                       0.3 + 0.05 * (user_id % 8) AS e
+                FROM units
+            ),
+            wtd AS (
+                SELECT tr, y,
+                       CASE WHEN y IS NOT NULL AND e > 0 AND e < 1
+                            THEN CASE WHEN tr = 1 THEN 1.0 / e
+                                 ELSE 1.0 / (1.0 - e) END
+                       END AS w
+                FROM scored
+            ),
+            agg AS (
+                SELECT
+                    count(CASE WHEN tr = 1 AND w IS NOT NULL
+                               THEN 1 END) AS n_treated,
+                    count(CASE WHEN tr <> 1 AND w IS NOT NULL
+                               THEN 1 END) AS n_control,
+                    count(CASE WHEN w IS NULL THEN 1 END) AS n_excluded,
+                    sum(CASE WHEN tr = 1 THEN w * y END) AS swy_t,
+                    sum(CASE WHEN tr = 1 THEN w END) AS sw_t,
+                    sum(CASE WHEN tr = 1 THEN w * w END) AS sww_t,
+                    sum(CASE WHEN tr <> 1 THEN w * y END) AS swy_c,
+                    sum(CASE WHEN tr <> 1 THEN w END) AS sw_c,
+                    sum(CASE WHEN tr <> 1 THEN w * w END) AS sww_c,
+                    max(w) AS wmax
+                FROM wtd
+            )
+            SELECT n_treated, n_control, n_excluded,
+                   round(swy_t / sw_t, 6) AS mean_treated,
+                   round(swy_c / sw_c, 6) AS mean_control,
+                   round(swy_t / sw_t - swy_c / sw_c, 6) AS ate,
+                   round(sw_t * sw_t / sww_t, 6) AS ess_treated,
+                   round(sw_c * sw_c / sww_c, 6) AS ess_control,
+                   round(wmax, 6) AS max_weight
+            FROM agg
+        """,
+        "qini_events": """
+            WITH units AS (
+                SELECT user_id,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS y
+                FROM events GROUP BY user_id
+            ),
+            f AS (
+                SELECT CAST(user_id % 2 = 0 AS INT) AS tr, y,
+                       0.01 * (user_id % 100) AS s
+                FROM units
+            ),
+            e AS (
+                SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS q
+                FROM f
+            ),
+            tiled AS (
+                SELECT 10 - ((CASE WHEN s > q[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[2] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[3] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[4] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[5] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[6] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[7] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[8] THEN 1 ELSE 0 END)
+                           + (CASE WHEN s > q[9] THEN 1 ELSE 0 END))
+                           AS tile,
+                       tr, y
+                FROM f, e
+            ),
+            per AS (
+                SELECT tile,
+                       CAST(count(CASE WHEN tr = 1 THEN 1 END) AS BIGINT) AS n_treated,
+                       CAST(count(CASE WHEN tr <> 1 THEN 1 END) AS BIGINT) AS n_control,
+                       round(coalesce(sum(CASE WHEN tr = 1 THEN y END),
+                                      0.0), 6) AS resp_treated,
+                       round(coalesce(sum(CASE WHEN tr <> 1 THEN y END),
+                                      0.0), 6) AS resp_control
+                FROM tiled GROUP BY tile
+            ),
+            tot AS (
+                SELECT CAST(sum(n_treated) + sum(n_control) AS DOUBLE)
+                       AS n_all
+                FROM per
+            ),
+            cum AS (
+                SELECT tile, n_treated, n_control,
+                       resp_treated, resp_control,
+                       CAST(sum(n_treated) OVER w AS BIGINT) AS cum_n_treated,
+                       CAST(sum(n_control) OVER w AS BIGINT) AS cum_n_control,
+                       sum(resp_treated) OVER w AS cum_resp_treated,
+                       sum(resp_control) OVER w AS cum_resp_control
+                FROM per
+                WINDOW w AS (ORDER BY tile ROWS UNBOUNDED PRECEDING)
+            ),
+            qq AS (
+                SELECT *,
+                       cum_resp_treated - cum_resp_control
+                       * (CAST(cum_n_treated AS DOUBLE)
+                          / cum_n_control) AS qini_raw
+                FROM cum
+            ),
+            fin AS (
+                SELECT max_by(qini_raw, tile) AS q_final FROM qq
+            )
+            SELECT tile, n_treated, n_control, resp_treated,
+                   resp_control, cum_n_treated, cum_n_control,
+                   cum_resp_treated, cum_resp_control,
+                   round(qini_raw, 6) AS qini,
+                   round(fin.q_final
+                         * ((cum_n_treated + cum_n_control) / tot.n_all),
+                         6) AS qini_random
+            FROM qq, fin, tot
+        """,
+        "markov_channels": """
+            WITH RECURSIVE base AS (
+                SELECT user_id AS u, ts,
+                       CASE WHEN event_type = 'purchase' THEN 'CONV'
+                            ELSE event_type END AS st
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ),
+            rn AS (
+                SELECT u, st,
+                       row_number() OVER (PARTITION BY u
+                                          ORDER BY ts, st) AS rn
+                FROM base
+            ),
+            spans AS (
+                SELECT u, min(CASE WHEN st = 'CONV' THEN rn END)
+                           AS conv_rn,
+                       max(rn) AS last_rn
+                FROM rn GROUP BY u
+            ),
+            cut AS (
+                SELECT r.u, r.st, r.rn, s.conv_rn, s.last_rn
+                FROM rn r JOIN spans s USING (u)
+                WHERE s.conv_rn IS NULL OR r.rn <= s.conv_rn
+            ),
+            steps AS (
+                SELECT coalesce(lag(st) OVER (PARTITION BY u
+                                              ORDER BY rn),
+                                'START') AS src,
+                       st AS dst
+                FROM cut
+            ),
+            terminal AS (
+                SELECT st AS src, 'NULL' AS dst
+                FROM cut WHERE conv_rn IS NULL AND rn = last_rn
+            ),
+            trans AS MATERIALIZED (
+                SELECT src, dst, count(*) AS n FROM (
+                    SELECT src, dst FROM steps
+                    UNION ALL SELECT src, dst FROM terminal
+                ) GROUP BY 1, 2
+            ),
+            outs AS (SELECT src, sum(n) AS tot FROM trans GROUP BY src),
+            probs AS (
+                SELECT t.src, t.dst, CAST(t.n AS DOUBLE) / o.tot AS p
+                FROM trans t JOIN outs o USING (src)
+            ),
+            channels AS (
+                SELECT DISTINCT v AS ch FROM (
+                    SELECT src AS v FROM trans
+                    UNION SELECT dst FROM trans
+                ) WHERE v NOT IN ('START', 'CONV', 'NULL')
+            ),
+            transient AS MATERIALIZED (
+                SELECT ch AS s FROM channels
+                UNION ALL SELECT 'START'
+            ),
+            scenarios AS MATERIALIZED (
+                SELECT ch AS removed FROM channels
+                UNION ALL SELECT CAST(NULL AS VARCHAR)
+            ),
+            probs_full AS MATERIALIZED (
+                SELECT t1.s AS src, t2.s AS dst,
+                       coalesce(p.p, 0.0) AS p
+                FROM transient t1
+                CROSS JOIN transient t2
+                LEFT JOIN probs p
+                  ON p.src = t1.s AND p.dst = t2.s
+                WHERE t2.s <> 'START'
+            ),
+            rconv AS MATERIALIZED (
+                SELECT t.s AS src, coalesce(p.p, 0.0) AS r
+                FROM transient t
+                LEFT JOIN probs p ON p.src = t.s AND p.dst = 'CONV'
+            ),
+            fold AS (
+                SELECT sc.removed, t.s, 0 AS it, CAST(0.0 AS DOUBLE) AS x
+                FROM scenarios sc CROSS JOIN transient t
+                UNION ALL
+                SELECT g.removed, g.src AS s, g.it,
+                       CASE WHEN g.src = g.removed THEN 0.0
+                            ELSE g.r + g.contrib END AS x
+                FROM (
+                    SELECT f.removed, pf.src, max(f.it) + 1 AS it,
+                           any_value(r.r) AS r,
+                           sum(pf.p * f.x) AS contrib
+                    FROM fold f
+                    JOIN probs_full pf ON pf.dst = f.s
+                    JOIN rconv r ON r.src = pf.src
+                    WHERE f.it < 60
+                    GROUP BY f.removed, pf.src
+                ) g
+            ),
+            att AS (
+                SELECT removed AS channel, x AS p_removed
+                FROM fold
+                WHERE it = 60 AND s = 'START' AND removed IS NOT NULL
+            ),
+            pb AS (
+                SELECT x AS p FROM fold
+                WHERE it = 60 AND s = 'START' AND removed IS NULL
+            ),
+            nconv AS (
+                SELECT CAST(sum(n) AS BIGINT) AS nc
+                FROM trans WHERE dst = 'CONV'
+            ),
+            re AS (
+                SELECT a.channel,
+                       CASE WHEN pb.p > 0
+                            THEN 1.0 - a.p_removed / pb.p
+                            ELSE 0.0 END AS re
+                FROM att a, pb
+            ),
+            post AS (
+                SELECT sum(greatest(re, 0.0)) AS tot FROM re
+            )
+            SELECT r.channel,
+                   round(r.re, 6) AS removal_effect,
+                   round(CASE WHEN post.tot > 0
+                              THEN greatest(r.re, 0.0) / post.tot
+                              ELSE 0.0 END, 6) AS share,
+                   round(CASE WHEN post.tot > 0
+                              THEN greatest(r.re, 0.0) / post.tot
+                              ELSE 0.0 END * nconv.nc, 6)
+                       AS attributed_conversions,
+                   nconv.nc AS n_conversions,
+                   round(pb.p, 6) AS p_conv
+            FROM re r, post, nconv, pb
         """,
     }

@@ -618,6 +618,17 @@ def main() -> None:
                  # and the sf0.01 gate hash-attests it each round)
                  "theil_customers", "sprt_events", "mann_kendall_daily",
                  "lexical_docs", "ranking_tau",
+                 # round-11 wave 2 (sf0.1 min-of-2: fdr 1.3s — window
+                 # chi2 cells + 7-row rank; eb 0.5s — item moments +
+                 # broadcast prior; vocab 0.4s — one token agg;
+                 # ipw 0.4s — one unit-frame agg)
+                 "fdr_weekday_tests", "eb_return_rates", "vocab_docs",
+                 "ipw_events",
+                 # round-11 wave 3 (sf0.1 min-of-2: qini 1.0s — unit
+                 # agg + edges + 10-row cum window; markov 1.1s — one
+                 # user-keyed window pass + count collect + driver
+                 # fixed-iteration solve)
+                 "qini_events", "markov_channels",
                  ):
         fn = entry_mod.queries()[name]
         reps = (
@@ -734,6 +745,22 @@ def main() -> None:
         / queries_sec["q_minhash_rebuild_grown8x"],
         3,
     )
+    # Growth factors (r11): the point ratio above is stage-floor-bound
+    # at this SF (~1.0-1.1 even on an idle host — PLANS.md postmortem);
+    # the ASYMPTOTIC evidence is how each path grows 1x -> 8x with the
+    # batch fixed. Incremental should stay ~flat (cost tracks the
+    # batch); rebuild should grow with the corpus. Derived from the
+    # four timings already measured, no extra runs.
+    incremental_growth_8x = round(
+        queries_sec["q_minhash_incremental_grown8x"]
+        / queries_sec["q_minhash_incremental_10pct"],
+        3,
+    )
+    rebuild_growth_8x = round(
+        queries_sec["q_minhash_rebuild_grown8x"]
+        / queries_sec["q_minhash_rebuild_full"],
+        3,
+    )
     n_docs_grown = docs_grown.count()
     n_minhash_batch = new_docs.count()
     docs_grown.unpersist()
@@ -765,6 +792,8 @@ def main() -> None:
         "rows_per_sec": rows_per_sec,
         "n_chunks": n_chunks,
         "incremental_vs_rebuild": incremental_vs_rebuild,
+        "incremental_growth_8x": incremental_growth_8x,
+        "rebuild_growth_8x": rebuild_growth_8x,
         "incremental_vs_rebuild_same_corpus":
             incremental_vs_rebuild_same_corpus,
         "min_of": min_of,
@@ -802,6 +831,8 @@ def main() -> None:
         "ratios_large": ratios,
         "geomean_large": geomean,
         "incremental_vs_rebuild": incremental_vs_rebuild,
+        "incremental_growth_8x": incremental_growth_8x,
+        "rebuild_growth_8x": rebuild_growth_8x,
         "incremental_vs_rebuild_same_corpus":
             incremental_vs_rebuild_same_corpus,
         "min_of": min_of,

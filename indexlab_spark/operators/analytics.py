@@ -6148,9 +6148,17 @@ def mann_kendall_trend(
     ('increasing' | 'decreasing' | 'no_trend' at |z| > z_crit).
     """
     v = F.col(value_col).cast("double")
-    base = df.filter(
-        v.isNotNull() & F.col(order_col).isNotNull()
-    ).select(*group_cols, F.col(order_col).alias("_o"), v.alias("_x"))
+    base = (
+        df.filter(v.isNotNull() & F.col(order_col).isNotNull())
+        .select(*group_cols, F.col(order_col).alias("_o"), v.alias("_x"))
+        # four consumers (both pair-join sides, counts, ties) on
+        # DIFFERENT keys, so ReuseExchange cannot share them — without
+        # this the upstream series derivation re-scans its source per
+        # branch (measured: 6 corpus scans on the daily-revenue gate).
+        # The input contract is a pre-aggregated calendar-bounded
+        # series, so materializing it once is series-sized.
+        .localCheckpoint(eager=False)
+    )
     a = base.alias("a")
     b = base.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
@@ -6296,4 +6304,492 @@ def croston_forecast(
     )
     return folded.join(totals, list(group_cols)).select(
         *group_cols, "n_periods", "n_nonzero", "z", "p", "forecast"
+    )
+
+
+def fdr_bh(
+    df: "DataFrame",
+    test_col: str,
+    p_col: str,
+    q: float = 0.05,
+) -> "DataFrame":
+    """Benjamini-Hochberg step-up FDR correction (Benjamini &
+    Hochberg 1995, public) over a frame of test p-values — the
+    multiple-testing guard every metrics dashboard needs the moment it
+    watches more than one number: at q = 0.05 and 40 metrics, two
+    "significant" results are EXPECTED under pure noise; BH bounds the
+    false-discovery RATE instead of the per-test error.
+
+    Step-up rule over p-values sorted ascending with rank i of m:
+    critical_i = i * q / m; k = the LARGEST i with p_(i) <=
+    critical_i; reject tests with rank <= k (note: rejected tests can
+    individually sit above their own critical value — that is the
+    step-UP part and is correct).
+
+    Input contract: one row per TEST (a metrics frame, never
+    event-sized — tests are tens-to-thousands), so the rank window's
+    single-partition sort is bounded by the test count, the same
+    small-frame contract as eval_compare. NULL p-values are excluded
+    from m (they carry no test). Ties sort by (p, test id) —
+    deterministic, and tied p-values share the outcome because the
+    step-up k is a function of the sorted sequence.
+
+    Output: test_col, p (6dp), rank, m, bh_critical (6dp), rejected.
+    """
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"fdr_bh: q in (0, 1), got {q}")
+    p = F.col(p_col).cast("double")
+    base = (
+        df.filter(p.isNotNull())
+        .select(F.col(test_col).alias("_t"), p.alias("_p"))
+        # the test frame feeds four branches (rank, m, the step-up k,
+        # the output) on different shapes, so ReuseExchange cannot
+        # share them — without this pin the caller's p-value pipeline
+        # (often a corpus-sized aggregation) re-runs per branch
+        # (measured: 4 corpus scans on the weekday-chi2 gate). The
+        # input contract is a TEST frame, so the pin is tiny.
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("_p", "_t")
+    ranked = base.select(
+        "_t", "_p", F.row_number().over(w).alias("rank")
+    ).crossJoin(
+        F.broadcast(base.groupBy().agg(F.count(F.lit(1)).alias("m")))
+    )
+    crit = F.col("rank") * F.lit(q) / F.col("m")
+    marked = ranked.withColumn(
+        "_cross", F.when(F.col("_p") <= crit, F.col("rank"))
+    )
+    k = marked.groupBy().agg(F.max("_cross").alias("_k"))
+    return (
+        marked.crossJoin(F.broadcast(k))
+        .select(
+            F.col("_t").alias(test_col),
+            F.round("_p", 6).alias("p"),
+            "rank",
+            "m",
+            F.round(crit, 6).alias("bh_critical"),
+            F.coalesce(
+                F.col("rank") <= F.col("_k"), F.lit(False)
+            ).alias("rejected"),
+        )
+    )
+
+
+def eb_shrinkage(
+    df: "DataFrame",
+    group_cols: list[str],
+    successes_col: str,
+    trials_col: str,
+) -> "DataFrame":
+    """Empirical-Bayes shrinkage of per-item binomial rates toward a
+    method-of-moments Beta prior (Robbins 1956 lineage; the
+    moment-matched Beta-binomial is the standard public recipe) — the
+    fix for every "this part has a 100% return rate (n=1)" leaderboard:
+    small-sample items shrink hard toward the global prior, large
+    items barely move.
+
+    Prior fit: mu and sigma^2 are the UNWEIGHTED mean/variance of the
+    observed per-item rates (items with trials > 0);
+    alpha = mu * (mu(1-mu)/sigma^2 - 1), beta = (1-mu)/mu * alpha.
+    Posterior mean per item: (successes + alpha) / (trials + alpha +
+    beta). When the moments give no valid prior (sigma^2 = 0 or
+    sigma^2 >= mu(1-mu) — under- or over-dispersed beyond Beta), the
+    prior columns are NULL and shrunk_rate = raw rate (documented
+    fallback, never a garbage prior).
+
+    Distributed shape: ONE map-side-combined moment agg over the item
+    frame -> a broadcast 1-row prior -> a codegen projection. The
+    item frame is the input contract (pre-aggregate raw events
+    first), so nothing here is event-sized.
+
+    Output: group_cols + successes, trials, rate (6dp), shrunk_rate
+    (6dp), prior_alpha (6dp), prior_beta (6dp).
+    """
+    s = F.col(successes_col).cast("double")
+    t = F.col(trials_col).cast("double")
+    base = df.filter(t > 0).select(
+        *group_cols,
+        s.alias("_s"),
+        t.alias("_t"),
+        (s / t).alias("_r"),
+    )
+    mom = base.groupBy().agg(
+        F.avg("_r").alias("_mu"),
+        F.var_pop("_r").alias("_var"),
+    )
+    mu, var = F.col("_mu"), F.col("_var")
+    valid = (var > 0) & (var < mu * (1 - mu))
+    alpha = F.when(valid, mu * (mu * (1 - mu) / var - 1))
+    beta = F.when(valid, (1 - mu) * (mu * (1 - mu) / var - 1))
+    prior = mom.select(alpha.alias("_a"), beta.alias("_b"))
+    out = base.crossJoin(F.broadcast(prior))
+    shrunk = F.when(
+        F.col("_a").isNotNull(),
+        (F.col("_s") + F.col("_a"))
+        / (F.col("_t") + F.col("_a") + F.col("_b")),
+    ).otherwise(F.col("_r"))
+    return out.select(
+        *group_cols,
+        F.col("_s").cast("long").alias("successes"),
+        F.col("_t").cast("long").alias("trials"),
+        F.round("_r", 6).alias("rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round("_a", 6).alias("prior_alpha"),
+        F.round("_b", 6).alias("prior_beta"),
+    )
+
+
+def ipw_ate(
+    df: "DataFrame",
+    treat_col: str,
+    outcome_col: str,
+    score_col: str,
+) -> "DataFrame":
+    """Inverse-propensity-weighted average treatment effect (Horvitz &
+    Thompson 1952 weighting; the Hajek-normalized estimator reported
+    here is the standard stabilized form) — the OBSERVATIONAL member
+    of the causal family beside did_ab (parallel trends) and
+    cuped/stratified_ab (randomized + variance reduction): when
+    treatment was NOT randomized but a propensity score e(x) is
+    available, weighting treated units by 1/e and controls by 1/(1-e)
+    reweights both arms to the full population.
+
+    ATE = sum(w y | treated)/sum(w | treated) - same for control
+    (Hajek normalization — self-normalizing, robust to weight scale).
+    The weight diagnostics every IPW readout must carry ride along:
+    effective sample size ESS = (sum w)^2 / sum w^2 per arm (extreme
+    propensities crater it — THE overlap warning) and the max weight.
+    Rows with scores outside (0, 1) or NULL outcome/treatment are
+    excluded and counted (documented; a clipped/trimmed score is the
+    caller's policy decision).
+
+    ONE map-side-combined aggregation over the unit frame (filtered
+    aggregates per arm, the ab_test shape); one output row.
+
+    Output (6dp): n_treated, n_control, n_excluded, mean_treated,
+    mean_control, ate, ess_treated, ess_control, max_weight.
+    """
+    tr = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    e = F.col(score_col).cast("double")
+    ok = (
+        tr.isNotNull() & y.isNotNull() & e.isNotNull()
+        & (e > 0) & (e < 1)
+    )
+    w = F.when(tr == 1, 1.0 / e).otherwise(1.0 / (1.0 - e))
+    base = df.select(
+        tr.alias("_tr"), y.alias("_y"),
+        F.when(ok, w).alias("_w"),
+    )
+    is_t = F.col("_tr") == 1
+    agg = base.groupBy().agg(
+        F.count(F.when(is_t & F.col("_w").isNotNull(), 1)).alias(
+            "n_treated"
+        ),
+        F.count(F.when(~is_t & F.col("_w").isNotNull(), 1)).alias(
+            "n_control"
+        ),
+        F.count(F.when(F.col("_w").isNull(), 1)).alias("n_excluded"),
+        F.sum(F.when(is_t, F.col("_w") * F.col("_y"))).alias("_swy_t"),
+        F.sum(F.when(is_t, F.col("_w"))).alias("_sw_t"),
+        F.sum(F.when(is_t, F.col("_w") * F.col("_w"))).alias("_sww_t"),
+        F.sum(F.when(~is_t, F.col("_w") * F.col("_y"))).alias("_swy_c"),
+        F.sum(F.when(~is_t, F.col("_w"))).alias("_sw_c"),
+        F.sum(F.when(~is_t, F.col("_w") * F.col("_w"))).alias("_sww_c"),
+        F.max("_w").alias("_wmax"),
+    )
+    mt = F.col("_swy_t") / F.col("_sw_t")
+    mc = F.col("_swy_c") / F.col("_sw_c")
+    return agg.select(
+        "n_treated",
+        "n_control",
+        "n_excluded",
+        F.round(mt, 6).alias("mean_treated"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt - mc, 6).alias("ate"),
+        F.round(
+            F.col("_sw_t") * F.col("_sw_t") / F.col("_sww_t"), 6
+        ).alias("ess_treated"),
+        F.round(
+            F.col("_sw_c") * F.col("_sw_c") / F.col("_sww_c"), 6
+        ).alias("ess_control"),
+        F.round("_wmax", 6).alias("max_weight"),
+    )
+
+
+def qini_curve(
+    df: "DataFrame",
+    treat_col: str,
+    outcome_col: str,
+    score_col: str,
+    n_tiles: int = 10,
+) -> "DataFrame":
+    """Qini curve per score decile (Radcliffe 2007, public) — the
+    UPLIFT completion of :func:`lift_table`: a propensity/lift table
+    scores "who responds", a Qini curve scores "who responds BECAUSE
+    treated", which is the targeting question an uplift model answers.
+    Walking down the score ranking, cumulative incremental responses
+    Q_i = cum_resp_treated_i - cum_resp_control_i * (cum_n_t_i /
+    cum_n_c_i); the random-targeting baseline is the straight line to
+    Q_final, and the gap between curve and line is the model's value.
+
+    Scale shape is lift_table's: tile edges are exact interpolated
+    percentiles fetched once as driver literals (codegen tile
+    assignment, never an ntile global sort); per-tile stats are ONE
+    map-combined agg; the cumulative walk is a window over <= n_tiles
+    rows. Ties at an edge share a tile (documented, matches the
+    oracle). Rows with NULL score/outcome/treatment are excluded.
+    Raises on empty input or an empty arm (uplift needs both).
+
+    Output per tile (1 = top scores): tile, n_treated, n_control,
+    resp_treated, resp_control, cum_n_treated, cum_n_control,
+    cum_resp_treated, cum_resp_control, qini (6dp), qini_random
+    (6dp — the random-targeting line at this tile's population
+    fraction).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"qini_curve: n_tiles >= 2, got {n_tiles}")
+    tr = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    s = F.col(score_col).cast("double")
+    base = df.select(
+        tr.alias("_tr"), y.alias("_y"), s.alias("_s")
+    ).filter(
+        F.col("_tr").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_s").isNotNull()
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    edges_row = base.agg(
+        F.expr(
+            f"percentile(_s, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    if edges_row["e"] is None:
+        raise ValueError("qini_curve: no usable rows")
+    edges = [float(x) for x in edges_row["e"]]
+    asc = F.lit(1)
+    for e in edges:
+        asc = asc + F.when(F.col("_s") > F.lit(e), 1).otherwise(0)
+    is_t = F.col("_tr") == 1
+    per_tile = (
+        base.withColumn("tile", F.lit(n_tiles + 1) - asc)
+        .groupBy("tile")
+        .agg(
+            F.count(F.when(is_t, 1)).alias("n_treated"),
+            F.count(F.when(~is_t, 1)).alias("n_control"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_t, F.col("_y"))), F.lit(0.0)),
+                6,
+            ).alias("resp_treated"),
+            F.round(
+                F.coalesce(F.sum(F.when(~is_t, F.col("_y"))), F.lit(0.0)),
+                6,
+            ).alias("resp_control"),
+        )
+        # <= n_tiles rows feeding the cumulative window AND the final
+        # total — pin so the corpus agg runs once (the fdr_bh lesson)
+        .localCheckpoint(eager=False)
+    )
+    tot = per_tile.agg(
+        F.sum("n_treated").alias("_nt"), F.sum("n_control").alias("_nc")
+    ).first()
+    if not tot["_nt"] or not tot["_nc"]:
+        raise ValueError("qini_curve: both arms must be non-empty")
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_tile.select(
+        "tile",
+        "n_treated",
+        "n_control",
+        "resp_treated",
+        "resp_control",
+        F.sum("n_treated").over(w).alias("cum_n_treated"),
+        F.sum("n_control").over(w).alias("cum_n_control"),
+        F.sum("resp_treated").over(w).alias("cum_resp_treated"),
+        F.sum("resp_control").over(w).alias("cum_resp_control"),
+    )
+    qini = F.col("cum_resp_treated") - F.col("cum_resp_control") * (
+        F.col("cum_n_treated") / F.col("cum_n_control")
+    )
+    # Q_final via a window over the full (bounded) tile frame, so the
+    # random-targeting line needs no second pass
+    wall = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q_final = F.last(qini).over(wall)
+    frac = (F.col("cum_n_treated") + F.col("cum_n_control")) / F.lit(
+        float(tot["_nt"] + tot["_nc"])
+    )
+    return cum.select(
+        "tile",
+        "n_treated",
+        "n_control",
+        "resp_treated",
+        "resp_control",
+        "cum_n_treated",
+        "cum_n_control",
+        "cum_resp_treated",
+        "cum_resp_control",
+        F.round(qini, 6).alias("qini"),
+        F.round(q_final * frac, 6).alias("qini_random"),
+    ).orderBy("tile")
+
+
+def markov_attribution(
+    df: "DataFrame",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    n_iter: int = 60,
+    max_channels: int = 200,
+) -> "DataFrame":
+    """Data-driven Markov-chain attribution via removal effects
+    (Anderl, Becker, von Wangenheim & Schumann 2014, public) — the
+    model-based completion of :func:`multi_touch_attribution`'s
+    heuristics: build the first-order journey chain START -> channels
+    -> {CONV, NULL}, and credit each channel by how much the
+    conversion probability DROPS when that channel is removed
+    (redirected to NULL). The heuristic models assert a credit shape;
+    this one measures it from the observed paths.
+
+    Journey contract (deterministic): per user, events ordered by
+    (ts, type); the journey is cut at the FIRST ``conversion_type``
+    event, which becomes the CONV absorber; users who never convert
+    end with an explicit (last channel -> NULL) step. Self-loops
+    (A -> A) are kept, per the published model.
+
+    Distributed shape: ONE user-keyed window pass builds transitions
+    (lag + first-conversion cut), one map-combined (src, dst) count —
+    everything after that operates on the channels²-bounded count
+    frame: the (``max_channels``-guarded) matrix collects to the
+    driver, and the absorption probabilities run ``n_iter`` FIXED
+    iterations of x <- r + Q x per removal scenario in plain Python
+    doubles — fixed-iteration by design so the whole solve is
+    replayable (the pagerank_parts discipline; a tolerance stop would
+    not be).
+
+    Output per channel: channel, removal_effect (6dp, 1 -
+    p_removed/p_base), share (6dp, normalized over positive removal
+    effects), attributed_conversions (6dp, share x conversions),
+    n_conversions, p_conv (6dp, the base chain's conversion
+    probability from START).
+    """
+    if n_iter < 1:
+        raise ValueError(f"markov_attribution: n_iter >= 1, got {n_iter}")
+    w = Window.partitionBy("_u").orderBy("_ts", "_st")
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.when(F.col(type_col) == conversion_type, F.lit("CONV"))
+        .otherwise(F.col(type_col).cast("string"))
+        .alias("_st"),
+    ).filter(F.col("_st").isNotNull() & F.col("_ts").isNotNull())
+    rn = base.select(
+        "_u",
+        "_st",
+        F.row_number().over(w).alias("_rn"),
+        F.min(F.when(F.col("_st") == "CONV", F.row_number().over(w))).over(
+            Window.partitionBy("_u")
+        ).alias("_conv_rn"),
+        F.max(F.row_number().over(w)).over(
+            Window.partitionBy("_u")
+        ).alias("_last_rn"),
+    )
+    cut = rn.filter(
+        F.col("_conv_rn").isNull() | (F.col("_rn") <= F.col("_conv_rn"))
+    )
+    steps = cut.select(
+        "_u",
+        F.coalesce(
+            F.lag("_st").over(Window.partitionBy("_u").orderBy("_rn")),
+            F.lit("START"),
+        ).alias("src"),
+        F.col("_st").alias("dst"),
+        "_rn",
+        "_conv_rn",
+        "_last_rn",
+    )
+    terminal = cut.filter(
+        F.col("_conv_rn").isNull() & (F.col("_rn") == F.col("_last_rn"))
+    ).select(F.col("_st").alias("src"), F.lit("NULL").alias("dst"))
+    trans = (
+        steps.select("src", "dst")
+        .unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = trans.collect()  # channels²-bounded by the guard below
+    states = sorted(
+        ({r["src"] for r in rows} | {r["dst"] for r in rows})
+        - {"START", "CONV", "NULL"}
+    )
+    if len(states) > max_channels:
+        raise ValueError(
+            f"markov_attribution: {len(states)} channels exceeds "
+            f"max_channels={max_channels} — pre-bucket the channel "
+            "column (the driver matrix contract)"
+        )
+    transient = ["START"] + states
+    counts: dict = {}
+    outs: dict = {}
+    for r in rows:
+        counts[(r["src"], r["dst"])] = counts.get(
+            (r["src"], r["dst"]), 0
+        ) + int(r["n"])
+        outs[r["src"]] = outs.get(r["src"], 0) + int(r["n"])
+
+    def p_conv(removed: str | None) -> float:
+        def prob(s: str, d: str) -> float:
+            tot = outs.get(s, 0)
+            if tot == 0:
+                return 0.0
+            return counts.get((s, d), 0) / tot
+
+        x = {s: 0.0 for s in transient}
+        for _ in range(n_iter):
+            nxt = {}
+            for s_ in transient:
+                if s_ == removed:
+                    nxt[s_] = 0.0
+                    continue
+                acc = prob(s_, "CONV")
+                for d_ in transient:
+                    if d_ == removed or d_ == "START":
+                        continue
+                    acc += prob(s_, d_) * x[d_]
+                nxt[s_] = acc
+            x = nxt
+        return x["START"]
+
+    p_base = p_conv(None)
+    n_conversions = sum(
+        v for (s_, d_), v in counts.items() if d_ == "CONV"
+    )
+    effects = []
+    for c in states:
+        pr = p_conv(c)
+        re = 1.0 - (pr / p_base) if p_base > 0 else 0.0
+        effects.append((c, re))
+    pos_total = sum(max(e, 0.0) for _, e in effects)
+    out_rows = []
+    for c, re in effects:
+        share = (max(re, 0.0) / pos_total) if pos_total > 0 else 0.0
+        out_rows.append(
+            (
+                c,
+                round(re, 6),
+                round(share, 6),
+                round(share * n_conversions, 6),
+                int(n_conversions),
+                round(p_base, 6),
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, removal_effect double, share double,"
+        " attributed_conversions double, n_conversions long,"
+        " p_conv double",
     )

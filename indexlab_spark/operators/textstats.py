@@ -621,17 +621,17 @@ def lexical_richness(
     contract, so the numbers line up with the rest of the text
     family). Empty docs emit n_tokens = 0 with NULL ratios.
 
-    Distributed shape: one explode -> (doc, token) count agg -> one
-    doc-keyed agg over the per-type counts (both map-side combined,
-    everything keyed by doc id — embarrassingly parallel, no
-    corpus-global state). Output: id_col, n_tokens, n_types, ttr
-    (6dp), hapax_rate (6dp, hapax/types), yule_k (6dp; NULL for
-    single-token docs where N^2 = sum m^2 V_m makes K exactly 0 --
-    emitted as 0, and NULL only when N = 0).
+    Distributed shape: ONE corpus pass — explode_outer keeps empty
+    docs as a NULL-token row (so no second scan / anti-join to find
+    them), then a (doc, token) count agg and a doc-keyed spectrum agg
+    (both map-side combined, everything keyed by doc id —
+    embarrassingly parallel, no corpus-global state). Output: id_col,
+    n_tokens, n_types, ttr (6dp), hapax_rate (6dp, hapax/types),
+    yule_k (6dp; 0 for all-distinct docs, NULL only when N = 0).
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"),
                 lambda t: t != "",
@@ -641,31 +641,89 @@ def lexical_richness(
     per_type = toks.groupBy(id_col, "_tok").agg(
         F.count(F.lit(1)).alias("_m")
     )
+    real = F.col("_tok").isNotNull()
     agg = per_type.groupBy(id_col).agg(
-        F.sum("_m").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum((F.col("_m") == 1).cast("long")).cast("long").alias("_hapax"),
-        F.sum(F.col("_m") * F.col("_m")).cast("double").alias("_sm2"),
+        F.sum(F.when(real, F.col("_m")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(real.cast("long")).cast("long").alias("n_types"),
+        F.sum((real & (F.col("_m") == 1)).cast("long"))
+        .cast("long")
+        .alias("_hapax"),
+        F.sum(F.when(real, F.col("_m") * F.col("_m")).otherwise(0))
+        .cast("double")
+        .alias("_sm2"),
     )
     n = F.col("n_tokens").cast("double")
-    out = agg.select(
+    # try_divide: an empty doc's 0/0 must be NULL, not an ANSI
+    # divide-by-zero error
+    return agg.select(
         id_col,
         "n_tokens",
         "n_types",
-        F.round(F.col("n_types") / n, 6).alias("ttr"),
-        F.round(F.col("_hapax") / F.col("n_types"), 6).alias("hapax_rate"),
-        F.round(F.lit(10_000.0) * (F.col("_sm2") - n) / (n * n), 6).alias(
-            "yule_k"
-        ),
+        F.round(F.try_divide(F.col("n_types"), n), 6).alias("ttr"),
+        F.round(
+            F.try_divide(F.col("_hapax"), F.col("n_types")), 6
+        ).alias("hapax_rate"),
+        F.round(
+            F.try_divide(
+                F.lit(10_000.0) * (F.col("_sm2") - n), n * n
+            ),
+            6,
+        ).alias("yule_k"),
     )
-    empties = df.join(toks.select(id_col).distinct(), id_col, "left_anti")
-    return out.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(0).cast("long").alias("n_types"),
-            F.lit(None).cast("double").alias("ttr"),
-            F.lit(None).cast("double").alias("hapax_rate"),
-            F.lit(None).cast("double").alias("yule_k"),
-        )
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """CORPUS-level vocabulary richness — the collection-side
+    companion to :func:`lexical_richness`'s per-doc profile, built
+    from the global frequency spectrum f_m (# types occurring m
+    times): Chao1's bias-corrected unseen-vocabulary estimate
+    V + f1(f1-1)/(2(f2+1)) (Chao 1984, public), the Good-Turing
+    unseen-probability mass f1/N (Good 1953), and Herdan's C
+    ln V / ln N — the three numbers that say whether a corpus's
+    vocabulary is saturating (dedup/quality work done) or still
+    growing (more data genuinely adds words).
+
+    Distributed shape: one explode -> ONE map-side-combined token
+    count (the single corpus-sized shuffle, vocab-sized output) ->
+    a tiny spectrum aggregation to one row. Tokenization is the
+    lowercase-whitespace contract shared with the rest of the text
+    family.
+
+    Output (one row): n_tokens, n_types, f1, f2, chao1 (6dp),
+    gt_unseen_mass (6dp), herdan_c (6dp; NULL for degenerate N <= 1).
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("_tok")
+    )
+    per_type = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_m"))
+    agg = per_type.groupBy().agg(
+        F.sum("_m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("_m") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("_m") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.round(v + f1 * (f1 - 1) / (2 * (f2 + 1)), 6).alias("chao1"),
+        F.round(f1 / n, 6).alias("gt_unseen_mass"),
+        F.round(
+            F.when(n > 1, F.log(v) / F.log(n)), 6
+        ).alias("herdan_c"),
     )

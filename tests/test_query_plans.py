@@ -894,3 +894,80 @@ def test_srm_single_corpus_scan(spark, sf_dir):
     scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
     assert scans == 1, plan
     assert "Expand" in plan  # the rollup, not a union of branches
+
+
+def _r11_counts(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    lines = plan.splitlines()
+    bc = sum(1 for l in lines if "BroadcastExchange" in l)
+    tot = sum(
+        1 for l in lines if "Exchange" in l and "ReusedExchange" not in l
+    )
+    return tot - bc, bc, plan
+
+
+def test_theil_two_keyed_aggs_broadcast_dim(spark, sf_dir):
+    """theil_index is the no-rank-window inequality number: the gate is
+    the per-customer pre-agg + ONE segment moment agg with customer
+    reaching orders as a broadcast — a rank-window formulation (the
+    gini shape) would add a third, sort-heavy exchange."""
+    shuffles, broadcasts, plan = _r11_counts(
+        spark, sf_dir, "theil_customers"
+    )
+    assert shuffles == 2, plan
+    assert broadcasts >= 1
+    assert "SinglePartition" not in plan
+
+
+def test_sprt_single_keyed_exchange(spark, sf_dir):
+    """The SPRT walk is ONE variant-keyed exchange: the window cumsum
+    and the per-variant aggregate share the same partitioning, so the
+    agg adds no second shuffle — and there is no SinglePartition
+    anywhere (arms are the partition key)."""
+    shuffles, _, plan = _r11_counts(spark, sf_dir, "sprt_events")
+    assert shuffles == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_mann_kendall_single_series_derivation(spark, sf_dir):
+    """The four series consumers (both pair-join sides, counts, ties)
+    join on DIFFERENT keys, so ReuseExchange cannot share their
+    upstream — the operator pins the series with a lazy
+    localCheckpoint instead; without it the daily-revenue derivation
+    re-scanned events six times (measured, r11)."""
+    plan = _plan(spark, sf_dir, "mann_kendall_daily")
+    scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
+    assert scans == 0, plan  # all consumers read the checkpointed RDD
+
+
+def test_lexical_richness_one_corpus_pass(spark, sf_dir):
+    """lexical_richness finds empty docs via explode_outer's NULL-token
+    row, not an anti-join back to the corpus — exactly ONE scan of
+    documents and no join in the plan."""
+    plan = _plan(spark, sf_dir, "lexical_docs")
+    scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
+    assert scans == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ipw_single_reduction(spark, sf_dir):
+    """ipw_ate is the ab_test shape: filtered moment aggregates in ONE
+    pass over the unit frame, then a one-row projection — no self-join,
+    no pivot, a single SinglePartition final reduce."""
+    shuffles, _, plan = _r11_counts(spark, sf_dir, "ipw_events")
+    assert shuffles == 2, plan  # user pre-agg + one-row final reduce
+    assert plan.count("SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_fdr_rank_window_is_test_frame_sized(spark, sf_dir):
+    """fdr_bh's global rank window IS a SinglePartition sort — correct
+    ONLY because the input contract is a test frame (tens-to-thousands
+    of rows). The operator pins the test frame with a lazy
+    localCheckpoint (its four branches would otherwise re-run the
+    caller's corpus-sized p-value pipeline — measured 4 scans on this
+    gate), so the final plan reads ONLY the checkpointed RDD."""
+    plan = _plan(spark, sf_dir, "fdr_weekday_tests")
+    scans = sum(1 for l in plan.splitlines() if "Scan parquet" in l)
+    assert scans == 0, plan
+    assert "Scan ExistingRDD" in plan, plan

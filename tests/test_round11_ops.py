@@ -295,3 +295,298 @@ class TestLexicalRichness:
         var = self._run(spark, [(4, "spam " * 50 + "x")])[4]
         rich = self._run(spark, [(5, " ".join(f"w{i}" for i in range(51)))])[5]
         assert var["yule_k"] > rich["yule_k"]
+
+
+# ---------------------------------------------------------------------------
+# fdr_bh
+# ---------------------------------------------------------------------------
+
+
+class TestFdrBh:
+    def _run(self, spark, ps, q=0.05):
+        from indexlab_spark.operators.analytics import fdr_bh
+
+        rows = [(f"t{i}", p) for i, p in enumerate(ps)]
+        df = spark.createDataFrame(rows, "t string, p double")
+        return {r["t"]: r for r in fdr_bh(df, "t", "p", q=q).collect()}
+
+    def test_hand_step_up(self, spark):
+        # q=.05, m=4, sorted p = [.01, .02, .04, .2]; criticals =
+        # [.0125, .025, .0375, .05]; crossings at ranks 1,2 (not 3) ->
+        # k=2 -> reject first two
+        got = self._run(spark, [0.2, 0.01, 0.04, 0.02])
+        rej = {k: v["rejected"] for k, v in got.items()}
+        assert rej == {"t1": True, "t3": True, "t2": False, "t0": False}
+
+    def test_step_up_rejects_above_own_critical(self, spark):
+        # THE step-up property: p = [.01, .049], q=.05, m=2; criticals
+        # [.025, .05]: rank-2 crosses (.049 <= .05) so BOTH reject,
+        # even though .049 > .025 would fail a step-DOWN rule... and
+        # rank-1 (.01 <= .025) also crosses directly. Use p where only
+        # the LAST crosses: [.02, .049] -> rank1 .02 <= .025 ok...
+        # make rank1 NOT cross: [.03, .049]: rank1 .03 > .025, rank2
+        # .049 <= .05 -> k=2, BOTH rejected including the .03.
+        got = self._run(spark, [0.03, 0.049])
+        assert got["t0"]["rejected"] and got["t1"]["rejected"]
+
+    def test_no_crossing_rejects_nothing(self, spark):
+        got = self._run(spark, [0.5, 0.9, 0.7])
+        assert not any(v["rejected"] for v in got.values())
+
+    def test_null_p_excluded_from_m(self, spark):
+        from indexlab_spark.operators.analytics import fdr_bh
+
+        df = spark.createDataFrame(
+            [("a", 0.01), ("b", None), ("c", 0.02)], "t string, p double"
+        )
+        out = fdr_bh(df, "t", "p", q=0.05).collect()
+        assert len(out) == 2
+        assert all(r["m"] == 2 for r in out)
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import fdr_bh
+
+        df = spark.createDataFrame([("a", 0.1)], "t string, p double")
+        with pytest.raises(ValueError):
+            fdr_bh(df, "t", "p", q=1.5)
+
+
+# ---------------------------------------------------------------------------
+# eb_shrinkage
+# ---------------------------------------------------------------------------
+
+
+class TestEbShrinkage:
+    def _run(self, spark, rows):
+        from indexlab_spark.operators.analytics import eb_shrinkage
+
+        df = spark.createDataFrame(rows, "g string, s long, t long")
+        return {
+            r["g"]: r for r in eb_shrinkage(df, ["g"], "s", "t").collect()
+        }
+
+    def test_hand_mom(self, spark):
+        # rates [.2, .4, .6, .8]: mu=.5, var_pop=.05;
+        # mu(1-mu)/var - 1 = .25/.05 - 1 = 4 -> alpha = 2, beta = 2
+        rows = [("a", 2, 10), ("b", 4, 10), ("c", 6, 10), ("d", 8, 10)]
+        got = self._run(spark, rows)
+        assert got["a"]["prior_alpha"] == pytest.approx(2.0, abs=1e-6)
+        assert got["a"]["prior_beta"] == pytest.approx(2.0, abs=1e-6)
+        # posterior for a: (2+2)/(10+4) = 2/7
+        assert got["a"]["shrunk_rate"] == pytest.approx(2 / 7, abs=1e-6)
+
+    def test_small_n_shrinks_more(self, spark):
+        rows = [("big", 90, 100), ("tiny", 1, 1),
+                ("m1", 5, 10), ("m2", 3, 10), ("m3", 7, 10)]
+        got = self._run(spark, rows)
+        # both observed above the prior mean; the n=1 item moves
+        # (relatively) much farther toward it than the n=100 item
+        big_move = abs(got["big"]["shrunk_rate"] - got["big"]["rate"])
+        tiny_move = abs(got["tiny"]["shrunk_rate"] - got["tiny"]["rate"])
+        assert tiny_move > big_move
+
+    def test_invalid_prior_falls_back(self, spark):
+        # identical rates: var = 0 -> no prior, shrunk == raw
+        rows = [("a", 1, 2), ("b", 2, 4), ("c", 3, 6)]
+        got = self._run(spark, rows)
+        assert got["a"]["prior_alpha"] is None
+        assert got["a"]["shrunk_rate"] == got["a"]["rate"]
+
+    def test_zero_trials_excluded(self, spark):
+        rows = [("a", 0, 0), ("b", 1, 2), ("c", 1, 4)]
+        got = self._run(spark, rows)
+        assert "a" not in got
+
+
+# ---------------------------------------------------------------------------
+# vocab_richness
+# ---------------------------------------------------------------------------
+
+
+class TestVocabRichness:
+    def _run(self, spark, texts):
+        from indexlab_spark.operators.textstats import vocab_richness
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return vocab_richness(df).collect()[0]
+
+    def test_hand_spectrum(self, spark):
+        # tokens: a a b c -> N=4 V=3 f1=2 f2=1
+        # chao1 = 3 + 2*1/(2*2) = 3.5; gt = 2/4 = .5
+        got = self._run(spark, ["a a b", "c"])
+        assert (got["n_tokens"], got["n_types"]) == (4, 3)
+        assert (got["f1"], got["f2"]) == (2, 1)
+        assert got["chao1"] == pytest.approx(3.5)
+        assert got["gt_unseen_mass"] == pytest.approx(0.5)
+        assert got["herdan_c"] == pytest.approx(
+            math.log(3) / math.log(4), abs=1e-6
+        )
+
+    def test_saturated_vocab_chao_equals_v(self, spark):
+        # every type seen many times: f1 = 0 -> chao1 = V, gt mass 0
+        got = self._run(spark, ["x y x y", "x y", "y x"])
+        assert got["f1"] == 0
+        assert got["chao1"] == pytest.approx(float(got["n_types"]))
+        assert got["gt_unseen_mass"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ipw_ate
+# ---------------------------------------------------------------------------
+
+
+class TestIpwAte:
+    def _run(self, spark, rows):
+        from indexlab_spark.operators.analytics import ipw_ate
+
+        df = spark.createDataFrame(rows, "tr int, y double, e double")
+        return ipw_ate(df, "tr", "y", "e").collect()[0]
+
+    def test_uniform_score_equals_diff_of_means(self, spark):
+        # e = .5 everywhere: weights are constant per arm, Hajek means
+        # reduce to plain arm means
+        rows = [(1, 10.0, 0.5), (1, 14.0, 0.5), (0, 5.0, 0.5), (0, 7.0, 0.5)]
+        got = self._run(spark, rows)
+        assert got["ate"] == pytest.approx(12.0 - 6.0)
+        assert got["ess_treated"] == pytest.approx(2.0)
+
+    def test_hand_weighted(self, spark):
+        # treated: (y=10, e=.5 -> w=2), (y=20, e=.25 -> w=4);
+        # mean_t = (2*10 + 4*20)/6 = 100/6
+        # control: (y=5, e=.5 -> w=2) -> mean_c = 5
+        rows = [(1, 10.0, 0.5), (1, 20.0, 0.25), (0, 5.0, 0.5)]
+        got = self._run(spark, rows)
+        assert got["mean_treated"] == pytest.approx(100 / 6, abs=1e-6)
+        assert got["ate"] == pytest.approx(100 / 6 - 5, abs=1e-6)
+        assert got["max_weight"] == pytest.approx(4.0)
+        # ESS treated: (2+4)^2/(4+16) = 36/20
+        assert got["ess_treated"] == pytest.approx(1.8)
+
+    def test_out_of_range_scores_excluded(self, spark):
+        rows = [(1, 10.0, 0.5), (0, 5.0, 0.5), (1, 99.0, 0.0),
+                (0, 99.0, 1.0), (1, 99.0, None)]
+        got = self._run(spark, rows)
+        assert got["n_excluded"] == 3
+        assert got["n_treated"] == 1 and got["n_control"] == 1
+        assert got["ate"] == pytest.approx(5.0)
+
+
+# ---------------------------------------------------------------------------
+# qini_curve
+# ---------------------------------------------------------------------------
+
+
+class TestQiniCurve:
+    def _run(self, spark, rows, **kw):
+        from indexlab_spark.operators.analytics import qini_curve
+
+        df = spark.createDataFrame(rows, "tr int, y double, s double")
+        kw.setdefault("n_tiles", 2)
+        return {
+            r["tile"]: r
+            for r in qini_curve(df, "tr", "y", "s", **kw).collect()
+        }
+
+    def test_hand_two_tiles(self, spark):
+        # top half: treated converts, control doesn't -> qini 1 at
+        # tile 1; bottom half both convert -> no extra uplift
+        rows = [(1, 1.0, 0.9), (0, 0.0, 0.8), (1, 1.0, 0.2), (0, 1.0, 0.1)]
+        got = self._run(spark, rows)
+        assert got[1]["qini"] == pytest.approx(1.0)
+        assert got[2]["qini"] == pytest.approx(1.0)
+        # random line: Q_final * cumulative population fraction
+        assert got[1]["qini_random"] == pytest.approx(0.5)
+        assert got[2]["qini_random"] == pytest.approx(1.0)
+
+    def test_useless_model_curve_tracks_line(self, spark):
+        # constant uplift everywhere: curve ends exactly on the line
+        rows = [(1, 1.0, 0.9), (0, 0.0, 0.85), (1, 1.0, 0.6),
+                (0, 0.0, 0.55), (1, 1.0, 0.3), (0, 0.0, 0.25)]
+        got = self._run(spark, rows, n_tiles=3)
+        last = got[max(got)]
+        assert last["qini"] == pytest.approx(last["qini_random"])
+
+    def test_empty_arm_raises(self, spark):
+        from indexlab_spark.operators.analytics import qini_curve
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 0.5)], "tr int, y double, s double"
+        )
+        with pytest.raises(ValueError):
+            qini_curve(df, "tr", "y", "s").collect()
+
+    def test_validation(self, spark):
+        from indexlab_spark.operators.analytics import qini_curve
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 0.5)], "tr int, y double, s double"
+        )
+        with pytest.raises(ValueError):
+            qini_curve(df, "tr", "y", "s", n_tiles=1)
+
+
+# ---------------------------------------------------------------------------
+# markov_attribution
+# ---------------------------------------------------------------------------
+
+
+class TestMarkovAttribution:
+    def _run(self, spark, rows, **kw):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import markov_attribution
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [
+            (u, t0 + dt.timedelta(hours=h), c) for u, h, c in rows
+        ]
+        df = spark.createDataFrame(data, "u string, ts timestamp, t string")
+        out = markov_attribution(df, "u", "ts", "t", "buy", **kw)
+        return {r["channel"]: r for r in out.collect()}
+
+    def test_hand_chain(self, spark):
+        # u1: A -> B -> buy; u2: A (no conversion)
+        # base p(conv) = 0.5; removing A or B each kills the only
+        # converting path -> removal effect 1 for both, 50/50 credit
+        rows = [("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "buy"),
+                ("u2", 0, "A")]
+        got = self._run(spark, rows)
+        assert set(got) == {"A", "B"}
+        assert got["A"]["removal_effect"] == pytest.approx(1.0)
+        assert got["A"]["share"] == pytest.approx(0.5)
+        assert got["A"]["p_conv"] == pytest.approx(0.5)
+        assert got["A"]["n_conversions"] == 1
+
+    def test_differing_removal_effects(self, spark):
+        # two C->buy journeys beside the A->B->buy one: C carries
+        # more conversions, so its removal hurts more
+        rows = [("u1", 0, "A"), ("u1", 1, "B"), ("u1", 2, "buy"),
+                ("u2", 0, "A"),
+                ("u3", 0, "C"), ("u3", 1, "buy"),
+                ("u4", 0, "C"), ("u4", 1, "buy")]
+        got = self._run(spark, rows)
+        assert got["C"]["removal_effect"] == pytest.approx(2 / 3, abs=1e-6)
+        assert got["A"]["removal_effect"] == pytest.approx(1 / 3, abs=1e-6)
+        assert got["C"]["share"] == pytest.approx(0.5, abs=1e-6)
+        assert got["C"]["attributed_conversions"] == pytest.approx(
+            1.5, abs=1e-5
+        )
+
+    def test_journey_cut_at_first_conversion(self, spark):
+        # events after the first buy are ignored: u1's post-buy D
+        # must not become a channel
+        rows = [("u1", 0, "A"), ("u1", 1, "buy"), ("u1", 2, "D")]
+        got = self._run(spark, rows)
+        assert "D" not in got
+
+    def test_channel_guard(self, spark):
+        import datetime as dt
+
+        from indexlab_spark.operators.analytics import markov_attribution
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [("u", t0 + dt.timedelta(hours=i), f"c{i}")
+                for i in range(5)]
+        df = spark.createDataFrame(data, "u string, ts timestamp, t string")
+        with pytest.raises(ValueError, match="channels"):
+            markov_attribution(df, "u", "ts", "t", "buy", max_channels=2)
