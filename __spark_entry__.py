@@ -12878,6 +12878,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(event_type = 'purchase' AS INT) AS s
                 FROM events
                 WHERE (event_type = 'purchase') IS NOT NULL
+                  AND ts IS NOT NULL
             ),
             walked AS (
                 SELECT v, s,
@@ -13341,8 +13342,9 @@ def oracle_sql() -> dict[str, str]:
             qq AS (
                 SELECT *,
                        cum_resp_treated - cum_resp_control
-                       * (CAST(cum_n_treated AS DOUBLE)
-                          / cum_n_control) AS qini_raw
+                       * (CASE WHEN cum_n_control > 0
+                               THEN CAST(cum_n_treated AS DOUBLE)
+                                    / cum_n_control END) AS qini_raw
                 FROM cum
             ),
             fin AS (

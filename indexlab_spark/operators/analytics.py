@@ -5996,14 +5996,20 @@ def theil_index(
         ).alias("_sxlx"),
     )
     mu = F.col("_sx") / F.col("n")
-    t = F.col("_sxlx") / (F.col("n") * mu) - F.log(mu)
+    # all-zero-weight groups have mu = 0: the index is 0 by the x->0
+    # limit, and the division must not trip ANSI DIVIDE_BY_ZERO (the
+    # gini try_divide discipline)
+    t = F.try_divide(F.col("_sxlx"), F.col("n") * mu) - F.log(mu)
     return agg.select(
         *group_cols,
         "n",
         F.round(mu, 6).alias("mean"),
         # clamp the -1e-16-class float residue of single-entity /
-        # all-equal groups so the index is exactly 0 there
-        F.round(F.greatest(t, F.lit(0.0)), 6).alias("theil"),
+        # all-equal groups so the index is exactly 0 there; coalesce
+        # covers the mu = 0 group (try_divide NULL, log NULL)
+        F.round(
+            F.coalesce(F.greatest(t, F.lit(0.0)), F.lit(0.0)), 6
+        ).alias("theil"),
     )
 
 
@@ -6059,7 +6065,13 @@ def sprt_test(
     up = math.log((1.0 - beta) / alpha)
     lo = math.log(beta / (1.0 - alpha))
     s = F.col(success_col).cast("int")
-    base = df.filter(s.isNotNull()).select(
+    # NULL order is excluded like the other sequential operators
+    # (mann_kendall, croston): "sequential" is undefined for an
+    # unordered observation, and engines disagree on NULL sort
+    # placement (Spark NULLS FIRST vs SQL NULLS LAST)
+    base = df.filter(
+        s.isNotNull() & F.col(order_col).isNotNull()
+    ).select(
         F.col(variant_col).alias("_v"),
         F.col(order_col).alias("_ord"),
         s.alias("_s"),
@@ -6540,7 +6552,9 @@ def qini_curve(
     map-combined agg; the cumulative walk is a window over <= n_tiles
     rows. Ties at an edge share a tile (documented, matches the
     oracle). Rows with NULL score/outcome/treatment are excluded.
-    Raises on empty input or an empty arm (uplift needs both).
+    Raises on empty input or an empty arm (uplift needs both). A
+    zero-control PREFIX (top tiles all-treated) emits NULL qini for
+    those tiles — no defined uplift yet — rather than crashing.
 
     Output per tile (1 = top scores): tile, n_treated, n_control,
     resp_treated, resp_control, cum_n_treated, cum_n_control,
@@ -6609,8 +6623,10 @@ def qini_curve(
         F.sum("resp_treated").over(w).alias("cum_resp_treated"),
         F.sum("resp_control").over(w).alias("cum_resp_control"),
     )
+    # a zero-control prefix (top tiles all-treated) has no defined
+    # uplift yet: NULL qini there, never an ANSI divide-by-zero crash
     qini = F.col("cum_resp_treated") - F.col("cum_resp_control") * (
-        F.col("cum_n_treated") / F.col("cum_n_control")
+        F.try_divide(F.col("cum_n_treated"), F.col("cum_n_control"))
     )
     # Q_final via a window over the full (bounded) tile frame, so the
     # random-targeting line needs no second pass
@@ -6740,13 +6756,21 @@ def markov_attribution(
         ) + int(r["n"])
         outs[r["src"]] = outs.get(r["src"], 0) + int(r["n"])
 
-    def p_conv(removed: str | None) -> float:
-        def prob(s: str, d: str) -> float:
-            tot = outs.get(s, 0)
-            if tot == 0:
-                return 0.0
-            return counts.get((s, d), 0) / tot
+    # probabilities precomputed ONCE — they are identical across all
+    # removal scenarios, and recomputing them inside the iteration
+    # loop would cost O(n_iter * k^3) dict lookups at the
+    # max_channels guard (review finding, r11)
+    def prob(s: str, d: str) -> float:
+        tot = outs.get(s, 0)
+        return counts.get((s, d), 0) / tot if tot else 0.0
 
+    r_conv = {s: prob(s, "CONV") for s in transient}
+    p_mat = {
+        s: [(d, prob(s, d)) for d in transient if d != "START"]
+        for s in transient
+    }
+
+    def p_conv(removed: str | None) -> float:
         x = {s: 0.0 for s in transient}
         for _ in range(n_iter):
             nxt = {}
@@ -6754,11 +6778,11 @@ def markov_attribution(
                 if s_ == removed:
                     nxt[s_] = 0.0
                     continue
-                acc = prob(s_, "CONV")
-                for d_ in transient:
-                    if d_ == removed or d_ == "START":
+                acc = r_conv[s_]
+                for d_, p_ in p_mat[s_]:
+                    if d_ == removed:
                         continue
-                    acc += prob(s_, d_) * x[d_]
+                    acc += p_ * x[d_]
                 nxt[s_] = acc
             x = nxt
         return x["START"]

@@ -408,16 +408,21 @@ def ranking_tau(
     Distributed shape: one doc-keyed inner join aligns the runs, then
     ONE query-keyed self-join over the shared frame (pair fan-out
     bounded by the per-query POOL size squared — pools are top-k
-    frames, never corpus-sized) + one map-side-combined agg.
+    frames, never corpus-sized) + one map-side-combined agg. Repeated
+    (query, doc) rows in a run — a unioned or re-ranked frame — are
+    collapsed to their BEST (minimum) rank BEFORE aligning, so the
+    join cannot fan out and silently inflate n_shared/n_pairs (the
+    pairwise_winrates pre-aggregation discipline).
 
     Output per query: query_col, n_shared, n_pairs, concordant,
     discordant, tau_b (6dp).
     """
     def side(run, suffix):
-        return run.select(
+        return run.groupBy(
             F.col(query_col).alias("_q"),
             F.col(doc_col).alias("_d"),
-            F.col(rank_col).cast("double").alias(f"_r{suffix}"),
+        ).agg(
+            F.min(F.col(rank_col).cast("double")).alias(f"_r{suffix}")
         )
 
     shared = side(run_a, "a").join(side(run_b, "b"), ["_q", "_d"])

@@ -590,3 +590,56 @@ class TestMarkovAttribution:
         df = spark.createDataFrame(data, "u string, ts timestamp, t string")
         with pytest.raises(ValueError, match="channels"):
             markov_attribution(df, "u", "ts", "t", "buy", max_channels=2)
+
+
+# ---------------------------------------------------------------------------
+# review-finding pins (r11 self-review)
+# ---------------------------------------------------------------------------
+
+
+def test_theil_all_zero_weight_group_is_zero_not_crash(spark):
+    from indexlab_spark.operators.analytics import theil_index
+
+    df = spark.createDataFrame(
+        [("z", 0.0), ("z", 0.0), ("g", 1.0), ("g", 3.0)],
+        "g string, x double",
+    )
+    got = {r["g"]: r for r in theil_index(df, ["g"], "x").collect()}
+    assert got["z"]["theil"] == 0.0  # the x->0 limit, not a crash
+    assert got["g"]["theil"] > 0.0
+
+
+def test_qini_zero_control_prefix_null_not_crash(spark):
+    from indexlab_spark.operators.analytics import qini_curve
+
+    # top half all-treated: tile 1 has no control -> NULL qini there,
+    # later tiles (control present) still compute
+    rows = [(1, 1.0, 0.9), (1, 0.0, 0.8), (1, 1.0, 0.6), (1, 0.0, 0.55),
+            (0, 0.0, 0.2), (0, 1.0, 0.1), (1, 1.0, 0.15), (0, 0.0, 0.05)]
+    df = spark.createDataFrame(rows, "tr int, y double, s double")
+    got = {r["tile"]: r
+           for r in qini_curve(df, "tr", "y", "s", n_tiles=4).collect()}
+    assert got[1]["qini"] is None
+    assert got[4]["qini"] is not None
+
+
+def test_sprt_null_order_excluded(spark):
+    from indexlab_spark.operators.analytics import sprt_test
+
+    rows = [("a", 0, 1), ("a", 1, 1), ("a", None, 1), ("a", 2, 1)]
+    df = spark.createDataFrame(rows, "v string, t int, s int")
+    got = sprt_test(df, "v", "t", "s", p0=0.1, p1=0.3).collect()[0]
+    assert got["n"] == 3  # the NULL-ordered row never enters the walk
+
+
+def test_ranking_tau_duplicate_rows_collapse_to_best_rank(spark):
+    from indexlab_spark.operators.evaluate import ranking_tau
+
+    ra = [("q", "d1", 1), ("q", "d1", 9), ("q", "d2", 2)]  # dup d1
+    rb = [("q", "d1", 1), ("q", "d2", 2)]
+    A = spark.createDataFrame(ra, "query_id string, doc_id string, rank int")
+    B = spark.createDataFrame(rb, "query_id string, doc_id string, rank int")
+    got = ranking_tau(A, B).collect()[0]
+    assert got["n_shared"] == 2  # not 3: the dup collapsed (min rank)
+    assert got["n_pairs"] == 1
+    assert got["tau_b"] == pytest.approx(1.0)
