@@ -5813,14 +5813,18 @@ def _q_event_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-looking companion to event_transitions' one-step matrix.
     Distributed work = the transition matrix's one keyed exchange;
     the states²-sized chain solves on the driver with PageRank-style
-    damping (sink rows uniform, residual reported). Rows-only (the
-    eigenvector fixpoint is not SQL); closed-form, numpy-eig and
-    doubly-stochastic anchors pinned in tests."""
+    damping (sink rows uniform, residual reported). ORACLE-backed
+    since r11 via the fixed-iteration contract (tol=None, 40 rounds —
+    the pagerank_parts discipline): the damped power iteration
+    replays as a bounded recursive CTE over the dense damped matrix;
+    closed-form, numpy-eig and doubly-stochastic anchors also pinned
+    in tests."""
     from indexlab_spark.operators.analytics import stationary_distribution
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return stationary_distribution(
-        ev, "user_id", "ts", "event_type", damping=0.99
+        ev, "user_id", "ts", "event_type", damping=0.99,
+        max_iter=40, tol=None,
     )
 
 
@@ -6863,7 +6867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay); never-attested, leads the r12 window:
         "partial_corr_lineitem": _q_partial_corr_lineitem,
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
-        "event_stationary": _q_event_stationary,  # rows-only
+        # event_stationary upgraded to oracle-backed in r11 (tol=None
+        # fixed-40-round contract -> dense-damped-matrix recursive
+        # CTE); never-attested, leads the r12 window:
+        "event_stationary": _q_event_stationary,
         # -- last green r10 (the 38 entries rotated out of the r10
         # window this round; r10 window order; backfill candidates
         # for r15+ by the oldest-attestation rule):
@@ -6906,12 +6913,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
         # -- round-11 additions (oracle-backed, never attested; by the
-        # never-attested-first invariant these TWELVE plus the three r11
+        # never-attested-first invariant these TWELVE plus the FOUR r11
         # attestation upgrades above (partial_corr_lineitem,
-        # holt_winters_hourly, mmr_embeddings) lead the r12 window
-        # after the 12 anchors — registration order; 15 + 12 anchors
-        # leaves 23 oldest-backfill slots: the remaining 36 r06-green
-        # entries fill them in registry order, r07+ continue in r13):
+        # holt_winters_hourly, mmr_embeddings, event_stationary) lead
+        # the r12 window after the 12 anchors — registration order;
+        # 16 + 12 anchors leaves 22 oldest-backfill slots: the
+        # remaining 36 r06-green entries fill them in registry order,
+        # r07+ continue in r13):
         "theil_customers": _q_theil_customers,
         "sprt_events": _q_sprt_events,
         "mann_kendall_daily": _q_mann_kendall_daily,
@@ -13487,5 +13495,69 @@ def oracle_sql() -> dict[str, str]:
                    nconv.nc AS n_conversions,
                    round(pb.p, 6) AS p_conv
             FROM re r, post, nconv, pb
+        """,
+        "event_stationary": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+                SELECT from_state, to_state, count(*) AS cnt FROM (
+                    SELECT lag(to_state) OVER (PARTITION BY u
+                               ORDER BY ts, to_state) AS from_state,
+                           to_state
+                    FROM (SELECT user_id AS u, ts,
+                                 event_type AS to_state
+                          FROM events)
+                ) WHERE from_state IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            states AS MATERIALIZED (
+                SELECT DISTINCT v AS s FROM (
+                    SELECT from_state AS v FROM pairs
+                    UNION SELECT to_state FROM pairs
+                )
+            ),
+            nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM states
+            ),
+            outs AS MATERIALIZED (
+                SELECT from_state, CAST(sum(cnt) AS DOUBLE) AS tot
+                FROM pairs GROUP BY 1
+            ),
+            pd AS MATERIALIZED (
+                -- dense damped matrix: sink rows uniform, then
+                -- P' = damping * P + (1 - damping) / n
+                SELECT s1.s AS src, s2.s AS dst,
+                       0.99 * (CASE WHEN o.tot IS NULL THEN 1.0 / nn.n
+                                    ELSE coalesce(p.cnt, 0) / o.tot
+                               END)
+                       + 0.01 / nn.n AS w
+                FROM states s1
+                CROSS JOIN states s2
+                CROSS JOIN nn
+                LEFT JOIN outs o ON o.from_state = s1.s
+                LEFT JOIN pairs p
+                  ON p.from_state = s1.s AND p.to_state = s2.s
+            ),
+            fold AS (
+                SELECT s, 0 AS it, 1.0 / nn.n AS pi
+                FROM states, nn
+                UNION ALL
+                SELECT g.dst AS s, g.it, g.pi FROM (
+                    SELECT pd.dst, max(f.it) + 1 AS it,
+                           sum(f.pi * pd.w) AS pi
+                    FROM fold f JOIN pd ON pd.src = f.s
+                    WHERE f.it < 40
+                    GROUP BY pd.dst
+                ) g
+            ),
+            fin AS (SELECT s, pi FROM fold WHERE it = 40),
+            prev AS (SELECT s, pi FROM fold WHERE it = 39),
+            res AS (
+                SELECT sum(abs(f.pi - p.pi)) AS r
+                FROM fin f JOIN prev p USING (s)
+            )
+            SELECT f.s AS state, round(f.pi, 6) AS pi,
+                   CAST(nn.n AS INT) AS n_states,
+                   CAST(40 AS INT) AS n_iter,
+                   res.r AS residual
+            FROM fin f, nn, res
         """,
     }

@@ -5892,7 +5892,7 @@ def stationary_distribution(
     state_col: str,
     damping: float = 0.99,
     max_iter: int = 500,
-    tol: float = 1e-12,
+    tol: float | None = 1e-12,
 ) -> DataFrame:
     """Long-run state occupancy of the empirical Markov chain — the
     FORWARD-looking companion to :func:`transition_matrix` (the
@@ -5913,9 +5913,15 @@ def stationary_distribution(
     chains the caller knows are ergodic. The residual
     ||pi P' - pi||_1 at stop is reported, never hidden.
 
-    Output: state, pi (6dp), n_states, n_iter, residual. Not
-    SQL-replayable (the eigenvector fixpoint) -> rows-only gate;
-    closed-form two-state parity, doubly-stochastic-uniform and
+    ``tol=None`` runs EXACTLY max_iter rounds and returns (the
+    pagerank fixed-iteration contract): with a fixed round count the
+    damped power iteration is a bounded recursive-CTE replay, which
+    is what upgraded this operator's gate from rows-only to
+    hash-checked; the tolerance mode stays for callers who want
+    convergence semantics.
+
+    Output: state, pi (6dp), n_states, n_iter, residual.
+    Closed-form two-state parity, doubly-stochastic-uniform and
     numpy-eig parity pinned in tests.
     """
     import numpy as np
@@ -5949,7 +5955,7 @@ def stationary_distribution(
         nxt = pi @ pd_
         res = float(np.abs(nxt - pi).sum())
         pi = nxt
-        if res < tol:
+        if tol is not None and res < tol:
             break
     spark = df.sparkSession
     return spark.createDataFrame(
