@@ -629,6 +629,15 @@ def main() -> None:
                  # user-keyed window pass + count collect + driver
                  # fixed-iteration solve)
                  "qini_events", "markov_channels",
+                 # round-11 wave 4 (sf0.1 min-of-2: diversity 1.2s —
+                 # one class count + group agg; pacf 2.1s — acf's
+                 # keyed exchange + lag-sized driver DL).
+                 # wasserstein_arms is gate-only (3.6s: the
+                 # distinct-value frame over 100k near-unique doubles
+                 # dominates at this SF; ks_drift already times the
+                 # identical two-level-cumsum shape and the sf0.01
+                 # gate hash-attests the integral each round)
+                 "diversity_sources", "pacf_daily",
                  ):
         fn = entry_mod.queries()[name]
         reps = (

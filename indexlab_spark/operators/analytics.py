@@ -6823,3 +6823,242 @@ def markov_attribution(
         " attributed_conversions double, n_conversions long,"
         " p_conv double",
     )
+
+
+def diversity_index(
+    df: "DataFrame",
+    group_cols: list[str],
+    class_col: str,
+) -> "DataFrame":
+    """Per-group categorical diversity profile — Shannon entropy
+    (nats), the Gini-Simpson index 1 - sum p^2 (probability two draws
+    differ) and Pielou evenness H / ln(richness) (all public,
+    Shannon 1948 / Simpson 1949 / Pielou 1966): the data-mix
+    diagnostics a training-corpus audit runs per source (is this
+    source one language in disguise? did dedup collapse the topic
+    mix?), complementing theil/gini which score WEIGHT concentration
+    over entities rather than CLASS diversity.
+
+    Distributed shape: one (group, class) map-side-combined count,
+    one group agg over the class-sized frame — no windows, no joins.
+    NULL classes are excluded. Single-class groups have evenness NULL
+    (ln 1 = 0; no evenness to speak of), entropy and simpson exactly
+    0.
+
+    Output: group_cols + n (rows), richness (classes), shannon (6dp),
+    simpson (6dp), evenness (6dp).
+    """
+    base = df.filter(F.col(class_col).isNotNull())
+    cc = base.groupBy(*group_cols, F.col(class_col).alias("_c")).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    g = cc.groupBy(*group_cols).agg(
+        F.sum("_m").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("richness"),
+        F.sum(F.col("_m") * F.log(F.col("_m"))).alias("_sml"),
+        F.sum(F.col("_m") * F.col("_m")).cast("double").alias("_sm2"),
+    )
+    n = F.col("n").cast("double")
+    shannon = F.log(n) - F.col("_sml") / n
+    return g.select(
+        *group_cols,
+        "n",
+        "richness",
+        # clamp the 1e-16-class float residue of single-class groups
+        F.round(F.greatest(shannon, F.lit(0.0)), 6).alias("shannon"),
+        F.round(F.lit(1.0) - F.col("_sm2") / (n * n), 6).alias("simpson"),
+        F.round(
+            F.when(
+                F.col("richness") > 1,
+                F.greatest(shannon, F.lit(0.0))
+                / F.log(F.col("richness").cast("double")),
+            ),
+            6,
+        ).alias("evenness"),
+    )
+
+
+def wasserstein_1d(
+    old: "DataFrame",
+    new: "DataFrame",
+    value_col: str,
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between two
+    numeric snapshots — the MAGNITUDE member of the drift family:
+    KS reports the largest CDF gap (where), PSI a binned divergence,
+    W1 the integral of |CDF_old - CDF_new| — the average distance a
+    unit of probability mass must MOVE, in the column's own units
+    (a 2x price shift reads as dollars, not as a capped sup).
+
+    Scale shape is ks_drift's two-level cumsum: the per-value count
+    frame (distinct values x 2 counts — the only data-sized frame) is
+    range-bucketed by driver-literal quantile edges, cumsummed within
+    buckets in parallel, and stitched with broadcast per-bucket
+    offsets. The integral needs each value's PREDECESSOR: within a
+    bucket that is one lag; across the boundary it is the previous
+    bucket's max value, carried on the same broadcast offset frame —
+    never a single-partition window over the data. CDFs at the
+    predecessor come for free as (offset + cum - own count), no
+    second lag.
+
+    Output: one row — wasserstein (6dp), n_old, n_new.
+    """
+    def side(df, name):
+        return (
+            df.select(F.col(value_col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    counts = (
+        side(old, "c_old")
+        .join(side(new, "c_new"), "v", "full_outer")
+        .na.fill({"c_old": 0, "c_new": 0})
+    )
+    tot = counts.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    ).first()
+    n_old, n_new = int(tot["n_old"] or 0), int(tot["n_new"] or 0)
+    if n_old == 0 or n_new == 0:
+        raise ValueError(
+            "wasserstein_1d: both snapshots need non-null values"
+        )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = counts.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
+        ).alias("e")
+    ).first()
+    edges = sorted({float(x) for x in edges_row["e"]})
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(b)
+    bucketed = counts.withColumn("bucket", b)
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = bucketed.select(
+        "bucket", "v", "c_old", "c_new",
+        F.sum("c_old").over(w).alias("cum_old"),
+        F.sum("c_new").over(w).alias("cum_new"),
+        F.lag("v").over(w).alias("_pv"),
+    )
+    btot = bucketed.groupBy("bucket").agg(
+        F.sum("c_old").alias("bo"),
+        F.sum("c_new").alias("bn"),
+        F.max("v").alias("bmax"),
+    )
+    bw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-partition window over <= n_buckets rows — bounded
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bo").over(bw), F.lit(0)).alias("off_old"),
+        F.coalesce(F.sum("bn").over(bw), F.lit(0)).alias("off_new"),
+        F.lag("bmax").over(Window.orderBy("bucket")).alias("prev_bmax"),
+    )
+    joined = cum.join(F.broadcast(offsets), "bucket")
+    prev_v = F.coalesce(F.col("_pv"), F.col("prev_bmax"))
+    cdf_prev_old = (
+        F.col("off_old") + F.col("cum_old") - F.col("c_old")
+    ) / F.lit(float(n_old))
+    cdf_prev_new = (
+        F.col("off_new") + F.col("cum_new") - F.col("c_new")
+    ) / F.lit(float(n_new))
+    term = F.abs(cdf_prev_old - cdf_prev_new) * (F.col("v") - prev_v)
+    out = joined.agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(prev_v.isNotNull(), term)), F.lit(0.0)
+            ),
+            6,
+        ).alias("wasserstein")
+    )
+    return out.select(
+        "wasserstein",
+        F.lit(n_old).alias("n_old"),
+        F.lit(n_new).alias("n_new"),
+    )
+
+
+def pacf(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> "DataFrame":
+    """Per-segment PARTIAL autocorrelation function via the
+    Durbin-Levinson recursion (Durbin 1960, public) — the AR-order
+    diagnostic that completes :func:`acf`: the ACF of an AR(p) series
+    tails off forever, its PACF cuts off sharply after lag p, which is
+    the Box-Jenkins readout that picks the model order.
+
+    The distributed work is exactly :func:`acf`'s single keyed
+    exchange; Durbin-Levinson then runs per group on the driver over
+    the max_lag-sized autocorrelation vector (the partial_corr
+    small-state discipline) FROM THE 6dp-ROUNDED acf values — the
+    published recursion on inputs both engines share exactly, so the
+    gate replays bit-for-bit (the partial_corr rounded-input trick).
+    phi_mm = (rho_m - sum_j phi_{m-1,j} rho_{m-j}) /
+    (1 - sum_j phi_{m-1,j} rho_j); a degenerate denominator (|den| <
+    1e-12, numerically non-stationary series) yields NULL pacf from
+    that lag on rather than garbage. Groups whose acf is NULL
+    (constant series) emit NULL pacf at every lag.
+
+    Output: group_cols + lag (1..max_lag), pacf (6dp), n (series
+    length).
+    """
+    rho_rows = acf(df, group_cols, order_col, value_col, max_lag).collect()
+    groups: dict = {}
+    ns: dict = {}
+    for r in rho_rows:
+        key = tuple(r[c] for c in group_cols)
+        groups.setdefault(key, {})[int(r["lag"])] = r["autocorr"]
+        ns[key] = int(r["n"])
+    out_rows = []
+    for key, rho in sorted(groups.items()):
+        k = max(rho)
+        if any(rho.get(m) is None for m in range(1, k + 1)):
+            for m in range(1, k + 1):
+                out_rows.append(
+                    tuple(key) + (m, None, ns[key])
+                )
+            continue
+        phi_prev: list[float] = []
+        pacfs: list[float | None] = []
+        dead = False
+        for m in range(1, k + 1):
+            if dead:
+                pacfs.append(None)
+                continue
+            num = rho[m] - sum(
+                phi_prev[j] * rho[m - 1 - j] for j in range(m - 1)
+            )
+            den = 1.0 - sum(
+                phi_prev[j] * rho[j + 1] for j in range(m - 1)
+            )
+            if abs(den) < 1e-12:
+                dead = True
+                pacfs.append(None)
+                continue
+            phi_mm = num / den
+            phi = [
+                phi_prev[j] - phi_mm * phi_prev[m - 2 - j]
+                for j in range(m - 1)
+            ] + [phi_mm]
+            phi_prev = phi
+            pacfs.append(phi_mm)
+        for m in range(1, k + 1):
+            v = pacfs[m - 1]
+            out_rows.append(
+                tuple(key)
+                + (m, round(v, 6) if v is not None else None, ns[key])
+            )
+    spark = df.sparkSession
+    fields = ", ".join(
+        f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    return spark.createDataFrame(
+        out_rows, f"{fields}, lag int, pacf double, n bigint"
+    )

@@ -643,3 +643,123 @@ def test_ranking_tau_duplicate_rows_collapse_to_best_rank(spark):
     assert got["n_shared"] == 2  # not 3: the dup collapsed (min rank)
     assert got["n_pairs"] == 1
     assert got["tau_b"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# diversity_index
+# ---------------------------------------------------------------------------
+
+
+class TestDiversityIndex:
+    def _run(self, spark, rows):
+        from indexlab_spark.operators.analytics import diversity_index
+
+        df = spark.createDataFrame(rows, "g string, c string")
+        return {
+            r["g"]: r for r in diversity_index(df, ["g"], "c").collect()
+        }
+
+    def test_hand_entropy(self, spark):
+        # classes a,a,b,c: p = [.5,.25,.25]
+        got = self._run(
+            spark, [("g", "a"), ("g", "a"), ("g", "b"), ("g", "c")]
+        )["g"]
+        H = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+        assert got["shannon"] == pytest.approx(H, abs=1e-6)
+        assert got["simpson"] == pytest.approx(1 - 0.375, abs=1e-6)
+        assert got["evenness"] == pytest.approx(H / math.log(3), abs=1e-6)
+        assert (got["n"], got["richness"]) == (4, 3)
+
+    def test_single_class(self, spark):
+        got = self._run(spark, [("g", "a"), ("g", "a")])["g"]
+        assert got["shannon"] == 0.0 and got["simpson"] == 0.0
+        assert got["evenness"] is None
+
+    def test_uniform_mix_evenness_one(self, spark):
+        got = self._run(
+            spark, [("g", "a"), ("g", "b"), ("g", "c"), ("g", "d")]
+        )["g"]
+        assert got["evenness"] == pytest.approx(1.0)
+
+    def test_null_class_excluded(self, spark):
+        got = self._run(spark, [("g", "a"), ("g", None), ("g", "b")])["g"]
+        assert got["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_1d
+# ---------------------------------------------------------------------------
+
+
+class TestWasserstein1d:
+    def _run(self, spark, a, b, **kw):
+        from indexlab_spark.operators.analytics import wasserstein_1d
+
+        A = spark.createDataFrame([(float(v),) for v in a], "v double")
+        B = spark.createDataFrame([(float(v),) for v in b], "v double")
+        return wasserstein_1d(A, B, "v", **kw).collect()[0]
+
+    def test_unit_shift(self, spark):
+        got = self._run(spark, [0, 1], [1, 2])
+        assert got["wasserstein"] == pytest.approx(1.0)
+
+    def test_identical_zero(self, spark):
+        got = self._run(spark, [1, 2, 3], [1, 2, 3])
+        assert got["wasserstein"] == 0.0
+
+    def test_known_mass_move(self, spark):
+        # [0,0] vs [0,4]: half the mass moves 4 units -> W1 = 2
+        got = self._run(spark, [0, 0], [0, 4])
+        assert got["wasserstein"] == pytest.approx(2.0)
+
+    def test_bucket_boundary_consistency(self, spark):
+        # many distinct values with few buckets: the cross-bucket
+        # predecessor stitch must agree with the closed form for a
+        # uniform shift (W1 == shift)
+        a = list(range(100))
+        b = [v + 3 for v in a]
+        got = self._run(spark, a, b, n_buckets=8)
+        assert got["wasserstein"] == pytest.approx(3.0, abs=1e-6)
+
+    def test_empty_side_raises(self, spark):
+        from indexlab_spark.operators.analytics import wasserstein_1d
+
+        A = spark.createDataFrame([(1.0,)], "v double")
+        B = spark.createDataFrame([(None,)], "v double")
+        with pytest.raises(ValueError):
+            wasserstein_1d(A, B, "v")
+
+
+# ---------------------------------------------------------------------------
+# pacf
+# ---------------------------------------------------------------------------
+
+
+class TestPacf:
+    def _series(self, spark, vals):
+        return spark.createDataFrame(
+            [("g", i, float(v)) for i, v in enumerate(vals)],
+            "g string, o int, x double",
+        )
+
+    def test_lag1_equals_acf1_and_phi22_closed_form(self, spark):
+        from indexlab_spark.operators.analytics import acf, pacf
+
+        df = self._series(
+            spark, [1, 3, 2, 5, 4, 6, 5, 8, 7, 9, 8, 11, 10, 12, 11, 14]
+        )
+        a = {r["lag"]: r["autocorr"]
+             for r in acf(df, ["g"], "o", "x", 3).collect()}
+        p = {r["lag"]: r["pacf"]
+             for r in pacf(df, ["g"], "o", "x", 3).collect()}
+        assert p[1] == a[1]
+        want2 = round((a[2] - a[1] ** 2) / (1 - a[1] ** 2), 6)
+        assert p[2] == pytest.approx(want2, abs=1e-6)
+
+    def test_constant_series_all_null(self, spark):
+        from indexlab_spark.operators.analytics import pacf
+
+        df = self._series(spark, [5] * 10)
+        out = pacf(df, ["g"], "o", "x", 3).collect()
+        assert len(out) == 3
+        assert all(r["pacf"] is None for r in out)
