@@ -763,3 +763,188 @@ class TestPacf:
         out = pacf(df, ["g"], "o", "x", 3).collect()
         assert len(out) == 3
         assert all(r["pacf"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests for the round-11 families
+# ---------------------------------------------------------------------------
+
+
+def test_theil_decomposability_property(spark):
+    """Hypothesis: Theil T is additively decomposable — on arbitrary
+    positive entity weights split into subgroups,
+    T_total = T_between + sum_g s_g * T_g with income shares
+    s_g = (n_g * mu_g) / (n * mu) and
+    T_between = sum_g s_g * ln(mu_g / mu). The operator computes the
+    per-group terms; the identity is checked in python."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import theil_index
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=1, max_value=40),
+            ),
+            min_size=2,
+            max_size=25,
+        )
+    )
+    def inner(pairs):
+        rows = [(g, float(v)) for g, v in pairs]
+        df = spark.createDataFrame(rows, "g string, x double")
+        per_g = {
+            r["g"]: r for r in theil_index(df, ["g"], "x").collect()
+        }
+        total = theil_index(
+            df.select(F.lit("all").alias("t"), "x"), ["t"], "x"
+        ).collect()[0]
+        n = sum(1 for _ in pairs)
+        mu = sum(v for _, v in pairs) / n
+        t_between = 0.0
+        t_within = 0.0
+        for g, r in per_g.items():
+            share = (r["n"] * r["mean"]) / (n * mu)
+            t_between += share * math.log(r["mean"] / mu)
+            t_within += share * r["theil"]
+        assert total["theil"] == pytest.approx(
+            t_between + t_within, abs=5e-5
+        )
+
+    inner()
+
+
+def test_wasserstein_properties_random(spark):
+    """Hypothesis: W1 is symmetric, zero on identical samples, and for
+    a pure translation equals the shift exactly — across random
+    samples and bucket counts (exercising the cross-bucket stitch)."""
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import wasserstein_1d
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-30, max_value=30),
+            min_size=2,
+            max_size=25,
+        ),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=2, max_value=6),
+    )
+    def inner(vals, shift, n_buckets):
+        A = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        )
+        B = spark.createDataFrame(
+            [(float(v + shift),) for v in vals], "v double"
+        )
+        ab = wasserstein_1d(A, B, "v", n_buckets=n_buckets).collect()[0]
+        ba = wasserstein_1d(B, A, "v", n_buckets=n_buckets).collect()[0]
+        aa = wasserstein_1d(A, A, "v", n_buckets=n_buckets).collect()[0]
+        assert ab["wasserstein"] == pytest.approx(float(shift), abs=1e-6)
+        assert ba["wasserstein"] == ab["wasserstein"]  # symmetry
+        assert aa["wasserstein"] == 0.0
+
+    inner()
+
+
+def test_mann_kendall_antisymmetry_property(spark):
+    """Hypothesis: negating the series negates S and Z exactly and
+    swaps the trend direction (the sign test's core symmetry)."""
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import mann_kendall_trend
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-20, max_value=20),
+            min_size=3,
+            max_size=20,
+        )
+    )
+    def inner(vals):
+        pos = spark.createDataFrame(
+            [("g", i, float(v)) for i, v in enumerate(vals)],
+            "g string, o int, x double",
+        )
+        neg = spark.createDataFrame(
+            [("g", i, float(-v)) for i, v in enumerate(vals)],
+            "g string, o int, x double",
+        )
+        p = mann_kendall_trend(pos, ["g"], "o", "x").collect()[0]
+        m = mann_kendall_trend(neg, ["g"], "o", "x").collect()[0]
+        assert p["s"] == -m["s"]
+        assert p["var_s"] == m["var_s"]
+        if p["z"] is not None:
+            assert p["z"] == pytest.approx(-m["z"], abs=1e-6)
+        flip = {"increasing": "decreasing", "decreasing": "increasing",
+                "no_trend": "no_trend"}
+        assert m["trend"] == flip[p["trend"]]
+
+    inner()
+
+
+def test_fdr_monotone_in_q_property(spark):
+    """Hypothesis: the BH rejection set is monotone in q — everything
+    rejected at a smaller q stays rejected at a larger one."""
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import fdr_bh
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.001, max_value=0.999),
+            min_size=2,
+            max_size=15,
+        )
+    )
+    def inner(ps):
+        rows = [(f"t{i}", round(p, 4)) for i, p in enumerate(ps)]
+        df = spark.createDataFrame(rows, "t string, p double")
+        lo = {r["t"]: r["rejected"]
+              for r in fdr_bh(df, "t", "p", q=0.05).collect()}
+        hi = {r["t"]: r["rejected"]
+              for r in fdr_bh(df, "t", "p", q=0.2).collect()}
+        for t, rej in lo.items():
+            if rej:
+                assert hi[t], f"{t} rejected at q=.05 but not q=.2"
+
+    inner()
+
+
+def test_diversity_entropy_bounds_property(spark):
+    """Hypothesis: 0 <= shannon <= ln(richness) and
+    0 <= simpson < 1 on arbitrary class multisets; evenness in
+    (0, 1] whenever defined."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from indexlab_spark.operators.analytics import diversity_index
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def inner(classes):
+        df = spark.createDataFrame(
+            [("g", c) for c in classes], "g string, c string"
+        )
+        r = diversity_index(df, ["g"], "c").collect()[0]
+        assert 0.0 <= r["shannon"] <= math.log(r["richness"]) + 1e-9
+        assert 0.0 <= r["simpson"] < 1.0
+        if r["evenness"] is not None:
+            assert 0.0 < r["evenness"] <= 1.0 + 1e-9
+
+    inner()
