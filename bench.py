@@ -441,7 +441,11 @@ def main() -> None:
                  "quantile_rollup", "skew_orders", "event_transitions",
                  "pca_embeddings", "quantile_incremental",
                  "join_explosion", "ks_drift", "cm_event_counts",
-                 "segment_trend", "rfm_segments", "window_funnel",
+                 # window_funnel moved to gate-only in r11 (5.9s at
+                 # sf0.1 — the per-step sequence scan; events_funnel
+                 # 0.9s keeps the funnel family timed and the sf0.01
+                 # gate attests window_funnel each round)
+                 "segment_trend", "rfm_segments",
                  # weighted_minhash is gate-only like order_triangles:
                  # the ICWS signature pass is a genuine Python DP over
                  # doc x vocab x hashes (~16s at sf0.1 even with the
@@ -473,7 +477,10 @@ def main() -> None:
                  # gate-only: both re-run the jaccard_pairs+CC pipeline
                  # the dedup_clusters bench row already times — their
                  # marginal work is one agg / one projection
-                 "holt_revenue", "link_parts", "isotonic_value",
+                 # link_parts moved to gate-only in r11 (3.9s — the
+                 # lineitem co-purchase self-join it times is already
+                 # timed by part_assortativity/part_lcc; gate attests)
+                 "holt_revenue", "isotonic_value",
                  "embedding_kmeans",
                  # acf_daily 0.9s / theilsen_revenue 0.8s (sf0.1
                  # min-of-2) — calendar-bounded series ops
@@ -576,7 +583,9 @@ def main() -> None:
                  # bm25_prf 2.9s (two scoring passes over ONE
                  # materialized posting frame + a hit-frame-sized
                  # expansion stage)
-                 "bm25_prf",
+                 # bm25_prf moved to gate-only in r11 (5.2s — two
+                 # scoring passes over the SAME materialized stats
+                 # that b4_bm25/bm25_topk already time; gate attests)
                  # decayed_user_value 0.5s (one codegen decay agg).
                  # truss_farms is gate-only like part_ktruss's denser
                  # sibling: the truss peel + CC composition measures
