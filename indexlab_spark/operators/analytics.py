@@ -6852,6 +6852,16 @@ def diversity_index(
     cc = base.groupBy(*group_cols, F.col(class_col).alias("_c")).agg(
         F.count(F.lit(1)).alias("_m")
     )
+    return _diversity_table(cc, group_cols)
+
+
+def _diversity_table(cc: "DataFrame", group_cols: list[str]) -> "DataFrame":
+    """Shared tail of diversity_index and the streaming diversity
+    monitor: the entropy/evenness algebra over a (group_cols, _c, _m)
+    class-count frame — class counts are LINEAR, so the stream's
+    summed batch partitions feed the IDENTICAL tail and drained
+    totals equal the one-shot profile exactly (the _srm_table
+    discipline)."""
     g = cc.groupBy(*group_cols).agg(
         F.sum("_m").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("richness"),

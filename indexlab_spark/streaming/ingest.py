@@ -880,3 +880,68 @@ def decay_mass_totals(
         F.round("_raw", 6).alias("raw_sum"),
         "anchor_guard_max_ts",
     )
+
+
+def diversity_monitor_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    class_col: str,
+    query_name: str = "diversity_monitor",
+):
+    """Maintain a LIVE data-mix diversity profile over an ingestion
+    stream — the mix-audit member of the monitor family
+    (quantile/CM/theta/PSI/SRM/MAU): "did the language mix of this
+    source collapse mid-ingest" answerable at any moment, instead of
+    after the shard lands. The batch algebra is
+    analytics.diversity_index's.
+
+    Replay safety is the SRM monitor's, for the same reason: class
+    counts are LINEAR (they add), so each micro-batch writes its own
+    ``batch_id=N`` partition of bounded (group, class, _m) rows with
+    dynamic partition overwrite — an at-least-once redelivery
+    overwrites byte-identically instead of double-counting. Readers
+    collapse with :func:`diversity_monitor_totals`, whose output
+    EXACTLY equals the one-shot diversity_index over the same rows
+    (the shared ``_diversity_table`` tail; pinned in tests).
+
+    Steady-state cost per trigger: one map-side-combined
+    (group, class) count (exchange bounded by the class-frame size)
+    + one tiny partition write.
+    """
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.filter(F.col(class_col).isNotNull())
+            .groupBy(*group_cols, F.col(class_col).alias("_c"))
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+        _write_state(counts, state_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def diversity_monitor_totals(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Collapse the batch-partitioned diversity state into the SAME
+    per-group profile diversity_index produces: class counts sum
+    across batch partitions (linearity), then the shared
+    _diversity_table tail computes entropy/simpson/evenness — so
+    drained-stream totals EXACTLY equal the one-shot profile."""
+    from indexlab_spark.operators.analytics import _diversity_table
+
+    folded = (
+        spark.read.parquet(state_path)
+        .groupBy(*group_cols, "_c")
+        .agg(F.sum("_m").alias("_m"))
+    )
+    return _diversity_table(folded, group_cols)

@@ -663,3 +663,50 @@ def test_decay_mass_monitor_matches_batch_and_replay(spark, tmp_path):
     }
     for k in got2:
         assert later[k] < got2[k]
+
+
+def test_diversity_monitor_stream_matches_batch_and_replay(spark, tmp_path):
+    """Streaming diversity state: drained per-batch class-count
+    partitions, collapsed by diversity_monitor_totals, must EXACTLY
+    equal the one-shot diversity_index over the same rows (count
+    linearity + the shared _diversity_table tail). Replaying a batch
+    partition (at-least-once redelivery) must change nothing."""
+    from indexlab_spark.operators.analytics import diversity_index
+    from indexlab_spark.streaming.ingest import (
+        _write_state,
+        diversity_monitor_stream,
+        diversity_monitor_totals,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("source", "lang")
+
+    src = str(tmp_path / "dsrc")
+    docs.repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "dstate")
+    q = diversity_monitor_stream(stream, state, ["source"], "lang").start()
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=lambda t: t[0])
+
+    got = rows(diversity_monitor_totals(spark, state, ["source"]))
+    want = rows(diversity_index(docs, ["source"], "lang"))
+    assert got == want
+
+    # replay: redeliver batch 0's own materialized counts via dynamic
+    # overwrite — totals must be unchanged, never double-counted
+    b0 = spark.createDataFrame(
+        spark.read.parquet(state + "/batch_id=0")
+        .select("source", "_c", "_m")
+        .collect()
+    )
+    _write_state(b0, state, 0)
+    assert rows(diversity_monitor_totals(spark, state, ["source"])) == got
