@@ -6629,22 +6629,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 11, exactly per the plan
-        # pinned in the r9/r10 registry comments and re-confirmed by the
-        # r10 VERDICT, never-attested-first invariant): the 5 round-9
-        # oracle-backed leftovers, then the 23 round-10 oracle entries in
-        # registry order, then 10 oldest-attestation backfill slots (the
-        # 8 r05-green leftovers + the first 2 r06-green entries).
-        # This clears EVERY never-attested oracle-backed entry: after
-        # r11, every oracle-backed registry entry that existed at the
-        # r10 HEAD has a driver-green row in some CORRECTNESS_rNN.json.
-        # round-9 oracle leftovers (slots 13-17):
+        # -- rotation window slots 13-50 (round 12, exactly per the plan
+        # pinned in the r11 registry comments and re-confirmed by the
+        # r11 VERDICT item 1, never-attested-first invariant): the 19
+        # round-11 oracle additions/upgrades (the 15 r11 additions in
+        # registration order, then the 4 attestation upgrades), then 19
+        # oldest-attestation backfill slots (the first 19 of the 36
+        # remaining r06-green entries, registry order).
+        # round-11 oracle additions (slots 13-27):
+        "theil_customers": _q_theil_customers,
+        "sprt_events": _q_sprt_events,
+        "mann_kendall_daily": _q_mann_kendall_daily,
+        "croston_parts": _q_croston_parts,
+        "ranking_tau": _q_ranking_tau,
+        "lexical_docs": _q_lexical_docs,
+        "fdr_weekday_tests": _q_fdr_weekday_tests,
+        "eb_return_rates": _q_eb_return_rates,
+        "vocab_docs": _q_vocab_docs,
+        "ipw_events": _q_ipw_events,
+        "qini_events": _q_qini_events,
+        "markov_channels": _q_markov_channels,
+        "diversity_sources": _q_diversity_sources,
+        "wasserstein_arms": _q_wasserstein_arms,
+        "pacf_daily": _q_pacf_daily,
+        # round-11 attestation upgrades, rows-only -> oracle-backed
+        # (slots 28-31):
+        "holt_winters_hourly": _q_holt_winters_hourly,
+        "mmr_embeddings": _q_mmr_embeddings,
+        "partial_corr_lineitem": _q_partial_corr_lineitem,
+        "event_stationary": _q_event_stationary,
+        # oldest-attestation backfill (slots 32-50: the first 19 of the
+        # 36 remaining r06-green entries, registry order; the other 17
+        # lead the r13 backfill):
+        "token_budget_mix": _q_token_budget_mix,
+        "minhash_incremental": _q_minhash_incremental,
+        "asof_forward": _q_asof_forward,
+        "profile_lineitem": _q_profile_lineitem,
+        "knn_graph": _q_knn_graph,
+        "scd2_history": _q_scd2_history,
+        "bm25_incremental": _q_bm25_incremental,
+        "jaccard_prefix": _q_jaccard_prefix,
+        "eval_bootstrap": _q_eval_bootstrap,
+        "curation_verdict": _q_curation_verdict,
+        "mad_outliers": _q_mad_outliers,
+        "trending_keys": _q_trending_keys,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "revenue_moving_avg": _q_revenue_moving_avg,
+        "docs_cube": _q_docs_cube,
+        "fuzzy_part_names": _q_fuzzy_part_names,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "events_funnel": _q_events_funnel,
+        "retention_cohorts": _q_retention_cohorts,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r13 window plan (pinned per the standing invariants:
+        # all-slots-oracle-backed, never-attested-first, then oldest
+        # attestation; recompute from CORRECTNESS_r01-r12 once r12
+        # lands): after the 12 anchors, never-attested-first — any
+        # operator newly oracle-registered or attestation-upgraded in
+        # r12 (registration order; e.g. the embedding_kmeans /
+        # similarity_ivf upgrades if they land) — then the
+        # oldest-attestation backfill: the 17 remaining r06-green
+        # entries below (balance_quartiles .. balance_percent_rank, 7
+        # rounds stale by r13, the oldest attestations left), then as
+        # many of the 38 r07-green entries as fit, in registry order.
+        # last green r11 (the 38 entries rotated out of the r11 window
+        # this round; r11 window order; backfill candidates for r16+ by
+        # the oldest-attestation rule):
         "seq_pairs_events": _q_seq_pairs_events,
         "cohort_ltv": _q_cohort_ltv,
         "ewma_volumes": _q_ewma_volumes,
         "pr_auc": _q_pr_auc,
         "quantile_map_events": _q_quantile_map_events,
-        # round-10 oracle entries, registry order (slots 18-40):
         "srm_events": _q_srm_events,
         "ratio_ab_events": _q_ratio_ab_events,
         "did_events": _q_did_events,
@@ -6668,8 +6726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_events": _q_brier_events,
         "pagerank_parts": _q_pagerank_parts,
         "lpa_parts": _q_lpa_parts,
-        # oldest-attestation backfill (slots 41-48: the 8 r05-green
-        # leftovers, registry order):
         "tokens": _q_tokens,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "top_revenue": _q_top_revenue,
@@ -6678,13 +6734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dsir_weights": _q_dsir_weights,
         "embedding_lsh": _q_embedding_lsh,
-        # backfill slots 49-50 (first 2 r06-green entries):
         "duplicated_spans": _q_duplicated_spans,
         "clean_dup_spans": _q_clean_dup_spans,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r0*.json) and is still run by
-        # tools/driver_sim.py every session.
         # r11 window plan (pinned per the standing invariants:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r10 once r10
@@ -6708,28 +6759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r06 (rotated out of the r6 window this round; the
-        # 14 r5 additions followed by the 24 r03-backfills, in r6
-        # window order):
-        "token_budget_mix": _q_token_budget_mix,
-        "minhash_incremental": _q_minhash_incremental,
-        "asof_forward": _q_asof_forward,
-        "profile_lineitem": _q_profile_lineitem,
-        "knn_graph": _q_knn_graph,
-        "scd2_history": _q_scd2_history,
-        "bm25_incremental": _q_bm25_incremental,
-        "jaccard_prefix": _q_jaccard_prefix,
-        "eval_bootstrap": _q_eval_bootstrap,
-        "curation_verdict": _q_curation_verdict,
-        "mad_outliers": _q_mad_outliers,
-        "trending_keys": _q_trending_keys,
-        "event_value_quantiles": _q_event_value_quantiles,
-        "revenue_moving_avg": _q_revenue_moving_avg,
-        "docs_cube": _q_docs_cube,
-        "fuzzy_part_names": _q_fuzzy_part_names,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "events_funnel": _q_events_funnel,
-        "retention_cohorts": _q_retention_cohorts,
+        # last green r06, remaining 17 (the first 19 of the 36 moved
+        # into the r12 backfill slots above; these 17 lead the r13
+        # backfill by the oldest-attestation rule):
         "balance_quartiles": _q_balance_quartiles,
         "unigram_logprob": _q_unigram_logprob,
         "label_centroids": _q_label_centroids,
@@ -6895,28 +6927,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "hits_suppliers": _q_hits_suppliers,
         "similarity_ivfpq": _q_similarity_ivfpq,
-        # holt_winters upgraded to oracle-backed in r11 (fixed linear
-        # recursion -> recursive CTE with 24-slot list state);
-        # never-attested, leads the r12 window:
-        "holt_winters_hourly": _q_holt_winters_hourly,
-        # -- round-10 rows-only additions (oracle-backed siblings moved
-        # into the r11 window above):
+        # -- round-10 rows-only additions (oracle-backed siblings and
+        # the r11 attestation upgrades moved into driver windows above):
         "part_ktruss": _q_part_ktruss,  # rows-only
         "binseg_revenue": _q_binseg_revenue,  # rows-only
-        # mmr upgraded to oracle-backed in r11 (bounded 5-step greedy
-        # -> recursive CTE with list-valued selected set);
-        # never-attested, leads the r12 window:
-        "mmr_embeddings": _q_mmr_embeddings,
         "truss_farms": _q_truss_farms,  # rows-only
-        # partial_corr upgraded to oracle-backed in r11 (determinant
-        # cancels in the partial-corr ratio -> closed-form cofactor
-        # replay); never-attested, leads the r12 window:
-        "partial_corr_lineitem": _q_partial_corr_lineitem,
         "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
-        # event_stationary upgraded to oracle-backed in r11 (tol=None
-        # fixed-40-round contract -> dense-damped-matrix recursive
-        # CTE); never-attested, leads the r12 window:
-        "event_stationary": _q_event_stationary,
         # -- last green r10 (the 38 entries rotated out of the r10
         # window this round; r10 window order; backfill candidates
         # for r15+ by the oldest-attestation rule):
@@ -6958,29 +6974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
-        # -- round-11 additions (oracle-backed, never attested; by the
-        # never-attested-first invariant these FIFTEEN plus the FOUR r11
-        # attestation upgrades above (partial_corr_lineitem,
-        # holt_winters_hourly, mmr_embeddings, event_stationary) lead
-        # the r12 window after the 12 anchors — registration order;
-        # 19 + 12 anchors leaves 19 oldest-backfill slots: the
-        # remaining 36 r06-green entries fill them in registry order,
-        # r07+ continue in r13):
-        "theil_customers": _q_theil_customers,
-        "sprt_events": _q_sprt_events,
-        "mann_kendall_daily": _q_mann_kendall_daily,
-        "croston_parts": _q_croston_parts,
-        "ranking_tau": _q_ranking_tau,
-        "lexical_docs": _q_lexical_docs,
-        "fdr_weekday_tests": _q_fdr_weekday_tests,
-        "eb_return_rates": _q_eb_return_rates,
-        "vocab_docs": _q_vocab_docs,
-        "ipw_events": _q_ipw_events,
-        "qini_events": _q_qini_events,
-        "markov_channels": _q_markov_channels,
-        "diversity_sources": _q_diversity_sources,
-        "wasserstein_arms": _q_wasserstein_arms,
-        "pacf_daily": _q_pacf_daily,
     }
 
 

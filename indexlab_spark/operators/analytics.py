@@ -7004,12 +7004,18 @@ def pacf(
     tails off forever, its PACF cuts off sharply after lag p, which is
     the Box-Jenkins readout that picks the model order.
 
-    The distributed work is exactly :func:`acf`'s single keyed
-    exchange; Durbin-Levinson then runs per group on the driver over
-    the max_lag-sized autocorrelation vector (the partial_corr
-    small-state discipline) FROM THE 6dp-ROUNDED acf values — the
-    published recursion on inputs both engines share exactly, so the
-    gate replays bit-for-bit (the partial_corr rounded-input trick).
+    The distributed work is :func:`acf`'s single keyed exchange plus
+    one more keyed exchange for the per-group recursion:
+    Durbin-Levinson runs EXECUTOR-SIDE via ``applyInPandas`` over each
+    group's max_lag-sized autocorrelation vector (r11 VERDICT item 2 —
+    the prior driver-side collect was groups-sized, a funnel for
+    high-cardinality groupings at 100 TB; the distributed form carries
+    no per-group state to the driver at all). The recursion consumes
+    THE 6dp-ROUNDED acf values in plain Python doubles — the published
+    recursion on inputs both engines share exactly, so the gate
+    replays bit-for-bit (the partial_corr rounded-input trick), and
+    the executor-side path is value-identical to the old driver-side
+    one because the arithmetic is byte-for-byte the same.
     phi_mm = (rho_m - sum_j phi_{m-1,j} rho_{m-j}) /
     (1 - sum_j phi_{m-1,j} rho_j); a degenerate denominator (|den| <
     1e-12, numerically non-stationary series) yields NULL pacf from
@@ -7019,56 +7025,59 @@ def pacf(
     Output: group_cols + lag (1..max_lag), pacf (6dp), n (series
     length).
     """
-    rho_rows = acf(df, group_cols, order_col, value_col, max_lag).collect()
-    groups: dict = {}
-    ns: dict = {}
-    for r in rho_rows:
-        key = tuple(r[c] for c in group_cols)
-        groups.setdefault(key, {})[int(r["lag"])] = r["autocorr"]
-        ns[key] = int(r["n"])
-    out_rows = []
-    for key, rho in sorted(groups.items()):
+    import pandas as pd
+
+    rho_df = acf(df, group_cols, order_col, value_col, max_lag)
+
+    def _durbin_levinson(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("lag")
+        key = tuple(pdf.iloc[0][c] for c in group_cols)
+        n = int(pdf["n"].iloc[0])
+        rho = {
+            int(lag): (None if pd.isna(r) else float(r))
+            for lag, r in zip(pdf["lag"], pdf["autocorr"])
+        }
         k = max(rho)
+        out = []
         if any(rho.get(m) is None for m in range(1, k + 1)):
             for m in range(1, k + 1):
-                out_rows.append(
-                    tuple(key) + (m, None, ns[key])
+                out.append(key + (m, None, n))
+        else:
+            phi_prev: list = []
+            pacfs: list = []
+            dead = False
+            for m in range(1, k + 1):
+                if dead:
+                    pacfs.append(None)
+                    continue
+                num = rho[m] - sum(
+                    phi_prev[j] * rho[m - 1 - j] for j in range(m - 1)
                 )
-            continue
-        phi_prev: list[float] = []
-        pacfs: list[float | None] = []
-        dead = False
-        for m in range(1, k + 1):
-            if dead:
-                pacfs.append(None)
-                continue
-            num = rho[m] - sum(
-                phi_prev[j] * rho[m - 1 - j] for j in range(m - 1)
-            )
-            den = 1.0 - sum(
-                phi_prev[j] * rho[j + 1] for j in range(m - 1)
-            )
-            if abs(den) < 1e-12:
-                dead = True
-                pacfs.append(None)
-                continue
-            phi_mm = num / den
-            phi = [
-                phi_prev[j] - phi_mm * phi_prev[m - 2 - j]
-                for j in range(m - 1)
-            ] + [phi_mm]
-            phi_prev = phi
-            pacfs.append(phi_mm)
-        for m in range(1, k + 1):
-            v = pacfs[m - 1]
-            out_rows.append(
-                tuple(key)
-                + (m, round(v, 6) if v is not None else None, ns[key])
-            )
-    spark = df.sparkSession
+                den = 1.0 - sum(
+                    phi_prev[j] * rho[j + 1] for j in range(m - 1)
+                )
+                if abs(den) < 1e-12:
+                    dead = True
+                    pacfs.append(None)
+                    continue
+                phi_mm = num / den
+                phi_prev = [
+                    phi_prev[j] - phi_mm * phi_prev[m - 2 - j]
+                    for j in range(m - 1)
+                ] + [phi_mm]
+                pacfs.append(phi_mm)
+            for m in range(1, k + 1):
+                v = pacfs[m - 1]
+                out.append(
+                    key + (m, round(v, 6) if v is not None else None, n)
+                )
+        return pd.DataFrame(
+            out, columns=list(group_cols) + ["lag", "pacf", "n"]
+        )
+
     fields = ", ".join(
         f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols
     )
-    return spark.createDataFrame(
-        out_rows, f"{fields}, lag int, pacf double, n bigint"
+    return rho_df.groupBy(*group_cols).applyInPandas(
+        _durbin_levinson, f"{fields}, lag int, pacf double, n bigint"
     )

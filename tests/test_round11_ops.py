@@ -764,6 +764,30 @@ class TestPacf:
         assert len(out) == 3
         assert all(r["pacf"] is None for r in out)
 
+    def test_many_groups_executor_side(self, spark):
+        """r11 VERDICT item 2: the Durbin-Levinson recursion must run
+        executor-side (applyInPandas), not as a groups-sized driver
+        collect — pin the plan node and the high-cardinality result
+        shape."""
+        from indexlab_spark.operators.analytics import pacf
+
+        rows = [
+            (f"g{g}", i, float((i * (g + 2)) % 7 + g))
+            for g in range(60)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "g string, o int, x double")
+        out = pacf(df, ["g"], "o", "x", 4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        got = out.collect()
+        assert len(got) == 60 * 4
+        # every group emits lags 1..4 exactly once
+        from collections import Counter
+
+        c = Counter((r["g"], r["lag"]) for r in got)
+        assert all(v == 1 for v in c.values()) and len(c) == 240
+
 
 # ---------------------------------------------------------------------------
 # hypothesis property tests for the round-11 families
