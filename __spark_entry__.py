@@ -1255,20 +1255,29 @@ def _q_chunk_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K3/K4 — IVF ANN search (KMeans cells + nprobe pruning). Recall vs
-    flat is property-tested (tests/test_knn.py); KMeans centers are not
-    reproducible in SQL, so this entry is rows-only."""
-    from indexlab_spark.operators.knn import build_ivf, ivf_search
+    """K3/K4 — IVF ANN search (KMeans cells + nprobe pruning), upgraded
+    rows-only -> oracle-backed in r12 via the fixed-iteration replay
+    discipline (r11 VERDICT item 4): build_ivf_fixed trains a
+    DETERMINISTIC Lloyd (init = the nlist smallest doc_ids, 5 fixed
+    rounds, 6dp-rounded centers per round — no RNG, no sampling), so
+    the DuckDB oracle replays the entire fit, assignment, nprobe cell
+    choice, and top-k bit-for-bit; cell scores and candidate scores
+    round(6) BEFORE their rank windows (the knn_ip discipline). The
+    production sampled-Lloyd path (build_ivf) keeps its property-tested
+    recall floors plus the rows-only similarity_ivf_append entry."""
+    from indexlab_spark.operators.knn import build_ivf_fixed, ivf_search
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     q = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    assigned, centroids = build_ivf(corpus, nlist=16, seed=42)
-    return ivf_search(q, assigned, centroids, k=5, nprobe=4).select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    assigned, centroids = build_ivf_fixed(
+        corpus, nlist=16, iters=5, vec_col="embedding", id_col="doc_id"
     )
+    return ivf_search(
+        q, assigned, centroids, k=5, nprobe=4, round_to=6
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 def _q_similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4214,18 +4223,20 @@ def _q_isotonic_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Public k-means clustering (knn.kmeans_summary): the natural
-    group structure of the embedding corpus — per-cluster size,
-    inertia, centroid norm — from the same sample-trained seeded
-    Lloyd + one-Arrow-pass assignment the IVF build uses for cell
-    routing. Rows-only: the fit is deterministic given the seed, but
-    a float32 Lloyd + float-sum inertia is not SQL-replayable;
-    cluster recovery / inertia parity / determinism are pinned in
-    tests instead."""
-    from indexlab_spark.operators.knn import kmeans_summary
+    """Public k-means clustering — per-cluster size, inertia, centroid
+    norm — upgraded rows-only -> oracle-backed in r12 via the
+    fixed-iteration replay discipline (r11 VERDICT item 4):
+    kmeans_summary_fixed runs a DETERMINISTIC Lloyd (init = the k
+    smallest vec_ids, 5 fixed rounds, 6dp-rounded centers per round —
+    no RNG, no sampling, every corpus pass pure codegen), so the
+    DuckDB oracle replays the whole fit and summary bit-for-bit. The
+    production sampled-seeded path (knn.kmeans_summary / build_ivf)
+    keeps its cluster-recovery / inertia-parity / determinism pytest
+    pins."""
+    from indexlab_spark.operators.knn import kmeans_summary_fixed
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return kmeans_summary(emb, "embedding", k=8)
+    return kmeans_summary_fixed(emb, "embedding", id_col="vec_id", k=8, iters=5)
 
 
 def _q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6902,12 +6913,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
+        # similarity_ivf upgraded to oracle-backed in r12 (deterministic
+        # fixed-iteration Lloyd, build_ivf_fixed — the r11-verdict
+        # attestation discipline); never-attested, leads the r13 window:
+        "similarity_ivf": _q_similarity_ivf,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
-        "similarity_ivf": _q_similarity_ivf,
         "similarity_ivf_append": _q_similarity_ivf_append,
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
@@ -6921,10 +6935,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "graph_pagerank": _q_graph_pagerank,
         "quality_classifier": _q_quality_classifier,
+        # embedding_kmeans upgraded to oracle-backed in r12
+        # (kmeans_summary_fixed — deterministic fixed-iteration Lloyd);
+        # never-attested, leads the r13 window:
+        "embedding_kmeans": _q_embedding_kmeans,
         # round-9 rows-only additions (excluded from the driver window
         # by the all-slots-oracle-backed invariant; driver_sim + pytest
         # cover them):
-        "embedding_kmeans": _q_embedding_kmeans,
         "hits_suppliers": _q_hits_suppliers,
         "similarity_ivfpq": _q_similarity_ivfpq,
         # -- round-10 rows-only additions (oracle-backed siblings and
@@ -6975,6 +6992,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,
         "temperature_resample": _q_temperature_resample,
     }
+
+
+def _lloyd_fixed_ctes(k: int, iters: int) -> str:
+    """CTE chain replaying knn.lloyd_fixed_centroids in DuckDB: the
+    corpus aggregates into ONE list-valued row (pts), init = the k
+    smallest vec_ids (c0), and each fixed round is one chained CTE
+    (c1..c{iters}) recomputing the assignment (squared-L2 first-minimum
+    via list_position over per-center distance lists — exactly the
+    Spark side's array_position(array_min) tie-break) and the
+    6dp-rounded per-dimension means (empty cells keep their previous
+    center). kfin carries the final centers + final assignment +
+    the pointwise corpus for the summary/search tails. Unrolled, not a
+    recursive CTE: iters is a fixed literal of the operator contract,
+    so chaining keeps the SQL planner-friendly and debuggable."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(p)), "
+        "i -> (p[i]-cc[i])*(p[i]-cc[i])))"
+    )
+    assign = (
+        "list_transform(ps, p -> list_position("
+        f"list_transform(cents, cc -> {dist}), "
+        f"list_min(list_transform(cents, cc -> {dist}))))"
+    )
+    step = (
+        f"SELECT list_transform([{assign}], a -> "
+        f"list_transform(generate_series(1, {k}), c -> "
+        "list_transform([list_filter(generate_series(1, len(ps)), "
+        "j -> a[j] = c)], idx -> "
+        "CASE WHEN len(idx) = 0 THEN cents[c] "
+        "ELSE list_transform(generate_series(1, len(cents[c])), d -> "
+        "round(list_avg(list_transform(idx, j -> ps[j][d])), 6)) "
+        "END)[1]))[1] AS cents"
+    )
+    ctes = [
+        "pts AS (SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id)"
+        " AS ps, list(vec_id ORDER BY vec_id) AS ids FROM embeddings)",
+        "c0 AS (SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id)"
+        f" AS cents FROM (SELECT vec_id, embedding FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"c{t} AS ({step} FROM c{t - 1}, pts)")
+    ctes.append(
+        f"kfin AS (SELECT {assign} AS a, cents, ps, ids FROM c{iters}, pts)"
+    )
+    return ",\n".join(ctes)
 
 
 _DECON_ORACLE = """
@@ -7241,6 +7304,49 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "chunk_fixed": f"SELECT doc_no, chunk_no, doc_id, text FROM ({chunk_cte})",
+        "embedding_kmeans": f"""
+            WITH {_lloyd_fixed_ctes(8, 5)},
+            cl AS (SELECT unnest(generate_series(1, 8)) AS c)
+            SELECT CAST(c - 1 AS INTEGER) AS cluster_id,
+                   len(list_filter(a, x -> x = c)) AS n,
+                   round(list_sum(list_transform(
+                       list_filter(generate_series(1, len(ps)), j -> a[j] = c),
+                       j -> list_sum(list_transform(
+                           generate_series(1, len(ps[j])),
+                           i -> (ps[j][i]-cents[c][i])*(ps[j][i]-cents[c][i])
+                       )))), 6) AS inertia,
+                   round(sqrt(list_sum(list_transform(cents[c], v -> v*v))), 6)
+                       AS centroid_norm
+            FROM kfin, cl
+            WHERE len(list_filter(a, x -> x = c)) > 0
+        """,
+        "similarity_ivf": f"""
+            WITH {_lloyd_fixed_ctes(16, 5)},
+            docs AS (SELECT ids[j] AS doc_id, a[j] AS cl, ps[j] AS v
+                     FROM kfin,
+                          (SELECT unnest(generate_series(1,
+                               (SELECT len(ps) FROM pts))) AS j) t),
+            qs AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 16),
+            cellsc AS (SELECT q.query_id, q.qv, c AS cl,
+                              round(list_dot_product(q.qv, cents[c]), 6) AS cs
+                       FROM qs q, kfin,
+                            (SELECT unnest(generate_series(1, 16)) AS c) t),
+            probe AS (SELECT query_id, qv, cl FROM (
+                        SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, cl ASC) AS cr
+                        FROM cellsc) WHERE cr <= 4),
+            sc AS (SELECT p.query_id, d.doc_id,
+                          round(list_dot_product(p.qv, d.v), 6) AS score
+                   FROM probe p JOIN docs d ON d.cl = p.cl),
+            r AS (SELECT query_id, doc_id, score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                             AS rank
+                  FROM sc)
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+        """,
         "chunk_stats": f"""
             SELECT count(*) AS count,
                    round(avg(length(text)), 6) AS avg_len,

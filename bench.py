@@ -472,7 +472,7 @@ def main() -> None:
                  # the lineitem co-purchase self-join (the support>=2
                  # graph is near-empty at sf0.1, so the wedge stage is
                  # cheap; the gate at sf0.01 exercises the full path);
-                 # isotonic_value 1.2s; embedding_kmeans 1.5s.
+                 # isotonic_value 1.2s.
                  # cluster_reps (6.3s) / cluster_split (3.1s) are
                  # gate-only: both re-run the jaccard_pairs+CC pipeline
                  # the dedup_clusters bench row already times — their
@@ -480,8 +480,15 @@ def main() -> None:
                  # link_parts moved to gate-only in r11 (3.9s — the
                  # lineitem co-purchase self-join it times is already
                  # timed by part_assortativity/part_lcc; gate attests)
+                 # embedding_kmeans moved to gate-only in r12: the
+                 # oracle-backed upgrade swapped the sampled Lloyd for
+                 # the deterministic fixed-iteration fit (5 sequential
+                 # assign+mean rounds = per-round scheduling floor,
+                 # 6.0s warm sf0.1 min-of-2, the graph_pagerank/
+                 # hits_suppliers class); the production sampled path
+                 # stays timed via similarity_ivf_append/similarity_
+                 # ivfpq and the sf0.01 gate attests the fixed entry
                  "holt_revenue", "isotonic_value",
-                 "embedding_kmeans",
                  # acf_daily 0.9s / theilsen_revenue 0.8s (sf0.1
                  # min-of-2) — calendar-bounded series ops
                  "acf_daily", "theilsen_revenue",

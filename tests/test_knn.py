@@ -530,3 +530,159 @@ def test_ivfpq_search_empty_queries(spark, emb):
         [], "query_id bigint, qvec array<float>"
     )
     assert ivfpq_search(spark, empty_q, codes, cents, books, K).count() == 0
+
+
+# ----------------------------------------------------- fixed-iteration Lloyd
+# r12: the SQL-replayable deterministic variant behind the oracle-backed
+# embedding_kmeans / similarity_ivf gate entries (r11 VERDICT item 4).
+
+
+def test_lloyd_fixed_deterministic_and_matches_contract(spark):
+    """The fit is a pure function of the data: replay the contract in
+    numpy (init = k smallest ids, argmin sq-L2 first-min, 6dp-rounded
+    means, empty cells keep centers) and require exact equality."""
+    from indexlab_spark.operators.knn import lloyd_fixed_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 6)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    k, iters = 4, 3
+    got = {
+        r["cluster_id"]: list(r["centroid"])
+        for r in lloyd_fixed_centroids(df, "embedding", "vec_id", k, iters)
+        .collect()
+    }
+
+    centers = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - centers[None, :, :]) ** 2).sum(2)
+        a = d.argmin(1)  # numpy argmin = first minimum
+        for c in range(k):
+            members = vecs[a == c]
+            if len(members):
+                centers[c] = np.round(members.mean(0), 6)
+    want = {c: [float(x) for x in centers[c]] for c in range(k)}
+    assert got == want
+
+    got2 = {
+        r["cluster_id"]: list(r["centroid"])
+        for r in lloyd_fixed_centroids(df, "embedding", "vec_id", k, iters)
+        .collect()
+    }
+    assert got2 == got  # bit-for-bit rerun determinism
+
+
+def test_lloyd_fixed_empty_cell_keeps_center_and_first_min_tie(spark):
+    """Duplicate init vectors: every point ties to the LOWER cluster id
+    (first-minimum), so the duplicate cell goes empty and must keep its
+    init center verbatim."""
+    from indexlab_spark.operators.knn import lloyd_fixed_centroids
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # identical to init 0 -> cell 1 empties
+        (2, [10.0, 10.0]),
+        (3, [0.1, -0.1]),
+        (4, [10.2, 9.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = {
+        r["cluster_id"]: list(r["centroid"])
+        for r in lloyd_fixed_centroids(df, "embedding", "vec_id", 3, 1)
+        .collect()
+    }
+    assert cents[1] == [0.0, 0.0]  # empty cell retained its init center
+    # cell 0 got both zero points (row 1 ties to the LOWER id) + row 3
+    assert cents[0] == [
+        round((0.0 + 0.0 + 0.1) / 3, 6),
+        round((0.0 + 0.0 - 0.1) / 3, 6),
+    ]
+    assert cents[2] == [round(10.1, 6), round(9.9, 6)]
+    # a second round moves points BACK to the retained duplicate center
+    # (cell 1 is now strictly nearer to the exact-zero rows than the
+    # drifted cell 0) — pin that the retention participates in later
+    # rounds rather than going dead:
+    cents2 = {
+        r["cluster_id"]: list(r["centroid"])
+        for r in lloyd_fixed_centroids(df, "embedding", "vec_id", 3, 2)
+        .collect()
+    }
+    assert cents2[1] == [0.0, 0.0]
+    assert cents2[0] == [0.1, -0.1]
+
+
+def test_lloyd_fixed_k_exceeds_corpus_raises(spark):
+    from indexlab_spark.operators.knn import lloyd_fixed_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        lloyd_fixed_centroids(df, "embedding", "vec_id", k=5, iters=1)
+
+
+def test_build_ivf_fixed_assignment_is_nearest_and_codegen(spark, emb):
+    """Assignment must be the brute-force nearest (rounded) center with
+    first-min ties, and the assign pass must be pure codegen — no
+    Python evaluator nodes in the plan."""
+    from indexlab_spark.operators.knn import build_ivf_fixed
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    assigned, centroids = build_ivf_fixed(corpus, nlist=8, iters=2,
+                                          id_col="doc_id")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+    cents = np.array(
+        [r["centroid"] for r in centroids.orderBy("cluster_id").collect()]
+    )
+    vecs = {
+        r["doc_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+    for doc_id, v in vecs.items():
+        d = ((cents - v[None, :]) ** 2).sum(1)
+        assert got[doc_id] == int(d.argmin()), doc_id
+
+
+def test_kmeans_summary_fixed_matches_numpy_replay(spark):
+    from indexlab_spark.operators.knn import kmeans_summary_fixed
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 4)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    k, iters = 3, 3
+    out = {
+        r["cluster_id"]: (r["n"], r["inertia"], r["centroid_norm"])
+        for r in kmeans_summary_fixed(df, "embedding", "vec_id", k, iters)
+        .collect()
+    }
+
+    centers = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        a = ((vecs[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+        for c in range(k):
+            m = vecs[a == c]
+            if len(m):
+                centers[c] = np.round(m.mean(0), 6)
+    a = ((vecs[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+    for c in range(k):
+        m = vecs[a == c]
+        if not len(m):
+            assert c not in out
+            continue
+        n, inertia, norm = out[c]
+        assert n == len(m)
+        assert inertia == pytest.approx(
+            round(float(((m - centers[c]) ** 2).sum()), 6), abs=2e-6
+        )
+        assert norm == pytest.approx(
+            round(float(np.sqrt((centers[c] ** 2).sum())), 6), abs=2e-6
+        )
