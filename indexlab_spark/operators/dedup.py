@@ -465,6 +465,18 @@ def minhash_incremental_pairs(
       appear in some candidate pair (semi-join before shingling), and
       sizes come from the signature frames — the old corpus scan is
       candidate-bounded.
+
+    When to use it — the measured crossover (r11 scale probe,
+    PLANS.md): the incremental probe's FIXED overheads (signature-index
+    read, combined-bucket probe join, candidate-bounded verify plumbing)
+    cost ~2x a from-scratch rebuild when the corpus is the same size as
+    the batch (same-corpus ratio 1.93), and only amortize as the corpus
+    outgrows the batch — probe time stays flat under corpus growth
+    (0.97-1.21 at 8x) while rebuild grows (1.76-2.68 at 8x), crossing
+    between 4x and 8x. Rule of thumb: use the incremental path once the
+    persisted corpus is >= ~4x the incoming batch; below that, just
+    rebuild with :func:`minhash_lsh_pairs` over old ∪ new — same
+    result by the union contract above, less work.
     """
     _check_banding(num_hashes, bands)
     if old_sigs is None:

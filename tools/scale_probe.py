@@ -255,7 +255,11 @@ def main() -> None:
         for s, e in g_edges.items()
     }
 
-    from indexlab_spark.operators.analytics import weighted_quantiles
+    from indexlab_spark.operators.analytics import (
+        markov_attribution,
+        wasserstein_1d,
+        weighted_quantiles,
+    )
     from indexlab_spark.operators.maintenance import hilbert_key
     from indexlab_spark.operators.textstats import rake_keywords
 
@@ -438,6 +442,28 @@ def main() -> None:
             ).count(),
             "label_prop_fixed3": lambda: label_propagation(
                 g_edges[scale], g_nodes[scale], max_iter=3
+            ).count(),
+            # round 12 (r11 VERDICT item 7): the two r11 ops with
+            # nontrivial shuffle shapes, at the gate's own shapes.
+            # wasserstein_1d: per-arm value-count collapse + per-bucket
+            # cumsum windows + the <= n_buckets offset frame — every
+            # window is bucket-keyed, so growth should track the
+            # distinct-value domain (~N here because event values are
+            # near-distinct), never a single-partition sort
+            "wasserstein_arms": lambda: int(
+                wasserstein_1d(
+                    ev.filter(F.col("user_id") % 2 == 0),
+                    ev.filter(F.col("user_id") % 2 == 1),
+                    "value",
+                ).count()
+            ),
+            # markov_attribution: one user-keyed window pass + one
+            # (src, dst) count; the 60 fixed absorption iterations run
+            # on the (channels+3)^2 driver matrix, CONSTANT in corpus
+            # size (5 event types at every scale) — so growth tracks
+            # the keyed window pass only, ~N modulo the job floor
+            "markov_channels": lambda: markov_attribution(
+                ev, "user_id", "ts", "event_type", "purchase"
             ).count(),
         }
 
