@@ -1193,9 +1193,21 @@ def lloyd_fixed_centroids(
 
     Returns centroids (cluster_id int, centroid array<double>).
     """
+    centers = _lloyd_fixed(df, vec_col, id_col, k, iters)
+    return df.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster_id int, centroid array<double>",
+    )
+
+
+def _lloyd_fixed(
+    df: DataFrame, vec_col: str, id_col: str, k: int, iters: int
+) -> "np.ndarray":
+    """The :func:`lloyd_fixed_centroids` fit returning the raw k×dim
+    center matrix (internal — the summary/IVF wrappers feed it straight
+    to :func:`_argmin_cluster` without a DataFrame round-trip)."""
     if k < 1 or iters < 1:
         raise ValueError(f"need k >= 1 and iters >= 1, got k={k}, iters={iters}")
-    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -1220,10 +1232,7 @@ def lloyd_fixed_centroids(
         for c, dims in per_cell.items():
             nxt[c] = [dims[i] for i in range(dim)]
         centers = nxt
-    return spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cluster_id int, centroid array<double>",
-    )
+    return centers
 
 
 def kmeans_summary_fixed(
@@ -1240,10 +1249,10 @@ def kmeans_summary_fixed(
     (see lloyd_fixed_centroids). The summary itself is the same
     pure-codegen ``aggregate(zip_with)`` squared-distance agg as
     kmeans_summary — nothing row-sized to the driver."""
-    centroids = lloyd_fixed_centroids(df, vec_col, id_col, k, iters)
-    centers = np.array(
-        [r["centroid"] for r in centroids.orderBy("cluster_id").collect()],
-        dtype=np.float64,
+    centers = _lloyd_fixed(df, vec_col, id_col, k, iters)
+    centroids = df.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster_id int, centroid array<double>",
     )
     assigned = df.withColumn("cluster_id", _argmin_cluster(vec_col, centers))
     sq = F.aggregate(
@@ -1289,10 +1298,10 @@ def build_ivf_fixed(
     index must be externally auditable (the oracle-backed
     similarity_ivf gate entry); :func:`build_ivf` remains the
     production path (sampled train, float32 BLAS assign)."""
-    centroids = lloyd_fixed_centroids(chunks_df, vec_col, id_col, nlist, iters)
-    centers = np.array(
-        [r["centroid"] for r in centroids.orderBy("cluster_id").collect()],
-        dtype=np.float64,
+    centers = _lloyd_fixed(chunks_df, vec_col, id_col, nlist, iters)
+    centroids = chunks_df.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster_id int, centroid array<double>",
     )
     assigned = chunks_df.withColumn(
         "cluster_id", _argmin_cluster(vec_col, centers)
