@@ -1351,9 +1351,16 @@ def _q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank (operators/knn.build_sq8/sq8_search): the first-phase scan is
     4x smaller than raw float32 at near-flat recall (every dimension
     keeps 8-bit resolution; the decode folds into a per-query affine so
-    scoring is one BLAS matmul over the uint8 codes). Range training is
-    a seeded sample min/max — not SQL-expressible -> rows-only; recall
-    >= 0.95 and exact-rerank-score parity pinned in tests/test_knn.py."""
+    scoring is one BLAS matmul over the uint8 codes). Upgraded
+    rows-only -> oracle-backed in r12: exact_range=True trains the
+    ranges as ONE distributed min/max agg (deterministic, and the
+    zero-saturation production choice at any scale), the encode's
+    half-even rounding is DuckDB round_even on op-identical doubles
+    (codes replay bit-for-bit), and round_to=6 ranks both phases on
+    6dp scores (the knn_ip discipline) — so the oracle replays ranges,
+    codes, affine ADC scores, pool, and exact rerank end-to-end.
+    Recall >= 0.95 and exact-rerank-score parity stay pinned in
+    tests/test_knn.py."""
     from indexlab_spark.operators.knn import build_sq8, sq8_search
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -1361,10 +1368,10 @@ def _q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    codes_df, params_df = build_sq8(corpus, seed=42)
-    return sq8_search(spark, q, codes_df, params_df, k=5, rerank=4).select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
-    )
+    codes_df, params_df = build_sq8(corpus, exact_range=True)
+    return sq8_search(
+        spark, q, codes_df, params_df, k=5, rerank=4, round_to=6
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6930,6 +6937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         "semantic_dedup": _q_semantic_dedup,
+        # similarity_sq8 upgraded to oracle-backed in r12 (exact-range
+        # codec + round-before-rank; codes replay bit-for-bit via
+        # round_even); never-attested, leads the r13 window:
         "similarity_sq8": _q_similarity_sq8,
         "compression_quality": _q_compression_quality,
         "normalized_dedup": _q_normalized_dedup,
@@ -7319,6 +7329,52 @@ def oracle_sql() -> dict[str, str]:
                        AS centroid_norm
             FROM kfin, cl
             WHERE len(list_filter(a, x -> x = c)) > 0
+        """,
+        "similarity_sq8": """
+            WITH
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+            dims AS (SELECT unnest(generate_series(1,
+                         (SELECT len(v) FROM emb LIMIT 1))) AS d),
+            prm AS (SELECT d, min(v[d]) AS vmin, max(v[d]) AS vmax,
+                           CASE WHEN max(v[d]) > min(v[d])
+                                THEN (max(v[d]) - min(v[d]))/255.0
+                                ELSE 1.0 END AS scale
+                    FROM emb, dims GROUP BY d),
+            pl AS (SELECT list(vmin ORDER BY d) AS vminl,
+                          list(scale ORDER BY d) AS scalel
+                   FROM prm),
+            docs AS (SELECT e.vec_id AS doc_id, e.v,
+                            list_transform(generate_series(1, len(e.v)),
+                                i -> least(255.0, greatest(0.0,
+                                     round_even((e.v[i] - vminl[i])
+                                                /scalel[i], 0))))
+                                AS code
+                     FROM emb e, pl),
+            qs AS (SELECT vec_id AS query_id, v AS qv
+                   FROM emb WHERE vec_id < 16),
+            appx AS (SELECT q.query_id, dd.doc_id, dd.v, q.qv,
+                            round(list_sum(list_transform(
+                                      generate_series(1, len(q.qv)),
+                                      i -> q.qv[i]*scalel[i]*dd.code[i]))
+                                + list_sum(list_transform(
+                                      generate_series(1, len(q.qv)),
+                                      i -> q.qv[i]*vminl[i])), 6) AS ascore
+                     FROM qs q, docs dd, pl),
+            pool AS (SELECT query_id, doc_id, qv, v FROM (
+                       SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, doc_id ASC) AS ar
+                       FROM appx)
+                     WHERE ar <= 20),
+            ex AS (SELECT query_id, doc_id,
+                          round(list_dot_product(qv, v), 6) AS score
+                   FROM pool),
+            r AS (SELECT query_id, doc_id, score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                             AS rank
+                  FROM ex)
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
         """,
         "similarity_ivf": f"""
             WITH {_lloyd_fixed_ctes(16, 5)},

@@ -850,6 +850,7 @@ def build_sq8(
     vec_col: str = "embedding",
     sample_rows: int = 65_536,
     seed: int = 42,
+    exact_range: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """8-bit scalar quantization (FAISS IndexScalarQuantizer QT_8bit
     analog — the THIRD point on the memory/recall curve next to flat and
@@ -859,6 +860,16 @@ def build_sq8(
     ``code_d = round(255 * (x_d - min_d) / (max_d - min_d))``, clipped —
     out-of-sample outliers saturate instead of wrapping.
 
+    ``exact_range=True`` replaces the sample with ONE distributed
+    map-combined min/max agg over the full corpus (a posexplode keyed
+    on dimension — min/max are exact cheap aggregates even at 100 TB,
+    so this is also the zero-saturation production choice, not just the
+    auditable one). The whole codec then becomes a deterministic pure
+    function of the data: the r12 attestation discipline — ranges are
+    plain aggregates, the encode's half-even rounding is DuckDB's
+    round_even, and intermediate double arithmetic is op-identical, so
+    an external SQL replay reproduces every code bit-for-bit.
+
     At 100 TB the point is the 4x smaller first-phase scan (64-dim
     float32 256 B -> 64 B) at much higher recall than PQ's 32x, because
     every dimension keeps its own 8-bit resolution.
@@ -866,9 +877,23 @@ def build_sq8(
     Returns (codes_df = corpus columns + ``sq_code`` array<int>,
     params_df(dim_idx, vmin, vmax) — the persistable codec state).
     """
-    train = _sampled_train_matrix(chunks_df, vec_col, sample_rows, seed)
-    vmin = train.min(0)
-    vmax = train.max(0)
+    if exact_range:
+        rows = (
+            chunks_df.select(
+                F.posexplode(F.col(vec_col).cast("array<double>"))
+                .alias("_pos", "_val")
+            )
+            .groupBy("_pos")
+            .agg(F.min("_val").alias("_mn"), F.max("_val").alias("_mx"))
+            .orderBy("_pos")
+            .collect()
+        )
+        vmin = np.array([r["_mn"] for r in rows], dtype=np.float64)
+        vmax = np.array([r["_mx"] for r in rows], dtype=np.float64)
+    else:
+        train = _sampled_train_matrix(chunks_df, vec_col, sample_rows, seed)
+        vmin = train.min(0)
+        vmax = train.max(0)
     # a constant dimension still needs a nonzero scale to round-trip
     scale = np.where(vmax > vmin, (vmax - vmin) / 255.0, 1.0)
 
@@ -901,6 +926,7 @@ def sq8_search(
     doc_id_col: str = "doc_id",
     corpus_vec_col: str = "embedding",
     max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Inner-product search over SQ8 codes. The decode never happens:
     ``q · decode(code) = q · vmin + (q * scale) · code``, so each query
@@ -911,6 +937,14 @@ def sq8_search(
     Survivors get exact re-scoring when the codes frame still carries
     the vectors, with the same bounded-collect guard and exact
     distributed fallback as :func:`pq_search`.
+
+    ``round_to`` rounds the approximate scores before the pool window
+    and the exact rerank scores before the final window (the knn_ip
+    round-before-rank discipline) so an external 6dp replay ranks
+    identically; the per-partition partial top-k still pre-selects on
+    raw scores, which is consistent with the rounded global window by
+    monotonicity (a strictly larger raw score never rounds smaller).
+    Default None keeps full-precision production ranking.
     """
     q_rows = _collect_bounded(
         queries_df, [query_id_col, query_vec_col], max_collect_rows
@@ -977,11 +1011,16 @@ def sq8_search(
         _sq_topk,
         f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double",
     )
+    if round_to is not None:
+        cand = cand.withColumn("score", F.round("score", round_to))
     ranked = cand.withColumn(
         "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
     ).filter(F.col("rank") <= pool)
     if not rerank or corpus_vec_col not in codes_df.columns:
         return ranked.filter(F.col("rank") <= k)
+    exact_sc = dot(F.col(query_vec_col), F.col(corpus_vec_col))
+    if round_to is not None:
+        exact_sc = F.round(exact_sc, round_to)
     exact = (
         ranked.select(query_id_col, doc_id_col)
         .join(codes_df.select(doc_id_col, corpus_vec_col), doc_id_col)
@@ -992,7 +1031,7 @@ def sq8_search(
         .select(
             query_id_col,
             doc_id_col,
-            dot(F.col(query_vec_col), F.col(corpus_vec_col)).alias("score"),
+            exact_sc.alias("score"),
         )
     )
     out = exact.withColumn(

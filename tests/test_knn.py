@@ -686,3 +686,21 @@ def test_kmeans_summary_fixed_matches_numpy_replay(spark):
         assert norm == pytest.approx(
             round(float(np.sqrt((centers[c] ** 2).sum())), 6), abs=2e-6
         )
+
+
+def test_sq8_exact_range_matches_full_corpus_sample(spark, emb):
+    """r12: with the corpus smaller than sample_rows the sampled path
+    already sees every vector, so exact_range=True must produce the
+    IDENTICAL params and codes — the upgrade changes where the ranges
+    come from, never what they are."""
+    from indexlab_spark.operators.knn import build_sq8
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    c_s, p_s = build_sq8(corpus, seed=42)
+    c_e, p_e = build_sq8(corpus, exact_range=True)
+    ps = {r["dim_idx"]: (r["vmin"], r["vmax"]) for r in p_s.collect()}
+    pe = {r["dim_idx"]: (r["vmin"], r["vmax"]) for r in p_e.collect()}
+    assert pe == ps
+    cs = {r["doc_id"]: tuple(r["sq_code"]) for r in c_s.collect()}
+    ce = {r["doc_id"]: tuple(r["sq_code"]) for r in c_e.collect()}
+    assert ce == cs
