@@ -1282,12 +1282,22 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 incremental — IVF grown by append: train/build on the even
-    half of the corpus, ivf_append the odd half to the SAME centroids
-    (one Arrow map pass, no retrain, no shuffle), search the union.
+    half of the corpus, append the odd half to the SAME centroids (one
+    codegen map pass, no retrain, no shuffle), search the union.
     Results are IDENTICAL to a from-scratch assign of the full corpus
     with those centroids (assignment consistency pinned in
-    tests/test_knn.py); centers aren't SQL-reproducible -> rows-only."""
-    from indexlab_spark.operators.knn import build_ivf, ivf_append, ivf_search
+    tests/test_knn.py). Upgraded rows-only -> oracle-backed in r12:
+    build_ivf_fixed trains deterministically on the even half,
+    ivf_append_fixed assigns the new batch with the bit-identical
+    argmin expression, and the oracle replays train-on-half /
+    assign-over-union through _lloyd_fixed_ctes_over's split
+    train/assign corpora. The production sampled build+append path
+    keeps its pytest consistency pins."""
+    from indexlab_spark.operators.knn import (
+        build_ivf_fixed,
+        ivf_append_fixed,
+        ivf_search,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
@@ -1296,11 +1306,13 @@ def _q_similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    assigned_old, centroids = build_ivf(old, nlist=16, seed=42)
-    combined = assigned_old.unionByName(ivf_append(new, centroids))
-    return ivf_search(q, combined, centroids, k=5, nprobe=4).select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    assigned_old, centroids = build_ivf_fixed(
+        old, nlist=16, iters=5, vec_col="embedding", id_col="doc_id"
     )
+    combined = assigned_old.unionByName(ivf_append_fixed(new, centroids))
+    return ivf_search(
+        q, combined, centroids, k=5, nprobe=4, round_to=6
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2488,16 +2500,22 @@ def _q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — cluster-then-pairwise semantic dedup over the planted
-    near-dup corpus (operators/dedup.semantic_dedup_pairs): sample-trained
-    Lloyd cells, exact cosine only within each cell. Rows-only: the
-    clustering step is approximate, so the contract is the property suite
+    near-dup corpus (operators/dedup.semantic_dedup_pairs, Abbas et al.
+    2023). Upgraded rows-only -> oracle-backed in r12: fixed_iters=5
+    swaps the sampled Lloyd for the deterministic fixed-iteration fit,
+    so the oracle replays the cells (the _lloyd_fixed_ctes chain over
+    the planted corpus) and the within-cell exact-cosine verify
+    end-to-end. The sampled production path keeps the property suite
     (tests/test_semdedup.py — perfect precision, planted-recall floor,
-    determinism), not a SQL hash."""
+    determinism)."""
     from indexlab_spark.operators.dedup import semantic_dedup_pairs
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return semantic_dedup_pairs(
-        _lsh_planted_corpus(emb), n_clusters=16, threshold=_LSH_THRESHOLD
+        _lsh_planted_corpus(emb),
+        n_clusters=16,
+        threshold=_LSH_THRESHOLD,
+        fixed_iters=5,
     )
 
 
@@ -6924,18 +6942,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-iteration Lloyd, build_ivf_fixed — the r11-verdict
         # attestation discipline); never-attested, leads the r13 window:
         "similarity_ivf": _q_similarity_ivf,
+        # similarity_ivf_append upgraded to oracle-backed in r12
+        # (build_ivf_fixed train-on-half + ivf_append_fixed bit-identical
+        # assign; oracle trains on the even half, assigns the union);
+        # never-attested, leads the r13 window:
+        "similarity_ivf_append": _q_similarity_ivf_append,
         # rows-only (no SQL-expressible oracle):
         "pca_embeddings": _q_pca_embeddings,
         "weighted_minhash": _q_weighted_minhash,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
-        "similarity_ivf_append": _q_similarity_ivf_append,
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
         "graph_communities": _q_graph_communities,
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
+        # semantic_dedup upgraded to oracle-backed in r12 (fixed_iters=5
+        # deterministic cells + within-cell cosine replay);
+        # never-attested, leads the r13 window:
         "semantic_dedup": _q_semantic_dedup,
         # similarity_sq8 upgraded to oracle-backed in r12 (exact-range
         # codec + round-before-rank; codes replay bit-for-bit via
@@ -7016,38 +7041,118 @@ def _lloyd_fixed_ctes(k: int, iters: int) -> str:
     the pointwise corpus for the summary/search tails. Unrolled, not a
     recursive CTE: iters is a fixed literal of the operator contract,
     so chaining keeps the SQL planner-friendly and debuggable."""
+    return _lloyd_fixed_ctes_over(
+        k,
+        iters,
+        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings",
+    )
+
+
+def _lloyd_fixed_ctes_over(
+    k: int, iters: int, train_sql: str, assign_sql: str | None = None
+) -> str:
+    """:func:`_lloyd_fixed_ctes` over an arbitrary (id, v DOUBLE[])
+    corpus: ``train_sql`` feeds the init + the fixed rounds;
+    ``assign_sql`` (default: the training corpus) is what kfin's FINAL
+    assignment runs over — the distinction replays build-then-append
+    gates, where centers train on the pre-existing half but the whole
+    union gets assigned."""
     dist = (
         "list_sum(list_transform(generate_series(1, len(p)), "
         "i -> (p[i]-cc[i])*(p[i]-cc[i])))"
     )
-    assign = (
-        "list_transform(ps, p -> list_position("
-        f"list_transform(cents, cc -> {dist}), "
-        f"list_min(list_transform(cents, cc -> {dist}))))"
-    )
+
+    def _assign(pts_var: str) -> str:
+        return (
+            f"list_transform({pts_var}, p -> list_position("
+            f"list_transform(cents, cc -> {dist}), "
+            f"list_min(list_transform(cents, cc -> {dist}))))"
+        )
+
     step = (
-        f"SELECT list_transform([{assign}], a -> "
+        f"SELECT list_transform([{_assign('tps')}], a -> "
         f"list_transform(generate_series(1, {k}), c -> "
-        "list_transform([list_filter(generate_series(1, len(ps)), "
+        "list_transform([list_filter(generate_series(1, len(tps)), "
         "j -> a[j] = c)], idx -> "
         "CASE WHEN len(idx) = 0 THEN cents[c] "
         "ELSE list_transform(generate_series(1, len(cents[c])), d -> "
-        "round(list_avg(list_transform(idx, j -> ps[j][d])), 6)) "
+        "round(list_avg(list_transform(idx, j -> tps[j][d])), 6)) "
         "END)[1]))[1] AS cents"
     )
     ctes = [
-        "pts AS (SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id)"
-        " AS ps, list(vec_id ORDER BY vec_id) AS ids FROM embeddings)",
-        "c0 AS (SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id)"
-        f" AS cents FROM (SELECT vec_id, embedding FROM embeddings"
-        f" ORDER BY vec_id LIMIT {k}))",
+        f"ktr AS ({train_sql})",
+        f"kfull AS ({assign_sql or train_sql})",
+        "tpts AS (SELECT list(v ORDER BY id) AS tps FROM ktr)",
+        "pts AS (SELECT list(v ORDER BY id) AS ps,"
+        " list(id ORDER BY id) AS ids FROM kfull)",
+        "c0 AS (SELECT list(v ORDER BY id) AS cents"
+        f" FROM (SELECT id, v FROM ktr ORDER BY id LIMIT {k}))",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"c{t} AS ({step} FROM c{t - 1}, pts)")
+        ctes.append(f"c{t} AS ({step} FROM c{t - 1}, tpts)")
     ctes.append(
-        f"kfin AS (SELECT {assign} AS a, cents, ps, ids FROM c{iters}, pts)"
+        f"kfin AS (SELECT {_assign('ps')} AS a, cents, ps, ids"
+        f" FROM c{iters}, pts)"
     )
     return ",\n".join(ctes)
+
+
+_SEMDEDUP_CORPUS_SQL = (
+    "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    " UNION ALL "
+    f"SELECT vec_id + {_LSH_PLANT_OFFSET} AS id, "
+    f"CAST([{', '.join(['0'] * _LSH_MASK)}] AS DOUBLE[])"
+    f" || (CAST(embedding AS DOUBLE[]))[{_LSH_MASK + 1}:{_LSH_DIM}] AS v"
+    f" FROM embeddings WHERE vec_id % {_LSH_PLANT_MOD} = 0"
+)
+
+
+def _ivf_fixed_search_sql(
+    nlist: int, iters: int, nprobe: int, k: int, train_where: str = ""
+) -> str:
+    """Oracle for the fixed-Lloyd IVF search gates: the
+    :func:`_lloyd_fixed_ctes_over` chain (optionally trained on a
+    filtered half, assigned over the full corpus — the append replay)
+    plus the shared search tail: 6dp cell scores -> nprobe probe ->
+    6dp candidate scores -> top-k, ties on cluster/doc id ascending,
+    exactly ivf_search(round_to=6)."""
+    train = (
+        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        f" FROM embeddings{train_where}"
+    )
+    assign = (
+        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings"
+    )
+    return f"""
+            WITH {_lloyd_fixed_ctes_over(nlist, iters, train, assign)},
+            docs AS (SELECT ids[j] AS doc_id, a[j] AS cl, ps[j] AS v
+                     FROM kfin,
+                          (SELECT unnest(generate_series(1,
+                               (SELECT len(ps) FROM pts))) AS j) t),
+            qs AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 16),
+            cellsc AS (SELECT q.query_id, q.qv, c AS cl,
+                              round(list_dot_product(q.qv, cents[c]), 6) AS cs
+                       FROM qs q, kfin,
+                            (SELECT unnest(generate_series(1, {nlist}))
+                                 AS c) t),
+            probe AS (SELECT query_id, qv, cl FROM (
+                        SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, cl ASC) AS cr
+                        FROM cellsc) WHERE cr <= {nprobe}),
+            sc AS (SELECT p.query_id, d.doc_id,
+                          round(list_dot_product(p.qv, d.v), 6) AS score
+                   FROM probe p JOIN docs d ON d.cl = p.cl),
+            r AS (SELECT query_id, doc_id, score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                             AS rank
+                  FROM sc)
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {k}
+    """
 
 
 _DECON_ORACLE = """
@@ -7376,32 +7481,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM ex)
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
         """,
-        "similarity_ivf": f"""
-            WITH {_lloyd_fixed_ctes(16, 5)},
-            docs AS (SELECT ids[j] AS doc_id, a[j] AS cl, ps[j] AS v
+        "similarity_ivf": _ivf_fixed_search_sql(16, 5, 4, 5),
+        "similarity_ivf_append": _ivf_fixed_search_sql(
+            16, 5, 4, 5, train_where=" WHERE vec_id % 2 = 0"
+        ),
+        "semantic_dedup": f"""
+            WITH {_lloyd_fixed_ctes_over(16, 5, _SEMDEDUP_CORPUS_SQL)},
+            docs AS (SELECT ids[j] AS id, a[j] AS cl, ps[j] AS v
                      FROM kfin,
                           (SELECT unnest(generate_series(1,
                                (SELECT len(ps) FROM pts))) AS j) t),
-            qs AS (SELECT vec_id AS query_id,
-                          CAST(embedding AS DOUBLE[]) AS qv
-                   FROM embeddings WHERE vec_id < 16),
-            cellsc AS (SELECT q.query_id, q.qv, c AS cl,
-                              round(list_dot_product(q.qv, cents[c]), 6) AS cs
-                       FROM qs q, kfin,
-                            (SELECT unnest(generate_series(1, 16)) AS c) t),
-            probe AS (SELECT query_id, qv, cl FROM (
-                        SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cs DESC, cl ASC) AS cr
-                        FROM cellsc) WHERE cr <= 4),
-            sc AS (SELECT p.query_id, d.doc_id,
-                          round(list_dot_product(p.qv, d.v), 6) AS score
-                   FROM probe p JOIN docs d ON d.cl = p.cl),
-            r AS (SELECT query_id, doc_id, score,
-                         CAST(row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id ASC) AS INTEGER)
-                             AS rank
-                  FROM sc)
-            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+            pairs AS (SELECT da.id AS id_a, db.id AS id_b,
+                             round(list_cosine_similarity(da.v, db.v), 6)
+                                 AS cos
+                      FROM docs da JOIN docs db
+                        ON da.cl = db.cl AND da.id < db.id)
+            SELECT id_a, id_b, cos FROM pairs WHERE cos >= {_LSH_THRESHOLD}
         """,
         "chunk_stats": f"""
             SELECT count(*) AS count,

@@ -1122,6 +1122,7 @@ def semantic_dedup_pairs(
     n_clusters: int = 64,
     threshold: float = 0.9,
     seed: int = 42,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster the embedding
     space (operators.knn.build_ivf — sample-trained Lloyd, one Arrow
@@ -1139,18 +1140,29 @@ def semantic_dedup_pairs(
     LSH path (embedding_lsh_pairs) is the complement when boundary
     recall matters more than exactness of the prune.
 
+    ``fixed_iters`` swaps the sampled seeded Lloyd for
+    knn.build_ivf_fixed's deterministic fixed-iteration fit (r12
+    attestation discipline: init = the n_clusters smallest ids, that
+    many 6dp-rounded rounds, pure-codegen assignment) so the entire
+    clustering — and therefore the pair set — replays in plain SQL;
+    the pairwise-cosine verify inside cells is identical either way.
+
     Returns (id_a < id_b, cos) pairs with cos >= threshold.
     """
     import pandas as pd
 
-    from indexlab_spark.operators.knn import build_ivf
+    from indexlab_spark.operators.knn import build_ivf, build_ivf_fixed
 
-    assigned, _ = build_ivf(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        nlist=n_clusters,
-        seed=seed,
-        vec_col="v",
-    )
+    renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if fixed_iters is not None:
+        assigned, _ = build_ivf_fixed(
+            renamed, nlist=n_clusters, iters=fixed_iters,
+            vec_col="v", id_col="id",
+        )
+    else:
+        assigned, _ = build_ivf(
+            renamed, nlist=n_clusters, seed=seed, vec_col="v",
+        )
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -1348,6 +1348,31 @@ def build_ivf_fixed(
     return assigned, centroids
 
 
+def ivf_append_fixed(
+    new_df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_append` with the assignment as the same pure-codegen
+    :func:`_argmin_cluster` expression :func:`build_ivf_fixed` uses —
+    bit-identical to the build pass and to the SQL replay (the
+    production ivf_append's ||c||²-2x·c BLAS form is mathematically
+    equal but not bit-equal; for the oracle-backed append gate the
+    formulas must match exactly). Same contract: given the same
+    centroid frame, a vector gets the same cluster_id whether it
+    arrives in the build or any later append."""
+    cents = centroids_df.orderBy("cluster_id").collect()
+    if not cents:
+        raise ValueError("ivf_append_fixed: empty centroid frame")
+    if [r["cluster_id"] for r in cents] != list(range(len(cents))):
+        raise ValueError(
+            "ivf_append_fixed: centroid ids must be dense 0..k-1 "
+            "(a build_ivf_fixed frame); use ivf_append for arbitrary ids"
+        )
+    centers = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    return new_df.withColumn("cluster_id", _argmin_cluster(vec_col, centers))
+
+
 def hard_negatives(
     queries_df: DataFrame,
     positives: DataFrame,

@@ -704,3 +704,35 @@ def test_sq8_exact_range_matches_full_corpus_sample(spark, emb):
     cs = {r["doc_id"]: tuple(r["sq_code"]) for r in c_s.collect()}
     ce = {r["doc_id"]: tuple(r["sq_code"]) for r in c_e.collect()}
     assert ce == cs
+
+
+def test_ivf_append_fixed_equals_build_assignment(spark, emb):
+    """Appending a batch to a build_ivf_fixed centroid frame must give
+    every vector the SAME cluster_id it gets in a from-scratch fixed
+    assign of the union (the append==rebuild contract, bit-identical
+    argmin on both paths); dense-id guard raises on arbitrary ids."""
+    from indexlab_spark.operators.knn import build_ivf_fixed, ivf_append_fixed
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    old = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 2 == 1)
+    assigned_old, cents = build_ivf_fixed(old, nlist=8, iters=2,
+                                          id_col="doc_id")
+    appended = ivf_append_fixed(new, cents)
+    # re-assign the union against the same centroids via a fresh append
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ivf_append_fixed(corpus, cents).collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assigned_old.unionByName(appended).collect()
+    }
+    assert got == want
+
+    sparse = spark.createDataFrame(
+        [(5, [0.0, 0.0]), (9, [1.0, 1.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    with pytest.raises(ValueError, match="dense"):
+        ivf_append_fixed(new, sparse)
