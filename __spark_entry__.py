@@ -5869,12 +5869,18 @@ def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF(nprobe=2 of 16 cells) against flat exact search, per query
     plus the <ALL> mean — the per-query FLOOR a mean recall hides is
     the operator's point. Both inputs are top-k frames; one
-    query+doc-keyed join + query-keyed agg. Rows-only (the seeded
-    Lloyd quantizer is not SQL-replayable); recall arithmetic and an
-    nprobe=nlist ≡ 1.0 anchor are pinned in tests."""
+    query+doc-keyed join + query-keyed agg. Upgraded rows-only ->
+    oracle-backed in r12: the quantizer is build_ivf_fixed (the
+    deterministic fixed-iteration fit), the approx run ranks on 6dp
+    scores (round_to=6), and the exact side's knn_join scores via the
+    left-to-right double fold that is bit-identical to DuckDB
+    list_dot_product — so the oracle replays ground truth, index,
+    probe, and the recall arithmetic end-to-end. The sampled-quantizer
+    recall arithmetic and the nprobe=nlist ≡ 1.0 anchor stay pinned in
+    tests."""
     from indexlab_spark.operators.evaluate import ann_recall
     from indexlab_spark.operators.knn import (
-        build_ivf,
+        build_ivf_fixed,
         ivf_search,
         knn_join,
     )
@@ -5886,8 +5892,10 @@ def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     exact = knn_join(q, corpus, k=5)
-    assigned, cents = build_ivf(corpus, nlist=16, seed=42)
-    approx = ivf_search(q, assigned, cents, k=5, nprobe=2)
+    assigned, cents = build_ivf_fixed(
+        corpus, nlist=16, iters=5, vec_col="embedding", id_col="doc_id"
+    )
+    approx = ivf_search(q, assigned, cents, k=5, nprobe=2, round_to=6)
     return ann_recall(exact, approx, k=5)
 
 
@@ -6984,7 +6992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_ktruss": _q_part_ktruss,  # rows-only
         "binseg_revenue": _q_binseg_revenue,  # rows-only
         "truss_farms": _q_truss_farms,  # rows-only
-        "ann_recall_ivf": _q_ann_recall_ivf,  # rows-only
+        # ann_recall_ivf upgraded to oracle-backed in r12 (build_ivf_fixed
+        # quantizer + round-before-rank approx + bit-matched exact fold);
+        # never-attested, leads the r13 window:
+        "ann_recall_ivf": _q_ann_recall_ivf,
         # -- last green r10 (the 38 entries rotated out of the r10
         # window this round; r10 window order; backfill candidates
         # for r15+ by the oldest-attestation rule):
@@ -7480,6 +7491,57 @@ def oracle_sql() -> dict[str, str]:
                              AS rank
                   FROM ex)
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "ann_recall_ivf": f"""
+            WITH {_lloyd_fixed_ctes_over(
+                16, 5,
+                "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+                " FROM embeddings")},
+            docs AS (SELECT ids[j] AS doc_id, a[j] AS cl, ps[j] AS v
+                     FROM kfin,
+                          (SELECT unnest(generate_series(1,
+                               (SELECT len(ps) FROM pts))) AS j) t),
+            qs AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 16),
+            exact AS (SELECT query_id, doc_id FROM (
+                        SELECT q.query_id, d.doc_id,
+                               row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY list_dot_product(q.qv, d.v)
+                                       DESC, d.doc_id ASC) AS rk
+                        FROM qs q, docs d) WHERE rk <= 5),
+            cellsc AS (SELECT q.query_id, q.qv, c AS cl,
+                              round(list_dot_product(q.qv, cents[c]), 6) AS cs
+                       FROM qs q, kfin,
+                            (SELECT unnest(generate_series(1, 16)) AS c) t),
+            probe AS (SELECT query_id, qv, cl FROM (
+                        SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, cl ASC) AS cr
+                        FROM cellsc) WHERE cr <= 2),
+            approx AS (SELECT query_id, doc_id FROM (
+                         SELECT p.query_id, d.doc_id,
+                                row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY round(list_dot_product(
+                                        p.qv, d.v), 6) DESC, d.doc_id ASC)
+                                    AS rk
+                         FROM probe p JOIN docs d ON d.cl = p.cl)
+                       WHERE rk <= 5),
+            perq AS (SELECT CAST(e.query_id AS VARCHAR) AS query_id,
+                            count(*) AS n_exact,
+                            CAST(sum(CASE WHEN a.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                     FROM exact e LEFT JOIN approx a
+                       ON a.query_id = e.query_id AND a.doc_id = e.doc_id
+                     GROUP BY 1),
+            perq2 AS (SELECT query_id, n_exact, n_hit,
+                             round(n_hit / CAST(least(5, n_exact)
+                                 AS DOUBLE), 6) AS recall
+                      FROM perq)
+            SELECT query_id, n_exact, n_hit, recall FROM perq2
+            UNION ALL
+            SELECT '<ALL>', CAST(sum(n_exact) AS BIGINT),
+                   CAST(sum(n_hit) AS BIGINT), round(avg(recall), 6)
+            FROM perq2
         """,
         "similarity_ivf": _ivf_fixed_search_sql(16, 5, 4, 5),
         "similarity_ivf_append": _ivf_fixed_search_sql(
