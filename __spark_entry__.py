@@ -6731,14 +6731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 window plan (pinned per the standing invariants:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
-        # lands): after the 12 anchors, never-attested-first — any
-        # operator newly oracle-registered or attestation-upgraded in
-        # r12 (registration order; e.g. the embedding_kmeans /
-        # similarity_ivf upgrades if they land) — then the
-        # oldest-attestation backfill: the 17 remaining r06-green
-        # entries below (balance_quartiles .. balance_percent_rank, 7
-        # rounds stale by r13, the oldest attestations left), then as
-        # many of the 38 r07-green entries as fit, in registry order.
+        # lands): after the 12 anchors, never-attested-first — the SIX
+        # r12 attestation upgrades in registry order (similarity_ivf,
+        # similarity_ivf_append, semantic_dedup, similarity_sq8,
+        # embedding_kmeans, ann_recall_ivf; slots 13-18) — then the
+        # oldest-attestation backfill (32 slots): the 17 remaining
+        # r06-green entries below (balance_quartiles ..
+        # balance_percent_rank, 7 rounds stale by r13, the oldest
+        # attestations left), then the first 15 of the 38 r07-green
+        # entries in registry order (trigram_logprob ..
+        # label_norm_stats); the remaining 23 r07-green lead the r14
+        # backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
