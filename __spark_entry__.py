@@ -1317,22 +1317,28 @@ def _q_similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ scale extension — product-quantized ADC search with exact
-    rerank (operators/knn.build_pq/pq_search): the corpus streams as
-    m=8 one-byte codes (32x smaller than the raw float32 vectors) and
-    only rerank*k survivors touch exact vectors. Codebooks come from a
-    seeded Lloyd fit — not SQL-expressible -> rows-only; recall and
-    exact-rerank-score properties are pinned in tests/test_knn.py."""
-    from indexlab_spark.operators.knn import build_pq, pq_search
+    rerank: the corpus streams as m=8 one-byte codes (32x smaller than
+    the raw float32 vectors) and only rerank*k survivors touch exact
+    vectors. Upgraded rows-only -> oracle-backed in r12:
+    build_pq_fixed trains each subspace's 64-entry codebook with the
+    deterministic fixed-iteration Lloyd and encodes in one pure-codegen
+    pass, and pq_search(round_to=6) ranks the ADC pool and the exact
+    rerank on 6dp scores — so the oracle replays all 8 codebooks,
+    every code, the ADC scores, and the refine end-to-end (the
+    m-chain _lloyd_fixed_ctes_over prefix replay). The sampled
+    production build_pq keeps its recall and exact-rerank-score pins
+    in tests/test_knn.py."""
+    from indexlab_spark.operators.knn import build_pq_fixed, pq_search
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     q = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    codes_df, books_df = build_pq(corpus, m=8, nbits=6, seed=42)
-    return pq_search(spark, q, codes_df, books_df, k=5, rerank=8).select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
-    )
+    codes_df, books_df = build_pq_fixed(corpus, m=8, nbits=6, iters=3)
+    return pq_search(
+        spark, q, codes_df, books_df, k=5, rerank=8, round_to=6
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 def _q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6731,17 +6737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 window plan (pinned per the standing invariants:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
-        # lands): after the 12 anchors, never-attested-first — the SIX
+        # lands): after the 12 anchors, never-attested-first — the SEVEN
         # r12 attestation upgrades in registry order (similarity_ivf,
-        # similarity_ivf_append, semantic_dedup, similarity_sq8,
-        # embedding_kmeans, ann_recall_ivf; slots 13-18) — then the
-        # oldest-attestation backfill (32 slots): the 17 remaining
-        # r06-green entries below (balance_quartiles ..
+        # similarity_ivf_append, similarity_pq, semantic_dedup,
+        # similarity_sq8, embedding_kmeans, ann_recall_ivf; slots
+        # 13-19) — then the oldest-attestation backfill (31 slots): the
+        # 17 remaining r06-green entries below (balance_quartiles ..
         # balance_percent_rank, 7 rounds stale by r13, the oldest
-        # attestations left), then the first 15 of the 38 r07-green
-        # entries in registry order (trigram_logprob ..
-        # label_norm_stats); the remaining 23 r07-green lead the r14
-        # backfill.
+        # attestations left), then the first 14 of the 38 r07-green
+        # entries in registry order (trigram_logprob .. bigram_pmi);
+        # the remaining 24 r07-green lead the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -6967,6 +6972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
         "graph_communities": _q_graph_communities,
+        # similarity_pq upgraded to oracle-backed in r12 (per-subspace
+        # fixed-Lloyd codebooks + codegen encode + round-before-rank
+        # ADC/rerank); never-attested, leads the r13 window:
         "similarity_pq": _q_similarity_pq,
         "text_embed_knn": _q_text_embed_knn,
         # semantic_dedup upgraded to oracle-backed in r12 (fixed_iters=5
@@ -7064,14 +7072,20 @@ def _lloyd_fixed_ctes(k: int, iters: int) -> str:
 
 
 def _lloyd_fixed_ctes_over(
-    k: int, iters: int, train_sql: str, assign_sql: str | None = None
+    k: int,
+    iters: int,
+    train_sql: str,
+    assign_sql: str | None = None,
+    prefix: str = "",
 ) -> str:
     """:func:`_lloyd_fixed_ctes` over an arbitrary (id, v DOUBLE[])
     corpus: ``train_sql`` feeds the init + the fixed rounds;
     ``assign_sql`` (default: the training corpus) is what kfin's FINAL
     assignment runs over — the distinction replays build-then-append
     gates, where centers train on the pre-existing half but the whole
-    union gets assigned."""
+    union gets assigned. ``prefix`` renames every CTE (ktr/kfull/tpts/
+    pts/c0../kfin -> <prefix>ktr/...) so several chains coexist in one
+    query — the per-subspace PQ codebook replay."""
     dist = (
         "list_sum(list_transform(generate_series(1, len(p)), "
         "i -> (p[i]-cc[i])*(p[i]-cc[i])))"
@@ -7094,20 +7108,21 @@ def _lloyd_fixed_ctes_over(
         "round(list_avg(list_transform(idx, j -> tps[j][d])), 6)) "
         "END)[1]))[1] AS cents"
     )
+    p = prefix
     ctes = [
-        f"ktr AS ({train_sql})",
-        f"kfull AS ({assign_sql or train_sql})",
-        "tpts AS (SELECT list(v ORDER BY id) AS tps FROM ktr)",
-        "pts AS (SELECT list(v ORDER BY id) AS ps,"
-        " list(id ORDER BY id) AS ids FROM kfull)",
-        "c0 AS (SELECT list(v ORDER BY id) AS cents"
-        f" FROM (SELECT id, v FROM ktr ORDER BY id LIMIT {k}))",
+        f"{p}ktr AS ({train_sql})",
+        f"{p}kfull AS ({assign_sql or train_sql})",
+        f"{p}tpts AS (SELECT list(v ORDER BY id) AS tps FROM {p}ktr)",
+        f"{p}pts AS (SELECT list(v ORDER BY id) AS ps,"
+        f" list(id ORDER BY id) AS ids FROM {p}kfull)",
+        f"{p}c0 AS (SELECT list(v ORDER BY id) AS cents"
+        f" FROM (SELECT id, v FROM {p}ktr ORDER BY id LIMIT {k}))",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"c{t} AS ({step} FROM c{t - 1}, tpts)")
+        ctes.append(f"{p}c{t} AS ({step} FROM {p}c{t - 1}, {p}tpts)")
     ctes.append(
-        f"kfin AS (SELECT {_assign('ps')} AS a, cents, ps, ids"
-        f" FROM c{iters}, pts)"
+        f"{p}kfin AS (SELECT {_assign('ps')} AS a, cents, ps, ids"
+        f" FROM {p}c{iters}, {p}pts)"
     )
     return ",\n".join(ctes)
 
@@ -7120,6 +7135,78 @@ _SEMDEDUP_CORPUS_SQL = (
     f" || (CAST(embedding AS DOUBLE[]))[{_LSH_MASK + 1}:{_LSH_DIM}] AS v"
     f" FROM embeddings WHERE vec_id % {_LSH_PLANT_MOD} = 0"
 )
+
+
+def _pq_fixed_search_sql(
+    m: int = 8,
+    nbits: int = 6,
+    iters: int = 3,
+    k: int = 5,
+    rerank: int = 8,
+    nq: int = 16,
+    dim: int = 64,
+) -> str:
+    """Oracle for the fixed-PQ gate: one prefixed
+    :func:`_lloyd_fixed_ctes_over` chain per subspace (s0..s{m-1}, each
+    over the subspace slice of the corpus), a docs CTE decoding every
+    corpus row to its m code-centroids, ADC = the m-term sum of
+    subspace dot products rounded to 6dp before the pool window, and
+    the exact rerank on 6dp scores — exactly
+    build_pq_fixed + pq_search(round_to=6)."""
+    dsub = dim // m
+    ksub = 1 << nbits
+    chains = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        chains.append(
+            _lloyd_fixed_ctes_over(
+                ksub,
+                iters,
+                f"SELECT vec_id AS id, (CAST(embedding AS DOUBLE[]))"
+                f"[{lo}:{hi}] AS v FROM embeddings",
+                prefix=f"s{j}",
+            )
+        )
+    chains_sql = ",\n".join(chains)
+    cents_cols = ", ".join(
+        f"s{j}kfin.cents[s{j}kfin.a[x]] AS cent{j}" for j in range(m)
+    )
+    froms = ", ".join(f"s{j}kfin" for j in range(m))
+    adc = " + ".join(
+        f"list_dot_product(q.qv[{j * dsub + 1}:{(j + 1) * dsub}], d.cent{j})"
+        for j in range(m)
+    )
+    pool = max(k * rerank, k)
+    return f"""
+            WITH {chains_sql},
+            fc AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            fpts AS (SELECT list(v ORDER BY id) AS vs,
+                            list(id ORDER BY id) AS fids FROM fc),
+            docs AS (SELECT fids[x] AS doc_id, vs[x] AS v, {cents_cols}
+                     FROM fpts, {froms},
+                          (SELECT unnest(generate_series(1,
+                               (SELECT len(vs) FROM fpts))) AS x) t),
+            qs AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < {nq}),
+            appx AS (SELECT q.query_id, q.qv, d.doc_id, d.v,
+                            round({adc}, 6) AS ascore
+                     FROM qs q, docs d),
+            pool AS (SELECT query_id, qv, doc_id, v FROM (
+                       SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, doc_id ASC) AS ar
+                       FROM appx) WHERE ar <= {pool}),
+            ex AS (SELECT query_id, doc_id,
+                          round(list_dot_product(qv, v), 6) AS score
+                   FROM pool),
+            r AS (SELECT query_id, doc_id, score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                             AS rank
+                  FROM ex)
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {k}
+    """
 
 
 def _ivf_fixed_search_sql(
@@ -7546,6 +7633,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_hit) AS BIGINT), round(avg(recall), 6)
             FROM perq2
         """,
+        "similarity_pq": _pq_fixed_search_sql(8, 6, 3, 5, 8),
         "similarity_ivf": _ivf_fixed_search_sql(16, 5, 4, 5),
         "similarity_ivf_append": _ivf_fixed_search_sql(
             16, 5, 4, 5, train_where=" WHERE vec_id % 2 = 0"

@@ -408,7 +408,12 @@ def main() -> None:
                  "quality_filter", "dedup_clusters", "pack_sequences",
                  "events_gapfill", "embedding_lsh", "local_supplier_volume",
                  "events_funnel", "retention_cohorts", "unigram_logprob",
-                 "similarity_pq", "market_share", "session_native",
+                 # similarity_pq moved to gate-only in r12 (36.1s cold
+                 # sf0.1 after the oracle-backed upgrade — 24 sequential
+                 # per-subspace fixed-Lloyd jobs; the production sampled
+                 # PQ stays timed via similarity_ivfpq and the sf0.01
+                 # gate attests the fixed entry)
+                 "market_share", "session_native",
                  # semantic_dedup moved to gate-only in r12: the
                  # oracle-backed upgrade swapped the sampled cells for
                  # the fixed-iteration fit (11.8s warm sf0.1 min-of-2,

@@ -739,6 +739,7 @@ def pq_search(
     doc_id_col: str = "doc_id",
     corpus_vec_col: str = "embedding",
     max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
+    round_to: int | None = None,
 ) -> DataFrame:
     """ADC search over PQ codes: per query, an inner-product lookup table
     LUT[j][c] = q_j · codebook[j][c] (m x ksub doubles, built driver-side
@@ -754,6 +755,12 @@ def pq_search(
     :func:`knn_join_blocked` over the raw vectors when the codes frame
     still carries them (exact results are a recall superset of ADC), and
     raises otherwise rather than OOM the driver.
+
+    ``round_to`` rounds the ADC scores before the pool window and the
+    exact rerank scores before the final window (the knn_ip
+    round-before-rank discipline; the per-partition partial top-k still
+    pre-selects on raw scores, consistent by monotonicity). Default
+    None keeps full-precision production ranking.
     """
     q_rows = _collect_bounded(
         queries_df, [query_id_col, query_vec_col], max_collect_rows
@@ -820,12 +827,17 @@ def pq_search(
     cand = codes_df.select(doc_id_col, "pq_code").mapInPandas(
         _adc_topk, f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double"
     )
+    if round_to is not None:
+        cand = cand.withColumn("score", F.round("score", round_to))
     ranked = cand.withColumn(
         "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
     ).filter(F.col("rank") <= pool)
     if not rerank or corpus_vec_col not in codes_df.columns:
         return ranked.filter(F.col("rank") <= k)
     # exact refine on the rerank*k survivors only
+    exact_sc = dot(F.col(query_vec_col), F.col(corpus_vec_col))
+    if round_to is not None:
+        exact_sc = F.round(exact_sc, round_to)
     exact = (
         ranked.select(query_id_col, doc_id_col)
         .join(codes_df.select(doc_id_col, corpus_vec_col), doc_id_col)
@@ -836,7 +848,7 @@ def pq_search(
         .select(
             query_id_col,
             doc_id_col,
-            dot(F.col(query_vec_col), F.col(corpus_vec_col)).alias("score"),
+            exact_sc.alias("score"),
         )
     )
     out = exact.withColumn(
@@ -1176,18 +1188,21 @@ def kmeans_summary(
     )
 
 
-def _argmin_cluster(vec_col: str, centers: "np.ndarray"):
+def _argmin_cluster(vec_col, centers: "np.ndarray"):
     """Pure-codegen nearest-centroid id for a literal centroid matrix:
     squared-L2 per centroid via a left-to-right ``aggregate(zip_with)``
     double fold (bit-matched to a sequential SQL replay), first-minimum
     tie-break via 1-based ``array_position`` (DuckDB ``list_position``
     semantics), returned 0-based. No Python in the assign path — the
     k×dim centroid matrix folds into the plan as literals, so the whole
-    pass stays inside whole-stage codegen."""
+    pass stays inside whole-stage codegen. ``vec_col`` may be a column
+    name or a Column expression (e.g. a subspace slice)."""
     cents_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
-    v = F.col(vec_col).cast("array<double>")
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
     dists = F.transform(
         cents_lit,
         lambda c: F.aggregate(
@@ -1346,6 +1361,63 @@ def build_ivf_fixed(
         "cluster_id", _argmin_cluster(vec_col, centers)
     )
     return assigned, centroids
+
+
+def build_pq_fixed(
+    chunks_df: DataFrame,
+    m: int = 8,
+    nbits: int = 6,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """K-codebook product quantization on :func:`_lloyd_fixed` fits —
+    the SQL-replayable sibling of :func:`build_pq` (r12 attestation
+    discipline). Each of the ``m`` subspaces trains its 2^nbits-entry
+    codebook with the deterministic fixed-iteration Lloyd (init = the
+    subspace slices of the ``ksub`` smallest ids, 6dp-rounded centers
+    per round), and the encode is ONE pure-codegen pass: ``m``
+    :func:`_argmin_cluster` expressions over subspace slices collected
+    into the ``pq_code`` array — no Python, no Arrow, and every code
+    replays bit-for-bit in SQL. Same return contract as build_pq:
+    (codes_df + ``pq_code`` array<int>, codebooks_df(subspace, code,
+    centroid)). The sampled float32 :func:`build_pq` stays the
+    production fit; this exists to be auditable."""
+    first = chunks_df.select(vec_col).first()
+    if first is None:
+        raise ValueError("build_pq_fixed: empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = 1 << nbits
+    v = F.col(vec_col).cast("array<double>")
+    books = []
+    for j in range(m):
+        sub = chunks_df.select(
+            F.col(id_col).alias("_id"),
+            F.slice(v, j * dsub + 1, dsub).alias("_sv"),
+        )
+        books.append(_lloyd_fixed(sub, "_sv", "_id", ksub, iters))
+    codes_df = chunks_df.withColumn(
+        "pq_code",
+        F.array(
+            *[
+                _argmin_cluster(F.slice(v, j * dsub + 1, dsub), books[j])
+                for j in range(m)
+            ]
+        ),
+    )
+    spark = chunks_df.sparkSession
+    books_df = spark.createDataFrame(
+        [
+            (j, int(c), [float(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    return codes_df, books_df
 
 
 def ivf_append_fixed(

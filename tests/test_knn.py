@@ -736,3 +736,43 @@ def test_ivf_append_fixed_equals_build_assignment(spark, emb):
     )
     with pytest.raises(ValueError, match="dense"):
         ivf_append_fixed(new, sparse)
+
+
+def test_build_pq_fixed_matches_numpy_replay(spark):
+    """Each subspace codebook and every code must equal a numpy replay
+    of the fixed-Lloyd contract on the subspace slices; rebuilds are
+    bit-identical."""
+    from indexlab_spark.operators.knn import build_pq_fixed
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "doc_id int, embedding array<double>",
+    )
+    m, nbits, iters = 2, 2, 2  # dsub=4, ksub=4
+    codes_df, books_df = build_pq_fixed(df, m=m, nbits=nbits, iters=iters)
+    got_books = {}
+    for r in books_df.collect():
+        got_books[(r["subspace"], r["code"])] = list(r["centroid"])
+    got_codes = {r["doc_id"]: list(r["pq_code"]) for r in codes_df.collect()}
+
+    dsub, ksub = 8 // m, 1 << nbits
+    for j in range(m):
+        sub = vecs[:, j * dsub:(j + 1) * dsub].astype(np.float64)
+        centers = sub[:ksub].copy()
+        for _ in range(iters):
+            a = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+            for c in range(ksub):
+                mm = sub[a == c]
+                if len(mm):
+                    centers[c] = np.round(mm.mean(0), 6)
+        for c in range(ksub):
+            assert got_books[(j, c)] == [float(x) for x in centers[c]]
+        a = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+        for i in range(len(vecs)):
+            assert got_codes[i][j] == int(a[i]), (j, i)
+
+    codes2, _ = build_pq_fixed(df, m=m, nbits=nbits, iters=iters)
+    assert {r["doc_id"]: list(r["pq_code"]) for r in codes2.collect()} \
+        == got_codes
