@@ -1342,26 +1342,32 @@ def _q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFPQ scale extension — the composed FAISS-standard index
-    (operators/knn.build_ivfpq/ivfpq_search): coarse cells prune WHICH
-    candidates stream (nprobe=4 of nlist=8), residual product codes
-    shrink WHAT streams (q.x = q.c + q.r so one query LUT serves the
-    residual ADC), exact rerank recovers recall. Seeded Lloyd fits ->
-    rows-only; recall floors and append≡rebuild are pinned in
-    tests/test_knn.py."""
-    from indexlab_spark.operators.knn import build_ivfpq, ivfpq_search
+    """IVFPQ scale extension — the composed FAISS-standard index:
+    coarse cells prune WHICH candidates stream (nprobe=4 of nlist=8),
+    residual product codes shrink WHAT streams (q.x = q.c + q.r so one
+    query LUT serves the residual ADC), exact rerank recovers recall.
+    Upgraded rows-only -> oracle-backed in r12 — the LAST ANN family
+    member: build_ivfpq_fixed composes the deterministic coarse fit,
+    the pure-Catalyst residuals, and per-subspace fixed-Lloyd residual
+    codebooks; ivfpq_search(round_to=6) makes the probe deterministic
+    (rounded cell score, cluster tie) and ranks ADC pool + exact
+    rerank on 6dp scores. The oracle chains the coarse replay, m
+    residual-chain replays (trained on the REPLAYED residuals), and
+    the q.c + residual-ADC sum end-to-end. Sampled production
+    build_ivfpq keeps its recall floors and append≡rebuild pins."""
+    from indexlab_spark.operators.knn import build_ivfpq_fixed, ivfpq_search
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     q = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    codes, cents, books = build_ivfpq(corpus, nlist=8, m=8, nbits=6, seed=42)
-    return ivfpq_search(
-        spark, q, codes, cents, books, k=5, nprobe=4, rerank=8
-    ).select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    codes, cents, books = build_ivfpq_fixed(
+        corpus, nlist=8, m=8, nbits=6, iters=3
     )
+    return ivfpq_search(
+        spark, q, codes, cents, books, k=5, nprobe=4, rerank=8, round_to=6
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 def _q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6737,16 +6743,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 window plan (pinned per the standing invariants:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
-        # lands): after the 12 anchors, never-attested-first — the SEVEN
+        # lands): after the 12 anchors, never-attested-first — the EIGHT
         # r12 attestation upgrades in registry order (similarity_ivf,
         # similarity_ivf_append, similarity_pq, semantic_dedup,
-        # similarity_sq8, embedding_kmeans, ann_recall_ivf; slots
-        # 13-19) — then the oldest-attestation backfill (31 slots): the
-        # 17 remaining r06-green entries below (balance_quartiles ..
-        # balance_percent_rank, 7 rounds stale by r13, the oldest
-        # attestations left), then the first 14 of the 38 r07-green
-        # entries in registry order (trigram_logprob .. bigram_pmi);
-        # the remaining 24 r07-green lead the r14 backfill.
+        # similarity_sq8, embedding_kmeans, similarity_ivfpq,
+        # ann_recall_ivf; slots 13-20) — then the oldest-attestation
+        # backfill (30 slots): the 17 remaining r06-green entries below
+        # (balance_quartiles .. balance_percent_rank, 7 rounds stale by
+        # r13, the oldest attestations left), then the first 13 of the
+        # 38 r07-green entries in registry order (trigram_logprob ..
+        # segment_corr_stats); the remaining 25 r07-green lead the r14
+        # backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -6997,6 +7004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by the all-slots-oracle-backed invariant; driver_sim + pytest
         # cover them):
         "hits_suppliers": _q_hits_suppliers,
+        # similarity_ivfpq upgraded to oracle-backed in r12 (fixed
+        # coarse + replayed residuals + fixed residual codebooks +
+        # deterministic probe — the LAST ANN family member);
+        # never-attested, leads the r13 window:
         "similarity_ivfpq": _q_similarity_ivfpq,
         # -- round-10 rows-only additions (oracle-backed siblings and
         # the r11 attestation upgrades moved into driver windows above):
@@ -7135,6 +7146,99 @@ _SEMDEDUP_CORPUS_SQL = (
     f" || (CAST(embedding AS DOUBLE[]))[{_LSH_MASK + 1}:{_LSH_DIM}] AS v"
     f" FROM embeddings WHERE vec_id % {_LSH_PLANT_MOD} = 0"
 )
+
+
+def _ivfpq_fixed_search_sql(
+    nlist: int = 8,
+    m: int = 8,
+    nbits: int = 6,
+    iters: int = 3,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 8,
+    nq: int = 16,
+    dim: int = 64,
+) -> str:
+    """Oracle for the fixed-IVFPQ gate: the coarse
+    :func:`_lloyd_fixed_ctes_over` chain (prefix cv), m residual chains
+    (prefix r0..r{m-1}) TRAINED ON THE REPLAYED RESIDUALS (each chain's
+    train corpus is a SELECT over the coarse kfin computing
+    v - cents[a] slices), then the search tail: deterministic probe on
+    6dp cell scores (cluster tie asc), approx = raw q.c + the m-term
+    residual ADC rounded once, pool, exact rerank — exactly
+    build_ivfpq_fixed + ivfpq_search(round_to=6)."""
+    dsub = dim // m
+    ksub = 1 << nbits
+    parts = [
+        _lloyd_fixed_ctes_over(
+            nlist,
+            iters,
+            "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings",
+            prefix="cv",
+        )
+    ]
+    series_x = (
+        "(SELECT unnest(generate_series(1,"
+        " (SELECT len(ps) FROM cvpts))) AS x) tx"
+    )
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            _lloyd_fixed_ctes_over(
+                ksub,
+                iters,
+                f"SELECT ids[x] AS id, list_transform("
+                f"generate_series({lo}, {hi}), "
+                f"i -> ps[x][i] - cents[a[x]][i]) AS v"
+                f" FROM cvkfin, {series_x}",
+                prefix=f"r{j}",
+            )
+        )
+    chains = ",\n".join(parts)
+    rc_cols = ", ".join(
+        f"r{j}kfin.cents[r{j}kfin.a[x]] AS rc{j}" for j in range(m)
+    )
+    froms = ", ".join(f"r{j}kfin" for j in range(m))
+    adc = " + ".join(
+        f"list_dot_product(p.qv[{j * dsub + 1}:{(j + 1) * dsub}], d.rc{j})"
+        for j in range(m)
+    )
+    pool = max(k * rerank, k)
+    return f"""
+            WITH {chains},
+            docs AS (SELECT cv.ids[x] AS doc_id, cv.ps[x] AS v,
+                            cv.a[x] AS ccl, {rc_cols}
+                     FROM cvkfin cv, {froms}, {series_x}),
+            qs AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < {nq}),
+            cellsc AS (SELECT q.query_id, q.qv, c AS cl,
+                              list_dot_product(q.qv, cv.cents[c]) AS qc
+                       FROM qs q, cvkfin cv,
+                            (SELECT unnest(generate_series(1, {nlist}))
+                                 AS c) tc),
+            probe AS (SELECT query_id, qv, cl, qc FROM (
+                        SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(qc, 6) DESC, cl ASC) AS cr
+                        FROM cellsc) WHERE cr <= {nprobe}),
+            appx AS (SELECT p.query_id, p.qv, d.doc_id, d.v,
+                            round(p.qc + {adc}, 6) AS ascore
+                     FROM probe p JOIN docs d ON d.ccl = p.cl),
+            pool AS (SELECT query_id, qv, doc_id, v FROM (
+                       SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, doc_id ASC) AS ar
+                       FROM appx) WHERE ar <= {pool}),
+            ex AS (SELECT query_id, doc_id,
+                          round(list_dot_product(qv, v), 6) AS score
+                   FROM pool),
+            r AS (SELECT query_id, doc_id, score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                             AS rank
+                  FROM ex)
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {k}
+    """
 
 
 def _pq_fixed_search_sql(
@@ -7634,6 +7738,7 @@ def oracle_sql() -> dict[str, str]:
             FROM perq2
         """,
         "similarity_pq": _pq_fixed_search_sql(8, 6, 3, 5, 8),
+        "similarity_ivfpq": _ivfpq_fixed_search_sql(8, 8, 6, 3, 5, 4, 8),
         "similarity_ivf": _ivf_fixed_search_sql(16, 5, 4, 5),
         "similarity_ivf_append": _ivf_fixed_search_sql(
             16, 5, 4, 5, train_where=" WHERE vec_id % 2 = 0"

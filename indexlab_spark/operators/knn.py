@@ -1584,6 +1584,38 @@ def build_ivfpq(
     return codes.drop("_residual", "centroid"), centroids, books
 
 
+def build_ivfpq_fixed(
+    chunks_df: DataFrame,
+    nlist: int = 8,
+    m: int = 8,
+    nbits: int = 6,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`build_ivfpq` on deterministic fixed-iteration fits (r12
+    attestation discipline): coarse cells from :func:`build_ivf_fixed`,
+    residuals as the same pure-Catalyst zip_with, and per-subspace
+    residual codebooks from :func:`build_pq_fixed` — every stage a pure
+    function of the data, so the full composed index replays in SQL.
+    The residual frame is localCheckpointed before the per-subspace
+    fits (build_pq_fixed makes m x iters passes over it; without the
+    checkpoint each pass would re-run the coarse assign join in
+    lineage). Same return contract as build_ivfpq. The sampled float32
+    build_ivfpq stays the production fit."""
+    assigned, centroids = build_ivf_fixed(
+        chunks_df, nlist, iters, vec_col, id_col
+    )
+    res = _with_residual(assigned, centroids, vec_col).localCheckpoint(
+        eager=True
+    )
+    codes, books = build_pq_fixed(
+        res, m=m, nbits=nbits, iters=iters,
+        vec_col="_residual", id_col=id_col,
+    )
+    return codes.drop("_residual", "centroid"), centroids, books
+
+
 def ivfpq_append(
     new_df: DataFrame,
     centroids_df: DataFrame,
@@ -1616,6 +1648,7 @@ def ivfpq_search(
     doc_id_col: str = "doc_id",
     corpus_vec_col: str = "embedding",
     max_collect_rows: int = MAX_COLLECT_QUERY_ROWS,
+    round_to: int | None = None,
 ) -> DataFrame:
     """ADC search over the composed index: per query the top-``nprobe``
     cells by q . centroid (centroid matrix is nlist-sized, scored
@@ -1675,7 +1708,17 @@ def ivfpq_search(
     npb = min(nprobe, len(c_ids))
     probe_rows = []
     for qi, qid in enumerate(q_ids):
-        top = np.argpartition(-qdotc[qi], npb - 1)[:npb]
+        if round_to is None:
+            top = np.argpartition(-qdotc[qi], npb - 1)[:npb]
+        else:
+            # deterministic probe for the replay: rounded cell score
+            # desc, cluster_id asc (the ivf_search tie discipline);
+            # _qdotc stays RAW — rounding gates SELECTION only, the
+            # scored sum rounds once at the window
+            key = np.round(qdotc[qi], round_to)
+            top = sorted(
+                range(len(c_ids)), key=lambda ci: (-key[ci], c_ids[ci])
+            )[:npb]
         probe_rows.extend(
             (qid, int(c_ids[ci]), float(qdotc[qi, ci])) for ci in top
         )
@@ -1718,11 +1761,16 @@ def ivfpq_search(
         _adc,
         f"{query_id_col} {qid_type}, {doc_id_col} {did_type}, score double",
     )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
     ranked = scored.withColumn(
         "rank", F.row_number().over(_rank_window(query_id_col, doc_id_col))
     ).filter(F.col("rank") <= pool)
     if not rerank or corpus_vec_col not in codes_df.columns:
         return ranked.filter(F.col("rank") <= k)
+    exact_sc = dot(F.col(query_vec_col), F.col(corpus_vec_col))
+    if round_to is not None:
+        exact_sc = F.round(exact_sc, round_to)
     exact = (
         ranked.select(query_id_col, doc_id_col)
         .join(codes_df.select(doc_id_col, corpus_vec_col), doc_id_col)
@@ -1733,7 +1781,7 @@ def ivfpq_search(
         .select(
             query_id_col,
             doc_id_col,
-            dot(F.col(query_vec_col), F.col(corpus_vec_col)).alias("score"),
+            exact_sc.alias("score"),
         )
     )
     out = exact.withColumn(

@@ -776,3 +776,46 @@ def test_build_pq_fixed_matches_numpy_replay(spark):
     codes2, _ = build_pq_fixed(df, m=m, nbits=nbits, iters=iters)
     assert {r["doc_id"]: list(r["pq_code"]) for r in codes2.collect()} \
         == got_codes
+
+
+def test_build_ivfpq_fixed_deterministic_and_searchable(spark, emb, queries):
+    """The composed fixed index is a pure function of the data
+    (bit-identical rebuilds) and the deterministic-probe search returns
+    a full top-k per query with exact rerank scores."""
+    from indexlab_spark.operators.knn import build_ivfpq_fixed, ivfpq_search
+
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    codes1, cents1, books1 = build_ivfpq_fixed(
+        corpus, nlist=4, m=4, nbits=4, iters=2
+    )
+    codes2, cents2, books2 = build_ivfpq_fixed(
+        corpus, nlist=4, m=4, nbits=4, iters=2
+    )
+    a = {
+        r["doc_id"]: (r["cluster_id"], tuple(r["pq_code"]))
+        for r in codes1.collect()
+    }
+    b = {
+        r["doc_id"]: (r["cluster_id"], tuple(r["pq_code"]))
+        for r in codes2.collect()
+    }
+    assert a == b
+    assert {
+        (r["cluster_id"], tuple(r["centroid"])) for r in cents1.collect()
+    } == {
+        (r["cluster_id"], tuple(r["centroid"])) for r in cents2.collect()
+    }
+
+    out = ivfpq_search(
+        spark, queries, codes1, cents1, books1, K,
+        nprobe=4, rerank=4, round_to=6,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert set(got) == set(range(N_QUERIES))
+    for qid, hits in got.items():
+        assert sorted(h[0] for h in hits) == list(range(1, K + 1))
+        # nprobe == nlist probes everything; exact rerank must put the
+        # query's own vector (ip with itself) at rank 1
+        assert hits[[h[0] for h in hits].index(1)][1] == qid
