@@ -951,8 +951,21 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 graph — PageRank centrality over the mutual kNN graph of a
     300-vector slice (dedup.pagerank: per-iteration keyed join +
     map-combined sum, scalar dangling/delta aggregates, localCheckpoint
-    per round). Iterative float -> rows-only; the numpy power-iteration
-    equivalence is pinned in tests."""
+    per round). ORACLE-backed since r12 via the pagerank_parts
+    fixed-iteration contract composed with the attested knn_graph CTE:
+    tol=None + 8 rounds replay as a bounded recursive CTE, and nodes =
+    the mutual edge ENDPOINTS (no dangling nodes by construction —
+    isolated vectors are definitionally rank-free in a similarity
+    graph). The state iterates UNQUANTIZED (per-round 6dp quantization
+    was tried and makes things WORSE here: a quantized state is
+    decimal-rational, so updates land exactly ON half-quantum
+    boundaries — measured raw_y = 2481.5 — where engine summation
+    order decides the flip); the only rounding is at the output, in
+    the engine-portable scaled-integer form (round(x*1e6, 0)/1e6 —
+    integer rounding is implementation-identical across engines,
+    fractional round() is not). The convergence-stopped full-node
+    production path keeps its numpy power-iteration parity pins in
+    tests."""
     from indexlab_spark.operators.dedup import pagerank
     from indexlab_spark.operators.knn import knn_graph
 
@@ -963,13 +976,17 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocked kNN self-join re-runs inside the loop's lineage (measured
     # 28.8s -> ~12s at sf0.01)
     edges = knn_graph(sl, k=3, mutual=True).localCheckpoint(eager=True)
-    nodes = sl.select(F.col("vec_id").alias("id"))
-    # tol 1e-3 for the gate config (rank error bounded by tol/(1-d)
-    # ~ 7e-3, plenty for a rows-only centrality entry); convergence is
-    # iteration-bound, ~0.85^k (~28 rounds here), so each decade of tol
-    # costs ~14 rounds x the per-job floor. The operator default stays
-    # 1e-6-capable.
-    return pagerank(edges, nodes, tol=1e-3, max_iter=80)
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    out = pagerank(edges, nodes, max_iter=8, tol=None)
+    return out.select(
+        "id",
+        (F.round(F.col("rank") * F.lit(1000000.0), 0) / F.lit(1000000.0))
+        .alias("rank"),
+    )
 
 
 def _q_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4422,9 +4439,13 @@ def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.hits_scores, Kleinberg 1999): hub customers buy from many
     endorsed suppliers, authority suppliers are bought from by strong
     hubs — the directed-centrality companion to graph_pagerank, which
-    cannot separate the two roles. Rows-only like pagerank: 10 rounds
-    of float L2-normalized power iteration are not SQL-replayable;
-    numpy parity and anchors are pinned in tests."""
+    cannot separate the two roles. ORACLE-backed since r12 via the
+    quantized fixed-iteration replay (the kmeans_summary_fixed
+    discipline): quantize_dp=6 re-syncs both engines to the exact
+    same 6dp state each of the 10 rounds, so the whole L2-normalized
+    power iteration replays bit-for-bit as a bounded recursive CTE
+    (norms via a window over the generation); unquantized numpy
+    parity and anchors stay pinned in tests."""
     from indexlab_spark.operators.dedup import hits_scores
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
@@ -4437,7 +4458,7 @@ def _q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return hits_scores(edges, iters=10)
+    return hits_scores(edges, iters=10, quantize_dp=6)
 
 
 def _q_mwu_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4950,9 +4971,14 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted binary labels (cluster id <= 4), 20 deterministic
     gradient iterations (one Arrow moment pass each, d+3 scalars to
     the driver), then pure-codegen sigmoid scoring; per-cluster mean
-    probability and 0.5-threshold accuracy. Iterative training is not
-    SQL-expressible -> rows-only; spark ≡ numpy parity is pinned in
-    tests/test_round9_ops.py."""
+    probability and 0.5-threshold accuracy. ORACLE-backed since r12
+    via the quantized fixed-iteration replay (the hits_suppliers
+    discipline): quantize_dp=9 re-syncs (w, b) to the exact same
+    floor(x*1e9+0.5)/1e9 state after every one of the 20 full-batch
+    gradient steps, so the whole fit unrolls as 20 generated SQL CTEs
+    (one sigmoid pass + one per-dimension gradient agg each) and the
+    scoring replays bit-stable. Unquantized spark ≡ numpy parity
+    stays pinned in tests/test_round9_ops.py."""
     from indexlab_spark.operators.curation import (
         score_quality_classifier,
         train_quality_classifier,
@@ -4960,7 +4986,7 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     labeled = emb.withColumn("y", (F.col("label") <= 4).cast("double"))
-    model = train_quality_classifier(labeled, "y", iters=20)
+    model = train_quality_classifier(labeled, "y", iters=20, quantize_dp=9)
     scored = score_quality_classifier(labeled, model)
     return (
         scored.groupBy("label")
@@ -5088,15 +5114,24 @@ def _q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-tie rule, deterministic, one keyed join + two map-combined aggs
     and ONE scalar action per round. Finer than connected_components
     (which merges anything bridged), far cheaper than modularity
-    methods. Iterative -> rows-only; reference parity pinned in
-    tests."""
+    methods. ORACLE-backed since r12 via the lpa_parts fixed-3-round
+    replay composed with the attested knn_graph CTE (the early stop
+    fires only at the no-change fixpoint, so fixed rounds are exact);
+    nodes = the mutual edge ENDPOINTS (isolated vectors are their own
+    singleton communities by definition — dropped from this entry's
+    contract so the recursive generations stay closed). Full-node
+    reference parity stays pinned in tests."""
     from indexlab_spark.operators.dedup import label_propagation
     from indexlab_spark.operators.knn import knn_graph
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     sl = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
     edges = knn_graph(sl, k=3, mutual=True).localCheckpoint(eager=True)
-    nodes = sl.select(F.col("vec_id").alias("id"))
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     # 3 rounds for the gate config (r7; was 5): LPA labels are a valid
     # community assignment at ANY iteration (published algorithm
     # semantics) and each round costs a fixed 4-stage job — the r6
@@ -6743,17 +6778,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 window plan (pinned per the standing invariants:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
-        # lands): after the 12 anchors, never-attested-first — the EIGHT
-        # r12 attestation upgrades in registry order (similarity_ivf,
-        # similarity_ivf_append, similarity_pq, semantic_dedup,
-        # similarity_sq8, embedding_kmeans, similarity_ivfpq,
-        # ann_recall_ivf; slots 13-20) — then the oldest-attestation
-        # backfill (30 slots): the 17 remaining r06-green entries below
-        # (balance_quartiles .. balance_percent_rank, 7 rounds stale by
-        # r13, the oldest attestations left), then the first 13 of the
-        # 38 r07-green entries in registry order (trigram_logprob ..
-        # segment_corr_stats); the remaining 25 r07-green lead the r14
-        # backfill.
+        # lands): after the 12 anchors, never-attested-first — the
+        # TWELVE r12 attestation upgrades in registry order
+        # (similarity_ivf, similarity_ivf_append, graph_communities,
+        # similarity_pq, semantic_dedup, similarity_sq8,
+        # graph_pagerank, quality_classifier, embedding_kmeans,
+        # hits_suppliers, similarity_ivfpq, ann_recall_ivf; slots
+        # 13-24) — then the oldest-attestation backfill (26 slots):
+        # the 17 remaining r06-green entries below (balance_quartiles
+        # .. balance_percent_rank, 7 rounds stale by r13, the oldest
+        # attestations left), then the first 9 of the 38 r07-green
+        # entries in registry order (trigram_logprob .. psi_drift);
+        # the remaining 29 r07-green lead the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -6978,6 +7014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
+        # graph_communities upgraded to oracle-backed in r12 (fixed-3
+        # LPA over the mutual-kNN ENDPOINT graph; lpa_parts fold
+        # composed with the attested knn_graph CTE); never-attested,
+        # leads the r13 window:
         "graph_communities": _q_graph_communities,
         # similarity_pq upgraded to oracle-backed in r12 (per-subspace
         # fixed-Lloyd codebooks + codegen encode + round-before-rank
@@ -6994,15 +7034,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sq8": _q_similarity_sq8,
         "compression_quality": _q_compression_quality,
         "normalized_dedup": _q_normalized_dedup,
+        # graph_pagerank upgraded to oracle-backed in r12 (fixed-8
+        # tol=None over the mutual-kNN ENDPOINT graph, unquantized
+        # fold + scaled-integer output rounding); never-attested,
+        # leads the r13 window:
         "graph_pagerank": _q_graph_pagerank,
         "quality_classifier": _q_quality_classifier,
         # embedding_kmeans upgraded to oracle-backed in r12
         # (kmeans_summary_fixed — deterministic fixed-iteration Lloyd);
         # never-attested, leads the r13 window:
         "embedding_kmeans": _q_embedding_kmeans,
-        # round-9 rows-only additions (excluded from the driver window
-        # by the all-slots-oracle-backed invariant; driver_sim + pytest
-        # cover them):
+        # hits_suppliers upgraded to oracle-backed in r12 (quantize_dp=6
+        # scaled-integer per-round re-sync -> bounded recursive-CTE
+        # replay of the 10-round L2-normalized power iteration);
+        # never-attested, leads the r13 window:
         "hits_suppliers": _q_hits_suppliers,
         # similarity_ivfpq upgraded to oracle-backed in r12 (fixed
         # coarse + replayed residuals + fixed residual codebooks +
@@ -7385,6 +7430,66 @@ _DECON_ORACLE = """
     FROM tsh t JOIN bsh b ON t.shingle = b.shingle
     GROUP BY 1
 """
+
+
+def _quality_clf_sql(iters: int = 20, dim: int = 64) -> str:
+    """Generated oracle for quality_classifier: unrolls the quantized
+    full-batch logistic-regression fit (curation.train_quality_classifier
+    quantize_dp=9, lr=1.0, l2=1e-3) as one (sigmoid pass + per-dimension
+    gradient agg + floor-quantized weight update) CTE block per
+    iteration, then replays the Catalyst scoring and the entry's
+    per-label aggregate. floor(x*1e9 + 0.5)/1e9 is the exact update the
+    Spark side applies (np.floor on the scaled state), so both engines
+    re-sync per iteration and summation-order noise never accumulates."""
+    blocks = [
+        f"""
+        base AS MATERIALIZED (
+            SELECT CAST(embedding AS DOUBLE[]) AS v,
+                   CASE WHEN label <= 4 THEN 1.0 ELSE 0.0 END AS y,
+                   label
+            FROM embeddings
+        ),
+        nr AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        w0 AS (SELECT (SELECT list(CAST(0.0 AS DOUBLE))
+                       FROM generate_series(1, {dim})) AS wl,
+                      CAST(0.0 AS DOUBLE) AS b)"""
+    ]
+    for t in range(iters):
+        blocks.append(f"""
+        p{t} AS MATERIALIZED (SELECT v, y,
+                        1.0 / (1.0 + exp(-(list_dot_product(v,
+                            (SELECT wl FROM w{t}))
+                            + (SELECT b FROM w{t})))) AS p
+                 FROM base),
+        g{t} AS MATERIALIZED (SELECT j, sum(v[j] * (p - y)) AS g
+                 FROM p{t}, generate_series(1, {dim}) AS t(j)
+                 GROUP BY j),
+        w{t + 1} AS MATERIALIZED (SELECT
+            (SELECT list(floor((wv - 1.0 * (g / (SELECT n FROM nr)
+                                            + 0.001 * wv))
+                               * 1000000000.0 + 0.5) / 1000000000.0
+                         ORDER BY j)
+             FROM (SELECT j, g,
+                          ((SELECT wl FROM w{t}))[j] AS wv
+                   FROM g{t})) AS wl,
+            floor(((SELECT b FROM w{t})
+                   - 1.0 * (SELECT sum(p - y) FROM p{t})
+                         / (SELECT n FROM nr))
+                  * 1000000000.0 + 0.5) / 1000000000.0 AS b)""")
+    blocks.append(f"""
+        scored AS (SELECT label, y,
+                          1.0 / (1.0 + exp(-(list_dot_product(v,
+                              (SELECT wl FROM w{iters}))
+                              + (SELECT b FROM w{iters})))) AS p
+                   FROM base)""")
+    return (
+        "WITH" + ",".join(blocks) + """
+        SELECT label, count(*) AS n,
+               round(avg(p), 6) AS mean_prob,
+               round(avg(CASE WHEN (p > 0.5) = (y > 0.5)
+                              THEN 1.0 ELSE 0.0 END), 6) AS acc
+        FROM scored GROUP BY label"""
+    )
 
 
 _BM25_CTES = """
@@ -13132,6 +13237,167 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(spy - (sp / n) * sy) / tn, 6)
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
+        """,
+        # Quantized 20-step logistic-regression replay: generated CTE
+        # unroll of the full-batch fit (see _quality_clf_sql).
+        "quality_classifier": _quality_clf_sql(),
+        # Quantized fixed-10-round HITS replay: both engines re-sync
+        # to the same 6dp (hub, authority) state each round
+        # (hits_scores quantize_dp=6), so the L2-normalized power
+        # iteration replays bit-for-bit; per-generation norms via a
+        # window aggregate, termination via the NULL-iteration guard.
+        "hits_suppliers": """
+            WITH RECURSIVE e AS MATERIALIZED (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                                's' || CAST(l_suppkey AS VARCHAR) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT v AS node FROM (
+                    SELECT src AS v FROM e UNION SELECT dst FROM e
+                )
+            ),
+            nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+            ),
+            it AS (
+                -- scaled-integer quantization per round (see
+                -- graph_pagerank): integer rounding is
+                -- implementation-identical across engines
+                SELECT node, 0 AS i,
+                       floor(1.0 / sqrt(nn.n) * 1000000.0 + 0.5)
+                           / 1000000.0 AS h,
+                       floor(1.0 / sqrt(nn.n) * 1000000.0 + 0.5)
+                           / 1000000.0 AS a
+                FROM nodes, nn
+                UNION ALL
+                (WITH prev AS (SELECT * FROM it WHERE i < 10),
+                      ar AS (SELECT e1.dst AS node, max(p.i) + 1 AS i,
+                                    sum(p.h) AS a_raw
+                             FROM e e1 JOIN prev p ON p.node = e1.src
+                             GROUP BY e1.dst),
+                      hr AS (SELECT e2.src AS node, sum(ar.a_raw) AS h_raw
+                             FROM e e2 JOIN ar ON ar.node = e2.dst
+                             GROUP BY e2.src),
+                      j AS (SELECT n0.node,
+                                   (SELECT max(i) FROM ar) AS i,
+                                   coalesce(hr.h_raw, 0.0) AS h_raw,
+                                   coalesce(ar.a_raw, 0.0) AS a_raw
+                            FROM nodes n0
+                            LEFT JOIN ar ON ar.node = n0.node
+                            LEFT JOIN hr ON hr.node = n0.node)
+                 SELECT node, i,
+                        coalesce(round(h_raw / nullif(
+                            sqrt(sum(h_raw * h_raw) OVER ()), 0)
+                            * 1000000.0, 0) / 1000000.0, 0.0) AS h,
+                        coalesce(round(a_raw / nullif(
+                            sqrt(sum(a_raw * a_raw) OVER ()), 0)
+                            * 1000000.0, 0) / 1000000.0, 0.0) AS a
+                 FROM j WHERE i IS NOT NULL)
+            )
+            SELECT node, round(h, 6) AS hub, round(a, 6) AS authority
+            FROM it WHERE i = 10
+        """,
+        # Fixed-8-round PageRank replay over the mutual-kNN graph:
+        # the attested knn_graph CTE (6dp round-before-rank, mutual =
+        # both directions in top-3) feeding the pagerank_parts fold;
+        # nodes = edge endpoints, so no dangling mass.
+        "graph_pagerank": """
+            WITH RECURSIVE e0 AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 300
+            ),
+            pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                             round(list_dot_product(a.v, b.v), 6) AS s
+                      FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+            topk AS (SELECT ida, idb,
+                            row_number() OVER (PARTITION BY ida
+                                ORDER BY s DESC, idb ASC) AS rn
+                     FROM pairs),
+            sel AS (SELECT * FROM topk WHERE rn <= 3),
+            co AS MATERIALIZED (
+                SELECT least(ida, idb) AS pa, greatest(ida, idb) AS pb
+                FROM sel GROUP BY 1, 2 HAVING count(*) = 2
+            ),
+            und AS (
+                SELECT pa AS s, pb AS t FROM co
+                UNION ALL
+                SELECT pb, pa FROM co
+            ),
+            deg AS (SELECT s, count(*) AS d FROM und GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            pr AS (
+                -- unquantized fixed-8 fold (the pagerank_parts shape);
+                -- (1.0 - 0.85), not a 0.15 literal — the Spark side
+                -- computes base = 1.0 - damping in doubles
+                -- (= 0.15000000000000002)
+                SELECT s AS node, 0 AS it, 1.0 / nn.n AS r
+                FROM deg, nn
+                UNION ALL
+                SELECT e.t, p.it + 1,
+                       (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.r / dg.d)
+                FROM pr p
+                JOIN und e ON e.s = p.node
+                JOIN deg dg ON dg.s = p.node
+                WHERE p.it < 8
+                GROUP BY e.t, p.it + 1
+            )
+            -- replicate the operator's internal 9dp rounding, then the
+            -- entry's 6dp output rounding, both in the engine-portable
+            -- scaled-integer form (integer rounding is implementation-
+            -- identical across engines; fractional round() is not)
+            SELECT node AS id,
+                   round(round(r * 1000000000.0, 0) / 1000000000.0
+                         * 1000000.0, 0) / 1000000.0 AS rank
+            FROM pr WHERE it = 8
+        """,
+        # Fixed-3-round LPA replay over the mutual-kNN graph: the
+        # attested knn_graph CTE feeding the lpa_parts min-tie fold.
+        "graph_communities": """
+            WITH RECURSIVE e0 AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 300
+            ),
+            pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                             round(list_dot_product(a.v, b.v), 6) AS s
+                      FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+            topk AS (SELECT ida, idb,
+                            row_number() OVER (PARTITION BY ida
+                                ORDER BY s DESC, idb ASC) AS rn
+                     FROM pairs),
+            sel AS (SELECT * FROM topk WHERE rn <= 3),
+            co AS MATERIALIZED (
+                SELECT least(ida, idb) AS pa, greatest(ida, idb) AS pb
+                FROM sel GROUP BY 1, 2 HAVING count(*) = 2
+            ),
+            und AS (
+                SELECT pa AS s, pb AS t FROM co
+                UNION ALL
+                SELECT pb, pa FROM co
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            lab AS (
+                SELECT node, 0 AS it, node AS lbl FROM nodes
+                UNION ALL
+                SELECT z.t AS node, z.it AS it,
+                       -((z.m).neg) AS lbl
+                FROM (
+                    SELECT c.t, c.it,
+                           max({'n': c.cnt, 'neg': -c.lbl}) AS m
+                    FROM (
+                        SELECT e.t AS t, y.it + 1 AS it,
+                               y.lbl AS lbl, count(*) AS cnt
+                        FROM lab y
+                        JOIN und e ON e.s = y.node
+                        WHERE y.it < 3
+                        GROUP BY 1, 2, 3
+                    ) c
+                    GROUP BY c.t, c.it
+                ) z
+            )
+            SELECT node AS id, lbl AS community
+            FROM lab WHERE it = 3
         """,
         # Fixed-8-round PageRank replay: the power iteration as a
         # bounded recursive CTE (part_kcore's multi-reference

@@ -1050,6 +1050,7 @@ def train_quality_classifier(
     iters: int = 30,
     lr: float = 1.0,
     l2: float = 1e-3,
+    quantize_dp: int | None = None,
 ) -> QualityClassifier:
     """Distributed full-batch logistic regression over an embedding
     column — the fastText/DCLM-style learned quality classifier step
@@ -1070,6 +1071,13 @@ def train_quality_classifier(
     ever leaves the executors; 100 TB cost is iters corpus scans,
     each embarrassingly parallel. Labels must be 0/1; rows with NULL
     label or vector are excluded.
+
+    ``quantize_dp``: when set, (w, b) are re-quantized to that many
+    decimals after every update (scaled-integer rounding — the
+    hits_scores replay discipline): both engines re-sync to the exact
+    same state each iteration, so an external SQL replay of the whole
+    fit stays bit-stable instead of accumulating summation-order
+    noise. None (default) = the unquantized production fit.
     """
     base = (
         df.filter(
@@ -1127,6 +1135,10 @@ def train_quality_classifier(
         loss = acc[dim + 2] / n_rows + 0.5 * l2 * float(w @ w)
         w = w - lr * grad_w
         b = b - lr * grad_b
+        if quantize_dp is not None:
+            scale = 10.0 ** quantize_dp
+            w = np.floor(w * scale + 0.5) / scale
+            b = float(np.floor(b * scale + 0.5) / scale)
     base.unpersist()
     return QualityClassifier(w, b, n_rows, iters, loss)
 

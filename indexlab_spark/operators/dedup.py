@@ -28,6 +28,8 @@ expressible 1:1 in the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1467,6 +1469,15 @@ def pagerank(
     per job was measured WORSE — Catalyst/AQE planning grows
     superlinearly with plan depth.)
 
+    NOTE on replay quantization: hits_scores offers per-round
+    ``quantize_dp`` re-syncing; pagerank deliberately does NOT — a
+    quantized rank state is decimal-rational, so the update's exact
+    value lands ON half-quantum boundaries (measured: raw 2481.5
+    micro-units on the kNN gate graph) where engine summation order
+    decides the flip. Unquantized fixed-iteration replay plus
+    scaled-integer OUTPUT rounding is the attested contract
+    (pagerank_parts, graph_pagerank).
+
     ``adaptive``: AQE re-plans every iteration job; for a small rank
     state the replanning dominates the work (measured ~1.5x on the
     300-node gate graph). "auto" (default) disables AQE for the loop —
@@ -2376,6 +2387,7 @@ def hits_scores(
     b_col: str = "id_b",
     iters: int = 20,
     adaptive: bool | str = "auto",
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999, public) on a DIRECTED
     edge list — the second centrality beside :func:`pagerank`, and the
@@ -2407,6 +2419,15 @@ def hits_scores(
     re-planning dominates sub-1M-node loops, so "auto" disables it
     below that and restores the prior setting after.
 
+    ``quantize_dp``: when set, the init vector and every round's
+    normalized scores are rounded to that many decimals — the
+    fixed-Lloyd replay discipline (kmeans_summary_fixed): both engines
+    re-sync to the exact same quantized state each round, so the
+    whole fit replays bit-for-bit in a bounded recursive CTE while the
+    distributed sums' last-bit noise (~1e-13, far below the 6dp
+    quantum) never accumulates. None (default) = the unquantized
+    production iteration.
+
     Output: ``(node, hub, authority)`` (6dp), one row per node
     appearing in the edge list; L2 norm of each score vector is 1.
     """
@@ -2436,6 +2457,12 @@ def hits_scores(
     spark.conf.set("spark.sql.adaptive.enabled", str(use_aqe).lower())
     try:
         init = 1.0 / (n_count ** 0.5)
+        if quantize_dp is not None:
+            # scaled-integer quantization (see pagerank): integer
+            # rounding is engine-portable, fractional round() is not
+            init = math.floor(init * 10.0 ** quantize_dp + 0.5) / (
+                10.0 ** quantize_dp
+            )
         scores = nodes.select(
             "node", F.lit(init).alias("h"), F.lit(init).alias("a")
         ).localCheckpoint(eager=True)
@@ -2468,14 +2495,14 @@ def hits_scores(
                 F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("_na"),
             ).first()
             nh, na = row[0] or 0.0, row[1] or 0.0
+            h_new = F.col("h_raw") / F.lit(nh) if nh else F.lit(0.0)
+            a_new = F.col("a_raw") / F.lit(na) if na else F.lit(0.0)
+            if quantize_dp is not None:
+                _sc = F.lit(10.0 ** quantize_dp)
+                h_new = F.round(h_new * _sc, 0) / _sc
+                a_new = F.round(a_new * _sc, 0) / _sc
             scores = joined.select(
-                "node",
-                (
-                    F.col("h_raw") / F.lit(nh) if nh else F.lit(0.0)
-                ).alias("h"),
-                (
-                    F.col("a_raw") / F.lit(na) if na else F.lit(0.0)
-                ).alias("a"),
+                "node", h_new.alias("h"), a_new.alias("a")
             )
         return scores.select(
             "node",

@@ -395,6 +395,38 @@ class TestQualityClassifier:
         assert acc > 0.9
         assert np.isfinite(m.final_loss) and m.final_loss < 0.69  # < ln 2
 
+    def test_quantized_matches_python_replay(self, spark):
+        """quantize_dp (the r12 oracle-replay contract): the Spark fit
+        must equal a pure-python replay that floor-quantizes (w, b) to
+        the same scaled-integer state after every update — the exact
+        arithmetic the generated SQL oracle runs."""
+        import numpy as np
+
+        from indexlab_spark.operators.curation import (
+            train_quality_classifier,
+        )
+
+        x, y = self._data()
+        n = len(y)
+        w = np.zeros(x.shape[1])
+        b = 0.0
+        scale = 1e9
+        for _ in range(10):
+            p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+            err = p - y
+            w = w - 1.0 * (x.T @ err / n + 1e-3 * w)
+            b = b - 1.0 * (err.sum() / n)
+            w = np.floor(w * scale + 0.5) / scale
+            b = float(np.floor(b * scale + 0.5) / scale)
+
+        rows = [(x[i].tolist(), float(y[i])) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "embedding array<double>, label double"
+        ).repartition(4)
+        m = train_quality_classifier(df, "label", iters=10, quantize_dp=9)
+        assert np.allclose(m.weights, w, atol=1e-12)
+        assert abs(m.bias - b) < 1e-12
+
     def test_null_rows_excluded_and_empty_raises(self, spark):
         from indexlab_spark.operators.curation import (
             train_quality_classifier,
@@ -1248,6 +1280,50 @@ class TestHitsScores:
         df = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
         with _pytest.raises(ValueError, match="iters"):
             hits_scores(df, iters=0)
+
+    def test_quantized_matches_python_replay(self, spark):
+        """quantize_dp=6 (the r12 oracle-replay contract): the Spark
+        iteration must equal a pure-python replay that re-syncs to the
+        same scaled-integer-rounded 6dp state each round — the exact
+        arithmetic the recursive-CTE oracle runs."""
+        import math
+
+        from indexlab_spark.operators.dedup import hits_scores
+
+        edges = [
+            ("u1", "v1"), ("u1", "v2"), ("u1", "v3"),
+            ("u2", "v2"), ("u2", "v3"),
+            ("u3", "v3"), ("v1", "u3"),
+        ]
+        nodes = sorted({x for e in edges for x in e})
+        init = math.floor(1.0 / len(nodes) ** 0.5 * 1e6 + 0.5) / 1e6
+        h = {v: init for v in nodes}
+
+        def q(x):
+            y = x * 1e6
+            f = math.floor(y)
+            return (f + 1 if y - f >= 0.5 else f) / 1e6
+
+        for _ in range(10):
+            a_raw = {v: 0.0 for v in nodes}
+            h_raw = {v: 0.0 for v in nodes}
+            for s, d in edges:
+                a_raw[d] += h[s]
+            for s, d in edges:
+                h_raw[s] += a_raw[d]
+            nh = math.sqrt(sum(x * x for x in h_raw.values()))
+            na = math.sqrt(sum(x * x for x in a_raw.values()))
+            h = {v: q(h_raw[v] / nh) if nh else 0.0 for v in nodes}
+            a = {v: q(a_raw[v] / na) if na else 0.0 for v in nodes}
+
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        got = {
+            r["node"]: r
+            for r in hits_scores(df, iters=10, quantize_dp=6).collect()
+        }
+        for n in nodes:
+            assert abs(got[n]["hub"] - round(h[n], 6)) < 1e-9, n
+            assert abs(got[n]["authority"] - round(a[n], 6)) < 1e-9, n
 
 
 class TestMannWhitneyU:
