@@ -908,8 +908,12 @@ def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation — CCNet-style normalization (NFKC, accent strip, case,
     whitespace squeeze) feeding exact dedup: catches the trivial-variant
-    duplicates byte hashing misses. unicodedata is outside SQL ->
-    rows-only; variant-collapse semantics pinned in tests."""
+    duplicates byte hashing misses. ORACLE-backed since r12: the gate
+    corpus is pure ASCII with space-only whitespace (verified at both
+    SFs), where NFKC and accent-strip are identities — so the oracle
+    replays lower + space-squeeze + trim + md5 exactly (the exact_dedup
+    SQL shape); the unicodedata behavior itself (curly quotes, NBSP,
+    accents) stays pinned in the variant-collapse pytest."""
     from indexlab_spark.operators.dedup import exact_dedup
     from indexlab_spark.operators.textstats import normalize_text
 
@@ -5380,21 +5384,32 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/decompose): the corpus reduces to a
     d^2+d+1 moment summary in ONE Arrow map-combined pass, the 64x64
-    eigendecomposition runs on the driver (dim-bounded, not
-    data-bounded), and the projection is a map-only BLAS pass. Returns
-    the first 4 principal coordinates per vector (deterministic
-    component signs). Eigendecomposition -> rows-only; exact numpy
-    parity is pinned in tests."""
-    from indexlab_spark.operators.decompose import pca_fit, pca_project
+    eigensolve runs on the driver (dim-bounded, not data-bounded), and
+    the projection is a map-only BLAS pass. Returns the first 4
+    principal coordinates per vector (deterministic component signs).
+    ORACLE-backed since r12 via pca_fit_fixed (the quantized
+    fixed-iteration replay discipline): a deflated power iteration
+    with 24 rounds per component and floor(x*1e9+0.5)/1e9 re-sync of
+    covariance, iterates, eigenvalues and deflations unrolls as
+    generated SQL CTEs — eigh is not replayable, a quantized power
+    iteration is. On this corpus the top eigenvalue ratios are ~0.99
+    (near-degenerate), so individual eigenvectors are ill-conditioned
+    and the pinned quality claim is Rayleigh-quotient near-optimality
+    (each component >= 95% of eigh's matching eigenvalue) plus
+    orthonormality, alongside the exact numpy replay; pca_fit (eigh)
+    stays the production default."""
+    from indexlab_spark.operators.decompose import pca_fit_fixed, pca_project
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    model = pca_fit(emb, "embedding", k=4)
+    model = pca_fit_fixed(emb, "embedding", k=4, iters=24, quantize_dp=9)
     proj = pca_project(emb, model)
+    sc6 = F.lit(1000000.0)
     return proj.select(
         "vec_id",
         "label",
         *[
-            F.round(F.element_at("pca", i + 1), 6).alias(f"pc{i + 1}")
+            (F.round(F.element_at("pca", i + 1) * sc6, 0) / sc6)
+            .alias(f"pc{i + 1}")
             for i in range(4)
         ],
     )
@@ -6779,17 +6794,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # TWELVE r12 attestation upgrades in registry order
-        # (similarity_ivf, similarity_ivf_append, graph_communities,
-        # similarity_pq, semantic_dedup, similarity_sq8,
-        # graph_pagerank, quality_classifier, embedding_kmeans,
-        # hits_suppliers, similarity_ivfpq, ann_recall_ivf; slots
-        # 13-24) — then the oldest-attestation backfill (26 slots):
+        # FOURTEEN r12 attestation upgrades in registry order
+        # (similarity_ivf, similarity_ivf_append, pca_embeddings,
+        # graph_communities, similarity_pq, semantic_dedup,
+        # similarity_sq8, normalized_dedup, graph_pagerank,
+        # quality_classifier, embedding_kmeans, hits_suppliers,
+        # similarity_ivfpq, ann_recall_ivf; slots 13-26) — then the
+        # oldest-attestation backfill (24 slots):
         # the 17 remaining r06-green entries below (balance_quartiles
         # .. balance_percent_rank, 7 rounds stale by r13, the oldest
-        # attestations left), then the first 9 of the 38 r07-green
-        # entries in registry order (trigram_logprob .. psi_drift);
-        # the remaining 29 r07-green lead the r14 backfill.
+        # attestations left), then the first 7 of the 38 r07-green
+        # entries in registry order (trigram_logprob ..
+        # exact_dedup_incremental); the remaining 31 r07-green lead
+        # the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7006,8 +7023,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assign; oracle trains on the even half, assigns the union);
         # never-attested, leads the r13 window:
         "similarity_ivf_append": _q_similarity_ivf_append,
-        # rows-only (no SQL-expressible oracle):
+        # pca_embeddings upgraded to oracle-backed in r12
+        # (pca_fit_fixed: quantized deflated power iteration +
+        # per-round Gram-Schmidt, generated CTE replay);
+        # never-attested, leads the r13 window:
         "pca_embeddings": _q_pca_embeddings,
+        # rows-only (no SQL-expressible oracle):
         "weighted_minhash": _q_weighted_minhash,
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
@@ -7033,6 +7054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round_even); never-attested, leads the r13 window:
         "similarity_sq8": _q_similarity_sq8,
         "compression_quality": _q_compression_quality,
+        # normalized_dedup upgraded to oracle-backed in r12 (the gate
+        # corpus is pure ASCII, where NFKC/accent-strip are identities
+        # and the oracle replays lower+squeeze+md5); never-attested,
+        # leads the r13 window:
         "normalized_dedup": _q_normalized_dedup,
         # graph_pagerank upgraded to oracle-backed in r12 (fixed-8
         # tol=None over the mutual-kNN ENDPOINT graph, unquantized
@@ -7489,6 +7514,149 @@ def _quality_clf_sql(iters: int = 20, dim: int = 64) -> str:
                round(avg(CASE WHEN (p > 0.5) = (y > 0.5)
                               THEN 1.0 ELSE 0.0 END), 6) AS acc
         FROM scored GROUP BY label"""
+    )
+
+
+def _pca_fixed_sql(k: int = 4, iters: int = 24, dim: int = 64) -> str:
+    """Generated oracle for pca_embeddings: replays
+    decompose.pca_fit_fixed — quantized covariance from the moment
+    sums, then per component a fixed-round power iteration (matvec +
+    L2 norm + floor(x*1e9+0.5)/1e9 re-sync each round), the
+    argmax-|entry| first-index sign fix, a quantized eigenvalue, and a
+    quantized rank-1 deflation — followed by the (x - mean_q) @ W^T
+    projection and the entry's scaled-integer 6dp output rounding.
+    Every float expression mirrors the numpy op order exactly
+    (gram/n - mean_i*mean_j, (c_ij + c_ji)/2, lam*(v_i*v_j))."""
+    parts = [f"""
+        base AS MATERIALIZED (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        nr AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        mean0 AS MATERIALIZED (
+            SELECT j, sum(v[j]) / (SELECT n FROM nr) AS m
+            FROM base, generate_series(1, {dim}) AS t(j) GROUP BY j
+        ),
+        meanq AS MATERIALIZED (
+            SELECT j, floor(m * 1000000000.0 + 0.5) / 1000000000.0 AS m
+            FROM mean0
+        ),
+        gram AS MATERIALIZED (
+            SELECT s.i, t.j, sum(v[s.i] * v[t.j]) AS g
+            FROM base, generate_series(1, {dim}) AS s(i),
+                 generate_series(1, {dim}) AS t(j)
+            GROUP BY s.i, t.j
+        ),
+        covr AS MATERIALIZED (
+            SELECT g.i, g.j,
+                   g.g / (SELECT n FROM nr) - a.m * b.m AS c
+            FROM gram g
+            JOIN mean0 a ON a.j = g.i
+            JOIN mean0 b ON b.j = g.j
+        ),
+        a0 AS MATERIALIZED (
+            SELECT x.i, x.j,
+                   floor((x.c + y.c) / 2 * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS a
+            FROM covr x JOIN covr y ON y.i = x.j AND y.j = x.i
+        ),
+        vinit AS MATERIALIZED (
+            SELECT j, floor(1.0 / sqrt({dim}.0) * 1000000000.0 + 0.5)
+                          / 1000000000.0 AS x
+            FROM generate_series(1, {dim}) AS t(j)
+        )"""]
+    for c in range(k):
+        if c > 0:
+            pc_union = " UNION ALL ".join(
+                f"SELECT {i} AS c, j, x FROM comp{i}" for i in range(c)
+            )
+            parts.append(f"""
+        pc{c} AS MATERIALIZED ({pc_union})""")
+        prev_v = "vinit"
+        for t in range(iters):
+            cur = f"v{c}_{t + 1}"
+            parts.append(f"""
+        w{c}_{t} AS MATERIALIZED (
+            SELECT a.i AS j, sum(a.a * v.x) AS w
+            FROM a{c} a JOIN {prev_v} v ON v.j = a.j
+            GROUP BY a.i
+        )""")
+            if c > 0:
+                # Gram-Schmidt against the extracted components:
+                # w -= C^T (C w), mirroring the numpy op order
+                parts.append(f"""
+        d{c}_{t} AS MATERIALIZED (
+            SELECT p.c, sum(p.x * w.w) AS d
+            FROM pc{c} p JOIN w{c}_{t} w ON w.j = p.j
+            GROUP BY p.c
+        ),
+        g{c}_{t} AS MATERIALIZED (
+            SELECT w.j, w.w - coalesce(corr.cv, 0.0) AS w
+            FROM w{c}_{t} w
+            LEFT JOIN (SELECT p.j, sum(d.d * p.x) AS cv
+                       FROM pc{c} p JOIN d{c}_{t} d ON d.c = p.c
+                       GROUP BY p.j) corr ON corr.j = w.j
+        )""")
+                src = f"g{c}_{t}"
+            else:
+                src = f"w{c}_{t}"
+            parts.append(f"""
+        {cur} AS MATERIALIZED (
+            SELECT j, floor(w / nm * 1000000000.0 + 0.5)
+                          / 1000000000.0 AS x
+            FROM (SELECT w.j, w.w, sqrt(sum(w.w * w.w) OVER ()) AS nm
+                  FROM {src} w)
+        )""")
+            prev_v = cur
+        parts.append(f"""
+        comp{c} AS MATERIALIZED (
+            SELECT j, x * (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END
+                           FROM {prev_v}
+                           ORDER BY abs(x) DESC, j ASC LIMIT 1) AS x
+            FROM {prev_v}
+        ),
+        lam{c} AS MATERIALIZED (
+            SELECT floor(sum(v.x * w.w) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS l
+            FROM (SELECT a.i AS j, sum(a.a * v2.x) AS w
+                  FROM a{c} a JOIN comp{c} v2 ON v2.j = a.j
+                  GROUP BY a.i) w
+            JOIN comp{c} v ON v.j = w.j
+        )""")
+        if c + 1 < k:
+            parts.append(f"""
+        a{c + 1} AS MATERIALIZED (
+            SELECT a.i, a.j,
+                   floor((a.a - (SELECT l FROM lam{c})
+                          * (vi.x * vj.x)) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS a
+            FROM a{c} a
+            JOIN comp{c} vi ON vi.j = a.i
+            JOIN comp{c} vj ON vj.j = a.j
+        )""")
+    compall = " UNION ALL ".join(
+        f"SELECT {c + 1} AS c, j, x FROM comp{c}" for c in range(k)
+    )
+    pcs = ", ".join(
+        f"""round(max(CASE WHEN c = {c + 1} THEN p END) * 1000000.0, 0)
+                / 1000000.0 AS pc{c + 1}"""
+        for c in range(k)
+    )
+    parts.append(f"""
+        compall AS MATERIALIZED ({compall}),
+        proj AS MATERIALIZED (
+            SELECT b.vec_id, b.label, cm.c,
+                   sum((b.v[cm.j] - m.m) * cm.x) AS p
+            FROM base b
+            CROSS JOIN compall cm
+            JOIN meanq m ON m.j = cm.j
+            GROUP BY b.vec_id, b.label, cm.c
+        )""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+        SELECT vec_id, label, {pcs}
+        FROM proj GROUP BY vec_id, label"""
     )
 
 
@@ -13237,6 +13405,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(spy - (sp / n) * sy) / tn, 6)
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
+        """,
+        # Quantized deflated-power-iteration PCA replay: generated CTE
+        # unroll of pca_fit_fixed + projection (see _pca_fixed_sql).
+        "pca_embeddings": _pca_fixed_sql(),
+        # CCNet normalization + exact dedup: on the (verified) pure-
+        # ASCII gate corpus NFKC/accent-strip are identities, so the
+        # replay is lower + whitespace-squeeze + trim + md5 — the
+        # exact_dedup oracle shape without the synthetic dup union.
+        "normalized_dedup": """
+            SELECT md5(nt) AS text_md5,
+                   count(*) AS cnt,
+                   min(doc_id) AS keep_id,
+                   array_to_string(
+                       list_transform(
+                           list_slice(list_sort(list(doc_id)), 1, 100),
+                           x -> CAST(x AS VARCHAR)),
+                       ',') AS ids_csv
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g')) AS nt
+                  FROM documents)
+            GROUP BY 1
         """,
         # Quantized 20-step logistic-regression replay: generated CTE
         # unroll of the full-batch fit (see _quality_clf_sql).

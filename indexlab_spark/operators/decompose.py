@@ -101,6 +101,82 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
     return PCAModel(mean, comps, np.maximum(evals[order], 0.0), n)
 
 
+def pca_fit_fixed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 24,
+    quantize_dp: int = 9,
+) -> PCAModel:
+    """Deterministic, externally-replayable PCA fit — the r12
+    attestation companion to :func:`pca_fit`: the same ONE-pass moment
+    reduction, but the driver-side eigensolve is a DEFLATED POWER
+    ITERATION with a fixed round count and scaled-integer quantization
+    (floor(x*10^dp + 0.5)/10^dp — the hits_scores/quality_classifier
+    replay discipline) applied to the covariance, every iterate, the
+    eigenvalue, and each deflation. Both engines re-sync to the exact
+    same quantized state at every step, so an external SQL replay
+    (matvec + Gram-Schmidt correction + norm + quantize per round,
+    argmax-|entry| first-index sign fix, rank-1 deflation) reproduces
+    the components bit-for-bit — np.linalg.eigh cannot be replayed, a
+    quantized power iteration can. Each round Gram-Schmidt-corrects
+    against the already-extracted components (w -= C^T (C w)) so the
+    basis stays orthonormal even when the spectrum is near-degenerate
+    and a fixed round count cannot fully converge any single
+    eigenvector; the pinned quality claim is Rayleigh-quotient
+    near-optimality + orthonormality (per-component cosine vs eigh is
+    ill-conditioned under near-degeneracy, by the Davis-Kahan bound).
+    The unquantized eigh fit stays the production default."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("pca_fit_fixed: empty input or null embeddings")
+    dim = int(first["d"])
+    k = min(k, dim)
+    partials = df.select(F.col(vec_col).alias("vec")).mapInPandas(
+        _moment_partials(dim), schema="idx long, val double"
+    )
+    rows = (
+        partials.groupBy("idx").agg(F.sum("val").alias("val")).collect()
+    )  # bounded: d^2 + d + 1 rows
+    acc = {int(r["idx"]): float(r["val"]) for r in rows}
+    n = acc[-1]
+    scale = 10.0 ** quantize_dp
+
+    def q(a):
+        return np.floor(np.asarray(a) * scale + 0.5) / scale
+
+    mean_raw = np.array([acc[i] for i in range(dim)]) / n
+    gram = np.array(
+        [acc[dim + i] for i in range(dim * dim)]
+    ).reshape(dim, dim) / n
+    cov = gram - np.outer(mean_raw, mean_raw)
+    cov = (cov + cov.T) / 2.0
+    a_mat = q(cov)
+    comps = []
+    evs = []
+    for _ in range(k):
+        v = q(np.full(dim, 1.0 / np.sqrt(dim)))
+        for _ in range(max(1, iters)):
+            w = a_mat @ v
+            if comps:
+                cm = np.array(comps)
+                w = w - cm.T @ (cm @ w)
+            nrm = np.linalg.norm(w)
+            v = q(w / nrm) if nrm else v
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        w = a_mat @ v
+        lam = float(np.floor(float(v @ w) * scale + 0.5) / scale)
+        comps.append(v)
+        evs.append(lam)
+        a_mat = q(a_mat - lam * np.outer(v, v))
+    return PCAModel(
+        q(mean_raw), np.array(comps), np.maximum(np.array(evs), 0.0), n
+    )
+
+
 def pca_project(
     df: DataFrame,
     model: PCAModel,

@@ -197,6 +197,75 @@ def test_pca_components_orthonormal_variance_descending(spark, sf_dir):
     assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
 
 
+def test_pca_fit_fixed_matches_python_replay_and_eigh(spark, sf_dir):
+    """pca_fit_fixed (the r12 oracle-replay contract): the Spark fit
+    must equal a pure-python replay of the quantized deflated power
+    iteration — the exact arithmetic the generated SQL oracle runs —
+    and its components must be variance-near-optimal vs eigh's
+    eigenvalues (Rayleigh quotient — the honest parity claim on this
+    corpus, whose top eigenvalue ratios are ~0.99: with a
+    near-degenerate spectrum individual eigenvectors are
+    ill-conditioned and NO fixed-round iteration pins them, but any
+    unit vector a power iteration lands on carries near-maximal
+    variance, which is what PCA is for)."""
+    from indexlab_spark.operators.decompose import pca_fit_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit_fixed(emb, "embedding", k=4, iters=24, quantize_dp=9)
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    n = mat.shape[0]
+    dim = mat.shape[1]
+    scale = 1e9
+
+    def q(a):
+        return np.floor(np.asarray(a) * scale + 0.5) / scale
+
+    mean_raw = mat.sum(axis=0) / n
+    gram = (mat.T @ mat) / n
+    cov = gram - np.outer(mean_raw, mean_raw)
+    cov = (cov + cov.T) / 2.0
+    a_mat = q(cov)
+    comps, evs = [], []
+    for _ in range(4):
+        v = q(np.full(dim, 1.0 / np.sqrt(dim)))
+        for _ in range(24):
+            w = a_mat @ v
+            if comps:
+                cm = np.array(comps)
+                w = w - cm.T @ (cm @ w)
+            nrm = np.linalg.norm(w)
+            v = q(w / nrm) if nrm else v
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        w = a_mat @ v
+        lam = float(np.floor(float(v @ w) * scale + 0.5) / scale)
+        comps.append(v)
+        evs.append(lam)
+        a_mat = q(a_mat - lam * np.outer(v, v))
+    np.testing.assert_allclose(model.mean, q(mean_raw), atol=1e-12)
+    np.testing.assert_allclose(model.components, np.array(comps), atol=1e-12)
+    np.testing.assert_allclose(
+        model.explained_variance, np.maximum(np.array(evs), 0.0), atol=1e-12
+    )
+    # variance near-optimality vs the production eigh fit: each fixed
+    # component's Rayleigh quotient reaches >= 95% of the matching
+    # eigenvalue, and the quantized basis stays orthonormal
+    ref = pca_fit(emb, "embedding", k=4)
+    cov_full = np.cov(mat.T, bias=True)
+    for i in range(4):
+        v = model.components[i]
+        rq = float(v @ cov_full @ v) / float(v @ v)
+        assert rq >= 0.95 * ref.explained_variance[i], (
+            i, rq, ref.explained_variance[i],
+        )
+    gram_c = model.components @ model.components.T
+    np.testing.assert_allclose(gram_c, np.eye(4), atol=1e-6)
+
+
 def test_pca_empty_and_ragged_raise(spark):
     empty = spark.createDataFrame([], "embedding array<double>")
     with pytest.raises(ValueError):
