@@ -126,3 +126,43 @@ def test_chunk_fixed_stride_formula(text, size):
     k_last = max(0, math.ceil((n - size) / stride))
     expected = [text[k * stride : k * stride + size] for k in range(k_last + 1)]
     assert out == expected
+
+
+def test_chunk_sentences_oracle_sql_matches_port():
+    """The r12 chunk_sentences oracle (recursive sentence-packing fold,
+    __spark_entry__._chunk_sentences_sql) must equal the python port on
+    MULTI-sentence documents — the gate corpus is single-sentence, so
+    this test is what actually exercises the fold's packing, overflow,
+    trailing-space, empty-doc and overlap branches cross-engine."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    docs = [
+        (1, "Hello world. This is a test! Another sentence? Short. "
+            "A much longer sentence that will certainly overflow the "
+            "buffer size limit here. End."),
+        (2, "One sentence only no punctuation"),
+        (3, ""),
+        (4, "A. B. C. D. E. F. G. H. I. J. K. L."),
+        (5, "Trailing spaces after punct.   Next piece.  "),
+        (6, "x" * 300 + ". tail bit."),
+        (7, "Exact fit ab. cd ef gh ij kl mn op qr st uv wx yz 12 34."),
+    ]
+    size, overlap = 60, 15
+    ref = {}
+    for d, t in docs:
+        for k, c in enumerate(chunk_sentences(t, size, overlap)):
+            ref[(d, k)] = c
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+    sql = entry_mod._chunk_sentences_sql(size=size, overlap=overlap)
+    got = {
+        (r[0], r[1]): r[3] for r in con.execute(sql).fetchall()
+    }
+    assert got == ref
