@@ -5650,9 +5650,13 @@ def _q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     2010): unweighted MinHash treats documents as SETS, so repeated
     boilerplate is invisible; ICWS samples the weighted Jaccard
     sum(min tf)/sum(max tf) exactly, and candidates get an exact
-    candidate-restricted verify. LSH capture is probabilistic ->
-    rows-only; the collision-rate guarantee and exact-verify values
-    are pinned in tests."""
+    candidate-restricted verify. ORACLE-backed since r12: the whole
+    pipeline is md5-deterministic (the "LSH capture is probabilistic"
+    framing undersold it — given the seeded draws it is a pure
+    function of the corpus), so the oracle replays draws (md5 hex ->
+    exact HUGEINT -> (x+1)/2^64), ICWS sample, banding, candidates
+    and the exact verify end to end (_wminhash_sql); collision-rate
+    guarantees stay pinned in tests."""
     from indexlab_spark.operators.dedup import wminhash_lsh_pairs
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -6803,19 +6807,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # SIXTEEN r12 attestation upgrades in registry order
+        # SEVENTEEN r12 attestation upgrades in registry order
         # (similarity_ivf, similarity_ivf_append, pca_embeddings,
-        # chunk_sentences, chunk_headings, graph_communities,
-        # similarity_pq, semantic_dedup, similarity_sq8,
-        # normalized_dedup, graph_pagerank, quality_classifier,
-        # embedding_kmeans, hits_suppliers, similarity_ivfpq,
-        # ann_recall_ivf; slots 13-28) — then the oldest-attestation
-        # backfill (22 slots): the 17 remaining r06-green entries
-        # below (balance_quartiles .. balance_percent_rank, 7 rounds
-        # stale by r13, the oldest attestations left), then the first
-        # 5 of the 38 r07-green entries in registry order
-        # (trigram_logprob .. embedding_drift); the remaining 33
-        # r07-green lead the r14 backfill.
+        # weighted_minhash, chunk_sentences, chunk_headings,
+        # graph_communities, similarity_pq, semantic_dedup,
+        # similarity_sq8, normalized_dedup, graph_pagerank,
+        # quality_classifier, embedding_kmeans, hits_suppliers,
+        # similarity_ivfpq, ann_recall_ivf; slots 13-29) — then the
+        # oldest-attestation backfill (21 slots): the 17 remaining
+        # r06-green entries below (balance_quartiles ..
+        # balance_percent_rank, 7 rounds stale by r13, the oldest
+        # attestations left), then the first 4 of the 38 r07-green
+        # entries in registry order (trigram_logprob .. dq_lineitem);
+        # the remaining 34 r07-green lead the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7038,6 +7042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-attested, leads the r13 window:
         "pca_embeddings": _q_pca_embeddings,
         # rows-only (no SQL-expressible oracle):
+        # weighted_minhash upgraded to oracle-backed in r12
+        # (md5-deterministic ICWS replay); never-attested, leads the
+        # r13 window:
         "weighted_minhash": _q_weighted_minhash,
         # chunk_sentences + chunk_headings upgraded to oracle-backed
         # in r12 (recursive-CTE packing fold / chunk_fixed reduction on
@@ -7600,6 +7607,132 @@ def _chunk_sentences_sql(size: int = 120, overlap: int = 30) -> str:
                    AS doc_id,
                text
         FROM chunks"""
+
+
+def _wminhash_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.65
+) -> str:
+    """Generated oracle for weighted_minhash: the ICWS pipeline
+    (dedup.icws_signature / wminhash_lsh_pairs) is md5-deterministic
+    end to end, so it replays exactly — per (term, hash) the Gamma/
+    Uniform draws come from md5 hex parsed to exact HUGEINTs
+    ((x+1)/2^64, the +2 in the python denominator vanishes below the
+    float ulp), the sample is argmin over c/(exp(r*(t-beta))*exp(r))
+    with t = floor(ln(tf)/r + beta) in the python op order (libm
+    ln/exp — the same glibc in both engines on this host), signatures
+    band into string_agg keys, candidates band-join, and the exact
+    weighted-Jaccard verify is integer arithmetic. Gate corpus:
+    31-term vocabulary, space-only whitespace (tokenization parity
+    with str.split() verified)."""
+    rpb = max(1, num_hashes // bands)
+    return f"""
+        WITH hexmap AS MATERIALIZED (
+            SELECT chr(CAST(48 + g.i AS INTEGER)) AS c,
+                   CAST(g.i AS HUGEINT) AS v
+            FROM generate_series(0, 9) g(i)
+            UNION ALL
+            SELECT chr(CAST(97 + g.i AS INTEGER)),
+                   CAST(10 + g.i AS HUGEINT)
+            FROM generate_series(0, 5) g(i)
+        ),
+        tok AS MATERIALIZED (
+            SELECT id, term, count(*) AS tf FROM (
+                SELECT doc_id AS id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents)
+            GROUP BY 1, 2
+        ),
+        sums AS MATERIALIZED (
+            SELECT id, CAST(sum(tf) AS DOUBLE) AS sumw
+            FROM tok GROUP BY 1
+        ),
+        vh AS MATERIALIZED (
+            SELECT term, g.i,
+                   md5('icws1|' || CAST(g.i AS VARCHAR) || '|' || term)
+                       AS d1,
+                   md5('icws2|' || CAST(g.i AS VARCHAR) || '|' || term)
+                       AS d2,
+                   md5('icws3|' || CAST(g.i AS VARCHAR) || '|' || term)
+                       AS d3
+            FROM (SELECT DISTINCT term FROM tok),
+                 generate_series(0, {num_hashes - 1}) g(i)
+        ),
+        hx AS MATERIALIZED (
+            SELECT term, i, pr.part,
+                   CASE pr.part
+                       WHEN 'u11' THEN substr(d1, 1, 16)
+                       WHEN 'u12' THEN substr(d1, 17, 16)
+                       WHEN 'u21' THEN substr(d2, 1, 16)
+                       WHEN 'u22' THEN substr(d2, 17, 16)
+                       ELSE substr(d3, 1, 16) END AS h
+            FROM vh, (VALUES ('u11'), ('u12'), ('u21'), ('u22'),
+                             ('b')) pr(part)
+        ),
+        us AS MATERIALIZED (
+            SELECT term, i, part,
+                   (CAST(sum(m.v * CAST(power(16.0, 16 - s.p)
+                                        AS HUGEINT)) + 1 AS DOUBLE))
+                       / 18446744073709551616.0 AS u
+            FROM hx, generate_series(1, 16) s(p)
+            JOIN hexmap m ON m.c = substr(hx.h, s.p, 1)
+            GROUP BY 1, 2, 3
+        ),
+        params AS MATERIALIZED (
+            SELECT term, i,
+                   -ln(max(CASE WHEN part = 'u11' THEN u END)
+                       * max(CASE WHEN part = 'u12' THEN u END)) AS r,
+                   -ln(max(CASE WHEN part = 'u21' THEN u END)
+                       * max(CASE WHEN part = 'u22' THEN u END)) AS c,
+                   max(CASE WHEN part = 'b' THEN u END) AS beta
+            FROM us GROUP BY 1, 2
+        ),
+        av AS MATERIALIZED (
+            SELECT t.id, t.term, p.i,
+                   floor(ln(CAST(t.tf AS DOUBLE)) / p.r + p.beta) AS tt,
+                   p.c / (exp(p.r * (floor(ln(CAST(t.tf AS DOUBLE))
+                                           / p.r + p.beta) - p.beta))
+                          * exp(p.r)) AS a
+            FROM tok t JOIN params p ON p.term = t.term
+        ),
+        sig AS MATERIALIZED (
+            SELECT id, i,
+                   arg_min(term || '|'
+                           || CAST(CAST(tt AS BIGINT) AS VARCHAR), a)
+                       AS s
+            FROM av GROUP BY 1, 2
+        ),
+        bk AS MATERIALIZED (
+            SELECT id, CAST(i // {rpb} AS INTEGER) AS band,
+                   string_agg(s, '#' ORDER BY i) AS key
+            FROM sig GROUP BY 1, 2
+        ),
+        cand AS MATERIALIZED (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM bk a
+            JOIN bk b ON a.band = b.band AND a.key = b.key
+                      AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        mins AS MATERIALIZED (
+            SELECT c.id_a, c.id_b,
+                   CAST(sum(least(ta.tf, tb.tf)) AS DOUBLE) AS summin
+            FROM cand c
+            JOIN tok ta ON ta.id = c.id_a
+            JOIN tok tb ON tb.id = c.id_b AND tb.term = ta.term
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, wjaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   round(coalesce(m.summin, 0)
+                         / (sa.sumw + sb.sumw
+                            - coalesce(m.summin, 0)), 6) AS wjaccard
+            FROM cand c
+            LEFT JOIN mins m ON m.id_a = c.id_a AND m.id_b = c.id_b
+            JOIN sums sa ON sa.id = c.id_a
+            JOIN sums sb ON sb.id = c.id_b)
+        WHERE wjaccard >= {threshold}"""
 
 
 def _pca_fixed_sql(k: int = 4, iters: int = 24, dim: int = 64) -> str:
@@ -13491,6 +13624,10 @@ def oracle_sql() -> dict[str, str]:
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
         """,
+        # md5-deterministic ICWS replay: draws from parsed digests,
+        # argmin sample, banded LSH, exact weighted-Jaccard verify
+        # (see _wminhash_sql).
+        "weighted_minhash": _wminhash_sql(threshold=0.65),
         # Greedy sentence-packing fold as a recursive CTE (see
         # _chunk_sentences_sql).
         "chunk_sentences": _chunk_sentences_sql(size=120, overlap=30),
