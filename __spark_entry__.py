@@ -6113,8 +6113,10 @@ def _q_truss_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tightly-knit bundles with hub noise peeled away, THE shape a
     template farm / bot ring makes in a near-dup graph. k_truss ->
     connected_components -> component sizes, three registry operators
-    chained through plain DataFrames. Rows-only (k_truss's peel is
-    not SQL-replayable)."""
+    chained through plain DataFrames. ORACLE-backed since r12: the
+    fixed-4-round peel replay composed with a fixed-12-round min-label
+    CC replay (fixpoints measured at 2 and 6 rounds; both idempotent
+    past convergence)."""
     from indexlab_spark.operators.dedup import (
         connected_components,
         k_truss,
@@ -6807,19 +6809,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # SEVENTEEN r12 attestation upgrades in registry order
+        # NINETEEN r12 attestation upgrades in registry order
         # (similarity_ivf, similarity_ivf_append, pca_embeddings,
         # weighted_minhash, chunk_sentences, chunk_headings,
         # graph_communities, similarity_pq, semantic_dedup,
         # similarity_sq8, normalized_dedup, graph_pagerank,
         # quality_classifier, embedding_kmeans, hits_suppliers,
-        # similarity_ivfpq, ann_recall_ivf; slots 13-29) — then the
-        # oldest-attestation backfill (21 slots): the 17 remaining
-        # r06-green entries below (balance_quartiles ..
-        # balance_percent_rank, 7 rounds stale by r13, the oldest
-        # attestations left), then the first 4 of the 38 r07-green
-        # entries in registry order (trigram_logprob .. dq_lineitem);
-        # the remaining 34 r07-green lead the r14 backfill.
+        # similarity_ivfpq, part_ktruss, truss_farms, ann_recall_ivf;
+        # slots 13-31) — then the oldest-attestation backfill
+        # (19 slots): the 17 remaining r06-green entries below
+        # (balance_quartiles .. balance_percent_rank, 7 rounds stale
+        # by r13, the oldest attestations left), then the first 2 of
+        # the 38 r07-green entries in registry order (trigram_logprob,
+        # semantic_decontam); the remaining 36 r07-green lead the r14
+        # backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7101,9 +7104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq": _q_similarity_ivfpq,
         # -- round-10 rows-only additions (oracle-backed siblings and
         # the r11 attestation upgrades moved into driver windows above):
-        "part_ktruss": _q_part_ktruss,  # rows-only
+        # part_ktruss upgraded to oracle-backed in r12 (fixed-4-round
+        # peel replay); never-attested, leads the r13 window:
+        "part_ktruss": _q_part_ktruss,
         "binseg_revenue": _q_binseg_revenue,  # rows-only
-        "truss_farms": _q_truss_farms,  # rows-only
+        # truss_farms upgraded to oracle-backed in r12 (peel + CC
+        # min-label replay); never-attested, leads the r13 window:
+        "truss_farms": _q_truss_farms,
         # ann_recall_ivf upgraded to oracle-backed in r12 (build_ivf_fixed
         # quantizer + round-before-rank approx + bit-matched exact fold);
         # never-attested, leads the r13 window:
@@ -13623,6 +13630,91 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(spy - (sp / n) * sy) / tn, 6)
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
+        """,
+        # Fixed-4-round k-truss peel replay (fixpoint measured at 2
+        # rounds on both gate SFs; peeling is idempotent there, the
+        # lpa_parts argument) — the per-round triangle support joins
+        # the recursive frame three times, which DuckDB permits.
+        "part_ktruss": """
+            WITH RECURSIVE co AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            tr AS (
+                SELECT pa, pb, 0 AS it, CAST(0 AS BIGINT) AS c FROM co
+                UNION ALL
+                (WITH prev AS (SELECT pa, pb, it FROM tr WHERE it < 4),
+                      und AS (SELECT pa AS s, pb AS t FROM prev
+                              UNION ALL SELECT pb, pa FROM prev)
+                 SELECT e.pa, e.pb, max(e.it) + 1 AS it,
+                        count(*) AS c
+                 FROM prev e
+                 JOIN und x ON x.s = e.pa
+                 JOIN und y ON y.s = e.pb AND y.t = x.t
+                 GROUP BY e.pa, e.pb)
+            )
+            SELECT pa AS id_a, pb AS id_b, c AS support
+            FROM tr WHERE it = 4
+        """,
+        # The same truss fold feeding a fixed-12-round min-label
+        # connected-components replay (fixpoint measured at 6 rounds
+        # at sf0.01; cluster = the component's smallest node id, the
+        # operator's documented deterministic label).
+        "truss_farms": """
+            WITH RECURSIVE co AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            tr AS (
+                SELECT pa, pb, 0 AS it FROM co
+                UNION ALL
+                (WITH prev AS (SELECT pa, pb, it FROM tr WHERE it < 4),
+                      und AS (SELECT pa AS s, pb AS t FROM prev
+                              UNION ALL SELECT pb, pa FROM prev)
+                 SELECT e.pa, e.pb, max(e.it) + 1 AS it
+                 FROM prev e
+                 JOIN und x ON x.s = e.pa
+                 JOIN und y ON y.s = e.pb AND y.t = x.t
+                 GROUP BY e.pa, e.pb)
+            ),
+            truss AS MATERIALIZED (
+                SELECT pa, pb FROM tr WHERE it = 4
+            ),
+            und2 AS MATERIALIZED (
+                SELECT pa AS s, pb AS t FROM truss
+                UNION ALL SELECT pb, pa FROM truss
+            ),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT s AS id FROM und2
+            ),
+            lb AS (
+                SELECT id, id AS lbl, 0 AS it FROM nodes
+                UNION ALL
+                (WITH p AS (SELECT * FROM lb WHERE it < 12)
+                 SELECT n.id,
+                        least(n.lbl, coalesce(m.minn, n.lbl)) AS lbl,
+                        n.it + 1
+                 FROM p n
+                 LEFT JOIN (SELECT u.t AS id, min(p2.lbl) AS minn
+                            FROM p p2 JOIN und2 u ON u.s = p2.id
+                            GROUP BY u.t) m ON m.id = n.id)
+            )
+            SELECT l.lbl AS component, l.id AS part_id,
+                   s.size AS size
+            FROM (SELECT id, lbl FROM lb WHERE it = 12) l
+            JOIN (SELECT lbl, count(*) AS size
+                  FROM (SELECT id, lbl FROM lb WHERE it = 12)
+                  GROUP BY 1) s ON s.lbl = l.lbl
         """,
         # md5-deterministic ICWS replay: draws from parsed digests,
         # argmin sample, banded LSH, exact weighted-Jaccard verify

@@ -2740,9 +2740,11 @@ def k_truss(
     materializes the checkpoint and keeps lineage flat). The edge set
     shrinks monotonically, so an unchanged count is the fixpoint, and
     peeling is idempotent there; ``max_iter`` caps pathological peel
-    depth. Not SQL-replayable (the per-round triangle join needs the
-    recursive frame twice, which recursive CTEs forbid) -> rows-only
-    gate; exact pure-python reference parity pinned in tests.
+    depth. ORACLE-replayable since r12: DuckDB permits joining the
+    recursive frame multiple times, so a fixed-N-round peel (N >= the
+    measured fixpoint depth; extra rounds are no-ops by idempotence)
+    replays the whole decomposition — the part_ktruss/truss_farms
+    gates; exact pure-python reference parity stays pinned in tests.
     """
     if k < 2:
         raise ValueError(f"k_truss: k must be >= 2, got {k}")
