@@ -1430,8 +1430,13 @@ def _q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/E4+K2 — the full text -> deterministic-embed -> batch kNN
-    pipeline over documents (the flagship shape at the gate SF). The
-    embedder is deterministic but not SQL-expressible -> rows-only."""
+    pipeline over documents (the flagship shape at the gate SF).
+    ORACLE-backed since r12: the hash-ngram embedder IS
+    SQL-expressible — crc32 computes from first principles in a
+    recursive CTE (table generation + byte fold, == zlib.crc32),
+    bucket/sign sums are exact integers, normalization casts through
+    FLOAT to match the float32 output, and the kNN dot + rank replay
+    the knn_matmul contract (_text_embed_knn_sql)."""
     from indexlab_spark.functions.embed import with_embedding
     from indexlab_spark.operators.chunk import explode_chunks
     from indexlab_spark.operators.knn import knn_matmul
@@ -6809,20 +6814,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # NINETEEN r12 attestation upgrades in registry order
+        # TWENTY r12 attestation upgrades in registry order
         # (similarity_ivf, similarity_ivf_append, pca_embeddings,
         # weighted_minhash, chunk_sentences, chunk_headings,
-        # graph_communities, similarity_pq, semantic_dedup,
-        # similarity_sq8, normalized_dedup, graph_pagerank,
-        # quality_classifier, embedding_kmeans, hits_suppliers,
-        # similarity_ivfpq, part_ktruss, truss_farms, ann_recall_ivf;
-        # slots 13-31) — then the oldest-attestation backfill
-        # (19 slots): the 17 remaining r06-green entries below
-        # (balance_quartiles .. balance_percent_rank, 7 rounds stale
-        # by r13, the oldest attestations left), then the first 2 of
-        # the 38 r07-green entries in registry order (trigram_logprob,
-        # semantic_decontam); the remaining 36 r07-green lead the r14
-        # backfill.
+        # graph_communities, similarity_pq, text_embed_knn,
+        # semantic_dedup, similarity_sq8, normalized_dedup,
+        # graph_pagerank, quality_classifier, embedding_kmeans,
+        # hits_suppliers, similarity_ivfpq, part_ktruss, truss_farms,
+        # ann_recall_ivf; slots 13-32) — then the oldest-attestation
+        # backfill (18 slots): the 17 remaining r06-green entries
+        # below (balance_quartiles .. balance_percent_rank, 7 rounds
+        # stale by r13, the oldest attestations left), then the first
+        # 1 of the 38 r07-green entries (trigram_logprob); the
+        # remaining 37 r07-green lead the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7067,6 +7071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-Lloyd codebooks + codegen encode + round-before-rank
         # ADC/rerank); never-attested, leads the r13 window:
         "similarity_pq": _q_similarity_pq,
+        # text_embed_knn upgraded to oracle-backed in r12 (crc32 from
+        # first principles in SQL; full embed->kNN replay);
+        # never-attested, leads the r13 window:
         "text_embed_knn": _q_text_embed_knn,
         # semantic_dedup upgraded to oracle-backed in r12 (fixed_iters=5
         # deterministic cells + within-cell cosine replay);
@@ -7614,6 +7621,146 @@ def _chunk_sentences_sql(size: int = 120, overlap: int = 30) -> str:
                    AS doc_id,
                text
         FROM chunks"""
+
+
+def _text_embed_knn_sql(dim: int = 64, k: int = 5) -> str:
+    """Generated oracle for text_embed_knn — the full text ->
+    deterministic-embed -> batch kNN pipeline replays in SQL: chunking
+    is the attested chunk_fixed shape, the hash-ngram embedder's
+    crc32 is computed from first principles (table-generating
+    recursive CTE over the reflected 0xEDB88320 polynomial + a
+    per-string byte fold, verified == zlib.crc32), buckets/signs/sums
+    are exact integer arithmetic, normalization casts through FLOAT
+    to match the embedder's float32 output, and scoring is an 8-query
+    x chunk-corpus dot with the knn_matmul (score DESC, doc_id ASC)
+    rank. Zero-vector units are kept via a cross-join + coalesce so a
+    query whose top-k dips to 0.0 still sees them, matching Spark."""
+    return f"""
+        WITH RECURSIVE chunks AS MATERIALIZED (
+            SELECT CAST(d.doc_id AS VARCHAR) || '#'
+                       || CAST(s.k AS VARCHAR) AS uid,
+                   substr(d.text, s.k * {_STRIDE} + 1, {CHUNK_SIZE})
+                       AS text
+            FROM (SELECT doc_id, text FROM documents
+                  WHERE length(text) > 0) d,
+                 unnest(generate_series(0,
+                     greatest(0, CAST(ceil((length(d.text)
+                         - {CHUNK_SIZE}) / {_STRIDE}.0) AS INTEGER))
+                 )) AS s(k)
+        ),
+        qdocs AS MATERIALIZED (
+            SELECT CAST(doc_id AS VARCHAR) AS uid,
+                   substr(text, 1, 80) AS text
+            FROM documents WHERE doc_id < 8
+        ),
+        units AS MATERIALIZED (
+            SELECT 'c' || uid AS uid, text FROM chunks
+            UNION ALL
+            SELECT 'q' || uid, text FROM qdocs
+        ),
+        toks AS MATERIALIZED (
+            SELECT uid,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x <> '')) AS tok
+            FROM units
+        ),
+        grams AS MATERIALIZED (
+            SELECT uid,
+                   CASE WHEN length(ptok) <= 3 THEN ptok
+                        ELSE substr(ptok, CAST(g.i AS INTEGER), 3)
+                   END AS gram
+            FROM (SELECT uid, '^' || tok || '$' AS ptok FROM toks),
+                 unnest(generate_series(1,
+                     greatest(1, length(ptok) - 2))) AS g(i)
+        ),
+        cin AS MATERIALIZED (
+            SELECT gram, 'b' AS tag, gram AS s
+            FROM (SELECT DISTINCT gram FROM grams)
+            UNION ALL
+            SELECT gram, 's', 's:' || gram
+            FROM (SELECT DISTINCT gram FROM grams)
+        ),
+        tbl AS (
+            SELECT n, CAST(n AS UBIGINT) AS c, 0 AS kk
+            FROM generate_series(0, 255) g(n)
+            UNION ALL
+            SELECT n,
+                   CASE WHEN c & 1 = 1
+                        THEN xor(c >> 1, CAST(3988292384 AS UBIGINT))
+                        ELSE c >> 1 END,
+                   kk + 1
+            FROM tbl WHERE kk < 8
+        ),
+        crctab AS MATERIALIZED (SELECT n, c FROM tbl WHERE kk = 8),
+        fold AS (
+            SELECT gram, tag, s, 0 AS p,
+                   CAST(4294967295 AS UBIGINT) AS st
+            FROM cin
+            UNION ALL
+            SELECT f.gram, f.tag, f.s, f.p + 1,
+                   xor(t.c, f.st >> 8)
+            FROM fold f
+            JOIN crctab t
+              ON t.n = CAST(xor(f.st & 255,
+                     CAST(ascii(substr(f.s, f.p + 1, 1)) AS UBIGINT))
+                     AS INTEGER)
+            WHERE f.p < length(f.s)
+        ),
+        crcs AS MATERIALIZED (
+            SELECT gram, tag,
+                   xor(st, CAST(4294967295 AS UBIGINT)) AS crc
+            FROM fold WHERE p = length(s)
+        ),
+        gfeat AS MATERIALIZED (
+            SELECT b.gram, CAST(b.crc % {dim} AS INTEGER) AS bucket,
+                   CASE WHEN s.crc & 1 = 1 THEN 1.0 ELSE -1.0 END
+                       AS sign
+            FROM (SELECT gram, crc FROM crcs WHERE tag = 'b') b
+            JOIN (SELECT gram, crc FROM crcs WHERE tag = 's') s
+              USING (gram)
+        ),
+        sums AS MATERIALIZED (
+            SELECT g.uid, f.bucket, sum(f.sign) AS v
+            FROM grams g JOIN gfeat f ON f.gram = g.gram
+            GROUP BY 1, 2
+        ),
+        norms AS MATERIALIZED (
+            SELECT uid, sqrt(sum(v * v)) AS nm FROM sums GROUP BY 1
+        ),
+        vecs AS MATERIALIZED (
+            SELECT s.uid, s.bucket,
+                   CAST(CAST(s.v / (CASE WHEN n.nm = 0 THEN 1.0
+                                         ELSE n.nm END) AS FLOAT)
+                        AS DOUBLE) AS val
+            FROM sums s JOIN norms n ON n.uid = s.uid
+        ),
+        dots AS MATERIALIZED (
+            SELECT qv.uid AS quid, cv.uid AS cuid,
+                   sum(qv.val * cv.val) AS score
+            FROM (SELECT * FROM vecs WHERE uid LIKE 'q%') qv
+            JOIN (SELECT * FROM vecs WHERE uid LIKE 'c%') cv
+              ON cv.bucket = qv.bucket
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT substr(p.quid, 2) AS query_id,
+                   substr(p.cuid, 2) AS doc_id,
+                   coalesce(d.score, 0.0) AS score,
+                   row_number() OVER (
+                       PARTITION BY p.quid
+                       ORDER BY coalesce(d.score, 0.0) DESC,
+                                substr(p.cuid, 2) ASC) AS rank
+            FROM (SELECT q.uid AS quid, c.uid AS cuid
+                  FROM (SELECT DISTINCT uid FROM units
+                        WHERE uid LIKE 'q%') q
+                  CROSS JOIN (SELECT DISTINCT uid FROM units
+                              WHERE uid LIKE 'c%') c) p
+            LEFT JOIN dots d ON d.quid = p.quid AND d.cuid = p.cuid
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}"""
 
 
 def _wminhash_sql(
@@ -13631,6 +13778,10 @@ def oracle_sql() -> dict[str, str]:
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
         """,
+        # Full text->embed->kNN replay: from-first-principles crc32,
+        # exact bucket/sign sums, float32-cast normalization, dot +
+        # rank (see _text_embed_knn_sql).
+        "text_embed_knn": _text_embed_knn_sql(),
         # Fixed-4-round k-truss peel replay (fixpoint measured at 2
         # rounds on both gate SFs; peeling is idempotent there, the
         # lpa_parts argument) — the per-round triangle support joins
