@@ -6229,10 +6229,14 @@ def _q_binseg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue series per event_type — the MULTIPLE-shift completion of
     amoc_revenue (one split) and cusum_revenue (onset under a
     baseline). One keyed exchange into an Arrow prefix-sum greedy
-    pass. Rows-only: the greedy recursion's segment state is not
-    SQL-replayable; exact independent-python parity and planted-step
-    recovery are pinned in tests, and max_cp=1 agrees with the
-    oracle-backed amoc by construction."""
+    pass. ORACLE-backed since r12: the greedy recursion unrolls as
+    max_cp argmax stages over shared prefix sums (_binseg_sql) — the
+    1e-12 epsilon tie chain degenerates to plain (reduction DESC, i)
+    argmax on this data (smallest measured stage-1 gap 0.013, ten
+    orders above the epsilon), and a group failing the threshold at
+    stage k re-fails identically at k+1, so the break needs no stop
+    state. Independent-python parity, planted-step recovery and
+    max_cp=1 ≡ amoc stay pinned in tests."""
     from indexlab_spark.operators.analytics import binseg_changepoints
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -6814,19 +6818,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # TWENTY r12 attestation upgrades in registry order
+        # TWENTY-ONE r12 attestation upgrades in registry order
         # (similarity_ivf, similarity_ivf_append, pca_embeddings,
         # weighted_minhash, chunk_sentences, chunk_headings,
         # graph_communities, similarity_pq, text_embed_knn,
         # semantic_dedup, similarity_sq8, normalized_dedup,
         # graph_pagerank, quality_classifier, embedding_kmeans,
-        # hits_suppliers, similarity_ivfpq, part_ktruss, truss_farms,
-        # ann_recall_ivf; slots 13-32) — then the oldest-attestation
-        # backfill (18 slots): the 17 remaining r06-green entries
-        # below (balance_quartiles .. balance_percent_rank, 7 rounds
-        # stale by r13, the oldest attestations left), then the first
-        # 1 of the 38 r07-green entries (trigram_logprob); the
-        # remaining 37 r07-green lead the r14 backfill.
+        # hits_suppliers, similarity_ivfpq, part_ktruss,
+        # binseg_revenue, truss_farms, ann_recall_ivf; slots 13-33) —
+        # then the oldest-attestation backfill (17 slots): the 17
+        # remaining r06-green entries below (balance_quartiles ..
+        # balance_percent_rank, 7 rounds stale by r13, the oldest
+        # attestations left); all 38 r07-green entries lead the r14
+        # backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7114,7 +7118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # part_ktruss upgraded to oracle-backed in r12 (fixed-4-round
         # peel replay); never-attested, leads the r13 window:
         "part_ktruss": _q_part_ktruss,
-        "binseg_revenue": _q_binseg_revenue,  # rows-only
+        # binseg_revenue upgraded to oracle-backed in r12 (unrolled
+        # greedy argmax over prefix sums); never-attested, leads the
+        # r13 window:
+        "binseg_revenue": _q_binseg_revenue,
         # truss_farms upgraded to oracle-backed in r12 (peel + CC
         # min-label replay); never-attested, leads the r13 window:
         "truss_farms": _q_truss_farms,
@@ -7621,6 +7628,97 @@ def _chunk_sentences_sql(size: int = 120, overlap: int = 30) -> str:
                    AS doc_id,
                text
         FROM chunks"""
+
+
+def _binseg_sql(max_cp: int = 3, min_seg: int = 3, ratio: float = 0.05) -> str:
+    """Generated oracle for binseg_revenue: the greedy binary
+    segmentation unrolls as max_cp stages of (segments from the placed
+    changepoints -> per-candidate SSE reduction from the shared prefix
+    sums -> group argmax -> threshold accept). The operator's 1e-12
+    epsilon tie chain degenerates to plain (reduction DESC, i ASC)
+    argmax on this data — the smallest stage-1 reduction gap is 0.013
+    (sf0.001) / 279.6 (sf0.01), ten orders above the epsilon — and a
+    group whose max reduction fails the threshold at stage k re-derives
+    the identical candidates and fails again at k+1, so python's break
+    needs no explicit stop state. SSE arithmetic mirrors the python op
+    order ((q_b - q_a) - d*d/(b - a) on left-to-right prefix sums) so
+    the doubles match bit-for-bit."""
+    parts = [f"""
+        d AS MATERIALIZED (
+            SELECT event_type AS g,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   round(sum(value), 6) AS revenue
+            FROM events GROUP BY 1, 2),
+        pre AS MATERIALIZED (
+            SELECT g, CAST(0 AS BIGINT) AS i,
+                   CAST(NULL AS VARCHAR) AS day,
+                   0.0 AS s, 0.0 AS q
+            FROM (SELECT DISTINCT g FROM d)
+            UNION ALL
+            SELECT g, row_number() OVER w AS i, day,
+                   sum(CAST(revenue AS DOUBLE)) OVER
+                       (w ROWS UNBOUNDED PRECEDING) AS s,
+                   sum(CAST(revenue AS DOUBLE) * CAST(revenue AS DOUBLE))
+                       OVER (w ROWS UNBOUNDED PRECEDING) AS q
+            FROM d WINDOW w AS (PARTITION BY g ORDER BY day)),
+        gt AS MATERIALIZED (
+            SELECT g, max(i) AS n,
+                   arg_max(q, i) - arg_max(s, i) * arg_max(s, i)
+                       / max(i) AS sse0
+            FROM pre GROUP BY 1),
+        cp0 AS MATERIALIZED (
+            SELECT g, CAST(NULL AS BIGINT) AS idx,
+                   CAST(NULL AS BIGINT) AS rank,
+                   CAST(NULL AS DOUBLE) AS red
+            FROM gt WHERE false)"""]
+    for k in range(1, max_cp + 1):
+        parts.append(f"""
+        seg{k} AS MATERIALIZED (
+            SELECT g, a, b FROM (
+                SELECT g, idx AS a,
+                       lead(idx) OVER (PARTITION BY g ORDER BY idx)
+                           AS b
+                FROM (SELECT g, CAST(0 AS BIGINT) AS idx FROM gt
+                      UNION ALL SELECT g, n FROM gt
+                      UNION ALL SELECT g, idx FROM cp{k - 1}
+                      WHERE idx IS NOT NULL))
+            WHERE b IS NOT NULL),
+        cand{k} AS MATERIALIZED (
+            SELECT s.g, pi.i, pi.day,
+                   ((pb.q - pa.q) - (pb.s - pa.s) * (pb.s - pa.s)
+                        / (s.b - s.a))
+                   - ((pi.q - pa.q) - (pi.s - pa.s) * (pi.s - pa.s)
+                          / (pi.i - s.a))
+                   - ((pb.q - pi.q) - (pb.s - pi.s) * (pb.s - pi.s)
+                          / (s.b - pi.i)) AS red
+            FROM seg{k} s
+            JOIN pre pa ON pa.g = s.g AND pa.i = s.a
+            JOIN pre pb ON pb.g = s.g AND pb.i = s.b
+            JOIN pre pi ON pi.g = s.g
+                       AND pi.i >= s.a + {min_seg}
+                       AND pi.i <= s.b - {min_seg}),
+        acc{k} AS MATERIALIZED (
+            SELECT c.g, c.i, c.day, c.red FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY c.g ORDER BY c.red DESC, c.i ASC)
+                    AS rn
+                FROM cand{k} c) c
+            JOIN gt ON gt.g = c.g
+            WHERE c.rn = 1
+              AND c.red > greatest({ratio} * gt.sse0, 0.0) + 1e-12),
+        cp{k} AS MATERIALIZED (
+            SELECT g, idx, rank, red FROM cp{k - 1}
+            UNION ALL
+            SELECT g, i, {k}, red FROM acc{k})""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+        SELECT c.g AS event_type, c.rank AS cp_rank,
+               c.idx AS cp_index, p.day AS cp_order,
+               round(c.red, 6) AS reduction, gt.n AS n
+        FROM cp{max_cp} c
+        JOIN gt ON gt.g = c.g
+        JOIN pre p ON p.g = c.g AND p.i = c.idx"""
+    )
 
 
 def _text_embed_knn_sql(dim: int = 64, k: int = 5) -> str:
@@ -13778,6 +13876,9 @@ def oracle_sql() -> dict[str, str]:
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
         """,
+        # Greedy binary segmentation unrolled as 3 argmax stages over
+        # shared prefix sums (see _binseg_sql).
+        "binseg_revenue": _binseg_sql(max_cp=3, min_seg=3, ratio=0.05),
         # Full text->embed->kNN replay: from-first-principles crc32,
         # exact bucket/sign sums, float32-cast normalization, dot +
         # rank (see _text_embed_knn_sql).
