@@ -5299,8 +5299,11 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learn 8 merges from the corpus word vocabulary (one corpus-wide
     tokenize+count shuffle, then vocab-frame-sized pair-count
     iterations) and apply them to a 100-doc slice for per-doc token
-    budgets. Iterative + driver-scalar argmax -> not SQL-expressible;
-    exact merge-list parity with a pure-Python Sennrich reference is
+    budgets. ORACLE-backed since r12: training unrolls as 8 SQL merge
+    rounds (Sennrich (n DESC, l, r) argmax gated on the previous
+    round, greedy application via gaps-and-islands — _bpe_sql) and the
+    apply step joins the slice's words to the final vocab state (same
+    tokenization, corpus subset). Pure-Python Sennrich parity stays
     pinned in tests."""
     from indexlab_spark.operators.bpe import apply_bpe, train_bpe
 
@@ -6818,19 +6821,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # TWENTY-ONE r12 attestation upgrades in registry order
+        # TWENTY-TWO r12 attestation upgrades in registry order
         # (similarity_ivf, similarity_ivf_append, pca_embeddings,
         # weighted_minhash, chunk_sentences, chunk_headings,
-        # graph_communities, similarity_pq, text_embed_knn,
-        # semantic_dedup, similarity_sq8, normalized_dedup,
-        # graph_pagerank, quality_classifier, embedding_kmeans,
-        # hits_suppliers, similarity_ivfpq, part_ktruss,
-        # binseg_revenue, truss_farms, ann_recall_ivf; slots 13-33) —
-        # then the oldest-attestation backfill (17 slots): the 17
-        # remaining r06-green entries below (balance_quartiles ..
-        # balance_percent_rank, 7 rounds stale by r13, the oldest
-        # attestations left); all 38 r07-green entries lead the r14
-        # backfill.
+        # bpe_merges, graph_communities, similarity_pq,
+        # text_embed_knn, semantic_dedup, similarity_sq8,
+        # normalized_dedup, graph_pagerank, quality_classifier,
+        # embedding_kmeans, hits_suppliers, similarity_ivfpq,
+        # part_ktruss, binseg_revenue, truss_farms, ann_recall_ivf;
+        # slots 13-34) — then the oldest-attestation backfill
+        # (16 slots): the first 16 of the 17 remaining r06-green
+        # entries below (balance_quartiles .., registry order); the
+        # 17th (balance_percent_rank) plus all 38 r07-green lead the
+        # r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7063,6 +7066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window:
         "chunk_sentences": _q_chunk_sentences,
         "chunk_headings": _q_chunk_headings,
+        # bpe_merges upgraded to oracle-backed in r12 (8 unrolled SQL
+        # merge rounds + apply join); never-attested, leads the r13
+        # window:
         "bpe_merges": _q_bpe_merges,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
@@ -7628,6 +7634,102 @@ def _chunk_sentences_sql(size: int = 120, overlap: int = 30) -> str:
                    AS doc_id,
                text
         FROM chunks"""
+
+
+def _bpe_sql(n_merges: int = 8, min_pair: int = 2) -> str:
+    """Generated oracle for bpe_merges: BPE training unrolls as
+    n_merges rounds over the (word, freq, symbol-list) vocab state —
+    adjacent-pair counts, the (n DESC, l ASC, r ASC) Sennrich argmax
+    gated on min_pair_count AND on the previous round having merged
+    (python's break), then the greedy left-to-right merge application
+    via gaps-and-islands (matched positions -> consecutive runs ->
+    keep odd ranks, exactly the while-loop's consume-two-skip-one on
+    the original list). An empty best falls through every LEFT JOIN,
+    so the rebuild is the identity and all later rounds stay frozen —
+    no explicit stop state. The apply step joins the 100-doc slice's
+    words (same lower/whitespace tokenization as training, and a
+    corpus subset, so every word is in the vocab) to the final state's
+    symbol counts."""
+    parts = [f"""
+        docs0 AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x <> '') AS toks
+            FROM documents),
+        vocab0 AS MATERIALIZED (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(toks) AS word FROM docs0)
+            GROUP BY 1),
+        st0 AS MATERIALIZED (
+            SELECT word, freq,
+                   list_append(list_transform(
+                       generate_series(1, length(word)),
+                       i -> substr(word, CAST(i AS INTEGER), 1)),
+                       '</w>') AS syms
+            FROM vocab0)"""]
+    for k in range(1, n_merges + 1):
+        gate = (
+            f"AND (SELECT count(*) FROM best{k - 1}) = 1"
+            if k > 1 else ""
+        )
+        parts.append(f"""
+        pairs{k} AS MATERIALIZED (
+            SELECT s.syms[CAST(t.i AS INTEGER)] AS l,
+                   s.syms[CAST(t.i AS INTEGER) + 1] AS r,
+                   sum(s.freq) AS n
+            FROM st{k - 1} s,
+                 unnest(generate_series(1, len(s.syms) - 1)) t(i)
+            GROUP BY 1, 2),
+        best{k} AS MATERIALIZED (
+            SELECT l, r, n FROM pairs{k}
+            WHERE n >= {min_pair} {gate}
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        kept{k} AS MATERIALIZED (
+            SELECT word, i, merged FROM (
+                SELECT word, i, merged,
+                       row_number() OVER (PARTITION BY word, island
+                                          ORDER BY i) AS rnk
+                FROM (SELECT m.word, m.i, m.merged,
+                             m.i - row_number() OVER (
+                                 PARTITION BY m.word ORDER BY m.i)
+                                 AS island
+                      FROM (SELECT s.word, CAST(t.i AS INTEGER) AS i,
+                                   b.l || b.r AS merged
+                            FROM st{k - 1} s
+                            CROSS JOIN best{k} b,
+                                 unnest(generate_series(1,
+                                     len(s.syms) - 1)) t(i)
+                            WHERE s.syms[CAST(t.i AS INTEGER)] = b.l
+                              AND s.syms[CAST(t.i AS INTEGER) + 1]
+                                  = b.r) m))
+            WHERE rnk % 2 = 1),
+        st{k} AS MATERIALIZED (
+            SELECT e.word, e.freq,
+                   list(CASE WHEN kk.i IS NOT NULL THEN kk.merged
+                             ELSE e.sym END ORDER BY e.i) AS syms
+            FROM (SELECT s.word, s.freq, CAST(t.i AS INTEGER) AS i,
+                         s.syms[CAST(t.i AS INTEGER)] AS sym
+                  FROM st{k - 1} s,
+                       unnest(generate_series(1, len(s.syms))) t(i)) e
+            LEFT JOIN kept{k} kk
+              ON kk.word = e.word AND kk.i = e.i
+            LEFT JOIN kept{k} kr
+              ON kr.word = e.word AND kr.i = e.i - 1
+            WHERE kr.i IS NULL
+            GROUP BY e.word, e.freq)""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+        SELECT d.doc_id, count(*) AS n_words,
+               CAST(sum(len(f.syms)) AS BIGINT) AS n_tokens,
+               round(CASE WHEN count(*) > 0
+                          THEN CAST(sum(len(f.syms)) AS DOUBLE)
+                               / count(*)
+                          ELSE 0.0 END, 6) AS tokens_per_word
+        FROM (SELECT doc_id, unnest(toks) AS word FROM docs0
+              WHERE doc_id < 100) d
+        JOIN st{n_merges} f ON f.word = d.word
+        GROUP BY d.doc_id"""
+    )
 
 
 def _binseg_sql(max_cp: int = 3, min_seg: int = 3, ratio: float = 0.05) -> str:
@@ -13876,6 +13978,10 @@ def oracle_sql() -> dict[str, str]:
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
         """,
+        # BPE training unrolled as 8 merge rounds (Sennrich argmax +
+        # gaps-and-islands greedy application) + the apply join (see
+        # _bpe_sql).
+        "bpe_merges": _bpe_sql(n_merges=8, min_pair=2),
         # Greedy binary segmentation unrolled as 3 argmax stages over
         # shared prefix sums (see _binseg_sql).
         "binseg_revenue": _binseg_sql(max_cp=3, min_seg=3, ratio=0.05),
