@@ -14817,7 +14817,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_filter(
-                           regexp_split_to_array(lower(text), '\s+'),
+                           regexp_split_to_array(lower(text), '\\s+'),
                            x -> x <> '')) AS tok
                 FROM documents
             ),
@@ -14925,7 +14925,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_docs": """
             WITH toks AS (
                 SELECT unnest(list_filter(
-                    regexp_split_to_array(lower(text), '\s+'),
+                    regexp_split_to_array(lower(text), '\\s+'),
                     x -> x <> '')) AS tok
                 FROM documents
             ),
