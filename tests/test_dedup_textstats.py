@@ -727,3 +727,61 @@ class TestUnigramJSD:
         a = spark.createDataFrame([("x",)], "text string")
         with _pytest.raises(ValueError, match="smoothing"):
             unigram_jsd(a, a, smoothing=0.0)
+
+
+def test_bpe_oracle_sql_early_stop_matches_reference():
+    """The r12 bpe_merges oracle (_bpe_sql) must freeze once the best
+    pair drops under min_pair_count — the break branch the gate corpus
+    never exercises (all 8 merges fire there). Runs the generated SQL
+    in DuckDB on a tiny corpus where training stops after a few merges
+    and compares per-doc token counts against the pure-python Sennrich
+    reference + greedy application."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from indexlab_spark.operators.bpe import train_bpe_reference
+
+    docs = [(0, "aa ab"), (1, "aa ba"), (2, "ab aa aa"), (3, "zz")]
+    # python: word freqs -> merges (early stop) -> greedy apply
+    wf: dict = {}
+    for _, t in docs:
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    merges = train_bpe_reference(wf, 8)
+    assert 0 < len(merges) < 8  # the stop rule fires on this corpus
+
+    def word_tokens(w):
+        syms = list(w) + ["</w>"]
+        for left, right, _ in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    ref = {}
+    for did, t in docs:
+        words = t.lower().split()
+        nt = sum(word_tokens(w) for w in words)
+        ref[did] = (len(words), nt, round(nt / len(words), 6))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(entry_mod._bpe_sql(n_merges=8)).fetchall()
+    }
+    assert got == ref

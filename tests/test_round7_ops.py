@@ -1160,3 +1160,183 @@ def test_quantile_union_estimate_grand_total(spark, sf_dir):
         direct_sample, ["_one"], qs=(0.5,), k=64
     ).collect()[0]
     assert via["q50"] == direct["q50"]
+
+
+def test_binseg_oracle_sql_stop_branches_match_python():
+    """The r12 binseg_revenue oracle (_binseg_sql) on a synthetic
+    events table that exercises what the gate corpus doesn't: a FLAT
+    group (no admissible split — emits nothing), a one-step group
+    (stops after 1 cp on the threshold rule), and a three-step group
+    (uses all max_cp stages). Compared against a pure-python replay of
+    the operator's greedy (plain argmax — reductions are well
+    separated by construction)."""
+    import datetime
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # flat group: constant revenue
+    for d in range(24):
+        rows.append(("flat", base + datetime.timedelta(days=d), 5.0))
+    # one clear step
+    for d in range(24):
+        rows.append(
+            ("one", base + datetime.timedelta(days=d),
+             10.0 if d < 12 else 50.0)
+        )
+    # three steps
+    for d in range(24):
+        lvl = [10.0, 80.0, 30.0, 160.0][d // 6]
+        rows.append(("three", base + datetime.timedelta(days=d), lvl))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_type VARCHAR, ts TIMESTAMP,"
+        " value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?,?,?)", rows)
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(
+            entry_mod._binseg_sql(max_cp=3, min_seg=3, ratio=0.05)
+        ).fetchall()
+    }
+
+    # pure-python replay of the operator's greedy on the daily series
+    from collections import defaultdict
+
+    daily = defaultdict(dict)
+    for g, ts, v in rows:
+        day = ts.date().isoformat()
+        daily[g][day] = daily[g].get(day, 0.0) + v
+    ref = {}
+    for g, dd in daily.items():
+        days = sorted(dd)
+        xs = [round(dd[d], 6) for d in days]
+        n = len(xs)
+        s, q = [0.0], [0.0]
+        for x in xs:
+            s.append(s[-1] + x)
+            q.append(q[-1] + x * x)
+
+        def sse(a, b):
+            if b <= a:
+                return 0.0
+            d2 = s[b] - s[a]
+            return (q[b] - q[a]) - d2 * d2 / (b - a)
+
+        thresh = 0.05 * sse(0, n)
+        segments = [(0, n)]
+        found = []
+        for _ in range(3):
+            cand = None
+            for (a, b) in segments:
+                if b - a < 6:
+                    continue
+                for i in range(a + 3, b - 3 + 1):
+                    red = sse(a, b) - sse(a, i) - sse(i, b)
+                    if cand is None or red > cand[0] or (
+                        red == cand[0] and i < cand[1]
+                    ):
+                        cand = (red, i, (a, b))
+            if cand is None or cand[0] <= max(thresh, 0.0) + 1e-12:
+                break
+            red, i, seg = cand
+            segments.remove(seg)
+            segments.extend([(seg[0], i), (i, seg[1])])
+            found.append((i, red))
+        for rank, (i, red) in enumerate(found, 1):
+            ref[(g, rank)] = (i, days[i - 1], round(red, 6), n)
+    assert got == ref
+    assert not any(g == "flat" for g, _ in got)  # flat emits nothing
+    assert sum(1 for g, _ in got if g == "one") == 1
+    assert sum(1 for g, _ in got if g == "three") == 3
+
+
+def test_pca_oracle_sql_well_conditioned_matches_replay_and_eigh():
+    """The r12 pca_embeddings oracle (_pca_fixed_sql) cross-engine on a
+    SYNTHETIC well-conditioned spectrum (eigenvalues 16/4/1/0.25 —
+    clear gaps, unlike the near-degenerate gate corpus): the DuckDB
+    replay must equal the pure-python quantized power iteration
+    bit-for-bit AND, with real gaps, the components must now also
+    align with eigh's (cosine > 0.999) — demonstrating the fixed
+    variant recovers true axes whenever they are identifiable."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    rng = np.random.default_rng(7)
+    dim, n, kc = 16, 400, 4
+    # anisotropic gaussian: distinct variances on the first 4 axes
+    scales = np.ones(dim) * 0.05
+    scales[:4] = [4.0, 2.0, 1.0, 0.5]
+    basis, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    mat = (rng.normal(size=(n, dim)) * scales) @ basis.T
+    mat = mat.astype(np.float32).astype(np.float64)  # parquet-float32 parity
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, label INT,"
+        " embedding DOUBLE[])"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?,?,?)",
+        [(i, int(i % 3), [float(v) for v in mat[i]]) for i in range(n)],
+    )
+    sql = entry_mod._pca_fixed_sql(k=kc, iters=24, dim=dim)
+    got = {
+        r[0]: (r[2], r[3], r[4], r[5])
+        for r in con.execute(sql).fetchall()
+    }
+
+    # pure-python quantized replay (the pca_fit_fixed arithmetic)
+    scale = 1e9
+
+    def q(a):
+        return np.floor(np.asarray(a) * scale + 0.5) / scale
+
+    mean_raw = mat.sum(axis=0) / n
+    gram = (mat.T @ mat) / n
+    cov = gram - np.outer(mean_raw, mean_raw)
+    cov = (cov + cov.T) / 2.0
+    a_mat = q(cov)
+    comps = []
+    for _ in range(kc):
+        v = q(np.full(dim, 1.0 / np.sqrt(dim)))
+        for _ in range(24):
+            w = a_mat @ v
+            if comps:
+                cm = np.array(comps)
+                w = w - cm.T @ (cm @ w)
+            nrm = np.linalg.norm(w)
+            v = q(w / nrm) if nrm else v
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        w = a_mat @ v
+        lam = float(np.floor(float(v @ w) * scale + 0.5) / scale)
+        comps.append(v)
+        a_mat = q(a_mat - lam * np.outer(v, v))
+    cm = np.array(comps)
+    mean_q = q(mean_raw)
+    proj = (mat - mean_q) @ cm.T
+    for i in range(n):
+        want = tuple(
+            np.round(np.round(proj[i][c] * 1e6) / 1e6, 6)
+            for c in range(kc)
+        )
+        assert got[i] == pytest.approx(want, abs=1.5e-6), i
+
+    # with clear eigengaps the fixed components align with eigh
+    evals, evecs = np.linalg.eigh(np.cov(mat.T, bias=True))
+    order = np.argsort(evals)[::-1][:kc]
+    for c in range(kc):
+        cos = abs(float(cm[c] @ evecs[:, order[c]]))
+        assert cos > 0.999, (c, cos)

@@ -142,6 +142,7 @@ def main() -> None:
         embedding_lsh_pairs,
         exact_dedup,
         jaccard_pairs,
+        k_truss,
         label_propagation,
         line_dedup,
         minhash_lsh_pairs,
@@ -464,6 +465,17 @@ def main() -> None:
             # the keyed window pass only, ~N modulo the job floor
             "markov_channels": lambda: markov_attribution(
                 ev, "user_id", "ts", "event_type", "purchase"
+            ).count(),
+            # round 12 continuation: the k-truss peel (now oracle-
+            # attested via the fixed-round replay) at the gate's
+            # fixed-depth shape over N disjoint graph copies. Each
+            # peel round is one degree-ordered oriented triangle join
+            # — wedge work grows with sum(out_deg^2), which is ~N for
+            # disjoint copies (degrees unchanged, nodes xN); a factor
+            # >> N would mean the triangle join stopped being
+            # key-local or the orientation stopped bounding wedges.
+            "ktruss_peel": lambda: k_truss(
+                g_edges[scale], 3, max_iter=8
             ).count(),
         }
 
