@@ -785,3 +785,77 @@ def test_bpe_oracle_sql_early_stop_matches_reference():
         for r in con.execute(entry_mod._bpe_sql(n_merges=8)).fetchall()
     }
     assert got == ref
+
+
+def test_wminhash_oracle_sql_matches_python_chain():
+    """The r12 weighted_minhash oracle (_wminhash_sql) cross-engine on
+    a synthetic corpus with planted boilerplate-repeat near-dups: the
+    DuckDB replay (md5 -> HUGEINT draws -> ICWS argmin -> banding ->
+    exact weighted-Jaccard verify) must equal the pure-python chain
+    built from dedup.icws_signature — the exact regression net for the
+    band-index class of bug this SQL shipped with (integer '/' is
+    float division in DuckDB; '//' floors)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from indexlab_spark.operators.dedup import icws_signature
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = [
+        (0, base),
+        (1, base + " today"),                      # near-dup of 0
+        (2, ("spam offer " * 10).strip()),         # heavy multiplicity
+        (3, ("spam offer " * 9).strip() + " now"),  # near-dup of 2 by tf
+        (4, "completely different text about graph algorithms and sql"),
+        (5, base),                                  # exact dup of 0
+    ]
+    threshold = 0.5
+    num_hashes, bands = 32, 8
+
+    # python chain
+    sigs, tfs, sums = {}, {}, {}
+    for did, t in docs:
+        toks = [x for x in t.lower().split() if x]
+        tf: dict = {}
+        for x in toks:
+            tf[x] = tf.get(x, 0) + 1
+        tfs[did] = tf
+        sums[did] = float(len(toks))
+        sigs[did] = [f"{k}|{v}" for k, v in icws_signature(tf, num_hashes)]
+    rpb = num_hashes // bands
+    cand = set()
+    ids = [d for d, _ in docs]
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            for band in range(bands):
+                ka = "#".join(sigs[a][band * rpb:(band + 1) * rpb])
+                kb = "#".join(sigs[b][band * rpb:(band + 1) * rpb])
+                if ka == kb:
+                    cand.add((a, b))
+                    break
+    ref = {}
+    for a, b in cand:
+        summin = sum(
+            min(tfs[a][k], tfs[b][k]) for k in tfs[a] if k in tfs[b]
+        )
+        wj = round(summin / (sums[a] + sums[b] - summin), 6)
+        if wj >= threshold:
+            ref[(a, b)] = wj
+    assert (0, 5) in ref and ref[(0, 5)] == 1.0  # the planted exact dup
+    assert (0, 1) in ref                          # the near-dup captured
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            entry_mod._wminhash_sql(threshold=threshold)
+        ).fetchall()
+    }
+    assert got == ref

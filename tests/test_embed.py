@@ -51,3 +51,67 @@ def test_spark_udf_matches_local(spark):
     local = embed_texts(sorted(texts), "hash-ngram-64", True)
     got = np.array([r["embedding"] for r in rows], dtype=np.float32)
     np.testing.assert_allclose(got, local, rtol=0, atol=0)
+
+
+def test_text_embed_knn_oracle_sql_matches_python_pipeline():
+    """The r12 text_embed_knn oracle (_text_embed_knn_sql) cross-engine
+    on synthetic documents: the DuckDB replay (from-first-principles
+    crc32, bucket/sign sums, float32-cast normalization, dot + rank)
+    must equal the pure-python pipeline built from the REAL operator
+    pieces — chunk_fixed + _embed_hash_ngram + a float64 matmul with
+    the knn_matmul (score DESC, doc_id ASC) rank."""
+    import sys
+
+    import duckdb
+    import numpy as np
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from indexlab_spark.functions.embed import _embed_hash_ngram
+    from indexlab_spark.operators.chunk import chunk_fixed
+
+    docs = [
+        (0, "alpha beta gamma " * 12),
+        (1, "alpha beta gamma delta " * 9),
+        (2, "totally unrelated words here about benchmarks " * 5),
+        (3, "short doc"),
+        (4, ("alpha beta gamma " * 12) + "epsilon"),
+        (5, "numbers 123 and under_scores stay word chars"),
+        (6, "punctuation, splits; tokens!  multiple   spaces"),
+        (7, "gamma beta alpha " * 12),
+        (8, "corpus only doc, never a query " * 4),
+    ]
+    dim, k = 64, 5
+
+    # python pipeline
+    chunks = []
+    for did, t in docs:
+        for i, c in enumerate(chunk_fixed(t, 100, 20)):
+            chunks.append((f"{did}#{i}", c))
+    corpus_mat = _embed_hash_ngram(
+        [c for _, c in chunks], dim, normalize=True
+    ).astype(np.float64)
+    queries = [(did, t[:80]) for did, t in docs if did < 8]
+    q_mat = _embed_hash_ngram(
+        [t for _, t in queries], dim, normalize=True
+    ).astype(np.float64)
+    scores = q_mat @ corpus_mat.T
+    ref = {}
+    for qi, (qid, _) in enumerate(queries):
+        order = sorted(
+            range(len(chunks)),
+            key=lambda j: (-scores[qi, j], chunks[j][0]),
+        )[:k]
+        for rank, j in enumerate(order, 1):
+            ref[(qid, chunks[j][0])] = (round(scores[qi, j], 6), rank)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            entry_mod._text_embed_knn_sql(dim=dim, k=k)
+        ).fetchall()
+    }
+    assert got == ref
