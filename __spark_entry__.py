@@ -6821,19 +6821,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r12 once r12
         # lands): after the 12 anchors, never-attested-first — the
-        # TWENTY-TWO r12 attestation upgrades in registry order
+        # TWENTY-THREE r12 attestation upgrades in registry order
         # (similarity_ivf, similarity_ivf_append, pca_embeddings,
         # weighted_minhash, chunk_sentences, chunk_headings,
-        # bpe_merges, graph_communities, similarity_pq,
-        # text_embed_knn, semantic_dedup, similarity_sq8,
-        # normalized_dedup, graph_pagerank, quality_classifier,
-        # embedding_kmeans, hits_suppliers, similarity_ivfpq,
-        # part_ktruss, binseg_revenue, truss_farms, ann_recall_ivf;
-        # slots 13-34) — then the oldest-attestation backfill
-        # (16 slots): the first 16 of the 17 remaining r06-green
-        # entries below (balance_quartiles .., registry order); the
-        # 17th (balance_percent_rank) plus all 38 r07-green lead the
-        # r14 backfill.
+        # bpe_merges, multimodal_pipeline, graph_communities,
+        # similarity_pq, text_embed_knn, semantic_dedup,
+        # similarity_sq8, normalized_dedup, graph_pagerank,
+        # quality_classifier, embedding_kmeans, hits_suppliers,
+        # similarity_ivfpq, part_ktruss, binseg_revenue, truss_farms,
+        # ann_recall_ivf; slots 13-35) — then the oldest-attestation
+        # backfill (15 slots): the first 15 of the 17 remaining
+        # r06-green entries below (balance_quartiles .., registry
+        # order); the last two (revenue_dod, balance_percent_rank)
+        # plus all 38 r07-green lead the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -7070,6 +7070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge rounds + apply join); never-attested, leads the r13
         # window:
         "bpe_merges": _q_bpe_merges,
+        # multimodal_pipeline upgraded to oracle-backed in r12
+        # (SHA-256 from first principles in SQL; the lossless-codec
+        # claim becomes the attested contract); never-attested, leads
+        # the r13 window:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
         # graph_communities upgraded to oracle-backed in r12 (fixed-3
@@ -7634,6 +7638,217 @@ def _chunk_sentences_sql(size: int = 120, overlap: int = 30) -> str:
                    AS doc_id,
                text
         FROM chunks"""
+
+
+_SHA256_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B,
+    0x59F111F1, 0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01,
+    0x243185BE, 0x550C7DC3, 0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7,
+    0xC19BF174, 0xE49B69C1, 0xEFBE4786, 0x0FC19DC6, 0x240CA1CC,
+    0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA, 0x983E5152,
+    0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC,
+    0x53380D13, 0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85,
+    0xA2BFE8A1, 0xA81A664B, 0xC24B8B70, 0xC76C51A3, 0xD192E819,
+    0xD6990624, 0xF40E3585, 0x106AA070, 0x19A4C116, 0x1E376C08,
+    0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A, 0x5B9CCA4F,
+    0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
+_SHA256_H0 = [
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+]
+
+
+def _multimodal_sql(dim: int = 64, threshold: float = 0.999) -> str:
+    """Generated oracle for multimodal_pipeline — SHA-256 computed FROM
+    FIRST PRINCIPLES in SQL. The pipeline's contract is that the PNG
+    encode -> decode roundtrip is LOSSLESS, so the features equal a
+    direct computation from the quantized pixels: this oracle replays
+    the pixel quantization (round_even == np.rint, clip after), the
+    planted +100000 duplicates, the full two-block SHA-256 over the 64
+    pixel bytes (per-image message block with the 48-step W expansion
+    and 64 unrolled rounds as generated CTEs; the padding block for a
+    fixed 64-byte message is CONSTANT, so its schedule inlines as
+    literals — verified against hashlib on a known vector), the
+    digest-byte-pair feature histogram, exact-arithmetic L2
+    normalization through a FLOAT cast, and the left-to-right-fold
+    cosine with the >= threshold cut. A lossy or buggy codec would
+    change the Spark side's decoded pixels and fail this hash — the
+    oracle ATTESTS the roundtrip identity, it does not assume it
+    silently."""
+    m = 4294967295
+
+    def rotr(x, n):
+        return (
+            f"((((CAST({x} AS BIGINT)) >> {n})"
+            f" | ((CAST({x} AS BIGINT)) << {32 - n})) & {m})"
+        )
+
+    def x3(p, q, r):
+        return f"xor(xor({p}, {q}), {r})"
+
+    def round_exprs(t, w_expr):
+        s1 = x3(rotr("e", 6), rotr("e", 11), rotr("e", 25))
+        ch = f"xor((e & f), ((~e) & {m} & g))"
+        t1 = (
+            f"((h + {s1} + {ch} + CAST({_SHA256_K[t]} AS BIGINT)"
+            f" + ({w_expr})) & {m})"
+        )
+        s0 = x3(rotr("a", 2), rotr("a", 13), rotr("a", 22))
+        maj = "xor(xor((a & b), (a & c)), (b & c))"
+        t2 = f"(({s0} + {maj}) & {m})"
+        return t1, t2
+
+    # constant second block: 0x80, 55 zero bytes, 64-bit length 512
+    pad = bytes([0x80] + [0] * 55) + (512).to_bytes(8, "big")
+    wc = [int.from_bytes(pad[4 * j:4 * j + 4], "big") for j in range(16)]
+    for i in range(16, 64):
+        def rr(v, n):
+            return ((v >> n) | (v << (32 - n))) & m
+
+        s0v = rr(wc[i - 15], 7) ^ rr(wc[i - 15], 18) ^ (wc[i - 15] >> 3)
+        s1v = rr(wc[i - 2], 17) ^ rr(wc[i - 2], 19) ^ (wc[i - 2] >> 10)
+        wc.append((wc[i - 16] + s0v + wc[i - 7] + s1v) & m)
+
+    parts = [f"""
+        pix0 AS MATERIALIZED (
+            SELECT vec_id AS img,
+                   list_transform(generate_series(1, {dim}), j ->
+                       CAST(least(greatest(round_even(
+                           (v[CAST(j AS INTEGER)] - lo) / scale * 255,
+                           0), 0.0), 255.0) AS BIGINT)) AS px
+            FROM (SELECT vec_id, v,
+                         list_aggregate(v, 'min') AS lo,
+                         CASE WHEN list_aggregate(v, 'max')
+                                   = list_aggregate(v, 'min') THEN 1.0
+                              ELSE list_aggregate(v, 'max')
+                                   - list_aggregate(v, 'min') END
+                             AS scale
+                  FROM (SELECT vec_id,
+                               CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id < 200))
+        ),
+        imgs AS MATERIALIZED (
+            SELECT img, px FROM pix0
+            UNION ALL
+            SELECT img + 100000, px FROM pix0 WHERE img % 10 = 0
+        ),
+        sha_base AS MATERIALIZED (
+            SELECT img, """ + ",".join(
+        f"((px[{4 * j + 1}] << 24) | (px[{4 * j + 2}] << 16)"
+        f" | (px[{4 * j + 3}] << 8) | px[{4 * j + 4}]) AS w{j:02d}"
+        for j in range(16)
+    ) + "," + ",".join(
+        f"CAST({_SHA256_H0[i]} AS BIGINT) AS {c}"
+        for i, c in enumerate("abcdefgh")
+    ) + """
+            FROM imgs)"""]
+    cur = "sha_base"
+    for i in range(16, 64):
+        wm15, wm2 = f"w{i - 15:02d}", f"w{i - 2:02d}"
+        s0 = x3(rotr(wm15, 7), rotr(wm15, 18),
+                f"((CAST({wm15} AS BIGINT)) >> 3)")
+        s1 = x3(rotr(wm2, 17), rotr(wm2, 19),
+                f"((CAST({wm2} AS BIGINT)) >> 10)")
+        parts.append(f"""
+        wx{i} AS MATERIALIZED (
+            SELECT *, ((w{i - 16:02d} + {s0} + w{i - 7:02d} + {s1})
+                       & {m}) AS w{i:02d}
+            FROM {cur})""")
+        cur = f"wx{i}"
+    wcols = "," + ",".join(f"w{i:02d}" for i in range(64))
+    for t in range(64):
+        t1, t2 = round_exprs(t, f"w{t:02d}")
+        parts.append(f"""
+        r1_{t} AS MATERIALIZED (
+            SELECT img{wcols},
+                   ((({t1}) + ({t2})) & {m}) AS a, a AS b, b AS c,
+                   c AS d, ((d + {t1}) & {m}) AS e, e AS f, f AS g,
+                   g AS h
+            FROM {cur})""")
+        cur = f"r1_{t}"
+    parts.append(f"""
+        sha_mid AS MATERIALIZED (
+            SELECT img,
+                   ((a + {_SHA256_H0[0]}) & {m}) AS i0,
+                   ((b + {_SHA256_H0[1]}) & {m}) AS i1,
+                   ((c + {_SHA256_H0[2]}) & {m}) AS i2,
+                   ((d + {_SHA256_H0[3]}) & {m}) AS i3,
+                   ((e + {_SHA256_H0[4]}) & {m}) AS i4,
+                   ((f + {_SHA256_H0[5]}) & {m}) AS i5,
+                   ((g + {_SHA256_H0[6]}) & {m}) AS i6,
+                   ((h + {_SHA256_H0[7]}) & {m}) AS i7
+            FROM r1_63),
+        b2 AS MATERIALIZED (
+            SELECT img, i0, i1, i2, i3, i4, i5, i6, i7,
+                   i0 AS a, i1 AS b, i2 AS c, i3 AS d,
+                   i4 AS e, i5 AS f, i6 AS g, i7 AS h
+            FROM sha_mid)""")
+    cur = "b2"
+    for t in range(64):
+        t1, t2 = round_exprs(t, f"CAST({wc[t]} AS BIGINT)")
+        parts.append(f"""
+        r2_{t} AS MATERIALIZED (
+            SELECT img, i0, i1, i2, i3, i4, i5, i6, i7,
+                   ((({t1}) + ({t2})) & {m}) AS a, a AS b, b AS c,
+                   c AS d, ((d + {t1}) & {m}) AS e, e AS f, f AS g,
+                   g AS h
+            FROM {cur})""")
+        cur = f"r2_{t}"
+    hcols = ", ".join(
+        f"(({sv} + i{i}) & {m}) AS h{i}"
+        for i, sv in enumerate("abcdefgh")
+    )
+    # digest words -> 32 bytes -> 16 (bucket, contribution) pairs
+    byte_exprs = []
+    for j in range(32):
+        w_i, sh = j // 4, 8 * (3 - j % 4)
+        byte_exprs.append(f"((h{w_i} >> {sh}) & 255)")
+    pair_rows = " UNION ALL ".join(
+        f"SELECT img, ({byte_exprs[2 * i]}) % {dim} AS bucket,"
+        f" (({byte_exprs[2 * i + 1]}) % 16) - 7.5 AS contrib"
+        f" FROM digest"
+        for i in range(16)
+    )
+    parts.append(f"""
+        digest AS MATERIALIZED (
+            SELECT img, {hcols} FROM {cur}),
+        contribs AS MATERIALIZED ({pair_rows}),
+        sums AS MATERIALIZED (
+            SELECT img, bucket, sum(contrib) AS v
+            FROM contribs GROUP BY 1, 2),
+        norms AS MATERIALIZED (
+            SELECT img, sqrt(sum(v * v)) AS nm FROM sums GROUP BY 1),
+        cells AS MATERIALIZED (
+            SELECT i.img, g.j AS bucket, coalesce(s.v, 0.0) AS v,
+                   n.nm
+            FROM (SELECT DISTINCT img FROM imgs) i
+            CROSS JOIN generate_series(0, {dim - 1}) g(j)
+            LEFT JOIN sums s ON s.img = i.img AND s.bucket = g.j
+            JOIN norms n ON n.img = i.img),
+        featv AS MATERIALIZED (
+            SELECT img,
+                   list(CAST(CAST(CASE WHEN nm > 0 THEN v / nm
+                                       ELSE v END AS FLOAT)
+                             AS DOUBLE) ORDER BY bucket) AS fv
+            FROM cells GROUP BY img)
+        SELECT id_a, id_b, cos FROM (
+            SELECT a.img AS id_a, b.img AS id_b,
+                   round(CASE WHEN sqrt(list_dot_product(a.fv, a.fv))
+                                   > 0
+                              AND sqrt(list_dot_product(b.fv, b.fv))
+                                   > 0
+                              THEN list_dot_product(a.fv, b.fv)
+                                   / (sqrt(list_dot_product(a.fv,
+                                                            a.fv))
+                                      * sqrt(list_dot_product(b.fv,
+                                                              b.fv)))
+                              ELSE 0.0 END, 6) AS cos
+            FROM featv a JOIN featv b ON a.img < b.img)
+        WHERE cos >= {threshold}""")
+    return "WITH" + ",".join(parts)
 
 
 def _bpe_sql(n_merges: int = 8, min_pair: int = 2) -> str:
@@ -13978,6 +14193,10 @@ def oracle_sql() -> dict[str, str]:
                        AS within_bin_cov
             FROM b, t GROUP BY tn, tsy
         """,
+        # SHA-256 from first principles + pixel-quantization replay:
+        # attests the PNG roundtrip identity end-to-end (see
+        # _multimodal_sql).
+        "multimodal_pipeline": _multimodal_sql(dim=64, threshold=0.999),
         # BPE training unrolled as 8 merge rounds (Sennrich argmax +
         # gaps-and-islands greedy application) + the apply join (see
         # _bpe_sql).

@@ -3444,3 +3444,64 @@ class TestQuantileMap:
         with _pytest.raises(ValueError, match="empty reference"):
             quantile_map(nd, empty, "x")
         assert quantile_map(empty, nd, "x").count() == 0
+
+
+def test_hits_oracle_sql_matches_quantized_python_replay():
+    """The r12 hits_suppliers oracle SQL cross-engine on a synthetic
+    orders/lineitem bipartite graph: the recursive-CTE replay
+    (per-generation window norms, scaled-integer quantization,
+    NULL-iteration termination) must equal the pure-python quantized
+    power iteration — the branch net for graphs the gate's shape never
+    produces (hub-only customers, single-edge suppliers)."""
+    import math
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    # (orderkey, custkey) and (orderkey, suppkey) rows
+    orders = [(1, 10), (2, 10), (3, 11), (4, 12), (5, 13)]
+    lineitem = [
+        (1, 100), (1, 101), (2, 100), (3, 100), (3, 102),
+        (4, 103), (5, 101), (5, 103), (5, 104),
+    ]
+    edges = sorted(
+        {("c%d" % c, "s%d" % s)
+         for (o1, c) in orders for (o2, s) in lineitem if o1 == o2}
+    )
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    init = math.floor(1.0 / math.sqrt(n) * 1e6 + 0.5) / 1e6
+    h = {v: init for v in nodes}
+    a = {v: init for v in nodes}
+
+    def q6(x):
+        y = x * 1e6
+        f = math.floor(y)
+        return (f + 1 if y - f >= 0.5 else f) / 1e6
+
+    for _ in range(10):
+        a_raw = {v: 0.0 for v in nodes}
+        h_raw = {v: 0.0 for v in nodes}
+        for s_, d_ in edges:
+            a_raw[d_] += h[s_]
+        for s_, d_ in edges:
+            h_raw[s_] += a_raw[d_]
+        nh = math.sqrt(sum(x * x for x in h_raw.values()))
+        na = math.sqrt(sum(x * x for x in a_raw.values()))
+        h = {v: q6(h_raw[v] / nh) if nh else 0.0 for v in nodes}
+        a = {v: q6(a_raw[v] / na) if na else 0.0 for v in nodes}
+    ref = {v: (round(h[v], 6), round(a[v], 6)) for v in nodes}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT)")
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_suppkey BIGINT)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?,?)", orders)
+    con.executemany("INSERT INTO lineitem VALUES (?,?)", lineitem)
+    sql = entry_mod.oracle_sql()["hits_suppliers"]
+    got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == ref
