@@ -165,3 +165,71 @@ def test_png_palette_decode():
     assert out.shape == (2, 3, 3)
     expect = np.array([[palette[i] for i in row] for row in idx], dtype=np.uint8)
     np.testing.assert_array_equal(out, expect)
+
+
+def test_multimodal_oracle_sql_matches_real_codec_pipeline():
+    """The r12 multimodal_pipeline oracle (_multimodal_sql — SHA-256
+    from first principles in SQL) cross-engine against the REAL
+    operator pieces on synthetic embeddings: quantize -> encode_png ->
+    decode_image -> _features_from_bytes -> cosine pairs. This is the
+    full-strength check of the oracle's honesty argument: the SQL
+    never touches a PNG, so equality holds exactly BECAUSE the codec
+    roundtrip is lossless — a corruption on either side breaks it."""
+    import sys
+
+    import duckdb
+    import numpy as np
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from indexlab_spark.functions.imagecodec import encode_png
+    from indexlab_spark.operators.multimodal import _features_from_bytes
+
+    rng = np.random.default_rng(11)
+    n, dim = 40, 64
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    # a constant vector exercises the scale == 0 -> 1.0 branch
+    vecs[7] = 0.25
+
+    feats = {}
+    for i in range(n):
+        x = vecs[i].astype(np.float64)
+        lo, hi = x.min(), x.max()
+        scale = (hi - lo) or 1.0
+        px = np.clip(
+            np.rint((x - lo) / scale * 255), 0, 255
+        ).astype(np.uint8).reshape(8, 8)
+        feats[i] = _features_from_bytes(encode_png(px)).astype(np.float64)
+    for i in range(0, n, 10):
+        feats[i + 100000] = feats[i]
+    ids = sorted(feats)
+    ref = {}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            na = float(np.sqrt(np.dot(feats[a], feats[a])))
+            nb = float(np.sqrt(np.dot(feats[b], feats[b])))
+            cos = (
+                float(np.dot(feats[a], feats[b])) / (na * nb)
+                if na > 0 and nb > 0 else 0.0
+            )
+            cos = round(cos, 6)
+            if cos >= 0.999:
+                ref[(a, b)] = cos
+    assert len(ref) >= 4  # the planted duplicates
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?,?)",
+        [(i, [float(v) for v in vecs[i]]) for i in range(n)],
+    )
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            entry_mod._multimodal_sql(dim=dim, threshold=0.999)
+        ).fetchall()
+    }
+    assert got == ref
