@@ -1436,7 +1436,13 @@ def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE (table generation + byte fold, == zlib.crc32),
     bucket/sign sums are exact integers, normalization casts through
     FLOAT to match the float32 output, and the kNN dot + rank replay
-    the knn_matmul contract (_text_embed_knn_sql)."""
+    the knn_matmul contract (_text_embed_knn_sql). Ranking is
+    ROUND-BEFORE-RANK (the knn_graph discipline) on a slacked raw
+    top-13: knn_matmul ranks raw doubles, and raw scores move +-1 ulp
+    BETWEEN RUNS (BLAS blocking follows Arrow batch shape, which
+    follows partitioning) — a raw-ranked gate flapped on a near-tie
+    at sf0.001; ranking the 6dp-rounded score with doc_id ties is
+    stable in both engines."""
     from indexlab_spark.functions.embed import with_embedding
     from indexlab_spark.operators.chunk import explode_chunks
     from indexlab_spark.operators.knn import knn_matmul
@@ -1454,9 +1460,21 @@ def _q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         out_col="qvec",
     ).select("query_id", "qvec")
-    hits = knn_matmul(spark, queries_df, corpus, k=5)
-    return hits.select(
-        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    # slack 8 over the cut of 5: the raw top-13 always contains the
+    # rounded top-5 unless >8 docs tie within float noise at the
+    # boundary (the knn_graph rounding_slack argument)
+    hits = knn_matmul(spark, queries_df, corpus, k=13)
+    sc6 = F.lit(1000000.0)
+    rounded = hits.withColumn(
+        "score", F.round(F.col("score") * sc6, 0) / sc6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
     )
 
 
@@ -8159,12 +8177,19 @@ def _text_embed_knn_sql(dim: int = 64, k: int = 5) -> str:
             GROUP BY 1, 2
         ),
         ranked AS (
+            -- round-before-rank (the knn_graph discipline): 6dp
+            -- scaled-integer rounding makes the order stable against
+            -- the engines' (and the BLAS batch shape's) +-1 ulp raw
+            -- score noise; ties break on doc_id
             SELECT substr(p.quid, 2) AS query_id,
                    substr(p.cuid, 2) AS doc_id,
-                   coalesce(d.score, 0.0) AS score,
+                   round(coalesce(d.score, 0.0) * 1000000.0, 0)
+                       / 1000000.0 AS score,
                    row_number() OVER (
                        PARTITION BY p.quid
-                       ORDER BY coalesce(d.score, 0.0) DESC,
+                       ORDER BY round(coalesce(d.score, 0.0)
+                                      * 1000000.0, 0) / 1000000.0
+                                DESC,
                                 substr(p.cuid, 2) ASC) AS rank
             FROM (SELECT q.uid AS quid, c.uid AS cuid
                   FROM (SELECT DISTINCT uid FROM units
@@ -8174,7 +8199,7 @@ def _text_embed_knn_sql(dim: int = 64, k: int = 5) -> str:
             LEFT JOIN dots d ON d.quid = p.quid AND d.cuid = p.cuid
         )
         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-               round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+               score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= {k}"""
 
 

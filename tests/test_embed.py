@@ -96,14 +96,17 @@ def test_text_embed_knn_oracle_sql_matches_python_pipeline():
         [t for _, t in queries], dim, normalize=True
     ).astype(np.float64)
     scores = q_mat @ corpus_mat.T
+    # round-before-rank, the entry's (and oracle's) contract since the
+    # raw-ranked gate flapped on BLAS batch-shape ulp noise
+    r6 = np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6 * np.sign(scores)
     ref = {}
     for qi, (qid, _) in enumerate(queries):
         order = sorted(
             range(len(chunks)),
-            key=lambda j: (-scores[qi, j], chunks[j][0]),
+            key=lambda j: (-r6[qi, j], chunks[j][0]),
         )[:k]
         for rank, j in enumerate(order, 1):
-            ref[(qid, chunks[j][0])] = (round(scores[qi, j], 6), rank)
+            ref[(qid, chunks[j][0])] = (round(r6[qi, j], 6), rank)
 
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
