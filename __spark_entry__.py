@@ -1251,7 +1251,9 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only queries (no SQL-expressible oracle; judge sees which) ----
+# ---- formerly rows-only queries — all but two upgraded to
+# oracle-backed in r12 (the remaining rows-only pair wraps third-party
+# engine state: DataSketches HLL registers, zlib DEFLATE output) ----
 def _q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 — sentence-packing chunker. ORACLE-backed since r12: the
     greedy fold replays as a recursive CTE (one sentence consumed per
@@ -1294,7 +1296,8 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice, and top-k bit-for-bit; cell scores and candidate scores
     round(6) BEFORE their rank windows (the knn_ip discipline). The
     production sampled-Lloyd path (build_ivf) keeps its property-tested
-    recall floors plus the rows-only similarity_ivf_append entry."""
+    recall floors; similarity_ivf_append was itself upgraded to
+    oracle-backed later in r12."""
     from indexlab_spark.operators.knn import build_ivf_fixed, ivf_search
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -5271,8 +5274,16 @@ def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 10th asset, then decode -> feature-extract (mapInPandas, Arrow
     batches) -> embedding_dup_pairs. Identical PNGs must decode to
     identical pixels and features, so exactly the planted pairs come
-    back at cos ~1. Binary kernels aren't SQL-expressible -> rows-only;
-    codec round-trips are pinned in tests/test_imagecodec.py."""
+    back at cos ~1. ORACLE-backed since r12: the oracle computes
+    SHA-256 FROM FIRST PRINCIPLES in SQL (generated two-block rounds,
+    hashlib-verified) over the quantized pixels and replays features,
+    normalization and the fold-order cosine — the pipeline's LOSSLESS
+    roundtrip claim is what makes features-from-pixels equal
+    features-from-decoded-PNG, so a lossy or buggy codec FAILS this
+    hash (the oracle attests the roundtrip rather than assuming it);
+    codec round-trips also pinned in tests/test_imagecodec.py and the
+    cross-engine pytest drives the SQL against the real encode/decode
+    pipeline."""
     from indexlab_spark.operators.dedup import embedding_dup_pairs
     from indexlab_spark.operators.multimodal import with_image_features
 
@@ -6399,9 +6410,11 @@ def _q_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified by mutual neighbors. Same >= 2-support edge cut as
     part_kcore; each peel round is one degree-ordered triangle pass
     (oriented wedges, O(sqrt(m)) out-degree) + one scalar action.
-    Rows-only: the per-round triangle join needs the recursive frame
-    twice, which SQL recursive CTEs forbid; exact pure-python parity
-    is pinned in tests instead."""
+    ORACLE-backed since r12: DuckDB permits multi-referencing the
+    recursive frame, so the peel replays as a fixed-4-round recursive
+    CTE (fixpoint measured at 2 rounds on both gate SFs; idempotent
+    past it — the lpa_parts argument); pure-python parity stays
+    pinned in tests."""
     from indexlab_spark.operators.dedup import k_truss
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
@@ -7073,7 +7086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round Gram-Schmidt, generated CTE replay);
         # never-attested, leads the r13 window:
         "pca_embeddings": _q_pca_embeddings,
-        # rows-only (no SQL-expressible oracle):
         # weighted_minhash upgraded to oracle-backed in r12
         # (md5-deterministic ICWS replay); never-attested, leads the
         # r13 window:
