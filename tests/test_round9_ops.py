@@ -3505,3 +3505,66 @@ def test_hits_oracle_sql_matches_quantized_python_replay():
     sql = entry_mod.oracle_sql()["hits_suppliers"]
     got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
     assert got == ref
+
+
+def test_quality_clf_oracle_sql_matches_python_replay():
+    """The r12 quality_classifier oracle (_quality_clf_sql) cross-engine
+    on a synthetic separable corpus: the generated 20-step CTE unroll in
+    DuckDB must equal a pure-python quantized full-batch gradient
+    descent (floor(x*1e9+0.5)/1e9 re-sync per step) — completing the
+    per-generator cross-engine net (every generated oracle SQL now has
+    one beyond the gate corpus)."""
+    import math
+    import sys
+
+    import duckdb
+    import numpy as np
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 8
+    labels = np.array([i % 10 for i in range(n)])
+    y = (labels <= 4).astype(np.float64)
+    x = rng.normal(size=(n, dim)) + np.outer(y * 2 - 1, np.ones(dim)) * 0.7
+    x = x.astype(np.float32).astype(np.float64)
+
+    scale = 1e9
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(20):
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        err = p - y
+        w = w - 1.0 * (x.T @ err / n + 1e-3 * w)
+        b = b - 1.0 * (err.sum() / n)
+        w = np.floor(w * scale + 0.5) / scale
+        b = float(np.floor(b * scale + 0.5) / scale)
+    p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+    ref = {}
+    for lbl in range(10):
+        msk = labels == lbl
+        acc = float(((p[msk] > 0.5) == (y[msk] > 0.5)).mean())
+        ref[lbl] = (
+            int(msk.sum()), round(float(p[msk].mean()), 6), round(acc, 6)
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, label INT,"
+        " embedding DOUBLE[])"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?,?,?)",
+        [(i, int(labels[i]), [float(v) for v in x[i]]) for i in range(n)],
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            entry_mod._quality_clf_sql(iters=20, dim=dim)
+        ).fetchall()
+    }
+    for lbl in range(10):
+        assert got[lbl][0] == ref[lbl][0]
+        assert got[lbl][1] == pytest.approx(ref[lbl][1], abs=2e-6)
+        assert got[lbl][2] == pytest.approx(ref[lbl][2], abs=1e-9)
