@@ -6768,6 +6768,38 @@ def _q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf(daily, ["event_type"], "day", "revenue", max_lag=7)
 
 
+# The authoritative driver-window pin for the CURRENT round (r13).
+# tests/test_registry_counts.py asserts that list(queries())[:50]
+# equals this list, that every slot is oracle-backed, and that the 12
+# anchors lead it — so the window plan can never again diverge between
+# the registry comments, PLANS.md, and the implemented dict order
+# (r12 VERDICT item 2: the PLANS.md line said 22+16 while the registry
+# pin said 23+15). Rotating the window next round = edit this constant
+# AND the dict order together, or the guard fails with both lists.
+DRIVER_WINDOW_ANCHORS = [
+    "chunk_fixed", "chunk_stats", "doc_len_stats", "len_histogram",
+    "knn_ip", "knn_cosine", "bm25_topk", "hybrid_rrf",
+    "eval_results", "eval_metrics", "exact_dedup", "minhash_lsh",
+]
+DRIVER_WINDOW_PLAN = DRIVER_WINDOW_ANCHORS + [
+    # round-12 attestation upgrades, never-attested-first (slots 13-35):
+    "similarity_ivf", "similarity_ivf_append", "pca_embeddings",
+    "weighted_minhash", "chunk_sentences", "chunk_headings",
+    "bpe_merges", "multimodal_pipeline", "graph_communities",
+    "similarity_pq", "text_embed_knn", "semantic_dedup",
+    "similarity_sq8", "normalized_dedup", "graph_pagerank",
+    "quality_classifier", "embedding_kmeans", "hits_suppliers",
+    "similarity_ivfpq", "part_ktruss", "binseg_revenue",
+    "truss_farms", "ann_recall_ivf",
+    # oldest-attestation backfill (slots 36-50, r06-green):
+    "balance_quartiles", "unigram_logprob", "label_centroids",
+    "winsorize_chars", "daily_activity_outer", "user_top_event",
+    "merge_latest", "events_ohlc", "grouping_sets_margins",
+    "group_sample", "time_weighted_avg", "phrase_search",
+    "market_share", "important_parts", "promo_revenue",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. The driver's correctness harness verifies the
     FIRST 50 oracle-backed entries per round (CORRECTNESS_r01/r02 each
@@ -6775,10 +6807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round: a fixed block of core anchors (one per SURVEY §2 family,
     re-verified every round) followed by the queries that have not yet
     received a driver row, then a backfill of the entries whose last
-    driver-green row is oldest. Everything past slot 50 has been
-    verified by an earlier round's driver run (see CORRECTNESS_r01-r03)
-    and stays covered locally by tools/driver_sim.py, which runs ALL
-    entries."""
+    driver-green row is oldest. The current window is pinned
+    machine-checkably in DRIVER_WINDOW_PLAN above. Everything past
+    slot 50 has been verified by an earlier round's driver run (see
+    CORRECTNESS_r01-r12) and stays covered locally by
+    tools/driver_sim.py, which runs ALL entries."""
     return {
         # -- core anchors (driver-green every round; re-verified each round)
         "chunk_fixed": _q_chunk_fixed,
@@ -6793,14 +6826,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 12, exactly per the plan
-        # pinned in the r11 registry comments and re-confirmed by the
-        # r11 VERDICT item 1, never-attested-first invariant): the 19
-        # round-11 oracle additions/upgrades (the 15 r11 additions in
-        # registration order, then the 4 attestation upgrades), then 19
-        # oldest-attestation backfill slots (the first 19 of the 36
-        # remaining r06-green entries, registry order).
-        # round-11 oracle additions (slots 13-27):
+        # -- rotation window slots 13-50 (round 13, exactly per the plan
+        # pinned in the r12 registry comments and re-confirmed by the
+        # r12 VERDICT item 1, never-attested-first invariant): the 23
+        # round-12 attestation upgrades (rows-only/pytest-only ->
+        # oracle-backed; every one re-verified sim-green by the r12
+        # judge) in registry order (slots 13-35), then 15
+        # oldest-attestation backfill slots (the first 15 of the 17
+        # remaining r06-green entries, registry order; revenue_dod and
+        # balance_percent_rank lead the r14 backfill).
+        # round-12 attestation upgrades (slots 13-35):
+        "similarity_ivf": _q_similarity_ivf,
+        "similarity_ivf_append": _q_similarity_ivf_append,
+        "pca_embeddings": _q_pca_embeddings,
+        "weighted_minhash": _q_weighted_minhash,
+        "chunk_sentences": _q_chunk_sentences,
+        "chunk_headings": _q_chunk_headings,
+        "bpe_merges": _q_bpe_merges,
+        "multimodal_pipeline": _q_multimodal_pipeline,
+        "graph_communities": _q_graph_communities,
+        "similarity_pq": _q_similarity_pq,
+        "text_embed_knn": _q_text_embed_knn,
+        "semantic_dedup": _q_semantic_dedup,
+        "similarity_sq8": _q_similarity_sq8,
+        "normalized_dedup": _q_normalized_dedup,
+        "graph_pagerank": _q_graph_pagerank,
+        "quality_classifier": _q_quality_classifier,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "hits_suppliers": _q_hits_suppliers,
+        "similarity_ivfpq": _q_similarity_ivfpq,
+        "part_ktruss": _q_part_ktruss,
+        "binseg_revenue": _q_binseg_revenue,
+        "truss_farms": _q_truss_farms,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        # oldest-attestation backfill (slots 36-50: the first 15 of the
+        # 17 remaining r06-green entries, registry order; revenue_dod
+        # and balance_percent_rank lead the r14 backfill):
+        "balance_quartiles": _q_balance_quartiles,
+        "unigram_logprob": _q_unigram_logprob,
+        "label_centroids": _q_label_centroids,
+        "winsorize_chars": _q_winsorize_chars,
+        "daily_activity_outer": _q_daily_activity_outer,
+        "user_top_event": _q_user_top_event,
+        "merge_latest": _q_merge_latest,
+        "events_ohlc": _q_events_ohlc,
+        "grouping_sets_margins": _q_grouping_sets_margins,
+        "group_sample": _q_group_sample,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "phrase_search": _q_phrase_search,
+        "market_share": _q_market_share,
+        "important_parts": _q_important_parts,
+        "promo_revenue": _q_promo_revenue,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r14 window plan (pinned per the standing invariants:
+        # all-slots-oracle-backed, never-attested-first, then oldest
+        # attestation; recompute from CORRECTNESS_r01-r13 once r13
+        # lands): after the 12 anchors there are ZERO never-attested
+        # oracle-backed entries left (the r13 window attests the last
+        # 23), so all 38 slots backfill by oldest attestation — the 2
+        # remaining r06-green entries (revenue_dod,
+        # balance_percent_rank), then the first 36 of the 38 r07-green
+        # entries below (trigram_logprob .., registry order); the last
+        # two r07-green (above_avg_orders, asof_signup) plus the 38
+        # r08-green lead the r15 backfill.
+        # last green r12 (the 38 entries rotated out of the r12 window
+        # this round; r12 window order; backfill candidates for r17+
+        # by the oldest-attestation rule):
         "theil_customers": _q_theil_customers,
         "sprt_events": _q_sprt_events,
         "mann_kendall_daily": _q_mann_kendall_daily,
@@ -6816,15 +6910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sources": _q_diversity_sources,
         "wasserstein_arms": _q_wasserstein_arms,
         "pacf_daily": _q_pacf_daily,
-        # round-11 attestation upgrades, rows-only -> oracle-backed
-        # (slots 28-31):
         "holt_winters_hourly": _q_holt_winters_hourly,
         "mmr_embeddings": _q_mmr_embeddings,
         "partial_corr_lineitem": _q_partial_corr_lineitem,
         "event_stationary": _q_event_stationary,
-        # oldest-attestation backfill (slots 32-50: the first 19 of the
-        # 36 remaining r06-green entries, registry order; the other 17
-        # lead the r13 backfill):
         "token_budget_mix": _q_token_budget_mix,
         "minhash_incremental": _q_minhash_incremental,
         "asof_forward": _q_asof_forward,
@@ -6844,27 +6933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "events_funnel": _q_events_funnel,
         "retention_cohorts": _q_retention_cohorts,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r13 window plan (pinned per the standing invariants:
-        # all-slots-oracle-backed, never-attested-first, then oldest
-        # attestation; recompute from CORRECTNESS_r01-r12 once r12
-        # lands): after the 12 anchors, never-attested-first — the
-        # TWENTY-THREE r12 attestation upgrades in registry order
-        # (similarity_ivf, similarity_ivf_append, pca_embeddings,
-        # weighted_minhash, chunk_sentences, chunk_headings,
-        # bpe_merges, multimodal_pipeline, graph_communities,
-        # similarity_pq, text_embed_knn, semantic_dedup,
-        # similarity_sq8, normalized_dedup, graph_pagerank,
-        # quality_classifier, embedding_kmeans, hits_suppliers,
-        # similarity_ivfpq, part_ktruss, binseg_revenue, truss_farms,
-        # ann_recall_ivf; slots 13-35) — then the oldest-attestation
-        # backfill (15 slots): the first 15 of the 17 remaining
-        # r06-green entries below (balance_quartiles .., registry
-        # order); the last two (revenue_dod, balance_percent_rank)
-        # plus all 38 r07-green lead the r14 backfill.
         # last green r11 (the 38 entries rotated out of the r11 window
         # this round; r11 window order; backfill candidates for r16+ by
         # the oldest-attestation rule):
@@ -6929,24 +6997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r06, remaining 17 (the first 19 of the 36 moved
-        # into the r12 backfill slots above; these 17 lead the r13
+        # last green r06, remaining 2 (the first 15 of the 17 moved
+        # into the r13 backfill slots above; these 2 lead the r14
         # backfill by the oldest-attestation rule):
-        "balance_quartiles": _q_balance_quartiles,
-        "unigram_logprob": _q_unigram_logprob,
-        "label_centroids": _q_label_centroids,
-        "winsorize_chars": _q_winsorize_chars,
-        "daily_activity_outer": _q_daily_activity_outer,
-        "user_top_event": _q_user_top_event,
-        "merge_latest": _q_merge_latest,
-        "events_ohlc": _q_events_ohlc,
-        "grouping_sets_margins": _q_grouping_sets_margins,
-        "group_sample": _q_group_sample,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "phrase_search": _q_phrase_search,
-        "market_share": _q_market_share,
-        "important_parts": _q_important_parts,
-        "promo_revenue": _q_promo_revenue,
         "revenue_dod": _q_revenue_dod,
         "balance_percent_rank": _q_balance_percent_rank,
         # last green r07 (the 38 entries rotated out of the r7
@@ -7072,103 +7125,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
-        # similarity_ivf upgraded to oracle-backed in r12 (deterministic
-        # fixed-iteration Lloyd, build_ivf_fixed — the r11-verdict
-        # attestation discipline); never-attested, leads the r13 window:
-        "similarity_ivf": _q_similarity_ivf,
-        # similarity_ivf_append upgraded to oracle-backed in r12
-        # (build_ivf_fixed train-on-half + ivf_append_fixed bit-identical
-        # assign; oracle trains on the even half, assigns the union);
-        # never-attested, leads the r13 window:
-        "similarity_ivf_append": _q_similarity_ivf_append,
-        # pca_embeddings upgraded to oracle-backed in r12
-        # (pca_fit_fixed: quantized deflated power iteration +
-        # per-round Gram-Schmidt, generated CTE replay);
-        # never-attested, leads the r13 window:
-        "pca_embeddings": _q_pca_embeddings,
-        # weighted_minhash upgraded to oracle-backed in r12
-        # (md5-deterministic ICWS replay); never-attested, leads the
-        # r13 window:
-        "weighted_minhash": _q_weighted_minhash,
-        # chunk_sentences + chunk_headings upgraded to oracle-backed
-        # in r12 (recursive-CTE packing fold / chunk_fixed reduction on
-        # the measured no-newline corpus); never-attested, lead the r13
-        # window:
-        "chunk_sentences": _q_chunk_sentences,
-        "chunk_headings": _q_chunk_headings,
-        # bpe_merges upgraded to oracle-backed in r12 (8 unrolled SQL
-        # merge rounds + apply join); never-attested, leads the r13
-        # window:
-        "bpe_merges": _q_bpe_merges,
-        # multimodal_pipeline upgraded to oracle-backed in r12
-        # (SHA-256 from first principles in SQL; the lossless-codec
-        # claim becomes the attested contract); never-attested, leads
-        # the r13 window:
-        "multimodal_pipeline": _q_multimodal_pipeline,
+        # (the 23 r12 attestation upgrades that used to sit here —
+        # similarity_ivf .. ann_recall_ivf — moved into the r13 window
+        # slots 13-35 above. The two rows-only survivors stay parked:
+        # they wrap third-party engine state — DataSketches HLL
+        # registers / zlib DEFLATE bytes — and the window invariant is
+        # all-slots-oracle-backed.)
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
-        # graph_communities upgraded to oracle-backed in r12 (fixed-3
-        # LPA over the mutual-kNN ENDPOINT graph; lpa_parts fold
-        # composed with the attested knn_graph CTE); never-attested,
-        # leads the r13 window:
-        "graph_communities": _q_graph_communities,
-        # similarity_pq upgraded to oracle-backed in r12 (per-subspace
-        # fixed-Lloyd codebooks + codegen encode + round-before-rank
-        # ADC/rerank); never-attested, leads the r13 window:
-        "similarity_pq": _q_similarity_pq,
-        # text_embed_knn upgraded to oracle-backed in r12 (crc32 from
-        # first principles in SQL; full embed->kNN replay);
-        # never-attested, leads the r13 window:
-        "text_embed_knn": _q_text_embed_knn,
-        # semantic_dedup upgraded to oracle-backed in r12 (fixed_iters=5
-        # deterministic cells + within-cell cosine replay);
-        # never-attested, leads the r13 window:
-        "semantic_dedup": _q_semantic_dedup,
-        # similarity_sq8 upgraded to oracle-backed in r12 (exact-range
-        # codec + round-before-rank; codes replay bit-for-bit via
-        # round_even); never-attested, leads the r13 window:
-        "similarity_sq8": _q_similarity_sq8,
         "compression_quality": _q_compression_quality,
-        # normalized_dedup upgraded to oracle-backed in r12 (the gate
-        # corpus is pure ASCII, where NFKC/accent-strip are identities
-        # and the oracle replays lower+squeeze+md5); never-attested,
-        # leads the r13 window:
-        "normalized_dedup": _q_normalized_dedup,
-        # graph_pagerank upgraded to oracle-backed in r12 (fixed-8
-        # tol=None over the mutual-kNN ENDPOINT graph, unquantized
-        # fold + scaled-integer output rounding); never-attested,
-        # leads the r13 window:
-        "graph_pagerank": _q_graph_pagerank,
-        "quality_classifier": _q_quality_classifier,
-        # embedding_kmeans upgraded to oracle-backed in r12
-        # (kmeans_summary_fixed — deterministic fixed-iteration Lloyd);
-        # never-attested, leads the r13 window:
-        "embedding_kmeans": _q_embedding_kmeans,
-        # hits_suppliers upgraded to oracle-backed in r12 (quantize_dp=6
-        # scaled-integer per-round re-sync -> bounded recursive-CTE
-        # replay of the 10-round L2-normalized power iteration);
-        # never-attested, leads the r13 window:
-        "hits_suppliers": _q_hits_suppliers,
-        # similarity_ivfpq upgraded to oracle-backed in r12 (fixed
-        # coarse + replayed residuals + fixed residual codebooks +
-        # deterministic probe — the LAST ANN family member);
-        # never-attested, leads the r13 window:
-        "similarity_ivfpq": _q_similarity_ivfpq,
-        # -- round-10 rows-only additions (oracle-backed siblings and
-        # the r11 attestation upgrades moved into driver windows above):
-        # part_ktruss upgraded to oracle-backed in r12 (fixed-4-round
-        # peel replay); never-attested, leads the r13 window:
-        "part_ktruss": _q_part_ktruss,
-        # binseg_revenue upgraded to oracle-backed in r12 (unrolled
-        # greedy argmax over prefix sums); never-attested, leads the
-        # r13 window:
-        "binseg_revenue": _q_binseg_revenue,
-        # truss_farms upgraded to oracle-backed in r12 (peel + CC
-        # min-label replay); never-attested, leads the r13 window:
-        "truss_farms": _q_truss_farms,
-        # ann_recall_ivf upgraded to oracle-backed in r12 (build_ivf_fixed
-        # quantizer + round-before-rank approx + bit-matched exact fold);
-        # never-attested, leads the r13 window:
-        "ann_recall_ivf": _q_ann_recall_ivf,
         # -- last green r10 (the 38 entries rotated out of the r10
         # window this round; r10 window order; backfill candidates
         # for r15+ by the oldest-attestation rule):

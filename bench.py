@@ -375,11 +375,18 @@ def main() -> None:
     rows_per_sec["b5_analytics"] = round(len(docs_pdf) / queries_sec["b5_analytics"], 1)
 
     # B6 IVF build ---------------------------------------------------------
+    # min-of-2 (r12 VERDICT item 3): b6 was the one bench family whose
+    # driver-run numbers drifted two rounds straight (3.44s -> 6.53s ->
+    # 9.31s large) while exclusive runs held at 4.1-4.6s on byte-identical
+    # code — i.e. single-shot timing under driver-concurrent load, not a
+    # code cause. min-of-2 + the stage split below make the claim
+    # measured instead of inferred.
     def spark_b6():
         assigned, _ = build_ivf(corpus, nlist=min(256, n_vec // 8), seed=42)
         return assigned.count()
 
-    queries_sec["b6_ivf_build"], _ = timed(spark_b6)
+    queries_sec["b6_ivf_build"], _ = timed(spark_b6, repeats=2)
+    min_of["b6_ivf_build"] = 2
     baseline_sec["b6_ivf_build"], _ = timed(
         lambda: baseline_b6_kmeans(mat, min(256, n_vec // 8)), repeats=3
     )
@@ -391,13 +398,35 @@ def main() -> None:
         assigned, _ = build_ivf(big_corpus, nlist=256, seed=42)
         return assigned.count()
 
-    queries_sec["b6_ivf_build_large"], _ = timed(spark_b6_large)
+    queries_sec["b6_ivf_build_large"], _ = timed(spark_b6_large, repeats=2)
+    min_of["b6_ivf_build_large"] = 2
     baseline_sec["b6_ivf_build_large"], _ = timed(
         lambda: baseline_b6_kmeans(big_mat, 256)
     )
     rows_per_sec["b6_ivf_build_large"] = round(
         REP * n_vec / queries_sec["b6_ivf_build_large"], 1
     )
+
+    # Per-stage split of the large build (single shot, recorded in the
+    # JSON): sample-collect (one distributed sample job), Lloyd (driver
+    # numpy), assign (the one Arrow pass). Under contention the floors
+    # sit in the two Spark jobs; Lloyd is pure CPU and stable — so the
+    # split attributes any future drift to scheduling vs compute.
+    from indexlab_spark.operators.knn import _lloyd, _sampled_train_matrix
+
+    _t0 = time.time()
+    _b6_train = _sampled_train_matrix(big_corpus, "embedding", 256 * 256, 42)
+    _t1 = time.time()
+    _b6_rng = np.random.default_rng(42)
+    _lloyd(_b6_train, min(256, len(_b6_train)), 20, _b6_rng)
+    _t2 = time.time()
+    spark_b6_large()
+    _t3 = time.time()
+    b6_stage_split = {
+        "sample_collect": round(_t1 - _t0, 3),
+        "lloyd_train": round(_t2 - _t1, 3),
+        "full_build_assign_incl_retrain": round(_t3 - _t2, 3),
+    }
 
     # headline relational/dedup queries at bench SF ------------------------
     import __spark_entry__ as entry_mod
@@ -878,6 +907,7 @@ def main() -> None:
         "rebuild_growth_8x": rebuild_growth_8x,
         "incremental_vs_rebuild_same_corpus":
             incremental_vs_rebuild_same_corpus,
+        "b6_stage_split": b6_stage_split,
         "min_of": min_of,
         "workloads": workloads,
     }
@@ -917,6 +947,7 @@ def main() -> None:
         "rebuild_growth_8x": rebuild_growth_8x,
         "incremental_vs_rebuild_same_corpus":
             incremental_vs_rebuild_same_corpus,
+        "b6_stage_split": b6_stage_split,
         "min_of": min_of,
         "workloads": workloads,
         "full": "bench_full.json",

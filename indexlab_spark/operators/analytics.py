@@ -4212,8 +4212,13 @@ def sequence_pairs(
     Output: top_n rows (antecedent, consequent, n_seqs, support =
     n_seqs / sequences-with-any-event, 6dp), support >= min_support,
     ordered by support desc then antecedent, consequent; ties at the
-    cut resolve by that total order (rank window over the
-    type²-bounded pair frame, never data-sized).
+    cut resolve by that total order. The cut is sort+limit
+    (TakeOrderedAndProject — distributed per-partition partial top-n,
+    the join_explosion pattern above), NOT an unpartitioned rank
+    window: the pair frame is (distinct event types)²-bounded by the
+    contract, but a caller with 10⁴+ types would otherwise funnel
+    ~10⁸ support-filtered pairs through one window task (r12 VERDICT
+    item 4).
     """
     if not (0.0 < min_support <= 1.0):
         raise ValueError(
@@ -4255,14 +4260,9 @@ def sequence_pairs(
         )
         .filter(F.col("support") >= min_support)
     )
-    w = Window.orderBy(
+    return pairs.orderBy(
         F.desc("support"), F.asc("antecedent"), F.asc("consequent")
-    )
-    return (
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_n)
-        .drop("_rk")
-    )
+    ).limit(top_n)
 
 
 def cohort_ltv(

@@ -41,6 +41,28 @@ def test_plans_head_counts_match_registry():
     )
 
 
+def test_driver_window_matches_pin():
+    """r12 VERDICT item 2: the r13 window pin was stated inconsistently
+    between the registry comments (23+15) and PLANS.md (22+16). The pin
+    is now a module constant; this guard fails loudly if the implemented
+    dict order, the pin, or the oracle-backing invariant ever diverge."""
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    window = list(q)[:50]
+    plan = entry_mod.DRIVER_WINDOW_PLAN
+    assert len(plan) == 50, f"pin must list exactly 50 slots, got {len(plan)}"
+    assert window == plan, (
+        "queries() dict order diverged from DRIVER_WINDOW_PLAN:\n"
+        f"  dict[:50] = {window}\n  pin       = {plan}"
+    )
+    assert plan[:12] == entry_mod.DRIVER_WINDOW_ANCHORS
+    not_backed = [k for k in window if k not in o]
+    assert not not_backed, (
+        f"window slots without an oracle (all-slots-oracle-backed "
+        f"invariant): {not_backed}"
+    )
+
+
 def test_every_oracle_has_a_query():
     q = entry_mod.queries()
     extra = [k for k in entry_mod.oracle_sql() if k not in q]
