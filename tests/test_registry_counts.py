@@ -63,6 +63,37 @@ def test_driver_window_matches_pin():
     )
 
 
+def test_parked_oracle_entries_all_attested():
+    """Rotation safety net (r13): the never-attested-first invariant
+    means an oracle-backed entry may only sit PAST the 50-slot driver
+    window if some prior round's driver run already attested it green
+    (rows+schema+hash, no err). A rotation that parks a never-attested
+    entry silently drops it from the attestation frontier — fail loudly
+    with the names instead."""
+    import glob
+    import json
+
+    green = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                green.add(name)
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    parked = [k for k in list(q)[50:] if k in o]
+    missing = [k for k in parked if k not in green]
+    assert not missing, (
+        f"oracle-backed entries parked past slot 50 with NO green driver "
+        f"row in any CORRECTNESS_r*.json: {missing}"
+    )
+
+
 def test_every_oracle_has_a_query():
     q = entry_mod.queries()
     extra = [k for k in entry_mod.oracle_sql() if k not in q]
