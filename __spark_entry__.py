@@ -897,8 +897,12 @@ def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation — per-doc zlib compression ratio (repetitiveness /
     low-entropy signal; boilerplate compresses far below prose). zlib is
-    outside SQL -> rows-only; determinism across partitionings pinned in
-    tests."""
+    outside SQL -> the registry's ONE permanent rows-only entry,
+    attested instead by the cross-engine net
+    (tests/test_dedup_textstats.py::test_compression_quality_cross_
+    engine_net): full sf0.001 replay via pyarrow + stdlib zlib on the
+    driver, cell-exact at 6dp, frozen literals pinned. Determinism
+    across partitionings pinned in tests."""
     from indexlab_spark.operators.textstats import compression_ratio
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -5185,9 +5189,19 @@ def _q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate): per-(day, event_type) HLL sketches union up to per-type
     distinct-user estimates — the raw table is scanned ONCE to build
     the rollup; every coarser rollup is a sketch union (mergeable
-    state, unlike count(DISTINCT) partials). DataSketches HLL internals
-    differ across engines -> rows-only; error bounds vs exact are
-    pinned in tests."""
+    state, unlike count(DISTINCT) partials).
+
+    ORACLE-backed since r14 via the heavy_hitters discipline
+    (candidate-restricted exact verify): the groups the sketch union
+    EMITS are exact-counted in a second pass restricted to those
+    groups, and the sketch's accuracy contract is folded into the
+    hash check as ``within_5pct`` — Spark computes
+    |estimate - exact| <= 5% * exact from the real HLL registers
+    (measured max deviation 0.8% at sf0.1; lg_k=12 std err 1.6%),
+    the oracle replays the exact side plus literal TRUE. A sketch
+    regression beyond the bound value-hash-mismatches instead of
+    hiding behind a rows-only row. DataSketches register internals
+    themselves stay pinned in the error-bound pytest."""
     from indexlab_spark.operators.analytics import (
         sketch_rollup,
         sketch_union_estimate,
@@ -5197,7 +5211,24 @@ def _q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = sketch_rollup(
         ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
     )
-    return sketch_union_estimate(rollup, ["event_type"])
+    est = sketch_union_estimate(rollup, ["event_type"])
+    exact = (
+        ev.join(F.broadcast(est.select("event_type")), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("estimate") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6768,7 +6799,7 @@ def _q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf(daily, ["event_type"], "day", "revenue", max_lag=7)
 
 
-# The authoritative driver-window pin for the CURRENT round (r13).
+# The authoritative driver-window pin for the CURRENT round (r14).
 # tests/test_registry_counts.py asserts that list(queries())[:50]
 # equals this list, that every slot is oracle-backed, and that the 12
 # anchors lead it — so the window plan can never again diverge between
@@ -6782,21 +6813,30 @@ DRIVER_WINDOW_ANCHORS = [
     "eval_results", "eval_metrics", "exact_dedup", "minhash_lsh",
 ]
 DRIVER_WINDOW_PLAN = DRIVER_WINDOW_ANCHORS + [
-    # round-12 attestation upgrades, never-attested-first (slots 13-35):
-    "similarity_ivf", "similarity_ivf_append", "pca_embeddings",
-    "weighted_minhash", "chunk_sentences", "chunk_headings",
-    "bpe_merges", "multimodal_pipeline", "graph_communities",
-    "similarity_pq", "text_embed_knn", "semantic_dedup",
-    "similarity_sq8", "normalized_dedup", "graph_pagerank",
-    "quality_classifier", "embedding_kmeans", "hits_suppliers",
-    "similarity_ivfpq", "part_ktruss", "binseg_revenue",
-    "truss_farms", "ann_recall_ivf",
-    # oldest-attestation backfill (slots 36-50, r06-green):
-    "balance_quartiles", "unigram_logprob", "label_centroids",
-    "winsorize_chars", "daily_activity_outer", "user_top_event",
-    "merge_latest", "events_ohlc", "grouping_sets_margins",
-    "group_sample", "time_weighted_avg", "phrase_search",
-    "market_share", "important_parts", "promo_revenue",
+    # never-attested-first (slot 13): sketch_distinct_rollup became
+    # oracle-backed this round (r13 VERDICT item 3 — the heavy_hitters
+    # candidate-restricted exact-verify discipline) and has no driver
+    # row yet, so per the standing invariant it leads the rotation.
+    "sketch_distinct_rollup",
+    # Oldest-attestation backfill for the remaining 37 slots
+    # (recomputed from CORRECTNESS_r01-r13 at round start): the 2
+    # remaining r06-green entries (slots 14-15), then the first 35 of
+    # the 38 r07-green entries in registry order (slots 16-50;
+    # common_ngrams yields its planned slot to the never-attested
+    # newcomer and leads the r15 backfill instead).
+    "revenue_dod", "balance_percent_rank",
+    "trigram_logprob", "semantic_decontam", "sliding_windows",
+    "dq_lineitem", "embedding_drift", "stateful_sessions",
+    "zorder_events", "exact_dedup_incremental", "psi_drift",
+    "dedup_survival", "asof_nearest", "events_trailing_hour",
+    "segment_corr_stats", "bigram_pmi", "label_norm_stats",
+    "user_first_last", "session_native", "distinct_counts",
+    "orders_profile", "vocab_coverage", "bigram_logprob",
+    "user_type_map", "incremental_rollup", "rolling_median",
+    "events_json", "order_priority_semi", "cust_order_dist",
+    "big_orders", "brand_revenue_disjunctive", "lonely_late_supplier",
+    "rich_idle_customers", "returned_top_customers", "volume_shipping",
+    "min_cost_supplier", "part_supplier_counts",
 ]
 
 
@@ -6826,16 +6866,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 13, exactly per the plan
-        # pinned in the r12 registry comments and re-confirmed by the
-        # r12 VERDICT item 1, never-attested-first invariant): the 23
-        # round-12 attestation upgrades (rows-only/pytest-only ->
-        # oracle-backed; every one re-verified sim-green by the r12
-        # judge) in registry order (slots 13-35), then 15
-        # oldest-attestation backfill slots (the first 15 of the 17
-        # remaining r06-green entries, registry order; revenue_dod and
-        # balance_percent_rank lead the r14 backfill).
-        # round-12 attestation upgrades (slots 13-35):
+        # -- rotation window slots 13-50 (round 14, per the plan pinned
+        # in the r13 registry comments + r13 VERDICT items 1 and 3):
+        # never-attested-first puts sketch_distinct_rollup (newly
+        # oracle-backed this round, no driver row yet) at slot 13;
+        # the other 37 slots are oldest-attestation backfill — the 2
+        # remaining r06-green entries (slots 14-15), then the first 35
+        # of the 38 r07-green entries in registry order (slots 16-50).
+        "sketch_distinct_rollup": _q_sketch_distinct_rollup,
+        # r06-green backfill (slots 14-15):
+        "revenue_dod": _q_revenue_dod,
+        "balance_percent_rank": _q_balance_percent_rank,
+        # r07-green backfill (slots 16-50; first 35 of the 38 r07-green
+        # entries, registry order — common_ngrams, above_avg_orders and
+        # asof_signup lead the r15 backfill):
+        "trigram_logprob": _q_trigram_logprob,
+        "semantic_decontam": _q_semantic_decontam,
+        "sliding_windows": _q_sliding_windows,
+        "dq_lineitem": _q_dq_lineitem,
+        "embedding_drift": _q_embedding_drift,
+        "stateful_sessions": _q_stateful_sessions,
+        "zorder_events": _q_zorder_events,
+        "exact_dedup_incremental": _q_exact_dedup_incremental,
+        "psi_drift": _q_psi_drift,
+        "dedup_survival": _q_dedup_survival,
+        "asof_nearest": _q_asof_nearest,
+        "events_trailing_hour": _q_events_trailing_hour,
+        "segment_corr_stats": _q_segment_corr_stats,
+        "bigram_pmi": _q_bigram_pmi,
+        "label_norm_stats": _q_label_norm_stats,
+        "user_first_last": _q_user_first_last,
+        "session_native": _q_session_native,
+        "distinct_counts": _q_distinct_counts,
+        "orders_profile": _q_orders_profile,
+        "vocab_coverage": _q_vocab_coverage,
+        "bigram_logprob": _q_bigram_logprob,
+        "user_type_map": _q_user_type_map,
+        "incremental_rollup": _q_incremental_rollup,
+        "rolling_median": _q_rolling_median,
+        "events_json": _q_events_json,
+        "order_priority_semi": _q_order_priority_semi,
+        "cust_order_dist": _q_cust_order_dist,
+        "big_orders": _q_big_orders,
+        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
+        "lonely_late_supplier": _q_lonely_late_supplier,
+        "rich_idle_customers": _q_rich_idle_customers,
+        "returned_top_customers": _q_returned_top_customers,
+        "volume_shipping": _q_volume_shipping,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "part_supplier_counts": _q_part_supplier_counts,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r15 window plan (pinned per the standing invariants:
+        # all-slots-oracle-backed, never-attested-first, then oldest
+        # attestation; recompute from CORRECTNESS_r01-r14 once r14
+        # lands): ZERO never-attested oracle-backed entries remain
+        # (the r14 window attests sketch_distinct_rollup), so all 38
+        # slots backfill by oldest attestation — the 3 remaining
+        # r07-green entries (common_ngrams, above_avg_orders,
+        # asof_signup), then the first 35 of the 38 r08-green entries
+        # below (quantile_rollup .., registry order); the last three
+        # r08-green (quality_filter, repetition, tfidf_topterms) plus
+        # the r09-green block lead the r16 backfill.
+        # last green r13 (the 38 entries rotated out of the r13 window
+        # this round; r13 window order; backfill candidates after the
+        # r08/r09-green blocks by the oldest-attestation rule):
         "similarity_ivf": _q_similarity_ivf,
         "similarity_ivf_append": _q_similarity_ivf_append,
         "pca_embeddings": _q_pca_embeddings,
@@ -6859,9 +6956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_revenue": _q_binseg_revenue,
         "truss_farms": _q_truss_farms,
         "ann_recall_ivf": _q_ann_recall_ivf,
-        # oldest-attestation backfill (slots 36-50: the first 15 of the
-        # 17 remaining r06-green entries, registry order; revenue_dod
-        # and balance_percent_rank lead the r14 backfill):
         "balance_quartiles": _q_balance_quartiles,
         "unigram_logprob": _q_unigram_logprob,
         "label_centroids": _q_label_centroids,
@@ -6877,21 +6971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "important_parts": _q_important_parts,
         "promo_revenue": _q_promo_revenue,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r14 window plan (pinned per the standing invariants:
-        # all-slots-oracle-backed, never-attested-first, then oldest
-        # attestation; recompute from CORRECTNESS_r01-r13 once r13
-        # lands): after the 12 anchors there are ZERO never-attested
-        # oracle-backed entries left (the r13 window attests the last
-        # 23), so all 38 slots backfill by oldest attestation — the 2
-        # remaining r06-green entries (revenue_dod,
-        # balance_percent_rank), then the first 36 of the 38 r07-green
-        # entries below (trigram_logprob .., registry order); the last
-        # two r07-green (above_avg_orders, asof_signup) plus the 38
-        # r08-green lead the r15 backfill.
         # last green r12 (the 38 entries rotated out of the r12 window
         # this round; r12 window order; backfill candidates for r17+
         # by the oldest-attestation rule):
@@ -6997,48 +7076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r06, remaining 2 (the first 15 of the 17 moved
-        # into the r13 backfill slots above; these 2 lead the r14
+        # last green r07, remaining 3 (the first 35 of the 38 moved
+        # into the r14 backfill slots above; these 3 lead the r15
         # backfill by the oldest-attestation rule):
-        "revenue_dod": _q_revenue_dod,
-        "balance_percent_rank": _q_balance_percent_rank,
-        # last green r07 (the 38 entries rotated out of the r7
-        # window this round; r7 window order):
-        "trigram_logprob": _q_trigram_logprob,
-        "semantic_decontam": _q_semantic_decontam,
-        "sliding_windows": _q_sliding_windows,
-        "dq_lineitem": _q_dq_lineitem,
-        "embedding_drift": _q_embedding_drift,
-        "stateful_sessions": _q_stateful_sessions,
-        "zorder_events": _q_zorder_events,
-        "exact_dedup_incremental": _q_exact_dedup_incremental,
-        "psi_drift": _q_psi_drift,
-        "dedup_survival": _q_dedup_survival,
-        "asof_nearest": _q_asof_nearest,
-        "events_trailing_hour": _q_events_trailing_hour,
-        "segment_corr_stats": _q_segment_corr_stats,
-        "bigram_pmi": _q_bigram_pmi,
-        "label_norm_stats": _q_label_norm_stats,
-        "user_first_last": _q_user_first_last,
-        "session_native": _q_session_native,
-        "distinct_counts": _q_distinct_counts,
-        "orders_profile": _q_orders_profile,
-        "vocab_coverage": _q_vocab_coverage,
-        "bigram_logprob": _q_bigram_logprob,
-        "user_type_map": _q_user_type_map,
-        "incremental_rollup": _q_incremental_rollup,
-        "rolling_median": _q_rolling_median,
-        "events_json": _q_events_json,
-        "order_priority_semi": _q_order_priority_semi,
-        "cust_order_dist": _q_cust_order_dist,
-        "big_orders": _q_big_orders,
-        "brand_revenue_disjunctive": _q_brand_revenue_disjunctive,
-        "lonely_late_supplier": _q_lonely_late_supplier,
-        "rich_idle_customers": _q_rich_idle_customers,
-        "returned_top_customers": _q_returned_top_customers,
-        "volume_shipping": _q_volume_shipping,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "part_supplier_counts": _q_part_supplier_counts,
         "common_ngrams": _q_common_ngrams,
         "above_avg_orders": _q_above_avg_orders,
         "asof_signup": _q_asof_signup,
@@ -7125,13 +7165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
-        # (the 23 r12 attestation upgrades that used to sit here —
-        # similarity_ivf .. ann_recall_ivf — moved into the r13 window
-        # slots 13-35 above. The two rows-only survivors stay parked:
-        # they wrap third-party engine state — DataSketches HLL
-        # registers / zlib DEFLATE bytes — and the window invariant is
-        # all-slots-oracle-backed.)
-        "sketch_distinct_rollup": _q_sketch_distinct_rollup,
+        # (sketch_distinct_rollup, formerly rows-only here, became
+        # oracle-backed in r14 via the candidate-restricted exact
+        # verify and moved into window slot 13. compression_quality is
+        # the registry's ONE permanent rows-only resident: it wraps
+        # zlib DEFLATE bytes — genuinely outside SQL — and is attested
+        # instead by the cross-engine net in
+        # tests/test_dedup_textstats.py, which replays the full
+        # sf0.001 result with pyarrow+stdlib zlib and pins frozen
+        # literals.)
         "compression_quality": _q_compression_quality,
         # -- last green r10 (the 38 entries rotated out of the r10
         # window this round; r10 window order; backfill candidates
@@ -11624,6 +11666,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # sketch_distinct_rollup replays the EXACT side of the
+        # candidate-restricted verify (the sketch emits exactly the
+        # grouped event types, so the candidate restriction is the
+        # plain GROUP BY); within_5pct is the sketch's accuracy
+        # contract — literal TRUE here, computed from the real HLL
+        # registers on the Spark side, so a sketch drifting past 5%
+        # hash-mismatches.
+        "sketch_distinct_rollup": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_5pct
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "heavy_hitters": """
             WITH tok AS (

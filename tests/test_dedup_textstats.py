@@ -859,3 +859,45 @@ def test_wminhash_oracle_sql_matches_python_chain():
         ).fetchall()
     }
     assert got == ref
+
+
+def test_compression_quality_cross_engine_net(spark, sf_dir):
+    """compression_quality is the registry's one PERMANENT rows-only
+    entry: zlib is not SQL-expressible, so the driver can only
+    row-count it. This net supplies the missing attestation the same
+    way the wminhash/text-embed nets do — an independent NON-Spark
+    replay of the full sf0.001 result (pyarrow parquet read + stdlib
+    zlib on the driver) asserted cell-exact at 6dp, plus frozen
+    literals pinned at first green run so a silent change to either
+    engine (zlib level, UTF-8 handling, rounding) fails loudly."""
+    import zlib
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["id"]: (r["n_chars"], r["zlib_ratio"])
+        for r in entry_mod._q_compression_quality(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert len(got) == len(rows) == 500
+    for doc_id, text in rows:
+        raw = (text or "").encode("utf-8")
+        ratio = 1.0 if not raw else len(zlib.compress(raw, 6)) / len(raw)
+        assert got[doc_id] == (len(text or ""), round(ratio, 6)), doc_id
+
+    # frozen at first verified-green run (sf0.001 docs 0-4):
+    frozen = {
+        0: (128, 0.703125),
+        1: (441, 0.428571),
+        2: (348, 0.485632),
+        3: (280, 0.532143),
+        4: (177, 0.632768),
+    }
+    for doc_id, want in frozen.items():
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)

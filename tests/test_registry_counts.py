@@ -72,9 +72,13 @@ def test_parked_oracle_entries_all_attested():
     with the names instead."""
     import glob
     import json
+    import os
 
+    # Anchor the glob at the repo root (ADVICE r13: a CWD-relative glob
+    # run from outside the repo finds nothing and fails misleadingly).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green = set()
-    for path in glob.glob("CORRECTNESS_r*.json"):
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         for name, row in json.load(open(path)).items():
             if (
                 isinstance(row, dict)

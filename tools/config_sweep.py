@@ -45,6 +45,7 @@ def run_cell(spark, con, sf_dir: str, partitions: int, only: set[str]):
             continue
         if name not in oracles:
             continue  # rows-only: no oracle to compare against
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
             s_vals, s_cols = canon(sdf)
@@ -54,7 +55,6 @@ def run_cell(spark, con, sf_dir: str, partitions: int, only: set[str]):
             print(f"  {name}: ERR {type(e).__name__}: {e}")
             failures.append(name)
             continue
-        n_run += 1
         if s_cols != o_cols or s_vals != o_vals:
             ndiff = sum(1 for a, b in zip(s_vals, o_vals) if a != b)
             print(
