@@ -8,8 +8,16 @@ to a multi-executor cluster — the bench's _large variants prove it for
 the B1-B6 suites, this probe proves it for the dedup/curation/session
 families that have no _large twin.
 
-Usage: python tools/scale_probe.py [N] [sf_dir]   (default 8x, sf0.1)
+Usage: python tools/scale_probe.py [N] [sf_dir] [op ...]
+(default 8x, sf0.1; extra args restrict the run to those ops)
 Prints one JSON line: {"op": {"t1": s, "tN": s, "growth": tN/t1}, ...}
+
+Note on N > 9 for document ops: replicate_docs has 9 distinct letter
+rotations, so at 16x replica texts repeat with period 9 — shingle/
+vocab DOMAINS grow ~9x while token volume grows 16x. Fine for the
+volume-driven ops probed at 16x (trigram_lm joins on trigram types,
+line_dedup's 40-word key domain is saturated anyway); do NOT read
+pair-based ops (minhash/jaccard/simhash) at N > 9.
 """
 
 from __future__ import annotations
@@ -258,6 +266,7 @@ def main() -> None:
 
     from indexlab_spark.operators.analytics import (
         markov_attribution,
+        sequence_pairs,
         wasserstein_1d,
         weighted_quantiles,
     )
@@ -477,6 +486,17 @@ def main() -> None:
             "ktruss_peel": lambda: k_truss(
                 g_edges[scale], 3, max_iter=8
             ).count(),
+            # round 14 (r13 VERDICT item 5): the r12-rewritten
+            # TakeOrderedAndProject cut, growth-measured post-rewrite.
+            # Replicated events carry disjoint user spaces, so the
+            # per-(sequence, event) min/max pass grows ~N while the
+            # pair frame stays (event types)²-bounded per sequence;
+            # the top-n cut is a distributed partial sort — growth
+            # >> N would mean the cut regressed to a global window.
+            "sequence_pairs": lambda: sequence_pairs(
+                ev, "user_id", "ts", "event_type",
+                min_support=0.05, top_n=30,
+            ).count(),
         }
 
     def timed_min2(fn):
@@ -494,8 +514,11 @@ def main() -> None:
         fn()
         return min(t_first, time.time() - t0), v
 
+    only = set(sys.argv[3:])
     out = {}
     for name, fn in cases(docs1, ev1, emb1).items():
+        if only and name not in only:
+            continue
         t1, v1 = timed_min2(fn)
         tn, vn = timed_min2(cases(docsN, evN, embN, n)[name])
         out[name] = {
