@@ -5117,8 +5117,14 @@ def _q_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").cast("string"),
         ).alias("ud"),
     )
-    fine = theta_sketch_build(keyed, ["event_type", "day"], "ud")
-    per_type = theta_sketch_union(fine, ["event_type"])
+    # k=32768 keeps every grain below saturation through sf0.1
+    # (~16.3k distinct user-days per type; the default k=4096
+    # saturated the per-type union there, putting the ±1/sqrt(k)
+    # regime against an exact-COUNT oracle). The exact-below-
+    # saturation contract is the attestable one; the saturated
+    # regime's determinism is pinned in the operator's pytest.
+    fine = theta_sketch_build(keyed, ["event_type", "day"], "ud", k=32768)
+    per_type = theta_sketch_union(fine, ["event_type"], k=32768)
     a = per_type.withColumnRenamed("event_type", "type_a")
     b = per_type.withColumnRenamed("event_type", "type_b")
     return (
@@ -5862,14 +5868,33 @@ def _q_amoc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to cusum_revenue (CUSUM flags the onset under a
     baseline; this finds the least-squares split with none). One
     cumulative window + one min_by agg; the oracle replays the
-    identical prefix-sum argmin."""
+    identical prefix-sum argmin.
+
+    The sse columns are re-quantized to 2dp here (engine-portable
+    floor(x*100+0.5)/100 on both sides): SSE = q - s^2/n is a
+    catastrophic cancellation (~3e10 prefix magnitudes collapsing to
+    ~5e7), and the two engines accumulate window sums in different
+    orders (Spark sequential vs DuckDB segment-tree), so the shared
+    doubles carry ~1e-5 noise — a 6dp round at that magnitude flipped
+    at sf0.1. The operator itself stays 6dp; means/ratio columns are
+    cancellation-free and keep 6dp."""
     from indexlab_spark.operators.analytics import amoc_changepoint
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     daily = ev.groupBy(
         "event_type", F.to_date("ts").cast("string").alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("revenue"))
-    return amoc_changepoint(daily, ["event_type"], "day", "revenue", 3)
+    out = amoc_changepoint(daily, ["event_type"], "day", "revenue", 3)
+
+    def q2(c: str):
+        return (F.floor(F.col(c) * 100 + F.lit(0.5)) / 100).alias(c)
+
+    return out.select(
+        "event_type", "n", "cp_index", "cp_order",
+        "mean_left", "mean_right",
+        q2("sse_total"), q2("sse_best"), q2("reduction"),
+        "reduction_ratio",
+    )
 
 
 def _q_rake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9861,7 +9886,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(c_a AS BIGINT) AS c_a,
                    CAST(c_b AS BIGINT) AS c_b,
                    round(contrib, 6) AS contrib
-            FROM (SELECT * FROM c ORDER BY contrib DESC, term ASC LIMIT 10)
+            FROM (SELECT * FROM c
+                  ORDER BY round(contrib, 9) DESC, term ASC LIMIT 10)
             UNION ALL
             SELECT '<ALL>', t.na, t.nb,
                    (SELECT round(sum(contrib), 6) FROM c)
@@ -12358,7 +12384,12 @@ def oracle_sql() -> dict[str, str]:
                            AS i
                 FROM cr)
             SELECT seg, count(*) AS n,
-                   CAST(round(sum(wd), 6) AS DOUBLE) AS total,
+                   -- sum(wd) is an exact HUGEINT; round(x, 6) would
+                   -- scale by 1e6 FIRST (DuckDB round multiplies) and
+                   -- overflow double precision at ~7.6e17, yielding
+                   -- ...96.9999 at sf0.1 — cast the exact integer
+                   -- directly instead (value < 2^53, exact as double)
+                   CAST(sum(wd) AS DOUBLE) AS total,
                    round(2.0 * sum(i * w) / (count(*) * sum(w))
                          - (count(*) + 1.0) / count(*), 6) AS gini
             FROM r GROUP BY seg
@@ -13762,9 +13793,14 @@ def oracle_sql() -> dict[str, str]:
                    day AS cp_order,
                    round(mean_l, 6) AS mean_left,
                    round(mean_r, 6) AS mean_right,
-                   round(qt - st * st / n, 6) AS sse_total,
-                   round(cost, 6) AS sse_best,
-                   round((qt - st * st / n) - cost, 6) AS reduction,
+                   -- sse columns: 2dp scaled-floor quantization, same
+                   -- as the Spark side (6dp at ~5e7 magnitude sits
+                   -- inside the cancellation noise of q - s*s/n)
+                   floor(round(qt - st * st / n, 6) * 100 + 0.5) / 100
+                       AS sse_total,
+                   floor(round(cost, 6) * 100 + 0.5) / 100 AS sse_best,
+                   floor(round((qt - st * st / n) - cost, 6) * 100 + 0.5)
+                       / 100 AS reduction,
                    round(CASE WHEN qt - st * st / n > 0 THEN
                        ((qt - st * st / n) - cost) / (qt - st * st / n)
                    END, 6) AS reduction_ratio
@@ -14592,7 +14628,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p.it < 8
                 GROUP BY e.t, p.it + 1
             )
-            SELECT node AS id, round(r, 6) AS rank
+            -- replay BOTH roundings (the operator's 9dp output
+            -- quantization, then the entry's 6dp), scaled-integer form
+            -- — the graph_pagerank r12 discipline. A single round(r,6)
+            -- here diverged at sf0.1: the 9dp step can push a raw
+            -- ...49977e-4 up to an exact 6dp half boundary that the
+            -- unquantized side rounds DOWN (double-rounding window
+            -- [x.4995, x.5) is 5e-10 wide per value — ~3 expected hits
+            -- over 6155 nodes).
+            SELECT node AS id,
+                   round(round(r * 1000000000.0, 0) / 1000000000.0
+                         * 1000000.0, 0) / 1000000.0 AS rank
             FROM pr WHERE it = 8
         """,
         # Fixed-3-round LPA replay: synchronous min-tie votes as
@@ -14838,7 +14884,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT qq AS query_id, pick AS doc_id,
                    CAST(it AS BIGINT) AS rank,
                    round(pscore, 6) AS score,
-                   round(pobj, 6) AS mmr_score
+                   -- scaled-floor, not round(): pobj is 9dp
+                   -- decimal-rational and can sit exactly on a 6dp
+                   -- half boundary where the two engines' round()
+                   -- disagree (mirrors the operator)
+                   floor(pobj * 1e6 + 0.5) / 1e6 AS mmr_score
             FROM fold WHERE it >= 1
         """,
         "theil_customers": """

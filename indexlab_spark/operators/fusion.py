@@ -110,6 +110,8 @@ def mmr_rerank(
     rank (1..k), score (original), mmr_score (the greedy objective at
     selection, 6dp).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -171,10 +173,18 @@ def mmr_rerank(
                     best_i, best_obj = i, obj
             selected.append(best_i)
             remaining.remove(best_i)
+            # mmr_score output: scaled-floor, NOT round(x, 6) — the 9dp
+            # round-before-compare above makes best_obj decimal-rational,
+            # so it can land EXACTLY on a 6dp half boundary (observed
+            # -0.0579065 at sf0.1), where Python's correctly-rounded
+            # round() and DuckDB's multiply-based round() disagree.
+            # floor(x*1e6 + 0.5)/1e6 is identical IEEE arithmetic on
+            # both engines. Raw cosine scores are not decimal-rational,
+            # so plain 6dp round stays safe for `score`.
             rows.append(
                 [q, docs[best_i], len(selected),
                  round(float(scores[best_i]), 6),
-                 round(best_obj, 6)]
+                 math.floor(best_obj * 1e6 + 0.5) / 1e6]
             )
         return pd.DataFrame(
             rows, columns=["_q", "_d", "rank", "score", "mmr_score"]

@@ -491,9 +491,18 @@ def unigram_jsd(
             "c_a",
             "c_b",
             F.round(contrib, 6).alias("contrib"),
+            # rank key: contributions quantized FINER than the output
+            # (9dp) — the round-before-rank discipline. The raw rank
+            # key is ln()-derived, and JVM Math.log vs glibc log differ
+            # in final ulps, which flipped the top-n CUT between
+            # near-tied terms at sf0.1; 1e-9 quanta sit ~12 orders
+            # above that noise while preserving the true ordering.
+            # Exact ties (identical count pairs) break term-ascending.
+            F.round(contrib, 9).alias("_rk"),
         )
-        .orderBy(F.col("contrib").desc(), F.col("term").asc())
+        .orderBy(F.col("_rk").desc(), F.col("term").asc())
         .limit(top_n)
+        .drop("_rk")
     )
     total = x.agg(
         F.max("na").alias("c_a"),
