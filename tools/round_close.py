@@ -6,7 +6,8 @@ command that runs, in order, every check a round must leave green —
      schema-stability probe at sf0.001,
   3. the partitioning-robustness grid (tools/config_sweep.py:
      every oracle-backed entry x sf{0.001,0.01} x shuffle_partitions
-     {4,32}),
+     {4,32}) plus the bench-SF cell (sf0.1 x 32 — the axis that
+     surfaced six latent scale-dependent parity flaps in r14),
   4. an EXCLUSIVE bench run (bench.py at $SPARK_GRAFT_SF_DIR, which
      already records min-of-2 per row into bench_full.json) — skipped
      with --no-bench when the host is not quiet.
@@ -52,6 +53,18 @@ def main() -> None:
                 "tools/config_sweep.py",
                 f"--sf-dirs={sweep_dirs}",
                 "--partitions=4,32",
+            ],
+        ),
+        # the bench-SF cell (r14): the sweep axis that surfaced six
+        # latent scale-dependent float-parity flaps the sf0.01 gate
+        # could never hit — one cell at 32 partitions (~15 min)
+        (
+            "config_sweep sf0.1",
+            [
+                sys.executable,
+                "tools/config_sweep.py",
+                "--sf-dirs=/root/testdata/sf0.1",
+                "--partitions=32",
             ],
         ),
     ]
