@@ -5877,7 +5877,15 @@ def _q_amoc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders (Spark sequential vs DuckDB segment-tree), so the shared
     doubles carry ~1e-5 noise — a 6dp round at that magnitude flipped
     at sf0.1. The operator itself stays 6dp; means/ratio columns are
-    cancellation-free and keep 6dp."""
+    cancellation-free and keep 6dp.
+
+    Known residual (ADVICE r14, accepted): 2dp narrows but does not
+    eliminate the flap window — a true SSE within ~1e-5 of a 2dp half
+    boundary (~1e-3 chance per value) can still quantize apart. If
+    this entry EVER flaps again, do not widen the quantum further:
+    replay the prefix sums as exact scaled integers on both sides (the
+    gini_customers fix — revenue is 6dp-rounded, so s and q are exact
+    in 1e-6/1e-12 units and SSE*n = n*q - s^2 is integer-exact)."""
     from indexlab_spark.operators.analytics import amoc_changepoint
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]

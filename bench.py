@@ -38,10 +38,12 @@ def timed(fn, repeats: int = 1):
     """Time fn; with repeats > 1 return the MINIMUM of the runs (and the
     first run's output). The sub-second numpy/pandas oracles vary 5-10x
     run to run on a busy host, which flapped the engine/oracle ratios
-    between rounds; min-of-N is the stable (and for the oracle, most
-    favorable — i.e. hardest on the engine) estimate. The engine side
-    stays single-shot: a cold query really does pay its first-execution
-    cost."""
+    between rounds; min-of-N is the stable estimate. Policy (r13 item 6
+    + ADVICE r14): the graded LARGE rows get min-of-2 on BOTH sides —
+    engine and its same-run baseline — so the ratio compares like with
+    like; the small engine rows stay single-shot because a cold query
+    really does pay its first-execution cost (the 'job floor' note at
+    B4), and their sub-second baselines use min-of-2/3 for stability."""
     best, out = None, None
     for i in range(max(1, repeats)):
         t0 = time.time()
@@ -250,7 +252,7 @@ def main() -> None:
     queries_sec["b1_ingest_large"], _ = timed(spark_b1_large, repeats=2)
     min_of["b1_ingest_large"] = 2
     baseline_sec["b1_ingest_large"], _ = timed(
-        lambda: baseline_b1_ingest(big_docs_pdf)
+        lambda: baseline_b1_ingest(big_docs_pdf), repeats=2
     )
     rows_per_sec["b1_ingest_large"] = round(
         len(big_docs_pdf) / queries_sec["b1_ingest_large"], 1
@@ -285,7 +287,7 @@ def main() -> None:
     queries_sec["b2_knn_batch_large"], _ = timed(spark_b2_large, repeats=2)
     min_of["b2_knn_batch_large"] = 2
     baseline_sec["b2_knn_batch_large"], _ = timed(
-        lambda: baseline_b2_knn(big_mat, q_mat)
+        lambda: baseline_b2_knn(big_mat, q_mat), repeats=2
     )
     rows_per_sec["b2_knn_batch_large"] = round(
         len(q_mat) / queries_sec["b2_knn_batch_large"], 1
@@ -319,7 +321,7 @@ def main() -> None:
     queries_sec["b3_eval_large"], _ = timed(spark_b3_large, repeats=2)
     min_of["b3_eval_large"] = 2
     baseline_sec["b3_eval_large"], _ = timed(
-        lambda: baseline_b3_eval(big_mat, q_mat, expected)
+        lambda: baseline_b3_eval(big_mat, q_mat, expected), repeats=2
     )
     rows_per_sec["b3_eval_large"] = round(
         len(q_mat) / queries_sec["b3_eval_large"], 1
@@ -364,7 +366,8 @@ def main() -> None:
     baseline_sec["b4_bm25_large"], _ = timed(
         lambda: baseline_b4_bm25(
             big_docs_pdf["text"].astype(str).tolist(), [q for _, q in bm_queries]
-        )
+        ),
+        repeats=2,
     )
     rows_per_sec["b4_bm25_large"] = round(
         len(big_docs_pdf) / queries_sec["b4_bm25_large"], 1
@@ -409,7 +412,7 @@ def main() -> None:
     queries_sec["b6_ivf_build_large"], _ = timed(spark_b6_large, repeats=2)
     min_of["b6_ivf_build_large"] = 2
     baseline_sec["b6_ivf_build_large"], _ = timed(
-        lambda: baseline_b6_kmeans(big_mat, 256)
+        lambda: baseline_b6_kmeans(big_mat, 256), repeats=2
     )
     rows_per_sec["b6_ivf_build_large"] = round(
         REP * n_vec / queries_sec["b6_ivf_build_large"], 1

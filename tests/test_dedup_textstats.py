@@ -869,8 +869,16 @@ def test_compression_quality_cross_engine_net(spark, sf_dir):
     replay of the full sf0.001 result (pyarrow parquet read + stdlib
     zlib on the driver) asserted cell-exact at 6dp, plus frozen
     literals pinned at first green run so a silent change to either
-    engine (zlib level, UTF-8 handling, rounding) fails loudly."""
+    engine (zlib level, UTF-8 handling, rounding) fails loudly.
+
+    Quantization (ADVICE r14): the replay must round the way Spark's
+    F.round does — BigDecimal.valueOf(double) (shortest decimal repr,
+    i.e. Python repr()) then HALF_UP — NOT Python round(), whose
+    half-even tie rule diverges on exact 6dp half boundaries, which
+    are reachable here whenever a doc's byte length divides 2*10^6
+    (e.g. the 128-byte frozen doc 0)."""
     import zlib
+    from decimal import ROUND_HALF_UP, Decimal
 
     import duckdb
 
@@ -886,10 +894,12 @@ def test_compression_quality_cross_engine_net(spark, sf_dir):
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     assert len(got) == len(rows) == 500
+    q6 = Decimal("0.000001")
     for doc_id, text in rows:
         raw = (text or "").encode("utf-8")
         ratio = 1.0 if not raw else len(zlib.compress(raw, 6)) / len(raw)
-        assert got[doc_id] == (len(text or ""), round(ratio, 6)), doc_id
+        want = float(Decimal(repr(ratio)).quantize(q6, rounding=ROUND_HALF_UP))
+        assert got[doc_id] == (len(text or ""), want), doc_id
 
     # frozen at first verified-green run (sf0.001 docs 0-4):
     frozen = {

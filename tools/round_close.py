@@ -2,8 +2,11 @@
 command that runs, in order, every check a round must leave green —
 
   1. the full pytest suite,
-  2. the driver-verify replica (tools/driver_sim.py) at sf0.01 AND a
-     schema-stability probe at sf0.001,
+  2. the driver-verify replica (tools/driver_sim.py) at sf0.01, a
+     schema-stability probe at sf0.001, AND a full replay at sf0.1
+     (r14 VERDICT item 4: the config-sweep grid covers sf0.1
+     hash-equality, but the sim's entry-smoke + journal path is one
+     more latent-flap net at the bench SF — skippable with --quick),
   3. the partitioning-robustness grid (tools/config_sweep.py:
      every oracle-backed entry x sf{0.001,0.01} x shuffle_partitions
      {4,32}) plus the bench-SF cell (sf0.1 x 32 — the axis that
@@ -20,13 +23,22 @@ stage and a final verdict.
 
 Usage: python tools/round_close.py [--no-bench] [--quick]
   --quick   skips the sweep's sf0.001 half (keeps sf0.01 x {4,32})
+            and the driver_sim sf0.1 replay
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
+
+# Every stage command below is repo-root-relative ('tests/', 'bench.py',
+# 'tools/driver_sim.py'), so anchor the subprocess cwd at the repo root
+# instead of inheriting the caller's — running the certification from
+# anywhere must behave identically (ADVICE r14: same failure class as
+# the r13 CWD-relative glob in test_registry_counts.py).
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STAGES = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
@@ -45,7 +57,16 @@ def main() -> None:
         if "--quick" in args
         else "/root/testdata/sf0.001,/root/testdata/sf0.01"
     )
-    stages = STAGES + [
+    stages = list(STAGES)
+    if "--quick" not in args:
+        # full replay at the bench SF (r14 VERDICT item 4) — entry
+        # smoke + per-entry journal at the scale that surfaced the six
+        # latent float-parity flaps; ~15 min
+        stages.append((
+            "driver_sim sf0.1",
+            [sys.executable, "tools/driver_sim.py", "/root/testdata/sf0.1"],
+        ))
+    stages += [
         (
             "config_sweep",
             [
@@ -75,7 +96,7 @@ def main() -> None:
     for name, cmd in stages:
         t0 = time.time()
         print(f"=== {name}: {' '.join(cmd)}", flush=True)
-        rc = subprocess.call(cmd)
+        rc = subprocess.call(cmd, cwd=REPO_ROOT)
         dt = time.time() - t0
         status = "PASS" if rc == 0 else f"FAIL (exit {rc})"
         results.append((name, status, dt))

@@ -23,6 +23,7 @@ pair-based ops (minhash/jaccard/simhash) at N > 9.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -91,8 +92,17 @@ def replicate_events(ev, n: int):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # The usage line says [N] [sf_dir] [op ...] with sf_dir optional, so
+    # honor that: argv[2] is an sf_dir only if it names a real directory;
+    # otherwise it's the first op filter (ADVICE r14: 'scale_probe.py 16
+    # trigram_lm' silently treated the op name as sf_dir).
+    rest = sys.argv[1:]
+    n = int(rest.pop(0)) if rest else 8
+    if rest and os.path.isdir(rest[0]):
+        sf_dir = rest.pop(0)
+    else:
+        sf_dir = "/root/testdata/sf0.1"
+    only_ops = set(rest)
     spark = get_spark("scale-probe")
     t = load_tables(spark, sf_dir, ("documents", "events"))
     docs1 = t["documents"].persist()
@@ -514,7 +524,7 @@ def main() -> None:
         fn()
         return min(t_first, time.time() - t0), v
 
-    only = set(sys.argv[3:])
+    only = only_ops
     out = {}
     for name, fn in cases(docs1, ev1, emb1).items():
         if only and name not in only:
