@@ -6832,7 +6832,7 @@ def _q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf(daily, ["event_type"], "day", "revenue", max_lag=7)
 
 
-# The authoritative driver-window pin for the CURRENT round (r14).
+# The authoritative driver-window pin for the CURRENT round (r15).
 # tests/test_registry_counts.py asserts that list(queries())[:50]
 # equals this list, that every slot is oracle-backed, and that the 12
 # anchors lead it — so the window plan can never again diverge between
@@ -6846,30 +6846,27 @@ DRIVER_WINDOW_ANCHORS = [
     "eval_results", "eval_metrics", "exact_dedup", "minhash_lsh",
 ]
 DRIVER_WINDOW_PLAN = DRIVER_WINDOW_ANCHORS + [
-    # never-attested-first (slot 13): sketch_distinct_rollup became
-    # oracle-backed this round (r13 VERDICT item 3 — the heavy_hitters
-    # candidate-restricted exact-verify discipline) and has no driver
-    # row yet, so per the standing invariant it leads the rotation.
-    "sketch_distinct_rollup",
-    # Oldest-attestation backfill for the remaining 37 slots
-    # (recomputed from CORRECTNESS_r01-r13 at round start): the 2
-    # remaining r06-green entries (slots 14-15), then the first 35 of
-    # the 38 r07-green entries in registry order (slots 16-50;
-    # common_ngrams yields its planned slot to the never-attested
-    # newcomer and leads the r15 backfill instead).
-    "revenue_dod", "balance_percent_rank",
-    "trigram_logprob", "semantic_decontam", "sliding_windows",
-    "dq_lineitem", "embedding_drift", "stateful_sessions",
-    "zorder_events", "exact_dedup_incremental", "psi_drift",
-    "dedup_survival", "asof_nearest", "events_trailing_hour",
-    "segment_corr_stats", "bigram_pmi", "label_norm_stats",
-    "user_first_last", "session_native", "distinct_counts",
-    "orders_profile", "vocab_coverage", "bigram_logprob",
-    "user_type_map", "incremental_rollup", "rolling_median",
-    "events_json", "order_priority_semi", "cust_order_dist",
-    "big_orders", "brand_revenue_disjunctive", "lonely_late_supplier",
-    "rich_idle_customers", "returned_top_customers", "volume_shipping",
-    "min_cost_supplier", "part_supplier_counts",
+    # Oldest-attestation backfill for all 38 rotation slots (recomputed
+    # from CORRECTNESS_r01-r14 at round start): ZERO never-attested
+    # oracle-backed entries remain (the r14 window attested
+    # sketch_distinct_rollup), so the 3 remaining r07-green entries
+    # lead (slots 13-15), then the first 35 of the 38 r08-green entries
+    # in registry order (slots 16-50; the last three r08-green —
+    # quality_filter, repetition, tfidf_topterms — lead the r16
+    # backfill).
+    "common_ngrams", "above_avg_orders", "asof_signup",
+    "quantile_rollup", "skew_orders", "event_transitions",
+    "quantile_incremental", "join_explosion", "order_triangles",
+    "ks_drift", "cm_event_counts", "segment_trend",
+    "rfm_segments", "window_funnel", "table_diff",
+    "event_paths", "bpe_token_counts", "chunk_page",
+    "churned_customers", "decontaminate", "dedup_clusters",
+    "doc_id_roundtrip", "doc_preview", "embedding_dups",
+    "event_pairs_range", "events_daily", "events_gapfill",
+    "events_pivot", "events_sessions", "fingerprint",
+    "hash_sample", "hypertable_rollup", "jaccard_pairs",
+    "lang_quality", "late_orders", "pack_sequences",
+    "pii_redact", "pricing_summary",
 ]
 
 
@@ -6899,20 +6896,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 14, per the plan pinned
-        # in the r13 registry comments + r13 VERDICT items 1 and 3):
-        # never-attested-first puts sketch_distinct_rollup (newly
-        # oracle-backed this round, no driver row yet) at slot 13;
-        # the other 37 slots are oldest-attestation backfill — the 2
-        # remaining r06-green entries (slots 14-15), then the first 35
-        # of the 38 r07-green entries in registry order (slots 16-50).
+        # -- rotation window slots 13-50 (round 15, per the plan pinned
+        # in the r14 registry comments + r14 VERDICT item 1): zero
+        # never-attested oracle-backed entries remain, so all 38 slots
+        # are oldest-attestation backfill — the 3 remaining r07-green
+        # entries (slots 13-15), then the first 35 of the 38 r08-green
+        # entries in registry order (slots 16-50).
+        # r07-green backfill (slots 13-15):
+        "common_ngrams": _q_common_ngrams,
+        "above_avg_orders": _q_above_avg_orders,
+        "asof_signup": _q_asof_signup,
+        # r08-green backfill (slots 16-50; first 35 of the 38 r08-green
+        # entries, registry order — quality_filter, repetition and
+        # tfidf_topterms lead the r16 backfill):
+        "quantile_rollup": _q_quantile_rollup,
+        "skew_orders": _q_skew_orders,
+        "event_transitions": _q_event_transitions,
+        "quantile_incremental": _q_quantile_incremental,
+        "join_explosion": _q_join_explosion,
+        "order_triangles": _q_order_triangles,
+        "ks_drift": _q_ks_drift,
+        "cm_event_counts": _q_cm_event_counts,
+        "segment_trend": _q_segment_trend,
+        "rfm_segments": _q_rfm_segments,
+        "window_funnel": _q_window_funnel,
+        "table_diff": _q_table_diff,
+        "event_paths": _q_event_paths,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "chunk_page": _q_chunk_page,
+        "churned_customers": _q_churned_customers,
+        "decontaminate": _q_decontaminate,
+        "dedup_clusters": _q_dedup_clusters,
+        "doc_id_roundtrip": _q_doc_id_roundtrip,
+        "doc_preview": _q_doc_preview,
+        "embedding_dups": _q_embedding_dups,
+        "event_pairs_range": _q_event_pairs_range,
+        "events_daily": _q_events_daily,
+        "events_gapfill": _q_events_gapfill,
+        "events_pivot": _q_events_pivot,
+        "events_sessions": _q_events_sessions,
+        "fingerprint": _q_fingerprint,
+        "hash_sample": _q_hash_sample,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "lang_quality": _q_lang_quality,
+        "late_orders": _q_late_orders,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "pricing_summary": _q_pricing_summary,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r16 window plan (pinned per the standing invariants:
+        # all-slots-oracle-backed, never-attested-first, then oldest
+        # attestation; recompute from CORRECTNESS_r01-r15 once r15
+        # lands): assuming no new oracle entries land, all 38 slots
+        # backfill by oldest attestation — the 3 remaining r08-green
+        # entries (quality_filter, repetition, tfidf_topterms), then
+        # the first 35 of the 38 r09-green entries below
+        # (cusum_revenue .. index_catalog, registry order); the last
+        # three r09-green (rollup_pricing, segment_set_ops, simhash)
+        # lead the r17 backfill.
+        # last green r14 (the 38 entries rotated out of the r14 window
+        # this round; r14 window order; backfill candidates after the
+        # r09/r10-green blocks by the oldest-attestation rule):
         "sketch_distinct_rollup": _q_sketch_distinct_rollup,
-        # r06-green backfill (slots 14-15):
         "revenue_dod": _q_revenue_dod,
         "balance_percent_rank": _q_balance_percent_rank,
-        # r07-green backfill (slots 16-50; first 35 of the 38 r07-green
-        # entries, registry order — common_ngrams, above_avg_orders and
-        # asof_signup lead the r15 backfill):
         "trigram_logprob": _q_trigram_logprob,
         "semantic_decontam": _q_semantic_decontam,
         "sliding_windows": _q_sliding_windows,
@@ -6948,21 +6999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": _q_volume_shipping,
         "min_cost_supplier": _q_min_cost_supplier,
         "part_supplier_counts": _q_part_supplier_counts,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r15 window plan (pinned per the standing invariants:
-        # all-slots-oracle-backed, never-attested-first, then oldest
-        # attestation; recompute from CORRECTNESS_r01-r14 once r14
-        # lands): ZERO never-attested oracle-backed entries remain
-        # (the r14 window attests sketch_distinct_rollup), so all 38
-        # slots backfill by oldest attestation — the 3 remaining
-        # r07-green entries (common_ngrams, above_avg_orders,
-        # asof_signup), then the first 35 of the 38 r08-green entries
-        # below (quantile_rollup .., registry order); the last three
-        # r08-green (quality_filter, repetition, tfidf_topterms) plus
-        # the r09-green block lead the r16 backfill.
         # last green r13 (the 38 entries rotated out of the r13 window
         # this round; r13 window order; backfill candidates after the
         # r08/r09-green blocks by the oldest-attestation rule):
@@ -7109,50 +7145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r07, remaining 3 (the first 35 of the 38 moved
-        # into the r14 backfill slots above; these 3 lead the r15
+        # last green r08, remaining 3 (the first 35 of the 38 moved
+        # into the r15 backfill slots above; these 3 lead the r16
         # backfill by the oldest-attestation rule):
-        "common_ngrams": _q_common_ngrams,
-        "above_avg_orders": _q_above_avg_orders,
-        "asof_signup": _q_asof_signup,
-        # last green r08 (the 38 entries rotated out of the r8 window
-        # this round; r8 window order — 13 r7 oracle additions, the 24
-        # r04-backfills, then tfidf_topterms):
-        "quantile_rollup": _q_quantile_rollup,
-        "skew_orders": _q_skew_orders,
-        "event_transitions": _q_event_transitions,
-        "quantile_incremental": _q_quantile_incremental,
-        "join_explosion": _q_join_explosion,
-        "order_triangles": _q_order_triangles,
-        "ks_drift": _q_ks_drift,
-        "cm_event_counts": _q_cm_event_counts,
-        "segment_trend": _q_segment_trend,
-        "rfm_segments": _q_rfm_segments,
-        "window_funnel": _q_window_funnel,
-        "table_diff": _q_table_diff,
-        "event_paths": _q_event_paths,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "chunk_page": _q_chunk_page,
-        "churned_customers": _q_churned_customers,
-        "decontaminate": _q_decontaminate,
-        "dedup_clusters": _q_dedup_clusters,
-        "doc_id_roundtrip": _q_doc_id_roundtrip,
-        "doc_preview": _q_doc_preview,
-        "embedding_dups": _q_embedding_dups,
-        "event_pairs_range": _q_event_pairs_range,
-        "events_daily": _q_events_daily,
-        "events_gapfill": _q_events_gapfill,
-        "events_pivot": _q_events_pivot,
-        "events_sessions": _q_events_sessions,
-        "fingerprint": _q_fingerprint,
-        "hash_sample": _q_hash_sample,
-        "hypertable_rollup": _q_hypertable_rollup,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "lang_quality": _q_lang_quality,
-        "late_orders": _q_late_orders,
-        "pack_sequences": _q_pack_sequences,
-        "pii_redact": _q_pii_redact,
-        "pricing_summary": _q_pricing_summary,
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
         "tfidf_topterms": _q_tfidf_topterms,
