@@ -11,10 +11,15 @@ does). Usage: python tools/driver_sim.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Anchor imports at the repo root, not the caller's CWD (same failure
+# class as the ADVICE-r13/r14 CWD-relative glob and stage commands):
+# __spark_entry__ and indexlab_spark must resolve no matter where the
+# sim is invoked from.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd

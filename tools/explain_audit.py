@@ -1,9 +1,10 @@
 """Print formatted physical plans for the headline queries (PLANS.md
 evidence). Usage: python tools/explain_audit.py [query ...]"""
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 from indexlab_spark.session import get_spark

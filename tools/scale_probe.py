@@ -27,7 +27,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -169,9 +169,22 @@ def main() -> None:
         simhash,
     )
 
+    def _needs(*names: str) -> bool:
+        """True when any of the named ops is in this run's filter (or no
+        filter was given). Gates the expensive prior-run-state builds —
+        a probe restricted to e.g. trigram_lm must not spend minutes
+        building Nx minhash signatures / IVF centroids / graph edges it
+        never reads. Ungated ops pay None-state at call time, which is
+        a loud AttributeError, not a silent wrong number."""
+        return not only_ops or bool(only_ops & set(names))
+
     # fixed old index for the incremental-dedup case (docs1-derived at
     # BOTH scales — the production shape: state grows, batches don't)
-    old_idx = exact_dedup(docs1).select("text_md5", "keep_id").localCheckpoint()
+    old_idx = None
+    if _needs("exact_dedup_inc"):
+        old_idx = (
+            exact_dedup(docs1).select("text_md5", "keep_id").localCheckpoint()
+        )
 
     # fixed-batch incremental MinHash state: one batch (10% of the 1x
     # corpus), per-scale old corpora and their PRE-BUILT signature
@@ -181,16 +194,24 @@ def main() -> None:
         minhash_signatures,
     )
 
-    mh_batch = docs1.filter(F.col("doc_id") % 10 == 0).localCheckpoint()
-    mh_old = {
-        s: d.join(mh_batch.select("doc_id"), "doc_id", "left_anti")
-            .localCheckpoint()
-        for s, d in ((1, docs1), (n, docsN))
-    }
-    mh_sigs = {
-        s: minhash_signatures(d).localCheckpoint(eager=True)
-        for s, d in mh_old.items()
-    }
+    _FIXED_BATCH_OPS = (
+        "minhash_inc_fixed_batch",
+        "exact_dedup_inc_fixed_batch",
+        "bm25_refresh_fixed_batch",
+    )
+    mh_batch = mh_old = mh_sigs = None
+    if _needs(*_FIXED_BATCH_OPS):
+        mh_batch = docs1.filter(F.col("doc_id") % 10 == 0).localCheckpoint()
+        mh_old = {
+            s: d.join(mh_batch.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint()
+            for s, d in ((1, docs1), (n, docsN))
+        }
+    if _needs("minhash_inc_fixed_batch"):
+        mh_sigs = {
+            s: minhash_signatures(d).localCheckpoint(eager=True)
+            for s, d in mh_old.items()
+        }
 
     # r8 VERDICT item 5: extend the fixed-batch-vs-grown-state probe to
     # one representative per remaining incremental family, so the
@@ -201,31 +222,35 @@ def main() -> None:
     from indexlab_spark.operators.knn import build_ivf, ivf_append
 
     # exact-dedup family: per-scale persisted (text_md5, keep_id) index
-    ed_idx = {
-        s: exact_dedup(d).select("text_md5", "keep_id")
-        .localCheckpoint(eager=True)
-        for s, d in mh_old.items()
-    }
+    ed_idx = bm_tf = bm_dl = ivf_batch = ivf_cent = None
+    if _needs("exact_dedup_inc_fixed_batch"):
+        ed_idx = {
+            s: exact_dedup(d).select("text_md5", "keep_id")
+            .localCheckpoint(eager=True)
+            for s, d in mh_old.items()
+        }
     # BM25 family: per-scale raw posting + doc-length state
-    bm_tf = {
-        s: _raw_postings(d, "doc_id", "text").localCheckpoint(eager=True)
-        for s, d in mh_old.items()
-    }
-    bm_dl = {
-        s: t.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .localCheckpoint(eager=True)
-        for s, t in bm_tf.items()
-    }
+    if _needs("bm25_refresh_fixed_batch"):
+        bm_tf = {
+            s: _raw_postings(d, "doc_id", "text").localCheckpoint(eager=True)
+            for s, d in mh_old.items()
+        }
+        bm_dl = {
+            s: t.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            .localCheckpoint(eager=True)
+            for s, t in bm_tf.items()
+        }
     # ANN family: per-scale trained centroids (nlist fixed — the state
     # an append touches is centroid-sized BY CONSTRUCTION; the probe
     # verifies nothing corpus-sized leaks into the append path)
-    ivf_batch = emb1.filter(F.col("vec_id") % 10 == 0).localCheckpoint(
-        eager=True
-    )
-    ivf_cent = {
-        s: build_ivf(e, nlist=64, seed=42)[1].localCheckpoint(eager=True)
-        for s, e in ((1, emb1), (n, embN))
-    }
+    if _needs("ivf_append_fixed_batch"):
+        ivf_batch = emb1.filter(F.col("vec_id") % 10 == 0).localCheckpoint(
+            eager=True
+        )
+        ivf_cent = {
+            s: build_ivf(e, nlist=64, seed=42)[1].localCheckpoint(eager=True)
+            for s, e in ((1, emb1), (n, embN))
+        }
 
     # r10 VERDICT item 5: growth-measure the graph family's "one keyed
     # join per round" claim (plan-audited until now). The co-purchase
@@ -233,46 +258,48 @@ def main() -> None:
     # offsets — N disjoint copies of the SAME graph, so per-round join
     # work grows ~N while round count (fixed-iteration contract) stays
     # constant. State built outside the timer.
-    li_g = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    _ga, _gb = li_g.alias("a"), li_g.alias("b")
-    edges_base = (
-        _ga.join(
-            _gb,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    g_edges = g_nodes = None
+    if _needs("pagerank_fixed8", "label_prop_fixed3", "ktruss_peel"):
+        li_g = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+            "l_orderkey", "l_partkey"
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("id_a", "id_b")
-    )
-
-    def _replicate_edges(e, reps: int):
-        if reps == 1:
-            return e
-        return e.crossJoin(F.broadcast(
-            spark.range(reps).select(F.col("id").alias("_rep"))
-        )).select(
-            (F.col("id_a") + F.col("_rep") * 10_000_000).alias("id_a"),
-            (F.col("id_b") + F.col("_rep") * 10_000_000).alias("id_b"),
+        _ga, _gb = li_g.alias("a"), li_g.alias("b")
+        edges_base = (
+            _ga.join(
+                _gb,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("id_a"),
+                F.col("b.l_partkey").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("id_a", "id_b")
         )
 
-    g_edges = {
-        s: _replicate_edges(edges_base, s).localCheckpoint(eager=True)
-        for s in (1, n)
-    }
-    g_nodes = {
-        s: e.select(F.col("id_a").alias("id"))
-        .unionByName(e.select(F.col("id_b").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-        for s, e in g_edges.items()
-    }
+        def _replicate_edges(e, reps: int):
+            if reps == 1:
+                return e
+            return e.crossJoin(F.broadcast(
+                spark.range(reps).select(F.col("id").alias("_rep"))
+            )).select(
+                (F.col("id_a") + F.col("_rep") * 10_000_000).alias("id_a"),
+                (F.col("id_b") + F.col("_rep") * 10_000_000).alias("id_b"),
+            )
+
+        g_edges = {
+            s: _replicate_edges(edges_base, s).localCheckpoint(eager=True)
+            for s in (1, n)
+        }
+        g_nodes = {
+            s: e.select(F.col("id_a").alias("id"))
+            .unionByName(e.select(F.col("id_b").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+            for s, e in g_edges.items()
+        }
 
     from indexlab_spark.operators.analytics import (
         markov_attribution,
