@@ -10,9 +10,13 @@ sniffing). Re-expressed Spark-first:
   gated behind an import-try (openpyxl/xlrd are not installed in this
   container) feeding ``spark.createDataFrame`` — the file is one
   upload, driver-side is the honest scale story anyway.
-- CHM decompilation needs hh.exe / 7-Zip (reader.py:44-83): stubbed with
-  NotImplementedError; the post-extraction HTML walk IS implemented
-  (``read_html_tree``) over ``binaryFile`` — the distributed part.
+- CHM decompilation (reader.py:44-83 shells to hh.exe / 7-Zip): done
+  natively instead — ``sources/chm.py`` implements the ITSS container
+  and LZX decompression from the public format documents on pure
+  stdlib, so ``read_chm`` extracts members in-process (no binaries)
+  and applies the reference's .htm/.html/.hhc/.hhk filter + caps. The
+  post-extraction HTML walk over an already-extracted tree also stays
+  available (``read_html_tree``) over ``binaryFile``.
 - HTML -> text strips script/style/noscript and joins non-empty lines
   (reader.py:10-20); bs4 is unavailable so a regex-based stripper with
   the same contract is used (import-try keeps bs4 preferred when
@@ -116,6 +120,8 @@ def sniff_format(filename: str, head: bytes) -> str:
         return "excel"
     if head.startswith(b"\xd0\xcf\x11\xe0"):
         return "excel"
+    if head.startswith(b"ITSF"):
+        return "chm"
     stripped = head.lstrip()
     if stripped[:1] in (b"{", b"["):
         return "json"
@@ -195,11 +201,7 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
         )
         return spark.createDataFrame([(txt,)], "text string")
     if fmt == "chm":
-        raise NotImplementedError(
-            "CHM decompilation requires hh.exe or 7-Zip (reference "
-            "reader.py:44-83); decompile externally and use read_html_tree "
-            "on the extracted directory"
-        )
+        return read_chm(spark, path)
     # text/markdown: whole file -> one row, utf-8 errors ignored
     # (reader.py:157-159)
     txt = open(path, "r", encoding="utf-8", errors="ignore").read()
@@ -419,6 +421,38 @@ def read_html_tree(spark: SparkSession, root_dir: str) -> DataFrame:
         content.select(F.col("path"), _strip(F.col("content")).alias("text"))
         .filter(F.trim("text") != "")
     )
+
+
+def read_chm(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — CHM ingestion without external binaries (reference
+    reader.py:44-83 shells to ``hh.exe -decompile`` / 7-Zip and walks
+    the extracted tree at reader.py:100-133; we parse the ITSS
+    container and decompress the LZX content section in-process via
+    ``sources/chm.py``). Contract mirrored from the reference walk:
+
+    - only ``.htm/.html/.hhc/.hhk`` members count and are emitted;
+    - caps: 10k kept files / 100 MB kept bytes, walk stops at either;
+    - HTML → text via the shared S6 stripper; empty-text rows dropped;
+    - rows ``{path, text}`` with the member's archive-relative path.
+
+    A .chm is one driver-side file (≤100 MB by contract), so parse +
+    extract run on the driver and the rows are parallelized for the
+    distributed HTML-heavy downstream — the same boundary the
+    reference's tempdir walk implies."""
+    from .chm import extract_chm
+
+    def _want(name: str) -> bool:
+        return name.lower().endswith((".htm", ".html", ".hhc", ".hhk"))
+
+    data = open(path, "rb").read()
+    rows = []
+    for member, content in extract_chm(
+        data, max_files=CHM_MAX_FILES, max_bytes=CHM_MAX_BYTES, want=_want
+    ):
+        text = html_to_text(content.decode("utf-8", errors="ignore"))
+        if text.strip():
+            rows.append((member, text))
+    return spark.createDataFrame(rows, "path string, text string")
 
 
 # ------------------------------------------------------------------- S8 gold
