@@ -1,12 +1,14 @@
-"""Pure-stdlib image codecs (PNG + BMP) for the multimodal decode path.
+"""Pure-stdlib image codecs (PNG + BMP + baseline JPEG) for the
+multimodal decode path.
 
 The container has no PIL/opencv, but PNG is just zlib (stdlib) over
-filtered scanlines and BMP is raw pixels — so the two most common
-LOSSLESS formats decode for real with ``struct`` + ``zlib`` alone. This
-turns ``multimodal.decode_image`` from a stub into a genuine decoder
-for PNG (bit depth 8: gray / gray+alpha / RGB / RGBA, non-interlaced)
-and BMP (24bpp uncompressed); JPEG and friends still fall back (a DCT
-codec is out of scope for stdlib).
+filtered scanlines, BMP is raw pixels, and baseline JPEG (ITU-T T.81)
+is Huffman + dequant + IDCT — all implementable on ``struct`` +
+``zlib`` + numpy. This turns ``multimodal.decode_image`` from a stub
+into a genuine decoder for PNG (bit depth 8: gray / gray+alpha / RGB /
+RGBA, non-interlaced), BMP (24bpp uncompressed) and JPEG (baseline
+sequential SOF0/SOF1, gray or JFIF YCbCr, sampling factors to 4x4,
+restart intervals; progressive/arithmetic/12-bit stay gated).
 
 The encoder exists so tests can round-trip REAL images — including
 per-row filter types 1-4 (Sub/Up/Average/Paeth), which exercises every
@@ -29,13 +31,15 @@ _COLORTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette index
 
 
 def sniff_image(data: bytes) -> str | None:
-    """'png' | 'bmp' | None (unknown)."""
+    """'png' | 'bmp' | 'jpeg' | None (unknown)."""
     if data is None:
         return None
     if data[:8] == PNG_SIG:
         return "png"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -221,3 +225,314 @@ def encode_bmp(img: np.ndarray) -> bytes:
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     )
     return header + pixels
+
+
+# =====================================================================
+# Baseline JPEG (ITU-T T.81 / JFIF) — pure stdlib + numpy
+# =====================================================================
+#
+# Added round 15, same blocked->built move as the CHM/LZX reader: the
+# container has no PIL, but baseline sequential JPEG is a public
+# specification (ITU-T T.81, Annex F decode procedure; Annex K
+# reference tables) and decodes fine on struct + numpy. Supported:
+# SOF0 (baseline), 8-bit samples, 1 component (grayscale) or 3
+# components (JFIF YCbCr) with sampling factors up to 4x4 (covers
+# 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), restart intervals, 8/16-bit DQT.
+# Progressive (SOF2), arithmetic coding, 12-bit, and CMYK stay gated
+# with a loud NotImplementedError. Attested by an independent
+# test-side encoder (tests/jpeggen.py) + hand-built one-MCU vectors.
+
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Orthonormal 8-point DCT-II basis: C[u, x] = a(u) cos((2x+1)u pi / 16)
+_DCT_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT_C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT over an (n, 8, 8) stack: C^T B C, vectorized."""
+    return np.einsum("ux,nuv,vy->nxy", _DCT_C, blocks, _DCT_C)
+
+
+class _JpegBits:
+    """T.81 entropy bitstream: bytes MSB-first; 0xFF is followed by a
+    0x00 stuffing byte (dropped) or a marker (ends the segment)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+        self.marker = None
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.marker is not None:
+                return 1  # pad with 1-bits past a marker (T.81 F.2.2.5)
+            d = self.data
+            p = self.pos
+            if p >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
+            b = d[p]
+            p += 1
+            if b == 0xFF:
+                nxt = d[p] if p < len(d) else 0xD9
+                if nxt == 0x00:
+                    p += 1
+                else:
+                    # a real marker ends the entropy segment; leave pos
+                    # AT the 0xFF and pad with 1-bits from here on
+                    self.marker = nxt
+                    return 1
+            self.buf = b
+            self.n = 8
+            self.pos = p
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary (the encoder
+        byte-aligns before emitting it; fill 0xFF bytes allowed)."""
+        self.buf = 0
+        self.n = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            self.marker = None
+        else:
+            raise ValueError("missing JPEG restart marker")
+
+
+def _build_huff(counts: list[int], symbols: bytes) -> dict:
+    """T.81 Annex C canonical code: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 array: (h, w) grayscale or
+    (h, w, 3) RGB (JFIF YCbCr -> RGB, chroma box-upsampled).
+
+    Malformed input raises ValueError (the multimodal dispatch maps
+    that to its deterministic fake); genuinely unsupported PROFILES
+    (progressive, arithmetic, 12-bit, CMYK) raise NotImplementedError
+    — a gate, not a parse failure."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:
+                break
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seg_len]
+        next_pos = pos + seg_len
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[sp:sp + 64], dtype=np.uint8)
+                    sp += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[sp:sp + 128], dtype=">u2"
+                    )
+                    sp += 128
+                qtables[tq] = tbl.astype(np.int64)
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                counts = list(seg[sp + 1:sp + 17])
+                n = sum(counts)
+                symbols = seg[sp + 17:sp + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(
+                    counts, symbols
+                )
+                sp += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both Huffman sequential)
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_sel = {}
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan_sel[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                data, next_pos, frame, scan_sel, qtables,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos = next_pos
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(data, pos, frame, scan_sel, qtables, huff_dc, huff_ac,
+                 restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    for c in comps:
+        c["dc_t"], c["ac_t"] = scan_sel[c["id"]]
+        c["bw"] = mcux * c["h"]          # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+    bits = _JpegBits(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bits.sync_restart()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(bits, huff_dc[c["dc_t"]])
+                        diff = _extend(bits.read_bits(t), t)
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(bits, huff_ac[c["ac_t"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[k] = _extend(bits.read_bits(s), s)
+                            k += 1
+                        row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        c["coef"][row] = blk
+
+    planes = []
+    for c in comps:
+        q = qtables[c["tq"]]
+        dq = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        dq[:, _ZIGZAG] = c["coef"] * q  # de-zigzag + dequant
+        pix = _idct2(dq.reshape(-1, 8, 8)) + 128.0
+        # reassemble blocks -> plane
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full resolution (box/nearest, JFIF-typical)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -90,6 +90,7 @@ def decode_image(content: bytes) -> np.ndarray:
         raise NotImplementedError("no content and no decoder installed")
     from indexlab_spark.functions.imagecodec import (
         decode_bmp,
+        decode_jpeg,
         decode_png,
         sniff_image,
     )
@@ -100,6 +101,8 @@ def decode_image(content: bytes) -> np.ndarray:
             return decode_png(content)
         if kind == "bmp":
             return decode_bmp(content)
+        if kind == "jpeg":
+            return decode_jpeg(content)  # baseline T.81, round 15
     except ValueError:
         pass  # malformed/unsupported variant -> deterministic fake
     seed = zlib.crc32(content)

@@ -1,0 +1,152 @@
+"""Baseline JPEG decoder tests (functions/imagecodec.decode_jpeg).
+
+Attestation: tests/jpeggen.py is an INDEPENDENT T.81 encoder (own
+FDCT, own Huffman/table emission, zero shared code with the decoder)
+— every stream the decoder sees here was produced by the other
+implementation. With an all-ones quantization table the codec is
+near-lossless, so round-trips assert tight pixel bounds (the only
+error left is float DCT + color-transform rounding); a hand-built
+single-block stream pins the DC path exactly."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jpeggen  # noqa: E402
+from indexlab_spark.functions.imagecodec import (  # noqa: E402
+    decode_jpeg,
+    sniff_image,
+)
+
+Q1 = np.ones(64, dtype=np.int64)
+
+
+def _maxerr(a, b):
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+class TestRoundTrip:
+    def test_gray_constant_exact(self):
+        img = np.full((16, 16), 130, dtype=np.uint8)
+        out = decode_jpeg(jpeggen.encode_jpeg(img, qtable_luma=Q1))
+        np.testing.assert_array_equal(out, img)
+
+    def test_gray_random_near_lossless(self):
+        img = np.random.default_rng(7).integers(
+            0, 256, (24, 17), dtype=np.uint8
+        )
+        out = decode_jpeg(jpeggen.encode_jpeg(img, qtable_luma=Q1))
+        assert out.shape == img.shape
+        assert _maxerr(out, img) <= 1
+
+    @pytest.mark.parametrize("subsample,bound", [("444", 2), ("420", 3)])
+    def test_rgb_smooth(self, subsample, bound):
+        xx, yy = np.meshgrid(np.arange(32), np.arange(20))
+        img = np.stack(
+            [(xx * 3 + yy) % 256, (xx + yy * 2) % 256, (xx * 2 + yy * 5) % 256],
+            -1,
+        ).astype(np.uint8)
+        jb = jpeggen.encode_jpeg(
+            img, qtable_luma=Q1, qtable_chroma=Q1, subsample=subsample
+        )
+        out = decode_jpeg(jb)
+        assert out.shape == img.shape
+        assert _maxerr(out, img) <= bound
+
+    def test_odd_dimensions_and_restart(self):
+        img = np.random.default_rng(3).integers(
+            0, 256, (33, 41), dtype=np.uint8
+        )
+        jb = jpeggen.encode_jpeg(img, qtable_luma=Q1, restart_interval=3)
+        assert b"\xff\xd0" in jb or b"\xff\xd1" in jb  # RSTn present
+        assert _maxerr(decode_jpeg(jb), img) <= 1
+
+    def test_standard_tables_smooth_image(self):
+        # Annex K tables on a smooth gradient: lossy but close
+        xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+        img = ((xx * 2 + yy * 3) % 200 + 20).astype(np.uint8)
+        out = decode_jpeg(jpeggen.encode_jpeg(img))
+        rmse = float(np.mean((out.astype(float) - img) ** 2)) ** 0.5
+        assert out.shape == img.shape
+        assert rmse < 20
+
+    def test_420_chroma_really_subsampled(self):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :8] = (255, 0, 0)
+        img[:, 8:] = (0, 0, 255)
+        jb420 = jpeggen.encode_jpeg(
+            img, qtable_luma=Q1, qtable_chroma=Q1, subsample="420"
+        )
+        out = decode_jpeg(jb420)
+        # block colors survive away from the chroma boundary
+        assert _maxerr(out[:, :6], img[:, :6]) <= 4
+        assert _maxerr(out[:, 10:], img[:, 10:]) <= 4
+
+
+class TestHandVector:
+    def test_single_block_dc_only(self):
+        """Hand-assembled 8x8 gray JPEG: one DC coefficient, no AC.
+        DC quantized value 16 with q=1 -> IDCT gives 16/8 = 2 above
+        the +128 level shift everywhere: constant 130."""
+        import struct
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += bytes([1, 0x11, 0])
+        # DC table: category 5 -> code '0' (1 bit); AC: EOB -> '0'
+        out += b"\xff\xc4" + struct.pack(">HB", 20, 0x00)
+        out += bytes([1] + [0] * 15) + bytes([5])
+        out += b"\xff\xc4" + struct.pack(">HB", 20, 0x10)
+        out += bytes([1] + [0] * 15) + bytes([0x00])
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0])
+        out += b"\x00\x3f\x00"
+        # entropy: DC code '0', 5 magnitude bits 10000 (=16), AC EOB '0'
+        # bits: 0 10000 0 -> 0100 0000 padded with 1s -> 0x41? no:
+        # 0,1,0,0,0,0,0 then pad 1 -> 0b01000001 = 0x41
+        out += bytes([0b01000001])
+        out += b"\xff\xd9"
+        img = decode_jpeg(bytes(out))
+        np.testing.assert_array_equal(
+            img, np.full((8, 8), 130, dtype=np.uint8)
+        )
+
+
+class TestGatesAndDispatch:
+    def test_progressive_raises_not_implemented(self):
+        import struct
+
+        jb = bytearray(b"\xff\xd8")
+        jb += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        jb += bytes([1, 0x11, 0])
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(bytes(jb))
+
+    def test_malformed_raises_valueerror(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg at all")
+
+    def test_sniff(self):
+        assert sniff_image(b"\xff\xd8\xff\xe0") == "jpeg"
+
+    def test_multimodal_dispatch_decodes_real_jpeg(self):
+        from indexlab_spark.operators.multimodal import decode_image
+
+        img = np.random.default_rng(1).integers(
+            0, 256, (12, 12, 3), dtype=np.uint8
+        )
+        out = decode_image(jpeggen.encode_jpeg(img, Q1, Q1))
+        assert out.shape == img.shape  # REAL decode, not the 8x8x3 fake
+        assert _maxerr(out, img) <= 2
+
+    def test_multimodal_fake_for_malformed(self):
+        from indexlab_spark.operators.multimodal import decode_image
+
+        fake = decode_image(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
+        assert fake.shape == (8, 8, 3)  # deterministic fake path kept
