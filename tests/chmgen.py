@@ -339,9 +339,14 @@ def build_chm(members: dict, compress: bool = False) -> bytes:
             entries.append(("/" + path, 0, len(sec0), len(content)))
             sec0 += content
 
-    # ---- directory: one PMGL chunk
+    # ---- directory: as many PMGL chunks as the entries need, plus a
+    # PMGI index chunk when there is more than one PMGL (real CHMs do
+    # this; the reader must walk every PMGL and skip the PMGI)
     chunk_size = 0x1000
-    body = bytearray()
+    quickref_len = 2
+    max_body = chunk_size - 0x14 - quickref_len
+    groups: list[list[tuple[str, bytes]]] = [[]]
+    cur_len = 0
     for name, section, offset, length in sorted(entries):
         ent = (
             _encint(len(name.encode()))
@@ -350,26 +355,62 @@ def build_chm(members: dict, compress: bool = False) -> bytes:
             + _encint(offset)
             + _encint(length)
         )
-        body += ent
-    quickref_len = 2
-    assert 0x14 + len(body) + quickref_len <= chunk_size, "one PMGL only"
-    pmgl = bytearray()
-    pmgl += b"PMGL"
-    pmgl += struct.pack("<IIii", quickref_len, 0, -1, -1)
-    pmgl += body
-    pmgl += b"\x00" * (chunk_size - len(pmgl) - 2)
-    pmgl += struct.pack("<H", len(entries))
+        if cur_len + len(ent) > max_body and groups[-1]:
+            groups.append([])
+            cur_len = 0
+        groups[-1].append((name, ent))
+        cur_len += len(ent)
+
+    n_pmgl = len(groups)
+    chunks = bytearray()
+    for gi, group in enumerate(groups):
+        body = b"".join(ent for _n, ent in group)
+        pmgl = bytearray()
+        pmgl += b"PMGL"
+        pmgl += struct.pack(
+            "<IIii",
+            quickref_len,
+            0,
+            gi - 1 if gi else -1,
+            gi + 1 if gi + 1 < n_pmgl else -1,
+        )
+        pmgl += body
+        pmgl += b"\x00" * (chunk_size - len(pmgl) - 2)
+        pmgl += struct.pack("<H", len(group))
+        chunks += pmgl
+
+    root_index = -1
+    num_chunks = n_pmgl
+    depth = 1
+    if n_pmgl > 1:
+        # PMGI: (first entry name of each PMGL, ENCINT chunk number)
+        ibody = bytearray()
+        for gi, group in enumerate(groups):
+            nm = group[0][0].encode()
+            ibody += _encint(len(nm)) + nm + _encint(gi)
+        assert 0x0C + len(ibody) + quickref_len <= chunk_size
+        pmgi = bytearray()
+        pmgi += b"PMGI" + struct.pack("<I", quickref_len)
+        pmgi += ibody
+        pmgi += b"\x00" * (chunk_size - len(pmgi) - 2)
+        pmgi += struct.pack("<H", n_pmgl)
+        chunks += pmgi
+        root_index = n_pmgl
+        num_chunks = n_pmgl + 1
+        depth = 2
 
     itsp = bytearray()
     itsp += b"ITSP"
     itsp += struct.pack(
-        "<IIIIIIiiiiI", 1, 0x54, 0x0A, chunk_size, 2, 1, -1, 0, 0, -1, 1
+        "<IIIIIIiiiiI",
+        1, 0x54, 0x0A, chunk_size, 2, depth,
+        root_index, 0, n_pmgl - 1, -1, num_chunks,
     )
     itsp += struct.pack("<I", 0x0409)
     itsp += b"\x00" * 16  # guid
     itsp += struct.pack("<Iiii", 0x54, -1, -1, -1)
     assert len(itsp) == 0x54
-    directory = bytes(itsp) + bytes(pmgl)
+    directory = bytes(itsp) + bytes(chunks)
 
     # ---- ITSF v3 header
     hdr_len = 0x60

@@ -231,3 +231,31 @@ class TestReadChm:
         df = read_chm(spark, str(p))
         assert df.columns == ["path", "text"]
         assert df.count() == 0
+
+
+class TestMultiChunkDirectory:
+    def test_many_members_span_pmgl_chunks_with_pmgi(self):
+        """Enough members to overflow one 0x1000 PMGL chunk: the
+        builder emits several PMGLs + a PMGI index chunk; the reader
+        must walk every PMGL and skip the PMGI."""
+        members = {
+            f"dir{i // 50}/page_{i:04d}_{'x' * 40}.htm":
+                f"<p>page {i}</p>".encode()
+            for i in range(200)
+        }
+        blob = chmgen.build_chm(members, compress=False)
+        parsed = parse_chm_directory(blob)
+        # sanity: the directory really is multi-chunk (ITSP num_chunks
+        # counts PMGLs + the PMGI; at least 3 PMGLs expected here)
+        n_chunks = struct.unpack_from("<I", blob, blob.index(b"ITSP") + 48)[0]
+        assert n_chunks >= 4
+        assert len(parsed["entries"]) == len(members)
+        assert dict(extract_chm(blob)) == members
+
+    def test_many_members_compressed(self):
+        members = {
+            f"p{i:03d}_{'y' * 50}.html": (f"<b>{i}</b>" * 30).encode()
+            for i in range(150)
+        }
+        blob = chmgen.build_chm(members, compress=True)
+        assert dict(extract_chm(blob)) == members
