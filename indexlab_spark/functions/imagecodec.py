@@ -440,6 +440,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported"
+                )
             scan_sel = {}
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]

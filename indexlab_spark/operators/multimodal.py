@@ -103,8 +103,13 @@ def decode_image(content: bytes) -> np.ndarray:
             return decode_bmp(content)
         if kind == "jpeg":
             return decode_jpeg(content)  # baseline T.81, round 15
-    except ValueError:
-        pass  # malformed/unsupported variant -> deterministic fake
+    except (ValueError, NotImplementedError):
+        # malformed bytes OR an unsupported profile (progressive/
+        # arithmetic JPEG) -> deterministic fake, preserving this
+        # function's pre-r15 contract that a mixed image corpus never
+        # crashes the batch; direct decode_jpeg callers still get the
+        # honest NotImplementedError gate.
+        pass
     seed = zlib.crc32(content)
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)

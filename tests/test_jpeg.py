@@ -150,3 +150,31 @@ class TestGatesAndDispatch:
 
         fake = decode_image(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
         assert fake.shape == (8, 8, 3)  # deterministic fake path kept
+
+    def test_multimodal_fake_for_unsupported_profile(self):
+        """Progressive JPEG: decode_jpeg raises the honest gate, but
+        the pipeline dispatch maps it to the deterministic fake so a
+        mixed corpus never crashes a batch (pre-r15 contract)."""
+        import struct
+
+        from indexlab_spark.operators.multimodal import decode_image
+
+        jb = bytearray(b"\xff\xd8")
+        jb += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        jb += bytes([1, 0x11, 0])
+        fake = decode_image(bytes(jb))
+        assert fake.shape == (8, 8, 3)
+
+    def test_multiscan_gate(self):
+        """Non-interleaved multi-scan baseline: loud gate, not a
+        KeyError."""
+        import struct
+
+        jb = bytearray(b"\xff\xd8")
+        jb += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        for ci in range(3):
+            jb += bytes([ci + 1, 0x11, 0])
+        jb += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0])
+        jb += b"\x00\x3f\x00"
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(bytes(jb))
