@@ -364,8 +364,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     — a gate, not a parse failure."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError) as e:
-        raise ValueError(f"malformed JPEG: {e}") from e
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+        # KeyError: a scan referencing an undefined Huffman/quant table
+        # or a component id absent from SOF; ZeroDivisionError: a zero
+        # sampling factor.  All are malformed input, not profile gates.
+        raise ValueError(f"malformed JPEG: {e!r}") from e
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -382,6 +385,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # runs of 0xFF before a marker are legal fill bytes
+        # (T.81 B.1.1.2): FF FF DB is one DQT marker, not marker 0xFF
+        # followed by a bogus segment length
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
@@ -427,9 +435,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                sh, sv = hv >> 4, hv & 0xF
+                if nc == 1:
+                    # a single-component scan is non-interleaved: data
+                    # units come in plain raster order, ignoring the
+                    # declared sampling factors (T.81 A.2.2) — decoding
+                    # on the interleaved MCU grid would expect the
+                    # wrong block count/order
+                    sh = sv = 1
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {sh}x{sv}"
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -448,6 +466,22 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan_sel[cs] = (tt >> 4, tt & 0xF)
+            for c in frame["comps"]:
+                if c["id"] not in scan_sel:
+                    raise ValueError(
+                        f"JPEG scan omits frame component {c['id']}"
+                    )
+                dc_t, ac_t = scan_sel[c["id"]]
+                if dc_t not in huff_dc or ac_t not in huff_ac:
+                    raise ValueError(
+                        f"JPEG scan references undefined Huffman table "
+                        f"(dc={dc_t}, ac={ac_t})"
+                    )
+                if c["tq"] not in qtables:
+                    raise ValueError(
+                        f"JPEG component references undefined quant "
+                        f"table {c['tq']}"
+                    )
             return _decode_scan(
                 data, next_pos, frame, scan_sel, qtables,
                 huff_dc, huff_ac, restart_interval,

@@ -240,12 +240,14 @@ def lzx_decompress(data: bytes, out_len: int, window_bits: int) -> bytes:
             raise ChmFormatError("zero-length LZX block")
 
         if block_type == _BLOCK_UNCOMPRESSED:
-            # Align to a 16-bit boundary (no-op if already aligned),
-            # then 12 bytes of new R0/R1/R2 (32-bit LE each), then the
-            # raw bytes, then a pad byte if block_len is odd.
+            # Align to a 16-bit boundary, then 12 bytes of new R0/R1/R2
+            # (32-bit LE each), then the raw bytes, then a pad byte if
+            # block_len is odd.  MS-PATCH specifies 1-16 pad bits (not
+            # 0-15): a stream already on a word boundary still carries a
+            # full 16-bit pad word (libmspack/chmlib skip 16 bits when
+            # bits_left == 0).
             misalign = bits.bit_position() & 15
-            if misalign:
-                bits.read(16 - misalign)
+            bits.read(16 - misalign if misalign else 16)
             p = bits.bit_position() >> 3
             if p + 12 + block_len > len(data):
                 raise ChmFormatError("uncompressed LZX block overruns input")

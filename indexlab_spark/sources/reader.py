@@ -423,6 +423,34 @@ def read_html_tree(spark: SparkSession, root_dir: str) -> DataFrame:
     )
 
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", re.IGNORECASE
+)
+
+
+def _decode_html_bytes(content: bytes) -> str:
+    """Charset handling mirroring bs4's detection order (the reference's
+    S6 path honors the document's declared encoding via bs4): BOM, then
+    the ``<meta charset>`` / http-equiv declaration, then strict UTF-8,
+    then cp1252 — the dominant legacy charset in real-world CHM HTML,
+    where a blind ``utf-8 errors='ignore'`` silently drops bytes."""
+    if content.startswith(b"\xef\xbb\xbf"):
+        return content[3:].decode("utf-8", errors="replace")
+    if content.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return content.decode("utf-16", errors="replace")
+    m = _META_CHARSET_RE.search(content[:4096])
+    if m:
+        enc = m.group(1).decode("ascii", errors="ignore").strip().lower()
+        try:
+            return content.decode(enc, errors="replace")
+        except (LookupError, ValueError):
+            pass
+    try:
+        return content.decode("utf-8")
+    except UnicodeDecodeError:
+        return content.decode("cp1252", errors="replace")
+
+
 def read_chm(spark: SparkSession, path: str) -> DataFrame:
     """S5 — CHM ingestion without external binaries (reference
     reader.py:44-83 shells to ``hh.exe -decompile`` / 7-Zip and walks
@@ -449,7 +477,7 @@ def read_chm(spark: SparkSession, path: str) -> DataFrame:
     for member, content in extract_chm(
         data, max_files=CHM_MAX_FILES, max_bytes=CHM_MAX_BYTES, want=_want
     ):
-        text = html_to_text(content.decode("utf-8", errors="ignore"))
+        text = html_to_text(_decode_html_bytes(content))
         if text.strip():
             rows.append((member, text))
     return spark.createDataFrame(rows, "path string, text string")

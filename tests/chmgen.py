@@ -49,6 +49,15 @@ class BitWriter:
         if self.n:
             self.write(0, 16 - self.n)
 
+    def pad16(self) -> None:
+        """MS-PATCH uncompressed-block padding: 1-16 bits, so a stream
+        already on a word boundary still carries a full 16-bit pad word
+        (libmspack/chmlib skip 16 bits when bits_left == 0)."""
+        self.write(0, 16 - self.n if self.n else 16)
+
+    def bitpos(self) -> int:
+        return len(self.out) * 8 + self.n
+
     def raw_bytes(self, b: bytes) -> None:
         assert self.n == 0, "raw bytes only at a word boundary"
         self.out += b
@@ -243,7 +252,7 @@ def lzx_store_uncompressed(data: bytes, r=(1, 1, 1)) -> bytes:
     w.write(0, 1)
     w.write(3, 3)
     w.write(len(data), 24)
-    w.align16()
+    w.pad16()
     w.raw_bytes(struct.pack("<III", *r))
     w.raw_bytes(data)
     if len(data) & 1:

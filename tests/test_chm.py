@@ -52,7 +52,7 @@ class TestLZX:
         w.write(0, 1)           # E8 header
         w.write(3, 3)           # uncompressed block
         w.write(2, 24)
-        w.align16()
+        w.pad16()
         w.raw_bytes(struct.pack("<III", 2, 1, 1))
         w.raw_bytes(b"ab")
         # verbatim block: match (len 4, R0=2) -> 'ababab'[2:]
@@ -70,6 +70,51 @@ class TestLZX:
         out = lzx_decompress(w.getvalue(), 6, 16)
         assert out == b"ababab"
         assert part1 and part2  # silence unused (documented splice note)
+
+    def test_uncompressed_pad_when_word_aligned(self):
+        # MS-PATCH pads 1-16 bits (NOT 0-15) before an uncompressed
+        # block's R0/R1/R2: a header that already ends on a 16-bit
+        # boundary still carries a FULL pad word (libmspack/chmlib skip
+        # 16 bits when bits_left == 0).  Hand-build a verbatim block
+        # whose bit length puts the next uncompressed header exactly on
+        # a word boundary and check the decoder skips the pad word
+        # rather than reading it as R0 data.
+        data2 = b"0123456789ABCDEF"
+        main_syms = 256 + ((16 << 1) << 3)
+        main_lens = [0] * 256
+        main_lens[ord("A")] = 8   # 8-bit code
+        main_lens[ord("B")] = 9   # 9-bit code: odd width tunes parity
+        codes = chmgen.canonical_codes(main_lens)
+        found = None
+        for n_b in range(16):
+            for n_a in range(1, 3):
+                data1 = b"A" * n_a + b"B" * n_b
+                w = chmgen.BitWriter()
+                w.write(0, 1)                 # no E8 translation
+                w.write(1, 3)                 # verbatim
+                w.write(len(data1), 24)
+                chmgen._write_tree_deltas(w, [0] * 256, main_lens)
+                chmgen._write_tree_deltas(
+                    w, [0] * (main_syms - 256), [0] * (main_syms - 256)
+                )
+                chmgen._write_tree_deltas(w, [0] * 249, [0] * 249)
+                for b in data1:
+                    w.write(*codes[b])
+                if (w.bitpos() + 27) % 16 == 0:
+                    found = (data1, w)
+                    break
+            if found:
+                break
+        assert found, "no literal mix lands the header word-aligned"
+        data1, w = found
+        w.write(3, 3)                         # uncompressed block
+        w.write(len(data2), 24)
+        assert w.bitpos() % 16 == 0           # the interesting case
+        w.pad16()                             # full 16-bit pad word
+        w.raw_bytes(struct.pack("<III", 1, 1, 1))
+        w.raw_bytes(data2)
+        total = data1 + data2
+        assert lzx_decompress(w.getvalue(), len(total), 16) == total
 
     @pytest.mark.parametrize("aligned", [False, True])
     def test_matches_all_slot_classes(self, aligned):
@@ -221,6 +266,35 @@ class TestReadChm:
 
         assert sniff_format("help.chm", b"") == "chm"
         assert sniff_format("renamed.bin", b"ITSF\x03\x00") == "chm"
+
+    def test_legacy_charsets(self, spark, tmp_path):
+        # Real-world CHM HTML is very commonly windows-1252 (or another
+        # legacy charset declared in <meta>); the reference's bs4 path
+        # honors the declaration.  utf-8 errors='ignore' would silently
+        # DROP these bytes — assert the characters survive instead.
+        members = {
+            # declared charset wins
+            "decl.htm": (
+                b'<html><head><meta http-equiv="Content-Type" '
+                b'content="text/html; charset=windows-1252"></head>'
+                b"<body>caf\xe9 \x93quoted\x94</body></html>"
+            ),
+            # no declaration, invalid UTF-8 -> cp1252 fallback
+            "plain.htm": b"<p>na\xefve \x97 em-dash</p>",
+            # valid UTF-8 stays UTF-8
+            "utf8.htm": "<p>héllo — ü</p>".encode("utf-8"),
+            # UTF-8 BOM honored
+            "bom.htm": b"\xef\xbb\xbf" + "<p>bömped</p>".encode("utf-8"),
+        }
+        from indexlab_spark.sources.reader import read_chm
+
+        p = tmp_path / "charset.chm"
+        p.write_bytes(chmgen.build_chm(members, compress=True))
+        rows = {r["path"]: r["text"] for r in read_chm(spark, str(p)).collect()}
+        assert rows["decl.htm"] == "caf\xe9 “quoted”"
+        assert rows["plain.htm"] == "na\xefve — em-dash"
+        assert rows["utf8.htm"] == "héllo — ü"
+        assert rows["bom.htm"] == "bömped"
 
     def test_empty_result_schema_stable(self, spark, tmp_path):
         # an archive with no HTML members yields 0 rows, same schema

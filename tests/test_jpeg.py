@@ -135,6 +135,63 @@ class TestGatesAndDispatch:
     def test_sniff(self):
         assert sniff_image(b"\xff\xd8\xff\xe0") == "jpeg"
 
+    def test_undefined_tables_are_valueerror(self):
+        """A scan referencing an undefined Huffman/quant table is
+        malformed input (ValueError), not an escaping KeyError."""
+        import struct
+
+        jb = bytearray(b"\xff\xd8")
+        jb += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        jb += bytes([1, 0x11, 0])  # quant table 0 never defined
+        jb += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0])
+        jb += b"\x00\x3f\x00"
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(jb))
+
+    def test_zero_sampling_factor_is_valueerror(self):
+        """A 0 sampling factor is malformed input (ValueError), not an
+        escaping ZeroDivisionError."""
+        import struct
+
+        img = np.full((16, 16, 3), 90, dtype=np.uint8)
+        jb = bytearray(jpeggen.encode_jpeg(img, Q1, Q1))
+        i = jb.index(b"\xff\xc0")
+        assert jb[i + 11] == 0x11
+        jb[i + 11] = 0x01  # Y component: h=0, v=1
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(jb))
+
+    def test_gray_sof_with_sampling_factors_decodes(self):
+        """A grayscale SOF may legally declare sampling factors > 1;
+        a single-component scan is non-interleaved so the factors are
+        ignored and data units come in plain raster order (T.81
+        A.2.2).  Patch the SOF hv byte of a normal gray stream — the
+        entropy data IS raster-ordered 1x1 blocks, so the decode must
+        be identical."""
+        img = np.random.default_rng(5).integers(
+            0, 256, (24, 24), dtype=np.uint8
+        )
+        jb = bytearray(jpeggen.encode_jpeg(img, qtable_luma=Q1))
+        i = jb.index(b"\xff\xc0")
+        assert jb[i + 11] == 0x11
+        jb[i + 11] = 0x22  # declare 2x2 sampling on the only component
+        out = decode_jpeg(bytes(jb))
+        assert out.shape == img.shape
+        assert _maxerr(out, img) <= 1
+
+    def test_fill_ff_bytes_before_marker(self):
+        """Runs of 0xFF before a marker are legal fill bytes (T.81
+        B.1.1.2): FF FF DB must parse as one DQT, not marker 0xFF plus
+        a bogus length."""
+        img = np.random.default_rng(9).integers(
+            0, 256, (16, 16), dtype=np.uint8
+        )
+        jb = bytearray(jpeggen.encode_jpeg(img, qtable_luma=Q1))
+        i = jb.index(b"\xff\xdb")
+        jb[i:i] = b"\xff\xff\xff"  # three fill bytes before DQT
+        out = decode_jpeg(bytes(jb))
+        assert _maxerr(out, img) <= 1
+
     def test_multimodal_dispatch_decodes_real_jpeg(self):
         from indexlab_spark.operators.multimodal import decode_image
 
