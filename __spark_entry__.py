@@ -6846,27 +6846,26 @@ DRIVER_WINDOW_ANCHORS = [
     "eval_results", "eval_metrics", "exact_dedup", "minhash_lsh",
 ]
 DRIVER_WINDOW_PLAN = DRIVER_WINDOW_ANCHORS + [
-    # Oldest-attestation backfill for all 38 rotation slots (recomputed
-    # from CORRECTNESS_r01-r14 at round start): ZERO never-attested
-    # oracle-backed entries remain (the r14 window attested
-    # sketch_distinct_rollup), so the 3 remaining r07-green entries
-    # lead (slots 13-15), then the first 35 of the 38 r08-green entries
-    # in registry order (slots 16-50; the last three r08-green —
-    # quality_filter, repetition, tfidf_topterms — lead the r16
-    # backfill).
-    "common_ngrams", "above_avg_orders", "asof_signup",
-    "quantile_rollup", "skew_orders", "event_transitions",
-    "quantile_incremental", "join_explosion", "order_triangles",
-    "ks_drift", "cm_event_counts", "segment_trend",
-    "rfm_segments", "window_funnel", "table_diff",
-    "event_paths", "bpe_token_counts", "chunk_page",
-    "churned_customers", "decontaminate", "dedup_clusters",
-    "doc_id_roundtrip", "doc_preview", "embedding_dups",
-    "event_pairs_range", "events_daily", "events_gapfill",
-    "events_pivot", "events_sessions", "fingerprint",
-    "hash_sample", "hypertable_rollup", "jaccard_pairs",
-    "lang_quality", "late_orders", "pack_sequences",
-    "pii_redact", "pricing_summary",
+    # Oldest-attestation backfill for all 38 rotation slots (round 16,
+    # recomputed from CORRECTNESS_r01-r15 at round start): ZERO
+    # never-attested oracle-backed entries remain, so the 3 remaining
+    # r08-green entries lead (slots 13-15), then the first 35 of the
+    # 38 r09-green entries in registry order (slots 16-50; the last
+    # three r09-green — rollup_pricing, segment_set_ops, simhash —
+    # lead the r17 backfill).
+    "quality_filter", "repetition", "tfidf_topterms",
+    "cusum_revenue", "weighted_sample", "part_kcore",
+    "ab_events", "conversion_lag", "unigram_jsd",
+    "theta_users", "assoc_brands", "attribution",
+    "edit_dist_names", "seasonal_hours", "survival_conversion",
+    "flesch_reading", "zscore_anomalies", "zipf_fit",
+    "source_mix_uniform", "benchmark_overlap", "top_supplier_revenue",
+    "nation_value_share", "events_stream_daily", "heavy_hitters",
+    "shipping_priority", "forecast_revenue", "product_profit",
+    "linestatus_priority", "small_qty_revenue", "excess_stock_suppliers",
+    "source_entropy", "ngram_novelty", "bucketed_order_revenue",
+    "eval_compare", "eval_compare_summary", "search_overlap",
+    "index_stats", "index_catalog",
 ]
 
 
@@ -6896,19 +6895,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 15, per the plan pinned
-        # in the r14 registry comments + r14 VERDICT item 1): zero
+        # -- rotation window slots 13-50 (round 16, per the plan pinned
+        # in the r15 registry comments + r15 VERDICT item 1): zero
         # never-attested oracle-backed entries remain, so all 38 slots
-        # are oldest-attestation backfill — the 3 remaining r07-green
-        # entries (slots 13-15), then the first 35 of the 38 r08-green
+        # are oldest-attestation backfill — the 3 remaining r08-green
+        # entries (slots 13-15), then the first 35 of the 38 r09-green
         # entries in registry order (slots 16-50).
-        # r07-green backfill (slots 13-15):
+        # r08-green backfill (slots 13-15):
+        "quality_filter": _q_quality_filter,
+        "repetition": _q_repetition,
+        "tfidf_topterms": _q_tfidf_topterms,
+        # r09-green backfill (slots 16-50; first 35 of the 38 r09-green
+        # entries, registry order — rollup_pricing, segment_set_ops and
+        # simhash lead the r17 backfill):
+        "cusum_revenue": _q_cusum_revenue,
+        "weighted_sample": _q_weighted_sample,
+        "part_kcore": _q_part_kcore,
+        "ab_events": _q_ab_events,
+        "conversion_lag": _q_conversion_lag,
+        "unigram_jsd": _q_unigram_jsd,
+        "theta_users": _q_theta_users,
+        "assoc_brands": _q_assoc_brands,
+        "attribution": _q_attribution,
+        "edit_dist_names": _q_edit_dist_names,
+        "seasonal_hours": _q_seasonal_hours,
+        "survival_conversion": _q_survival_conversion,
+        "flesch_reading": _q_flesch_reading,
+        "zscore_anomalies": _q_zscore_anomalies,
+        "zipf_fit": _q_zipf_fit,
+        "source_mix_uniform": _q_source_mix_uniform,
+        "benchmark_overlap": _q_benchmark_overlap,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "nation_value_share": _q_nation_value_share,
+        "events_stream_daily": _q_events_stream_daily,
+        "heavy_hitters": _q_heavy_hitters,
+        "shipping_priority": _q_shipping_priority,
+        "forecast_revenue": _q_forecast_revenue,
+        "product_profit": _q_product_profit,
+        "linestatus_priority": _q_linestatus_priority,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "excess_stock_suppliers": _q_excess_stock_suppliers,
+        "source_entropy": _q_source_entropy,
+        "ngram_novelty": _q_ngram_novelty,
+        "bucketed_order_revenue": _q_bucketed_order_revenue,
+        "eval_compare": _q_eval_compare,
+        "eval_compare_summary": _q_eval_compare_summary,
+        "search_overlap": _q_search_overlap,
+        "index_stats": _q_index_stats,
+        "index_catalog": _q_index_catalog,
+        # -- end of driver window (50) -----------------------------------
+        # Parked entries. Every entry below has a driver-green row in a
+        # prior round (see CORRECTNESS_r*.json) and is still run by
+        # tools/driver_sim.py every session.
+        # r17 window plan (pinned per the standing invariants:
+        # all-slots-oracle-backed, never-attested-first, then oldest
+        # attestation; recompute from CORRECTNESS_r01-r16 once r16
+        # lands): assuming no new oracle entries land, all 38 slots
+        # backfill by oldest attestation — the 3 remaining r09-green
+        # entries (rollup_pricing, segment_set_ops, simhash), then the
+        # first 35 of the 38 r10-green entries below (holt_revenue ..
+        # ab_power_events, registry order); the last three r10-green
+        # (simhash_pairs, stratified_split, temperature_resample) lead
+        # the r18 backfill.
+        # last green r15 (the 38 entries rotated out of the r15 window
+        # this round; r15 window order; backfill candidates for r17+
+        # by the oldest-attestation rule):
         "common_ngrams": _q_common_ngrams,
         "above_avg_orders": _q_above_avg_orders,
         "asof_signup": _q_asof_signup,
-        # r08-green backfill (slots 16-50; first 35 of the 38 r08-green
-        # entries, registry order — quality_filter, repetition and
-        # tfidf_topterms lead the r16 backfill):
         "quantile_rollup": _q_quantile_rollup,
         "skew_orders": _q_skew_orders,
         "event_transitions": _q_event_transitions,
@@ -6944,20 +6998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
         "pricing_summary": _q_pricing_summary,
-        # -- end of driver window (50) -----------------------------------
-        # Parked entries. Every entry below has a driver-green row in a
-        # prior round (see CORRECTNESS_r*.json) and is still run by
-        # tools/driver_sim.py every session.
-        # r16 window plan (pinned per the standing invariants:
-        # all-slots-oracle-backed, never-attested-first, then oldest
-        # attestation; recompute from CORRECTNESS_r01-r15 once r15
-        # lands): assuming no new oracle entries land, all 38 slots
-        # backfill by oldest attestation — the 3 remaining r08-green
-        # entries (quality_filter, repetition, tfidf_topterms), then
-        # the first 35 of the 38 r09-green entries below
-        # (cusum_revenue .. index_catalog, registry order); the last
-        # three r09-green (rollup_pricing, segment_set_ops, simhash)
-        # lead the r17 backfill.
         # last green r14 (the 38 entries rotated out of the r14 window
         # this round; r14 window order; backfill candidates after the
         # r09/r10-green blocks by the oldest-attestation rule):
@@ -7145,51 +7185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r08, remaining 3 (the first 35 of the 38 moved
-        # into the r15 backfill slots above; these 3 lead the r16
+        # last green r09, remaining 3 (the first 35 of the 38 moved
+        # into the r16 backfill slots above; these 3 lead the r17
         # backfill by the oldest-attestation rule):
-        "quality_filter": _q_quality_filter,
-        "repetition": _q_repetition,
-        "tfidf_topterms": _q_tfidf_topterms,
-        # last green r09 (the 38 entries rotated out of the r9 window
-        # this round; r9 window order — the 5 r8 oracle additions,
-        # unigram_jsd, the 6 round-9 first-wave entries, then the 26
-        # r05-backfills):
-        "cusum_revenue": _q_cusum_revenue,
-        "weighted_sample": _q_weighted_sample,
-        "part_kcore": _q_part_kcore,
-        "ab_events": _q_ab_events,
-        "conversion_lag": _q_conversion_lag,
-        "unigram_jsd": _q_unigram_jsd,
-        "theta_users": _q_theta_users,
-        "assoc_brands": _q_assoc_brands,
-        "attribution": _q_attribution,
-        "edit_dist_names": _q_edit_dist_names,
-        "seasonal_hours": _q_seasonal_hours,
-        "survival_conversion": _q_survival_conversion,
-        "flesch_reading": _q_flesch_reading,
-        "zscore_anomalies": _q_zscore_anomalies,
-        "zipf_fit": _q_zipf_fit,
-        "source_mix_uniform": _q_source_mix_uniform,
-        "benchmark_overlap": _q_benchmark_overlap,
-        "top_supplier_revenue": _q_top_supplier_revenue,
-        "nation_value_share": _q_nation_value_share,
-        "events_stream_daily": _q_events_stream_daily,
-        "heavy_hitters": _q_heavy_hitters,
-        "shipping_priority": _q_shipping_priority,
-        "forecast_revenue": _q_forecast_revenue,
-        "product_profit": _q_product_profit,
-        "linestatus_priority": _q_linestatus_priority,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "excess_stock_suppliers": _q_excess_stock_suppliers,
-        "source_entropy": _q_source_entropy,
-        "ngram_novelty": _q_ngram_novelty,
-        "bucketed_order_revenue": _q_bucketed_order_revenue,
-        "eval_compare": _q_eval_compare,
-        "eval_compare_summary": _q_eval_compare_summary,
-        "search_overlap": _q_search_overlap,
-        "index_stats": _q_index_stats,
-        "index_catalog": _q_index_catalog,
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
