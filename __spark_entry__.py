@@ -5870,39 +5870,23 @@ def _q_amoc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window + one min_by agg; the oracle replays the
     identical prefix-sum argmin.
 
-    The sse columns are re-quantized to 2dp here (engine-portable
-    floor(x*100+0.5)/100 on both sides): SSE = q - s^2/n is a
-    catastrophic cancellation (~3e10 prefix magnitudes collapsing to
-    ~5e7), and the two engines accumulate window sums in different
-    orders (Spark sequential vs DuckDB segment-tree), so the shared
-    doubles carry ~1e-5 noise — a 6dp round at that magnitude flipped
-    at sf0.1. The operator itself stays 6dp; means/ratio columns are
-    cancellation-free and keep 6dp.
-
-    Known residual (ADVICE r14, accepted): 2dp narrows but does not
-    eliminate the flap window — a true SSE within ~1e-5 of a 2dp half
-    boundary (~1e-3 chance per value) can still quantize apart. If
-    this entry EVER flaps again, do not widen the quantum further:
-    replay the prefix sums as exact scaled integers on both sides (the
-    gini_customers fix — revenue is 6dp-rounded, so s and q are exact
-    in 1e-6/1e-12 units and SSE*n = n*q - s^2 is integer-exact)."""
-    from indexlab_spark.operators.analytics import amoc_changepoint
+    EXACT replay (r15 VERDICT item 2, closing ADVICE r14 item 3's
+    accepted residual): SSE = q - s^2/n is a catastrophic cancellation
+    (~3e10 prefixes collapsing to ~5e7) whose cross-engine window-sum
+    ordering noise no output quantum fully absorbs — the former 2dp
+    re-quantization still left a ~1e-3-per-value flap window. The
+    entry now uses amoc_changepoint_exact: revenue is 6dp-rounded, so
+    the prefixes are EXACT integers in 1e-6/1e-12 units (Spark
+    DECIMAL, DuckDB HUGEINT) and the rank key + every output column
+    start from identical integers with identical IEEE ops — bit-exact
+    on both engines, back at full 6dp with no flap window at all."""
+    from indexlab_spark.operators.analytics import amoc_changepoint_exact
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     daily = ev.groupBy(
         "event_type", F.to_date("ts").cast("string").alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("revenue"))
-    out = amoc_changepoint(daily, ["event_type"], "day", "revenue", 3)
-
-    def q2(c: str):
-        return (F.floor(F.col(c) * 100 + F.lit(0.5)) / 100).alias(c)
-
-    return out.select(
-        "event_type", "n", "cp_index", "cp_order",
-        "mean_left", "mean_right",
-        q2("sse_total"), q2("sse_best"), q2("reduction"),
-        "reduction_ratio",
-    )
+    return amoc_changepoint_exact(daily, ["event_type"], "day", "revenue", 3)
 
 
 def _q_rake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13757,17 +13741,25 @@ def oracle_sql() -> dict[str, str]:
         # AMOC replay: identical prefix-sum split costs, earliest-tie
         # argmin via (cost, i) row_number.
         "amoc_revenue": """
+            -- exact scaled-integer prefix replay (gini discipline):
+            -- revenue is 6dp-rounded so r = round(rev*1e6) is an exact
+            -- HUGEINT; s, q, and the candidate cost numerators
+            -- numL = q*i - s^2, numR = (qt-q)(n-i) - (st-s)^2 are
+            -- integer-exact, and the rank key / outputs start from
+            -- identical integers with identical IEEE double ops on
+            -- both engines — bit-exact, no cancellation flap.
             WITH d AS (
                 SELECT event_type,
                        CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
                        round(sum(value), 6) AS revenue
                 FROM events GROUP BY 1, 2),
             b AS (
-                SELECT event_type, day, CAST(revenue AS DOUBLE) AS x,
+                SELECT event_type, day,
                        row_number() OVER w AS i,
-                       sum(CAST(revenue AS DOUBLE)) OVER
-                           (w ROWS UNBOUNDED PRECEDING) AS s,
-                       sum(CAST(revenue AS DOUBLE) * CAST(revenue AS DOUBLE))
+                       sum(CAST(round(revenue * 1e6, 0) AS HUGEINT))
+                           OVER (w ROWS UNBOUNDED PRECEDING) AS s,
+                       sum(CAST(round(revenue * 1e6, 0) AS HUGEINT)
+                           * CAST(round(revenue * 1e6, 0) AS HUGEINT))
                            OVER (w ROWS UNBOUNDED PRECEDING) AS q
                 FROM d
                 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
@@ -13777,35 +13769,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM b GROUP BY 1),
             cand AS (
                 SELECT b.event_type, t.n, t.st, t.qt, b.i, b.day,
-                       (b.q - b.s * b.s / b.i)
-                       + ((t.qt - b.q)
-                          - (t.st - b.s) * (t.st - b.s) / (t.n - b.i))
-                           AS cost,
-                       b.s / b.i AS mean_l,
-                       (t.st - b.s) / (t.n - b.i) AS mean_r
+                       CAST(b.q * b.i - b.s * b.s AS DOUBLE)
+                           / CAST(b.i AS DOUBLE)
+                       + CAST((t.qt - b.q) * (t.n - b.i)
+                              - (t.st - b.s) * (t.st - b.s) AS DOUBLE)
+                           / CAST(t.n - b.i AS DOUBLE) AS cost,
+                       CAST(b.s AS DOUBLE) / CAST(b.i AS DOUBLE)
+                           AS mean_l,
+                       CAST(t.st - b.s AS DOUBLE)
+                           / CAST(t.n - b.i AS DOUBLE) AS mean_r
                 FROM b JOIN t ON b.event_type = t.event_type
                 WHERE b.i >= 3 AND b.i <= t.n - 3),
             best AS (
                 SELECT *, row_number() OVER
                            (PARTITION BY event_type ORDER BY cost, i)
                            AS rn
-                FROM cand)
-            SELECT event_type, n, CAST(i AS BIGINT) AS cp_index,
-                   day AS cp_order,
-                   round(mean_l, 6) AS mean_left,
-                   round(mean_r, 6) AS mean_right,
-                   -- sse columns: 2dp scaled-floor quantization, same
-                   -- as the Spark side (6dp at ~5e7 magnitude sits
-                   -- inside the cancellation noise of q - s*s/n)
-                   floor(round(qt - st * st / n, 6) * 100 + 0.5) / 100
-                       AS sse_total,
-                   floor(round(cost, 6) * 100 + 0.5) / 100 AS sse_best,
-                   floor(round((qt - st * st / n) - cost, 6) * 100 + 0.5)
-                       / 100 AS reduction,
-                   round(CASE WHEN qt - st * st / n > 0 THEN
-                       ((qt - st * st / n) - cost) / (qt - st * st / n)
-                   END, 6) AS reduction_ratio
-            FROM best WHERE rn = 1
+                FROM cand),
+            o AS (
+                SELECT event_type, n, CAST(i AS BIGINT) AS cp_index,
+                       day AS cp_order,
+                       mean_l / 1e6 AS mean_left,
+                       mean_r / 1e6 AS mean_right,
+                       CAST(qt * n - st * st AS DOUBLE)
+                           / CAST(n AS DOUBLE) / 1e12 AS sse_total,
+                       cost / 1e12 AS sse_best
+                FROM best WHERE rn = 1)
+            -- r6() mirror: 6dp scaled-floor, passthrough above 9e9
+            -- (Spark's floor(double) is a LONG and clamps at 2^63;
+            -- above 9e9*1e6 a double has no 6dp fraction anyway)
+            SELECT event_type, n, cp_index, cp_order,
+                   CASE WHEN abs(mean_left) < 9e9 THEN
+                       floor(mean_left * 1e6 + 0.5) / 1e6
+                   ELSE mean_left END AS mean_left,
+                   CASE WHEN abs(mean_right) < 9e9 THEN
+                       floor(mean_right * 1e6 + 0.5) / 1e6
+                   ELSE mean_right END AS mean_right,
+                   CASE WHEN abs(sse_total) < 9e9 THEN
+                       floor(sse_total * 1e6 + 0.5) / 1e6
+                   ELSE sse_total END AS sse_total,
+                   CASE WHEN abs(sse_best) < 9e9 THEN
+                       floor(sse_best * 1e6 + 0.5) / 1e6
+                   ELSE sse_best END AS sse_best,
+                   CASE WHEN abs(sse_total - sse_best) < 9e9 THEN
+                       floor((sse_total - sse_best) * 1e6 + 0.5) / 1e6
+                   ELSE sse_total - sse_best END AS reduction,
+                   CASE WHEN sse_total > 0 THEN
+                       floor((sse_total - sse_best) / sse_total * 1e6
+                             + 0.5) / 1e6
+                   END AS reduction_ratio
+            FROM o
         """,
         # RAKE replay: identical RE2-safe segmentation (two stopword
         # passes), per-(doc, word) deg/freq, phrase sums, rounded-score

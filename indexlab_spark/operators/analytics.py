@@ -5265,6 +5265,140 @@ def amoc_changepoint(
     )
 
 
+def amoc_changepoint_exact(
+    df: "DataFrame",
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    min_seg: int = 2,
+    scale: int = 6,
+) -> "DataFrame":
+    """:func:`amoc_changepoint` with EXACT scaled-integer prefix sums
+    (the gini_customers discipline) for inputs already rounded to
+    ``scale`` decimal places.
+
+    The double pipeline's SSE = q - s^2/n is a catastrophic
+    cancellation (~3e10 prefixes collapsing to ~5e7) whose window-sum
+    ordering differs per engine, leaving ~1e-5 cross-engine noise that
+    no output quantum fully absorbs (ADVICE r14 item 3). Here every
+    prefix is exact: values become integers in 10^-scale units
+    (DECIMAL(18,0) — exact because the input is scale-dp-rounded), the
+    cumulative s and q fold in DECIMAL(28,0)/DECIMAL(38,0) with zero
+    rounding, and each candidate's cost numerators
+
+        numL = q_i * i - s_i^2
+        numR = (q_tot - q_i)(n - i) - (s_tot - s_i)^2
+
+    are integer-exact. Only THEN does double arithmetic start: the
+    rank key double(numL)/i + double(numR)/(n-i) is built from
+    identical integers with identical IEEE ops on any engine, so the
+    argmin — and every output column derived the same way — is
+    bit-for-bit reproducible (DuckDB replays with HUGEINT). Headroom:
+    numerators stay below 10^38 while s_tot*10^scale < 10^17 — five
+    orders above the sf0.1 series (s_tot ~ 1e12 micro-units).
+
+    Same plan shape as :func:`amoc_changepoint` (ONE keyed exchange:
+    cumulative + full-frame windows, then a map-side-combined min
+    agg); same output schema, with the sse/mean/reduction columns
+    emitted at 6dp via engine-portable scaled-floor rounding.
+    """
+    if min_seg < 1:
+        raise ValueError(
+            f"amoc_changepoint_exact: min_seg must be >= 1, got {min_seg}"
+        )
+    unit = float(10 ** scale)
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy(*group_cols)
+    r = F.round(F.col(value_col).cast("double") * unit, 0).cast(
+        "decimal(18,0)"
+    )
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_ord"),
+        F.row_number().over(w).alias("_i"),
+        F.sum(r).over(cum).alias("_s"),          # decimal(28,0), exact
+        F.sum(r * r).over(cum).alias("_q"),      # decimal(38,0), exact
+    )
+    joined = base.select(
+        "*",
+        F.count(F.lit(1)).over(full).alias("_n"),
+        F.max_by("_s", "_i").over(full).alias("_st"),
+        F.max_by("_q", "_i").over(full).alias("_qt"),
+    )
+    i = F.col("_i").cast("double")
+    nn = F.col("_n").cast("double")
+    num_l = (F.col("_q") * F.col("_i") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    )
+    num_r = (
+        (F.col("_qt") - F.col("_q")) * (F.col("_n") - F.col("_i"))
+        - (F.col("_st") - F.col("_s")) * (F.col("_st") - F.col("_s"))
+    ).cast("double")
+    cost_key = num_l / i + num_r / (nn - i)
+    cand = joined.filter(
+        (F.col("_i") >= min_seg) & (F.col("_i") <= F.col("_n") - min_seg)
+    ).select(
+        *group_cols,
+        "_n",
+        "_st",
+        "_qt",
+        F.struct(
+            cost_key.alias("cost"),
+            F.col("_i").alias("i"),
+            F.col("_ord").alias("ord"),
+            (F.col("_s").cast("double") / i).alias("mean_l"),
+            ((F.col("_st") - F.col("_s")).cast("double") / (nn - i)).alias(
+                "mean_r"
+            ),
+        ).alias("_c"),
+    )
+    best = cand.groupBy(*group_cols).agg(
+        F.first("_n").alias("n"),
+        F.first("_st").alias("_st"),
+        F.first("_qt").alias("_qt"),
+        F.min("_c").alias("_b"),
+    )
+    n_d = F.col("n").cast("double")
+    sq = unit * unit
+    sse_tot = (
+        (F.col("_qt") * F.col("n") - F.col("_st") * F.col("_st")).cast(
+            "double"
+        )
+        / n_d
+        / sq
+    )
+    sse_best = F.col("_b.cost") / sq
+    red = sse_tot - sse_best
+
+    def r6(c, name):
+        # engine-portable 6dp scaled-floor; guarded because Spark's
+        # floor(double) returns LONG and clamps at 2^63 — above
+        # 9e9 * 1e6 a double carries <= 2^-1 ulp of fractional part
+        # anyway, so both engines pass the value through unchanged
+        return (
+            F.when(F.abs(c) < 9e9, F.floor(c * 1e6 + F.lit(0.5)) / 1e6)
+            .otherwise(c)
+            .alias(name)
+        )
+
+    return best.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("_b.i").cast("long").alias("cp_index"),
+        F.col("_b.ord").alias("cp_order"),
+        r6(F.col("_b.mean_l") / unit, "mean_left"),
+        r6(F.col("_b.mean_r") / unit, "mean_right"),
+        r6(sse_tot, "sse_total"),
+        r6(sse_best, "sse_best"),
+        r6(red, "reduction"),
+        r6(
+            F.when(sse_tot > 0, F.try_divide(red, sse_tot)),
+            "reduction_ratio",
+        ),
+    )
+
+
 def dp_noisy_counts(
     df: "DataFrame",
     group_cols: list[str],

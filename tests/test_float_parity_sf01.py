@@ -27,7 +27,7 @@ SF01_DIR = "/root/testdata/sf0.1"
 # table) — each name pins the contract its fix introduced.
 PARITY_FIXED = [
     "gini_customers",     # oracle: exact integer cents sum, no HUGEINT round
-    "amoc_revenue",       # 2dp scaled-floor SSE on both sides
+    "amoc_revenue",       # r16: exact scaled-integer prefixes (bit-exact)
     "unigram_jsd",        # 9dp quantized rank key before the top-10 cut
     "theta_users",        # k=32768 keeps sf0.1 below sketch saturation
     "mmr_embeddings",     # floor(x*1e6+0.5)/1e6 output on both sides

@@ -764,6 +764,22 @@ def test_amoc_windows_only_no_join(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_amoc_exact_windows_only_no_join(spark):
+    """amoc_changepoint_exact keeps the identical single-exchange
+    shape — the DECIMAL prefix arithmetic must not introduce a join
+    or a SinglePartition exchange."""
+    from indexlab_spark.operators.analytics import amoc_changepoint_exact
+
+    rows = [("g", float(i), float(i > 5)) for i in range(12)]
+    df = spark.createDataFrame(rows, "seg string, t double, v double")
+    plan = (
+        amoc_changepoint_exact(df, ["seg"], "t", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_seasonal_decompose_windows_only_no_join(spark):
     """seasonal_decompose: slot means + centering are WINDOWS over the
     calendar-bounded keyed frame — ZERO joins (the groupBy +

@@ -463,6 +463,59 @@ class TestAmocChangepoint:
         assert got["reduction"] == pytest.approx(0.0, abs=1e-9)
         assert got["reduction_ratio"] is None  # sse_total == 0
 
+
+class TestAmocChangepointExact:
+    """amoc_changepoint_exact: DECIMAL scaled-integer prefixes for
+    6dp-rounded inputs (the r16 amoc_revenue oracle-parity fix) must
+    agree with the double pipeline and the brute-force reference."""
+
+    def _run(self, spark, xs, **kw):
+        from indexlab_spark.operators.analytics import amoc_changepoint_exact
+
+        rows = [("g", t, round(x, 6)) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, x double")
+        out = amoc_changepoint_exact(df, ["g"], "t", "x", **kw).collect()
+        return out[0] if out else None
+
+    def test_brute_force_parity(self, spark):
+        xs = [float((t * 29) % 13) - (3.0 if t > 23 else 0.0) for t in range(37)]
+        got = self._run(spark, xs, min_seg=3)
+        (sse, i, ml, mr), sse_tot = _amoc_ref(xs, min_seg=3)
+        assert got["cp_index"] == i
+        assert got["sse_best"] == pytest.approx(sse, abs=1e-5)
+        assert got["sse_total"] == pytest.approx(sse_tot, abs=1e-5)
+        assert got["mean_left"] == pytest.approx(ml, abs=1e-6)
+        assert got["mean_right"] == pytest.approx(mr, abs=1e-6)
+
+    def test_large_magnitude_exactness(self, spark):
+        # magnitudes where the double pipeline's q - s^2/n cancellation
+        # carries ~1e-5 noise: prefixes ~3e10, SSE ~5e7 (the
+        # amoc_revenue sf0.1 regime).  The exact path must still match
+        # the brute-force reference tightly.
+        xs = [3.0e7 + ((t * 37) % 11) * 1e5 for t in range(15)]
+        xs += [3.2e7 + ((t * 37) % 11) * 1e5 for t in range(15)]
+        got = self._run(spark, xs, min_seg=3)
+        (sse, i, ml, mr), sse_tot = _amoc_ref(xs, min_seg=3)
+        assert got["cp_index"] == i
+        assert got["sse_best"] == pytest.approx(sse, rel=1e-12)
+        assert got["sse_total"] == pytest.approx(sse_tot, rel=1e-12)
+        assert got["mean_left"] == pytest.approx(ml, abs=1e-6)
+
+    def test_constant_series_earliest_tie(self, spark):
+        got = self._run(spark, [2.0] * 12)
+        assert got["cp_index"] == 2
+        assert got["reduction"] == pytest.approx(0.0, abs=1e-9)
+        assert got["reduction_ratio"] is None
+
+    def test_min_seg_validation(self, spark):
+        import pytest as _pytest
+
+        from indexlab_spark.operators.analytics import amoc_changepoint_exact
+
+        df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
+        with _pytest.raises(ValueError, match="min_seg"):
+            amoc_changepoint_exact(df, ["g"], "t", "x", min_seg=0)
+
     def test_short_group_drops(self, spark):
         assert self._run(spark, [1.0, 2.0, 3.0], min_seg=2) is None
 
