@@ -1,14 +1,16 @@
-"""Pure-stdlib image codecs (PNG + BMP + baseline JPEG) for the
+"""Pure-stdlib image codecs (PNG + BMP + Huffman JPEG) for the
 multimodal decode path.
 
 The container has no PIL/opencv, but PNG is just zlib (stdlib) over
-filtered scanlines, BMP is raw pixels, and baseline JPEG (ITU-T T.81)
+filtered scanlines, BMP is raw pixels, and Huffman JPEG (ITU-T T.81)
 is Huffman + dequant + IDCT — all implementable on ``struct`` +
 ``zlib`` + numpy. This turns ``multimodal.decode_image`` from a stub
 into a genuine decoder for PNG (bit depth 8: gray / gray+alpha / RGB /
 RGBA, non-interlaced), BMP (24bpp uncompressed) and JPEG (baseline
-sequential SOF0/SOF1, gray or JFIF YCbCr, sampling factors to 4x4,
-restart intervals; progressive/arithmetic/12-bit stay gated).
+sequential SOF0/SOF1 since r15, progressive SOF2 — Annex G spectral
+selection + successive approximation — since r16; gray or JFIF YCbCr,
+sampling factors to 4x4, restart intervals; arithmetic/12-bit stay
+gated).
 
 The encoder exists so tests can round-trip REAL images — including
 per-row filter types 1-4 (Sub/Up/Average/Paeth), which exercises every
@@ -238,9 +240,12 @@ def encode_bmp(img: np.ndarray) -> bytes:
 # SOF0 (baseline), 8-bit samples, 1 component (grayscale) or 3
 # components (JFIF YCbCr) with sampling factors up to 4x4 (covers
 # 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), restart intervals, 8/16-bit DQT.
-# Progressive (SOF2), arithmetic coding, 12-bit, and CMYK stay gated
-# with a loud NotImplementedError. Attested by an independent
-# test-side encoder (tests/jpeggen.py) + hand-built one-MCU vectors.
+# Round 16 added progressive (SOF2): T.81 Annex G spectral selection +
+# successive approximation, DC/AC first + refinement scans with EOB
+# runs, interleaved DC and non-interleaved AC ordering. Arithmetic
+# coding, 12-bit, and CMYK stay gated with a loud NotImplementedError.
+# Attested by an independent test-side encoder (tests/jpeggen.py —
+# baseline AND progressive emitters) + hand-built one-MCU vectors.
 
 _ZIGZAG = np.array([
     0,  1,  8, 16,  9,  2,  3, 10,
@@ -355,12 +360,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array: (h, w) grayscale or
-    (h, w, 3) RGB (JFIF YCbCr -> RGB, chroma box-upsampled).
+    """Huffman JPEG bytes (baseline SOF0/1 or progressive SOF2) ->
+    uint8 array: (h, w) grayscale or (h, w, 3) RGB (JFIF YCbCr -> RGB,
+    chroma box-upsampled).
 
     Malformed input raises ValueError (the multimodal dispatch maps
     that to its deterministic fake); genuinely unsupported PROFILES
-    (progressive, arithmetic, 12-bit, CMYK) raise NotImplementedError
+    (arithmetic, 12-bit, CMYK) raise NotImplementedError
     — a gate, not a parse failure."""
     try:
         return _decode_jpeg(data)
@@ -426,7 +432,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 sp += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0/1 (both Huffman sequential) or SOF2 (Huffman
+            # progressive, T.81 Annex G) — same frame header layout
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -448,63 +456,154 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         f"invalid JPEG sampling factors {sh}x{sv}"
                     )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+                "only Huffman baseline/progressive JPEG (SOF0/1/2) is "
+                "supported"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG unsupported"
-                )
+            by_id = {c["id"]: c for c in frame["comps"]}
             scan_sel = {}
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"JPEG scan references unknown component {cs}"
+                    )
                 scan_sel[cs] = (tt >> 4, tt & 0xF)
-            for c in frame["comps"]:
-                if c["id"] not in scan_sel:
-                    raise ValueError(
-                        f"JPEG scan omits frame component {c['id']}"
+
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan baseline JPEG "
+                        "unsupported"
                     )
-                dc_t, ac_t = scan_sel[c["id"]]
-                if dc_t not in huff_dc or ac_t not in huff_ac:
-                    raise ValueError(
-                        f"JPEG scan references undefined Huffman table "
-                        f"(dc={dc_t}, ac={ac_t})"
-                    )
-                if c["tq"] not in qtables:
-                    raise ValueError(
-                        f"JPEG component references undefined quant "
-                        f"table {c['tq']}"
-                    )
-            return _decode_scan(
-                data, next_pos, frame, scan_sel, qtables,
+                for c in frame["comps"]:
+                    if c["id"] not in scan_sel:
+                        raise ValueError(
+                            f"JPEG scan omits frame component {c['id']}"
+                        )
+                    dc_t, ac_t = scan_sel[c["id"]]
+                    if dc_t not in huff_dc or ac_t not in huff_ac:
+                        raise ValueError(
+                            f"JPEG scan references undefined Huffman "
+                            f"table (dc={dc_t}, ac={ac_t})"
+                        )
+                    if c["tq"] not in qtables:
+                        raise ValueError(
+                            f"JPEG component references undefined quant "
+                            f"table {c['tq']}"
+                        )
+                return _decode_scan(
+                    data, next_pos, frame, scan_sel, qtables,
+                    huff_dc, huff_ac, restart_interval,
+                )
+
+            # ---- progressive scan (T.81 Annex G)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if "coef" not in frame["comps"][0]:
+                _init_geometry(frame)
+            scan_comps = [by_id[cs] for cs in scan_sel]
+            for cs, (dc_t, ac_t) in scan_sel.items():
+                by_id[cs]["dc_t"], by_id[cs]["ac_t"] = dc_t, ac_t
+            pos = _decode_progressive_scan(
+                data, next_pos, frame, scan_comps, ss, se, ah, al,
                 huff_dc, huff_ac, restart_interval,
             )
+            frame["scanned"] = True
+            continue
         pos = next_pos
+    if frame is not None and frame.get("scanned"):
+        return _assemble(frame, qtables)
     raise ValueError("JPEG has no SOS scan")
 
 
-def _decode_scan(data, pos, frame, scan_sel, qtables, huff_dc, huff_ac,
-                 restart_interval):
+def _init_geometry(frame):
+    """Block geometry + zeroed coefficient planes for every component:
+    the interleaved (MCU-padded) grid bw x bh, plus the non-interleaved
+    grid nbw x nbh a single-component scan walks in raster order
+    (T.81 A.2.2 — the component's true block count, which can be
+    smaller than the MCU-padded grid when sampling factors > 1)."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
     for c in comps:
-        c["dc_t"], c["ac_t"] = scan_sel[c["id"]]
-        c["bw"] = mcux * c["h"]          # blocks per row
+        c["bw"] = mcux * c["h"]          # blocks per row (padded grid)
         c["bh"] = mcuy * c["v"]
+        cw = -(-(w * c["h"]) // hmax)     # component sample width
+        chh = -(-(h * c["v"]) // vmax)    # component sample height
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-chh // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         c["pred"] = 0
+
+
+def _assemble(frame, qtables):
+    """Dequantize + IDCT the accumulated coefficient planes and stitch
+    the final image (shared by the baseline and progressive paths)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(
+                f"JPEG component references undefined quant table {c['tq']}"
+            )
+        q = qtables[c["tq"]]
+        dq = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        dq[:, _ZIGZAG] = c["coef"] * q  # de-zigzag + dequant
+        pix = _idct2(dq.reshape(-1, 8, 8)) + 128.0
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full resolution (box/nearest, JFIF-typical)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(data, pos, frame, scan_sel, qtables, huff_dc, huff_ac,
+                 restart_interval):
+    comps = frame["comps"]
+    _init_geometry(frame)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    for c in comps:
+        c["dc_t"], c["ac_t"] = scan_sel[c["id"]]
 
     bits = _JpegBits(data, pos)
     mcu_count = 0
@@ -542,35 +641,171 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, huff_dc, huff_ac,
                         row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                         c["coef"][row] = blk
 
-    planes = []
-    for c in comps:
-        q = qtables[c["tq"]]
-        dq = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
-        dq[:, _ZIGZAG] = c["coef"] * q  # de-zigzag + dequant
-        pix = _idct2(dq.reshape(-1, 8, 8)) + 128.0
-        # reassemble blocks -> plane
-        plane = (
-            pix.reshape(c["bh"], c["bw"], 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(c["bh"] * 8, c["bw"] * 8)
-        )
-        # upsample to full resolution (box/nearest, JFIF-typical)
-        plane = np.repeat(
-            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
-        )
-        planes.append(plane[:h, :w])
+    return _assemble(frame, qtables)
 
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+def _decode_progressive_scan(data, pos, frame, comps, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval):
+    """One SOF2 scan (T.81 Annex G): DC first/refinement (interleaved
+    or single-component) or AC first/refinement (single-component
+    only, per G.1.1.1.1). Accumulates into each component's ``coef``
+    plane; returns the stream position after the scan's entropy data
+    (AT the terminating 0xFF if a marker ended it, so the caller's
+    marker loop resumes cleanly)."""
+    if al > 13 or ah > 13:
+        raise ValueError("JPEG successive approximation out of range")
+    bits = _JpegBits(data, pos)
+    if ss == 0:
+        # ---- DC scan (Se must be 0; DC refinement is raw bits)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ah == 0:
+            for c in comps:
+                if c["dc_t"] not in huff_dc:
+                    raise ValueError(
+                        f"JPEG scan references undefined DC table "
+                        f"{c['dc_t']}"
+                    )
+                c["pred"] = 0
+        elif al != ah - 1:
+            raise ValueError("progressive DC refinement needs Al == Ah-1")
+
+        def dc_unit(c, row):
+            blk = c["coef"][row]
+            if ah == 0:
+                t = _huff_decode(bits, huff_dc[c["dc_t"]])
+                c["pred"] += _extend(bits.read_bits(t), t)
+                blk[0] = c["pred"] << al
+            elif bits.read_bit():
+                blk[0] |= 1 << al
+
+        interleaved = len(comps) > 1
+        if interleaved:
+            mcux = frame["mcux"]
+            units = mcux * frame["mcuy"]
+        else:
+            c0 = comps[0]
+            units = c0["nbw"] * c0["nbh"]
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                bits.sync_restart()
+                for c in comps:
+                    c["pred"] = 0
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_unit(
+                                c,
+                                (my * c["v"] + by) * c["bw"]
+                                + mx * c["h"] + bx,
+                            )
+            else:
+                by, bx = divmod(u, c0["nbw"])
+                dc_unit(c0, by * c0["bw"] + bx)
+        return bits.pos
+
+    # ---- AC scan: always non-interleaved (T.81 G.1.1.1.1)
+    if len(comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"bad JPEG spectral band {ss}..{se}")
+    c = comps[0]
+    if c["ac_t"] not in huff_ac:
+        raise ValueError(
+            f"JPEG scan references undefined AC table {c['ac_t']}"
+        )
+    table = huff_ac[c["ac_t"]]
+    eobrun = 0
+    units = c["nbw"] * c["nbh"]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            bits.sync_restart()
+            eobrun = 0
+        by, bx = divmod(u, c["nbw"])
+        blk = c["coef"][by * c["bw"] + bx]
+        if ah == 0:
+            eobrun = _ac_first(bits, blk, ss, se, al, table, eobrun)
+        else:
+            if al != ah - 1:
+                raise ValueError(
+                    "progressive AC refinement needs Al == Ah-1"
+                )
+            eobrun = _ac_refine(bits, blk, ss, se, al, table, eobrun)
+    return bits.pos
+
+
+def _ac_first(bits, blk, ss, se, al, table, eobrun):
+    """G.1.2.2 — first AC scan of a band: (run, size) codes shifted by
+    the point transform, plus EOBn end-of-band run codes that cover
+    whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC band overflow")
+        blk[k] = _extend(bits.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(bits, blk, ss, se, al, table, eobrun):
+    """G.1.2.3 — AC refinement scan: each already-nonzero coefficient
+    passed over consumes one correction bit; (run, 1) codes place
+    newly significant coefficients at +-2^Al; EOBn covers the band
+    tails of whole blocks (correction bits included)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if bits.read_bit() and not (blk[k] & p1):
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if bits.read_bit() else m1
+            else:
+                raise ValueError("bad JPEG refinement magnitude")
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun

@@ -102,10 +102,11 @@ def decode_image(content: bytes) -> np.ndarray:
         if kind == "bmp":
             return decode_bmp(content)
         if kind == "jpeg":
-            return decode_jpeg(content)  # baseline T.81, round 15
+            # baseline T.81 (r15) + progressive Annex G (r16)
+            return decode_jpeg(content)
     except (ValueError, NotImplementedError):
-        # malformed bytes OR an unsupported profile (progressive/
-        # arithmetic JPEG) -> deterministic fake, preserving this
+        # malformed bytes OR an unsupported profile (arithmetic /
+        # 12-bit JPEG) -> deterministic fake, preserving this
         # function's pre-r15 contract that a mixed image corpus never
         # crashes the batch; direct decode_jpeg callers still get the
         # honest NotImplementedError gate.

@@ -117,13 +117,15 @@ class TestHandVector:
 
 
 class TestGatesAndDispatch:
-    def test_progressive_raises_not_implemented(self):
+    def test_arithmetic_raises_not_implemented(self):
+        # SOF10 (0xCA, progressive + arithmetic coding) stays gated —
+        # SOF2 Huffman progressive is REAL as of r16
         import struct
 
         jb = bytearray(b"\xff\xd8")
-        jb += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        jb += b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         jb += bytes([1, 0x11, 0])
-        with pytest.raises(NotImplementedError, match="baseline"):
+        with pytest.raises(NotImplementedError, match="Huffman"):
             decode_jpeg(bytes(jb))
 
     def test_malformed_raises_valueerror(self):
@@ -209,15 +211,16 @@ class TestGatesAndDispatch:
         assert fake.shape == (8, 8, 3)  # deterministic fake path kept
 
     def test_multimodal_fake_for_unsupported_profile(self):
-        """Progressive JPEG: decode_jpeg raises the honest gate, but
-        the pipeline dispatch maps it to the deterministic fake so a
-        mixed corpus never crashes a batch (pre-r15 contract)."""
+        """Arithmetic-coded JPEG (SOF10): decode_jpeg raises the honest
+        gate, but the pipeline dispatch maps it to the deterministic
+        fake so a mixed corpus never crashes a batch (pre-r15
+        contract)."""
         import struct
 
         from indexlab_spark.operators.multimodal import decode_image
 
         jb = bytearray(b"\xff\xd8")
-        jb += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        jb += b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         jb += bytes([1, 0x11, 0])
         fake = decode_image(bytes(jb))
         assert fake.shape == (8, 8, 3)
@@ -235,3 +238,102 @@ class TestGatesAndDispatch:
         jb += b"\x00\x3f\x00"
         with pytest.raises(NotImplementedError, match="multi-scan"):
             decode_jpeg(bytes(jb))
+
+
+class TestProgressive:
+    """SOF2 round trips against the independent Annex G emitter
+    (jpeggen.encode_jpeg_progressive): spectral selection, successive
+    approximation (DC raw-bit refinement + AC correction-bit
+    refinement with EOB runs), interleaved DC / non-interleaved AC
+    ordering, restarts, 4:2:0 padded-vs-true block grids."""
+
+    def test_gray_spectral_selection_only(self):
+        img = np.random.default_rng(3).integers(
+            0, 256, (24, 17), dtype=np.uint8
+        )
+        jb = jpeggen.encode_jpeg_progressive(
+            img, qtable_luma=Q1, point_transform=0
+        )
+        out = decode_jpeg(jb)
+        assert out.shape == img.shape
+        assert _maxerr(out, img) <= 1
+
+    @pytest.mark.parametrize("pt", [1, 2, 3])
+    def test_gray_successive_approximation(self, pt):
+        img = np.random.default_rng(4 + pt).integers(
+            0, 256, (80, 77), dtype=np.uint8
+        )
+        jb = jpeggen.encode_jpeg_progressive(
+            img, qtable_luma=Q1, point_transform=pt,
+            bands=((1, 2), (3, 10), (11, 40), (41, 63)),
+        )
+        assert _maxerr(decode_jpeg(jb), img) <= 1
+
+    def test_rgb_444(self):
+        img = np.random.default_rng(7).integers(
+            0, 256, (20, 32, 3), dtype=np.uint8
+        )
+        jb = jpeggen.encode_jpeg_progressive(img, Q1, Q1, point_transform=1)
+        out = decode_jpeg(jb)
+        assert out.shape == img.shape
+        assert _maxerr(out, img) <= 2
+
+    def test_rgb_420_odd_dims_with_restarts(self):
+        xx, yy = np.meshgrid(np.arange(35), np.arange(21))
+        img = np.stack([(xx * 5 + yy) % 256] * 3, -1).astype(np.uint8)
+        jb = jpeggen.encode_jpeg_progressive(
+            img, Q1, Q1, subsample="420", point_transform=2,
+            restart_interval=3,
+        )
+        out = decode_jpeg(jb)
+        assert out.shape == img.shape
+        assert _maxerr(out, img) <= 3
+
+    def test_progressive_matches_baseline_annexk(self):
+        """Same quant pipeline => identical coefficients => the
+        progressive and baseline decodes must be BIT-IDENTICAL."""
+        img = np.random.default_rng(11).integers(
+            0, 256, (64, 56, 3), dtype=np.uint8
+        )
+        base = decode_jpeg(jpeggen.encode_jpeg(img))
+        prog = decode_jpeg(jpeggen.encode_jpeg_progressive(img))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_smooth_image_long_eob_runs(self):
+        img = np.tile(np.arange(48, dtype=np.uint8), (40, 1))
+        jb = jpeggen.encode_jpeg_progressive(
+            img, qtable_luma=Q1, point_transform=1
+        )
+        np.testing.assert_array_equal(decode_jpeg(jb), img)
+
+    def test_gray_sof2_with_sampling_factors(self):
+        """nc==1 non-interleaved rule applies to progressive frames
+        too: declared sampling factors > 1 are ignored."""
+        img = np.random.default_rng(5).integers(
+            0, 256, (24, 24), dtype=np.uint8
+        )
+        jb = bytearray(
+            jpeggen.encode_jpeg_progressive(img, qtable_luma=Q1)
+        )
+        i = jb.index(b"\xff\xc2")
+        assert jb[i + 11] == 0x11
+        jb[i + 11] = 0x22
+        assert _maxerr(decode_jpeg(bytes(jb)), img) <= 1
+
+    def test_multimodal_dispatch_decodes_progressive(self):
+        from indexlab_spark.operators.multimodal import decode_image
+
+        img = np.random.default_rng(13).integers(
+            0, 256, (16, 16, 3), dtype=np.uint8
+        )
+        out = decode_image(jpeggen.encode_jpeg_progressive(img, Q1, Q1))
+        assert out.shape == img.shape  # REAL decode, not the 8x8x3 fake
+        assert _maxerr(out, img) <= 2
+
+    def test_truncated_progressive_is_valueerror(self):
+        img = np.random.default_rng(17).integers(
+            0, 256, (16, 16), dtype=np.uint8
+        )
+        jb = jpeggen.encode_jpeg_progressive(img, qtable_luma=Q1)
+        with pytest.raises(ValueError):
+            decode_jpeg(jb[: len(jb) // 3])
