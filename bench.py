@@ -149,6 +149,126 @@ def baseline_b6_kmeans(mat: np.ndarray, k: int, iters: int = 20) -> None:
     (x2 - 2.0 * (x @ centers.T) + (centers * centers).sum(1)[None, :]).argmin(1)
 
 
+def _np_lloyd_centers(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Seeded numpy Lloyd returning centers (shared by the top-registry
+    IVFPQ baseline; independent of the engine's knn._lloyd)."""
+    centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64).copy()
+    for _ in range(iters):
+        d = (centers * centers).sum(1)[None, :] - 2.0 * (x @ centers.T)
+        a = d.argmin(1)
+        sums = np.zeros_like(centers)
+        counts = np.zeros(k)
+        np.add.at(sums, a, x)
+        np.add.at(counts, a, 1)
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
+    return centers
+
+
+def baseline_ivfpq(mat: np.ndarray, qmat: np.ndarray, nlist=8, m=8,
+                   nbits=6, nprobe=4, k=5, rerank=8, iters=20) -> None:
+    """Single-node IVFPQ (BASELINE for q_ivfpq_sampled): coarse kmeans
+    on a bounded sample, residual product-quantizer codebooks, full
+    encode, then ADC search with exact rerank — the same work FAISS's
+    IndexIVFPQ does on one node, in plain numpy."""
+    rng = np.random.default_rng(42)
+    n, dim = mat.shape
+    cap = nlist * 256
+    train = mat if n <= cap else mat[rng.choice(n, cap, replace=False)]
+    cents = _np_lloyd_centers(train, min(nlist, len(train)), iters, rng)
+    assign = (
+        (cents * cents).sum(1)[None, :] - 2.0 * (mat @ cents.T)
+    ).argmin(1)
+    res = mat - cents[assign]
+    ksub = 1 << nbits
+    cap2 = ksub * 256
+    tr2 = res if n <= cap2 else res[rng.choice(n, cap2, replace=False)]
+    dsub = dim // m
+    books = np.stack([
+        _np_lloyd_centers(
+            np.ascontiguousarray(tr2[:, j * dsub:(j + 1) * dsub]),
+            min(ksub, len(tr2)), iters, rng,
+        )
+        for j in range(m)
+    ])
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        rj = res[:, j * dsub:(j + 1) * dsub]
+        b2 = (books[j] * books[j]).sum(1)
+        codes[:, j] = (b2[None, :] - 2.0 * (rj @ books[j].T)).argmin(1)
+    qdotc = qmat @ cents.T
+    npb = min(nprobe, len(cents))
+    for qi in range(len(qmat)):
+        probes = np.argpartition(-qdotc[qi], npb - 1)[:npb]
+        cand = np.flatnonzero(np.isin(assign, probes))
+        if not len(cand):
+            continue
+        lut = np.stack([
+            qmat[qi, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)
+        ])  # (m, ksub)
+        adc = lut[np.arange(m)[:, None], codes[cand].T].sum(0)
+        adc = adc + qdotc[qi][assign[cand]]
+        r = min(rerank * k, len(cand))
+        topc = cand[np.argpartition(-adc, r - 1)[:r]] if len(cand) > r else cand
+        exact = mat[topc] @ qmat[qi]
+        topc[np.argsort(-exact)[:k]]
+
+
+def baseline_hilbert(u: np.ndarray, v: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Vectorized numpy Hilbert xy2d (BASELINE for q_hilbert_events):
+    the same min-max bit quantization + per-scale rotate/reflect fold
+    the engine runs as codegen rounds."""
+    top = (1 << bits) - 1
+
+    def rank(c):
+        c = c.astype(np.float64)
+        mn, mx = c.min(), c.max()
+        if mx > mn:
+            return np.clip(
+                np.floor((c - mn) / (mx - mn) * top).astype(np.int64), 0, top
+            )
+        return np.zeros(len(c), dtype=np.int64)
+
+    x, y = rank(u), rank(v)
+    d = np.zeros(len(x), dtype=np.int64)
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = (x >> b) & 1
+        ry = (y >> b) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (rx == 1) & (ry == 0)
+        fx = np.where(flip, top - x, x)
+        fy = np.where(flip, top - y, y)
+        x = np.where(ry == 0, fy, fx)
+        y = np.where(ry == 0, fx, fy)
+    return d
+
+
+def baseline_quality_classifier(
+    x: np.ndarray, y: np.ndarray, labels: np.ndarray,
+    iters=20, lr=1.0, l2=1e-3, dp=9,
+) -> None:
+    """Single-node full-batch logistic regression (BASELINE for
+    q_quality_classifier): same fixed-iteration + 9dp-requantize
+    schedule, sigmoid scoring, per-label mean-prob/accuracy rollup."""
+    n, d = x.shape
+    w = np.zeros(d)
+    b = 0.0
+    scale = 10.0 ** dp
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        err = p - y
+        w = w - lr * ((x.T @ err) / n + l2 * w)
+        b = b - lr * (err.sum() / n)
+        w = np.floor(w * scale + 0.5) / scale
+        b = float(np.floor(b * scale + 0.5) / scale)
+    p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+    acc = ((p > 0.5) == (y > 0.5)).astype(np.float64)
+    pd.DataFrame({"label": labels, "p": p, "acc": acc}).groupby(
+        "label"
+    ).agg(n=("p", "size"), mean_prob=("p", "mean"), acc=("acc", "mean"))
+
+
 def baseline_b5_analytics(lens: list[int]) -> None:
     """Reference-exact stats + histogram port (analytics.py:106-135)."""
     a = sorted(lens)
@@ -730,7 +850,11 @@ def main() -> None:
         fn = entry_mod.queries()[name]
         reps = (
             2
-            if name in ("dedup_survival", "minhash_lsh")
+            # hilbert_events + quality_classifier joined the graded
+            # ratios_large set in r16 (VERDICT item 6) — min-of-2 on
+            # the engine side like every graded row
+            if name in ("dedup_survival", "minhash_lsh",
+                        "hilbert_events", "quality_classifier")
             else 1
         )
         if reps > 1:
@@ -773,7 +897,31 @@ def main() -> None:
             spark, ivfpq_q, codes_, cents_, books_, k=5, nprobe=4, rerank=8
         ).count()
 
-    queries_sec["q_ivfpq_sampled"], _ = timed(_ivfpq_sampled)
+    # graded ratio row since r16 (VERDICT item 6): min-of-2 both sides
+    queries_sec["q_ivfpq_sampled"], _ = timed(_ivfpq_sampled, repeats=2)
+    min_of["q_ivfpq_sampled"] = 2
+
+    # --- top-registry single-node baselines (r15 VERDICT item 6): the
+    # three priciest registry rows get a same-host numpy oracle so a
+    # future regression there is caught by ratio, not eyeball. They
+    # join ratios_large/geomean from r16 on (measurement-policy change
+    # — noted in PLANS.md; arrays are fetched OUTSIDE the timed
+    # regions, mirroring the B1-B6 discipline).
+    baseline_sec["q_ivfpq_sampled"], _ = timed(
+        lambda: baseline_ivfpq(mat, mat[:16]), repeats=2
+    )
+    ev_pdf = t["events"].select("user_id", "value").toPandas()
+    ev_u = ev_pdf["user_id"].to_numpy(dtype=np.float64)
+    ev_v = ev_pdf["value"].to_numpy(dtype=np.float64)
+    baseline_sec["q_hilbert_events"], _ = timed(
+        lambda: baseline_hilbert(ev_u, ev_v, bits=8), repeats=2
+    )
+    qc_labels = emb_pdf["label"].to_numpy()
+    qc_y = (qc_labels <= 4).astype(np.float64)
+    baseline_sec["q_quality_classifier"], _ = timed(
+        lambda: baseline_quality_classifier(mat, qc_y, qc_labels),
+        repeats=2,
+    )
 
     # Incremental-vs-rebuild ratio (r6 VERDICT item 7): the incremental
     # family is the 100 TB story — a new batch must cost ~batch-sized
@@ -941,9 +1089,30 @@ def main() -> None:
         for k in queries_sec
         if k.endswith("_large") and baseline_sec.get(k)
     }
+    # top-registry graded rows (r16, VERDICT item 6): engine registry
+    # row / same-host numpy oracle, min-of-2 both sides. These are
+    # host-normalized REGRESSION indices, not throughput grades — at
+    # sf0.1's native table sizes (2000 embeddings, 100k events) the
+    # engine rows are fixed-overhead-dominated (codegen compile,
+    # per-iteration job dispatch) while numpy holds the whole problem
+    # in cache, so their ratios sit far above the B1-B6 band by
+    # construction. They join ratios_large for tracking but get their
+    # OWN geomean (geomean_registry); geomean_large keeps its B1-B6
+    # composition so the round-over-round series stays comparable.
+    registry_graded = (
+        "q_ivfpq_sampled", "q_hilbert_events", "q_quality_classifier"
+    )
+    for k in registry_graded:
+        if baseline_sec.get(k) and queries_sec.get(k):
+            ratios[k] = round(queries_sec[k] / baseline_sec[k], 3)
+    core = {k: r for k, r in ratios.items() if not k.startswith("q_")}
+    reg = {k: r for k, r in ratios.items() if k.startswith("q_")}
     geomean = round(
-        math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
-    ) if ratios else None
+        math.exp(sum(math.log(r) for r in core.values()) / len(core)), 3
+    ) if core else None
+    geomean_registry = round(
+        math.exp(sum(math.log(r) for r in reg.values()) / len(reg)), 3
+    ) if reg else None
     compact = {
         "metric": "bench_suite",
         "value": total,
@@ -953,6 +1122,7 @@ def main() -> None:
         "baseline": baseline_sec,
         "ratios_large": ratios,
         "geomean_large": geomean,
+        "geomean_registry": geomean_registry,
         "incremental_vs_rebuild": incremental_vs_rebuild,
         "incremental_growth_8x": incremental_growth_8x,
         "rebuild_growth_8x": rebuild_growth_8x,
