@@ -1,23 +1,26 @@
-"""Pure-stdlib image codecs (PNG + BMP + Huffman JPEG) for the
+"""Pure-stdlib image codecs (PNG + BMP + Huffman JPEG + GIF) for the
 multimodal decode path.
 
 The container has no PIL/opencv, but PNG is just zlib (stdlib) over
-filtered scanlines, BMP is raw pixels, and Huffman JPEG (ITU-T T.81)
-is Huffman + dequant + IDCT — all implementable on ``struct`` +
-``zlib`` + numpy. This turns ``multimodal.decode_image`` from a stub
-into a genuine decoder for PNG (bit depth 8: gray / gray+alpha / RGB /
-RGBA, non-interlaced), BMP (24bpp uncompressed) and JPEG (baseline
-sequential SOF0/SOF1 since r15, progressive SOF2 — Annex G spectral
-selection + successive approximation — since r16; gray or JFIF YCbCr,
-sampling factors to 4x4, restart intervals; arithmetic/12-bit stay
-gated).
+filtered scanlines, BMP is raw pixels, Huffman JPEG (ITU-T T.81) is
+Huffman + dequant + IDCT, and GIF is LZW + palettes — all
+implementable on ``struct`` + ``zlib`` + numpy. This turns
+``multimodal.decode_image`` from a stub into a genuine decoder for
+PNG (bit depth 8: gray / gray+alpha / RGB / RGBA, non-interlaced),
+BMP (24bpp uncompressed), JPEG (baseline sequential SOF0/SOF1 since
+r15, progressive SOF2 — Annex G spectral selection + successive
+approximation — since r16; gray or JFIF YCbCr, sampling factors to
+4x4, restart intervals; arithmetic/12-bit stay gated) and GIF
+(87a/89a since r16: variable-width LZW, global/local color tables,
+4-pass interlacing, multi-frame compositing with transparency and
+disposal methods 0-3).
 
 The encoder exists so tests can round-trip REAL images — including
 per-row filter types 1-4 (Sub/Up/Average/Paeth), which exercises every
 branch of the unfilter logic against its exact inverse.
 
 Formats are public specifications (PNG: RFC 2083 / ISO 15948; BMP:
-Windows BITMAPINFOHEADER).
+Windows BITMAPINFOHEADER; GIF: CompuServe 89a / W3C note).
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ _COLORTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette index
 
 
 def sniff_image(data: bytes) -> str | None:
-    """'png' | 'bmp' | 'jpeg' | None (unknown)."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | None (unknown)."""
     if data is None:
         return None
     if data[:8] == PNG_SIG:
@@ -42,6 +45,8 @@ def sniff_image(data: bytes) -> str | None:
         return "bmp"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -809,3 +814,259 @@ def _ac_refine(bits, blk, ss, se, al, table, eobrun):
             k += 1
         eobrun -= 1
     return eobrun
+
+
+# =====================================================================
+# GIF (87a / 89a) — pure stdlib + numpy
+# =====================================================================
+#
+# Round 16: GIF is the third big web-corpus image format after JPEG
+# and PNG, and it is pure public specification (GIF89a, CompuServe
+# 1990 / W3C note): LZW with variable code width, global/local color
+# tables, 4-pass interlacing, and 89a animation extensions (graphic
+# control, transparency, disposal methods). Attested by an
+# independent test-side encoder (tests/gifgen.py) — GIF is lossless,
+# so round trips assert EXACT pixel equality.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytearray:
+    """GIF-variant LZW: codes packed LSB-first, width starts
+    min_code_size+1, CLEAR resets the dictionary, width grows when the
+    next entry would overflow the current width (cap 12 bits; a full
+    4096-entry dictionary stays static until the next CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # dictionary as (prefix_code, last_byte); roots are (-1, k)
+    prefix = [-1] * 4096
+    suffix = [0] * 4096
+
+    def reset():
+        for k in range(clear):
+            prefix[k] = -1
+            suffix[k] = k
+        return clear + 2, min_code_size + 1
+
+    next_code, width = reset()
+    buf = 0
+    nbits = 0
+    pos = 0
+    prev = -1
+    first_byte = 0
+    while len(out) < npix:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            next_code, width = reset()
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("bad first GIF LZW code")
+            out.append(code)
+            prev = code
+            first_byte = code
+            continue
+        if code < next_code:
+            entry_code = code
+        elif code == next_code:
+            entry_code = -2  # KwKwK: prev + first byte of prev
+        else:
+            raise ValueError("GIF LZW code out of range")
+        # expand entry
+        chunk = bytearray()
+        if entry_code == -2:
+            c = prev
+        else:
+            c = entry_code
+        while c >= 0:
+            chunk.append(suffix[c])
+            c = prefix[c]
+        chunk.reverse()
+        if entry_code == -2:
+            chunk.append(first_byte)
+        first_byte = chunk[0]
+        out += chunk
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first_byte
+            next_code += 1
+            # the decoder's table lags the encoder's by ONE entry (the
+            # encoder adds entry i when emitting code i; the decoder
+            # learns entry i only from code i+1), so the decoder must
+            # widen at 2^width - 1 where the encoder widens at 2^width
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = code if entry_code != -2 else next_code - 1
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    out = np.empty_like(idx)
+    src = 0
+    for start, step in _GIF_INTERLACE:
+        for row in range(start, h, step):
+            out[row] = idx[src]
+            src += 1
+    return out
+
+
+def _parse_gif(data: bytes):
+    """Parse container: (w, h, gct, bg_index, frames) where each frame
+    is a dict {left, top, w, h, indices (h,w) uint8, palette (n,3),
+    transparent (int|None), disposal (int)}."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing GIF87a/89a signature)")
+    w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3).copy()
+        pos += 3 * n
+    frames = []
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            subs = []
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                ln = data[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                subs.append(data[pos:pos + ln])
+                pos += ln
+            if label == 0xF9 and subs:  # graphic control
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 7
+                transparent = gce[3] if (gce[0] & 1) else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        fl, ft, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        palette = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            palette = np.frombuffer(
+                data[pos:pos + 3 * n], dtype=np.uint8
+            )
+            if len(palette) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            palette = palette.reshape(n, 3).copy()
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF frame with no color table")
+        min_code = data[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF image data")
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            lzw += data[pos:pos + ln]
+            pos += ln
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, bytes(lzw), fw * fh), dtype=np.uint8
+        )[: fw * fh]
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data underrun")
+        idx = idx.reshape(fh, fw)
+        if fpacked & 0x40:
+            idx = _gif_deinterlace(idx)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("GIF pixel index outside color table")
+        frames.append({
+            "left": fl, "top": ft, "w": fw, "h": fh, "indices": idx,
+            "palette": palette, "transparent": transparent,
+            "disposal": disposal,
+        })
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF has no image frames")
+    return w, h, gct, bg, frames
+
+
+def gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode GIF bytes into composited RGB frames ((h, w, 3) uint8
+    each): the canvas starts at the background color (black if the
+    background index is transparent or there is no global table),
+    frames draw at their offsets honoring per-frame transparency, and
+    disposal methods 0/1 (keep), 2 (restore background) and 3
+    (restore previous) apply between frames."""
+    try:
+        w, h, gct, bg, frames = _parse_gif(data)
+    except (struct.error, IndexError) as e:
+        # truncated headers/descriptors are malformed input, not a gate
+        raise ValueError(f"malformed GIF: {e!r}") from e
+    if gct is not None and bg < len(gct):
+        bg_rgb = gct[bg]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    out = []
+    for fr in frames:
+        if fr["disposal"] == 3:
+            saved = canvas.copy()
+        x0, y0 = fr["left"], fr["top"]
+        x1, y1 = min(x0 + fr["w"], w), min(y0 + fr["h"], h)
+        if x1 > x0 and y1 > y0:
+            idx = fr["indices"][: y1 - y0, : x1 - x0]
+            rgb = fr["palette"][idx]
+            region = canvas[y0:y1, x0:x1]
+            if fr["transparent"] is not None:
+                mask = (idx != fr["transparent"])[..., None]
+                region[...] = np.where(mask, rgb, region)
+            else:
+                region[...] = rgb
+        out.append(canvas.copy())
+        if len(out) == (max_frames or 0):
+            break
+        if fr["disposal"] == 2:
+            canvas[y0:y1, x0:x1] = bg_rgb
+        elif fr["disposal"] == 3:
+            canvas = saved
+    return out
+
+
+def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) uint8 RGB of the requested composited
+    frame (frames up to ``frame`` are applied with their disposal
+    methods, matching what a viewer shows at that point)."""
+    frames = gif_frames(data, max_frames=frame + 1)
+    if frame >= len(frames):
+        raise ValueError(
+            f"GIF has {len(frames)} frames, requested {frame}"
+        )
+    return frames[frame]

@@ -90,6 +90,7 @@ def decode_image(content: bytes) -> np.ndarray:
         raise NotImplementedError("no content and no decoder installed")
     from indexlab_spark.functions.imagecodec import (
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_png,
         sniff_image,
@@ -104,6 +105,8 @@ def decode_image(content: bytes) -> np.ndarray:
         if kind == "jpeg":
             # baseline T.81 (r15) + progressive Annex G (r16)
             return decode_jpeg(content)
+        if kind == "gif":
+            return decode_gif(content)  # first composited frame, r16
     except (ValueError, NotImplementedError):
         # malformed bytes OR an unsupported profile (arithmetic /
         # 12-bit JPEG) -> deterministic fake, preserving this

@@ -1,5 +1,5 @@
-"""Property-based round-trip nets for the round-15 codecs (CHM/LZX and
-baseline JPEG) — hypothesis drives the independent test-side writers
+"""Property-based round-trip nets for the round-15/16 codecs (CHM/LZX,
+baseline + progressive JPEG, GIF) — hypothesis drives the independent test-side writers
 (tests/chmgen.py, tests/jpeggen.py) with randomized inputs so the
 hand-picked vectors in test_chm.py / test_jpeg.py are backed by a
 search over member layouts, pixel content, dimensions and token mixes."""
@@ -116,3 +116,50 @@ def test_jpeg_rgb_roundtrip(h, w, seed, subsample):
     assert out.shape == img.shape
     bound = 2 if subsample == "444" else 6
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= bound
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(1, 60),
+    st.integers(1, 60),
+    st.integers(2, 256),
+    st.integers(0, 2**32 - 1),
+    st.booleans(),
+    st.booleans(),
+)
+def test_gif_lossless_roundtrip(h, w, ncolors, seed, interlace, reset_on_full):
+    import gifgen
+    from indexlab_spark.functions.imagecodec import decode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, (h, w), dtype=np.uint8)
+    gb = gifgen.build_gif(
+        w, h, [{"indices": idx, "interlace": interlace}],
+        global_palette=pal, reset_on_full=reset_on_full,
+    )
+    out = decode_gif(gb)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 4),
+)
+def test_gif_progressive_jpeg_cross(seed, pt):
+    """Progressive JPEG property net: random gray image, random point
+    transform — decode must stay within 1 of the all-ones-quant
+    original (the codec is near-lossless at q=1)."""
+    import jpeggen
+    from indexlab_spark.functions.imagecodec import decode_jpeg
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    jb = jpeggen.encode_jpeg_progressive(
+        img, qtable_luma=np.ones(64, dtype=np.int64), point_transform=pt
+    )
+    out = decode_jpeg(jb)
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
