@@ -5360,6 +5360,86 @@ def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns — the GIF leg of the codec family (r16):
+    render each of 200 embeddings as an 8x8 palette GIF
+    (functions/imagecodec.encode_gif — real variable-width LZW; gray
+    palette g[i] = (i,i,i); ODD asset ids interlaced so the decoder's
+    4-pass deinterlace sits on the oracle path), plant a duplicate of
+    every 10th asset at +100000, decode through the multimodal
+    dispatch (sniff + decode_gif) and emit exact roundtrip evidence
+    per asset: n_bytes, byte_sum, a POSITION-weighted checksum
+    sum(flat[i] * (i+1)) over the decoded (8,8,3) RGB bytes — an
+    unweighted sum would pass a row-reordering bug, the weighted one
+    cannot — and the distinct byte count. GIF is lossless, so the
+    oracle replays every stat FROM THE SOURCE EMBEDDINGS in SQL (the
+    multimodal_pipeline round_even quantization): the decoded flat
+    bytes are px[k] at positions 3k, 3k+1, 3k+2, so byte_sum =
+    3*sum(px) and wsum = sum(px[k]*(9k+6)). A lossy or reordering
+    codec fails the hash — the oracle ATTESTS the encode -> decode
+    identity rather than assuming it. Scale shape: two Arrow map
+    passes (render, decode+stats), zero shuffles before the
+    final compare-side collect."""
+    from indexlab_spark.operators.multimodal import decode_image
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+
+    @F.pandas_udf("binary")
+    def _render(ids: pd.Series, vecs: pd.Series) -> pd.Series:
+        from indexlab_spark.functions.imagecodec import encode_gif
+
+        pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        out = []
+        for i, v in zip(ids, vecs):
+            x = np.asarray(v, dtype=np.float64)
+            lo, hi = x.min(), x.max()
+            scale = (hi - lo) or 1.0
+            px = np.clip(
+                np.rint((x - lo) / scale * 255), 0, 255
+            ).astype(np.uint8).reshape(8, 8)
+            out.append(encode_gif(px, pal, interlace=bool(int(i) % 2)))
+        return pd.Series(out)
+
+    assets = base.select(
+        F.col("vec_id").alias("asset_id"),
+        _render("vec_id", "embedding").alias("content"),
+    )
+    dup = assets.filter(F.col("asset_id") % 10 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 100000
+    )
+    allassets = assets.unionByName(dup)
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                flat = decode_image(bytes(content)).reshape(-1)
+                f64 = flat.astype(np.int64)
+                rows.append((
+                    int(aid),
+                    len(flat),
+                    int(f64.sum()),
+                    int((f64 * (np.arange(len(f64)) + 1)).sum()),
+                    int(len(np.unique(flat))),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_bytes", "byte_sum", "wsum",
+                    "n_distinct",
+                ],
+            )
+
+    return allassets.mapInPandas(
+        _stats,
+        schema="asset_id long, n_bytes long, byte_sum long, "
+               "wsum long, n_distinct long",
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer building — distributed BPE training (operators/bpe):
     learn 8 merges from the corpus word vocabulary (one corpus-wide
@@ -6830,13 +6910,15 @@ DRIVER_WINDOW_ANCHORS = [
     "eval_results", "eval_metrics", "exact_dedup", "minhash_lsh",
 ]
 DRIVER_WINDOW_PLAN = DRIVER_WINDOW_ANCHORS + [
-    # Oldest-attestation backfill for all 38 rotation slots (round 16,
-    # recomputed from CORRECTNESS_r01-r15 at round start): ZERO
-    # never-attested oracle-backed entries remain, so the 3 remaining
-    # r08-green entries lead (slots 13-15), then the first 35 of the
-    # 38 r09-green entries in registry order (slots 16-50; the last
-    # three r09-green — rollup_pricing, segment_set_ops, simhash —
-    # lead the r17 backfill).
+    # Rotation slots for round 16 (recomputed from CORRECTNESS_r01-r15
+    # at round start, then amended mid-round): gif_pipeline is a NEW
+    # oracle-backed entry (the r16 GIF codec), so never-attested-first
+    # puts it in slot 13; then the 3 remaining r08-green entries
+    # (slots 14-16), then the first 34 of the 38 r09-green entries in
+    # registry order (slots 17-50; the remaining four r09-green —
+    # index_catalog, rollup_pricing, segment_set_ops, simhash — lead
+    # the r17 backfill).
+    "gif_pipeline",
     "quality_filter", "repetition", "tfidf_topterms",
     "cusum_revenue", "weighted_sample", "part_kcore",
     "ab_events", "conversion_lag", "unigram_jsd",
@@ -6849,7 +6931,7 @@ DRIVER_WINDOW_PLAN = DRIVER_WINDOW_ANCHORS + [
     "linestatus_priority", "small_qty_revenue", "excess_stock_suppliers",
     "source_entropy", "ngram_novelty", "bucketed_order_revenue",
     "eval_compare", "eval_compare_summary", "search_overlap",
-    "index_stats", "index_catalog",
+    "index_stats",
 ]
 
 
@@ -6879,13 +6961,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
-        # -- rotation window slots 13-50 (round 16, per the plan pinned
-        # in the r15 registry comments + r15 VERDICT item 1): zero
-        # never-attested oracle-backed entries remain, so all 38 slots
-        # are oldest-attestation backfill — the 3 remaining r08-green
-        # entries (slots 13-15), then the first 35 of the 38 r09-green
-        # entries in registry order (slots 16-50).
-        # r08-green backfill (slots 13-15):
+        # -- rotation window slots 13-50 (round 16, per the r15 pin
+        # amended mid-round): gif_pipeline is the round's ONE new
+        # oracle-backed entry, so never-attested-first gives it slot
+        # 13; then the 3 remaining r08-green entries (slots 14-16) and
+        # the first 34 of the 38 r09-green entries in registry order
+        # (slots 17-50).
+        # never-attested (slot 13, new in r16):
+        "gif_pipeline": _q_gif_pipeline,
+        # r08-green backfill (slots 14-16):
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -6926,7 +7010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_compare_summary": _q_eval_compare_summary,
         "search_overlap": _q_search_overlap,
         "index_stats": _q_index_stats,
-        "index_catalog": _q_index_catalog,
         # -- end of driver window (50) -----------------------------------
         # Parked entries. Every entry below has a driver-green row in a
         # prior round (see CORRECTNESS_r*.json) and is still run by
@@ -6935,12 +7018,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-slots-oracle-backed, never-attested-first, then oldest
         # attestation; recompute from CORRECTNESS_r01-r16 once r16
         # lands): assuming no new oracle entries land, all 38 slots
-        # backfill by oldest attestation — the 3 remaining r09-green
-        # entries (rollup_pricing, segment_set_ops, simhash), then the
-        # first 35 of the 38 r10-green entries below (holt_revenue ..
-        # ab_power_events, registry order); the last three r10-green
-        # (simhash_pairs, stratified_split, temperature_resample) lead
-        # the r18 backfill.
+        # backfill by oldest attestation — the 4 remaining r09-green
+        # entries (index_catalog, rollup_pricing, segment_set_ops,
+        # simhash), then the first 34 of the 38 r10-green entries
+        # below (holt_revenue .. kanon_customers, registry order); the
+        # last four r10-green (ab_power_events, simhash_pairs,
+        # stratified_split, temperature_resample) lead the r18
+        # backfill.
         # last green r15 (the 38 entries rotated out of the r15 window
         # this round; r15 window order; backfill candidates for r17+
         # by the oldest-attestation rule):
@@ -7169,9 +7253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5 rounds stale by r11, the oldest attestations left), then
         # as many of the 38 r06-green entries as fit. The rest of the
         # r06 block plus the r07 block backfill in r12.
-        # last green r09, remaining 3 (the first 35 of the 38 moved
-        # into the r16 backfill slots above; these 3 lead the r17
-        # backfill by the oldest-attestation rule):
+        # last green r09, remaining 4 (34 of the 38 moved into the r16
+        # backfill slots above; index_catalog was slot 50 in the
+        # original r16 pin and stepped aside for the never-attested
+        # gif_pipeline; these 4 lead the r17 backfill by the
+        # oldest-attestation rule):
+        "index_catalog": _q_index_catalog,
         "rollup_pricing": _q_rollup_pricing,
         "segment_set_ops": _q_segment_set_ops,
         "simhash": _q_simhash,
@@ -14304,6 +14391,46 @@ def oracle_sql() -> dict[str, str]:
         # attests the PNG roundtrip identity end-to-end (see
         # _multimodal_sql).
         "multimodal_pipeline": _multimodal_sql(dim=64, threshold=0.999),
+        # GIF roundtrip replay: decoded (8,8,3) flat bytes are px[k]
+        # at positions 3k/3k+1/3k+2 (gray palette), so every stat —
+        # including the position-weighted checksum that a deinterlace
+        # bug cannot pass — derives from the source embeddings via the
+        # SAME round_even quantization the render UDF applies.
+        "gif_pipeline": """
+            WITH pix0 AS MATERIALIZED (
+                SELECT vec_id AS asset_id,
+                       list_transform(generate_series(1, 64), j ->
+                           CAST(least(greatest(round_even(
+                               (v[CAST(j AS INTEGER)] - lo) / scale
+                               * 255, 0), 0.0), 255.0) AS BIGINT))
+                           AS px
+                FROM (SELECT vec_id, v,
+                             list_aggregate(v, 'min') AS lo,
+                             CASE WHEN list_aggregate(v, 'max')
+                                       = list_aggregate(v, 'min')
+                                  THEN 1.0
+                                  ELSE list_aggregate(v, 'max')
+                                       - list_aggregate(v, 'min') END
+                                 AS scale
+                      FROM (SELECT vec_id,
+                                   CAST(embedding AS DOUBLE[]) AS v
+                            FROM embeddings WHERE vec_id < 200))),
+            imgs AS MATERIALIZED (
+                SELECT asset_id, px FROM pix0
+                UNION ALL
+                SELECT asset_id + 100000, px FROM pix0
+                WHERE asset_id % 10 = 0)
+            SELECT asset_id,
+                   CAST(192 AS BIGINT) AS n_bytes,
+                   CAST(3 * list_sum(px) AS BIGINT) AS byte_sum,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 64), k ->
+                           px[CAST(k AS INTEGER)]
+                           * (9 * (k - 1) + 6))) AS BIGINT) AS wsum,
+                   CAST(length(list_distinct(px)) AS BIGINT)
+                       AS n_distinct
+            FROM imgs
+        """,
         # BPE training unrolled as 8 merge rounds (Sennrich argmax +
         # gaps-and-islands greedy application) + the apply join (see
         # _bpe_sql).

@@ -1070,3 +1070,112 @@ def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
             f"GIF has {len(frames)} frames, requested {frame}"
         )
     return frames[frame]
+
+
+class _GifLzwWriter:
+    """LSB-first variable-width code packer for :func:`encode_gif`."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def code(self, c: int, width: int) -> None:
+        self.acc |= c << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compressor: CLEAR first, width grows when the
+    table crosses 2^width (the encoder side of the asymmetry the
+    decoder compensates at 2^width - 1), CLEAR + reset at the
+    4096-entry cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _GifLzwWriter()
+
+    def fresh():
+        return (
+            {bytes([k]): k for k in range(clear)},
+            clear + 2,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    w.code(clear, width)
+    cur = b""
+    for b in bytes(indices):
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        w.code(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            w.code(clear, width)
+            table, next_code, width = fresh()
+        cur = bytes([b])
+    if cur:
+        w.code(table[cur], width)
+    w.code(eoi, width)
+    return w.flush()
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """(h, w) uint8 index array + (n, 3) uint8 palette -> single-frame
+    GIF89a bytes (optionally 4-pass interlaced; GIF is lossless so
+    ``decode_gif(encode_gif(idx, pal)) == pal[idx]`` exactly). The
+    write-side sibling of :func:`encode_png` / :func:`encode_bmp` for
+    palette imagery."""
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("encode_gif needs a 2-D index array")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not (1 <= len(pal) <= 256):
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index outside palette")
+    h, w = idx.shape
+    size = 1
+    while (2 << size) < len(pal):
+        size += 1
+    full = np.zeros((2 << size, 3), dtype=np.uint8)
+    full[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size, 0, 0)
+    out += full.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    packed = 0x40 if interlace else 0
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, packed)
+    if interlace:
+        rows = [idx[r] for start, step in _GIF_INTERLACE
+                for r in range(start, h, step)]
+        idx = np.stack(rows)
+    mcs = max(2, int(len(pal) - 1).bit_length())
+    out += bytes([mcs])
+    lzw = _gif_lzw_encode(idx.tobytes(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)])
+        out += chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
