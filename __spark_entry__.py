@@ -4131,27 +4131,38 @@ def _q_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = docs.count()
-    pairs = jaccard_join_adaptive(docs, threshold=0.5).select(
-        "id_b", "jaccard"
-    ).persist()
-    spark_ts = []
-    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
-        removed = (
-            pairs.filter(F.col("jaccard") >= t).select("id_b").distinct()
-        )
-        spark_ts.append((t, removed))
-    out = None
-    for t, removed in spark_ts:
-        row = removed.agg(
-            F.count(F.lit(1)).alias("n_removed")
-        ).select(
-            F.lit(t).alias("threshold"),
-            F.lit(n_docs).alias("n_docs"),
-            "n_removed",
-            (F.lit(n_docs) - F.col("n_removed")).alias("n_survivors"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # r16 plan change (5 unioned distinct+count branches -> ONE pass):
+    # a doc is removed at threshold t iff its MAX jaccard against a
+    # smaller id is >= t, so one groupBy(id_b).max(jaccard) followed by
+    # five conditional sums over that doc-sized frame yields the same
+    # five counts as the old per-threshold distinct()+count() branches
+    # — 1 shuffle instead of 5, one job instead of five.
+    ts = (0.5, 0.6, 0.7, 0.8, 0.9)
+    from indexlab_spark.functions.cache import pin as _pin
+
+    maxj = _pin(
+        jaccard_join_adaptive(docs, threshold=0.5)
+        .groupBy("id_b")
+        .agg(F.max("jaccard").alias("_mj"))
+    )
+    one = maxj.agg(
+        *[
+            F.sum((F.col("_mj") >= F.lit(t)).cast("long")).alias(f"_r{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), coalesce(_r{i}, CAST(0 AS BIGINT))"
+        for i, t in enumerate(ts)
+    )
+    return one.selectExpr(
+        f"stack({len(ts)}, {stack_args}) AS (threshold, n_removed)"
+    ).select(
+        "threshold",
+        F.lit(n_docs).alias("n_docs"),
+        "n_removed",
+        (F.lit(n_docs) - F.col("n_removed")).alias("n_survivors"),
+    )
 
 
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

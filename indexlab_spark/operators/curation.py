@@ -28,6 +28,20 @@ from indexlab_spark.functions.cache import pin as _pin
 from indexlab_spark.operators.textstats import STOPWORDS, tokens
 from indexlab_spark.plans.colocate import fan_out as _fan_out
 
+#: train_quality_classifier per-epoch fan-in switch: up to this many
+#: input partitions the (d+3)-double partial rows are collected straight
+#: to the driver (one stage per epoch, no shuffle — at 4096 partitions x
+#: 67 doubles that is ~2 MB); beyond it the map-combined agg reduces
+#: them first (d+3 scalars to the driver, the pre-r16 shape).
+_PARTIAL_COLLECT_MAX = 4096
+
+#: train_quality_classifier bounded driver-fit cap, in MATRIX ELEMENTS
+#: (rows x (dim+1)): 16M float64 elements ~= 128 MB on the driver — the
+#: same order as knn.MAX_COLLECT_QUERY_ROWS x dim 64. Below it the
+#: whole fit runs in one address space (identical math); above it the
+#: distributed per-epoch moment passes run as before.
+_DRIVER_FIT_MAX_ELEMS = 16_000_000
+
 # Gopher-ish rule thresholds (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
 # public paper; values adapted to the short synthetic docs).
@@ -333,6 +347,35 @@ def _bloom_build(hashes_df: DataFrame, n_items: int, fpp: float):
     return bitmap.tobytes(), m, k
 
 
+#: bloom_decontaminate driver-build cap (distinct benchmark shingles):
+#: 4M int64 hashes is 32 MB on the driver — well under the broadcast
+#: the resulting bitmap pays anyway; the treeReduce build takes over
+#: for benchmark suites beyond it.
+_BLOOM_DRIVER_MAX = 4_000_000
+
+
+def _bloom_build_local(h: "np.ndarray", n_items: int, fpp: float):
+    """Driver-side Bloom build over collected int64 hashes — same
+    sizing formula and probe scheme as :func:`_bloom_build`, bitmap
+    bit-identical (OR is order-free)."""
+    import math
+
+    n = max(n_items, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    hv = h.view(np.uint64)
+    if hv.size:
+        for i in range(k):
+            idx = _bloom_indices(hv, m, k, i)
+            np.bitwise_or.at(
+                bits, (idx >> np.uint64(3)).astype(np.int64),
+                np.left_shift(1, (idx & np.uint64(7)).astype(np.int64))
+                .astype(np.uint8),
+            )
+    return bits.tobytes(), m, k
+
+
 def bloom_decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -367,31 +410,46 @@ def bloom_decontaminate(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from indexlab_spark.functions.hashing import token_shingles
+    from indexlab_spark.operators.dedup import exploded_shingles
 
-    # fan_out the INPUT, not the exploded frame: Catalyst pushes the
-    # membership filter (and the explode) through a downstream
-    # Repartition, so a post-explode fan_out would leave the whole
-    # shingle+hash+Bloom-test pipeline on the source's partitioning
-    # (ONE task for a single-file parquet)
-    t_sh = _fan_out(
-        train.select(_c(id_col).alias("id"), _c(text_col).alias("_ttext"))
-    ).select(
-        "id", F.explode(token_shingles(F.col("_ttext"), n)).alias("shingle")
+    # r16: both shingle explodes go through dedup.exploded_shingles —
+    # the Arrow mapInPandas pass (a Python set over tokens) instead of
+    # the Catalyst sequence/transform/array_distinct lambda chain,
+    # which allocates per shingle (~5x, the same measurement that
+    # moved the dedup family there). Same tokenize contract (ASCII \s+
+    # split of the lowercased text, distinct n-grams per row), so the
+    # string-equality semantics the oracle sees are unchanged.
+    # exploded_shingles fans out its own input (_spread), preserving
+    # the fan-out-the-INPUT rationale that used to live here.
+    t_sh = exploded_shingles(
+        train.select(_c(id_col).alias("id"), _c(text_col).alias("_ttext")),
+        "id", "_ttext", n,
     )
-    # fan_out on the benchmark side too: a single-file benchmark parquet
-    # would otherwise run the whole shingle explode + Bloom partial on
-    # ONE core (measured: the 1x scale-probe case was SLOWER than 8x
-    # before this, because the 8x replica frame arrived repartitioned)
     b_sh = (
-        _fan_out(benchmark.select(_c(text_col).alias("_btext")))
-        .select(F.explode(token_shingles(F.col("_btext"), n)).alias("shingle"))
+        exploded_shingles(
+            benchmark.select(F.lit(0).alias("id"),
+                             _c(text_col).alias("_btext")),
+            "id", "_btext", n,
+        )
+        .select("shingle")
         .distinct()
     )
     b_sh = _pin(b_sh)
     b_hash = b_sh.select(F.xxhash64("shingle").alias("h"))
-    n_items = b_hash.count()  # one small job over the pinned frame
-    bitmap, m, k = _bloom_build(b_hash, n_items, fpp)
+    # r16: for benchmark sets within the driver bound, one bounded
+    # Arrow fetch replaces TWO jobs (the sizing count + the treeReduce
+    # fold) and the bitmap is OR-built locally — bit-identical (same
+    # _bloom_indices probes; OR order is immaterial). Past the bound
+    # the distributed treeReduce build runs exactly as before.
+    hp = b_hash.limit(_BLOOM_DRIVER_MAX + 1).toPandas()
+    if len(hp) <= _BLOOM_DRIVER_MAX:
+        n_items = len(hp)
+        bitmap, m, k = _bloom_build_local(
+            hp["h"].to_numpy(dtype=np.int64), n_items, fpp
+        )
+    else:
+        n_items = b_hash.count()  # one small job over the pinned frame
+        bitmap, m, k = _bloom_build(b_hash, n_items, fpp)
 
     spark = train.sparkSession
     bc = spark.sparkContext.broadcast((bitmap, m, k))
@@ -1092,47 +1150,116 @@ def train_quality_classifier(
     if first is None:
         raise ValueError("train_quality_classifier: empty input")
     dim = int(first["d"])
+
+    # r16 optimization (the knn_matmul _collect_bounded discipline):
+    # full-batch GD is inherently one job PER EPOCH when the corpus is
+    # executor-resident — iters sequential dispatches whose scheduling
+    # floor dwarfs the math on small seed sets (measured 6.9s for 20
+    # epochs over 2000x64 at sf0.1; the same fit is milliseconds in one
+    # address space). Seed sets for quality classifiers are small by
+    # construction, so when the frame fits the driver bound the fit
+    # runs locally on the Arrow-fetched matrix — IDENTICAL update math,
+    # quantization and loss — and past the bound the distributed
+    # epoch loop below is unchanged. The probe fetches bound+1 rows at
+    # most, so checking costs one bounded job, never a materialization.
+    cap_rows = _DRIVER_FIT_MAX_ELEMS // (dim + 1)
+    probe = base.limit(cap_rows + 1).toPandas() if cap_rows > 0 else None
+    if probe is not None and len(probe) <= cap_rows:
+        x = np.array(probe["vec"].tolist(), dtype=np.float64)
+        y = probe["y"].to_numpy(dtype=np.float64)
+        n_rows = len(y)
+        if n_rows == 0:
+            raise ValueError("train_quality_classifier: empty input")
+        w = np.zeros(dim, dtype=np.float64)
+        b = 0.0
+        loss = float("nan")
+        eps = 1e-12
+        for _ in range(max(1, iters)):
+            p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+            err = p - y
+            ll = -np.sum(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+            grad_w = (x.T @ err) / n_rows + l2 * w
+            grad_b = err.sum() / n_rows
+            loss = ll / n_rows + 0.5 * l2 * float(w @ w)
+            w = w - lr * grad_w
+            b = b - lr * grad_b
+            if quantize_dp is not None:
+                scale = 10.0 ** quantize_dp
+                w = np.floor(w * scale + 0.5) / scale
+                b = float(np.floor(b * scale + 0.5) / scale)
+        return QualityClassifier(w, b, n_rows, iters, loss)
+
     base = base.localCheckpoint(eager=True)  # iters scans of a frozen frame
 
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     n_rows = 0
     loss = float("nan")
+    # r16 optimization (guide §2.4): each epoch used to reduce its
+    # (d+3) partial sums through a groupBy("idx") — a 67-row shuffle
+    # plus a second stage, paid ITERS times. Partitions now emit ONE
+    # (pid, array<double>) row each and the driver sums them in pid
+    # order (deterministic run-to-run; the old shuffle's merge order
+    # was not) — one stage per epoch, zero exchanges. Driver state is
+    # n_partitions x (d+3) doubles per epoch; past _PARTIAL_COLLECT_MAX
+    # partitions (100 TB scans) the pre-r16 map-combined agg path takes
+    # over, collecting d+3 scalars as before.
+    from pyspark import TaskContext
+
+    n_parts = base.rdd.getNumPartitions()
+    direct = n_parts <= _PARTIAL_COLLECT_MAX
     for _ in range(max(1, iters)):
         w_b = w.copy()
         b_b = b
 
         def partials(batches, w_b=w_b, b_b=b_b):
+            acc = np.zeros(dim + 3, dtype=np.float64)
             for pdf in batches:
                 x = np.array(pdf["vec"].tolist(), dtype=np.float64)
                 y = pdf["y"].to_numpy(dtype=np.float64)
                 z = x @ w_b + b_b
                 p = 1.0 / (1.0 + np.exp(-z))
                 err = p - y
-                g = x.T @ err  # d-vector partial
                 eps = 1e-12
                 ll = -np.sum(
                     y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)
                 )
-                idx = np.arange(dim + 3, dtype=np.int64)
-                val = np.concatenate(
-                    [g, [err.sum()], [float(len(y))], [ll]]
-                )
-                yield pd.DataFrame({"idx": idx, "val": val})
+                acc[:dim] += x.T @ err  # d-vector partial
+                acc[dim] += err.sum()
+                acc[dim + 1] += float(len(y))
+                acc[dim + 2] += ll
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            yield pd.DataFrame({"pid": [pid], "vals": [acc.tolist()]})
 
-        rows = (
-            base.mapInPandas(partials, schema="idx long, val double")
-            .groupBy("idx")
-            .agg(F.sum("val").alias("val"))
-            .collect()
-        )  # bounded: d + 3 rows
-        acc = {int(r["idx"]): float(r["val"]) for r in rows}
-        n_rows = int(acc[dim + 1])
+        partial_df = base.mapInPandas(
+            partials, schema="pid int, vals array<double>"
+        )
+        if direct:
+            rows = partial_df.collect()  # bounded: one row per partition
+            rows.sort(key=lambda r: r["pid"])
+            total = np.zeros(dim + 3, dtype=np.float64)
+            for r in rows:
+                total += np.asarray(r["vals"], dtype=np.float64)
+        else:  # 100 TB fan-in: map-combined elementwise agg, d+3 scalars
+            agg = partial_df.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.sequence(F.lit(0), F.lit(dim + 2)), F.col("vals")
+                    )
+                ).alias("z")
+            ).select(
+                F.col("z")["0"].alias("idx"), F.col("z")["vals"].alias("val")
+            ).groupBy("idx").agg(F.sum("val").alias("val")).collect()
+            total = np.zeros(dim + 3, dtype=np.float64)
+            for r in agg:
+                total[int(r["idx"])] = float(r["val"])
+        n_rows = int(total[dim + 1])
         if n_rows == 0:
             raise ValueError("train_quality_classifier: empty input")
-        grad_w = np.array([acc[i] for i in range(dim)]) / n_rows + l2 * w
-        grad_b = acc[dim] / n_rows
-        loss = acc[dim + 2] / n_rows + 0.5 * l2 * float(w @ w)
+        grad_w = total[:dim] / n_rows + l2 * w
+        grad_b = total[dim] / n_rows
+        loss = total[dim + 2] / n_rows + 0.5 * l2 * float(w @ w)
         w = w - lr * grad_w
         b = b - lr * grad_b
         if quantize_dp is not None:

@@ -722,43 +722,67 @@ def connected_components(
     convergence check. The convergence test is a scalar count — the
     only driver-side value in the loop.
     """
+    # r16 round-structure fix (guide §2.4): sym used to carry the
+    # distinct()'s (src, dst) partitioning, so EVERY round's
+    # labels x sym join re-shuffled BOTH sides, and the label frame
+    # arrived unpartitioned — 3 exchanges per round. Pinning sym on
+    # hash(src) once and labels on hash(id) (localCheckpoint preserves
+    # outputPartitioning) makes the per-round join exchange-free; only
+    # the groupBy(dst) still shuffles — 1 exchange per round. AQE is
+    # paused for the loop below 1M nodes (the pagerank "auto"
+    # discipline: replanning dominates node-frame jobs at that size)
+    # so runtime coalescing cannot break the co-partitioning.
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200)
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .repartition(n_parts, "src")
         .persist()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
-            labels.join(sym, labels["id"] == sym["src"])
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
-                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias("_chg"),
+    labels = labels.repartition(n_parts, "id").localCheckpoint(eager=True)
+    n_nodes = labels.count()  # cheap on the materialized checkpoint
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.enabled", str(n_nodes >= 1_000_000).lower()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                labels.join(sym, labels["id"] == sym["src"])
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nbr_lbl"))
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            break
-    else:
-        # exhausting max_iter without convergence would silently return
-        # SPLIT components (labels stuck mid-propagation) — for a graph
-        # whose diameter exceeds max_iter, fail loudly instead
-        sym.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in max_iter={max_iter} "
-            "iterations (component diameter exceeds it); raise max_iter"
-        )
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                    ).alias("lbl"),
+                    (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias(
+                        "_chg"
+                    ),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("_chg")).limit(1).count()
+            labels = new_labels.drop("_chg")
+            if changed == 0:
+                break
+        else:
+            # exhausting max_iter without convergence would silently
+            # return SPLIT components (labels stuck mid-propagation) —
+            # for a graph whose diameter exceeds max_iter, fail loudly
+            sym.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter="
+                f"{max_iter} iterations (component diameter exceeds it); "
+                "raise max_iter"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
     sym.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster"))
 

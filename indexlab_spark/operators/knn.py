@@ -1576,7 +1576,17 @@ def build_ivfpq(
     assigned, centroids = build_ivf(
         chunks_df, nlist, seed=seed, vec_col=vec_col
     )
-    res = _with_residual(assigned, centroids, vec_col)
+    # r16: pin the residual frame — build_pq scans it three times
+    # (sample count, sample fetch, encode) and a downstream
+    # ivfpq_search candidate join scans the codes a fourth time;
+    # without the pin every scan re-runs the coarse-assign UDF and
+    # the centroid join from lineage (measured: the assign pass ran
+    # 4x inside one q_ivfpq_sampled build+search). persist (ring-
+    # bounded, evictable) rather than an eager checkpoint: the first
+    # scan materializes it, eviction at scale just recomputes.
+    from indexlab_spark.functions.cache import pin as _pin
+
+    res = _pin(_with_residual(assigned, centroids, vec_col))
     codes, books = build_pq(
         res, m=m, nbits=nbits, seed=seed,
         vec_col="_residual", doc_id_col=doc_id_col,

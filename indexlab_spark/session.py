@@ -9,6 +9,7 @@ shuffle-partition count that callers override per deployment.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -94,6 +95,47 @@ def pin_reader_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+#: Lazy-DataFrame memo for load_tables, keyed per live SparkSession
+#: (weakly — a stopped/collected session drops its entries) and per
+#: (path, mtime_ns). This caches the ANALYZED PLAN only — file listing,
+#: parquet footer/schema read, and the ts-normalization projection —
+#: never data: every action on the returned frame still scans parquet.
+#: Rationale (r16 optimization, guide §6 "listing/planning time on the
+#: driver"): a repeated spark.read.parquet of the same table costs
+#: ~0.12-0.16s of driver-side work, and the bench/correctness flows
+#: call load_tables once per query (181 timed queries x 1-3 tables
+#: ~= 30-60s of pure re-planning per suite). mtime in the key keeps
+#: rewritten test fixtures correct (a new write -> new entry); entries
+#: are bounded per session and cleared wholesale past the bound.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_TABLE_MEMO_MAX = 64
+
+
+def _memo_table(spark: SparkSession, sf_dir: str, name: str):
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mt = os.stat(path).st_mtime_ns
+    except OSError:
+        mt = -1
+    try:
+        per = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # session type not weakref-able: skip the memo
+        return normalize_event_ts(spark.read.parquet(path))
+    key = (path, mt)
+    df = per.get(key)
+    if df is None:
+        df = normalize_event_ts(spark.read.parquet(path))
+        stale = [k for k in per if k[0] == path and k != key]
+        for k in stale:
+            del per[k]
+        if len(per) >= _TABLE_MEMO_MAX:
+            per.clear()
+        per[key] = df
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the driver's parquet tables as temp views and return them.
 
@@ -124,7 +166,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
     out = {}
     for n in names:
-        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+        df = _memo_table(spark, sf_dir, n)
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
