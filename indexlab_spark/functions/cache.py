@@ -30,15 +30,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _RINGS: dict[int, list] = {}
-RING_MAX = 8
+# r16: ring size is deployment-tunable. On a single shared JVM
+# (local-mode bench/correctness flows) live pins compete with
+# execution memory — spark.memory.storageFraction protects cached
+# blocks from eviction, so too many live pins squeeze the very joins
+# they serve; measured suite-level regressions on UNRELATED queries
+# once the r16 LRU fix stopped the ring from (accidentally)
+# self-thrashing. On a real cluster with per-executor storage the
+# bound can be raised freely.
+import os as _os
+
+RING_MAX = int(_os.environ.get("SPARK_GRAFT_PIN_RING", "8"))
 MAX_RINGS = 4
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """persist() with bounded-ring eviction of the oldest pins."""
-    df = df.persist()
+    """persist() with bounded-ring eviction of the oldest pins.
+
+    Re-pinning a semantically identical plan REFRESHES the existing
+    ring slot instead of appending a duplicate (r16): Spark's
+    CacheManager dedupes persists by canonicalized plan, so two ring
+    entries could share ONE cache entry — evicting the older entry
+    then unpersisted the data the newer one was actively reusing
+    (measured: a repeated registry query re-ran its whole pinned
+    subtree because its own second call had evicted its first call's
+    cache through exactly this aliasing).
+    """
+    from pyspark import StorageLevel
+
+    # Serialized storage (MEMORY_AND_DISK, not the _DESER default):
+    # pinned frames are reread through Arrow-bound operators anyway,
+    # and 8 live deserialized caches of string-heavy frames measurably
+    # GC-throttled UNRELATED queries in the single shared local-mode
+    # JVM (suite A/B, r16). Serialized blocks cost a decode on re-scan
+    # but hold ~3-5x less heap.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     key = id(df.sparkSession)
     ring = _RINGS.setdefault(key, [])
+    for i, cached in enumerate(ring):
+        try:
+            if cached is df or cached.sameSemantics(df):
+                ring.append(ring.pop(i))  # LRU refresh, no duplicate
+                return df
+        except Exception:
+            break  # semantic compare unavailable: fall through to append
     ring.append(df)
     while len(ring) > RING_MAX:
         try:

@@ -3629,10 +3629,16 @@ def spearman_corr(
     corr_matrix contract). Output one row: n, rho (6dp; NULL when a
     column is constant or n < 2).
     """
-    base = df.select(
-        F.col(col_a).cast("double").alias("_a"),
-        F.col(col_b).cast("double").alias("_b"),
-    ).na.drop()
+    from indexlab_spark.functions.cache import pin as _pin_
+
+    # r16: base feeds three consumers (both distinct-value count aggs
+    # and the rank join) — pin it so the scan+cast runs once, not 3x
+    base = _pin_(
+        df.select(
+            F.col(col_a).cast("double").alias("_a"),
+            F.col(col_b).cast("double").alias("_b"),
+        ).na.drop()
+    )
 
     def rank_map(col):
         counts = base.groupBy(F.col(col).alias("v")).agg(

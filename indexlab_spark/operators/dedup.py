@@ -293,6 +293,12 @@ def minhash_signatures(
 
     def _sigs(batches):
         md5 = _hashlib.md5
+        pres = [f"{s}|".encode() for s in range(num_hashes)]
+        # r16: shingle frequency is Zipfian (natural-language corpora
+        # repeat shingles across documents), so hash each DISTINCT
+        # gram once per task — the embed._TOKEN_CACHE discipline;
+        # bounded so executors stay lean, misses just recompute.
+        memo: dict = {}
         for pdf in batches:
             out = {c: [] for c in ["id", "sz", *[f"m{i}" for i in range(num_hashes)]]}
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -302,11 +308,17 @@ def minhash_signatures(
                 grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
                 out["id"].append(i)
                 out["sz"].append(len(grams))
-                for s in range(num_hashes):
-                    pre = f"{s}|".encode()
-                    out[f"m{s}"].append(
-                        min(md5(pre + g.encode()).hexdigest() for g in grams)
-                    )
+                rows = []
+                for g in grams:
+                    h = memo.get(g)
+                    if h is None:
+                        ge = g.encode()
+                        h = [md5(p + ge).hexdigest() for p in pres]
+                        if len(memo) < 1_000_000:
+                            memo[g] = h
+                    rows.append(h)
+                for s, mn in enumerate(map(min, zip(*rows))):
+                    out[f"m{s}"].append(mn)
             yield pd.DataFrame(out)
 
     src = _spread(df.select(id_col, text_col))

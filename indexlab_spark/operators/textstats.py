@@ -571,15 +571,34 @@ def rake_keywords(
         F.transform(F.split(s, "\\|"), lambda p: F.trim(p)),
         lambda p: p != "",
     )
-    cand = df.select(did.alias("_id"), phrases.alias("_ps")).select(
-        "_id", F.posexplode("_ps").alias("_pos", "_phrase")
-    ).withColumn("_words", F.split("_phrase", " +"))
-    occ = cand.select(
-        "_id",
-        "_pos",
-        "_phrase",
-        F.size("_words").alias("_plen"),
-        F.explode("_words").alias("_w"),
+    # r16 (guide §2.4): hash-partition the DOCUMENT rows once, before
+    # the regex/explode — every downstream stage (word stats, the join
+    # back, phrase assembly, the top-n window) is keyed on _id, so with
+    # the source partitioned on _id and the exploded frame pinned, the
+    # whole operator runs on ONE exchange of the small doc rows instead
+    # of ~5 exchanges of exploded word rows; the pin also stops the
+    # two-consumer occ frame from running the stopword regexes twice.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        or 200
+    )
+    cand = (
+        df.select(did.alias("_id"), F.col(text_col))
+        .repartition(n_parts, "_id")
+        .select("_id", phrases.alias("_ps"))
+        .select("_id", F.posexplode("_ps").alias("_pos", "_phrase"))
+        .withColumn("_words", F.split("_phrase", " +"))
+    )
+    from indexlab_spark.functions.cache import pin as _pin
+
+    occ = _pin(
+        cand.select(
+            "_id",
+            "_pos",
+            "_phrase",
+            F.size("_words").alias("_plen"),
+            F.explode("_words").alias("_w"),
+        )
     )
     wstats = occ.groupBy("_id", "_w").agg(
         F.count(F.lit(1)).alias("_freq"),
