@@ -44,7 +44,7 @@ RING_MAX = int(_os.environ.get("SPARK_GRAFT_PIN_RING", "8"))
 MAX_RINGS = 4
 
 
-def pin(df: DataFrame) -> DataFrame:
+def pin(df: DataFrame, deser: bool = False) -> DataFrame:
     """persist() with bounded-ring eviction of the oldest pins.
 
     Re-pinning a semantically identical plan REFRESHES the existing
@@ -55,16 +55,30 @@ def pin(df: DataFrame) -> DataFrame:
     (measured: a repeated registry query re-ran its whole pinned
     subtree because its own second call had evicted its first call's
     cache through exactly this aliasing).
+
+    ``deser=True`` requests deserialized storage (MEMORY_AND_DISK_DESER)
+    for frames whose consumers are JVM-side joins/aggregates: those pay
+    a row-deserialization decode on EVERY re-scan of a serialized block
+    (the r17 b4_bm25 triage measured the bm25 posting-frame pins 25-30%
+    slower serialized). Frames re-read through Arrow-bound operators
+    keep the serialized default — 3-5x less heap, and r16 measured 8
+    live deserialized string-heavy caches GC-throttling unrelated
+    queries in the shared local-mode JVM.
     """
     from pyspark import StorageLevel
 
-    # Serialized storage (MEMORY_AND_DISK, not the _DESER default):
-    # pinned frames are reread through Arrow-bound operators anyway,
-    # and 8 live deserialized caches of string-heavy frames measurably
-    # GC-throttled UNRELATED queries in the single shared local-mode
-    # JVM (suite A/B, r16). Serialized blocks cost a decode on re-scan
-    # but hold ~3-5x less heap.
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # env override for A/B experiments and deployments with storage
+    # headroom; default keeps the per-call choice above
+    forced = _os.environ.get("SPARK_GRAFT_PIN_STORAGE")
+    if forced:
+        level = getattr(StorageLevel, forced, StorageLevel.MEMORY_AND_DISK)
+    else:
+        level = (
+            StorageLevel.MEMORY_AND_DISK_DESER
+            if deser
+            else StorageLevel.MEMORY_AND_DISK
+        )
+    df = df.persist(level)
     key = id(df.sparkSession)
     ring = _RINGS.setdefault(key, [])
     for i, cached in enumerate(ring):
@@ -73,7 +87,11 @@ def pin(df: DataFrame) -> DataFrame:
                 ring.append(ring.pop(i))  # LRU refresh, no duplicate
                 return df
         except Exception:
-            break  # semantic compare unavailable: fall through to append
+            # r17 (ADVICE): skip only the broken entry (likely a stopped
+            # session's frame) — aborting the whole scan silently
+            # reintroduced the ring-aliasing eviction bug for every
+            # entry after the broken one
+            continue
     ring.append(df)
     while len(ring) > RING_MAX:
         try:

@@ -117,7 +117,9 @@ def bm25_build(
     if materialize:
         from indexlab_spark.functions.cache import pin
 
-        tf = pin(tf)
+        # deser: the posting frame is consumed by JVM-side joins/aggs
+        # (df agg, term_stats join, scoring) - see cache.pin's r17 note
+        tf = pin(tf, deser=True)
     # docs with no tokens still count toward N and avgdl (dl=0)
     all_docs = docs_df.select(F.col(doc_id_col).alias("doc_id"))
     doc_lens = (
@@ -162,7 +164,7 @@ def _derive_bm25(tf, doc_lens, materialize: bool):
     if materialize:
         from indexlab_spark.functions.cache import pin
 
-        term_stats = pin(term_stats)
+        term_stats = pin(term_stats, deser=True)
     return term_stats, doc_lens, globals_df
 
 
@@ -218,7 +220,9 @@ def bm25_refresh(
     if materialize:
         from indexlab_spark.functions.cache import pin
 
-        tf = pin(tf)
+        # deser: the posting frame is consumed by JVM-side joins/aggs
+        # (df agg, term_stats join, scoring) - see cache.pin's r17 note
+        tf = pin(tf, deser=True)
     term_stats, doc_lens, globals_df = _derive_bm25(tf, dl, materialize)
     return term_stats, doc_lens, globals_df, tf
 

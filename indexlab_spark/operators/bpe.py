@@ -98,23 +98,32 @@ def train_bpe(
     # bounded vocabularies (measured 7.1s for a 31-word vocab at
     # sf0.1, vs ~0 driver-side). The probe fetches bound+1 rows at
     # most; past the bound the distributed rounds below run unchanged.
-    word_freqs = _word_vocab(df, text_col)
-    probe = word_freqs.limit(_DRIVER_VOCAB_MAX + 1).toPandas()
-    if len(probe) <= _DRIVER_VOCAB_MAX:
-        return train_bpe_reference(
-            dict(zip(probe["word"], probe["freq"])), n_merges,
-            min_pair_count,
+    # r17 (ADVICE): persist word_freqs around the probe — when the vocab
+    # exceeds the bound, the distributed path's localCheckpoint below
+    # would otherwise recompute the corpus-wide shuffle a second time,
+    # doubling the dominant cost on exactly the large-vocab inputs the
+    # bound exists to protect. Unpersisted before returning on BOTH
+    # paths (the eager checkpoint is an independent copy).
+    word_freqs = _word_vocab(df, text_col).persist()
+    try:
+        probe = word_freqs.limit(_DRIVER_VOCAB_MAX + 1).toPandas()
+        if len(probe) <= _DRIVER_VOCAB_MAX:
+            return train_bpe_reference(
+                dict(zip(probe["word"], probe["freq"])), n_merges,
+                min_pair_count,
+            )
+
+        @F.pandas_udf("array<string>")
+        def _init_syms(words: pd.Series) -> pd.Series:
+            return pd.Series([list(w) + [END] for w in words])
+
+        vocab = (
+            word_freqs
+            .select("freq", _init_syms(F.col("word")).alias("syms"))
+            .localCheckpoint(eager=True)
         )
-
-    @F.pandas_udf("array<string>")
-    def _init_syms(words: pd.Series) -> pd.Series:
-        return pd.Series([list(w) + [END] for w in words])
-
-    vocab = (
-        word_freqs
-        .select("freq", _init_syms(F.col("word")).alias("syms"))
-        .localCheckpoint(eager=True)
-    )
+    finally:
+        word_freqs.unpersist()
     prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     merges: list[tuple[str, str, int]] = []

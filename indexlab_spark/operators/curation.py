@@ -1242,14 +1242,11 @@ def train_quality_classifier(
             for r in rows:
                 total += np.asarray(r["vals"], dtype=np.float64)
         else:  # 100 TB fan-in: map-combined elementwise agg, d+3 scalars
+            # posexplode gives (pos, val) directly — version-stable,
+            # unlike arrays_zip's index-based struct field naming for
+            # non-attribute inputs (r17, ADVICE)
             agg = partial_df.select(
-                F.explode(
-                    F.arrays_zip(
-                        F.sequence(F.lit(0), F.lit(dim + 2)), F.col("vals")
-                    )
-                ).alias("z")
-            ).select(
-                F.col("z")["0"].alias("idx"), F.col("z")["vals"].alias("val")
+                F.posexplode("vals").alias("idx", "val")
             ).groupBy("idx").agg(F.sum("val").alias("val")).collect()
             total = np.zeros(dim + 3, dtype=np.float64)
             for r in agg:

@@ -298,7 +298,11 @@ def minhash_signatures(
         # repeat shingles across documents), so hash each DISTINCT
         # gram once per task — the embed._TOKEN_CACHE discipline;
         # bounded so executors stay lean, misses just recompute.
+        # r17 (ADVICE): the bound counts stored DIGESTS, not entries —
+        # each entry holds num_hashes ~113-byte hex strings, so a flat
+        # 1M-entry cap grew with num_hashes toward multi-GB per task.
         memo: dict = {}
+        memo_max = max(1, 1_000_000 // max(1, num_hashes))
         for pdf in batches:
             out = {c: [] for c in ["id", "sz", *[f"m{i}" for i in range(num_hashes)]]}
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -314,7 +318,7 @@ def minhash_signatures(
                     if h is None:
                         ge = g.encode()
                         h = [md5(p + ge).hexdigest() for p in pres]
-                        if len(memo) < 1_000_000:
+                        if len(memo) < memo_max:
                             memo[g] = h
                     rows.append(h)
                 for s, mn in enumerate(map(min, zip(*rows))):

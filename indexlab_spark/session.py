@@ -113,12 +113,35 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 _TABLE_MEMO_MAX = 64
 
 
+def _table_mtime_ns(path: str) -> int:
+    """Invalidation key for a parquet table path. For directory-style
+    tables the top-level mtime only changes when an entry is added or
+    removed — rewriting a part file IN PLACE (same name) leaves it
+    untouched, which would serve a stale analyzed plan (snapshotted
+    file listing/sizes). Key on the max mtime_ns across the directory's
+    entries as well (r17, ADVICE)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return -1
+    mt = st.st_mtime_ns
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    emt = e.stat().st_mtime_ns
+                except OSError:
+                    continue
+                if emt > mt:
+                    mt = emt
+    except (NotADirectoryError, OSError):
+        pass
+    return mt
+
+
 def _memo_table(spark: SparkSession, sf_dir: str, name: str):
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mt = os.stat(path).st_mtime_ns
-    except OSError:
-        mt = -1
+    mt = _table_mtime_ns(path)
     try:
         per = _TABLE_MEMO.setdefault(spark, {})
     except TypeError:  # session type not weakref-able: skip the memo
