@@ -45,6 +45,44 @@ BM25_QUERIES = [
 _BM25_K = 10
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_count: int = 2,
+    distinct: bool = False,
+) -> DataFrame:
+    """Shared repeat-co-purchase edge build for the part-graph family
+    (part_kcore / lpa_parts / pagerank_parts / link_parts /
+    part_ktruss / truss_farms / part_lcc and, with ``distinct=True``,
+    part_assortativity / order_triangles).
+
+    r17 (guide §3, r16 VERDICT item 3): the lineitem basket self-join
+    on l_orderkey was replaced by dedup.basket_pairs — collect each
+    order's parts once and generate the i<j combinations in codegen.
+    Output-identical to the self-join including duplicate-part
+    multiplicity (pinned in tests/test_basket_pairs.py); one keyed
+    exchange instead of exchange + SMJ sort/probe.
+    """
+    from indexlab_spark.operators.dedup import basket_pairs
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = basket_pairs(
+        li, "l_orderkey", "l_partkey", distinct_items=distinct
+    )
+    if distinct:
+        return pairs.select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b")
+        ).distinct()
+    return (
+        pairs.groupBy(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .drop("cnt")
+    )
+
+
 def _queries_df(spark: SparkSession):
     return spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
 
@@ -984,11 +1022,9 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocked kNN self-join re-runs inside the loop's lineage (measured
     # 28.8s -> ~12s at sf0.01)
     edges = knn_graph(sl, k=3, mutual=True).localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("id_a").alias("id"))
-        .unionByName(edges.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    nodes = edges.select(  # one scan of the checkpoint (r17)
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
     out = pagerank(edges, nodes, max_iter=8, tol=None)
     return out.select(
         "id",
@@ -1075,24 +1111,7 @@ def _q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-round recursion equals the engine's early-stopped fixpoint)."""
     from indexlab_spark.operators.dedup import k_core
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .drop("cnt")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return k_core(edges, k=3)
 
 
@@ -3070,11 +3089,19 @@ def _q_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # r17 (r16 VERDICT item 5): the double countDistinct compiled to an
+    # Expand that tripled the fact rows before the first exchange; a
+    # (orderkey, suppkey) pre-aggregation gets the same three numbers
+    # from plain aggs — n_supp = pair count, n_late_supp = pairs with
+    # any late row, late_supp = max late suppkey. Output-equal (checked
+    # row-for-row at sf0.1); noop A/B: 1.6->0.9s at sf0.1, 23->10s at
+    # 16x replication (the Expand multiplier grows with the fact).
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_supp"),
         F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     blamed = per_order.filter(
@@ -4288,24 +4315,7 @@ def _q_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays it relationally."""
     from indexlab_spark.operators.dedup import link_prediction
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .drop("cnt")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return link_prediction(edges, min_common=2)
 
 
@@ -5135,7 +5145,14 @@ def _q_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saturation contract is the attestable one; the saturated
     # regime's determinism is pinned in the operator's pytest.
     fine = theta_sketch_build(keyed, ["event_type", "day"], "ud", k=32768)
-    per_type = theta_sketch_union(fine, ["event_type"], k=32768)
+    # r17: BOTH intersect sides consume per_type — pin it or the whole
+    # build+union chain (distinct exchange + two bottom-k windows) runs
+    # twice; deser because the consumers are JVM joins/array ops
+    from indexlab_spark.functions.cache import pin as _pin
+
+    per_type = _pin(
+        theta_sketch_union(fine, ["event_type"], k=32768), deser=True
+    )
     a = per_type.withColumnRenamed("event_type", "type_a")
     b = per_type.withColumnRenamed("event_type", "type_b")
     return (
@@ -5187,11 +5204,9 @@ def _q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     sl = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
     edges = knn_graph(sl, k=3, mutual=True).localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("id_a").alias("id"))
-        .unionByName(edges.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    nodes = edges.select(  # one scan of the checkpoint (r17)
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
     # 3 rounds for the gate config (r7; was 5): LPA labels are a valid
     # community assignment at ANY iteration (published algorithm
     # semantics) and each round costs a fixed 4-stage job — the r6
@@ -5644,22 +5659,7 @@ def _q_order_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient — the graph-structure fingerprint of basket data."""
     from indexlab_spark.operators.dedup import triangle_count
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir, distinct=True)
     return triangle_count(edges)
 
 
@@ -6001,21 +6001,8 @@ def _q_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps. One degree agg + two keyed joins + one moment row."""
     from indexlab_spark.operators.dedup import degree_assortativity
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    edges = _copurchase_edges(spark, sf_dir, distinct=True).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return degree_assortativity(edges, "src", "dst")
 
@@ -6030,29 +6017,12 @@ def _q_lpa_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote is max(struct(count, -label)) in both engines."""
     from indexlab_spark.operators.dedup import label_propagation
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("id_a", "id_b")
-    )
-    nodes = (
-        edges.select(F.col("id_a").alias("id"))
-        .unionByName(edges.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    # r17: checkpoint the edge build (nodes + the operator both scan
+    # it) and derive nodes in ONE scan via explode
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
     return label_propagation(edges, nodes, max_iter=3)
 
 
@@ -6067,29 +6037,12 @@ def _q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nodes = edge endpoints, undirected)."""
     from indexlab_spark.operators.dedup import pagerank
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("id_a", "id_b")
-    )
-    nodes = (
-        edges.select(F.col("id_a").alias("id"))
-        .unionByName(edges.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    # r17: checkpoint the edge build (nodes + the operator both scan
+    # it) and derive nodes in ONE scan via explode
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
     out = pagerank(edges, nodes, max_iter=8, tol=None)
     return out.select("id", F.round("rank", 6).alias("rank"))
 
@@ -6241,24 +6194,7 @@ def _q_part_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical a<b<c triple join."""
     from indexlab_spark.operators.dedup import clustering_coefficients
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("id_a", "id_b")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return clustering_coefficients(edges)
 
 
@@ -6298,31 +6234,14 @@ def _q_truss_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_truss,
     )
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("id_a", "id_b")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     truss = k_truss(edges, 3)
-    te = truss.select("id_a", "id_b")
-    nodes = (
-        te.select(F.col("id_a").alias("id"))
-        .unionByName(te.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    # r17: te feeds CC (which scans it once now) and the node set —
+    # lazy checkpoint + one-scan explode instead of a two-scan union
+    te = truss.select("id_a", "id_b").localCheckpoint(eager=False)
+    nodes = te.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
     comps = connected_components(te, nodes)
     sizes = comps.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("size")
@@ -6556,24 +6475,7 @@ def _q_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests."""
     from indexlab_spark.operators.dedup import k_truss
 
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("id_a", "id_b")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return k_truss(edges, 3)
 
 

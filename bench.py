@@ -34,7 +34,8 @@ K = 5
 N_QUERIES = 1000
 
 
-def timed(fn, repeats: int = 1):
+def timed(fn, repeats: int = 1, reset=None, cold_out: dict | None = None,
+          name: str | None = None):
     """Time fn; with repeats > 1 return the MINIMUM of the runs (and the
     first run's output). The sub-second numpy/pandas oracles vary 5-10x
     run to run on a busy host, which flapped the engine/oracle ratios
@@ -43,9 +44,22 @@ def timed(fn, repeats: int = 1):
     engine and its same-run baseline — so the ratio compares like with
     like; the small engine rows stay single-shot because a cold query
     really does pay its first-execution cost (the 'job floor' note at
-    B4), and their sub-second baselines use min-of-2/3 for stability."""
+    B4), and their sub-second baselines use min-of-2/3 for stability.
+
+    r17 measurement-bug fix (r16 VERDICT item 2): ``reset`` runs
+    BETWEEN repeats — engine min_of rows pass cache.reset_pins so a
+    repeat cannot reuse the previous run's pinned frames through
+    CacheManager's same-semantics dedupe; the reported minimum is the
+    best of N equally-cold runs, not a warm-cache artifact. The first
+    run's seconds are additionally recorded into ``cold_out[name]``
+    (the JSON's new ``cold`` map) so both numbers are visible.
+    Numbers are therefore NOT comparable to r16's min_of rows, which
+    (post pin-LRU fix) timed a warm second run — documented in
+    OPTIMIZATION_r17.md with both methodologies' values."""
     best, out = None, None
     for i in range(max(1, repeats)):
+        if i > 0 and reset is not None:
+            reset()
         t0 = time.time()
         o = fn()
         dt = time.time() - t0
@@ -53,6 +67,8 @@ def timed(fn, repeats: int = 1):
             best = dt
         if i == 0:
             out = o
+            if cold_out is not None and name is not None:
+                cold_out[name] = round(dt, 3)
     return best, out
 
 
@@ -320,6 +336,23 @@ def main() -> None:
 
     queries_sec: dict[str, float] = {}
     baseline_sec: dict[str, float] = {}
+    # r17 (r16 VERDICT item 2): first-run seconds for every min_of
+    # engine row (the "cold" side of the honest min) + the explicit
+    # disclosure that docs/emb are persisted base inputs (mirrors the
+    # pandas baselines' preloaded arrays; lineitem/events are NOT).
+    cold_sec: dict[str, float] = {}
+
+    from indexlab_spark.functions.cache import reset_pins
+
+    # SPARK_GRAFT_BENCH_WARM_MINOF=1 restores the r13-r16 warm-min
+    # methodology (no pin reset between repeats) so a like-for-like
+    # comparison run against older rounds can still be recorded; the
+    # default is the honest cold-equivalent min (r16 VERDICT item 2).
+    _warm_minof = os.environ.get("SPARK_GRAFT_BENCH_WARM_MINOF") == "1"
+
+    def _reset():
+        if not _warm_minof:
+            reset_pins(spark)
     rows_per_sec: dict[str, float] = {}
     # Flap-prone entries recorded as min-of-N (r7 VERDICT item 7): the
     # suite's ±12% host-load band plus single-shot timing produced three
@@ -369,7 +402,10 @@ def main() -> None:
     # driver-concurrent load drifted 2-2.5x on byte-identical code two
     # rounds straight (b2 3.5->8.6s, b4 7.1->9.5s at r13 vs exclusive
     # 2.4/7.1s). min-of-2 measures the steady-state plan.
-    queries_sec["b1_ingest_large"], _ = timed(spark_b1_large, repeats=2)
+    queries_sec["b1_ingest_large"], _ = timed(
+        spark_b1_large, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b1_ingest_large",
+    )
     min_of["b1_ingest_large"] = 2
     baseline_sec["b1_ingest_large"], _ = timed(
         lambda: baseline_b1_ingest(big_docs_pdf), repeats=2
@@ -404,7 +440,10 @@ def main() -> None:
     def spark_b2_large():
         return knn_matmul(spark, q_df, big_corpus, K).count()
 
-    queries_sec["b2_knn_batch_large"], _ = timed(spark_b2_large, repeats=2)
+    queries_sec["b2_knn_batch_large"], _ = timed(
+        spark_b2_large, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b2_knn_batch_large",
+    )
     min_of["b2_knn_batch_large"] = 2
     baseline_sec["b2_knn_batch_large"], _ = timed(
         lambda: baseline_b2_knn(big_mat, q_mat), repeats=2
@@ -438,7 +477,10 @@ def main() -> None:
         )
         return eval_metrics(eval_results(gold, hits, K)).collect()[0]
 
-    queries_sec["b3_eval_large"], _ = timed(spark_b3_large, repeats=2)
+    queries_sec["b3_eval_large"], _ = timed(
+        spark_b3_large, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b3_eval_large",
+    )
     min_of["b3_eval_large"] = 2
     baseline_sec["b3_eval_large"], _ = timed(
         lambda: baseline_b3_eval(big_mat, q_mat, expected), repeats=2
@@ -467,7 +509,10 @@ def main() -> None:
         ts_, dl_, g_ = bm25_build(docs)
         return bm25_score(bmq_df, ts_, dl_, g_, k=50).count()
 
-    queries_sec["b4_bm25"], _ = timed(spark_b4, repeats=2)
+    queries_sec["b4_bm25"], _ = timed(
+        spark_b4, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b4_bm25",
+    )
     min_of["b4_bm25"] = 2
     baseline_sec["b4_bm25"], _ = timed(
         lambda: baseline_b4_bm25(
@@ -481,7 +526,10 @@ def main() -> None:
         ts_, dl_, g_ = bm25_build(big_docs)
         return bm25_score(bmq_df, ts_, dl_, g_, k=50).count()
 
-    queries_sec["b4_bm25_large"], _ = timed(spark_b4_large, repeats=2)
+    queries_sec["b4_bm25_large"], _ = timed(
+        spark_b4_large, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b4_bm25_large",
+    )
     min_of["b4_bm25_large"] = 2
     baseline_sec["b4_bm25_large"], _ = timed(
         lambda: baseline_b4_bm25(
@@ -516,7 +564,10 @@ def main() -> None:
         assigned, _ = build_ivf(corpus, nlist=min(256, n_vec // 8), seed=42)
         return assigned.count()
 
-    queries_sec["b6_ivf_build"], _ = timed(spark_b6, repeats=2)
+    queries_sec["b6_ivf_build"], _ = timed(
+        spark_b6, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b6_ivf_build",
+    )
     min_of["b6_ivf_build"] = 2
     baseline_sec["b6_ivf_build"], _ = timed(
         lambda: baseline_b6_kmeans(mat, min(256, n_vec // 8)), repeats=3
@@ -529,7 +580,10 @@ def main() -> None:
         assigned, _ = build_ivf(big_corpus, nlist=256, seed=42)
         return assigned.count()
 
-    queries_sec["b6_ivf_build_large"], _ = timed(spark_b6_large, repeats=2)
+    queries_sec["b6_ivf_build_large"], _ = timed(
+        spark_b6_large, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="b6_ivf_build_large",
+    )
     min_of["b6_ivf_build_large"] = 2
     baseline_sec["b6_ivf_build_large"], _ = timed(
         lambda: baseline_b6_kmeans(big_mat, 256), repeats=2
@@ -860,7 +914,9 @@ def main() -> None:
         if reps > 1:
             min_of[f"q_{name}"] = reps
         queries_sec[f"q_{name}"], _ = timed(
-            lambda fn=fn: fn(spark, SF_DIR).count(), repeats=reps
+            lambda fn=fn: fn(spark, SF_DIR).count(), repeats=reps,
+            reset=_reset if reps > 1 else None, cold_out=cold_sec,
+            name=f"q_{name}" if reps > 1 else None,
         )
 
     # The registry's profile_lineitem is exact-mode (hash-checkable) over
@@ -898,7 +954,10 @@ def main() -> None:
         ).count()
 
     # graded ratio row since r16 (VERDICT item 6): min-of-2 both sides
-    queries_sec["q_ivfpq_sampled"], _ = timed(_ivfpq_sampled, repeats=2)
+    queries_sec["q_ivfpq_sampled"], _ = timed(
+        _ivfpq_sampled, repeats=2, reset=_reset, cold_out=cold_sec,
+        name="q_ivfpq_sampled",
+    )
     min_of["q_ivfpq_sampled"] = 2
 
     # --- top-registry single-node baselines (r15 VERDICT item 6): the
@@ -958,10 +1017,12 @@ def main() -> None:
         lambda: minhash_incremental_pairs(
             new_docs, old_docs, old_sigs=old_sigs
         ).count(),
-        repeats=2,
+        repeats=2, reset=_reset, cold_out=cold_sec,
+        name="q_minhash_incremental_10pct",
     )
     queries_sec["q_minhash_rebuild_full"], _ = timed(
-        lambda: minhash_lsh_pairs(docs_all).count(), repeats=2
+        lambda: minhash_lsh_pairs(docs_all).count(), repeats=2,
+        reset=_reset, cold_out=cold_sec, name="q_minhash_rebuild_full",
     )
     incremental_vs_rebuild_same_corpus = round(
         queries_sec["q_minhash_incremental_10pct"]
@@ -1003,10 +1064,12 @@ def main() -> None:
         lambda: minhash_incremental_pairs(
             new_docs, old_grown, old_sigs=sigs_grown
         ).count(),
-        repeats=3,
+        repeats=3, reset=_reset, cold_out=cold_sec,
+        name="q_minhash_incremental_grown8x",
     )
     queries_sec["q_minhash_rebuild_grown8x"], _ = timed(
-        lambda: minhash_lsh_pairs(docs_grown).count(), repeats=3
+        lambda: minhash_lsh_pairs(docs_grown).count(), repeats=3,
+        reset=_reset, cold_out=cold_sec, name="q_minhash_rebuild_grown8x",
     )
     min_of["q_minhash_incremental_grown8x"] = 3
     min_of["q_minhash_rebuild_grown8x"] = 3
@@ -1068,6 +1131,15 @@ def main() -> None:
             incremental_vs_rebuild_same_corpus,
         "b6_stage_split": b6_stage_split,
         "min_of": min_of,
+        # r17 honesty fields (r16 VERDICT item 2): cold = first-run
+        # seconds of every min_of engine row (pins are reset between
+        # repeats, so the reported min is cold-equivalent, but the
+        # very first run additionally pays plan/codegen floors);
+        # cached_inputs = the base frames this harness persists OUTSIDE
+        # the timed regions (symmetric with the pandas baselines'
+        # preloaded arrays; lineitem/events are scanned from parquet).
+        "cold": {k: round(v, 3) for k, v in cold_sec.items()},
+        "cached_inputs": ["documents", "embeddings"],
         "workloads": workloads,
     }
     # Full record: printed first AND persisted to bench_full.json. The
@@ -1130,6 +1202,7 @@ def main() -> None:
             incremental_vs_rebuild_same_corpus,
         "b6_stage_split": b6_stage_split,
         "min_of": min_of,
+        "cached_inputs": ["documents", "embeddings"],
         "workloads": workloads,
         "full": "bench_full.json",
     }

@@ -106,3 +106,25 @@ def pin(df: DataFrame, deser: bool = False) -> DataFrame:
             except Exception:
                 pass  # stopped session: its JVM cache died with it
     return df
+
+
+def reset_pins(spark=None) -> int:
+    """Unpersist every live pinned frame — all rings, or only the given
+    session's — and empty the ring(s). Returns the number unpersisted.
+
+    Bench-fidelity hook (r16 VERDICT item 2): min-of-N bench timing
+    calls this BETWEEN repeats so a repeat cannot silently reuse the
+    previous run's pinned data through CacheManager's same-semantics
+    persist dedupe — the reported minimum is then the best of N
+    equally-cold runs, not a warm-cache artifact. Blocking unpersist so
+    the blocks are really gone before the next repeat starts."""
+    n = 0
+    keys = [id(spark)] if spark is not None else list(_RINGS)
+    for k in keys:
+        for frame in _RINGS.pop(k, []):
+            try:
+                frame.unpersist(True)
+                n += 1
+            except Exception:
+                pass  # stopped session: its cache died with it
+    return n

@@ -2686,6 +2686,95 @@ def contingency_stats(
     )
 
 
+def _midrank_map_grouped(
+    counts: "DataFrame", n_buckets: int, group_col: str = "_g"
+) -> "tuple[DataFrame, dict]":
+    """Grouped twin of :func:`_midrank_map` (r17, r16 VERDICT item 6):
+    given a distinct-value frame ``(group, v, c_a, c_b)``, return
+    ``(group, v, c_a, t, rank)`` where ``rank`` is the midrank of v
+    WITHIN its group — all groups computed through ONE agg/window
+    chain and ONE driver edges job, instead of one full chain (with
+    its own approx_percentile action) per group. Midranks are exact
+    for ANY bucketing (the _midrank_map argument), so per-group
+    results are identical to running _midrank_map per group.
+    Callers: spearman_corr (groups = the two columns), quantile_map
+    (groups = new/ref)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_rows = counts.groupBy(group_col).agg(
+        F.expr(
+            "approx_percentile(v, array("
+            f"{', '.join(str(q) for q in qs)}), 1000)"
+        ).alias("e"),
+        F.sum(F.col("c_a") + F.col("c_b")).alias("n"),
+    ).collect()
+    group_edges = {
+        r[group_col]: sorted({float(x) for x in (r["e"] or [])})
+        for r in edges_rows
+    }
+    group_n = {r[group_col]: int(r["n"] or 0) for r in edges_rows}
+    b = F.lit(0)
+    for g, edges in group_edges.items():
+        gb = F.lit(0)
+        for i, e in enumerate(edges):
+            gb = F.when(F.col("v") > F.lit(e), F.lit(i + 1)).otherwise(gb)
+        b = F.when(F.col(group_col) == F.lit(g), gb).otherwise(b)
+    bucketed = counts.withColumn("bucket", b).withColumn(
+        "t", F.col("c_a") + F.col("c_b")
+    )
+    w = Window.partitionBy(group_col, "bucket").orderBy("v")
+    cum = bucketed.select(
+        group_col, "bucket", "v", "c_a", "t",
+        F.sum("t").over(w).alias("cum_incl"),
+    )
+    bw = Window.partitionBy(group_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= n_buckets rows per group — bounded
+    offsets = (
+        bucketed.groupBy(group_col, "bucket")
+        .agg(F.sum("t").alias("bt"))
+        .select(
+            group_col, "bucket",
+            F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("off"),
+        )
+    )
+    avg_rank = (
+        F.col("off") + F.col("cum_incl") - F.col("t")
+        + (F.col("t") + 1) / 2.0
+    )
+    out = cum.join(F.broadcast(offsets), [group_col, "bucket"]).select(
+        group_col, "v", "c_a", "t", avg_rank.alias("rank")
+    )
+    return out, group_n
+
+
+def _spearman_rank_maps(base: "DataFrame", n_buckets: int):
+    """Both per-column rank maps of spearman_corr from ONE stacked
+    chain (scan -> grouped counts -> grouped midranks), pinned because
+    both filters consume it."""
+    from indexlab_spark.functions.cache import pin as _pin_
+
+    stacked = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("_g"), F.col("_a").alias("v")),
+                F.struct(F.lit("b").alias("_g"), F.col("_b").alias("v")),
+            )
+        ).alias("_s")
+    ).select("_s._g", "_s.v")
+    counts = stacked.groupBy("_g", "v").agg(
+        F.count(F.lit(1)).alias("c_a")
+    ).withColumn("c_b", F.lit(0))
+    rmap, _ = _midrank_map_grouped(counts, n_buckets)
+    rmap = _pin_(rmap, deser=True)  # consumed by both rank joins
+    ra = rmap.filter(F.col("_g") == "a").select(
+        F.col("v").alias("_a"), F.col("rank").alias("_r_a")
+    )
+    rb = rmap.filter(F.col("_g") == "b").select(
+        F.col("v").alias("_b"), F.col("rank").alias("_r_b")
+    )
+    return ra, rb
+
+
 def _midrank_map(counts: "DataFrame", n_buckets: int) -> "DataFrame":
     """Shared rank engine for :func:`mann_whitney_u` / :func:`roc_auc`
     / :func:`spearman_corr`: given a distinct-value frame ``(v, c_a,
@@ -3632,23 +3721,19 @@ def spearman_corr(
     from indexlab_spark.functions.cache import pin as _pin_
 
     # r16: base feeds three consumers (both distinct-value count aggs
-    # and the rank join) — pin it so the scan+cast runs once, not 3x
+    # and the rank join) — pin it so the scan+cast runs once, not 3x.
+    # r17 (VERDICT item 6): deser — every consumer is a JVM agg/join;
+    # and BOTH rank maps now come from one stacked grouped-midrank
+    # chain (one counts exchange + one edges job, was two of each)
     base = _pin_(
         df.select(
             F.col(col_a).cast("double").alias("_a"),
             F.col(col_b).cast("double").alias("_b"),
-        ).na.drop()
+        ).na.drop(),
+        deser=True,
     )
-
-    def rank_map(col):
-        counts = base.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("c_a")
-        ).withColumn("c_b", F.lit(0))
-        return _midrank_map(counts, n_buckets).select(
-            F.col("v").alias(col), F.col("rank").alias(f"_r{col}")
-        )
-
-    ranked = base.join(rank_map("_a"), "_a").join(rank_map("_b"), "_b")
+    ra, rb = _spearman_rank_maps(base, n_buckets)
+    ranked = base.join(ra, "_a").join(rb, "_b")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_r_a").alias("sa"),
@@ -4567,30 +4652,37 @@ def quantile_map(
     value-level so the result is reusable as a calibration table).
     Raises on an empty reference; empty new input yields no rows.
     """
-    ref_counts = (
-        ref_df.select(F.col(value_col).cast("double").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c_a"))
-        .withColumn("c_b", F.lit(0))
+    from indexlab_spark.functions.cache import pin as _pin_
+
+    def _counts(src):
+        return (
+            src.select(F.col(value_col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c_a"))
+            .withColumn("c_b", F.lit(0))
+        )
+
+    # r17 (r16 VERDICT item 7): the two sizing .first() jobs and the
+    # two per-distribution approx_percentile actions fold into ONE
+    # grouped-midrank chain over the tagged union — one driver job
+    # (edges + totals per group) and one agg/window chain total.
+    counts = (
+        _counts(new_df).withColumn("_g", F.lit("new"))
+        .unionByName(_counts(ref_df).withColumn("_g", F.lit("ref")))
     )
-    n_ref = ref_counts.agg(F.sum("c_a")).first()[0] or 0
+    rmap, group_n = _midrank_map_grouped(counts, n_buckets)
+    n_ref = group_n.get("ref", 0)
+    n_new = group_n.get("new", 0)
     if n_ref == 0:
         raise ValueError("quantile_map: empty reference distribution")
-    new_counts = (
-        new_df.select(F.col(value_col).cast("double").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c_a"))
-        .withColumn("c_b", F.lit(0))
-    )
-    n_new = new_counts.agg(F.sum("c_a")).first()[0] or 0
     if n_new == 0:
         return new_df.sparkSession.createDataFrame(
             [], "value double, p double, mapped double"
         )
+    rmap = _pin_(rmap, deser=True)  # feeds targets AND ref_ranges
     # targets: Hazen p per distinct new value, bracketing ref positions
-    targets = _midrank_map(new_counts, n_buckets).select(
+    targets = rmap.filter(F.col("_g") == "new").select(
         F.col("v").alias("value"),
         ((F.col("rank") - 0.5) / F.lit(float(n_new))).alias("p"),
     ).withColumn(
@@ -4605,7 +4697,7 @@ def quantile_map(
     # reference cumulative ranges [lo, hi] of 0-indexed positions per
     # distinct value (midrank encodes the range: lo = rank-(t+1)/2,
     # hi = lo + t - 1)
-    ref_ranges = _midrank_map(ref_counts, n_buckets).select(
+    ref_ranges = rmap.filter(F.col("_g") == "ref").select(
         F.col("v").alias("_rv"),
         (F.col("rank") - (F.col("t") + 1) / 2.0).cast("long").alias("_lo"),
         (F.col("rank") + (F.col("t") + 1) / 2.0 - 2).cast("long").alias(

@@ -53,6 +53,34 @@ def _spread(df: DataFrame) -> DataFrame:
     return _fan_out(df, min_fraction=1.0)
 
 
+def _sym_edges(e: DataFrame, a_col: str, b_col: str,
+               out_a: str = "src", out_b: str = "dst") -> DataFrame:
+    """Both directions of every edge in ONE scan of ``e`` — a map-side
+    explode replacing ``select(a,b).union(select(b,a))``, which
+    computes the edge frame's ENTIRE lineage twice per materialization
+    (r17, guide §2.3/§5: for join-built edge frames — the co-purchase
+    builds, the jaccard pair join — the doubled scan was the dominant
+    cost of symmetrization). Row multiset identical to the union."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias(out_a), F.col(b_col).alias(out_b)),
+                F.struct(F.col(b_col).alias(out_a), F.col(a_col).alias(out_b)),
+            )
+        ).alias("_e")
+    ).select(f"_e.{out_a}", f"_e.{out_b}")
+
+
+def _endpoints(e: DataFrame, a_col: str, b_col: str,
+               out: str = "id") -> DataFrame:
+    """Both endpoint columns of every edge as one column, in ONE scan —
+    the explode twin of ``select(a).unionAll(select(b))`` (same
+    double-lineage rationale as :func:`_sym_edges`)."""
+    return e.select(
+        F.explode(F.array(F.col(a_col), F.col(b_col))).alias(out)
+    )
+
+
 def normalized_md5(text: Column | str) -> Column:
     """md5 of whitespace-normalized lowercase text — THE exact-dedup
     group key (one definition; exact_dedup and curate_corpus share it).
@@ -226,7 +254,9 @@ def jaccard_pairs(
     then jaccard = inter / (|A| + |B| - inter). Only pairs sharing at
     least one shingle are ever materialized.
     """
-    exploded = _pin(exploded_shingles(df, id_col, text_col, n))
+    # deser: consumed by the JVM shingle self-join + sizes agg (r17 —
+    # serialized blocks paid a row decode per re-scan, measured +1.6s)
+    exploded = _pin(exploded_shingles(df, id_col, text_col, n), deser=True)
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         exploded.alias("a")
@@ -751,8 +781,7 @@ def connected_components(
     spark = edges.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200)
     sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        _sym_edges(edges, a_col, b_col)  # one scan of the pair lineage
         .distinct()
         .repartition(n_parts, "src")
         .persist()
@@ -1376,8 +1405,8 @@ def jaccard_join_prefix(
     feasible EXACT path; MinHash-LSH remains the approximate
     alternative when even prefixes blow up.
     """
-    exploded = _pin(exploded_shingles(df, id_col, text_col, n))
-    sizes = _pin(exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
+    exploded = _pin(exploded_shingles(df, id_col, text_col, n), deser=True)
+    sizes = _pin(exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz")), deser=True)
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     t = float(threshold)
     # ceil guard: 0.2*5 floats to 1.0000000000000002, whose ceil (2)
@@ -1447,7 +1476,7 @@ def jaccard_join_adaptive(
     ``_choice_out``: test hook — when a dict is passed, the probe
     scalars and the chosen base name are recorded into it.
     """
-    exploded = _pin(exploded_shingles(df, id_col, text_col, n))
+    exploded = _pin(exploded_shingles(df, id_col, text_col, n), deser=True)
     probe = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1530,11 +1559,7 @@ def pagerank(
     if directed:
         sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     else:
-        sym = edges.select(
-            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-        ).union(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+        sym = _sym_edges(edges, a_col, b_col)  # one scan of the lineage
     sym = sym.distinct().persist()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.select(F.col(id_col).alias("id")).distinct().persist()
@@ -1653,10 +1678,7 @@ def label_propagation(
     max_iter is a valid stop (labels are still a usable community
     assignment), not an error, per the published algorithm.
     """
-    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    sym = sym.union(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).distinct().persist()
+    sym = _sym_edges(edges, a_col, b_col).distinct().persist()
     spark = edges.sparkSession
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
@@ -1731,6 +1753,57 @@ def label_propagation_reference(
     return lbl
 
 
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    distinct_items: bool = False,
+) -> DataFrame:
+    """Exploded ``(basket, a, b)`` co-occurrence pairs with ``a < b``
+    from each basket's item multiset — the array-combinations
+    replacement for the basket SELF-JOIN (``x.item < y.item`` on the
+    basket key), guide §3: collect each basket's items ONCE (one keyed
+    exchange of the input rows), sort the array, and emit every index
+    pair ``i < j`` with distinct values as a codegen ``transform``.
+
+    Equivalence to the self-join (pinned in
+    tests/test_basket_pairs.py): for values ``a < b`` occurring
+    ``m_a``/``m_b`` times in a basket, the sorted array's ``i < j``
+    index combinations yield exactly ``m_a * m_b`` (a, b) pairs, and
+    equal-value index pairs are dropped — the strict ``<`` condition.
+    ``distinct_items=True`` dedupes items inside each basket first (for
+    callers that .distinct() the pair set anyway — fewer pairs ever
+    materialize).
+
+    vs the self-join: the join shuffled the input once (ReuseExchange
+    covers the second side) and then SORTED both sides into an SMJ
+    whose output re-shuffled per pair; this shape keeps the one keyed
+    exchange, drops the join sort/probe machinery entirely, and feeds
+    the downstream pair aggregation from a map-side explode. Skew
+    caveat: a pathologically hot basket becomes one task's array
+    (the self-join could AQE-split it) — callers bounding basket width
+    (support cuts, frequent-item restrictions) keep that moot.
+    """
+    items = F.collect_list(F.col(item_col))
+    if distinct_items:
+        items = F.collect_set(F.col(item_col))
+    grouped = df.groupBy(F.col(basket_col).alias("_bk")).agg(
+        F.sort_array(items).alias("_it")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(_it, (x, i) -> "
+            "transform(slice(_it, i + 2, size(_it) - i - 1), "
+            "y -> named_struct('a', x, 'b', y))))"
+        )
+    )
+    return (
+        grouped.select(F.col("_bk").alias(basket_col), pair.alias("_p"))
+        .filter(F.col("_p.a") != F.col("_p.b"))
+        .select(basket_col, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     a_col: str = "id_a",
@@ -1761,13 +1834,14 @@ def triangle_count(
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
         .distinct()
+        # r17: e feeds deg, keyed and the edge count — 3+ scans of the
+        # caller's (often join-built) lineage without a checkpoint
+        # (the degree_assortativity multi-consumer discipline)
+        .localCheckpoint(eager=False)
     )
-    deg = (
-        e.select(F.col("a").alias("id"))
-        .unionAll(e.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _endpoints(e, "a", "b").groupBy("id").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)  # feeds both keyed joins + counts
     keyed = (
         e.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "deg_a"), "a")
         .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "deg_b"), "b")
@@ -1858,12 +1932,11 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
-    half = edges.filter(F.col(a_col) != F.col(b_col)).select(
-        F.col(a_col).alias("s"), F.col(b_col).alias("t")
-    )
     und = (
-        half.unionByName(half.select(F.col("t").alias("s"),
-                                     F.col("s").alias("t")))
+        _sym_edges(  # one scan of the caller's edge lineage (r17)
+            edges.filter(F.col(a_col) != F.col(b_col)), a_col, b_col,
+            out_a="s", out_b="t",
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -2296,8 +2369,10 @@ def link_prediction(
         )
         .distinct()
     )
-    adj = e.select(F.col("a").alias("w"), F.col("b").alias("u")).unionAll(
-        e.select(F.col("b").alias("w"), F.col("a").alias("u"))
+    # r17: one scan of the edge lineage for both directions, and a lazy
+    # checkpoint — adj feeds the degree agg AND both self-join sides
+    adj = _sym_edges(e, "a", "b", out_a="w", out_b="u").localCheckpoint(
+        eager=False
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
     # deg is node-sized (not safely broadcastable at scale); this is a
@@ -2598,8 +2673,7 @@ def degree_assortativity(
         .localCheckpoint(eager=False)
     )
     deg = (
-        e.select(F.col("_u").alias("_n"))
-        .unionAll(e.select(F.col("_v").alias("_n")))
+        _endpoints(e, "_u", "_v", out="_n")
         .groupBy("_n")
         .agg(F.count(F.lit(1)).alias("_d"))
         .localCheckpoint(eager=False)
@@ -2668,8 +2742,7 @@ def _edge_support(e: DataFrame) -> DataFrame:
     (left join + coalesce). Shuffles: one degree agg, two keyed joins,
     one edge-keyed count agg."""
     deg = (
-        e.select(F.col("a").alias("id"))
-        .unionAll(e.select(F.col("b").alias("id")))
+        _endpoints(e, "a", "b")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -2854,8 +2927,7 @@ def clustering_coefficients(
         .localCheckpoint(eager=False)
     )
     deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        _endpoints(e, "a", "b", out="node")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
         .localCheckpoint(eager=False)

@@ -329,7 +329,51 @@ def main() -> None:
             ["user_id", "value"], bits=8,
         ).count()
 
+    # r17 (r16 VERDICT item 9): growth-prove the FORCED-DISTRIBUTED
+    # fallbacks of the r16 bounded driver fits — cap monkeypatched to 0
+    # exactly like the parity tests, so the >cap paths' timing SHAPE is
+    # attested at scale, not just their correctness.
+    from indexlab_spark.operators import bpe as _bpe_mod
+    from indexlab_spark.operators import curation as _cur_mod
+    from indexlab_spark.operators.curation import train_quality_classifier
+
+    def _forced(mod, attr, fn):
+        old = getattr(mod, attr)
+        setattr(mod, attr, 0)
+        try:
+            return fn()
+        finally:
+            setattr(mod, attr, old)
+
     def cases(docs, ev, emb, scale=1):
+        def _classifier_dist():
+            labeled = emb.select(
+                "embedding",
+                (F.col("label") <= 4).cast("double").alias("y"),
+            )
+            return _forced(
+                _cur_mod, "_DRIVER_FIT_MAX_ELEMS",
+                lambda: train_quality_classifier(
+                    labeled, "y", iters=5, quantize_dp=9
+                ).n_rows,
+            )
+
+        def _bpe_dist():
+            return _forced(
+                _bpe_mod, "_DRIVER_VOCAB_MAX",
+                lambda: len(train_bpe(docs, n_merges=4)),
+            )
+
+        def _bloom_dist():
+            return _forced(
+                _cur_mod, "_BLOOM_DRIVER_MAX",
+                lambda: bloom_decontaminate(
+                    docs.filter(F.col("doc_id") % 17 != 0),
+                    docs.filter(F.col("doc_id") % 17 == 0),
+                    n=5,
+                ).count(),
+            )
+
         def _bm25():
             ts_, dl_, g_ = bm25_build(docs)
             k = ts_.count() + g_.count()
@@ -343,6 +387,12 @@ def main() -> None:
             ).count()
 
         return {
+            # forced-distributed fallbacks of the r16 driver fits
+            # (cap=0): epochs are per-partition collects (classifier),
+            # vocab-frame merge rounds (bpe), treeReduce bitmap (bloom)
+            "classifier_dist_forced": _classifier_dist,
+            "bpe_dist_forced": _bpe_dist,
+            "bloom_dist_forced": _bloom_dist,
             "exact_dedup": lambda: exact_dedup(docs).count(),
             "simhash": lambda: simhash(docs).count(),
             "minhash_lsh": lambda: minhash_lsh_pairs(docs, threshold=0.5).count(),
