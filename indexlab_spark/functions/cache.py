@@ -78,9 +78,13 @@ def pin(df: DataFrame, deser: bool = False) -> DataFrame:
             if deser
             else StorageLevel.MEMORY_AND_DISK
         )
-    df = df.persist(level)
     key = id(df.sparkSession)
     ring = _RINGS.setdefault(key, [])
+    # r17: scan the ring BEFORE persisting — a same-semantics hit means
+    # the data is already cached (CacheManager matches by canonicalized
+    # plan, so the caller's new frame reuses it without its own persist
+    # call); persisting first cost a Py4J roundtrip and logged a
+    # "Asked to cache already cached data" warning per warm re-pin.
     for i, cached in enumerate(ring):
         try:
             if cached is df or cached.sameSemantics(df):
@@ -92,6 +96,7 @@ def pin(df: DataFrame, deser: bool = False) -> DataFrame:
             # reintroduced the ring-aliasing eviction bug for every
             # entry after the broken one
             continue
+    df = df.persist(level)
     ring.append(df)
     while len(ring) > RING_MAX:
         try:
