@@ -127,18 +127,42 @@ def bm25_build(
             tf.groupBy("doc_id").agg(F.first("dl").alias("dl")), "doc_id", "left"
         ).na.fill({"dl": 0})
     )
-    return _derive_bm25(tf, doc_lens, materialize)
+    # r17: globals never need the doc-keyed doc_lens chain — n_docs is a
+    # scalar count of the input frame and sum(dl over docs) == sum(tf
+    # over postings) exactly (dl is the doc's token count, i.e. the sum
+    # of its term frequencies; both are integer sums, so avgdl is
+    # bit-identical). Evaluating globals through doc_lens cost a
+    # corpus-tokens-sized groupBy(doc_id) exchange plus a doc-sized join
+    # inside EVERY scoring job; this is one map-side scalar agg over the
+    # pinned posting frame. doc_lens itself stays lazily defined for
+    # callers that consume it.
+    n_docs_df = docs_df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return _derive_bm25(tf, doc_lens, materialize, n_docs_df=n_docs_df)
 
 
-def _derive_bm25(tf, doc_lens, materialize: bool):
+def _derive_bm25(tf, doc_lens, materialize: bool, n_docs_df=None):
     """(term_stats, doc_lens, globals_df) from the raw posting frame +
     doc-length frame — the vocabulary-sized derivation shared by
     bm25_build (full) and bm25_refresh (incremental). The posting frame
-    never shuffles: df/idf are map-side-combined |vocab|-row aggregates,
-    globals are scalar aggregates over doc_lens."""
-    globals_df = doc_lens.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    never shuffles: df/idf are map-side-combined |vocab|-row aggregates.
+
+    Globals (r17): ``sum(dl over docs) == sum(tf over postings)`` exactly
+    (dl is the doc's token count = the sum of its per-term frequencies;
+    integer sums, so avgdl is bit-identical), so when the caller supplies
+    ``n_docs_df`` (a 1-row ``n_docs`` count of the corpus) the globals
+    compute as one map-side scalar agg over the posting frame instead of
+    evaluating doc_lens' doc-keyed groupBy + join chain. Empty-corpus
+    edge: sum over no postings coalesces to 0, and 0 / n_docs=0 is NULL —
+    the same NULL the doc_lens formulation produced. Without n_docs_df
+    (refresh's union state) globals fall back to counting doc_lens rows,
+    still paired with the posting-frame token sum."""
+    if n_docs_df is None:
+        n_docs_df = doc_lens.agg(F.count(F.lit(1)).alias("n_docs"))
+    globals_df = n_docs_df.crossJoin(
+        tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("_tok"))
+    ).select(
+        "n_docs",
+        (F.col("_tok").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
     # vocabulary-level document frequencies: map-side combine shrinks the
     # exchange to |vocab| rows — the posting frame itself never moves

@@ -52,6 +52,20 @@ def _rank_window(query_id_col: str, tie_col: str):
 #: knn_join_blocked instead of OOMing the driver.
 MAX_COLLECT_QUERY_ROWS = 250_000
 
+#: Driver Lloyd assignment-step fan-out (r17). The sandbox's OpenBLAS is
+#: compiled MAX_THREADS=2, so one big sgemm uses at most 2 of the
+#: driver's cores; row-chunked assignment over a thread pool (BLAS drops
+#: the GIL) recovers the rest. _LLOYD_POOL_MIN gates on n*k so PQ
+#: codebook fits and tiny corpora keep the zero-overhead single call;
+#: workers are env-tunable per deployment (a shared driver may want 1).
+import os as _os
+
+_LLOYD_POOL_WORKERS = int(
+    _os.environ.get("SPARK_GRAFT_LLOYD_THREADS", str(min(8, _os.cpu_count() or 1)))
+)
+_LLOYD_POOL_MIN = 2_000_000
+_LLOYD_CHUNK = 8_192
+
 
 def _collect_bounded(df: DataFrame, cols: list[str], limit: int):
     """Fetch at most ``limit`` rows of ``df[cols]`` to the driver; return
@@ -329,19 +343,85 @@ def _lloyd(train: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     centroids may assign differently than a float64 fit would; cell
     QUALITY is what matters and is property-tested (recall floor), the
     same tradeoff FAISS makes.
+
+    r17: the environment's OpenBLAS is compiled with MAX_THREADS=2, so
+    the per-iteration distance gemm serializes on a many-core driver.
+    Large fits (n*k past _LLOYD_POOL_MIN) compute the assignment step in
+    row chunks fanned over a small thread pool — sgemm releases the GIL,
+    and each row's distance vector and argmin are computed independently,
+    so chunking changes only which rows share a BLAS call. Small fits
+    (PQ codebooks, tiny corpora) keep the single-call path: pool overhead
+    would exceed the gemm.
     """
     train = train.astype(np.float32, copy=False)
     centers = train[rng.choice(len(train), size=k, replace=False)].copy()
-    for _ in range(iters):
-        d = (centers * centers).sum(1)[None, :] - 2.0 * (train @ centers.T)
-        a = d.argmin(1)
-        order = np.argsort(a, kind="stable")
-        xs, asort = train[order], a[order]
-        counts = np.bincount(asort, minlength=k)
-        nz = np.flatnonzero(counts)
-        starts = np.zeros(k, dtype=np.int64)
-        starts[1:] = np.cumsum(counts)[:-1]
-        centers[nz] = np.add.reduceat(xs, starts[nz], axis=0) / counts[nz, None]
+    n = len(train)
+    pool = workers = None
+    if n * k >= _LLOYD_POOL_MIN and _LLOYD_POOL_WORKERS > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(_LLOYD_POOL_WORKERS, max(1, n // _LLOYD_CHUNK))
+        if workers > 1:
+            pool = ThreadPoolExecutor(max_workers=workers)
+    try:
+        a = np.empty(n, dtype=np.int64)
+        step = -(-n // workers) if workers and workers > 1 else n
+        for _ in range(iters):
+            c_t = centers.T
+            c2 = (centers * centers).sum(1)[None, :]
+
+            # d = c2 - 2*(x@c.T) built in place: (g * -2) + c2 rounds
+            # identically to c2 - 2*g (2*g is exact, one rounded
+            # add/sub either way) and skips two 4*n*k-byte temporaries —
+            # the full-expression form spent more time allocating and
+            # streaming those temps than in the gemm itself.
+            def _assign(lo: int, hi: int) -> None:
+                d = train[lo:hi] @ c_t
+                d *= -2.0
+                d += c2
+                a[lo:hi] = d.argmin(1)
+
+            if pool is None:
+                _assign(0, n)
+            else:
+                list(
+                    pool.map(
+                        lambda lo: _assign(lo, min(lo + step, n)),
+                        range(0, n, step),
+                    )
+                )
+            order = np.argsort(a, kind="stable")
+            xs, asort = train[order], a[order]
+            counts = np.bincount(asort, minlength=k)
+            nz = np.flatnonzero(counts)
+            starts = np.zeros(k, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            # segment sums over the assignment-sorted rows; chunking by
+            # contiguous nz ranges feeds reduceat identical row slices,
+            # so the per-centroid sums are bit-identical to one call
+            sums = np.empty((len(nz), train.shape[1]), dtype=train.dtype)
+
+            def _seg(si: int, sj: int) -> None:
+                lo = starts[nz[si]]
+                hi = starts[nz[sj - 1]] + counts[nz[sj - 1]]
+                sums[si:sj] = np.add.reduceat(
+                    xs[lo:hi], starts[nz[si:sj]] - lo, axis=0
+                )
+
+            if pool is None or len(nz) < 2 * workers:
+                _seg(0, len(nz))
+            else:
+                sstep = -(-len(nz) // workers)
+                list(
+                    pool.map(
+                        lambda si: _seg(si, min(si + sstep, len(nz))),
+                        range(0, len(nz), sstep),
+                    )
+                )
+            centers[nz] = sums / counts[nz, None]
+    finally:
+        if pool is not None:
+            pool.shutdown()
     return centers
 
 

@@ -180,3 +180,31 @@ def test_bm25_refresh_remove_and_readd_updates(spark):
     # doc 1 has its NEW terms only — no duplicate/stale postings
     d1_terms = {r["term"] for r in ts.filter("doc_id = 1").collect()}
     assert d1_terms == {"alpha", "epsilon", "zeta"}
+
+
+def test_globals_equal_doc_lens_formulation(spark):
+    """r17: globals derive from (corpus count x posting-frame token sum)
+    instead of evaluating the doc-keyed doc_lens chain. Pin equality
+    against the doc_lens formulation on a corpus with empty-text,
+    whitespace-only and NULL-text docs (all count toward n_docs with
+    dl=0)."""
+    from indexlab_spark.operators.bm25 import bm25_build
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, ""),
+            (2, "   \t  "),
+            (3, None),
+            (4, "alpha alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    _, doc_lens, globals_df = bm25_build(docs, materialize=False)
+    got = globals_df.collect()[0]
+    want = doc_lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    assert got["n_docs"] == want["n_docs"] == 5
+    assert got["avgdl"] == want["avgdl"] == 6 / 5
