@@ -4165,9 +4165,11 @@ def _q_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five counts as the old per-threshold distinct()+count() branches
     # — 1 shuffle instead of 5, one job instead of five.
     ts = (0.5, 0.6, 0.7, 0.8, 0.9)
-    from indexlab_spark.functions.cache import pin as _pin
-
-    maxj = _pin(
+    # r17 (2nd pass): no pin on maxj — the conditional-sum agg below is
+    # its ONLY consumer, so the r16 pin paid a cache write for a frame
+    # read exactly once (and held a ring slot a multi-consumer pin could
+    # have used).
+    maxj = (
         jaccard_join_adaptive(docs, threshold=0.5)
         .groupBy("id_b")
         .agg(F.max("jaccard").alias("_mj"))

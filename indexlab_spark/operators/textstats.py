@@ -391,7 +391,15 @@ def interpolated_lm_logprob(
             )
         ).alias("t"),
     ).select("id", "t.w1", "t.w2", "t.w3")
-    doc_tri = doc_tri.persist()
+    # r17: ring-bounded pin instead of a raw persist — the returned frame
+    # consumes doc_tri lazily so this function can never unpersist, and
+    # the raw persist leaked one corpus-sized cache entry per call into
+    # the session (functions/cache.py's whole rationale). deser: both
+    # consumers (the c123 count chain and the model join back) are
+    # JVM-side.
+    from indexlab_spark.functions.cache import pin as _pin_
+
+    doc_tri = _pin_(doc_tri, deser=True)
     c123 = doc_tri.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c123")
     )
