@@ -60,8 +60,20 @@ MAX_COLLECT_QUERY_ROWS = 250_000
 #: workers are env-tunable per deployment (a shared driver may want 1).
 import os as _os
 
+#: default also respects $SPARK_GRAFT_CPUS (the bench driver's core-count
+#: contract): a local[8] scaling run must not be flattered by a driver
+#: pool using cores Spark was not given.
 _LLOYD_POOL_WORKERS = int(
-    _os.environ.get("SPARK_GRAFT_LLOYD_THREADS", str(min(8, _os.cpu_count() or 1)))
+    _os.environ.get(
+        "SPARK_GRAFT_LLOYD_THREADS",
+        str(
+            min(
+                8,
+                _os.cpu_count() or 1,
+                int(_os.environ.get("SPARK_GRAFT_CPUS", "32") or 32),
+            )
+        ),
+    )
 )
 _LLOYD_POOL_MIN = 2_000_000
 _LLOYD_CHUNK = 8_192
