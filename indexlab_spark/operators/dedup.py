@@ -1450,7 +1450,8 @@ def jaccard_join_adaptive(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    pairs_per_doc_cap: float = 50.0,
+    pairs_per_doc_cap: float = 20_000.0,
+    hot_df_cap: float = 8_000.0,
     _choice_out: dict | None = None,
 ) -> DataFrame:
     """Exact Jaccard join that PICKS its base: the naive shingle
@@ -1467,11 +1468,27 @@ def jaccard_join_adaptive(
     its shingle self-join materializes exactly sum_s df_s*(df_s-1)/2
     candidate rows, computed here by ONE map-side-combined aggregation
     over the exploded-shingle frame (vocab-sized exchange, two scalars
-    to the driver). If that is <= ``pairs_per_doc_cap`` candidates per
-    document — i.e. the join output stays corpus-sized — the naive
-    base wins; beyond it the prefix base's extra stages pay for
-    themselves. The probe frame is ~15%% of either join's work and the
-    decision removes a >10x worst case, the right trade at any scale.
+    to the driver).
+
+    Decision (r17 retune, measured): the candidate mass never crosses
+    an exchange — the pair agg map-side-combines it in place, so the
+    naive join's exchange is distinct-pairs-sized and the mass is pure
+    in-partition CPU (~40 ns/candidate). Two machine-portable bounds
+    therefore govern the choice, both parameterized per deployment:
+
+    - ``hot_df_cap`` — the STRAGGLER bound: one shingle's df^2/2
+      candidates compute inside a single join task (one key, one
+      partition), so max_df > ~8k means a multi-second hot task and
+      the prefix base's pruning pays regardless of totals. This is
+      the r16 catastrophe's real mechanism (df ~ 20k -> 452 s).
+    - ``pairs_per_doc_cap`` — the total-CPU bound. The r16 cap of 50
+      was far too conservative: interleaved A/B on this host measured
+      the naive base 1.4-2x FASTER than prefix at 253 candidates/doc
+      (the sf0.1 documents corpus: 3.1 vs 6.0 s steady) and still
+      slightly faster at 15k/doc with max_df 5000 (4.2-5.0 vs
+      4.9-5.6 s across 5 corpora) — the prefix base's extra
+      sort/explode/join stages cost more than the counted candidates
+      until the mass is ~20k+/doc.
 
     ``_choice_out``: test hook — when a dict is passed, the probe
     scalars and the chosen base name are recorded into it.
@@ -1491,7 +1508,11 @@ def jaccard_join_adaptive(
     )
     n_docs = df.count()
     est_pairs = float(probe["est_pairs"] or 0.0)
-    naive = est_pairs <= pairs_per_doc_cap * max(n_docs, 1)
+    max_df = int(probe["max_df"] or 0)
+    naive = (
+        est_pairs <= pairs_per_doc_cap * max(n_docs, 1)
+        and max_df <= hot_df_cap
+    )
     if _choice_out is not None:
         _choice_out.update(
             base="naive" if naive else "prefix",

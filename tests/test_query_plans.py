@@ -367,9 +367,14 @@ def test_dedup_survival_uses_adaptive_join(spark, sf_dir):
     jaccard_join_adaptive(docs, threshold=0.5, _choice_out=choice)
     assert choice["base"] == "naive", choice
 
-    # hot-shingle corpus: every doc shares one boilerplate trigram
-    # window many times over -> est_pairs ~ n^2/2 >> 50*n
-    hot = spark.range(400).select(
+    # hot-shingle corpus: every doc shares the boilerplate trigrams, so
+    # max_df == n_docs. r17 retune: the trigger is the STRAGGLER bound
+    # (one shingle's df^2/2 candidates compute inside a single join
+    # task), so the planted corpus must exceed hot_df_cap — the old
+    # total-mass-only cap of 50/doc fired at n=400, which interleaved
+    # A/B measured as the SLOWER choice (naive 1.4-2x faster until
+    # ~20k candidates/doc).
+    hot = spark.range(9000).select(
         F.col("id").alias("doc_id"),
         F.concat(
             F.lit("terms and conditions apply to order "),
@@ -379,8 +384,24 @@ def test_dedup_survival_uses_adaptive_join(spark, sf_dir):
     choice = {}
     out = jaccard_join_adaptive(hot, threshold=0.5, _choice_out=choice)
     assert choice["base"] == "prefix", choice
+    assert choice["max_df"] == 9000
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan, plan
+
+    # mid-hot regression pin for the r17 retune: 400 docs sharing the
+    # same boilerplate (max_df=400, ~800 candidates/doc) now stays
+    # NAIVE — that regime measured 1.4-2x faster on the naive base and
+    # its hottest key is ~80k candidates, far under a task's budget
+    mid = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms and conditions apply to order "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    choice = {}
+    jaccard_join_adaptive(mid, threshold=0.5, _choice_out=choice)
+    assert choice["base"] == "naive", choice
 
 
 def test_quantile_rollup_single_exchange(spark, sf_dir):
